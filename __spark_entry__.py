@@ -1,38 +1,532 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator (SURVEY.md §2) expressed
+through the ``datamunging_spark`` package; ``oracle_sql()`` gives the DuckDB
+equivalent run side-by-side by the driver at sf0.01.
+
+Cross-engine determinism rules used throughout (SURVEY.md §5, FIXTURES.md):
+  * every computed column aliased identically on both sides;
+  * double SUMs routed through decimal casts (exact arithmetic, order-free)
+    then cast back to double — identical bits on any engine;
+  * rankings always carry a unique-key tiebreak;
+  * md5 (not engine hash()) for portable deterministic sampling/dedup keys.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from datamunging_spark.functions import (
+    cosine_similarity,
+    normalize_text,
+    punct_ratio,
+    stopword_ratio,
+)
+from datamunging_spark.operators.dedup import minhash_lsh_pairs
+from datamunging_spark.operators.quality import invalid_value_report, regex_rule
+from datamunging_spark.operators.relational import (
+    group_count,
+    percentile_bucketize,
+    top_k_per_group,
+)
+from datamunging_spark.operators.sampling import bernoulli_sample, sample_by_key
+from datamunging_spark.operators.similarity import brute_force_topk
+from datamunging_spark.operators.text import ner_entities, word_count
+from datamunging_spark.sources import load_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+#: Stopword list shared with functions.stopword_ratio — inlined into oracle SQL.
+_STOPWORDS_SQL = (
+    "'the','a','an','and','or','of','to','in','is','are','was','were',"
+    "'for','on','with','as','at','by','it','this','that'"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+def q_r13_count(spark, sf_dir):
+    """R13: global COUNT(*) (reference README.md:81-106)."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_r14_group_count(spark, sf_dir):
+    """R14: Pig GROUP BY + COUNT (reference README.md:129-130)."""
+    return group_count(_t(spark, sf_dir, "events"), "event_type", out="cnt")
+
+
+def q_r19_quality_report(spark, sf_dir):
+    """R7+R8+R19+R14: the reference's data-quality pipeline
+    (README.md:126-132): regex-validate, keep failures, frequency report.
+    Pig NULL-on-non-match semantics via engine regex_extract."""
+    docs = _t(spark, sf_dir, "documents")
+    rule = regex_rule("src_fmt", "source", r"^(src[0-9])$")
+    return invalid_value_report(docs, rule, "source", out="cnt")
+
+
+def q_r16_percentile_bucket(spark, sf_dir):
+    """R16 flagship (reference README.md:237-261): per-key exact percentile
+    array, broadcast-joined back, CASE-ladder bucket."""
+    li = _t(spark, sf_dir, "lineitem")
+    return percentile_bucketize(
+        li, "l_partkey", "l_quantity", keep_cols=["l_orderkey", "l_linenumber"]
+    )
+
+
+def q_r15_grouped_median(spark, sf_dir):
+    """R15: exact grouped percentile (reference README.md:255-260)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("median_qty")
+    )
+
+
+def q_r12_join_agg(spark, sf_dir):
+    """R12: fact × dimension join chain + aggregate; dims broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped aggregate over lineitem (engine §2.4 surface)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            (
+                F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    """Join chain + agg + deterministic top-10 (orders×lineitem×customer)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_window_topk(spark, sf_dir):
+    """§2.8 window: top-3 orders per customer, deterministic tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    return top_k_per_group(
+        o,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+
+
+def q_window_running(spark, sf_dir):
+    """§2.8 window: running count + exact running sum per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("run_n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("run_total"),
+    )
+
+
+def q_setop_except(spark, sf_dir):
+    """§2.8 EXCEPT DISTINCT: customers with no orders."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.subtract(o)
+
+
+def q_setop_union(spark, sf_dir):
+    """§2.8 UNION DISTINCT of customer and supplier nation keys."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    return c.union(s).distinct()
+
+
+def q_setop_intersect(spark, sf_dir):
+    """§2.8 INTERSECT of customer and supplier nation keys."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
+    return c.intersect(s)
+
+
+def q_json_extract(spark, sf_dir):
+    """§2.5 JSON scalar + R18 NULL-on-bad-cast aggregate over events.props."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.sum(F.when(k.isNull(), 1).otherwise(0)).cast("bigint").alias("n_null_k"),
+    )
+
+
+def q_date_agg(spark, sf_dir):
+    """§2.5 date functions: per-day per-type event rollup."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+def q_stream_window_counts(spark, sf_dir):
+    """Streaming-shaped tumbling-window aggregate (batch mode of
+    streaming.windowed_counts — same expressions lift to readStream)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 minute").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_r28_sample_bykey(spark, sf_dir):
+    """R28: all-or-none deterministic by-key sample (fixes the reference's
+    broken DataFu example, README.md:173-179). md5-based → oracle-exact."""
+    c = _t(spark, sf_dir, "customer")
+    return sample_by_key(c, "c_custkey", percent=20).select("c_custkey", "c_name")
+
+
+def q_x1_content_hash(spark, sf_dir):
+    """X1 exact-dedup key: normalized-content md5 per doc (cross-engine
+    reproducible content addressing)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.md5(normalize_text("text")).alias("content_hash")
+    )
+
+
+def q_x1_dedup_stats(spark, sf_dir):
+    """X1 exact dedup summary: total docs vs distinct normalized contents."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5(normalize_text("text"))).alias("n_distinct"),
+    )
+
+
+def q_x4_text_stats(spark, sf_dir):
+    """X4 text analysis: token count + stopword/punct ratios per doc
+    (expression-only, no UDF)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ", -1)).alias("n_tokens"),
+        F.round(stopword_ratio("text"), 6).alias("stop_frac"),
+        F.round(punct_ratio("text"), 6).alias("punct_frac"),
+    )
+
+
+def q_x4_word_count(spark, sf_dir):
+    """X4: corpus word count, deterministic top-20."""
+    d = _t(spark, sf_dir, "documents")
+    return word_count(d).orderBy(F.col("cnt").desc(), F.col("word")).limit(20)
+
+
+def q_x2_topk_cosine(spark, sf_dir):
+    """X2: exact brute-force top-5 cosine neighbors for probe vectors
+    (generalizes reference findSynonyms, README.md:388-392)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    out = brute_force_topk(probes, emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+# --- rows-only entries (non-SQL-expressible or inherently random) ----------
+
+def q_r26_sample_bernoulli(spark, sf_dir):
+    """R26/R27/R30: seeded Bernoulli sample (property-checked in tests)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return bernoulli_sample(li, 0.2, seed=42).select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+def q_r29_sample_n(spark, sf_dir):
+    """R29: fixed-N sample (TABLESAMPLE(N ROWS), README.md:187)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.limit(1000)
+
+
+def q_x1_minhash_pairs(spark, sf_dir):
+    """X1 fuzzy dedup: MinHash-LSH candidate pairs (recall property-tested)."""
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, num_hashes=64, bands=16, shingle_words=3)
+
+
+def q_r37_ner(spark, sf_dir):
+    """R37: per-doc entity extraction (Arrow-batched pandas_udf; model call
+    stubbed deterministically — container has no NLTK, SURVEY.md §5.4)."""
+    d = _t(spark, sf_dir, "documents")
+    return ner_entities(d).select("doc_id", "entities")
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (R16 percentile bucketing) on sf0.001."""
+    return q_r16_percentile_bucket(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "r13_count": q_r13_count,
+        "r14_group_count": q_r14_group_count,
+        "r19_quality_report": q_r19_quality_report,
+        "r16_percentile_bucket": q_r16_percentile_bucket,
+        "r15_grouped_median": q_r15_grouped_median,
+        "r12_join_agg": q_r12_join_agg,
+        "pricing_summary": q_pricing_summary,
+        "top_revenue_orders": q_top_revenue_orders,
+        "window_topk": q_window_topk,
+        "window_running": q_window_running,
+        "setop_except": q_setop_except,
+        "setop_union": q_setop_union,
+        "setop_intersect": q_setop_intersect,
+        "json_extract": q_json_extract,
+        "date_agg": q_date_agg,
+        "stream_window_counts": q_stream_window_counts,
+        "r28_sample_bykey": q_r28_sample_bykey,
+        "x1_content_hash": q_x1_content_hash,
+        "x1_dedup_stats": q_x1_dedup_stats,
+        "x4_text_stats": q_x4_text_stats,
+        "x4_word_count": q_x4_word_count,
+        "x2_topk_cosine": q_x2_topk_cosine,
+        "r26_sample_bernoulli": q_r26_sample_bernoulli,
+        "r29_sample_n": q_r29_sample_n,
+        "x1_minhash_pairs": q_x1_minhash_pairs,
+        "r37_ner": q_r37_ner,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pct_list = "[0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,0.95,0.99]"
+    labels = ["10th", "20th", "30th", "40th", "50th", "60th",
+              "70th", "80th", "90th", "95th", "99th"]
+    arms = "\n".join(
+        f"        WHEN l.l_quantity <= p.pct[{i + 1}] THEN '{lab}'"
+        for i, lab in enumerate(labels)
+    )
+    return {
+        "r13_count": "SELECT count(*) AS cnt FROM lineitem",
+        "r14_group_count": (
+            "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type"
+        ),
+        "r19_quality_report": (
+            "SELECT source, count(*) AS cnt FROM documents "
+            "WHERE nullif(regexp_extract(source, '^(src[0-9])$', 1), '') IS NULL "
+            "GROUP BY source"
+        ),
+        "r16_percentile_bucket": f"""
+            WITH p AS (
+              SELECT l_partkey, quantile_cont(l_quantity, {pct_list}) AS pct
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT l.l_orderkey, l.l_linenumber, l.l_partkey,
+              CASE
+{arms}
+                ELSE '99+th'
+              END AS bucket
+            FROM lineitem l JOIN p ON l.l_partkey = p.l_partkey
+        """,
+        "r15_grouped_median": (
+            "SELECT l_partkey, round(quantile_cont(l_quantity, 0.5), 6) AS median_qty "
+            "FROM lineitem GROUP BY l_partkey"
+        ),
+        "r12_join_agg": """
+            SELECT r_name, count(*) AS n_customers,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": """
+            SELECT o_orderkey,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "window_topk": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders
+            ) WHERE rn <= 3
+        """,
+        "window_running": """
+            SELECT o_custkey, o_orderkey,
+                   count(*) OVER w AS run_n,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_total
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "setop_except": (
+            "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders"
+        ),
+        "setop_union": (
+            "SELECT c_nationkey AS nkey FROM customer "
+            "UNION SELECT s_nationkey FROM supplier"
+        ),
+        "setop_intersect": (
+            "SELECT c_nationkey AS nkey FROM customer "
+            "INTERSECT SELECT s_nationkey FROM supplier"
+        ),
+        "json_extract": """
+            SELECT event_type, count(*) AS n_events,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+                   CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
+            FROM events GROUP BY event_type
+        """,
+        "date_agg": """
+            SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY day, event_type
+        """,
+        "stream_window_counts": """
+            SELECT date_trunc('minute', ts) AS win_start, event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY win_start, event_type
+        """,
+        "r28_sample_bykey": (
+            "SELECT c_custkey, c_name FROM customer "
+            "WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) <= '32'"
+        ),
+        "x1_content_hash": (
+            "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
+            "AS content_hash FROM documents"
+        ),
+        "x1_dedup_stats": (
+            "SELECT count(*) AS n_docs, "
+            "count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) "
+            "AS n_distinct FROM documents"
+        ),
+        "x4_text_stats": f"""
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   round(CASE WHEN len(toks) > 0
+                         THEN len(list_filter(toks, t -> t IN ({_STOPWORDS_SQL}))) / len(toks)
+                         ELSE 0.0 END, 6) AS stop_frac,
+                   round(CASE WHEN length(text) > 0
+                         THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
+                         ELSE 0.0 END, 6) AS punct_frac
+            FROM (SELECT doc_id, text,
+                         regexp_split_to_array(lower(text), '\\s+') AS toks
+                  FROM documents)
+        """,
+        "x4_word_count": """
+            SELECT word, count(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            WHERE word != ''
+            GROUP BY word
+            ORDER BY cnt DESC, word
+            LIMIT 20
+        """,
+        "x2_topk_cosine": """
+            SELECT query_id, neighbor_id, rank, round(cosine, 6) AS cosine FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY q.vec_id
+                                        ORDER BY list_cosine_similarity(
+                                            CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])) DESC,
+                                        c.vec_id) AS rank,
+                     list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])) AS cosine
+              FROM embeddings q, embeddings c
+              WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+            ) WHERE rank <= 5
+        """,
+    }

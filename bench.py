@@ -1,0 +1,68 @@
+"""Headline benchmark: runs the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line (driver contract; slots in BASELINE.md).
+
+Each query executes end-to-end (scan → plan → action); results land in a
+count() so timings measure execution, not driver-side row transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from datamunging_spark import get_spark
+
+BENCH_QUERIES = [
+    "r13_count",
+    "r14_group_count",
+    "r16_percentile_bucket",
+    "r12_join_agg",
+    "pricing_summary",
+    "top_revenue_orders",
+    "window_topk",
+    "r26_sample_bernoulli",
+    "x1_content_hash",
+    "x1_minhash_pairs",
+    "x2_topk_cosine",
+    "x4_text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # Warm the JVM/codegen path once so per-query numbers measure steady state.
+    qs["r13_count"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,193 @@
+"""Scalar functions / expressions (SURVEY.md §2.5, R17-R25 + text helpers).
+
+Everything here is a Column-in, Column-out expression built from JVM-side
+``pyspark.sql.functions`` — zero Python UDFs, so every call stays inside
+whole-stage codegen and is pushdown/pruning-friendly at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "regex_extract",
+    "cast_int_hive",
+    "parse_money",
+    "case_ladder",
+    "tokenize",
+    "token_count",
+    "normalize_text",
+    "punct_ratio",
+    "digit_ratio",
+    "upper_ratio",
+    "stopword_ratio",
+    "quality_score",
+    "doc_fingerprint",
+    "cosine_similarity",
+    "dot_product",
+    "l2_norm",
+    "key_sample_pred",
+]
+
+
+def regex_extract(col: Column | str, pattern: str, group: int = 1) -> Column:
+    """Pig REGEX_EXTRACT parity: NULL on non-match (README.md:127,140).
+
+    Spark's ``regexp_extract`` returns '' on non-match; Pig returns NULL and
+    the reference's data-quality pipeline filters on ``match is null``
+    (README.md:128). Wrap with nullif to preserve those semantics — the known
+    trap called out in SURVEY.md §7.
+    """
+    return F.nullif(F.regexp_extract(col, pattern, group), F.lit(""))
+
+
+def cast_int_hive(col: Column | str) -> Column:
+    """Hive ``cast(string as int)``: NULL on failure (README.md:239,256).
+
+    Matches Spark's ANSI-off default; TRIM first because the reference CSV
+    carries padded numerics like ' 13 ' (README.md:170, FIXTURES.md F1).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(c).cast("int")
+
+
+def parse_money(col: Column | str) -> Column:
+    """Engine extension R24: '$50.03' / '$1,234.56' → decimal(18,2).
+
+    The reference stores money as $-prefixed strings and never parses them
+    (README.md:52-56,170-171); NULL on malformed input (ANSI off).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(c), r"[$,]", "").cast("decimal(18,2)")
+
+
+def case_ladder(
+    col: Column, boundaries: list[tuple[Column, str]], otherwise: str
+) -> Column:
+    """CASE WHEN ladder (R17, README.md:238-251): first boundary with
+    ``col <= boundary`` wins, ELSE ``otherwise``."""
+    expr = None
+    for bound, label in boundaries:
+        cond = col <= bound
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    assert expr is not None, "case_ladder needs at least one arm"
+    return expr.otherwise(otherwise)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis primitives (X4) — all JVM-side expressions.
+# ---------------------------------------------------------------------------
+
+def tokenize(col: Column | str, sep: str = " ") -> Column:
+    """Python ``str.split(' ')`` parity (R22, README.md:297,385): literal
+    single-separator split, empty tokens kept (limit=-1)."""
+    import re
+
+    return F.split(col, re.escape(sep), -1)
+
+
+def token_count(col: Column | str, sep: str = " ") -> Column:
+    return F.size(tokenize(col, sep))
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for exact dedup (X1): lowercase, collapse whitespace,
+    trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    punct = n - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+
+
+def digit_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    digits = n - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    return F.when(n > 0, digits / n).otherwise(F.lit(0.0))
+
+
+def upper_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    uppers = n - F.length(F.regexp_replace(c, r"[A-Z]", ""))
+    return F.when(n > 0, uppers / n).otherwise(F.lit(0.0))
+
+
+_DEFAULT_STOPWORDS = (
+    "the a an and or of to in is are was were for on with as at by it this that",
+)
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of whitespace tokens that are stopwords — a standard text
+    quality signal for LLM-data filtering (expression-only, no UDF)."""
+    words = stopwords if stopwords is not None else _DEFAULT_STOPWORDS[0].split()
+    toks = F.split(F.lower(col), r"\s+", -1)
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: t.isin(*words)))
+    return F.when(n > 0, sw / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] heuristic quality score for documents: rewards
+    mid-length texts with low punctuation/digit noise and a natural stopword
+    share. Deterministic, expression-only."""
+    c = F.col(col) if isinstance(col, str) else col
+    length_term = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    noise_term = F.lit(1.0) - F.least(
+        punct_ratio(c) + digit_ratio(c), F.lit(1.0)
+    )
+    sw_term = F.least(stopword_ratio(c) * F.lit(4.0), F.lit(1.0))
+    return (length_term + noise_term + sw_term) / F.lit(3.0)
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """64-bit deterministic document fingerprint: xxhash64 of the normalized
+    text. Stable across partitionings and sessions."""
+    return F.xxhash64(normalize_text(col))
+
+
+# ---------------------------------------------------------------------------
+# Vector primitives (X2) — expression-built, no UDF; inputs array<float|double>.
+# ---------------------------------------------------------------------------
+
+def dot_product(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# ---------------------------------------------------------------------------
+# Portable deterministic sampling predicate (R28)
+# ---------------------------------------------------------------------------
+
+def key_sample_pred(col: Column | str, fraction_hex2: str = "32") -> Column:
+    """All-or-none by-key sampling predicate (fixes the reference's broken
+    DataFu SampleByKey example, README.md:173-179): keep every row whose
+    key's md5 prefix ≤ ``fraction_hex2``. md5 is identical across engines,
+    so this is *exactly* reproducible in any SQL oracle (unlike hash()).
+    '32' keeps 0x00..0x32 → 51/256 ≈ 19.9%."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(F.md5(c.cast("string")), 1, 2) <= F.lit(fraction_hex2)

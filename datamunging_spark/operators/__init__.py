@@ -1,0 +1,10 @@
+"""Operator library (SURVEY.md §2). Each submodule groups one family:
+
+  relational  — projection/filter/join/agg/window/set-ops (R7-R21, R25, §2.8)
+  sampling    — Bernoulli/by-key/fixed-N/percentage (R26-R32)
+  text        — tokenize/TF-IDF/n-grams/lang-ID/quality (R22-R23, R33-R37, X4)
+  ml          — Word2Vec/PCA/projection (R38-R41)
+  dedup       — exact + MinHash/SimHash/Jaccard near-dup (X1)
+  similarity  — brute-force & LSH top-k vector search (X2)
+  quality     — rule→invalid-rows validation reports (README.md:126-132 shape)
+"""

@@ -1,0 +1,216 @@
+"""Deduplication suite (X1) — exact and near-dup, designed for 100 TB corpora.
+
+Exact: normalize → hash → one groupBy shuffle on the 64/256-bit key (uniform,
+skew-free by construction). Near-dup: MinHash+LSH banding so candidate pairs
+come from equi-joins on band keys — never an O(n²) cross join. SimHash and
+n-gram Jaccard round out the standard LLM-data toolkit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from datamunging_spark.functions import normalize_text
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row (min id) per normalized-text group.
+
+    Implemented as min-over-group + semi-join-free filter: groupBy(hash) →
+    min(id), then inner join back on (hash, id). The hash key is uniform so
+    the shuffle cannot skew; the join's build side is one row per distinct
+    doc, broadcast/AQE-eligible.
+    """
+    h = F.md5(normalize_text(text_col)).alias("_h")
+    hashed = df.withColumn("_h", F.md5(normalize_text(text_col)))
+    keep = hashed.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return hashed.join(keep, on=["_h", id_col], how="inner").drop("_h")
+
+
+def dup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Report duplicate groups: content hash → (n_dups, keep_id)."""
+    hashed = df.select(
+        F.md5(normalize_text(text_col)).alias("content_hash"), F.col(id_col)
+    )
+    return (
+        hashed.groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash + LSH banding (near-dup at scale)
+# ---------------------------------------------------------------------------
+
+def char_shingles(col: Column | str, k: int = 5) -> Column:
+    """Distinct character k-shingles of the normalized text (expression-only:
+    sequence → transform → substring → array_distinct)."""
+    c = normalize_text(col)
+    n = F.length(c)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: c.substr(i, F.lit(k))))
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams (shingles) of the normalized text."""
+    toks = F.split(normalize_text(col), " ", -1)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - F.lit(n), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: min over shingles of hash_i(shingle) for each of
+    ``num_hashes`` independent hash draws.
+
+    Cost shape: each shingle STRING is xxhash64'd exactly once; the per-seed
+    variants re-hash only the resulting LONG (xxhash64(h, seed)) — ~10×
+    cheaper than re-hashing strings per seed. Expression-only: no UDF, no
+    shuffle, overflow-free (safe under ANSI sessions)."""
+    hashed = F.transform(shingles, lambda sh: F.xxhash64(sh))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.array_min(F.transform(hashed, lambda h: F.xxhash64(h, s))),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    rows per band = num_hashes/bands. Docs sharing any band key collide.
+    Scale shape: explode to (band_key, id) — one row per doc per band — then
+    a self-equi-join on band_key. Collision groups are tiny for real corpora
+    (hash keys uniform); no cross join anywhere. Returns distinct (id_a,
+    id_b) with id_a < id_b, plus exact Jaccard over the signatures for
+    post-filtering.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(word_ngrams(text_col, shingle_words), num_hashes).alias(
+            "_sig"
+        ),
+    )
+    # CRITICAL for performance: persist the signatures. Catalyst's projection
+    # collapse would otherwise inline the full shingle+minhash expression
+    # tree into every downstream reference (per band × per join side),
+    # recomputing it dozens of times per row. The cached table is tiny
+    # (id + 64 longs ≈ 0.5 KB/doc) even at corpus scale.
+    sig = sig.persist()
+    banded = sig.select(
+        id_col,
+        "_sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("key"),
+                ),
+            )
+        ).alias("_band"),
+    ).select(id_col, "_sig", F.col("_band.band").alias("_b"), F.col("_band.key").alias("_k"))
+    banded = banded.persist()  # referenced by both join sides
+
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a"), "_b", "_k"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b"), "_b", "_k"
+    )
+    pairs = (
+        left.join(right, on=["_b", "_k"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("_sig_a", "_sig_b"))
+                / F.lit(float(len(range(num_hashes))))
+            ).alias("sig_jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Near-dedup: drop every doc that collides (sig-Jaccard ≥ threshold)
+    with a lower-id doc. Greedy min-id survivor — the standard one-pass
+    approximation of connected-component dedup (full CC is an iterative
+    extension; see streaming/iterative growth path)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, **lsh_kwargs)
+    losers = (
+        pairs.filter(F.col("sig_jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(col: Column | str, bits: int = 64, shingle_words: int = 2) -> Column:
+    """64-bit SimHash over word shingles, expression-only: per-bit majority
+    vote of shingle hashes. bit b of the result = 1 iff more shingle hashes
+    have bit b set than not."""
+    shingles = word_ngrams(col, shingle_words)
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    n = F.size(hashes)
+    # Bit tests use literal masks (bitwiseAND), not shifts — shift builtins
+    # don't compose with higher-order-function lambda variables.
+    # NB: HOF lambdas must be unary — pyspark passes the array index to a
+    # second parameter, so masks are bound via a closure factory.
+    def bit_set(mask):
+        return lambda h: h.bitwiseAND(F.lit(mask)) != 0
+
+    result = F.lit(0).cast("long")
+    for b in range(bits):
+        mask = (1 << b) if b < 63 else -(1 << 63)  # signed-long bit 63
+        vote = F.size(F.filter(hashes, bit_set(mask))) * 2 > n
+        result = result.bitwiseOR(
+            F.when(vote, F.lit(mask).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return result
+
+
+def ngram_jaccard(a: Column, b: Column, n: int = 3) -> Column:
+    """Exact n-gram Jaccard similarity between two text columns."""
+    ga, gb = word_ngrams(a, n), word_ngrams(b, n)
+    inter = F.size(F.array_intersect(ga, gb)).cast("double")
+    union = F.size(F.array_union(ga, gb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))

@@ -1,0 +1,117 @@
+"""Relational core (SURVEY.md §2.2-§2.4, §2.8).
+
+Thin, typed compositions over the DataFrame API — Catalyst handles pushdown,
+pruning, join selection, and AQE re-planning; we only encode semantics and
+scale-hygiene (broadcast hints for dimension tables, salting for skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from datamunging_spark.functions import case_ladder
+
+#: The reference's 11 percentile points (README.md:257).
+DEFAULT_PERCENTILES = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95, 0.99)
+
+#: Bucket labels for the reference's 12-arm CASE ladder (README.md:238-251).
+DEFAULT_BUCKET_LABELS = (
+    "10th", "20th", "30th", "40th", "50th", "60th",
+    "70th", "80th", "90th", "95th", "99th",
+)
+DEFAULT_BUCKET_ELSE = "99+th"
+
+
+def group_count(df: DataFrame, *keys: str, out: str = "cnt") -> DataFrame:
+    """Pig GROUP BY + COUNT (R14, README.md:129-130): map-side partial
+    aggregation + one shuffle on the group keys."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias(out))
+
+
+def grouped_percentiles(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    percentiles: tuple[float, ...] = DEFAULT_PERCENTILES,
+    out: str = "percentiles",
+) -> DataFrame:
+    """Exact grouped multi-percentile (R15, README.md:255-260).
+
+    Spark ≥3.5 ``percentile`` is exact with linear interpolation — the same
+    definition as Hive ``percentile`` and DuckDB ``quantile_cont``.
+    """
+    return df.groupBy(key).agg(
+        F.percentile(value, F.array(*[F.lit(p) for p in percentiles])).alias(out)
+    )
+
+
+def percentile_bucketize(
+    df: DataFrame,
+    key: str,
+    value_col: str,
+    keep_cols: list[str],
+    percentiles: tuple[float, ...] = DEFAULT_PERCENTILES,
+    labels: tuple[str, ...] = DEFAULT_BUCKET_LABELS,
+    else_label: str = DEFAULT_BUCKET_ELSE,
+    bucket_out: str = "bucket",
+) -> DataFrame:
+    """Flagship feature-generation query (R16, README.md:237-261).
+
+    Per-``key`` percentile array → joined back to the fact rows → CASE-ladder
+    bucket assignment. Scale shape: the aggregated side has ONE row per key,
+    so Catalyst/AQE broadcast it — the fact table is never shuffled. At
+    100 TB the plan is scan → partial agg → broadcast exchange → map-side
+    join, with the fact scan pruned to ``keep_cols + [key, value_col]``.
+    """
+    value = F.col(value_col).cast("double")
+    pct = grouped_percentiles(df, key, value, percentiles)
+    joined = df.join(F.broadcast(pct), on=key, how="inner")
+    arms = [
+        (F.col("percentiles").getItem(i), labels[i]) for i in range(len(labels))
+    ]
+    bucket = case_ladder(value, arms, else_label)
+    return joined.select(
+        *keep_cols, F.col(key), bucket.alias(bucket_out)
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    k: int,
+    rank_out: str = "rn",
+) -> DataFrame:
+    """Top-k per group via row_number window (§2.8 engine surface).
+
+    Callers must make ``order_by`` a total order (tiebreak on a key) for
+    deterministic output. Single shuffle on ``partition_by``; with AQE the
+    per-group sort is in-memory unless a group is skewed.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn(rank_out, F.row_number().over(w))
+        .filter(F.col(rank_out) <= k)
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    skewed_small: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-hygiene helper (SURVEY.md §4): salt the big side's hot keys and
+    explode the small side across ``salt_buckets`` replicas. Prefer AQE's
+    built-in skew-join; this is the explicit fallback for persistent hot keys.
+    """
+    big_salted = big.withColumn(
+        "_salt", (F.rand(seed=7) * salt_buckets).cast("int")
+    )
+    small_exploded = skewed_small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = big_salted.join(small_exploded, on=[on, "_salt"], how=how)
+    return out.drop("_salt")

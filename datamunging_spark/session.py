@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-ready defaults.
+
+The reference delegates physical execution to Hive/Tez/Pig/Spark-1.6 and
+encodes its physical choices as CLI flags (reference README.md:379,406 —
+``--num-executors 3 --executor-memory 512m``). Our analog is a single,
+centralized config surface: AQE on (runtime join-strategy switch, skew-join
+splitting, partition coalescing), ANSI off (Hive-parity NULL-on-bad-cast,
+SURVEY.md §1.2 / README.md:239-249), Arrow on (vectorized Python boundary).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults sized for the local[32] test harness; on a real cluster these are
+# overridden by spark-submit conf. shuffle.partitions is intentionally NOT a
+# hard-coded large number: AQE coalesces post-shuffle partitions at runtime,
+# so the static value is just an upper bound for small-data runs.
+_DEFAULTS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Hive/Pig parity: invalid cast → NULL, not error (README.md:239-249).
+    "spark.sql.ansi.enabled": "false",
+    # Vectorized Arrow transfer for the few pandas_udf operators we ship.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Broadcast threshold: generous for dimension tables (region/nation/
+    # supplier/part stay broadcastable far beyond sf1).
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Read parallelism: default 128 MB splits — right for 100 TB parquet;
+    # harmless locally.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def get_spark(app_name: str = "datamunging_spark", **conf: str) -> SparkSession:
+    """Build (or fetch) the session with engine defaults; ``conf`` overrides."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    )
+    merged = dict(_DEFAULTS)
+    merged.update({k: str(v) for k, v in conf.items()})
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,157 @@
+"""Readers and writers.
+
+Reference parity map (SURVEY.md §2.1):
+  * R1  CSV scan with declared schema        → read_csv
+  * R2/R3 bulk load + columnar materialization → materialize_columnar
+  * R4  catalog scan                          → load_table / spark.table
+  * R5  delimited sink (+ rmf pre-clean)      → write_csv (mode=overwrite)
+  * R6  line / whole-file sources             → read_lines / read_whole_files
+  * R6a DDL passthrough                       → spark.sql (no wrapper needed)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+#: Canonical table names of the driver's star-schema + extension testdata.
+STAR_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    sep: str = ",",
+    permissive: bool = True,
+) -> DataFrame:
+    """Schema-on-write CSV scan (reference DDL README.md:29-60).
+
+    The reference's CSV is dirty — quoted embedded commas misalign a naive
+    split (README.md:203-211). We use Spark's quote-aware parser in
+    PERMISSIVE mode with a corrupt-record column so data-quality operators
+    can *report* bad rows instead of silently misparsing (SURVEY.md §1.3).
+    """
+    reader = (
+        spark.read.schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .option("quote", '"')
+        .option("escape", '"')
+    )
+    if permissive:
+        reader = reader.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", "_corrupt_record"
+        )
+    return reader.csv(path)
+
+
+def materialize_columnar(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    compression: str = "zstd",
+) -> None:
+    """Text → columnar materialization (CTAS→ORC+ZLIB, README.md:111-117).
+
+    Parquet+zstd is the Spark-idiomatic equivalent. ``partition_by`` gives
+    partition pruning at 100 TB (e.g. by date); left None for small dims.
+    """
+    writer = df.write.mode("overwrite").option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Catalog-style scan of one driver testdata table (R4).
+
+    The driver's ``events`` parquet stores TIMESTAMP(NANOS), which Spark 4
+    rejects by default. We read nanos as long (legacy conf) and floor-convert
+    to a micros timestamp — the same truncation DuckDB applies when fetching
+    TIMESTAMP_NS to the comparison harness.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    # Engine semantic contract (SURVEY.md §1.2): Hive-parity NULL-on-bad-cast
+    # — enforce even when the caller's session runs Spark 4 ANSI defaults.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force schema resolution
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    nanos_cols = {
+        f.name
+        for f in df.schema.fields
+        if f.name in ("ts",) and f.dataType.simpleString() == "bigint"
+    }
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the full star schema + extension tables as a dict of DataFrames
+    and register each as a temp view so ``spark.sql`` works against them."""
+    out: dict[str, DataFrame] = {}
+    for name in STAR_TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """Delimited sink with overwrite (Pig STORE + rmf, README.md:131-132).
+
+    Quote-doubling escape style to round-trip with ``read_csv`` (and match
+    the RFC-4180 CSV the reference's data uses)."""
+    (
+        df.write.mode("overwrite")
+        .option("header", str(header).lower())
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def write_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def read_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Line source: sc.textFile analog (README.md:352,385) → column `value`."""
+    return spark.read.text(path)
+
+
+def read_whole_files(spark: SparkSession, path: str) -> DataFrame:
+    """Whole-file source: sc.wholeTextFiles analog (README.md:297).
+
+    Returns (path, value) per file via the wholetext text option — one row
+    per file, content as a single string.
+    """
+    return (
+        spark.read.option("wholetext", "true")
+        .text(path)
+        .withColumn("path", F.input_file_name())
+        .select("path", "value")
+    )

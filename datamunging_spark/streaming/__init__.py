@@ -1,0 +1,80 @@
+"""Structured Streaming surface (SURVEY.md §2.8 growth path).
+
+The reference has no streaming (§2.8) — this is the engine's event-stream
+extension over the driver's ``events`` table shape: file-source readStream →
+watermarked tumbling/sliding window aggregation → sink. Batch/stream share
+the same expressions, so every batch operator lifts to streaming unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of events parquet drops (exactly-once, replayable)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window count+sum per event_type.
+
+    Late rows beyond ``watermark`` are dropped and state is bounded — the
+    standard scale-safe shape (state size ∝ active windows × types, not
+    stream length)."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str, timeout_s: int = 60):
+    """Drive a stream to completion against a finite file source (test
+    harness): memory sink, processAllAvailable, return the sink table name."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name

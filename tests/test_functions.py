@@ -1,0 +1,61 @@
+"""Scalar-function semantics (SURVEY.md §2.5) — the NULL-parity traps."""
+
+from pyspark.sql import functions as F
+
+from datamunging_spark.functions import (
+    cast_int_hive,
+    cosine_similarity,
+    normalize_text,
+    parse_money,
+    regex_extract,
+    tokenize,
+)
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+def test_regex_extract_null_on_non_match(spark):
+    """Pig REGEX_EXTRACT returns NULL (not '') on non-match (README.md:140)."""
+    df = spark.createDataFrame(
+        [("99213",), ("Q0091",), ("bad",), ("",), (None,)], ["code"]
+    )
+    out = df.select(
+        regex_extract("code", r"(^[A-Z0-9]\d{3}[A-Z0-9]$)", 1).alias("m")
+    ).collect()
+    assert [r["m"] for r in out] == ["99213", "Q0091", None, None, None]
+
+
+def test_cast_int_hive_null_on_bad(spark):
+    df = spark.createDataFrame([(" 13 ",), ("x",), ("",), ("42",)], ["s"])
+    out = [r["v"] for r in df.select(cast_int_hive("s").alias("v")).collect()]
+    assert out == [13, None, None, 42]
+
+
+def test_parse_money(spark):
+    df = spark.createDataFrame([("$50.03",), ("$1,234.56",), ("junk",)], ["s"])
+    out = [r["v"] for r in df.select(parse_money("s").alias("v")).collect()]
+    assert str(out[0]) == "50.03" and str(out[1]) == "1234.56" and out[2] is None
+
+
+def test_tokenize_keeps_empty_tokens(spark):
+    """Python str.split(' ') parity: 'a  b' → ['a', '', 'b'] (R22)."""
+    df = spark.createDataFrame([("a  b ",)], ["s"])
+    out = df.select(tokenize("s").alias("t")).first()["t"]
+    assert out == "a  b ".split(" ") == ["a", "", "b", ""]
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame([("  Hello \t WORLD  ",)], ["s"])
+    assert _one(spark, normalize_text(F.lit("  Hello \t WORLD  "))) == "hello world"
+
+
+def test_cosine_similarity(spark):
+    v = _one(
+        spark,
+        cosine_similarity(
+            F.array(F.lit(1.0), F.lit(0.0)), F.array(F.lit(0.5), F.lit(0.5))
+        ),
+    )
+    assert abs(v - 0.7071067811865475) < 1e-12

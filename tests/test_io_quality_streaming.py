@@ -1,0 +1,110 @@
+"""Sources/sinks (R1-R6), quality reports, and the streaming surface."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from datamunging_spark.operators.quality import (
+    invalid_value_report,
+    not_empty_rule,
+    regex_rule,
+    validation_summary,
+)
+from datamunging_spark.sources import (
+    materialize_columnar,
+    read_csv,
+    read_lines,
+    write_csv,
+)
+from datamunging_spark.streaming import (
+    read_event_stream,
+    run_stream_to_memory,
+    windowed_counts,
+)
+
+
+def test_csv_roundtrip_with_quotes(spark, tmp_path):
+    """R1/R5: quote-aware CSV parsing (the reference's misalignment trap,
+    README.md:203-211)."""
+    schema = StructType(
+        [
+            StructField("npi", StringType()),
+            StructField("descr", StringType()),
+            StructField("cnt", IntegerType()),
+        ]
+    )
+    src = spark.createDataFrame(
+        [("1", 'smear; obtaining, preparing "x"', 13), ("", "plain", None)],
+        schema,
+    )
+    p = str(tmp_path / "csv")
+    write_csv(src, p)
+    back = read_csv(spark, p, schema)
+    rows = sorted(
+        [tuple(r) for r in back.select("npi", "descr", "cnt").collect()],
+        key=str,
+    )
+    assert ("1", 'smear; obtaining, preparing "x"', 13) in rows
+
+
+def test_materialize_columnar(spark, tables, tmp_path):
+    p = str(tmp_path / "pq")
+    materialize_columnar(tables["nation"], p)
+    assert spark.read.parquet(p).count() == 25
+
+
+def test_read_lines(spark, tmp_path):
+    f = tmp_path / "lines.txt"
+    f.write_text("a\nb\nc\n")
+    assert read_lines(spark, str(f)).count() == 3
+
+
+def test_quality_rules(spark):
+    df = spark.createDataFrame(
+        [("99213", "1"), ("bad", "2"), ("", ""), ("Q0091", "3")],
+        ["code", "npi"],
+    )
+    rule = regex_rule("code_fmt", "code", r"(^[A-Z0-9]\d{3}[A-Z0-9]$)")
+    bad = invalid_value_report(df, rule, "code")
+    assert {r["code"] for r in bad.collect()} == {"bad", ""}
+    summary = validation_summary(
+        df, [rule, not_empty_rule("npi_set", "npi")]
+    ).first()
+    assert summary["total_rows"] == 4
+    assert summary["code_fmt_failed"] == 2
+    assert summary["npi_set_failed"] == 1
+
+
+def test_streaming_windowed_counts(spark, tables, tmp_path):
+    """File-source stream over the events shape → watermarked tumbling
+    window; result equals the batch equivalent (stream/batch parity)."""
+    stream_dir = str(tmp_path / "stream")
+    tables["events"].write.mode("overwrite").parquet(stream_dir)
+    # drop spark's _SUCCESS marker dir listing issues by reading the dir
+    events = read_event_stream(spark, stream_dir)
+    win = windowed_counts(events, window="1 minute", watermark="2 minutes")
+    name = run_stream_to_memory(win, "win_counts")
+    got = spark.table(name)
+    batch = (
+        tables["events"]
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    # append mode only emits closed windows; check subset consistency
+    joined = got.join(
+        batch.select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            F.col("n_events").alias("batch_n"),
+        ),
+        ["win_start", "event_type"],
+    )
+    assert joined.filter(F.col("n_events") != F.col("batch_n")).count() == 0
+    assert got.count() > 0

@@ -1,0 +1,84 @@
+"""Relational core + plan hygiene (SURVEY.md §2.2-§2.4, §4)."""
+
+from pyspark.sql import functions as F
+
+from datamunging_spark.operators.relational import (
+    group_count,
+    grouped_percentiles,
+    percentile_bucketize,
+    top_k_per_group,
+)
+from datamunging_spark.plans import (
+    assert_broadcast_join,
+    assert_pushed_filters,
+    formatted_plan,
+)
+
+
+def test_group_count(tables):
+    out = {
+        r["event_type"]: r["cnt"]
+        for r in group_count(tables["events"], "event_type").collect()
+    }
+    assert sum(out.values()) == tables["events"].count()
+
+
+def test_grouped_percentiles_shape(tables):
+    out = grouped_percentiles(
+        tables["lineitem"], "l_partkey", F.col("l_quantity").cast("double")
+    )
+    row = out.first()
+    assert len(row["percentiles"]) == 11
+    assert row["percentiles"] == sorted(row["percentiles"])
+
+
+def test_percentile_bucketize_labels(tables):
+    out = percentile_bucketize(
+        tables["lineitem"], "l_partkey", "l_quantity",
+        keep_cols=["l_orderkey", "l_linenumber"],
+    )
+    labels = {r["bucket"] for r in out.select("bucket").distinct().collect()}
+    assert labels <= {
+        "10th", "20th", "30th", "40th", "50th", "60th",
+        "70th", "80th", "90th", "95th", "99th", "99+th",
+    }
+    assert out.count() == tables["lineitem"].count()
+
+
+def test_percentile_bucketize_broadcasts(tables):
+    """Scale contract: the per-key percentile side must broadcast — the
+    fact table is never shuffled for the join (SURVEY.md §4)."""
+    out = percentile_bucketize(
+        tables["lineitem"], "l_partkey", "l_quantity", keep_cols=["l_orderkey"]
+    )
+    assert_broadcast_join(out)
+
+
+def test_filter_pushdown_reaches_scan(tables, spark):
+    df = tables["lineitem"].filter(F.col("l_partkey") == 7).select("l_quantity")
+    assert_pushed_filters(df, "l_partkey")
+    plan = formatted_plan(df)
+    # Column pruning: scan must read only the 2 needed columns.
+    assert "ReadSchema: struct<l_partkey:bigint,l_quantity:double>" in plan
+
+
+def test_top_k_per_group_deterministic(tables):
+    out = top_k_per_group(
+        tables["orders"],
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=2,
+    )
+    per_group = out.groupBy("o_custkey").count().agg(F.max("count")).first()[0]
+    assert per_group <= 2
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, out.collect()))
+    assert a == b
+
+
+def test_join_chain_counts(tables):
+    c, n, r = tables["customer"], tables["nation"], tables["region"]
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    assert joined.count() == c.count()  # FK chain is total

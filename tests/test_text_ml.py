@@ -1,0 +1,90 @@
+"""Text features + ML operators (R33-R42, X4)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datamunging_spark.operators.ml import fit_pca, fit_word2vec, pca_project
+from datamunging_spark.operators.text import (
+    detect_language,
+    ner_entities,
+    text_profile,
+    tf_idf,
+    tokenized,
+    word_count,
+)
+
+
+def test_tfidf_closed_form(spark):
+    """IDF matches log((N+1)/(df+1)) (R34 oracle, SURVEY.md §5.3)."""
+    df = spark.createDataFrame(
+        [(1, "apple banana"), (2, "apple cherry"), (3, "apple banana date")],
+        ["doc_id", "text"],
+    )
+    out = tf_idf(df, num_features=1 << 12)
+    vecs = {r["doc_id"]: r["tfidf"] for r in out.collect()}
+    n = 3
+    # 'apple' appears in all 3 docs → idf = log(4/4) = 0 → its weight is 0
+    # 'banana' in 2 docs → log(4/3); 'date' in 1 doc → log(4/2)
+    weights = sorted(set(round(v, 6) for vec in vecs.values() for v in vec.values))
+    expect = sorted({0.0, round(math.log(4 / 3), 6), round(math.log(4 / 2), 6)})
+    assert weights == expect
+
+
+def test_word_count_totals(tables):
+    d = tables["documents"]
+    wc = word_count(d)
+    total_tokens = d.select(
+        F.sum(F.size(F.filter(F.split("text", " ", -1), lambda t: t != "")))
+    ).first()[0]
+    assert wc.agg(F.sum("cnt")).first()[0] == total_tokens
+
+
+def test_text_profile_columns(tables):
+    prof = text_profile(tables["documents"].limit(20))
+    row = prof.first()
+    assert row["n_tokens"] > 0
+    assert 0.0 <= row["stopword_frac"] <= 1.0
+    assert 0.0 <= row["quality"] <= 1.0
+    assert isinstance(row["fingerprint"], int)
+
+
+def test_detect_language_deterministic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat is in the house and it is fine",),
+            ("le chat est dans la maison et il est bien",),
+            ("der hund ist nicht in das haus und er ist gut",),
+        ],
+        ["text"],
+    )
+    out = [r["l"] for r in df.select(detect_language("text").alias("l")).collect()]
+    assert out == ["en", "fr", "de"]
+
+
+def test_ner_stub_shape(tables):
+    out = ner_entities(tables["documents"].limit(10))
+    row = out.select("entities").first()
+    assert isinstance(row["entities"], list)
+
+
+def test_word2vec_and_synonyms(tables):
+    d = tokenized(tables["documents"].limit(200))
+    model = fit_word2vec(d, vector_size=16, min_count=2, seed=42)
+    vocab = model.getVectors()
+    assert vocab.count() > 10
+    word = vocab.first()["word"]
+    syn = model.findSynonyms(word, 3)
+    assert syn.count() == 3
+
+
+def test_pca_projection(tables):
+    emb = tables["embeddings"].limit(200)
+    model = fit_pca(emb, k=8)
+    projected = pca_project(model, emb)
+    row = projected.select("pca").first()
+    assert len(row["pca"]) == 8
+    # components explain decreasing variance
+    ev = list(model.explainedVariance)
+    assert ev == sorted(ev, reverse=True)
