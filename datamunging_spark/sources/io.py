@@ -88,12 +88,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Engine semantic contract (SURVEY.md §1.2): Hive-parity NULL-on-bad-cast
     # — enforce even when the caller's session runs Spark 4 ANSI defaults.
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    try:
-        df = spark.read.parquet(path)
-        df.schema  # force schema resolution
-    except Exception:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+    # Set unconditionally (not try/except-on-failure): a failed first read
+    # logs an executor ERROR even though retried, and the conf only affects
+    # TIMESTAMP(NANOS) columns, which we convert below.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
     nanos_cols = {
         f.name
         for f in df.schema.fields
