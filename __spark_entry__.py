@@ -25,16 +25,32 @@ from datamunging_spark.functions import (
     punct_ratio,
     stopword_ratio,
 )
-from datamunging_spark.operators.dedup import minhash_lsh_pairs
+from datamunging_spark.functions import bag_fingerprint
+from datamunging_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_df,
+)
+from datamunging_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+)
 from datamunging_spark.operators.quality import invalid_value_report, regex_rule
 from datamunging_spark.operators.relational import (
     group_count,
     percentile_bucketize,
+    sessionize,
     top_k_per_group,
 )
 from datamunging_spark.operators.sampling import bernoulli_sample, sample_by_key
-from datamunging_spark.operators.similarity import brute_force_topk
-from datamunging_spark.operators.text import ner_entities, word_count
+from datamunging_spark.operators.similarity import brute_force_topk, lsh_topk
+from datamunging_spark.operators.text import (
+    detect_language,
+    ner_entities,
+    tfidf_scores,
+    word_count,
+)
 from datamunging_spark.sources import load_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -304,6 +320,104 @@ def q_x2_topk_cosine(spark, sf_dir):
     )
 
 
+def q_r33_tfidf(spark, sf_dir):
+    """R33/R34: exact per-(doc,term) TF-IDF as relational algebra (explode →
+    two hash aggs → term join + broadcast corpus count)."""
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_scores(d).select(
+        "doc_id", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf")
+    )
+
+
+def q_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-shaped 6-table join: dims broadcast, facts shuffle on join
+    keys only; AQE reorders/switches strategies at runtime."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+def q_rollup_sales(spark, sf_dir):
+    """§2.4 engine surface: ROLLUP over (returnflag, linestatus)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+def q_sessionize_events(spark, sf_dir):
+    """§2.8 growth path: gap-based sessionization via built-in
+    session_window (same operator lifts to streaming with a watermark)."""
+    e = _t(spark, sf_dir, "events")
+    return sessionize(e, gap="5 minutes")
+
+
+def q_x4_lang_id(spark, sf_dir):
+    """X4 language-ID: marker-token argmax heuristic vs ground-truth lang."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", detect_language("text").alias("lang_detected")
+    )
+
+
+def q_x4_fingerprint(spark, sf_dir):
+    """X4 document fingerprint: md5 over the sorted distinct token bag
+    (order-insensitive, engine-portable)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", bag_fingerprint("text").alias("fp"))
+
+
+def q_x3_media_features(spark, sf_dir):
+    """X3 multimodal plumbing: binary payload + metadata struct →
+    mapInPandas feature extraction (deterministic fake decode)."""
+    d = _t(spark, sf_dir, "documents")
+    feats = extract_features(attach_binary_payload(d))
+    return feats.select(
+        "doc_id", "media_type", "n_bytes", "fake_width", "fake_height"
+    )
+
+
+def q_x1_ngram_jaccard(spark, sf_dir):
+    """X1 exact n-gram Jaccard over all pairs (a < b), threshold 0.5 — the
+    oracle baseline that recovers exactly the planted near-dup pairs. Scale
+    path: minhash LSH candidates + this exact rescoring (x1_minhash_pairs)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        ngram_jaccard_pairs(d, d, n=3, threshold=0.5)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def q_x1_embedding_neardup(spark, sf_dir):
+    """X1 embedding-cosine near-dup: probe vectors (id % 25 == 0) vs corpus,
+    cosine ≥ 0.35 (exact brute force; LSH variant in x2_ann_lsh)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    return embedding_neardup_pairs(probes, emb, threshold=0.35).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
 # --- rows-only entries (non-SQL-expressible or inherently random) ----------
 
 def q_r26_sample_bernoulli(spark, sf_dir):
@@ -324,6 +438,53 @@ def q_x1_minhash_pairs(spark, sf_dir):
     """X1 fuzzy dedup: MinHash-LSH candidate pairs (recall property-tested)."""
     d = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, num_hashes=64, bands=16, shingle_words=3)
+
+
+def q_x1_simhash(spark, sf_dir):
+    """X1 SimHash: 64-bit per-doc similarity hash (xxhash64-based — engine
+    hash, no SQL oracle; Hamming-distance property tests in tests/)."""
+    d = _t(spark, sf_dir, "documents")
+    return simhash_df(d)
+
+
+def q_x2_ann_lsh(spark, sf_dir):
+    """X2 scale path: approximate top-k via random-hyperplane LSH with
+    OR-amplification (recall vs brute force property-tested)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    out = lsh_topk(probes, emb, k=5, n_planes=4, n_tables=16)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def q_r40_pca_project(spark, sf_dir):
+    """R40/R41: PCA fit on the embedding matrix + projection (sign-
+    indeterminate across engines → rows-only; orthonormality tested)."""
+    from datamunging_spark.operators.ml import fit_pca, pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = fit_pca(emb, k=8)
+    out = pca_project(model, emb)
+    from pyspark.ml.functions import vector_to_array
+
+    return out.select(
+        "vec_id",
+        F.transform(
+            vector_to_array("pca"), lambda v: F.round(F.abs(v), 4)
+        ).alias("pca_abs"),
+    )
+
+
+def q_r38_w2v_synonyms(spark, sf_dir):
+    """R38/R39 (README.md:384-392): Word2Vec fit on tokenized docs + top-10
+    synonym query (fixed seed; SGD nondeterminism → rows-only)."""
+    from datamunging_spark.operators.ml import find_synonyms, fit_word2vec
+    from datamunging_spark.operators.text import tokenized
+
+    d = tokenized(_t(spark, sf_dir, "documents"))
+    model = fit_word2vec(d, vector_size=32, min_count=2, seed=42)
+    return find_synonyms(model, "data", 10)
 
 
 def q_r37_ner(spark, sf_dir):
@@ -366,9 +527,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_text_stats": q_x4_text_stats,
         "x4_word_count": q_x4_word_count,
         "x2_topk_cosine": q_x2_topk_cosine,
+        "r33_tfidf": q_r33_tfidf,
+        "local_supplier_volume": q_local_supplier_volume,
+        "rollup_sales": q_rollup_sales,
+        "sessionize_events": q_sessionize_events,
+        "x4_lang_id": q_x4_lang_id,
+        "x4_fingerprint": q_x4_fingerprint,
+        "x3_media_features": q_x3_media_features,
+        "x1_ngram_jaccard": q_x1_ngram_jaccard,
+        "x1_embedding_neardup": q_x1_embedding_neardup,
         "r26_sample_bernoulli": q_r26_sample_bernoulli,
         "r29_sample_n": q_r29_sample_n,
         "x1_minhash_pairs": q_x1_minhash_pairs,
+        "x1_simhash": q_x1_simhash,
+        "x2_ann_lsh": q_x2_ann_lsh,
+        "r40_pca_project": q_r40_pca_project,
+        "r38_w2v_synonyms": q_r38_w2v_synonyms,
         "r37_ner": q_r37_ner,
     }
 
@@ -528,5 +702,120 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings q, embeddings c
               WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
             ) WHERE rank <= 5
+        """,
+        "r33_tfidf": """
+            WITH terms AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+            ),
+            t AS (SELECT doc_id, term, count(*) AS tf
+                  FROM terms WHERE term != '' GROUP BY doc_id, term),
+            d AS (SELECT term, count(*) AS df FROM t GROUP BY term),
+            n AS (SELECT count(*) AS n FROM documents)
+            SELECT doc_id, t.term, tf, df,
+                   round(tf * ln((n + 1.0) / (df + 1)), 6) AS tfidf
+            FROM t JOIN d USING (term) CROSS JOIN n
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "rollup_sales": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "sessionize_events": """
+            WITH x AS (
+              SELECT user_id, ts, value, event_id,
+                     epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+              FROM events
+            ), s AS (
+              SELECT user_id, ts, value,
+                     sum(CASE WHEN gap_us IS NULL OR gap_us >= 300000000
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_idx
+              FROM x
+            )
+            SELECT user_id, min(ts) AS sess_start,
+                   max(ts) + INTERVAL 5 MINUTE AS sess_end,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM s GROUP BY user_id, sess_idx
+        """,
+        "x4_lang_id": """
+            SELECT doc_id, lang,
+                   CASE WHEN m = 0 THEN 'und'
+                        WHEN s_en = m THEN 'en'
+                        WHEN s_fr = m THEN 'fr'
+                        WHEN s_de = m THEN 'de'
+                        WHEN s_es = m THEN 'es'
+                        ELSE 'zh' END AS lang_detected
+            FROM (
+              SELECT doc_id, lang,
+                     greatest(s_en, s_fr, s_de, s_es, s_zh) AS m,
+                     s_en, s_fr, s_de, s_es, s_zh
+              FROM (
+                SELECT doc_id, lang,
+                  len(list_filter(toks, t -> t IN ('the','and','of','to','is','in','that','it','with'))) AS s_en,
+                  len(list_filter(toks, t -> t IN ('le','la','les','de','et','est','un','une','dans'))) AS s_fr,
+                  len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','zu'))) AS s_de,
+                  len(list_filter(toks, t -> t IN ('el','la','los','de','y','es','un','una','en'))) AS s_es,
+                  len(list_filter(toks, t -> t IN ('的','是','了','在','我','有','和','不','人'))) AS s_zh
+                FROM (SELECT doc_id, lang,
+                             regexp_split_to_array(lower(text), '\\s+') AS toks
+                      FROM documents)
+              )
+            )
+        """,
+        "x4_fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))),
+                       ' ')) AS fp
+            FROM documents
+        """,
+        "x3_media_features": """
+            SELECT doc_id, 'image/x-fake' AS media_type,
+                   CAST(n AS INT) AS n_bytes,
+                   CAST(ceil(sqrt(n)) AS INT) AS fake_width,
+                   CAST(CASE WHEN n > 0 THEN ceil(n / ceil(sqrt(n))) ELSE 0 END AS INT) AS fake_height
+            FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+        """,
+        "x1_ngram_jaccard": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 2, 1) + 1),
+                       i -> array_to_string(toks[i:i+2], ' '))) AS grams
+              FROM (SELECT doc_id,
+                           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+                    FROM documents)
+            )
+            SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+              FROM g a, g b
+              WHERE a.doc_id < b.doc_id
+            ) WHERE jaccard >= 0.5
+        """,
+        "x1_embedding_neardup": """
+            SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
+              SELECT p.vec_id AS id_a, c.vec_id AS id_b,
+                     list_cosine_similarity(CAST(p.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])) AS cosine
+              FROM embeddings p, embeddings c
+              WHERE p.vec_id % 25 = 0 AND p.vec_id != c.vec_id
+            ) WHERE cosine >= 0.35
         """,
     }

@@ -29,9 +29,21 @@ BENCH_QUERIES = [
     "r26_sample_bernoulli",
     "x1_content_hash",
     "x1_minhash_pairs",
+    "x1_simhash",
+    "x1_embedding_neardup",
     "x2_topk_cosine",
+    "x2_ann_lsh",
     "x4_text_stats",
+    "x4_lang_id",
+    "x4_fingerprint",
+    "x3_media_features",
+    "r33_tfidf",
+    "local_supplier_volume",
+    "rollup_sales",
+    "sessionize_events",
 ]
+# Excluded by design: x1_ngram_jaccard is the all-pairs oracle baseline
+# (O(n^2) — 25M pairs at sf0.1); its scale path IS x1_minhash_pairs.
 
 
 def main() -> None:

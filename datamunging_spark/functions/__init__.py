@@ -24,6 +24,7 @@ __all__ = [
     "stopword_ratio",
     "quality_score",
     "doc_fingerprint",
+    "bag_fingerprint",
     "cosine_similarity",
     "dot_product",
     "l2_norm",
@@ -151,6 +152,14 @@ def doc_fingerprint(col: Column | str) -> Column:
     """64-bit deterministic document fingerprint: xxhash64 of the normalized
     text. Stable across partitionings and sessions."""
     return F.xxhash64(normalize_text(col))
+
+
+def bag_fingerprint(col: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token bag. Robust to token reordering (unlike doc_fingerprint) and
+    portable across engines (md5, not engine hash) so it is oracle-exact."""
+    toks = F.array_sort(F.array_distinct(F.split(normalize_text(col), " ", -1)))
+    return F.md5(F.concat_ws(" ", toks))
 
 
 # ---------------------------------------------------------------------------

@@ -236,6 +236,104 @@ def simhash(col: Column | str, bits: int = 64, shingle_words: int = 2) -> Column
     return result
 
 
+def simhash_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    shingle_words: int = 2,
+) -> DataFrame:
+    """(id, sh) 64-bit SimHash via explode + one hash-aggregate — the scale
+    shape (same rationale as minhash_signatures_df: HOF bit-voting is
+    interpreted and re-walks the shingle array per bit; this stays codegen'd).
+
+    Per-bit majority vote as sum(+1/-1) aggregates over exploded shingle
+    hashes, then bits packed with literal masks.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, shingle_words)).alias("_sh")
+    ).select(id_col, F.xxhash64("_sh").alias("_h"))
+
+    def mask(b: int) -> int:
+        return (1 << b) if b < 63 else -(1 << 63)  # signed-long bit 63
+
+    aggs = [
+        F.sum(
+            F.when(F.col("_h").bitwiseAND(F.lit(mask(b))) != 0, 1).otherwise(-1)
+        ).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    voted = exploded.groupBy(id_col).agg(*aggs)
+    sh = F.lit(0).cast("long")
+    for b in range(bits):
+        sh = sh.bitwiseOR(
+            F.when(F.col(f"_b{b}") > 0, F.lit(mask(b)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return voted.select(id_col, sh.alias("sh"))
+
+
+def ngram_jaccard_pairs(
+    probes: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity of probe docs vs the corpus.
+
+    Both sides project their (distinct) n-gram arrays ONCE before the join —
+    the per-pair work is only array_intersect/array_union, never re-shingling
+    (HOF expressions are interpreted; keep them linear in corpus size, not in
+    pair count). Probe side broadcasts; corpus is scanned once, unshuffled.
+    """
+    p = probes.select(
+        F.col(id_col).alias("id_a"), word_ngrams(text_col, n).alias("_ga")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("id_b"), word_ngrams(text_col, n).alias("_gb")
+    )
+    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
+    union = F.size(F.array_union("_ga", "_gb")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        F.broadcast(p)
+        .crossJoin(c)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_neardup_pairs(
+    probes: DataFrame,
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact (X1 vector flavor).
+
+    Brute force over broadcast probes — the oracle-checkable baseline; for
+    all-pairs dedup at corpus scale use similarity.lsh_bucket to generate
+    candidates (equi-join on bucket keys) and apply the same cosine filter.
+    """
+    from datamunging_spark.functions import cosine_similarity
+
+    p = probes.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    c = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    cos = cosine_similarity(F.col("_va"), F.col("_vb"))
+    return (
+        F.broadcast(p)
+        .crossJoin(c)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ngram_jaccard(a: Column, b: Column, n: int = 3) -> Column:
     """Exact n-gram Jaccard similarity between two text columns."""
     ga, gb = word_ngrams(a, n), word_ngrams(b, n)

@@ -96,6 +96,38 @@ def top_k_per_group(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "5 minutes",
+) -> DataFrame:
+    """Gap-based sessionization via the built-in ``session_window`` (§2.8
+    growth path; no reference analog — standard event-pipeline operator).
+
+    ``session_window`` is JVM-native, works identically in batch and
+    Structured Streaming (with a watermark), and merges overlapping
+    [ts, ts+gap) intervals per key — one shuffle on the key. Session end is
+    last event + gap, per Spark's definition.
+    """
+    return (
+        df.groupBy(F.session_window(ts_col, gap).alias("sess"), key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            key_col,
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def salted_join(
     big: DataFrame,
     skewed_small: DataFrame,

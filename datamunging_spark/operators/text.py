@@ -53,6 +53,40 @@ def tf_idf(
     return idf_model.transform(tf).drop("_tokens", "_tf")
 
 
+def tfidf_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact per-(doc, term) TF-IDF (R33/R34 semantics, README.md:293-302)
+    as pure relational algebra — the oracle-checkable, 100 TB shape.
+
+    tf = in-doc term count; idf = ln((N+1)/(df+1)) (the smoothed ml.feature
+    IDF formula). Plan: explode → two hash aggregates (doc-term, then term)
+    → equi-join on term + broadcast of the single-row corpus count. Unlike
+    HashingTF there are no collisions, and every stage is codegen'd with
+    map-side partial aggregation.
+    """
+    terms = df.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        tf.join(docfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * F.log((F.col("_n") + 1).cast("double") / (F.col("df") + 1))
+            ).alias("tfidf"),
+        )
+    )
+
+
 def ner_entities(
     df: DataFrame, text_col: str = "text", out: str = "entities"
 ) -> DataFrame:

@@ -1,0 +1,163 @@
+"""Tests for the round-1 extension operators: exact TF-IDF, sessionization,
+multimodal plumbing, language-ID, fingerprints, pair generators, ANN-LSH
+recall, and the codegen simhash/minhash DataFrame forms."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datamunging_spark.functions import bag_fingerprint
+from datamunging_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    minhash_signature,
+    minhash_signatures_df,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_df,
+    word_ngrams,
+)
+from datamunging_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_image_stub,
+    extract_features,
+)
+from datamunging_spark.operators.relational import sessionize
+from datamunging_spark.operators.similarity import brute_force_topk, lsh_topk
+from datamunging_spark.operators.text import detect_language, tfidf_scores
+
+
+def test_tfidf_matches_closed_form(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, "a c"), (2, "d d d")], ["doc_id", "text"]
+    )
+    rows = {
+        (r["doc_id"], r["term"]): r
+        for r in tfidf_scores(df).collect()
+    }
+    # 'a' appears in 2 of 3 docs; tf in doc 0 is 2.
+    r = rows[(0, "a")]
+    assert r["tf"] == 2 and r["df"] == 2
+    assert abs(r["tfidf"] - 2 * math.log(4 / 3)) < 1e-9
+    # 'd': tf=3, df=1.
+    r = rows[(2, "d")]
+    assert abs(r["tfidf"] - 3 * math.log(4 / 2)) < 1e-9
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:04:00", 1.0),  # same session (< 5 min gap)
+        (1, "2024-01-01 00:10:00", 1.0),  # new session (6 min gap)
+        (2, "2024-01-01 00:00:00", 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"]).withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = sessionize(df, gap="5 minutes")
+    sessions = sorted(
+        [(r["user_id"], r["n_events"]) for r in out.collect()]
+    )
+    assert sessions == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_multimodal_features_deterministic(spark):
+    df = spark.createDataFrame([(0, "abcd"), (1, "é")], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in extract_features(attach_binary_payload(df)).collect()
+    }
+    assert out[0]["n_bytes"] == 4
+    assert out[0]["fake_width"] == 2 and out[0]["fake_height"] == 2
+    assert out[0]["first_byte"] == ord("a") and out[0]["last_byte"] == ord("d")
+    # 'é' is 2 UTF-8 bytes — byte semantics, not chars.
+    assert out[1]["n_bytes"] == 2
+    with pytest.raises(NotImplementedError):
+        decode_image_stub()
+
+
+def test_detect_language(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog is in that house"),
+            (1, "le chat est dans la maison et la cour"),
+            (2, "zzz qqq www"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["l"]
+        for r in df.select("doc_id", detect_language("text").alias("l")).collect()
+    }
+    assert out == {0: "en", 1: "fr", 2: "und"}
+
+
+def test_bag_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "b a c"), (1, "c  b a"), (2, "a b d")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", bag_fingerprint("text").alias("fp")).collect()
+    }
+    assert out[0] == out[1]
+    assert out[0] != out[2]
+
+
+def test_ngram_jaccard_pairs_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(0, "w x y z w x"), (1, "w x y z w x"), (2, "p q r s t u")],
+        ["doc_id", "text"],
+    )
+    pairs = ngram_jaccard_pairs(df, df, n=3, threshold=0.9).filter(
+        F.col("id_a") < F.col("id_b")
+    )
+    assert [(r["id_a"], r["id_b"]) for r in pairs.collect()] == [(0, 1)]
+
+
+def test_minhash_df_equals_expression_form(spark, tables):
+    docs = tables["documents"].limit(20)
+    fast = {
+        r["doc_id"]: r["_sig"]
+        for r in minhash_signatures_df(docs, num_hashes=16).collect()
+    }
+    slow = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", minhash_signature(word_ngrams("text", 3), 16).alias("s")
+        ).collect()
+    }
+    assert fast == slow
+
+
+def test_simhash_df_equals_expression_form(spark, tables):
+    docs = tables["documents"].limit(20)
+    fast = {r["doc_id"]: r["sh"] for r in simhash_df(docs).collect()}
+    slow = {
+        r["doc_id"]: r["sh"]
+        for r in docs.select("doc_id", simhash("text").alias("sh")).collect()
+    }
+    assert fast == slow
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, tables):
+    emb = tables["embeddings"]
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(probes, emb, k=5).collect()
+    }
+    # Few planes + many tables: the synthetic embeddings are near-uniform
+    # (weak neighbor structure), so recall needs OR-amplification breadth.
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(probes, emb, k=5, n_planes=4, n_tables=16).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_embedding_neardup_self_excluded(spark, tables):
+    emb = tables["embeddings"]
+    pairs = embedding_neardup_pairs(emb.limit(5), emb, threshold=-1.0)
+    assert pairs.filter(F.col("id_a") == F.col("id_b")).count() == 0
