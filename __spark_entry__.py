@@ -38,6 +38,7 @@ from datamunging_spark.operators.multimodal import (
 )
 from datamunging_spark.operators.quality import invalid_value_report, regex_rule
 from datamunging_spark.operators.relational import (
+    asof_join,
     group_count,
     percentile_bucketize,
     sessionize,
@@ -371,6 +372,28 @@ def q_sessionize_events(spark, sf_dir):
     return sessionize(e, gap="5 minutes")
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (§2.8 extension): each click matched to the user's most
+    recent prior purchase — union-tag + window forward-fill, one shuffle
+    (vs DuckDB's native ASOF JOIN as the oracle)."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        right_cols={"event_id": "prev_purchase_id", "value": "prev_value"},
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "prev_purchase_id",
+        F.round("prev_value", 6).alias("prev_value"),
+    )
+
+
 def q_x4_lang_id(spark, sf_dir):
     """X4 language-ID: marker-token argmax heuristic vs ground-truth lang."""
     d = _t(spark, sf_dir, "documents")
@@ -531,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "rollup_sales": q_rollup_sales,
         "sessionize_events": q_sessionize_events,
+        "asof_join": q_asof_join,
         "x4_lang_id": q_x4_lang_id,
         "x4_fingerprint": q_x4_fingerprint,
         "x3_media_features": q_x3_media_features,
@@ -751,6 +775,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM s GROUP BY user_id, sess_idx
+        """,
+        "asof_join": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.event_id AS prev_purchase_id,
+                   round(r.value, 6) AS prev_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "x4_lang_id": """
             SELECT doc_id, lang,

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "local_supplier_volume",
     "rollup_sales",
     "sessionize_events",
+    "asof_join",
 ]
 # Excluded by design: x1_ngram_jaccard is the all-pairs oracle baseline
 # (O(n^2) — 25M pairs at sf0.1); its scale path IS x1_minhash_pairs.

@@ -128,6 +128,59 @@ def sessionize(
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """As-of (backward) join: for each left row, the right row with the
+    greatest ``right_ts`` ≤ ``left_ts`` within the same ``on`` key — the
+    time-series operator Spark lacks natively (DuckDB/Pandas ``ASOF JOIN``
+    semantics, inclusive match).
+
+    Scale shape: union-tag + window forward-fill — ONE shuffle on
+    (key, time) and a linear scan per key, instead of a range join's
+    quadratic per-key blowup. Left rows keep NULLs when no prior right row
+    exists (left-join semantics).
+
+    ``right_cols`` maps right column → output alias (default:
+    ``{right_ts: f"asof_{right_ts}"}``).
+    """
+    if right_cols is None:
+        right_cols = {right_ts: f"asof_{right_ts}"}
+    out_cols = list(right_cols.values())
+    l_tag = left.withColumn("_ts", F.col(left_ts)).withColumn(
+        "_is_l", F.lit(1)
+    )
+    for c in out_cols:
+        l_tag = l_tag.withColumn(c, F.lit(None))
+    r_tag = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_l"),
+        *[F.col(src).alias(dst) for src, dst in right_cols.items()],
+    )
+    u = r_tag.unionByName(l_tag, allowMissingColumns=True)
+    # Right rows sort before left rows at equal _ts (inclusive <= match).
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_is_l")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumns(
+        {
+            c: F.last(
+                F.when(F.col("_is_l") == 0, F.col(c)), ignorenulls=True
+            ).over(w)
+            for c in out_cols
+        }
+    )
+    return filled.filter(F.col("_is_l") == 1).drop("_is_l", "_ts")
+
+
 def salted_join(
     big: DataFrame,
     skewed_small: DataFrame,

@@ -65,13 +65,62 @@ def windowed_counts(
     )
 
 
-def run_stream_to_memory(df: DataFrame, name: str, timeout_s: int = 60):
+RUNNING_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("s", DoubleType())]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running event count + value sum, one output row per user per microbatch.
+
+    The state is two scalars per key — bounded by cardinality(user), not
+    stream length. Arrow batches stream through the Python worker; the same
+    code path runs per-key-group in batch mode tests. This is the engine's
+    template for custom stateful ops the built-in aggregations can't express
+    (e.g. decaying counters, per-key model state).
+    """
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, name: str, timeout_s: int = 60, output_mode: str = "append"
+):
     """Drive a stream to completion against a finite file source (test
     harness): memory sink, processAllAvailable, return the sink table name."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

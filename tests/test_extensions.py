@@ -104,6 +104,26 @@ def test_bag_fingerprint_order_insensitive(spark):
     assert out[0] != out[2]
 
 
+def test_asof_join_semantics(spark):
+    from datamunging_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (1, 20, "l2"), (2, 10, "l3")], ["k", "t", "lv"]
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "r1"), (1, 20, "r2"), (2, 50, "r3")], ["k", "t", "rv"]
+    )
+    out = {
+        r["lv"]: r["prev_rv"]
+        for r in asof_join(
+            left, right, on="k", left_ts="t", right_ts="t",
+            right_cols={"rv": "prev_rv"},
+        ).collect()
+    }
+    # l1: r1 (5 <= 10); l2: r2 (inclusive 20 <= 20); l3: no prior -> NULL
+    assert out == {"l1": "r1", "l2": "r2", "l3": None}
+
+
 def test_ngram_jaccard_pairs_identical_docs(spark):
     df = spark.createDataFrame(
         [(0, "w x y z w x"), (1, "w x y z w x"), (2, "p q r s t u")],

@@ -26,6 +26,7 @@ from datamunging_spark.sources import (
 from datamunging_spark.streaming import (
     read_event_stream,
     run_stream_to_memory,
+    running_user_totals,
     windowed_counts,
 )
 
@@ -108,3 +109,27 @@ def test_streaming_windowed_counts(spark, tables, tmp_path):
     )
     assert joined.filter(F.col("n_events") != F.col("batch_n")).count() == 0
     assert got.count() > 0
+
+
+def test_stateful_running_totals(spark, tables, tmp_path):
+    """applyInPandasWithState: final per-user state equals the batch
+    aggregate (counts are monotone → max over emissions = final)."""
+    stream_dir = str(tmp_path / "stream2")
+    tables["events"].write.mode("overwrite").parquet(stream_dir)
+    events = read_event_stream(spark, stream_dir)
+    totals = running_user_totals(events)
+    name = run_stream_to_memory(totals, "user_totals", output_mode="update")
+    got = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    batch = tables["events"].groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("batch_n")
+    )
+    joined = got.join(batch, "user_id", "full")
+    assert joined.filter(
+        F.col("n_events").isNull()
+        | F.col("batch_n").isNull()
+        | (F.col("n_events") != F.col("batch_n"))
+    ).count() == 0
