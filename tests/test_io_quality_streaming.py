@@ -67,6 +67,26 @@ def test_read_lines(spark, tmp_path):
     assert read_lines(spark, str(f)).count() == 3
 
 
+def test_read_whole_files_tokenized(spark, tmp_path):
+    """R6/R42 (README.md:297): wholeTextFiles analog — one row per file,
+    per-document tokenization via str.split(' ') parity."""
+    from datamunging_spark.functions import tokenize
+    from datamunging_spark.sources import read_whole_files
+
+    (tmp_path / "a.txt").write_text("alpha beta  gamma")
+    (tmp_path / "b.txt").write_text("delta")
+    df = read_whole_files(spark, str(tmp_path / "*.txt"))
+    rows = {
+        r["path"].rsplit("/", 1)[-1]: r["toks"]
+        for r in df.select(
+            "path", tokenize("value").alias("toks")
+        ).collect()
+    }
+    # Double space -> empty token kept (Python str.split(' ') parity).
+    assert rows["a.txt"] == ["alpha", "beta", "", "gamma"]
+    assert rows["b.txt"] == ["delta"]
+
+
 def test_quality_rules(spark):
     df = spark.createDataFrame(
         [("99213", "1"), ("bad", "2"), ("", ""), ("Q0091", "3")],
