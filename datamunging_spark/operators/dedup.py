@@ -86,6 +86,40 @@ def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     )
 
 
+def exploded_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    distinct: bool = False,
+) -> DataFrame:
+    """(id, _sh) word n-gram rows via posexplode + window ``lead`` — the
+    codegen-friendly shingle source (~5× the HOF array form at sf0.1, and
+    the window's (id) exchange is reused by the downstream groupBy(id)).
+
+    Matches :func:`word_ngrams` semantics exactly: full n-grams only
+    (pos + n ≤ token count), except docs shorter than ``n`` tokens yield one
+    whole-doc gram (pos 0; ``concat_ws`` skips the NULL leads).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalize_text(text_col), " ", -1)).alias(
+            "_pos", "_t"
+        ),
+    )
+    per_doc = Window.partitionBy(id_col)
+    ordered = per_doc.orderBy("_pos")
+    leads = [F.lead("_t", i).over(ordered) for i in range(1, n)]
+    g = toks.select(
+        id_col,
+        "_pos",
+        F.concat_ws(" ", F.col("_t"), *leads).alias("_sh"),
+        F.count(F.lit(1)).over(per_doc).alias("_cnt"),
+    ).filter((F.col("_pos") + n <= F.col("_cnt")) | (F.col("_pos") == 0))
+    out = g.select(id_col, "_sh")
+    return out.dropDuplicates([id_col, "_sh"]) if distinct else out
+
+
 def minhash_signatures_df(
     df: DataFrame,
     text_col: str = "text",
@@ -93,19 +127,19 @@ def minhash_signatures_df(
     num_hashes: int = 64,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """(id, _sig array<long>) via explode + one hash-aggregate — the 100 TB
-    shape.
+    """(id, _sig array<long>) via exploded n-grams + one hash-aggregate —
+    the 100 TB shape.
 
-    Explode shingles to rows, xxhash64 each shingle string exactly once, then
-    compute all ``num_hashes`` signature slots as ``min(xxhash64(h, seed_i))``
-    aggregates in ONE groupBy(id): everything stays inside whole-stage
-    codegen, partial (map-side) aggregation shrinks the shuffle to one row
-    per doc per partition, and the shuffle key is the doc id (uniform, no
-    skew). ~60× faster than the expression form at sf0.1.
+    Each shingle string is xxhash64'd exactly once; all ``num_hashes``
+    signature slots are ``min(xxhash64(h, seed_i))`` aggregates in ONE
+    groupBy(id): partial (map-side) aggregation shrinks the shuffle to one
+    row per doc per partition, the shuffle key is the doc id (uniform, no
+    skew), and MinHash is duplicate-insensitive so no distinct pass is
+    needed. ~100× the naive expression form at sf0.1.
     """
-    exploded = df.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, shingle_words)).alias("_sh")
-    ).select(id_col, F.xxhash64("_sh").alias("_h"))
+    exploded = exploded_ngrams(df, text_col, id_col, shingle_words).select(
+        id_col, F.xxhash64("_sh").alias("_h")
+    )
     aggs = [
         F.min(F.xxhash64(F.col("_h"), F.lit(s))).alias(f"_m{s}")
         for s in range(num_hashes)
@@ -248,10 +282,12 @@ def simhash_df(
     interpreted and re-walks the shingle array per bit; this stays codegen'd).
 
     Per-bit majority vote as sum(+1/-1) aggregates over exploded shingle
-    hashes, then bits packed with literal masks.
+    hashes, then bits packed with literal masks. Unlike MinHash, the vote IS
+    duplicate-sensitive, so the gram stream is deduped per doc (one extra
+    uniform-key shuffle) to match the distinct-shingle column form.
     """
-    exploded = df.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, shingle_words)).alias("_sh")
+    exploded = exploded_ngrams(
+        df, text_col, id_col, shingle_words, distinct=True
     ).select(id_col, F.xxhash64("_sh").alias("_h"))
 
     def mask(b: int) -> int:
