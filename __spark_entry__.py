@@ -199,6 +199,40 @@ def q_window_running(spark, sf_dir):
     )
 
 
+def q_window_lag_rank(spark, sf_dir):
+    """§2.8 window functions: lag/lead/rank over per-customer order
+    history (deterministic total order)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        F.rank().over(w).alias("rnk"),
+    )
+
+
+def q_approx_distinct(spark, sf_dir):
+    """§2.4 sketch surface: HLL++ approx_count_distinct vs exact, with the
+    relative-error bound asserted in-query (rows-only: DuckDB's HLL differs;
+    the bound check is the cross-engine-stable part)."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("n_exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_approx"),
+    )
+    return agg.select(
+        "n_exact",
+        "n_approx",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            / F.col("n_exact")
+            < 0.1
+        ).alias("within_10pct"),
+    )
+
+
 def q_setop_except(spark, sf_dir):
     """§2.8 EXCEPT DISTINCT: customers with no orders."""
     c = _t(spark, sf_dir, "customer").select("c_custkey")
@@ -538,6 +572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_revenue_orders": q_top_revenue_orders,
         "window_topk": q_window_topk,
         "window_running": q_window_running,
+        "window_lag_rank": q_window_lag_rank,
+        "approx_distinct": q_approx_distinct,
         "setop_except": q_setop_except,
         "setop_union": q_setop_union,
         "setop_intersect": q_setop_intersect,
@@ -649,6 +685,14 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "window_lag_rank": """
+            SELECT o_custkey, o_orderkey,
+                   lag(o_totalprice, 1) OVER w AS prev_price,
+                   lead(o_totalprice, 1) OVER w AS next_price,
+                   rank() OVER w AS rnk
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         """,
         "setop_except": (
             "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders"
