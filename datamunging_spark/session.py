@@ -36,6 +36,8 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.ui.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
+    # Managed tables (bucketed-join path) land outside the repo tree.
+    "spark.sql.warehouse.dir": "/tmp/spark-warehouse",
 }
 
 
