@@ -199,6 +199,23 @@ def q_window_running(spark, sf_dir):
     )
 
 
+def q_sql_passthrough(spark, sf_dir):
+    """§3.1: the SQL string entry point is first-class — same Catalyst
+    lifecycle as the DataFrame API (R6a/§3 parity). Registered temp views +
+    spark.sql, sharing the oracle's text modulo dialect."""
+    from datamunging_spark.sources import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, count(*) AS n_suppliers,
+               CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
+
+
 def q_window_lag_rank(spark, sf_dir):
     """§2.8 window functions: lag/lead/rank over per-customer order
     history (deterministic total order)."""
@@ -573,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": q_window_topk,
         "window_running": q_window_running,
         "window_lag_rank": q_window_lag_rank,
+        "sql_passthrough": q_sql_passthrough,
         "approx_distinct": q_approx_distinct,
         "setop_except": q_setop_except,
         "setop_union": q_setop_union,
@@ -685,6 +703,12 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "sql_passthrough": """
+            SELECT n_name, count(*) AS n_suppliers,
+                   CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
         """,
         "window_lag_rank": """
             SELECT o_custkey, o_orderkey,

@@ -131,6 +131,73 @@ def test_streaming_windowed_counts(spark, tables, tmp_path):
     assert got.count() > 0
 
 
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark semantics: rows arriving later than the watermark behind
+    the max seen event time are dropped from closed windows — state stays
+    bounded (the 100 TB streaming invariant)."""
+    from datetime import datetime
+
+    from datamunging_spark.streaming import EVENTS_SCHEMA
+
+    stream_dir = tmp_path / "late"
+    stream_dir.mkdir()
+
+    def batch(path, rows):
+        df = spark.createDataFrame(
+            [
+                (i, datetime.fromisoformat(ts), 1, "click", 1.0, "{}")
+                for i, ts in enumerate(rows)
+            ],
+            EVENTS_SCHEMA,
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(path))
+
+    # One logical query across two runs: the checkpoint carries the
+    # watermark forward, so run 2 sees batch-1's max event time.
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run():
+        events = read_event_stream(spark, str(stream_dir / "b*"))
+        win = windowed_counts(events, window="1 minute", watermark="10 minutes")
+        q = (
+            win.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # Run 1: events up to 00:30 -> watermark persists at 00:20 in the
+    # checkpoint; the closed 00:01 window is emitted.
+    batch(stream_dir / "b1", ["2024-01-01 00:01:00", "2024-01-01 00:30:00"])
+    run()
+    # Run 2 (resumes from checkpoint): one on-time row and one very late row
+    # (00:02 < the 00:20 watermark) -> the late row must NOT appear.
+    batch(stream_dir / "b2", ["2024-01-01 00:02:00", "2024-01-01 00:31:00"])
+    run()
+    out = spark.read.parquet(out_dir)
+    emitted = {(str(r["win_start"]), r["n_events"]) for r in out.collect()}
+    assert ("2024-01-01 00:01:00", 1) in emitted
+    assert ("2024-01-01 00:02:00", 1) not in emitted
+
+
+def test_salted_join_matches_plain_join(spark, tables):
+    """Skew-salting helper returns the same rows as the plain join."""
+    from datamunging_spark.operators.relational import salted_join
+
+    o = tables["orders"].limit(2000)
+    c = tables["customer"].select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = o.join(c, "o_custkey").count()
+    salted = salted_join(o, c, on="o_custkey", salt_buckets=8).count()
+    assert salted == plain
+
+
 def test_stateful_running_totals(spark, tables, tmp_path):
     """applyInPandasWithState: final per-user state equals the batch
     aggregate (counts are monotone → max over emissions = final)."""
