@@ -42,9 +42,8 @@ BENCH_QUERIES = [
     "rollup_sales",
     "sessionize_events",
     "asof_join",
+    "x1_ngram_jaccard",
 ]
-# Excluded by design: x1_ngram_jaccard is the all-pairs oracle baseline
-# (O(n^2) — 25M pairs at sf0.1); its scale path IS x1_minhash_pairs.
 
 
 def main() -> None:

@@ -317,27 +317,47 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity of probe docs vs the corpus.
+    """Exact n-gram Jaccard similarity of probe docs vs the corpus — with NO
+    cross join.
 
-    Both sides project their (distinct) n-gram arrays ONCE before the join —
-    the per-pair work is only array_intersect/array_union, never re-shingling
-    (HOF expressions are interpreted; keep them linear in corpus size, not in
-    pair count). Probe side broadcasts; corpus is scanned once, unshuffled.
+    |A∩B| comes from a gram-level equi-join: explode distinct grams per doc,
+    join probe grams to corpus grams on the gram, count matches per (a, b).
+    |A∪B| = |A| + |B| − |A∩B| from per-doc gram counts. Pairs sharing zero
+    grams never materialize (they cannot pass a positive threshold), so the
+    pair space is bounded by co-occurrence, not |P|×|C| — the property that
+    makes exact Jaccard feasible at corpus scale. Skew valve: set
+    ``max_gram_df`` to drop grams shared by more than that many docs
+    (standard hot-shingle cap; leave None for exact oracle parity).
     """
-    p = probes.select(
-        F.col(id_col).alias("id_a"), word_ngrams(text_col, n).alias("_ga")
+    pg = exploded_ngrams(probes, text_col, id_col, n, distinct=True).select(
+        F.col(id_col).alias("id_a"), "_sh"
     )
-    c = corpus.select(
-        F.col(id_col).alias("id_b"), word_ngrams(text_col, n).alias("_gb")
+    cg = exploded_ngrams(corpus, text_col, id_col, n, distinct=True).select(
+        F.col(id_col).alias("id_b"), "_sh"
     )
-    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
-    union = F.size(F.array_union("_ga", "_gb")).cast("double")
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
-        F.broadcast(p)
-        .crossJoin(c)
+    if max_gram_df is not None:
+        hot = (
+            cg.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_gram_df)
+            .select("_sh")
+        )
+        cg = cg.join(F.broadcast(hot), "_sh", "left_anti")
+        pg = pg.join(F.broadcast(hot), "_sh", "left_anti")
+    na = pg.groupBy("id_a").agg(F.count(F.lit(1)).alias("_na"))
+    nb = cg.groupBy("id_b").agg(F.count(F.lit(1)).alias("_nb"))
+    inter = (
+        pg.join(cg, "_sh")
         .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
         .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
