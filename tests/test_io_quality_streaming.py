@@ -185,6 +185,39 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert ("2024-01-01 00:02:00", 1) not in emitted
 
 
+def test_streaming_sessionize(spark, tables, tmp_path):
+    """The same session_window operator runs in Structured Streaming with a
+    watermark; closed sessions match the batch sessionize output."""
+    from datamunging_spark.operators.relational import sessionize
+
+    stream_dir = str(tmp_path / "sess_stream")
+    tables["events"].write.mode("overwrite").parquet(stream_dir)
+    events = read_event_stream(spark, stream_dir).withWatermark(
+        "ts", "10 minutes"
+    )
+    stream_sessions = (
+        events.groupBy(F.session_window("ts", "5 minutes").alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("sess_start"),
+            F.col("n_events"),
+        )
+    )
+    name = run_stream_to_memory(stream_sessions, "sess_stream_out")
+    got = spark.table(name)
+    batch = sessionize(tables["events"], gap="5 minutes").select(
+        "user_id", "sess_start", F.col("n_events").alias("batch_n")
+    )
+    # Append mode emits only watermark-closed sessions; all emitted must
+    # match batch exactly, and most sessions should have closed.
+    joined = got.join(batch, ["user_id", "sess_start"], "left")
+    assert joined.filter(
+        F.col("batch_n").isNull() | (F.col("n_events") != F.col("batch_n"))
+    ).count() == 0
+    assert got.count() > 0.5 * batch.count()
+
+
 def test_salted_join_matches_plain_join(spark, tables):
     """Skew-salting helper returns the same rows as the plain join."""
     from datamunging_spark.operators.relational import salted_join
