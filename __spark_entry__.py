@@ -405,6 +405,31 @@ def q_local_supplier_volume(spark, sf_dir):
     )
 
 
+def q_agg_suite(spark, sf_dir):
+    """§2.4 engine aggregate surface: min/max/avg/stddev/count_distinct and
+    a deterministic (sorted) collect_set, per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+    )
+
+
+def q_cube_sales(spark, sf_dir):
+    """§2.4: CUBE over (returnflag, linestatus) — all grouping sets."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items")
+    )
+
+
 def q_rollup_sales(spark, sf_dir):
     """§2.4 engine surface: ROLLUP over (returnflag, linestatus)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -607,6 +632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r33_tfidf": q_r33_tfidf,
         "local_supplier_volume": q_local_supplier_volume,
         "rollup_sales": q_rollup_sales,
+        "agg_suite": q_agg_suite,
+        "cube_sales": q_cube_sales,
         "sessionize_events": q_sessionize_events,
         "asof_join": q_asof_join,
         "x4_lang_id": q_x4_lang_id,
@@ -823,6 +850,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, count(*) AS n_items,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "agg_suite": """
+            SELECT l_returnflag,
+                   min(l_quantity) AS min_qty,
+                   max(l_quantity) AS max_qty,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+                   round(stddev_samp(l_quantity), 6) AS sd_qty,
+                   count(DISTINCT l_partkey) AS n_parts,
+                   list_sort(list(DISTINCT l_linestatus)) AS statuses
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "cube_sales": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_items
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
         "sessionize_events": """
             WITH x AS (
