@@ -470,6 +470,19 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_x4_token_counts(spark, sf_dir):
+    """X4 token counting: whitespace tokens + GPT-2-ish pretokenizer regex
+    count (the cheap LLM-token estimator for data budgeting)."""
+    from datamunging_spark.functions import bpe_ish_token_count, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
+
+
 def q_x4_lang_id(spark, sf_dir):
     """X4 language-ID: marker-token argmax heuristic vs ground-truth lang."""
     d = _t(spark, sf_dir, "documents")
@@ -557,6 +570,19 @@ def q_x2_ann_lsh(spark, sf_dir):
     )
 
 
+def q_x2_ann_ivf(spark, sf_dir):
+    """X2 scale path #2: IVF ANN — KMeans cells + n-probe search (recall
+    property-tested vs brute force)."""
+    from datamunging_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    out = ivf_topk(probes, emb, k=5, n_clusters=16, n_probe=8)
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_r40_pca_project(spark, sf_dir):
     """R40/R41: PCA fit on the embedding matrix + projection (sign-
     indeterminate across engines → rows-only; orthonormality tested)."""
@@ -637,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": q_sessionize_events,
         "asof_join": q_asof_join,
         "x4_lang_id": q_x4_lang_id,
+        "x4_token_counts": q_x4_token_counts,
         "x4_fingerprint": q_x4_fingerprint,
         "x3_media_features": q_x3_media_features,
         "x1_ngram_jaccard": q_x1_ngram_jaccard,
@@ -646,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_minhash_pairs": q_x1_minhash_pairs,
         "x1_simhash": q_x1_simhash,
         "x2_ann_lsh": q_x2_ann_lsh,
+        "x2_ann_ivf": q_x2_ann_ivf,
         "r40_pca_project": q_r40_pca_project,
         "r38_w2v_synonyms": q_r38_w2v_synonyms,
         "r37_ner": q_r37_ner,
@@ -917,6 +945,14 @@ def oracle_sql() -> dict[str, str]:
                       FROM documents)
               )
             )
+        """,
+        "x4_token_counts": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+                     AS bpe_tokens
+            FROM documents
         """,
         "x4_fingerprint": """
             SELECT doc_id,

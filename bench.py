@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "x1_embedding_neardup",
     "x2_topk_cosine",
     "x2_ann_lsh",
+    "x2_ann_ivf",
+    "x4_token_counts",
     "x4_text_stats",
     "x4_lang_id",
     "x4_fingerprint",

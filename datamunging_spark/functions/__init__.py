@@ -17,6 +17,7 @@ __all__ = [
     "case_ladder",
     "tokenize",
     "token_count",
+    "bpe_ish_token_count",
     "normalize_text",
     "punct_ratio",
     "digit_ratio",
@@ -90,6 +91,22 @@ def tokenize(col: Column | str, sep: str = " ") -> Column:
 
 def token_count(col: Column | str, sep: str = " ") -> Column:
     return F.size(tokenize(col, sep))
+
+
+#: GPT-2-style pretokenizer shape: contractions, letter runs (with optional
+#: leading space), digit runs, punctuation runs, residual whitespace.
+BPE_ISH_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Approximate LLM token count: matches of a GPT-2-ish pretokenizer
+    regex (the standard cheap estimator for training-data budgeting when
+    the real tokenizer isn't on the cluster). JVM-side regexp_count; the
+    \\p{L}/\\p{N} classes behave identically in Java regex and RE2."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
 
 
 def normalize_text(col: Column | str) -> Column:

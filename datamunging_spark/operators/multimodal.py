@@ -103,6 +103,98 @@ def extract_features(
     return src.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("resized", StringType()),  # binary in production
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target: int = 64,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize step plumbing: mapInPandas over binary payloads with a fixed
+    output schema. The resample itself is a deterministic fake (aspect-
+    preserving dimension math + a content digest standing in for pixels);
+    production swaps the digest line for PIL `Image.resize` bytes.
+    """
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    src = df.select(id_col, payload_col)
+
+    def run(batches):
+        for pdf in batches:
+            ws, hs, outs = [], [], []
+            for b in pdf[payload_col]:
+                n = len(b) if b is not None else 0
+                w = int(math.ceil(math.sqrt(n))) if n else 0
+                h = int(math.ceil(n / w)) if w else 0
+                scale = target / max(w, h, 1)
+                ws.append(min(w, max(1, round(w * scale))))
+                hs.append(min(h, max(1, round(h * scale))))
+                outs.append(hashlib.md5(b or b"").hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "out_width": ws,
+                    "out_height": hs,
+                    "resized": outs,
+                }
+            )
+
+    return src.mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_offset", IntegerType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: one output row per
+    sampled frame (uniform stride over the byte stream as the deterministic
+    stand-in for timestamps). Row-explosion inside mapInPandas keeps the
+    decode and the fan-out in one Python pass — the shape a real
+    libav-backed sampler uses.
+    """
+    import pandas as pd
+
+    src = df.select(id_col, payload_col)
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, offs = [], [], []
+            for doc, b in zip(pdf[id_col], pdf[payload_col]):
+                n = len(b) if b is not None else 0
+                for i in range(n_frames):
+                    ids.append(doc)
+                    idxs.append(i)
+                    offs.append((i * n) // n_frames if n else 0)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_offset": offs}
+            )
+
+    return src.mapInPandas(run, FRAME_SCHEMA)
+
+
 def decode_image_stub(*_args, **_kwargs):
     """Real image decode (PIL/turbojpeg) — NOT IMPLEMENTED in this container.
 

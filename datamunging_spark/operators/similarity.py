@@ -128,6 +128,79 @@ def _bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int):
     return buckets
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization — the
+    other standard ANN scale path beside hyperplane LSH.
+
+    Distributed KMeans partitions the corpus into ``n_clusters`` cells (the
+    inverted lists); each probe searches only its ``n_probe`` nearest cells.
+    Candidate generation is an equi-join on the cell id, so the corpus is
+    scanned once and shuffled on a bounded-cardinality key; recall/cost is
+    tuned by n_probe (n_probe = n_clusters degrades gracefully to exact).
+    Centroids (n_clusters × dim floats) ride to executors inside the probe
+    pandas_udf closure — the IVF analog of a broadcast dimension.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    corp_v = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("features", array_to_vector("_cv"))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(corp_v)
+    assigned = km.transform(corp_v).select(
+        "neighbor_id", "_cv", F.col("prediction").alias("_cell")
+    )
+    centers = np.stack([np.asarray(c) for c in km.clusterCenters()])
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        nearest = np.argsort(d, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(nearest))
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(assigned, "_cell")
+        .drop("_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_udf()(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def _cosine_udf():
     """Arrow-batched rowwise cosine over two array columns (numpy). Used in
     the ANN rescoring path; the oracle-exact brute-force path keeps the

@@ -76,6 +76,46 @@ def test_multimodal_features_deterministic(spark):
         decode_image_stub()
 
 
+def test_multimodal_resize_and_frames(spark):
+    from datamunging_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+    )
+
+    df = attach_binary_payload(
+        spark.createDataFrame([(0, "x" * 100), (1, "y")], ["doc_id", "text"])
+    )
+    rs = {r["doc_id"]: r for r in resize_images(df, target=8).collect()}
+    assert rs[0]["out_width"] <= 8 and rs[0]["out_height"] <= 8
+    assert rs[1]["out_width"] == 1
+    fr = sample_frames(df, n_frames=4)
+    assert fr.count() == 8  # 4 frames per doc
+    offs = [
+        r["frame_offset"]
+        for r in fr.filter(F.col("doc_id") == 0).orderBy("frame_idx").collect()
+    ]
+    assert offs == [0, 25, 50, 75]
+
+
+def test_ivf_topk_recall(spark, tables):
+    from datamunging_spark.operators.similarity import ivf_topk
+
+    emb = tables["embeddings"]
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(probes, emb, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            probes, emb, k=5, n_clusters=16, n_probe=8
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
 def test_detect_language(spark):
     df = spark.createDataFrame(
         [
