@@ -552,6 +552,52 @@ def q_x1_minhash_pairs(spark, sf_dir):
     return minhash_lsh_pairs(d, num_hashes=64, bands=16, shingle_words=3)
 
 
+def q_stream_windowed_real(spark, sf_dir):
+    """Actual Structured Streaming execution inside the gate: file-source
+    readStream over events → watermarked 1-min windows → memory sink
+    (availableNow), returning the sink table. Append mode emits only
+    watermark-closed windows (rows-only: a strict subset of the batch
+    result by design)."""
+    from datamunging_spark.streaming import (
+        EVENTS_SCHEMA,
+        run_stream_to_memory,
+        windowed_counts,
+    )
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # File-source streams need a directory: use sf_dir as base with a glob
+    # filter (the driver testdata keeps one parquet FILE per table). The raw
+    # file stores TIMESTAMP(NANOS) -> read ts as long, floor to micros
+    # (same conversion as sources.load_table).
+    raw_schema = StructType(
+        [
+            StructField(f.name, LongType() if f.name == "ts" else f.dataType)
+            for f in EVENTS_SCHEMA.fields
+        ]
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    win = windowed_counts(events, window="1 minute", watermark="2 minutes")
+    name = run_stream_to_memory(win, "gate_stream_win")
+    return spark.table(name)
+
+
+def q_x1_minhash_dedup(spark, sf_dir):
+    """X1 end-to-end fuzzy dedup: docs surviving MinHash near-dedup at
+    signature-Jaccard ≥ 0.5 (greedy min-id survivor). Deterministic
+    (xxhash64 signatures) but engine-hash-based → rows-only."""
+    from datamunging_spark.operators.dedup import minhash_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_dedup(d, threshold=0.5).select("doc_id", "source")
+
+
 def q_x1_simhash(spark, sf_dir):
     """X1 SimHash: 64-bit per-doc similarity hash (xxhash64-based — engine
     hash, no SQL oracle; Hamming-distance property tests in tests/)."""
@@ -671,7 +717,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r26_sample_bernoulli": q_r26_sample_bernoulli,
         "r29_sample_n": q_r29_sample_n,
         "x1_minhash_pairs": q_x1_minhash_pairs,
+        "x1_minhash_dedup": q_x1_minhash_dedup,
         "x1_simhash": q_x1_simhash,
+        "stream_windowed_real": q_stream_windowed_real,
         "x2_ann_lsh": q_x2_ann_lsh,
         "x2_ann_ivf": q_x2_ann_ivf,
         "r40_pca_project": q_r40_pca_project,
