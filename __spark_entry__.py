@@ -430,6 +430,31 @@ def q_cube_sales(spark, sf_dir):
     )
 
 
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-shaped: date-range scan filter (pushed to parquet) +
+    broadcast part join + conditional aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_rollup_sales(spark, sf_dir):
     """§2.4 engine surface: ROLLUP over (returnflag, linestatus)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -704,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r33_tfidf": q_r33_tfidf,
         "local_supplier_volume": q_local_supplier_volume,
         "rollup_sales": q_rollup_sales,
+        "promo_revenue": q_promo_revenue,
         "agg_suite": q_agg_suite,
         "cube_sales": q_cube_sales,
         "sessionize_events": q_sessionize_events,
@@ -926,6 +952,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus, count(*) AS n_items,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "promo_revenue": """
+            SELECT
+              CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                            THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+              CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+              count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
         """,
         "agg_suite": """
             SELECT l_returnflag,

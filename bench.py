@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "r33_tfidf",
     "local_supplier_volume",
     "rollup_sales",
+    "promo_revenue",
     "sessionize_events",
     "asof_join",
     "x1_ngram_jaccard",
