@@ -508,6 +508,22 @@ def q_x4_token_counts(spark, sf_dir):
     )
 
 
+def q_x4_quality_filters(spark, sf_dir):
+    """X4 quality filters: charset (ascii fraction) + boilerplate
+    (token-repetition) signals with a keep/drop verdict column."""
+    from datamunging_spark.functions import ascii_ratio, repetition_ratio
+
+    d = _t(spark, sf_dir, "documents")
+    ar = F.round(ascii_ratio("text"), 6)
+    rr = F.round(repetition_ratio("text"), 6)
+    return d.select(
+        "doc_id",
+        ar.alias("ascii_frac"),
+        rr.alias("rep_frac"),
+        ((ar >= 0.5) & (rr <= 0.9)).alias("keep"),
+    )
+
+
 def q_x4_lang_id(spark, sf_dir):
     """X4 language-ID: marker-token argmax heuristic vs ground-truth lang."""
     d = _t(spark, sf_dir, "documents")
@@ -736,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "x4_lang_id": q_x4_lang_id,
         "x4_token_counts": q_x4_token_counts,
+        "x4_quality_filters": q_x4_quality_filters,
         "x4_fingerprint": q_x4_fingerprint,
         "x3_media_features": q_x3_media_features,
         "x1_ngram_jaccard": q_x1_ngram_jaccard,
@@ -1028,6 +1045,22 @@ def oracle_sql() -> dict[str, str]:
                              regexp_split_to_array(lower(text), '\\s+') AS toks
                       FROM documents)
               )
+            )
+        """,
+        "x4_quality_filters": """
+            SELECT doc_id, ascii_frac, rep_frac,
+                   (ascii_frac >= 0.5 AND rep_frac <= 0.9) AS keep
+            FROM (
+              SELECT doc_id,
+                round(CASE WHEN length(text) > 0
+                  THEN CAST(length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS DOUBLE) / length(text)
+                  ELSE 1.0 END, 6) AS ascii_frac,
+                round(CASE WHEN len(toks) > 0
+                  THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END, 6) AS rep_frac
+              FROM (SELECT doc_id, text,
+                           regexp_split_to_array(lower(text), '\\s+') AS toks
+                    FROM documents)
             )
         """,
         "x4_token_counts": """

@@ -23,6 +23,8 @@ __all__ = [
     "digit_ratio",
     "upper_ratio",
     "stopword_ratio",
+    "ascii_ratio",
+    "repetition_ratio",
     "quality_score",
     "doc_fingerprint",
     "bag_fingerprint",
@@ -150,6 +152,24 @@ def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Col
     n = F.size(toks)
     sw = F.size(F.filter(toks, lambda t: t.isin(*words)))
     return F.when(n > 0, sw / n).otherwise(F.lit(0.0))
+
+
+def ascii_ratio(col: Column | str) -> Column:
+    """Fraction of characters in the 7-bit ASCII range — the standard
+    charset quality signal for LLM-data filtering."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    ascii_n = F.length(F.regexp_replace(c, r"[^\x00-\x7F]", ""))
+    return F.when(n > 0, ascii_n / n).otherwise(F.lit(1.0))
+
+
+def repetition_ratio(col: Column | str) -> Column:
+    """1 − distinct/total whitespace tokens: near 0 = diverse text, near 1 =
+    boilerplate/repeated content (cheap boilerplate detector)."""
+    toks = F.split(F.lower(col), r"\s+", -1)
+    n = F.size(toks)
+    distinct = F.size(F.array_distinct(toks))
+    return F.when(n > 0, 1.0 - distinct / n).otherwise(F.lit(0.0))
 
 
 def quality_score(col: Column | str) -> Column:

@@ -218,6 +218,56 @@ def test_streaming_sessionize(spark, tables, tmp_path):
     assert got.count() > 0.5 * batch.count()
 
 
+def test_stream_stream_join(spark, tables, tmp_path):
+    """Stream-stream inner join with watermarks + time-range condition:
+    each click joined to same-user purchases within the preceding 10
+    minutes. State on both sides is bounded by the watermark."""
+    stream_dir = str(tmp_path / "ssj")
+    tables["events"].write.mode("overwrite").parquet(stream_dir)
+
+    def src(types):
+        return read_event_stream(spark, stream_dir).filter(
+            F.col("event_type").isin(types)
+        )
+
+    clicks = src(["click"]).select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    ).withWatermark("click_ts", "10 minutes")
+    purchases = src(["purchase"]).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", "10 minutes")
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") <= F.col("click_ts"))
+        & (F.col("purchase_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES")),
+    )
+    name = run_stream_to_memory(joined, "ssj_out")
+    got = spark.table(name).select("click_id", "purchase_id")
+    # Batch reference: identical join conditions on static frames.
+    e = tables["events"]
+    bc = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    bp = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    batch = bc.join(
+        bp,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") <= F.col("click_ts"))
+        & (F.col("purchase_ts") >= F.col("click_ts") - F.expr("INTERVAL 10 MINUTES")),
+    ).select("click_id", "purchase_id")
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0
+
+
 def test_salted_join_matches_plain_join(spark, tables):
     """Skew-salting helper returns the same rows as the plain join."""
     from datamunging_spark.operators.relational import salted_join
