@@ -35,15 +35,25 @@ def grouped_percentiles(
     value: Column,
     percentiles: tuple[float, ...] = DEFAULT_PERCENTILES,
     out: str = "percentiles",
+    exact: bool = True,
+    accuracy: int = 10000,
 ) -> DataFrame:
-    """Exact grouped multi-percentile (R15, README.md:255-260).
+    """Grouped multi-percentile (R15, README.md:255-260).
 
-    Spark ≥3.5 ``percentile`` is exact with linear interpolation — the same
-    definition as Hive ``percentile`` and DuckDB ``quantile_cont``.
+    ``exact=True``: Spark ≥3.5 ``percentile`` — exact linear interpolation,
+    the same definition as Hive ``percentile`` and DuckDB ``quantile_cont``;
+    buffers all values per key (fine up to millions of rows per key).
+    ``exact=False``: ``percentile_approx`` (KLL-like sketch, bounded memory
+    ~``accuracy`` per key) — the 100 TB path when single keys can exceed
+    executor memory; error ≤ 1/accuracy of rank.
     """
-    return df.groupBy(key).agg(
-        F.percentile(value, F.array(*[F.lit(p) for p in percentiles])).alias(out)
+    pct_array = F.array(*[F.lit(p) for p in percentiles])
+    agg = (
+        F.percentile(value, pct_array)
+        if exact
+        else F.percentile_approx(value, pct_array, F.lit(accuracy))
     )
+    return df.groupBy(key).agg(agg.alias(out))
 
 
 def percentile_bucketize(

@@ -92,13 +92,12 @@ def ner_entities(
 ) -> DataFrame:
     """Per-row entity extraction (R37, README.md:339-352).
 
-    The reference uses an NLTK tokenize→pos_tag→ne_chunk UDF per line. NLTK
-    is not installed in this container, so the model call is stubbed with a
-    deterministic heuristic (capitalized-token runs → entity), while the
-    Spark-side shape — Arrow-batched pandas_udf returning array<string> — is
-    the real production plumbing: swap `_extract` for an NLTK/spaCy call
-    (model loaded once per executor, broadcast-free) without touching the
-    plan."""
+    The reference uses an NLTK tokenize→pos_tag→ne_chunk UDF per line. The
+    UDF below tries NLTK once per Python worker (import-gated — the library
+    is not in this container) and otherwise uses a deterministic heuristic
+    (capitalized-token runs → entity). Either way the Spark-side shape is
+    the production plumbing: Arrow-batched pandas_udf returning
+    array<string>, model state loaded once per executor, never per row."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -106,12 +105,29 @@ def ner_entities(
     def _extract(texts: pd.Series) -> pd.Series:
         import re
 
-        def run(t: str) -> list[str]:
-            if t is None:
-                return []
-            # Deterministic stand-in for nltk.ne_chunk: maximal runs of
-            # capitalized words.
-            return re.findall(r"(?:[A-Z][a-z]+)(?:\s+[A-Z][a-z]+)*", t)
+        try:  # real model path (reference parity when nltk is installed)
+            import nltk
+
+            def run(t: str) -> list[str]:
+                if t is None:
+                    return []
+                tree = nltk.ne_chunk(nltk.pos_tag(nltk.word_tokenize(t)))
+                return [
+                    " ".join(w for w, _ in st.leaves())
+                    for st in tree.subtrees()
+                    if st.label() == "NE"
+                ]
+
+            # Probe once; fall back if models/data are missing.
+            run("Smoke Test")
+        except Exception:
+
+            def run(t: str) -> list[str]:
+                if t is None:
+                    return []
+                # Deterministic stand-in for nltk.ne_chunk: maximal runs
+                # of capitalized words.
+                return re.findall(r"(?:[A-Z][a-z]+)(?:\s+[A-Z][a-z]+)*", t)
 
         return texts.map(run)
 

@@ -159,6 +159,28 @@ def write_bucketed_table(
     writer.saveAsTable(table)
 
 
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_partitions: int | None = None,
+) -> None:
+    """Range-partitioned, within-partition-sorted parquet (SCALE.md).
+
+    ``repartitionByRange`` + ``sortWithinPartitions`` gives globally
+    range-clustered files whose parquet row-group min/max stats enable
+    filter skipping on ``sort_cols`` — the write-side half of predicate
+    pushdown at 100 TB.
+    """
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(parts, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def read_lines(spark: SparkSession, path: str) -> DataFrame:
     """Line source: sc.textFile analog (README.md:352,385) → column `value`."""
     return spark.read.text(path)

@@ -67,6 +67,44 @@ def test_read_lines(spark, tmp_path):
     assert read_lines(spark, str(f)).count() == 3
 
 
+def test_write_sorted_parquet_clusters_ranges(spark, tables, tmp_path):
+    """Range-partitioned sorted write: files are disjointly range-clustered
+    on the sort key (row-group stats then enable skipping)."""
+    from datamunging_spark.sources.io import write_sorted_parquet
+
+    p = str(tmp_path / "sorted")
+    write_sorted_parquet(tables["orders"], p, ["o_orderdate"], num_partitions=4)
+    back = spark.read.parquet(p)
+    assert back.count() == tables["orders"].count()
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi"))
+        .collect()
+    )
+    spans = sorted([(r["lo"], r["hi"]) for r in per_file])
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next  # disjoint (or touching) ranges
+
+
+def test_grouped_percentiles_approx_close_to_exact(spark):
+    """The 100 TB percentile path (percentile_approx sketch) stays within
+    its rank-error bound of the exact interpolated value. Dense synthetic
+    group: with 1000 distinct values, rank error 1/accuracy ≈ ≤1 value."""
+    from datamunging_spark.operators.relational import grouped_percentiles
+
+    df = spark.createDataFrame(
+        [(1, float(v)) for v in range(1000)], ["k", "v"]
+    )
+    exact = grouped_percentiles(
+        df, "k", F.col("v"), exact=True
+    ).first()["percentiles"]
+    approx = grouped_percentiles(
+        df, "k", F.col("v"), exact=False, accuracy=10000
+    ).first()["percentiles"]
+    for e, a in zip(exact, approx):
+        assert abs(e - a) <= 1.5, (e, a)
+
+
 def test_read_whole_files_tokenized(spark, tmp_path):
     """R6/R42 (README.md:297): wholeTextFiles analog — one row per file,
     per-document tokenization via str.split(' ') parity."""
