@@ -173,13 +173,15 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_words)
-    # Persist: both sides of the band self-join (and the banding explode)
-    # reference the signatures; the cached table is tiny (id + 64 longs ≈
-    # 0.5 KB/doc) even at corpus scale.
+    # Persist: the banding explode and the two signature re-joins below all
+    # reference it; the cached table is tiny (id + 64 longs ≈ 0.5 KB/doc)
+    # even at corpus scale.
     sig = sig.persist()
+    # Band rows carry ONLY (id, band, key) — the signature arrays stay out
+    # of the self-join shuffle (they re-join onto the tiny distinct pair set
+    # afterwards instead of riding every banded row twice).
     banded = sig.select(
         id_col,
-        "_sig",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -197,29 +199,30 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("_band"),
-    ).select(id_col, "_sig", F.col("_band.band").alias("_b"), F.col("_band.key").alias("_k"))
-    banded = banded.persist()  # referenced by both join sides
+    ).select(id_col, F.col("_band.band").alias("_b"), F.col("_band.key").alias("_k"))
 
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a"), "_b", "_k"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b"), "_b", "_k"
-    )
-    pairs = (
+    left = banded.select(F.col(id_col).alias("id_a"), "_b", "_k")
+    right = banded.select(F.col(id_col).alias("id_b"), "_b", "_k")
+    pair_ids = (
         left.join(right, on=["_b", "_k"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a"))
+    sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b"))
+    return (
+        pair_ids.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
         .select(
             "id_a",
             "id_b",
             (
                 F.size(F.array_intersect("_sig_a", "_sig_b"))
-                / F.lit(float(len(range(num_hashes))))
+                / F.lit(float(num_hashes))
             ).alias("sig_jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs
 
 
 def minhash_dedup(
