@@ -90,6 +90,33 @@ def q_r19_quality_report(spark, sf_dir):
     return invalid_value_report(docs, rule, "source", out="cnt")
 
 
+def q_quality_summary(spark, sf_dir):
+    """Multi-rule validation summary in ONE scan (conditional sums)."""
+    from datamunging_spark.operators.quality import (
+        not_empty_rule,
+        regex_rule,
+        validation_summary,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return validation_summary(
+        docs,
+        [
+            regex_rule("src_fmt", "source", r"^(src[0-9])$"),
+            not_empty_rule("text_set", "text"),
+        ],
+    )
+
+
+def q_dataset_profile(spark, sf_dir):
+    """Per-column census of `customer` (nulls/distincts/min/max) — one scan,
+    stack-unpivoted to one row per column."""
+    from datamunging_spark.operators.quality import dataset_profile
+
+    c = _t(spark, sf_dir, "customer")
+    return dataset_profile(c, ["c_custkey", "c_name", "c_mktsegment", "c_acctbal"])
+
+
 def q_r16_percentile_bucket(spark, sf_dir):
     """R16 flagship (reference README.md:237-261): per-key exact percentile
     array, broadcast-joined back, CASE-ladder bucket."""
@@ -720,6 +747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r13_count": q_r13_count,
         "r14_group_count": q_r14_group_count,
         "r19_quality_report": q_r19_quality_report,
+        "quality_summary": q_quality_summary,
+        "dataset_profile": q_dataset_profile,
         "r16_percentile_bucket": q_r16_percentile_bucket,
         "r15_grouped_median": q_r15_grouped_median,
         "r12_join_agg": q_r12_join_agg,
@@ -789,6 +818,37 @@ def oracle_sql() -> dict[str, str]:
             "WHERE nullif(regexp_extract(source, '^(src[0-9])$', 1), '') IS NULL "
             "GROUP BY source"
         ),
+        "quality_summary": """
+            SELECT count(*) AS total_rows,
+                   CAST(sum(CASE WHEN nullif(regexp_extract(source, '^(src[0-9])$', 1), '') IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS src_fmt_failed,
+                   CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT) AS text_set_failed
+            FROM documents
+        """,
+        "dataset_profile": """
+            SELECT 'c_custkey' AS "column", count(*) AS n_rows,
+                   CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   count(DISTINCT CAST(c_custkey AS VARCHAR)) AS n_distinct,
+                   min(CAST(c_custkey AS VARCHAR)) AS min_str,
+                   max(CAST(c_custkey AS VARCHAR)) AS max_str
+            FROM customer
+            UNION ALL
+            SELECT 'c_name', count(*),
+                   CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT c_name), min(c_name), max(c_name)
+            FROM customer
+            UNION ALL
+            SELECT 'c_mktsegment', count(*),
+                   CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT c_mktsegment), min(c_mktsegment), max(c_mktsegment)
+            FROM customer
+            UNION ALL
+            SELECT 'c_acctbal', count(*),
+                   CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                   count(DISTINCT CAST(c_acctbal AS VARCHAR)),
+                   min(CAST(c_acctbal AS VARCHAR)), max(CAST(c_acctbal AS VARCHAR))
+            FROM customer
+        """,
         "r16_percentile_bucket": f"""
             WITH p AS (
               SELECT l_partkey, quantile_cont(l_quantity, {pct_list}) AS pct

@@ -52,6 +52,35 @@ def invalid_value_report(
     )
 
 
+def dataset_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column profile: nulls, distincts, min/max — the standard
+    data-quality census. One aggregate row computed in a single scan, then
+    unpivoted to one row per column via ``stack`` (no per-column jobs).
+    min/max/distinct operate on the string form so heterogeneous column
+    types share one output schema.
+    """
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(s).alias(f"{c}__distinct"),
+            F.min(s).alias(f"{c}__min"),
+            F.max(s).alias(f"{c}__max"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__n`, `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) as "
+        "(column, n_rows, n_nulls, n_distinct, min_str, max_str)"
+    )
+
+
 def validation_summary(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """Engine extension: one-pass multi-rule summary — for each rule, total
     and failing row counts. Single aggregate, no joins: each rule becomes a

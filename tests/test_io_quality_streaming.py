@@ -125,6 +125,52 @@ def test_read_whole_files_tokenized(spark, tmp_path):
     assert rows["b.txt"] == ["delta"]
 
 
+def test_catalog_ddl_roundtrip(spark, tables):
+    """R2/R4/R6a: CREATE DATABASE / saveAsTable / spark.table / DROP —
+    the reference's Hive-metastore workflow (README.md:27-28,70-71,111)
+    on the session catalog."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS mdb")
+    try:
+        tables["region"].write.mode("overwrite").saveAsTable("mdb.region_t")
+        back = spark.table("mdb.region_t")
+        assert back.count() == 5
+        assert "region_t" in [t.name for t in spark.catalog.listTables("mdb")]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mdb.region_t")
+        spark.sql("DROP DATABASE IF EXISTS mdb")
+
+
+def test_operators_on_empty_input(spark):
+    """Edge hygiene: dedup/text/session operators return empty (not error)
+    on empty input frames."""
+    from datamunging_spark.operators.dedup import (
+        minhash_signatures_df,
+        simhash_df,
+    )
+    from datamunging_spark.operators.relational import sessionize
+    from datamunging_spark.operators.text import tfidf_scores
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_signatures_df(empty_docs).count() == 0
+    assert simhash_df(empty_docs).count() == 0
+    assert tfidf_scores(empty_docs).count() == 0
+    empty_events = spark.createDataFrame(
+        [], "user_id long, ts timestamp, value double"
+    )
+    assert sessionize(empty_events).count() == 0
+
+
+def test_dataset_profile_counts(spark):
+    from datamunging_spark.operators.quality import dataset_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], ["k", "v"]
+    )
+    prof = {r["column"]: r for r in dataset_profile(df).collect()}
+    assert prof["k"]["n_distinct"] == 2 and prof["k"]["n_nulls"] == 0
+    assert prof["v"]["n_nulls"] == 1 and prof["v"]["min_str"] == "a"
+
+
 def test_quality_rules(spark):
     df = spark.createDataFrame(
         [("99213", "1"), ("bad", "2"), ("", ""), ("Q0091", "3")],
