@@ -598,6 +598,18 @@ def q_x1_embedding_neardup(spark, sf_dir):
     )
 
 
+def q_x_curation_exact(spark, sf_dir):
+    """X1+X4 composed pipeline, exact stages only (oracle-checkable):
+    quality gates → exact dedup → surviving doc ids."""
+    from datamunging_spark.operators.pipeline import curate_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    out = curate_corpus(
+        d, min_tokens=5, max_repetition=0.9, fuzzy=False
+    )
+    return out.select("doc_id", "source")
+
+
 # --- rows-only entries (non-SQL-expressible or inherently random) ----------
 
 def q_r26_sample_bernoulli(spark, sf_dir):
@@ -664,6 +676,17 @@ def q_x1_minhash_dedup(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return minhash_dedup(d, threshold=0.5).select("doc_id", "source")
+
+
+def q_x_curation_full(spark, sf_dir):
+    """X1+X4 full pipeline incl. MinHash near-dedup (engine hash →
+    rows-only) with the curation report joined in spirit: survivors only."""
+    from datamunging_spark.operators.pipeline import curate_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return curate_corpus(
+        d, min_tokens=5, max_repetition=0.9, fuzzy=True, fuzzy_threshold=0.5
+    ).select("doc_id")
 
 
 def q_x1_simhash(spark, sf_dir):
@@ -786,6 +809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_media_features": q_x3_media_features,
         "x1_ngram_jaccard": q_x1_ngram_jaccard,
         "x1_embedding_neardup": q_x1_embedding_neardup,
+        "x_curation_exact": q_x_curation_exact,
+        "x_curation_full": q_x_curation_full,
         "r26_sample_bernoulli": q_r26_sample_bernoulli,
         "r29_sample_n": q_r29_sample_n,
         "x1_minhash_pairs": q_x1_minhash_pairs,
@@ -1162,6 +1187,18 @@ def oracle_sql() -> dict[str, str]:
               FROM g a, g b
               WHERE a.doc_id < b.doc_id
             ) WHERE jaccard >= 0.5
+        """,
+        "x_curation_exact": """
+            WITH f AS (
+              SELECT doc_id, source,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+              FROM documents
+              WHERE len(string_split(text, ' ')) >= 5
+                AND (1.0 - CAST(len(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS DOUBLE)
+                     / len(regexp_split_to_array(lower(text), '\\s+'))) <= 0.9
+            ), s AS (SELECT h, min(doc_id) AS doc_id FROM f GROUP BY h)
+            SELECT f.doc_id, f.source
+            FROM f JOIN s ON f.h = s.h AND f.doc_id = s.doc_id
         """,
         "x1_embedding_neardup": """
             SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (

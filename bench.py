@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "sessionize_events",
     "asof_join",
     "x1_ngram_jaccard",
+    "x_curation_full",
 ]
 
 

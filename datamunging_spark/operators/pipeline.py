@@ -1,0 +1,74 @@
+"""End-to-end LLM-training-corpus curation (X1+X4 composed).
+
+The canonical large-scale data pipeline, as one composable operator:
+quality filters → language filter → exact dedup → optional fuzzy
+(MinHash) dedup. Every stage is one of this package's scale-shaped
+operators, so the whole pipeline is: one corpus scan for the filters
+(pure map, all codegen), one uniform-key shuffle for exact dedup, and the
+MinHash explode+agg+band-join for fuzzy — nothing quadratic anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datamunging_spark.functions import (
+    ascii_ratio,
+    normalize_text,
+    repetition_ratio,
+    token_count,
+)
+from datamunging_spark.operators.dedup import minhash_dedup
+from datamunging_spark.operators.text import detect_language
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    min_ascii: float = 0.0,
+    max_repetition: float = 0.9,
+    langs: tuple[str, ...] | None = None,
+    fuzzy: bool = True,
+    fuzzy_threshold: float = 0.5,
+) -> DataFrame:
+    """Filter + dedup a document corpus for training use.
+
+    Stages: (1) token-count / charset / repetition quality gates,
+    (2) optional language allow-list (marker-argmax heuristic), (3) exact
+    dedup — min-id survivor per normalized content hash, (4) optional
+    MinHash near-dedup at ``fuzzy_threshold`` signature Jaccard.
+    """
+    c = F.col(text_col)
+    kept = df.filter(
+        (token_count(c) >= min_tokens)
+        & (ascii_ratio(c) >= min_ascii)
+        & (repetition_ratio(c) <= max_repetition)
+    )
+    if langs:
+        kept = kept.filter(detect_language(c).isin(*langs))
+    # Exact dedup: min-id survivor per content hash (one uniform shuffle).
+    h = F.md5(normalize_text(text_col))
+    hashed = kept.withColumn("_h", h)
+    survivors = hashed.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    kept = hashed.join(survivors, on=["_h", id_col], how="inner").drop("_h")
+    if fuzzy:
+        kept = minhash_dedup(
+            kept, text_col, id_col, threshold=fuzzy_threshold
+        )
+    return kept
+
+
+def curation_report(original: DataFrame, curated: DataFrame) -> DataFrame:
+    """One-row summary: input/output doc counts and survival rate."""
+    n_in = original.select(F.count(F.lit(1)).alias("n_in"))
+    n_out = curated.select(F.count(F.lit(1)).alias("n_out"))
+    return (
+        n_in.crossJoin(n_out)
+        .withColumn(
+            "survival_rate",
+            F.round(F.col("n_out") / F.col("n_in"), 6),
+        )
+    )

@@ -80,6 +80,21 @@ def test_simhash_near_dups_close(spark):
     assert hamming(out[1], out[2]) < hamming(out[1], out[3])
 
 
+def test_curate_corpus_pipeline(docs_with_dups):
+    """X1+X4 pipeline: near-dups dropped, short docs filtered, survivors
+    keep the lowest id per content group; report rates are consistent."""
+    from datamunging_spark.operators.pipeline import curate_corpus, curation_report
+
+    out = curate_corpus(
+        docs_with_dups, min_tokens=2, fuzzy=True, fuzzy_threshold=0.5
+    )
+    n_in, n_out = docs_with_dups.count(), out.count()
+    assert 0 < n_out < n_in  # planted exact + near dups removed
+    rep = curation_report(docs_with_dups, out).first()
+    assert rep["n_in"] == n_in and rep["n_out"] == n_out
+    assert abs(rep["survival_rate"] - n_out / n_in) < 1e-6
+
+
 def test_ngram_jaccard(spark):
     df = spark.createDataFrame([("a b c d e", "a b c d x")], ["t1", "t2"])
     v = df.select(ngram_jaccard(F.col("t1"), F.col("t2"), 2).alias("j")).first()["j"]
