@@ -44,7 +44,7 @@ from datamunging_spark.operators.relational import (
     sessionize,
     top_k_per_group,
 )
-from datamunging_spark.operators.sampling import bernoulli_sample, sample_by_key
+from datamunging_spark.operators.sampling import sample_by_key
 from datamunging_spark.operators.similarity import brute_force_topk, lsh_topk
 from datamunging_spark.operators.text import (
     detect_language,
@@ -207,14 +207,16 @@ def q_window_topk(spark, sf_dir):
     ).select("o_custkey", "o_orderkey", "o_totalprice", "rn")
 
 
-def q_window_running(spark, sf_dir):
-    """§2.8 window: running count + exact running sum per customer."""
+def q_window_suite(spark, sf_dir):
+    """§2.8 window-function family in one gate entry: running count/sum
+    (framed window) + lag/lead/rank (unframed) over per-customer order
+    history, one deterministic total order. Both window specs share the same
+    partitioning, so Catalyst evaluates them over a single Exchange+Sort.
+    (Merged from round-1's window_running + window_lag_rank for the 50-entry
+    gate cap.)"""
     o = _t(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    wb = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return o.select(
         "o_custkey",
         "o_orderkey",
@@ -223,6 +225,9 @@ def q_window_running(spark, sf_dir):
         .over(w)
         .cast("double")
         .alias("run_total"),
+        F.lag("o_totalprice", 1).over(wb).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(wb).alias("next_price"),
+        F.rank().over(wb).alias("rnk"),
     )
 
 
@@ -240,20 +245,6 @@ def q_sql_passthrough(spark, sf_dir):
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
         """
-    )
-
-
-def q_window_lag_rank(spark, sf_dir):
-    """§2.8 window functions: lag/lead/rank over per-customer order
-    history (deterministic total order)."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
-        F.lead("o_totalprice", 1).over(w).alias("next_price"),
-        F.rank().over(w).alias("rnk"),
     )
 
 
@@ -277,25 +268,24 @@ def q_approx_distinct(spark, sf_dir):
     )
 
 
-def q_setop_except(spark, sf_dir):
-    """§2.8 EXCEPT DISTINCT: customers with no orders."""
-    c = _t(spark, sf_dir, "customer").select("c_custkey")
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
-    return c.subtract(o)
-
-
-def q_setop_union(spark, sf_dir):
-    """§2.8 UNION DISTINCT of customer and supplier nation keys."""
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
-    return c.union(s).distinct()
-
-
-def q_setop_intersect(spark, sf_dir):
-    """§2.8 INTERSECT of customer and supplier nation keys."""
-    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nkey"))
-    return c.intersect(s)
+def q_setops(spark, sf_dir):
+    """§2.8 set-operator family in one gate entry: UNION DISTINCT and
+    INTERSECT of customer/supplier nation keys, EXCEPT of customers with no
+    orders — each tagged with its operator name. (Merged from three round-1
+    entries to fit the 50-entry gate cap; same three operators exercised.)"""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    cn = c.select(F.col("c_nationkey").cast("bigint").alias("key"))
+    sn = s.select(F.col("s_nationkey").cast("bigint").alias("key"))
+    ck = c.select(F.col("c_custkey").cast("bigint").alias("key"))
+    ok = o.select(F.col("o_custkey").cast("bigint").alias("key"))
+    tag = lambda df, t: df.select(F.lit(t).alias("op"), "key")  # noqa: E731
+    return (
+        tag(cn.union(sn).distinct(), "union")
+        .unionByName(tag(cn.intersect(sn), "intersect"))
+        .unionByName(tag(ck.subtract(ok), "except"))
+    )
 
 
 def q_json_extract(spark, sf_dir):
@@ -445,7 +435,11 @@ def q_agg_suite(spark, sf_dir):
         ).alias("avg_qty"),
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
         F.countDistinct("l_partkey").alias("n_parts"),
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        # Serialized (not array<string>) so the driver's pandas canonicalizer
+        # can sort/hash it — round-1 gate red was exactly this column's type.
+        F.concat_ws(",", F.sort_array(F.collect_set("l_linestatus"))).alias(
+            "statuses"
+        ),
     )
 
 
@@ -610,21 +604,22 @@ def q_x_curation_exact(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
-# --- rows-only entries (non-SQL-expressible or inherently random) ----------
-
 def q_r26_sample_bernoulli(spark, sf_dir):
-    """R26/R27/R30: seeded Bernoulli sample (property-checked in tests)."""
+    """R26/R27/R30 (README.md:159,229): 20% Bernoulli row sample in the
+    portable md5-row-predicate form (same trick as R28 at row granularity) —
+    deterministic on any engine and any partitioning, hence oracle-exact.
+    The Spark-RNG sampler (``bernoulli_sample``) remains the native path,
+    property-tested in tests/test_sampling.py (fraction CI + fixed-seed
+    determinism)."""
+    from datamunging_spark.operators.sampling import bernoulli_sample_portable
+
     li = _t(spark, sf_dir, "lineitem")
-    return bernoulli_sample(li, 0.2, seed=42).select(
-        "l_orderkey", "l_linenumber"
-    )
+    return bernoulli_sample_portable(
+        li, 0.2, key_cols=["l_orderkey", "l_linenumber"]
+    ).select("l_orderkey", "l_linenumber")
 
 
-def q_r29_sample_n(spark, sf_dir):
-    """R29: fixed-N sample (TABLESAMPLE(N ROWS), README.md:187)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.limit(1000)
-
+# --- rows-only entries (non-SQL-expressible or inherently random) ----------
 
 def q_x1_minhash_pairs(spark, sf_dir):
     """X1 fuzzy dedup: MinHash-LSH candidate pairs (recall property-tested)."""
@@ -670,17 +665,24 @@ def q_stream_windowed_real(spark, sf_dir):
 
 def q_x1_minhash_dedup(spark, sf_dir):
     """X1 end-to-end fuzzy dedup: docs surviving MinHash near-dedup at
-    signature-Jaccard ≥ 0.5 (greedy min-id survivor). Deterministic
-    (xxhash64 signatures) but engine-hash-based → rows-only."""
+    signature-Jaccard ≥ 0.5, connected-component survivor selection (min-id
+    label propagation over the candidate-pair graph — keeps exactly one doc
+    per transitive duplicate cluster; the greedy one-pass variant remains as
+    method="greedy"). Deterministic (xxhash64 signatures) but
+    engine-hash-based → rows-only."""
     from datamunging_spark.operators.dedup import minhash_dedup
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_dedup(d, threshold=0.5).select("doc_id", "source")
+    return minhash_dedup(d, threshold=0.5, method="cc").select(
+        "doc_id", "source"
+    )
 
 
 def q_x_curation_full(spark, sf_dir):
-    """X1+X4 full pipeline incl. MinHash near-dedup (engine hash →
-    rows-only) with the curation report joined in spirit: survivors only."""
+    """X1+X4 full pipeline incl. MinHash near-dedup. Bench-only since round
+    2: retired from the 50-entry gate (it overlaps x1_minhash_dedup +
+    x_curation_exact, which stay gated) but still exercised per-round via
+    bench.py and test_curate_corpus_pipeline."""
     from datamunging_spark.operators.pipeline import curate_corpus
 
     d = _t(spark, sf_dir, "documents")
@@ -778,13 +780,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "window_topk": q_window_topk,
-        "window_running": q_window_running,
-        "window_lag_rank": q_window_lag_rank,
+        "window_suite": q_window_suite,
         "sql_passthrough": q_sql_passthrough,
         "approx_distinct": q_approx_distinct,
-        "setop_except": q_setop_except,
-        "setop_union": q_setop_union,
-        "setop_intersect": q_setop_intersect,
+        "setops": q_setops,
         "json_extract": q_json_extract,
         "date_agg": q_date_agg,
         "stream_window_counts": q_stream_window_counts,
@@ -810,9 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_ngram_jaccard": q_x1_ngram_jaccard,
         "x1_embedding_neardup": q_x1_embedding_neardup,
         "x_curation_exact": q_x_curation_exact,
-        "x_curation_full": q_x_curation_full,
         "r26_sample_bernoulli": q_r26_sample_bernoulli,
-        "r29_sample_n": q_r29_sample_n,
         "x1_minhash_pairs": q_x1_minhash_pairs,
         "x1_minhash_dedup": q_x1_minhash_dedup,
         "x1_simhash": q_x1_simhash,
@@ -927,13 +924,17 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             ) WHERE rn <= 3
         """,
-        "window_running": """
+        "window_suite": """
             SELECT o_custkey, o_orderkey,
                    count(*) OVER w AS run_n,
-                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_total
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_total,
+                   lag(o_totalprice, 1) OVER wb AS prev_price,
+                   lead(o_totalprice, 1) OVER wb AS next_price,
+                   rank() OVER wb AS rnk
             FROM orders
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wb AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         """,
         "sql_passthrough": """
             SELECT n_name, count(*) AS n_suppliers,
@@ -941,25 +942,19 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name
         """,
-        "window_lag_rank": """
-            SELECT o_custkey, o_orderkey,
-                   lag(o_totalprice, 1) OVER w AS prev_price,
-                   lead(o_totalprice, 1) OVER w AS next_price,
-                   rank() OVER w AS rnk
-            FROM orders
-            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        "setops": """
+            SELECT 'union' AS op, key FROM (
+              SELECT CAST(c_nationkey AS BIGINT) AS key FROM customer
+              UNION SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+            UNION ALL
+            SELECT 'intersect', key FROM (
+              SELECT CAST(c_nationkey AS BIGINT) AS key FROM customer
+              INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+            UNION ALL
+            SELECT 'except', key FROM (
+              SELECT CAST(c_custkey AS BIGINT) AS key FROM customer
+              EXCEPT SELECT CAST(o_custkey AS BIGINT) FROM orders)
         """,
-        "setop_except": (
-            "SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders"
-        ),
-        "setop_union": (
-            "SELECT c_nationkey AS nkey FROM customer "
-            "UNION SELECT s_nationkey FROM supplier"
-        ),
-        "setop_intersect": (
-            "SELECT c_nationkey AS nkey FROM customer "
-            "INTERSECT SELECT s_nationkey FROM supplier"
-        ),
         "json_extract": """
             SELECT event_type, count(*) AS n_events,
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
@@ -982,6 +977,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name FROM customer "
             "WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) <= '32'"
         ),
+        "r26_sample_bernoulli": """
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            WHERE substr(md5(concat_ws('|', CAST(l_orderkey AS VARCHAR),
+                                            CAST(l_linenumber AS VARCHAR))),
+                         1, 4) < '3333'
+        """,
         "x1_content_hash": (
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
             "AS content_hash FROM documents"
@@ -1072,7 +1073,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
                    round(stddev_samp(l_quantity), 6) AS sd_qty,
                    count(DISTINCT l_partkey) AS n_parts,
-                   list_sort(list(DISTINCT l_linestatus)) AS statuses
+                   array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses
             FROM lineitem GROUP BY l_returnflag
         """,
         "cube_sales": """

@@ -62,8 +62,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        # Bench-only queries (retired from the 50-entry gate) resolve to
+        # their module-level q_* function.
+        fn = qs.get(name) or getattr(entrymod, f"q_{name}")
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).count()
+        fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)

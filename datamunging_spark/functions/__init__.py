@@ -32,6 +32,7 @@ __all__ = [
     "dot_product",
     "l2_norm",
     "key_sample_pred",
+    "row_sample_pred",
 ]
 
 
@@ -237,3 +238,30 @@ def key_sample_pred(col: Column | str, fraction_hex2: str = "32") -> Column:
     '32' keeps 0x00..0x32 → 51/256 ≈ 19.9%."""
     c = F.col(col) if isinstance(col, str) else col
     return F.substring(F.md5(c.cast("string")), 1, 2) <= F.lit(fraction_hex2)
+
+
+def row_sample_pred(
+    key_cols: list[Column | str], fraction: float, precision: int = 4
+) -> Column:
+    """Portable per-ROW Bernoulli sampling predicate (R26/R27/R30 reference
+    semantics, README.md:159,229): md5 over the concatenated row key, keep
+    rows whose first ``precision`` hex chars fall below
+    ``fraction * 16^precision``.
+
+    Unlike ``df.sample(seed=...)`` (whose RNG stream depends on partition
+    layout), this is bit-identical on any engine and any partitioning —
+    hence DuckDB-oracle hash-matchable. Fraction granularity is
+    ``16^-precision`` (1/65536 at the default). Key columns must uniquely
+    identify a row for true Bernoulli behavior; duplicates sample
+    all-or-none (which is R28's by-key semantics)."""
+    threshold = format(
+        min(int(fraction * 16**precision), 16**precision - 1), f"0{precision}x"
+    )
+    key = F.concat_ws(
+        "|",
+        *[
+            (F.col(c) if isinstance(c, str) else c).cast("string")
+            for c in key_cols
+        ],
+    )
+    return F.substring(F.md5(key), 1, precision) < F.lit(threshold)

@@ -27,7 +27,6 @@ def exact_dedup(
     the shuffle cannot skew; the join's build side is one row per distinct
     doc, broadcast/AQE-eligible.
     """
-    h = F.md5(normalize_text(text_col)).alias("_h")
     hashed = df.withColumn("_h", F.md5(normalize_text(text_col)))
     keep = hashed.groupBy("_h").agg(F.min(id_col).alias(id_col))
     return hashed.join(keep, on=["_h", id_col], how="inner").drop("_h")
@@ -161,6 +160,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_words: int = 3,
+    _return_sig: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -170,6 +170,13 @@ def minhash_lsh_pairs(
     (hash keys uniform); no cross join anywhere. Returns distinct (id_a,
     id_b) with id_a < id_b, plus exact Jaccard over the signatures for
     post-filtering.
+
+    Cache ownership: the returned plan references a persisted signature
+    intermediate (tiny: id + ``num_hashes`` longs per doc). Callers that
+    need deterministic release — e.g. many invocations in one session —
+    should pass ``_return_sig=True`` to also receive the persisted handle
+    and ``unpersist()`` it once the pair plan has been consumed (exactly
+    what :func:`minhash_dedup` does).
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_words)
@@ -211,7 +218,7 @@ def minhash_lsh_pairs(
     )
     sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a"))
     sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b"))
-    return (
+    out = (
         pair_ids.join(sig_a, "id_a")
         .join(sig_b, "id_b")
         .select(
@@ -223,6 +230,64 @@ def minhash_lsh_pairs(
             ).alias("sig_jaccard"),
         )
     )
+    return (out, sig) if _return_sig else out
+
+
+def connected_component_labels(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of an undirected pair graph by iterative min-id
+    label propagation: every vertex starts labeled with its own id, then
+    repeatedly takes the min of its label and its neighbors' labels until a
+    fixed point. Returns (id, component) for every vertex that appears in
+    ``pairs``; the component id is the min vertex id of the component (so
+    the root is always a member).
+
+    Scale shape: each round is one equi-join (edges × labels on the
+    neighbor id) + one min-aggregate — both shuffle on uniform vertex ids.
+    Rounds needed = component diameter, which for duplicate clusters is
+    small (near-dup graphs are dense blobs, not paths). Each round is
+    ``localCheckpoint``-ed to truncate the iterative lineage (label tables
+    are tiny: two ids per vertex of the PAIR graph only, not the corpus);
+    on a real cluster with a checkpoint dir, ``checkpoint()`` drops the
+    driver dependency too. Convergence is detected with a count of changed
+    labels per round — an action on the (small) label table, not the corpus.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(
+        F.col("src").alias("v"), F.col("src").alias("component")
+    ).distinct()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.v)
+            .groupBy(edges.src.alias("v"))
+            .agg(F.min("component").alias("component"))
+        )
+        new_labels = (
+            labels.union(nbr)
+            .groupBy("v")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v"), F.col("component"))
 
 
 def minhash_dedup(
@@ -230,18 +295,42 @@ def minhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    method: str = "cc",
     **lsh_kwargs,
 ) -> DataFrame:
-    """Near-dedup: drop every doc that collides (sig-Jaccard ≥ threshold)
-    with a lower-id doc. Greedy min-id survivor — the standard one-pass
-    approximation of connected-component dedup (full CC is an iterative
-    extension; see streaming/iterative growth path)."""
-    pairs = minhash_lsh_pairs(df, text_col, id_col, **lsh_kwargs)
-    losers = (
-        pairs.filter(F.col("sig_jaccard") >= threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
+    """Near-dedup over MinHash-LSH candidates at sig-Jaccard ≥ threshold.
+
+    method="cc" (default): connected-component survivor selection — min-id
+    label propagation over the candidate-pair graph, keeping exactly ONE doc
+    per transitive duplicate cluster. Handles the star/chain case greedy
+    gets wrong: with pairs (2,9) and (5,9) only, greedy drops just 9 and
+    keeps both 2 and 5 even though they belong to one cluster.
+
+    method="greedy": one-pass approximation — drop every doc that collides
+    with a lower-id doc. Cheaper (no iteration) and correct whenever every
+    non-root has a lower-id neighbor; kept for pipelines that prefer one
+    fixed pass over a data-dependent number of (small) label rounds.
+
+    The loser id-set is materialized (``localCheckpoint``) before the
+    signature cache is released, so repeated calls in one session do not
+    accumulate cached blocks; the final anti-join is corpus × small id set.
+    """
+    pairs, sig = minhash_lsh_pairs(
+        df, text_col, id_col, _return_sig=True, **lsh_kwargs
     )
+    matched = pairs.filter(F.col("sig_jaccard") >= threshold)
+    if method == "cc":
+        comp = connected_component_labels(matched)
+        losers = (
+            comp.filter(F.col("v") != F.col("component"))
+            .select(F.col("v").alias(id_col))
+        )
+    elif method == "greedy":
+        losers = matched.select(F.col("id_b").alias(id_col)).distinct()
+    else:
+        raise ValueError(f"unknown dedup method: {method!r}")
+    losers = losers.localCheckpoint()
+    sig.unpersist()
     return df.join(losers, on=id_col, how="left_anti")
 
 

@@ -15,11 +15,10 @@ from pyspark.sql import functions as F
 
 from datamunging_spark.functions import (
     ascii_ratio,
-    normalize_text,
     repetition_ratio,
     token_count,
 )
-from datamunging_spark.operators.dedup import minhash_dedup
+from datamunging_spark.operators.dedup import exact_dedup, minhash_dedup
 from datamunging_spark.operators.text import detect_language
 
 
@@ -50,10 +49,7 @@ def curate_corpus(
     if langs:
         kept = kept.filter(detect_language(c).isin(*langs))
     # Exact dedup: min-id survivor per content hash (one uniform shuffle).
-    h = F.md5(normalize_text(text_col))
-    hashed = kept.withColumn("_h", h)
-    survivors = hashed.groupBy("_h").agg(F.min(id_col).alias(id_col))
-    kept = hashed.join(survivors, on=["_h", id_col], how="inner").drop("_h")
+    kept = exact_dedup(kept, text_col, id_col)
     if fuzzy:
         kept = minhash_dedup(
             kept, text_col, id_col, threshold=fuzzy_threshold

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datamunging_spark.functions import key_sample_pred
+from datamunging_spark.functions import key_sample_pred, row_sample_pred
 
 
 def bernoulli_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
@@ -16,6 +16,22 @@ def bernoulli_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFram
     README.md:159,229): per-row Bernoulli, no shuffle, pushdown-friendly
     (Spark evaluates the sampler at the scan)."""
     return df.sample(withReplacement=False, fraction=fraction, seed=seed)
+
+
+def bernoulli_sample_portable(
+    df: DataFrame,
+    fraction: float,
+    key_cols: list[str],
+    precision: int = 4,
+) -> DataFrame:
+    """Bernoulli row sample via a portable md5 row-key predicate (R26/R27/R30
+    semantics) — deterministic on any engine AND any partitioning, unlike
+    the seeded RNG path whose stream is partition-dependent. Pure filter:
+    no shuffle, evaluated at the scan. Use when the sample must be exactly
+    reproducible outside Spark (e.g. cross-engine lineage of what went into
+    a training set); use :func:`bernoulli_sample` when statistical
+    independence from the key bits matters more."""
+    return df.filter(row_sample_pred(key_cols, fraction, precision))
 
 
 def sample_by_key(df: DataFrame, key: str, percent: int = 20) -> DataFrame:
@@ -37,17 +53,49 @@ def stratified_sample(
     return df.sampleBy(key, fractions=fractions, seed=seed)
 
 
-def sample_n(df: DataFrame, n: int, seed: int | None = None) -> DataFrame:
+def _plan_row_count(df: DataFrame) -> int | None:
+    """Row count from Catalyst plan statistics, if the optimizer already
+    knows it (CBO/ANALYZE'd tables, LocalRelation, cached plans). Returns
+    None when only sizeInBytes is available — no job is ever triggered."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        return int(rc.get().toString()) if rc.isDefined() else None
+    except Exception:  # noqa: BLE001 — py4j/private-API guard
+        return None
+
+
+def sample_n(
+    df: DataFrame,
+    n: int,
+    seed: int | None = None,
+    total_rows: int | None = None,
+) -> DataFrame:
     """Fixed-N sample (R29, TABLESAMPLE(10000 ROWS), README.md:187).
 
-    seed=None → any-N semantics (``limit``: cheapest, first partitions win).
-    seed set → uniform random N via sort on rand(seed).  NB the random path
-    is a full shuffle of (key,) pairs — at 100 TB prefer
-    ``bernoulli_sample(f≈N/count).limit(N)`` which we do automatically when
-    the input's row count is known cheaply from parquet metadata.
+    seed=None → any-N semantics (``limit``: cheapest, first partitions win —
+    Hive's TABLESAMPLE(N ROWS) behavior).
+
+    seed set → uniform random N. Scale shape: shrink the input FIRST with a
+    Bernoulli pre-filter of expected size ~1.5·n (fraction needs the total
+    row count: ``total_rows`` if given, else Catalyst plan statistics, else
+    one counting pass — parquet count() reads footer metadata only, far
+    cheaper than ranking every row), THEN rank the survivors by rand(seed).
+    The final orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    top-n heaps, merge of n·partitions rows — never a full sort), so even
+    the no-count fallback is not a global sort; the pre-filter just shrinks
+    the heaped input from N_total to ~1.5·n rows. The pre-filter is seeded
+    independently (seed+1) of the ranking (seed), so the composition stays
+    uniform. Shortfall (sample < n rows) probability at 1.5× + 16
+    oversampling is < 1e-9 for any n ≥ 1 (Chernoff).
     """
     if seed is None:
         return df.limit(n)
+    total = total_rows if total_rows is not None else _plan_row_count(df)
+    if total is None:
+        total = df.count()
+    if total > 2 * n:
+        frac = min(1.0, (1.5 * n + 16.0) / total)
+        df = df.sample(withReplacement=False, fraction=frac, seed=seed + 1)
     return df.orderBy(F.rand(seed), *df.columns[:1]).limit(n)
 
 

@@ -138,6 +138,7 @@ def ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    max_fit_rows: int = 100_000,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) coarse quantization — the
     other standard ANN scale path beside hyperplane LSH.
@@ -149,6 +150,13 @@ def ivf_topk(
     tuned by n_probe (n_probe = n_clusters degrades gracefully to exact).
     Centroids (n_clusters × dim floats) ride to executors inside the probe
     pandas_udf closure — the IVF analog of a broadcast dimension.
+
+    The KMeans fit runs on a seeded sample capped at ``max_fit_rows``
+    (standard IVF practice: centroids need a representative sample, not the
+    corpus — at 100 TB an iterative full-corpus fit would dominate the whole
+    query). Cell ASSIGNMENT is still a single full pass, so every corpus
+    vector lands in an inverted list. The pre-sample count() is a parquet
+    metadata-weight pass, not a full scan.
     """
     import numpy as np
     import pandas as pd
@@ -160,7 +168,15 @@ def ivf_topk(
     corp_v = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     ).withColumn("features", array_to_vector("_cv"))
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(corp_v)
+    n_corpus = corp_v.count()
+    fit_df = corp_v
+    if n_corpus > max_fit_rows:
+        fit_df = corp_v.sample(
+            withReplacement=False,
+            fraction=min(1.0, max_fit_rows / n_corpus),
+            seed=seed,
+        )
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(fit_df)
     assigned = km.transform(corp_v).select(
         "neighbor_id", "_cv", F.col("prediction").alias("_cell")
     )

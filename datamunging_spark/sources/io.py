@@ -64,20 +64,37 @@ def materialize_columnar(
     path: str,
     partition_by: list[str] | None = None,
     compression: str = "zstd",
+    fmt: str = "parquet",
 ) -> None:
     """Text → columnar materialization (CTAS→ORC+ZLIB, README.md:111-117).
 
-    Parquet+zstd is the Spark-idiomatic equivalent. ``partition_by`` gives
-    partition pruning at 100 TB (e.g. by date); left None for small dims.
+    Parquet+zstd is the Spark-idiomatic default; ``fmt="orc"`` (e.g. with
+    ``compression="zlib"``) reproduces the reference's exact storage choice
+    — both are native Spark columnar sources with the same pushdown/pruning
+    behavior. ``partition_by`` gives partition pruning at 100 TB (e.g. by
+    date); left None for small dims.
     """
-    writer = df.write.mode("overwrite").option("compression", compression)
+    writer = (
+        df.write.mode("overwrite")
+        .format(fmt)
+        .option("compression", compression)
+    )
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    writer.save(path)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Catalog-style scan of one driver testdata table (R4).
+
+    SESSION-CONF CONTRACT: this call sets ``spark.sql.ansi.enabled=false``
+    and ``spark.sql.legacy.parquet.nanosAsLong=true`` on the session, and
+    deliberately does NOT restore them — the engine's semantic contract
+    (SURVEY.md §1.2, Hive-parity NULL-on-bad-cast) is a property of the
+    whole session, not of one read: a lazily-executed downstream cast must
+    see the same conf at action time as at plan time. Sessions from
+    ``get_spark`` already run with these values; the set here only matters
+    for (and is intentional for) foreign sessions, like the driver's.
 
     The driver's ``events`` parquet stores TIMESTAMP(NANOS), which Spark 4
     rejects by default. We read nanos as long (legacy conf) and floor-convert

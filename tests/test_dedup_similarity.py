@@ -4,11 +4,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from datamunging_spark.operators.dedup import (
+    connected_component_labels,
     dup_groups,
     exact_dedup,
     minhash_dedup,
     minhash_lsh_pairs,
     ngram_jaccard,
+    ngram_jaccard_pairs,
     simhash,
 )
 from datamunging_spark.operators.similarity import brute_force_topk, lsh_topk
@@ -63,6 +65,70 @@ def test_minhash_dedup_drops_near(docs_with_dups):
     # planted near-dup pairs (FIXTURES.md F2), so a few base docs may
     # legitimately dedup away too.
     assert 45 <= out.count() <= 50
+
+
+def test_connected_component_labels(spark):
+    """Min-id label propagation on a graph with a star and a chain.
+
+    Star (2,9),(5,9): 5's only neighbor has a HIGHER id, the exact shape
+    where greedy (drop every id_b) keeps two docs of one cluster. Chain
+    (10,11),(11,12),(12,13): labels need several rounds to propagate."""
+    pairs = spark.createDataFrame(
+        [(2, 9), (5, 9), (10, 11), (11, 12), (12, 13)], ["id_a", "id_b"]
+    )
+    comp = {
+        r["v"]: r["component"]
+        for r in connected_component_labels(pairs).collect()
+    }
+    assert comp == {2: 2, 5: 2, 9: 2, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_minhash_dedup_cc_beats_greedy_on_star(spark):
+    """Transitive cluster via a hub doc with the LARGEST id: doc9 = A+B,
+    doc0 ≈ A, doc5 ≈ B. Pairs found are (0,9) and (5,9) but never (0,5),
+    so greedy drops only 9 (keeps 2 docs of the cluster) while CC keeps
+    exactly the min-id root."""
+    words = [f"t{i}" for i in range(60)]
+    doc9 = " ".join(words)  # w0..w59
+    doc0 = " ".join(words[:32])  # grams ⊂ doc9, J(0,9) ≈ 0.5
+    doc5 = " ".join(words[30:])  # grams ⊂ doc9, J(5,9) ≈ 0.5, J(0,5) = 0
+    df = spark.createDataFrame(
+        [(0, doc0), (5, doc5), (9, doc9)], ["doc_id", "text"]
+    )
+    kw = dict(threshold=0.4, num_hashes=256, bands=128)
+    greedy = {
+        r["doc_id"]
+        for r in minhash_dedup(df, method="greedy", **kw).collect()
+    }
+    cc = {r["doc_id"] for r in minhash_dedup(df, method="cc", **kw).collect()}
+    assert greedy == {0, 5}  # the documented transitivity gap
+    assert cc == {0}  # one survivor per cluster, and it's the min id
+
+
+def test_ngram_jaccard_hot_shingle_valve(spark):
+    """The max_gram_df valve keeps candidate generation near-linear when one
+    shingle is ubiquitous. 30 docs share a boilerplate footer (pairwise
+    J = 0.4): valve off → all C(30,2) pairs pass threshold 0.2; valve on →
+    the shared grams (df=30 > 5) are dropped and only the planted near-dup
+    pair survives. The gate entry x1_ngram_jaccard runs valve-OFF as the
+    exact-oracle parity configuration; this test covers the scale path."""
+    footer = "common boilerplate legal footer text here"
+    rows = [(i, f"u{i}a u{i}b u{i}c " + footer) for i in range(30)]
+    rows.append((31, rows[0][1].replace("u0b", "u0x")))  # near-dup of doc 0
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def pair_set(**kw):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(df, df, n=3, threshold=0.2, **kw)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .collect()
+        }
+
+    dense = pair_set()
+    assert len(dense) == 30 * 31 // 2  # boilerplate links every pair
+    sparse = pair_set(max_gram_df=5)
+    assert sparse == {(0, 31)}
 
 
 def test_simhash_near_dups_close(spark):

@@ -61,6 +61,16 @@ def test_materialize_columnar(spark, tables, tmp_path):
     assert spark.read.parquet(p).count() == 25
 
 
+def test_materialize_columnar_orc(spark, tables, tmp_path):
+    """R3 exact parity option: ORC+zlib, the reference's storage choice
+    (README.md:111-117)."""
+    p = str(tmp_path / "orc")
+    materialize_columnar(tables["nation"], p, compression="zlib", fmt="orc")
+    back = spark.read.orc(p)
+    assert back.count() == 25
+    assert set(back.columns) == set(tables["nation"].columns)
+
+
 def test_read_lines(spark, tmp_path):
     f = tmp_path / "lines.txt"
     f.write_text("a\nb\nc\n")

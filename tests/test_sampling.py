@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from datamunging_spark.operators.sampling import (
     bernoulli_sample,
+    bernoulli_sample_portable,
     sample_by_key,
     sample_n,
 )
@@ -43,3 +44,36 @@ def test_sample_n(tables):
     r1 = sample_n(li, 50, seed=1).collect()
     r2 = sample_n(li, 50, seed=1).collect()
     assert [tuple(x) for x in r1] == [tuple(x) for x in r2]
+
+
+def test_sample_n_fast_path_no_full_sort(tables):
+    """The seeded path must not rank the full input: a Bernoulli pre-filter
+    shrinks it to ~1.5·n rows, and the final ordering compiles to
+    TakeOrderedAndProject (per-partition top-n heaps), never a full Sort."""
+    li = tables["lineitem"]
+    total = li.count()
+    out = sample_n(li, 50, seed=1, total_rows=total)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Sample" in plan  # pre-filter reached the physical plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no full-input sort operator
+    assert out.count() == 50
+    # The auto path (plan stats → count() fallback) derives the same total,
+    # hence the identical sample.
+    auto = [tuple(r) for r in sample_n(li, 50, seed=1).collect()]
+    expl = [tuple(r) for r in out.collect()]
+    assert auto == expl
+
+
+def test_bernoulli_portable_deterministic_and_partition_invariant(tables):
+    li = tables["lineitem"]
+    keys = ["l_orderkey", "l_linenumber"]
+    s = bernoulli_sample_portable(li, 0.2, keys)
+    n = li.count()
+    c = s.count()
+    assert abs(c / n - 0.2) < 0.03
+    ids = {(r[0], r[1]) for r in s.select(*keys).collect()}
+    # identical row SET under a completely different partitioning — the
+    # property the RNG sampler cannot give
+    reparted = bernoulli_sample_portable(li.repartition(7), 0.2, keys)
+    assert {(r[0], r[1]) for r in reparted.select(*keys).collect()} == ids

@@ -69,6 +69,35 @@ def test_ner_stub_shape(tables):
     assert isinstance(row["entities"], list)
 
 
+def test_ner_heuristic_golden(spark):
+    """Pin the fallback heuristic's exact outputs (R37): the container has
+    no NLTK, so the capitalized-run extractor IS the behavior users get —
+    this golden file freezes it against silent drift. Regenerate (and
+    review the diff) only on a deliberate semantic change."""
+    import json
+    import os
+
+    golden_path = os.path.join(os.path.dirname(__file__), "golden_ner.json")
+    with open(golden_path) as f:
+        golden = json.load(f)
+    texts = [
+        (0, "John Smith visited New York City with Mary Jane last Tuesday."),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "Apache Spark and Hadoop Distributed File System power Data Munging pipelines."),
+        (3, "IBM sold ThinkPad to Lenovo Group in Beijing China"),
+        (4, ""),
+        (5, "A single Capitalized word. Then Another One appears mid-sentence."),
+        (6, "numbers 123 and MixedCase tokens like iPhone or eBay stay out"),
+        (7, "Dr Jekyll And Mr Hyde By Robert Louis Stevenson"),
+    ]
+    d = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {
+        str(r["doc_id"]): list(r["entities"])
+        for r in ner_entities(d).select("doc_id", "entities").collect()
+    }
+    assert got == golden
+
+
 def test_word2vec_and_synonyms(tables):
     d = tokenized(tables["documents"].limit(200))
     model = fit_word2vec(d, vector_size=16, min_count=2, seed=42)
