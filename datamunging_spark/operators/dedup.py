@@ -253,8 +253,14 @@ def connected_component_labels(
     ``localCheckpoint``-ed to truncate the iterative lineage (label tables
     are tiny: two ids per vertex of the PAIR graph only, not the corpus);
     on a real cluster with a checkpoint dir, ``checkpoint()`` drops the
-    driver dependency too. Convergence is detected with a count of changed
-    labels per round — an action on the (small) label table, not the corpus.
+    driver dependency too.
+
+    Two job-count savings over the textbook loop (local-mode fixed job
+    overhead is the real cost at small SF): the first propagation round is
+    fused into initialization (label₀(v) = min(v, min neighbor)), and
+    convergence is detected via Σlabels — labels only ever decrease, so an
+    unchanged sum IS a fixed point, and a scalar agg on the checkpointed
+    label table is cheaper than the changed-rows self-join.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -262,31 +268,29 @@ def connected_component_labels(
         .distinct()
         .localCheckpoint()
     )
-    labels = edges.select(
-        F.col("src").alias("v"), F.col("src").alias("component")
-    ).distinct()
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("component"))
+        .select(F.col("src").alias("v"), "component")
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.v)
             .groupBy(edges.src.alias("v"))
             .agg(F.min("component").alias("component"))
         )
-        new_labels = (
+        labels = (
             labels.union(nbr)
             .groupBy("v")
             .agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select(F.col("v"), F.col("component"))
 
 
