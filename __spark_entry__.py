@@ -560,6 +560,81 @@ def q_x4_fingerprint(spark, sf_dir):
     return d.select("doc_id", bag_fingerprint("text").alias("fp"))
 
 
+def q_x4_text_suite(spark, sf_dir):
+    """X4 text-analysis suite in one gate entry and ONE scan: token counts
+    (whitespace + BPE-ish), stopword/punct ratios, language-ID, charset +
+    boilerplate quality signals with keep verdict, and the order-insensitive
+    document fingerprint. (Merged from round-1's five per-doc x4 entries —
+    x4_text_stats/token_counts/lang_id/quality_filters/fingerprint — for the
+    50-entry gate cap; each remains individually benched and pytest-covered.
+    The merge is also the honest production shape: all signals are pure
+    expressions computed in a single codegen'd pass over the corpus.)"""
+    from datamunging_spark.functions import (
+        ascii_ratio,
+        bpe_ish_token_count,
+        repetition_ratio,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ar = F.round(ascii_ratio("text"), 6)
+    rr = F.round(repetition_ratio("text"), 6)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ", -1)).alias("n_tokens"),
+        F.round(stopword_ratio("text"), 6).alias("stop_frac"),
+        F.round(punct_ratio("text"), 6).alias("punct_frac"),
+        token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_tokens"),
+        "lang",
+        detect_language("text").alias("lang_detected"),
+        ar.alias("ascii_frac"),
+        rr.alias("rep_frac"),
+        ((ar >= 0.5) & (rr <= 0.9)).alias("keep"),
+        bag_fingerprint("text").alias("fp"),
+    )
+
+
+def q_x5_decontaminate(spark, sf_dir):
+    """X5 benchmark decontamination (GPT-3-style n-gram collision): drop
+    corpus docs sharing ≥2 distinct 5-grams with the eval set (played here
+    by every 20th doc). The eval gram set is broadcast — no corpus shuffle;
+    oracle-exact because grams are compared as strings, not engine hashes."""
+    from datamunging_spark.operators.trainset import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    return decontaminate(d, bench, n=5, min_overlap=2).select(
+        "doc_id", "source"
+    )
+
+
+def q_x5_source_mix(spark, sf_dir):
+    """X5 weighted source mixing: src0 upsampled 2.5× (2 full copies + md5
+    fractional), src1 halved, src2 dropped, src3 tripled exactly, all other
+    sources kept 1×. Deterministic md5 predicate → oracle-exact; pure
+    per-row expressions, zero shuffles."""
+    from datamunging_spark.operators.trainset import source_mix
+
+    d = _t(spark, sf_dir, "documents")
+    return source_mix(
+        d.select("doc_id", "source"),
+        {"src0": 2.5, "src1": 0.5, "src2": 0.0, "src3": 3.0},
+    )
+
+
+def q_x5_train_shuffle(spark, sf_dir):
+    """X5 deterministic training shuffle: salted md5 permutation key,
+    range-partitioned + locally sorted (one exchange; writing this yields a
+    reproducible global training order)."""
+    from datamunging_spark.operators.trainset import training_shuffle
+
+    d = _t(spark, sf_dir, "documents")
+    return training_shuffle(
+        d.select("doc_id", "source"), ["doc_id"], salt="epoch0"
+    )
+
+
 def q_x3_media_features(spark, sf_dir):
     """X3 multimodal plumbing: binary payload + metadata struct →
     mapInPandas feature extraction (deterministic fake decode)."""
@@ -790,7 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r28_sample_bykey": q_r28_sample_bykey,
         "x1_content_hash": q_x1_content_hash,
         "x1_dedup_stats": q_x1_dedup_stats,
-        "x4_text_stats": q_x4_text_stats,
+        "x4_text_suite": q_x4_text_suite,
         "x4_word_count": q_x4_word_count,
         "x2_topk_cosine": q_x2_topk_cosine,
         "r33_tfidf": q_r33_tfidf,
@@ -801,10 +876,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_sales": q_cube_sales,
         "sessionize_events": q_sessionize_events,
         "asof_join": q_asof_join,
-        "x4_lang_id": q_x4_lang_id,
-        "x4_token_counts": q_x4_token_counts,
-        "x4_quality_filters": q_x4_quality_filters,
-        "x4_fingerprint": q_x4_fingerprint,
+        "x5_decontaminate": q_x5_decontaminate,
+        "x5_source_mix": q_x5_source_mix,
+        "x5_train_shuffle": q_x5_train_shuffle,
         "x3_media_features": q_x3_media_features,
         "x1_ngram_jaccard": q_x1_ngram_jaccard,
         "x1_embedding_neardup": q_x1_embedding_neardup,
@@ -992,18 +1066,120 @@ def oracle_sql() -> dict[str, str]:
             "count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) "
             "AS n_distinct FROM documents"
         ),
-        "x4_text_stats": f"""
-            SELECT doc_id,
-                   len(string_split(text, ' ')) AS n_tokens,
-                   round(CASE WHEN len(toks) > 0
-                         THEN len(list_filter(toks, t -> t IN ({_STOPWORDS_SQL}))) / len(toks)
-                         ELSE 0.0 END, 6) AS stop_frac,
-                   round(CASE WHEN length(text) > 0
-                         THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
-                         ELSE 0.0 END, 6) AS punct_frac
-            FROM (SELECT doc_id, text,
-                         regexp_split_to_array(lower(text), '\\s+') AS toks
-                  FROM documents)
+        "x4_text_suite": f"""
+            WITH stats AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     round(CASE WHEN len(toks) > 0
+                           THEN len(list_filter(toks, t -> t IN ({_STOPWORDS_SQL}))) / len(toks)
+                           ELSE 0.0 END, 6) AS stop_frac,
+                     round(CASE WHEN length(text) > 0
+                           THEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / length(text)
+                           ELSE 0.0 END, 6) AS punct_frac
+              FROM (SELECT doc_id, text,
+                           regexp_split_to_array(lower(text), '\\s+') AS toks
+                    FROM documents)
+            ), tokcnt AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS ws_tokens,
+                     len(regexp_extract_all(text,
+                         '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'))
+                       AS bpe_tokens
+              FROM documents
+            ), langid AS (
+              SELECT doc_id, lang,
+                     CASE WHEN m = 0 THEN 'und'
+                          WHEN s_en = m THEN 'en'
+                          WHEN s_fr = m THEN 'fr'
+                          WHEN s_de = m THEN 'de'
+                          WHEN s_es = m THEN 'es'
+                          ELSE 'zh' END AS lang_detected
+              FROM (
+                SELECT doc_id, lang,
+                       greatest(s_en, s_fr, s_de, s_es, s_zh) AS m,
+                       s_en, s_fr, s_de, s_es, s_zh
+                FROM (
+                  SELECT doc_id, lang,
+                    len(list_filter(toks, t -> t IN ('the','and','of','to','is','in','that','it','with'))) AS s_en,
+                    len(list_filter(toks, t -> t IN ('le','la','les','de','et','est','un','une','dans'))) AS s_fr,
+                    len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','zu'))) AS s_de,
+                    len(list_filter(toks, t -> t IN ('el','la','los','de','y','es','un','una','en'))) AS s_es,
+                    len(list_filter(toks, t -> t IN ('的','是','了','在','我','有','和','不','人'))) AS s_zh
+                  FROM (SELECT doc_id, lang,
+                               regexp_split_to_array(lower(text), '\\s+') AS toks
+                        FROM documents)
+                )
+              )
+            ), qual AS (
+              SELECT doc_id, ascii_frac, rep_frac,
+                     (ascii_frac >= 0.5 AND rep_frac <= 0.9) AS keep
+              FROM (
+                SELECT doc_id,
+                  round(CASE WHEN length(text) > 0
+                    THEN CAST(length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS DOUBLE) / length(text)
+                    ELSE 1.0 END, 6) AS ascii_frac,
+                  round(CASE WHEN len(toks) > 0
+                    THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                    ELSE 0.0 END, 6) AS rep_frac
+                FROM (SELECT doc_id, text,
+                             regexp_split_to_array(lower(text), '\\s+') AS toks
+                      FROM documents)
+              )
+            ), fp AS (
+              SELECT doc_id,
+                     md5(array_to_string(list_sort(list_distinct(
+                         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))),
+                         ' ')) AS fp
+              FROM documents
+            )
+            SELECT doc_id, n_tokens, stop_frac, punct_frac, ws_tokens,
+                   bpe_tokens, lang, lang_detected, ascii_frac, rep_frac,
+                   keep, fp
+            FROM stats
+            JOIN tokcnt USING (doc_id)
+            JOIN langid USING (doc_id)
+            JOIN qual USING (doc_id)
+            JOIN fp USING (doc_id)
+        """,
+        "x5_decontaminate": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 4, 1) + 1),
+                       i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+              FROM t
+            ), bg AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0
+            ), bad AS (
+              SELECT g.doc_id FROM g JOIN bg USING (gram)
+              GROUP BY g.doc_id HAVING count(*) >= 2
+            )
+            SELECT doc_id, source FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "x5_source_mix": """
+            WITH w AS (
+              SELECT * FROM (VALUES ('src0', 2.5), ('src1', 0.5),
+                                    ('src2', 0.0), ('src3', 3.0)) AS v(source, wt)
+            ), d AS (
+              SELECT doc_id, d.source, coalesce(wt, 1.0) AS wt
+              FROM documents d LEFT JOIN w USING (source)
+            )
+            SELECT doc_id, source, CAST(copy AS INT) AS copy
+            FROM d CROSS JOIN UNNEST(range(CAST(ceil(wt) AS BIGINT))) AS t(copy)
+            WHERE copy < floor(wt)
+               OR (copy = floor(wt)
+                   AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                       < printf('%04x', CAST(floor((wt - floor(wt)) * 65536) AS INT)))
+        """,
+        "x5_train_shuffle": """
+            SELECT doc_id, source,
+                   md5(concat('epoch0', '|', CAST(doc_id AS VARCHAR))) AS shuffle_key
+            FROM documents
         """,
         "x4_word_count": """
             SELECT word, count(*) AS cnt
@@ -1107,62 +1283,6 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'click') l
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
-        """,
-        "x4_lang_id": """
-            SELECT doc_id, lang,
-                   CASE WHEN m = 0 THEN 'und'
-                        WHEN s_en = m THEN 'en'
-                        WHEN s_fr = m THEN 'fr'
-                        WHEN s_de = m THEN 'de'
-                        WHEN s_es = m THEN 'es'
-                        ELSE 'zh' END AS lang_detected
-            FROM (
-              SELECT doc_id, lang,
-                     greatest(s_en, s_fr, s_de, s_es, s_zh) AS m,
-                     s_en, s_fr, s_de, s_es, s_zh
-              FROM (
-                SELECT doc_id, lang,
-                  len(list_filter(toks, t -> t IN ('the','and','of','to','is','in','that','it','with'))) AS s_en,
-                  len(list_filter(toks, t -> t IN ('le','la','les','de','et','est','un','une','dans'))) AS s_fr,
-                  len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht','ein','mit','zu'))) AS s_de,
-                  len(list_filter(toks, t -> t IN ('el','la','los','de','y','es','un','una','en'))) AS s_es,
-                  len(list_filter(toks, t -> t IN ('的','是','了','在','我','有','和','不','人'))) AS s_zh
-                FROM (SELECT doc_id, lang,
-                             regexp_split_to_array(lower(text), '\\s+') AS toks
-                      FROM documents)
-              )
-            )
-        """,
-        "x4_quality_filters": """
-            SELECT doc_id, ascii_frac, rep_frac,
-                   (ascii_frac >= 0.5 AND rep_frac <= 0.9) AS keep
-            FROM (
-              SELECT doc_id,
-                round(CASE WHEN length(text) > 0
-                  THEN CAST(length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS DOUBLE) / length(text)
-                  ELSE 1.0 END, 6) AS ascii_frac,
-                round(CASE WHEN len(toks) > 0
-                  THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-                  ELSE 0.0 END, 6) AS rep_frac
-              FROM (SELECT doc_id, text,
-                           regexp_split_to_array(lower(text), '\\s+') AS toks
-                    FROM documents)
-            )
-        """,
-        "x4_token_counts": """
-            SELECT doc_id,
-                   len(string_split(text, ' ')) AS ws_tokens,
-                   len(regexp_extract_all(text,
-                       '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
-                     AS bpe_tokens
-            FROM documents
-        """,
-        "x4_fingerprint": """
-            SELECT doc_id,
-                   md5(array_to_string(list_sort(list_distinct(
-                       string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))),
-                       ' ')) AS fp
-            FROM documents
         """,
         "x3_media_features": """
             SELECT doc_id, 'image/x-fake' AS media_type,

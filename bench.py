@@ -34,10 +34,7 @@ BENCH_QUERIES = [
     "x2_topk_cosine",
     "x2_ann_lsh",
     "x2_ann_ivf",
-    "x4_token_counts",
-    "x4_text_stats",
-    "x4_lang_id",
-    "x4_fingerprint",
+    "x4_text_suite",
     "x3_media_features",
     "r33_tfidf",
     "local_supplier_volume",
@@ -47,6 +44,9 @@ BENCH_QUERIES = [
     "asof_join",
     "x1_ngram_jaccard",
     "x_curation_full",
+    "x5_decontaminate",
+    "x5_source_mix",
+    "x5_train_shuffle",
 ]
 
 

@@ -7,4 +7,7 @@
   dedup       — exact + MinHash/SimHash/Jaccard near-dup (X1)
   similarity  — brute-force & LSH top-k vector search (X2)
   quality     — rule→invalid-rows validation reports (README.md:126-132 shape)
+  multimodal  — binary payload columns + mapInPandas feature/resize (X3)
+  pipeline    — end-to-end corpus curation (quality gates → dedup)
+  trainset    — decontamination, source mixing, training shuffle (X5)
 """

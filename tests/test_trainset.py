@@ -1,0 +1,119 @@
+"""Training-set assembly operators (X5): decontamination, source mixing,
+deterministic training shuffle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datamunging_spark.operators.trainset import (
+    contamination_report,
+    decontaminate,
+    source_mix,
+    training_shuffle,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [
+        (0, base, "web"),                       # contaminated: == bench 100
+        (1, base.replace("dog", "cat"), "web"),  # shares most 5-grams
+        (2, "completely different text about spark partitions and shuffles today", "web"),
+        (3, "unrelated musings on columnar storage formats and zstd compression", "books"),
+        (4, "the quick brown fox appears briefly here then diverges entirely afterwards", "books"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+@pytest.fixture(scope="module")
+def evalset(spark):
+    return spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog near the river bank")],
+        ["doc_id", "text"],
+    )
+
+
+def test_contamination_report_counts(corpus, evalset):
+    rep = {
+        r["doc_id"]: r["overlap_grams"]
+        for r in contamination_report(
+            corpus, evalset, n=5, min_overlap=2
+        ).collect()
+    }
+    # doc0 is the benchmark verbatim: all 9 of its 5-grams collide.
+    assert rep[0] == 9
+    # doc1 differs by one word: grams not containing it still collide.
+    assert 2 <= rep[1] < 9
+    # docs 2/3 share no 5-gram; doc4 shares only "the quick brown fox ..."
+    # truncated at "appears" → fewer than min_overlap collisions.
+    assert 2 not in rep and 3 not in rep and 4 not in rep
+
+
+def test_decontaminate_keeps_clean_docs(corpus, evalset):
+    kept = {
+        r["doc_id"]
+        for r in decontaminate(corpus, evalset, n=5, min_overlap=2).collect()
+    }
+    assert kept == {2, 3, 4}
+
+
+def test_source_mix_weights(spark):
+    df = spark.createDataFrame(
+        [(i, "web" if i < 400 else "wiki") for i in range(600)],
+        ["doc_id", "source"],
+    )
+    out = source_mix(df, {"web": 0.5, "wiki": 2.5})
+    by_src = {
+        r["source"]: r["cnt"]
+        for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()
+    }
+    # web: 400 docs × 0.5 → ~200 (md5 predicate, binomial CI)
+    assert 160 <= by_src["web"] <= 240
+    # wiki: 200 docs × 2.5 → 2 full copies (400) + ~100 fractional
+    assert 460 <= by_src["wiki"] <= 540
+    # copy indices: fractional-only sources never exceed copy 0
+    max_copy = {
+        r["source"]: r["mc"]
+        for r in out.groupBy("source").agg(F.max("copy").alias("mc")).collect()
+    }
+    assert max_copy["web"] == 0 and max_copy["wiki"] == 2
+    # deterministic: same plan twice → identical rows
+    again = source_mix(df, {"web": 0.5, "wiki": 2.5})
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+
+def test_source_mix_zero_weight_drops_source(spark):
+    df = spark.createDataFrame(
+        [(1, "keep"), (2, "drop"), (3, "keep")], ["doc_id", "source"]
+    )
+    out = source_mix(df, {"drop": 0.0})
+    assert {r["doc_id"] for r in out.collect()} == {1, 3}
+
+
+def test_source_mix_integer_weight_exact_copies(spark):
+    df = spark.createDataFrame([(i, "a") for i in range(50)], ["doc_id", "source"])
+    out = source_mix(df, {"a": 3.0})
+    assert out.count() == 150
+    assert out.groupBy("doc_id").count().filter("count != 3").count() == 0
+
+
+def test_training_shuffle_deterministic_and_range_partitioned(corpus):
+    out = training_shuffle(corpus, ["doc_id"], salt="ep0", num_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    keys1 = [r["shuffle_key"] for r in out.collect()]
+    keys2 = [
+        r["shuffle_key"]
+        for r in training_shuffle(
+            corpus, ["doc_id"], salt="ep0", num_partitions=4
+        ).collect()
+    ]
+    assert keys1 == keys2 and len(set(keys1)) == corpus.count()
+    # a different salt yields a different permutation
+    keys3 = set(
+        r["shuffle_key"]
+        for r in training_shuffle(
+            corpus, ["doc_id"], salt="ep1", num_partitions=4
+        ).collect()
+    )
+    assert keys3 != set(keys1)
