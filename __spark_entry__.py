@@ -288,6 +288,30 @@ def q_setops(spark, sf_dir):
     )
 
 
+def q_join_suite(spark, sf_dir):
+    """§2.3 join-type family in one gate entry: LEFT OUTER (customer ×
+    per-customer order counts, NULL for order-less customers), LEFT SEMI
+    (customers with orders), LEFT ANTI (customers without), each tagged.
+    Semi/anti are the idiomatic Spark forms of IN / NOT IN subqueries —
+    they shuffle only the key column and never duplicate the left side."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("bigint").alias("key")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("bigint").alias("key")
+    )
+    per_cust = o.groupBy("key").agg(F.count(F.lit(1)).alias("n_orders"))
+    tag = lambda df, t: df.select(  # noqa: E731
+        F.lit(t).alias("op"), "key", "n_orders"
+    )
+    null_n = F.lit(None).cast("bigint").alias("n_orders")
+    return (
+        tag(c.join(per_cust, "key", "left"), "left")
+        .unionByName(tag(c.join(o, "key", "semi").select("key", null_n), "semi"))
+        .unionByName(tag(c.join(o, "key", "anti").select("key", null_n), "anti"))
+    )
+
+
 def q_json_extract(spark, sf_dir):
     """§2.5 JSON scalar + R18 NULL-on-bad-cast aggregate over events.props."""
     e = _t(spark, sf_dir, "events")
@@ -859,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_passthrough": q_sql_passthrough,
         "approx_distinct": q_approx_distinct,
         "setops": q_setops,
+        "join_suite": q_join_suite,
         "json_extract": q_json_extract,
         "date_agg": q_date_agg,
         "stream_window_counts": q_stream_window_counts,
@@ -1015,6 +1040,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "join_suite": """
+            SELECT 'left' AS op, key, n_orders FROM (
+              SELECT CAST(c_custkey AS BIGINT) AS key, n_orders
+              FROM customer LEFT JOIN (
+                SELECT o_custkey, count(*) AS n_orders
+                FROM orders GROUP BY o_custkey
+              ) o ON c_custkey = o.o_custkey)
+            UNION ALL
+            SELECT 'semi', CAST(c_custkey AS BIGINT), CAST(NULL AS BIGINT)
+            FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            UNION ALL
+            SELECT 'anti', CAST(c_custkey AS BIGINT), CAST(NULL AS BIGINT)
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         """,
         "setops": """
             SELECT 'union' AS op, key FROM (

@@ -68,3 +68,46 @@ def test_dim_join_broadcasts(spark, tables):
         tables["customer"].c_nationkey == tables["nation"].n_nationkey,
     )
     assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark, tables):
+    """X5 decontamination must broadcast the (small) benchmark gram set —
+    the corpus side may never shuffle its exploded grams."""
+    from datamunging_spark.operators.trainset import contamination_report
+
+    d = tables["documents"]
+    bench = d.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
+    plan = _plan(contamination_report(d, bench, n=5, min_overlap=2))
+    assert "BroadcastHashJoin" in plan, plan
+    # The only hashpartitioning exchanges allowed are the window/aggregate
+    # ones keyed on doc_id — never on the gram column.
+    for frag in plan.split("Exchange hashpartitioning")[1:]:
+        assert "_sh" not in frag[:60], plan
+
+
+def test_source_mix_has_no_exchange(spark, tables):
+    """X5 source mixing is per-row expressions only: zero shuffles."""
+    from datamunging_spark.operators.trainset import source_mix
+
+    plan = _plan(
+        source_mix(
+            tables["documents"].select("doc_id", "source"),
+            {"src0": 2.5, "src1": 0.5},
+        )
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_training_shuffle_single_range_exchange(spark, tables):
+    """X5 training shuffle pays exactly one exchange: rangepartitioning on
+    the md5 key; the in-partition sort is local (no global Sort exchange)."""
+    from datamunging_spark.operators.trainset import training_shuffle
+
+    plan = _plan(
+        training_shuffle(
+            tables["documents"].select("doc_id"), ["doc_id"], salt="s"
+        )
+    )
+    # formatted output names each node twice (tree + detail) — count nodes.
+    assert plan.count("+- Exchange") == 1, plan
+    assert "rangepartitioning" in plan and "hashpartitioning" not in plan, plan
