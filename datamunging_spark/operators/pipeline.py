@@ -32,13 +32,17 @@ def curate_corpus(
     langs: tuple[str, ...] | None = None,
     fuzzy: bool = True,
     fuzzy_threshold: float = 0.5,
+    redact: bool = False,
 ) -> DataFrame:
     """Filter + dedup a document corpus for training use.
 
     Stages: (1) token-count / charset / repetition quality gates,
     (2) optional language allow-list (marker-argmax heuristic), (3) exact
     dedup — min-id survivor per normalized content hash, (4) optional
-    MinHash near-dedup at ``fuzzy_threshold`` signature Jaccard.
+    MinHash near-dedup at ``fuzzy_threshold`` signature Jaccard,
+    (5) ``redact=True``: PII masking (``redact_pii``, all kinds) applied
+    LAST so dedup keys reflect original content — two docs differing only
+    in redacted spans stay distinct, matching exact-dedup's contract.
     """
     c = F.col(text_col)
     kept = df.filter(
@@ -54,6 +58,10 @@ def curate_corpus(
         kept = minhash_dedup(
             kept, text_col, id_col, threshold=fuzzy_threshold
         )
+    if redact:
+        from datamunging_spark.functions import redact_pii
+
+        kept = kept.withColumn(text_col, redact_pii(text_col))
     return kept
 
 

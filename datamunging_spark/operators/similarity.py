@@ -168,15 +168,25 @@ def ivf_topk(
     corp_v = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     ).withColumn("features", array_to_vector("_cv"))
-    n_corpus = corp_v.count()
-    fit_df = corp_v
-    if n_corpus > max_fit_rows:
-        fit_df = corp_v.sample(
-            withReplacement=False,
-            fraction=min(1.0, max_fit_rows / n_corpus),
-            seed=seed,
-        )
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(fit_df)
+    # Cache for the duration of the ITERATIVE fit only (R35 cache-before-fit,
+    # README.md:299): KMeans makes one pass per iteration, so uncached it
+    # re-scans + re-converts the vectors each time. Released right after —
+    # the remaining pipeline reads corp_v exactly once more (assignment),
+    # and pinning corpus-sized blocks across the query would be the wrong
+    # trade at 100 TB.
+    corp_v.persist()
+    try:
+        n_corpus = corp_v.count()
+        fit_df = corp_v
+        if n_corpus > max_fit_rows:
+            fit_df = corp_v.sample(
+                withReplacement=False,
+                fraction=min(1.0, max_fit_rows / n_corpus),
+                seed=seed,
+            )
+        km = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(fit_df)
+    finally:
+        corp_v.unpersist()
     assigned = km.transform(corp_v).select(
         "neighbor_id", "_cv", F.col("prediction").alias("_cell")
     )

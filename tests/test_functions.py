@@ -59,3 +59,41 @@ def test_cosine_similarity(spark):
         ),
     )
     assert abs(v - 0.7071067811865475) < 1e-12
+
+
+def test_redact_pii_all_kinds(spark):
+    from datamunging_spark.functions import pii_counts, redact_pii
+
+    text = (
+        "mail alice.smith+x@example.co.uk or call (415) 555-0137, "
+        "server 192.168.10.1, ssn 123-45-6789, card 4111-1111-1111-1111, "
+        "year 2024 stays and so does plain 1234"
+    )
+    df = spark.createDataFrame([(1, text)], ["id", "text"])
+    out = df.select(
+        redact_pii("text").alias("red"), pii_counts("text").alias("n")
+    ).collect()[0]
+    assert "<EMAIL>" in out["red"] and "alice" not in out["red"]
+    assert "<PHONE>" in out["red"] and "555-0137" not in out["red"]
+    assert "<IP>" in out["red"] and "192.168" not in out["red"]
+    assert "<SSN>" in out["red"] and "123-45-6789" not in out["red"]
+    assert "<CC>" in out["red"] and "4111" not in out["red"]
+    # non-PII digits survive
+    assert "2024" in out["red"] and "plain 1234" in out["red"]
+    n = out["n"].asDict()
+    assert n == {"email": 1, "ip": 1, "ssn": 1, "credit_card": 1, "phone": 1}
+
+
+def test_redact_pii_subset_and_clean_text(spark):
+    from datamunging_spark.functions import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "reach a@b.io at 10.0.0.1"), (2, "no pii here at all")],
+        ["id", "text"],
+    )
+    rows = {
+        r["id"]: r["red"]
+        for r in df.select("id", redact_pii("text", ["email"]).alias("red")).collect()
+    }
+    assert rows[1] == "reach <EMAIL> at 10.0.0.1"  # ip kind not requested
+    assert rows[2] == "no pii here at all"
