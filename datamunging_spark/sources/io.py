@@ -198,6 +198,39 @@ def write_sorted_parquet(
     )
 
 
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_file_mb: int = 512,
+    compression: str = "zstd",
+) -> None:
+    """Small-files-safe parquet write: repartition to ~``target_file_mb``
+    output files using the optimizer's sizeInBytes estimate (no extra scan,
+    no action). The small-files problem is the classic 100 TB sink failure —
+    a 32k-task job writing 32k tiny files makes every downstream scan pay
+    32k file-open round trips; conversely one giant file serializes readers.
+    Uses round-robin repartition (uniform by construction); combine with
+    ``write_sorted_parquet`` when range-clustering matters more than file
+    count."""
+    try:
+        size_bytes = int(
+            df._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .sizeInBytes()
+            .toString()
+        )
+    except Exception:  # noqa: BLE001 — py4j/private-API guard
+        size_bytes = 0
+    n_files = max(1, round(size_bytes / (target_file_mb * 1024 * 1024)))
+    (
+        df.repartition(n_files)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(path)
+    )
+
+
 def read_lines(spark: SparkSession, path: str) -> DataFrame:
     """Line source: sc.textFile analog (README.md:352,385) → column `value`."""
     return spark.read.text(path)

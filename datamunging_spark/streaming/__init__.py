@@ -127,3 +127,31 @@ def run_stream_to_memory(
     q.processAllAvailable()
     q.stop()
     return name
+
+
+def dedup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup on ingest (X1 lifted to streams): drop any doc
+    whose normalized-content md5 was already seen within the watermark
+    horizon, via ``dropDuplicatesWithinWatermark``.
+
+    This is the scale-correct ingest-dedup shape: state holds one md5 key
+    per distinct doc seen inside the watermark window (bounded by arrival
+    rate × horizon, NOT stream length — the engine evicts keys older than
+    the watermark). Batch backfill and the streaming path share the same
+    normalize+md5 expressions as ``exact_dedup``, so a corpus built by
+    stream ingest and one built by batch curation agree on the surviving
+    content set (batch keeps min-id per hash; the stream keeps the first
+    arrival — same contents, documented survivor difference)."""
+    from datamunging_spark.functions import normalize_text
+
+    keyed = docs.withColumn("_h", F.md5(normalize_text(text_col)))
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_h"])
+        .drop("_h")
+    )

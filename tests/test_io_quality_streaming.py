@@ -397,3 +397,44 @@ def test_stateful_running_totals(spark, tables, tmp_path):
         | F.col("batch_n").isNull()
         | (F.col("n_events") != F.col("batch_n"))
     ).count() == 0
+
+
+def test_dedup_stream_drops_repeats_within_watermark(spark, tmp_path):
+    """X1 streaming ingest dedup: duplicate normalized contents arriving
+    within the watermark horizon are dropped; distinct contents survive."""
+    import datetime as dt
+
+    from datamunging_spark.streaming import dedup_stream, run_stream_to_memory
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "alpha beta gamma"),
+        (2, t0 + dt.timedelta(seconds=10), "Alpha  beta   GAMMA"),  # dup (normalized)
+        (3, t0 + dt.timedelta(seconds=20), "delta epsilon"),
+        (4, t0 + dt.timedelta(seconds=30), "alpha beta gamma"),  # dup again
+        (5, t0 + dt.timedelta(seconds=40), "zeta eta"),
+    ]
+    src = tmp_path / "docs_stream"
+    spark.createDataFrame(rows, ["doc_id", "ts", "text"]).write.parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(str(src))
+    name = run_stream_to_memory(
+        dedup_stream(stream, watermark="10 minutes"), "dedup_sink"
+    )
+    kept = {r["doc_id"] for r in spark.table(name).collect()}
+    # one survivor per distinct normalized content, first arrival wins
+    assert len(kept) == 3 and 3 in kept and 5 in kept
+    assert len(kept & {1, 2, 4}) == 1
+
+
+def test_write_compacted_file_count(spark, tables, tmp_path):
+    """Sink compaction: a many-partition input lands as ~target-sized files
+    (here: tiny table + huge target → exactly one data file)."""
+    import glob
+
+    from datamunging_spark.sources.io import write_compacted
+
+    p = str(tmp_path / "compacted")
+    write_compacted(tables["orders"].repartition(16), p, target_file_mb=1024)
+    files = glob.glob(p + "/part-*.parquet")
+    assert len(files) == 1
+    assert spark.read.parquet(p).count() == tables["orders"].count()

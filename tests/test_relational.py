@@ -82,3 +82,21 @@ def test_join_chain_counts(tables):
         r, n.n_regionkey == r.r_regionkey
     )
     assert joined.count() == c.count()  # FK chain is total
+
+
+def test_salted_join_matches_plain_join(spark, tables):
+    """Skew-salting must be pure plan hygiene: same rows as the unsalted
+    join, with the small side exploded across salt replicas."""
+    from datamunging_spark.operators.relational import salted_join
+
+    o = tables["orders"].select("o_orderkey", "o_custkey")
+    c = tables["customer"].select("c_custkey", "c_mktsegment").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = o.join(c, "o_custkey").select("o_orderkey", "c_mktsegment")
+    salted = salted_join(o, c, "o_custkey", salt_buckets=8).select(
+        "o_orderkey", "c_mktsegment"
+    )
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
