@@ -671,8 +671,15 @@ def q_x3_media_features(spark, sf_dir):
 
 def q_x1_ngram_jaccard(spark, sf_dir):
     """X1 exact n-gram Jaccard over all pairs (a < b), threshold 0.5 — the
-    oracle baseline that recovers exactly the planted near-dup pairs. Scale
-    path: minhash LSH candidates + this exact rescoring (x1_minhash_pairs)."""
+    oracle baseline that recovers exactly the planted near-dup pairs.
+
+    This entry deliberately runs with the ``max_gram_df`` hot-shingle valve
+    OFF: that is the parity configuration (the oracle must see every gram).
+    The scale configuration — valve ON so one ubiquitous shingle cannot
+    create a quadratic collision group — is pinned by
+    tests/test_dedup_similarity.py::test_ngram_jaccard_hot_shingle_valve;
+    production near-dup at 100 TB goes through MinHash-LSH candidates +
+    exact rescoring (x1_minhash_pairs) instead."""
     d = _t(spark, sf_dir, "documents")
     return (
         ngram_jaccard_pairs(d, d, n=3, threshold=0.5)
