@@ -467,11 +467,51 @@ def q_agg_suite(spark, sf_dir):
     )
 
 
-def q_cube_sales(spark, sf_dir):
-    """§2.4: CUBE over (returnflag, linestatus) — all grouping sets."""
+def q_grouping_suite(spark, sf_dir):
+    """§2.4 grouping-sets family in one gate entry: ROLLUP and CUBE over
+    (returnflag, linestatus) with identical aggregates, tagged per operator.
+    (Merged from round-1's rollup_sales + cube_sales for the 50-entry gate
+    cap — frees a slot for range_join_bands.)"""
     li = _t(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_items")
+
+    def aggd(g):
+        return g.agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+
+    r = aggd(li.rollup("l_returnflag", "l_linestatus"))
+    c = aggd(li.cube("l_returnflag", "l_linestatus"))
+    tag = lambda df, t: df.select(F.lit(t).alias("op"), "*")  # noqa: E731
+    return tag(r, "rollup").unionByName(tag(c, "cube"))
+
+
+def q_range_join_bands(spark, sf_dir):
+    """§2.3 range join (point ∈ [start, end]) via interval bucketing — a
+    plain equi-join on floor(x/width) bucket ids + exact filter, never the
+    BroadcastNestedLoop plan a raw theta join would produce (plan-pinned by
+    test_range_join_is_equi_join_not_nested_loop). Here: lineitems priced
+    within ±5% of a part's retail price, aggregated per part."""
+    from datamunging_spark.operators.relational import range_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    bands = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 100)
+        .select(
+            "p_partkey",
+            (F.col("p_retailprice") * 0.95).alias("lo"),
+            (F.col("p_retailprice") * 1.05).alias("hi"),
+        )
+    )
+    rj = range_join(li, bands, "l_extendedprice", "lo", "hi", bucket_width=50.0)
+    return rj.groupBy("p_partkey").agg(
+        F.count(F.lit(1)).alias("n_in_band"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
     )
 
 
@@ -497,17 +537,6 @@ def q_promo_revenue(spark, sf_dir):
             F.sum(rev).cast("double").alias("total_revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
-    )
-
-
-def q_rollup_sales(spark, sf_dir):
-    """§2.4 engine surface: ROLLUP over (returnflag, linestatus)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("sum_qty"),
     )
 
 
@@ -902,10 +931,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_topk_cosine": q_x2_topk_cosine,
         "r33_tfidf": q_r33_tfidf,
         "local_supplier_volume": q_local_supplier_volume,
-        "rollup_sales": q_rollup_sales,
+        "grouping_suite": q_grouping_suite,
+        "range_join_bands": q_range_join_bands,
         "promo_revenue": q_promo_revenue,
         "agg_suite": q_agg_suite,
-        "cube_sales": q_cube_sales,
         "sessionize_events": q_sessionize_events,
         "asof_join": q_asof_join,
         "x5_decontaminate": q_x5_decontaminate,
@@ -1275,10 +1304,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE r_name = 'ASIA'
             GROUP BY n_name
         """,
-        "rollup_sales": """
-            SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        "grouping_suite": """
+            SELECT 'rollup' AS op, l_returnflag, l_linestatus, count(*) AS n_items,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
             FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            UNION ALL
+            SELECT 'cube', l_returnflag, l_linestatus, count(*),
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "range_join_bands": """
+            SELECT p_partkey, count(*) AS n_in_band,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM lineitem JOIN part
+              ON l_extendedprice >= p_retailprice * 0.95
+             AND l_extendedprice <= p_retailprice * 1.05
+            WHERE p_partkey <= 100
+            GROUP BY p_partkey
         """,
         "promo_revenue": """
             SELECT
@@ -1300,10 +1342,7 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses
             FROM lineitem GROUP BY l_returnflag
         """,
-        "cube_sales": """
-            SELECT l_returnflag, l_linestatus, count(*) AS n_items
-            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
-        """,
+
         "sessionize_events": """
             WITH x AS (
               SELECT user_id, ts, value, event_id,

@@ -38,7 +38,8 @@ BENCH_QUERIES = [
     "x3_media_features",
     "r33_tfidf",
     "local_supplier_volume",
-    "rollup_sales",
+    "grouping_suite",
+    "range_join_bands",
     "promo_revenue",
     "sessionize_events",
     "asof_join",

@@ -216,3 +216,52 @@ def salted_join(
     )
     out = big_salted.join(small_exploded, on=[on, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval range join (point ∈ [start, end], inclusive) via
+    interval bucketing — the scale-correct alternative to the naive theta
+    join, which Spark can only execute as BroadcastNestedLoop/cartesian.
+
+    Shape: both sides get an integer bucket id (``floor(x / bucket_width)``);
+    each interval is replicated across every bucket its span touches
+    (one bounded ``explode(sequence)``), then a plain EQUI-join on the
+    bucket id + an exact range filter. Work is
+    O(points + intervals · avg_span/width + true_matches) with a uniform
+    integer shuffle key — never |points| × |intervals|.
+
+    Pick ``bucket_width`` near the median interval length: replication
+    factor stays ~2 while each point probes one bucket. A pathological
+    bucket (hot value range) is ordinary join skew — AQE's skew-join
+    splitting applies, unlike the nested-loop plan which has no such
+    escape hatch. Works for any orderable numeric; use unix seconds for
+    timestamps.
+    """
+    p = points.withColumn(
+        "_rb", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
+    )
+    iv = intervals.withColumn(
+        "_rb",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(end_col) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(iv, "_rb", how)
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("_rb")
+    )

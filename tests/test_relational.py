@@ -100,3 +100,47 @@ def test_salted_join_matches_plain_join(spark, tables):
     assert salted.count() == plain.count()
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_range_join_matches_naive_theta_join(spark, tables):
+    """Bucketized range join must return exactly the naive theta join's
+    rows, independent of bucket width."""
+    from datamunging_spark.operators.relational import range_join
+
+    li = tables["lineitem"].select("l_orderkey", "l_linenumber", "l_extendedprice")
+    bands = (
+        tables["part"]
+        .filter(F.col("p_partkey") <= 50)
+        .select(
+            "p_partkey",
+            (F.col("p_retailprice") * 0.95).alias("lo"),
+            (F.col("p_retailprice") * 1.05).alias("hi"),
+        )
+    )
+    naive = li.join(
+        bands,
+        (F.col("l_extendedprice") >= F.col("lo"))
+        & (F.col("l_extendedprice") <= F.col("hi")),
+    ).select("l_orderkey", "l_linenumber", "p_partkey")
+    for width in (10.0, 97.3, 5000.0):
+        fast = range_join(
+            li, bands, "l_extendedprice", "lo", "hi", bucket_width=width
+        ).select("l_orderkey", "l_linenumber", "p_partkey")
+        assert fast.exceptAll(naive).count() == 0
+        assert naive.exceptAll(fast).count() == 0
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, tables):
+    """The physical plan must be a hash/sort-merge EQUI-join on the bucket
+    id — never BroadcastNestedLoopJoin/CartesianProduct."""
+    from datamunging_spark.operators.relational import range_join
+
+    li = tables["lineitem"].select("l_extendedprice")
+    bands = tables["part"].select(
+        (F.col("p_retailprice") * 0.9).alias("lo"),
+        (F.col("p_retailprice") * 1.1).alias("hi"),
+    )
+    plan = range_join(
+        li, bands, "l_extendedprice", "lo", "hi", bucket_width=100.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
