@@ -274,7 +274,15 @@ def connected_component_labels(
         .select(F.col("src").alias("v"), "component")
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    # decimal(38,0) sum: labels strictly decrease while unconverged, so an
+    # unchanged EXACT sum certifies the fixed point (an int64 sum could in
+    # principle wrap to a false equality on huge-id graphs).
+    def _label_sum(lb):
+        return lb.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.v)
@@ -287,7 +295,7 @@ def connected_component_labels(
             .agg(F.min("component").alias("component"))
             .localCheckpoint()
         )
-        new_sum = labels.agg(F.sum("component")).collect()[0][0]
+        new_sum = _label_sum(labels)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum

@@ -265,3 +265,31 @@ def range_join(
         )
         .drop("_rb")
     )
+
+
+def hypertable_rollup(
+    events: DataFrame,
+    ts_col: str,
+    bucket: str,
+    agg_exprs: dict[str, Column],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Time-bucketed rollup (the hypertable continuous-aggregate shape):
+    fixed-width time buckets × optional dimension keys → named aggregates.
+
+    Thin, deliberately: ``F.window`` tumbling buckets + one hash aggregate
+    (map-side partial, shuffle bounded by buckets × keys). The SAME
+    expression lifts to Structured Streaming unchanged — add
+    ``withWatermark`` and the rollup maintains itself incrementally
+    (streaming/windowed_counts is exactly that instance), which is the
+    point of the hypertable pattern: one definition, batch backfill +
+    streaming refresh.
+    """
+    g = events.groupBy(
+        F.window(ts_col, bucket).alias("_w"), *(keys or [])
+    ).agg(*[c.alias(n) for n, c in agg_exprs.items()])
+    return g.select(
+        F.col("_w.start").alias("bucket_start"),
+        *(keys or []),
+        *agg_exprs.keys(),
+    )

@@ -144,3 +144,34 @@ def test_range_join_is_equi_join_not_nested_loop(spark, tables):
         li, bands, "l_extendedprice", "lo", "hi", bucket_width=100.0
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+def test_hypertable_rollup_matches_date_trunc(spark, tables):
+    """Hour-bucket rollup must equal a plain date_trunc groupBy."""
+    from datamunging_spark.operators.relational import hypertable_rollup
+
+    e = tables["events"]
+    out = hypertable_rollup(
+        e,
+        "ts",
+        "1 hour",
+        {
+            "n": F.count(F.lit(1)),
+            "sum_value": F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 6
+            ),
+        },
+        keys=["event_type"],
+    )
+    ref = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 6
+            ).alias("sum_value"),
+        )
+    )
+    assert out.exceptAll(ref).count() == 0
+    assert ref.exceptAll(out).count() == 0
