@@ -473,18 +473,27 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.8,
+    arrow_cosine: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, exact (X1 vector flavor).
 
     Brute force over broadcast probes — the oracle-checkable baseline; for
     all-pairs dedup at corpus scale use similarity.lsh_bucket to generate
     candidates (equi-join on bucket keys) and apply the same cosine filter.
+    ``arrow_cosine=True`` swaps the interpreted expression cosine for the
+    Arrow numpy kernel (same trade as ``brute_force_topk``: faster at large
+    probe batches, float-order-different, not oracle-parity).
     """
     from datamunging_spark.functions import cosine_similarity
 
     p = probes.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     c = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    cos = cosine_similarity(F.col("_va"), F.col("_vb"))
+    if arrow_cosine:
+        from datamunging_spark.operators.similarity import _cosine_udf
+
+        cos = _cosine_udf()(F.col("_va"), F.col("_vb"))
+    else:
+        cos = cosine_similarity(F.col("_va"), F.col("_vb"))
     return (
         F.broadcast(p)
         .crossJoin(c)

@@ -27,6 +27,7 @@ def brute_force_topk(
     query_id: str = "vec_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
+    arrow_cosine: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -35,6 +36,13 @@ def brute_force_topk(
     (a batch of probes), so the "cross join" is a broadcast nested loop over
     ONE pass of the corpus — at 100 TB the corpus is scanned once, never
     shuffled; only (n_queries × k) rows survive to the window.
+
+    ``arrow_cosine=False`` (default) keeps the expression-form cosine:
+    interpreted per row, but bitwise-reproducible on any engine — the
+    oracle-parity configuration. ``arrow_cosine=True`` swaps in the
+    Arrow-batched numpy cosine (the ANN rescoring kernel) for large probe
+    batches where the interpreted HOF arithmetic dominates; results are
+    identical up to float summation order.
 
     Generalizes MLlib ``findSynonyms`` (R39, reference README.md:388-392)
     to any array<float> column.
@@ -45,15 +53,16 @@ def brute_force_topk(
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     )
+    cos = (
+        _cosine_udf()(F.col("_qv"), F.col("_cv"))
+        if arrow_cosine
+        else cosine_similarity(F.col("_qv"), F.col("_cv"))
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity(F.col("_qv"), F.col("_cv")).alias("cosine"),
-        )
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

@@ -111,6 +111,9 @@ def source_mix(
     Pure per-row expressions: one map lookup, one bounded
     ``explode(sequence)``, one md5 — no shuffle, no UDF, safe at any scale.
     """
+    bad = {s: w for s, w in weights.items() if w < 0}
+    if bad or default_weight < 0:
+        raise ValueError(f"negative mix weights: {bad or default_weight}")
     wmap = F.create_map(
         *[x for s, w in weights.items() for x in (F.lit(s), F.lit(float(w)))]
     )

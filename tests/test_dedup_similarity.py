@@ -199,3 +199,17 @@ def test_lsh_topk_recall(tables):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     # recall@top1 with 8-table OR-amplification: most exact top-1s found
     assert len(e & a) >= len(e) // 2
+
+
+def test_brute_force_arrow_cosine_same_ranking(tables):
+    """arrow_cosine=True must produce the same neighbor ranking as the
+    expression form (values equal up to float summation order)."""
+    emb = tables["embeddings"]
+    probes = emb.filter(F.col("vec_id") < 3)
+    a = brute_force_topk(probes, emb, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    b = brute_force_topk(probes, emb, k=5, arrow_cosine=True).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

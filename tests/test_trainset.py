@@ -117,3 +117,9 @@ def test_training_shuffle_deterministic_and_range_partitioned(corpus):
         ).collect()
     )
     assert keys3 != set(keys1)
+
+
+def test_source_mix_rejects_negative_weight(spark):
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    with pytest.raises(ValueError, match="negative"):
+        source_mix(df, {"a": -0.5})
