@@ -800,11 +800,11 @@ def q_stream_windowed_real(spark, sf_dir):
 
 def q_x1_minhash_dedup(spark, sf_dir):
     """X1 end-to-end fuzzy dedup: docs surviving MinHash near-dedup at
-    signature-Jaccard ≥ 0.5, connected-component survivor selection (min-id
-    label propagation over the candidate-pair graph — keeps exactly one doc
-    per transitive duplicate cluster; the greedy one-pass variant remains as
-    method="greedy"). Deterministic (xxhash64 signatures) but
-    engine-hash-based → rows-only."""
+    signature-Jaccard ≥ 0.5, connected-component survivor selection
+    (O(log n) large-star/small-star rewriting over the candidate-pair graph
+    — keeps exactly one doc per transitive duplicate cluster; the greedy
+    one-pass variant remains as method="greedy"). Deterministic (xxhash64
+    signatures) but engine-hash-based → rows-only."""
     from datamunging_spark.operators.dedup import minhash_dedup
 
     d = _t(spark, sf_dir, "documents")

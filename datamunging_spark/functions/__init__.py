@@ -256,9 +256,13 @@ def row_sample_pred(
     hence DuckDB-oracle hash-matchable. Fraction granularity is
     ``16^-precision`` (1/65536 at the default). Key columns must uniquely
     identify a row for true Bernoulli behavior; duplicates sample
-    all-or-none (which is R28's by-key semantics)."""
+    all-or-none (which is R28's by-key semantics). ``fraction >= 1`` keeps
+    every row (the hex threshold caps at 16^precision, above any md5
+    prefix); ``fraction <= 0`` keeps none."""
+    if fraction >= 1.0:
+        return F.lit(True)
     threshold = format(
-        min(int(fraction * 16**precision), 16**precision - 1), f"0{precision}x"
+        max(0, int(fraction * 16**precision)), f"0{precision}x"
     )
     key = F.concat_ws(
         "|",
@@ -295,7 +299,7 @@ def redact_pii(col: Column | str, kinds: list[str] | None = None) -> Column:
     the same seam as ``ner_entities``.
     """
     out = F.col(col) if isinstance(col, str) else col
-    for kind in kinds or list(PII_PATTERNS):
+    for kind in list(PII_PATTERNS) if kinds is None else kinds:
         pattern, token = PII_PATTERNS[kind]
         out = F.regexp_replace(out, pattern, token)
     return out
@@ -308,6 +312,6 @@ def pii_counts(col: Column | str, kinds: list[str] | None = None) -> Column:
     return F.struct(
         *[
             F.regexp_count(c, F.lit(PII_PATTERNS[k][0])).alias(k)
-            for k in (kinds or list(PII_PATTERNS))
+            for k in (list(PII_PATTERNS) if kinds is None else kinds)
         ]
     )

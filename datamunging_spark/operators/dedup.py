@@ -237,69 +237,97 @@ def connected_component_labels(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 25,
 ) -> DataFrame:
-    """Connected components of an undirected pair graph by iterative min-id
-    label propagation: every vertex starts labeled with its own id, then
-    repeatedly takes the min of its label and its neighbors' labels until a
-    fixed point. Returns (id, component) for every vertex that appears in
-    ``pairs``; the component id is the min vertex id of the component (so
-    the root is always a member).
+    """Connected components of an undirected pair graph via alternating
+    large-star / small-star edge rewriting — the published O(log n)-round
+    MapReduce CC algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14; same family as GraphFrames' CC).
+    Returns (v, component) for every vertex appearing in ``pairs``, where
+    the component id is the minimum vertex id of the component.
 
-    Scale shape: each round is one equi-join (edges × labels on the
-    neighbor id) + one min-aggregate — both shuffle on uniform vertex ids.
-    Rounds needed = component diameter, which for duplicate clusters is
-    small (near-dup graphs are dense blobs, not paths). Each round is
-    ``localCheckpoint``-ed to truncate the iterative lineage (label tables
-    are tiny: two ids per vertex of the PAIR graph only, not the corpus);
-    on a real cluster with a checkpoint dir, ``checkpoint()`` drops the
-    driver dependency too.
+    Why not plain min-label propagation: labels flow over STATIC edges one
+    neighbor-hop per round, so a cluster whose min id sits diameter-d hops
+    from some member needs d rounds — a long chain silently under-merges at
+    any fixed iteration cap (pointer-jumping doesn't help; it only flattens
+    label trees, it cannot cross graph edges). Star rewriting instead
+    reshapes the EDGES toward the minimum each round, halving effective
+    diameter — convergence in O(log n) rounds unconditionally.
 
-    Two job-count savings over the textbook loop (local-mode fixed job
-    overhead is the real cost at small SF): the first propagation round is
-    fused into initialization (label₀(v) = min(v, min neighbor)), and
-    convergence is detected via Σlabels — labels only ever decrease, so an
-    unchanged sum IS a fixed point, and a scalar agg on the checkpointed
-    label table is cheaper than the changed-rows self-join.
+    Scale shape per round: two groupBy-min aggregations + two equi-joins on
+    vertex ids (uniform keys, map-side combinable); the edge set never
+    grows beyond the input edge count + vertex count. Each round is
+    ``localCheckpoint``-ed to truncate iterative lineage (cluster
+    deployments with a checkpoint dir can switch to ``checkpoint()``).
+    Convergence = edge-set fixed point, detected via count + xxhash64
+    checksum (one tiny agg job; a hash-sum collision is ~2^-64).
+    Exhausting ``max_iter`` RAISES rather than return labels that would
+    split one duplicate cluster into several survivors.
     """
-    edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .distinct()
-        .localCheckpoint()
-    )
-    labels = (
-        edges.groupBy("src")
-        .agg(F.least(F.col("src"), F.min("dst")).alias("component"))
-        .select(F.col("src").alias("v"), "component")
-        .localCheckpoint()
-    )
-    # decimal(38,0) sum: labels strictly decrease while unconverged, so an
-    # unchanged EXACT sum certifies the fixed point (an int64 sum could in
-    # principle wrap to a false equality on huge-id graphs).
-    def _label_sum(lb):
-        return lb.agg(
-            F.sum(F.col("component").cast("decimal(38,0)"))
-        ).collect()[0][0]
 
-    prev_sum = _label_sum(labels)
+    def _canon(e: DataFrame) -> DataFrame:
+        # store every edge pointing high -> low: (u, v) with u > v
+        return (
+            e.filter(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+        )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        # connect every strictly-larger neighbor of u to min(N(u) + {u})
+        both = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = both.groupBy("u").agg(
+            F.least(F.min("v"), F.col("u")).alias("m")
+        )
+        return _canon(
+            both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # e is high->low; connect u and all its smaller neighbors to their min
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        withm = e.join(mins, "u")
+        return _canon(
+            withm.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+                mins.select("u", F.col("m").alias("v"))
+            )
+        )
+
+    def _checksum(e: DataFrame):
+        return e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+
+    edges = _canon(
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    ).localCheckpoint()
+    prev = _checksum(edges)
+    converged = False
     for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges.dst == labels.v)
-            .groupBy(edges.src.alias("v"))
-            .agg(F.min("component").alias("component"))
-        )
-        labels = (
-            labels.union(nbr)
-            .groupBy("v")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()
-        )
-        new_sum = _label_sum(labels)
-        if new_sum == prev_sum:
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        cur = _checksum(edges)
+        if (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
+            converged = True
             break
-        prev_sum = new_sum
-    return labels.select(F.col("v"), F.col("component"))
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_component_labels did not converge in {max_iter} "
+            "star rounds; raise max_iter"
+        )
+    # Fixed point = disjoint stars centered on component minima: every
+    # non-root appears exactly once as u with its root as v; roots label
+    # themselves.
+    return edges.select(
+        F.col("u").alias("v"), F.col("v").alias("component")
+    ).union(
+        edges.select(F.col("v"), F.col("v").alias("component")).distinct()
+    )
 
 
 def minhash_dedup(
@@ -312,11 +340,11 @@ def minhash_dedup(
 ) -> DataFrame:
     """Near-dedup over MinHash-LSH candidates at sig-Jaccard ≥ threshold.
 
-    method="cc" (default): connected-component survivor selection — min-id
-    label propagation over the candidate-pair graph, keeping exactly ONE doc
-    per transitive duplicate cluster. Handles the star/chain case greedy
-    gets wrong: with pairs (2,9) and (5,9) only, greedy drops just 9 and
-    keeps both 2 and 5 even though they belong to one cluster.
+    method="cc" (default): connected-component survivor selection — O(log n)
+    large-star/small-star rewriting over the candidate-pair graph, keeping
+    exactly ONE doc per transitive duplicate cluster. Handles the star/chain
+    case greedy gets wrong: with pairs (2,9) and (5,9) only, greedy drops
+    just 9 and keeps both 2 and 5 even though they belong to one cluster.
 
     method="greedy": one-pass approximation — drop every doc that collides
     with a lower-id doc. Cheaper (no iteration) and correct whenever every
@@ -327,6 +355,8 @@ def minhash_dedup(
     signature cache is released, so repeated calls in one session do not
     accumulate cached blocks; the final anti-join is corpus × small id set.
     """
+    if method not in ("cc", "greedy"):
+        raise ValueError(f"unknown dedup method: {method!r}")
     pairs, sig = minhash_lsh_pairs(
         df, text_col, id_col, _return_sig=True, **lsh_kwargs
     )
@@ -337,10 +367,8 @@ def minhash_dedup(
             comp.filter(F.col("v") != F.col("component"))
             .select(F.col("v").alias(id_col))
         )
-    elif method == "greedy":
+    else:  # greedy (validated above)
         losers = matched.select(F.col("id_b").alias(id_col)).distinct()
-    else:
-        raise ValueError(f"unknown dedup method: {method!r}")
     losers = losers.localCheckpoint()
     sig.unpersist()
     return df.join(losers, on=id_col, how="left_anti")

@@ -244,12 +244,22 @@ def range_join(
     splitting applies, unlike the nested-loop plan which has no such
     escape hatch. Works for any orderable numeric; use unix seconds for
     timestamps.
+
+    ``how`` may be ``inner`` or ``left`` (keep unmatched points with NULL
+    interval columns; the range predicate lives in the join condition, so
+    bucketing stays invisible to outer semantics). Interval-preserving
+    (right/full) joins are rejected: the replicated interval side would
+    emit one NULL-extended row per touched bucket, not per interval.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"range_join supports how='inner'|'left', got {how!r}"
+        )
     p = points.withColumn(
-        "_rb", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
+        "_rbp", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
     )
     iv = intervals.withColumn(
-        "_rb",
+        "_rbi",
         F.explode(
             F.sequence(
                 F.floor(F.col(start_col) / F.lit(bucket_width)).cast("long"),
@@ -257,14 +267,12 @@ def range_join(
             )
         ),
     )
-    return (
-        p.join(iv, "_rb", how)
-        .filter(
-            (F.col(point_col) >= F.col(start_col))
-            & (F.col(point_col) <= F.col(end_col))
-        )
-        .drop("_rb")
+    cond = (
+        (F.col("_rbp") == F.col("_rbi"))
+        & (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) <= F.col(end_col))
     )
+    return p.join(iv, cond, how).drop("_rbp", "_rbi")
 
 
 def hypertable_rollup(

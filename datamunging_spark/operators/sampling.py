@@ -59,7 +59,8 @@ def _plan_row_count(df: DataFrame) -> int | None:
     None when only sizeInBytes is available — no job is ever triggered."""
     try:
         rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
-        return int(rc.get().toString()) if rc.isDefined() else None
+        # py4j converts the Scala BigInt straight to a Python int.
+        return int(rc.get()) if rc.isDefined() else None
     except Exception:  # noqa: BLE001 — py4j/private-API guard
         return None
 

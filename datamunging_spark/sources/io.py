@@ -213,12 +213,9 @@ def write_compacted(
     ``write_sorted_parquet`` when range-clustering matters more than file
     count."""
     try:
+        # py4j converts the Scala BigInt straight to a Python int.
         size_bytes = int(
-            df._jdf.queryExecution()
-            .optimizedPlan()
-            .stats()
-            .sizeInBytes()
-            .toString()
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
     except Exception:  # noqa: BLE001 — py4j/private-API guard
         size_bytes = 0

@@ -213,3 +213,63 @@ def test_brute_force_arrow_cosine_same_ranking(tables):
         "query_id", "neighbor_id", "rank"
     )
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_connected_component_long_chain_converges(spark):
+    """A 26-hop chain whose min id sits at one end: plain one-hop
+    propagation would need >20 rounds; pointer jumping converges in
+    O(log n) and must label every vertex with the global min (5)."""
+    ids = [100] + list(range(2000, 2024)) + [5]
+    pairs = spark.createDataFrame(
+        list(zip(ids, ids[1:])), ["id_a", "id_b"]
+    )
+    comp = connected_component_labels(pairs, max_iter=10)
+    assert {r["component"] for r in comp.collect()} == {5}
+    assert comp.count() == 26
+
+
+def test_minhash_dedup_invalid_method_raises_before_work(docs_with_dups):
+    with pytest.raises(ValueError, match="unknown dedup method"):
+        minhash_dedup(docs_with_dups, method="typo")
+
+
+def test_connected_components_match_union_find_on_random_graph(spark):
+    """Property: star-rewriting CC equals a driver-side union-find on a
+    deterministic pseudo-random graph (120 vertices, 90 edges)."""
+    import random
+
+    rng = random.Random(7)
+    verts = rng.sample(range(10_000), 120)
+    edges = [
+        tuple(rng.sample(verts, 2)) for _ in range(90)
+    ]
+    parent = {v: v for v in verts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {v for e in edges for v in e}
+    expected = {v: find(v) for v in touched}
+    # canonicalize to min-of-component
+    comp_min = {}
+    for v, r in expected.items():
+        comp_min.setdefault(r, []).append(v)
+    expected = {
+        v: min(members)
+        for r, members in comp_min.items()
+        for v in members
+    }
+
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["v"]: r["component"]
+        for r in connected_component_labels(pairs).collect()
+    }
+    assert got == expected

@@ -97,3 +97,12 @@ def test_redact_pii_subset_and_clean_text(spark):
     }
     assert rows[1] == "reach <EMAIL> at 10.0.0.1"  # ip kind not requested
     assert rows[2] == "no pii here at all"
+
+
+def test_redact_pii_explicit_empty_kinds_is_noop(spark):
+    from datamunging_spark.functions import redact_pii
+
+    df = spark.createDataFrame([(1, "mail a@b.io")], ["id", "text"])
+    assert df.select(redact_pii("text", []).alias("r")).collect()[0]["r"] == (
+        "mail a@b.io"
+    )

@@ -427,14 +427,22 @@ def test_dedup_stream_drops_repeats_within_watermark(spark, tmp_path):
 
 
 def test_write_compacted_file_count(spark, tables, tmp_path):
-    """Sink compaction: a many-partition input lands as ~target-sized files
-    (here: tiny table + huge target → exactly one data file)."""
+    """Sink compaction must actually split on the plan-stats size estimate:
+    a ~36 MB-estimated input at target 8 MB lands as several files (not the
+    1-file fallback a broken estimator would produce), and a tiny input at
+    a huge target compacts 16 partitions down to one file."""
     import glob
 
     from datamunging_spark.sources.io import write_compacted
 
-    p = str(tmp_path / "compacted")
-    write_compacted(tables["orders"].repartition(16), p, target_file_mb=1024)
-    files = glob.glob(p + "/part-*.parquet")
-    assert len(files) == 1
-    assert spark.read.parquet(p).count() == tables["orders"].count()
+    big = spark.range(1_000_000).selectExpr("id", "repeat('x', 28) AS pad")
+    p1 = str(tmp_path / "split")
+    write_compacted(big, p1, target_file_mb=8)
+    n_split = len(glob.glob(p1 + "/part-*.parquet"))
+    assert 2 <= n_split <= 10, n_split
+    assert spark.read.parquet(p1).count() == 1_000_000
+
+    p2 = str(tmp_path / "compacted")
+    write_compacted(tables["orders"].repartition(16), p2, target_file_mb=1024)
+    assert len(glob.glob(p2 + "/part-*.parquet")) == 1
+    assert spark.read.parquet(p2).count() == tables["orders"].count()

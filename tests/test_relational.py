@@ -175,3 +175,19 @@ def test_hypertable_rollup_matches_date_trunc(spark, tables):
     )
     assert out.exceptAll(ref).count() == 0
     assert ref.exceptAll(out).count() == 0
+
+
+def test_range_join_left_keeps_unmatched_points(spark):
+    import pytest
+
+    from datamunging_spark.operators.relational import range_join
+
+    pts = spark.createDataFrame([(1, 5.0), (2, 500.0)], ["pid", "x"])
+    iv = spark.createDataFrame([(10, 0.0, 10.0)], ["iid", "lo", "hi"])
+    out = range_join(pts, iv, "x", "lo", "hi", bucket_width=10.0, how="left")
+    rows = {r["pid"]: r["iid"] for r in out.collect()}
+    assert rows == {1: 10, 2: None}
+    # one row per left point even though intervals replicate across buckets
+    assert out.count() == 2
+    with pytest.raises(ValueError, match="inner"):
+        range_join(pts, iv, "x", "lo", "hi", 10.0, how="full")

@@ -77,3 +77,15 @@ def test_bernoulli_portable_deterministic_and_partition_invariant(tables):
     # property the RNG sampler cannot give
     reparted = bernoulli_sample_portable(li.repartition(7), 0.2, keys)
     assert {(r[0], r[1]) for r in reparted.select(*keys).collect()} == ids
+
+
+def test_row_sample_pred_full_fraction_keeps_all(tables):
+    from datamunging_spark.operators.sampling import bernoulli_sample_portable
+
+    li = tables["lineitem"]
+    assert (
+        bernoulli_sample_portable(
+            li, 1.0, key_cols=["l_orderkey", "l_linenumber"]
+        ).count()
+        == li.count()
+    )
