@@ -5,7 +5,7 @@ processing. All samplers are seed-disciplined for reproducibility.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datamunging_spark.functions import key_sample_pred, row_sample_pred
@@ -103,3 +103,34 @@ def sample_n(
 def take(df: DataFrame, n: int) -> list:
     """R31 (README.md:230)."""
     return df.take(n)
+
+
+def cap_per_group(
+    df: DataFrame,
+    key_cols: list[str],
+    n: int,
+    id_cols: list[str] | None = None,
+    salt: str = "0",
+) -> DataFrame:
+    """Deterministic at-most-``n``-rows-per-group cap — the training-mix
+    guardrail that stops one domain/source from dominating a corpus.
+
+    Rows within a group are ranked by a salted md5 of ``id_cols`` (so the
+    kept subset is a reproducible pseudo-random choice, not 'whatever the
+    scan returned first', and changes wholesale with ``salt``), then
+    row_number ≤ n. One window exchange on the group key; groups are
+    independent so AQE skew handling applies to a hot group's sort.
+    ``id_cols`` defaults to all non-key columns.
+    """
+    ids = id_cols or [c for c in df.columns if c not in key_cols]
+    order = F.md5(
+        F.concat_ws(
+            "|", F.lit(salt), *[F.col(c).cast("string") for c in ids]
+        )
+    )
+    w = Window.partitionBy(*key_cols).orderBy(order.asc(), *ids)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

@@ -312,3 +312,51 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q_vec",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric int8 quantization of a float vector column: per-row scale =
+    max(|x|)/127, stored beside ``array<tinyint>`` codes. 4× smaller at rest
+    and on the wire than float32 — at 100 TB of embeddings the scan-time
+    win dominates any ANN rescoring cost, which is why int8 is the standard
+    storage format for large vector corpora (FAISS SQ8 et al.).
+
+    Expression-only (one ``transform`` pass per row — a HOF is fine here
+    because the array is touched once, see SCALE.md interpreted-expression
+    discipline). Cosine is scale-invariant, so LSH bucketing and cosine
+    top-k on dequantized vectors lose only the ~0.4% code rounding error —
+    near-ties may swap, property-tested top-k recall ≥ 0.85 on the driver
+    testdata (in line with published SQ8 behavior).
+    """
+    v = F.col(vec_col)
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
+        F.lit(1e-30),
+    )
+    return df.withColumn(scale_col, scale).withColumn(
+        out_col,
+        F.transform(
+            v, lambda x: F.round(x / F.col(scale_col)).cast("tinyint")
+        ),
+    )
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    q_col: str = "q_vec",
+    scale_col: str = "q_scale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: float vectors ≈ codes ×
+    scale (max abs error = scale/2 per coordinate)."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(q_col), lambda c: (c.cast("double") * F.col(scale_col))
+        ),
+    )

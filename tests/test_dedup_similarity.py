@@ -273,3 +273,48 @@ def test_connected_components_match_union_find_on_random_graph(spark):
         for r in connected_component_labels(pairs).collect()
     }
     assert got == expected
+
+
+def test_embedding_quantization_roundtrip_and_topk_recall(tables):
+    from datamunging_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = tables["embeddings"]
+    q = quantize_embeddings(emb)
+    # codes are int8-bounded, scale strictly positive
+    bounds = q.select(
+        F.array_max(F.transform("q_vec", lambda c: F.abs(c))).alias("mx"),
+        "q_scale",
+    )
+    assert bounds.filter("mx > 127 OR q_scale <= 0").count() == 0
+    # reconstruction error bounded by scale/2 per coordinate
+    deq = dequantize_embeddings(q, out_col="recon")
+    err = deq.select(
+        F.array_max(
+            F.zip_with("embedding", "recon", lambda a, b: F.abs(a - b))
+        ).alias("e"),
+        "q_scale",
+    )
+    assert err.filter(F.col("e") > F.col("q_scale") * 0.5 + 1e-12).count() == 0
+    # top-5 on dequantized vectors keeps ≥ 0.85 recall vs float top-5
+    # (cosine is scale-invariant; int8 rounding may swap near-ties only)
+    probes = emb.filter(F.col("vec_id") < 3)
+    a = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(probes, emb, k=5).collect()
+    }
+    b = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(
+            dequantize_embeddings(
+                quantize_embeddings(probes), out_col="embedding"
+            ).select("vec_id", "embedding"),
+            dequantize_embeddings(
+                quantize_embeddings(emb), out_col="embedding"
+            ).select("vec_id", "embedding"),
+            k=5,
+        ).collect()
+    }
+    assert len(a & b) / len(a) >= 0.85

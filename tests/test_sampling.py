@@ -89,3 +89,22 @@ def test_row_sample_pred_full_fraction_keeps_all(tables):
         ).count()
         == li.count()
     )
+
+
+def test_cap_per_group_deterministic_cap(tables):
+    from datamunging_spark.operators.sampling import cap_per_group
+
+    o = tables["orders"].select("o_orderkey", "o_custkey")
+    capped = cap_per_group(o, ["o_custkey"], 2, id_cols=["o_orderkey"])
+    sizes = capped.groupBy("o_custkey").count()
+    assert sizes.filter("count > 2").count() == 0
+    # groups smaller than the cap are untouched
+    small = o.groupBy("o_custkey").count().filter("count <= 2").count()
+    assert sizes.filter("count <= 2").count() >= small
+    # deterministic, and salt changes the kept subset
+    again = cap_per_group(o, ["o_custkey"], 2, id_cols=["o_orderkey"])
+    assert capped.exceptAll(again).count() == 0
+    other = cap_per_group(
+        o, ["o_custkey"], 2, id_cols=["o_orderkey"], salt="epoch1"
+    )
+    assert other.exceptAll(capped).count() > 0
