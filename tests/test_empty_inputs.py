@@ -1,0 +1,80 @@
+"""Empty-input robustness: every major operator must return an empty (or
+identity) result on an empty DataFrame — not raise. At 100 TB an empty
+partition/source is routine (empty date partition, filtered-out source),
+and an iterative op that divides by a count or collects a first row would
+crash the whole job."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string, source string")
+
+
+def test_dedup_family_on_empty(empty_docs):
+    from datamunging_spark.operators.dedup import (
+        connected_component_labels,
+        exact_dedup,
+        minhash_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_df,
+    )
+
+    assert exact_dedup(empty_docs).count() == 0
+    assert minhash_lsh_pairs(empty_docs).count() == 0
+    assert minhash_dedup(empty_docs).count() == 0
+    assert simhash_df(empty_docs).count() == 0
+    assert ngram_jaccard_pairs(empty_docs, empty_docs).count() == 0
+    pairs = empty_docs.sparkSession.createDataFrame([], "id_a long, id_b long")
+    assert connected_component_labels(pairs).count() == 0
+
+
+def test_curation_and_trainset_on_empty(spark, empty_docs):
+    from datamunging_spark.operators.pipeline import curate_corpus
+    from datamunging_spark.operators.trainset import (
+        contamination_report,
+        decontaminate,
+        source_mix,
+        training_shuffle,
+    )
+
+    assert curate_corpus(empty_docs, fuzzy=True, redact=True).count() == 0
+    assert contamination_report(empty_docs, empty_docs).count() == 0
+    assert decontaminate(empty_docs, empty_docs).count() == 0
+    assert source_mix(empty_docs, {"web": 2.5}).count() == 0
+    assert training_shuffle(empty_docs, ["doc_id"]).count() == 0
+
+
+def test_sampling_and_relational_on_empty(spark, empty_docs):
+    from datamunging_spark.operators.relational import range_join
+    from datamunging_spark.operators.sampling import (
+        bernoulli_sample_portable,
+        cap_per_group,
+        sample_n,
+    )
+
+    assert bernoulli_sample_portable(empty_docs, 0.5, ["doc_id"]).count() == 0
+    assert cap_per_group(empty_docs, ["source"], 3).count() == 0
+    # seeded sample_n on an empty input: plan stats/count path must not
+    # divide by zero or mis-handle total=0
+    assert sample_n(empty_docs, 10, seed=1).count() == 0
+    iv = spark.createDataFrame([], "iid long, lo double, hi double")
+    pts = empty_docs.select("doc_id", F.lit(1.0).alias("x"))
+    assert range_join(pts, iv, "x", "lo", "hi", 10.0).count() == 0
+
+
+def test_similarity_on_empty(spark):
+    from datamunging_spark.operators.similarity import (
+        brute_force_topk,
+        dequantize_embeddings,
+        lsh_topk,
+        quantize_embeddings,
+    )
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert brute_force_topk(emb, emb, k=3).count() == 0
+    assert lsh_topk(emb, emb, k=3).count() == 0
+    assert dequantize_embeddings(quantize_embeddings(emb)).count() == 0
