@@ -36,6 +36,7 @@ __all__ = [
     "redact_pii",
     "pii_counts",
     "PII_PATTERNS",
+    "salted_row_key",
 ]
 
 
@@ -314,4 +315,22 @@ def pii_counts(col: Column | str, kinds: list[str] | None = None) -> Column:
             F.regexp_count(c, F.lit(PII_PATTERNS[k][0])).alias(k)
             for k in (list(PII_PATTERNS) if kinds is None else kinds)
         ]
+    )
+
+
+def salted_row_key(id_cols: list[Column | str], salt: str = "0") -> Column:
+    """Salted md5 row key — the shared primitive behind the deterministic
+    permutation family (``training_shuffle`` order, ``cap_per_group`` rank):
+    md5("salt|id1|id2|..."). One definition so epoch-salt semantics can
+    never diverge between the shuffle and the cap. ``id_cols`` must
+    uniquely identify a row for the induced order to be a permutation."""
+    return F.md5(
+        F.concat_ws(
+            "|",
+            F.lit(salt),
+            *[
+                (F.col(c) if isinstance(c, str) else c).cast("string")
+                for c in id_cols
+            ],
+        )
     )

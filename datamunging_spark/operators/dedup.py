@@ -298,11 +298,20 @@ def connected_component_labels(
         )
 
     def _checksum(e: DataFrame):
+        # decimal(38,0) sum: uniform int64 hashes overflow a long sum after
+        # a handful of edges, which is an ArithmeticException under ANSI
+        # mode (on by default in plain Spark 4 sessions).
         return e.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("u", "v")).alias("h"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
 
+    verts = (
+        pairs.select(F.col(a_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
     edges = _canon(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     ).localCheckpoint()
@@ -321,12 +330,15 @@ def connected_component_labels(
             "star rounds; raise max_iter"
         )
     # Fixed point = disjoint stars centered on component minima: every
-    # non-root appears exactly once as u with its root as v; roots label
-    # themselves.
-    return edges.select(
+    # non-root appears exactly once as u with its root as v. Vertices with
+    # no surviving edge (roots, and vertices seen only in self-loop pairs)
+    # label themselves — the left join against the full vertex set keeps
+    # the documented "every vertex appearing in pairs" contract.
+    non_roots = edges.select(
         F.col("u").alias("v"), F.col("v").alias("component")
-    ).union(
-        edges.select(F.col("v"), F.col("v").alias("component")).distinct()
+    )
+    return verts.join(non_roots, "v", "left").select(
+        "v", F.coalesce("component", F.col("v")).alias("component")
     )
 
 
@@ -360,17 +372,21 @@ def minhash_dedup(
     pairs, sig = minhash_lsh_pairs(
         df, text_col, id_col, _return_sig=True, **lsh_kwargs
     )
-    matched = pairs.filter(F.col("sig_jaccard") >= threshold)
-    if method == "cc":
-        comp = connected_component_labels(matched)
-        losers = (
-            comp.filter(F.col("v") != F.col("component"))
-            .select(F.col("v").alias(id_col))
-        )
-    else:  # greedy (validated above)
-        losers = matched.select(F.col("id_b").alias(id_col)).distinct()
-    losers = losers.localCheckpoint()
-    sig.unpersist()
+    try:
+        matched = pairs.filter(F.col("sig_jaccard") >= threshold)
+        if method == "cc":
+            comp = connected_component_labels(matched)
+            losers = (
+                comp.filter(F.col("v") != F.col("component"))
+                .select(F.col("v").alias(id_col))
+            )
+        else:  # greedy (validated above)
+            losers = matched.select(F.col("id_b").alias(id_col)).distinct()
+        losers = losers.localCheckpoint()
+    finally:
+        # release even when CC raises non-convergence — the docstring's
+        # no-cache-accumulation promise must hold on the error path too
+        sig.unpersist()
     return df.join(losers, on=id_col, how="left_anti")
 
 

@@ -115,20 +115,28 @@ def cap_per_group(
     """Deterministic at-most-``n``-rows-per-group cap — the training-mix
     guardrail that stops one domain/source from dominating a corpus.
 
-    Rows within a group are ranked by a salted md5 of ``id_cols`` (so the
-    kept subset is a reproducible pseudo-random choice, not 'whatever the
-    scan returned first', and changes wholesale with ``salt``), then
+    Rows within a group are ranked by a salted md5 of ``id_cols`` (the
+    shared :func:`~datamunging_spark.functions.salted_row_key`, so the kept
+    subset is a reproducible pseudo-random choice, not 'whatever the scan
+    returned first', and changes wholesale with ``salt``), then
     row_number ≤ n. One window exchange on the group key; groups are
     independent so AQE skew handling applies to a hot group's sort.
-    ``id_cols`` defaults to all non-key columns.
+    ``id_cols=None`` defaults to all non-key columns; the chosen columns
+    must uniquely identify a row within its group, or rank ties fall back
+    to partition-scan order and the cap stops being deterministic.
     """
-    ids = id_cols or [c for c in df.columns if c not in key_cols]
-    order = F.md5(
-        F.concat_ws(
-            "|", F.lit(salt), *[F.col(c).cast("string") for c in ids]
-        )
+    from datamunging_spark.functions import salted_row_key
+
+    if not key_cols or (id_cols is not None and not id_cols):
+        raise ValueError("key_cols and id_cols must be non-empty")
+    ids = (
+        id_cols
+        if id_cols is not None
+        else [c for c in df.columns if c not in key_cols]
     )
-    w = Window.partitionBy(*key_cols).orderBy(order.asc(), *ids)
+    w = Window.partitionBy(*key_cols).orderBy(
+        salted_row_key(ids, salt).asc(), *ids
+    )
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= n)

@@ -334,14 +334,26 @@ def quantize_embeddings(
     testdata (in line with published SQ8 behavior).
     """
     v = F.col(vec_col)
+    # NaN-safe scale: array_max sorts NaN above every number, so one NaN
+    # coordinate would otherwise poison the whole vector (NaN scale → every
+    # code NULL). Drop non-finite coords from the max; they alone quantize
+    # to NULL codes, finite coords survive.
+    finite_abs = F.filter(
+        F.transform(v, lambda x: F.abs(x)), lambda a: ~F.isnan(a)
+    )
     scale = F.greatest(
-        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
+        F.coalesce(F.array_max(finite_abs), F.lit(0.0)) / F.lit(127.0),
         F.lit(1e-30),
     )
     return df.withColumn(scale_col, scale).withColumn(
         out_col,
         F.transform(
-            v, lambda x: F.round(x / F.col(scale_col)).cast("tinyint")
+            v,
+            # explicit NULL for non-finite coords (an ANSI-off NaN cast
+            # would silently produce 0, indistinguishable from a real 0)
+            lambda x: F.when(
+                ~F.isnan(x), F.round(x / F.col(scale_col)).cast("tinyint")
+            ),
         ),
     )
 

@@ -152,12 +152,9 @@ def training_shuffle(
     scale-correct alternative to ``orderBy(rand())``'s non-reproducible key
     and to zipWithIndex-style RDD permutations.
     """
-    key = F.md5(
-        F.concat_ws(
-            "|", F.lit(salt), *[F.col(c).cast("string") for c in id_cols]
-        )
-    ).alias("shuffle_key")
-    out = df.select("*", key)
+    from datamunging_spark.functions import salted_row_key
+
+    out = df.select("*", salted_row_key(id_cols, salt).alias("shuffle_key"))
     parts = num_partitions or out.sparkSession.conf.get(
         "spark.sql.shuffle.partitions"
     )

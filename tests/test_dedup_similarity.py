@@ -216,9 +216,10 @@ def test_brute_force_arrow_cosine_same_ranking(tables):
 
 
 def test_connected_component_long_chain_converges(spark):
-    """A 26-hop chain whose min id sits at one end: plain one-hop
-    propagation would need >20 rounds; pointer jumping converges in
-    O(log n) and must label every vertex with the global min (5)."""
+    """A 26-hop chain whose min id sits at one end: plain one-hop label
+    propagation would need >20 rounds (the bug class this pins); the
+    large-star/small-star rewriting must converge within max_iter=10 and
+    label every vertex with the global min (5)."""
     ids = [100] + list(range(2000, 2024)) + [5]
     pairs = spark.createDataFrame(
         list(zip(ids, ids[1:])), ["id_a", "id_b"]
@@ -318,3 +319,30 @@ def test_embedding_quantization_roundtrip_and_topk_recall(tables):
         ).collect()
     }
     assert len(a & b) / len(a) >= 0.85
+
+
+def test_connected_components_self_loops_and_contract(spark):
+    """Every vertex appearing in pairs gets a label — including vertices
+    seen only in self-loop pairs (they are their own component)."""
+    pairs = spark.createDataFrame([(7, 7), (1, 2)], ["id_a", "id_b"])
+    got = {
+        r["v"]: r["component"]
+        for r in connected_component_labels(pairs).collect()
+    }
+    assert got == {7: 7, 1: 1, 2: 1}
+
+
+def test_quantize_embeddings_nan_coordinate_is_isolated(spark):
+    """One NaN coordinate must not poison the vector: scale comes from the
+    finite coords, which quantize normally; the NaN coord alone goes NULL."""
+    from datamunging_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, float("nan"), -2.0]), (2, [0.5, 0.25, 0.125])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert abs(rows[1]["q_scale"] - 2.0 / 127) < 1e-12
+    assert rows[1]["q_vec"][0] == 64 and rows[1]["q_vec"][2] == -127
+    assert rows[1]["q_vec"][1] is None
+    assert rows[2]["q_vec"] == [127, 64, 32]
