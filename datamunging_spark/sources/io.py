@@ -245,3 +245,52 @@ def read_whole_files(spark: SparkSession, path: str) -> DataFrame:
         .withColumn("path", F.input_file_name())
         .select("path", "value")
     )
+
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 4,
+    num_partitions: int | None = None,
+) -> None:
+    """Multi-dimensional clustering write (the Delta/Iceberg OPTIMIZE ZORDER
+    idea as plain Spark): bucket each column into 2^bits quantile levels,
+    interleave the level bits into a Morton key, range-partition + sort by
+    it. Parquet row-group min/max stats then prune on EVERY participating
+    column — ``write_sorted_parquet`` clusters only its leading column.
+
+    Levels come from ``approxQuantile`` (one sketch pass, driver gets
+    2^bits-1 boundaries per column — KBs); the per-row level is a bounded
+    HOF over that boundary array (touched once per row, fine per SCALE.md
+    discipline), so the only shuffle is the final range partition by key.
+    Quantile bucketing makes levels ~uniform even on skewed columns, which
+    is what makes the interleaved key actually skip.
+    """
+    n_levels = 1 << bits
+    probs = [i / n_levels for i in range(1, n_levels)]
+    key = F.lit(0).cast("long")
+    levels = []
+    for c in cols:
+        bounds = df.approxQuantile(c, probs, 0.001)
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        lvl = F.size(
+            F.filter(barr, lambda b: b <= F.col(c).cast("double"))
+        )
+        levels.append(F.coalesce(lvl, F.lit(0)))
+    for b in range(bits):
+        for i, lvl in enumerate(levels):
+            bit = F.shiftright(lvl, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(
+                F.shiftleft(bit.cast("long"), b * len(cols) + i)
+            )
+    parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.withColumn("_zkey", key)
+        .repartitionByRange(parts, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -446,3 +446,78 @@ def test_write_compacted_file_count(spark, tables, tmp_path):
     write_compacted(tables["orders"].repartition(16), p2, target_file_mb=1024)
     assert len(glob.glob(p2 + "/part-*.parquet")) == 1
     assert spark.read.parquet(p2).count() == tables["orders"].count()
+
+
+def test_stateless_curation_ops_lift_to_streaming(spark, tmp_path):
+    """Batch/stream parity for the stateless curation stages: quality
+    filters + PII redaction + source mixing run UNCHANGED on a readStream
+    (they are pure row expressions — no watermark or state needed) and
+    produce exactly the batch result on the same data."""
+    import datetime as dt
+
+    from datamunging_spark.functions import redact_pii, token_count
+    from datamunging_spark.operators.trainset import source_mix
+    from datamunging_spark.streaming import run_stream_to_memory
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0, f"doc {i} body text with mail user{i}@example.com here",
+         "web" if i % 2 else "wiki")
+        for i in range(40)
+    ] + [(99, t0, "tiny", "web")]
+    src = tmp_path / "docs"
+    schema = "doc_id long, ts timestamp, text string, source string"
+    batch_df = spark.createDataFrame(rows, schema)
+    batch_df.write.parquet(str(src))
+
+    def curate(df):
+        kept = df.filter(token_count("text") >= 3)
+        kept = kept.withColumn("text", redact_pii("text", ["email"]))
+        return source_mix(kept, {"web": 0.5, "wiki": 2.0}).select(
+            "doc_id", "text", "source", "copy"
+        )
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    name = run_stream_to_memory(curate(stream), "curate_stream")
+    got = spark.table(name)
+    want = curate(spark.read.parquet(str(src)))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.filter(F.col("text").contains("@")).count() == 0
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """Z-order write must cluster BOTH columns: per-output-file value
+    ranges for x and y should each cover a small fraction of the global
+    range (a single-column sort clusters only its leading column, leaving
+    the other's per-file range ≈ the full domain)."""
+    import glob
+
+    from datamunging_spark.sources.io import write_sorted_parquet, zorder_write
+
+    n = 50_000
+    df = spark.range(n).selectExpr(
+        "CAST(pmod(id * 2654435761, 100000) AS DOUBLE) AS x",
+        "CAST(pmod(id * 40503, 100000) AS DOUBLE) AS y",
+    )
+    zp = str(tmp_path / "zorder")
+    zorder_write(df, zp, ["x", "y"], bits=4, num_partitions=16)
+
+    def mean_file_span(path, col):
+        spans = []
+        for f in glob.glob(path + "/part-*.parquet"):
+            mm = spark.read.parquet(f).agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            ).first()
+            spans.append(mm["hi"] - mm["lo"])
+        return sum(spans) / len(spans)
+
+    # both dims clustered: mean per-file span well under the full range
+    assert mean_file_span(zp, "x") < 0.55 * 100000
+    assert mean_file_span(zp, "y") < 0.55 * 100000
+
+    # contrast: plain sort by x leaves y unclustered (span ~ full range)
+    sp = str(tmp_path / "xsorted")
+    write_sorted_parquet(df, sp, ["x"], num_partitions=16)
+    assert mean_file_span(sp, "x") < 0.15 * 100000
+    assert mean_file_span(sp, "y") > 0.8 * 100000
