@@ -22,13 +22,15 @@ Scale shapes (see SCALE.md):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datamunging_spark.operators.dedup import exploded_ngrams
 
 __all__ = [
     "contamination_report",
+    "pack_sequences",
+    "take_token_budget",
     "decontaminate",
     "source_mix",
     "training_shuffle",
@@ -160,4 +162,135 @@ def training_shuffle(
     )
     return out.repartitionByRange(int(parts), "shuffle_key").sortWithinPartitions(
         "shuffle_key"
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    max_len: int = 2048,
+    num_groups: int | None = None,
+) -> DataFrame:
+    """Sequence packing for training batches: assign each doc to a bin so
+    that no bin exceeds ``max_len`` tokens — the standard sample-packing
+    step that keeps context windows dense instead of padding-dominated.
+
+    Packing is inherently sequential, so the scale shape is
+    partition-parallel: docs are hashed into ``num_groups`` independent
+    groups (defaults to ``spark.sql.shuffle.partitions``), and each group is
+    packed with first-fit-decreasing inside one Arrow ``applyInPandas``
+    call. Bin ids are globally unique (``group * 2^32 + local_bin``). FFD
+    within a group wastes at most ~1/4 capacity vs optimal (classic bound);
+    cross-group imbalance vanishes at corpus scale because groups are
+    hash-uniform. Docs longer than ``max_len`` get a singleton bin and
+    ``truncated=true`` — the caller decides whether to split or drop.
+
+    Returns (id_col, tokens_col, bin_id, bin_tokens, truncated).
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    groups = int(
+        num_groups or spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    out_schema = (
+        f"{id_col} long, {tokens_col} long, bin_id long, "
+        "bin_tokens long, truncated boolean"
+    )
+
+    def pack(key, pdf: pd.DataFrame):
+        g = int(key[0])
+        pdf = pdf.sort_values(tokens_col, ascending=False, kind="mergesort")
+        bins: list[int] = []  # remaining capacity per bin
+        assign, bin_tok, trunc = [], {}, []
+        for _, row in pdf.iterrows():
+            t = int(row[tokens_col])
+            if t > max_len:
+                b = len(bins)
+                bins.append(0)
+                assign.append(b)
+                bin_tok[b] = t
+                trunc.append(True)
+                continue
+            for b, cap in enumerate(bins):
+                if cap >= t:
+                    bins[b] = cap - t
+                    assign.append(b)
+                    bin_tok[b] += t
+                    trunc.append(False)
+                    break
+            else:
+                b = len(bins)
+                bins.append(max_len - t)
+                assign.append(b)
+                bin_tok[b] = t
+                trunc.append(False)
+        out = pdf[[id_col, tokens_col]].copy()
+        out["bin_id"] = [g * (1 << 32) + b for b in assign]
+        out["bin_tokens"] = [bin_tok[b] for b in assign]
+        out["truncated"] = trunc
+        return out
+
+    keyed = df.select(id_col, tokens_col).withColumn(
+        "_g", F.pmod(F.xxhash64(F.col(id_col)), F.lit(groups))
+    )
+    return keyed.groupBy("_g").applyInPandas(pack, out_schema)
+
+
+def take_token_budget(
+    df: DataFrame,
+    budget: int,
+    tokens_col: str = "n_tokens",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Largest prefix of ``df`` (in ``order_cols`` order) whose running
+    token sum stays within ``budget`` — "take the best docs until the
+    training budget is full" without ever forming a global single-partition
+    cumulative sum.
+
+    Distributed prefix-sum, two passes: (1) range-partition by the order
+    columns and collect the per-partition token totals (one tiny row per
+    partition to the driver); (2) broadcast the partition base offsets back
+    and add a WITHIN-partition window cumsum. Every partition computes its
+    rows' global running totals independently — the classic scalable scan
+    pattern, vs ``Window.orderBy`` with no partitionBy which funnels the
+    corpus through one task. The input is ``localCheckpoint``-ed so both
+    passes see the identical partitioning.
+    """
+    order_cols = order_cols or [tokens_col]
+    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    rp = (
+        df.repartitionByRange(parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    sums = {
+        r["_pid"]: r["s"]
+        for r in rp.groupBy("_pid")
+        .agg(F.sum(F.col(tokens_col).cast("decimal(38,0)")).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += int(sums[pid])
+    base = F.create_map(
+        *[
+            x
+            for pid, off in offsets.items()
+            for x in (F.lit(pid), F.lit(off))
+        ]
+    )[F.col("_pid")].cast("decimal(38,0)")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = base + F.sum(F.col(tokens_col).cast("decimal(38,0)")).over(w)
+    return (
+        rp.withColumn("_run", running)
+        .filter(F.col("_run") <= F.lit(budget))
+        .drop("_pid", "_run")
     )

@@ -123,3 +123,56 @@ def test_source_mix_rejects_negative_weight(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
     with pytest.raises(ValueError, match="negative"):
         source_mix(df, {"a": -0.5})
+
+
+def test_pack_sequences_bin_invariants(spark, tables):
+    from datamunging_spark.operators.trainset import pack_sequences
+
+    from datamunging_spark.functions import token_count
+
+    docs = tables["documents"].select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    max_len = 256
+    packed = pack_sequences(docs, max_len=max_len, num_groups=8)
+    # every doc assigned exactly once
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+    # no non-truncated bin exceeds max_len; truncated bins are singletons
+    per_bin = packed.groupBy("bin_id").agg(
+        F.sum("n_tokens").alias("tot"),
+        F.count("*").alias("n"),
+        F.max(F.col("truncated").cast("int")).alias("tr"),
+    )
+    assert per_bin.filter((F.col("tr") == 0) & (F.col("tot") > max_len)).count() == 0
+    assert per_bin.filter((F.col("tr") == 1) & (F.col("n") > 1)).count() == 0
+    # bin_tokens column agrees with the recomputed per-bin totals
+    bad = (
+        packed.groupBy("bin_id", "bin_tokens")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .filter(F.col("tot") != F.col("bin_tokens"))
+    )
+    assert bad.count() == 0
+    # packing is reasonably dense: far fewer bins than docs
+    assert per_bin.count() < docs.count() / 2
+
+
+def test_take_token_budget_matches_global_prefix(spark, tables):
+    from datamunging_spark.functions import token_count
+    from datamunging_spark.operators.trainset import take_token_budget
+
+    docs = tables["documents"].select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    budget = 3000
+    got = take_token_budget(docs, budget, order_cols=["doc_id"])
+    # oracle: exact global prefix via driver-side cumsum in doc_id order
+    rows = sorted(docs.collect(), key=lambda r: r["doc_id"])
+    run, keep = 0, set()
+    for r in rows:
+        run += r["n_tokens"]
+        if run > budget:
+            break
+        keep.add(r["doc_id"])
+    assert {r["doc_id"] for r in got.collect()} == keep
+    assert keep  # budget admits at least some docs
