@@ -268,12 +268,19 @@ def zorder_write(
     Quantile bucketing makes levels ~uniform even on skewed columns, which
     is what makes the interleaved key actually skip.
     """
+    if bits * len(cols) > 63:
+        # shiftleft wraps its shift count mod 64 — overflow would silently
+        # fold high-level bits onto low positions and corrupt the key
+        raise ValueError(
+            f"bits*len(cols) = {bits * len(cols)} exceeds the 63-bit key"
+        )
     n_levels = 1 << bits
     probs = [i / n_levels for i in range(1, n_levels)]
+    # one sketch pass for ALL columns (approxQuantile takes a column list)
+    all_bounds = df.approxQuantile(cols, probs, 0.001)
     key = F.lit(0).cast("long")
     levels = []
-    for c in cols:
-        bounds = df.approxQuantile(c, probs, 0.001)
+    for c, bounds in zip(cols, all_bounds):
         barr = F.array(*[F.lit(float(b)) for b in bounds])
         lvl = F.size(
             F.filter(barr, lambda b: b <= F.col(c).cast("double"))

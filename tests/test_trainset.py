@@ -176,3 +176,39 @@ def test_take_token_budget_matches_global_prefix(spark, tables):
         keep.add(r["doc_id"])
     assert {r["doc_id"] for r in got.collect()} == keep
     assert keep  # budget admits at least some docs
+
+
+def test_pack_sequences_truncated_bins_stay_closed(spark):
+    """Oversized docs get CLOSED singleton bins — a zero/negative-token doc
+    (size(NULL)=-1 under ANSI-off) must open/join a normal bin instead."""
+    from datamunging_spark.operators.trainset import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 5000), (2, 0), (3, -1), (4, 100)], "doc_id long, n_tokens long"
+    )
+    packed = pack_sequences(df, max_len=2048, num_groups=1)
+    rows = {r["doc_id"]: r for r in packed.collect()}
+    assert rows[1]["truncated"] and not rows[2]["truncated"]
+    # the oversized doc's bin contains only itself
+    big_bin = rows[1]["bin_id"]
+    assert [r["doc_id"] for r in rows.values() if r["bin_id"] == big_bin] == [1]
+    # zero/negative-token docs land in the open bin with doc 4
+    assert rows[2]["bin_id"] == rows[3]["bin_id"] == rows[4]["bin_id"]
+    assert rows[4]["bin_tokens"] == 100
+
+
+def test_pack_sequences_string_ids(spark):
+    from datamunging_spark.operators.trainset import pack_sequences
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 30)], "doc_id string, n_tokens long"
+    )
+    packed = pack_sequences(df, max_len=64, num_groups=2)
+    assert {r["doc_id"] for r in packed.collect()} == {"a", "b", "c"}
+
+
+def test_take_token_budget_requires_order(spark, tables):
+    from datamunging_spark.operators.trainset import take_token_budget
+
+    with pytest.raises(ValueError, match="order_cols"):
+        take_token_budget(tables["documents"], 100)
