@@ -318,7 +318,10 @@ def connected_component_labels(
     prev = _checksum(edges)
     converged = False
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        # lazy checkpoint: the checksum action right below materializes it,
+        # so each round costs ONE job (matters in the tiny-graph regime
+        # where fixed job overhead dominates; at scale it's the same work)
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur = _checksum(edges)
         if (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
             converged = True
