@@ -556,3 +556,58 @@ def ngram_jaccard(a: Column, b: Column, n: int = 3) -> Column:
     inter = F.size(F.array_intersect(ga, gb)).cast("double")
     union = F.size(F.array_union(ga, gb)).cast("double")
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Paragraph-granular exact dedup (the C4/RefinedWeb line-dedup step):
+    split every doc on ``sep``, keep only the globally FIRST occurrence of
+    each normalized paragraph (min (doc_id, position)), and reassemble docs
+    without the repeated paragraphs — the standard scrub for boilerplate
+    (headers, footers, cookie banners) that repeats across a crawl.
+
+    Scale shape: one posexplode, one groupBy on the uniform md5 paragraph
+    hash (map-side combinable min), one equi-join back on that hash, one
+    groupBy(doc) to reassemble (array_sort of (pos, para) structs — a
+    bounded per-doc array touched once). Nothing quadratic, no skew: even a
+    paragraph repeated a million times is ONE group whose aggregate is a
+    2-field min. Docs whose every paragraph was seen earlier come back as
+    empty strings (callers drop or re-filter by token count).
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("_pos", "_para"),
+    ).withColumn("_ph", F.md5(normalize_text(F.col("_para"))))
+    first = paras.groupBy("_ph").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("_pos").alias("p"))).alias(
+            "_first"
+        )
+    )
+    kept = (
+        paras.join(first, "_ph")
+        .filter(
+            (F.col(id_col) == F.col("_first.i"))
+            & (F.col("_pos") == F.col("_first.p"))
+        )
+        .select(id_col, "_pos", "_para")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_pos"), F.col("_para")))
+                ),
+                lambda s: s._para,
+            ),
+        ).alias(text_col)
+    )
+    # keep fully-deduplicated docs as empty strings (left join on the
+    # original id set) so callers see every input doc exactly once
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )

@@ -196,3 +196,50 @@ def word_count(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    standard prep for context-window training and retrieval indexing.
+    Returns (id_col, chunk_id, chunk_text, n_tokens); chunk_id is the
+    0-based window index, windows start every ``max_tokens - overlap``
+    tokens (R22 whitespace tokens, so chunk_text round-trips by
+    concatenation).
+
+    Pure per-row expressions, zero shuffles: tokenize ONCE per doc (the
+    token array is carried into the explode — not re-split per chunk,
+    per SCALE.md's no-CSE discipline), posexplode the window starts, and
+    slice. Short docs yield exactly one chunk; empty docs one empty chunk.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    step = max_tokens - overlap
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ", -1).alias("_toks"),
+    ).withColumn(
+        "_starts",
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.size("_toks") - 1, F.lit(0)),
+            F.lit(step),
+        ),
+    )
+    exploded = toks.select(
+        id_col,
+        "_toks",
+        F.posexplode("_starts").alias("chunk_id", "_start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, max_tokens)
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    )

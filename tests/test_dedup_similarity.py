@@ -346,3 +346,43 @@ def test_quantize_embeddings_nan_coordinate_is_isolated(spark):
     assert rows[1]["q_vec"][0] == 64 and rows[1]["q_vec"][2] == -127
     assert rows[1]["q_vec"][1] is None
     assert rows[2]["q_vec"] == [127, 64, 32]
+
+
+def test_paragraph_dedup_removes_repeated_boilerplate(spark):
+    """The C4-style line dedup: a footer repeated across docs survives only
+    in its first (min doc_id, min pos) occurrence; unique paragraphs and
+    in-doc order are preserved."""
+    from datamunging_spark.operators.dedup import paragraph_dedup
+
+    footer = "subscribe to our newsletter"
+    docs = [
+        (1, f"alpha body one\n{footer}"),
+        (2, f"beta body two\n{footer}\nbeta extra"),
+        (3, footer),  # nothing but boilerplate
+        (4, "gamma unique\ngamma second"),
+    ]
+    out = {
+        r["doc_id"]: r["text"]
+        for r in paragraph_dedup(
+            spark.createDataFrame(docs, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1] == f"alpha body one\n{footer}"  # first occurrence kept
+    assert out[2] == "beta body two\nbeta extra"
+    assert out[3] == ""  # fully-boilerplate doc reduced to empty
+    assert out[4] == "gamma unique\ngamma second"
+
+
+def test_paragraph_dedup_normalized_matching(spark):
+    """Paragraph matching uses normalize_text: case/whitespace variants of
+    the same paragraph count as duplicates, but the KEPT text is verbatim."""
+    from datamunging_spark.operators.dedup import paragraph_dedup
+
+    docs = [(1, "Same  Paragraph Here"), (2, "same paragraph   here")]
+    out = {
+        r["doc_id"]: r["text"]
+        for r in paragraph_dedup(
+            spark.createDataFrame(docs, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1] == "Same  Paragraph Here" and out[2] == ""

@@ -117,3 +117,32 @@ def test_pca_projection(tables):
     # components explain decreasing variance
     ev = list(model.explainedVariance)
     assert ev == sorted(ev, reverse=True)
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from datamunging_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, "")], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, max_tokens=40, overlap=10)
+    rows = sorted(
+        out.collect(), key=lambda r: (r["doc_id"], r["chunk_id"])
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 100 tokens, step 30 -> starts 0,30,60,90 -> 4 chunks
+    c1 = by_doc[1]
+    assert [r["chunk_id"] for r in c1] == [0, 1, 2, 3]
+    assert c1[0]["n_tokens"] == 40 and c1[0]["chunk_text"].startswith("w0 ")
+    assert c1[1]["chunk_text"].startswith("w30 ")  # overlap of 10
+    assert c1[3]["n_tokens"] == 10  # tail chunk: tokens 90..99
+    # short and empty docs: exactly one chunk each
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short doc"
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_tokens"] == 1  # [''] token
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_tokens=10, overlap=10)
