@@ -565,35 +565,49 @@ def paragraph_dedup(
     sep: str = "\n",
 ) -> DataFrame:
     """Paragraph-granular exact dedup (the C4/RefinedWeb line-dedup step):
-    split every doc on ``sep``, keep only the globally FIRST occurrence of
-    each normalized paragraph (min (doc_id, position)), and reassemble docs
-    without the repeated paragraphs — the standard scrub for boilerplate
-    (headers, footers, cookie banners) that repeats across a crawl.
+    split every doc on ``sep`` (a LITERAL separator, escaped before the
+    regex split so split and reassembly always agree), keep only the
+    globally FIRST occurrence of each normalized non-empty paragraph
+    (min (doc_id, position)), and reassemble docs without the repeated
+    paragraphs — the standard scrub for boilerplate (headers, footers,
+    cookie banners) that repeats across a crawl. Paragraphs that normalize
+    to the empty string (blank lines, whitespace runs) are STRUCTURE, not
+    content: they are always kept in place, never pooled into one global
+    dedup group. All other columns of ``df`` are preserved (only
+    ``text_col`` is rewritten); ``id_col`` must be non-null and unique.
 
     Scale shape: one posexplode, one groupBy on the uniform md5 paragraph
     hash (map-side combinable min), one equi-join back on that hash, one
     groupBy(doc) to reassemble (array_sort of (pos, para) structs — a
-    bounded per-doc array touched once). Nothing quadratic, no skew: even a
-    paragraph repeated a million times is ONE group whose aggregate is a
-    2-field min. Docs whose every paragraph was seen earlier come back as
-    empty strings (callers drop or re-filter by token count).
+    bounded per-doc array touched once), one join back onto ``df``.
+    Nothing quadratic, no skew: even a paragraph repeated a million times
+    is ONE group whose aggregate is a 2-field min. Docs whose every
+    content paragraph was seen earlier come back with only their
+    structural separators (callers drop or re-filter by token count).
     """
+    import re as _re
+
     paras = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("_pos", "_para"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep), -1)
+        ).alias("_pos", "_para"),
     ).withColumn("_ph", F.md5(normalize_text(F.col("_para"))))
-    first = paras.groupBy("_ph").agg(
+    blank = F.md5(F.lit(""))  # normalize_text('') == ''
+    content = paras.filter(F.col("_ph") != blank)
+    first = content.groupBy("_ph").agg(
         F.min(F.struct(F.col(id_col).alias("i"), F.col("_pos").alias("p"))).alias(
             "_first"
         )
     )
     kept = (
-        paras.join(first, "_ph")
+        content.join(first, "_ph")
         .filter(
-            (F.col(id_col) == F.col("_first.i"))
+            F.col(id_col).eqNullSafe(F.col("_first.i"))
             & (F.col("_pos") == F.col("_first.p"))
         )
         .select(id_col, "_pos", "_para")
+        .unionByName(paras.filter(F.col("_ph") == blank).select(id_col, "_pos", "_para"))
     )
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
@@ -604,10 +618,16 @@ def paragraph_dedup(
                 ),
                 lambda s: s._para,
             ),
-        ).alias(text_col)
-    )
-    # keep fully-deduplicated docs as empty strings (left join on the
-    # original id set) so callers see every input doc exactly once
-    return df.select(id_col).join(rebuilt, id_col, "left").select(
-        id_col, F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+        ).alias("_new_text")
+    # renamed join key: rebuilt shares lineage with df, and a same-name
+    # self-join condition resolves ambiguously (rows silently vanish)
+    ).withColumnRenamed(id_col, "_rid")
+    # rewrite text_col in place, preserving every other column; docs whose
+    # every content paragraph deduped away keep only their separators
+    return (
+        df.join(
+            rebuilt, on=F.col(id_col).eqNullSafe(F.col("_rid")), how="left"
+        )
+        .withColumn(text_col, F.coalesce(F.col("_new_text"), F.lit("")))
+        .drop("_rid", "_new_text")
     )

@@ -222,12 +222,17 @@ def chunk_documents(
     step = max_tokens - overlap
     toks = df.select(
         F.col(id_col),
-        F.split(F.col(text_col), " ", -1).alias("_toks"),
+        # tokenize() = the module's R22 whitespace contract; NULL text
+        # behaves like empty text (one ['']-token chunk, never NULL counts)
+        tokenize(F.coalesce(F.col(text_col), F.lit(""))).alias("_toks"),
     ).withColumn(
         "_starts",
+        # upper bound n - overlap - 1: once a window reaches the end of the
+        # doc, no further start is generated — the would-be tail chunk is a
+        # strict subset of the previous window (duplicate training data)
         F.sequence(
             F.lit(0),
-            F.greatest(F.size("_toks") - 1, F.lit(0)),
+            F.greatest(F.size("_toks") - overlap - F.lit(1), F.lit(0)),
             F.lit(step),
         ),
     )

@@ -386,3 +386,29 @@ def test_paragraph_dedup_normalized_matching(spark):
         ).collect()
     }
     assert out[1] == "Same  Paragraph Here" and out[2] == ""
+
+
+def test_paragraph_dedup_blank_lines_and_metadata_preserved(spark):
+    """Blank separator lines are structure, not dedupable content; extra
+    columns survive; a literal-regex-metachar separator works."""
+    from datamunging_spark.operators.dedup import paragraph_dedup
+
+    docs = [
+        (1, "a\n\nb", "u1"),
+        (2, "c\n\nd", "u2"),  # its blank line must NOT dedup away
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(
+            spark.createDataFrame(docs, ["doc_id", "text", "url"])
+        ).collect()
+    }
+    assert out[2]["text"] == "c\n\nd"
+    assert out[1]["url"] == "u1" and out[2]["url"] == "u2"
+    # regex-metachar separator treated literally
+    dot = paragraph_dedup(
+        spark.createDataFrame([(1, "x.y"), (2, "z.x")], ["doc_id", "text"]),
+        sep=".",
+    )
+    got = {r["doc_id"]: r["text"] for r in dot.collect()}
+    assert got == {1: "x.y", 2: "z"}  # dropped paragraph takes its separator

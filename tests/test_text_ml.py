@@ -133,15 +133,22 @@ def test_chunk_documents_windows_and_overlap(spark):
     by_doc = {}
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r)
-    # doc 1: 100 tokens, step 30 -> starts 0,30,60,90 -> 4 chunks
+    # doc 1: 100 tokens, step 30 -> starts 0,30,60 (90 would be a subset) -> 3 chunks
     c1 = by_doc[1]
-    assert [r["chunk_id"] for r in c1] == [0, 1, 2, 3]
+    assert [r["chunk_id"] for r in c1] == [0, 1, 2]
     assert c1[0]["n_tokens"] == 40 and c1[0]["chunk_text"].startswith("w0 ")
     assert c1[1]["chunk_text"].startswith("w30 ")  # overlap of 10
-    assert c1[3]["n_tokens"] == 10  # tail chunk: tokens 90..99
+    assert c1[2]["n_tokens"] == 40  # last window reaches the end (w60..w99)
+    assert c1[2]["chunk_text"].endswith(" w99")
     # short and empty docs: exactly one chunk each
     assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short doc"
     assert len(by_doc[3]) == 1 and by_doc[3][0]["n_tokens"] == 1  # [''] token
+    # NULL text behaves like empty text (n_tokens never NULL)
+    null_out = chunk_documents(
+        spark.createDataFrame([(9, None)], "doc_id long, text string"),
+        max_tokens=40, overlap=10,
+    ).collect()
+    assert len(null_out) == 1 and null_out[0]["n_tokens"] == 1
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="overlap"):
