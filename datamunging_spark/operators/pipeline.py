@@ -33,6 +33,8 @@ def curate_corpus(
     fuzzy: bool = True,
     fuzzy_threshold: float = 0.5,
     redact: bool = False,
+    para_dedup: bool = False,
+    para_sep: str = "\n",
 ) -> DataFrame:
     """Filter + dedup a document corpus for training use.
 
@@ -43,6 +45,9 @@ def curate_corpus(
     (5) ``redact=True``: PII masking (``redact_pii``, all kinds) applied
     LAST so dedup keys reflect original content — two docs differing only
     in redacted spans stay distinct, matching exact-dedup's contract.
+    ``para_dedup=True`` inserts paragraph-level boilerplate removal
+    (C4-style line dedup) BEFORE doc-level dedup, so docs that differ only
+    in since-removed boilerplate collapse to the same content hash.
     """
     c = F.col(text_col)
     kept = df.filter(
@@ -52,6 +57,11 @@ def curate_corpus(
     )
     if langs:
         kept = kept.filter(detect_language(c).isin(*langs))
+    if para_dedup:
+        from datamunging_spark.operators.dedup import paragraph_dedup
+
+        kept = paragraph_dedup(kept, text_col, id_col, sep=para_sep)
+        kept = kept.filter(token_count(F.col(text_col)) >= min_tokens)
     # Exact dedup: min-id survivor per content hash (one uniform shuffle).
     kept = exact_dedup(kept, text_col, id_col)
     if fuzzy:

@@ -412,3 +412,25 @@ def test_paragraph_dedup_blank_lines_and_metadata_preserved(spark):
     )
     got = {r["doc_id"]: r["text"] for r in dot.collect()}
     assert got == {1: "x.y", 2: "z"}  # dropped paragraph takes its separator
+
+
+def test_curate_corpus_with_paragraph_dedup(spark):
+    """para_dedup collapses docs that differ only in shared boilerplate:
+    after line dedup their remaining content hashes equal -> one survivor."""
+    from datamunging_spark.operators.pipeline import curate_corpus
+
+    footer = "all rights reserved contact us terms"
+    docs = [
+        (1, f"real content one two three\n{footer}", "web"),
+        (2, f"real content one two three\n{footer}", "web"),  # exact dup
+        (3, f"other interesting content here now\n{footer}", "web"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    out = curate_corpus(
+        df, min_tokens=2, fuzzy=False, para_dedup=True
+    )
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    # doc 1 keeps the footer's first occurrence; docs 2 (exact dup after
+    # para dedup) gone; doc 3 keeps its unique content, footer stripped
+    assert set(rows) == {1, 3}
+    assert footer in rows[1] and footer not in rows[3]
