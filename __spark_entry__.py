@@ -20,7 +20,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datamunging_spark.functions import (
-    cosine_similarity,
     normalize_text,
     punct_ratio,
     stopword_ratio,

@@ -17,7 +17,7 @@ dim≤256 by staying in codegen.
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from datamunging_spark.functions import cosine_similarity, dot_product, l2_norm
+from datamunging_spark.functions import cosine_similarity, dot_product
 
 
 def brute_force_topk(

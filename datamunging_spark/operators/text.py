@@ -17,7 +17,6 @@ from pyspark.sql.types import ArrayType, StringType
 
 from datamunging_spark.functions import (
     doc_fingerprint,
-    normalize_text,
     punct_ratio,
     quality_score,
     stopword_ratio,
