@@ -753,6 +753,40 @@ def q_r26_sample_bernoulli(spark, sf_dir):
     ).select("l_orderkey", "l_linenumber")
 
 
+def q_x5_pack_sequences(spark, sf_dir):
+    """X5 sequence packing (bench-only: partition-parallel FFD/BFD is not
+    SQL-expressible): pack documents into 1024-token bins."""
+    from datamunging_spark.functions import token_count
+    from datamunging_spark.operators.trainset import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(d, max_len=1024)
+
+
+def q_x5_token_budget(spark, sf_dir):
+    """X5 token-budget prefix (bench-only: two-pass distributed prefix sum
+    with a driver-side offset exchange): first docs by id until 100k
+    tokens."""
+    from datamunging_spark.functions import token_count
+    from datamunging_spark.operators.trainset import take_token_budget
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count("text").cast("long").alias("n_tokens")
+    )
+    return take_token_budget(d, 100_000, order_cols=["doc_id"])
+
+
+def q_x1_paragraph_dedup(spark, sf_dir):
+    """X1 paragraph-level dedup (bench-only; driver docs are single-line so
+    this exercises the full pipeline with sentence separators)."""
+    from datamunging_spark.operators.dedup import paragraph_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return paragraph_dedup(d, sep=". ")
+
+
 # --- rows-only entries (non-SQL-expressible or inherently random) ----------
 
 def q_x1_minhash_pairs(spark, sf_dir):

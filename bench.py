@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "x5_decontaminate",
     "x5_source_mix",
     "x5_train_shuffle",
+    "x5_pack_sequences",
+    "x5_token_budget",
+    "x1_paragraph_dedup",
 ]
 
 
