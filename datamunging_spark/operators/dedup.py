@@ -563,6 +563,7 @@ def paragraph_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     sep: str = "\n",
+    materialize: bool = True,
 ) -> DataFrame:
     """Paragraph-granular exact dedup (the C4/RefinedWeb line-dedup step):
     split every doc on ``sep`` (a LITERAL separator, escaped before the
@@ -577,22 +578,30 @@ def paragraph_dedup(
     ``text_col`` is rewritten); ``id_col`` must be non-null and unique.
 
     Scale shape: one posexplode, one groupBy on the uniform md5 paragraph
-    hash (map-side combinable min), one equi-join back on that hash, one
-    groupBy(doc) to reassemble (array_sort of (pos, para) structs — a
-    bounded per-doc array touched once), one join back onto ``df``.
-    Nothing quadratic, no skew: even a paragraph repeated a million times
-    is ONE group whose aggregate is a 2-field min. Docs whose every
-    content paragraph was seen earlier come back with only their
-    structural separators (callers drop or re-filter by token count).
+    hash (map-side combinable min — deliberately NOT a window, which could
+    not partial-aggregate a million-strong boilerplate group), one
+    equi-join back on that hash, one groupBy(doc) to reassemble
+    (array_sort of (pos, para) structs — a bounded per-doc array touched
+    once), one join back onto ``df``. Nothing quadratic, no skew. The
+    paragraph table feeds three plan branches (hash groupBy, join probe,
+    blank pass-through), so by default it is ``localCheckpoint``-ed —
+    ONE materialization instead of three corpus scans; pass
+    ``materialize=False`` to keep the pure-lineage plan (and on a real
+    cluster prefer ``checkpoint()`` via a checkpoint dir for
+    executor-loss recovery). Docs whose every content paragraph was seen
+    earlier come back with only their structural separators (callers drop
+    or re-filter by token count).
     """
-    import re as _re
+    from datamunging_spark.functions import tokenize
 
     paras = df.select(
         F.col(id_col),
         F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep), -1)
+            tokenize(F.coalesce(F.col(text_col), F.lit("")), sep)
         ).alias("_pos", "_para"),
     ).withColumn("_ph", F.md5(normalize_text(F.col("_para"))))
+    if materialize:
+        paras = paras.localCheckpoint()
     blank = F.md5(F.lit(""))  # normalize_text('') == ''
     content = paras.filter(F.col("_ph") != blank)
     first = content.groupBy("_ph").agg(

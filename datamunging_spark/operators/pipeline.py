@@ -46,8 +46,10 @@ def curate_corpus(
     LAST so dedup keys reflect original content — two docs differing only
     in redacted spans stay distinct, matching exact-dedup's contract.
     ``para_dedup=True`` inserts paragraph-level boilerplate removal
-    (C4-style line dedup) BEFORE doc-level dedup, so docs that differ only
-    in since-removed boilerplate collapse to the same content hash.
+    (C4-style line dedup) BEFORE doc-level dedup: repeated paragraphs
+    survive only in their globally-first doc, so later copies shrink to
+    remnants that the token/non-empty refilter drops (exact dedup then
+    handles whatever identical remnants remain).
     """
     c = F.col(text_col)
     kept = df.filter(
@@ -61,7 +63,12 @@ def curate_corpus(
         from datamunging_spark.operators.dedup import paragraph_dedup
 
         kept = paragraph_dedup(kept, text_col, id_col, sep=para_sep)
-        kept = kept.filter(token_count(F.col(text_col)) >= min_tokens)
+        # refilter: emptied remnants must go regardless of min_tokens
+        # (token_count('') == 1, so the bare threshold can't catch them)
+        kept = kept.filter(
+            (F.length(F.trim(F.col(text_col))) > 0)
+            & (token_count(F.col(text_col)) >= min_tokens)
+        )
     # Exact dedup: min-id survivor per content hash (one uniform shuffle).
     kept = exact_dedup(kept, text_col, id_col)
     if fuzzy:

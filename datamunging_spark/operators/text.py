@@ -216,8 +216,8 @@ def chunk_documents(
     per SCALE.md's no-CSE discipline), posexplode the window starts, and
     slice. Short docs yield exactly one chunk; empty docs one empty chunk.
     """
-    if overlap >= max_tokens:
-        raise ValueError("overlap must be smaller than max_tokens")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
     step = max_tokens - overlap
     toks = df.select(
         F.col(id_col),

@@ -430,7 +430,8 @@ def test_curate_corpus_with_paragraph_dedup(spark):
         df, min_tokens=2, fuzzy=False, para_dedup=True
     )
     rows = {r["doc_id"]: r["text"] for r in out.collect()}
-    # doc 1 keeps the footer's first occurrence; docs 2 (exact dup after
-    # para dedup) gone; doc 3 keeps its unique content, footer stripped
+    # doc 1 keeps the footer's first occurrence; doc 2 shrinks to an
+    # empty remnant (its every paragraph was seen first in doc 1) and the
+    # refilter drops it; doc 3 keeps its unique content, footer stripped
     assert set(rows) == {1, 3}
     assert footer in rows[1] and footer not in rows[3]
