@@ -1,5 +1,6 @@
 """Sources/sinks (R1-R6), quality reports, and the streaming surface."""
 
+import pytest
 import glob
 import os
 
@@ -521,3 +522,12 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
     write_sorted_parquet(df, sp, ["x"], num_partitions=16)
     assert mean_file_span(sp, "x") < 0.15 * 100000
     assert mean_file_span(sp, "y") > 0.8 * 100000
+
+
+def test_zorder_write_rejects_key_overflow(spark, tables, tmp_path):
+    from datamunging_spark.sources.io import zorder_write
+
+    with pytest.raises(ValueError, match="63-bit"):
+        zorder_write(
+            tables["orders"], str(tmp_path / "z"), ["o_custkey"] * 10, bits=7
+        )

@@ -153,3 +153,5 @@ def test_chunk_documents_windows_and_overlap(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, max_tokens=10, overlap=10)
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_tokens=10, overlap=-1)
