@@ -900,10 +900,16 @@ def q_r40_pca_project(spark, sf_dir):
     out = pca_project(model, emb)
     from pyspark.ml.functions import vector_to_array
 
+    # Serialized to one CSV string per row: the driver's pandas canonicalizer
+    # cannot hash array-typed cells (same fix as agg_suite's collect_set).
     return out.select(
         "vec_id",
-        F.transform(
-            vector_to_array("pca"), lambda v: F.round(F.abs(v), 4)
+        F.concat_ws(
+            ",",
+            F.transform(
+                vector_to_array("pca"),
+                lambda v: F.round(F.abs(v), 4).cast("string"),
+            ),
         ).alias("pca_abs"),
     )
 
@@ -923,7 +929,11 @@ def q_r37_ner(spark, sf_dir):
     """R37: per-doc entity extraction (Arrow-batched pandas_udf; model call
     stubbed deterministically — container has no NLTK, SURVEY.md §5.4)."""
     d = _t(spark, sf_dir, "documents")
-    return ner_entities(d).select("doc_id", "entities")
+    # Array column serialized for the driver's pandas canonicalizer
+    # (unhashable-list crash otherwise — same fix as agg_suite).
+    return ner_entities(d).select(
+        "doc_id", F.concat_ws(",", "entities").alias("entities_csv")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -26,8 +26,15 @@ def exact_dedup(
     min(id), then inner join back on (hash, id). The hash key is uniform so
     the shuffle cannot skew; the join's build side is one row per distinct
     doc, broadcast/AQE-eligible.
+
+    NULL text hashes as the empty string (coalesce) so NULL-text rows
+    survive dedup (one kept per group) instead of silently vanishing
+    through the NULL-key join — NULL and '' text are treated as the same
+    content group, matching paragraph_dedup.
     """
-    hashed = df.withColumn("_h", F.md5(normalize_text(text_col)))
+    hashed = df.withColumn(
+        "_h", F.md5(F.coalesce(normalize_text(text_col), F.lit("")))
+    )
     keep = hashed.groupBy("_h").agg(F.min(id_col).alias(id_col))
     return hashed.join(keep, on=["_h", id_col], how="inner").drop("_h")
 
@@ -35,9 +42,15 @@ def exact_dedup(
 def dup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Report duplicate groups: content hash → (n_dups, keep_id)."""
+    """Report duplicate groups: content hash → (n_dups, keep_id).
+
+    NULL text coalesces to '' before hashing, same contract as exact_dedup.
+    """
     hashed = df.select(
-        F.md5(normalize_text(text_col)).alias("content_hash"), F.col(id_col)
+        F.md5(F.coalesce(normalize_text(text_col), F.lit(""))).alias(
+            "content_hash"
+        ),
+        F.col(id_col),
     )
     return (
         hashed.groupBy("content_hash")

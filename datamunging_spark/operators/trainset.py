@@ -209,7 +209,12 @@ def pack_sequences(
 
     def pack(key, pdf: pd.DataFrame):
         g = int(key[0])
-        pdf = pdf.sort_values(tokens_col, ascending=False, kind="mergesort")
+        # id tiebreak: mergesort is only stable w.r.t. Arrow batch arrival
+        # order, so equal token counts need a deterministic secondary key
+        # for bin assignment to be reproducible across runs.
+        pdf = pdf.sort_values(
+            [tokens_col, id_col], ascending=[False, True], kind="mergesort"
+        )
         toks = [max(int(t), 0) for t in pdf[tokens_col].to_numpy()]
         caps: list[int] = []      # OPEN bins' residual capacities, sorted
         cap_bins: list[int] = []  # bin id parallel to caps
@@ -286,8 +291,14 @@ def take_token_budget(
             "(append an id column as tiebreak)"
         )
     parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # Clamp negative counts (size(NULL) = -1 under ANSI-off) to 0 up front:
+    # a negative addend makes the running sum non-monotonic, turning the
+    # <= budget filter into a non-contiguous pick instead of a prefix.
     slim = (
-        df.select(*order_cols, tokens_col)
+        df.select(
+            *order_cols,
+            F.greatest(F.col(tokens_col), F.lit(0)).alias(tokens_col),
+        )
         .repartitionByRange(parts, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())

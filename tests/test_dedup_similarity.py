@@ -37,6 +37,20 @@ def test_exact_dedup_removes_planted(docs_with_dups):
     ).count() == 0  # planted exact dups lost to min-id originals
 
 
+def test_exact_dedup_keeps_null_text(spark):
+    """NULL-text rows must not vanish: they hash as '' (coalesce), so one
+    survivor is kept per NULL/''-text group instead of the join silently
+    dropping every NULL hash key."""
+    df = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, None), (4, ""), (5, "alpha")],
+        "doc_id long, text string",
+    )
+    out = exact_dedup(df)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # alpha group -> 1; NULL/'' group (2,3,4 share the '' hash) -> 2
+    assert kept == [1, 2]
+
+
 def test_dup_groups(docs_with_dups):
     g = dup_groups(docs_with_dups)
     assert g.count() == 5

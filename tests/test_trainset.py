@@ -207,6 +207,38 @@ def test_pack_sequences_string_ids(spark):
     assert {r["doc_id"] for r in packed.collect()} == {"a", "b", "c"}
 
 
+def test_pack_sequences_tie_break_deterministic(spark):
+    """Equal token counts sort by id, so bin grouping is reproducible:
+    ids 10,11,12 all at 50 tokens with max_len=100 must pack {10,11}
+    together and 12 alone — any other grouping means the tiebreak broke."""
+    from datamunging_spark.operators.trainset import pack_sequences
+
+    df = spark.createDataFrame(
+        [(10, 50), (11, 50), (12, 50)], "doc_id long, n_tokens long"
+    )
+    for _ in range(2):  # identical across repeated runs
+        rows = {
+            r["doc_id"]: r["bin_id"]
+            for r in pack_sequences(df, max_len=100, num_groups=1).collect()
+        }
+        assert rows[10] == rows[11] != rows[12]
+
+
+def test_take_token_budget_clamps_negative_counts(spark):
+    """A negative token count (size(NULL) = -1 under ANSI-off) must not make
+    the running sum dip back under budget — the result has to stay a
+    contiguous prefix, not a 'kept, dropped, kept again' pick."""
+    from datamunging_spark.operators.trainset import take_token_budget
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 50), (3, -60), (4, 10)], "doc_id long, n_tokens long"
+    )
+    got = take_token_budget(df, budget=120, order_cols=["doc_id"])
+    # clamped running sums: 100, 150, 150, 160 -> only doc 1 fits.
+    # unclamped would be 100, 150, 90, 100 -> the buggy {1, 3, 4}.
+    assert {r["doc_id"] for r in got.collect()} == {1}
+
+
 def test_take_token_budget_requires_order(spark, tables):
     from datamunging_spark.operators.trainset import take_token_budget
 
