@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from datamunging_spark.functions import normalize_text
 
@@ -246,11 +247,50 @@ def minhash_lsh_pairs(
     return (out, sig) if _return_sig else out
 
 
+def _driver_union_find(edges: DataFrame) -> DataFrame:
+    """Label a SMALL collected edge set with path-compressed union-find and
+    return the (v, component) rows for non-root vertices, component = min
+    member id. Only called below a known edge-count threshold — the collect
+    is bounded by the caller."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.collect():
+        u, v = r["u"], r["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # min member per root (Python min/max order strings by code point —
+    # identical to Spark's binary UTF-8 string comparison)
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    rows = [
+        (v, comp_min[find(v)]) for v in parent if v != comp_min[find(v)]
+    ]
+    id_type = edges.schema["u"].dataType
+    schema = T.StructType(
+        [T.StructField("v", id_type), T.StructField("component", id_type)]
+    )
+    return edges.sparkSession.createDataFrame(rows, schema)
+
+
 def connected_component_labels(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 25,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Connected components of an undirected pair graph via alternating
     large-star / small-star edge rewriting — the published O(log n)-round
@@ -276,6 +316,15 @@ def connected_component_labels(
     checksum (one tiny agg job; a hash-sum collision is ~2^-64).
     Exhausting ``max_iter`` RAISES rather than return labels that would
     split one duplicate cluster into several survivors.
+
+    Adaptive small-graph path: the initial checksum already knows the edge
+    count, so when it is ≤ ``driver_threshold`` the edges are collected and
+    labeled with one driver-side union-find instead of iterative star
+    rounds — the same runtime-stats-driven switch AQE applies to broadcast
+    joins. LSH candidate-pair graphs are tiny relative to the corpus (that
+    is the point of LSH), so in practice this path serves most dedup calls
+    and saves the per-round fixed job overhead that dominates small inputs;
+    genuinely large pair graphs still take the distributed star path.
     """
 
     def _canon(e: DataFrame) -> DataFrame:
@@ -329,30 +378,37 @@ def connected_component_labels(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     ).localCheckpoint()
     prev = _checksum(edges)
-    converged = False
-    for _ in range(max_iter):
-        # lazy checkpoint: the checksum action right below materializes it,
-        # so each round costs ONE job (matters in the tiny-graph regime
-        # where fixed job overhead dominates; at scale it's the same work)
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-        cur = _checksum(edges)
-        if (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
-            converged = True
-            break
-        prev = cur
-    if not converged:
-        raise RuntimeError(
-            f"connected_component_labels did not converge in {max_iter} "
-            "star rounds; raise max_iter"
+    if prev["n"] <= driver_threshold:
+        non_roots = _driver_union_find(edges)
+    else:
+        converged = False
+        for _ in range(max_iter):
+            # lazy checkpoint: the checksum action right below materializes
+            # it, so each round costs ONE job (matters in the tiny-graph
+            # regime where fixed job overhead dominates; at scale it's the
+            # same work)
+            edges = _small_star(_large_star(edges)).localCheckpoint(
+                eager=False
+            )
+            cur = _checksum(edges)
+            if (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
+                converged = True
+                break
+            prev = cur
+        if not converged:
+            raise RuntimeError(
+                f"connected_component_labels did not converge in {max_iter} "
+                "star rounds; raise max_iter"
+            )
+        # Fixed point = disjoint stars centered on component minima: every
+        # non-root appears exactly once as u with its root as v. Vertices
+        # with no surviving edge (roots, and vertices seen only in
+        # self-loop pairs) label themselves — the left join against the
+        # full vertex set keeps the documented "every vertex appearing in
+        # pairs" contract.
+        non_roots = edges.select(
+            F.col("u").alias("v"), F.col("v").alias("component")
         )
-    # Fixed point = disjoint stars centered on component minima: every
-    # non-root appears exactly once as u with its root as v. Vertices with
-    # no surviving edge (roots, and vertices seen only in self-loop pairs)
-    # label themselves — the left join against the full vertex set keeps
-    # the documented "every vertex appearing in pairs" contract.
-    non_roots = edges.select(
-        F.col("u").alias("v"), F.col("v").alias("component")
-    )
     return verts.join(non_roots, "v", "left").select(
         "v", F.coalesce("component", F.col("v")).alias("component")
     )

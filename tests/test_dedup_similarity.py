@@ -229,16 +229,18 @@ def test_brute_force_arrow_cosine_same_ranking(tables):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
-def test_connected_component_long_chain_converges(spark):
+@pytest.mark.parametrize("thr", [0, 200_000], ids=["star", "driver"])
+def test_connected_component_long_chain_converges(spark, thr):
     """A 26-hop chain whose min id sits at one end: plain one-hop label
     propagation would need >20 rounds (the bug class this pins); the
     large-star/small-star rewriting must converge within max_iter=10 and
-    label every vertex with the global min (5)."""
+    label every vertex with the global min (5). thr=0 forces the
+    distributed star path; the default takes the driver union-find."""
     ids = [100] + list(range(2000, 2024)) + [5]
     pairs = spark.createDataFrame(
         list(zip(ids, ids[1:])), ["id_a", "id_b"]
     )
-    comp = connected_component_labels(pairs, max_iter=10)
+    comp = connected_component_labels(pairs, max_iter=10, driver_threshold=thr)
     assert {r["component"] for r in comp.collect()} == {5}
     assert comp.count() == 26
 
@@ -248,9 +250,12 @@ def test_minhash_dedup_invalid_method_raises_before_work(docs_with_dups):
         minhash_dedup(docs_with_dups, method="typo")
 
 
-def test_connected_components_match_union_find_on_random_graph(spark):
-    """Property: star-rewriting CC equals a driver-side union-find on a
-    deterministic pseudo-random graph (120 vertices, 90 edges)."""
+@pytest.mark.parametrize("thr", [0, 200_000], ids=["star", "driver"])
+def test_connected_components_match_union_find_on_random_graph(spark, thr):
+    """Property: both CC paths (distributed star rewriting at thr=0, the
+    adaptive driver union-find at the default threshold) equal an
+    independent reference union-find on a deterministic pseudo-random graph
+    (120 vertices, 90 edges)."""
     import random
 
     rng = random.Random(7)
@@ -285,7 +290,9 @@ def test_connected_components_match_union_find_on_random_graph(spark):
     pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
     got = {
         r["v"]: r["component"]
-        for r in connected_component_labels(pairs).collect()
+        for r in connected_component_labels(
+            pairs, driver_threshold=thr
+        ).collect()
     }
     assert got == expected
 
@@ -335,15 +342,38 @@ def test_embedding_quantization_roundtrip_and_topk_recall(tables):
     assert len(a & b) / len(a) >= 0.85
 
 
-def test_connected_components_self_loops_and_contract(spark):
+@pytest.mark.parametrize("thr", [0, 200_000], ids=["star", "driver"])
+def test_connected_components_self_loops_and_contract(spark, thr):
     """Every vertex appearing in pairs gets a label — including vertices
     seen only in self-loop pairs (they are their own component)."""
     pairs = spark.createDataFrame([(7, 7), (1, 2)], ["id_a", "id_b"])
     got = {
         r["v"]: r["component"]
-        for r in connected_component_labels(pairs).collect()
+        for r in connected_component_labels(
+            pairs, driver_threshold=thr
+        ).collect()
     }
     assert got == {7: 7, 1: 1, 2: 1}
+
+
+def test_connected_components_string_ids_driver_path(spark):
+    """The driver union-find must build its result DataFrame with the
+    input's id type — string ids exercise the schema plumbing and the
+    code-point vs UTF-8 min-ordering note."""
+    pairs = spark.createDataFrame(
+        [("doc-b", "doc-a"), ("doc-c", "doc-b"), ("zz", "zz")],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r["v"]: r["component"]
+        for r in connected_component_labels(pairs).collect()
+    }
+    assert got == {
+        "doc-a": "doc-a",
+        "doc-b": "doc-a",
+        "doc-c": "doc-a",
+        "zz": "zz",
+    }
 
 
 def test_quantize_embeddings_nan_coordinate_is_isolated(spark):

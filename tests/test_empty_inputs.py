@@ -29,7 +29,8 @@ def test_dedup_family_on_empty(empty_docs):
     assert simhash_df(empty_docs).count() == 0
     assert ngram_jaccard_pairs(empty_docs, empty_docs).count() == 0
     pairs = empty_docs.sparkSession.createDataFrame([], "id_a long, id_b long")
-    assert connected_component_labels(pairs).count() == 0
+    assert connected_component_labels(pairs).count() == 0  # driver path
+    assert connected_component_labels(pairs, driver_threshold=0).count() == 0
 
 
 def test_curation_and_trainset_on_empty(spark, empty_docs):
