@@ -754,21 +754,48 @@ def q_r26_sample_bernoulli(spark, sf_dir):
 
 
 def q_x5_pack_sequences(spark, sf_dir):
-    """X5 sequence packing (bench-only: partition-parallel FFD/BFD is not
-    SQL-expressible): pack documents into 1024-token bins."""
+    """X5 sequence packing (rows-only: bin ids depend on the xxhash64 group
+    split, so no SQL oracle — but the packing INVARIANTS are checked inside
+    the query): pack documents into 1024-token bins, then emit per-doc
+    assignments with two in-query invariant columns that pytest also pins:
+    ``within_cap`` (every non-truncated bin holds ≤ 1024 tokens — the
+    correctness contract) and ``bin_sum_ok`` (bin_tokens equals the actual
+    sum over the bin's members — the bookkeeping contract). Both must be
+    uniformly true; violations would surface as false cells in the gate's
+    recorded sample and fail tests/test_trainset.py."""
     from datamunging_spark.functions import token_count
     from datamunging_spark.operators.trainset import pack_sequences
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", token_count("text").cast("long").alias("n_tokens")
     )
-    return pack_sequences(d, max_len=1024)
+    packed = pack_sequences(d, max_len=1024)
+    actual = packed.groupBy("bin_id").agg(
+        F.sum(F.greatest("n_tokens", F.lit(0))).alias("_actual")
+    )
+    return (
+        packed.join(actual, "bin_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "bin_id",
+            "bin_tokens",
+            "truncated",
+            (F.col("truncated") | (F.col("bin_tokens") <= F.lit(1024))).alias(
+                "within_cap"
+            ),
+            (F.col("bin_tokens") == F.col("_actual")).alias("bin_sum_ok"),
+        )
+    )
 
 
 def q_x5_token_budget(spark, sf_dir):
-    """X5 token-budget prefix (bench-only: two-pass distributed prefix sum
-    with a driver-side offset exchange): first docs by id until 100k
-    tokens."""
+    """X5 token-budget prefix (oracle-paired): first docs by id until the
+    running token sum reaches 100k. The Spark side is the two-pass
+    distributed prefix sum (trainset.take_token_budget — range partition +
+    per-partition offsets, never a single-task global window); the DuckDB
+    oracle is the semantically-identical single-node window prefix sum, so
+    the pair proves the distributed scan computes the exact same prefix."""
     from datamunging_spark.functions import token_count
     from datamunging_spark.operators.trainset import take_token_budget
 
@@ -779,12 +806,28 @@ def q_x5_token_budget(spark, sf_dir):
 
 
 def q_x1_paragraph_dedup(spark, sf_dir):
-    """X1 paragraph-level dedup (bench-only; driver docs are single-line so
-    this exercises the full pipeline with sentence separators)."""
+    """X1 paragraph-level dedup (oracle-paired; driver docs are single-line
+    so '. ' sentence separators exercise the full split→first-occurrence→
+    reassemble pipeline). Oracle: string_split + min-(doc,pos) first
+    occurrence over the md5 of the normalized paragraph + ordered
+    string_agg reassembly — exact because every step is deterministic and
+    md5 is engine-portable."""
     from datamunging_spark.operators.dedup import paragraph_dedup
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
     return paragraph_dedup(d, sep=". ")
+
+
+def q_x5_chunk_documents(spark, sf_dir):
+    """X4/X5 context-window chunking (oracle-paired): split every doc into
+    overlapping 32-token windows (step 24 — sized so the 10-99-token driver
+    docs genuinely split into 1-4 chunks each). Pure expressions (one
+    tokenize, posexplode over window starts, slice) → exactly reproducible
+    in DuckDB via string_split + generate_series + list slicing."""
+    from datamunging_spark.operators.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, max_tokens=32, overlap=8)
 
 
 # --- rows-only entries (non-SQL-expressible or inherently random) ----------
@@ -946,8 +989,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Capped at 50 entries by the driver gate. Retired-to-bench-only (still
+    # exercised every round via bench.py and pytest, and their q_* functions
+    # remain callable): r13_count (count(*) re-proven by quality_summary's
+    # total_rows and benched for the BASELINE comparison), window_topk
+    # (family covered by window_suite), x1_dedup_stats (same exact-dedup
+    # probe as x1_content_hash), promo_revenue (join+conditional-agg family
+    # covered by r12_join_agg/pricing_summary/agg_suite).
     return {
-        "r13_count": q_r13_count,
         "r14_group_count": q_r14_group_count,
         "r19_quality_report": q_r19_quality_report,
         "quality_summary": q_quality_summary,
@@ -957,7 +1006,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r12_join_agg": q_r12_join_agg,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
-        "window_topk": q_window_topk,
         "window_suite": q_window_suite,
         "sql_passthrough": q_sql_passthrough,
         "approx_distinct": q_approx_distinct,
@@ -968,7 +1016,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_counts": q_stream_window_counts,
         "r28_sample_bykey": q_r28_sample_bykey,
         "x1_content_hash": q_x1_content_hash,
-        "x1_dedup_stats": q_x1_dedup_stats,
         "x4_text_suite": q_x4_text_suite,
         "x4_word_count": q_x4_word_count,
         "x2_topk_cosine": q_x2_topk_cosine,
@@ -976,7 +1023,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "grouping_suite": q_grouping_suite,
         "range_join_bands": q_range_join_bands,
-        "promo_revenue": q_promo_revenue,
         "agg_suite": q_agg_suite,
         "sessionize_events": q_sessionize_events,
         "asof_join": q_asof_join,
@@ -988,6 +1034,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_embedding_neardup": q_x1_embedding_neardup,
         "x_curation_exact": q_x_curation_exact,
         "r26_sample_bernoulli": q_r26_sample_bernoulli,
+        "x5_token_budget": q_x5_token_budget,
+        "x1_paragraph_dedup": q_x1_paragraph_dedup,
+        "x5_chunk_documents": q_x5_chunk_documents,
+        "x5_pack_sequences": q_x5_pack_sequences,
         "x1_minhash_pairs": q_x1_minhash_pairs,
         "x1_minhash_dedup": q_x1_minhash_dedup,
         "x1_simhash": q_x1_simhash,
@@ -1009,7 +1059,6 @@ def oracle_sql() -> dict[str, str]:
         for i, lab in enumerate(labels)
     )
     return {
-        "r13_count": "SELECT count(*) AS cnt FROM lineitem",
         "r14_group_count": (
             "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type"
         ),
@@ -1094,14 +1143,6 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY revenue DESC, o_orderkey
             LIMIT 10
         """,
-        "window_topk": """
-            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
-              SELECT o_custkey, o_orderkey, o_totalprice,
-                     row_number() OVER (PARTITION BY o_custkey
-                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
-              FROM orders
-            ) WHERE rn <= 3
-        """,
         "window_suite": """
             SELECT o_custkey, o_orderkey,
                    count(*) OVER w AS run_n,
@@ -1181,11 +1222,63 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
             "AS content_hash FROM documents"
         ),
-        "x1_dedup_stats": (
-            "SELECT count(*) AS n_docs, "
-            "count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) "
-            "AS n_distinct FROM documents"
-        ),
+        "x5_token_budget": """
+            WITH d AS (
+              SELECT doc_id, source,
+                     CASE WHEN text IS NULL THEN -1
+                          ELSE len(string_split(text, ' ')) END AS n_tokens
+              FROM documents
+            ), s AS (
+              SELECT doc_id, source, n_tokens,
+                     sum(greatest(n_tokens, 0))
+                       OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS run
+              FROM d
+            )
+            SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+            FROM s WHERE run <= 100000
+        """,
+        "x1_paragraph_dedup": """
+            WITH paras AS (
+              SELECT doc_id,
+                     generate_subscripts(toks, 1) - 1 AS pos,
+                     unnest(toks) AS para
+              FROM (SELECT doc_id, string_split(coalesce(text, ''), '. ') AS toks
+                    FROM documents)
+            ), normed AS (
+              SELECT doc_id, pos, para,
+                     trim(regexp_replace(lower(para), '\\s+', ' ', 'g')) AS norm
+              FROM paras
+            ), kept AS (
+              SELECT doc_id, pos, para FROM (
+                SELECT doc_id, pos, para,
+                       row_number() OVER (PARTITION BY norm
+                                          ORDER BY doc_id, pos) AS rn
+                FROM normed WHERE norm <> ''
+              ) WHERE rn = 1
+              UNION ALL
+              SELECT doc_id, pos, para FROM normed WHERE norm = ''
+            ), rebuilt AS (
+              SELECT doc_id, string_agg(para, '. ' ORDER BY pos) AS new_text
+              FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(r.new_text, '') AS text, d.source
+            FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        """,
+        "x5_chunk_documents": """
+            WITH t AS (
+              SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0, greatest(len(toks) - 8 - 1, 0), 24)) AS start
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(start // 24 AS INT) AS chunk_id,
+                   array_to_string(list_slice(toks, start + 1, start + 32), ' ') AS chunk_text,
+                   len(list_slice(toks, start + 1, start + 32)) AS n_tokens
+            FROM s
+        """,
         "x4_text_suite": f"""
             WITH stats AS (
               SELECT doc_id,
@@ -1364,16 +1457,6 @@ def oracle_sql() -> dict[str, str]:
              AND l_extendedprice <= p_retailprice * 1.05
             WHERE p_partkey <= 100
             GROUP BY p_partkey
-        """,
-        "promo_revenue": """
-            SELECT
-              CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
-                            THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
-                            ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
-              CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
-              count(*) AS n_items
-            FROM lineitem JOIN part ON l_partkey = p_partkey
-            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
         """,
         "agg_suite": """
             SELECT l_returnflag,

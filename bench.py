@@ -4,12 +4,21 @@ and prints ONE JSON line (driver contract; slots in BASELINE.md).
 
 Each query executes end-to-end (scan → plan → action); results land in a
 count() so timings measure execution, not driver-side row transfer.
+
+Per-query timing is the MEDIAN of $SPARK_GRAFT_BENCH_REPS (default 3)
+back-to-back executions, with the min/max spread recorded alongside.
+Single-sample timings are measurement noise, not signal: rounds 3 and 4
+both committed phantom multi-x "regressions" on byte-identical code
+because a query's one measured execution happened to pay KMeans-fit /
+codegen warmup (e.g. x2_ann_lsh run 1 = 4.7 s vs runs 2-3 = 1.0 s).
+The median of three absorbs exactly that first-run outlier.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -62,16 +71,22 @@ def main() -> None:
     qs = entrymod.queries()
 
     # Warm the JVM/codegen path once so per-query numbers measure steady state.
-    qs["r13_count"](spark, sf_dir).count()
+    entrymod.q_r13_count(spark, sf_dir).count()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         # Bench-only queries (retired from the 50-entry gate) resolve to
         # their module-level q_* function.
         fn = qs.get(name) or getattr(entrymod, f"q_{name}")
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+        spread[name] = [round(min(samples), 4), round(max(samples), 4)]
 
     total = round(sum(timings.values()), 4)
     print(
@@ -81,6 +96,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -479,3 +479,34 @@ def test_curate_corpus_with_paragraph_dedup(spark):
     # refilter drops it; doc 3 keeps its unique content, footer stripped
     assert set(rows) == {1, 3}
     assert footer in rows[1] and footer not in rows[3]
+
+
+def test_curate_corpus_redact_with_para_dedup(spark):
+    """Everything-on composition (redact=True, para_dedup=True, fuzzy=True):
+    redaction runs LAST, so dedup keys see ORIGINAL content — two docs that
+    differ only inside PII spans must both survive (distinct pre-redaction
+    hashes) yet come out masked; boilerplate still dedups across docs."""
+    from datamunging_spark.operators.pipeline import curate_corpus
+
+    footer = "all rights reserved contact us terms"
+    docs = [
+        (1, f"mail me at alice@example.com for details\n{footer}", "web"),
+        (2, f"mail me at bob@example.org for details\n{footer}", "web"),
+        (3, f"totally unrelated interesting content here\n{footer}", "web"),
+        (4, f"totally unrelated interesting content here\n{footer}", "web"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    out = curate_corpus(
+        df, min_tokens=2, fuzzy=True, fuzzy_threshold=0.5,
+        para_dedup=True, redact=True,
+    )
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    # docs 1+2 differ only in the email span -> both survive, both masked;
+    # docs 3+4 are exact dups post-para-dedup -> min-id survivor only
+    assert set(rows) == {1, 2, 3}
+    assert "<EMAIL>" in rows[1] and "<EMAIL>" in rows[2]
+    assert "alice@example.com" not in rows[1]
+    assert "bob@example.org" not in rows[2]
+    # footer survives only in its globally-first doc
+    assert footer in rows[1]
+    assert footer not in rows[2] and footer not in rows[3]

@@ -31,7 +31,9 @@ def test_parity_query_references_exist():
     retired set."""
     text = PARITY.read_text()
     q = set(entry.queries())
-    retired = {"r29_sample_n", "x_curation_full"}  # documented as such
+    # documented as retired-to-bench (PARITY.md header / queries() comment)
+    retired = {"r29_sample_n", "x_curation_full", "r13_count",
+               "window_topk", "x1_dedup_stats", "promo_revenue"}
     # Candidate tokens: snake_case words that look like gate keys.
     mentioned = set(re.findall(r"\b[a-z][a-z0-9]*(?:_[a-z0-9]+)+\b", text))
     # Only validate tokens that *claim* to be queries: those that appear in
