@@ -70,7 +70,7 @@ def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     spark = get_spark("cc-crossover")
     spark.sparkContext.setLogLevel("ERROR")
-    sizes = [50_000, 100_000, 150_000, 200_000, 250_000, 300_000, 400_000]
+    sizes = [50_000, 100_000, 150_000, 200_000, 250_000, 300_000]
     print(f"{'edges':>8} {'driver_s':>9} {'star_s':>8} {'winner':>8}")
     for n in sizes:
         edges = make_edges(spark, n)
