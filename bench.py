@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "x5_pack_sequences",
     "x5_token_budget",
     "x1_paragraph_dedup",
+    "x5_chunk_documents",
 ]
 
 

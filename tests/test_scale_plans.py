@@ -111,3 +111,33 @@ def test_training_shuffle_single_range_exchange(spark, tables):
     # formatted output names each node twice (tree + detail) — count nodes.
     assert plan.count("+- Exchange") == 1, plan
     assert "rangepartitioning" in plan and "hashpartitioning" not in plan, plan
+
+
+def test_chunk_documents_has_no_exchange(spark, tables):
+    """X5 chunking is tokenize-once + posexplode + slice: zero shuffles."""
+    from datamunging_spark.operators.text import chunk_documents
+
+    plan = _plan(
+        chunk_documents(
+            tables["documents"].select("doc_id", "text"),
+            max_tokens=32,
+            overlap=8,
+        )
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_take_token_budget_never_single_partition(spark, tables):
+    """X5 token budget is the DISTRIBUTED prefix sum: its window partitions
+    by _pid (per-partition cumsum over broadcast base offsets), so the plan
+    must contain no single-partition exchange — the failure mode of the
+    naive Window.orderBy-with-no-partitionBy global cumsum."""
+    from datamunging_spark.functions import token_count
+    from datamunging_spark.operators.trainset import take_token_budget
+
+    d = tables["documents"].select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    plan = _plan(take_token_budget(d, 10_000, order_cols=["doc_id"]))
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan, plan
