@@ -35,6 +35,7 @@ def curate_corpus(
     redact: bool = False,
     para_dedup: bool = False,
     para_sep: str = "\n",
+    materialize: bool | None = None,
 ) -> DataFrame:
     """Filter + dedup a document corpus for training use.
 
@@ -50,6 +51,16 @@ def curate_corpus(
     survive only in their globally-first doc, so later copies shrink to
     remnants that the token/non-empty refilter drops (exact dedup then
     handles whatever identical remnants remain).
+
+    ``materialize`` (default auto = on iff ``fuzzy``): ``localCheckpoint``
+    the filtered+exact-deduped corpus before the fuzzy stage. The MinHash
+    stage consumes that lineage TWICE — once to build signatures, once as
+    the probe side of the final loser anti-join — so without
+    materialization the quality filters and the dedup shuffle re-execute
+    per branch (two extra full corpus passes at the 100 TB design point).
+    On a real cluster prefer ``checkpoint()`` with a checkpoint dir (or
+    persist to storage) for executor-loss recovery — same trade as
+    ``paragraph_dedup``'s materialize flag.
     """
     c = F.col(text_col)
     kept = df.filter(
@@ -72,6 +83,8 @@ def curate_corpus(
     # Exact dedup: min-id survivor per content hash (one uniform shuffle).
     kept = exact_dedup(kept, text_col, id_col)
     if fuzzy:
+        if materialize or materialize is None:
+            kept = kept.localCheckpoint()
         kept = minhash_dedup(
             kept, text_col, id_col, threshold=fuzzy_threshold
         )
