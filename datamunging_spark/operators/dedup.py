@@ -60,6 +60,64 @@ def dup_groups(
     )
 
 
+def content_snapshot(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Slim dedup snapshot of a corpus: one (content_hash) row per distinct
+    normalized content. This is the artifact a continuous-ingest pipeline
+    persists between runs (parquet of 32-char hashes — a few GB per billion
+    distinct docs) so the next crawl batch can be deduped WITHOUT rejoining
+    the full historical corpus. Same hash contract as :func:`exact_dedup`
+    (NULL text hashes as ''), so snapshot + incremental results compose
+    with the intra-corpus operators.
+    """
+    return (
+        df.select(
+            F.md5(F.coalesce(normalize_text(text_col), F.lit(""))).alias(
+                "content_hash"
+            )
+        )
+        .distinct()
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_col: str = "content_hash",
+    within_batch: bool = True,
+) -> DataFrame:
+    """Dedup a NEW ingest batch against a prior :func:`content_snapshot`,
+    then (by default) within the batch itself — the standard continuous-
+    crawl shape: the historical corpus is represented only by its slim
+    hash snapshot, never rescanned.
+
+    Plan: hash the batch once (pure map), left-anti equi-join on the
+    uniform md5 key against the snapshot (AQE/broadcast-eligible whenever
+    the batch's distinct-hash side is small; hash join otherwise — both
+    sides are slim single-column exchanges, the batch's payload columns
+    rejoin only after the filter), then one intra-batch
+    :func:`exact_dedup`. At 100 TB-of-history scale the snapshot is
+    ~1000× smaller than the corpus, which is the entire point.
+
+    Near-dup incrementality rides the same pattern one level up: persist
+    ``minhash_signatures_df`` band keys per run and anti-join new band
+    keys before scoring — see minhash_lsh_pairs; exact-only here keeps
+    this operator oracle-deterministic.
+    """
+    hashed = new_df.withColumn(
+        "_h", F.md5(F.coalesce(normalize_text(text_col), F.lit("")))
+    )
+    fresh = hashed.join(
+        seen.select(F.col(hash_col).alias("_h")).distinct(),
+        on="_h",
+        how="left_anti",
+    ).drop("_h")
+    return exact_dedup(fresh, text_col, id_col) if within_batch else fresh
+
+
 # ---------------------------------------------------------------------------
 # Shingling + MinHash + LSH banding (near-dup at scale)
 # ---------------------------------------------------------------------------

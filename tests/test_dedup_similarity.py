@@ -481,6 +481,45 @@ def test_curate_corpus_with_paragraph_dedup(spark):
     assert footer in rows[1] and footer not in rows[3]
 
 
+def test_incremental_dedup_against_snapshot(spark):
+    """Continuous-ingest dedup: a new batch anti-joins a prior corpus'
+    slim content_snapshot (normalized-hash semantics), then dedups within
+    itself; within_batch=False skips the intra-batch pass."""
+    from datamunging_spark.operators.dedup import (
+        content_snapshot,
+        incremental_dedup,
+    )
+
+    history = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "hello world")],
+        ["doc_id", "text"],
+    )
+    snap = content_snapshot(history)
+    assert snap.columns == ["content_hash"] and snap.count() == 2
+    batch = spark.createDataFrame(
+        [
+            (10, "The  Quick   Brown Fox"),   # dup of history #1 (normalized)
+            (11, "brand new document"),        # fresh
+            (12, "brand  NEW document"),       # intra-batch dup of 11
+            (13, "another fresh one"),         # fresh
+            (14, None),                        # NULL text: fresh ('' not seen)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"] for r in incremental_dedup(batch, snap).collect()}
+    assert out == {11, 13, 14}  # 10 seen; 12 loses to 11; NULL survives once
+    no_batch = {
+        r["doc_id"]
+        for r in incremental_dedup(batch, snap, within_batch=False).collect()
+    }
+    assert no_batch == {11, 12, 13, 14}
+    # composing: snapshot(history) + snapshot(survivors) covers the batch
+    snap2 = snap.union(
+        content_snapshot(incremental_dedup(batch, snap))
+    ).distinct()
+    assert incremental_dedup(batch, snap2).count() == 0
+
+
 def test_curate_corpus_redact_with_para_dedup(spark):
     """Everything-on composition (redact=True, para_dedup=True, fuzzy=True):
     redaction runs LAST, so dedup keys see ORIGINAL content — two docs that
