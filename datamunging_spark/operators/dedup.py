@@ -225,6 +225,42 @@ def minhash_signatures_df(
     )
 
 
+def _band_rows(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, _b, _k) LSH band rows from a signature table — a pure
+    expression over ``_sig`` (no text needed), shared by the intra-corpus
+    self-join (:func:`minhash_lsh_pairs`) and the incremental
+    history-vs-batch join (:func:`incremental_minhash_dedup`)."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("_sig"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("key"),
+                ),
+            )
+        ).alias("_band"),
+    ).select(
+        id_col, F.col("_band.band").alias("_b"), F.col("_band.key").alias("_k")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -250,7 +286,6 @@ def minhash_lsh_pairs(
     and ``unpersist()`` it once the pair plan has been consumed (exactly
     what :func:`minhash_dedup` does).
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_words)
     # Persist: the banding explode and the two signature re-joins below all
     # reference it; the cached table is tiny (id + 64 longs ≈ 0.5 KB/doc)
@@ -259,26 +294,7 @@ def minhash_lsh_pairs(
     # Band rows carry ONLY (id, band, key) — the signature arrays stay out
     # of the self-join shuffle (they re-join onto the tiny distinct pair set
     # afterwards instead of riding every banded row twice).
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("key"),
-                ),
-            )
-        ).alias("_band"),
-    ).select(id_col, F.col("_band.band").alias("_b"), F.col("_band.key").alias("_k"))
+    banded = _band_rows(sig, id_col, num_hashes, bands)
 
     left = banded.select(F.col(id_col).alias("id_a"), "_b", "_k")
     right = banded.select(F.col(id_col).alias("id_b"), "_b", "_k")
@@ -518,6 +534,90 @@ def minhash_dedup(
         # no-cache-accumulation promise must hold on the error path too
         sig.unpersist()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    hist_sig: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    within_batch: bool = True,
+    **dedup_kwargs,
+) -> DataFrame:
+    """Near-dedup a NEW ingest batch against a PRIOR corpus represented
+    only by its MinHash signature table — the fuzzy counterpart of
+    :func:`incremental_dedup`, for continuous-crawl pipelines where the
+    historical text is never rescanned.
+
+    ``hist_sig`` is :func:`minhash_signatures_df` output persisted from
+    the previous run (id + ``num_hashes`` longs per doc ≈ 0.5 KB/doc —
+    ~1000× slimmer than the corpus). Band keys are pure expressions over
+    the signatures, so the snapshot needs NO text and band layout can even
+    be re-chosen later; the (num_hashes, shingle_words) pair, however,
+    must match the snapshot's or signatures are incomparable — the caller
+    owns that contract.
+
+    Plan: sign the batch once (explode + one hash-agg), band BOTH sides
+    (expression-only), equi-join history×batch on (band, key) — never a
+    self-join over history — re-join the two signature tables onto the
+    distinct candidate set, score signature-Jaccard, and anti-join the
+    batch docs whose best history match clears ``threshold``. Then (by
+    default) a normal intra-batch :func:`minhash_dedup`. History-side work
+    is one scan of the slim snapshot; everything else is batch-sized.
+
+    Returns the surviving rows of ``new_df``. To roll the snapshot
+    forward, union ``hist_sig`` with ``minhash_signatures_df`` of the
+    survivors.
+    """
+    new_sig = minhash_signatures_df(
+        new_df, text_col, id_col, num_hashes, shingle_words
+    ).persist()
+    try:
+        new_bands = _band_rows(new_sig, id_col, num_hashes, bands).select(
+            F.col(id_col).alias("_nid"), "_b", "_k"
+        )
+        hist_bands = _band_rows(hist_sig, id_col, num_hashes, bands).select(
+            F.col(id_col).alias("_hid"), "_b", "_k"
+        )
+        cand = (
+            new_bands.join(hist_bands, on=["_b", "_k"])
+            .select("_nid", "_hid")
+            .dropDuplicates(["_nid", "_hid"])
+        )
+        scored = (
+            cand.join(
+                new_sig.select(F.col(id_col).alias("_nid"), F.col("_sig").alias("_sa")),
+                "_nid",
+            )
+            .join(
+                hist_sig.select(F.col(id_col).alias("_hid"), F.col("_sig").alias("_sb")),
+                "_hid",
+            )
+            .filter(
+                F.size(F.array_intersect("_sa", "_sb")) / F.lit(float(num_hashes))
+                >= threshold
+            )
+        )
+        losers = scored.select(F.col("_nid").alias(id_col)).distinct().localCheckpoint()
+    finally:
+        new_sig.unpersist()
+    fresh = new_df.join(losers, on=id_col, how="left_anti")
+    if within_batch:
+        fresh = minhash_dedup(
+            fresh,
+            text_col,
+            id_col,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_words=shingle_words,
+            **dedup_kwargs,
+        )
+    return fresh
 
 
 # ---------------------------------------------------------------------------

@@ -520,6 +520,52 @@ def test_incremental_dedup_against_snapshot(spark):
     assert incremental_dedup(batch, snap2).count() == 0
 
 
+def test_incremental_minhash_dedup_against_signature_snapshot(spark, tables):
+    """Fuzzy incremental ingest: a batch is near-deduped against history
+    represented ONLY by its persisted MinHash signature table — near-dups
+    of historical docs drop, fresh docs survive, intra-batch near-dups
+    collapse to one survivor."""
+    from datamunging_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures_df,
+    )
+
+    history = tables["documents"].limit(50).select("doc_id", "text")
+    hist_sig = minhash_signatures_df(history).localCheckpoint()
+    near_hist = (  # 5 near-dups of historical docs (one extra token)
+        history.limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" xtra token")))
+    )
+    fresh = (
+        tables["documents"]
+        .filter(F.col("doc_id").between(200, 209))
+        .select("doc_id", "text")
+    )
+    fresh_near = (  # intra-batch near-dups of the fresh docs
+        fresh.limit(3)
+        .withColumn("doc_id", F.col("doc_id") + 300000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail tok")))
+    )
+    batch = near_hist.union(fresh).union(fresh_near)
+    out = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup(
+            batch, hist_sig, threshold=0.5
+        ).collect()
+    }
+    assert not any(100000 <= i < 200000 for i in out)  # history near-dups gone
+    assert set(range(200, 210)) <= out                 # fresh docs survive
+    assert not any(i >= 300000 for i in out)           # lost to min-id fresh
+    no_batch = {
+        r["doc_id"]
+        for r in incremental_minhash_dedup(
+            batch, hist_sig, threshold=0.5, within_batch=False
+        ).collect()
+    }
+    assert any(i >= 300000 for i in no_batch)          # intra-batch kept
+
+
 def test_curate_corpus_redact_with_para_dedup(spark):
     """Everything-on composition (redact=True, para_dedup=True, fuzzy=True):
     redaction runs LAST, so dedup keys see ORIGINAL content — two docs that
