@@ -830,6 +830,29 @@ def q_x5_chunk_documents(spark, sf_dir):
     return chunk_documents(d, max_tokens=32, overlap=8)
 
 
+def q_x1_incremental_dedup(spark, sf_dir):
+    """X1 incremental ingest (bench-only; pytest-covered): docs with
+    doc_id < 400 act as the already-ingested corpus, represented only by
+    its slim snapshots (content hashes + MinHash signatures); the rest is
+    the new crawl batch, deduped exact-then-fuzzy against history and
+    within itself — the full continuous-ingest shape, timed per round."""
+    from datamunging_spark.operators.dedup import (
+        content_snapshot,
+        incremental_dedup,
+        incremental_minhash_dedup,
+        minhash_signatures_df,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    hist = d.filter(F.col("doc_id") < 400)
+    batch = d.filter(F.col("doc_id") >= 400)
+    out = incremental_dedup(batch, content_snapshot(hist))
+    out = incremental_minhash_dedup(
+        out, minhash_signatures_df(hist), threshold=0.5
+    )
+    return out.select("doc_id", "source")
+
+
 # --- rows-only entries (non-SQL-expressible or inherently random) ----------
 
 def q_x1_minhash_pairs(spark, sf_dir):

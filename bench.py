@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "x5_token_budget",
     "x1_paragraph_dedup",
     "x5_chunk_documents",
+    "x1_incremental_dedup",
 ]
 
 

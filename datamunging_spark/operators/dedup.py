@@ -269,6 +269,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_words: int = 3,
     _return_sig: bool = False,
+    _precomputed_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
@@ -286,7 +287,17 @@ def minhash_lsh_pairs(
     and ``unpersist()`` it once the pair plan has been consumed (exactly
     what :func:`minhash_dedup` does).
     """
-    sig = minhash_signatures_df(df, text_col, id_col, num_hashes, shingle_words)
+    # _precomputed_sig: callers that already hold this df's signature table
+    # (incremental ingest signs the batch ONCE for the history compare and
+    # reuses the survivor subset here) pass it to skip the signature agg;
+    # it must cover every id in df with the same (num_hashes,
+    # shingle_words) — the caller owns that contract.
+    if _precomputed_sig is not None:
+        sig = _precomputed_sig
+    else:
+        sig = minhash_signatures_df(
+            df, text_col, id_col, num_hashes, shingle_words
+        )
     # Persist: the banding explode and the two signature re-joins below all
     # reference it; the cached table is tiny (id + 64 longs ≈ 0.5 KB/doc)
     # even at corpus scale.
@@ -603,20 +614,30 @@ def incremental_minhash_dedup(
             )
         )
         losers = scored.select(F.col("_nid").alias(id_col)).distinct().localCheckpoint()
+        fresh = new_df.join(losers, on=id_col, how="left_anti")
+        if within_batch:
+            # Same multi-branch-consumer materialization as curate_corpus:
+            # the intra-batch pass reads `fresh` twice (banding + final
+            # anti-join); without this the history anti-join re-executes
+            # per branch. The batch was already signed once above, so the
+            # survivor subset of new_sig feeds the intra-batch pass
+            # directly instead of a second signature aggregation
+            # (minhash_dedup materializes its loser set eagerly, so the
+            # reuse happens while new_sig is still cached).
+            fresh = fresh.localCheckpoint()
+            fresh = minhash_dedup(
+                fresh,
+                text_col,
+                id_col,
+                threshold=threshold,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_words=shingle_words,
+                _precomputed_sig=new_sig.join(losers, on=id_col, how="left_anti"),
+                **dedup_kwargs,
+            )
     finally:
         new_sig.unpersist()
-    fresh = new_df.join(losers, on=id_col, how="left_anti")
-    if within_batch:
-        fresh = minhash_dedup(
-            fresh,
-            text_col,
-            id_col,
-            threshold=threshold,
-            num_hashes=num_hashes,
-            bands=bands,
-            shingle_words=shingle_words,
-            **dedup_kwargs,
-        )
     return fresh
 
 
