@@ -79,3 +79,47 @@ def test_similarity_on_empty(spark):
     assert brute_force_topk(emb, emb, k=3).count() == 0
     assert lsh_topk(emb, emb, k=3).count() == 0
     assert dequantize_embeddings(quantize_embeddings(emb)).count() == 0
+
+
+def test_x5_text_ops_on_empty(spark, empty_docs):
+    from datamunging_spark.functions import token_count
+    from datamunging_spark.operators.dedup import paragraph_dedup
+    from datamunging_spark.operators.text import chunk_documents
+    from datamunging_spark.operators.trainset import (
+        pack_sequences,
+        take_token_budget,
+    )
+
+    slim = empty_docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    assert paragraph_dedup(empty_docs).count() == 0
+    assert chunk_documents(empty_docs).count() == 0
+    assert pack_sequences(slim).count() == 0
+    assert take_token_budget(slim, 100, order_cols=["doc_id"]).count() == 0
+
+
+def test_incremental_dedup_on_empty(spark, empty_docs):
+    """Empty batch vs non-empty history, and non-empty batch vs EMPTY
+    history (first-ever ingest run) both behave."""
+    from datamunging_spark.operators.dedup import (
+        content_snapshot,
+        incremental_dedup,
+        incremental_minhash_dedup,
+        minhash_signatures_df,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "some history doc", "web")], ["doc_id", "text", "source"]
+    )
+    snap, sig = content_snapshot(hist), minhash_signatures_df(hist)
+    assert incremental_dedup(empty_docs, snap).count() == 0
+    assert incremental_minhash_dedup(empty_docs, sig).count() == 0
+    batch = spark.createDataFrame(
+        [(10, "a brand new doc", "web")], ["doc_id", "text", "source"]
+    )
+    empty_snap, empty_sig = content_snapshot(empty_docs), minhash_signatures_df(
+        empty_docs
+    )
+    assert incremental_dedup(batch, empty_snap).count() == 1
+    assert incremental_minhash_dedup(batch, empty_sig).count() == 1
