@@ -102,10 +102,9 @@ def incremental_dedup(
     :func:`exact_dedup`. At 100 TB-of-history scale the snapshot is
     ~1000× smaller than the corpus, which is the entire point.
 
-    Near-dup incrementality rides the same pattern one level up: persist
-    ``minhash_signatures_df`` band keys per run and anti-join new band
-    keys before scoring — see minhash_lsh_pairs; exact-only here keeps
-    this operator oracle-deterministic.
+    Near-dup incrementality is :func:`incremental_minhash_dedup` (same
+    pattern one level up, with a signature snapshot); exact-only here
+    keeps this operator oracle-deterministic.
     """
     hashed = new_df.withColumn(
         "_h", F.md5(F.coalesce(normalize_text(text_col), F.lit("")))
