@@ -769,7 +769,10 @@ def q_x5_pack_sequences(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", token_count("text").cast("long").alias("n_tokens")
     )
-    packed = pack_sequences(d, max_len=1024)
+    # localCheckpoint: the packed result feeds two plan branches (the
+    # per-bin actual-sum agg and the join probe); without materializing it
+    # the Python packing UDF would execute twice per gate run.
+    packed = pack_sequences(d, max_len=1024).localCheckpoint()
     actual = packed.groupBy("bin_id").agg(
         F.sum(F.greatest("n_tokens", F.lit(0))).alias("_actual")
     )

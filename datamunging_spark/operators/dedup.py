@@ -14,6 +14,20 @@ from pyspark.sql import types as T
 
 from datamunging_spark.functions import normalize_text
 
+# Temp hash-column name used by the exact-dedup family. Namespaced so it can
+# never silently clobber (then drop) a caller column the way a bare "_h"
+# could; the guard below turns the residual collision into a loud error.
+_HASH_TMP = "__dm_content_h"
+
+
+def _hash_tmp_guard(df: DataFrame) -> None:
+    if _HASH_TMP in df.columns:
+        raise ValueError(
+            f"input DataFrame already has a {_HASH_TMP!r} column; rename it "
+            "before calling the dedup operators (reserved temp name)"
+        )
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -33,11 +47,14 @@ def exact_dedup(
     through the NULL-key join — NULL and '' text are treated as the same
     content group, matching paragraph_dedup.
     """
+    _hash_tmp_guard(df)
     hashed = df.withColumn(
-        "_h", F.md5(F.coalesce(normalize_text(text_col), F.lit("")))
+        _HASH_TMP, F.md5(F.coalesce(normalize_text(text_col), F.lit("")))
     )
-    keep = hashed.groupBy("_h").agg(F.min(id_col).alias(id_col))
-    return hashed.join(keep, on=["_h", id_col], how="inner").drop("_h")
+    keep = hashed.groupBy(_HASH_TMP).agg(F.min(id_col).alias(id_col))
+    return hashed.join(keep, on=[_HASH_TMP, id_col], how="inner").drop(
+        _HASH_TMP
+    )
 
 
 def dup_groups(
@@ -60,9 +77,7 @@ def dup_groups(
     )
 
 
-def content_snapshot(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
+def content_snapshot(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Slim dedup snapshot of a corpus: one (content_hash) row per distinct
     normalized content. This is the artifact a continuous-ingest pipeline
     persists between runs (parquet of 32-char hashes — a few GB per billion
@@ -106,14 +121,15 @@ def incremental_dedup(
     pattern one level up, with a signature snapshot); exact-only here
     keeps this operator oracle-deterministic.
     """
+    _hash_tmp_guard(new_df)
     hashed = new_df.withColumn(
-        "_h", F.md5(F.coalesce(normalize_text(text_col), F.lit("")))
+        _HASH_TMP, F.md5(F.coalesce(normalize_text(text_col), F.lit("")))
     )
     fresh = hashed.join(
-        seen.select(F.col(hash_col).alias("_h")).distinct(),
-        on="_h",
+        seen.select(F.col(hash_col).alias(_HASH_TMP)).distinct(),
+        on=_HASH_TMP,
         how="left_anti",
-    ).drop("_h")
+    ).drop(_HASH_TMP)
     return exact_dedup(fresh, text_col, id_col) if within_batch else fresh
 
 

@@ -530,7 +530,16 @@ def test_incremental_minhash_dedup_against_signature_snapshot(spark, tables):
         minhash_signatures_df,
     )
 
-    history = tables["documents"].limit(50).select("doc_id", "text")
+    # orderBy before limit + localCheckpoint pins WHICH 50 docs form the
+    # history, so near_hist below derives from the exact docs that were
+    # signed (an unordered limit could re-pick on re-execution).
+    history = (
+        tables["documents"]
+        .orderBy("doc_id")
+        .limit(50)
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
     hist_sig = minhash_signatures_df(history).localCheckpoint()
     near_hist = (  # 5 near-dups of historical docs (one extra token)
         history.limit(5)
