@@ -8,6 +8,8 @@ n-gram Jaccard round out the standard LLM-data toolkit.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -347,11 +349,12 @@ def minhash_lsh_pairs(
     return (out, sig) if _return_sig else out
 
 
-def _driver_union_find(edges: DataFrame) -> DataFrame:
+def _driver_union_find(edges: DataFrame, _rows=None) -> DataFrame:
     """Label a SMALL collected edge set with path-compressed union-find and
     return the (v, component) rows for non-root vertices, component = min
     member id. Only called below a known edge-count threshold — the collect
-    is bounded by the caller."""
+    is bounded by the caller (which may pass the already-collected rows via
+    ``_rows`` to avoid a second collect job)."""
     parent: dict = {}
 
     def find(x):
@@ -362,7 +365,7 @@ def _driver_union_find(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in edges.collect():
+    for r in (edges.collect() if _rows is None else _rows):
         u, v = r["u"], r["v"]
         parent.setdefault(u, u)
         parent.setdefault(v, v)
@@ -417,14 +420,21 @@ def connected_component_labels(
     Exhausting ``max_iter`` RAISES rather than return labels that would
     split one duplicate cluster into several survivors.
 
-    Adaptive small-graph path: the initial checksum already knows the edge
-    count, so when it is ≤ ``driver_threshold`` the edges are collected and
-    labeled with one driver-side union-find instead of iterative star
+    Adaptive small-graph path: a ``limit(driver_threshold + 1)`` collect
+    probes the canonical edge set (driver memory stays bounded by the
+    threshold regardless of true edge count); when everything fit, those
+    same rows feed one driver-side union-find instead of iterative star
     rounds — the same runtime-stats-driven switch AQE applies to broadcast
     joins. LSH candidate-pair graphs are tiny relative to the corpus (that
     is the point of LSH), so in practice this path serves most dedup calls
     and saves the per-round fixed job overhead that dominates small inputs;
     genuinely large pair graphs still take the distributed star path.
+
+    Job-count shape: ``pairs`` is materialized ONCE up front (the candidate
+    plan above CC — band self-join + scoring — is the expensive part;
+    deriving verts and edges from the un-materialized plan would execute
+    it once per branch), then the small path costs exactly two more tiny
+    jobs (edge canon + probe collect).
     """
 
     def _canon(e: DataFrame) -> DataFrame:
@@ -468,19 +478,22 @@ def connected_component_labels(
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
 
-    verts = (
+    pairs = pairs.localCheckpoint()
+    verts = (  # lazy: one cheap union-distinct over the materialized pairs
         pairs.select(F.col(a_col).alias("v"))
         .union(pairs.select(F.col(b_col).alias("v")))
         .distinct()
-        .localCheckpoint()
     )
     edges = _canon(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     ).localCheckpoint()
-    prev = _checksum(edges)
-    if prev["n"] <= driver_threshold:
-        non_roots = _driver_union_find(edges)
+    # clamp: limit() takes a Java int; a huge threshold means "always
+    # driver path" and a full collect is the intent
+    probe = edges.limit(min(driver_threshold + 1, 2**31 - 1)).collect()
+    if len(probe) <= driver_threshold:
+        non_roots = _driver_union_find(edges, _rows=probe)
     else:
+        prev = _checksum(edges)
         converged = False
         for _ in range(max_iter):
             # lazy checkpoint: the checksum action right below materializes
@@ -631,15 +644,17 @@ def incremental_minhash_dedup(
         losers = scored.select(F.col("_nid").alias(id_col)).distinct().localCheckpoint()
         fresh = new_df.join(losers, on=id_col, how="left_anti")
         if within_batch:
-            # Same multi-branch-consumer materialization as curate_corpus:
-            # the intra-batch pass reads `fresh` twice (banding + final
-            # anti-join); without this the history anti-join re-executes
-            # per branch. The batch was already signed once above, so the
-            # survivor subset of new_sig feeds the intra-batch pass
-            # directly instead of a second signature aggregation
+            # The batch was already signed once above, so the survivor
+            # subset of new_sig feeds the intra-batch pass directly via
+            # _precomputed_sig instead of a second signature aggregation
             # (minhash_dedup materializes its loser set eagerly, so the
-            # reuse happens while new_sig is still cached).
-            fresh = fresh.localCheckpoint()
+            # reuse happens while new_sig is still cached). Because the
+            # pair plan derives from that precomputed signature table,
+            # `fresh` itself has exactly ONE consumer (minhash_dedup's
+            # final anti-join) — no checkpoint needed. new_df's lineage
+            # thus executes twice overall (signature agg + final join);
+            # callers looping over many batches can localCheckpoint the
+            # batch to make that a cheap re-read.
             fresh = minhash_dedup(
                 fresh,
                 text_col,
@@ -654,6 +669,106 @@ def incremental_minhash_dedup(
     finally:
         new_sig.unpersist()
     return fresh
+
+
+class Snapshots(NamedTuple):
+    """The two slim artifacts a continuous-ingest pipeline persists between
+    runs: ``content`` (:func:`content_snapshot` schema — one md5 per distinct
+    doc) and ``signatures`` (:func:`minhash_signatures_df` schema, plus a
+    ``_sw`` shingle-width stamp once it has passed through
+    :func:`advance_snapshot`). Either may be None when the pipeline only
+    runs one dedup flavor."""
+
+    content: DataFrame | None
+    signatures: DataFrame | None
+
+
+def advance_snapshot(
+    survivors: DataFrame,
+    snapshots: Snapshots | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_words: int = 3,
+    survivor_sig: DataFrame | None = None,
+) -> Snapshots:
+    """Roll the incremental-dedup state forward: fold a deduped batch's
+    survivors into the content + signature snapshots so the NEXT batch can
+    be ingested. This is the one stateful step of the continuous-crawl loop
+    (ingest → :func:`incremental_dedup` → :func:`incremental_minhash_dedup`
+    → advance_snapshot → persist), pulled into an operator because it is
+    the easiest step for callers to get wrong — double-signing survivors,
+    drifting (num_hashes, shingle_words) between runs, or re-shuffling the
+    whole history to re-distinct it.
+
+    Scale shape: pure APPEND. Survivors of the incremental operators have
+    content hashes provably absent from the content snapshot (the exact
+    pass anti-joined on it) and ids absent from the signature snapshot, so
+    both unions need no history-wide distinct — the history side is never
+    shuffled, only the batch-sized increment is computed. (If a duplicate
+    hash ever does land — e.g. survivors that skipped the exact pass — the
+    consumers stay correct: :func:`incremental_dedup` applies ``distinct``
+    to the snapshot side at use.)
+
+    Parameter drift is enforced, not just documented: the emitted signature
+    rows carry a ``_sw`` shingle-width stamp, and on the way in one
+    ``limit(1)`` probe of the prior snapshot (a trivially cheap action on a
+    slim table) checks ``size(_sig) == num_hashes`` and, when the stamp is
+    present, ``_sw == shingle_words`` — a mismatch raises instead of
+    silently producing incomparable signatures. A caller-built first
+    snapshot without the stamp is assumed to match; every snapshot that has
+    passed through here is stamped.
+
+    ``survivor_sig``: batch signatures already computed by
+    :func:`incremental_minhash_dedup` (which signs the batch exactly once);
+    pass the survivor subset to skip re-signing here. Must cover exactly
+    the survivor ids with the same (num_hashes, shingle_words) — the same
+    ``_precomputed_sig`` contract as :func:`minhash_lsh_pairs`.
+    """
+    snapshots = snapshots if snapshots is not None else Snapshots(None, None)
+    new_content = content_snapshot(survivors, text_col)
+    if snapshots.content is not None:
+        new_content = snapshots.content.unionByName(new_content)
+
+    if survivor_sig is None:
+        sig_inc = minhash_signatures_df(
+            survivors, text_col, id_col, num_hashes, shingle_words
+        )
+    else:
+        sig_inc = survivor_sig.select(id_col, "_sig")
+    sig_inc = sig_inc.withColumn("_sw", F.lit(shingle_words).cast("int"))
+
+    hist = snapshots.signatures
+    if hist is not None:
+        probe = hist.select(
+            F.size("_sig").alias("nh"),
+            *([F.col("_sw").alias("sw")] if "_sw" in hist.columns else []),
+        ).limit(1).collect()
+        if probe:
+            if probe[0]["nh"] != num_hashes:
+                raise ValueError(
+                    f"signature snapshot has {probe[0]['nh']} hashes per "
+                    f"doc but advance_snapshot was called with num_hashes="
+                    f"{num_hashes}; signatures would be incomparable"
+                )
+            if "_sw" in hist.columns and probe[0]["sw"] != shingle_words:
+                raise ValueError(
+                    f"signature snapshot was built with shingle_words="
+                    f"{probe[0]['sw']} but advance_snapshot was called "
+                    f"with shingle_words={shingle_words}; signatures "
+                    "would be incomparable"
+                )
+        if "_sw" not in hist.columns:
+            # first pass of an unstamped caller-built snapshot: stamp it
+            # (documented assumption that it matches shingle_words)
+            hist = hist.select(
+                id_col, "_sig", F.lit(shingle_words).cast("int").alias("_sw")
+            )
+        else:
+            hist = hist.select(id_col, "_sig", "_sw")
+        sig_inc = hist.unionByName(sig_inc)
+
+    return Snapshots(content=new_content, signatures=sig_inc)
 
 
 # ---------------------------------------------------------------------------

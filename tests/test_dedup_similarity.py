@@ -575,6 +575,90 @@ def test_incremental_minhash_dedup_against_signature_snapshot(spark, tables):
     assert any(i >= 300000 for i in no_batch)          # intra-batch kept
 
 
+def test_advance_snapshot_closes_incremental_loop(spark, tables):
+    """Roll-forward (advance_snapshot) closes the continuous-ingest loop:
+    after folding a batch's survivors into the content + signature
+    snapshots, re-ingesting that SAME batch yields zero survivors (exact
+    AND fuzzy) — the idempotence property a crawl pipeline relies on —
+    and a second batch mixing exact dups, a near-dup of history, and
+    fresh docs keeps exactly the fresh docs."""
+    from datamunging_spark.operators.dedup import (
+        Snapshots,
+        advance_snapshot,
+        incremental_dedup,
+        incremental_minhash_dedup,
+        minhash_signatures_df,
+    )
+
+    def pin(s):
+        return Snapshots(
+            s.content.localCheckpoint(), s.signatures.localCheckpoint()
+        )
+
+    docs = tables["documents"].select("doc_id", "text")
+    batch1 = exact_dedup(docs.filter(F.col("doc_id") < 30)).localCheckpoint()
+    n1 = batch1.count()
+    snaps = pin(advance_snapshot(batch1))  # bootstrap from first batch
+    assert snaps.content.count() == n1
+    assert snaps.signatures.count() == n1
+
+    # Idempotence: re-ingesting batch 1 yields zero survivors both ways.
+    assert incremental_dedup(batch1, snaps.content).count() == 0
+    assert (
+        incremental_minhash_dedup(
+            batch1, snaps.signatures, threshold=0.5
+        ).count()
+        == 0
+    )
+
+    # Batch 2: exact dups of history + a near-dup of history + fresh docs.
+    overlap = batch1.filter(F.col("doc_id") < 10)
+    near = (
+        batch1.filter(F.col("doc_id") == 15)
+        .withColumn("doc_id", F.lit(900000).cast(batch1.schema["doc_id"].dataType))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" xtra token")))
+    )
+    fresh = docs.filter(F.col("doc_id").between(100, 109))
+    batch2 = overlap.union(near).union(fresh).localCheckpoint()
+    s1 = incremental_dedup(batch2, snaps.content).localCheckpoint()
+    s2 = incremental_minhash_dedup(
+        s1, snaps.signatures, threshold=0.5
+    ).localCheckpoint()
+    ids = {r["doc_id"] for r in s2.collect()}
+    assert ids == set(range(100, 110))
+
+    # Roll forward with batch 2's survivors; re-ingesting batch 2 is now
+    # a no-op and the snapshots grew by exactly the survivor count.
+    snaps2 = pin(advance_snapshot(s2, snaps))
+    assert snaps2.content.count() == n1 + len(ids)
+    assert snaps2.signatures.count() == n1 + len(ids)
+    r1 = incremental_dedup(batch2, snaps2.content)
+    assert (
+        incremental_minhash_dedup(
+            r1, snaps2.signatures, threshold=0.5
+        ).count()
+        == 0
+    )
+
+    # Parameter drift between runs is refused, not silently tolerated.
+    with pytest.raises(ValueError, match="num_hashes"):
+        advance_snapshot(fresh, snaps2, num_hashes=32)
+    with pytest.raises(ValueError, match="shingle_words"):
+        advance_snapshot(fresh, snaps2, shingle_words=2)
+
+    # survivor_sig fast path (no re-signing) advances to the same state.
+    alt = advance_snapshot(
+        s2, snaps, survivor_sig=minhash_signatures_df(s2)
+    )
+    assert alt.signatures.count() == n1 + len(ids)
+    assert (
+        alt.signatures.join(
+            snaps2.signatures, on=["doc_id", "_sig", "_sw"], how="anti"
+        ).count()
+        == 0
+    )
+
+
 def test_curate_corpus_redact_with_para_dedup(spark):
     """Everything-on composition (redact=True, para_dedup=True, fuzzy=True):
     redaction runs LAST, so dedup keys see ORIGINAL content — two docs that
