@@ -91,19 +91,28 @@ def main() -> None:
         spread[name] = [round(min(samples), 4), round(max(samples), 4)]
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "reps": reps,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    line = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "reps": reps,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # The driver captures only the TAIL of stdout (~2000 chars) and parses
+    # the final JSON line; round 5's line with the inline spread dict grew
+    # past that and recorded parsed=null. Keep the contract line compact
+    # and put the per-query min/max spread in a side artifact instead
+    # (tools/gen_baseline_table.py folds it into BASELINE.md).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
+        "w",
+    ) as fh:
+        json.dump({**line, "spread": spread}, fh, indent=1)
+    out = json.dumps(line)
+    assert len(out) < 1900, f"bench line too long for driver tail capture: {len(out)}"
+    print(out)
 
 
 if __name__ == "__main__":
