@@ -46,11 +46,56 @@ def sample_by_key(df: DataFrame, key: str, percent: int = 20) -> DataFrame:
 
 
 def stratified_sample(
-    df: DataFrame, key: str, fractions: dict, seed: int = 42
+    df: DataFrame,
+    key: str,
+    fractions: dict,
+    seed: int = 42,
+    id_cols: list[str] | None = None,
+    precision: int = 4,
 ) -> DataFrame:
-    """Per-stratum fraction sampling (``sampleBy``): unlike R28 this samples
-    rows *within* each stratum rather than whole keys."""
-    return df.sampleBy(key, fractions=fractions, seed=seed)
+    """Per-stratum fraction sampling: unlike R28 this samples rows *within*
+    each stratum rather than whole keys. Strata absent from ``fractions``
+    are dropped (sampleBy semantics).
+
+    ``id_cols`` given → portable path, same discipline as
+    :func:`bernoulli_sample_portable`: a seeded md5 over the row key maps
+    each row to a uniform hex bucket, kept when it falls below its
+    stratum's threshold — a pure codegen filter (no shuffle, no RNG
+    stream), bit-identical on any engine AND any partitioning. The
+    stratum threshold rides a tiny ``create_map`` literal, so one CASE-free
+    comparison serves every stratum. Fraction granularity 16^-precision.
+
+    ``id_cols=None`` → native ``sampleBy``, whose rand(seed) stream is
+    partition-layout-dependent: seed-stable only for a fixed layout. Use
+    it when no unique row key exists and cross-run reproducibility is not
+    required.
+    """
+    if id_cols is None:
+        return df.sampleBy(key, fractions=fractions, seed=seed)
+    scale = 16**precision
+    pairs = []
+    for v, frac in fractions.items():
+        thr = scale if frac >= 1.0 else max(0, int(frac * scale))
+        pairs += [F.lit(v), F.lit(thr)]
+    thresholds = F.create_map(*pairs)
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(str(seed)),
+                    *[F.col(c).cast("string") for c in id_cols],
+                )
+            ),
+            1,
+            precision,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return df.filter(
+        u < F.coalesce(thresholds.getItem(F.col(key)), F.lit(0))
+    )
 
 
 def _plan_row_count(df: DataFrame) -> int | None:

@@ -155,3 +155,50 @@ def dedup_stream(
         .dropDuplicatesWithinWatermark(["_h"])
         .drop("_h")
     )
+
+
+def incremental_dedup_stream(
+    docs: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Streaming counterpart of :func:`~datamunging_spark.operators.dedup.
+    incremental_dedup`: drop any streamed doc whose normalized content is
+    already in the HISTORICAL corpus snapshot (``seen`` — a static
+    :func:`~datamunging_spark.operators.dedup.content_snapshot` table),
+    then exact-dedup within the stream via
+    ``dropDuplicatesWithinWatermark``.
+
+    Scale shape: a stream-static LEFT ANTI join — the idiomatic Spark
+    pattern for "filter the stream against a reference table". The static
+    side is re-read per micro-batch (so a snapshot replaced on disk is
+    picked up without restarting the query), which is exactly why the
+    snapshot format is a slim hash-only table: the per-batch cost is one
+    scan of 32-char hashes, broadcastable while the history stays small
+    and a hash equi-join beyond that. Stream-side state is the same
+    bounded within-watermark key set as :func:`dedup_stream`.
+
+    Hash contract matches exact_dedup/content_snapshot (NULL text hashes
+    as ''), so the stream and batch ingest paths agree on survivors. To
+    roll history forward between runs, feed the sink's accumulated docs to
+    :func:`~datamunging_spark.operators.dedup.advance_snapshot` batch-side
+    (streaming writes to the snapshot it anti-joins would be a cycle).
+    """
+    from datamunging_spark.functions import normalize_text
+
+    keyed = docs.withColumn(
+        "_h", F.md5(F.coalesce(normalize_text(text_col), F.lit("")))
+    )
+    fresh = keyed.join(
+        seen.select(F.col(hash_col).alias("_h")).distinct(),
+        on="_h",
+        how="left_anti",
+    )
+    return (
+        fresh.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_h"])
+        .drop("_h")
+    )

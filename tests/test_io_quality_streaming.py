@@ -427,6 +427,46 @@ def test_dedup_stream_drops_repeats_within_watermark(spark, tmp_path):
     assert len(kept & {1, 2, 4}) == 1
 
 
+def test_incremental_dedup_stream_vs_snapshot(spark, tmp_path):
+    """Streaming continuous-ingest dedup: docs whose content is already in
+    the static history snapshot are dropped by the stream-static anti-join;
+    in-stream repeats collapse to first arrival; fresh docs survive."""
+    import datetime as dt
+
+    from datamunging_spark.operators.dedup import content_snapshot
+    from datamunging_spark.streaming import (
+        incremental_dedup_stream,
+        run_stream_to_memory,
+    )
+
+    hist = spark.createDataFrame(
+        [(100, "alpha beta gamma"), (101, "old news here")],
+        ["doc_id", "text"],
+    )
+    snap = content_snapshot(hist).localCheckpoint()
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "ALPHA beta   gamma"),                      # dup of history
+        (2, t0 + dt.timedelta(seconds=10), "fresh content"),
+        (3, t0 + dt.timedelta(seconds=20), "old news here"),  # dup of history
+        (4, t0 + dt.timedelta(seconds=30), "fresh  CONTENT"),  # in-stream dup
+        (5, t0 + dt.timedelta(seconds=40), "brand new thing"),
+    ]
+    src = tmp_path / "incr_stream"
+    spark.createDataFrame(rows, ["doc_id", "ts", "text"]).write.parquet(str(src))
+    stream = spark.readStream.schema(
+        "doc_id long, ts timestamp, text string"
+    ).parquet(str(src))
+    name = run_stream_to_memory(
+        incremental_dedup_stream(stream, snap), "incr_dedup_sink"
+    )
+    kept = {r["doc_id"] for r in spark.table(name).collect()}
+    assert 5 in kept and len(kept & {1, 3}) == 0  # history dups gone
+    assert len(kept & {2, 4}) == 1                # one in-stream survivor
+    assert len(kept) == 2
+
+
 def test_write_compacted_file_count(spark, tables, tmp_path):
     """Sink compaction must actually split on the plan-stats size estimate:
     a ~36 MB-estimated input at target 8 MB lands as several files (not the

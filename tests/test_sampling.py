@@ -9,7 +9,45 @@ from datamunging_spark.operators.sampling import (
     bernoulli_sample_portable,
     sample_by_key,
     sample_n,
+    stratified_sample,
 )
+
+
+def test_stratified_sample_per_stratum_fractions(tables):
+    """Portable path: per-stratum fractions land inside a CI around their
+    targets, strata with fraction 0 (or absent from the dict) vanish
+    entirely, and the same seed reproduces the exact row set even after
+    repartitioning — the property the native sampleBy path (RNG stream =
+    partition-layout-dependent) cannot give."""
+    li = tables["lineitem"].select("l_orderkey", "l_linenumber", "l_returnflag")
+    ids = ["l_orderkey", "l_linenumber"]
+    fr = {"N": 0.5, "R": 0.1, "A": 0.0}
+    out = stratified_sample(li, "l_returnflag", fr, seed=7, id_cols=ids)
+    totals = {
+        r["l_returnflag"]: r["cnt"]
+        for r in li.groupBy("l_returnflag").agg(F.count("*").alias("cnt")).collect()
+    }
+    got = {
+        r["l_returnflag"]: r["cnt"]
+        for r in out.groupBy("l_returnflag").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got.get("A", 0) == 0  # zero-fraction stratum fully dropped
+    for k in ("N", "R"):
+        assert abs(got.get(k, 0) / totals[k] - fr[k]) < 0.05, (k, got, totals)
+    # seed determinism: identical row set, and invariant to repartitioning
+    repart = stratified_sample(
+        li.repartition(7, "l_linenumber"), "l_returnflag", fr, seed=7,
+        id_cols=ids,
+    )
+    assert out.exceptAll(repart).count() == 0 and repart.exceptAll(out).count() == 0
+    # different seed -> different (still CI-sized) row set
+    other = stratified_sample(li, "l_returnflag", fr, seed=8, id_cols=ids)
+    assert other.exceptAll(out).count() > 0
+    # native sampleBy path still works and hits its fractions
+    nat = stratified_sample(li, "l_returnflag", fr, seed=7)
+    n_nat = nat.filter(F.col("l_returnflag") == "N").count()
+    assert abs(n_nat / totals["N"] - 0.5) < 0.05
+    assert nat.filter(F.col("l_returnflag") == "A").count() == 0
 
 
 def test_bernoulli_fraction_and_determinism(tables):
