@@ -1,0 +1,123 @@
+"""Regenerate BASELINE.md's bench table from the bench artifact.
+
+Round 5's table was hand-run mid-round and drifted from the committed
+BENCH_r05.json on several medians (judge finding: "the normative doc
+should be generated from the artifact, not re-measured by hand"). This
+tool makes the table bytes a pure function of the artifact: it reads
+BENCH_DETAIL.json (written by bench.py alongside its stdout contract
+line; same shape plus the per-query [min, max] spread) and rewrites the
+block between the BENCH_TABLE markers in BASELINE.md.
+
+Usage:
+    python tools/gen_baseline_table.py            # from ./BENCH_DETAIL.json
+    python tools/gen_baseline_table.py path.json  # from a specific artifact
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BEGIN = "<!-- BENCH_TABLE_BEGIN (tools/gen_baseline_table.py) -->"
+END = "<!-- BENCH_TABLE_END -->"
+
+# Display annotations per query: (description, reference column). Queries
+# missing here still get a row — the table is driven by the artifact, not
+# by this map.
+NOTES: dict[str, tuple[str, str]] = {
+    "r13_count": ("R13 global count", "24.583 (733k rows)"),
+    "r14_group_count": ("README.md:126-132 shape", "—"),
+    "r16_percentile_bucket": ("README.md:237-261 flagship", "—"),
+    "r12_join_agg": ("customer×nation×region", "—"),
+    "pricing_summary": ("TPC-H Q1-shaped", "—"),
+    "top_revenue_orders": ("TPC-H Q3-shaped", "—"),
+    "window_topk": ("top-3 orders per customer", "—"),
+    "r26_sample_bernoulli": ("portable 20% sample", "—"),
+    "x1_content_hash": ("X1 exact dedup hash", "—"),
+    "x1_minhash_pairs": ("X1 MinHash-LSH candidates", "—"),
+    "x1_simhash": ("X1 SimHash, 5000 docs", "—"),
+    "x1_embedding_neardup": ("X1 embedding-cosine", "—"),
+    "x2_topk_cosine": ("X2 brute-force top-k", "—"),
+    "x2_ann_lsh": ("X2 ANN, 16 hyperplane tables", "—"),
+    "x2_ann_ivf": ("X2 ANN, 16 IVF cells, 8-probe", "—"),
+    "x4_text_suite": ("X4 one-scan stats+lang+quality+fp", "—"),
+    "x3_media_features": ("mapInPandas extract", "—"),
+    "r33_tfidf": ("R33/34 exact TF-IDF", "—"),
+    "local_supplier_volume": ("TPC-H Q5-shaped 6-table join", "—"),
+    "grouping_suite": ("rollup+cube", "—"),
+    "range_join_bands": ("bucketed range join", "—"),
+    "promo_revenue": ("TPC-H Q14-shaped", "—"),
+    "sessionize_events": ("session_window", "—"),
+    "asof_join": ("", "—"),
+    "x1_ngram_jaccard": ("gram equi-join, 25 planted pairs", "—"),
+    "x_curation_full": (
+        "X1+X4 pipeline incl. CC survivor",
+        "— (r6: CC materializes the pair plan once — was twice)",
+    ),
+    "x5_decontaminate": ("5-gram collision, broadcast", "—"),
+    "x5_source_mix": ("weighted mixing", "—"),
+    "x5_train_shuffle": ("range exchange", "—"),
+    "x5_pack_sequences": ("BFD applyInPandas + invariant check", "—"),
+    "x5_token_budget": ("two-pass distributed cumsum", "—"),
+    "x1_paragraph_dedup": ("C4 line dedup", "—"),
+    "x5_chunk_documents": ("overlapping token windows, added r5", "—"),
+    "x1_incremental_dedup": (
+        "exact+fuzzy vs history snapshots, added r5",
+        "— (composite: history anti-join + two LSH scoring rounds + CC; "
+        "batch signed once)",
+    ),
+}
+
+
+def render(detail: dict) -> str:
+    lines = [
+        BEGIN,
+        f"Generated from the bench artifact (reps={detail.get('reps')}, "
+        f"sf={detail.get('sf')}, total={detail.get('value')} s) — do not "
+        "hand-edit; rerun `python bench.py && python "
+        "tools/gen_baseline_table.py`.",
+        "",
+        "| query | median (s) | [min, max] | reference (Hive-on-Tez) |",
+        "|---|---|---|---|",
+    ]
+    spread = detail.get("spread", {})
+    for name, med in detail["queries"].items():
+        desc, ref = NOTES.get(name, ("", "—"))
+        label = f"{name} ({desc})" if desc else name
+        lo_hi = spread.get(name)
+        rng = f"[{lo_hi[0]:.2f}, {lo_hi[1]:.2f}]" if lo_hi else "—"
+        lines.append(f"| {label} | {med:.2f} | {rng} | {ref} |")
+    lines.append(END)
+    return "\n".join(lines)
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        REPO, "BENCH_DETAIL.json"
+    )
+    with open(src) as fh:
+        detail = json.load(fh)
+    path = os.path.join(REPO, "BASELINE.md")
+    with open(path) as fh:
+        doc = fh.read()
+    table = render(detail)
+    pattern = re.compile(
+        re.escape(BEGIN) + r".*?" + re.escape(END), flags=re.S
+    )
+    if pattern.search(doc):
+        doc = pattern.sub(lambda _: table, doc)
+    else:
+        raise SystemExit(
+            f"BASELINE.md is missing the {BEGIN!r} / {END!r} markers; "
+            "add them around the bench table once, then rerun"
+        )
+    with open(path, "w") as fh:
+        fh.write(doc)
+    print(f"wrote {len(detail['queries'])} rows from {src} into {path}")
+
+
+if __name__ == "__main__":
+    main()
