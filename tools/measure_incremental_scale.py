@@ -1,0 +1,95 @@
+"""Measure incremental-ingest cost vs HISTORY size (SCALE.md probe).
+
+The design claim of the continuous-ingest operators (dedup.incremental_dedup
+and dedup.incremental_minhash_dedup) is that per-batch cost tracks BATCH
+size, not history size: history participates only as slim snapshots — a
+hash set for the exact pass, a signature table for the fuzzy pass — each
+touched by one scan-side of an equi-join. If the claim holds, growing the
+history snapshot 10x while holding the batch fixed should move wall-time by
+the (small) extra scan cost only, nowhere near 10x.
+
+Method: documents at sf0.1 (~5k docs) replicated K times with shifted ids
+forms the history (K in {1, 10}); the batch is a FIXED 1,000-doc slice with
+ids disjoint from history, 10% of which are exact copies and 10% near-dup
+variants of history docs (so the anti-joins do real work). Snapshots are
+materialized once (parquet-shaped via localCheckpoint) before timing, like
+a production run where they are tables; timing covers exact + fuzzy dedup
+end-to-end per batch, median of 3.
+
+Output: markdown rows for SCALE.md.
+"""
+
+from __future__ import annotations
+
+import statistics
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from datamunging_spark import get_spark
+from datamunging_spark.operators.dedup import (
+    content_snapshot,
+    incremental_dedup,
+    incremental_minhash_dedup,
+    minhash_signatures_df,
+)
+from datamunging_spark.sources.io import load_table
+
+SF_DIR = "/root/testdata/sf0.1"
+BATCH_N = 1000
+REPS = 3
+
+
+def main() -> None:
+    spark = get_spark("incremental-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    n_docs = docs.count()
+
+    # Fixed batch: 1000 docs with ids >= 10M (disjoint from any history
+    # replica): 100 exact copies of history docs, 100 near-dups (token
+    # appended), 800 fresh docs drawn from a disjoint id range.
+    base = docs.filter(F.col("doc_id") < 100)
+    copies = base.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    nears = base.withColumn(
+        "doc_id", F.col("doc_id") + 11_000_000
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" drift token")))
+    fresh = (
+        docs.filter(F.col("doc_id").between(100, 899))
+        .withColumn("doc_id", F.col("doc_id") + 12_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" uniq suffix")))
+    )
+    batch = copies.union(nears).union(fresh).localCheckpoint()
+    assert batch.count() == BATCH_N
+
+    print(f"| history docs | snapshot build (s) | batch dedup median (s) | spread |")
+    print("|---|---|---|---|")
+    for k in (1, 10):
+        hist = docs
+        for i in range(1, k):
+            hist = hist.union(
+                docs.withColumn("doc_id", F.col("doc_id") + i * 100_000)
+            )
+        t0 = time.perf_counter()
+        snap = content_snapshot(hist).localCheckpoint()
+        sig = minhash_signatures_df(hist).localCheckpoint()
+        build = time.perf_counter() - t0
+        samples = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            out = incremental_dedup(batch, snap)
+            out = incremental_minhash_dedup(out, sig, threshold=0.5)
+            out.count()
+            samples.append(time.perf_counter() - t0)
+        med = statistics.median(samples)
+        print(
+            f"| {k * n_docs:,} | {build:.1f} | {med:.2f} | "
+            f"[{min(samples):.2f}, {max(samples):.2f}] |"
+        )
+
+
+if __name__ == "__main__":
+    main()
