@@ -585,6 +585,7 @@ def incremental_minhash_dedup(
     bands: int = 16,
     shingle_words: int = 3,
     within_batch: bool = True,
+    _return_survivor_sig: bool = False,
     **dedup_kwargs,
 ) -> DataFrame:
     """Near-dedup a NEW ingest batch against a PRIOR corpus represented
@@ -609,8 +610,12 @@ def incremental_minhash_dedup(
     is one scan of the slim snapshot; everything else is batch-sized.
 
     Returns the surviving rows of ``new_df``. To roll the snapshot
-    forward, union ``hist_sig`` with ``minhash_signatures_df`` of the
-    survivors.
+    forward, pass the survivors to :func:`advance_snapshot` — or set
+    ``_return_survivor_sig=True`` to also get the survivors' signature
+    rows (a materialized subset of the single batch signing, suitable for
+    ``advance_snapshot(survivor_sig=...)``) as a second return value, so
+    the whole ingest→advance cycle signs the batch exactly once; this is
+    what :func:`ingest_batch` does.
     """
     new_sig = minhash_signatures_df(
         new_df, text_col, id_col, num_hashes, shingle_words
@@ -666,9 +671,17 @@ def incremental_minhash_dedup(
                 _precomputed_sig=new_sig.join(losers, on=id_col, how="left_anti"),
                 **dedup_kwargs,
             )
+        if _return_survivor_sig:
+            # Materialize the final survivor id set, then slice the (still
+            # cached) batch signature table down to it — both checkpointed
+            # so they outlive the unpersist below.
+            fresh = fresh.localCheckpoint()
+            surv_sig = new_sig.join(
+                fresh.select(id_col), on=id_col, how="left_semi"
+            ).localCheckpoint()
     finally:
         new_sig.unpersist()
-    return fresh
+    return (fresh, surv_sig) if _return_survivor_sig else fresh
 
 
 class Snapshots(NamedTuple):
@@ -769,6 +782,92 @@ def advance_snapshot(
         sig_inc = hist.unionByName(sig_inc)
 
     return Snapshots(content=new_content, signatures=sig_inc)
+
+
+def ingest_batch(
+    new_df: DataFrame,
+    snapshots: Snapshots | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    **dedup_kwargs,
+) -> tuple[DataFrame, Snapshots]:
+    """One full continuous-ingest cycle: exact dedup vs the content
+    snapshot → fuzzy dedup vs the signature snapshot → intra-batch dedup →
+    snapshot roll-forward. Returns ``(survivors, new_snapshots)``; persist
+    the snapshots (parquet) and feed the next crawl batch.
+
+    This is the operator a production pipeline calls per batch, composed
+    so the batch text is SIGNED EXACTLY ONCE: the fuzzy pass returns its
+    survivors' signature rows (a checkpointed subset of its single signing
+    aggregation) and :func:`advance_snapshot` folds those in via
+    ``survivor_sig`` instead of re-signing — the double-signing mistake
+    this wrapper exists to prevent. With ``snapshots=None`` it bootstraps:
+    the batch dedups against itself and becomes the first snapshot pair.
+
+    Scale shape per batch: one exact-pass shuffle (uniform md5 key), one
+    signing aggregation, band equi-joins (history×batch + batch self),
+    bounded CC, append-only snapshot growth. History is touched only as
+    the two slim snapshot scans. The exact-pass output is checkpointed
+    (it feeds signing, the final anti-join, and the roll-forward's hash
+    increment); at 100 TB swap ``localCheckpoint`` for a cluster
+    ``checkpoint()``/table write — the seam is this one materialization.
+    """
+    snapshots = snapshots if snapshots is not None else Snapshots(None, None)
+    if snapshots.content is not None:
+        fresh = incremental_dedup(new_df, snapshots.content, text_col, id_col)
+    else:
+        fresh = exact_dedup(new_df, text_col, id_col)
+    fresh = fresh.localCheckpoint()
+
+    if snapshots.signatures is not None:
+        survivors, surv_sig = incremental_minhash_dedup(
+            fresh,
+            snapshots.signatures,
+            text_col,
+            id_col,
+            threshold=threshold,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_words=shingle_words,
+            _return_survivor_sig=True,
+            **dedup_kwargs,
+        )
+    else:
+        sig = minhash_signatures_df(
+            fresh, text_col, id_col, num_hashes, shingle_words
+        ).persist()
+        try:
+            survivors = minhash_dedup(
+                fresh,
+                text_col,
+                id_col,
+                threshold=threshold,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_words=shingle_words,
+                _precomputed_sig=sig,
+                **dedup_kwargs,
+            ).localCheckpoint()
+            surv_sig = sig.join(
+                survivors.select(id_col), on=id_col, how="left_semi"
+            ).localCheckpoint()
+        finally:
+            sig.unpersist()
+
+    new_snaps = advance_snapshot(
+        survivors,
+        snapshots,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        shingle_words=shingle_words,
+        survivor_sig=surv_sig,
+    )
+    return survivors, new_snaps
 
 
 # ---------------------------------------------------------------------------

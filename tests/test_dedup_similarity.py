@@ -659,6 +659,53 @@ def test_advance_snapshot_closes_incremental_loop(spark, tables):
     )
 
 
+def test_ingest_batch_full_cycle(spark, tables):
+    """ingest_batch = exact vs snapshot -> fuzzy vs snapshot -> intra-batch
+    -> roll-forward, signing the batch once. Bootstrap, mixed second batch,
+    idempotent re-ingest, and equivalence with the hand-composed pipeline."""
+    from datamunging_spark.operators.dedup import (
+        incremental_dedup,
+        incremental_minhash_dedup,
+        ingest_batch,
+    )
+
+    docs = tables["documents"].select("doc_id", "text")
+    batch1 = docs.filter(F.col("doc_id") < 30).localCheckpoint()
+    surv1, snaps = ingest_batch(batch1, threshold=0.5)
+    n1 = surv1.count()
+    assert n1 > 0
+    assert snaps.content.count() == n1
+    assert snaps.signatures.count() == n1
+
+    # Re-ingesting batch 1 is a no-op and leaves snapshot sizes unchanged.
+    again, snaps_same = ingest_batch(batch1, snaps, threshold=0.5)
+    assert again.count() == 0
+    assert snaps_same.content.count() == n1
+    assert snaps_same.signatures.count() == n1
+
+    # Mixed batch 2: exact dup of history, near-dup of history, fresh docs.
+    near = (
+        batch1.filter(F.col("doc_id") == 5)
+        .withColumn("doc_id", F.lit(900000).cast(batch1.schema["doc_id"].dataType))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" xtra token")))
+    )
+    fresh = docs.filter(F.col("doc_id").between(100, 109))
+    batch2 = batch1.limit(5).union(near).union(fresh).localCheckpoint()
+    surv2, snaps2 = ingest_batch(batch2, snaps, threshold=0.5)
+    ids = {r["doc_id"] for r in surv2.collect()}
+    assert ids == set(range(100, 110))
+    assert snaps2.content.count() == n1 + len(ids)
+    assert snaps2.signatures.count() == n1 + len(ids)
+
+    # Equivalence with the hand-composed incremental pipeline.
+    manual = incremental_minhash_dedup(
+        incremental_dedup(batch2, snaps.content).localCheckpoint(),
+        snaps.signatures,
+        threshold=0.5,
+    )
+    assert {r["doc_id"] for r in manual.collect()} == ids
+
+
 def test_curate_corpus_redact_with_para_dedup(spark):
     """Everything-on composition (redact=True, para_dedup=True, fuzzy=True):
     redaction runs LAST, so dedup keys see ORIGINAL content — two docs that
