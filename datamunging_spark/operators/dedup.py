@@ -870,6 +870,43 @@ def ingest_batch(
     return survivors, new_snaps
 
 
+def write_snapshots(snapshots: Snapshots, path: str) -> None:
+    """Persist the snapshot pair as parquet under ``path`` (``content/`` +
+    ``signatures/`` subdirectories) — the between-runs artifact of the
+    continuous-ingest loop. The layout is deliberately plain parquet so
+    any engine can read it.
+
+    Version the path per batch (``.../snap_00042``): a rolled-forward
+    snapshot's plan READS the previous snapshot, and Spark cannot
+    overwrite a path that the writing plan is simultaneously reading
+    (self-overwrite deletes input files mid-scan). Versioned paths make
+    each state immutable — which is also what you want for replay and
+    audit; retire old versions out-of-band."""
+    if snapshots.content is not None:
+        snapshots.content.write.mode("overwrite").parquet(f"{path}/content")
+    if snapshots.signatures is not None:
+        snapshots.signatures.write.mode("overwrite").parquet(
+            f"{path}/signatures"
+        )
+
+
+def read_snapshots(spark, path: str) -> Snapshots:
+    """Load a persisted snapshot pair (see :func:`write_snapshots`).
+    Missing subdirectories load as None, so exact-only or fuzzy-only
+    pipelines round-trip too."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    def _maybe(sub: str) -> DataFrame | None:
+        try:
+            return spark.read.parquet(f"{path}/{sub}")
+        except AnalysisException:
+            return None
+
+    return Snapshots(
+        content=_maybe("content"), signatures=_maybe("signatures")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

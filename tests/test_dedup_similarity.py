@@ -706,6 +706,39 @@ def test_ingest_batch_full_cycle(spark, tables):
     assert {r["doc_id"] for r in manual.collect()} == ids
 
 
+def test_snapshot_parquet_roundtrip(spark, tables, tmp_path):
+    """Persisted snapshots (write_snapshots -> read_snapshots) drive the
+    next ingest identically to the in-memory pair: re-ingesting the same
+    batch from the loaded state yields zero survivors, and a fuzzy-only
+    (content=None) pair round-trips as None."""
+    from datamunging_spark.operators.dedup import (
+        Snapshots,
+        ingest_batch,
+        read_snapshots,
+        write_snapshots,
+    )
+
+    docs = tables["documents"].select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") < 25).localCheckpoint()
+    surv, snaps = ingest_batch(batch, threshold=0.5)
+    n = surv.count()
+    write_snapshots(snaps, str(tmp_path / "snap_0001"))
+    loaded = read_snapshots(spark, str(tmp_path / "snap_0001"))
+    assert loaded.content is not None and loaded.content.count() == n
+    assert loaded.signatures is not None and loaded.signatures.count() == n
+    again, snaps2 = ingest_batch(batch, loaded, threshold=0.5)
+    assert again.count() == 0
+    # versioned write of the rolled-forward state (reads snap_0001) works
+    write_snapshots(snaps2, str(tmp_path / "snap_0002"))
+    assert read_snapshots(spark, str(tmp_path / "snap_0002")).content.count() == n
+    # partial pair: missing subdirectory loads as None
+    write_snapshots(
+        Snapshots(None, snaps.signatures), str(tmp_path / "fuzzy_only")
+    )
+    partial = read_snapshots(spark, str(tmp_path / "fuzzy_only"))
+    assert partial.content is None and partial.signatures.count() == n
+
+
 def test_curate_corpus_redact_with_para_dedup(spark):
     """Everything-on composition (redact=True, para_dedup=True, fuzzy=True):
     redaction runs LAST, so dedup keys see ORIGINAL content — two docs that
