@@ -33,7 +33,9 @@ def test_parity_query_references_exist():
     q = set(entry.queries())
     # documented as retired-to-bench (PARITY.md header / queries() comment)
     retired = {"r29_sample_n", "x_curation_full", "r13_count",
-               "window_topk", "x1_dedup_stats", "promo_revenue"}
+               "window_topk", "x1_dedup_stats", "promo_revenue",
+               "r15_grouped_median", "x4_word_count"}  # r6: slots freed
+                                                       # for incremental pair
     # Candidate tokens: snake_case words that look like gate keys.
     mentioned = set(re.findall(r"\b[a-z][a-z0-9]*(?:_[a-z0-9]+)+\b", text))
     # Only validate tokens that *claim* to be queries: those that appear in
