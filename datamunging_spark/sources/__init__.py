@@ -11,9 +11,11 @@ from datamunging_spark.sources.io import (
     load_tables,
     materialize_columnar,
     read_csv,
+    read_jsonl,
     read_lines,
     read_whole_files,
     write_csv,
+    write_jsonl,
     write_parquet,
 )
 
@@ -22,8 +24,10 @@ __all__ = [
     "load_tables",
     "materialize_columnar",
     "read_csv",
+    "read_jsonl",
     "read_lines",
     "read_whole_files",
     "write_csv",
+    "write_jsonl",
     "write_parquet",
 ]

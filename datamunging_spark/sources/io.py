@@ -247,6 +247,46 @@ def read_whole_files(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-Lines source — the de-facto LLM-corpus interchange format (one
+    JSON object per line; gz/zstd-compressed files decode transparently and
+    each file is one split when the codec is non-splittable, so shard
+    corpora into many files).
+
+    Pass an explicit ``schema`` at scale: without one Spark runs a
+    separate inference SCAN over the data before the real read — double
+    I/O on a 100 TB corpus, and a schema drifting with whatever keys the
+    crawl happened to contain. With a declared schema the read is one
+    pass, missing keys are NULL, and malformed lines land in
+    ``corrupt_col`` (PERMISSIVE mode) instead of failing the job — filter
+    on it to quarantine bad records, the same quarantine-don't-crash
+    contract as the R-group quality operators.
+    """
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", corrupt_col
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(
+    df: DataFrame, path: str, compression: str | None = "gzip"
+) -> None:
+    """JSON-Lines sink (one object per line, one file per partition —
+    size output shards with ``write_compacted``-style repartitioning
+    upstream if consumers need bounded file sizes)."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
 
 def zorder_write(
     df: DataFrame,
