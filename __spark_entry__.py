@@ -860,6 +860,31 @@ def q_x1_incremental_dedup(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_x1_ingest_cycle(spark, sf_dir):
+    """X1 full continuous-ingest cycle (bench-only; components gated via
+    x1_incremental_exact/_fuzzy): exact+fuzzy dedup of the crawl batch vs
+    history snapshots PLUS the append-only snapshot roll-forward, with the
+    batch signed exactly once (dedup.ingest_batch). Returns the
+    rolled-forward signature snapshot, which forces every stage including
+    the advance."""
+    from datamunging_spark.operators.dedup import (
+        Snapshots,
+        content_snapshot,
+        ingest_batch,
+        minhash_signatures_df,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = d.filter(F.col("doc_id") < 400)
+    batch = d.filter(F.col("doc_id") >= 400)
+    snaps = Snapshots(
+        content_snapshot(hist).localCheckpoint(),
+        minhash_signatures_df(hist).localCheckpoint(),
+    )
+    _surv, new_snaps = ingest_batch(batch, snaps, threshold=0.5)
+    return new_snaps.signatures
+
+
 def q_x1_incremental_exact(spark, sf_dir):
     """X1 incremental EXACT dedup (oracle-paired): docs with doc_id < 400
     are the already-ingested corpus, represented only by its slim content

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "x1_paragraph_dedup",
     "x5_chunk_documents",
     "x1_incremental_dedup",
+    "x1_ingest_cycle",
 ]
 
 

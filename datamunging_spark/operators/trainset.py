@@ -33,8 +33,56 @@ __all__ = [
     "take_token_budget",
     "decontaminate",
     "source_mix",
+    "split_dataset",
     "training_shuffle",
 ]
+
+
+def split_dataset(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_cols: list[str],
+    salt: str = "0",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: add ``split_col`` labeling
+    each row by hashing its identity into [0, 1) and cutting at the
+    cumulative ``weights`` boundaries (insertion order; weights must sum
+    to ~1).
+
+    Same portable-md5 discipline as the rest of the X5 family: the
+    assignment is a pure per-row expression — no shuffle, no RNG stream —
+    identical on any engine, any partition layout, and any subset of the
+    data (a doc's split never changes when the corpus around it grows,
+    which is what makes held-out sets stable across corpus versions).
+    ``salt`` re-deals the assignment wholesale; ``id_cols`` must uniquely
+    identify a row (the same contract as ``training_shuffle``).
+
+    Cut granularity is 1/16^8 (~6e-10) of the unit interval — far below
+    any practical split ratio.
+    """
+    from datamunging_spark.functions import salted_row_key
+
+    total = sum(weights.values())
+    if not weights or any(w < 0 for w in weights.values()) or total <= 0:
+        raise ValueError(f"invalid split weights: {weights}")
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    scale = 16**8
+    u = F.conv(
+        F.substring(salted_row_key(id_cols, salt), 1, 8), 16, 10
+    ).cast("long")
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cut = F.lit(int(acc * scale))
+        tagged = F.when(u < cut, F.lit(name))
+        expr = tagged if expr is None else expr.when(u < cut, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
 
 
 def contamination_report(

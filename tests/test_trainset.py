@@ -244,3 +244,45 @@ def test_take_token_budget_requires_order(spark, tables):
 
     with pytest.raises(ValueError, match="order_cols"):
         take_token_budget(tables["documents"], 100)
+
+
+def test_split_dataset_fractions_determinism_subset_stability(spark, tables):
+    """Deterministic train/val/test split: per-split fractions land in CI,
+    splits partition the corpus (disjoint + exhaustive), assignment is
+    stable on any subset (a doc's split never changes as the corpus
+    grows), a new salt re-deals it, and bad weights are refused."""
+    import pytest
+    from datamunging_spark.operators.trainset import split_dataset
+
+    # the synthetic lineitem repeats (orderkey, linenumber) pairs — dedupe
+    # so id_cols uniquely identify a row, per the operator contract
+    li = (
+        tables["lineitem"]
+        .select("l_orderkey", "l_linenumber")
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    n = li.count()
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = split_dataset(li, w, id_cols=["l_orderkey", "l_linenumber"])
+    got = {
+        r["split"]: r["cnt"]
+        for r in out.groupBy("split").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert set(got) == set(w) and sum(got.values()) == n  # exhaustive
+    for k, frac in w.items():
+        assert abs(got[k] / n - frac) < 0.03, (k, got)
+    # subset stability: splitting a 500-row subset assigns identically
+    sub = li.limit(500).localCheckpoint()
+    a = split_dataset(sub, w, id_cols=["l_orderkey", "l_linenumber"])
+    b = split_dataset(li, w, id_cols=["l_orderkey", "l_linenumber"]).join(
+        sub, ["l_orderkey", "l_linenumber"], "left_semi"
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # salt re-deals: some rows move
+    c = split_dataset(sub, w, id_cols=["l_orderkey", "l_linenumber"], salt="1")
+    assert c.exceptAll(a).count() > 0
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_dataset(li, {"train": 0.5, "val": 0.1}, id_cols=["l_orderkey"])
+    with pytest.raises(ValueError, match="invalid"):
+        split_dataset(li, {"train": -0.5, "val": 1.5}, id_cols=["l_orderkey"])

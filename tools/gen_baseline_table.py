@@ -69,6 +69,10 @@ NOTES: dict[str, tuple[str, str]] = {
         "— (composite: history anti-join + two LSH scoring rounds + CC; "
         "batch signed once)",
     ),
+    "x1_ingest_cycle": (
+        "full ingest_batch incl. snapshot roll-forward, added r6",
+        "— (the incremental composite plus advance_snapshot, one signing)",
+    ),
 }
 
 
