@@ -36,6 +36,7 @@ __all__ = [
     "redact_pii",
     "pii_counts",
     "PII_PATTERNS",
+    "normalize_url",
     "salted_row_key",
 ]
 
@@ -316,6 +317,39 @@ def pii_counts(col: Column | str, kinds: list[str] | None = None) -> Column:
             for k in (list(PII_PATTERNS) if kinds is None else kinds)
         ]
     )
+
+
+def normalize_url(col: Column | str) -> Column:
+    """Canonical URL form for crawl-side dedup — the FIRST dedup a web
+    pipeline runs (URL identity is free; content hashing costs a fetch).
+    Expression-only (regex + array ops, fully codegen-able; NULL in →
+    NULL out):
+
+    * scheme dropped (http/https/ftp treated as one identity),
+    * host lowercased and leading ``www.`` dropped (hosts are
+      case-insensitive; paths keep their case — they are not),
+    * fragment (``#...``) dropped (client-side only),
+    * trailing slashes trimmed,
+    * tracking params dropped (``utm_*``, ``gclid``, ``fbclid``, ``ref``),
+    * remaining query params sorted (param order is not identity).
+    """
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    c = F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    host = F.lower(F.regexp_extract(c, r"^([^/?#]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    rest = F.regexp_replace(c, r"^[^/?#]+", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    path = F.regexp_replace(F.regexp_extract(rest, r"^([^?]*)", 1), r"/+$", "")
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&", -1),
+        lambda p: (p != "")
+        & ~p.rlike(r"^(utm_[^=]*|gclid|fbclid|ref)(=|$)"),
+    )
+    q = F.array_join(F.array_sort(params), "&")
+    return F.when(
+        q != "", F.concat(host, path, F.lit("?"), q)
+    ).otherwise(F.concat(host, path))
 
 
 def salted_row_key(id_cols: list[Column | str], salt: str = "0") -> Column:

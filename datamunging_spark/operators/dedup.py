@@ -59,6 +59,26 @@ def exact_dedup(
     )
 
 
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Crawl-side dedup on canonical URL identity (keep min id per
+    :func:`~datamunging_spark.functions.normalize_url` group) — the dedup
+    a web pipeline runs BEFORE content dedup, since URL identity needs no
+    fetch and no text. Same shape as :func:`exact_dedup`: uniform md5 key,
+    one skew-free groupBy shuffle, broadcast/AQE-eligible join back."""
+    from datamunging_spark.functions import normalize_url
+
+    _hash_tmp_guard(df)
+    hashed = df.withColumn(
+        _HASH_TMP, F.md5(F.coalesce(normalize_url(url_col), F.lit("")))
+    )
+    keep = hashed.groupBy(_HASH_TMP).agg(F.min(id_col).alias(id_col))
+    return hashed.join(keep, on=[_HASH_TMP, id_col], how="inner").drop(
+        _HASH_TMP
+    )
+
+
 def dup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -106,3 +106,41 @@ def test_redact_pii_explicit_empty_kinds_is_noop(spark):
     assert df.select(redact_pii("text", []).alias("r")).collect()[0]["r"] == (
         "mail a@b.io"
     )
+
+
+def test_normalize_url_canonicalization(spark):
+    """Crawl URL canonicalization: scheme/www/fragment/trailing-slash/
+    tracking-param/param-order variants collapse to one identity; distinct
+    paths (case included) stay distinct; NULL propagates."""
+    from datamunging_spark.functions import normalize_url
+
+    rows = [
+        ("a1", "https://www.Example.com/Path/?b=2&a=1&utm_source=x#frag"),
+        ("a2", "http://example.com/Path?a=1&b=2"),
+        ("a3", "EXAMPLE.com/Path/?b=2&utm_campaign=y&a=1"),
+        ("b1", "https://example.com/path"),          # path case differs
+        ("c1", "https://example.com/Path?a=2&b=2"),  # param value differs
+        ("n1", None),
+    ]
+    df = spark.createDataFrame(rows, ["k", "url"]).select(
+        "k", normalize_url("url").alias("norm")
+    )
+    got = {r["k"]: r["norm"] for r in df.collect()}
+    assert got["a1"] == got["a2"] == got["a3"] == "example.com/Path?a=1&b=2"
+    assert got["b1"] == "example.com/path" != got["a1"]
+    assert got["c1"] == "example.com/Path?a=2&b=2" != got["a1"]
+    assert got["n1"] is None
+
+
+def test_url_dedup_min_id_survivor(spark):
+    from datamunging_spark.operators.dedup import url_dedup
+
+    rows = [
+        (3, "https://www.site.com/a?x=1&utm_source=t"),
+        (1, "http://site.com/a/?x=1"),
+        (2, "site.com/a?x=1#top"),
+        (9, "https://site.com/b"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    kept = sorted(r["doc_id"] for r in url_dedup(df).collect())
+    assert kept == [1, 9]

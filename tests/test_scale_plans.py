@@ -141,3 +141,35 @@ def test_take_token_budget_never_single_partition(spark, tables):
     plan = _plan(take_token_budget(d, 10_000, order_cols=["doc_id"]))
     assert "SinglePartition" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_split_dataset_has_no_exchange(spark, tables):
+    """X5 train/val/test split is a pure per-row expression: zero shuffles
+    (the subset-stability guarantee depends on exactly this — no
+    partition-dependent state anywhere in the plan)."""
+    from datamunging_spark.operators.trainset import split_dataset
+
+    plan = _plan(
+        split_dataset(
+            tables["documents"].select("doc_id"),
+            {"train": 0.9, "val": 0.1},
+            id_cols=["doc_id"],
+        )
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_stratified_sample_portable_has_no_exchange(spark, tables):
+    """Portable stratified sampling is a codegen filter: zero shuffles,
+    sampler evaluated at the scan."""
+    from datamunging_spark.operators.sampling import stratified_sample
+
+    plan = _plan(
+        stratified_sample(
+            tables["documents"].select("doc_id", "source"),
+            "source",
+            {"src0": 0.5, "src1": 0.1},
+            id_cols=["doc_id"],
+        )
+    )
+    assert "Exchange" not in plan, plan
