@@ -185,6 +185,81 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Per-document quality gates in the style of the published Gopher
+    rules (Rae et al. 2021, "Scaling Language Models" §A1.1 — the de-facto
+    standard web-corpus filter set): word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio (#/ellipsis spam), fraction of words
+    containing an alphabetic character, and a minimum number of distinct
+    common-stopword hits (gibberish/keyword-stuffing detector).
+
+    Adds one boolean column per rule plus ``quality_pass`` (AND of all).
+    Flags rather than a filter so a pipeline can audit per-rule kill
+    counts before committing to thresholds — filter on ``quality_pass``
+    when done. Expression-only: one codegen map over the scan, no UDF,
+    no shuffle; defaults are the published constants, every threshold a
+    parameter.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(c, r"\s+", -1), lambda w: w != "")
+    n_words = F.size(words)
+    mean_len = F.when(
+        n_words > 0,
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        )
+        / n_words,
+    ).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.length(c) - F.length(F.regexp_replace(c, r"#|\.\.\.|…", ""))
+    )
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words,
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower),
+            F.array(
+                *[
+                    F.lit(s)
+                    for s in ("the", "be", "to", "of", "and", "that", "have", "with")
+                ]
+            ),
+        )
+    )
+    out = df.withColumns(
+        {
+            "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+            "mean_word_len_ok": (mean_len >= min_mean_word_len)
+            & (mean_len <= max_mean_word_len),
+            "symbol_ratio_ok": F.when(
+                n_words > 0, n_symbols / n_words <= max_symbol_word_ratio
+            ).otherwise(F.lit(False)),
+            "alpha_word_ok": alpha_frac >= min_alpha_word_frac,
+            "stopword_ok": stop_hits >= min_stopword_hits,
+        }
+    )
+    return out.withColumn(
+        "quality_pass",
+        F.col("word_count_ok")
+        & F.col("mean_word_len_ok")
+        & F.col("symbol_ratio_ok")
+        & F.col("alpha_word_ok")
+        & F.col("stopword_ok"),
+    )
+
+
 def word_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Classic corpus word count: explode tokens → groupBy word. The
     map-side partial aggregation absorbs the heavy hitters before the

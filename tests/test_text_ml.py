@@ -155,3 +155,31 @@ def test_chunk_documents_windows_and_overlap(spark):
         chunk_documents(df, max_tokens=10, overlap=10)
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, max_tokens=10, overlap=-1)
+
+
+def test_gopher_quality_flags(spark):
+    """Published-rule quality gates: a normal doc passes all five; each
+    pathological doc trips exactly the intended rule."""
+    from datamunging_spark.operators.text import gopher_quality_flags
+
+    good = "the quick brown fox jumps with energy and " + " ".join(
+        f"word{i} that have been seen of the and to be" for i in range(10)
+    )
+    rows = [
+        (1, good),                                          # passes
+        (2, "too short to have fifty words in it"),         # word_count
+        (3, " ".join(["a"] * 60)),                          # mean_word_len low
+        (4, good + " " + "#tag " * 30),                     # symbol ratio
+        (5, " ".join(["12345"] * 30 + ["the of and be to have that with"])),  # alpha
+        (6, " ".join(f"zqx{i}v" for i in range(80))),       # no stopwords
+        (7, None),                                          # NULL text
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality_flags(df).collect()}
+    assert got[1]["quality_pass"]
+    assert not got[2]["word_count_ok"] and not got[2]["quality_pass"]
+    assert not got[3]["mean_word_len_ok"]
+    assert not got[4]["symbol_ratio_ok"]
+    assert not got[5]["alpha_word_ok"]
+    assert not got[6]["stopword_ok"]
+    assert not got[7]["quality_pass"] and not got[7]["word_count_ok"]
