@@ -1092,6 +1092,41 @@ def ngram_jaccard(a: Column, b: Column, n: int = 3) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def dedupe_lines_within_doc(
+    df: DataFrame, text_col: str = "text", sep: str = "\n"
+) -> DataFrame:
+    """Within-document repeated-line removal — the intra-doc half of the
+    C4 line-dedup recipe (:func:`paragraph_dedup` is the cross-doc half):
+    rewrite ``text_col`` keeping only each doc's FIRST occurrence of every
+    line whose normalized form repeats later in the SAME doc. Lines that
+    normalize to the empty string are structure (blank separators) and are
+    always kept in place.
+
+    Pure per-row expressions: split on the literal ``sep``, an indexed
+    ``filter`` with a seen-in-prefix test, rejoin — zero shuffle, NULL
+    text passes through as NULL. The prefix test is O(lines²) per doc
+    inside one interpreted HOF, which is the right trade for ordinary
+    documents (tens of lines); corpora with pathological line counts per
+    doc should run the exploded :func:`paragraph_dedup` shape instead
+    (its groupBy scales per-line, not per-line-pair).
+    """
+    from datamunging_spark.functions import normalize_text, tokenize
+
+    lines = tokenize(F.col(text_col), sep)
+    norms = F.transform(lines, lambda l: normalize_text(l))
+    kept = F.filter(
+        lines,
+        lambda l, i: (normalize_text(l) == "")
+        | ~F.array_contains(F.slice(norms, 1, i), normalize_text(l)),
+    )
+    return df.withColumn(
+        text_col,
+        F.when(
+            F.col(text_col).isNotNull(), F.array_join(kept, sep)
+        ),
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     text_col: str = "text",

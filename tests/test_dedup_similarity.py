@@ -768,3 +768,21 @@ def test_curate_corpus_redact_with_para_dedup(spark):
     # footer survives only in its globally-first doc
     assert footer in rows[1]
     assert footer not in rows[2] and footer not in rows[3]
+
+
+def test_dedupe_lines_within_doc(spark):
+    """Intra-doc line dedup: later repeats of a normalized line vanish,
+    first occurrences and blank structure stay, other docs untouched,
+    NULL text passes through."""
+    from datamunging_spark.operators.dedup import dedupe_lines_within_doc
+
+    rows = [
+        (1, "Buy now\nreal content one\n\nBUY  NOW\nreal content two\nbuy now"),
+        (2, "unique a\nunique b"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["text"] for r in dedupe_lines_within_doc(df).collect()}
+    assert got[1] == "Buy now\nreal content one\n\nreal content two"
+    assert got[2] == "unique a\nunique b"
+    assert got[3] is None
