@@ -995,6 +995,124 @@ def simhash_df(
     return voted.select(id_col, sh.alias("sh"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    shingle_words: int = 2,
+    _precomputed_sh: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs at SimHash Hamming distance ≤
+    ``max_hamming``, via the standard bit-band trick (Manku et al., WWW'07
+    "Detecting Near-Duplicates for Web Crawling"): split the 64-bit hash
+    into ``bands`` equal chunks and equi-join docs sharing ANY chunk. By
+    pigeonhole, two hashes within Hamming distance ``bands - 1`` must
+    agree on at least one chunk, so recall is EXACT (100%) whenever
+    ``max_hamming <= bands - 1`` — unlike MinHash banding this is a
+    guarantee, not a probability. Candidates are then filtered by true
+    Hamming distance (``bit_count(xor)``), returned as (id_a < id_b,
+    hamming).
+
+    Scale shape: one simhash aggregation, explode to ``bands`` rows per
+    doc, self-equi-join on (chunk index, chunk value) — uniform 16-bit-ish
+    keys, no cross join — then codegen xor/popcount on the tiny candidate
+    set. Same banding economics as MinHash-LSH.
+    """
+    if not 1 <= bands <= 64 or 64 % bands != 0:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands >= {max_hamming + 1} "
+            "for the pigeonhole recall guarantee"
+        )
+    width = 64 // bands
+    chunk_mask = (1 << width) - 1 if width < 64 else -1
+    sh = (
+        _precomputed_sh
+        if _precomputed_sh is not None
+        else simhash_df(df, text_col, id_col, 64, shingle_words)
+    )
+    banded = sh.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sh"), b * width)
+                        .bitwiseAND(F.lit(chunk_mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_c"),
+    ).select(id_col, F.col("_c.band").alias("_b"), F.col("_c.key").alias("_k"))
+    left = banded.select(F.col(id_col).alias("id_a"), "_b", "_k")
+    right = banded.select(F.col(id_col).alias("id_b"), "_b", "_k")
+    cand = (
+        left.join(right, on=["_b", "_k"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.join(
+            sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("_sb")),
+            "id_b",
+        )
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    shingle_words: int = 2,
+) -> DataFrame:
+    """Near-dedup on SimHash Hamming distance: one survivor (min id) per
+    transitive cluster of docs within ``max_hamming``, via the same
+    connected-component selection as :func:`minhash_dedup` (greedy has the
+    identical star/chain transitivity gap here). The simhash aggregation
+    runs once (persist-bracketed) and feeds both the banded pair join and
+    nothing else — the loser id set is materialized before release, the
+    final anti-join is corpus × small id set."""
+    sh = simhash_df(df, text_col, id_col, 64, shingle_words).persist()
+    try:
+        pairs = simhash_pairs(
+            df,
+            text_col,
+            id_col,
+            max_hamming=max_hamming,
+            bands=bands,
+            shingle_words=shingle_words,
+            _precomputed_sh=sh,
+        )
+        comp = connected_component_labels(pairs)
+        losers = (
+            comp.filter(F.col("v") != F.col("component"))
+            .select(F.col("v").alias(id_col))
+            .localCheckpoint()
+        )
+    finally:
+        sh.unpersist()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def ngram_jaccard_pairs(
     probes: DataFrame,
     corpus: DataFrame,

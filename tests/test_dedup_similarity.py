@@ -786,3 +786,42 @@ def test_dedupe_lines_within_doc(spark):
     assert got[1] == "Buy now\nreal content one\n\nreal content two"
     assert got[2] == "unique a\nunique b"
     assert got[3] is None
+
+
+def test_simhash_pairs_banding_guarantee_and_sign_bits(spark):
+    """Banded SimHash pair-finding on synthetic hashes: hamming <= 3 pairs
+    are found (pigeonhole EXACT recall at 4 bands), hamming 4 is filtered,
+    and bit-63 (sign bit) chunks join correctly."""
+    from datamunging_spark.operators.dedup import simhash_pairs
+
+    h4 = 0x0123456789ABCDEF
+    h5 = (h4 | (1 << 63)) - (1 << 64)  # h4 with the sign bit set: hamming 1
+    sh = spark.createDataFrame(
+        [(1, 0), (2, 0b111), (3, 0b1111 << 12), (4, h4), (5, h5)],
+        "doc_id long, sh long",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(sh, _precomputed_sh=sh).collect()
+    }
+    assert got == {(1, 2): 3, (4, 5): 1}  # (1,3)=hamming 4 filtered
+
+    import pytest
+    with pytest.raises(ValueError, match="divide 64"):
+        simhash_pairs(sh, bands=5, _precomputed_sh=sh)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(sh, max_hamming=4, bands=4, _precomputed_sh=sh)
+
+
+def test_simhash_dedup_end_to_end(spark):
+    """simhash_dedup keeps min id per hamming cluster: an exact duplicate
+    (hamming 0) loses to the original; distinct content survives."""
+    from datamunging_spark.operators.dedup import simhash_dedup
+
+    txt = "the quick brown fox jumps over the lazy dog again today"
+    df = spark.createDataFrame(
+        [(1, txt), (7, txt), (3, "completely different topic entirely here now")],
+        ["doc_id", "text"],
+    )
+    kept = sorted(r["doc_id"] for r in simhash_dedup(df).collect())
+    assert kept == [1, 3]
