@@ -35,17 +35,26 @@ def curate_corpus(
     redact: bool = False,
     para_dedup: bool = False,
     para_sep: str = "\n",
+    gopher: bool = False,
+    line_dedup: bool = False,
+    url_col: str | None = None,
     materialize: bool | None = None,
 ) -> DataFrame:
     """Filter + dedup a document corpus for training use.
 
-    Stages: (1) token-count / charset / repetition quality gates,
-    (2) optional language allow-list (marker-argmax heuristic), (3) exact
-    dedup — min-id survivor per normalized content hash, (4) optional
-    MinHash near-dedup at ``fuzzy_threshold`` signature Jaccard,
-    (5) ``redact=True``: PII masking (``redact_pii``, all kinds) applied
-    LAST so dedup keys reflect original content — two docs differing only
-    in redacted spans stay distinct, matching exact-dedup's contract.
+    Stages: (0) ``url_col`` given: crawl-side URL dedup before any
+    text-derived work (identity is free; duplicate fetches of one page
+    never reach the hashing stages), (1) token-count / charset /
+    repetition quality gates, plus ``gopher=True``: the published
+    Gopher-rule set (``gopher_quality_flags``) as a filter, (2) optional
+    language allow-list (marker-argmax heuristic), (2b) ``line_dedup=
+    True``: within-doc repeated-line scrub before any cross-doc hashing,
+    (3) exact dedup — min-id survivor per normalized content hash,
+    (4) optional MinHash near-dedup at ``fuzzy_threshold`` signature
+    Jaccard, (5) ``redact=True``: PII masking (``redact_pii``, all kinds)
+    applied LAST so dedup keys reflect original content — two docs
+    differing only in redacted spans stay distinct, matching
+    exact-dedup's contract.
     ``para_dedup=True`` inserts paragraph-level boilerplate removal
     (C4-style line dedup) BEFORE doc-level dedup: repeated paragraphs
     survive only in their globally-first doc, so later copies shrink to
@@ -63,13 +72,40 @@ def curate_corpus(
     ``paragraph_dedup``'s materialize flag.
     """
     c = F.col(text_col)
-    kept = df.filter(
+    kept = df
+    if url_col is not None:
+        # URL dedup FIRST: identity is free, so it runs before any
+        # text-derived work touches duplicate fetches of the same page.
+        from datamunging_spark.operators.dedup import url_dedup
+
+        kept = url_dedup(kept, url_col, id_col)
+    kept = kept.filter(
         (token_count(c) >= min_tokens)
         & (ascii_ratio(c) >= min_ascii)
         & (repetition_ratio(c) <= max_repetition)
     )
+    if gopher:
+        # Published-rule gates (Rae et al. 2021 §A1.1) as a filter stage;
+        # audit per-rule kill counts standalone via gopher_quality_flags.
+        from datamunging_spark.operators.text import gopher_quality_flags
+
+        flagged = gopher_quality_flags(kept, text_col)
+        kept = flagged.filter(F.col("quality_pass")).drop(
+            "word_count_ok",
+            "mean_word_len_ok",
+            "symbol_ratio_ok",
+            "alpha_word_ok",
+            "stopword_ok",
+            "quality_pass",
+        )
     if langs:
         kept = kept.filter(detect_language(c).isin(*langs))
+    if line_dedup:
+        # Intra-doc repeat scrub BEFORE cross-doc stages, so doc-level
+        # hashes/signatures see the cleaned text.
+        from datamunging_spark.operators.dedup import dedupe_lines_within_doc
+
+        kept = dedupe_lines_within_doc(kept, text_col, sep=para_sep)
     if para_dedup:
         from datamunging_spark.operators.dedup import paragraph_dedup
 

@@ -825,3 +825,35 @@ def test_simhash_dedup_end_to_end(spark):
     )
     kept = sorted(r["doc_id"] for r in simhash_dedup(df).collect())
     assert kept == [1, 3]
+
+
+def test_curate_corpus_url_gopher_line_stages(spark):
+    """New curate_corpus stages compose: URL dedup drops a duplicate fetch
+    before text work, the Gopher gate kills a gibberish doc the basic
+    filters pass, and line_dedup scrubs intra-doc repeats so the exact
+    stage sees cleaned text (two docs differing only by a repeated line
+    collapse to one)."""
+    from datamunging_spark.operators.pipeline import curate_corpus
+
+    body = "the quick brown fox jumps with energy and " + " ".join(
+        f"word{i} that have been seen of the and to be" for i in range(10)
+    )
+    gibberish = " ".join(f"zzqx{i}vw" for i in range(80))  # no stopwords
+    rows = [
+        (1, body, "https://www.site.com/a?utm_source=t"),
+        (2, body + " distinct tail marker", "http://site.com/a/"),  # URL dup of 1
+        (3, gibberish, "https://site.com/g"),
+        (4, body + "\nrepeat me\nmiddle extra line\nrepeat me", "https://site.com/d4"),
+        (5, body + "\nrepeat me\nmiddle extra line\nrepeat me\nrepeat me", "https://site.com/d5"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "url"])
+    out = curate_corpus(
+        df, min_tokens=2, fuzzy=False, gopher=True, line_dedup=True,
+        url_col="url",
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # 2 lost to URL identity; 3 lost to the stopword rule; 5 collapses
+    # onto 4 once line_dedup makes their texts identical.
+    assert kept == [1, 4]
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert texts[4].count("repeat me") == 1
