@@ -32,6 +32,7 @@ __all__ = [
     "pack_sequences",
     "take_token_budget",
     "decontaminate",
+    "decontaminate_fuzzy",
     "source_mix",
     "split_dataset",
     "training_shuffle",
@@ -138,6 +139,59 @@ def decontaminate(
         corpus, benchmark, text_col, id_col, **report_kwargs
     ).select(id_col)
     return corpus.join(bad, on=id_col, how="left_anti")
+
+
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """NEAR-match decontamination: drop corpus docs whose MinHash signature
+    clears ``threshold`` Jaccard against ANY benchmark doc — catching the
+    paraphrases/reformattings that exact n-gram collision
+    (:func:`decontaminate`) misses. Standard practice is to run both:
+    exact n-gram for verbatim leakage, fuzzy for light rewrites.
+
+    Pure composition: the benchmark (tiny next to the corpus) is signed
+    once into a signature table and the corpus is banded against it —
+    exactly :func:`~datamunging_spark.operators.dedup.
+    incremental_minhash_dedup` with the benchmark playing "history" and
+    ``within_batch=False`` (decontamination must never dedupe the corpus
+    against itself). History-side work is one scan of the benchmark
+    signatures; corpus-side is one signing + band join.
+    """
+    from datamunging_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures_df,
+    )
+
+    bench = benchmark
+    if bench_text_col is not None and bench_text_col != text_col:
+        bench = bench.withColumnRenamed(bench_text_col, text_col)
+    # benchmark ids never surface in the result; substitute a synthetic id
+    # if the benchmark has no id_col (common for raw eval text dumps)
+    if id_col not in bench.columns:
+        bench = bench.withColumn(id_col, F.monotonically_increasing_id())
+    bench_sig = minhash_signatures_df(
+        bench, text_col, id_col, num_hashes, shingle_words
+    ).localCheckpoint()
+    return incremental_minhash_dedup(
+        corpus,
+        bench_sig,
+        text_col,
+        id_col,
+        threshold=threshold,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_words=shingle_words,
+        within_batch=False,
+    )
 
 
 def source_mix(

@@ -286,3 +286,30 @@ def test_split_dataset_fractions_determinism_subset_stability(spark, tables):
         split_dataset(li, {"train": 0.5, "val": 0.1}, id_cols=["l_orderkey"])
     with pytest.raises(ValueError, match="invalid"):
         split_dataset(li, {"train": -0.5, "val": 1.5}, id_cols=["l_orderkey"])
+
+
+def test_decontaminate_fuzzy_drops_paraphrase(spark, tables):
+    """Fuzzy decontamination catches a lightly-rewritten benchmark doc that
+    exact n-gram collision would need a verbatim 5-gram to flag; clean docs
+    survive, and the corpus is never deduped against itself (two identical
+    clean corpus docs both survive)."""
+    from datamunging_spark.operators.trainset import decontaminate_fuzzy
+
+    bench = tables["documents"].orderBy("doc_id").limit(5).select("text")
+    leaked = (  # benchmark doc with one appended token: high sig-Jaccard
+        tables["documents"].orderBy("doc_id").limit(1)
+        .select(F.concat(F.col("text"), F.lit(" tail")).alias("text"))
+        .withColumn("doc_id", F.lit(1000).cast("long"))
+    )
+    clean = tables["documents"].filter(
+        F.col("doc_id").between(300, 309)
+    ).select("doc_id", "text")
+    twin = clean.limit(1).withColumn("doc_id", F.lit(2000).cast("long"))
+    corpus = clean.unionByName(leaked.select("doc_id", "text")).unionByName(twin)
+    out = {
+        r["doc_id"]
+        for r in decontaminate_fuzzy(corpus, bench, threshold=0.5).collect()
+    }
+    assert 1000 not in out                      # paraphrase of benchmark gone
+    assert set(range(300, 310)) <= out          # clean docs survive
+    assert 2000 in out                          # no corpus self-dedup
