@@ -613,3 +613,41 @@ def test_zorder_write_rejects_key_overflow(spark, tables, tmp_path):
         zorder_write(
             tables["orders"], str(tmp_path / "z"), ["o_custkey"] * 10, bits=7
         )
+
+
+def test_streaming_ingest_rolls_snapshots_across_microbatches(spark, tmp_path):
+    """foreachBatch ingest loop: duplicates arriving in a LATER micro-batch
+    than their original are dropped via the rolled-forward snapshot (beyond
+    any watermark horizon), fresh docs land in the sink, and the returned
+    snapshots cover exactly the distinct contents."""
+    from datamunging_spark.streaming import streaming_ingest
+
+    src = tmp_path / "ingest_src"
+    src.mkdir()
+    a = "alpha beta gamma delta epsilon content"
+    b = "totally different second document body"
+    c = "third unique piece of content here"
+    spark.createDataFrame(
+        [(1, a), (2, b)], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(10, a.upper()), (11, c)], ["doc_id", "text"]  # 10 = norm-dup of 1
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = tmp_path / "survivors"
+    snaps = streaming_ingest(
+        stream,
+        survivors_path=str(out),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+    surv = spark.read.parquet(str(out))
+    texts = sorted(r["text"].lower() for r in surv.collect())
+    assert len(texts) == 3 and texts == sorted([a, b, c])  # one per content
+    assert snaps.content.count() == 3
+    assert snaps.signatures.count() == 3
