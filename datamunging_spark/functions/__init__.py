@@ -37,6 +37,7 @@ __all__ = [
     "pii_counts",
     "PII_PATTERNS",
     "normalize_url",
+    "url_domain",
     "salted_row_key",
 ]
 
@@ -350,6 +351,24 @@ def normalize_url(col: Column | str) -> Column:
     return F.when(
         q != "", F.concat(host, path, F.lit("?"), q)
     ).otherwise(F.concat(host, path))
+
+
+def url_domain(col: Column | str, registered: bool = True) -> Column:
+    """Host / registered-domain extraction from a URL — the grouping key
+    for per-domain corpus caps (``cap_per_group``) and domain-mix reports.
+    ``registered=True`` keeps the last two labels of the host
+    (example.co + uk-style public-suffix awareness needs a suffix list;
+    documented approximation: two labels, which is right for .com/.org/
+    .net-class suffixes and merges rather than splits for ccSLDs —
+    the safe direction for a contribution CAP). ``registered=False``
+    returns the full lowercased host with any ``www.`` stripped."""
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    c = F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    host = F.lower(F.regexp_extract(c, r"^([^/?#:]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    if not registered:
+        return host
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
 
 
 def salted_row_key(id_cols: list[Column | str], salt: str = "0") -> Column:

@@ -547,6 +547,37 @@ def connected_component_labels(
     )
 
 
+def minhash_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Label every doc with its near-duplicate cluster id (the cluster's
+    min doc id) instead of dropping losers — the analysis-side counterpart
+    of :func:`minhash_dedup` for duplicate-density reports, survivor
+    auditing, and choosing per-cluster representatives by a custom rule.
+    Docs with no near-dup are their own singleton cluster. Same plan as
+    minhash_dedup up to the CC labels; the final step joins labels back
+    instead of anti-joining them away."""
+    pairs, sig = minhash_lsh_pairs(
+        df, text_col, id_col, _return_sig=True, **lsh_kwargs
+    )
+    try:
+        matched = pairs.filter(F.col("sig_jaccard") >= threshold)
+        comp = connected_component_labels(matched).localCheckpoint()
+    finally:
+        sig.unpersist()
+    return df.join(
+        comp.withColumnRenamed("v", id_col),
+        on=id_col,
+        how="left",
+    ).withColumn(
+        "cluster_id", F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("component")
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",

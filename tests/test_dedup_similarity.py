@@ -857,3 +857,19 @@ def test_curate_corpus_url_gopher_line_stages(spark):
     assert kept == [1, 4]
     texts = {r["doc_id"]: r["text"] for r in out.collect()}
     assert texts[4].count("repeat me") == 1
+
+
+def test_minhash_clusters_labels(docs_with_dups):
+    """Cluster labeling: every doc gets a cluster_id; planted near-dups
+    share their original's cluster (min id); unrelated docs are singleton
+    clusters; row count is preserved (nothing dropped)."""
+    from datamunging_spark.operators.dedup import minhash_clusters
+
+    out = minhash_clusters(docs_with_dups, threshold=0.5)
+    assert out.count() == docs_with_dups.count()
+    rows = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    base_ids = sorted(i for i in rows if i < 100000)[:5]
+    for i in base_ids:
+        assert rows[i + 100000] == rows[i]  # exact copy joins the cluster
+        assert rows[i + 200000] == rows[i]  # near-dup joins the cluster
+        assert rows[i] == i                 # cluster id = min member id

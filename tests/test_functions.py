@@ -144,3 +144,42 @@ def test_url_dedup_min_id_survivor(spark):
     df = spark.createDataFrame(rows, ["doc_id", "url"])
     kept = sorted(r["doc_id"] for r in url_dedup(df).collect())
     assert kept == [1, 9]
+
+
+def test_url_domain_extraction(spark):
+    from datamunging_spark.functions import url_domain
+
+    rows = [
+        ("a", "https://www.blog.Example.com/post/1?x=2"),
+        ("b", "http://example.com:8080/other"),
+        ("c", "cdn.assets.example.org/file.js"),
+        ("d", None),
+    ]
+    df = spark.createDataFrame(rows, ["k", "url"])
+    reg = {r["k"]: r["d"] for r in df.select("k", url_domain("url").alias("d")).collect()}
+    assert reg == {"a": "example.com", "b": "example.com", "c": "example.org", "d": None}
+    full = {
+        r["k"]: r["d"]
+        for r in df.select("k", url_domain("url", registered=False).alias("d")).collect()
+    }
+    assert full["a"] == "blog.example.com" and full["c"] == "cdn.assets.example.org"
+
+
+def test_domain_cap_composition(spark):
+    """url_domain feeds cap_per_group: at most N docs per registered
+    domain, deterministic under the salt."""
+    from datamunging_spark.functions import url_domain
+    from datamunging_spark.operators.sampling import cap_per_group
+
+    rows = [(i, f"https://hub.example.com/p{i}") for i in range(10)] + [
+        (100, "https://other.org/x"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"]).withColumn(
+        "domain", url_domain("url")
+    )
+    capped = cap_per_group(df, ["domain"], n=3, id_cols=["doc_id"])
+    by_dom = {
+        r["domain"]: r["cnt"]
+        for r in capped.groupBy("domain").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert by_dom == {"example.com": 3, "other.org": 1}
