@@ -137,42 +137,43 @@ def _bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int):
     return buckets
 
 
-def ivf_topk(
-    queries: DataFrame,
+class IvfIndex:
+    """A built IVF index: the cell-assigned corpus (``assigned``:
+    (neighbor_id, _cv, _cell) DataFrame — the inverted lists) plus the
+    KMeans centroids (numpy, driver-side — n_clusters × dim floats, the
+    IVF analog of a broadcast dimension). Build once with
+    :func:`ivf_build`, search many query batches with :func:`ivf_search`
+    — the production shape: re-fitting KMeans per query batch (what a
+    fused call does) wastes the dominant cost. Persist ``assigned`` (or
+    write it to parquet partitioned by ``_cell``) to reuse across jobs;
+    store ``centers`` beside it (an ``.npy`` is fine)."""
+
+    def __init__(self, assigned: DataFrame, centers, n_clusters: int):
+        self.assigned = assigned
+        self.centers = centers
+        self.n_clusters = n_clusters
+
+
+def ivf_build(
     corpus: DataFrame,
-    k: int = 10,
-    query_id: str = "vec_id",
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     n_clusters: int = 16,
-    n_probe: int = 4,
     seed: int = 42,
     max_fit_rows: int = 100_000,
-) -> DataFrame:
-    """Approximate top-k via IVF (inverted-file) coarse quantization — the
-    other standard ANN scale path beside hyperplane LSH.
-
-    Distributed KMeans partitions the corpus into ``n_clusters`` cells (the
-    inverted lists); each probe searches only its ``n_probe`` nearest cells.
-    Candidate generation is an equi-join on the cell id, so the corpus is
-    scanned once and shuffled on a bounded-cardinality key; recall/cost is
-    tuned by n_probe (n_probe = n_clusters degrades gracefully to exact).
-    Centroids (n_clusters × dim floats) ride to executors inside the probe
-    pandas_udf closure — the IVF analog of a broadcast dimension.
+) -> IvfIndex:
+    """Build the IVF index: sampled KMeans fit + one full assignment pass.
 
     The KMeans fit runs on a seeded sample capped at ``max_fit_rows``
     (standard IVF practice: centroids need a representative sample, not the
-    corpus — at 100 TB an iterative full-corpus fit would dominate the whole
-    query). Cell ASSIGNMENT is still a single full pass, so every corpus
-    vector lands in an inverted list. The pre-sample count() is a parquet
-    metadata-weight pass, not a full scan.
+    corpus — at 100 TB an iterative full-corpus fit would dominate
+    everything). Cell ASSIGNMENT is still a single full pass, so every
+    corpus vector lands in an inverted list. The pre-sample count() is a
+    parquet metadata-weight pass, not a full scan.
     """
     import numpy as np
-    import pandas as pd
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, IntegerType
 
     corp_v = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv")
@@ -181,7 +182,7 @@ def ivf_topk(
     # README.md:299): KMeans makes one pass per iteration, so uncached it
     # re-scans + re-converts the vectors each time. Released right after —
     # the remaining pipeline reads corp_v exactly once more (assignment),
-    # and pinning corpus-sized blocks across the query would be the wrong
+    # and pinning corpus-sized blocks across the build would be the wrong
     # trade at 100 TB.
     corp_v.persist()
     try:
@@ -200,6 +201,30 @@ def ivf_topk(
         "neighbor_id", "_cv", F.col("prediction").alias("_cell")
     )
     centers = np.stack([np.asarray(c) for c in km.clusterCenters()])
+    return IvfIndex(assigned, centers, n_clusters)
+
+
+def ivf_search(
+    queries: DataFrame,
+    index: IvfIndex,
+    k: int = 10,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Search a built :class:`IvfIndex`: each probe vector visits only its
+    ``n_probe`` nearest cells. Candidate generation is an equi-join on the
+    cell id, so the index is scanned once and shuffled on a bounded-
+    cardinality key; recall/cost is tuned by n_probe (n_probe = n_clusters
+    degrades gracefully to exact). Centroids ride to executors inside the
+    probe pandas_udf closure."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    centers = index.centers
+    n_probe_eff = min(n_probe, index.n_clusters)
 
     @pandas_udf(ArrayType(IntegerType()))
     def probe_cells(vecs: pd.Series) -> pd.Series:
@@ -207,7 +232,7 @@ def ivf_topk(
             return pd.Series([], dtype=object)
         x = np.stack(vecs.to_numpy()).astype(np.float64)
         d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        nearest = np.argsort(d, axis=1)[:, :n_probe].astype(np.int32)
+        nearest = np.argsort(d, axis=1)[:, :n_probe_eff].astype(np.int32)
         return pd.Series(list(nearest))
 
     q = queries.select(
@@ -217,7 +242,7 @@ def ivf_topk(
     )
     scored = (
         F.broadcast(q)
-        .join(assigned, "_cell")
+        .join(index.assigned, "_cell")
         .drop("_cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
@@ -234,6 +259,28 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    max_fit_rows: int = 100_000,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization — the
+    other standard ANN scale path beside hyperplane LSH. One-shot
+    composition of :func:`ivf_build` + :func:`ivf_search`; pipelines with
+    recurring query batches should build once and search many times."""
+    index = ivf_build(
+        corpus, corpus_id, vec_col, n_clusters, seed, max_fit_rows
+    )
+    return ivf_search(queries, index, k, query_id, vec_col, n_probe)
 
 
 def _cosine_udf():

@@ -873,3 +873,26 @@ def test_minhash_clusters_labels(docs_with_dups):
         assert rows[i + 100000] == rows[i]  # exact copy joins the cluster
         assert rows[i + 200000] == rows[i]  # near-dup joins the cluster
         assert rows[i] == i                 # cluster id = min member id
+
+
+def test_ivf_build_search_split_matches_fused(tables):
+    """Build-once/search-many equals the fused ivf_topk (same seed), and a
+    second query batch reuses the index without refitting."""
+    from datamunging_spark.operators.similarity import (
+        ivf_build,
+        ivf_search,
+        ivf_topk,
+    )
+
+    emb = tables["embeddings"]
+    q1 = emb.filter(F.col("vec_id") < 3)
+    q2 = emb.filter(F.col("vec_id").between(3, 5))
+    idx = ivf_build(emb, n_clusters=8)
+    idx.assigned = idx.assigned.localCheckpoint()  # reuse without refit
+    a = ivf_search(q1, idx, k=5, n_probe=4)
+    b = ivf_topk(q1, emb, k=5, n_clusters=8, n_probe=4)
+    ra = [(r["query_id"], r["neighbor_id"], r["rank"]) for r in a.orderBy("query_id", "rank").collect()]
+    rb = [(r["query_id"], r["neighbor_id"], r["rank"]) for r in b.orderBy("query_id", "rank").collect()]
+    assert ra == rb
+    c = ivf_search(q2, idx, k=5, n_probe=4).collect()
+    assert len(c) == 15 and {r["query_id"] for r in c} == {3, 4, 5}
