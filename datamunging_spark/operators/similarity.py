@@ -305,6 +305,90 @@ def _cosine_udf():
     return cos
 
 
+class LshIndex:
+    """A built hyperplane-LSH index: the bucketed corpus (``bucketed``:
+    (neighbor_id, _cv, _t, _bk) — one row per vector per table) plus the
+    hyperplane parameters, which the query side MUST share for bucket ids
+    to be comparable (they are derived deterministically from
+    (dim, n_planes, n_tables, seed), so persisting the parameters is
+    enough — no matrix artifact needed). Build once with
+    :func:`lsh_build`, search many batches with :func:`lsh_search`;
+    persist ``bucketed`` (or write partitioned by ``_t, _bk``) to stop
+    paying the corpus bucketing matmul per query batch."""
+
+    def __init__(
+        self,
+        bucketed: DataFrame,
+        dim: int,
+        n_planes: int,
+        n_tables: int,
+        seed: int,
+    ):
+        self.bucketed = bucketed
+        self.dim = dim
+        self.n_planes = n_planes
+        self.n_tables = n_tables
+        self.seed = seed
+
+
+def lsh_build(
+    corpus: DataFrame,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> LshIndex:
+    """Bucket the corpus into all ``n_tables`` hash tables: one
+    Arrow-batched numpy matmul + one posexplode over the corpus scan."""
+    udf = _bucket_udf(dim, n_planes, n_tables, seed)
+    bucketed = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.posexplode(udf(F.col(vec_col))).alias("_t", "_bk"),
+    )
+    return LshIndex(bucketed, dim, n_planes, n_tables, seed)
+
+
+def lsh_search(
+    queries: DataFrame,
+    index: LshIndex,
+    k: int = 10,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a built :class:`LshIndex`: bucket the (small) query batch
+    with the index's hyperplanes, equi-join on (table, bucket), rescore
+    candidates by exact cosine, keep top-k."""
+    udf = _bucket_udf(index.dim, index.n_planes, index.n_tables, index.seed)
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.posexplode(udf(F.col(vec_col))).alias("_t", "_bk"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(index.bucketed, on=["_t", "_bk"])
+        .drop("_t", "_bk")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_udf()(F.col("_qv"), F.col("_cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -326,7 +410,9 @@ def lsh_topk(
     numpy matmul per side (vector math is the one place pandas_udf beats
     expressions), then ONE posexplode + ONE equi-join on (table, bucket)
     replaces n_tables separate joins. Candidate volume ≈ n_tables × bucket
-    occupancy, never O(|Q|×|C|); the corpus is scanned once.
+    occupancy, never O(|Q|×|C|); the corpus is scanned once. One-shot
+    composition of :func:`lsh_build` + :func:`lsh_search`; recurring query
+    batches should build once and persist the bucketed index.
     """
     udf = _bucket_udf(dim, n_planes, n_tables, seed)
     q = queries.select(

@@ -896,3 +896,26 @@ def test_ivf_build_search_split_matches_fused(tables):
     assert ra == rb
     c = ivf_search(q2, idx, k=5, n_probe=4).collect()
     assert len(c) == 15 and {r["query_id"] for r in c} == {3, 4, 5}
+
+
+def test_lsh_build_search_split_matches_fused(tables):
+    """LSH build-once/search-many equals the fused lsh_topk at the same
+    seed; a second batch reuses the persisted bucket table."""
+    from datamunging_spark.operators.similarity import (
+        lsh_build,
+        lsh_search,
+        lsh_topk,
+    )
+
+    emb = tables["embeddings"]
+    q1 = emb.filter(F.col("vec_id") < 3)
+    idx = lsh_build(emb, n_tables=16)
+    idx.bucketed = idx.bucketed.localCheckpoint()
+    a = lsh_search(q1, idx, k=5)
+    b = lsh_topk(q1, emb, k=5, n_tables=16)
+    ra = [(r["query_id"], r["neighbor_id"], r["rank"]) for r in a.orderBy("query_id", "rank").collect()]
+    rb = [(r["query_id"], r["neighbor_id"], r["rank"]) for r in b.orderBy("query_id", "rank").collect()]
+    assert ra == rb
+    q2 = emb.filter(F.col("vec_id").between(3, 5))
+    c = lsh_search(q2, idx, k=5).collect()
+    assert {r["query_id"] for r in c} == {3, 4, 5}
