@@ -37,6 +37,7 @@ __all__ = [
     "pii_counts",
     "PII_PATTERNS",
     "normalize_url",
+    "strip_html",
     "url_domain",
     "salted_row_key",
 ]
@@ -351,6 +352,37 @@ def normalize_url(col: Column | str) -> Column:
     return F.when(
         q != "", F.concat(host, path, F.lit("?"), q)
     ).otherwise(F.concat(host, path))
+
+
+def strip_html(col: Column | str) -> Column:
+    """HTML → visible text, expression-only (chained regexp_replace, all
+    codegen): drops ``<script>``/``<style>`` blocks and comments wholesale,
+    strips remaining tags, decodes the common entities, collapses
+    whitespace. The crawl-side extraction step before any text operator
+    runs.
+
+    Fidelity seam, documented like the NER/codec stubs: this is the
+    regex approximation — no DOM, no boilerplate heuristics (nav/footer
+    text survives; pair with :func:`~datamunging_spark.operators.dedup.
+    paragraph_dedup`, which removes exactly that cross-page boilerplate).
+    A production extractor (readability/trafilatura-class) slots in as a
+    pandas_udf over the same column when the library is available."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    # block-level closers/separators become newlines so paragraphs survive
+    c = F.regexp_replace(
+        c, r"(?i)</(p|div|br|li|h[1-6]|tr|table|blockquote)\s*>|<br\s*/?>", "\n"
+    )
+    c = F.regexp_replace(c, r"(?s)<[^>]+>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+    ):
+        c = F.regexp_replace(c, ent, rep)
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    return F.trim(F.regexp_replace(c, r"\n{2,}", "\n"))
 
 
 def url_domain(col: Column | str, registered: bool = True) -> Column:

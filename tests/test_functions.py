@@ -183,3 +183,33 @@ def test_domain_cap_composition(spark):
         for r in capped.groupBy("domain").agg(F.count("*").alias("cnt")).collect()
     }
     assert by_dom == {"example.com": 3, "other.org": 1}
+
+
+def test_strip_html_extraction(spark):
+    """HTML extraction: script/style/comments vanish wholesale, block tags
+    become paragraph breaks, entities decode, whitespace collapses; plain
+    text and NULL pass through."""
+    from datamunging_spark.functions import strip_html
+
+    html = (
+        "<html><head><style>body{color:red}</style>"
+        "<script>var x = '<p>not text</p>';</script></head>"
+        "<body><!-- hidden --><h1>Title&nbsp;One</h1>"
+        "<p>First &amp; second &lt;para&gt;.</p>"
+        "<div>Item   list:</div><ul><li>a</li><li>b</li></ul></body></html>"
+    )
+    rows = [(1, html), (2, "plain text stays"), (3, None)]
+    got = {
+        r["doc_id"]: r["t"]
+        for r in spark.createDataFrame(rows, ["doc_id", "text"])
+        .select("doc_id", strip_html("text").alias("t"))
+        .collect()
+    }
+    assert "var x" not in got[1] and "color:red" not in got[1]
+    assert "hidden" not in got[1]
+    assert "Title One" in got[1]
+    assert 'First & second <para>.' in got[1]
+    assert "Title One\n" in got[1]  # block closer became a line break
+    assert got[1].count("  ") == 0
+    assert got[2] == "plain text stays"
+    assert got[3] is None
