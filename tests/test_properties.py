@@ -78,3 +78,57 @@ def test_cast_int_hive_matches_python(spark, values):
 
     for i, v in enumerate(values):
         assert got[i] == pyref(v), repr(v)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.from_regex(
+            r"(https?://)?(www\.)?[a-z]{2,8}(\.[a-z]{2,6}){1,2}"
+            r"(/[a-zA-Z0-9._~-]{0,12}){0,3}/?"
+            r"(\?[a-z]{1,6}=[a-zA-Z0-9]{0,8}(&[a-z]{1,6}=[a-zA-Z0-9]{0,8}){0,3})?"
+            r"(#[a-zA-Z0-9]{0,8})?",
+            fullmatch=True,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_normalize_url_idempotent(spark, urls):
+    """X1 canonical-URL form is a projection: applying it twice equals
+    applying it once (the property that makes snapshot keys stable when a
+    pipeline re-normalizes already-normalized URLs)."""
+    from datamunging_spark.functions import normalize_url
+
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], ["i", "u"])
+    out = df.select(
+        "i",
+        normalize_url("u").alias("once"),
+        normalize_url(normalize_url("u")).alias("twice"),
+    )
+    for r in out.collect():
+        assert r["once"] == r["twice"], urls[r["i"]]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(0, 2**40), min_size=1, max_size=40, unique=True),
+    st.lists(
+        st.floats(0.05, 1.0), min_size=1, max_size=4
+    ).map(lambda ws: [w / sum(ws) for w in ws]),
+)
+def test_split_dataset_partitions_for_any_weights(spark, ids, weights):
+    """X5 split is a PARTITION for arbitrary normalized weight vectors:
+    every row gets exactly one label, labels come from the weight keys,
+    and the assignment is deterministic across invocations."""
+    from datamunging_spark.operators.trainset import split_dataset
+
+    w = {f"s{i}": x for i, x in enumerate(weights)}
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    out = split_dataset(df, w, id_cols=["doc_id"]).collect()
+    assert len(out) == len(ids)
+    assert {r["split"] for r in out} <= set(w)
+    again = split_dataset(df, w, id_cols=["doc_id"]).collect()
+    assert {(r["doc_id"], r["split"]) for r in out} == {
+        (r["doc_id"], r["split"]) for r in again
+    }
