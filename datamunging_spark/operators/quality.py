@@ -81,6 +81,40 @@ def dataset_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     )
 
 
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source corpus census — the one-line-per-source summary a
+    curation run logs before/after each stage: doc and token counts,
+    distinct normalized contents, the implied duplicate rate, and mean
+    document length. One hash-aggregate on the (low-cardinality) source
+    key; all expressions, so the same census runs pre- and post-curation
+    for stage-by-stage shrinkage accounting.
+    """
+    from datamunging_spark.functions import normalize_text, token_count
+
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    # token_count keeps empty tokens (str.split(' ') parity) — right for
+    # R22, wrong for a census; count over the whitespace-collapsed form.
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count(normalize_text(c)).cast("long")).alias(
+                "n_tokens"
+            ),
+            F.countDistinct(F.md5(normalize_text(c))).alias("n_distinct"),
+            F.round(F.avg(F.length(c)), 6).alias("avg_chars"),
+        )
+        .withColumn(
+            "dup_rate",
+            F.round(1 - F.col("n_distinct") / F.col("n_docs"), 6),
+        )
+    )
+
+
 def validation_summary(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """Engine extension: one-pass multi-rule summary — for each rule, total
     and failing row counts. Single aggregate, no joins: each rule becomes a

@@ -651,3 +651,25 @@ def test_streaming_ingest_rolls_snapshots_across_microbatches(spark, tmp_path):
     assert len(texts) == 3 and texts == sorted([a, b, c])  # one per content
     assert snaps.content.count() == 3
     assert snaps.signatures.count() == 3
+
+
+def test_corpus_report_counts_and_dup_rate(spark):
+    """Per-source census: token sums, distinct normalized contents, and
+    duplicate rate line up with hand counts; NULL text counts as one
+    empty-ish token doc, matching the tokenize('') == [''] contract."""
+    from datamunging_spark.operators.quality import corpus_report
+
+    rows = [
+        (1, "a b c", "web"),
+        (2, "A  B   C", "web"),     # normalized dup of 1
+        (3, "d e", "web"),
+        (4, "x y z w", "books"),
+        (5, None, "books"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r["source"]: r.asDict() for r in corpus_report(df).collect()}
+    assert got["web"]["n_docs"] == 3 and got["web"]["n_distinct"] == 2
+    assert abs(got["web"]["dup_rate"] - 1 / 3) < 1e-6
+    assert got["web"]["n_tokens"] == 3 + 3 + 2
+    assert got["books"]["n_docs"] == 2 and got["books"]["dup_rate"] == 0.0
+    assert got["books"]["n_tokens"] == 4 + 1  # split('') == [''] -> 1
