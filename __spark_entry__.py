@@ -1015,12 +1015,30 @@ def q_x1_minhash_dedup(spark, sf_dir):
     (O(log n) large-star/small-star rewriting over the candidate-pair graph
     — keeps exactly one doc per transitive duplicate cluster; the greedy
     one-pass variant remains as method="greedy"). Deterministic (xxhash64
-    signatures) but engine-hash-based → rows-only."""
-    from datamunging_spark.operators.dedup import minhash_dedup
+    signatures) but engine-hash-based → rows-only, with an in-query
+    invariant ``no_residual_neardup``: re-banding the SURVIVORS must find
+    no remaining pair at ≥ threshold — uniformly true cells prove the CC
+    anti-join removed every banded near-dup, not just some."""
+    from datamunging_spark.operators.dedup import (
+        minhash_dedup,
+        minhash_lsh_pairs,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_dedup(d, threshold=0.5, method="cc").select(
-        "doc_id", "source"
+    out = minhash_dedup(d, threshold=0.5, method="cc").localCheckpoint()
+    residual_pairs = (
+        minhash_lsh_pairs(out)
+        .filter(F.col("sig_jaccard") >= 0.5)
+        .localCheckpoint()  # one pair-plan execution feeds both id sides
+    )
+    residual = (
+        residual_pairs.select(F.col("id_a").alias("doc_id"))
+        .union(residual_pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_bad", F.lit(True))
+    )
+    return out.join(residual, "doc_id", "left").select(
+        "doc_id", "source", F.col("_bad").isNull().alias("no_residual_neardup")
     )
 
 
