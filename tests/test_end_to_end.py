@@ -1,0 +1,127 @@
+"""The user-story test: a mini crawl goes from raw JSONL shards to a
+packed, split training set through the engine's own operators only —
+the composition a real pipeline runs, exercised end to end so schema or
+contract drift between operators fails HERE, not in production.
+
+Chain: read_jsonl (declared schema, corrupt-line quarantine) → strip_html
+→ url_dedup → curate_corpus (quality gates + gopher + line dedup + exact
++ fuzzy) → corpus_report census → split_dataset → pack_sequences.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("url", StringType()),
+        StructField("html", StringType()),
+        StructField("_corrupt_record", StringType()),
+    ]
+)
+
+
+def _page(body: str) -> str:
+    return (
+        "<html><head><style>p{margin:0}</style></head><body>"
+        f"<p>{body}</p><div>nav home about contact</div></body></html>"
+    )
+
+
+def _body(stem: str) -> str:
+    """A stopword-rich, Gopher-passing body unique to ``stem`` (every
+    content word carries the stem, so different stems share almost no
+    shingles and are NOT near-dups of each other)."""
+    return (
+        f"the {stem} report says that we have to be sure of the outcome and "
+        + " ".join(
+            f"{stem}{i} with the {stem} data that have been seen of it"
+            for i in range(8)
+        )
+    )
+
+
+GOOD = _body("alpha")
+
+
+@pytest.fixture(scope="module")
+def shards(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("crawl")
+    rows1 = [
+        (1, "https://www.a.com/x?utm_source=t", _page(GOOD)),
+        (2, "http://a.com/x/", _page("different text same url")),  # url dup of 1
+        (3, "https://b.org/p", _page(_body("beta"))),
+    ]
+    rows2 = [
+        (4, "https://c.net/q", _page(GOOD + " tail")),  # near-dup of 1
+        (5, "https://d.io/r", _page(" ".join(f"zx{i}q" for i in range(80)))),  # gibberish
+        (6, "https://e.dev/s", _page(_body("gamma") + " \n gamma line \n gamma line")),
+    ]
+    import json
+
+    for name, rows in (("s1.jsonl", rows1), ("s2.jsonl", rows2)):
+        with open(root / name, "w") as fh:
+            for i, u, h in rows:
+                fh.write(json.dumps({"doc_id": i, "url": u, "html": h}) + "\n")
+            if name == "s2.jsonl":
+                fh.write('{"doc_id": 99, "html": "unterminated\n')  # corrupt
+    return str(root)
+
+
+def test_crawl_to_training_set(spark, shards, tmp_path):
+    from datamunging_spark.functions import strip_html, token_count
+    from datamunging_spark.operators.dedup import url_dedup
+    from datamunging_spark.operators.pipeline import curate_corpus
+    from datamunging_spark.operators.quality import corpus_report
+    from datamunging_spark.operators.trainset import (
+        pack_sequences,
+        split_dataset,
+    )
+    from datamunging_spark.sources.io import read_jsonl
+
+    raw = read_jsonl(spark, shards, SCHEMA).localCheckpoint()
+    clean = raw.filter(F.col("_corrupt_record").isNull())
+    assert raw.count() == 7 and clean.count() == 6  # corrupt line quarantined
+
+    docs = clean.select(
+        "doc_id",
+        "url",
+        strip_html("html").alias("text"),
+    ).withColumn("source", F.lit("crawl"))
+    assert docs.filter(F.col("text").contains("<p>")).count() == 0
+
+    deduped_urls = url_dedup(docs)  # 2 loses to 1 on canonical URL
+    assert sorted(r["doc_id"] for r in deduped_urls.collect()) == [1, 3, 4, 5, 6]
+
+    curated = curate_corpus(
+        deduped_urls,
+        min_tokens=10,
+        fuzzy=True,
+        fuzzy_threshold=0.5,
+        gopher=True,
+        line_dedup=True,
+    ).localCheckpoint()
+    kept = sorted(r["doc_id"] for r in curated.collect())
+    # 4 is a near-dup of 1 (fuzzy), 5 fails the stopword gate; 1/3/6 stay
+    assert kept == [1, 3, 6]
+
+    census = {r["source"]: r.asDict() for r in corpus_report(curated).collect()}
+    assert census["crawl"]["n_docs"] == 3 and census["crawl"]["dup_rate"] == 0.0
+
+    split = split_dataset(
+        curated, {"train": 0.8, "val": 0.2}, id_cols=["doc_id"]
+    )
+    assert split.count() == 3
+    assert {r["split"] for r in split.collect()} <= {"train", "val"}
+
+    packed = pack_sequences(
+        split.select(
+            "doc_id", token_count("text").cast("long").alias("n_tokens")
+        ),
+        max_len=2048,
+        num_groups=1,
+    )
+    rows = packed.collect()
+    assert len(rows) == 3
+    assert all(r["bin_tokens"] <= 2048 or r["truncated"] for r in rows)
