@@ -125,6 +125,7 @@ def incremental_dedup(
     id_col: str = "doc_id",
     hash_col: str = "content_hash",
     within_batch: bool = True,
+    seen_distinct: bool = False,
 ) -> DataFrame:
     """Dedup a NEW ingest batch against a prior :func:`content_snapshot`,
     then (by default) within the batch itself — the standard continuous-
@@ -147,8 +148,18 @@ def incremental_dedup(
     hashed = new_df.withColumn(
         _HASH_TMP, F.md5(F.coalesce(normalize_text(text_col), F.lit("")))
     )
+    # seen_distinct: content_snapshot/advance_snapshot output is distinct
+    # by construction, and an anti-join is set-semantics anyway — the
+    # defensive distinct only matters for caller-built snapshots with
+    # duplicate hashes feeding OTHER consumers. Skipping it (and any
+    # projection that would discard scan-level distribution info) lets a
+    # BUCKETED snapshot table (write_snapshots_table) join exchange-free
+    # on the history side — the big side at 100 TB.
+    seen_keys = seen.select(F.col(hash_col).alias(_HASH_TMP))
+    if not seen_distinct:
+        seen_keys = seen_keys.distinct()
     fresh = hashed.join(
-        seen.select(F.col(hash_col).alias(_HASH_TMP)).distinct(),
+        seen_keys,
         on=_HASH_TMP,
         how="left_anti",
     ).drop(_HASH_TMP)
@@ -939,6 +950,47 @@ def write_snapshots(snapshots: Snapshots, path: str) -> None:
         snapshots.signatures.write.mode("overwrite").parquet(
             f"{path}/signatures"
         )
+
+
+def write_snapshots_table(
+    snapshots: Snapshots, base_name: str, num_buckets: int = 32
+) -> None:
+    """Persist the snapshot pair as BUCKETED managed tables
+    (``{base}_content`` bucketed on content_hash, ``{base}_signatures``
+    on the doc id) — the scale upgrade over plain-parquet
+    :func:`write_snapshots`: the next run's history-side joins read
+    pre-partitioned buckets, so the HISTORY side (the big side at 100 TB)
+    never re-shuffles. Pair with
+    ``incremental_dedup(..., seen_distinct=True)`` so no defensive
+    distinct re-introduces an exchange; version ``base_name`` per batch
+    for the same replay/self-overwrite reasons as write_snapshots."""
+    from datamunging_spark.sources.io import write_bucketed_table
+
+    if snapshots.content is not None:
+        write_bucketed_table(
+            snapshots.content,
+            f"{base_name}_content",
+            "content_hash",
+            num_buckets,
+        )
+    if snapshots.signatures is not None:
+        sig = snapshots.signatures
+        write_bucketed_table(
+            sig, f"{base_name}_signatures", sig.columns[0], num_buckets
+        )
+
+
+def read_snapshots_table(spark, base_name: str) -> Snapshots:
+    """Load a bucketed snapshot pair (see :func:`write_snapshots_table`);
+    missing tables load as None."""
+
+    def _maybe(suffix: str) -> DataFrame | None:
+        name = f"{base_name}_{suffix}"
+        return spark.table(name) if spark.catalog.tableExists(name) else None
+
+    return Snapshots(
+        content=_maybe("content"), signatures=_maybe("signatures")
+    )
 
 
 def read_snapshots(spark, path: str) -> Snapshots:

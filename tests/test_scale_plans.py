@@ -173,3 +173,44 @@ def test_stratified_sample_portable_has_no_exchange(spark, tables):
         )
     )
     assert "Exchange" not in plan, plan
+
+
+def test_bucketed_snapshot_antijoin_history_side_no_shuffle(spark, tables):
+    """The 100 TB incremental-dedup shape: a snapshot persisted as a
+    bucketed table anti-joins WITHOUT exchanging the history side — only
+    the (small) batch side shuffles to meet the buckets. Survivors match
+    the plain path exactly."""
+    from datamunging_spark.operators.dedup import (
+        content_snapshot,
+        incremental_dedup,
+        read_snapshots_table,
+        write_snapshots_table,
+        Snapshots,
+    )
+
+    docs = tables["documents"].select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") < 200)
+    batch = docs.filter(F.col("doc_id") >= 200)
+    snap = content_snapshot(hist)
+    write_snapshots_table(Snapshots(snap, None), "t_snap", num_buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        seen = read_snapshots_table(spark, "t_snap").content
+        j = incremental_dedup(
+            batch, seen, within_batch=False, seen_distinct=True
+        )
+        plan = _plan(j)
+        import re
+
+        # exactly ONE Exchange node (formatted mode: "(n) Exchange"
+        # headers), and it is the batch side — the bucketed snapshot scan
+        # goes straight to Sort.
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan, plan
+        plain = incremental_dedup(batch, snap, within_batch=False)
+        assert j.exceptAll(plain).count() == 0 and plain.exceptAll(j).count() == 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS t_snap_content")
