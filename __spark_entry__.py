@@ -854,7 +854,9 @@ def q_x1_incremental_dedup(spark, sf_dir):
     # and the history signature snapshot feeds both the band join and the
     # candidate scoring join. (In production these ARE materialized — the
     # snapshot is a parquet table and the batch a checkpointed ingest.)
-    out = incremental_dedup(batch, content_snapshot(hist)).localCheckpoint()
+    out = incremental_dedup(
+        batch, content_snapshot(hist), seen_distinct=True
+    ).localCheckpoint()
     hist_sig = minhash_signatures_df(hist).localCheckpoint()
     out = incremental_minhash_dedup(out, hist_sig, threshold=0.5)
     return out.select("doc_id", "source")
@@ -901,7 +903,7 @@ def q_x1_incremental_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
     hist = d.filter(F.col("doc_id") < 400)
     batch = d.filter(F.col("doc_id") >= 400)
-    out = incremental_dedup(batch, content_snapshot(hist))
+    out = incremental_dedup(batch, content_snapshot(hist), seen_distinct=True)
     return out.select("doc_id", "source")
 
 

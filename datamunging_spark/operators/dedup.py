@@ -880,7 +880,13 @@ def ingest_batch(
     """
     snapshots = snapshots if snapshots is not None else Snapshots(None, None)
     if snapshots.content is not None:
-        fresh = incremental_dedup(new_df, snapshots.content, text_col, id_col)
+        # seen_distinct: snapshot output is distinct by construction, and
+        # an anti-join ignores right-side duplicates anyway — the
+        # defensive distinct would only add an exchange (and defeat
+        # bucketed snapshot tables).
+        fresh = incremental_dedup(
+            new_df, snapshots.content, text_col, id_col, seen_distinct=True
+        )
     else:
         fresh = exact_dedup(new_df, text_col, id_col)
     fresh = fresh.localCheckpoint()
