@@ -33,6 +33,7 @@ __all__ = [
     "take_token_budget",
     "decontaminate",
     "decontaminate_fuzzy",
+    "decontaminate_substring",
     "source_mix",
     "split_dataset",
     "training_shuffle",
@@ -139,6 +140,57 @@ def decontaminate(
         corpus, benchmark, text_col, id_col, **report_kwargs
     ).select(id_col)
     return corpus.join(bad, on=id_col, how="left_anti")
+
+
+def decontaminate_substring(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    min_len: int = 20,
+) -> DataFrame:
+    """Exact-substring decontamination: drop corpus docs that CONTAIN any
+    benchmark string verbatim (normalized) — the right mode for short
+    eval payloads (answer strings, test prompts) that n-gram collision
+    (:func:`decontaminate`) can miss when the payload is shorter than the
+    gram window and :func:`decontaminate_fuzzy` can miss when it is a
+    tiny fraction of the doc.
+
+    Scale shape: the benchmark strings (normalized, deduped, length ≥
+    ``min_len`` to avoid stop-phrase false kills) are collected into ONE
+    array literal broadcast inside the filter expression — no join at
+    all; the corpus pays a single codegen-adjacent map pass with an
+    ``exists(..., contains)`` probe per row. Cost is corpus_rows ×
+    bench_strings char scans — embarrassingly parallel, zero shuffle,
+    fine for the eval-suite-sized benchmarks this targets; a
+    10^6-pattern blocklist would want an Aho-Corasick pandas_udf
+    instead (documented seam). Driver-side collect is the benchmark —
+    tiny by definition — and raises above a 100k-string sanity cap.
+    """
+    from datamunging_spark.functions import normalize_text
+
+    btc = bench_text_col or text_col
+    strings = [
+        r["s"]
+        for r in benchmark.select(
+            normalize_text(F.col(btc)).alias("s")
+        )
+        .filter(F.length("s") >= min_len)
+        .distinct()
+        .limit(100_001)
+        .collect()
+    ]
+    if len(strings) > 100_000:
+        raise ValueError(
+            "benchmark has >100k distinct strings; use decontaminate "
+            "(n-gram collision) or an Aho-Corasick pandas_udf for "
+            "blocklist-scale pattern sets"
+        )
+    if not strings:
+        return corpus
+    probes = F.array(*[F.lit(s) for s in strings])
+    c = normalize_text(F.col(text_col))
+    return corpus.filter(~F.exists(probes, lambda s: c.contains(s)))
 
 
 def decontaminate_fuzzy(

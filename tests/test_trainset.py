@@ -313,3 +313,31 @@ def test_decontaminate_fuzzy_drops_paraphrase(spark, tables):
     assert 1000 not in out                      # paraphrase of benchmark gone
     assert set(range(300, 310)) <= out          # clean docs survive
     assert 2000 in out                          # no corpus self-dedup
+
+
+def test_decontaminate_substring_exact_containment(spark):
+    """Substring decontamination: a doc embedding a benchmark answer
+    string verbatim (any case/spacing) is dropped; docs sharing only
+    words survive; short benchmark strings below min_len never match;
+    empty benchmark is a no-op."""
+    from datamunging_spark.operators.trainset import decontaminate_substring
+
+    bench = spark.createDataFrame(
+        [("the capital of the ancient empire was carthage",),
+         ("tiny",)],  # below min_len: must not kill anything
+        ["text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "quiz leak: The  Capital of the Ancient empire WAS carthage, obviously"),
+            (2, "discusses capital and empire and carthage separately in prose"),
+            (3, "a tiny note about nothing in particular"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r["doc_id"] for r in decontaminate_substring(corpus, bench).collect()
+    )
+    assert kept == [2, 3]
+    empty_bench = spark.createDataFrame([], "text string")
+    assert decontaminate_substring(corpus, empty_bench).count() == 3
