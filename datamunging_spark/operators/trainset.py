@@ -28,9 +28,11 @@ from pyspark.sql import functions as F
 from datamunging_spark.operators.dedup import exploded_ngrams
 
 __all__ = [
+    "assign_token_shards",
     "contamination_report",
     "pack_sequences",
     "take_token_budget",
+    "write_training_shards",
     "decontaminate",
     "decontaminate_fuzzy",
     "decontaminate_substring",
@@ -444,10 +446,25 @@ def take_token_budget(
             "order_cols is required and must uniquely order rows "
             "(append an id column as tiebreak)"
         )
+    kept_keys = (
+        _global_running_sum(df, tokens_col, order_cols)
+        .filter(F.col("_run") <= F.lit(budget))
+        .select(*order_cols)
+    )
+    return df.join(kept_keys, on=order_cols, how="left_semi")
+
+
+def _global_running_sum(
+    df: DataFrame, tokens_col: str, order_cols: list[str]
+) -> DataFrame:
+    """Slim (order_cols, tokens, _run) frame where ``_run`` is the global
+    inclusive running token sum in ``order_cols`` order — the shared
+    distributed prefix-sum behind :func:`take_token_budget` and
+    :func:`assign_token_shards` (range partition → one tiny
+    row-per-partition collect of totals → broadcast base offsets →
+    within-partition window cumsum; never a single-task global window).
+    Negative counts clamp to 0 so ``_run`` is monotonic."""
     parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    # Clamp negative counts (size(NULL) = -1 under ANSI-off) to 0 up front:
-    # a negative addend makes the running sum non-monotonic, turning the
-    # <= budget filter into a non-contiguous pick instead of a prefix.
     slim = (
         df.select(
             *order_cols,
@@ -481,10 +498,69 @@ def take_token_budget(
     running = F.col("_base") + F.sum(
         F.col(tokens_col).cast("decimal(38,0)")
     ).over(w)
-    kept_keys = (
-        slim.join(base, "_pid")
-        .withColumn("_run", running)
-        .filter(F.col("_run") <= F.lit(budget))
-        .select(*order_cols)
+    return slim.join(base, "_pid").withColumn("_run", running).drop(
+        "_pid", "_base"
     )
-    return df.join(kept_keys, on=order_cols, how="left_semi")
+
+
+def assign_token_shards(
+    df: DataFrame,
+    shard_tokens: int,
+    tokens_col: str = "n_tokens",
+    order_cols: list[str] | None = None,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Token-balanced shard assignment: add ``shard_col`` so consecutive
+    docs (in ``order_cols`` order — run :func:`training_shuffle` first for
+    a random order) land in shards of ~``shard_tokens`` tokens each — the
+    even-shard layout training loaders want, computed with the same
+    two-pass distributed prefix sum as :func:`take_token_budget` (never a
+    global single-task window).
+
+    A doc is assigned by its START offset (``run - tokens``), so shard
+    boundaries never split a doc and each shard overshoots its target by
+    at most one doc. Deterministic for a unique ``order_cols`` order.
+    Write with :func:`write_training_shards` or
+    ``.write.partitionBy(shard_col)``.
+    """
+    if not order_cols:
+        raise ValueError(
+            "order_cols is required and must uniquely order rows "
+            "(append an id column as tiebreak)"
+        )
+    if shard_tokens <= 0:
+        raise ValueError(f"shard_tokens must be positive, got {shard_tokens}")
+    assigned = _global_running_sum(df, tokens_col, order_cols).select(
+        *order_cols,
+        F.floor(
+            (F.col("_run") - F.col(tokens_col)) / F.lit(shard_tokens)
+        )
+        .cast("int")
+        .alias(shard_col),
+    )
+    return df.join(assigned, on=order_cols, how="inner")
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_tokens: int,
+    tokens_col: str = "n_tokens",
+    order_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Materialize a training set as token-balanced shards:
+    :func:`assign_token_shards` then a partitioned write (one
+    ``shard=N/`` directory per shard; ``fmt`` = parquet or json for
+    JSONL-style shards). The shuffle is one repartition on the shard id
+    so each shard writes from one task — files stay one-per-shard."""
+    assigned = assign_token_shards(
+        df, shard_tokens, tokens_col, order_cols
+    )
+    (
+        assigned.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .format(fmt)
+        .save(path)
+    )

@@ -341,3 +341,54 @@ def test_decontaminate_substring_exact_containment(spark):
     assert kept == [2, 3]
     empty_bench = spark.createDataFrame([], "text string")
     assert decontaminate_substring(corpus, empty_bench).count() == 3
+
+
+def test_assign_token_shards_balanced_and_contiguous(spark, tables):
+    """Token-balanced sharding: every doc assigned exactly once, shard
+    token sums stay within target + one doc overshoot, shards are
+    CONTIGUOUS in the given order (a doc never lands in an earlier shard
+    than a predecessor), and the whole assignment is deterministic."""
+    from datamunging_spark.functions import token_count
+    from datamunging_spark.operators.trainset import assign_token_shards
+
+    docs = tables["documents"].select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    target = 2000
+    out = assign_token_shards(
+        docs, target, order_cols=["doc_id"]
+    ).localCheckpoint()
+    assert out.count() == docs.count()
+    per = (
+        out.groupBy("shard")
+        .agg(
+            F.sum("n_tokens").alias("tot"),
+            F.max("n_tokens").alias("mx"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    # every full shard holds >= target - max_doc and <= target + max_doc
+    for r in per[:-1]:
+        assert target - r["mx"] <= r["tot"] <= target + r["mx"], r
+    # contiguity: shard id ranges do not interleave in doc_id order
+    for a, b in zip(per, per[1:]):
+        assert a["hi"] < b["lo"]
+    again = assign_token_shards(docs, target, order_cols=["doc_id"])
+    assert out.exceptAll(again).count() == 0
+
+
+def test_write_training_shards_layout(spark, tables, tmp_path):
+    from datamunging_spark.functions import token_count
+    from datamunging_spark.operators.trainset import write_training_shards
+
+    docs = tables["documents"].select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    p = str(tmp_path / "shards")
+    write_training_shards(docs, p, shard_tokens=5000, order_cols=["doc_id"])
+    back = spark.read.parquet(p)
+    assert back.count() == docs.count()
+    assert back.select("shard").distinct().count() >= 2
