@@ -1416,3 +1416,106 @@ def paragraph_dedup(
         .withColumn(text_col, F.coalesce(F.col("_new_text"), F.lit("")))
         .drop("_rid", "_new_text")
     )
+
+
+def semantic_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 42,
+    index=None,
+) -> DataFrame:
+    """Semantic near-duplicate candidate pairs, SemDeDup-style (Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication", arXiv:2303.09540): KMeans-cluster the
+    embedding space, then compare pairs only WITHIN a cluster — the
+    published trick that turns all-pairs cosine dedup from O(n²) into
+    O(Σ|cluster|²).
+
+    Plan shape: one sampled KMeans fit + one full assignment pass
+    (reuses :func:`~datamunging_spark.operators.similarity.ivf_build` —
+    the IVF index IS the SemDeDup clustering), then a self-equi-join on
+    the cell id with ``id_a < id_b`` ordering — never a cross join; each
+    cluster's pair block is an ordinary hash-join partition that AQE can
+    split. The expression-form cosine keeps the filter deterministic.
+
+    Scale contract: within-cluster cost is quadratic in cluster size, so
+    ``n_clusters`` must grow with the corpus (SemDeDup's published runs
+    use ~#docs/10k clusters for 100M-doc corpora; the same ratio holds
+    here). Pass a prebuilt ``index`` (:class:`similarity.IvfIndex`) to
+    amortize the fit across calls or reuse an ANN index's clustering.
+    """
+    from datamunging_spark.functions import cosine_similarity
+    from datamunging_spark.operators.similarity import ivf_build
+
+    if index is None:
+        index = ivf_build(
+            df,
+            corpus_id=id_col,
+            vec_col=vec_col,
+            n_clusters=n_clusters,
+            seed=seed,
+        )
+    # the assignment feeds both sides of the self-join; materialize once
+    # (repo convention for multi-branch consumers) so the KMeans transform
+    # does not execute twice
+    assigned = index.assigned.localCheckpoint()
+    a = assigned.select(
+        F.col("neighbor_id").alias("id_a"),
+        F.col("_cv").alias("_va"),
+        "_cell",
+    )
+    b = assigned.select(
+        F.col("neighbor_id").alias("id_b"),
+        F.col("_cv").alias("_vb"),
+        "_cell",
+    )
+    return (
+        a.join(b, "_cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 42,
+    index=None,
+) -> DataFrame:
+    """SemDeDup end-to-end: drop every document whose embedding is a
+    semantic near-duplicate (cosine ≥ ``threshold`` within its KMeans
+    cluster) of a lower-id document, keeping one survivor per transitive
+    near-dup cluster via the same connected-component selection as
+    :func:`minhash_dedup` (min id survives; handles chains A~B~C where
+    A≁C, which greedy pairwise removal splits inconsistently).
+
+    Caveat inherited from the paper: pairs straddling a cluster boundary
+    are invisible (recall < 1 by design); tighten with larger
+    ``threshold`` margins or more clusters, or run :func:`minhash_dedup`
+    alongside for the lexical-overlap complement.
+    """
+    pairs = semantic_neardup_pairs(
+        df,
+        vec_col=vec_col,
+        id_col=id_col,
+        threshold=threshold,
+        n_clusters=n_clusters,
+        seed=seed,
+        index=index,
+    )
+    labels = connected_component_labels(pairs, a_col="id_a", b_col="id_b")
+    losers = labels.filter(F.col("v") != F.col("component")).select(
+        F.col("v").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

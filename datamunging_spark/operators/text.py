@@ -322,3 +322,105 @@ def chunk_documents(
         F.concat_ws(" ", chunk).alias("chunk_text"),
         F.size(chunk).alias("n_tokens"),
     )
+
+
+def unigram_lm_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fit a unigram language model over the corpus: one (token, cnt,
+    logprob) row per distinct normalized token, logprob = ln(cnt / total).
+
+    This is the cheap stand-in for the CCNet/KenLM perplexity filter
+    (Wenzek et al. 2020, "CCNet: Extracting high quality monolingual
+    datasets from web crawl data" — their quality signal is an LM score
+    over Wikipedia-trained KenLM; a unigram model keeps the same *shape*
+    of signal fully relational and engine-portable). Tokens are the
+    whitespace words of :func:`~datamunging_spark.functions.normalize_text`
+    form, so the fit composes with the dedup family's normalization.
+
+    Plan: explode → one hash aggregate (map-side combinable, uniform
+    token key) + a broadcast single-row total — the TF-IDF docfreq shape.
+    The result is vocabulary-sized (≪ corpus), the natural broadcast side
+    of the scoring join. ``logprob`` is rounded to 7 decimals so scores
+    survive engine-to-engine float differences in downstream decimal sums.
+    """
+    from datamunging_spark.functions import normalize_text
+
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(normalize_text(text_col), " ", -1),
+                lambda w: w != "",
+            )
+        ).alias("token")
+    )
+    cnts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = cnts.agg(F.sum("cnt").alias("_total"))
+    return cnts.crossJoin(F.broadcast(total)).select(
+        "token",
+        "cnt",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("_total")), 7
+        ).alias("logprob"),
+    )
+
+
+def lm_quality_score(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_logprob: float = -20.0,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Score each document's mean per-token unigram log-probability under a
+    :func:`unigram_lm_fit` model — the distributed form of the perplexity
+    quality gate: gibberish / boilerplate / wrong-language docs score far
+    below the corpus mode, natural prose near it. Filter on a band (both
+    tails: too-improbable is noise, too-probable is stopword spam), per
+    the published CCNet head/middle/tail split.
+
+    Output: (id, n_tokens, n_oov, lm_score) for every doc with ≥1 token;
+    ``lm_score`` = mean token logprob, OOV tokens scored ``oov_logprob``.
+
+    Plan: explode → LEFT join the vocabulary-sized model (broadcast by
+    default — at 100 TB the model is MBs; set ``broadcast_lm=False`` to
+    let AQE decide for huge vocabularies) → one hash aggregate back to doc
+    grain. The per-token logprobs sum as ``decimal(28,7)`` — exact, so
+    the aggregate is reduction-order-independent and oracle-reproducible
+    (the same discipline as pricing_summary's decimal sums).
+    """
+    from datamunging_spark.functions import normalize_text
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(normalize_text(text_col), " ", -1),
+                lambda w: w != "",
+            )
+        ).alias("token"),
+    )
+    model = lm.select(
+        "token", F.col("logprob").cast("decimal(28,7)").alias("_lp")
+    )
+    if broadcast_lm:
+        model = F.broadcast(model)
+    oov = F.lit(oov_logprob).cast("decimal(28,7)")
+    scored = toks.join(model, on="token", how="left")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_lp").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.sum(F.coalesce(F.col("_lp"), oov)).alias("_sum_lp"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("_sum_lp").cast("double") / F.col("n_tokens"), 6
+            ).alias("lm_score"),
+        )
+    )

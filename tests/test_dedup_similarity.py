@@ -919,3 +919,60 @@ def test_lsh_build_search_split_matches_fused(tables):
     q2 = emb.filter(F.col("vec_id").between(3, 5))
     c = lsh_search(q2, idx, k=5).collect()
     assert {r["query_id"] for r in c} == {3, 4, 5}
+
+
+def test_semantic_dedup_removes_planted_embedding_copies(spark, tables):
+    """SemDeDup: plant near-identical embedding copies (tiny perturbation of
+    existing vectors under fresh ids); semantic_dedup must drop every copy
+    (cosine vs its source ≈ 1 ≥ threshold, and KMeans puts near-identical
+    vectors in the same cell), keep the copy's source, and — at a threshold
+    above the corpus's own planted near-dup band — leave genuinely distinct
+    vectors alone."""
+    from pyspark.sql import functions as F
+
+    from datamunging_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_neardup_pairs,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    copies = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 900000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(1.0) + F.lit(1e-4)
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(copies)
+    out = semantic_dedup(
+        corpus, id_col="vec_id", threshold=0.999, n_clusters=8
+    )
+    kept = {r["vec_id"] for r in out.select("vec_id").collect()}
+    # every planted copy gone, every source retained
+    assert not any(v >= 900000 for v in kept)
+    assert all(v in kept for v in range(10))
+    # residual invariant: re-pairing the survivors finds nothing
+    assert (
+        semantic_neardup_pairs(
+            out, id_col="vec_id", threshold=0.999, n_clusters=8
+        ).count()
+        == 0
+    )
+
+
+def test_semantic_neardup_pairs_reuses_prebuilt_index(spark, tables):
+    """Passing a prebuilt IvfIndex skips the KMeans fit and yields the same
+    pairs as the fused call (same seed → same clustering)."""
+    from datamunging_spark.operators.dedup import semantic_neardup_pairs
+    from datamunging_spark.operators.similarity import ivf_build
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    idx = ivf_build(emb, corpus_id="vec_id", n_clusters=8)
+    fused = semantic_neardup_pairs(
+        emb, id_col="vec_id", threshold=0.9, n_clusters=8
+    )
+    reused = semantic_neardup_pairs(
+        emb, id_col="vec_id", threshold=0.9, index=idx
+    )
+    assert sorted(map(tuple, fused.select("id_a", "id_b").collect())) == sorted(
+        map(tuple, reused.select("id_a", "id_b").collect())
+    )

@@ -183,3 +183,82 @@ def test_gopher_quality_flags(spark):
     assert not got[5]["alpha_word_ok"]
     assert not got[6]["stopword_ok"]
     assert not got[7]["quality_pass"] and not got[7]["word_count_ok"]
+
+
+def test_unigram_lm_closed_form(spark):
+    """Fit on a 3-token-vocab corpus and check scores against hand-computed
+    values: token probs a=2/5, b=2/5, c=1/5; doc scores are exact means of
+    the rounded logprobs."""
+    import math
+
+    from datamunging_spark.operators.text import (
+        lm_quality_score,
+        unigram_lm_fit,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a  A b"), (2, "b c"), (3, "   ")], ["doc_id", "text"]
+    )
+    lm = unigram_lm_fit(df)
+    got = {r["token"]: (r["cnt"], r["logprob"]) for r in lm.collect()}
+    assert got == {
+        "a": (2, round(math.log(2 / 5), 7)),
+        "b": (2, round(math.log(2 / 5), 7)),
+        "c": (1, round(math.log(1 / 5), 7)),
+    }
+    scores = {
+        r["doc_id"]: r for r in lm_quality_score(df, lm).collect()
+    }
+    # doc 3 is whitespace-only: no tokens, no row
+    assert set(scores) == {1, 2}
+    lp = lambda p: round(math.log(p), 7)  # noqa: E731
+    assert scores[1]["n_tokens"] == 3 and scores[1]["n_oov"] == 0
+    assert scores[1]["lm_score"] == round(3 * lp(2 / 5) / 3, 6)
+    assert scores[2]["lm_score"] == round((lp(2 / 5) + lp(1 / 5)) / 2, 6)
+
+
+def test_lm_quality_score_oov_floor(spark):
+    """Tokens absent from the model score the OOV floor, and the OOV count
+    is reported per doc."""
+    from datamunging_spark.operators.text import (
+        lm_quality_score,
+        unigram_lm_fit,
+    )
+
+    fit_on = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    score_on = spark.createDataFrame([(9, "a zz")], ["doc_id", "text"])
+    lm = unigram_lm_fit(fit_on)
+    row = lm_quality_score(score_on, lm, oov_logprob=-20.0).collect()[0]
+    assert row["n_tokens"] == 2 and row["n_oov"] == 1
+    import math
+
+    assert row["lm_score"] == round(
+        (round(math.log(1 / 2), 7) + -20.0) / 2, 6
+    )
+
+
+def test_lm_quality_score_separates_gibberish(spark, tables):
+    """On the driver corpus, a gibberish doc (tokens the corpus never
+    repeats) must score below the corpus median — the signal the filter
+    exists for."""
+    from pyspark.sql import functions as F
+
+    from datamunging_spark.operators.text import (
+        lm_quality_score,
+        unigram_lm_fit,
+    )
+
+    docs = tables["documents"].select("doc_id", "text")
+    gib = spark.createDataFrame(
+        [(990001, "zqxv jkwp mmbrt qqzl vvkx ploz")], ["doc_id", "text"]
+    )
+    corpus = docs.unionByName(gib)
+    lm = unigram_lm_fit(corpus)
+    scored = lm_quality_score(corpus, lm)
+    med = scored.agg(
+        F.expr("percentile_approx(lm_score, 0.5)").alias("m")
+    ).collect()[0]["m"]
+    gib_score = scored.filter(F.col("doc_id") == 990001).collect()[0][
+        "lm_score"
+    ]
+    assert gib_score < med
