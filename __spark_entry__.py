@@ -648,17 +648,36 @@ def q_x4_text_suite(spark, sf_dir):
 
 
 def q_x5_decontaminate(spark, sf_dir):
-    """X5 benchmark decontamination (GPT-3-style n-gram collision): drop
+    """X5 benchmark-decontamination suite, both exact modes in one gate
+    entry, tagged by ``mode``: (a) GPT-3-style n-gram collision — drop
     corpus docs sharing ≥2 distinct 5-grams with the eval set (played here
-    by every 20th doc). The eval gram set is broadcast — no corpus shuffle;
-    oracle-exact because grams are compared as strings, not engine hashes."""
-    from datamunging_spark.operators.trainset import decontaminate
+    by every 20th doc); (b) exact-substring — drop docs CONTAINING any
+    short eval payload verbatim (played by the first 48 normalized chars
+    of every 20th doc), the mode n-gram collision misses when the payload
+    is shorter than the gram window. Both eval sets are broadcast — no
+    corpus shuffle; oracle-exact because grams/substrings are compared as
+    strings, not engine hashes. (Suite-merged mid-round-6 so the new
+    substring mode gets oracle visibility inside the 50-entry cap; the
+    fuzzy mode stays pytest-covered — engine-hash-based, rows-only by
+    nature.)"""
+    from datamunging_spark.functions import normalize_text
+    from datamunging_spark.operators.trainset import (
+        decontaminate,
+        decontaminate_substring,
+    )
 
     d = _t(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
-    return decontaminate(d, bench, n=5, min_overlap=2).select(
-        "doc_id", "source"
+    ngram = decontaminate(d, bench, n=5, min_overlap=2).select(
+        F.lit("ngram").alias("mode"), "doc_id", "source"
     )
+    payloads = bench.select(
+        F.substring(normalize_text("text"), 1, 48).alias("text")
+    )
+    substr = decontaminate_substring(d, payloads, min_len=20).select(
+        F.lit("substring").alias("mode"), "doc_id", "source"
+    )
+    return ngram.unionByName(substr)
 
 
 def q_x5_source_mix(spark, sf_dir):
@@ -685,6 +704,28 @@ def q_x5_train_shuffle(spark, sf_dir):
     return training_shuffle(
         d.select("doc_id", "source"), ["doc_id"], salt="epoch0"
     )
+
+
+def q_x5_split_shuffle(spark, sf_dir):
+    """X5 deterministic dataset split + training shuffle in one gate entry
+    (both are pure salted-md5 row expressions — the portable-determinism
+    family): 90/5/5 train/val/test assignment by hashing row identity into
+    [0,1) and cutting at the cumulative weights, plus the epoch-salted
+    shuffle permutation key. A doc's split never changes when the corpus
+    grows (stable held-out sets across corpus versions) and the shuffle
+    is reproducible on any engine/partitioning — both claims the oracle
+    re-derives exactly. (Replaces round-4's shuffle-only x5_train_shuffle
+    row; that query stays benched.)"""
+    from datamunging_spark.operators.trainset import (
+        split_dataset,
+        training_shuffle,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    split = split_dataset(
+        d, {"train": 0.9, "val": 0.05, "test": 0.05}, ["doc_id"], salt="v1"
+    )
+    return training_shuffle(split, ["doc_id"], salt="epoch0")
 
 
 def q_x3_media_features(spark, sf_dir):
@@ -1134,6 +1175,120 @@ def q_r37_ner(spark, sf_dir):
     )
 
 
+def q_x1_url_dedup(spark, sf_dir):
+    """X1+ crawl-side URL dedup: canonicalize URL identity (scheme/www/
+    fragment/trailing-slash/tracking-param/param-order invariant) and keep
+    the min-id doc per canonical URL. The documents table has no url
+    column, so five URL VARIANTS are synthesized per id group from doc_id
+    — scheme+www+tracking+param-order noise (ids ≡0,1 mod 5 must collapse),
+    fragment+trailing-slash+host-case noise (≡2,3 collapse), and a unique
+    control (≡4) — and the oracle re-derives the whole canonicalization
+    in SQL, so the regex chain's semantics (not just the planted group
+    structure) are what is being checked."""
+    from datamunging_spark.functions import normalize_url
+    from datamunging_spark.operators.dedup import url_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    g = F.floor(F.col("doc_id") / 5).cast("bigint").cast("string")
+    v = F.col("doc_id") % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://www.Example.com/p/"), g,
+                                F.lit("?utm_source=x&b=2&a=1")))
+        .when(v == 1, F.concat(F.lit("http://example.com/p/"), g,
+                               F.lit("/?a=1&b=2&fbclid=zz")))
+        .when(v == 2, F.concat(F.lit("https://example.com/q/"), g,
+                               F.lit("/#section")))
+        .when(v == 3, F.concat(F.lit("ftp://EXAMPLE.com/q/"), g))
+        .otherwise(F.concat(F.lit("https://other.org/d/"), g))
+    )
+    with_url = d.select("doc_id", url.alias("url"))
+    return url_dedup(with_url).select(
+        "doc_id", "url", normalize_url("url").alias("canon")
+    )
+
+
+def q_x4_gopher_gates(spark, sf_dir):
+    """X4 Gopher-rule document quality gates (Rae et al. 2021 §A1.1
+    constants): per-doc boolean flags for word-count bounds, mean word
+    length, symbol-to-word ratio, alphabetic-word fraction, and stopword
+    hits, plus the AND verdict. Expression-only single scan; the oracle
+    re-derives every rule with SQL list lambdas, so the flag SEMANTICS are
+    checked cell-by-cell, not just kill counts."""
+    from datamunging_spark.operators.text import gopher_quality_flags
+
+    d = _t(spark, sf_dir, "documents")
+    return gopher_quality_flags(d).select(
+        "doc_id",
+        "word_count_ok",
+        "mean_word_len_ok",
+        "symbol_ratio_ok",
+        "alpha_word_ok",
+        "stopword_ok",
+        "quality_pass",
+    )
+
+
+def q_x4_census(spark, sf_dir):
+    """X4 per-source corpus census: doc/token counts, distinct normalized
+    contents, duplicate rate, mean doc length — the before/after summary a
+    curation run logs per stage. One hash aggregate on the low-cardinality
+    source key (also re-proves R14's plain group-by-count shape)."""
+    from datamunging_spark.operators.quality import corpus_report
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_report(d)
+
+
+def q_x4_lm_quality(spark, sf_dir):
+    """X4 unigram-LM quality score (relational stand-in for the CCNet
+    perplexity filter): fit on the even-id half of the corpus, score ALL
+    docs — odd docs carry real OOV tokens, so the OOV floor path is
+    exercised, not just the in-vocabulary join. Per-token logprobs are
+    rounded then summed as decimals → reduction-order-independent →
+    oracle-exact."""
+    from datamunging_spark.operators.text import (
+        lm_quality_score,
+        unigram_lm_fit,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lm = unigram_lm_fit(d.filter(F.col("doc_id") % 2 == 0))
+    return lm_quality_score(d, lm, oov_logprob=-20.0)
+
+
+def q_x1_semantic_dedup(spark, sf_dir):
+    """X1 SemDeDup semantic near-dedup over the embeddings table: KMeans
+    cells (IVF build, seeded) + within-cell cosine ≥ 0.35 pairs + CC
+    survivor selection. KMeans cell boundaries are engine-specific →
+    rows-only, with the same in-query invariant as x1_minhash_dedup:
+    re-pairing the SURVIVORS under the SAME clustering must find nothing
+    at ≥ threshold (``no_residual_neardup`` uniformly true proves the CC
+    anti-join removed every within-cell near-dup)."""
+    from datamunging_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_neardup_pairs,
+    )
+    from datamunging_spark.operators.similarity import ivf_build
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    idx = ivf_build(emb, corpus_id="vec_id", n_clusters=16)
+    out = semantic_dedup(
+        emb, id_col="vec_id", threshold=0.35, index=idx
+    ).localCheckpoint()
+    residual_pairs = semantic_neardup_pairs(
+        out, id_col="vec_id", threshold=0.35, index=idx
+    ).localCheckpoint()
+    residual = (
+        residual_pairs.select(F.col("id_a").alias("vec_id"))
+        .union(residual_pairs.select(F.col("id_b").alias("vec_id")))
+        .distinct()
+        .withColumn("_bad", F.lit(True))
+    )
+    return out.join(residual, "vec_id", "left").select(
+        "vec_id", F.col("_bad").isNull().alias("no_residual_neardup")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1155,14 +1310,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (R15's percentile aggregate is subsumed by r16_percentile_bucket's
     # oracle row; grouped_percentiles stays pytest-covered) and
     # x4_word_count (same tokenize+agg family as the green x4_text_suite;
-    # word_count stays pytest-covered).
+    # word_count stays pytest-covered). Retired later in round 6 to give
+    # the round's new operator families oracle visibility:
+    # r14_group_count (plain group-by count re-proven by r19_quality_report
+    # — a group count on documents — and x4_census's n_docs), r12_join_agg
+    # (broadcast dim-chain join + agg subsumed by local_supplier_volume's
+    # larger chain), dataset_profile (engine extension; stays pytest-
+    # covered), x1_content_hash (the md5 content key is re-proven by
+    # x_curation_exact and x1_incremental_exact, both green oracle rows),
+    # x1_minhash_pairs (the pair stage executes inside x1_minhash_dedup's
+    # residual-invariant row and stays benched + recall-tested).
     return {
-        "r14_group_count": q_r14_group_count,
         "r19_quality_report": q_r19_quality_report,
         "quality_summary": q_quality_summary,
-        "dataset_profile": q_dataset_profile,
         "r16_percentile_bucket": q_r16_percentile_bucket,
-        "r12_join_agg": q_r12_join_agg,
         "pricing_summary": q_pricing_summary,
         "top_revenue_orders": q_top_revenue_orders,
         "window_suite": q_window_suite,
@@ -1174,7 +1335,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_agg": q_date_agg,
         "stream_window_counts": q_stream_window_counts,
         "r28_sample_bykey": q_r28_sample_bykey,
-        "x1_content_hash": q_x1_content_hash,
         "x4_text_suite": q_x4_text_suite,
         "x2_topk_cosine": q_x2_topk_cosine,
         "r33_tfidf": q_r33_tfidf,
@@ -1186,7 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "x5_decontaminate": q_x5_decontaminate,
         "x5_source_mix": q_x5_source_mix,
-        "x5_train_shuffle": q_x5_train_shuffle,
+        "x5_split_shuffle": q_x5_split_shuffle,
         "x3_media_features": q_x3_media_features,
         "x1_ngram_jaccard": q_x1_ngram_jaccard,
         "x1_embedding_neardup": q_x1_embedding_neardup,
@@ -1198,7 +1358,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_pack_sequences": q_x5_pack_sequences,
         "x1_incremental_exact": q_x1_incremental_exact,
         "x1_incremental_fuzzy": q_x1_incremental_fuzzy,
-        "x1_minhash_pairs": q_x1_minhash_pairs,
+        "x1_url_dedup": q_x1_url_dedup,
+        "x4_gopher_gates": q_x4_gopher_gates,
+        "x4_census": q_x4_census,
+        "x4_lm_quality": q_x4_lm_quality,
+        "x1_semantic_dedup": q_x1_semantic_dedup,
         "x1_minhash_dedup": q_x1_minhash_dedup,
         "x1_simhash": q_x1_simhash,
         "stream_windowed_real": q_stream_windowed_real,
@@ -1219,9 +1383,6 @@ def oracle_sql() -> dict[str, str]:
         for i, lab in enumerate(labels)
     )
     return {
-        "r14_group_count": (
-            "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type"
-        ),
         "r19_quality_report": (
             "SELECT source, count(*) AS cnt FROM documents "
             "WHERE nullif(regexp_extract(source, '^(src[0-9])$', 1), '') IS NULL "
@@ -1234,30 +1395,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT) AS text_set_failed
             FROM documents
         """,
-        "dataset_profile": """
-            SELECT 'c_custkey' AS "column", count(*) AS n_rows,
-                   CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-                   count(DISTINCT CAST(c_custkey AS VARCHAR)) AS n_distinct,
-                   min(CAST(c_custkey AS VARCHAR)) AS min_str,
-                   max(CAST(c_custkey AS VARCHAR)) AS max_str
-            FROM customer
-            UNION ALL
-            SELECT 'c_name', count(*),
-                   CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-                   count(DISTINCT c_name), min(c_name), max(c_name)
-            FROM customer
-            UNION ALL
-            SELECT 'c_mktsegment', count(*),
-                   CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-                   count(DISTINCT c_mktsegment), min(c_mktsegment), max(c_mktsegment)
-            FROM customer
-            UNION ALL
-            SELECT 'c_acctbal', count(*),
-                   CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-                   count(DISTINCT CAST(c_acctbal AS VARCHAR)),
-                   min(CAST(c_acctbal AS VARCHAR)), max(CAST(c_acctbal AS VARCHAR))
-            FROM customer
-        """,
         "r16_percentile_bucket": f"""
             WITH p AS (
               SELECT l_partkey, quantile_cont(l_quantity, {pct_list}) AS pct
@@ -1269,14 +1406,6 @@ def oracle_sql() -> dict[str, str]:
                 ELSE '99+th'
               END AS bucket
             FROM lineitem l JOIN p ON l.l_partkey = p.l_partkey
-        """,
-        "r12_join_agg": """
-            SELECT r_name, count(*) AS n_customers,
-                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
-            FROM customer
-            JOIN nation ON c_nationkey = n_nationkey
-            JOIN region ON n_regionkey = r_regionkey
-            GROUP BY r_name
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1374,10 +1503,6 @@ def oracle_sql() -> dict[str, str]:
                                             CAST(l_linenumber AS VARCHAR))),
                          1, 4) < '3333'
         """,
-        "x1_content_hash": (
-            "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) "
-            "AS content_hash FROM documents"
-        ),
         "x5_token_budget": """
             WITH d AS (
               SELECT doc_id, source,
@@ -1526,9 +1651,24 @@ def oracle_sql() -> dict[str, str]:
             ), bad AS (
               SELECT g.doc_id FROM g JOIN bg USING (gram)
               GROUP BY g.doc_id HAVING count(*) >= 2
+            ), norm AS (
+              SELECT doc_id, source,
+                     trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS nt
+              FROM documents
+            ), probes AS (
+              SELECT DISTINCT trim(substr(nt, 1, 48)) AS p FROM norm
+              WHERE doc_id % 20 = 0
+                AND length(trim(substr(nt, 1, 48))) >= 20
+            ), sub_bad AS (
+              SELECT n.doc_id FROM norm n
+              JOIN probes ON contains(n.nt, probes.p)
+              GROUP BY n.doc_id
             )
-            SELECT doc_id, source FROM documents
+            SELECT 'ngram' AS mode, doc_id, source FROM documents
             WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+            UNION ALL
+            SELECT 'substring' AS mode, doc_id, source FROM norm
+            WHERE doc_id NOT IN (SELECT doc_id FROM sub_bad)
         """,
         "x5_source_mix": """
             WITH w AS (
@@ -1545,8 +1685,17 @@ def oracle_sql() -> dict[str, str]:
                    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
                        < printf('%04x', CAST(floor((wt - floor(wt)) * 65536) AS INT)))
         """,
-        "x5_train_shuffle": """
+        # split cuts: fixed-width lowercase-hex string compare ==
+        # numeric compare on the first-8-hex-chars value; cut constants
+        # are printf('%08x', int(cum_weight * 16**8)) computed with the
+        # SAME float accumulation as split_dataset (0.9, then 0.9+0.05)
+        "x5_split_shuffle": """
             SELECT doc_id, source,
+                   CASE WHEN substr(md5(concat('v1', '|', CAST(doc_id AS VARCHAR))), 1, 8)
+                             < 'e6666666' THEN 'train'
+                        WHEN substr(md5(concat('v1', '|', CAST(doc_id AS VARCHAR))), 1, 8)
+                             < 'f3333333' THEN 'val'
+                        ELSE 'test' END AS split,
                    md5(concat('epoch0', '|', CAST(doc_id AS VARCHAR))) AS shuffle_key
             FROM documents
         """,
@@ -1707,5 +1856,113 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings p, embeddings c
               WHERE p.vec_id % 25 = 0 AND p.vec_id != c.vec_id
             ) WHERE cosine >= 0.35
+        """,
+        "x1_url_dedup": """
+            WITH u AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 5 AS INT)
+                  WHEN 0 THEN 'https://www.Example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '?utm_source=x&b=2&a=1'
+                  WHEN 1 THEN 'http://example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '/?a=1&b=2&fbclid=zz'
+                  WHEN 2 THEN 'https://example.com/q/' || CAST(doc_id // 5 AS VARCHAR) || '/#section'
+                  WHEN 3 THEN 'ftp://EXAMPLE.com/q/' || CAST(doc_id // 5 AS VARCHAR)
+                  ELSE 'https://other.org/d/' || CAST(doc_id // 5 AS VARCHAR)
+                END AS url
+              FROM documents
+            ), parts AS (
+              SELECT doc_id, url,
+                     regexp_replace(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS noscheme
+              FROM u
+            ), hp AS (
+              SELECT doc_id, url,
+                     regexp_replace(lower(regexp_extract(noscheme, '^([^/?#]+)', 1)), '^www\.', '') AS host,
+                     regexp_replace(regexp_replace(noscheme, '^[^/?#]+', ''), '#.*$', '') AS rest
+              FROM parts
+            ), pq AS (
+              SELECT doc_id, url, host,
+                     regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '') AS path,
+                     array_to_string(list_sort(list_filter(
+                       string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+                       p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref)(=|$)'))), '&') AS q
+              FROM hp
+            ), c AS (
+              SELECT doc_id, url,
+                     CASE WHEN q <> '' THEN host || path || '?' || q
+                          ELSE host || path END AS canon
+              FROM pq
+            ), k AS (
+              SELECT canon, min(doc_id) AS doc_id FROM c GROUP BY canon
+            )
+            SELECT c.doc_id, c.url, c.canon FROM c JOIN k USING (canon, doc_id)
+        """,
+        "x4_gopher_gates": """
+            WITH w AS (
+              SELECT doc_id, coalesce(text, '') AS c,
+                     list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                                 x -> x <> '') AS words
+              FROM documents
+            ), s AS (
+              SELECT doc_id, len(words) AS n_words,
+                     CASE WHEN len(words) > 0
+                          THEN list_aggregate(list_transform(words, x -> length(x)), 'sum') / len(words)
+                          ELSE 0.0 END AS mean_len,
+                     length(c) - length(regexp_replace(c, '#|\.\.\.|…', '', 'g')) AS n_symbols,
+                     CASE WHEN len(words) > 0
+                          THEN len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) / len(words)
+                          ELSE 0.0 END AS alpha_frac,
+                     len(list_intersect(list_transform(words, x -> lower(x)),
+                         ['the','be','to','of','and','that','have','with'])) AS stop_hits
+              FROM w
+            )
+            SELECT doc_id,
+                   (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
+                   (mean_len >= 3.0 AND mean_len <= 10.0) AS mean_word_len_ok,
+                   CASE WHEN n_words > 0 THEN n_symbols / n_words <= 0.1
+                        ELSE FALSE END AS symbol_ratio_ok,
+                   (alpha_frac >= 0.8) AS alpha_word_ok,
+                   (stop_hits >= 2) AS stopword_ok,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (mean_len >= 3.0 AND mean_len <= 10.0)
+                    AND (CASE WHEN n_words > 0 THEN n_symbols / n_words <= 0.1
+                              ELSE FALSE END)
+                    AND (alpha_frac >= 0.8)
+                    AND (stop_hits >= 2)) AS quality_pass
+            FROM s
+        """,
+        "x4_census": """
+            WITH n AS (
+              SELECT source, coalesce(text, '') AS c,
+                     trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS t
+              FROM documents
+            )
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(string_split(t, ' '))) AS BIGINT) AS n_tokens,
+                   count(DISTINCT md5(t)) AS n_distinct,
+                   round(avg(length(c)), 6) AS avg_chars,
+                   round(1 - count(DISTINCT md5(t)) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+            FROM n GROUP BY source
+        """,
+        "x4_lm_quality": """
+            WITH n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS t
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(string_split(t, ' ')) AS token
+              FROM n WHERE t <> ''
+            ), fit AS (
+              SELECT token, count(*) AS cnt FROM tok
+              WHERE doc_id % 2 = 0 GROUP BY token
+            ), tot AS (
+              SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM fit
+            ), lm AS (
+              SELECT token, round(ln(cnt / total), 7) AS lp FROM fit, tot
+            ), j AS (
+              SELECT t.doc_id, l.lp FROM tok t LEFT JOIN lm l USING (token)
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(CASE WHEN lp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                   round(CAST(sum(CAST(coalesce(lp, -20.0) AS DECIMAL(28,7))) AS DOUBLE)
+                         / count(*), 6) AS lm_score
+            FROM j GROUP BY doc_id
         """,
     }

@@ -63,6 +63,11 @@ BENCH_QUERIES = [
     "x5_chunk_documents",
     "x1_incremental_dedup",
     "x1_ingest_cycle",
+    "x1_url_dedup",
+    "x4_gopher_gates",
+    "x4_census",
+    "x4_lm_quality",
+    "x1_semantic_dedup",
 ]
 
 

@@ -1451,17 +1451,28 @@ def semantic_neardup_pairs(
     from datamunging_spark.operators.similarity import ivf_build
 
     if index is None:
-        index = ivf_build(
+        assigned = ivf_build(
             df,
             corpus_id=id_col,
             vec_col=vec_col,
             n_clusters=n_clusters,
             seed=seed,
+        ).assigned
+    else:
+        # a prebuilt index may cover a SUPERSET of df (e.g. checking
+        # dedup survivors against the original corpus's clustering):
+        # restrict its assignment to df's population — a semi join on the
+        # slim id projection — so pairs are generated among df's rows
+        # only, under the index's (stable) clustering
+        assigned = index.assigned.join(
+            df.select(F.col(id_col).alias("neighbor_id")),
+            on="neighbor_id",
+            how="semi",
         )
     # the assignment feeds both sides of the self-join; materialize once
     # (repo convention for multi-branch consumers) so the KMeans transform
     # does not execute twice
-    assigned = index.assigned.localCheckpoint()
+    assigned = assigned.localCheckpoint()
     a = assigned.select(
         F.col("neighbor_id").alias("id_a"),
         F.col("_cv").alias("_va"),

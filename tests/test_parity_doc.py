@@ -34,8 +34,11 @@ def test_parity_query_references_exist():
     # documented as retired-to-bench (PARITY.md header / queries() comment)
     retired = {"r29_sample_n", "x_curation_full", "r13_count",
                "window_topk", "x1_dedup_stats", "promo_revenue",
-               "r15_grouped_median", "x4_word_count"}  # r6: slots freed
-                                                       # for incremental pair
+               # r6: slots freed for the incremental pair, then for the
+               # round's new operator families (url/gopher/census/lm/semdedup)
+               "r15_grouped_median", "x4_word_count", "r14_group_count",
+               "r12_join_agg", "dataset_profile", "x1_content_hash",
+               "x1_minhash_pairs", "x5_train_shuffle"}
     # Candidate tokens: snake_case words that look like gate keys.
     mentioned = set(re.findall(r"\b[a-z][a-z0-9]*(?:_[a-z0-9]+)+\b", text))
     # Only validate tokens that *claim* to be queries: those that appear in
