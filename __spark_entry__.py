@@ -1245,15 +1245,21 @@ def q_x4_lm_quality(spark, sf_dir):
     docs — odd docs carry real OOV tokens, so the OOV floor path is
     exercised, not just the in-vocabulary join. Per-token logprobs are
     rounded then summed as decimals → reduction-order-independent →
-    oracle-exact."""
+    oracle-exact. Scores then cut into per-source CCNet head/middle/tail
+    bands (exact interpolated percentile == DuckDB quantile_cont, the
+    r16-proven pairing)."""
     from datamunging_spark.operators.text import (
+        lm_quality_bands,
         lm_quality_score,
         unigram_lm_fit,
     )
 
     d = _t(spark, sf_dir, "documents")
     lm = unigram_lm_fit(d.filter(F.col("doc_id") % 2 == 0))
-    return lm_quality_score(d, lm, oov_logprob=-20.0)
+    scored = lm_quality_score(d, lm, oov_logprob=-20.0).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    return lm_quality_bands(scored, group_cols=["source"])
 
 
 def q_x1_semantic_dedup(spark, sf_dir):
@@ -1958,11 +1964,24 @@ def oracle_sql() -> dict[str, str]:
               SELECT token, round(ln(cnt / total), 7) AS lp FROM fit, tot
             ), j AS (
               SELECT t.doc_id, l.lp FROM tok t LEFT JOIN lm l USING (token)
+            ), scored AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     CAST(sum(CASE WHEN lp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                     round(CAST(sum(CAST(coalesce(lp, -20.0) AS DECIMAL(28,7))) AS DOUBLE)
+                           / count(*), 6) AS lm_score
+              FROM j GROUP BY doc_id
+            ), src AS (
+              SELECT s.doc_id, s.n_tokens, s.n_oov, s.lm_score, d.source
+              FROM scored s JOIN documents d USING (doc_id)
+            ), cuts AS (
+              SELECT source, quantile_cont(lm_score, 0.9) AS qh,
+                     quantile_cont(lm_score, 0.3) AS qt
+              FROM src GROUP BY source
             )
-            SELECT doc_id, count(*) AS n_tokens,
-                   CAST(sum(CASE WHEN lp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-                   round(CAST(sum(CAST(coalesce(lp, -20.0) AS DECIMAL(28,7))) AS DOUBLE)
-                         / count(*), 6) AS lm_score
-            FROM j GROUP BY doc_id
+            SELECT doc_id, n_tokens, n_oov, lm_score, source,
+                   CASE WHEN lm_score >= qh THEN 'head'
+                        WHEN lm_score <= qt THEN 'tail'
+                        ELSE 'middle' END AS lm_band
+            FROM src JOIN cuts USING (source)
         """,
     }

@@ -424,3 +424,48 @@ def lm_quality_score(
             ).alias("lm_score"),
         )
     )
+
+
+def lm_quality_bands(
+    df: DataFrame,
+    score_col: str = "lm_score",
+    group_cols: list[str] | None = None,
+    head: float = 0.1,
+    tail: float = 0.3,
+    band_col: str = "lm_band",
+) -> DataFrame:
+    """Assign each scored document to the CCNet ``head``/``middle``/
+    ``tail`` quality band (Wenzek et al. 2020 §4.4: sort by LM score, cut
+    the distribution into thirds-by-quantile; head = most-probable prose,
+    tail = noise/boilerplate candidates). ``head`` / ``tail`` are the
+    band FRACTIONS; cuts are exact interpolated percentiles of
+    ``score_col``, computed per ``group_cols`` partition (CCNet cuts per
+    language; per-source works the same way) or globally when no groups
+    are given.
+
+    Plan: one grouped percentile aggregate over a slim (group, score)
+    projection — band-cardinality rows — broadcast-joined back, then a
+    codegen CASE. The percentile is the exact form (same definition as
+    DuckDB ``quantile_cont`` → oracle-reproducible); swap to
+    ``percentile_approx`` upstream if single groups outgrow executor
+    memory (same trade documented at grouped_percentiles).
+    """
+    gb = list(group_cols or [])
+    cuts = (df.groupBy(*gb) if gb else df.groupBy()).agg(
+        F.percentile(score_col, F.lit(1.0 - head)).alias("_q_head"),
+        F.percentile(score_col, F.lit(tail)).alias("_q_tail"),
+    )
+    joined = (
+        df.join(F.broadcast(cuts), on=gb)
+        if gb
+        else df.crossJoin(F.broadcast(cuts))
+    )
+    return (
+        joined.withColumn(
+            band_col,
+            F.when(F.col(score_col) >= F.col("_q_head"), F.lit("head"))
+            .when(F.col(score_col) <= F.col("_q_tail"), F.lit("tail"))
+            .otherwise(F.lit("middle")),
+        )
+        .drop("_q_head", "_q_tail")
+    )

@@ -341,3 +341,26 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file source for multimodal ingestion: Spark's built-in
+    ``binaryFile`` format — one row per file with (path, modificationTime,
+    length, content: binary). This is the REAL ingest edge for the X3
+    multimodal family (operators/multimodal.py): read raw image/audio/
+    video files here, then run the mapInPandas extract/resize/frame ops
+    over the ``content`` column.
+
+    Scale notes: files are NOT split (a row is a whole file), so the
+    format suits many-small-media-files corpora; huge videos should be
+    pre-chunked upstream. Spark prunes the ``content`` column when a
+    query reads only metadata (the format implements column pruning), so
+    ``df.select("path", "length")`` never reads payload bytes. Set
+    ``glob`` (e.g. ``*.png``) to filter by name without listing costs.
+    """
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)

@@ -673,3 +673,32 @@ def test_corpus_report_counts_and_dup_rate(spark):
     assert got["web"]["n_tokens"] == 3 + 3 + 2
     assert got["books"]["n_docs"] == 2 and got["books"]["dup_rate"] == 0.0
     assert got["books"]["n_tokens"] == 4 + 1  # split('') == [''] -> 1
+
+
+def test_read_binary_files_content_and_glob(spark, tmp_path):
+    """binaryFile source: one row per file with raw bytes; pathGlobFilter
+    narrows by name; metadata-only projections don't need payload decode."""
+    from datamunging_spark.sources.io import read_binary_files
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01payload-a")
+    (tmp_path / "b.bin").write_bytes(b"bee")
+    (tmp_path / "skip.txt").write_bytes(b"nope")
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert bytes(rows["a.bin"]["content"]) == b"\x00\x01payload-a"
+    assert rows["b.bin"]["length"] == 3
+    # composes with the X3 mapInPandas feature extractor: binary in, rows out
+    from pyspark.sql import functions as F
+
+    from datamunging_spark.operators.multimodal import extract_features
+
+    media = df.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.struct(F.lit("image/x-fake").alias("media_type")).alias(
+            "payload_meta"
+        ),
+    )
+    feats = extract_features(media)
+    assert feats.count() == 2

@@ -262,3 +262,45 @@ def test_lm_quality_score_separates_gibberish(spark, tables):
         "lm_score"
     ]
     assert gib_score < med
+
+
+def test_lm_quality_bands_fractions_and_order(spark):
+    """Band cuts land the right fractions on a uniform score grid, and the
+    band order respects the score order (every head score > every middle
+    score > every tail score)."""
+    from pyspark.sql import functions as F
+
+    from datamunging_spark.operators.text import lm_quality_bands
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], ["doc_id", "lm_score"]
+    )
+    out = lm_quality_bands(df, head=0.1, tail=0.3)
+    got = {r["doc_id"]: r["lm_band"] for r in out.collect()}
+    bands = {b: {i for i, v in got.items() if v == b}
+             for b in ("head", "middle", "tail")}
+    # exact percentile of 0..99 at p=0.9 is 89.1 → scores >= 89.1 are head
+    assert bands["head"] == set(range(90, 100))
+    # p=0.3 cut is 29.7 → scores <= 29.7 are tail
+    assert bands["tail"] == set(range(30))
+    assert bands["middle"] == set(range(30, 90))
+    if bands["head"] and bands["middle"]:
+        assert min(bands["head"]) > max(bands["middle"])
+    if bands["middle"] and bands["tail"]:
+        assert min(bands["middle"]) > max(bands["tail"])
+
+
+def test_lm_quality_bands_grouped_cuts_are_per_group(spark):
+    """Per-group banding: a score that is head-grade in a low-scoring group
+    must not leak the other group's cut."""
+    from datamunging_spark.operators.text import lm_quality_bands
+
+    rows = [(i, "a", float(i)) for i in range(10)] + [
+        (100 + i, "b", 1000.0 + i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "lm_score"])
+    out = lm_quality_bands(df, group_cols=["source"], head=0.2, tail=0.2)
+    got = {r["doc_id"]: r["lm_band"] for r in out.collect()}
+    # group a's best scores are head WITHIN a despite being far below b's
+    assert got[9] == "head" and got[109] == "head"
+    assert got[0] == "tail" and got[100] == "tail"
