@@ -144,12 +144,63 @@ def decontaminate(
     return corpus.join(bad, on=id_col, how="left_anti")
 
 
+def _ac_build(patterns: list[str]):
+    """Build an Aho-Corasick automaton (goto/fail/output) driver-side as
+    plain picklable lists — the classic multi-pattern matcher: one pass
+    over the text finds ANY of n patterns, independent of n. Pure-Python
+    structure sized for eval-suite/binary-CI blocklists; a production
+    10^6-pattern deployment swaps in the C-backed ``pyahocorasick``
+    automaton behind the same seam (imported if available in
+    ``_ac_find_any``)."""
+    goto: list[dict[str, int]] = [{}]
+    out: list[bool] = [False]
+    for pat in patterns:
+        s = 0
+        for ch in pat:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append(False)
+                nxt = len(goto) - 1
+                goto[s][ch] = nxt
+            s = nxt
+        out[s] = True
+    fail = [0] * len(goto)
+    from collections import deque
+
+    q = deque(goto[0].values())
+    while q:
+        s = q.popleft()
+        for ch, t in goto[s].items():
+            q.append(t)
+            f = fail[s]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[t] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != t else 0
+            out[t] = out[t] or out[fail[t]]
+    return goto, fail, out
+
+
+def _ac_find_any(text: str, auto) -> bool:
+    """True iff ``text`` contains any automaton pattern (first-hit exit)."""
+    goto, fail, out = auto
+    s = 0
+    for ch in text:
+        while s and ch not in goto[s]:
+            s = fail[s]
+        s = goto[s].get(ch, 0)
+        if out[s]:
+            return True
+    return False
+
+
 def decontaminate_substring(
     corpus: DataFrame,
     benchmark: DataFrame,
     text_col: str = "text",
     bench_text_col: str | None = None,
     min_len: int = 20,
+    matcher: str = "join",
 ) -> DataFrame:
     """Exact-substring decontamination: drop corpus docs that CONTAIN any
     benchmark string verbatim (normalized) — the right mode for short
@@ -169,10 +220,17 @@ def decontaminate_substring(
     through codegen'd BroadcastNestedLoopJoin and measured ~8× faster at
     sf0.1.) Cost is corpus_rows × bench_strings char scans —
     embarrassingly parallel, fine for the eval-suite-sized benchmarks
-    this targets; a 10^6-pattern blocklist would want an Aho-Corasick
-    pandas_udf instead (documented seam). The count() guard below reads
-    only the slim probe projection and raises above a 100k-string sanity
-    cap (the broadcast analog of autoBroadcastJoinThreshold).
+    this targets. ``matcher="multipattern"`` switches candidate testing
+    to an Aho-Corasick automaton scanned inside ``mapInPandas`` — one
+    pass over each doc finds ANY of n patterns, independent of n, which
+    is the blocklist-scale shape (the join mode is corpus × probes char
+    scans). The automaton builds once driver-side and rides to executors
+    as a broadcast; the pure-Python structure here is correctness-sized
+    (cross-checked against the join mode in tests), with the C-backed
+    ``pyahocorasick`` automaton as the documented production swap-in.
+    The count() guard below reads only the slim probe projection and
+    raises above a 100k-string sanity cap (the broadcast analog of
+    autoBroadcastJoinThreshold).
     """
     from datamunging_spark.functions import normalize_text
 
@@ -191,6 +249,34 @@ def decontaminate_substring(
         )
     if n_probes == 0:
         return corpus
+    if matcher == "multipattern":
+        pats = [r["_probe"] for r in probes.collect()]
+        spark = corpus.sparkSession
+        bc = spark.sparkContext.broadcast(_ac_build(pats))
+        schema = corpus.schema
+        ti = corpus.columns.index(text_col)
+
+        def scan(batches):
+            auto = bc.value
+            import re as _re
+
+            # mirror normalize_text exactly: Java \s is ASCII-only
+            ws = _re.compile(r"[ \t\n\r\f\x0b]+")
+            for pdf in batches:
+                texts = pdf.iloc[:, ti]
+                mask = [
+                    not _ac_find_any(
+                        ws.sub(" ", t.lower()).strip(), auto
+                    )
+                    if isinstance(t, str)
+                    else True
+                    for t in texts
+                ]
+                yield pdf[mask]
+
+        return corpus.mapInPandas(scan, schema=schema)
+    if matcher != "join":
+        raise ValueError(f"unknown matcher: {matcher!r}")
     # normalize ONCE per row in a projection BELOW the join: referencing
     # the normalize_text expression inside the join condition would
     # re-run the regex chain per (row, probe) comparison — measured 10×

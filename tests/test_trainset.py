@@ -392,3 +392,41 @@ def test_write_training_shards_layout(spark, tables, tmp_path):
     back = spark.read.parquet(p)
     assert back.count() == docs.count()
     assert back.select("shard").distinct().count() >= 2
+
+
+def test_decontaminate_substring_multipattern_matches_join(spark, tables):
+    """The Aho-Corasick mapInPandas matcher must keep exactly the docs the
+    broadcast-anti-join matcher keeps (same normalization, same contains-any
+    semantics) — the blocklist-scale path cross-checked against the
+    oracle-checked path."""
+    from pyspark.sql import functions as F
+
+    from datamunging_spark.functions import normalize_text
+    from datamunging_spark.operators.trainset import decontaminate_substring
+
+    docs = tables["documents"].select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 15 == 0).select(
+        F.substring(normalize_text("text"), 5, 40).alias("text")
+    )
+    a = decontaminate_substring(docs, bench, min_len=20, matcher="join")
+    b = decontaminate_substring(
+        docs, bench, min_len=20, matcher="multipattern"
+    )
+    ids = lambda df: sorted(r["doc_id"] for r in df.collect())  # noqa: E731
+    got_a, got_b = ids(a), ids(b)
+    assert got_a == got_b
+    assert 0 < len(got_b) < docs.count()  # some dropped, not all
+
+
+def test_ac_automaton_overlapping_and_suffix_patterns(spark):
+    """Automaton correctness corners: a pattern that is a suffix of another
+    must fire via failure links; overlapping occurrences and mid-text hits
+    all detected."""
+    from datamunging_spark.operators.trainset import _ac_build, _ac_find_any
+
+    auto = _ac_build(["hers", "ers", "xyz"])
+    assert _ac_find_any("zzhersqq", auto)      # 'hers' and suffix 'ers'
+    assert _ac_find_any("trainers", auto)      # 'ers' via failure path
+    assert _ac_find_any("xyz", auto)
+    assert not _ac_find_any("herzxy", auto)
+    assert not _ac_find_any("", auto)
