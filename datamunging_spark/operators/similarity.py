@@ -505,3 +505,71 @@ def dequantize_embeddings(
             F.col(q_col), lambda c: (c.cast("double") * F.col(scale_col))
         ),
     )
+
+
+def centroid_scores(
+    corpus: DataFrame,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+    index: IvfIndex | None = None,
+) -> DataFrame:
+    """Per-document prototypicality: cosine of each embedding to its KMeans
+    cluster centroid — the D4 pruning signal (Tirumala et al. 2023,
+    "D4: Improving LLM Pretraining via Document De-Duplication and
+    Diversification", arXiv:2308.12284: drop the most-prototypical docs
+    near each centroid — templated boilerplate — and the extreme
+    outliers — noise — keeping the diverse middle).
+
+    Output: (id, cluster_id, centroid_cosine). Compose with
+    ``text.lm_quality_bands(..., score_col="centroid_cosine",
+    group_cols=["cluster_id"])`` to cut head/middle/tail per cluster —
+    the band util is score-agnostic.
+
+    Plan: reuses the IVF clustering (pass ``index`` to share one build
+    across ANN search, SemDeDup, and this scoring — the D4 paper's own
+    pipeline shape) + ONE Arrow pandas_udf pass with the centroid matrix
+    in closure (n_clusters × dim floats — the broadcast-dim analog).
+    When ``index`` is passed it may cover a superset; the assignment is
+    semi-join-restricted to ``corpus``'s ids.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    if index is None:
+        index = ivf_build(
+            corpus,
+            corpus_id=corpus_id,
+            vec_col=vec_col,
+            n_clusters=n_clusters,
+            seed=seed,
+        )
+        assigned = index.assigned
+    else:
+        assigned = index.assigned.join(
+            corpus.select(F.col(corpus_id).alias("neighbor_id")),
+            on="neighbor_id",
+            how="semi",
+        )
+    centers = index.centers
+
+    @pandas_udf(DoubleType())
+    def centroid_cos(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=float)
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        c = centers[cells.to_numpy()]
+        num = (x * c).sum(axis=1)
+        den = np.linalg.norm(x, axis=1) * np.linalg.norm(c, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(den > 0, num / den, 0.0)
+        return pd.Series(out)
+
+    return assigned.select(
+        F.col("neighbor_id").alias(corpus_id),
+        F.col("_cell").alias("cluster_id"),
+        centroid_cos(F.col("_cv"), F.col("_cell")).alias("centroid_cosine"),
+    )

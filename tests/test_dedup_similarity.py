@@ -976,3 +976,55 @@ def test_semantic_neardup_pairs_reuses_prebuilt_index(spark, tables):
     assert sorted(map(tuple, fused.select("id_a", "id_b").collect())) == sorted(
         map(tuple, reused.select("id_a", "id_b").collect())
     )
+
+
+def test_centroid_scores_prototypes_score_highest(spark, tables):
+    """D4 prototypicality: planted exact copies of one vector form a dense
+    clump, so their centroid cosine must exceed the corpus median; scores
+    are in [-1, 1]; every doc gets exactly one (cluster, score) row; and
+    the generic band util cuts per-cluster bands over the score."""
+    from pyspark.sql import functions as F
+
+    from datamunging_spark.operators.similarity import centroid_scores
+    from datamunging_spark.operators.text import lm_quality_bands
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    clump = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 800000).alias("vec_id"), "embedding"
+    )
+    for k in range(1, 6):
+        clump = clump.unionByName(
+            emb.filter(F.col("vec_id") == 0).select(
+                (F.col("vec_id") + 800000 + k).alias("vec_id"), "embedding"
+            )
+        )
+    corpus = emb.unionByName(clump)
+    scored = centroid_scores(corpus, n_clusters=8).localCheckpoint()
+    assert scored.count() == corpus.count()
+    r = scored.agg(
+        F.min("centroid_cosine").alias("lo"),
+        F.max("centroid_cosine").alias("hi"),
+        F.expr("percentile_approx(centroid_cosine, 0.5)").alias("med"),
+    ).collect()[0]
+    assert -1.0 - 1e-9 <= r["lo"] and r["hi"] <= 1.0 + 1e-9
+    clump_min = (
+        scored.filter(F.col("vec_id") >= 800000)
+        .agg(F.min("centroid_cosine").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert clump_min > r["med"]
+    # score-agnostic banding per cluster: bands partition the corpus
+    banded = lm_quality_bands(
+        scored,
+        score_col="centroid_cosine",
+        group_cols=["cluster_id"],
+        head=0.2,
+        tail=0.2,
+        band_col="proto_band",
+    )
+    counts = {
+        r["proto_band"]: r["n"]
+        for r in banded.groupBy("proto_band").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"head", "middle", "tail"}
+    assert sum(counts.values()) == corpus.count()
