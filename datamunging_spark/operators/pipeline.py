@@ -32,6 +32,8 @@ def curate_corpus(
     langs: tuple[str, ...] | None = None,
     fuzzy: bool = True,
     fuzzy_threshold: float = 0.5,
+    lm_filter: bool = False,
+    lm_tail: float = 0.3,
     redact: bool = False,
     para_dedup: bool = False,
     para_sep: str = "\n",
@@ -49,9 +51,13 @@ def curate_corpus(
     Gopher-rule set (``gopher_quality_flags``) as a filter, (2) optional
     language allow-list (marker-argmax heuristic), (2b) ``line_dedup=
     True``: within-doc repeated-line scrub before any cross-doc hashing,
-    (3) exact dedup — min-id survivor per normalized content hash,
-    (4) optional MinHash near-dedup at ``fuzzy_threshold`` signature
-    Jaccard, (5) ``redact=True``: PII masking (``redact_pii``, all kinds)
+    (2c) ``lm_filter=True``: the CCNet move — fit a unigram LM on the
+    gate-surviving corpus itself and drop the bottom ``lm_tail`` quantile
+    of per-doc mean logprob (gibberish/wrong-language/boilerplate tail;
+    the corpus-as-its-own-reference form of Wenzek et al.'s
+    Wikipedia-LM filter), (3) exact dedup — min-id survivor per
+    normalized content hash, (4) optional MinHash near-dedup at
+    ``fuzzy_threshold`` signature Jaccard, (5) ``redact=True``: PII masking (``redact_pii``, all kinds)
     applied LAST so dedup keys reflect original content — two docs
     differing only in redacted spans stay distinct, matching
     exact-dedup's contract.
@@ -106,6 +112,26 @@ def curate_corpus(
         from datamunging_spark.operators.dedup import dedupe_lines_within_doc
 
         kept = dedupe_lines_within_doc(kept, text_col, sep=para_sep)
+    if lm_filter:
+        from datamunging_spark.operators.text import (
+            lm_quality_score,
+            unigram_lm_fit,
+        )
+
+        # fit and score BOTH consume the gated lineage -> materialize once
+        # (the same multi-branch-consumer rule as the fuzzy stage below)
+        kept = kept.localCheckpoint()
+        lm = unigram_lm_fit(kept, text_col)
+        scored = lm_quality_score(kept, lm, text_col, id_col)
+        cut = scored.agg(
+            F.percentile("lm_score", F.lit(lm_tail)).alias("_cut")
+        )
+        losers = (
+            scored.crossJoin(F.broadcast(cut))
+            .filter(F.col("lm_score") <= F.col("_cut"))
+            .select(id_col)
+        )
+        kept = kept.join(losers, on=id_col, how="left_anti")
     if para_dedup:
         from datamunging_spark.operators.dedup import paragraph_dedup
 

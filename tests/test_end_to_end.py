@@ -125,3 +125,38 @@ def test_crawl_to_training_set(spark, shards, tmp_path):
     rows = packed.collect()
     assert len(rows) == 3
     assert all(r["bin_tokens"] <= 2048 or r["truncated"] for r in rows)
+
+
+def test_curate_corpus_lm_filter_drops_exact_tail(spark, tables):
+    """curate_corpus(lm_filter=True) must equal the hand-composed pipeline:
+    fit the unigram LM on the (pass-all-gates) corpus, drop the bottom
+    lm_tail quantile by mean logprob, then exact-dedup — stage order and
+    cut semantics pinned exactly."""
+    from datamunging_spark.operators.dedup import exact_dedup
+    from datamunging_spark.operators.pipeline import curate_corpus
+    from datamunging_spark.operators.text import (
+        lm_quality_score,
+        unigram_lm_fit,
+    )
+
+    docs = tables["documents"].select("doc_id", "text", "source")
+    got = curate_corpus(
+        docs,
+        min_tokens=0,
+        max_repetition=1.0,
+        fuzzy=False,
+        lm_filter=True,
+        lm_tail=0.3,
+    )
+    got_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+
+    lm = unigram_lm_fit(docs)
+    scored = lm_quality_score(docs, lm)
+    cut = scored.agg(F.percentile("lm_score", F.lit(0.3)).alias("c")).collect()[
+        0
+    ]["c"]
+    tail = scored.filter(F.col("lm_score") <= cut).select("doc_id")
+    expected = exact_dedup(docs.join(tail, "doc_id", "left_anti"))
+    exp_ids = {r["doc_id"] for r in expected.select("doc_id").collect()}
+    assert got_ids == exp_ids
+    assert len(got_ids) < docs.count()  # the tail actually went
