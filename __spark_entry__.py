@@ -1208,16 +1208,24 @@ def q_x1_url_dedup(spark, sf_dir):
 
 
 def q_x4_gopher_gates(spark, sf_dir):
-    """X4 Gopher-rule document quality gates (Rae et al. 2021 §A1.1
-    constants): per-doc boolean flags for word-count bounds, mean word
-    length, symbol-to-word ratio, alphabetic-word fraction, and stopword
-    hits, plus the AND verdict. Expression-only single scan; the oracle
-    re-derives every rule with SQL list lambdas, so the flag SEMANTICS are
-    checked cell-by-cell, not just kill counts."""
-    from datamunging_spark.operators.text import gopher_quality_flags
+    """X4 Gopher-rule document quality gates, BOTH published halves (Rae
+    et al. 2021 §A1.1, Table A1 constants): the word-level flags
+    (word-count bounds, mean word length, symbol ratio, alpha-word
+    fraction, stopword hits) and the repetition flags (duplicate-line
+    fraction + char fraction, top-{2,3,4}-gram char fractions), plus
+    both AND verdicts. Word flags are expression-only; repetition counts
+    are relational (explode → hash agg → join back). The oracle
+    re-derives every rule and raw metric in SQL, so the flag SEMANTICS
+    are checked cell-by-cell, not just kill counts (metrics are exact
+    int/int rational doubles — bit-identical across engines)."""
+    from datamunging_spark.operators.text import (
+        gopher_quality_flags,
+        gopher_repetition_flags,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    return gopher_quality_flags(d).select(
+    out = gopher_repetition_flags(gopher_quality_flags(d))
+    return out.select(
         "doc_id",
         "word_count_ok",
         "mean_word_len_ok",
@@ -1225,6 +1233,17 @@ def q_x4_gopher_gates(spark, sf_dir):
         "alpha_word_ok",
         "stopword_ok",
         "quality_pass",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top2gram_char_frac",
+        "top3gram_char_frac",
+        "top4gram_char_frac",
+        "dup_line_ok",
+        "dup_line_char_ok",
+        "top2gram_ok",
+        "top3gram_ok",
+        "top4gram_ok",
+        "repetition_pass",
     )
 
 
@@ -1919,7 +1938,53 @@ def oracle_sql() -> dict[str, str]:
                          ['the','be','to','of','and','that','have','with'])) AS stop_hits
               FROM w
             )
-            SELECT doc_id,
+            , rep_lines AS (
+              SELECT doc_id, trim(regexp_replace(lower(l), '\\s+', ' ', 'g')) AS nl
+              FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS l
+                    FROM documents)
+              WHERE trim(regexp_replace(lower(l), '\\s+', ' ', 'g')) <> ''
+            ), line_grp AS (
+              SELECT doc_id, nl, count(*) AS cnt FROM rep_lines GROUP BY doc_id, nl
+            ), line_doc AS (
+              SELECT doc_id,
+                     1 - count(*) / CAST(sum(cnt) AS DOUBLE) AS dup_line_frac,
+                     CASE WHEN sum(cnt * length(nl)) > 0
+                          THEN sum((cnt - 1) * length(nl)) / CAST(sum(cnt * length(nl)) AS DOUBLE)
+                          ELSE 0.0 END AS dup_line_char_frac
+              FROM line_grp GROUP BY doc_id
+            ), toks2 AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g')), ' '),
+                                 x -> x <> '') AS tk
+              FROM documents
+            ), wch AS (
+              SELECT doc_id, length(array_to_string(tk, ' ')) AS wchars FROM toks2
+            ), grams AS (
+              SELECT doc_id, 2 AS n,
+                     unnest(list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))) AS gram
+              FROM toks2
+              UNION ALL
+              SELECT doc_id, 3 AS n,
+                     unnest(list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))) AS gram
+              FROM toks2
+              UNION ALL
+              SELECT doc_id, 4 AS n,
+                     unnest(list_transform(range(1, len(tk) - 2), i -> array_to_string(tk[i:i+3], ' '))) AS gram
+              FROM toks2
+            ), gram_top AS (
+              SELECT doc_id, n, max(cnt * length(gram)) AS topc FROM (
+                SELECT doc_id, n, gram, count(*) AS cnt
+                FROM grams GROUP BY doc_id, n, gram
+              ) GROUP BY doc_id, n
+            ), gram_doc AS (
+              SELECT w.doc_id,
+                     CASE WHEN wchars > 0 THEN coalesce(max(CASE WHEN n = 2 THEN topc END), 0) / CAST(wchars AS DOUBLE) ELSE 0.0 END AS top2gram_char_frac,
+                     CASE WHEN wchars > 0 THEN coalesce(max(CASE WHEN n = 3 THEN topc END), 0) / CAST(wchars AS DOUBLE) ELSE 0.0 END AS top3gram_char_frac,
+                     CASE WHEN wchars > 0 THEN coalesce(max(CASE WHEN n = 4 THEN topc END), 0) / CAST(wchars AS DOUBLE) ELSE 0.0 END AS top4gram_char_frac
+              FROM wch w LEFT JOIN gram_top g ON w.doc_id = g.doc_id
+              GROUP BY w.doc_id, wchars
+            )
+            SELECT s.doc_id,
                    (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
                    (mean_len >= 3.0 AND mean_len <= 10.0) AS mean_word_len_ok,
                    CASE WHEN n_words > 0 THEN n_symbols / n_words <= 0.1
@@ -1931,8 +1996,25 @@ def oracle_sql() -> dict[str, str]:
                     AND (CASE WHEN n_words > 0 THEN n_symbols / n_words <= 0.1
                               ELSE FALSE END)
                     AND (alpha_frac >= 0.8)
-                    AND (stop_hits >= 2)) AS quality_pass
+                    AND (stop_hits >= 2)) AS quality_pass,
+                   coalesce(dup_line_frac, 0.0) AS dup_line_frac,
+                   coalesce(dup_line_char_frac, 0.0) AS dup_line_char_frac,
+                   coalesce(top2gram_char_frac, 0.0) AS top2gram_char_frac,
+                   coalesce(top3gram_char_frac, 0.0) AS top3gram_char_frac,
+                   coalesce(top4gram_char_frac, 0.0) AS top4gram_char_frac,
+                   (coalesce(dup_line_frac, 0.0) <= 0.30) AS dup_line_ok,
+                   (coalesce(dup_line_char_frac, 0.0) <= 0.20) AS dup_line_char_ok,
+                   (coalesce(top2gram_char_frac, 0.0) <= 0.20) AS top2gram_ok,
+                   (coalesce(top3gram_char_frac, 0.0) <= 0.18) AS top3gram_ok,
+                   (coalesce(top4gram_char_frac, 0.0) <= 0.16) AS top4gram_ok,
+                   ((coalesce(dup_line_frac, 0.0) <= 0.30)
+                    AND (coalesce(dup_line_char_frac, 0.0) <= 0.20)
+                    AND (coalesce(top2gram_char_frac, 0.0) <= 0.20)
+                    AND (coalesce(top3gram_char_frac, 0.0) <= 0.18)
+                    AND (coalesce(top4gram_char_frac, 0.0) <= 0.16)) AS repetition_pass
             FROM s
+            LEFT JOIN line_doc USING (doc_id)
+            LEFT JOIN gram_doc USING (doc_id)
         """,
         "x4_census": """
             WITH n AS (

@@ -469,3 +469,153 @@ def lm_quality_bands(
         )
         .drop("_q_head", "_q_tail")
     )
+
+
+def gopher_repetition_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top2gram_char_frac: float = 0.20,
+    max_top3gram_char_frac: float = 0.18,
+    max_top4gram_char_frac: float = 0.16,
+) -> DataFrame:
+    """The REPETITION half of the published Gopher rule set (Rae et al.
+    2021 §A1.1, Table A1 constants): per-document duplicate-line fraction,
+    duplicate-line CHARACTER fraction, and the character fraction of the
+    most frequent {2,3,4}-gram — the signals that catch listicle spam,
+    keyword stuffing, and template boilerplate that the word-level gates
+    (:func:`gopher_quality_flags`) pass.
+
+    Metric definitions (pinned so the SQL oracle can re-derive them):
+
+    * lines = ``sep``-split pieces whose :func:`normalize_text` form is
+      non-empty; ``dup_line_frac`` = 1 − distinct/total;
+      ``dup_line_char_frac`` = Σ(cnt−1)·len / Σ cnt·len over normalized
+      line lengths (occurrences beyond the first).
+    * grams over the normalized word sequence; ``topNgram_char_frac`` =
+      max over grams of cnt·len(gram) ÷ len(normalized word text) —
+      max-of-products, so ties need no ordering rule.
+
+    Scale shape: gram CONSTRUCTION is a linear per-row ``transform``
+    (HOFs are fine touched-once — SCALE.md discipline), but all COUNTING
+    is relational: explode → (doc, gram) hash aggregate → per-doc max →
+    join back, the same never-quadratic shape as minhash shingling. A
+    per-row HOF counting loop would be O(grams²) per doc and is exactly
+    what this operator avoids.
+
+    Adds the five metric columns, one boolean per rule, and
+    ``repetition_pass`` (AND). Compose with ``gopher_quality_flags`` for
+    the full published filter.
+    """
+    from datamunging_spark.functions import normalize_text, tokenize
+
+    c = F.coalesce(F.col(text_col), F.lit(""))
+
+    # --- duplicate-line metrics: explode once, one hash agg per doc ----
+    norm_line = normalize_text(F.col("_line"))
+    line_stats = (
+        df.select(F.col(id_col), F.explode(tokenize(c, sep)).alias("_line"))
+        .select(id_col, norm_line.alias("_nl"))
+        .filter(F.col("_nl") != "")
+        .groupBy(id_col, "_nl")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_cnt").alias("_n_lines"),
+            F.count(F.lit(1)).alias("_n_distinct"),
+            F.sum((F.col("_cnt") - 1) * F.length("_nl")).alias("_dup_chars"),
+            F.sum(F.col("_cnt") * F.length("_nl")).alias("_tot_chars"),
+        )
+        .select(
+            id_col,
+            (1 - F.col("_n_distinct") / F.col("_n_lines")).alias(
+                "dup_line_frac"
+            ),
+            F.when(
+                F.col("_tot_chars") > 0,
+                F.col("_dup_chars") / F.col("_tot_chars"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_line_char_frac"),
+        )
+    )
+
+    # --- top-n-gram char fractions: linear construction, relational count
+    words = F.filter(F.split(normalize_text(c), " ", -1), lambda w: w != "")
+    # NB sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — docs
+    # shorter than n words need the explicit empty-array branch
+    gram_arr = lambda n: F.when(  # noqa: E731
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_words = df.select(
+        F.col(id_col),
+        F.length(F.array_join(words, " ")).alias("_wchars"),
+        *[gram_arr(n).alias(f"_g{n}") for n in (2, 3, 4)],
+    )
+    exploded = None
+    for n in (2, 3, 4):
+        part = with_words.select(
+            id_col, F.lit(n).alias("_n"), F.explode(f"_g{n}").alias("_gram")
+        )
+        exploded = part if exploded is None else exploded.unionByName(part)
+    top = (
+        exploded.groupBy(id_col, "_n", "_gram")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .groupBy(id_col, "_n")
+        .agg(F.max(F.col("_cnt") * F.length("_gram")).alias("_top_chars"))
+        .groupBy(id_col)
+        .pivot("_n", [2, 3, 4])
+        .agg(F.first("_top_chars"))
+    )
+    gram_stats = (
+        with_words.select(id_col, "_wchars")
+        .join(top, on=id_col, how="left")
+        .select(
+            id_col,
+            *[
+                F.when(
+                    F.col("_wchars") > 0,
+                    F.coalesce(F.col(str(n)), F.lit(0)) / F.col("_wchars"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias(f"top{n}gram_char_frac")
+                for n in (2, 3, 4)
+            ],
+        )
+    )
+
+    out = (
+        df.join(line_stats, on=id_col, how="left")
+        .join(gram_stats, on=id_col, how="left")
+        .fillna(
+            {
+                "dup_line_frac": 0.0,
+                "dup_line_char_frac": 0.0,
+                "top2gram_char_frac": 0.0,
+                "top3gram_char_frac": 0.0,
+                "top4gram_char_frac": 0.0,
+            }
+        )
+    )
+    flags = {
+        "dup_line_ok": F.col("dup_line_frac") <= max_dup_line_frac,
+        "dup_line_char_ok": F.col("dup_line_char_frac")
+        <= max_dup_line_char_frac,
+        "top2gram_ok": F.col("top2gram_char_frac") <= max_top2gram_char_frac,
+        "top3gram_ok": F.col("top3gram_char_frac") <= max_top3gram_char_frac,
+        "top4gram_ok": F.col("top4gram_char_frac") <= max_top4gram_char_frac,
+    }
+    out = out.withColumns(flags)
+    pass_col = None
+    for name in flags:
+        pass_col = (
+            F.col(name) if pass_col is None else (pass_col & F.col(name))
+        )
+    return out.withColumn("repetition_pass", pass_col)

@@ -304,3 +304,43 @@ def test_lm_quality_bands_grouped_cuts_are_per_group(spark):
     # group a's best scores are head WITHIN a despite being far below b's
     assert got[9] == "head" and got[109] == "head"
     assert got[0] == "tail" and got[100] == "tail"
+
+
+def test_gopher_repetition_flags_hand_computed(spark):
+    """Pin the repetition metrics against hand-computed values: duplicate
+    line fractions, overlapping top-n-gram char fractions (which may exceed
+    1 by construction), and the empty-doc zero default."""
+    from datamunging_spark.operators.text import gopher_repetition_flags
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb\nA\nc"),            # 'a' repeats after normalize
+            (2, "spam spam spam spam"),    # one dominant 2-gram
+            (3, "the quick brown fox"),    # all grams unique
+            (4, "   "),                    # no lines, no words
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r.asDict() for r in
+           gopher_repetition_flags(df).collect()}
+
+    r1 = got[1]
+    assert r1["dup_line_frac"] == 1 - 3 / 4
+    assert r1["dup_line_char_frac"] == 1 / 4
+    assert r1["dup_line_ok"] and r1["dup_line_char_ok"] is False
+
+    r2 = got[2]
+    # "spam spam" occurs 3x, len 9; word text len 19
+    assert r2["top2gram_char_frac"] == 3 * 9 / 19
+    assert not r2["top2gram_ok"] and not r2["repetition_pass"]
+
+    r3 = got[3]
+    # every gram unique -> max is the longest gram's length / 19
+    assert r3["top2gram_char_frac"] == 11 / 19  # 'quick brown'
+    assert r3["top3gram_char_frac"] == 15 / 19  # 'the quick brown'
+    assert not r3["top3gram_ok"]  # 15/19 > 0.18: short docs are spiky
+    assert r3["dup_line_frac"] == 0.0
+
+    r4 = got[4]
+    assert r4["dup_line_frac"] == 0.0 and r4["top4gram_char_frac"] == 0.0
+    assert r4["repetition_pass"]
