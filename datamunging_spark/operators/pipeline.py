@@ -38,6 +38,7 @@ def curate_corpus(
     para_dedup: bool = False,
     para_sep: str = "\n",
     gopher: bool = False,
+    gopher_rep: bool = False,
     line_dedup: bool = False,
     url_col: str | None = None,
     materialize: bool | None = None,
@@ -48,7 +49,9 @@ def curate_corpus(
     text-derived work (identity is free; duplicate fetches of one page
     never reach the hashing stages), (1) token-count / charset /
     repetition quality gates, plus ``gopher=True``: the published
-    Gopher-rule set (``gopher_quality_flags``) as a filter, (2) optional
+    Gopher word-rule set (``gopher_quality_flags``) as a filter and
+    ``gopher_rep=True``: the repetition half
+    (``gopher_repetition_flags`` — dup-line + top-n-gram gates), (2) optional
     language allow-list (marker-argmax heuristic), (2b) ``line_dedup=
     True``: within-doc repeated-line scrub before any cross-doc hashing,
     (2c) ``lm_filter=True``: the CCNet move — fit a unigram LM on the
@@ -103,6 +106,23 @@ def curate_corpus(
             "alpha_word_ok",
             "stopword_ok",
             "quality_pass",
+        )
+    if gopher_rep:
+        from datamunging_spark.operators.text import gopher_repetition_flags
+
+        flagged = gopher_repetition_flags(kept, text_col, id_col)
+        kept = flagged.filter(F.col("repetition_pass")).drop(
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "top2gram_char_frac",
+            "top3gram_char_frac",
+            "top4gram_char_frac",
+            "dup_line_ok",
+            "dup_line_char_ok",
+            "top2gram_ok",
+            "top3gram_ok",
+            "top4gram_ok",
+            "repetition_pass",
         )
     if langs:
         kept = kept.filter(detect_language(c).isin(*langs))

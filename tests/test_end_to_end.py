@@ -160,3 +160,31 @@ def test_curate_corpus_lm_filter_drops_exact_tail(spark, tables):
     exp_ids = {r["doc_id"] for r in expected.select("doc_id").collect()}
     assert got_ids == exp_ids
     assert len(got_ids) < docs.count()  # the tail actually went
+
+
+def test_curate_corpus_gopher_rep_stage(spark, tables):
+    """gopher_rep=True drops exactly the repetition_pass=False docs (here: a
+    planted one-line-repeated spam doc) and composes with the word gates."""
+    from datamunging_spark.operators.pipeline import curate_corpus
+    from datamunging_spark.operators.text import gopher_repetition_flags
+
+    docs = tables["documents"].select("doc_id", "text", "source")
+    spam = spark.createDataFrame(
+        [(990001, "buy now\n" * 40, "spam")], ["doc_id", "text", "source"]
+    )
+    corpus = docs.unionByName(spam)
+    out = curate_corpus(
+        corpus, min_tokens=0, max_repetition=1.0, fuzzy=False, gopher_rep=True
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 990001 not in kept
+    expected_fail = {
+        r["doc_id"]
+        for r in gopher_repetition_flags(corpus)
+        .filter(~F.col("repetition_pass"))
+        .select("doc_id")
+        .collect()
+    }
+    # exactly the repetition failures are missing (before exact dedup,
+    # which only removes additional identical-content copies)
+    assert expected_fail.isdisjoint(kept)
