@@ -619,3 +619,76 @@ def gopher_repetition_flags(
             F.col(name) if pass_col is None else (pass_col & F.col(name))
         )
     return out.withColumn("repetition_pass", pass_col)
+
+
+def hashed_embeddings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    out: str = "embedding",
+) -> DataFrame:
+    """Feature-hashed bag-of-words document embeddings (the hashing trick,
+    Weinberger et al. 2009 / Spark's HashingTF, densified): token → md5
+    bucket in [0, ``dim``), per-doc bucket counts, L2-normalized dense
+    ``array<double>``.
+
+    This is the model-free embedding generator that closes the text →
+    vector loop inside the engine: its output feeds the whole vector
+    family (:func:`~datamunging_spark.operators.dedup.semantic_dedup`,
+    ANN search, prototypicality scoring) with no external encoder, and a
+    real model swaps in behind the same ``(id, array<float>)`` contract
+    via ``mapInPandas``. Cosine on these vectors approximates token-bag
+    overlap — the cheap tier of semantic dedup; md5 bucketing (not an
+    engine hash) keeps the vectors engine-portable.
+
+    Plan: explode → one (doc, bucket) hash aggregate → per-doc map →
+    dense array via a sequence transform; L2 normalization is one
+    touched-once per-row fold (SCALE.md HOF discipline). Docs with no
+    tokens get the zero vector.
+    """
+    from datamunging_spark.functions import normalize_text
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(normalize_text(text_col), " ", -1),
+                lambda w: w != "",
+            )
+        ).alias("_tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("_tok"), 1, 4), 16, 10).cast("long")
+        % dim
+    ).cast("int")
+    maps = (
+        toks.groupBy(id_col, bucket.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_b"), F.col("_cnt")))
+            ).alias("_m")
+        )
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i.cast("int")), F.lit(0)
+        ).cast("double"),
+    )
+    nrm = F.sqrt(
+        F.aggregate(dense, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    vec = F.when(
+        nrm > 0, F.transform(dense, lambda v: F.round(v / nrm, 6))
+    ).otherwise(F.transform(dense, lambda v: v))
+    return df.select(F.col(id_col)).join(
+        maps, on=id_col, how="left"
+    ).select(
+        id_col,
+        F.when(F.col("_m").isNull(), F.array_repeat(F.lit(0.0), dim))
+        .otherwise(vec)
+        .alias(out),
+    )

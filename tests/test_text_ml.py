@@ -344,3 +344,52 @@ def test_gopher_repetition_flags_hand_computed(spark):
     r4 = got[4]
     assert r4["dup_line_frac"] == 0.0 and r4["top4gram_char_frac"] == 0.0
     assert r4["repetition_pass"]
+
+
+def test_hashed_embeddings_shape_norm_and_similarity(spark):
+    """Hashing-trick embeddings: unit L2 norm (to rounding), identical
+    token bags map to identical vectors regardless of order, disjoint
+    vocabularies are (near-)orthogonal, and empty docs get the zero
+    vector at the declared dim."""
+    import math
+
+    from datamunging_spark.operators.text import hashed_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "gamma beta  ALPHA"),   # same bag, different order/case/ws
+            (3, "delta epsilon zeta eta theta"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: list(r["embedding"]) for r in
+           hashed_embeddings(df, dim=32).collect()}
+    assert all(len(v) == 32 for v in got.values())
+    assert got[1] == got[2]
+    dot = lambda a, b: sum(x * y for x, y in zip(a, b))  # noqa: E731
+    assert abs(math.sqrt(dot(got[1], got[1])) - 1.0) < 1e-4
+    assert dot(got[1], got[3]) < 0.5  # disjoint vocab, low overlap
+    assert got[4] == [0.0] * 32
+
+
+def test_hashed_embeddings_feed_semantic_dedup(spark, tables):
+    """End-to-end text→vector→SemDeDup with no external model: planted
+    same-bag text duplicates (cosine 1 on hashed embeddings) collapse to
+    one survivor."""
+    from pyspark.sql import functions as F
+
+    from datamunging_spark.operators.dedup import semantic_dedup
+    from datamunging_spark.operators.text import hashed_embeddings
+
+    docs = tables["documents"].select("doc_id", "text").limit(100)
+    copies = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 700000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(copies)
+    emb = hashed_embeddings(corpus, dim=64)
+    out = semantic_dedup(emb, threshold=0.999, n_clusters=4)
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert not any(v >= 700000 for v in kept)  # every planted copy gone
+    assert all(v in kept for v in range(5))    # originals survive
