@@ -573,3 +573,183 @@ def centroid_scores(
         F.col("_cell").alias("cluster_id"),
         centroid_cos(F.col("_cv"), F.col("_cell")).alias("centroid_cosine"),
     )
+
+
+class PqCodebook:
+    """Product-quantization codebooks: ``m`` sub-codebooks of ``k``
+    centroids over ``sub_dim = dim/m`` dimensions each (Jégou et al.
+    2011, "Product Quantization for Nearest Neighbor Search"). Fit once
+    with :func:`pq_fit`; a vector encodes to ``m`` uint8-range codes —
+    ``m`` bytes instead of ``4·dim`` — the memory tier that makes
+    billion-vector ANN fit a cluster. Driver-side numpy array of shape
+    (m, k, sub_dim); store as ``.npy`` beside the encoded table."""
+
+    def __init__(self, codebooks, m: int, sub_dim: int):
+        self.codebooks = codebooks
+        self.m = m
+        self.sub_dim = sub_dim
+
+
+def pq_fit(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 256,
+    seed: int = 42,
+    max_fit_rows: int = 100_000,
+    iters: int = 10,
+) -> PqCodebook:
+    """Fit PQ codebooks on a seeded driver-side sample (standard PQ
+    practice — codebooks need a representative sample, not the corpus;
+    same rationale as :func:`ivf_build`'s sampled KMeans). One numpy
+    Lloyd's run per subspace: deterministic seeded init, ``iters``
+    refinement steps, empty clusters respawned to the farthest points.
+    """
+    import numpy as np
+
+    sample = corpus.select(vec_col).limit(max_fit_rows).collect()
+    x = np.stack([np.asarray(r[vec_col]) for r in sample]).astype(np.float64)
+    n, dim = x.shape
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    k_eff = min(k, n)
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k_eff, sub))
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        centers = xs[rng.choice(n, size=k_eff, replace=False)].copy()
+        for _ in range(iters):
+            d = ((xs[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(k_eff):
+                pts = xs[assign == c]
+                if len(pts):
+                    centers[c] = pts.mean(axis=0)
+                else:
+                    centers[c] = xs[d.min(axis=1).argmax()]
+        books[j] = centers
+    return PqCodebook(books, m, sub)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: PqCodebook,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "pq_codes",
+) -> DataFrame:
+    """Encode each vector to its ``m`` nearest-sub-centroid codes — one
+    Arrow pass with the codebooks in closure; output is (id, codes)
+    where codes is ``array<int>`` in [0, k). The encoded table is the
+    persistable artifact (~m bytes/vector + id): at 100 TB of raw
+    vectors the codes are hundreds of GB — broadcastable per executor,
+    scan-only, never shuffled by this op."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    books = codebook.codebooks
+    m, sub = codebook.m, codebook.sub_dim
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            xs = x[:, j * sub : (j + 1) * sub]
+            d = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        encode(F.col(vec_col)).alias(out),
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebook: PqCodebook,
+    k: int = 10,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: full-precision queries against the
+    PQ-encoded corpus. Per query batch, a (m × k) inner-product lookup
+    table against the codebooks is built once in numpy; each candidate's
+    approximate dot product is then ``m`` LUT adds — independent of dim.
+    One ``mapInPandas`` scan of the codes table emits per-batch local
+    top-k only, then a window takes the global top-k — the codes table
+    is scanned once and never shuffled (only ~batches·queries·k rows
+    reach the exchange). Compose with IVF by pre-filtering ``encoded``
+    to probe cells (IVF-PQ, the standard billion-scale layout).
+
+    Scores approximate the DOT PRODUCT — L2-normalize vectors upstream
+    if cosine ranking is wanted (recall floor property-tested)."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    books = codebook.codebooks
+    m = codebook.m
+    q_rows = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).collect()
+    if not q_rows:
+        raise ValueError("empty query batch")
+    q_ids = np.array([r["query_id"] for r in q_rows])
+    qx = np.stack([np.asarray(r["_qv"]) for r in q_rows]).astype(np.float64)
+    sub = codebook.sub_dim
+    # LUT[q, j, c] = <q_subvec_j, centroid_jc>
+    lut = np.einsum("qjs,jcs->qjc", qx.reshape(len(qx), m, sub), books)
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf[codes_col].to_numpy()).astype(np.int64)
+            nb = pdf["neighbor_id"].to_numpy()
+            # scores[q, n] = sum_j LUT[q, j, codes[n, j]]
+            scores = lut[:, np.arange(m)[None, :], codes].sum(axis=2)
+            top = min(k, scores.shape[1])
+            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            rows = {
+                "query_id": np.repeat(q_ids, top),
+                "neighbor_id": nb[idx].ravel(),
+                "score": np.take_along_axis(scores, idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    local = encoded.select("neighbor_id", codes_col).mapInPandas(
+        scan, schema=schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        local.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+    )

@@ -1028,3 +1028,58 @@ def test_centroid_scores_prototypes_score_highest(spark, tables):
     }
     assert set(counts) == {"head", "middle", "tail"}
     assert sum(counts.values()) == corpus.count()
+
+
+def test_pq_adc_approximation_and_planted_retrieval(spark, tables):
+    """PQ round trip: fit -> encode (m codes per vector) -> ADC top-k.
+    The driver embeddings are near-random (pairwise cosines within ±0.35),
+    so ranking-recall against brute force is noise by construction; the
+    sound properties are (a) ADC scores approximate true dot products
+    within quantization error, and (b) a planted exact copy of each query
+    (true dot = 1, far outside the corpus cosine spread) is retrieved at
+    rank 1."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from datamunging_spark.operators.similarity import (
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda a, v: a + v.cast("double") * v.cast("double"),
+        )
+    )
+    unit = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double") / nrm).alias(
+            "embedding"
+        ),
+    ).localCheckpoint()
+    queries = unit.filter(F.col("vec_id") < 8)
+    copies = queries.select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+    )
+    corpus = unit.unionByName(copies).localCheckpoint()
+
+    cb = pq_fit(corpus, m=8, k=16, iters=5)
+    enc = pq_encode(corpus, cb).localCheckpoint()
+    row = enc.collect()[0]
+    assert len(row["pq_codes"]) == 8
+    assert all(0 <= c < 16 for c in row["pq_codes"])
+
+    out = pq_topk(queries, enc, cb, k=49).collect()
+    X = {r["vec_id"]: np.array(r["embedding"]) for r in corpus.collect()}
+    errs = [
+        abs(r["score"] - float(X[r["query_id"]] @ X[r["neighbor_id"]]))
+        for r in out
+    ]
+    assert np.mean(errs) < 0.15 and np.percentile(errs, 95) < 0.3
+
+    rank1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    assert rank1 == {q: q + 900000 for q in range(8)}
