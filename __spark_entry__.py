@@ -1314,6 +1314,37 @@ def q_x1_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_x2_pq_topk(spark, sf_dir):
+    """X2 PQ/ADC quantized top-k (bench-only: numpy codebooks are
+    engine-specific and the 50-slot gate is full; ADC error bound +
+    planted-copy retrieval are pytest-pinned). Fit on the L2-normalized
+    corpus, encode to 8 codes/vector, ADC-search 8 probes."""
+    from datamunging_spark.operators.similarity import (
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda a, v: a + v.cast("double") * v.cast("double"),
+        )
+    )
+    unit = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double") / nrm).alias(
+            "embedding"
+        ),
+    ).localCheckpoint()
+    cb = pq_fit(unit, m=8, k=64, iters=5, max_fit_rows=2000)
+    enc = pq_encode(unit, cb)
+    probes = unit.filter(F.col("vec_id") < 8)
+    return pq_topk(probes, enc, cb, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

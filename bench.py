@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "x4_census",
     "x4_lm_quality",
     "x1_semantic_dedup",
+    "x2_pq_topk",
 ]
 
 

@@ -732,7 +732,10 @@ def pq_topk(
             nb = pdf["neighbor_id"].to_numpy()
             # scores[q, n] = sum_j LUT[q, j, codes[n, j]]
             scores = lut[:, np.arange(m)[None, :], codes].sum(axis=2)
-            top = min(k, scores.shape[1])
+            # k+1: a query may meet itself in this batch and the self row
+            # is filtered AFTER the local cut — without the slack it
+            # would silently displace a real neighbor
+            top = min(k + 1, scores.shape[1])
             idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
             rows = {
                 "query_id": np.repeat(q_ids, top),
