@@ -231,6 +231,13 @@ def decontaminate_substring(
     The count() guard below reads only the slim probe projection and
     raises above a 100k-string sanity cap (the broadcast analog of
     autoBroadcastJoinThreshold).
+
+    Parity seam: multipattern mode normalizes in Python (``str.lower`` +
+    an ASCII-whitespace regex mirroring Java ``\s``); JVM and Python
+    agree on ASCII but can differ on locale-sensitive case mappings
+    (Turkish dotted-I, ligatures) — the cross-matcher parity test pins
+    the driver corpus, and non-ASCII-heavy corpora should prefer one
+    matcher consistently.
     """
     from datamunging_spark.functions import normalize_text
 
