@@ -73,6 +73,24 @@ NOTES: dict[str, tuple[str, str]] = {
         "full ingest_batch incl. snapshot roll-forward, added r6",
         "— (the incremental composite plus advance_snapshot, one signing)",
     ),
+    "x1_url_dedup": ("canonical-URL dedup, synthesized variants", "—"),
+    "x4_gopher_gates": (
+        "full Gopher rule set: word + repetition halves",
+        "—",
+    ),
+    "x4_census": ("per-source corpus census", "—"),
+    "x4_lm_quality": (
+        "unigram-LM score + per-source CCNet bands",
+        "—",
+    ),
+    "x1_semantic_dedup": (
+        "SemDeDup incl. residual invariant (IVF build dominates)",
+        "—",
+    ),
+    "x2_pq_topk": (
+        "PQ fit+encode+ADC search composite",
+        "—",
+    ),
 }
 
 
