@@ -756,3 +756,118 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
     )
+
+
+def pq_encode_cells(
+    index: IvfIndex, codebook: PqCodebook, out: str = "pq_codes"
+) -> DataFrame:
+    """Encode an IVF index's assigned corpus, KEEPING the cell id:
+    (neighbor_id, _cell, codes) — the persistable IVF-PQ index table
+    (write partitioned by ``_cell``). This is the standard billion-scale
+    ANN layout (Jégou et al. 2011 §IV): coarse cells bound the candidate
+    set, PQ codes bound the memory per candidate."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    books = codebook.codebooks
+    m, sub = codebook.m, codebook.sub_dim
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            xs = x[:, j * sub : (j + 1) * sub]
+            d = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return index.assigned.select(
+        "neighbor_id", "_cell", encode(F.col("_cv")).alias(out)
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    index: IvfIndex,
+    codebook: PqCodebook,
+    encoded_cells: DataFrame,
+    k: int = 10,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """IVF-PQ ADC search: each query visits its ``n_probe`` nearest cells
+    (computed driver-side from the same query batch the ADC lookup table
+    needs anyway) and scores ONLY those cells' PQ codes — candidate
+    volume is corpus·n_probe/n_clusters rows of m-byte codes, never the
+    corpus, and the one shuffle is the bounded-cardinality cell join
+    with the tiny (query, cell) side broadcast. Scores approximate dot
+    products (normalize upstream for cosine)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    books = codebook.codebooks
+    m = codebook.m
+    sub = codebook.sub_dim
+    centers = index.centers
+    q_rows = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).collect()
+    if not q_rows:
+        raise ValueError("empty query batch")
+    q_ids = [r["query_id"] for r in q_rows]
+    qx = np.stack([np.asarray(r["_qv"]) for r in q_rows]).astype(np.float64)
+    lut = np.einsum("qjs,jcs->qjc", qx.reshape(len(qx), m, sub), books)
+    qpos = {qid: i for i, qid in enumerate(q_ids)}
+
+    d = ((qx[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    n_probe_eff = min(n_probe, index.n_clusters)
+    probed = np.argsort(d, axis=1)[:, :n_probe_eff]
+    spark = queries.sparkSession
+    q_cells = spark.createDataFrame(
+        [
+            (int(qid), int(c))
+            for qid, row in zip(q_ids, probed)
+            for c in row
+        ],
+        ["query_id", "_cell"],
+    )
+
+    @pandas_udf(DoubleType())
+    def adc(qids: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(qids) == 0:
+            return pd.Series([], dtype=float)
+        qi = np.array([qpos[q] for q in qids])
+        cd = np.stack(codes.to_numpy()).astype(np.int64)
+        s = lut[qi[:, None], np.arange(m)[None, :], cd].sum(axis=1)
+        return pd.Series(s)
+
+    scored = (
+        F.broadcast(q_cells)
+        .join(encoded_cells, "_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            adc(F.col("query_id"), F.col(codes_col)).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("score", 6).alias("score"),
+        )
+    )

@@ -1083,3 +1083,63 @@ def test_pq_adc_approximation_and_planted_retrieval(spark, tables):
 
     rank1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
     assert rank1 == {q: q + 900000 for q in range(8)}
+
+
+def test_ivf_pq_topk_full_probe_equals_flat_pq(spark, tables):
+    """IVF-PQ with n_probe = n_clusters degrades to the flat PQ scan
+    exactly (same codes, same ADC scores, same ranking), and with planted
+    exact copies a narrow probe still retrieves each query's copy at
+    rank 1 (identical vectors share a cell by construction)."""
+    from pyspark.sql import functions as F
+
+    from datamunging_spark.operators.similarity import (
+        ivf_build,
+        ivf_pq_topk,
+        pq_encode,
+        pq_encode_cells,
+        pq_fit,
+        pq_topk,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda a, v: a + v.cast("double") * v.cast("double"),
+        )
+    )
+    unit = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double") / nrm).alias(
+            "embedding"
+        ),
+    )
+    queries = unit.filter(F.col("vec_id") < 6)
+    copies = queries.select(
+        (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+    )
+    corpus = unit.unionByName(copies).localCheckpoint()
+
+    idx = ivf_build(corpus, corpus_id="vec_id", n_clusters=8)
+    cb = pq_fit(corpus, m=8, k=16, iters=5)
+    enc_cells = pq_encode_cells(idx, cb).localCheckpoint()
+
+    full = ivf_pq_topk(
+        queries, idx, cb, enc_cells, k=5, n_probe=8
+    ).collect()
+    flat = pq_topk(queries, pq_encode(corpus, cb), cb, k=5).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(
+        [(r["query_id"], r["rank"], r["neighbor_id"], r["score"]) for r in full]
+    ) == sorted(
+        [(r["query_id"], r["rank"], r["neighbor_id"], r["score"]) for r in flat]
+    )
+
+    narrow = ivf_pq_topk(queries, idx, cb, enc_cells, k=5, n_probe=1)
+    rank1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in narrow.collect()
+        if r["rank"] == 1
+    }
+    assert rank1 == {q: q + 900000 for q in range(6)}
