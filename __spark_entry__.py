@@ -1325,20 +1325,22 @@ def q_x2_pq_topk(spark, sf_dir):
         pq_topk,
     )
 
+    from datamunging_spark.functions import l2_norm
+
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    nrm = F.sqrt(
-        F.aggregate(
-            "embedding",
-            F.lit(0.0),
-            lambda a, v: a + v.cast("double") * v.cast("double"),
+    # norm as a bound COLUMN, not an expression inside transform — an
+    # inline fold would re-run per element (O(dim²) interpreted work,
+    # the SCALE.md HOF discipline)
+    unit = (
+        emb.withColumn("_n", l2_norm(F.col("embedding")))
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda v: v.cast("double") / F.col("_n")
+            ).alias("embedding"),
         )
+        .localCheckpoint()
     )
-    unit = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda v: v.cast("double") / nrm).alias(
-            "embedding"
-        ),
-    ).localCheckpoint()
     cb = pq_fit(unit, m=8, k=64, iters=5, max_fit_rows=2000)
     enc = pq_encode(unit, cb)
     probes = unit.filter(F.col("vec_id") < 8)

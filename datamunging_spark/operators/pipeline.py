@@ -146,12 +146,16 @@ def curate_corpus(
         cut = scored.agg(
             F.percentile("lm_score", F.lit(lm_tail)).alias("_cut")
         )
-        losers = (
+        # SEMI join on survivors (score > cut), not anti on losers:
+        # zero-token docs have NO scored row, and an anti-join on losers
+        # would silently pass exactly the lowest-quality documents
+        # through the quality stage. No tokens -> no score -> dropped.
+        survivors = (
             scored.crossJoin(F.broadcast(cut))
-            .filter(F.col("lm_score") <= F.col("_cut"))
+            .filter(F.col("lm_score") > F.col("_cut"))
             .select(id_col)
         )
-        kept = kept.join(losers, on=id_col, how="left_anti")
+        kept = kept.join(survivors, on=id_col, how="semi")
     if para_dedup:
         from datamunging_spark.operators.dedup import paragraph_dedup
 

@@ -601,13 +601,27 @@ def pq_fit(
 ) -> PqCodebook:
     """Fit PQ codebooks on a seeded driver-side sample (standard PQ
     practice — codebooks need a representative sample, not the corpus;
-    same rationale as :func:`ivf_build`'s sampled KMeans). One numpy
-    Lloyd's run per subspace: deterministic seeded init, ``iters``
-    refinement steps, empty clusters respawned to the farthest points.
+    the same ``sample(fraction, seed)`` discipline as :func:`ivf_build`
+    — a bare ``limit()`` would take a partition PREFIX, which after
+    curation stages is typically one source's slice of the space). One
+    numpy Lloyd's run per subspace: deterministic seeded init, ``iters``
+    refinement steps, empty clusters respawned to successive farthest
+    points. Distances use the ‖x‖²−2x·cᵀ+‖c‖² matmul identity — O(n·k)
+    memory; the naive (n, k, sub) broadcast temporary is multi-GB at the
+    documented defaults.
     """
     import numpy as np
 
-    sample = corpus.select(vec_col).limit(max_fit_rows).collect()
+    proj = corpus.select(vec_col)
+    n_corpus = proj.count()
+    fit_df = proj
+    if n_corpus > max_fit_rows:
+        fit_df = proj.sample(
+            withReplacement=False,
+            fraction=min(1.0, max_fit_rows / n_corpus),
+            seed=seed,
+        )
+    sample = fit_df.collect()
     x = np.stack([np.asarray(r[vec_col]) for r in sample]).astype(np.float64)
     n, dim = x.shape
     if dim % m != 0:
@@ -619,32 +633,32 @@ def pq_fit(
     for j in range(m):
         xs = x[:, j * sub : (j + 1) * sub]
         centers = xs[rng.choice(n, size=k_eff, replace=False)].copy()
+        xs_sq = (xs**2).sum(axis=1)
         for _ in range(iters):
-            d = ((xs[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            d = (
+                xs_sq[:, None]
+                - 2.0 * (xs @ centers.T)
+                + (centers**2).sum(axis=1)[None, :]
+            )
             assign = d.argmin(axis=1)
+            empties = [c for c in range(k_eff) if not (assign == c).any()]
+            # farthest points in descending order, one per empty cluster
+            # (a shared single farthest point would duplicate centroids)
+            if empties:
+                far = np.argsort(-d.min(axis=1))
             for c in range(k_eff):
                 pts = xs[assign == c]
                 if len(pts):
                     centers[c] = pts.mean(axis=0)
-                else:
-                    centers[c] = xs[d.min(axis=1).argmax()]
+            for rank_i, c in enumerate(empties):
+                centers[c] = xs[far[rank_i % n]]
         books[j] = centers
     return PqCodebook(books, m, sub)
 
 
-def pq_encode(
-    corpus: DataFrame,
-    codebook: PqCodebook,
-    corpus_id: str = "vec_id",
-    vec_col: str = "embedding",
-    out: str = "pq_codes",
-) -> DataFrame:
-    """Encode each vector to its ``m`` nearest-sub-centroid codes — one
-    Arrow pass with the codebooks in closure; output is (id, codes)
-    where codes is ``array<int>`` in [0, k). The encoded table is the
-    persistable artifact (~m bytes/vector + id): at 100 TB of raw
-    vectors the codes are hundreds of GB — broadcastable per executor,
-    scan-only, never shuffled by this op."""
+def _pq_encode_udf(codebook: PqCodebook):
+    """Shared Arrow encode kernel: vectors → m nearest-sub-centroid codes
+    (matmul distance form, O(batch·k) memory per subspace)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -661,10 +675,29 @@ def pq_encode(
         codes = np.empty((len(x), m), dtype=np.int32)
         for j in range(m):
             xs = x[:, j * sub : (j + 1) * sub]
-            d = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            cj = books[j]
+            d = -2.0 * (xs @ cj.T) + (cj**2).sum(axis=1)[None, :]
             codes[:, j] = d.argmin(axis=1)
         return pd.Series(list(codes))
 
+    return encode
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: PqCodebook,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "pq_codes",
+) -> DataFrame:
+    """Encode each vector to its ``m`` nearest-sub-centroid codes — one
+    Arrow pass with the codebooks in closure (shared kernel
+    :func:`_pq_encode_udf`); output is (id, codes) where codes is
+    ``array<int>`` in [0, k). The encoded table is the persistable
+    artifact (~m bytes/vector + id): at 100 TB of raw vectors the codes
+    are hundreds of GB — broadcastable per executor, scan-only, never
+    shuffled by this op."""
+    encode = _pq_encode_udf(codebook)
     return corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         encode(F.col(vec_col)).alias(out),
@@ -694,12 +727,7 @@ def pq_topk(
     if cosine ranking is wanted (recall floor property-tested)."""
     import numpy as np
 
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     books = codebook.codebooks
     m = codebook.m
@@ -714,10 +742,16 @@ def pq_topk(
     # LUT[q, j, c] = <q_subvec_j, centroid_jc>
     lut = np.einsum("qjs,jcs->qjc", qx.reshape(len(qx), m, sub), books)
 
+    # id fields keep the INPUT id types (string doc ids work like the
+    # rest of the module — brute_force/ivf/lsh all preserve them)
     schema = StructType(
         [
-            StructField("query_id", LongType()),
-            StructField("neighbor_id", LongType()),
+            StructField(
+                "query_id", queries.schema[query_id].dataType
+            ),
+            StructField(
+                "neighbor_id", encoded.schema["neighbor_id"].dataType
+            ),
             StructField("score", DoubleType()),
         ]
     )
@@ -766,26 +800,7 @@ def pq_encode_cells(
     (write partitioned by ``_cell``). This is the standard billion-scale
     ANN layout (Jégou et al. 2011 §IV): coarse cells bound the candidate
     set, PQ codes bound the memory per candidate."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, IntegerType
-
-    books = codebook.codebooks
-    m, sub = codebook.m, codebook.sub_dim
-
-    @pandas_udf(ArrayType(IntegerType()))
-    def encode(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        x = np.stack(vecs.to_numpy()).astype(np.float64)
-        codes = np.empty((len(x), m), dtype=np.int32)
-        for j in range(m):
-            xs = x[:, j * sub : (j + 1) * sub]
-            d = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-            codes[:, j] = d.argmin(axis=1)
-        return pd.Series(list(codes))
-
+    encode = _pq_encode_udf(codebook)
     return index.assigned.select(
         "neighbor_id", "_cell", encode(F.col("_cv")).alias(out)
     )
@@ -806,13 +821,14 @@ def ivf_pq_topk(
     (computed driver-side from the same query batch the ADC lookup table
     needs anyway) and scores ONLY those cells' PQ codes — candidate
     volume is corpus·n_probe/n_clusters rows of m-byte codes, never the
-    corpus, and the one shuffle is the bounded-cardinality cell join
-    with the tiny (query, cell) side broadcast. Scores approximate dot
-    products (normalize upstream for cosine)."""
+    corpus. The broadcast cell join is exchange-free; the batch-local
+    top-k inside the scoring scan (same reduction as :func:`pq_topk`)
+    cuts what reaches the one real shuffle — the final per-query window
+    — to ~batches·queries·k rows. Scores approximate dot products
+    (normalize upstream for cosine)."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import DoubleType
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     books = codebook.codebooks
     m = codebook.m
@@ -832,39 +848,65 @@ def ivf_pq_topk(
     n_probe_eff = min(n_probe, index.n_clusters)
     probed = np.argsort(d, axis=1)[:, :n_probe_eff]
     spark = queries.sparkSession
+    qid_type = queries.schema[query_id].dataType
     q_cells = spark.createDataFrame(
-        [
-            (int(qid), int(c))
-            for qid, row in zip(q_ids, probed)
-            for c in row
-        ],
-        ["query_id", "_cell"],
+        [(qid, int(c)) for qid, row in zip(q_ids, probed) for c in row],
+        StructType(
+            [
+                StructField("query_id", qid_type),
+                StructField(
+                    "_cell", encoded_cells.schema["_cell"].dataType
+                ),
+            ]
+        ),
     )
 
-    @pandas_udf(DoubleType())
-    def adc(qids: pd.Series, codes: pd.Series) -> pd.Series:
-        if len(qids) == 0:
-            return pd.Series([], dtype=float)
-        qi = np.array([qpos[q] for q in qids])
-        cd = np.stack(codes.to_numpy()).astype(np.int64)
-        s = lut[qi[:, None], np.arange(m)[None, :], cd].sum(axis=1)
-        return pd.Series(s)
+    schema = StructType(
+        [
+            StructField("query_id", qid_type),
+            StructField(
+                "neighbor_id", encoded_cells.schema["neighbor_id"].dataType
+            ),
+            StructField("score", DoubleType()),
+        ]
+    )
 
-    scored = (
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qi = np.array([qpos[q] for q in pdf["query_id"]])
+            cd = np.stack(pdf[codes_col].to_numpy()).astype(np.int64)
+            s = lut[qi[:, None], np.arange(m)[None, :], cd].sum(axis=1)
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "score": s,
+                }
+            )
+            # batch-local top-(k+1) per query (+1: the self row survives
+            # to the post-scan filter)
+            yield (
+                out.sort_values("score", ascending=False)
+                .groupby("query_id", sort=False)
+                .head(k + 1)
+            )
+
+    local = (
         F.broadcast(q_cells)
         .join(encoded_cells, "_cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            adc(F.col("query_id"), F.col(codes_col)).alias("score"),
-        )
+        .select("query_id", "neighbor_id", codes_col)
+        .mapInPandas(scan, schema=schema)
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        local.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id", "neighbor_id", "rank",

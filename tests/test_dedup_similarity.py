@@ -1047,19 +1047,14 @@ def test_pq_adc_approximation_and_planted_retrieval(spark, tables):
         pq_topk,
     )
 
+    from datamunging_spark.functions import l2_norm
+
     emb = tables["embeddings"].select("vec_id", "embedding")
-    nrm = F.sqrt(
-        F.aggregate(
-            "embedding",
-            F.lit(0.0),
-            lambda a, v: a + v.cast("double") * v.cast("double"),
-        )
-    )
-    unit = emb.select(
+    unit = emb.withColumn("_n", l2_norm(F.col("embedding"))).select(
         "vec_id",
-        F.transform("embedding", lambda v: v.cast("double") / nrm).alias(
-            "embedding"
-        ),
+        F.transform(
+            "embedding", lambda v: v.cast("double") / F.col("_n")
+        ).alias("embedding"),
     ).localCheckpoint()
     queries = unit.filter(F.col("vec_id") < 8)
     copies = queries.select(
@@ -1101,19 +1096,14 @@ def test_ivf_pq_topk_full_probe_equals_flat_pq(spark, tables):
         pq_topk,
     )
 
+    from datamunging_spark.functions import l2_norm
+
     emb = tables["embeddings"].select("vec_id", "embedding")
-    nrm = F.sqrt(
-        F.aggregate(
-            "embedding",
-            F.lit(0.0),
-            lambda a, v: a + v.cast("double") * v.cast("double"),
-        )
-    )
-    unit = emb.select(
+    unit = emb.withColumn("_n", l2_norm(F.col("embedding"))).select(
         "vec_id",
-        F.transform("embedding", lambda v: v.cast("double") / nrm).alias(
-            "embedding"
-        ),
+        F.transform(
+            "embedding", lambda v: v.cast("double") / F.col("_n")
+        ).alias("embedding"),
     )
     queries = unit.filter(F.col("vec_id") < 6)
     copies = queries.select(

@@ -140,8 +140,12 @@ def test_curate_corpus_lm_filter_drops_exact_tail(spark, tables):
     )
 
     docs = tables["documents"].select("doc_id", "text", "source")
+    blank = spark.createDataFrame(
+        [(990009, "   ", "blank")], ["doc_id", "text", "source"]
+    )
+    corpus = docs.unionByName(blank)
     got = curate_corpus(
-        docs,
+        corpus,
         min_tokens=0,
         max_repetition=1.0,
         fuzzy=False,
@@ -149,17 +153,20 @@ def test_curate_corpus_lm_filter_drops_exact_tail(spark, tables):
         lm_tail=0.3,
     )
     got_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    # zero-token docs have no LM score and must NOT bypass the quality
+    # stage (survivor semi-join, not loser anti-join)
+    assert 990009 not in got_ids
 
-    lm = unigram_lm_fit(docs)
-    scored = lm_quality_score(docs, lm)
+    lm = unigram_lm_fit(corpus)
+    scored = lm_quality_score(corpus, lm)
     cut = scored.agg(F.percentile("lm_score", F.lit(0.3)).alias("c")).collect()[
         0
     ]["c"]
-    tail = scored.filter(F.col("lm_score") <= cut).select("doc_id")
-    expected = exact_dedup(docs.join(tail, "doc_id", "left_anti"))
+    surv = scored.filter(F.col("lm_score") > cut).select("doc_id")
+    expected = exact_dedup(corpus.join(surv, "doc_id", "semi"))
     exp_ids = {r["doc_id"] for r in expected.select("doc_id").collect()}
     assert got_ids == exp_ids
-    assert len(got_ids) < docs.count()  # the tail actually went
+    assert len(got_ids) < corpus.count()  # the tail actually went
 
 
 def test_curate_corpus_gopher_rep_stage(spark, tables):
