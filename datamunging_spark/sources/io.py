@@ -364,3 +364,42 @@ def read_binary_files(
     if glob:
         r = r.option("pathGlobFilter", glob)
     return r.load(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_mb: int = 512,
+    compression: str = "zstd",
+) -> int:
+    """Small-file compaction — the maintenance pass every long-running
+    ingest loop needs: a path accumulating thousands of per-batch part
+    files (each micro-batch of ``streaming_ingest`` / ``ingest_batch``
+    writes its own) is rewritten as ~``target_file_mb`` files, restoring
+    scan efficiency (file-listing cost, row-group sizing, and
+    maxPartitionBytes splitting all degrade with small files).
+
+    The current on-disk byte size comes from the filesystem catalog
+    (Hadoop ``getContentSummary`` — works on HDFS/S3A/local, no data
+    scan); the data is then read once, round-robin repartitioned to
+    ``ceil(bytes / target)`` and written to ``out_path``. Write-then-
+    swap: compacting INTO the source path while readers hold it is not
+    safe on object stores, so the caller owns the rename/retarget step.
+    Returns the output partition count.
+    """
+    import math
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    n_bytes = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, math.ceil(n_bytes / (target_file_mb * 1024 * 1024)))
+    (
+        spark.read.parquet(path)
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(out_path)
+    )
+    return n_files

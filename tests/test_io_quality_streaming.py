@@ -702,3 +702,24 @@ def test_read_binary_files_content_and_glob(spark, tmp_path):
     )
     feats = extract_features(media)
     assert feats.count() == 2
+
+
+def test_compact_parquet_merges_small_files(spark, tables, tmp_path):
+    """Compaction: a 32-part write collapses to the catalog-size-derived
+    file count with identical rows."""
+    import glob
+
+    from datamunging_spark.sources.io import compact_parquet
+
+    src = str(tmp_path / "frag")
+    out = str(tmp_path / "compact")
+    docs = tables["documents"].select("doc_id", "text")
+    docs.repartition(32).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(src + "/part-*")) == 32
+
+    n = compact_parquet(spark, src, out, target_file_mb=512)
+    assert n == 1  # tiny dataset → single target file
+    assert len(glob.glob(out + "/part-*")) == 1
+    a = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    b = sorted(r["doc_id"] for r in docs.collect())
+    assert a == b
