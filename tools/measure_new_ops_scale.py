@@ -10,6 +10,8 @@ for operators whose contract says cost tracks a controllable knob:
   should scale ~linearly in tokens.
 * substring decontamination: corpus_rows x probes char scans — linear in
   corpus for a fixed probe set.
+* PQ encode + ADC search: one Arrow pass each over the corpus/codes —
+  linear in vectors for a fixed query batch.
 
 Usage: python tools/measure_new_ops_scale.py [sf_dir]
 """
@@ -95,6 +97,21 @@ def main():
           lambda: decontaminate_substring(docs, bench, min_len=20).count())
     timed("substring decontam 10x corpus, fixed probes",
           lambda: decontaminate_substring(docs10, bench, min_len=20).count())
+
+    from datamunging_spark.operators.similarity import (
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+
+    cb = pq_fit(emb, m=8, k=64, iters=5, max_fit_rows=2000)
+    probes = emb.filter(F.col("vec_id") < 8)
+
+    def pq(corpus):
+        return pq_topk(probes, pq_encode(corpus, cb), cb, k=5).count()
+
+    timed("PQ encode+ADC search 1x vectors", lambda: pq(emb))
+    timed("PQ encode+ADC search 10x vectors", lambda: pq(emb10))
 
 
 if __name__ == "__main__":
