@@ -1180,7 +1180,8 @@ def q_x1_url_dedup(spark, sf_dir):
     fragment/trailing-slash/tracking-param/param-order invariant) and keep
     the min-id doc per canonical URL. The documents table has no url
     column, so five URL VARIANTS are synthesized per id group from doc_id
-    — scheme+www+tracking+param-order noise (ids ≡0,1 mod 5 must collapse),
+    — protocol-relative+www+tracking+param-order noise (ids ≡0,1 mod 5
+    must collapse; the ≡0 variant spells the page as ``//host/...``),
     fragment+trailing-slash+host-case noise (≡2,3 collapse), and a unique
     control (≡4) — and the oracle re-derives the whole canonicalization
     in SQL, so the regex chain's semantics (not just the planted group
@@ -1192,7 +1193,7 @@ def q_x1_url_dedup(spark, sf_dir):
     g = F.floor(F.col("doc_id") / 5).cast("bigint").cast("string")
     v = F.col("doc_id") % 5
     url = (
-        F.when(v == 0, F.concat(F.lit("https://www.Example.com/p/"), g,
+        F.when(v == 0, F.concat(F.lit("//www.Example.com/p/"), g,
                                 F.lit("?utm_source=x&b=2&a=1")))
         .when(v == 1, F.concat(F.lit("http://example.com/p/"), g,
                                F.lit("/?a=1&b=2&fbclid=zz")))
@@ -1919,7 +1920,7 @@ def oracle_sql() -> dict[str, str]:
             WITH u AS (
               SELECT doc_id,
                 CASE CAST(doc_id % 5 AS INT)
-                  WHEN 0 THEN 'https://www.Example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '?utm_source=x&b=2&a=1'
+                  WHEN 0 THEN '//www.Example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '?utm_source=x&b=2&a=1'
                   WHEN 1 THEN 'http://example.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '/?a=1&b=2&fbclid=zz'
                   WHEN 2 THEN 'https://example.com/q/' || CAST(doc_id // 5 AS VARCHAR) || '/#section'
                   WHEN 3 THEN 'ftp://EXAMPLE.com/q/' || CAST(doc_id // 5 AS VARCHAR)
@@ -1928,7 +1929,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ), parts AS (
               SELECT doc_id, url,
-                     regexp_replace(trim(url), '^[a-zA-Z][a-zA-Z0-9+.-]*://', '') AS noscheme
+                     regexp_replace(trim(url), '^([a-zA-Z][a-zA-Z0-9+.-]*:)?//', '') AS noscheme
               FROM u
             ), hp AS (
               SELECT doc_id, url,
@@ -1963,7 +1964,7 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN len(words) > 0
                           THEN list_aggregate(list_transform(words, x -> length(x)), 'sum') / len(words)
                           ELSE 0.0 END AS mean_len,
-                     length(c) - length(regexp_replace(c, '#|\.\.\.|…', '', 'g')) AS n_symbols,
+                     len(regexp_extract_all(c, '#|\.\.\.|…')) AS n_symbols,
                      CASE WHEN len(words) > 0
                           THEN len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) / len(words)
                           ELSE 0.0 END AS alpha_frac,

@@ -336,7 +336,9 @@ def normalize_url(col: Column | str) -> Column:
     * remaining query params sorted (param order is not identity).
     """
     c = F.trim(F.col(col) if isinstance(col, str) else col)
-    c = F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    # scheme ("https://") OR protocol-relative ("//host/...") prefix —
+    # scraped href lists mix both spellings of the same page
+    c = F.regexp_replace(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*:)?//", "")
     host = F.lower(F.regexp_extract(c, r"^([^/?#]+)", 1))
     host = F.regexp_replace(host, r"^www\.", "")
     rest = F.regexp_replace(c, r"^[^/?#]+", "")
@@ -395,12 +397,16 @@ def url_domain(col: Column | str, registered: bool = True) -> Column:
     the safe direction for a contribution CAP). ``registered=False``
     returns the full lowercased host with any ``www.`` stripped."""
     c = F.trim(F.col(col) if isinstance(col, str) else col)
-    c = F.regexp_replace(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    c = F.regexp_replace(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*:)?//", "")
     host = F.lower(F.regexp_extract(c, r"^([^/?#:]+)", 1))
     host = F.regexp_replace(host, r"^www\.", "")
     if not registered:
         return host
-    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    # dotless hosts (localhost, intranet names) have no two-label form;
+    # falling back to the host itself keeps them as DISTINCT cap groups
+    # instead of one merged '' bucket
+    return F.when(two == "", host).otherwise(two)
 
 
 def salted_row_key(id_cols: list[Column | str], salt: str = "0") -> Column:

@@ -70,8 +70,18 @@ def url_dedup(
     from datamunging_spark.functions import normalize_url
 
     _hash_tmp_guard(df)
+    norm = normalize_url(url_col)
+    # NULL/empty URL is MISSING identity, not SHARED identity — unlike
+    # exact_dedup's NULL text (which really is identical content), two
+    # docs without URLs are not the same page. Key such rows by their own
+    # id so they pass through undeduped instead of collapsing to one
+    # survivor per batch.
     hashed = df.withColumn(
-        _HASH_TMP, F.md5(F.coalesce(normalize_url(url_col), F.lit("")))
+        _HASH_TMP,
+        F.when(
+            norm.isNull() | (norm == ""),
+            F.concat(F.lit("__nourl__"), F.col(id_col).cast("string")),
+        ).otherwise(F.md5(norm)),
     )
     keep = hashed.groupBy(_HASH_TMP).agg(F.min(id_col).alias(id_col))
     return hashed.join(keep, on=[_HASH_TMP, id_col], how="inner").drop(
@@ -1118,11 +1128,16 @@ def simhash_pairs(
         )
     width = 64 // bands
     chunk_mask = (1 << width) - 1 if width < 64 else -1
-    sh = (
-        _precomputed_sh
-        if _precomputed_sh is not None
-        else simhash_df(df, text_col, id_col, 64, shingle_words)
-    )
+    if _precomputed_sh is not None:
+        sh = _precomputed_sh
+    else:
+        # the signature plan feeds banding plus BOTH candidate re-joins;
+        # materialize once or the dominant shingle/bit-vote aggregation
+        # executes three times per action (same rule minhash_lsh_pairs
+        # applies to its signature table)
+        sh = simhash_df(
+            df, text_col, id_col, 64, shingle_words
+        ).localCheckpoint()
     banded = sh.select(
         id_col,
         F.explode(

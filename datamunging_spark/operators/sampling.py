@@ -78,18 +78,13 @@ def stratified_sample(
         thr = scale if frac >= 1.0 else max(0, int(frac * scale))
         pairs += [F.lit(v), F.lit(thr)]
     thresholds = F.create_map(*pairs)
+    from datamunging_spark.functions import salted_row_key
+
+    # the ONE salted-key definition (functions.salted_row_key) — an
+    # inline md5(concat_ws(...)) copy here could drift and silently break
+    # cross-function key compatibility
     u = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.lit(str(seed)),
-                    *[F.col(c).cast("string") for c in id_cols],
-                )
-            ),
-            1,
-            precision,
-        ),
+        F.substring(salted_row_key(list(id_cols), str(seed)), 1, precision),
         16,
         10,
     ).cast("long")

@@ -220,9 +220,10 @@ def gopher_quality_flags(
         )
         / n_words,
     ).otherwise(F.lit(0.0))
-    n_symbols = (
-        F.length(c) - F.length(F.regexp_replace(c, r"#|\.\.\.|…", ""))
-    )
+    # occurrences, not characters: '...' must weigh the same as '…'
+    # (the published rule counts symbol UNITS; char counting triple-
+    # weights the ASCII spelling)
+    n_symbols = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
     alpha_frac = F.when(
         n_words > 0,
         F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words,

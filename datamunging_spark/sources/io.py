@@ -271,6 +271,16 @@ def read_jsonl(
         "columnNameOfCorruptRecord", corrupt_col
     )
     if schema is not None:
+        # Spark only POPULATES the corrupt column if the schema declares
+        # it; without this append a caller's plain doc schema would turn
+        # malformed lines into all-NULL rows indistinguishable from
+        # legitimately-NULL records — no quarantine possible
+        if corrupt_col not in schema.fieldNames():
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            schema = StructType(
+                list(schema.fields) + [StructField(corrupt_col, StringType())]
+            )
         reader = reader.schema(schema)
     return reader.json(path)
 

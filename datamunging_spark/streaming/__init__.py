@@ -204,11 +204,28 @@ def incremental_dedup_stream(
     )
 
 
+def _latest_snapshot_version(spark, snapshots_path: str):
+    """Highest v{batch_id} subdirectory under ``snapshots_path`` via the
+    Hadoop FS catalog (works on HDFS/S3A/local), or None when absent."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(snapshots_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return None
+    versions = []
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit():
+            versions.append(int(name[1:]))
+    return max(versions) if versions else None
+
+
 def streaming_ingest(
     docs_stream: DataFrame,
     snapshots=None,
     survivors_path: str | None = None,
     checkpoint_path: str | None = None,
+    snapshots_path: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
@@ -238,16 +255,35 @@ def streaming_ingest(
     Runs with ``availableNow`` (drain-and-stop; the test-harness and
     backfill shape — swap the trigger for production continuous runs) and
     returns the final :class:`~datamunging_spark.operators.dedup.
-    Snapshots` for persisting via ``write_snapshots``. Per-batch state is
-    pinned with ``localCheckpoint`` so snapshot lineage does not deepen
-    with every micro-batch (at cluster scale, write each roll-forward to
-    a versioned parquet path instead — same seam as ``ingest_batch``).
-    """
-    from datamunging_spark.operators.dedup import Snapshots, ingest_batch
+    Snapshots` for persisting via ``write_snapshots``.
 
-    state = {
-        "snaps": snapshots if snapshots is not None else Snapshots(None, None)
-    }
+    **Restart durability**: when ``checkpoint_path`` is set, Structured
+    Streaming SKIPS committed micro-batches on restart — so dedup state
+    advanced only in driver memory would be silently lost for exactly
+    those batches (their duplicates would pass forever). Set
+    ``snapshots_path`` alongside it: each batch's roll-forward is
+    persisted to ``{snapshots_path}/v{batch_id}`` (versioned —
+    write_snapshots documents why self-overwrite is unsafe) and on start
+    the LATEST version is loaded, overriding the ``snapshots`` argument,
+    so the snapshot state and the streaming commit log advance together.
+    Memory-only state (``snapshots_path=None``) keeps per-batch
+    ``localCheckpoint`` pinning and is fine for availableNow drains that
+    persist the RETURNED snapshots themselves.
+    """
+    from datamunging_spark.operators.dedup import (
+        Snapshots,
+        ingest_batch,
+        read_snapshots,
+        write_snapshots,
+    )
+
+    start = snapshots if snapshots is not None else Snapshots(None, None)
+    spark = docs_stream.sparkSession
+    if snapshots_path is not None:
+        latest = _latest_snapshot_version(spark, snapshots_path)
+        if latest is not None:
+            start = read_snapshots(spark, f"{snapshots_path}/v{latest:020d}")
+    state = {"snaps": start}
 
     def _process(batch_df, batch_id):
         if not batch_df.head(1):
@@ -262,10 +298,15 @@ def streaming_ingest(
         )
         if survivors_path is not None:
             surv.write.mode("append").parquet(survivors_path)
-        state["snaps"] = Snapshots(
-            snaps.content.localCheckpoint(),
-            snaps.signatures.localCheckpoint(),
-        )
+        if snapshots_path is not None:
+            vpath = f"{snapshots_path}/v{batch_id:020d}"
+            write_snapshots(snaps, vpath)
+            state["snaps"] = read_snapshots(batch_df.sparkSession, vpath)
+        else:
+            state["snaps"] = Snapshots(
+                snaps.content.localCheckpoint(),
+                snaps.signatures.localCheckpoint(),
+            )
 
     writer = docs_stream.writeStream.foreachBatch(_process).trigger(
         availableNow=True

@@ -723,3 +723,59 @@ def test_compact_parquet_merges_small_files(spark, tables, tmp_path):
     a = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     b = sorted(r["doc_id"] for r in docs.collect())
     assert a == b
+
+
+def test_streaming_ingest_snapshot_state_survives_restart(spark, tmp_path):
+    """Restart durability: with checkpoint_path set, Structured Streaming
+    SKIPS committed micro-batches on restart, so dedup state held only in
+    driver memory would lose those batches' contents. With snapshots_path
+    set, the roll-forward is versioned per batch and reloaded on start —
+    a RESTARTED run (fresh in-memory state, same checkpoint) must still
+    drop a duplicate of a batch committed before the 'crash'."""
+    from datamunging_spark.streaming import streaming_ingest
+
+    src = tmp_path / "restart_src"
+    src.mkdir()
+    a = "alpha beta gamma delta epsilon content"
+    b = "totally different second document body"
+    spark.createDataFrame(
+        [(1, a)], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(str(src / "f1"))
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+
+    out, ckpt, snaps_dir = (
+        str(tmp_path / "surv"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "snaps"),
+    )
+    # run 1: ingest f1, commit, "crash" (function returns, memory gone)
+    streaming_ingest(
+        stream(),
+        survivors_path=out,
+        checkpoint_path=ckpt,
+        snapshots_path=snaps_dir,
+        threshold=0.5,
+    )
+    # f2 arrives while down: a norm-duplicate of batch-1 content + fresh doc
+    spark.createDataFrame(
+        [(10, a.upper()), (11, b)], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(str(src / "f2"))
+    # run 2: same checkpoint (f1 skipped as committed), FRESH memory —
+    # state must come from the persisted snapshot versions
+    snaps = streaming_ingest(
+        stream(),
+        survivors_path=out,
+        checkpoint_path=ckpt,
+        snapshots_path=snaps_dir,
+        threshold=0.5,
+    )
+    surv = spark.read.parquet(out)
+    texts = sorted(r["text"].lower() for r in surv.collect())
+    assert texts == sorted([a, b])  # doc 10 deduped across the restart
+    assert snaps.content.count() == 2
