@@ -622,6 +622,8 @@ def pq_fit(
             seed=seed,
         )
     sample = fit_df.collect()
+    if not sample:
+        raise ValueError("pq_fit: empty corpus — nothing to fit")
     x = np.stack([np.asarray(r[vec_col]) for r in sample]).astype(np.float64)
     n, dim = x.shape
     if dim % m != 0:

@@ -154,3 +154,46 @@ def test_round6_ops_on_empty(spark, empty_docs):
 
     empty_urls = spark.createDataFrame([], "doc_id long, url string")
     assert url_dedup(empty_urls).count() == 0
+
+
+def test_session_new_ops_on_empty(spark, empty_docs):
+    """Round-6 continuation ops: pure transforms return empty cleanly; the
+    model-fit ops raise a CLEAR error (fitting on nothing is a caller bug,
+    but it must not surface as a numpy stack traceback)."""
+    from datamunging_spark.operators.text import (
+        gopher_repetition_flags,
+        hashed_embeddings,
+        lm_quality_score,
+        unigram_lm_fit,
+    )
+    from datamunging_spark.operators.trainset import decontaminate_substring
+
+    assert gopher_repetition_flags(empty_docs).count() == 0
+    assert hashed_embeddings(empty_docs).count() == 0
+    lm = unigram_lm_fit(empty_docs)
+    assert lm.count() == 0
+    # scoring a real corpus against an EMPTY model: everything is OOV
+    one = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    row = lm_quality_score(one, lm, oov_logprob=-20.0).collect()[0]
+    assert row["n_oov"] == 2 and row["lm_score"] == -20.0
+    # empty benchmark → corpus unchanged; empty corpus → empty out
+    assert decontaminate_substring(empty_docs, empty_docs).count() == 0
+    assert decontaminate_substring(one, empty_docs).count() == 1
+    assert (
+        decontaminate_substring(
+            one, empty_docs, matcher="multipattern"
+        ).count()
+        == 1
+    )
+
+
+def test_vector_fit_ops_on_empty(spark):
+    """pq_fit / ivf-backed semantic ops on an empty vector table raise a
+    clear error instead of a deep numpy/MLlib traceback."""
+    import pytest
+
+    from datamunging_spark.operators.similarity import pq_fit
+
+    empty_vec = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        pq_fit(empty_vec)
