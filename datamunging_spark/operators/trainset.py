@@ -665,3 +665,41 @@ def write_training_shards(
         .format(fmt)
         .save(path)
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    temperature: float = 2.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based source rebalancing (Conneau & Lample 2019 XLM
+    §3.1 / mT5's sampling rule): target share of source i ∝ n_i^(1/T).
+    T=1 keeps the natural distribution (all weights 1); T→∞ approaches a
+    uniform mix; 2-5 is the published multilingual range — low-resource
+    sources are upsampled without letting them dominate.
+
+    The per-source copy factor f_i = (n_i^(1/T) / Σ n_j^(1/T)) · N / n_i
+    preserves the total expected corpus size while shifting shares.
+    Counts come from one low-cardinality aggregate collected driver-side
+    (the sources list is tiny by definition); the mixing itself is
+    :func:`source_mix`'s deterministic md5-fractional machinery, so the
+    result is engine-portable and partition-layout-invariant.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return source_mix(df, {}, source_col, id_col)
+    total = sum(counts.values())
+    powed = {s: n ** (1.0 / temperature) for s, n in counts.items()}
+    z = sum(powed.values())
+    weights = {
+        s: (powed[s] / z) * total / counts[s] for s in counts
+    }
+    return source_mix(df, weights, source_col, id_col)

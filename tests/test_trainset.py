@@ -430,3 +430,36 @@ def test_ac_automaton_overlapping_and_suffix_patterns(spark):
     assert _ac_find_any("xyz", auto)
     assert not _ac_find_any("herzxy", auto)
     assert not _ac_find_any("", auto)
+
+
+def test_temperature_mix_shares(spark):
+    """T=1 is the identity mix (every weight 1, one copy per doc); higher T
+    flattens shares — the minority source's share strictly rises and the
+    majority's falls, with total volume approximately preserved."""
+    from pyspark.sql import functions as F
+
+    from datamunging_spark.operators.trainset import temperature_mix
+
+    rows = [(i, "big") for i in range(900)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+
+    t1 = temperature_mix(df, temperature=1.0)
+    assert t1.count() == 1000
+    assert t1.filter(F.col("copy") != 0).count() == 0
+
+    t5 = temperature_mix(df, temperature=5.0)
+    got = {
+        r["source"]: r["n"]
+        for r in t5.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert got["small"] > 100 and got["big"] < 900  # flattened toward uniform
+    assert abs(sum(got.values()) - 1000) < 60  # volume ~preserved (md5 frac)
+    small_share = got["small"] / sum(got.values())
+    assert 0.1 < small_share < 0.5  # between natural and uniform
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        temperature_mix(df, temperature=0.0)
