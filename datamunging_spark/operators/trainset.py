@@ -699,7 +699,15 @@ def temperature_mix(
     total = sum(counts.values())
     powed = {s: n ** (1.0 / temperature) for s, n in counts.items()}
     z = sum(powed.values())
+
+    def snap(w: float) -> float:
+        # float pow/div can land one ulp below an exact integer, and
+        # 0.9999999999999999 would make source_mix drop the 1/65536 of
+        # docs whose md5 prefix is 'ffff' — T=1 must be the identity
+        r = round(w)
+        return float(r) if abs(w - r) < 1e-9 else w
+
     weights = {
-        s: (powed[s] / z) * total / counts[s] for s in counts
+        s: snap((powed[s] / z) * total / counts[s]) for s in counts
     }
     return source_mix(df, weights, source_col, id_col)

@@ -219,13 +219,28 @@ def write_compacted(
         )
     except Exception:  # noqa: BLE001 — py4j/private-API guard
         size_bytes = 0
-    n_files = max(1, round(size_bytes / (target_file_mb * 1024 * 1024)))
+    _compacted_write(df, path, size_bytes, target_file_mb, compression)
+
+
+def _compacted_write(
+    df: DataFrame,
+    path: str,
+    size_bytes: int,
+    target_file_mb: int,
+    compression: str,
+) -> int:
+    """The one size→file-count policy behind write_compacted and
+    compact_parquet (round-robin repartition to ~target-sized files)."""
+    import math
+
+    n_files = max(1, math.ceil(size_bytes / (target_file_mb * 1024 * 1024)))
     (
         df.repartition(n_files)
         .write.mode("overwrite")
         .option("compression", compression)
         .parquet(path)
     )
+    return n_files
 
 
 def read_lines(spark: SparkSession, path: str) -> DataFrame:
@@ -271,13 +286,17 @@ def read_jsonl(
         "columnNameOfCorruptRecord", corrupt_col
     )
     if schema is not None:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        # DDL-string schemas ("doc_id long, text string") are a supported
+        # DataFrameReader.schema() form — normalize before the field check
+        if isinstance(schema, str):
+            schema = StructType.fromDDL(schema)
         # Spark only POPULATES the corrupt column if the schema declares
         # it; without this append a caller's plain doc schema would turn
         # malformed lines into all-NULL rows indistinguishable from
         # legitimately-NULL records — no quarantine possible
         if corrupt_col not in schema.fieldNames():
-            from pyspark.sql.types import StringType, StructField, StructType
-
             schema = StructType(
                 list(schema.fields) + [StructField(corrupt_col, StringType())]
             )
@@ -392,24 +411,19 @@ def compact_parquet(
 
     The current on-disk byte size comes from the filesystem catalog
     (Hadoop ``getContentSummary`` — works on HDFS/S3A/local, no data
-    scan); the data is then read once, round-robin repartitioned to
-    ``ceil(bytes / target)`` and written to ``out_path``. Write-then-
-    swap: compacting INTO the source path while readers hold it is not
-    safe on object stores, so the caller owns the rename/retarget step.
-    Returns the output partition count.
+    scan); the write half is :func:`_compacted_write` — ONE copy of the
+    size→file-count policy shared with :func:`write_compacted`, which
+    differs only in taking the byte size from the optimizer's
+    ``sizeInBytes`` (it has a DataFrame, not a path). Write-then-swap:
+    compacting INTO the source path while readers hold it is not safe on
+    object stores, so the caller owns the rename/retarget step. Returns
+    the output partition count.
     """
-    import math
-
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     n_bytes = fs.getContentSummary(jpath).getLength()
-    n_files = max(1, math.ceil(n_bytes / (target_file_mb * 1024 * 1024)))
-    (
-        spark.read.parquet(path)
-        .repartition(n_files)
-        .write.mode("overwrite")
-        .option("compression", compression)
-        .parquet(out_path)
+    return _compacted_write(
+        spark.read.parquet(path), out_path, n_bytes, target_file_mb,
+        compression,
     )
-    return n_files

@@ -204,19 +204,47 @@ def incremental_dedup_stream(
     )
 
 
-def _latest_snapshot_version(spark, snapshots_path: str):
-    """Highest v{batch_id} subdirectory under ``snapshots_path`` via the
-    Hadoop FS catalog (works on HDFS/S3A/local), or None when absent."""
+_SNAPSHOT_MARKER = "_SNAPSHOTS_COMMITTED"
+
+
+def _snapshot_fs(spark, path: str):
     jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _snapshot_version_committed(spark, vpath: str) -> bool:
+    fs, jvm = _snapshot_fs(spark, vpath)
+    return fs.exists(jvm.org.apache.hadoop.fs.Path(f"{vpath}/{_SNAPSHOT_MARKER}"))
+
+
+def _mark_snapshot_committed(spark, vpath: str) -> None:
+    fs, jvm = _snapshot_fs(spark, vpath)
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{vpath}/{_SNAPSHOT_MARKER}"), True
+    ).close()
+
+
+def _latest_snapshot_version(spark, snapshots_path: str):
+    """Highest COMMITTED v{batch_id} subdirectory under ``snapshots_path``
+    via the Hadoop FS catalog (works on HDFS/S3A/local), or None when
+    absent. Only versions carrying the ``_SNAPSHOTS_COMMITTED`` marker
+    count: write_snapshots writes content/ then signatures/ non-
+    atomically, and loading a torn version (content without signatures)
+    would silently drop the fuzzy-dedup history."""
+    fs, jvm = _snapshot_fs(spark, snapshots_path)
     jpath = jvm.org.apache.hadoop.fs.Path(snapshots_path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
         return None
     versions = []
     for status in fs.listStatus(jpath):
         name = status.getPath().getName()
         if name.startswith("v") and name[1:].isdigit():
-            versions.append(int(name[1:]))
+            v = int(name[1:])
+            if _snapshot_version_committed(
+                spark, f"{snapshots_path}/{name}"
+            ):
+                versions.append(v)
     return max(versions) if versions else None
 
 
@@ -286,6 +314,20 @@ def streaming_ingest(
     state = {"snaps": start}
 
     def _process(batch_df, batch_id):
+        if snapshots_path is not None:
+            vpath = f"{snapshots_path}/v{batch_id:020d}"
+            if _snapshot_version_committed(batch_df.sparkSession, vpath):
+                # replay of a batch whose state commit survived a crash
+                # (crash landed between the snapshot write and the
+                # streaming commit): state is already durable, and the
+                # survivor-sink append for this batch already happened —
+                # re-running would duplicate the sink AND self-overwrite
+                # the version this run's state was loaded from
+                # (overwrite deletes input files mid-scan). Full no-op.
+                state["snaps"] = read_snapshots(
+                    batch_df.sparkSession, vpath
+                )
+                return
         if not batch_df.head(1):
             return
         surv, snaps = ingest_batch(
@@ -300,8 +342,10 @@ def streaming_ingest(
             surv.write.mode("append").parquet(survivors_path)
         if snapshots_path is not None:
             vpath = f"{snapshots_path}/v{batch_id:020d}"
+            bspark = batch_df.sparkSession
             write_snapshots(snaps, vpath)
-            state["snaps"] = read_snapshots(batch_df.sparkSession, vpath)
+            _mark_snapshot_committed(bspark, vpath)
+            state["snaps"] = read_snapshots(bspark, vpath)
         else:
             state["snaps"] = Snapshots(
                 snaps.content.localCheckpoint(),

@@ -779,3 +779,52 @@ def test_streaming_ingest_snapshot_state_survives_restart(spark, tmp_path):
     texts = sorted(r["text"].lower() for r in surv.collect())
     assert texts == sorted([a, b])  # doc 10 deduped across the restart
     assert snaps.content.count() == 2
+
+
+def test_streaming_ingest_replayed_batch_is_noop(spark, tmp_path):
+    """Crash window between the snapshot write and the streaming commit:
+    restarting with a FRESH checkpoint (checkpoint lost, snapshots
+    retained — the post-crash recovery shape) replays the source as batch
+    0, whose snapshot version is already committed. The replay must be a
+    full no-op — no self-overwrite crash of the snapshot version this
+    run's state was loaded from, and no duplicate survivor append."""
+    from datamunging_spark.streaming import streaming_ingest
+
+    src = tmp_path / "replay_src"
+    src.mkdir()
+    a = "alpha beta gamma delta epsilon content"
+    spark.createDataFrame(
+        [(1, a)], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(str(src / "f1"))
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+
+    out, ckpt, snaps_dir = (
+        str(tmp_path / "surv"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "snaps"),
+    )
+    streaming_ingest(
+        stream(),
+        survivors_path=out,
+        checkpoint_path=ckpt,
+        snapshots_path=snaps_dir,
+        threshold=0.5,
+    )
+    # crash simulation: the streaming commit log is gone, the snapshot
+    # versions survived — batch 0 replays against committed v0
+    snaps = streaming_ingest(
+        stream(),
+        survivors_path=out,
+        checkpoint_path=str(tmp_path / "ckpt2"),
+        snapshots_path=snaps_dir,
+        threshold=0.5,
+    )
+    surv = spark.read.parquet(out)
+    assert surv.count() == 1  # replay did NOT duplicate the sink append
+    assert snaps.content.count() == 1  # state intact, no self-overwrite
