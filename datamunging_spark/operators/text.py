@@ -325,7 +325,9 @@ def chunk_documents(
     )
 
 
-def unigram_lm_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
+def unigram_lm_fit(
+    df: DataFrame, text_col: str = "text", group_col: str | None = None
+) -> DataFrame:
     """Fit a unigram language model over the corpus: one (token, cnt,
     logprob) row per distinct normalized token, logprob = ln(cnt / total).
 
@@ -337,25 +339,39 @@ def unigram_lm_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
     whitespace words of :func:`~datamunging_spark.functions.normalize_text`
     form, so the fit composes with the dedup family's normalization.
 
+    ``group_col`` fits ONE MODEL PER GROUP (CCNet's per-language
+    structure): probabilities are conditioned on the group, the output
+    carries the group column, and :func:`lm_quality_score` joins on
+    (group, token) — a doc is scored against ITS OWN language's model,
+    so cross-language token collisions stop polluting scores.
+
     Plan: explode → one hash aggregate (map-side combinable, uniform
-    token key) + a broadcast single-row total — the TF-IDF docfreq shape.
+    token key) + a broadcast per-group total — the TF-IDF docfreq shape.
     The result is vocabulary-sized (≪ corpus), the natural broadcast side
     of the scoring join. ``logprob`` is rounded to 7 decimals so scores
     survive engine-to-engine float differences in downstream decimal sums.
     """
     from datamunging_spark.functions import normalize_text
 
+    gb = [group_col] if group_col else []
     toks = df.select(
+        *gb,
         F.explode(
             F.filter(
                 F.split(normalize_text(text_col), " ", -1),
                 lambda w: w != "",
             )
-        ).alias("token")
+        ).alias("token"),
     )
-    cnts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = cnts.agg(F.sum("cnt").alias("_total"))
-    return cnts.crossJoin(F.broadcast(total)).select(
+    cnts = toks.groupBy(*gb, "token").agg(F.count(F.lit(1)).alias("cnt"))
+    if gb:
+        totals = cnts.groupBy(*gb).agg(F.sum("cnt").alias("_total"))
+        joined = cnts.join(F.broadcast(totals), on=gb)
+    else:
+        total = cnts.agg(F.sum("cnt").alias("_total"))
+        joined = cnts.crossJoin(F.broadcast(total))
+    return joined.select(
+        *gb,
         "token",
         "cnt",
         F.round(
@@ -371,6 +387,7 @@ def lm_quality_score(
     id_col: str = "doc_id",
     oov_logprob: float = -20.0,
     broadcast_lm: bool = True,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Score each document's mean per-token unigram log-probability under a
     :func:`unigram_lm_fit` model — the distributed form of the perplexity
@@ -391,8 +408,10 @@ def lm_quality_score(
     """
     from datamunging_spark.functions import normalize_text
 
+    gb = [group_col] if group_col else []
     toks = df.select(
         F.col(id_col),
+        *gb,
         F.explode(
             F.filter(
                 F.split(normalize_text(text_col), " ", -1),
@@ -401,12 +420,13 @@ def lm_quality_score(
         ).alias("token"),
     )
     model = lm.select(
-        "token", F.col("logprob").cast("decimal(28,7)").alias("_lp")
+        *gb, "token", F.col("logprob").cast("decimal(28,7)").alias("_lp")
     )
     if broadcast_lm:
         model = F.broadcast(model)
     oov = F.lit(oov_logprob).cast("decimal(28,7)")
-    scored = toks.join(model, on="token", how="left")
+    # per-group model: a doc's tokens only match ITS group's vocabulary
+    scored = toks.join(model, on=[*gb, "token"], how="left")
     return (
         scored.groupBy(id_col)
         .agg(

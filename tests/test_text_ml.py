@@ -393,3 +393,45 @@ def test_hashed_embeddings_feed_semantic_dedup(spark, tables):
     kept = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert not any(v >= 700000 for v in kept)  # every planted copy gone
     assert all(v in kept for v in range(5))    # originals survive
+
+
+def test_unigram_lm_per_group_models(spark):
+    """group_col fits one model per group: probabilities condition on the
+    group (same token, different logprob per language), scoring joins on
+    (group, token), and a token common in lang A but absent in lang B is
+    OOV for a B doc — the cross-language pollution the per-language
+    structure exists to stop."""
+    import math
+
+    from datamunging_spark.operators.text import (
+        lm_quality_score,
+        unigram_lm_fit,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "le chat le chat", "fr"),
+            (2, "the cat sat", "en"),
+            (3, "chat room", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    lm = unigram_lm_fit(df, group_col="lang")
+    got = {(r["lang"], r["token"]): r["logprob"] for r in lm.collect()}
+    # 'chat': 2/4 of fr tokens, 1/5 of en tokens — group-conditional
+    assert got[("fr", "chat")] == round(math.log(2 / 4), 7)
+    assert got[("en", "chat")] == round(math.log(1 / 5), 7)
+    assert ("en", "le") not in got  # vocabulary is per group
+
+    scored = {
+        r["doc_id"]: r
+        for r in lm_quality_score(
+            df, lm, group_col="lang", oov_logprob=-20.0
+        ).collect()
+    }
+    assert scored[1]["n_oov"] == 0
+    # doc 2's tokens all exist in en; 'le' would be OOV for an en doc
+    en_doc = spark.createDataFrame([(9, "le chat", "en")],
+                                   ["doc_id", "text", "lang"])
+    r9 = lm_quality_score(en_doc, lm, group_col="lang").collect()[0]
+    assert r9["n_oov"] == 1  # 'le' unknown to the en model
