@@ -713,3 +713,132 @@ def hashed_embeddings(
         .otherwise(vec)
         .alias(out),
     )
+
+
+def bigram_lm_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Conditional bigram model over normalized word sequences: one
+    (w1, w2, cnt, cond_logprob) row per observed bigram, with
+    ``cond_logprob = ln(c(w1,w2) / c_pre(w1))`` where ``c_pre(w1)`` is
+    w1's non-final occurrence count (= Σ_w2 c(w1,w2)) — a proper
+    conditional distribution per context word. The upgrade tier over
+    :func:`unigram_lm_fit` for the perplexity-proxy quality gate;
+    combine both via :func:`lm_quality_score_interpolated`.
+
+    Plan: linear per-row pair construction (touched-once HOF), explode →
+    (w1, w2) hash aggregate → context-count aggregate → one join. The
+    model is bigram-vocabulary-sized; broadcast side of the scoring join.
+    """
+    from datamunging_spark.functions import normalize_text
+
+    words = F.filter(
+        F.split(normalize_text(text_col), " ", -1), lambda w: w != ""
+    )
+    pairs = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.struct(
+                F.element_at(words, i.cast("int")).alias("w1"),
+                F.element_at(words, (i + 1).cast("int")).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    exploded = df.select(F.explode(pairs).alias("_p")).select(
+        F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+    )
+    cnts = exploded.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = cnts.groupBy("w1").agg(F.sum("cnt").alias("_ctx"))
+    return cnts.join(ctx, on="w1").select(
+        "w1",
+        "w2",
+        "cnt",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("_ctx")), 7
+        ).alias("cond_logprob"),
+    )
+
+
+def lm_quality_score_interpolated(
+    df: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    lam: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_logprob: float = -20.0,
+) -> DataFrame:
+    """Jelinek-Mercer interpolated LM score: per token,
+    ``p = λ·p(w|prev) + (1−λ)·p(w)`` — unseen bigrams back off smoothly
+    to the unigram tier instead of flooring, and each doc's FIRST token
+    (no context) scores on the unigram alone. OOV tokens (absent from
+    the unigram vocabulary) take ``oov_logprob``. Output matches
+    :func:`lm_quality_score`: (id, n_tokens, n_oov, lm_score), decimal
+    sums → reduction-order-independent.
+
+    Plan: one explode carrying (prev, word) per token, two broadcast
+    joins (unigram + bigram models), one hash aggregate back to doc
+    grain. Probabilities are recovered from the stored logprobs
+    (exp(ln p) — ~1e-7 relative error from the model's rounding,
+    irrelevant at quality-gate granularity).
+    """
+    from datamunging_spark.functions import normalize_text
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0,1], got {lam}")
+    words = F.filter(
+        F.split(normalize_text(text_col), " ", -1), lambda w: w != ""
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(words)),
+                lambda i: F.struct(
+                    F.when(i > 1, F.element_at(words, (i - 1).cast("int")))
+                    .otherwise(F.lit(None))
+                    .alias("prev"),
+                    F.element_at(words, i.cast("int")).alias("w"),
+                ),
+            )
+        ).alias("_t"),
+    ).select(id_col, F.col("_t.prev").alias("prev"), F.col("_t.w").alias("w"))
+    u = F.broadcast(
+        uni.select(F.col("token").alias("w"), F.col("logprob").alias("_ul"))
+    )
+    b = F.broadcast(
+        bi.select(
+            F.col("w1").alias("prev"),
+            F.col("w2").alias("w"),
+            F.col("cond_logprob").alias("_bl"),
+        )
+    )
+    j = toks.join(u, on="w", how="left").join(b, on=["prev", "w"], how="left")
+    p_uni = F.exp(F.col("_ul"))
+    p_bi = F.coalesce(F.exp(F.col("_bl")), F.lit(0.0))
+    p = F.when(
+        F.col("_ul").isNull(), F.lit(None)
+    ).otherwise(
+        F.when(F.col("prev").isNull(), p_uni).otherwise(
+            F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni
+        )
+    )
+    lp = F.round(F.log(p), 7).cast("decimal(28,7)")
+    oov = F.lit(oov_logprob).cast("decimal(28,7)")
+    return (
+        j.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_ul").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.sum(F.coalesce(lp, oov)).alias("_s"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("_s").cast("double") / F.col("n_tokens"), 6).alias(
+                "lm_score"
+            ),
+        )
+    )

@@ -435,3 +435,65 @@ def test_unigram_lm_per_group_models(spark):
                                    ["doc_id", "text", "lang"])
     r9 = lm_quality_score(en_doc, lm, group_col="lang").collect()[0]
     assert r9["n_oov"] == 1  # 'le' unknown to the en model
+
+
+def test_bigram_lm_closed_form_and_interpolation(spark):
+    """Hand-computed bigram conditionals on 'a b a b' (p(b|a)=1, p(a|b)=1)
+    and the interpolated score of 'a b': first token unigram-only, second
+    token lam*p(b|a) + (1-lam)*p(b)."""
+    import math
+
+    from datamunging_spark.operators.text import (
+        bigram_lm_fit,
+        lm_quality_score_interpolated,
+        unigram_lm_fit,
+    )
+
+    fit = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    uni = unigram_lm_fit(fit)
+    bi = bigram_lm_fit(fit)
+    got = {(r["w1"], r["w2"]): (r["cnt"], r["cond_logprob"])
+           for r in bi.collect()}
+    # bigrams: (a,b) x2, (b,a) x1; c_pre(a)=2, c_pre(b)=1
+    assert got[("a", "b")] == (2, round(math.log(2 / 2), 7))
+    assert got[("b", "a")] == (1, round(math.log(1 / 1), 7))
+
+    probe = spark.createDataFrame([(9, "a b"), (10, "zz")],
+                                  ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in lm_quality_score_interpolated(
+        probe, uni, bi, lam=0.5).collect()}
+    # token 'a' (first): p = p_uni = exp(round(ln(1/2),7))
+    # token 'b' (prev a): p = 0.5*1.0 + 0.5*exp(round(ln(1/2),7))
+    pu = math.exp(round(math.log(0.5), 7))
+    exp_score = round(
+        (round(math.log(pu), 7) + round(math.log(0.5 + 0.5 * pu), 7)) / 2, 6
+    )
+    assert out[9]["lm_score"] == exp_score and out[9]["n_oov"] == 0
+    assert out[10]["n_oov"] == 1 and out[10]["lm_score"] == -20.0
+
+
+def test_interpolated_lm_rewards_fluent_bigrams(spark, tables):
+    """On the driver corpus: a doc built from REAL corpus bigram sequences
+    must outscore a bag of the same tokens in scrambled order under the
+    interpolated model (the signal the bigram tier adds over unigram)."""
+    from pyspark.sql import functions as F
+
+    from datamunging_spark.operators.text import (
+        bigram_lm_fit,
+        lm_quality_score_interpolated,
+        unigram_lm_fit,
+    )
+
+    docs = tables["documents"].select("doc_id", "text")
+    uni = unigram_lm_fit(docs)
+    bi = bigram_lm_fit(docs)
+    sample = docs.filter(F.col("doc_id") == 0).collect()[0]["text"]
+    toks = sample.lower().split()[:12]
+    fluent = " ".join(toks)
+    scrambled = " ".join(toks[::2] + toks[1::2][::-1])
+    probe = spark.createDataFrame(
+        [(1, fluent), (2, scrambled)], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r["lm_score"] for r in
+           lm_quality_score_interpolated(probe, uni, bi).collect()}
+    assert got[1] > got[2]
