@@ -365,8 +365,15 @@ def unigram_lm_fit(
     )
     cnts = toks.groupBy(*gb, "token").agg(F.count(F.lit(1)).alias("cnt"))
     if gb:
-        totals = cnts.groupBy(*gb).agg(F.sum("cnt").alias("_total"))
-        joined = cnts.join(F.broadcast(totals), on=gb)
+        # per-group totals via a window, NOT an equi-join: window
+        # partitions treat a NULL group value as a real group (an
+        # unidentified-language slice is common after language-ID), while
+        # a join on the group key would silently drop it from the model
+        from pyspark.sql import Window
+
+        joined = cnts.withColumn(
+            "_total", F.sum("cnt").over(Window.partitionBy(*gb))
+        )
     else:
         total = cnts.agg(F.sum("cnt").alias("_total"))
         joined = cnts.crossJoin(F.broadcast(total))
@@ -409,6 +416,15 @@ def lm_quality_score(
     from datamunging_spark.functions import normalize_text
 
     gb = [group_col] if group_col else []
+    extra = set(lm.columns) - {"token", "cnt", "logprob", *gb}
+    if extra:
+        # a per-group model joined on token alone would match one row PER
+        # GROUP containing the token — silently inflating n_tokens and
+        # summing several groups' logprobs; fail fast instead
+        raise ValueError(
+            f"model carries group columns {sorted(extra)} not named in "
+            "group_col — pass the same group_col the model was fit with"
+        )
     toks = df.select(
         F.col(id_col),
         *gb,
@@ -420,13 +436,22 @@ def lm_quality_score(
         ).alias("token"),
     )
     model = lm.select(
-        *gb, "token", F.col("logprob").cast("decimal(28,7)").alias("_lp")
+        *[F.col(g).alias(f"_mg_{g}") for g in gb],
+        F.col("token").alias("_mtok"),
+        F.col("logprob").cast("decimal(28,7)").alias("_lp"),
     )
     if broadcast_lm:
         model = F.broadcast(model)
     oov = F.lit(oov_logprob).cast("decimal(28,7)")
-    # per-group model: a doc's tokens only match ITS group's vocabulary
-    scored = toks.join(model, on=[*gb, "token"], how="left")
+    # per-group model: a doc's tokens only match ITS group's vocabulary;
+    # group keys compare NULL-SAFELY so the unidentified-language slice
+    # scores against its own model instead of going all-OOV
+    cond = F.col("token") == F.col("_mtok")
+    for g in gb:
+        cond = cond & F.col(g).eqNullSafe(F.col(f"_mg_{g}"))
+    scored = toks.join(model, on=cond, how="left").drop(
+        "_mtok", *[f"_mg_{g}" for g in gb]
+    )
     return (
         scored.groupBy(id_col)
         .agg(
@@ -730,9 +755,17 @@ def bigram_lm_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     from datamunging_spark.functions import normalize_text
 
-    words = F.filter(
-        F.split(normalize_text(text_col), " ", -1), lambda w: w != ""
+    # materialize the token array as a BOUND COLUMN before the transform:
+    # embedding the split/normalize expression in the lambda re-evaluates
+    # it per element with no CSE — the O(n²)-per-doc trap SCALE.md's
+    # interpreted-expression discipline documents (measured 4x tokens →
+    # 24x wall before this projection)
+    tokd = df.select(
+        F.filter(
+            F.split(normalize_text(text_col), " ", -1), lambda w: w != ""
+        ).alias("_toks")
     )
+    words = F.col("_toks")
     pairs = F.when(
         F.size(words) >= 2,
         F.transform(
@@ -743,12 +776,12 @@ def bigram_lm_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    exploded = df.select(F.explode(pairs).alias("_p")).select(
+    exploded = tokd.select(F.explode(pairs).alias("_p")).select(
         F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
     )
     cnts = exploded.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     ctx = cnts.groupBy("w1").agg(F.sum("cnt").alias("_ctx"))
-    return cnts.join(ctx, on="w1").select(
+    return cnts.join(F.broadcast(ctx), on="w1").select(
         "w1",
         "w2",
         "cnt",
@@ -783,24 +816,36 @@ def lm_quality_score_interpolated(
     """
     from datamunging_spark.functions import normalize_text
 
-    if not 0.0 <= lam <= 1.0:
-        raise ValueError(f"lam must be in [0,1], got {lam}")
-    words = F.filter(
-        F.split(normalize_text(text_col), " ", -1), lambda w: w != ""
-    )
-    toks = df.select(
+    if not 0.0 <= lam < 1.0:
+        # lam == 1.0 would zero out the unigram tier: an in-vocabulary
+        # token with an unseen bigram scores ln(0) → the OOV floor with
+        # n_oov=0 — the opposite of the documented smooth backoff
+        raise ValueError(f"lam must be in [0, 1), got {lam}")
+    # bound token-array column (not an inline expression in the lambda):
+    # same O(n²) CSE trap as bigram_lm_fit, same fix
+    tokd = df.select(
         F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(words)),
-                lambda i: F.struct(
-                    F.when(i > 1, F.element_at(words, (i - 1).cast("int")))
-                    .otherwise(F.lit(None))
-                    .alias("prev"),
-                    F.element_at(words, i.cast("int")).alias("w"),
-                ),
-            )
-        ).alias("_t"),
+        F.filter(
+            F.split(normalize_text(text_col), " ", -1), lambda w: w != ""
+        ).alias("_toks"),
+    )
+    words = F.col("_toks")
+    # sequence(1, 0) is DESCENDING in Spark — empty docs need the
+    # explicit empty branch or element_at(…, 1) aborts the job
+    tok_structs = F.when(
+        F.size(words) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words)),
+            lambda i: F.struct(
+                F.when(i > 1, F.element_at(words, (i - 1).cast("int")))
+                .otherwise(F.lit(None))
+                .alias("prev"),
+                F.element_at(words, i.cast("int")).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<prev:string,w:string>>"))
+    toks = tokd.select(
+        F.col(id_col), F.explode(tok_structs).alias("_t")
     ).select(id_col, F.col("_t.prev").alias("prev"), F.col("_t.w").alias("w"))
     u = F.broadcast(
         uni.select(F.col("token").alias("w"), F.col("logprob").alias("_ul"))

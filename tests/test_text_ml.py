@@ -497,3 +497,45 @@ def test_interpolated_lm_rewards_fluent_bigrams(spark, tables):
     got = {r["doc_id"]: r["lm_score"] for r in
            lm_quality_score_interpolated(probe, uni, bi).collect()}
     assert got[1] > got[2]
+
+
+def test_interpolated_lm_empty_doc_and_null_group(spark):
+    """Edge hygiene from review: an empty/whitespace doc must not abort the
+    interpolated scorer (it just emits no rows); a NULL group value is a
+    real group for the per-group fit AND the scoring join; a per-group
+    model scored without group_col fails fast instead of inflating
+    n_tokens; lam=1.0 is rejected."""
+    import pytest
+
+    from datamunging_spark.operators.text import (
+        bigram_lm_fit,
+        lm_quality_score,
+        lm_quality_score_interpolated,
+        unigram_lm_fit,
+    )
+
+    fit = spark.createDataFrame([(1, "a b a b")], ["doc_id", "text"])
+    uni, bi = unigram_lm_fit(fit), bigram_lm_fit(fit)
+    probe = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "   ")], ["doc_id", "text"]
+    )
+    got = lm_quality_score_interpolated(probe, uni, bi, lam=0.5).collect()
+    assert {r["doc_id"] for r in got} == {1}  # empties emit no rows, no crash
+    with pytest.raises(ValueError, match="lam"):
+        lm_quality_score_interpolated(probe, uni, bi, lam=1.0)
+
+    docs = spark.createDataFrame(
+        [(1, "le chat", "fr"), (2, "the cat", "en"), (3, "mystery words", None)],
+        ["doc_id", "text", "lang"],
+    )
+    lm = unigram_lm_fit(docs, group_col="lang")
+    # NULL lang is modeled, not dropped
+    assert lm.filter(F.col("lang").isNull()).count() == 2
+    scored = {
+        r["doc_id"]: r
+        for r in lm_quality_score(docs, lm, group_col="lang").collect()
+    }
+    assert scored[3]["n_oov"] == 0  # scored against its own NULL-group model
+    # per-group model without group_col: fast failure, not silent inflation
+    with pytest.raises(ValueError, match="group"):
+        lm_quality_score(docs, lm)
