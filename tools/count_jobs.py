@@ -31,6 +31,9 @@ QUERIES = [
     "x_curation_full",
     "x1_minhash_pairs",
     "x1_paragraph_dedup",
+    "x1_semantic_dedup",
+    "x2_pq_topk",
+    "x4_lm_quality",
 ]
 
 
