@@ -1348,6 +1348,35 @@ def q_x2_pq_topk(spark, sf_dir):
     return pq_topk(probes, enc, cb, k=5)
 
 
+def q_x2_sq8_roundtrip(spark, sf_dir):
+    """X2 SQ8 storage quantization round trip (bench-only; the gate is at
+    its 50-slot cap) with the error contract checked IN-QUERY: per row,
+    the max reconstruction error over coordinates must be ≤ scale/2 —
+    ``within_bound`` uniformly true is the quantizer's correctness
+    invariant, pytest-pinned alongside top-k recall on dequantized
+    vectors."""
+    from datamunging_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = quantize_embeddings(emb)
+    back = dequantize_embeddings(q, out_col="_deq")
+    err = F.array_max(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("_deq"),
+            lambda a, b: F.abs(a.cast("double") - b),
+        )
+    )
+    return back.select(
+        "vec_id",
+        F.round(err, 9).alias("max_abs_err"),
+        (err <= F.col("q_scale") / 2 + F.lit(1e-12)).alias("within_bound"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

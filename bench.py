@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "x4_lm_quality",
     "x1_semantic_dedup",
     "x2_pq_topk",
+    "x2_sq8_roundtrip",
 ]
 
 
