@@ -195,3 +195,81 @@ def test_curate_corpus_gopher_rep_stage(spark, tables):
     # exactly the repetition failures are missing (before exact dedup,
     # which only removes additional identical-content copies)
     assert expected_fail.isdisjoint(kept)
+
+
+def test_full_stack_training_pipeline_composition(spark, tables):
+    """Every round-6 stage composed end-to-end on the driver corpus:
+    quality gates (word+repetition) → LM tail filter → exact+fuzzy dedup →
+    SEMANTIC dedup via feature-hashed embeddings → deterministic split →
+    temperature rebalance → token budget → packing → shard assignment.
+    Asserts the cross-stage contracts (monotone shrinkage through filters,
+    id subsets, no duplicate (id, copy) pairs, packing caps, contiguous
+    shards) rather than any one stage's internals — this is the test that
+    catches column collisions and schema drift BETWEEN operators."""
+    from datamunging_spark.functions import token_count
+    from datamunging_spark.operators.dedup import semantic_dedup
+    from datamunging_spark.operators.pipeline import curate_corpus
+    from datamunging_spark.operators.text import hashed_embeddings
+    from datamunging_spark.operators.trainset import (
+        assign_token_shards,
+        pack_sequences,
+        split_dataset,
+        take_token_budget,
+        temperature_mix,
+    )
+
+    docs = tables["documents"].select("doc_id", "text", "source")
+    n0 = docs.count()
+
+    curated = curate_corpus(
+        docs,
+        min_tokens=5,
+        gopher_rep=True,
+        lm_filter=True,
+        lm_tail=0.2,
+        fuzzy=True,
+        fuzzy_threshold=0.5,
+    ).localCheckpoint()
+    n1 = curated.count()
+    assert 0 < n1 < n0
+
+    emb = hashed_embeddings(curated, dim=64)
+    survivors = semantic_dedup(emb, threshold=0.999, n_clusters=4)
+    keep = curated.join(survivors.select("doc_id"), "doc_id", "semi")
+    n2 = keep.count()
+    assert 0 < n2 <= n1
+
+    split = split_dataset(
+        keep, {"train": 0.8, "val": 0.1, "test": 0.1}, ["doc_id"], salt="v1"
+    )
+    train = split.filter(F.col("split") == "train").drop("split")
+    assert 0 < train.count() < n2
+
+    mixed = temperature_mix(train, temperature=3.0)
+    # (doc_id, copy) is the post-mix identity — no duplicates
+    assert (
+        mixed.groupBy("doc_id", "copy").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+
+    sized = mixed.withColumn("n_tokens", token_count(F.col("text")))
+    kept_budget = take_token_budget(
+        sized, budget=5000, order_cols=["doc_id", "copy"]
+    )
+    total = kept_budget.agg(F.sum("n_tokens").alias("s")).collect()[0]["s"]
+    assert total is not None and total <= 5000
+
+    packed = pack_sequences(kept_budget, max_len=512).localCheckpoint()
+    over = packed.groupBy("bin_id").agg(
+        F.sum(F.least(F.col("n_tokens"), F.lit(512))).alias("s")
+    ).filter(F.col("s") > 512)
+    assert over.count() == 0
+
+    sharded = assign_token_shards(
+        kept_budget, shard_tokens=2000, order_cols=["doc_id", "copy"]
+    )
+    shards = sorted(
+        r["shard"] for r in sharded.select("shard").distinct().collect()
+    )
+    assert shards == list(range(len(shards)))  # contiguous shard ids
+    assert sharded.count() == kept_budget.count()
