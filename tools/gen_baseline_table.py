@@ -91,6 +91,10 @@ NOTES: dict[str, tuple[str, str]] = {
         "PQ fit+encode+ADC search composite",
         "—",
     ),
+    "x2_sq8_roundtrip": (
+        "SQ8 quantize+dequantize, in-query scale/2 error invariant",
+        "—",
+    ),
 }
 
 
