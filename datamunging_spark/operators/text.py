@@ -887,3 +887,61 @@ def lm_quality_score_interpolated(
             ),
         )
     )
+
+
+def document_quality_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    lm: DataFrame | None = None,
+    head: float = 0.1,
+    tail: float = 0.3,
+) -> DataFrame:
+    """Every per-document quality signal the engine computes, in ONE wide
+    frame — the audit surface a curation run inspects BEFORE committing to
+    thresholds (the per-rule kill-count philosophy of
+    :func:`gopher_quality_flags`, extended to the whole signal family):
+
+    * text profile (token count, stopword/punct ratios, heuristic score,
+      fingerprint, detected language) — pure map,
+    * Gopher word flags + repetition flags (+ both pass verdicts),
+    * unigram-LM score and CCNet head/middle/tail band (fit on the corpus
+      itself unless a prebuilt ``lm`` is passed — the incremental shape:
+      persist the model once, score every new batch against it).
+
+    ``group_col`` threads through the LM fit/score AND the band cuts
+    (per-language models + per-language bands, the CCNet structure).
+
+    Plan: one codegen map pass (profile + word flags), the repetition
+    explode→agg→join, and the LM explode→broadcast-join→agg — each
+    documented on its own operator; this wrapper only joins their
+    per-doc outputs back on the id. Filter on any combination of the
+    flag/band columns when thresholds are chosen.
+    """
+    gb = [group_col] if group_col else []
+    base = gopher_repetition_flags(
+        gopher_quality_flags(text_profile(df, text_col), text_col),
+        text_col,
+        id_col,
+    )
+    if lm is None:
+        lm = unigram_lm_fit(df, text_col, group_col=group_col)
+    scored = lm_quality_score(
+        df.select(id_col, *gb, text_col), lm, text_col, id_col,
+        group_col=group_col,
+    )
+    # lm_quality_score returns doc grain WITHOUT the group column —
+    # re-attach it for the per-group band cuts
+    bands_input = (
+        scored.join(df.select(id_col, *gb), on=id_col, how="left")
+        if gb
+        else scored
+    )
+    banded = lm_quality_bands(
+        bands_input,
+        group_cols=gb or None,
+        head=head,
+        tail=tail,
+    ).select(id_col, "n_oov", "lm_score", "lm_band")
+    return base.join(banded, on=id_col, how="left")

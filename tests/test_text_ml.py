@@ -539,3 +539,28 @@ def test_interpolated_lm_empty_doc_and_null_group(spark):
     # per-group model without group_col: fast failure, not silent inflation
     with pytest.raises(ValueError, match="group"):
         lm_quality_score(docs, lm)
+
+
+def test_document_quality_report_composes_all_signals(spark, tables):
+    """The one-call audit frame: every signal family present per doc, one
+    row per input doc, LM band populated, and the per-language variant
+    carries group-conditional scores."""
+    from datamunging_spark.operators.text import document_quality_report
+
+    docs = tables["documents"].select("doc_id", "text", "lang")
+    rep = document_quality_report(docs).localCheckpoint()
+    assert rep.count() == docs.count()
+    cols = set(rep.columns)
+    for c in (
+        "n_tokens", "stopword_frac", "quality", "lang_detected",   # profile
+        "word_count_ok", "quality_pass",                            # gopher
+        "dup_line_frac", "repetition_pass",                         # repetition
+        "lm_score", "lm_band", "n_oov",                             # LM
+    ):
+        assert c in cols, c
+    bands = {r["lm_band"] for r in rep.select("lm_band").distinct().collect()}
+    assert bands <= {"head", "middle", "tail", None}
+    assert "head" in bands and "tail" in bands
+
+    per_lang = document_quality_report(docs, group_col="lang")
+    assert per_lang.count() == docs.count()
