@@ -132,3 +132,20 @@ def test_split_dataset_partitions_for_any_weights(spark, ids, weights):
     assert {(r["doc_id"], r["split"]) for r in out} == {
         (r["doc_id"], r["split"]) for r in again
     }
+
+
+@given(
+    patterns=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=5), max_size=6
+    ),
+    hay=st.text(alphabet="abc", max_size=40),
+)
+@settings(max_examples=300, deadline=None)
+def test_ac_automaton_equals_python_contains(patterns, hay):
+    """The Aho-Corasick automaton agrees with `any(p in hay)` on arbitrary
+    pattern sets and haystacks — overlaps, shared prefixes/suffixes,
+    patterns containing each other, empty everything."""
+    from datamunging_spark.operators.trainset import _ac_build, _ac_find_any
+
+    auto = _ac_build(patterns)
+    assert _ac_find_any(hay, auto) == any(p in hay for p in patterns)
