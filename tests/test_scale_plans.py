@@ -214,3 +214,66 @@ def test_bucketed_snapshot_antijoin_history_side_no_shuffle(spark, tables):
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
         spark.sql("DROP TABLE IF EXISTS t_snap_content")
+
+
+def test_substring_decontam_plans_broadcast_anti_join(spark, tables):
+    """The substring matcher must plan as a broadcast nested-loop LEFT ANTI
+    join (probes broadcast, corpus scanned once) — and the normalization
+    must sit BELOW the join as a projection, not inside the join condition
+    (where it would re-run per (row, probe) comparison)."""
+    from pyspark.sql import functions as F
+
+    from datamunging_spark.functions import normalize_text
+    from datamunging_spark.operators.trainset import decontaminate_substring
+
+    docs = tables["documents"].select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.substring(normalize_text("text"), 1, 48).alias("text")
+    )
+    plan = _plan(decontaminate_substring(docs, bench, min_len=20))
+    assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
+    # the join condition references the projected _norm attribute, not a
+    # regexp_replace chain (which would mean per-comparison re-execution)
+    import re
+
+    cond = re.search(r"Join condition.*", plan)
+    assert cond and "regexp_replace" not in cond.group(0)
+
+
+def test_lm_score_broadcasts_model(spark, tables):
+    """The vocabulary-sized LM model must ride a BroadcastExchange into the
+    scoring join — never a shuffle of the exploded corpus on token."""
+    from datamunging_spark.operators.text import (
+        lm_quality_score,
+        unigram_lm_fit,
+    )
+
+    docs = tables["documents"].select("doc_id", "text")
+    lm = unigram_lm_fit(docs)
+    plan = _plan(lm_quality_score(docs, lm))
+    assert "BroadcastExchange" in plan
+
+
+def test_semantic_pairs_plan_is_equi_join_not_cartesian(spark, tables):
+    """Within-cell pair generation must be an equi-join on the cell id —
+    never CartesianProduct / BroadcastNestedLoopJoin (the all-pairs trap
+    SemDeDup exists to avoid)."""
+    from datamunging_spark.operators.dedup import semantic_neardup_pairs
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    plan = _plan(
+        semantic_neardup_pairs(emb, id_col="vec_id", threshold=0.5,
+                               n_clusters=8)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bigram_fit_broadcasts_context_totals(spark, tables):
+    """The bigram context-count join must broadcast the unigram-sized
+    aggregate side rather than re-shuffling the (w1, w2) counts on w1."""
+    from datamunging_spark.operators.text import bigram_lm_fit
+
+    docs = tables["documents"].select("doc_id", "text")
+    plan = _plan(bigram_lm_fit(docs))
+    assert "BroadcastExchange" in plan
