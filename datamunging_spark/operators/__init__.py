@@ -10,4 +10,5 @@
   multimodal  — binary payload columns + mapInPandas feature/resize (X3)
   pipeline    — end-to-end corpus curation (quality gates → dedup)
   trainset    — decontamination, source mixing, training shuffle (X5)
+  entity      — record linkage: block → score → CC cluster (X6)
 """

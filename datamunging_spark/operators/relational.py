@@ -275,6 +275,129 @@ def range_join(
     return p.join(iv, cond, how).drop("_rbp", "_rbi")
 
 
+def pivot_table(
+    df: DataFrame,
+    index: list[str],
+    pivot_col: str,
+    values: list[str] | None,
+    agg: Column,
+) -> DataFrame:
+    """Long→wide reshape: one output row per ``index`` combination, one
+    column per distinct ``pivot_col`` value, cells = ``agg`` (§2.8 engine
+    surface; classic munging reshape — Pig/Hive express it as a manual
+    CASE-WHEN fan-out, reference README.md's CASE-ladder idiom generalized).
+
+    Pass ``values`` (the expected pivot domain) whenever it is known:
+    Spark then skips the extra distinct-collect JOB it otherwise runs to
+    discover the domain, the output schema is stable across runs (absent
+    values become all-NULL columns instead of disappearing), and at 100 TB
+    the domain scan is the difference between one pass and two. Cells with
+    no contributing rows are NULL, matching SQL conditional-aggregation
+    semantics. The plan is ONE hash aggregate on ``index`` (map-side
+    partial; the pivot fan-out happens inside the aggregate, not as a
+    join), so scale hygiene is the same as any group-by: shuffle bounded
+    by |index| cardinality, wide-column count bounded by |values|.
+    """
+    return df.groupBy(*index).pivot(pivot_col, values).agg(agg)
+
+
+def melt(
+    df: DataFrame,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide→long reshape (pandas ``melt`` / SQL UNPIVOT): each row expands
+    to one row per entry of ``value_cols``, labeled by ``var_name``.
+
+    Thin wrapper over the built-in ``DataFrame.unpivot`` — a JVM-native
+    narrow expand (no shuffle, no UDF; |value_cols|× row growth is explicit
+    and bounded). ``value_cols`` must share a common type per Spark's
+    unpivot contract; cast upstream if mixing.
+    """
+    return df.unpivot(id_cols, value_cols, var_name, value_name)
+
+
+def gap_fill(
+    df: DataFrame,
+    keys: list[str],
+    time_col: str,
+    value_cols: list[str],
+    step: str = "1 day",
+) -> DataFrame:
+    """Regularize an irregular per-key time series onto a fixed grid with
+    forward-fill (the hypertable ``time_bucket_gapfill`` + ``locf`` shape;
+    no reference analog — standard time-series munging).
+
+    Per key: a spine of grid points spans [min(time), max(time)] at
+    ``step``; each ``value_cols`` entry is carried forward from the most
+    recent real observation at-or-before the grid point (observations need
+    NOT be grid-aligned). Output = spine rows only, one per (key, grid
+    point), with ``n_obs`` = real observations in the bucket ending at
+    that point (0 marks filled gaps).
+
+    Scale shape: the same union-tag + window forward-fill as
+    :func:`asof_join` — per-key bounds are one map-side-combinable
+    aggregate, the spine is generated by ``explode(sequence(...))`` off
+    that one-row-per-key frame (never a driver loop or cross join), and
+    the fill is a single shuffle on ``keys`` + one linear scan per key.
+    Spine size is explicit: Σ_keys (range/step) rows. A NULL value inside
+    a real observation is carried over (treated as missing), matching
+    ``locf`` semantics. Multiple observations at the SAME (key, instant)
+    make the carried value order-dependent — pre-aggregate to one row per
+    (key, instant) when exact determinism is required.
+    """
+    t = F.col(time_col)
+    bounds = df.groupBy(*keys).agg(
+        F.min(t).alias("_t0"), F.max(t).alias("_t1")
+    )
+    spine = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("_t0"), F.col("_t1"), F.expr(f"interval {step}"))
+        ).alias(time_col),
+    ).withColumn("_is_real", F.lit(0))
+    real = df.select(*keys, time_col, *value_cols).withColumn(
+        "_is_real", F.lit(1)
+    )
+    u = real.unionByName(spine, allowMissingColumns=True)
+    # Real rows sort before the grid row at the same instant, so an
+    # on-grid observation wins over the carried-forward value.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(t, F.desc("_is_real"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.withColumns(
+        {
+            c: F.last(
+                F.when(F.col("_is_real") == 1, F.col(c)), ignorenulls=True
+            ).over(w)
+            for c in value_cols
+        }
+    ).withColumn(
+        "_n_obs",
+        F.sum(F.col("_is_real")).over(w),
+    )
+    # Per-spine-row observation count = running real-row count delta
+    # between consecutive grid points.
+    w_spine = Window.partitionBy(*keys).orderBy(t)
+    return (
+        filled.filter(F.col("_is_real") == 0)
+        .withColumn(
+            "n_obs",
+            (
+                F.col("_n_obs")
+                - F.coalesce(
+                    F.lag("_n_obs").over(w_spine), F.lit(0)
+                )
+            ).cast("long"),
+        )
+        .drop("_is_real", "_n_obs")
+    )
+
+
 def hypertable_rollup(
     events: DataFrame,
     ts_col: str,

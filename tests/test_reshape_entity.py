@@ -1,0 +1,209 @@
+"""Reshape (pivot/melt), gap-fill, and entity-resolution operators."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from datamunging_spark.operators.entity import (
+    blocked_pairs,
+    cluster_entities,
+    name_similarity,
+    resolve_entities,
+)
+from datamunging_spark.operators.relational import gap_fill, melt, pivot_table
+
+
+# ---------------------------------------------------------------- reshape
+
+
+def test_pivot_melt_roundtrip_matches_groupby(spark, tables):
+    orders = tables["orders"]
+    statuses = [
+        r[0] for r in orders.select("o_orderstatus").distinct().collect()
+    ]
+    wide = pivot_table(
+        orders,
+        index=["o_orderpriority"],
+        pivot_col="o_orderstatus",
+        values=statuses,
+        agg=F.count(F.lit(1)),
+    )
+    # one row per priority, one column per status
+    assert set(wide.columns) == {"o_orderpriority", *statuses}
+    long = melt(
+        wide, ["o_orderpriority"], statuses, "o_orderstatus", "cnt"
+    ).filter(F.col("cnt").isNotNull())
+    expect = {
+        (r[0], r[1]): r[2]
+        for r in orders.groupBy("o_orderpriority", "o_orderstatus")
+        .count()
+        .collect()
+    }
+    got = {(r[0], r[1]): r[2] for r in long.collect()}
+    assert got == expect
+
+
+def test_pivot_with_declared_values_keeps_absent_columns(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "y", 2)], "k string, p string, v int"
+    )
+    wide = pivot_table(df, ["k"], "p", ["x", "y", "z"], F.sum("v"))
+    row = wide.collect()[0]
+    assert row["z"] is None and row["x"] == 1 and row["y"] == 2
+    # declared domain: no extra job to discover distinct pivot values,
+    # and the schema is stable even though 'z' never occurs
+    assert wide.columns == ["k", "x", "y", "z"]
+
+
+# ---------------------------------------------------------------- gap_fill
+
+
+def _ts(day):
+    return dt.datetime(2024, 1, day)
+
+
+def test_gap_fill_forward_fills_missing_days(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", _ts(1), 10.0),
+            ("a", _ts(4), 40.0),
+            ("b", _ts(2), 5.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    out = gap_fill(df, ["k"], "ts", ["v"], step="1 day")
+    rows = {(r["k"], r["ts"].day): (r["v"], r["n_obs"]) for r in out.collect()}
+    assert rows == {
+        ("a", 1): (10.0, 1),
+        ("a", 2): (10.0, 0),
+        ("a", 3): (10.0, 0),
+        ("a", 4): (40.0, 1),
+        ("b", 2): (5.0, 1),
+    }
+
+
+def test_gap_fill_off_grid_observation_carries_forward(spark):
+    # an observation between grid points fills later grid points and is
+    # counted in the bucket ending at the next grid point
+    df = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1, 0, 0), 1.0),
+            ("a", dt.datetime(2024, 1, 1, 10, 30), 99.0),
+            ("a", dt.datetime(2024, 1, 3, 0, 0), 3.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    out = gap_fill(df, ["k"], "ts", ["v"], step="1 day")
+    rows = {r["ts"].day: (r["v"], r["n_obs"]) for r in out.collect()}
+    assert rows == {1: (1.0, 1), 2: (99.0, 1), 3: (3.0, 1)}
+
+
+def test_gap_fill_null_value_carried_over(spark):
+    df = spark.createDataFrame(
+        [("a", _ts(1), 7.0), ("a", _ts(2), None), ("a", _ts(3), 3.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = gap_fill(df, ["k"], "ts", ["v"], step="1 day")
+    rows = {r["ts"].day: r["v"] for r in out.collect()}
+    # NULL observation at day 2 is treated as missing → locf from day 1
+    assert rows == {1: 7.0, 2: 7.0, 3: 3.0}
+
+
+def test_gap_fill_empty_input(spark):
+    df = spark.createDataFrame([], "k string, ts timestamp, v double")
+    assert gap_fill(df, ["k"], "ts", ["v"]).count() == 0
+
+
+# ------------------------------------------------------------------ entity
+
+
+def _people(spark):
+    # similarity facts (normalized edit similarity):
+    #   1-2: dist 1 / len 10 = 0.900      1-3: dist 2 / len 11 = 0.818
+    #   2-3: dist 1 / len 11 = 0.909      4-5: dist 1 / len 11 = 0.909
+    return spark.createDataFrame(
+        [
+            (1, "ACME Corp", "111"),
+            (2, "ACME Corps", "111"),    # near-dup of 1
+            (3, "ACME Corpse", "111"),   # links to 2; to 1 only transitively
+            (4, "Widget LLC", "222"),
+            (5, "Widgets LLC", "222"),   # near-dup of 4
+            (6, "Other Co", "111"),      # same block, no match
+            (7, "Lone Star", None),      # NULL block key → singleton
+        ],
+        "id bigint, name string, zip string",
+    )
+
+
+def test_blocked_pairs_shape_and_null_blocks(spark):
+    df = _people(spark)
+    pairs = blocked_pairs(df, "id", F.col("zip"), ["name"])
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    # within-block unordered pairs only; id 7 (NULL block) appears nowhere
+    assert got == {(1, 2), (1, 3), (2, 3), (1, 6), (2, 6), (3, 6), (4, 5)}
+    assert all(a < b for a, b in got)
+
+
+def test_blocked_pairs_max_block_valve(spark):
+    df = _people(spark)
+    pairs = blocked_pairs(df, "id", F.col("zip"), ["name"], max_block=2)
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    assert got == {(4, 5)}  # the 4-record "111" block is dropped
+
+
+def test_name_similarity_bounds(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "abc", "abc"), (1, "abc", "abd"), (2, "abc", "xyz"),
+            (3, "", ""), (4, "a", None),
+        ],
+        "i int, a string, b string",
+    )
+    vals = {
+        r["i"]: r["s"]
+        for r in df.select("i", name_similarity("a", "b").alias("s")).collect()
+    }
+    assert vals[0] == 1.0
+    assert abs(vals[1] - (1 - 1 / 3)) < 1e-12
+    assert vals[2] == 0.0
+    assert vals[3] == 1.0
+    assert vals[4] is None
+
+
+def test_resolve_entities_transitive_and_singletons(spark):
+    df = _people(spark)
+    out = resolve_entities(
+        df,
+        "id",
+        F.col("zip"),
+        ["name"],
+        match_cond=name_similarity("a_name", "b_name") >= 0.85,
+    )
+    ent = {r["id"]: r["entity_id"] for r in out.collect()}
+    # 1–2 and 2–3 match directly; 1–3 alone scores 0.818 < 0.85 →
+    # transitive closure still puts all three in entity 1
+    assert ent[1] == ent[2] == ent[3] == 1
+    assert ent[4] == ent[5] == 4
+    assert ent[6] == 6 and ent[7] == 7
+    assert out.count() == 7  # no records lost or duplicated
+
+
+def test_resolve_entities_no_matches_all_singletons(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa", "1"), (2, "zzz", "1")], "id bigint, name string, zip string"
+    )
+    out = resolve_entities(
+        df, "id", F.col("zip"), ["name"],
+        match_cond=name_similarity("a_name", "b_name") >= 0.9,
+    )
+    assert {r["id"]: r["entity_id"] for r in out.collect()} == {1: 1, 2: 2}
+
+
+def test_resolve_entities_empty_input(spark):
+    df = spark.createDataFrame([], "id bigint, name string, zip string")
+    out = resolve_entities(
+        df, "id", F.col("zip"), ["name"],
+        match_cond=name_similarity("a_name", "b_name") >= 0.5,
+    )
+    assert out.count() == 0
