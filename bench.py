@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     "x1_semantic_dedup",
     "x2_pq_topk",
     "x2_sq8_roundtrip",
+    "reshape_suite",
+    "gap_fill",
+    "x6_entity_resolution",
 ]
 
 

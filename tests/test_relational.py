@@ -191,3 +191,19 @@ def test_range_join_left_keeps_unmatched_points(spark):
     assert out.count() == 2
     with pytest.raises(ValueError, match="inner"):
         range_join(pts, iv, "x", "lo", "hi", 10.0, how="full")
+
+
+def test_dataframe_setops_match_sql_semantics(spark):
+    # DataFrame union/intersect/subtract keep ANSI bag/set semantics
+    # (coverage moved here when the setops gate row folded into the
+    # sql_passthrough shared-text entry)
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,)], "k int")
+    b = spark.createDataFrame([(2,), (3,), (4,)], "k int")
+    assert sorted(
+        r["k"] for r in a.union(b).distinct().collect()
+    ) == [1, 2, 3, 4]
+    assert sorted(r["k"] for r in a.intersect(b).collect()) == [2, 3]
+    # subtract = EXCEPT DISTINCT: the duplicate 2 is removed entirely
+    assert sorted(r["k"] for r in a.subtract(b).collect()) == [1]
+    # exceptAll keeps multiplicity: one 2 survives
+    assert sorted(r["k"] for r in a.exceptAll(b).collect()) == [1, 2]
