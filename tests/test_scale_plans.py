@@ -277,3 +277,57 @@ def test_bigram_fit_broadcasts_context_totals(spark, tables):
     docs = tables["documents"].select("doc_id", "text")
     plan = _plan(bigram_lm_fit(docs))
     assert "BroadcastExchange" in plan
+
+
+def test_pivot_is_single_hash_aggregate_no_domain_scan(spark, tables):
+    """With a declared value domain the pivot plans as ONE aggregate pass
+    over the fact table (no second scan to discover distinct pivot values,
+    which is what an undeclared domain costs at 100 TB)."""
+    from datamunging_spark.operators.relational import pivot_table
+
+    wide = pivot_table(
+        tables["orders"], ["o_orderpriority"], "o_orderstatus",
+        ["F", "O", "P"], F.count(F.lit(1)),
+    )
+    plan = _plan(wide)
+    # one scan node (formatted output prints "Location:" once per scan)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "HashAggregate" in plan
+
+
+def test_gap_fill_no_cartesian_one_key_exchange_family(spark, tables):
+    """gap_fill must plan as union + window (asof_join's shape): no
+    BroadcastNestedLoop/Cartesian from the spine, and every Exchange is
+    hash/range on the key family — the spine never cross-joins the data."""
+    from datamunging_spark.operators.relational import gap_fill
+
+    e = tables["events"].select(
+        "user_id", F.to_date("ts").alias("d"), "value"
+    ).groupBy("user_id", "d").agg(F.sum("value").alias("v"))
+    out = gap_fill(e, ["user_id"], "d", ["v"], step="1 day")
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_blocked_pairs_is_equi_join_not_cartesian(spark, tables):
+    """Blocking must plan as an equi-join on the block key; a similarity
+    predicate alone would degrade to a nested-loop cross product."""
+    from datamunging_spark.operators.entity import (
+        blocked_pairs,
+        name_similarity,
+    )
+
+    c = tables["customer"].select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    pairs = blocked_pairs(
+        c, "id", F.col("id") % 100, ["name"]
+    ).filter(name_similarity("a_name", "b_name") >= 0.9)
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
