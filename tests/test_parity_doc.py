@@ -38,16 +38,20 @@ def test_parity_query_references_exist():
                # round's new operator families (url/gopher/census/lm/semdedup)
                "r15_grouped_median", "x4_word_count", "r14_group_count",
                "r12_join_agg", "dataset_profile", "x1_content_hash",
-               "x1_minhash_pairs", "x5_train_shuffle"}
+               "x1_minhash_pairs", "x5_train_shuffle",
+               # late r6: folded into sql_passthrough / x2_ann_suite /
+               # r38_ml_suite respectively
+               "setops", "x2_ann_lsh", "x2_ann_ivf",
+               "r38_w2v_synonyms", "r40_pca_project"}
     # Candidate tokens: snake_case words that look like gate keys.
     mentioned = set(re.findall(r"\b[a-z][a-z0-9]*(?:_[a-z0-9]+)+\b", text))
     # Only validate tokens that *claim* to be queries: those that appear in
     # the Query column, i.e. known current/past prefixes.
-    prefixes = ("r1", "r2", "r3", "r4", "x1_", "x2_", "x3_", "x4_", "x_",
-                "window_", "setop", "stream_", "agg_", "json_", "date_",
-                "sql_", "approx_", "rollup_", "cube_", "promo_",
+    prefixes = ("r1", "r2", "r3", "r4", "x1_", "x2_", "x3_", "x4_", "x5_",
+                "x6_", "x_", "window_", "setop", "stream_", "agg_", "json_",
+                "date_", "sql_", "approx_", "rollup_", "cube_", "promo_",
                 "sessionize_", "asof_", "quality_", "dataset_", "pricing_",
-                "top_revenue", "local_supplier")
+                "top_revenue", "local_supplier", "reshape_", "gap_")
     claimed = {
         t for t in mentioned
         if t.startswith(prefixes) and (t in q or t in retired or
