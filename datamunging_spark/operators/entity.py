@@ -32,6 +32,7 @@ from datamunging_spark.operators.dedup import connected_component_labels
 
 __all__ = [
     "blocked_pairs",
+    "sorted_neighborhood_pairs",
     "name_similarity",
     "cluster_entities",
     "resolve_entities",
@@ -81,6 +82,51 @@ def blocked_pairs(
     return a.join(b, "_blk").filter(
         F.col(f"a_{id_col}") < F.col(f"b_{id_col}")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    sort_key: Column,
+    payload: list[str],
+    window: int = 5,
+) -> DataFrame:
+    """Sorted-neighborhood (SNM) candidate pairs: order all records by
+    ``sort_key``, pair each record with its next ``window - 1`` neighbors
+    in that order. The classic complement to hash blocking
+    (:func:`blocked_pairs`): a typo INSIDE the blocking key silently
+    separates hash blocks, but usually leaves the record within a few
+    sort positions of its duplicate. Run both, union the pair sets, and
+    let the scorer decide.
+
+    Scale shape: the global ordering comes from
+    :func:`~datamunging_spark.operators.relational.global_row_number`
+    (range partition + broadcast offsets — never a single-task window);
+    neighbor pairing replicates each record ``window - 1`` times via a
+    bounded ``explode`` and EQUI-joins on the target row number. Work is
+    O(n · window) with an integer join key — no self cross join at any
+    window size. Output matches :func:`blocked_pairs`: ``a_<col>`` /
+    ``b_<col>`` with the a-side earlier in sort order.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    from datamunging_spark.operators.relational import global_row_number
+
+    slim = df.select(F.col(id_col), sort_key.alias("_sk"), *payload)
+    rn = global_row_number(slim, ["_sk", id_col], out="_rn")
+    a = rn.withColumn(
+        "_off", F.explode(F.array(*[F.lit(i) for i in range(1, window)]))
+    ).select(
+        (F.col("_rn") + F.col("_off")).alias("_rnb"),
+        F.col(id_col).alias(f"a_{id_col}"),
+        *[F.col(c).alias(f"a_{c}") for c in payload],
+    )
+    b = rn.select(
+        F.col("_rn").alias("_rnb"),
+        F.col(id_col).alias(f"b_{id_col}"),
+        *[F.col(c).alias(f"b_{c}") for c in payload],
+    )
+    return a.join(b, "_rnb").drop("_rnb")
 
 
 def name_similarity(a: Column | str, b: Column | str) -> Column:

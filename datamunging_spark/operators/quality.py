@@ -124,3 +124,63 @@ def validation_summary(df: DataFrame, rules: list[Rule]) -> DataFrame:
         for r in rules
     ]
     return df.agg(*aggs)
+
+
+def outlier_flags(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    z_thresh: float = 3.0,
+    iqr_k: float = 1.5,
+) -> DataFrame:
+    """Per-group outlier detection: classic z-score AND Tukey IQR fences
+    (engine extension; the profiling step a curation run applies to numeric
+    quality metrics before thresholding them).
+
+    Adds four columns: ``zscore`` (NULL when the group's stddev is 0 or the
+    group has one row), ``is_z_outlier`` (|z| > z_thresh), ``is_iqr_outlier``
+    (outside [q1 - k·iqr, q3 + k·iqr], exact interpolated quartiles), and
+    ``is_outlier`` (either flag). NULL values get NULL flags.
+
+    Scale shape: ONE aggregate over the group keys computes mean/stddev/q1/q3
+    together (the exact ``percentile`` buffers values per group — switch
+    points to ``percentile_approx`` inside callers' forks if single groups
+    exceed executor memory), then one join back to the facts — identical to
+    percentile_bucketize's agg+join shape, broadcast-eligible via AQE when
+    key cardinality is small. No global pass when ``keys`` is None: a single
+    1-row aggregate broadcast-joins instead.
+    """
+    v = F.col(value_col).cast("double")
+    aggs = [
+        F.avg(v).alias("_mu"),
+        F.stddev_samp(v).alias("_sigma"),
+        F.percentile(v, F.lit(0.25)).alias("_q1"),
+        F.percentile(v, F.lit(0.75)).alias("_q3"),
+    ]
+    if keys:
+        stats = df.groupBy(*keys).agg(*aggs)
+        joined = df.join(stats, on=keys, how="left")
+    else:
+        stats = df.agg(*aggs)
+        # 1-row × n broadcast join (the text.py corpus-count shape)
+        joined = df.crossJoin(F.broadcast(stats))
+    z = F.when(F.col("_sigma") > 0, (v - F.col("_mu")) / F.col("_sigma"))
+    iqr = F.col("_q3") - F.col("_q1")
+    lo, hi = F.col("_q1") - iqr_k * iqr, F.col("_q3") + iqr_k * iqr
+    return (
+        joined.withColumn("zscore", z)
+        .withColumn(
+            "is_z_outlier",
+            F.when(v.isNull(), F.lit(None)).otherwise(
+                F.coalesce(F.abs(z) > z_thresh, F.lit(False))
+            ),
+        )
+        .withColumn(
+            "is_iqr_outlier",
+            F.when(v.isNull(), F.lit(None)).otherwise((v < lo) | (v > hi)),
+        )
+        .withColumn(
+            "is_outlier", F.col("is_z_outlier") | F.col("is_iqr_outlier")
+        )
+        .drop("_mu", "_sigma", "_q1", "_q3")
+    )

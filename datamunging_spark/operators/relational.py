@@ -275,6 +275,53 @@ def range_join(
     return p.join(iv, cond, how).drop("_rbp", "_rbi")
 
 
+def global_row_number(
+    df: DataFrame, order_cols: list[str], out: str = "rn"
+) -> DataFrame:
+    """Global 1-based row number in ``order_cols`` order WITHOUT the
+    single-task global window (`Window.orderBy` with no partitionBy pulls
+    every row through one task — the classic scale killer).
+
+    Shape (shared with trainset's distributed prefix sum): range partition
+    on the order columns → per-partition counts (one row per partition
+    collected to the driver — bounded by partition count, not data) →
+    broadcast base offsets → within-partition ``row_number``. The range-
+    partitioned frame is ``localCheckpoint``-ed so the count pass and the
+    numbering pass see identical partition assignment.
+
+    Ties in ``order_cols`` get consistent-but-arbitrary numbers within the
+    materialized run; include a unique tiebreak column for deterministic
+    output (every caller in this repo does).
+    """
+    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    part_cols = [F.col(c) for c in order_cols]
+    slim = (
+        df.repartitionByRange(parts, *part_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["_pid"]: r["c"]
+        for r in slim.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    base = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, "_pid int, _base long")
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        slim.join(base, "_pid")
+        .withColumn(out, F.col("_base") + F.row_number().over(w))
+        .drop("_pid", "_base")
+    )
+
+
 def pivot_table(
     df: DataFrame,
     index: list[str],

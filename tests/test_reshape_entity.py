@@ -207,3 +207,120 @@ def test_resolve_entities_empty_input(spark):
         match_cond=name_similarity("a_name", "b_name") >= 0.5,
     )
     assert out.count() == 0
+
+
+# ---------------------------------------------------- global_row_number / SNM
+
+
+def test_global_row_number_is_dense_and_ordered(spark, tables):
+    from datamunging_spark.operators.relational import global_row_number
+
+    c = tables["customer"].select("c_custkey", "c_name")
+    rn = global_row_number(c, ["c_name", "c_custkey"])
+    rows = [r for r in rn.orderBy("rn").collect()]
+    n = c.count()
+    assert [r["rn"] for r in rows] == list(range(1, n + 1))
+    names = [r["c_name"] for r in rows]
+    assert names == sorted(names)
+
+
+def test_global_row_number_plan_has_no_single_task_window(spark, tables):
+    # the point of the operator: no Window without partitionBy (which
+    # funnels all rows through one task); every Window partitions by _pid
+    import io
+    from contextlib import redirect_stdout
+
+    from datamunging_spark.operators.relational import global_row_number
+
+    rn = global_row_number(
+        tables["customer"].select("c_custkey"), ["c_custkey"]
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rn.explain("formatted")
+    plan = buf.getvalue()
+    for seg in plan.split("Arguments: ")[1:]:
+        if seg.startswith("[row_number()"):
+            assert "_pid" in seg.split("\n", 1)[0]
+
+
+def test_sorted_neighborhood_pairs_window_semantics(spark):
+    from datamunging_spark.operators.entity import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (2, "ab"), (3, "ac"), (4, "zz")],
+        "id bigint, name string",
+    )
+    pairs = sorted_neighborhood_pairs(
+        df, "id", F.col("name"), ["name"], window=3
+    )
+    got = {(r["a_id"], r["b_id"]) for r in pairs.collect()}
+    # sort order aa<ab<ac<zz; each record pairs with its next 2 neighbors
+    assert got == {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)}
+
+
+def test_sorted_neighborhood_catches_blocking_key_typo(spark):
+    # hash blocking on zip separates these (typo in the key); SNM on the
+    # name keeps them adjacent
+    from datamunging_spark.operators.entity import (
+        blocked_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ACME Corp", "11111"), (2, "ACME Corp", "11121")],
+        "id bigint, name string, zip string",
+    )
+    hash_pairs = blocked_pairs(df, "id", F.col("zip"), ["name"])
+    assert hash_pairs.count() == 0
+    snm = sorted_neighborhood_pairs(df, "id", F.col("name"), ["name"])
+    assert {(r["a_id"], r["b_id"]) for r in snm.collect()} == {(1, 2)}
+
+
+def test_sorted_neighborhood_rejects_degenerate_window(spark):
+    from datamunging_spark.operators.entity import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, "id", F.col("name"), ["name"], window=1)
+
+
+# ------------------------------------------------------------------ outliers
+
+
+def test_outlier_flags_per_group(spark):
+    from datamunging_spark.operators.quality import outlier_flags
+
+    data = [("g", float(i)) for i in range(1, 21)] + [("g", 1000.0)]
+    df = spark.createDataFrame(data, "k string, v double")
+    out = outlier_flags(df, "v", keys=["k"])
+    flagged = {r["v"] for r in out.filter("is_outlier").collect()}
+    assert flagged == {1000.0}
+    row = out.filter(F.col("v") == 1000.0).collect()[0]
+    assert row["is_z_outlier"] and row["is_iqr_outlier"]
+    assert row["zscore"] > 3
+
+
+def test_outlier_flags_global_and_nulls(spark):
+    from datamunging_spark.operators.quality import outlier_flags
+
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(10)] + [(None,), (500.0,)], "v double"
+    )
+    out = outlier_flags(df, "v")
+    rows = {r["v"]: r for r in out.collect()}
+    assert rows[500.0]["is_outlier"]
+    assert rows[None]["is_z_outlier"] is None
+    assert rows[None]["is_iqr_outlier"] is None
+    assert not rows[5.0]["is_outlier"]
+
+
+def test_outlier_flags_constant_group_no_flags(spark):
+    from datamunging_spark.operators.quality import outlier_flags
+
+    df = spark.createDataFrame([("k", 7.0)] * 5, "k string, v double")
+    out = outlier_flags(df, "v", keys=["k"])
+    for r in out.collect():
+        assert r["zscore"] is None          # stddev 0 → undefined z
+        assert r["is_z_outlier"] is False   # but explicitly not an outlier
+        assert r["is_iqr_outlier"] is False
