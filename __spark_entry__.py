@@ -440,6 +440,8 @@ def q_x6_entity_resolution(spark, sf_dir):
         payload=["name"],
         match_cond=pair_digits_equal
         & (name_similarity("a_name", "b_name") >= 0.5),
+        # the oracle has no block cap — pin identical semantics at any SF
+        max_block=None,
     )
 
 

@@ -79,8 +79,10 @@ def blocked_pairs(
         F.col(id_col).alias(f"b_{id_col}"),
         *[F.col(c).alias(f"b_{c}") for c in payload],
     )
-    return a.join(b, "_blk").filter(
-        F.col(f"a_{id_col}") < F.col(f"b_{id_col}")
+    return (
+        a.join(b, "_blk")
+        .filter(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
+        .drop("_blk")
     )
 
 

@@ -158,8 +158,18 @@ def outlier_flags(
         F.percentile(v, F.lit(0.75)).alias("_q3"),
     ]
     if keys:
-        stats = df.groupBy(*keys).agg(*aggs)
-        joined = df.join(stats, on=keys, how="left")
+        # null-safe key equality: groupBy keeps the NULL-key group, so the
+        # join back must too (plain `on=keys` would silently strand it)
+        stats = df.groupBy(*keys).agg(*aggs).select(
+            *[F.col(k).alias(f"_sk_{k}") for k in keys],
+            "_mu", "_sigma", "_q1", "_q3",
+        )
+        cond = F.lit(True)
+        for k in keys:
+            cond = cond & F.col(k).eqNullSafe(F.col(f"_sk_{k}"))
+        joined = df.join(stats, cond, "left").drop(
+            *[f"_sk_{k}" for k in keys]
+        )
     else:
         stats = df.agg(*aggs)
         # 1-row × n broadcast join (the text.py corpus-count shape)

@@ -275,23 +275,19 @@ def range_join(
     return p.join(iv, cond, how).drop("_rbp", "_rbi")
 
 
-def global_row_number(
-    df: DataFrame, order_cols: list[str], out: str = "rn"
-) -> DataFrame:
-    """Global 1-based row number in ``order_cols`` order WITHOUT the
-    single-task global window (`Window.orderBy` with no partitionBy pulls
-    every row through one task — the classic scale killer).
+def ranged_prefix_offsets(
+    df: DataFrame, order_cols: list[str], part_agg: Column
+) -> tuple[DataFrame, list[tuple[int, int]]]:
+    """Shared skeleton of every distributed prefix computation in this
+    repo (global row numbers here; running token sums in trainset): range
+    partition on the order columns → ``localCheckpoint`` (so subsequent
+    passes see identical partition assignment) → per-partition ``part_agg``
+    (one row per partition collected to the driver — bounded by partition
+    count, not data) → exclusive prefix offsets per partition id.
 
-    Shape (shared with trainset's distributed prefix sum): range partition
-    on the order columns → per-partition counts (one row per partition
-    collected to the driver — bounded by partition count, not data) →
-    broadcast base offsets → within-partition ``row_number``. The range-
-    partitioned frame is ``localCheckpoint``-ed so the count pass and the
-    numbering pass see identical partition assignment.
-
-    Ties in ``order_cols`` get consistent-but-arbitrary numbers within the
-    materialized run; include a unique tiebreak column for deterministic
-    output (every caller in this repo does).
+    Returns the checkpointed frame (with ``_pid`` added) and the
+    ``[(pid, base_offset), ...]`` list; callers broadcast the offsets with
+    whatever numeric type their running expression needs.
     """
     parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     part_cols = [F.col(c) for c in order_cols]
@@ -301,16 +297,32 @@ def global_row_number(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint()
     )
-    counts = {
-        r["_pid"]: r["c"]
-        for r in slim.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
+    per = {
+        r["_pid"]: r["a"]
+        for r in slim.groupBy("_pid").agg(part_agg.alias("a")).collect()
     }
     offsets, acc = [], 0
-    for pid in sorted(counts):
+    for pid in sorted(per):
         offsets.append((pid, acc))
-        acc += counts[pid]
+        acc += int(per[pid] or 0)
+    return slim, offsets
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list[str], out: str = "rn"
+) -> DataFrame:
+    """Global 1-based row number in ``order_cols`` order WITHOUT the
+    single-task global window (`Window.orderBy` with no partitionBy pulls
+    every row through one task — the classic scale killer). Built on
+    :func:`ranged_prefix_offsets` + within-partition ``row_number``.
+
+    Ties in ``order_cols`` get consistent-but-arbitrary numbers within the
+    materialized run; include a unique tiebreak column for deterministic
+    output (every caller in this repo does).
+    """
+    slim, offsets = ranged_prefix_offsets(
+        df, order_cols, F.count(F.lit(1))
+    )
     base = F.broadcast(
         df.sparkSession.createDataFrame(offsets, "_pid int, _base long")
     )
@@ -377,12 +389,15 @@ def gap_fill(
     forward-fill (the hypertable ``time_bucket_gapfill`` + ``locf`` shape;
     no reference analog — standard time-series munging).
 
-    Per key: a spine of grid points spans [min(time), max(time)] at
-    ``step``; each ``value_cols`` entry is carried forward from the most
-    recent real observation at-or-before the grid point (observations need
-    NOT be grid-aligned). Output = spine rows only, one per (key, grid
-    point), with ``n_obs`` = real observations in the bucket ending at
-    that point (0 marks filled gaps).
+    Per key: a spine of grid points starts at min(time) and advances by
+    ``step`` until it covers max(time) — when the key's range is not a
+    multiple of ``step``, one extra grid point past max(time) is added so
+    the trailing observations still land in a bucket (no silent drop).
+    Each ``value_cols`` entry is carried forward from the most recent real
+    observation at-or-before the grid point (observations need NOT be
+    grid-aligned). Output = spine rows only, one per (key, grid point),
+    with ``n_obs`` = real observations in the bucket ending at that point
+    (0 marks filled gaps); Σ n_obs == total observations.
 
     Scale shape: the same union-tag + window forward-fill as
     :func:`asof_join` — per-key bounds are one map-side-combinable
@@ -399,11 +414,18 @@ def gap_fill(
     bounds = df.groupBy(*keys).agg(
         F.min(t).alias("_t0"), F.max(t).alias("_t1")
     )
+    step_iv = F.expr(f"interval {step}")
+    t_type = df.schema[time_col].dataType.simpleString()
+    grid = F.sequence(F.col("_t0"), F.col("_t1"), step_iv)
+    last = F.element_at(grid, -1)
+    # range not a multiple of step → extend one step so the bucket ending
+    # past max(time) exists and trailing observations are not dropped
+    grid = F.when(
+        last < F.col("_t1"),
+        F.concat(grid, F.array((last + step_iv).cast(t_type))),
+    ).otherwise(grid)
     spine = bounds.select(
-        *keys,
-        F.explode(
-            F.sequence(F.col("_t0"), F.col("_t1"), F.expr(f"interval {step}"))
-        ).alias(time_col),
+        *keys, F.explode(grid).alias(time_col)
     ).withColumn("_is_real", F.lit(0))
     real = df.select(*keys, time_col, *value_cols).withColumn(
         "_is_real", F.lit(1)

@@ -564,32 +564,25 @@ def _global_running_sum(
     :func:`assign_token_shards` (range partition → one tiny
     row-per-partition collect of totals → broadcast base offsets →
     within-partition window cumsum; never a single-task global window).
-    Negative counts clamp to 0 so ``_run`` is monotonic."""
-    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    slim = (
-        df.select(
-            *order_cols,
-            F.greatest(F.col(tokens_col), F.lit(0)).alias(tokens_col),
-        )
-        .repartitionByRange(parts, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    sums = {
-        r["_pid"]: r["s"]
-        for r in slim.groupBy("_pid")
-        .agg(F.sum(F.col(tokens_col).cast("decimal(38,0)")).alias("s"))
-        .collect()
-    }
+    Negative counts clamp to 0 so ``_run`` is monotonic. The range-
+    partition + per-partition-agg + offset skeleton is the shared
+    :func:`~datamunging_spark.operators.relational.ranged_prefix_offsets`
+    (also behind ``global_row_number``)."""
+    from datamunging_spark.operators.relational import ranged_prefix_offsets
     from decimal import Decimal
 
-    offsets, acc = [], 0
-    for pid in sorted(sums):
-        offsets.append((pid, Decimal(acc)))
-        acc += int(sums[pid])
+    clamped = df.select(
+        *order_cols,
+        F.greatest(F.col(tokens_col), F.lit(0)).alias(tokens_col),
+    )
+    slim, offsets = ranged_prefix_offsets(
+        clamped, order_cols, F.sum(F.col(tokens_col).cast("decimal(38,0)"))
+    )
     base = F.broadcast(
-        df.sparkSession.createDataFrame(offsets, "_pid int, _base decimal(38,0)")
+        df.sparkSession.createDataFrame(
+            [(pid, Decimal(acc)) for pid, acc in offsets],
+            "_pid int, _base decimal(38,0)",
+        )
     )
     w = (
         Window.partitionBy("_pid")

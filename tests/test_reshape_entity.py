@@ -239,9 +239,13 @@ def test_global_row_number_plan_has_no_single_task_window(spark, tables):
     with redirect_stdout(buf):
         rn.explain("formatted")
     plan = buf.getvalue()
-    for seg in plan.split("Arguments: ")[1:]:
-        if seg.startswith("[row_number()"):
-            assert "_pid" in seg.split("\n", 1)[0]
+    window_segs = [
+        seg for seg in plan.split("Arguments: ")[1:]
+        if seg.startswith("[row_number()")
+    ]
+    assert window_segs, plan  # the row_number window must actually appear
+    for seg in window_segs:
+        assert "_pid" in seg.split("\n", 1)[0]
 
 
 def test_sorted_neighborhood_pairs_window_semantics(spark):
@@ -324,3 +328,50 @@ def test_outlier_flags_constant_group_no_flags(spark):
         assert r["zscore"] is None          # stddev 0 → undefined z
         assert r["is_z_outlier"] is False   # but explicitly not an outlier
         assert r["is_iqr_outlier"] is False
+
+
+# --------------------------------------------------- review-fix regressions
+
+
+def test_gap_fill_unaligned_trailing_observation_not_dropped(spark):
+    # range not a multiple of step: the 12:00 observation must land in an
+    # extra bucket past max(time), not silently vanish
+    df = spark.createDataFrame(
+        [
+            ("a", dt.datetime(2024, 1, 1, 0, 0), 1.0),
+            ("a", dt.datetime(2024, 1, 2, 12, 0), 2.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    out = gap_fill(df, ["k"], "ts", ["v"], step="1 day")
+    rows = {r["ts"]: (r["v"], r["n_obs"]) for r in out.collect()}
+    assert rows == {
+        dt.datetime(2024, 1, 1): (1.0, 1),
+        dt.datetime(2024, 1, 2): (1.0, 0),
+        dt.datetime(2024, 1, 3): (2.0, 1),
+    }
+    assert sum(n for _, n in rows.values()) == df.count()
+
+
+def test_outlier_flags_null_key_group_detected(spark):
+    # the NULL group-key group is a group: its stats must join back
+    # (null-safe equality), so its outliers are flagged, not stranded
+    from datamunging_spark.operators.quality import outlier_flags
+
+    data = [(None, float(i)) for i in range(1, 21)] + [(None, 1000.0)]
+    df = spark.createDataFrame(data, "k string, v double")
+    out = outlier_flags(df, "v", keys=["k"])
+    flagged = {r["v"] for r in out.filter("is_outlier").collect()}
+    assert flagged == {1000.0}
+
+
+def test_blocked_and_snm_pairs_union_compatible(spark):
+    # docstring contract: run both blocking strategies, union the pair sets
+    from datamunging_spark.operators.entity import sorted_neighborhood_pairs
+
+    df = _people(spark).filter(F.col("zip").isNotNull())
+    hp = blocked_pairs(df, "id", F.col("zip"), ["name"])
+    sp = sorted_neighborhood_pairs(df, "id", F.col("name"), ["name"])
+    assert set(hp.columns) == set(sp.columns)
+    u = hp.unionByName(sp).dropDuplicates(["a_id", "b_id"])
+    assert u.count() >= hp.count()
