@@ -36,6 +36,8 @@ __all__ = [
     "name_similarity",
     "cluster_entities",
     "resolve_entities",
+    "canonical_records",
+    "merge_entity_fields",
 ]
 
 
@@ -189,3 +191,52 @@ def resolve_entities(
     """
     pairs = blocked_pairs(df, id_col, block_key, payload, max_block)
     return cluster_entities(df, pairs.filter(match_cond), id_col, entity_col)
+
+
+def canonical_records(
+    df: DataFrame,
+    entity_col: str,
+    preference: list[Column],
+) -> DataFrame:
+    """Survivorship, rule 1 of 2: keep ONE whole record per entity, the
+    first under the explicit ``preference`` ordering (e.g.
+    ``[F.desc("updated_at"), F.asc("id")]`` — make it a total order with a
+    unique tiebreak for determinism). One row_number window on the entity
+    key — the top_k_per_group shape with k=1.
+    """
+    from datamunging_spark.operators.relational import top_k_per_group
+
+    return top_k_per_group(df, [entity_col], preference, 1).drop("rn")
+
+
+def merge_entity_fields(
+    df: DataFrame,
+    entity_col: str,
+    fields: list[str],
+    preference: list[Column],
+) -> DataFrame:
+    """Survivorship, rule 2 of 2: build one GOLDEN record per entity where
+    each field independently takes its first NON-NULL value under the
+    ``preference`` ordering — fresher-but-sparser records fill from older
+    ones fieldwise instead of winning or losing wholesale.
+
+    Deterministic in ONE hash aggregate (map-side combinable): per field,
+    ``min`` over a (preference-keys, value) struct built only when the
+    value is non-null — lexicographic struct comparison makes this "value
+    at the minimum preference key among non-null rows" with no window, no
+    second pass, and no reliance on ``first()``'s undefined agg order.
+    ``preference`` columns must be ascending (wrap descending wishes as
+    negations/inversions); NULL preference keys sort per Spark struct
+    ordering.
+    """
+    aggs = []
+    for f in fields:
+        s = F.when(
+            F.col(f).isNotNull(),
+            F.struct(
+                *[p.alias(f"_o{i}") for i, p in enumerate(preference)],
+                F.col(f).alias("_v"),
+            ),
+        )
+        aggs.append(F.min(s).getField("_v").alias(f))
+    return df.groupBy(entity_col).agg(*aggs)

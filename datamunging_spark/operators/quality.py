@@ -194,3 +194,97 @@ def outlier_flags(
         )
         .drop("_mu", "_sigma", "_q1", "_q3")
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 20,
+    target_rows_per_task: int = 5_000_000,
+) -> DataFrame:
+    """Join/agg-key skew diagnosis: the ``top_n`` hottest key values with
+    row count, fraction of the table, and the salt factor that would cap
+    each hot key's per-task row count at ``target_rows_per_task`` — the
+    number to hand :func:`~datamunging_spark.operators.relational.
+    salted_join` (or to confirm AQE's skew split suffices).
+
+    One count aggregate on the keys + a 1-row total broadcast + a bounded
+    top-n sort (``orderBy.limit`` plans as TakeOrderedAndProject — per-
+    partition heaps, never a global sort). NULL keys report like any
+    value, since NULL-heavy columns are the most common real skew.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            "cnt",
+            F.round(F.col("cnt") / F.col("_total"), 6).alias("fraction"),
+            F.greatest(
+                F.lit(1),
+                F.ceil(F.col("cnt") / F.lit(target_rows_per_task)),
+            ).cast("int").alias("suggested_salt"),
+        )
+        .orderBy(F.desc("cnt"), *key_cols)
+        .limit(top_n)
+    )
+
+
+def psi_report(
+    baseline: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index drift report between two snapshots of a
+    numeric column — the standard "did the distribution move" monitor a
+    curation pipeline runs between crawls (PSI < 0.1 stable, 0.1-0.25
+    moderate shift, > 0.25 action; the usual credit-scoring rule of thumb).
+
+    Bucket edges are the baseline's ``bins``-quantiles (exact interpolated
+    percentile, one aggregate; ``bins - 1`` doubles collected to the
+    driver — bounded by the bin count, not data). Both frames then bucket
+    through the same CASE ladder and aggregate to per-bucket fractions;
+    one output row per bucket with both fractions and the PSI term
+    (``eps``-floored so empty buckets stay finite). Total PSI = SUM over
+    the returned rows — left to the caller so the per-bucket attribution
+    stays visible.
+    """
+    v = F.col(value_col).cast("double")
+    qs = [i / bins for i in range(1, bins)]
+    edges_row = baseline.agg(
+        F.percentile(v, F.array(*[F.lit(q) for q in qs])).alias("e")
+    ).collect()[0]["e"]
+    edges = [float(e) for e in edges_row]
+
+    def bucketize(frame: DataFrame) -> DataFrame:
+        b = F.lit(bins - 1)
+        for i in reversed(range(len(edges))):
+            b = F.when(v <= edges[i], F.lit(i)).otherwise(b)
+        n = frame.filter(v.isNotNull())
+        counts = n.groupBy(b.alias("bucket")).agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        tot = n.agg(F.count(F.lit(1)).alias("_t"))
+        return counts.crossJoin(F.broadcast(tot)).select(
+            "bucket", (F.col("_n") / F.col("_t")).alias("frac")
+        )
+
+    base = bucketize(baseline).withColumnRenamed("frac", "p_base")
+    cur = bucketize(current).withColumnRenamed("frac", "p_cur")
+    spark = baseline.sparkSession
+    all_buckets = spark.range(bins).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    joined = (
+        all_buckets.join(base, "bucket", "left")
+        .join(cur, "bucket", "left")
+        .fillna(0.0, ["p_base", "p_cur"])
+    )
+    pb = F.greatest(F.col("p_base"), F.lit(eps))
+    pc = F.greatest(F.col("p_cur"), F.lit(eps))
+    return joined.withColumn(
+        "psi_term", (pc - pb) * F.log(pc / pb)
+    ).orderBy("bucket")

@@ -493,3 +493,38 @@ def hypertable_rollup(
         *(keys or []),
         *agg_exprs.keys(),
     )
+
+
+def rolling_stats(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    window_rows: int,
+    stats: tuple[str, ...] = ("avg", "sum", "min", "max"),
+    prefix: str = "roll_",
+) -> DataFrame:
+    """Trailing-window rolling aggregates per key: for each row, the
+    aggregate over the last ``window_rows`` rows (current inclusive) in
+    ``order_cols`` order — moving averages and friends over event series
+    (§2.8 engine surface; pairs with :func:`gap_fill` to compute them on a
+    regular grid).
+
+    One shuffle on ``keys`` + a bounded ``rowsBetween`` frame (Spark keeps
+    a sliding buffer of ``window_rows`` rows, not the whole partition).
+    Make ``order_cols`` a total order (unique tiebreak) for deterministic
+    output. NULL values are skipped by the aggregates per SQL semantics.
+    """
+    fns = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+           "count": F.count, "stddev": F.stddev_samp}
+    unknown = set(stats) - set(fns)
+    if unknown:
+        raise ValueError(f"unknown rolling stats: {sorted(unknown)}")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    return df.withColumns(
+        {f"{prefix}{s}": fns[s](F.col(value_col)).over(w) for s in stats}
+    )

@@ -375,3 +375,93 @@ def test_blocked_and_snm_pairs_union_compatible(spark):
     assert set(hp.columns) == set(sp.columns)
     u = hp.unionByName(sp).dropDuplicates(["a_id", "b_id"])
     assert u.count() >= hp.count()
+
+
+# ------------------------------------------------- survivorship / monitoring
+
+
+def test_canonical_records_picks_one_per_entity(spark):
+    from datamunging_spark.operators.entity import canonical_records
+
+    df = spark.createDataFrame(
+        [(1, 1, "old", 10), (2, 1, "new", 20), (3, 2, "only", 5)],
+        "id bigint, entity_id bigint, tag string, updated int",
+    )
+    out = canonical_records(
+        df, "entity_id", [F.desc("updated"), F.asc("id")]
+    )
+    rows = {r["entity_id"]: r["tag"] for r in out.collect()}
+    assert rows == {1: "new", 2: "only"}
+    assert out.columns == df.columns  # whole records, no helper columns
+
+
+def test_merge_entity_fields_fieldwise_first_non_null(spark):
+    from datamunging_spark.operators.entity import merge_entity_fields
+
+    df = spark.createDataFrame(
+        [
+            # entity 1: newest (pref 1) lacks phone; older rows fill it
+            (1, 1, "New Name", None),
+            (1, 2, None, "555-1"),
+            (1, 3, "Old Name", "555-9"),
+            (2, 1, None, None),
+        ],
+        "entity_id bigint, pref int, name string, phone string",
+    )
+    out = merge_entity_fields(
+        df, "entity_id", ["name", "phone"], [F.col("pref")]
+    )
+    rows = {r["entity_id"]: (r["name"], r["phone"]) for r in out.collect()}
+    assert rows[1] == ("New Name", "555-1")  # per-field, not per-record
+    assert rows[2] == (None, None)           # all-null stays null
+
+
+def test_rolling_stats_trailing_window(spark):
+    from datamunging_spark.operators.relational import rolling_stats
+
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(1, 6)],
+        "k string, t int, v double",
+    )
+    out = rolling_stats(df, ["k"], ["t"], "v", window_rows=3,
+                        stats=("avg", "sum", "count"))
+    rows = {r["t"]: (r["roll_avg"], r["roll_sum"], r["roll_count"])
+            for r in out.collect()}
+    assert rows[1] == (1.0, 1.0, 1)
+    assert rows[3] == (2.0, 6.0, 3)
+    assert rows[5] == (4.0, 12.0, 3)  # only last 3 rows in the frame
+    with pytest.raises(ValueError, match="unknown rolling"):
+        rolling_stats(df, ["k"], ["t"], "v", 3, stats=("median",))
+
+
+def test_skew_report_hot_key_and_salt(spark):
+    from datamunging_spark.operators.quality import skew_report
+
+    data = [("hot",)] * 90 + [("a",)] * 5 + [(None,)] * 5
+    df = spark.createDataFrame(data, "k string")
+    out = skew_report(df, ["k"], top_n=2, target_rows_per_task=40)
+    rows = out.collect()
+    assert rows[0]["k"] == "hot" and rows[0]["cnt"] == 90
+    assert abs(rows[0]["fraction"] - 0.9) < 1e-9
+    assert rows[0]["suggested_salt"] == 3  # ceil(90/40)
+    assert len(rows) == 2  # top_n respected
+
+
+def test_psi_report_stable_vs_shifted(spark):
+    from datamunging_spark.operators.quality import psi_report
+
+    base = spark.createDataFrame(
+        [(float(i % 100),) for i in range(1000)], "v double"
+    )
+    same = psi_report(base, base, "v", bins=10)
+    rows = same.collect()
+    assert len(rows) == 10
+    total_same = sum(r["psi_term"] for r in rows)
+    assert total_same < 0.01  # identical distributions → PSI ≈ 0
+    shifted = spark.createDataFrame(
+        [(float(i % 100) + 80.0,) for i in range(1000)], "v double"
+    )
+    total_shift = sum(
+        r["psi_term"] for r in psi_report(base, shifted, "v", bins=10).collect()
+    )
+    assert total_shift > 0.25  # strong shift → action threshold
