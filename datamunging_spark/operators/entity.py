@@ -38,6 +38,8 @@ __all__ = [
     "resolve_entities",
     "canonical_records",
     "merge_entity_fields",
+    "blocked_pairs_between",
+    "incremental_resolve",
 ]
 
 
@@ -240,3 +242,115 @@ def merge_entity_fields(
         )
         aggs.append(F.min(s).getField("_v").alias(f))
     return df.groupBy(entity_col).agg(*aggs)
+
+
+def blocked_pairs_between(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str,
+    block_key: Column,
+    left_payload: list[str],
+    right_payload: list[str],
+    max_block: int | None = 10_000,
+) -> DataFrame:
+    """Cross-frame candidate pairs: every (left, right) record pair that
+    shares ``block_key`` — the two-sided sibling of :func:`blocked_pairs`
+    for matching a NEW batch against an existing reference set (no a<b
+    dedup: the sides are distinct universes). Output columns are
+    ``a_<col>`` from left and ``b_<col>`` from right.
+
+    ``max_block`` caps the RIGHT (reference) side's block population —
+    the side whose hot keys an incremental pipeline cannot re-key — by
+    dropping oversized reference blocks before the join (one count agg).
+    """
+    a = left.select(
+        block_key.alias("_blk"),
+        F.col(id_col).alias(f"a_{id_col}"),
+        *[F.col(c).alias(f"a_{c}") for c in left_payload],
+    ).filter(F.col("_blk").isNotNull())
+    b = right.select(
+        block_key.alias("_blk"),
+        F.col(id_col).alias(f"b_{id_col}"),
+        *[F.col(c).alias(f"b_{c}") for c in right_payload],
+    ).filter(F.col("_blk").isNotNull())
+    if max_block is not None:
+        ok = (
+            b.groupBy("_blk")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_block)
+            .drop("_bn")
+        )
+        b = b.join(ok, "_blk")
+    return a.join(b, "_blk").drop("_blk")
+
+
+def incremental_resolve(
+    new_df: DataFrame,
+    history: DataFrame,
+    id_col: str,
+    block_key: Column,
+    payload: list[str],
+    match_cond: Column,
+    entity_col: str = "entity_id",
+    max_block: int | None = 10_000,
+) -> DataFrame:
+    """Resolve a NEW batch of records against an already-resolved history
+    WITHOUT re-clustering the history — the entity-resolution face of the
+    repo's continuous-ingest contract (dedup.py's incremental operators):
+    history cost is one blocked equi-join against its records, never a
+    history self-join, and history labels are append-only facts.
+
+    ``history`` carries its records plus their assigned ``entity_col``.
+    Steps: (1) within-batch resolution (:func:`resolve_entities` — batch
+    clusters labeled by min batch record id); (2) batch×history blocked
+    pairs scored by the SAME ``match_cond``; (3) every batch cluster that
+    matched history adopts the minimum matched history entity id —
+    cluster-wide, so a record linked to history only transitively through
+    a batch-mate still lands in the right entity; (4) unmatched clusters
+    keep their batch-local label. Caller contract (mirrors the dedup
+    snapshots): batch record ids must not collide with history entity
+    ids, and the roll-forward is ``history ∪ resolved batch``.
+
+    A batch cluster bridging TWO history entities adopts the minimum and
+    the others are reported, not rewritten: the returned frame carries
+    ``n_hist_matches`` (distinct history entities the cluster hit) so a
+    merge-review queue can be ``filter(n_hist_matches > 1)`` — silent
+    history rewrites are how incremental ER corrupts its own state.
+    """
+    within = resolve_entities(
+        new_df, id_col, block_key, payload, match_cond,
+        entity_col="_batch_ent", max_block=max_block,
+    )
+    cross = blocked_pairs_between(
+        new_df, history, id_col, block_key, payload,
+        [*payload, entity_col], max_block,
+    )
+    rec_matches = (
+        cross.filter(match_cond)
+        .select(
+            F.col(f"a_{id_col}").alias(id_col),
+            F.col(f"b_{entity_col}").alias("_hist_ent"),
+        )
+        .distinct()
+    )
+    cluster_adopt = (
+        within.select(id_col, "_batch_ent")
+        .join(rec_matches, id_col)
+        .groupBy("_batch_ent")
+        .agg(
+            F.min("_hist_ent").alias("_cluster_ent"),
+            F.countDistinct("_hist_ent").alias("_n_hist"),
+        )
+    )
+    return (
+        within.join(cluster_adopt, "_batch_ent", "left")
+        .withColumn(
+            entity_col,
+            F.coalesce(F.col("_cluster_ent"), F.col("_batch_ent")),
+        )
+        .withColumn(
+            "n_hist_matches",
+            F.coalesce(F.col("_n_hist"), F.lit(0)).cast("long"),
+        )
+        .drop("_batch_ent", "_cluster_ent", "_n_hist")
+    )

@@ -465,3 +465,98 @@ def test_psi_report_stable_vs_shifted(spark):
         r["psi_term"] for r in psi_report(base, shifted, "v", bins=10).collect()
     )
     assert total_shift > 0.25  # strong shift → action threshold
+
+
+# ------------------------------------------------------ incremental resolve
+
+
+def _hist(spark):
+    # already-resolved history: entities 1 (ACME) and 4 (Widget)
+    return spark.createDataFrame(
+        [
+            (1, "ACME Corp", "111", 1),
+            (2, "ACME Corps", "111", 1),
+            (4, "Widget LLC", "222", 4),
+        ],
+        "id bigint, name string, zip string, entity_id bigint",
+    )
+
+
+def test_incremental_resolve_adopts_history_entity(spark):
+    from datamunging_spark.operators.entity import incremental_resolve
+
+    new = spark.createDataFrame(
+        [
+            (101, "ACME Corp", "111"),     # direct history match → entity 1
+            (102, "Brand New Co", "333"),  # no match → own entity
+        ],
+        "id bigint, name string, zip string",
+    )
+    out = incremental_resolve(
+        new, _hist(spark), "id", F.col("zip"), ["name"],
+        match_cond=name_similarity("a_name", "b_name") >= 0.85,
+    )
+    rows = {r["id"]: (r["entity_id"], r["n_hist_matches"])
+            for r in out.collect()}
+    assert rows[101] == (1, 1)
+    assert rows[102] == (102, 0)
+
+
+def test_incremental_resolve_transitive_through_batch_mate(spark):
+    # 201 matches history; 202 matches only 201 — same batch cluster, so
+    # 202 must still land in the adopted history entity
+    from datamunging_spark.operators.entity import incremental_resolve
+
+    new = spark.createDataFrame(
+        [
+            (201, "ACME Corps", "111"),
+            (202, "ACME Corpse", "111"),  # sim(Corps, Corpse)=0.909 ≥ .85;
+                                          # vs history "ACME Corp" = 0.818
+        ],
+        "id bigint, name string, zip string",
+    )
+    hist = _hist(spark).filter(F.col("id") == 1)  # only "ACME Corp", ent 1
+    out = incremental_resolve(
+        new, hist, "id", F.col("zip"), ["name"],
+        match_cond=name_similarity("a_name", "b_name") >= 0.85,
+    )
+    rows = {r["id"]: r["entity_id"] for r in out.collect()}
+    # 201 vs "ACME Corp": sim 0.9 ≥ 0.85 → adopts 1; 202 via 201
+    assert rows == {201: 1, 202: 1}
+
+
+def test_incremental_resolve_bridge_reports_multi_history(spark):
+    # one batch cluster matching TWO history entities adopts the min and
+    # reports n_hist_matches=2 (merge-review signal, no silent rewrite)
+    from datamunging_spark.operators.entity import incremental_resolve
+
+    hist = spark.createDataFrame(
+        [(1, "Foo Bar AG", "9", 1), (5, "Foo Baz AG", "9", 5)],
+        "id bigint, name string, zip string, entity_id bigint",
+    )
+    new = spark.createDataFrame(
+        [(301, "Foo Bax AG", "9")], "id bigint, name string, zip string"
+    )
+    out = incremental_resolve(
+        new, hist, "id", F.col("zip"), ["name"],
+        match_cond=name_similarity("a_name", "b_name") >= 0.85,
+    )
+    r = out.collect()[0]
+    assert r["entity_id"] == 1 and r["n_hist_matches"] == 2
+
+
+def test_incremental_resolve_idempotent_reingest(spark):
+    # re-ingesting already-resolved records lands them in their own
+    # entities (the incremental-dedup idempotence contract, ER flavor)
+    from datamunging_spark.operators.entity import incremental_resolve
+
+    hist = _hist(spark)
+    replay = hist.drop("entity_id").withColumn(
+        "id", F.col("id") + 1000
+    )
+    out = incremental_resolve(
+        replay, hist, "id", F.col("zip"), ["name"],
+        match_cond=name_similarity("a_name", "b_name") >= 0.85,
+    )
+    rows = {r["id"]: r["entity_id"] for r in out.collect()}
+    assert rows == {1001: 1, 1002: 1, 1004: 4}
