@@ -945,3 +945,93 @@ def document_quality_report(
         tail=tail,
     ).select(id_col, "n_oov", "lm_score", "lm_band")
     return base.join(banded, on=id_col, how="left")
+
+
+#: Sentence boundary: split AFTER ./!/? followed by whitespace. Deliberately
+#: simple (no abbreviation list) — the same heuristic C4-style pipelines use
+#: for line/sentence accounting; swap the regex for a better segmenter
+#: without touching the packing fold.
+SENTENCE_SPLIT_REGEX = r"(?<=[.!?])\s+"
+
+
+def sentence_chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+) -> DataFrame:
+    """Sentence-aware chunking: split each document at sentence boundaries
+    and greedily pack CONSECUTIVE sentences into chunks of at most
+    ``max_tokens`` whitespace tokens — the retrieval/training prep that
+    never cuts mid-sentence, complementing :func:`chunk_documents`' exact
+    token windows. A single sentence longer than ``max_tokens`` becomes
+    its own oversized chunk (contract: chunk boundaries ⊂ sentence
+    boundaries, so no text is ever dropped or split inside a sentence).
+
+    Returns (id_col, chunk_id, chunk_text, n_tokens, n_sentences);
+    chunk_id is 0-based in document order; whitespace at sentence joins is
+    normalized to one space. Empty/NULL docs yield one empty chunk (the
+    chunk_documents convention).
+
+    Scale shape: ZERO shuffles — the greedy pack is a JVM higher-order
+    ``aggregate`` (fold) over the per-doc sentence array computing each
+    sentence's chunk index, and chunk texts materialize via
+    ``transform(sequence(0, last_idx), i → array_join(filter(...)))``.
+    That final gather is O(n_chunks · n_sentences) per document — fine for
+    documents (both are small), wrong for book-length megadocs: pre-split
+    those with chunk_documents' linear token windows first.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    sents = F.filter(
+        F.split(text, SENTENCE_SPLIT_REGEX), lambda s: F.length(s) > 0
+    )
+    counts = F.transform(sents, lambda s: F.size(F.split(s, " ")))
+    zero = F.struct(
+        F.lit(0).alias("run"),
+        F.lit(0).alias("idx"),
+        F.array().cast("array<int>").alias("ids"),
+    )
+
+    def fold(acc, c):
+        # start a new chunk only when the running chunk is non-empty AND
+        # adding this sentence would overflow — an oversized sentence in a
+        # fresh chunk stays (oversized chunk, never a mid-sentence split)
+        new = (acc["run"] + c > F.lit(max_tokens)) & (acc["run"] > 0)
+        idx = F.when(new, acc["idx"] + 1).otherwise(acc["idx"])
+        run = F.when(new, c).otherwise(acc["run"] + c)
+        return F.struct(
+            run.alias("run"),
+            idx.alias("idx"),
+            F.concat(acc["ids"], F.array(idx.cast("int"))).alias("ids"),
+        )
+
+    base = df.select(
+        F.col(id_col), sents.alias("_sents"),
+        F.aggregate(counts, zero, fold).getField("ids").alias("_ids"),
+    )
+    zipped = F.arrays_zip(F.col("_sents"), F.col("_ids"))
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.coalesce(F.element_at("_ids", -1), F.lit(0))),
+        lambda i: F.struct(
+            F.array_join(
+                F.transform(
+                    F.filter(zipped, lambda z: z["_ids"] == i),
+                    lambda z: z["_sents"],
+                ),
+                " ",
+            ).alias("txt"),
+            F.size(F.filter(zipped, lambda z: z["_ids"] == i)).alias(
+                "n_sent"
+            ),
+        ),
+    )
+    out = base.select(
+        id_col, F.posexplode(chunks).alias("chunk_id", "_c")
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.col("_c.txt").alias("chunk_text"),
+        F.size(F.split("_c.txt", " ")).alias("n_tokens"),
+        F.col("_c.n_sent").alias("n_sentences"),
+    )

@@ -560,3 +560,87 @@ def test_incremental_resolve_idempotent_reingest(spark):
     )
     rows = {r["id"]: r["entity_id"] for r in out.collect()}
     assert rows == {1001: 1, 1002: 1, 1004: 4}
+
+
+# ------------------------------------------------------- sentence chunking
+
+
+def test_sentence_chunk_packs_consecutive_sentences(spark):
+    from datamunging_spark.operators.text import sentence_chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "A b. C d e. F g h i.")], "doc_id bigint, text string"
+    )
+    out = sentence_chunk_documents(df, max_tokens=5)
+    rows = [
+        (r["chunk_id"], r["chunk_text"], r["n_tokens"], r["n_sentences"])
+        for r in out.orderBy("chunk_id").collect()
+    ]
+    # greedy: "A b." (2) + "C d e." (3) = 5 fits; "F g h i." (4) overflows
+    assert rows == [(0, "A b. C d e.", 5, 2), (1, "F g h i.", 4, 1)]
+
+
+def test_sentence_chunk_oversized_sentence_never_split(spark):
+    from datamunging_spark.operators.text import sentence_chunk_documents
+
+    long_sent = " ".join(f"w{i}" for i in range(20)) + "."
+    df = spark.createDataFrame(
+        [(1, f"Short. {long_sent} End.")], "doc_id bigint, text string"
+    )
+    out = sentence_chunk_documents(df, max_tokens=5)
+    rows = [
+        (r["chunk_text"], r["n_tokens"])
+        for r in out.orderBy("chunk_id").collect()
+    ]
+    assert rows[0] == ("Short.", 1)
+    assert rows[1][1] == 20          # oversized chunk, intact sentence
+    assert rows[2] == ("End.", 1)
+    # no sentence lost, none split mid-way
+    assert " ".join(t for t, _ in rows) == f"Short. {long_sent} End."
+
+
+def test_sentence_chunk_empty_and_null_docs(spark):
+    from datamunging_spark.operators.text import sentence_chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None)], "doc_id bigint, text string"
+    )
+    out = sentence_chunk_documents(df, max_tokens=5)
+    rows = {(r["doc_id"], r["chunk_id"]): r["chunk_text"]
+            for r in out.collect()}
+    assert rows == {(1, 0): "", (2, 0): ""}
+
+
+def test_sentence_chunk_reconstructs_document(spark, tables):
+    from datamunging_spark.operators.text import sentence_chunk_documents
+
+    docs = tables["documents"].limit(50)
+    out = sentence_chunk_documents(docs, max_tokens=64)
+    # every chunk respects the cap unless it is a single oversized sentence
+    bad = out.filter(
+        (F.col("n_tokens") > 64) & (F.col("n_sentences") > 1)
+    ).count()
+    assert bad == 0
+    # chunks concatenated in order reproduce the sentence-joined document
+    rebuilt = (
+        out.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_id", "chunk_text"))
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("re")
+        )
+    )
+    import re as _re
+
+    orig = {
+        r["doc_id"]: _re.sub(r"(?<=[.!?])\s+", " ", r["text"] or "")
+        for r in docs.collect()
+    }
+    for r in rebuilt.collect():
+        assert r["re"] == orig[r["doc_id"]]
