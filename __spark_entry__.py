@@ -1011,6 +1011,56 @@ def q_x1_incremental_dedup(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_x6_er_pipeline(spark, sf_dir):
+    """X6 full entity-resolution pipeline (bench-only; every stage gated or
+    pytest-covered individually): the gate's three-variant customer records
+    → hash blocking ∪ sorted-neighborhood blocking → levenshtein scoring →
+    CC clustering → survivorship (canonical record + per-field golden
+    merge joined). One number per round for the whole ER family."""
+    from datamunging_spark.operators.entity import (
+        blocked_pairs,
+        canonical_records,
+        cluster_entities,
+        merge_entity_fields,
+        name_similarity,
+        sorted_neighborhood_pairs,
+    )
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        F.col("c_custkey").cast("bigint").alias("rid"),
+        F.col("c_name").alias("name"),
+    )
+    var_a = c.select(
+        (F.col("c_custkey") + 10_000_000).cast("bigint").alias("rid"),
+        F.replace(
+            F.col("c_name"), F.lit("Customer#"), F.lit("Cust #")
+        ).alias("name"),
+    )
+    recs = base.unionByName(var_a)
+    digits = F.regexp_extract("name", "([0-9]+)", 1).cast("bigint")
+    cond = (
+        F.regexp_extract("a_name", "([0-9]+)", 1).cast("bigint")
+        == F.regexp_extract("b_name", "([0-9]+)", 1).cast("bigint")
+    ) & (name_similarity("a_name", "b_name") >= 0.5)
+    pairs = (
+        blocked_pairs(recs, "rid", digits % 1000, ["name"], max_block=None)
+        .unionByName(
+            sorted_neighborhood_pairs(recs, "rid", F.col("name"), ["name"])
+        )
+        .filter(cond)
+        .dropDuplicates(["a_rid", "b_rid"])
+    )
+    resolved = cluster_entities(recs, pairs, "rid")
+    canon = canonical_records(resolved, "entity_id", [F.asc("rid")])
+    golden = merge_entity_fields(
+        resolved, "entity_id", ["name"], [F.col("rid")]
+    ).withColumnRenamed("name", "golden_name")
+    return canon.join(golden, "entity_id").select(
+        "entity_id", "rid", "name", "golden_name"
+    )
+
+
 def q_x1_ingest_cycle(spark, sf_dir):
     """X1 full continuous-ingest cycle (bench-only; components gated via
     x1_incremental_exact/_fuzzy): exact+fuzzy dedup of the crawl batch vs

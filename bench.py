@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "reshape_suite",
     "gap_fill",
     "x6_entity_resolution",
+    "x6_er_pipeline",
 ]
 
 

@@ -361,3 +361,70 @@ def streaming_ingest(
     q.processAllAvailable()
     q.stop()
     return state["snaps"]
+
+
+def streaming_resolve(
+    records_stream: DataFrame,
+    history: DataFrame,
+    id_col: str,
+    block_key,
+    payload: list[str],
+    match_cond,
+    resolved_path: str | None = None,
+    checkpoint_path: str | None = None,
+    entity_col: str = "entity_id",
+    max_block: int | None = 10_000,
+) -> DataFrame:
+    """Continuous entity resolution via ``foreachBatch`` — the ER face of
+    :func:`streaming_ingest`: each micro-batch runs
+    :func:`~datamunging_spark.operators.entity.incremental_resolve`
+    against the rolling resolved history, appends the labeled batch to
+    ``resolved_path`` (parquet, ``n_hist_matches`` kept for the
+    merge-review queue), and unions it into the history for the NEXT
+    micro-batch — so a record arriving later than its entity-mates still
+    adopts their entity, beyond any watermark horizon.
+
+    History here is memory-rolled (``localCheckpoint`` per batch —
+    the availableNow drain/backfill shape). For restartable production
+    loops persist the history per batch exactly like streaming_ingest's
+    versioned snapshots (same commit-marker pattern); the label state is
+    replay-idempotent for the same reason ingest is: re-resolving an
+    already-historied record (disjoint id space) adopts its own entity
+    (pinned by test_incremental_resolve_idempotent_reingest), so a
+    replayed batch can duplicate SINK rows but never corrupt labels.
+    Returns the final rolled history.
+    """
+    from datamunging_spark.operators.entity import incremental_resolve
+
+    state = {"hist": history.localCheckpoint()}
+
+    def _process(batch_df, batch_id):
+        if not batch_df.head(1):
+            return
+        resolved = incremental_resolve(
+            batch_df,
+            state["hist"],
+            id_col,
+            block_key,
+            payload,
+            match_cond,
+            entity_col=entity_col,
+            max_block=max_block,
+        ).localCheckpoint()
+        if resolved_path is not None:
+            resolved.write.mode("append").parquet(resolved_path)
+        state["hist"] = (
+            state["hist"]
+            .unionByName(resolved.drop("n_hist_matches"))
+            .localCheckpoint()
+        )
+
+    writer = records_stream.writeStream.foreachBatch(_process).trigger(
+        availableNow=True
+    )
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    return state["hist"]

@@ -644,3 +644,51 @@ def test_sentence_chunk_reconstructs_document(spark, tables):
     }
     for r in rebuilt.collect():
         assert r["re"] == orig[r["doc_id"]]
+
+
+def test_streaming_resolve_rolls_history_across_microbatches(spark, tmp_path):
+    """foreachBatch ER loop: a record arriving in a LATER micro-batch than
+    its entity-mate still adopts the mate's entity via the rolled-forward
+    history; fresh records mint new entities; the returned history covers
+    seed + both batches."""
+    from pyspark.sql import functions as F
+
+    from datamunging_spark.operators.entity import name_similarity
+    from datamunging_spark.streaming import streaming_resolve
+
+    src = tmp_path / "er_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(101, "ACME Corp", "111")], ["id", "name", "zip"]
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        # 201 near-dups batch-1's 101 (cross-micro-batch); 202 is fresh
+        [(201, "ACME Corps", "111"), (202, "Fresh Co", "999")],
+        ["id", "name", "zip"],
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    seed = spark.createDataFrame(
+        [(1, "Widget LLC", "222", 1)], ["id", "name", "zip", "entity_id"]
+    )
+    stream = (
+        spark.readStream.schema("id long, name string, zip string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = tmp_path / "resolved"
+    hist = streaming_resolve(
+        stream,
+        seed,
+        "id",
+        F.col("zip"),
+        ["name"],
+        name_similarity("a_name", "b_name") >= 0.85,
+        resolved_path=str(out),
+        checkpoint_path=str(tmp_path / "er_ckpt"),
+    )
+    resolved = spark.read.parquet(str(out))
+    ent = {r["id"]: r["entity_id"] for r in resolved.collect()}
+    assert ent[101] == 101          # batch 1: new entity
+    assert ent[201] == 101          # batch 2: adopted via rolled history
+    assert ent[202] == 202          # batch 2: fresh entity
+    assert hist.count() == 4        # seed + three streamed records
