@@ -65,28 +65,40 @@ def blocked_pairs(
     slim = df.select(
         F.col(id_col), block_key.alias("_blk"), *payload
     ).filter(F.col("_blk").isNotNull())
-    if max_block is not None:
-        ok = (
-            slim.groupBy("_blk")
-            .agg(F.count(F.lit(1)).alias("_bn"))
-            .filter(F.col("_bn") <= max_block)
-            .drop("_bn")
-        )
-        slim = slim.join(ok, "_blk")
-    a = slim.select(
-        F.col("_blk"),
-        F.col(id_col).alias(f"a_{id_col}"),
-        *[F.col(c).alias(f"a_{c}") for c in payload],
-    )
-    b = slim.select(
-        F.col("_blk"),
-        F.col(id_col).alias(f"b_{id_col}"),
-        *[F.col(c).alias(f"b_{c}") for c in payload],
-    )
+    slim = _cap_blocks(slim, max_block)
+    a = _prefix_select(slim, "a_", id_col, payload)
+    b = _prefix_select(slim, "b_", id_col, payload)
     return (
         a.join(b, "_blk")
         .filter(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
         .drop("_blk")
+    )
+
+
+def _cap_blocks(slim: DataFrame, max_block: int | None) -> DataFrame:
+    """Drop blocks with more than ``max_block`` rows BEFORE any pair
+    join (one count aggregate on ``_blk``); shared valve for the one- and
+    two-sided blocking paths. ``None`` disables."""
+    if max_block is None:
+        return slim
+    ok = (
+        slim.groupBy("_blk")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter(F.col("_bn") <= max_block)
+        .drop("_bn")
+    )
+    return slim.join(ok, "_blk")
+
+
+def _prefix_select(
+    slim: DataFrame, prefix: str, id_col: str, payload: list[str]
+) -> DataFrame:
+    """``_blk`` + id/payload renamed under ``prefix`` — one side of a
+    blocked pair join."""
+    return slim.select(
+        F.col("_blk"),
+        F.col(id_col).alias(f"{prefix}{id_col}"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in payload],
     )
 
 
@@ -208,7 +220,10 @@ def canonical_records(
     """
     from datamunging_spark.operators.relational import top_k_per_group
 
-    return top_k_per_group(df, [entity_col], preference, 1).drop("rn")
+    # Collision-safe rank name: a caller-owned "rn" column must survive.
+    return top_k_per_group(
+        df, [entity_col], preference, 1, rank_out="_cr_rn"
+    ).drop("_cr_rn")
 
 
 def merge_entity_fields(
@@ -263,24 +278,20 @@ def blocked_pairs_between(
     the side whose hot keys an incremental pipeline cannot re-key — by
     dropping oversized reference blocks before the join (one count agg).
     """
-    a = left.select(
-        block_key.alias("_blk"),
-        F.col(id_col).alias(f"a_{id_col}"),
-        *[F.col(c).alias(f"a_{c}") for c in left_payload],
-    ).filter(F.col("_blk").isNotNull())
-    b = right.select(
-        block_key.alias("_blk"),
-        F.col(id_col).alias(f"b_{id_col}"),
-        *[F.col(c).alias(f"b_{c}") for c in right_payload],
-    ).filter(F.col("_blk").isNotNull())
-    if max_block is not None:
-        ok = (
-            b.groupBy("_blk")
-            .agg(F.count(F.lit(1)).alias("_bn"))
-            .filter(F.col("_bn") <= max_block)
-            .drop("_bn")
-        )
-        b = b.join(ok, "_blk")
+    a = _prefix_select(
+        left.select(F.col(id_col), block_key.alias("_blk"), *left_payload)
+        .filter(F.col("_blk").isNotNull()),
+        "a_", id_col, left_payload,
+    )
+    b = _cap_blocks(
+        _prefix_select(
+            right.select(
+                F.col(id_col), block_key.alias("_blk"), *right_payload
+            ).filter(F.col("_blk").isNotNull()),
+            "b_", id_col, right_payload,
+        ),
+        max_block,
+    )
     return a.join(b, "_blk").drop("_blk")
 
 

@@ -214,7 +214,7 @@ def skew_report(
     value, since NULL-heavy columns are the most common real skew.
     """
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
-    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    total = counts.agg(F.sum("cnt").alias("_total"))
     return (
         counts.crossJoin(F.broadcast(total))
         .select(
@@ -257,6 +257,11 @@ def psi_report(
     edges_row = baseline.agg(
         F.percentile(v, F.array(*[F.lit(q) for q in qs])).alias("e")
     ).collect()[0]["e"]
+    if edges_row is None:
+        raise ValueError(
+            f"psi_report: baseline has no non-null values in "
+            f"{value_col!r}; cannot derive quantile bucket edges"
+        )
     edges = [float(e) for e in edges_row]
 
     def bucketize(frame: DataFrame) -> DataFrame:
@@ -267,7 +272,7 @@ def psi_report(
         counts = n.groupBy(b.alias("bucket")).agg(
             F.count(F.lit(1)).alias("_n")
         )
-        tot = n.agg(F.count(F.lit(1)).alias("_t"))
+        tot = counts.agg(F.sum("_n").alias("_t"))
         return counts.crossJoin(F.broadcast(tot)).select(
             "bucket", (F.col("_n") / F.col("_t")).alias("frac")
         )

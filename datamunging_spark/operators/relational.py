@@ -520,6 +520,11 @@ def rolling_stats(
     unknown = set(stats) - set(fns)
     if unknown:
         raise ValueError(f"unknown rolling stats: {sorted(unknown)}")
+    if window_rows < 1:
+        raise ValueError(
+            f"window_rows must be >= 1, got {window_rows} "
+            "(0 or negative would build an empty frame and return NULLs)"
+        )
     w = (
         Window.partitionBy(*keys)
         .orderBy(*order_cols)

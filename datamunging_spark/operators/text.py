@@ -985,7 +985,7 @@ def sentence_chunk_documents(
     sents = F.filter(
         F.split(text, SENTENCE_SPLIT_REGEX), lambda s: F.length(s) > 0
     )
-    counts = F.transform(sents, lambda s: F.size(F.split(s, " ")))
+    counts = F.transform(sents, lambda s: token_count(s))
     zero = F.struct(
         F.lit(0).alias("run"),
         F.lit(0).alias("idx"),
@@ -1032,6 +1032,6 @@ def sentence_chunk_documents(
         id_col,
         "chunk_id",
         F.col("_c.txt").alias("chunk_text"),
-        F.size(F.split("_c.txt", " ")).alias("n_tokens"),
+        token_count(F.col("_c.txt")).alias("n_tokens"),
         F.col("_c.n_sent").alias("n_sentences"),
     )
