@@ -902,6 +902,111 @@ def q_r26_sample_bernoulli(spark, sf_dir):
     ).select("l_orderkey", "l_linenumber")
 
 
+def q_sampling_suite(spark, sf_dir):
+    """R26/R27/R30 + R28 sampling family in one gate entry (merged from
+    round-5's r26_sample_bernoulli + r28_sample_bykey rows for the
+    50-entry cap; both operators keep their own pytest + bench coverage):
+    branch 'bernoulli' = 20% portable md5 ROW sample of lineitem, branch
+    'bykey' = all-or-none 20% KEY sample of customer. Both are pure
+    codegen filter predicates — no shuffle, no RNG stream — so the union
+    is oracle-exact on any engine and any partitioning."""
+    from datamunging_spark.operators.sampling import bernoulli_sample_portable
+
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    bern = bernoulli_sample_portable(
+        li, 0.2, key_cols=["l_orderkey", "l_linenumber"]
+    ).select(
+        F.lit("bernoulli").alias("op"),
+        F.col("l_orderkey").cast("long").alias("k1"),
+        F.col("l_linenumber").cast("string").alias("k2"),
+    )
+    byk = sample_by_key(c, "c_custkey", percent=20).select(
+        F.lit("bykey").alias("op"),
+        F.col("c_custkey").cast("long").alias("k1"),
+        F.col("c_name").alias("k2"),
+    )
+    return bern.unionByName(byk)
+
+
+def q_x6_snapshot_history(spark, sf_dir):
+    """X6 dataset-version bookkeeping (operators/history.py), both halves
+    oracle-paired in one suite row. Branch 'diff': snapshot_diff between
+    customer v_old (every %101 key absent) and v_new (acctbal bumped for
+    %13 keys) — the added/removed/changed audit of a republished table,
+    computed as slim (key, content-digest) projections into ONE full-outer
+    join. Branch 'scd2': scd2_build over three synthetic mktsegment
+    snapshots — validity intervals from one key-partitioned
+    window+aggregate pass. The DuckDB oracle re-derives the diff with
+    FULL OUTER JOIN + IS DISTINCT FROM and the SCD-2 with lag/segment-sum
+    windows, so both halves' semantics are hash-checked cell-by-cell."""
+    from datamunging_spark.operators.history import scd2_build, snapshot_diff
+
+    c = _t(spark, sf_dir, "customer")
+    old = c.filter(F.col("c_custkey") % 101 != 0)
+    new = c.withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 1.0
+        ).otherwise(F.col("c_acctbal")),
+    )
+    diff = snapshot_diff(
+        old, new, ["c_custkey"], ["c_acctbal", "c_mktsegment"]
+    ).select(
+        F.lit("diff").alias("part"),
+        F.col("c_custkey").cast("long").alias("key"),
+        F.col("status").alias("attr"),
+        F.lit(None).cast("int").alias("v_from"),
+        F.lit(None).cast("int").alias("v_to"),
+    )
+    versions = [
+        c.select(
+            "c_custkey",
+            F.when(
+                (F.col("c_custkey") + v) % 7 == 0, F.lit("SHIFTED")
+            ).otherwise(F.col("c_mktsegment")).alias("seg"),
+            F.lit(v).alias("v"),
+        )
+        for v in (1, 2, 3)
+    ]
+    snaps = versions[0].unionByName(versions[1]).unionByName(versions[2])
+    scd = scd2_build(snaps, ["c_custkey"], ["seg"], "v").select(
+        F.lit("scd2").alias("part"),
+        F.col("c_custkey").cast("long").alias("key"),
+        F.col("seg").alias("attr"),
+        F.col("effective_from").cast("int").alias("v_from"),
+        F.col("effective_to").cast("int").alias("v_to"),
+    )
+    return diff.unionByName(scd)
+
+
+def q_x4_vocab(spark, sf_dir):
+    """X4 vocabulary build + OOV coverage (bench + pytest-oracle coverage;
+    kept out of the 50-entry gate): deterministic top-500 corpus
+    vocabulary (TakeOrderedAndProject, never a global sort) joined
+    broadcast-side into a one-row token/type coverage report, plus the
+    vocabulary head. tests/test_history_vocab.py hash-checks the same
+    build against DuckDB."""
+    from datamunging_spark.operators.text import build_vocab, vocab_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(d, vocab_size=500).localCheckpoint()
+    cov = vocab_coverage(d, vocab)
+    head = vocab.filter(F.col("rank") <= 20).select(
+        F.lit("vocab").alias("part"),
+        "word",
+        F.col("cnt").cast("long").alias("n1"),
+        F.col("rank").cast("long").alias("n2"),
+    )
+    rep = cov.select(
+        F.lit("coverage").alias("part"),
+        F.format_number("oov_rate", 6).alias("word"),
+        F.col("in_vocab_tokens").cast("long").alias("n1"),
+        F.col("total_tokens").cast("long").alias("n2"),
+    )
+    return head.unionByName(rep)
+
+
 def q_x5_pack_sequences(spark, sf_dir):
     """X5 sequence packing (rows-only: bin ids depend on the xxhash64 group
     split, so no SQL oracle — but the packing INVARIANTS are checked inside
@@ -1633,7 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "date_agg": q_date_agg,
         "stream_window_counts": q_stream_window_counts,
-        "r28_sample_bykey": q_r28_sample_bykey,
+        "sampling_suite": q_sampling_suite,
         "x4_text_suite": q_x4_text_suite,
         "x2_topk_cosine": q_x2_topk_cosine,
         "r33_tfidf": q_r33_tfidf,
@@ -1650,7 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_ngram_jaccard": q_x1_ngram_jaccard,
         "x1_embedding_neardup": q_x1_embedding_neardup,
         "x_curation_exact": q_x_curation_exact,
-        "r26_sample_bernoulli": q_r26_sample_bernoulli,
+        "x6_snapshot_history": q_x6_snapshot_history,
         "x5_token_budget": q_x5_token_budget,
         "x1_paragraph_dedup": q_x1_paragraph_dedup,
         "x5_chunk_documents": q_x5_chunk_documents,
@@ -1844,15 +1949,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY win_start, event_type
         """,
-        "r28_sample_bykey": (
-            "SELECT c_custkey, c_name FROM customer "
-            "WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) <= '32'"
-        ),
-        "r26_sample_bernoulli": """
-            SELECT l_orderkey, l_linenumber FROM lineitem
+        "sampling_suite": """
+            SELECT 'bernoulli' AS op, CAST(l_orderkey AS BIGINT) AS k1,
+                   CAST(l_linenumber AS VARCHAR) AS k2
+            FROM lineitem
             WHERE substr(md5(concat_ws('|', CAST(l_orderkey AS VARCHAR),
                                             CAST(l_linenumber AS VARCHAR))),
                          1, 4) < '3333'
+            UNION ALL
+            SELECT 'bykey', CAST(c_custkey AS BIGINT), c_name FROM customer
+            WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 2) <= '32'
+        """,
+        "x6_snapshot_history": """
+            WITH old AS (
+              SELECT c_custkey, c_acctbal, c_mktsegment
+              FROM customer WHERE c_custkey % 101 <> 0
+            ), new AS (
+              SELECT c_custkey,
+                     CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 1.0
+                          ELSE c_acctbal END AS c_acctbal,
+                     c_mktsegment
+              FROM customer
+            ), diff AS (
+              SELECT 'diff' AS part,
+                     CAST(COALESCE(o.c_custkey, n.c_custkey) AS BIGINT) AS key,
+                     CASE WHEN o.c_custkey IS NULL THEN 'added'
+                          WHEN n.c_custkey IS NULL THEN 'removed'
+                          WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                            OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                          THEN 'changed' END AS attr,
+                     CAST(NULL AS INT) AS v_from, CAST(NULL AS INT) AS v_to
+              FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+            ), snaps AS (
+              SELECT c_custkey,
+                     CASE WHEN (c_custkey + v) % 7 = 0 THEN 'SHIFTED'
+                          ELSE c_mktsegment END AS seg, v
+              FROM customer CROSS JOIN (VALUES (1), (2), (3)) AS t(v)
+            ), lagged AS (
+              SELECT c_custkey, seg, v,
+                     CASE WHEN lag(v) OVER w IS NULL
+                            OR seg IS DISTINCT FROM lag(seg) OVER w
+                          THEN 1 ELSE 0 END AS chg
+              FROM snaps WINDOW w AS (PARTITION BY c_custkey ORDER BY v)
+            ), segs AS (
+              SELECT c_custkey, seg, v,
+                     SUM(chg) OVER (PARTITION BY c_custkey ORDER BY v) AS s
+              FROM lagged
+            ), runs AS (
+              SELECT c_custkey, s, min(seg) AS attr, min(v) AS v_from
+              FROM segs GROUP BY c_custkey, s
+            )
+            SELECT part, key, attr, v_from, v_to FROM diff
+            WHERE attr IS NOT NULL
+            UNION ALL
+            SELECT 'scd2', CAST(c_custkey AS BIGINT), attr,
+                   CAST(v_from AS INT),
+                   CAST(lead(v_from) OVER
+                        (PARTITION BY c_custkey ORDER BY s) AS INT)
+            FROM runs
         """,
         "x5_token_budget": """
             WITH d AS (

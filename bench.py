@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "gap_fill",
     "x6_entity_resolution",
     "x6_er_pipeline",
+    "x6_snapshot_history",
+    "x4_vocab",
 ]
 
 

@@ -11,4 +11,5 @@
   pipeline    — end-to-end corpus curation (quality gates → dedup)
   trainset    — decontamination, source mixing, training shuffle (X5)
   entity      — record linkage: block → score → CC cluster (X6)
+  history     — snapshot diffs + SCD-2 temporal build (X6 bookkeeping)
 """

@@ -1,0 +1,149 @@
+"""Dataset-version history operators: keyed diffs between snapshots and
+SCD-2 temporal dimension build.
+
+These close the bookkeeping loop around the repo's continuous-ingest
+family (operators/dedup.py incremental_* and the snapshot store in
+sources/io.py): once a pipeline republishes a table per crawl/batch, the
+first questions are "what changed since the last version?" (audit,
+incremental downstream refresh, regression triage) and "what did this
+record look like at time T?" (temporal joins, training-data provenance).
+Both are standard warehouse surface (dataset diff; Kimball slowly-
+changing-dimension type 2) re-expressed Spark-first.
+
+Scale notes are in each docstring; the common discipline: rows travel
+the diff shuffle as (key, 128-bit content digest), never as full
+payloads, and the SCD-2 build is one shuffle on the entity key with
+every window and the final aggregate sharing that partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["row_digest", "snapshot_diff", "scd2_build"]
+
+
+def row_digest(compare_cols: list[str]) -> Column:
+    """128-bit content digest over ``compare_cols``: md5 of the JSON
+    serialization with nulls kept explicit (``ignoreNullFields=false``),
+    so NULL vs empty-string vs missing all digest differently and no
+    column-shift collisions are possible (unlike ``xxhash64(*cols)``,
+    where NULL inputs leave the accumulator unchanged and ``(NULL, x)``
+    collides with ``(x, NULL)``)."""
+    return F.md5(
+        F.to_json(
+            F.struct(*[F.col(c) for c in compare_cols]),
+            {"ignoreNullFields": "false"},
+        )
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Keyed diff between two versions of a table: one row per key present
+    in either side with ``status`` ∈ {added, removed, changed} (plus
+    ``unchanged`` when ``include_unchanged``) — the audit/regression
+    primitive for republished datasets ("this crawl added 2M docs,
+    dropped 40k, rewrote 300k").
+
+    ``compare_cols`` defaults to all non-key columns shared by both
+    frames. Key uniqueness per side is the caller's contract (the usual
+    primary-key assumption; duplicate keys make the diff fan out as a
+    join would).
+
+    Scale shape: each side is first reduced to (keys, digest) — a
+    128-bit :func:`row_digest`, so wide rows never cross the wire — then
+    ONE full-outer shuffle join on the keys. Status is a null-check CASE
+    over the two digest columns. No window, no second scan; cost is two
+    slim projections + one join, and with both sides bucketed by the
+    keys (sources/io.py write_bucketed_table) the exchange disappears
+    entirely.
+    """
+    if compare_cols is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare_cols = [c for c in shared if c not in set(keys)]
+    if not compare_cols:
+        raise ValueError("snapshot_diff: no compare columns")
+    o = old.select(*keys, row_digest(compare_cols).alias("_old_d"))
+    n = new.select(*keys, row_digest(compare_cols).alias("_new_d"))
+    status = (
+        F.when(F.col("_old_d").isNull(), F.lit("added"))
+        .when(F.col("_new_d").isNull(), F.lit("removed"))
+        .when(F.col("_old_d") != F.col("_new_d"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = (
+        o.join(n, keys, "full_outer")
+        .select(*keys, status.alias("status"))
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out
+
+
+def scd2_build(
+    snapshots: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    version_col: str,
+    effective_from: str = "effective_from",
+    effective_to: str = "effective_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 from stacked periodic snapshots:
+    collapse consecutive versions with identical ``attrs`` into validity
+    intervals — one row per (key, attribute-run) with
+    ``[effective_from, effective_to)`` bounds (``effective_to`` NULL on
+    the open current row, ``current_flag`` true). The standard temporal
+    table a warehouse derives from daily/percrawl republishes, and what a
+    training pipeline joins to answer "which version of this record did
+    run X train on".
+
+    Semantics: input is the UNION of snapshots, each row tagged with its
+    snapshot version in ``version_col`` (a date, timestamp, or
+    monotonically increasing batch id — any orderable type). A key absent
+    from an intermediate snapshot is treated as "not observed", not as a
+    delete: its interval simply extends until the next observed change
+    (delete tracking would need a tombstone input; out of scope by
+    design, documented here so callers don't assume otherwise).
+    Attribute comparison is null-safe (NULL→value and value→NULL both
+    open a new interval).
+
+    Scale shape: ONE shuffle on ``keys``. Both windows (the lag-compare
+    and the running segment sum) and the final hash aggregate share that
+    partitioning, so Catalyst plans a single exchange; the lead() for
+    ``effective_to`` runs over the already-aggregated segment rows (one
+    row per run, far smaller than the input). Per-key data is the
+    snapshot count — bounded, so no skew concern beyond a genuinely hot
+    entity key.
+    """
+    w = Window.partitionBy(*keys).orderBy(version_col)
+    # null-safe "did any attr change vs the previous snapshot of this key"
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    is_first = F.lag(version_col).over(w).isNull()
+    seg = F.sum(
+        F.when(is_first | changed, F.lit(1)).otherwise(F.lit(0))
+    ).over(w)
+    runs = (
+        snapshots.select(*keys, *attrs, version_col)
+        .withColumn("_seg", seg)
+        .groupBy(*keys, "_seg")
+        .agg(
+            *[F.first(a).alias(a) for a in attrs],
+            F.min(version_col).alias(effective_from),
+        )
+    )
+    w2 = Window.partitionBy(*keys).orderBy("_seg")
+    return (
+        runs.withColumn(effective_to, F.lead(effective_from).over(w2))
+        .withColumn(current_flag, F.col(effective_to).isNull())
+        .drop("_seg")
+    )

@@ -11,7 +11,7 @@ Arrow).
 # NB: no `from __future__ import annotations` here — pandas_udf resolves real
 # type hints, and stringized annotations break its signature inference.
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
@@ -270,6 +270,64 @@ def word_count(df: DataFrame, text_col: str = "text") -> DataFrame:
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def build_vocab(
+    df: DataFrame, text_col: str = "text", vocab_size: int = 10_000
+) -> DataFrame:
+    """Top-``vocab_size`` corpus vocabulary by frequency: (word, cnt,
+    rank), rank 1-based in (cnt desc, word asc) order — the deterministic
+    tiebreak makes the vocabulary reproducible across engines and runs
+    (the usual prerequisite for a frozen tokenizer/feature vocabulary).
+
+    Scale shape: :func:`word_count`'s explode→hash-agg (map-side partials
+    absorb heavy hitters), then ``orderBy.limit`` — which plans as
+    TakeOrderedAndProject (per-partition top-k heaps merged on one
+    reducer), NEVER a global sort. The rank window runs over the already-
+    truncated ``vocab_size`` rows, so its single-partition sort is
+    bounded by the vocabulary, not the corpus.
+    """
+    top = (
+        word_count(df, text_col)
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(vocab_size)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def vocab_coverage(
+    df: DataFrame, vocab: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """One-row token-coverage report of ``vocab`` (a :func:`build_vocab`
+    result or any frame with a ``word`` column) over a corpus:
+    total/covered token occurrences, OOV rate, and type-level coverage —
+    the go/no-go number for freezing a tokenizer vocabulary ("99.2% of
+    token occurrences in-vocab, 14% of types").
+
+    Scale shape: explode → broadcast LEFT join against the vocabulary
+    (bounded by ``vocab_size``, so always broadcastable) → one global
+    aggregate. No shuffle beyond the final single-row reduction.
+    """
+    toks = df.select(F.explode(tokenize(text_col)).alias("word")).filter(
+        F.col("word") != ""
+    )
+    v = F.broadcast(vocab.select("word", F.lit(True).alias("_in")))
+    j = toks.join(v, "word", "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.sum(F.when(F.col("_in"), 1).otherwise(0)).alias("in_vocab_tokens"),
+        F.round(
+            1.0
+            - F.sum(F.when(F.col("_in"), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+        F.countDistinct("word").alias("total_types"),
+        F.countDistinct(F.when(F.col("_in"), F.col("word"))).alias(
+            "in_vocab_types"
+        ),
     )
 
 

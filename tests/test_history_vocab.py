@@ -1,0 +1,268 @@
+"""Dataset-history operators (snapshot_diff, scd2_build) and vocabulary
+build/coverage — correctness vs independent re-derivations (pure-Python
+and DuckDB) plus plan-shape guards."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from datamunging_spark.operators.history import (
+    row_digest,
+    scd2_build,
+    snapshot_diff,
+)
+from datamunging_spark.operators.text import build_vocab, vocab_coverage
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+# ---------------------------------------------------------------------------
+
+def test_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (5, "e", 50)],
+        "id int, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, None, None), (4, "d", 40), (5, "e", 50)],
+        "id int, s string, v int",
+    )
+    got = {
+        r.id: r.status for r in snapshot_diff(old, new, ["id"]).collect()
+    }
+    assert got == {1: "removed", 3: "changed", 4: "added"}
+    full = {
+        r.id: r.status
+        for r in snapshot_diff(
+            old, new, ["id"], include_unchanged=True
+        ).collect()
+    }
+    assert full[2] == "unchanged" and full[5] == "unchanged"
+    assert len(full) == 5
+
+
+def test_snapshot_diff_null_vs_value_shift(spark):
+    """(NULL, 'x') and ('x', NULL) must NOT collide — the digest keeps
+    nulls explicit, unlike xxhash64 where null input is a no-op."""
+    old = spark.createDataFrame([(1, None, "x")], "id int, a string, b string")
+    new = spark.createDataFrame([(1, "x", None)], "id int, a string, b string")
+    got = snapshot_diff(old, new, ["id"]).collect()
+    assert [(r.id, r.status) for r in got] == [(1, "changed")]
+
+
+def test_snapshot_diff_no_compare_cols_raises(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(ValueError):
+        snapshot_diff(df, df, ["id"])
+
+
+def test_snapshot_diff_single_equi_join_plan(spark):
+    old = spark.createDataFrame([(1, "a")], "id int, s string")
+    new = spark.createDataFrame([(2, "b")], "id int, s string")
+    plan = snapshot_diff(old, new, ["id"])._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_snapshot_diff_matches_duckdb(spark, tables):
+    """Oracle cross-check on real data: mutate customer deterministically
+    and diff — DuckDB derives the identical status set."""
+    c = tables["customer"]
+    old = c.filter(F.col("c_custkey") % 101 != 0)
+    new = c.withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 1.0
+        ).otherwise(F.col("c_acctbal")),
+    )
+    got = sorted(
+        (r.c_custkey, r.status)
+        for r in snapshot_diff(
+            old, new, ["c_custkey"], ["c_acctbal", "c_mktsegment"]
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/customer.parquet')"
+    )
+    want = sorted(
+        (int(k), s)
+        for k, s in con.execute(
+            """
+            WITH old AS (SELECT c_custkey, c_acctbal, c_mktsegment
+                         FROM customer WHERE c_custkey % 101 <> 0),
+                 new AS (SELECT c_custkey,
+                                CASE WHEN c_custkey % 13 = 0
+                                     THEN c_acctbal + 1.0
+                                     ELSE c_acctbal END AS c_acctbal,
+                                c_mktsegment
+                         FROM customer)
+            SELECT COALESCE(o.c_custkey, n.c_custkey) AS k,
+                   CASE WHEN o.c_custkey IS NULL THEN 'added'
+                        WHEN n.c_custkey IS NULL THEN 'removed'
+                        WHEN o.c_acctbal IS DISTINCT FROM n.c_acctbal
+                          OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                        THEN 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+            WHERE status IS NOT NULL
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# scd2_build
+# ---------------------------------------------------------------------------
+
+def test_scd2_intervals_and_current(spark):
+    snaps = spark.createDataFrame(
+        [
+            (1, "x", 1), (1, "x", 2), (1, "y", 3), (1, "y", 4), (1, "x", 5),
+            (2, "q", 2), (2, None, 3), (2, None, 4),
+        ],
+        "id int, attr string, v int",
+    )
+    rows = sorted(
+        scd2_build(snaps, ["id"], ["attr"], "v").collect(),
+        key=lambda r: (r.id, r.effective_from),
+    )
+    got = [
+        (r.id, r.attr, r.effective_from, r.effective_to, r.is_current)
+        for r in rows
+    ]
+    assert got == [
+        (1, "x", 1, 3, False),
+        (1, "y", 3, 5, False),
+        (1, "x", 5, None, True),
+        (2, "q", 2, 3, False),
+        (2, None, 3, None, True),
+    ]
+
+
+def test_scd2_null_transitions_open_intervals(spark):
+    """NULL→value and value→NULL are both changes (null-safe compare)."""
+    snaps = spark.createDataFrame(
+        [(1, None, 1), (1, "a", 2), (1, None, 3)], "id int, a string, v int"
+    )
+    rows = sorted(
+        scd2_build(snaps, ["id"], ["a"], "v").collect(),
+        key=lambda r: r.effective_from,
+    )
+    assert [(r.a, r.effective_from, r.effective_to) for r in rows] == [
+        (None, 1, 2), ("a", 2, 3), (None, 3, None)
+    ]
+
+
+def test_scd2_multi_attr_and_single_exchange(spark):
+    snaps = spark.createDataFrame(
+        [(1, "a", 10, 1), (1, "a", 11, 2), (1, "b", 11, 3)],
+        "id int, s string, n int, v int",
+    )
+    out = scd2_build(snaps, ["id"], ["s", "n"], "v")
+    rows = sorted(out.collect(), key=lambda r: r.effective_from)
+    assert [(r.s, r.n, r.effective_from) for r in rows] == [
+        ("a", 10, 1), ("a", 11, 2), ("b", 11, 3)
+    ]
+    # windows + agg + lead all share the key partitioning: ONE exchange
+    # (AQE's toString renders Final + Initial plans; count the final only)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    n_exchange = final.count("Exchange hashpartitioning")
+    assert n_exchange == 1, plan
+
+
+def test_scd2_matches_pure_python(spark, tables):
+    """Three synthetic versions of customer segments; re-derive runs with
+    a driver-side reference implementation."""
+    c = tables["customer"].select("c_custkey", "c_mktsegment").limit(200)
+    versions = []
+    for v in (1, 2, 3):
+        versions.append(
+            c.select(
+                "c_custkey",
+                F.when(
+                    (F.col("c_custkey") + v) % 7 == 0, F.lit("SHIFTED")
+                ).otherwise(F.col("c_mktsegment")).alias("seg"),
+                F.lit(v).alias("v"),
+            )
+        )
+    snaps = versions[0].unionByName(versions[1]).unionByName(versions[2])
+    got = sorted(
+        (r.c_custkey, r.seg, r.effective_from, r.effective_to, r.is_current)
+        for r in scd2_build(snaps, ["c_custkey"], ["seg"], "v").collect()
+    )
+    # reference: group rows per key, scan versions in order
+    by_key = {}
+    for r in snaps.collect():
+        by_key.setdefault(r.c_custkey, []).append((r.v, r.seg))
+    want = []
+    for k, vs in by_key.items():
+        vs.sort()
+        runs = []
+        for v, seg in vs:
+            if not runs or runs[-1][0] != seg:
+                runs.append([seg, v, None])
+        for i in range(len(runs) - 1):
+            runs[i][2] = runs[i + 1][1]
+        for seg, start, end in runs:
+            want.append((k, seg, start, end, end is None))
+    assert got == sorted(want)
+
+
+# ---------------------------------------------------------------------------
+# vocabulary
+# ---------------------------------------------------------------------------
+
+def test_build_vocab_deterministic_topk(spark):
+    docs = spark.createDataFrame(
+        [(1, "b a b c a b"), (2, "a c d"), (3, "")], "doc_id int, text string"
+    )
+    v = build_vocab(docs, vocab_size=3).collect()
+    assert [(r.word, r.cnt, r.rank) for r in v] == [
+        ("a", 3, 1), ("b", 3, 2), ("c", 2, 3)
+    ]
+
+
+def test_vocab_coverage_report(spark):
+    docs = spark.createDataFrame(
+        [(1, "b a b c a b"), (2, "a c d")], "doc_id int, text string"
+    )
+    v = build_vocab(docs, vocab_size=2)  # a, b
+    r = vocab_coverage(docs, v).collect()[0]
+    assert r.total_tokens == 9 and r.in_vocab_tokens == 6
+    assert r.total_types == 4 and r.in_vocab_types == 2
+    assert r.oov_rate == pytest.approx(1 - 6 / 9, abs=1e-6)
+
+
+def test_vocab_matches_duckdb(spark, tables):
+    got = [
+        (r.word, r.cnt, r.rank)
+        for r in build_vocab(tables["documents"], vocab_size=50).collect()
+    ]
+    con = duckdb.connect()
+    want = con.execute(
+        """
+        WITH toks AS (
+          SELECT unnest(string_split(text, ' ')) AS word
+          FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+        ), counts AS (
+          SELECT word, COUNT(*) AS cnt FROM toks
+          WHERE word <> '' GROUP BY word
+        )
+        SELECT word, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rank
+        FROM counts ORDER BY cnt DESC, word LIMIT 50
+        """
+    ).fetchall()
+    assert got == [(w, int(c), int(rk)) for w, c, rk in want]
+
+
+def test_build_vocab_no_global_sort(spark, tables):
+    """orderBy.limit must plan as TakeOrderedAndProject (per-partition
+    heaps), never a full Sort+Exchange of the corpus counts."""
+    plan = (
+        build_vocab(tables["documents"], vocab_size=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
