@@ -939,8 +939,17 @@ def q_x6_snapshot_history(spark, sf_dir):
     snapshots — validity intervals from one key-partitioned
     window+aggregate pass. The DuckDB oracle re-derives the diff with
     FULL OUTER JOIN + IS DISTINCT FROM and the SCD-2 with lag/segment-sum
-    windows, so both halves' semantics are hash-checked cell-by-cell."""
-    from datamunging_spark.operators.history import scd2_build, snapshot_diff
+    windows, so both halves' semantics are hash-checked cell-by-cell.
+    Branch 'apply': apply_changelog (CDC MERGE — latest-wins window over
+    the changelog only + ONE full-outer merge join) rolls customer forward
+    through a synthetic upsert/delete log, and snapshot_diff recovers the
+    change set, which must equal the changelog's effect exactly — the
+    diff∘apply = changelog round-trip, re-derived closed-form in SQL."""
+    from datamunging_spark.operators.history import (
+        apply_changelog,
+        scd2_build,
+        snapshot_diff,
+    )
 
     c = _t(spark, sf_dir, "customer")
     old = c.filter(F.col("c_custkey") % 101 != 0)
@@ -977,7 +986,24 @@ def q_x6_snapshot_history(spark, sf_dir):
         F.col("effective_from").cast("int").alias("v_from"),
         F.col("effective_to").cast("int").alias("v_to"),
     )
-    return diff.unionByName(scd)
+    slim = c.select("c_custkey", "c_mktsegment")
+    changes = slim.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit("MOVED").alias("c_mktsegment"),
+        F.lit(1).alias("ver"),
+        F.when(F.col("c_custkey") % 21 == 0, "delete")
+        .otherwise("upsert")
+        .alias("op"),
+    )
+    applied = apply_changelog(slim, changes, ["c_custkey"], "ver", op_col="op")
+    apply_branch = snapshot_diff(slim, applied, ["c_custkey"]).select(
+        F.lit("apply").alias("part"),
+        F.col("c_custkey").cast("long").alias("key"),
+        F.col("status").alias("attr"),
+        F.lit(None).cast("int").alias("v_from"),
+        F.lit(None).cast("int").alias("v_to"),
+    )
+    return diff.unionByName(scd).unionByName(apply_branch)
 
 
 def q_x4_vocab(spark, sf_dir):
@@ -2007,6 +2033,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(lead(v_from) OVER
                         (PARTITION BY c_custkey ORDER BY s) AS INT)
             FROM runs
+            UNION ALL
+            -- diff(base, apply(base, changelog)) == the changelog's effect
+            SELECT 'apply', CAST(c_custkey AS BIGINT),
+                   CASE WHEN c_custkey % 21 = 0 THEN 'removed'
+                        WHEN c_mktsegment <> 'MOVED' THEN 'changed' END,
+                   CAST(NULL AS INT), CAST(NULL AS INT)
+            FROM customer
+            WHERE c_custkey % 7 = 0
+              AND (c_custkey % 21 = 0 OR c_mktsegment <> 'MOVED')
         """,
         "x5_token_budget": """
             WITH d AS (
