@@ -21,7 +21,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["row_digest", "snapshot_diff", "scd2_build", "apply_changelog"]
+__all__ = [
+    "row_digest",
+    "snapshot_diff",
+    "scd2_build",
+    "apply_changelog",
+    "scd2_lookup",
+]
 
 
 def row_digest(compare_cols: list[str]) -> Column:
@@ -212,3 +218,64 @@ def apply_changelog(
         ],
     )
     return out
+
+
+def scd2_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    attrs: list[str] | None = None,
+    effective_from: str = "effective_from",
+    effective_to: str = "effective_to",
+    prefix: str = "",
+) -> DataFrame:
+    """Temporal (point-in-time) join of facts against an SCD-2 dimension:
+    each fact row gains the dimension attributes that were valid AT its
+    ``ts_col`` — the consumer side of :func:`scd2_build` ("join each
+    training example to the version of the record it was built from").
+    Facts whose timestamp predates the key's first interval, or lands in
+    a validity gap of an externally-built dimension, keep NULL attributes
+    (left-join semantics).
+
+    ``attrs`` defaults to every dim column except keys/interval/flag
+    columns; ``prefix`` renames them on the way out (collision hygiene
+    when facts already carry same-named columns).
+
+    Scale shape: NOT a range join — interval containment over
+    ``[effective_from, effective_to)`` is resolved with the as-of
+    union-tag + forward-fill window (operators/relational.asof_join):
+    ONE shuffle on (keys, time) and a linear per-key scan, where a
+    range-join formulation would pay a per-key quadratic candidate
+    blowup. The matched interval's ``effective_to`` is carried through
+    the fill and a final guard nulls out matches whose interval closed
+    at/before the fact timestamp — for :func:`scd2_build` output the
+    guard never fires (intervals are contiguous by construction), but it
+    keeps externally-built dimensions with gaps correct.
+    """
+    from datamunging_spark.operators.relational import asof_join
+
+    if attrs is None:
+        skip = set(keys) | {effective_from, effective_to, "is_current"}
+        attrs = [c for c in dim.columns if c not in skip]
+    # asof_join carries right columns through its fill as one never-null
+    # struct, so a matched interval's genuinely-NULL field (an open
+    # interval's NULL effective_to, a NULL attr run) stays NULL instead of
+    # backfilling the previous interval's value — pinned by
+    # test_scd2_lookup_respects_closed_intervals_with_gaps.
+    right_cols = {a: f"{prefix}{a}" for a in attrs}
+    right_cols[effective_to] = "_vt"
+    out = asof_join(
+        facts,
+        dim,
+        keys,
+        left_ts=ts_col,
+        right_ts=effective_from,
+        right_cols=right_cols,
+    )
+    valid = F.col("_vt").isNull() | (F.col("_vt") > F.col(ts_col))
+    for a in attrs:
+        out = out.withColumn(
+            f"{prefix}{a}", F.when(valid, F.col(f"{prefix}{a}"))
+        )
+    return out.drop("_vt")

@@ -147,15 +147,16 @@ def sessionize(
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | list[str],
     left_ts: str = "ts",
     right_ts: str = "ts",
     right_cols: dict[str, str] | None = None,
 ) -> DataFrame:
     """As-of (backward) join: for each left row, the right row with the
-    greatest ``right_ts`` ≤ ``left_ts`` within the same ``on`` key — the
+    greatest ``right_ts`` ≤ ``left_ts`` within the same ``on`` key(s) — the
     time-series operator Spark lacks natively (DuckDB/Pandas ``ASOF JOIN``
-    semantics, inclusive match).
+    semantics, inclusive match). ``on`` may be one key name or a list
+    (composite key).
 
     Scale shape: union-tag + window forward-fill — ONE shuffle on
     (key, time) and a linear scan per key, instead of a range join's
@@ -165,36 +166,42 @@ def asof_join(
     ``right_cols`` maps right column → output alias (default:
     ``{right_ts: f"asof_{right_ts}"}``).
     """
+    on_keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = {right_ts: f"asof_{right_ts}"}
     out_cols = list(right_cols.values())
     l_tag = left.withColumn("_ts", F.col(left_ts)).withColumn(
         "_is_l", F.lit(1)
     )
-    for c in out_cols:
-        l_tag = l_tag.withColumn(c, F.lit(None))
+    # Carried right columns ride ONE never-null struct through the fill:
+    # filling each column separately with ignorenulls would skip a matched
+    # row's genuinely-NULL value and backfill the PREVIOUS row's — wrong
+    # vs pandas/DuckDB ASOF semantics, where the matched row's NULL stays.
     r_tag = right.select(
-        F.col(on),
+        *[F.col(k) for k in on_keys],
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_l"),
-        *[F.col(src).alias(dst) for src, dst in right_cols.items()],
+        F.struct(
+            *[F.col(src).alias(dst) for src, dst in right_cols.items()]
+        ).alias("_asof_p"),
     )
     u = r_tag.unionByName(l_tag, allowMissingColumns=True)
     # Right rows sort before left rows at equal _ts (inclusive <= match).
     w = (
-        Window.partitionBy(on)
+        Window.partitionBy(*on_keys)
         .orderBy("_ts", "_is_l")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = u.withColumns(
-        {
-            c: F.last(
-                F.when(F.col("_is_l") == 0, F.col(c)), ignorenulls=True
-            ).over(w)
-            for c in out_cols
-        }
+    filled = u.withColumn(
+        "_asof_p",
+        F.last(
+            F.when(F.col("_is_l") == 0, F.col("_asof_p")), ignorenulls=True
+        ).over(w),
     )
-    return filled.filter(F.col("_is_l") == 1).drop("_is_l", "_ts")
+    out = filled.filter(F.col("_is_l") == 1)
+    for c in out_cols:
+        out = out.withColumn(c, F.col("_asof_p").getField(c))
+    return out.drop("_is_l", "_ts", "_asof_p")
 
 
 def salted_join(

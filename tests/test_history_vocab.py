@@ -386,3 +386,132 @@ def test_apply_changelog_plan_single_equi_join(spark):
     # Window exec node in the whole plan (WindowGroupLimit pre-filter
     # nodes that Spark inserts around row_number are fine and don't count)
     assert final.count("Window [") == 1, final
+
+
+# ---------------------------------------------------------------------------
+# scd2_lookup
+# ---------------------------------------------------------------------------
+
+def test_scd2_lookup_point_in_time(spark):
+    from datamunging_spark.operators.history import scd2_build, scd2_lookup
+
+    snaps = spark.createDataFrame(
+        [(1, "x", 1), (1, "y", 3), (1, "z", 5), (2, "q", 2)],
+        "id int, attr string, v int",
+    )
+    dim = scd2_build(snaps, ["id"], ["attr"], "v")
+    facts = spark.createDataFrame(
+        [(1, 0), (1, 1), (1, 2), (1, 3), (1, 4), (1, 99), (2, 1), (2, 2), (3, 5)],
+        "id int, ts int",
+    )
+    got = {
+        (r.id, r.ts): r.attr
+        for r in scd2_lookup(facts, dim, ["id"], "ts").collect()
+    }
+    assert got == {
+        (1, 0): None,   # before first interval
+        (1, 1): "x", (1, 2): "x",
+        (1, 3): "y", (1, 4): "y",
+        (1, 99): "z",   # open current interval
+        (2, 1): None, (2, 2): "q",
+        (3, 5): None,   # unknown key
+    }
+
+
+def test_scd2_lookup_respects_closed_intervals_with_gaps(spark):
+    """Externally-built dim with a validity gap: a fact inside the gap gets
+    NULL, not the stale earlier interval."""
+    from datamunging_spark.operators.history import scd2_lookup
+
+    dim = spark.createDataFrame(
+        [(1, "early", 1, 3), (1, "late", 7, None)],
+        "id int, attr string, effective_from int, effective_to int",
+    )
+    facts = spark.createDataFrame(
+        [(1, 2), (1, 5), (1, 8)], "id int, ts int"
+    )
+    got = {
+        (r.id, r.ts): r.attr
+        for r in scd2_lookup(facts, dim, ["id"], "ts").collect()
+    }
+    assert got == {(1, 2): "early", (1, 5): None, (1, 8): "late"}
+
+
+def test_scd2_lookup_composite_key_and_prefix(spark):
+    from datamunging_spark.operators.history import scd2_lookup
+
+    dim = spark.createDataFrame(
+        [(1, "a", "v1", 1, None), (2, "a", "v2", 1, None)],
+        "k1 int, k2 string, attr string, effective_from int, effective_to int",
+    )
+    facts = spark.createDataFrame(
+        [(1, "a", 5, "keep"), (2, "a", 5, "keep")],
+        "k1 int, k2 string, ts int, attr string",
+    )
+    out = scd2_lookup(facts, dim, ["k1", "k2"], "ts", prefix="dim_")
+    got = sorted((r.k1, r.attr, r.dim_attr) for r in out.collect())
+    assert got == [(1, "keep", "v1"), (2, "keep", "v2")]
+
+
+def test_scd2_lookup_matches_duckdb(spark, tables):
+    """Point-in-time lookup vs DuckDB's interval-predicate join on real
+    data: dimension from three synthetic segment snapshots, facts at
+    ts=2."""
+    from datamunging_spark.operators.history import scd2_build, scd2_lookup
+
+    c = tables["customer"]
+    versions = [
+        c.select(
+            "c_custkey",
+            F.when(
+                (F.col("c_custkey") + v) % 7 == 0, F.lit("SHIFTED")
+            ).otherwise(F.col("c_mktsegment")).alias("seg"),
+            F.lit(v).alias("v"),
+        )
+        for v in (1, 2, 3)
+    ]
+    dim = scd2_build(
+        versions[0].unionByName(versions[1]).unionByName(versions[2]),
+        ["c_custkey"], ["seg"], "v",
+    )
+    facts = c.select("c_custkey", F.lit(2).alias("ts"))
+    got = sorted(
+        (r.c_custkey, r.seg)
+        for r in scd2_lookup(facts, dim, ["c_custkey"], "ts").collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        (int(k), s)
+        for k, s in con.execute(
+            """
+            WITH c AS (SELECT * FROM
+                       read_parquet('/root/testdata/sf0.001/customer.parquet')),
+            snaps AS (
+              SELECT c_custkey,
+                     CASE WHEN (c_custkey + v) % 7 = 0 THEN 'SHIFTED'
+                          ELSE c_mktsegment END AS seg, v
+              FROM c CROSS JOIN (VALUES (1), (2), (3)) AS t(v)
+            )
+            SELECT c_custkey, seg FROM snaps WHERE v = 2
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_scd2_lookup_no_range_join_plan(spark):
+    from datamunging_spark.operators.history import scd2_lookup
+
+    dim = spark.createDataFrame(
+        [(1, "a", 1, None)],
+        "id int, attr string, effective_from int, effective_to int",
+    )
+    facts = spark.createDataFrame([(1, 5)], "id int, ts int")
+    plan = (
+        scd2_lookup(facts, dim, ["id"], "ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoop" not in final
+    assert "SortMergeJoin" not in final  # union-tag fill, not a join at all

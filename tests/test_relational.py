@@ -207,3 +207,33 @@ def test_dataframe_setops_match_sql_semantics(spark):
     assert sorted(r["k"] for r in a.subtract(b).collect()) == [1]
     # exceptAll keeps multiplicity: one 2 survives
     assert sorted(r["k"] for r in a.exceptAll(b).collect()) == [1, 2]
+
+
+def test_asof_join_matched_null_value_stays_null(spark):
+    """ASOF semantics parity (pandas merge_asof / DuckDB ASOF JOIN): the
+    MATCHED right row's NULL value must come through as NULL, not be
+    backfilled from an earlier right row by the ignorenulls fill."""
+    from datamunging_spark.operators.relational import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, None)], "k int, ts int, px double"
+    )
+    left = spark.createDataFrame([(1, 25)], "k int, ts int")
+    out = asof_join(
+        left, right, "k", right_cols={"px": "asof_px", "ts": "asof_ts"}
+    ).collect()
+    assert out[0].asof_ts == 20 and out[0].asof_px is None
+
+
+def test_asof_join_composite_key(spark):
+    from datamunging_spark.operators.relational import asof_join
+
+    right = spark.createDataFrame(
+        [(1, "a", 10, 1.0), (1, "b", 10, 2.0)], "k1 int, k2 string, ts int, v double"
+    )
+    left = spark.createDataFrame(
+        [(1, "a", 15), (1, "b", 15), (2, "a", 15)], "k1 int, k2 string, ts int"
+    )
+    out = asof_join(left, right, ["k1", "k2"], right_cols={"v": "asof_v"})
+    got = sorted((r.k1, r.k2, r.asof_v) for r in out.collect())
+    assert got == [(1, "a", 1.0), (1, "b", 2.0), (2, "a", None)]
