@@ -197,3 +197,52 @@ def test_vector_fit_ops_on_empty(spark):
     empty_vec = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty"):
         pq_fit(empty_vec)
+
+
+def test_history_family_on_empty(spark):
+    from datamunging_spark.operators.history import (
+        apply_changelog,
+        scd2_build,
+        scd2_lookup,
+        snapshot_diff,
+    )
+
+    empty = spark.createDataFrame([], "id int, s string")
+    full = spark.createDataFrame([(1, "a")], "id int, s string")
+    # empty vs empty, empty vs full (everything added), full vs empty
+    # (everything removed)
+    assert snapshot_diff(empty, empty, ["id"]).count() == 0
+    assert [
+        r.status for r in snapshot_diff(empty, full, ["id"]).collect()
+    ] == ["added"]
+    assert [
+        r.status for r in snapshot_diff(full, empty, ["id"]).collect()
+    ] == ["removed"]
+
+    snaps = spark.createDataFrame([], "id int, attr string, v int")
+    assert scd2_build(snaps, ["id"], ["attr"], "v").count() == 0
+
+    dim = spark.createDataFrame(
+        [], "id int, attr string, effective_from int, effective_to int"
+    )
+    facts = spark.createDataFrame([(1, 5)], "id int, ts int")
+    got = scd2_lookup(facts, dim, ["id"], "ts").collect()
+    assert len(got) == 1 and got[0].attr is None
+    assert scd2_lookup(facts.limit(0), dim, ["id"], "ts").count() == 0
+
+    changes = spark.createDataFrame(
+        [(2, "b", 1, "upsert")], "id int, s string, ver int, op string"
+    )
+    # empty base + changelog = the changelog's upserts
+    out = apply_changelog(empty, changes, ["id"], "ver", op_col="op")
+    assert [(r.id, r.s) for r in out.collect()] == [(2, "b")]
+
+
+def test_vocab_on_empty(spark):
+    from datamunging_spark.operators.text import build_vocab, vocab_coverage
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    v = build_vocab(empty, vocab_size=10)
+    assert v.count() == 0
+    r = vocab_coverage(empty, v).collect()[0]
+    assert r.total_tokens == 0 and r.oov_rate is None
