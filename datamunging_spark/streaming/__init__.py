@@ -204,48 +204,18 @@ def incremental_dedup_stream(
     )
 
 
-_SNAPSHOT_MARKER = "_SNAPSHOTS_COMMITTED"
-
-
-def _snapshot_fs(spark, path: str):
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
-
-
-def _snapshot_version_committed(spark, vpath: str) -> bool:
-    fs, jvm = _snapshot_fs(spark, vpath)
-    return fs.exists(jvm.org.apache.hadoop.fs.Path(f"{vpath}/{_SNAPSHOT_MARKER}"))
-
-
-def _mark_snapshot_committed(spark, vpath: str) -> None:
-    fs, jvm = _snapshot_fs(spark, vpath)
-    fs.create(
-        jvm.org.apache.hadoop.fs.Path(f"{vpath}/{_SNAPSHOT_MARKER}"), True
-    ).close()
-
-
-def _latest_snapshot_version(spark, snapshots_path: str):
-    """Highest COMMITTED v{batch_id} subdirectory under ``snapshots_path``
-    via the Hadoop FS catalog (works on HDFS/S3A/local), or None when
-    absent. Only versions carrying the ``_SNAPSHOTS_COMMITTED`` marker
-    count: write_snapshots writes content/ then signatures/ non-
-    atomically, and loading a torn version (content without signatures)
-    would silently drop the fuzzy-dedup history."""
-    fs, jvm = _snapshot_fs(spark, snapshots_path)
-    jpath = jvm.org.apache.hadoop.fs.Path(snapshots_path)
-    if not fs.exists(jpath):
-        return None
-    versions = []
-    for status in fs.listStatus(jpath):
-        name = status.getPath().getName()
-        if name.startswith("v") and name[1:].isdigit():
-            v = int(name[1:])
-            if _snapshot_version_committed(
-                spark, f"{snapshots_path}/{name}"
-            ):
-                versions.append(v)
-    return max(versions) if versions else None
+# Marker + version-listing machinery is shared with the batch versioned-
+# table store (sources/versioned.py) — one durability contract for
+# streaming snapshots and batch table versions. Kept under the original
+# private names for this module's callers; the marker matters here
+# because write_snapshots writes content/ then signatures/ non-
+# atomically, and loading a torn version (content without signatures)
+# would silently drop the fuzzy-dedup history.
+from datamunging_spark.sources.versioned import (
+    latest_table_version as _latest_snapshot_version,
+    mark_committed as _mark_snapshot_committed,
+    version_committed as _snapshot_version_committed,
+)
 
 
 def streaming_ingest(

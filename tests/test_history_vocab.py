@@ -515,3 +515,93 @@ def test_scd2_lookup_no_range_join_plan(spark):
     assert "CartesianProduct" not in final
     assert "BroadcastNestedLoop" not in final
     assert "SortMergeJoin" not in final  # union-tag fill, not a join at all
+
+
+# ---------------------------------------------------------------------------
+# versioned table store
+# ---------------------------------------------------------------------------
+
+def test_versioned_store_roll_read_diff(spark, tmp_path):
+    from datamunging_spark.operators.history import snapshot_diff
+    from datamunging_spark.sources.versioned import (
+        latest_table_version,
+        list_table_versions,
+        read_table_version,
+        roll_table_version,
+        write_table_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, s string"
+    )
+    write_table_version(base, path, 1)
+    assert latest_table_version(spark, path) == 1
+
+    changes = spark.createDataFrame(
+        [(2, "B", 1, "upsert"), (3, None, 1, "delete"), (4, "d", 1, "upsert")],
+        "id int, s string, ver int, op string",
+    )
+    v = roll_table_version(spark, path, changes, ["id"], "ver", op_col="op")
+    assert v == 2 and list_table_versions(spark, path) == [1, 2]
+
+    v2 = read_table_version(spark, path)  # latest
+    assert sorted(map(tuple, v2.collect())) == [(1, "a"), (2, "B"), (4, "d")]
+    # point-in-time read of v1 is untouched
+    v1 = read_table_version(spark, path, 1)
+    assert sorted(map(tuple, v1.collect())) == [(1, "a"), (2, "b"), (3, "c")]
+    # diff across stored versions recovers the changelog's effect
+    got = {
+        r.id: r.status for r in snapshot_diff(v1, v2, ["id"]).collect()
+    }
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_versioned_store_seeds_from_empty_and_ignores_torn(spark, tmp_path):
+    import os
+
+    from datamunging_spark.sources.versioned import (
+        latest_table_version,
+        read_table_version,
+        roll_table_version,
+    )
+
+    path = str(tmp_path / "tbl2")
+    changes = spark.createDataFrame(
+        [(1, "a", 1, "upsert")], "id int, s string, ver int, op string"
+    )
+    # empty store: changelog seeds v1
+    assert roll_table_version(
+        spark, path, changes, ["id"], "ver", op_col="op"
+    ) == 1
+    assert [(r.id, r.s) for r in read_table_version(spark, path).collect()] \
+        == [(1, "a")]
+    # torn (marker-less) directory is invisible to readers
+    os.makedirs(f"{path}/v2", exist_ok=True)
+    assert latest_table_version(spark, path) == 1
+    # the next roll retries v2 and commits over the torn directory
+    assert roll_table_version(
+        spark, path, changes, ["id"], "ver", op_col="op"
+    ) == 2
+    assert latest_table_version(spark, path) == 2
+
+
+def test_versioned_store_replay_converges(spark, tmp_path):
+    """Re-rolling the same changelog produces a new version with identical
+    content — replays converge instead of corrupting."""
+    from datamunging_spark.operators.history import snapshot_diff
+    from datamunging_spark.sources.versioned import (
+        read_table_version,
+        roll_table_version,
+    )
+
+    path = str(tmp_path / "tbl3")
+    changes = spark.createDataFrame(
+        [(1, "a", 1, "upsert"), (2, None, 1, "delete")],
+        "id int, s string, ver int, op string",
+    )
+    roll_table_version(spark, path, changes, ["id"], "ver", op_col="op")
+    roll_table_version(spark, path, changes, ["id"], "ver", op_col="op")
+    v1 = read_table_version(spark, path, 1)
+    v2 = read_table_version(spark, path, 2)
+    assert snapshot_diff(v1, v2, ["id"]).count() == 0
