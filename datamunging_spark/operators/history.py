@@ -27,6 +27,7 @@ __all__ = [
     "scd2_build",
     "apply_changelog",
     "scd2_lookup",
+    "scd2_apply_snapshot",
 ]
 
 
@@ -279,3 +280,105 @@ def scd2_lookup(
             f"{prefix}{a}", F.when(valid, F.col(f"{prefix}{a}"))
         )
     return out.drop("_vt")
+
+
+def scd2_apply_snapshot(
+    dim: DataFrame,
+    snapshot: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    version,
+    effective_from: str = "effective_from",
+    effective_to: str = "effective_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Incrementally maintain an SCD-2 dimension with ONE new snapshot —
+    the continuous-ingest face of :func:`scd2_build`, which would
+    otherwise rescan every historical snapshot per crawl. Cost tracks the
+    CURRENT row set + the new snapshot, never the closed history: closed
+    rows pass through untouched, and only the open rows join the
+    snapshot.
+
+    Semantics are exactly scd2_build's, maintained one step at a time
+    (pinned by the equality-vs-full-rebuild test): a key whose ``attrs``
+    changed closes its open interval at ``version`` and opens a new one;
+    an unchanged key keeps its open interval; a NEW key opens its first
+    interval; a key absent from the snapshot is "not observed" — its open
+    interval stays open. ``version`` must sort after every version
+    already in ``dim`` (monotonic republishes; same contract as
+    scd2_build's stacking order).
+
+    Scale shape: one full-outer equi-join between the open rows and the
+    snapshot (both keyed), consumed ONCE (each joined row emits its 1-2
+    interval rows through a filtered struct-array explode, not through
+    per-outcome filter branches that would re-execute the join), then a
+    union with the untouched closed rows. No window at all — the
+    lag/segment machinery is only needed when collapsing a whole stack;
+    one step is a join.
+    """
+    out_cols = [*keys, *attrs, effective_from, effective_to, current_flag]
+    closed = dim.filter(~F.col(current_flag)).select(*out_cols)
+    open_rows = dim.filter(F.col(current_flag)).select(
+        *keys,
+        *[F.col(a).alias(f"_cur_{a}") for a in attrs],
+        F.col(effective_from).alias("_cur_from"),
+    )
+    snap = snapshot.select(
+        *keys,
+        *[F.col(a).alias(f"_new_{a}") for a in attrs],
+        F.lit(True).alias("_observed"),
+    )
+    j = open_rows.join(snap, keys, "full_outer")
+    in_dim = F.col("_cur_from").isNotNull()
+    observed = F.coalesce(F.col("_observed"), F.lit(False))
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~F.col(f"_cur_{a}").eqNullSafe(
+            F.col(f"_new_{a}")
+        )
+    # Each joined row emits 1-2 interval rows; build them as a filtered
+    # struct array and explode — ONE consumption of the join, instead of
+    # three filter branches that would each re-execute it.
+    to_t = dim.schema[effective_to].dataType
+    from_t = dim.schema[effective_from].dataType
+
+    def interval(attr_src, from_col, to_col, cur):
+        return F.struct(
+            *[F.col(attr_src(a)).alias(a) for a in attrs],
+            from_col.cast(from_t).alias(effective_from),
+            to_col.cast(to_t).alias(effective_to),
+            F.lit(cur).alias(current_flag),
+        )
+
+    emitted = F.array_compact(
+        F.array(
+            # open row survives: unchanged, or key unobserved this round
+            F.when(
+                in_dim & (~observed | ~changed),
+                interval(
+                    lambda a: f"_cur_{a}", F.col("_cur_from"),
+                    F.lit(None), True,
+                ),
+            ),
+            # open row closes at `version` (attrs changed)
+            F.when(
+                in_dim & observed & changed,
+                interval(
+                    lambda a: f"_cur_{a}", F.col("_cur_from"),
+                    F.lit(version), False,
+                ),
+            ),
+            # fresh interval opens (new key, or reopening after a change)
+            F.when(
+                observed & (~in_dim | changed),
+                interval(
+                    lambda a: f"_new_{a}", F.lit(version),
+                    F.lit(None), True,
+                ),
+            ),
+        )
+    )
+    stepped = j.select(*keys, F.explode(emitted).alias("_iv")).select(
+        *keys, "_iv.*"
+    )
+    return closed.unionByName(stepped)

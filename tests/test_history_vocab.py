@@ -605,3 +605,97 @@ def test_versioned_store_replay_converges(spark, tmp_path):
     v1 = read_table_version(spark, path, 1)
     v2 = read_table_version(spark, path, 2)
     assert snapshot_diff(v1, v2, ["id"]).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# scd2_apply_snapshot (incremental SCD-2 maintenance)
+# ---------------------------------------------------------------------------
+
+def test_scd2_apply_snapshot_equals_full_rebuild(spark, tables):
+    """The defining contract: folding snapshots one at a time through
+    scd2_apply_snapshot yields EXACTLY scd2_build over the whole stack."""
+    from datamunging_spark.operators.history import (
+        scd2_apply_snapshot,
+        scd2_build,
+    )
+
+    c = tables["customer"].select("c_custkey", "c_mktsegment").limit(300)
+    snaps = {
+        v: c.select(
+            "c_custkey",
+            F.when(
+                (F.col("c_custkey") + v) % 5 == 0, F.lit("SHIFTED")
+            ).otherwise(F.col("c_mktsegment")).alias("seg"),
+        )
+        for v in (1, 2, 3, 4)
+    }
+    stacked = None
+    for v, s in snaps.items():
+        tagged = s.withColumn("v", F.lit(v))
+        stacked = tagged if stacked is None else stacked.unionByName(tagged)
+    full = scd2_build(stacked, ["c_custkey"], ["seg"], "v")
+
+    inc = scd2_build(
+        snaps[1].withColumn("v", F.lit(1)), ["c_custkey"], ["seg"], "v"
+    )
+    for v in (2, 3, 4):
+        inc = scd2_apply_snapshot(
+            inc, snaps[v], ["c_custkey"], ["seg"], v
+        ).localCheckpoint()
+
+    key = lambda r: (r.c_custkey, r.effective_from)
+    got = sorted(map(tuple, inc.select(*full.columns).collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want and len(want) > 300
+
+
+def test_scd2_apply_snapshot_outcomes(spark):
+    from datamunging_spark.operators.history import scd2_apply_snapshot
+
+    dim = spark.createDataFrame(
+        [
+            (1, "old", 1, 2, False), (1, "x", 2, None, True),  # will change
+            (2, "y", 1, None, True),                           # unchanged
+            (3, "z", 1, None, True),                           # unobserved
+        ],
+        "id int, attr string, effective_from int, effective_to int,"
+        " is_current boolean",
+    )
+    snap = spark.createDataFrame(
+        [(1, "x2"), (2, "y"), (4, "new")], "id int, attr string"
+    )
+    out = scd2_apply_snapshot(dim, snap, ["id"], ["attr"], 5)
+    got = sorted(
+        (r.id, r.attr, r.effective_from, r.effective_to, r.is_current)
+        for r in out.collect()
+    )
+    assert got == [
+        (1, "old", 1, 2, False),
+        (1, "x", 2, 5, False),
+        (1, "x2", 5, None, True),
+        (2, "y", 1, None, True),
+        (3, "z", 1, None, True),
+        (4, "new", 5, None, True),
+    ]
+
+
+def test_scd2_apply_snapshot_single_join_consumption(spark):
+    """The join feeds ONE explode, not three filter branches — the plan
+    contains exactly one join over the open/snapshot sides."""
+    from datamunging_spark.operators.history import scd2_apply_snapshot
+
+    dim = spark.createDataFrame(
+        [(1, "x", 1, None, True)],
+        "id int, attr string, effective_from int, effective_to int,"
+        " is_current boolean",
+    )
+    snap = spark.createDataFrame([(1, "y")], "id int, attr string")
+    plan = (
+        scd2_apply_snapshot(dim, snap, ["id"], ["attr"], 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    n_joins = sum(final.count(j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins == 1, final
+    assert final.count("Generate") == 1  # the single explode
