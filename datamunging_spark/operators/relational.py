@@ -540,3 +540,168 @@ def rolling_stats(
     return df.withColumns(
         {f"{prefix}{s}": fns[s](F.col(value_col)).over(w) for s in stats}
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Interval-OVERLAP join: one row per (left, right) pair whose closed
+    intervals intersect (``l_start <= r_end AND r_start <= l_end``) — the
+    two-sided sibling of :func:`range_join` (e.g. ad-spot × outage windows,
+    session spans × incident spans). Spark would execute the raw theta
+    join as BroadcastNestedLoop/cartesian; this is the banded equi form.
+
+    Shape: BOTH sides replicate across the integer buckets their span
+    touches (bounded ``explode(sequence)``), equi-join on the bucket id,
+    then the exact overlap predicate. A pair sharing k buckets would
+    match k times, so the join also requires the bucket to be the
+    CANONICAL one — the bucket containing ``greatest(l_start, r_start)``
+    (the overlap's left edge) — which keeps the output duplicate-free
+    WITHOUT a distinct (no second shuffle). Work is
+    O(Σ spans/width + true_matches); pick ``bucket_width`` near the
+    median interval length as with range_join. Column-name collisions
+    between the sides are the caller's contract (alias beforehand), same
+    as Spark's own join. Inner semantics only: outer pairs are not
+    defined for the replicated form.
+    """
+    w = float(bucket_width)
+    lb = F.explode(
+        F.sequence(
+            F.floor(F.col(left_start) / F.lit(w)).cast("long"),
+            F.floor(F.col(left_end) / F.lit(w)).cast("long"),
+        )
+    )
+    rb = F.explode(
+        F.sequence(
+            F.floor(F.col(right_start) / F.lit(w)).cast("long"),
+            F.floor(F.col(right_end) / F.lit(w)).cast("long"),
+        )
+    )
+    l = left.withColumn("_ibl", lb)
+    r = right.withColumn("_ibr", rb)
+    canonical = F.floor(
+        F.greatest(F.col(left_start), F.col(right_start)) / F.lit(w)
+    ).cast("long")
+    cond = (
+        (F.col("_ibl") == F.col("_ibr"))
+        & (F.col(left_start) <= F.col(right_end))
+        & (F.col(right_start) <= F.col(left_end))
+        & (F.col("_ibl") == canonical)
+    )
+    return l.join(r, cond, "inner").drop("_ibl", "_ibr")
+
+
+def funnel_report(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users completed step 1, then
+    step 2 AFTER step 1, … in sequence — the standard product-analytics
+    query engines ship natively (and SQL expresses only as chained
+    self-joins). Returns one row per step: (step 1-based, step_name,
+    n_users reached), monotonically non-increasing.
+
+    Semantics: a user advances from stage i to i+1 at their first event
+    of type ``steps[i+1]`` at-or-after the advancing event of stage i
+    (ties on ``ts_col`` resolve in (ts, type) sort order). Repeats and
+    interleaved other events are ignored.
+
+    Scale shape: ONE shuffle — events pre-filtered to the step types,
+    collect_list per user (bounded by that user's step-type events), then
+    a JVM ``aggregate`` fold over the time-sorted array computes the max
+    stage reached; per-stage user counts aggregate a second time on the
+    tiny (n_steps) key space. No window over the event table, no
+    self-joins (a k-step funnel as SQL is k-1 self-joins of the event
+    table), no Python.
+    """
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    evs = (
+        events.filter(F.col(type_col).isin(steps))
+        .groupBy(user_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("ts"),
+                        F.col(type_col).alias("tp"),
+                    )
+                )
+            ).alias("_evs")
+        )
+    )
+    # fold: stage = number of completed steps so far
+    stage = F.aggregate(
+        F.col("_evs"),
+        F.lit(0),
+        lambda acc, ev: F.when(
+            (acc < F.lit(len(steps)))
+            & (ev["tp"] == F.element_at(steps_lit, acc + 1)),
+            acc + 1,
+        ).otherwise(acc),
+    )
+    per_user = evs.select(stage.alias("_stage")).filter(F.col("_stage") > 0)
+    reached = per_user.groupBy("_stage").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    # users reaching step k = sum of users whose final stage >= k; the
+    # running sum runs over n_steps rows — driver-scale, single partition
+    # window is fine and bounded by the step count, not data
+    spine = events.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step int, step_name string"
+    )
+    joined = spine.join(reached, spine.step == reached._stage, "left")
+    win = Window.orderBy(F.col("step").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        joined.withColumn(
+            "n_users",
+            F.sum(F.coalesce(F.col("_n"), F.lit(0))).over(win),
+        )
+        .select("step", "step_name", "n_users")
+        .orderBy("step")
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period_days: int = 7,
+) -> DataFrame:
+    """Cohort retention: users bucketed by their FIRST event's period
+    (cohort), then counted distinct per (cohort, periods-since-cohort)
+    offset — the classic retention triangle. Returns (cohort_start
+    date, period_offset, n_users).
+
+    Scale shape: one hash agg for first-event-per-user (map-side
+    combinable), one equi-join back on the user key, one count-distinct
+    agg on the (cohort, offset) key. The join is user-grain — at 100 TB
+    of events the first-event side is |users| rows, far smaller than
+    events, and both aggregates shuffle slim keys.
+    """
+    firsts = events.groupBy(user_col).agg(F.min(ts_col).alias("_first_ts"))
+    cohort = F.date_trunc("day", F.col("_first_ts")).cast("date")
+    offset = F.floor(
+        F.datediff(F.col(ts_col).cast("date"), cohort) / period_days
+    ).cast("int")
+    return (
+        events.select(user_col, ts_col)
+        .join(firsts, user_col)
+        .select(
+            cohort.alias("cohort_start"),
+            offset.alias("period_offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_start", "period_offset")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )

@@ -237,3 +237,157 @@ def test_asof_join_composite_key(spark):
     out = asof_join(left, right, ["k1", "k2"], right_cols={"v": "asof_v"})
     got = sorted((r.k1, r.k2, r.asof_v) for r in out.collect())
     assert got == [(1, "a", 1.0), (1, "b", 2.0), (2, "a", None)]
+
+
+def test_interval_join_overlaps_and_dedup(spark):
+    from datamunging_spark.operators.relational import interval_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 20.0, 25.0), (3, 40.0, 41.0)],
+        "lid int, ls double, le double",
+    )
+    right = spark.createDataFrame(
+        [(10, 5.0, 30.0), (11, 9.0, 9.5), (12, 50.0, 60.0)],
+        "rid int, rs double, re double",
+    )
+    out = interval_join(left, right, "ls", "le", "rs", "re", bucket_width=2.0)
+    got = sorted((r.lid, r.rid) for r in out.collect())
+    # pair (1,10) spans many shared buckets — must appear exactly once
+    assert got == [(1, 10), (1, 11), (2, 10)]
+
+
+def test_interval_join_matches_duckdb_on_events(spark, tables):
+    """Overlap join of per-user session-ish spans vs DuckDB's range
+    predicate — validates banding + canonical-bucket dedup on real
+    timestamps."""
+    import duckdb
+
+    from datamunging_spark.operators.relational import interval_join
+
+    e = tables["events"]
+    spans = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(F.unix_timestamp("ts")).cast("double").alias("s"),
+            (F.min(F.unix_timestamp("ts")) + 3600).cast("double").alias("t"),
+        )
+    )
+    a = spans.select(
+        F.col("user_id").alias("a_uid"), F.col("s").alias("a_s"),
+        F.col("t").alias("a_t"),
+    )
+    b = spans.select(
+        F.col("user_id").alias("b_uid"), F.col("s").alias("b_s"),
+        F.col("t").alias("b_t"),
+    )
+    out = interval_join(a, b, "a_s", "a_t", "b_s", "b_t", bucket_width=1800)
+    got = sorted((r.a_uid, r.b_uid) for r in out.collect())
+    con = duckdb.connect()
+    want = sorted(
+        (int(x), int(y))
+        for x, y in con.execute(
+            """
+            WITH spans AS (
+              SELECT user_id,
+                     epoch(min(ts)) AS s, epoch(min(ts)) + 3600 AS t
+              FROM read_parquet('/root/testdata/sf0.001/events.parquet')
+              GROUP BY user_id)
+            SELECT a.user_id, b.user_id
+            FROM spans a, spans b
+            WHERE a.s <= b.t AND b.s <= a.t
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) >= len(spans.collect())
+
+
+def test_interval_join_plan_no_cartesian(spark):
+    from datamunging_spark.operators.relational import interval_join
+
+    left = spark.createDataFrame([(1, 0.0, 1.0)], "lid int, ls double, le double")
+    right = spark.createDataFrame([(2, 0.5, 2.0)], "rid int, rs double, re double")
+    plan = (
+        interval_join(left, right, "ls", "le", "rs", "re", 1.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoop" not in final
+
+
+def test_funnel_report_ordered_semantics(spark):
+    from datamunging_spark.operators.relational import funnel_report
+
+    rows = [
+        # u1 completes a->b->c in order
+        (1, 10, "a"), (1, 20, "b"), (1, 30, "c"),
+        # u2 has b BEFORE a, then no b after a: stops at step 1
+        (2, 10, "b"), (2, 20, "a"),
+        # u3 only a, b (c missing): step 2
+        (3, 10, "a"), (3, 11, "b"),
+        # u4 no step-1 event at all: not counted
+        (4, 10, "c"),
+    ]
+    events = spark.createDataFrame(rows, "user_id int, ts int, et string")
+    out = funnel_report(events, "user_id", "ts", "et", ["a", "b", "c"])
+    got = [(r.step, r.step_name, r.n_users) for r in out.collect()]
+    assert got == [(1, "a", 3), (2, "b", 2), (3, "c", 1)]
+
+
+def test_funnel_report_matches_duckdb_on_events(spark, tables):
+    import duckdb
+
+    from datamunging_spark.operators.relational import funnel_report
+
+    out = funnel_report(
+        tables["events"], "user_id", "ts", "event_type",
+        ["view", "click", "purchase"],
+    )
+    got = [(r.step, r.n_users) for r in out.collect()]
+    con = duckdb.connect()
+    want = con.execute(
+        """
+        WITH e AS (SELECT * FROM
+                   read_parquet('/root/testdata/sf0.001/events.parquet')),
+        u1 AS (SELECT user_id, min(ts) t1 FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+        u2 AS (SELECT e.user_id, min(ts) t2 FROM e JOIN u1 USING (user_id)
+               WHERE event_type = 'click' AND ts >= t1 GROUP BY e.user_id),
+        u3 AS (SELECT e.user_id, min(ts) t3 FROM e JOIN u2 USING (user_id)
+               WHERE event_type = 'purchase' AND ts >= t2 GROUP BY e.user_id)
+        SELECT 1, count(*) FROM u1
+        UNION ALL SELECT 2, count(*) FROM u2
+        UNION ALL SELECT 3, count(*) FROM u3
+        """
+    ).fetchall()
+    assert got == [(int(s), int(n)) for s, n in want]
+
+
+def test_cohort_retention_matches_duckdb(spark, tables):
+    import duckdb
+
+    from datamunging_spark.operators.relational import cohort_retention
+
+    out = cohort_retention(tables["events"], "user_id", "ts", period_days=7)
+    got = sorted(
+        (str(r.cohort_start), r.period_offset, r.n_users)
+        for r in out.collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        (str(c), int(o), int(n))
+        for c, o, n in con.execute(
+            """
+            WITH e AS (SELECT * FROM
+                       read_parquet('/root/testdata/sf0.001/events.parquet')),
+            f AS (SELECT user_id, min(ts) ft FROM e GROUP BY user_id)
+            SELECT CAST(date_trunc('day', ft) AS DATE) AS cohort,
+                   CAST(floor(date_diff('day', CAST(date_trunc('day', ft) AS DATE),
+                                        CAST(e.ts AS DATE)) / 7) AS INT) AS off,
+                   count(DISTINCT e.user_id) AS n
+            FROM e JOIN f USING (user_id)
+            GROUP BY cohort, off
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
