@@ -944,7 +944,10 @@ def q_x6_snapshot_history(spark, sf_dir):
     the changelog only + ONE full-outer merge join) rolls customer forward
     through a synthetic upsert/delete log, and snapshot_diff recovers the
     change set, which must equal the changelog's effect exactly — the
-    diff∘apply = changelog round-trip, re-derived closed-form in SQL."""
+    diff∘apply = changelog round-trip, re-derived closed-form in SQL.
+    Branch 'lookup': scd2_lookup point-in-time read of the dim at ts=2
+    for every key (asof union-tag fill, no range join) vs the closed-form
+    'what snapshot v2 shows' in SQL."""
     from datamunging_spark.operators.history import (
         apply_changelog,
         scd2_build,
@@ -1003,7 +1006,23 @@ def q_x6_snapshot_history(spark, sf_dir):
         F.lit(None).cast("int").alias("v_from"),
         F.lit(None).cast("int").alias("v_to"),
     )
-    return diff.unionByName(scd).unionByName(apply_branch)
+    # Branch 'lookup': point-in-time read of the SCD-2 dim at ts=2 for
+    # every key (scd2_lookup's asof fill) — the oracle derives the same
+    # value closed-form as "the segment snapshot v2 shows".
+    from datamunging_spark.operators.history import scd2_lookup
+
+    facts = c.select("c_custkey", F.lit(2).alias("ts"))
+    dim = scd2_build(snaps, ["c_custkey"], ["seg"], "v")
+    lookup = scd2_lookup(facts, dim, ["c_custkey"], "ts").select(
+        F.lit("lookup").alias("part"),
+        F.col("c_custkey").cast("long").alias("key"),
+        F.col("seg").alias("attr"),
+        F.lit(None).cast("int").alias("v_from"),
+        F.lit(None).cast("int").alias("v_to"),
+    )
+    return (
+        diff.unionByName(scd).unionByName(apply_branch).unionByName(lookup)
+    )
 
 
 def q_x7_event_analytics(spark, sf_dir):
@@ -2092,6 +2111,13 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WHERE c_custkey % 7 = 0
               AND (c_custkey % 21 = 0 OR c_mktsegment <> 'MOVED')
+            UNION ALL
+            -- point-in-time lookup at ts=2 == the v2 snapshot, closed form
+            SELECT 'lookup', CAST(c_custkey AS BIGINT),
+                   CASE WHEN (c_custkey + 2) % 7 = 0 THEN 'SHIFTED'
+                        ELSE c_mktsegment END,
+                   CAST(NULL AS INT), CAST(NULL AS INT)
+            FROM customer
         """,
         "x5_token_budget": """
             WITH d AS (
