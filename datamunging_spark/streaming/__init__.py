@@ -398,3 +398,75 @@ def streaming_resolve(
     q.processAllAvailable()
     q.stop()
     return state["hist"]
+
+
+def streaming_apply_changelog(
+    changes_stream: DataFrame,
+    table_path: str,
+    keys: list[str],
+    version_col: str,
+    op_col: str | None = None,
+    checkpoint_path: str | None = None,
+) -> int | None:
+    """Continuous CDC materialization via ``foreachBatch``: each
+    micro-batch of changelog rows rolls the versioned parquet table at
+    ``table_path`` forward one committed version
+    (sources/versioned.roll_table_version — latest-wins window over the
+    BATCH only + one merge join against the current version). The
+    streaming face of the mini-lakehouse loop: a CDC stream in, an
+    always-readable sequence of immutable table versions out.
+
+    Replay safety comes from the store's commit markers plus the version
+    arithmetic: versions are keyed ``first_version + batch_id`` (stable
+    across restarts, unlike latest+1 which would double-apply a replayed
+    batch), so a replayed micro-batch REWRITES its own version directory
+    from the same predecessor instead of appending a duplicate roll —
+    write_table_version is overwrite-idempotent by design. A crash
+    between the parquet write and the marker leaves a torn, invisible
+    directory the retry overwrites.
+
+    Drains with ``availableNow`` (the backfill/batch-drain shape used by
+    the other streaming loops here); returns the latest committed version
+    after the drain (None when the stream carried no data and the store
+    is empty).
+    """
+    from datamunging_spark.operators.history import apply_changelog
+    from datamunging_spark.sources.versioned import (
+        latest_table_version,
+        read_table_version,
+        write_table_version,
+    )
+
+    spark = changes_stream.sparkSession
+    base_version = latest_table_version(spark, table_path)
+    first_new = (base_version or 0) + 1
+
+    def _process(batch_df, batch_id):
+        if not batch_df.head(1):
+            return
+        bspark = batch_df.sparkSession
+        version = first_new + batch_id
+        prev = version - 1
+        if prev < 1:
+            payload = [
+                c
+                for c in batch_df.columns
+                if c not in {version_col} | ({op_col} if op_col else set())
+            ]
+            base = batch_df.select(*payload).limit(0)
+        else:
+            base = read_table_version(bspark, table_path, prev)
+        rolled = apply_changelog(
+            base, batch_df, keys, version_col, op_col=op_col
+        )
+        write_table_version(rolled, table_path, version)
+
+    writer = changes_stream.writeStream.foreachBatch(_process).trigger(
+        availableNow=True
+    )
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    return latest_table_version(spark, table_path)
