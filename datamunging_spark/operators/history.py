@@ -28,6 +28,7 @@ __all__ = [
     "apply_changelog",
     "scd2_lookup",
     "scd2_apply_snapshot",
+    "extract_changelog",
 ]
 
 
@@ -382,3 +383,50 @@ def scd2_apply_snapshot(
         *keys, "_iv.*"
     )
     return closed.unionByName(stepped)
+
+
+def extract_changelog(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    version,
+    version_col: str = "ver",
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Derive the CDC changelog that transforms ``old`` into ``new`` —
+    the exact inverse of :func:`apply_changelog` (round-trip property:
+    ``apply_changelog(old, extract_changelog(old, new, ...), ...)``
+    equals ``new``, pinned in tests). This is how a pipeline that only
+    receives full republishes emits an incremental feed downstream:
+    diff the versions, ship the (much smaller) changelog.
+
+    Output: one row per added/changed key carrying ``new``'s full payload
+    with ``op='upsert'``, one row per removed key with NULL payload and
+    ``op='delete'``; all rows stamped ``version_col = version``.
+
+    Scale shape: :func:`snapshot_diff`'s digest join finds the touched
+    keys (slim, width-independent), then ONE equi-join back to ``new``
+    fetches payloads for the upserts only. Removed keys never rejoin
+    anything — their payload is NULL by definition.
+    """
+    payload = [c for c in new.columns if c not in set(keys)]
+    touched = snapshot_diff(old, new, keys)
+    ups = (
+        touched.filter(F.col("status") != "removed")
+        .select(*keys)
+        .join(new, keys)
+        .select(
+            *keys,
+            *payload,
+            F.lit(version).alias(version_col),
+            F.lit("upsert").alias(op_col),
+        )
+    )
+    dels = touched.filter(F.col("status") == "removed").select(
+        *keys,
+        *[F.lit(None).cast(new.schema[c].dataType).alias(c) for c in payload],
+        F.lit(version).alias(version_col),
+        F.lit(delete_op).alias(op_col),
+    )
+    return ups.unionByName(dels)

@@ -130,3 +130,34 @@ def roll_table_version(
     )
     write_table_version(rolled, path, new_version)
     return new_version
+
+
+def vacuum_table_versions(
+    spark: SparkSession, path: str, keep_last: int = 2
+) -> list[int]:
+    """Retire old committed versions, keeping the newest ``keep_last``
+    (and every torn directory is removed too — they are invisible
+    garbage by contract). Returns the version numbers deleted. The store
+    lifecycle's out-of-band cleanup; point-in-time reads older than the
+    retention window become FileNotFoundError afterwards, so pick
+    ``keep_last`` to cover the audit horizon."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (never vacuum the head)")
+    fs, jvm = _fs(spark, path)
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(jpath):
+        return []
+    committed = list_table_versions(spark, path)
+    keep = set(committed[-keep_last:])
+    deleted = []
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if not (name.startswith("v") and name[1:].isdigit()):
+            continue
+        v = int(name[1:])
+        if v in keep:
+            continue
+        fs.delete(status.getPath(), True)
+        if v in set(committed):
+            deleted.append(v)
+    return sorted(deleted)

@@ -769,3 +769,67 @@ def test_streaming_apply_changelog_seeds_empty_store(spark, tmp_path):
     assert latest == 1
     assert [(r.id, r.s) for r in read_table_version(spark, table).collect()] \
         == [(1, "a")]
+
+
+def test_extract_changelog_roundtrip(spark, tables):
+    """apply(old, extract(old, new)) == new — the closing identity of the
+    history family, on real data with adds, deletes, and updates."""
+    from datamunging_spark.operators.history import (
+        apply_changelog,
+        extract_changelog,
+        snapshot_diff,
+    )
+
+    c = tables["customer"].select("c_custkey", "c_mktsegment", "c_acctbal")
+    old = c.filter(F.col("c_custkey") % 11 != 0)       # some keys "new"
+    new = c.filter(F.col("c_custkey") % 13 != 0).withColumn(  # some deleted
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.col("c_acctbal") + 5.0
+        ).otherwise(F.col("c_acctbal")),
+    )
+    log = extract_changelog(old, new, ["c_custkey"], version=7)
+    assert set(log.select("ver").distinct().toPandas()["ver"]) == {7}
+    rebuilt = apply_changelog(
+        old, log, ["c_custkey"], "ver", op_col="op"
+    )
+    assert snapshot_diff(rebuilt, new, ["c_custkey"]).count() == 0
+    assert rebuilt.count() == new.count()
+    # the changelog is smaller than the republish (the point of extracting)
+    assert log.count() < new.count()
+
+
+def test_extract_changelog_delete_rows_null_payload(spark):
+    from datamunging_spark.operators.history import extract_changelog
+
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    new = spark.createDataFrame([(1, "a2")], "id int, s string")
+    log = {
+        (r.id): (r.s, r.op) for r in
+        extract_changelog(old, new, ["id"], version=1).collect()
+    }
+    assert log == {1: ("a2", "upsert"), 2: (None, "delete")}
+
+
+def test_vacuum_table_versions(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from datamunging_spark.sources.versioned import (
+        list_table_versions,
+        vacuum_table_versions,
+        write_table_version,
+    )
+
+    path = str(tmp_path / "vac")
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    for v in (1, 2, 3, 4):
+        write_table_version(df, path, v)
+    os.makedirs(f"{path}/v9", exist_ok=True)  # torn
+    deleted = vacuum_table_versions(spark, path, keep_last=2)
+    assert deleted == [1, 2]
+    assert list_table_versions(spark, path) == [3, 4]
+    assert not os.path.exists(f"{path}/v9")  # torn garbage collected
+    with _pytest.raises(ValueError):
+        vacuum_table_versions(spark, path, keep_last=0)
