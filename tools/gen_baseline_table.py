@@ -95,6 +95,15 @@ NOTES: dict[str, tuple[str, str]] = {
         "SQ8 quantize+dequantize, in-query scale/2 error invariant",
         "—",
     ),
+    "x6_snapshot_history": (
+        "diff + SCD-2 + CDC apply round-trip + point-in-time lookup",
+        "—",
+    ),
+    "x4_vocab": ("top-500 vocab + OOV coverage", "—"),
+    "x7_event_analytics": (
+        "funnel + cohort retention + interval-overlap join",
+        "—",
+    ),
 }
 
 
