@@ -58,3 +58,74 @@ def pca_project(model, df: DataFrame, array_col: str = "embedding") -> DataFrame
     """R41 (README.md:421): mat.multiply(pc) — project rows onto the
     principal subspace."""
     return model.transform(to_vector(df, array_col))
+
+
+def quality_classifier_fit(
+    labeled: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    num_features: int = 4096,
+    reg_param: float = 0.01,
+    max_iter: int = 50,
+):
+    """Fit a fastText-style discriminative quality classifier: hashed
+    bag-of-words features → logistic regression — the model-based corpus
+    filter of the CCNet/LLaMA data recipes ("train a linear classifier
+    to recognize reference-quality pages, keep what it scores high"),
+    complementing the generative LM-perplexity tiers in
+    operators/text.py (lm_quality_score: what a reference corpus makes
+    LIKELY; this: what separates two labeled corpora).
+
+    ``labeled`` needs ``text_col`` and a 0/1 ``label_col`` (1 = keep
+    quality). Returns a fitted PipelineModel (tokenizer → HashingTF →
+    IDF → LogisticRegression), all JVM-side; seeds fixed, so the fit is
+    deterministic for a given input partitioning.
+
+    Scale shape: training is Spark ML's distributed L-BFGS over the
+    hashed feature space (``num_features`` dims, constant per doc);
+    per-iteration cost is one tree-aggregated gradient pass — linear in
+    docs. No vocabulary state beyond the IDF vector (``num_features``
+    doubles, broadcast at scoring time).
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, IDF, RegexTokenizer
+
+    tok = RegexTokenizer(
+        inputCol=text_col, outputCol="_qc_toks", pattern=r"\s+"
+    )
+    tf = HashingTF(
+        inputCol="_qc_toks", outputCol="_qc_tf", numFeatures=num_features
+    )
+    idf = IDF(inputCol="_qc_tf", outputCol="_qc_features")
+    lr = LogisticRegression(
+        featuresCol="_qc_features",
+        labelCol=label_col,
+        regParam=reg_param,
+        maxIter=max_iter,
+        standardization=True,
+    )
+    return Pipeline(stages=[tok, tf, idf, lr]).fit(labeled)
+
+
+def quality_classifier_score(
+    model,
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "quality_prob",
+) -> DataFrame:
+    """Score a corpus with a fitted :func:`quality_classifier_fit` model:
+    adds ``out`` = P(label=1) and drops the intermediate feature columns.
+    One codegen'd map pass over the scan (the model's vectors broadcast
+    in the transform closures); filter downstream with
+    ``df.filter(F.col(out) >= threshold)`` or feed the probability to
+    :func:`~datamunging_spark.operators.text.lm_quality_bands`-style
+    banding.
+    """
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(df)
+    return scored.withColumn(
+        out, vector_to_array("probability").getItem(1)
+    ).drop("_qc_toks", "_qc_tf", "_qc_features", "rawPrediction",
+           "probability", "prediction")

@@ -564,3 +564,55 @@ def test_document_quality_report_composes_all_signals(spark, tables):
 
     per_lang = document_quality_report(docs, group_col="lang")
     assert per_lang.count() == docs.count()
+
+
+def test_quality_classifier_separates_planted_classes(spark, tables):
+    """Train on synthetic 'clean prose vs keyboard mash' labels derived
+    from documents; the classifier must rank held-out clean docs above
+    mash docs (AUC-style separation, deterministic seeds)."""
+    from datamunging_spark.operators.ml import (
+        quality_classifier_fit,
+        quality_classifier_score,
+    )
+
+    d = tables["documents"].select("doc_id", "text").filter(
+        F.length("text") > 20
+    )
+    # planted negatives: reversed-word gibberish built FROM real docs so
+    # length/charset match and only token identity separates the classes
+    neg = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split("text", " "),
+                lambda w: F.reverse(w),
+            ),
+        ).alias("text"),
+    )
+    pos = d.select("doc_id", "text")
+    train_pos = pos.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "label", F.lit(1)
+    )
+    train_neg = neg.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "label", F.lit(0)
+    )
+    model = quality_classifier_fit(train_pos.unionByName(train_neg))
+
+    holdout = pos.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "is_clean", F.lit(True)
+    ).unionByName(
+        neg.filter(F.col("doc_id") % 2 == 1).withColumn(
+            "is_clean", F.lit(False)
+        )
+    )
+    scored = quality_classifier_score(model, holdout)
+    assert "quality_prob" in scored.columns
+    stats = scored.groupBy("is_clean").agg(
+        F.avg("quality_prob").alias("avg_p")
+    ).collect()
+    avg = {r.is_clean: r.avg_p for r in stats}
+    # clear separation on held-out docs
+    assert avg[True] > avg[False] + 0.2, avg
+    # output keeps the corpus schema + the probability, no feature debris
+    assert set(scored.columns) == {"doc_id", "text", "is_clean", "quality_prob"}
