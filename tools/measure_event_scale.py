@@ -1,0 +1,103 @@
+"""Measure the event-analytics family at 1x vs 10x events — the
+SCALE.md probe for the contracts:
+
+* funnel_report: ONE shuffle (per-user sorted-array fold) — linear in
+  step-type events; the SQL formulation is k-1 self-joins, which would
+  scale superlinearly in practice.
+* cohort_retention: first-event agg + user-grain join — linear in
+  events, with the join side bounded by |users|.
+* interval_join: work = Σ spans/width + true matches. The replicated
+  users keep the SAME time window, so every pair overlaps and the true
+  match count grows ~100x at 10x users — the output-size floor any
+  overlap join pays. Wall-time must track that output, not explode past
+  it (the banding never builds a candidate set larger than the output
+  + replication).
+
+Usage: python tools/measure_event_scale.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from datamunging_spark import get_spark
+from datamunging_spark.operators.relational import (
+    cohort_retention,
+    funnel_report,
+    interval_join,
+)
+from datamunging_spark.sources import load_table
+
+
+def timed(label, fn, reps=3):
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        n = fn()
+        w = time.perf_counter() - t0
+        best = w if best is None else min(best, w)
+    print(f"| {label} | {n} | {best:.2f} |")
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("measure_events")
+    spark.sparkContext.setLogLevel("ERROR")
+    ev = load_table(spark, sf_dir, "events")
+
+    print("| probe | rows out | best wall s |")
+    print("|---|---|---|")
+    for scale in (1, 10):
+        e = ev
+        if scale > 1:
+            e = e.withColumn(
+                "_k", F.explode(F.array(*[F.lit(i) for i in range(scale)]))
+            ).select(
+                (F.col("user_id") + F.col("_k") * 10_000_000).alias(
+                    "user_id"
+                ),
+                "ts",
+                "event_type",
+            )
+        e = e.localCheckpoint()
+
+        timed(
+            f"funnel 3-step {scale}x",
+            lambda: funnel_report(
+                e, "user_id", "ts", "event_type",
+                ["view", "click", "purchase"],
+            ).count(),
+        )
+        timed(
+            f"cohort retention {scale}x",
+            lambda: cohort_retention(e, "user_id", "ts", 7).count(),
+        )
+        spans = e.groupBy("user_id").agg(
+            F.min(F.unix_timestamp("ts")).cast("double").alias("s"),
+            (F.min(F.unix_timestamp("ts")) + 3600).cast("double").alias("t"),
+        )
+        a = spans.select(
+            F.col("user_id").alias("a_uid"), F.col("s").alias("a_s"),
+            F.col("t").alias("a_t"),
+        )
+        b = spans.select(
+            F.col("user_id").alias("b_uid"), F.col("s").alias("b_s"),
+            F.col("t").alias("b_t"),
+        )
+        timed(
+            f"interval overlap self-join {scale}x users",
+            lambda: interval_join(
+                a, b, "a_s", "a_t", "b_s", "b_t", 1800
+            ).count(),
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
