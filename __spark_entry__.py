@@ -554,24 +554,85 @@ def q_local_supplier_volume(spark, sf_dir):
 
 
 def q_agg_suite(spark, sf_dir):
-    """§2.4 engine aggregate surface: min/max/avg/stddev/count_distinct and
-    a deterministic (sorted) collect_set, per group."""
+    """§2.4 aggregate + grouping-sets family, one gate entry (merged from
+    round-1's agg_suite + grouping_suite for the 50-entry cap — frees a
+    slot for x7_event_suite; both remain individually benched). Branches
+    'rollup'/'cube': ROLLUP and CUBE over (returnflag, linestatus).
+    Branches 'stats_*': per-returnflag min/max/avg/stddev/count_distinct
+    and a deterministic sorted collect_set, MELTED into tag rows through
+    one explode so the base aggregate is consumed once. Common
+    (op, k1, k2, n, x, s) schema; collect_set serialized to a string so
+    the driver's canonicalizer can sort/hash it (round-1 gate red was
+    exactly that column's type)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.min("l_quantity").alias("min_qty"),
-        F.max("l_quantity").alias("max_qty"),
+
+    def aggd(g):
+        return g.agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+
+    def norm(df, t):
+        return df.select(
+            F.lit(t).alias("op"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            F.col("n_items").cast("long").alias("n"),
+            F.col("sum_qty").alias("x"),
+            F.lit(None).cast("string").alias("s"),
+        )
+
+    r = norm(aggd(li.rollup("l_returnflag", "l_linestatus")), "rollup")
+    c = norm(aggd(li.cube("l_returnflag", "l_linestatus")), "cube")
+
+    base = li.groupBy("l_returnflag").agg(
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
         (
             F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
             / F.count(F.lit(1))
         ).alias("avg_qty"),
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
-        F.countDistinct("l_partkey").alias("n_parts"),
-        # Serialized (not array<string>) so the driver's pandas canonicalizer
-        # can sort/hash it — round-1 gate red was exactly this column's type.
+        F.countDistinct("l_partkey").cast("long").alias("n_parts"),
         F.concat_ws(",", F.sort_array(F.collect_set("l_linestatus"))).alias(
             "statuses"
         ),
     )
+    nil_n = F.lit(None).cast("long")
+    nil_x = F.lit(None).cast("double")
+    nil_s = F.lit(None).cast("string")
+
+    def cell(t, n=None, x=None, s=None):
+        return F.struct(
+            F.lit(t).alias("op"),
+            (n if n is not None else nil_n).alias("n"),
+            (x if x is not None else nil_x).alias("x"),
+            (s if s is not None else nil_s).alias("s"),
+        )
+
+    stats = base.select(
+        F.col("l_returnflag").alias("k1"),
+        F.explode(
+            F.array(
+                cell("stats_min", x=F.col("min_qty")),
+                cell("stats_max", x=F.col("max_qty")),
+                cell("stats_avg", x=F.col("avg_qty")),
+                cell("stats_sd", x=F.col("sd_qty")),
+                cell("stats_distinct", n=F.col("n_parts")),
+                cell("stats_set", s=F.col("statuses")),
+            )
+        ).alias("_c"),
+    ).select(
+        F.col("_c.op").alias("op"),
+        "k1",
+        nil_s.alias("k2"),
+        F.col("_c.n").alias("n"),
+        F.col("_c.x").alias("x"),
+        F.col("_c.s").alias("s"),
+    )
+    return r.unionByName(c).unionByName(stats)
 
 
 def q_grouping_suite(spark, sf_dir):
@@ -1023,6 +1084,61 @@ def q_x6_snapshot_history(spark, sf_dir):
     return (
         diff.unionByName(scd).unionByName(apply_branch).unionByName(lookup)
     )
+
+
+def q_x7_event_suite(spark, sf_dir):
+    """X7 event analytics, oracle-paired: ordered funnel
+    view→click→purchase (per-user sorted-array fold, ONE shuffle — the
+    DuckDB oracle is the chained-CTE formulation, k-1 self-joins, so the
+    pair proves the fold computes the textbook semantics) + weekly cohort
+    retention (first-event agg + user-grain join vs the oracle's window
+    re-derivation) + the banded interval-overlap self-join of per-user
+    hour spans (canonical-bucket dedup vs the oracle's raw range
+    predicate — duplicate-free banding checked pair by pair). Common
+    (part, k, off, n) schema."""
+    from datamunging_spark.operators.relational import (
+        cohort_retention,
+        funnel_report,
+        interval_join,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    nil_n = F.lit(None).cast("long")
+    fun = funnel_report(
+        e, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).select(
+        F.lit("funnel").alias("part"),
+        F.col("step_name").alias("k"),
+        F.col("step").cast("long").alias("off"),
+        F.col("n_users").cast("long").alias("n"),
+    )
+    coh = cohort_retention(e, "user_id", "ts", period_days=7).select(
+        F.lit("cohort").alias("part"),
+        F.col("cohort_start").cast("string").alias("k"),
+        F.col("period_offset").cast("long").alias("off"),
+        F.col("n_users").cast("long").alias("n"),
+    )
+    spans = e.groupBy("user_id").agg(
+        F.min(F.unix_timestamp("ts")).cast("double").alias("s"),
+        (F.min(F.unix_timestamp("ts")) + 3600).cast("double").alias("t"),
+    )
+    a = spans.select(
+        F.col("user_id").alias("a_uid"), F.col("s").alias("a_s"),
+        F.col("t").alias("a_t"),
+    )
+    b = spans.select(
+        F.col("user_id").alias("b_uid"), F.col("s").alias("b_s"),
+        F.col("t").alias("b_t"),
+    )
+    ovl = interval_join(
+        a, b, "a_s", "a_t", "b_s", "b_t", bucket_width=1800
+    ).select(
+        F.lit("overlap").alias("part"),
+        F.col("a_uid").cast("string").alias("k"),
+        F.col("b_uid").cast("long").alias("off"),
+        nil_n.alias("n"),
+    )
+    return fun.unionByName(coh).unionByName(ovl)
 
 
 def q_x7_event_analytics(spark, sf_dir):
@@ -1838,7 +1954,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_topk_cosine": q_x2_topk_cosine,
         "r33_tfidf": q_r33_tfidf,
         "local_supplier_volume": q_local_supplier_volume,
-        "grouping_suite": q_grouping_suite,
         "range_join_bands": q_range_join_bands,
         "agg_suite": q_agg_suite,
         "sessionize_events": q_sessionize_events,
@@ -1851,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_embedding_neardup": q_x1_embedding_neardup,
         "x_curation_exact": q_x_curation_exact,
         "x6_snapshot_history": q_x6_snapshot_history,
+        "x7_event_suite": q_x7_event_suite,
         "x5_token_budget": q_x5_token_budget,
         "x1_paragraph_dedup": q_x1_paragraph_dedup,
         "x5_chunk_documents": q_x5_chunk_documents,
@@ -2119,6 +2235,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS INT), CAST(NULL AS INT)
             FROM customer
         """,
+        "x7_event_suite": """
+            WITH e AS (SELECT * FROM events),
+            u1 AS (SELECT user_id, min(ts) t1 FROM e
+                   WHERE event_type = 'view' GROUP BY user_id),
+            u2 AS (SELECT e.user_id, min(ts) t2 FROM e JOIN u1 USING (user_id)
+                   WHERE event_type = 'click' AND ts >= t1 GROUP BY e.user_id),
+            u3 AS (SELECT e.user_id, min(ts) t3 FROM e JOIN u2 USING (user_id)
+                   WHERE event_type = 'purchase' AND ts >= t2
+                   GROUP BY e.user_id),
+            f AS (SELECT user_id, min(ts) ft FROM e GROUP BY user_id),
+            spans AS (SELECT user_id, epoch(min(ts)) AS s,
+                             epoch(min(ts)) + 3600 AS t
+                      FROM e GROUP BY user_id)
+            SELECT 'funnel' AS part, 'view' AS k, CAST(1 AS BIGINT) AS off,
+                   CAST((SELECT count(*) FROM u1) AS BIGINT) AS n
+            UNION ALL
+            SELECT 'funnel', 'click', 2, (SELECT count(*) FROM u2)
+            UNION ALL
+            SELECT 'funnel', 'purchase', 3, (SELECT count(*) FROM u3)
+            UNION ALL
+            SELECT 'cohort', CAST(CAST(date_trunc('day', ft) AS DATE)
+                                  AS VARCHAR),
+                   CAST(floor(date_diff('day',
+                                        CAST(date_trunc('day', ft) AS DATE),
+                                        CAST(e.ts AS DATE)) / 7) AS BIGINT),
+                   count(DISTINCT e.user_id)
+            FROM e JOIN f USING (user_id)
+            GROUP BY 2, 3
+            UNION ALL
+            SELECT 'overlap', CAST(a.user_id AS VARCHAR),
+                   CAST(b.user_id AS BIGINT), NULL
+            FROM spans a, spans b
+            WHERE a.s <= b.t AND b.s <= a.t
+        """,
         "x5_token_budget": """
             WITH d AS (
               SELECT doc_id, source,
@@ -2370,15 +2520,6 @@ def oracle_sql() -> dict[str, str]:
             WHERE r_name = 'ASIA'
             GROUP BY n_name
         """,
-        "grouping_suite": """
-            SELECT 'rollup' AS op, l_returnflag, l_linestatus, count(*) AS n_items,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-            UNION ALL
-            SELECT 'cube', l_returnflag, l_linestatus, count(*),
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
-        """,
         "range_join_bands": """
             SELECT p_partkey, count(*) AS n_in_band,
                    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
@@ -2389,14 +2530,41 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p_partkey
         """,
         "agg_suite": """
-            SELECT l_returnflag,
-                   min(l_quantity) AS min_qty,
-                   max(l_quantity) AS max_qty,
-                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-                   round(stddev_samp(l_quantity), 6) AS sd_qty,
-                   count(DISTINCT l_partkey) AS n_parts,
-                   array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses
-            FROM lineitem GROUP BY l_returnflag
+            WITH base AS (
+              SELECT l_returnflag AS k1,
+                     CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+                     CAST(max(l_quantity) AS DOUBLE) AS max_qty,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(*) AS avg_qty,
+                     round(stddev_samp(l_quantity), 6) AS sd_qty,
+                     CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+                     array_to_string(list_sort(list(DISTINCT l_linestatus)),
+                                     ',') AS statuses
+              FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT 'rollup' AS op, l_returnflag AS k1, l_linestatus AS k2,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS x,
+                   CAST(NULL AS VARCHAR) AS s
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            UNION ALL
+            SELECT 'cube', l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE),
+                   NULL
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+            UNION ALL
+            SELECT 'stats_min', k1, NULL, NULL, min_qty, NULL FROM base
+            UNION ALL
+            SELECT 'stats_max', k1, NULL, NULL, max_qty, NULL FROM base
+            UNION ALL
+            SELECT 'stats_avg', k1, NULL, NULL, avg_qty, NULL FROM base
+            UNION ALL
+            SELECT 'stats_sd', k1, NULL, NULL, sd_qty, NULL FROM base
+            UNION ALL
+            SELECT 'stats_distinct', k1, NULL, n_parts, NULL, NULL FROM base
+            UNION ALL
+            SELECT 'stats_set', k1, NULL, NULL, NULL, statuses FROM base
         """,
 
         "sessionize_events": """

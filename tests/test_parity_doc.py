@@ -43,8 +43,9 @@ def test_parity_query_references_exist():
                # r38_ml_suite respectively
                "setops", "x2_ann_lsh", "x2_ann_ivf",
                "r38_w2v_synonyms", "r40_pca_project",
-               # late r6: folded into sampling_suite
-               "r26_sample_bernoulli", "r28_sample_bykey"}
+               # late r6: folded into sampling_suite / agg_suite
+               "r26_sample_bernoulli", "r28_sample_bykey",
+               "grouping_suite"}
     # Candidate tokens: snake_case words that look like gate keys.
     mentioned = set(re.findall(r"\b[a-z][a-z0-9]*(?:_[a-z0-9]+)+\b", text))
     # Only validate tokens that *claim* to be queries: those that appear in
