@@ -1093,3 +1093,63 @@ def sentence_chunk_documents(
         token_count(F.col("_c.txt")).alias("n_tokens"),
         F.col("_c.n_sent").alias("n_sentences"),
     )
+
+
+#: Compact built-in valence lexicon (AFINN-style integer scores in
+#: [-5, 5]; the well-known public scoring convention). Deliberately small
+#: — callers with a real lexicon pass their own dict; the built-in exists
+#: so the operator works out of the box and stays deterministic.
+DEFAULT_SENTIMENT_LEXICON = {
+    "good": 3, "great": 3, "excellent": 4, "amazing": 4, "awesome": 4,
+    "love": 3, "loved": 3, "like": 2, "best": 3, "happy": 3, "wonderful": 4,
+    "fantastic": 4, "perfect": 5, "nice": 2, "better": 2, "win": 2,
+    "wins": 2, "winning": 2, "recommend": 2, "recommended": 2, "enjoy": 2,
+    "enjoyed": 2, "helpful": 2, "impressive": 3, "positive": 2, "success": 2,
+    "bad": -3, "terrible": -4, "awful": -4, "horrible": -4, "hate": -3,
+    "hated": -3, "worst": -4, "sad": -2, "poor": -2, "disappointing": -3,
+    "disappointed": -3, "negative": -2, "fail": -2, "fails": -2,
+    "failed": -2, "failure": -2, "broken": -2, "bug": -2, "bugs": -2,
+    "wrong": -2, "worse": -2, "useless": -3, "waste": -2, "problem": -2,
+}
+
+
+def sentiment_score(
+    df: DataFrame,
+    text_col: str = "text",
+    lexicon: dict[str, int] | None = None,
+    out: str = "sentiment",
+) -> DataFrame:
+    """Lexicon-based sentiment scoring (the AFINN/EDBT'16-Twitter-on-Spark
+    recipe, PAPERS.md): mean valence of the document's lexicon-matched
+    tokens, NULL when nothing matches (so "no signal" never reads as
+    "neutral"). Adds ``out`` (double) plus ``{out}_hits`` (matched token
+    count).
+
+    Scale shape: ZERO shuffle, zero UDF — the lexicon rides as a
+    ``create_map`` literal in the plan (the broadcast-join analog for a
+    closed word list; fine to a few thousand entries, beyond which a real
+    broadcast join on an exploded token table is the shape), and scoring
+    is one lower→tokenize→transform→filter→aggregate fold per row, all
+    whole-stage codegen.
+    """
+    lex = DEFAULT_SENTIMENT_LEXICON if lexicon is None else lexicon
+    m = F.create_map(
+        *[F.lit(x) for kv in sorted(lex.items()) for x in kv]
+    )
+    toks = tokenize(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    scores = F.filter(
+        F.transform(toks, lambda t: m.getItem(t)),
+        lambda s: s.isNotNull(),
+    )
+    n = F.size(scores)
+    total = F.aggregate(
+        scores, F.lit(0), lambda acc, s: acc + s
+    )
+    return df.withColumns(
+        {
+            out: F.when(
+                n > 0, total.cast("double") / n.cast("double")
+            ),
+            f"{out}_hits": n.cast("int"),
+        }
+    )

@@ -616,3 +616,99 @@ def test_quality_classifier_separates_planted_classes(spark, tables):
     assert avg[True] > avg[False] + 0.2, avg
     # output keeps the corpus schema + the probability, no feature debris
     assert set(scored.columns) == {"doc_id", "text", "is_clean", "quality_prob"}
+
+
+def test_sentiment_score_basic_and_null_semantics(spark):
+    from datamunging_spark.operators.text import sentiment_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "This is a GREAT and excellent tool, love it"),
+            (2, "terrible awful broken bug"),
+            (3, "the quick brown fox"),          # no lexicon hits -> NULL
+            (4, None),                            # NULL text -> NULL
+            (5, "good bad"),                      # 3 + (-3) -> 0.0 (not NULL)
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: (r.sentiment, r.sentiment_hits)
+        for r in sentiment_score(docs).collect()
+    }
+    assert got[1][0] > 0 and got[1][1] == 3      # great, excellent, love
+    assert got[2][0] < 0 and got[2][1] == 4
+    assert got[3] == (None, 0)
+    assert got[4] == (None, 0)
+    assert got[5] == (0.0, 2)
+
+
+def test_sentiment_score_matches_duckdb(spark, tables):
+    """Cross-engine: mean matched valence per doc re-derived in DuckDB
+    with the same lexicon."""
+    import duckdb
+
+    from datamunging_spark.operators.text import (
+        DEFAULT_SENTIMENT_LEXICON,
+        sentiment_score,
+    )
+
+    # the synthetic corpus happens to contain no lexicon words, so union
+    # two planted docs (mirrored in the SQL) to keep the check non-vacuous
+    planted = tables["documents"].sparkSession.createDataFrame(
+        [(9000001, "a great excellent day with one problem"),
+         (9000002, "terrible waste")],
+        "doc_id long, text string",
+    )
+    corpus = tables["documents"].select("doc_id", "text").unionByName(planted)
+    got = {
+        r.doc_id: (
+            None if r.sentiment is None else round(r.sentiment, 6),
+            r.sentiment_hits,
+        )
+        for r in sentiment_score(corpus).collect()
+    }
+    con = duckdb.connect()
+    lex_rows = ", ".join(
+        f"('{w}', {s})" for w, s in sorted(DEFAULT_SENTIMENT_LEXICON.items())
+    )
+    want = {
+        int(d): (None if s is None else round(float(s), 6), int(h))
+        for d, s, h in con.execute(
+            f"""
+            WITH lex(word, score) AS (VALUES {lex_rows}),
+            toks AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(coalesce(text, '')), ' '))
+                       AS word
+              FROM (SELECT doc_id, text FROM read_parquet(
+                        '/root/testdata/sf0.001/documents.parquet')
+                    UNION ALL SELECT * FROM (VALUES
+                      (9000001, 'a great excellent day with one problem'),
+                      (9000002, 'terrible waste')) p(doc_id, text))
+            ), hits AS (
+              SELECT t.doc_id, l.score
+              FROM toks t JOIN lex l USING (word)
+            )
+            SELECT d.doc_id,
+                   (SELECT avg(CAST(score AS DOUBLE)) FROM hits h
+                    WHERE h.doc_id = d.doc_id),
+                   (SELECT count(*) FROM hits h WHERE h.doc_id = d.doc_id)
+            FROM (SELECT doc_id FROM read_parquet(
+                      '/root/testdata/sf0.001/documents.parquet')
+                  UNION ALL SELECT * FROM (VALUES (9000001), (9000002))
+                    q(doc_id)) d
+            """
+        ).fetchall()
+    }
+    assert got == want and any(v[1] > 0 for v in got.values())
+
+
+def test_sentiment_score_zero_shuffle_plan(spark, tables):
+    from datamunging_spark.operators.text import sentiment_score
+
+    plan = (
+        sentiment_score(tables["documents"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in final  # pure map over the scan
