@@ -1043,7 +1043,12 @@ def q_x6_snapshot_history(spark, sf_dir):
         for v in (1, 2, 3)
     ]
     snaps = versions[0].unionByName(versions[1]).unionByName(versions[2])
-    scd = scd2_build(snaps, ["c_custkey"], ["seg"], "v").select(
+    # ONE scd2_build plan serves both the 'scd2' branch and the 'lookup'
+    # branch's dim (building it twice would double the window+aggregate
+    # work per gate/bench run — Catalyst does not dedup identical
+    # subtrees under a union)
+    dim = scd2_build(snaps, ["c_custkey"], ["seg"], "v")
+    scd = dim.select(
         F.lit("scd2").alias("part"),
         F.col("c_custkey").cast("long").alias("key"),
         F.col("seg").alias("attr"),
@@ -1073,7 +1078,6 @@ def q_x6_snapshot_history(spark, sf_dir):
     from datamunging_spark.operators.history import scd2_lookup
 
     facts = c.select("c_custkey", F.lit(2).alias("ts"))
-    dim = scd2_build(snaps, ["c_custkey"], ["seg"], "v")
     lookup = scd2_lookup(facts, dim, ["c_custkey"], "ts").select(
         F.lit("lookup").alias("part"),
         F.col("c_custkey").cast("long").alias("key"),

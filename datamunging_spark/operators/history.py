@@ -199,12 +199,19 @@ def apply_changelog(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    # NULL-safe delete test: a NULL op must mean "upsert" per the
+    # "any other value upserts" contract, so coalesce BEFORE the sentinel
+    # logic (op==delete_op is NULL for NULL op, and a NULL _del would make
+    # the in-changelog test below silently keep the stale base payload).
     is_delete = (
-        F.col(op_col) == delete_op if op_col is not None else F.lit(False)
+        F.coalesce(F.col(op_col) == delete_op, F.lit(False))
+        if op_col is not None
+        else F.lit(False)
     )
     ch = latest.select(
         *keys,
         is_delete.alias("_del"),
+        F.lit(True).alias("_in_ch"),
         *[F.col(c).alias(f"_ch_{c}") for c in payload],
     )
     merged = base.join(ch, keys, "full_outer")
@@ -213,7 +220,7 @@ def apply_changelog(
     out = merged.filter(~F.coalesce(F.col("_del"), F.lit(False))).select(
         *keys,
         *[
-            F.when(F.col("_del").isNotNull(), F.col(f"_ch_{c}"))
+            F.when(F.col("_in_ch").isNotNull(), F.col(f"_ch_{c}"))
             .otherwise(F.col(c))
             .alias(c)
             for c in payload
@@ -230,6 +237,7 @@ def scd2_lookup(
     attrs: list[str] | None = None,
     effective_from: str = "effective_from",
     effective_to: str = "effective_to",
+    current_flag: str = "is_current",
     prefix: str = "",
 ) -> DataFrame:
     """Temporal (point-in-time) join of facts against an SCD-2 dimension:
@@ -258,7 +266,7 @@ def scd2_lookup(
     from datamunging_spark.operators.relational import asof_join
 
     if attrs is None:
-        skip = set(keys) | {effective_from, effective_to, "is_current"}
+        skip = set(keys) | {effective_from, effective_to, current_flag}
         attrs = [c for c in dim.columns if c not in skip]
     # asof_join carries right columns through its fill as one never-null
     # struct, so a matched interval's genuinely-NULL field (an open

@@ -571,6 +571,12 @@ def interval_join(
     defined for the replicated form.
     """
     w = float(bucket_width)
+    if w <= 0:
+        raise ValueError(
+            f"bucket_width must be > 0, got {bucket_width} "
+            "(0/negative widths would NULL the bucket sequence and "
+            "silently return no pairs)"
+        )
     lb = F.explode(
         F.sequence(
             F.floor(F.col(left_start) / F.lit(w)).cast("long"),
@@ -605,48 +611,59 @@ def funnel_report(
     steps: list[str],
 ) -> DataFrame:
     """Ordered-funnel analysis: how many users completed step 1, then
-    step 2 AFTER step 1, … in sequence — the standard product-analytics
-    query engines ship natively (and SQL expresses only as chained
-    self-joins). Returns one row per step: (step 1-based, step_name,
-    n_users reached), monotonically non-increasing.
+    step 2 AT-OR-AFTER step 1, … in sequence — the standard
+    product-analytics query engines ship natively (and SQL expresses only
+    as chained self-joins). Returns one row per step: (step 1-based,
+    step_name, n_users reached), monotonically non-increasing.
 
-    Semantics: a user advances from stage i to i+1 at their first event
-    of type ``steps[i+1]`` at-or-after the advancing event of stage i
-    (ties on ``ts_col`` resolve in (ts, type) sort order). Repeats and
-    interleaved other events are ignored.
+    Semantics are EXACTLY the chained-min formulation
+    (``t_i = min(ts of step_i events with ts >= t_{i-1})``) — the same
+    definition the SQL self-join form computes, including equal-timestamp
+    ties (a step-2 event at the same ts as the advancing step-1 event
+    counts), so the x7_event_suite oracle pairing is semantics-identical
+    by construction, not by data luck.
 
     Scale shape: ONE shuffle — events pre-filtered to the step types,
     collect_list per user (bounded by that user's step-type events), then
-    a JVM ``aggregate`` fold over the time-sorted array computes the max
-    stage reached; per-stage user counts aggregate a second time on the
-    tiny (n_steps) key space. No window over the event table, no
-    self-joins (a k-step funnel as SQL is k-1 self-joins of the event
-    table), no Python.
+    k chained ``filter→transform→array_min`` expressions over the array
+    compute each stage's timestamp (k = len(steps), all codegen'd; no
+    sort needed — array_min is order-free). Once t_i is NULL every later
+    t_j is NULL automatically (ts >= NULL filters everything), so the
+    stage count is a plain sum of non-null flags. No window over the
+    event table, no self-joins (the SQL form is k-1 self-joins of the
+    event table), no Python.
     """
-    steps_lit = F.array(*[F.lit(s) for s in steps])
     evs = (
         events.filter(F.col(type_col).isin(steps))
         .groupBy(user_col)
         .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col(ts_col).alias("ts"),
-                        F.col(type_col).alias("tp"),
-                    )
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("ts"), F.col(type_col).alias("tp")
                 )
             ).alias("_evs")
         )
     )
-    # fold: stage = number of completed steps so far
-    stage = F.aggregate(
-        F.col("_evs"),
-        F.lit(0),
-        lambda acc, ev: F.when(
-            (acc < F.lit(len(steps)))
-            & (ev["tp"] == F.element_at(steps_lit, acc + 1)),
-            acc + 1,
-        ).otherwise(acc),
+    # one-parameter lambda factories: PySpark maps EVERY parameter
+    # (including defaults) to lambda variables, so captures must come
+    # from closure scope, not default args
+    def _first_cond(s):
+        return lambda ev: ev["tp"] == F.lit(s)
+
+    def _chained_cond(s, prev):
+        return lambda ev: (ev["tp"] == F.lit(s)) & (ev["ts"] >= prev)
+
+    t_prev = None
+    t_cols = []
+    for s in steps:
+        cond = _first_cond(s) if t_prev is None else _chained_cond(s, t_prev)
+        t_i = F.array_min(
+            F.transform(F.filter(F.col("_evs"), cond), lambda ev: ev["ts"])
+        )
+        t_cols.append(t_i)
+        t_prev = t_i
+    stage = sum(
+        (t.isNotNull().cast("int") for t in t_cols), F.lit(0)
     )
     per_user = evs.select(stage.alias("_stage")).filter(F.col("_stage") > 0)
     reached = per_user.groupBy("_stage").agg(

@@ -1136,7 +1136,15 @@ def sentiment_score(
     m = F.create_map(
         *[F.lit(x) for kv in sorted(lex.items()) for x in kv]
     )
-    toks = tokenize(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
+    # Whitespace-split THEN strip non-alphanumeric edges before lookup:
+    # real prose borders lexicon words with punctuation constantly
+    # ("Perfect!", "great,") and an exact-token lookup would
+    # systematically undercount. Interior punctuation (don't) is kept —
+    # matching the AFINN recipe's word-boundary behavior.
+    toks = F.transform(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", -1),
+        lambda t: F.regexp_replace(t, r"^[^a-z0-9]+|[^a-z0-9]+$", ""),
+    )
     scores = F.filter(
         F.transform(toks, lambda t: m.getItem(t)),
         lambda s: s.isNotNull(),

@@ -67,14 +67,18 @@ def latest_table_version(spark: SparkSession, path: str) -> int | None:
 
 
 def write_table_version(
-    df: DataFrame, path: str, version: int
+    df: DataFrame, path: str, version: int, batch_id: int | None = None
 ) -> None:
     """Materialize ``df`` as ``{path}/v{version}`` and commit it. The
     write is overwrite-idempotent: a retried batch rewrites the same
     version directory and re-marks it, so replays converge instead of
-    duplicating."""
+    duplicating. ``batch_id`` (streaming) tags the version with its
+    producing micro-batch BEFORE the commit marker, so
+    :func:`batch_already_applied` can detect replays."""
     vpath = f"{path}/v{version}"
     df.write.mode("overwrite").parquet(vpath)
+    if batch_id is not None:
+        mark_batch_applied(df.sparkSession, vpath, batch_id)
     mark_committed(df.sparkSession, vpath)
 
 
@@ -100,10 +104,15 @@ def roll_table_version(
     keys: list[str],
     version_col: str,
     op_col: str | None = None,
+    version: int | None = None,
+    batch_id: int | None = None,
 ) -> int:
     """Apply a CDC changelog to the latest committed version and commit
     the result as the next version; returns the new version number. For
-    an empty store, the changelog's upserts seed ``v1``.
+    an empty store, the changelog's upserts seed ``v1``. Pass ``version``
+    to pin the target explicitly (streaming replays re-target their OWN
+    version); it must be latest+1 (or 1 on an empty store) — the store
+    never skips numbers.
 
     One read of the previous version + operators/history.apply_changelog
     (changelog-only window, one merge join) + one write. The write is a
@@ -114,6 +123,12 @@ def roll_table_version(
     from datamunging_spark.operators.history import apply_changelog
 
     latest = latest_table_version(spark, path)
+    new_version = (latest or 0) + 1 if version is None else version
+    if new_version != (latest or 0) + 1:
+        raise ValueError(
+            f"version must be contiguous: latest committed is {latest}, "
+            f"got target {new_version}"
+        )
     if latest is None:
         payload = [
             c
@@ -121,26 +136,34 @@ def roll_table_version(
             if c not in {version_col} | ({op_col} if op_col else set())
         ]
         base = changes.select(*payload).limit(0)
-        new_version = 1
     else:
         base = read_table_version(spark, path, latest)
-        new_version = latest + 1
     rolled = apply_changelog(
         base, changes, keys, version_col, op_col=op_col
     )
-    write_table_version(rolled, path, new_version)
+    write_table_version(rolled, path, new_version, batch_id=batch_id)
     return new_version
 
 
 def vacuum_table_versions(
-    spark: SparkSession, path: str, keep_last: int = 2
+    spark: SparkSession,
+    path: str,
+    keep_last: int = 2,
+    drop_torn: bool = False,
 ) -> list[int]:
-    """Retire old committed versions, keeping the newest ``keep_last``
-    (and every torn directory is removed too — they are invisible
-    garbage by contract). Returns the version numbers deleted. The store
-    lifecycle's out-of-band cleanup; point-in-time reads older than the
-    retention window become FileNotFoundError afterwards, so pick
-    ``keep_last`` to cover the audit horizon."""
+    """Retire old committed versions, keeping the newest ``keep_last``.
+    Returns the version numbers deleted. The store lifecycle's
+    out-of-band cleanup; point-in-time reads older than the retention
+    window become FileNotFoundError afterwards, so pick ``keep_last`` to
+    cover the audit horizon.
+
+    ``drop_torn=False`` (default) leaves marker-less directories alone:
+    a torn directory is indistinguishable from a version a CONCURRENT
+    writer is materializing right now, and deleting it under the writer
+    would let the writer's trailing mark_committed stamp a commit marker
+    onto a gutted directory. Pass ``drop_torn=True`` only when no writer
+    can be active (same single-writer window as any destructive
+    maintenance)."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (never vacuum the head)")
     fs, jvm = _fs(spark, path)
@@ -157,7 +180,41 @@ def vacuum_table_versions(
         v = int(name[1:])
         if v in keep:
             continue
+        is_committed = v in set(committed)
+        if not is_committed and not drop_torn:
+            continue
         fs.delete(status.getPath(), True)
-        if v in set(committed):
+        if is_committed:
             deleted.append(v)
     return sorted(deleted)
+
+
+def mark_batch_applied(
+    spark: SparkSession, vpath: str, batch_id: int
+) -> None:
+    """Record which streaming batch produced ``vpath`` (written BEFORE
+    the commit marker, so any committed version carries its batch tag)."""
+    fs, jvm = _fs(spark, vpath)
+    fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{vpath}/_CDC_BATCH_{batch_id}"),
+        True,
+    ).close()
+
+
+def batch_already_applied(
+    spark: SparkSession, path: str, batch_id: int
+) -> bool:
+    """True when some COMMITTED version carries ``batch_id``'s tag — the
+    streaming replay test (a crash between the version commit and the
+    stream checkpoint replays the batch; the tag makes the replay a
+    no-op instead of a double-apply). Scan cost is the committed-version
+    count — bounded by vacuum retention."""
+    fs, jvm = _fs(spark, path)
+    for v in list_table_versions(spark, path):
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{path}/v{v}/_CDC_BATCH_{batch_id}"
+            )
+        ):
+            return True
+    return False

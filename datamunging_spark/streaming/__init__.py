@@ -410,56 +410,51 @@ def streaming_apply_changelog(
 ) -> int | None:
     """Continuous CDC materialization via ``foreachBatch``: each
     micro-batch of changelog rows rolls the versioned parquet table at
-    ``table_path`` forward one committed version
-    (sources/versioned.roll_table_version — latest-wins window over the
-    BATCH only + one merge join against the current version). The
-    streaming face of the mini-lakehouse loop: a CDC stream in, an
+    ``table_path`` forward one committed version — a thin wrapper over
+    sources/versioned.roll_table_version (latest-wins window over the
+    BATCH only + one merge join against the current version), so batch
+    and streaming rolls share one implementation. A CDC stream in, an
     always-readable sequence of immutable table versions out.
 
-    Replay safety comes from the store's commit markers plus the version
-    arithmetic: versions are keyed ``first_version + batch_id`` (stable
-    across restarts, unlike latest+1 which would double-apply a replayed
-    batch), so a replayed micro-batch REWRITES its own version directory
-    from the same predecessor instead of appending a duplicate roll —
-    write_table_version is overwrite-idempotent by design. A crash
-    between the parquet write and the marker leaves a torn, invisible
-    directory the retry overwrites.
+    Replay safety: every committed version carries a ``_CDC_BATCH_{id}``
+    tag written BEFORE its commit marker; a replayed micro-batch (crash
+    landed between the version commit and the stream checkpoint commit)
+    finds its tag on a committed version and no-ops instead of
+    double-applying. Version numbers are always latest+1 — recomputed
+    per batch from the store, never derived from batch ids — so second
+    drains against an existing checkpoint, restarts, and empty batches
+    (skipped, no number consumed) all stay contiguous. A crash before
+    the commit marker leaves a torn, invisible directory the retry
+    overwrites.
 
     Drains with ``availableNow`` (the backfill/batch-drain shape used by
     the other streaming loops here); returns the latest committed version
     after the drain (None when the stream carried no data and the store
     is empty).
     """
-    from datamunging_spark.operators.history import apply_changelog
     from datamunging_spark.sources.versioned import (
+        batch_already_applied,
         latest_table_version,
-        read_table_version,
-        write_table_version,
+        roll_table_version,
     )
 
     spark = changes_stream.sparkSession
-    base_version = latest_table_version(spark, table_path)
-    first_new = (base_version or 0) + 1
 
     def _process(batch_df, batch_id):
         if not batch_df.head(1):
             return
         bspark = batch_df.sparkSession
-        version = first_new + batch_id
-        prev = version - 1
-        if prev < 1:
-            payload = [
-                c
-                for c in batch_df.columns
-                if c not in {version_col} | ({op_col} if op_col else set())
-            ]
-            base = batch_df.select(*payload).limit(0)
-        else:
-            base = read_table_version(bspark, table_path, prev)
-        rolled = apply_changelog(
-            base, batch_df, keys, version_col, op_col=op_col
+        if batch_already_applied(bspark, table_path, batch_id):
+            return
+        roll_table_version(
+            bspark,
+            table_path,
+            batch_df,
+            keys,
+            version_col,
+            op_col=op_col,
+            batch_id=batch_id,
         )
-        write_table_version(rolled, table_path, version)
 
     writer = changes_stream.writeStream.foreachBatch(_process).trigger(
         availableNow=True

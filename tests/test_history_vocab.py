@@ -826,10 +826,76 @@ def test_vacuum_table_versions(spark, tmp_path):
     df = spark.createDataFrame([(1, "a")], "id int, s string")
     for v in (1, 2, 3, 4):
         write_table_version(df, path, v)
-    os.makedirs(f"{path}/v9", exist_ok=True)  # torn
+    os.makedirs(f"{path}/v9", exist_ok=True)  # torn (or in-flight)
     deleted = vacuum_table_versions(spark, path, keep_last=2)
     assert deleted == [1, 2]
     assert list_table_versions(spark, path) == [3, 4]
-    assert not os.path.exists(f"{path}/v9")  # torn garbage collected
+    # torn dirs are KEPT by default: indistinguishable from a concurrent
+    # writer's in-flight version
+    assert os.path.exists(f"{path}/v9")
+    vacuum_table_versions(spark, path, keep_last=2, drop_torn=True)
+    assert not os.path.exists(f"{path}/v9")
     with _pytest.raises(ValueError):
         vacuum_table_versions(spark, path, keep_last=0)
+
+
+def test_apply_changelog_null_op_upserts(spark):
+    """A NULL op value means upsert per the 'any other value upserts'
+    contract — it must not silently keep the stale base payload."""
+    from datamunging_spark.operators.history import apply_changelog
+
+    base = spark.createDataFrame([(1, "old")], "id int, s string")
+    changes = spark.createDataFrame(
+        [(1, "new", 1, None), (2, "b", 1, None)],
+        "id int, s string, ver int, op string",
+    )
+    got = sorted(
+        map(tuple, apply_changelog(base, changes, ["id"], "ver",
+                                   op_col="op").collect())
+    )
+    assert got == [(1, "new"), (2, "b")]
+
+
+def test_streaming_apply_changelog_second_drain_and_replay(spark, tmp_path):
+    """The restart scenario the version arithmetic must survive: drain
+    once, then drain AGAIN with the same checkpoint and new files —
+    versions stay contiguous; and a simulated replay (same batch tag
+    already committed) is a no-op."""
+    from datamunging_spark.sources.versioned import (
+        batch_already_applied,
+        list_table_versions,
+        read_table_version,
+    )
+    from datamunging_spark.streaming import streaming_apply_changelog
+
+    table = str(tmp_path / "cdc_tbl3")
+    src = tmp_path / "cdc_src3"
+    src.mkdir()
+    ckpt = str(tmp_path / "cdc_ckpt3")
+    schema = "id int, s string, ver int, op string"
+
+    spark.createDataFrame([(1, "a", 1, "upsert")], schema) \
+        .coalesce(1).write.parquet(str(src / "f1"))
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    assert streaming_apply_changelog(
+        stream, table, ["id"], "ver", op_col="op", checkpoint_path=ckpt
+    ) == 1
+
+    # second drain, same checkpoint: Spark resumes batch ids at 1
+    spark.createDataFrame([(2, "b", 1, "upsert")], schema) \
+        .coalesce(1).write.parquet(str(src / "f2"))
+    stream2 = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    assert streaming_apply_changelog(
+        stream2, table, ["id"], "ver", op_col="op", checkpoint_path=ckpt
+    ) == 2
+    assert list_table_versions(spark, table) == [1, 2]
+    assert sorted(map(tuple, read_table_version(spark, table).collect())) \
+        == [(1, "a"), (2, "b")]
+    # both drained batches carry their tags -> a replay would no-op
+    assert batch_already_applied(spark, table, 0)
+    assert batch_already_applied(spark, table, 1)
+    assert not batch_already_applied(spark, table, 99)

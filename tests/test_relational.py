@@ -327,11 +327,14 @@ def test_funnel_report_ordered_semantics(spark):
         (3, 10, "a"), (3, 11, "b"),
         # u4 no step-1 event at all: not counted
         (4, 10, "c"),
+        # u5 ties: b at the SAME ts as a counts (chained-min ts >= t1
+        # semantics, identical to the SQL self-join formulation)
+        (5, 10, "a"), (5, 10, "b"),
     ]
     events = spark.createDataFrame(rows, "user_id int, ts int, et string")
     out = funnel_report(events, "user_id", "ts", "et", ["a", "b", "c"])
     got = [(r.step, r.step_name, r.n_users) for r in out.collect()]
-    assert got == [(1, "a", 3), (2, "b", 2), (3, "c", 1)]
+    assert got == [(1, "a", 4), (2, "b", 3), (3, "c", 1)]
 
 
 def test_funnel_report_matches_duckdb_on_events(spark, tables):

@@ -628,6 +628,7 @@ def test_sentiment_score_basic_and_null_semantics(spark):
             (3, "the quick brown fox"),          # no lexicon hits -> NULL
             (4, None),                            # NULL text -> NULL
             (5, "good bad"),                      # 3 + (-3) -> 0.0 (not NULL)
+            (6, "Perfect!  great,\nlove it."),     # punctuation-bordered
         ],
         "doc_id int, text string",
     )
@@ -640,6 +641,7 @@ def test_sentiment_score_basic_and_null_semantics(spark):
     assert got[3] == (None, 0)
     assert got[4] == (None, 0)
     assert got[5] == (0.0, 2)
+    assert got[6][1] == 3 and got[6][0] == (5 + 3 + 3) / 3
 
 
 def test_sentiment_score_matches_duckdb(spark, tables):
@@ -678,8 +680,10 @@ def test_sentiment_score_matches_duckdb(spark, tables):
             WITH lex(word, score) AS (VALUES {lex_rows}),
             toks AS (
               SELECT doc_id,
-                     unnest(string_split(lower(coalesce(text, '')), ' '))
-                       AS word
+                     regexp_replace(
+                       unnest(regexp_split_to_array(
+                         lower(coalesce(text, '')), '\s+')),
+                       '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g') AS word
               FROM (SELECT doc_id, text FROM read_parquet(
                         '/root/testdata/sf0.001/documents.parquet')
                     UNION ALL SELECT * FROM (VALUES
