@@ -1145,56 +1145,6 @@ def q_x7_event_suite(spark, sf_dir):
     return fun.unionByName(coh).unionByName(ovl)
 
 
-def q_x7_event_analytics(spark, sf_dir):
-    """X7 event-analytics composite (bench + pytest-oracle coverage; kept
-    out of the 50-entry gate — tests/test_relational.py cross-checks each
-    half against DuckDB): ordered funnel view→click→purchase (ONE shuffle:
-    per-user sorted-array fold, no k-step self-joins), weekly cohort
-    retention (first-event agg + user-grain join + distinct count), and a
-    banded interval-overlap self-join of per-user hour spans (canonical-
-    bucket dedup, never a cartesian). Returns the three result sets
-    union-tagged."""
-    from datamunging_spark.operators.relational import (
-        cohort_retention,
-        funnel_report,
-        interval_join,
-    )
-
-    e = _t(spark, sf_dir, "events")
-    fun = funnel_report(
-        e, "user_id", "ts", "event_type", ["view", "click", "purchase"]
-    ).select(
-        F.lit("funnel").alias("part"),
-        F.col("step").cast("long").alias("k"),
-        F.col("n_users").cast("long").alias("n"),
-    )
-    coh = cohort_retention(e, "user_id", "ts", period_days=7).select(
-        F.lit("cohort").alias("part"),
-        F.col("period_offset").cast("long").alias("k"),
-        F.col("n_users").cast("long").alias("n"),
-    )
-    spans = e.groupBy("user_id").agg(
-        F.min(F.unix_timestamp("ts")).cast("double").alias("s"),
-        (F.min(F.unix_timestamp("ts")) + 3600).cast("double").alias("t"),
-    )
-    a = spans.select(
-        F.col("user_id").alias("a_uid"), F.col("s").alias("a_s"),
-        F.col("t").alias("a_t"),
-    )
-    b = spans.select(
-        F.col("user_id").alias("b_uid"), F.col("s").alias("b_s"),
-        F.col("t").alias("b_t"),
-    )
-    ovl = interval_join(
-        a, b, "a_s", "a_t", "b_s", "b_t", bucket_width=1800
-    ).agg(F.count(F.lit(1)).alias("n")).select(
-        F.lit("overlap").alias("part"),
-        F.lit(0).cast("long").alias("k"),
-        F.col("n").cast("long").alias("n"),
-    )
-    return fun.unionByName(coh).unionByName(ovl)
-
-
 def q_x4_vocab(spark, sf_dir):
     """X4 vocabulary build + OOV coverage (bench + pytest-oracle coverage;
     kept out of the 50-entry gate): deterministic top-500 corpus

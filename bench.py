@@ -76,7 +76,7 @@ BENCH_QUERIES = [
     "x6_er_pipeline",
     "x6_snapshot_history",
     "x4_vocab",
-    "x7_event_analytics",
+    "x7_event_suite",
 ]
 
 

@@ -100,7 +100,7 @@ NOTES: dict[str, tuple[str, str]] = {
         "—",
     ),
     "x4_vocab": ("top-500 vocab + OOV coverage", "—"),
-    "x7_event_analytics": (
+    "x7_event_suite": (
         "funnel + cohort retention + interval-overlap join",
         "—",
     ),
