@@ -899,3 +899,62 @@ def test_streaming_apply_changelog_second_drain_and_replay(spark, tmp_path):
     assert batch_already_applied(spark, table, 0)
     assert batch_already_applied(spark, table, 1)
     assert not batch_already_applied(spark, table, 99)
+
+
+def test_scd2_dimension_maintained_in_versioned_store(spark, tables, tmp_path):
+    """Full composition: the SCD-2 dim lives in the versioned store and
+    each crawl rolls it forward with scd2_apply_snapshot — the durable
+    shape of dimension maintenance. Every stored version must equal the
+    scd2_build full rebuild over the snapshots seen so far."""
+    from datamunging_spark.operators.history import (
+        scd2_apply_snapshot,
+        scd2_build,
+    )
+    from datamunging_spark.sources.versioned import (
+        read_table_version,
+        write_table_version,
+    )
+
+    c = tables["customer"].select("c_custkey", "c_mktsegment").limit(150)
+    snaps = {
+        v: c.select(
+            "c_custkey",
+            F.when(
+                (F.col("c_custkey") + v) % 4 == 0, F.lit("SHIFTED")
+            ).otherwise(F.col("c_mktsegment")).alias("seg"),
+        )
+        for v in (1, 2, 3)
+    }
+    store = str(tmp_path / "dim_store")
+    dim = scd2_build(
+        snaps[1].withColumn("v", F.lit(1)), ["c_custkey"], ["seg"], "v"
+    )
+    write_table_version(dim, store, 1)
+    for v in (2, 3):
+        cur = read_table_version(spark, store)
+        nxt = scd2_apply_snapshot(cur, snaps[v], ["c_custkey"], ["seg"], v)
+        write_table_version(nxt, store, v)
+
+    stacked = None
+    for v in (1, 2, 3):
+        t = snaps[v].withColumn("v", F.lit(v))
+        stacked = t if stacked is None else stacked.unionByName(t)
+        want = sorted(
+            map(
+                tuple,
+                scd2_build(stacked, ["c_custkey"], ["seg"], "v")
+                .select("c_custkey", "seg", "effective_from",
+                        "effective_to", "is_current")
+                .collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                read_table_version(spark, store, v)
+                .select("c_custkey", "seg", "effective_from",
+                        "effective_to", "is_current")
+                .collect(),
+            )
+        )
+        assert got == want, f"stored dim v{v} != full rebuild"
