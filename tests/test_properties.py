@@ -149,3 +149,78 @@ def test_ac_automaton_equals_python_contains(patterns, hay):
 
     auto = _ac_build(patterns)
     assert _ac_find_any(hay, auto) == any(p in hay for p in patterns)
+
+
+# ---------------------------------------------------------------------------
+# History-family identities on arbitrary keyed tables
+# ---------------------------------------------------------------------------
+
+_key = st.integers(min_value=0, max_value=9)
+_val = st.one_of(st.none(), st.text(
+    alphabet=st.characters(min_codepoint=97, max_codepoint=122), max_size=4
+))
+
+
+def _keyed_table(draw_keys, draw_vals):
+    """dict key -> value (unique keys by construction)."""
+    return st.dictionaries(draw_keys, draw_vals, max_size=8)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_keyed_table(_key, _val), _keyed_table(_key, _val))
+def test_apply_extract_roundtrip_property(spark, old_d, new_d):
+    """∀ old, new: apply(old, extract(old, new)) == new — the changelog
+    identity on arbitrary keyed tables, NULL values included."""
+    from datamunging_spark.operators.history import (
+        apply_changelog,
+        extract_changelog,
+        snapshot_diff,
+    )
+
+    schema = "id int, s string"
+    old = spark.createDataFrame(list(old_d.items()) or [], schema)
+    new = spark.createDataFrame(list(new_d.items()) or [], schema)
+    log = extract_changelog(old, new, ["id"], version=1)
+    rebuilt = apply_changelog(old, log, ["id"], "ver", op_col="op")
+    nk = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    assert sorted(map(tuple, rebuilt.collect()), key=nk) == sorted(
+        new_d.items(), key=nk
+    )
+    assert snapshot_diff(rebuilt, new, ["id"]).count() == 0
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(_keyed_table(_key, _val), min_size=1, max_size=4)
+)
+def test_scd2_incremental_fold_equals_rebuild_property(spark, snap_dicts):
+    """∀ snapshot stacks: folding through scd2_apply_snapshot == one
+    scd2_build over the stack (arbitrary key churn, NULL attrs)."""
+    from datamunging_spark.operators.history import (
+        scd2_apply_snapshot,
+        scd2_build,
+    )
+
+    schema = "id int, attr string"
+    snaps = [
+        spark.createDataFrame(list(d.items()) or [], schema)
+        for d in snap_dicts
+    ]
+    stacked = None
+    for v, s in enumerate(snaps, start=1):
+        t = s.withColumn("v", F.lit(v))
+        stacked = t if stacked is None else stacked.unionByName(t)
+    full = scd2_build(stacked, ["id"], ["attr"], "v")
+
+    inc = scd2_build(
+        snaps[0].withColumn("v", F.lit(1)), ["id"], ["attr"], "v"
+    )
+    for v, s in enumerate(snaps[1:], start=2):
+        inc = scd2_apply_snapshot(
+            inc, s, ["id"], ["attr"], v
+        ).localCheckpoint()
+    cols = ["id", "attr", "effective_from", "effective_to", "is_current"]
+    nk = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    assert sorted(map(tuple, inc.select(*cols).collect()), key=nk) == sorted(
+        map(tuple, full.select(*cols).collect()), key=nk
+    )
