@@ -35,6 +35,75 @@ def not_empty_rule(name: str, col: str) -> Rule:
     return Rule(name, (F.col(col).isNotNull()) & (F.col(col) != ""))
 
 
+def accepted_values_rule(
+    name: str, col: str, values: list, allow_null: bool = False
+) -> Rule:
+    """dbt-style ``accepted_values`` contract: the column must be one of
+    ``values`` (NULL fails unless ``allow_null``)."""
+    pred = F.col(col).isin(values)
+    if allow_null:
+        pred = pred | F.col(col).isNull()
+    else:
+        pred = F.coalesce(pred, F.lit(False))
+    return Rule(name, pred)
+
+
+def range_rule(
+    name: str, col: str, lo=None, hi=None, allow_null: bool = False
+) -> Rule:
+    """Numeric bounds contract: ``lo <= col <= hi`` (either side open when
+    None; NULL fails unless ``allow_null``)."""
+    pred = F.lit(True)
+    if lo is not None:
+        pred = pred & (F.col(col) >= lo)
+    if hi is not None:
+        pred = pred & (F.col(col) <= hi)
+    if allow_null:
+        pred = pred | F.col(col).isNull()
+    else:
+        pred = F.coalesce(pred, F.lit(False))
+    return Rule(name, pred)
+
+
+def unique_report(df: DataFrame, cols: list[str]) -> DataFrame:
+    """dbt-style ``unique`` contract, cross-row so not a per-row Rule:
+    key tuples appearing more than once, with their multiplicities —
+    empty result = contract holds. One hash aggregate on the key (NULL
+    keys group and report like any value). At 100 TB this is the same
+    uniform-key shuffle as exact dedup."""
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+def referential_report(
+    child: DataFrame,
+    parent: DataFrame,
+    child_cols: list[str],
+    parent_cols: list[str] | None = None,
+) -> DataFrame:
+    """dbt-style ``relationships`` contract: child keys with no matching
+    parent row, with occurrence counts — empty result = every foreign key
+    resolves. NULL child keys are excluded per SQL FK convention (a NULL
+    FK is "no reference", not a broken one).
+
+    Scale shape: aggregate the child side to distinct keys FIRST (one
+    uniform shuffle), then LEFT ANTI join against the parent's key
+    projection — the anti join's build side is the slim parent key set,
+    and with AQE it broadcasts when small."""
+    parent_cols = parent_cols or child_cols
+    keys = child
+    for c in child_cols:
+        keys = keys.filter(F.col(c).isNotNull())
+    agg = keys.groupBy(*child_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    p = parent.select(
+        *[F.col(pc).alias(cc) for cc, pc in zip(child_cols, parent_cols)]
+    )
+    return agg.join(p, child_cols, "left_anti")
+
+
 def invalid_rows(df: DataFrame, rule: Rule) -> DataFrame:
     """Rows failing ``rule`` (the filtered Pig relation, README.md:128)."""
     return df.filter(~rule.predicate)

@@ -828,3 +828,92 @@ def test_streaming_ingest_replayed_batch_is_noop(spark, tmp_path):
     surv = spark.read.parquet(out)
     assert surv.count() == 1  # replay did NOT duplicate the sink append
     assert snaps.content.count() == 1  # state intact, no self-overwrite
+
+
+def test_contract_rules_accepted_values_and_range(spark):
+    from datamunging_spark.operators.quality import (
+        accepted_values_rule,
+        invalid_rows,
+        range_rule,
+        validation_summary,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", -1.0), (3, "X", 5.0), (4, None, None)],
+        "id int, status string, v double",
+    )
+    r1 = accepted_values_rule("status_ok", "status", ["A", "B"])
+    r2 = range_rule("v_ok", "v", lo=0.0, hi=100.0)
+    bad1 = sorted(r.id for r in invalid_rows(df, r1).collect())
+    bad2 = sorted(r.id for r in invalid_rows(df, r2).collect())
+    assert bad1 == [3, 4]   # X not accepted; NULL fails by default
+    assert bad2 == [2, 4]   # below range; NULL fails
+    s = validation_summary(df, [r1, r2]).collect()[0]
+    assert (s.status_ok_failed, s.v_ok_failed) == (2, 2)
+    # allow_null variants
+    assert sorted(
+        r.id for r in invalid_rows(
+            df, accepted_values_rule("s2", "status", ["A", "B"],
+                                     allow_null=True)
+        ).collect()
+    ) == [3]
+    assert sorted(
+        r.id for r in invalid_rows(
+            df, range_rule("v2", "v", lo=0.0, allow_null=True)
+        ).collect()
+    ) == [2]
+
+
+def test_unique_and_referential_reports(spark, tables):
+    from datamunging_spark.operators.quality import (
+        referential_report,
+        unique_report,
+    )
+
+    # unique: customer keys are unique; doubling them breaks the contract
+    c = tables["customer"]
+    assert unique_report(c, ["c_custkey"]).count() == 0
+    doubled = c.unionByName(c)
+    dups = unique_report(doubled, ["c_custkey"])
+    assert dups.count() == c.count()
+    assert dups.agg(F.min("n_rows")).collect()[0][0] == 2
+
+    # referential: every order's customer exists; poisoning keys breaks it
+    o = tables["orders"]
+    assert referential_report(
+        o, c, ["o_custkey"], ["c_custkey"]
+    ).count() == 0
+    poisoned = o.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.col("o_custkey") + 10_000_000)
+        .otherwise(F.col("o_custkey")),
+    )
+    missing = referential_report(poisoned, c, ["o_custkey"], ["c_custkey"])
+    n_poisoned_keys = poisoned.filter(
+        F.col("o_custkey") > 10_000_000
+    ).select("o_custkey").distinct().count()
+    assert missing.count() == n_poisoned_keys > 0
+    # NULL FKs are "no reference", not violations
+    with_null = o.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 2 == 0, None).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    assert referential_report(
+        with_null, c, ["o_custkey"], ["c_custkey"]
+    ).count() == 0
+
+
+def test_referential_report_anti_join_plan(spark, tables):
+    from datamunging_spark.operators.quality import referential_report
+
+    plan = (
+        referential_report(
+            tables["orders"], tables["customer"],
+            ["o_custkey"], ["c_custkey"],
+        )._jdf.queryExecution().executedPlan().toString()
+    )
+    final = plan.split("== Initial Plan ==")[0]
+    assert "LeftAnti" in final
+    assert "CartesianProduct" not in final
