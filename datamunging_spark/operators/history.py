@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "schema_diff",
     "row_digest",
     "snapshot_diff",
     "scd2_build",
@@ -47,12 +48,39 @@ def row_digest(compare_cols: list[str]) -> Column:
     )
 
 
+def schema_diff(old: DataFrame, new: DataFrame) -> list[dict]:
+    """Schema drift between two dataset versions — the check that runs
+    BEFORE :func:`snapshot_diff` (which requires compatible schemas):
+    added / removed / type-changed columns, as a plain list of dicts
+    (schemas are driver-side metadata; no job runs).
+
+    Each entry: ``{"column", "status": added|removed|type_changed,
+    "old_type", "new_type"}`` (types None when absent). Empty list =
+    schemas compatible. Nullability changes are ignored (Spark relaxes
+    nullability freely through unions and reads)."""
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    out = []
+    for c in sorted(set(o) | set(n)):
+        if c not in n:
+            out.append({"column": c, "status": "removed",
+                        "old_type": o[c], "new_type": None})
+        elif c not in o:
+            out.append({"column": c, "status": "added",
+                        "old_type": None, "new_type": n[c]})
+        elif o[c] != n[c]:
+            out.append({"column": c, "status": "type_changed",
+                        "old_type": o[c], "new_type": n[c]})
+    return out
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,
     keys: list[str],
     compare_cols: list[str] | None = None,
     include_unchanged: bool = False,
+    attribute_columns: bool = False,
 ) -> DataFrame:
     """Keyed diff between two versions of a table: one row per key present
     in either side with ``status`` ∈ {added, removed, changed} (plus
@@ -78,18 +106,50 @@ def snapshot_diff(
         compare_cols = [c for c in shared if c not in set(keys)]
     if not compare_cols:
         raise ValueError("snapshot_diff: no compare columns")
-    o = old.select(*keys, row_digest(compare_cols).alias("_old_d"))
-    n = new.select(*keys, row_digest(compare_cols).alias("_new_d"))
+    # attribute_columns trades the slim digest shuffle for per-column
+    # digests (compare_cols × 128-bit per row instead of one) so changed
+    # rows can name WHICH columns moved — triage mode; keep it off for
+    # the cheap audit pass on very wide tables.
+    if attribute_columns:
+        per_col = lambda c: row_digest([c])  # noqa: E731
+        o = old.select(
+            *keys,
+            row_digest(compare_cols).alias("_old_d"),
+            *[per_col(c).alias(f"_oc_{c}") for c in compare_cols],
+        )
+        n = new.select(
+            *keys,
+            row_digest(compare_cols).alias("_new_d"),
+            *[per_col(c).alias(f"_nc_{c}") for c in compare_cols],
+        )
+    else:
+        o = old.select(*keys, row_digest(compare_cols).alias("_old_d"))
+        n = new.select(*keys, row_digest(compare_cols).alias("_new_d"))
     status = (
         F.when(F.col("_old_d").isNull(), F.lit("added"))
         .when(F.col("_new_d").isNull(), F.lit("removed"))
         .when(F.col("_old_d") != F.col("_new_d"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
-    out = (
-        o.join(n, keys, "full_outer")
-        .select(*keys, status.alias("status"))
-    )
+    joined = o.join(n, keys, "full_outer")
+    cols = [*keys, status.alias("status")]
+    if attribute_columns:
+        changed_cols = F.filter(
+            F.array(
+                *[
+                    F.when(
+                        ~F.col(f"_oc_{c}").eqNullSafe(F.col(f"_nc_{c}")),
+                        F.lit(c),
+                    )
+                    for c in compare_cols
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+        cols.append(
+            F.when(status == "changed", changed_cols).alias("changed_columns")
+        )
+    out = joined.select(*cols)
     if not include_unchanged:
         out = out.filter(F.col("status") != "unchanged")
     return out

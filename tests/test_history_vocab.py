@@ -958,3 +958,42 @@ def test_scd2_dimension_maintained_in_versioned_store(spark, tables, tmp_path):
             )
         )
         assert got == want, f"stored dim v{v} != full rebuild"
+
+
+def test_schema_diff_reports_drift(spark):
+    from datamunging_spark.operators.history import schema_diff
+
+    old = spark.createDataFrame([], "id int, a string, b int")
+    new = spark.createDataFrame([], "id int, a string, c double, b bigint")
+    got = schema_diff(old, new)
+    assert got == [
+        {"column": "b", "status": "type_changed",
+         "old_type": "int", "new_type": "bigint"},
+        {"column": "c", "status": "added",
+         "old_type": None, "new_type": "double"},
+    ]
+    assert schema_diff(old, old) == []
+
+
+def test_snapshot_diff_column_attribution(spark):
+    from datamunging_spark.operators.history import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id int, s string, v int"
+    )
+    new = spark.createDataFrame(
+        [(1, "a2", 10), (2, "b", 99), (4, "d", 40)], "id int, s string, v int"
+    )
+    got = {
+        r.id: (r.status, sorted(r.changed_columns or []) if
+               r.changed_columns is not None else None)
+        for r in snapshot_diff(
+            old, new, ["id"], attribute_columns=True
+        ).collect()
+    }
+    assert got == {
+        1: ("changed", ["s"]),
+        2: ("changed", ["v"]),
+        3: ("removed", None),
+        4: ("added", None),
+    }
