@@ -427,3 +427,40 @@ def compact_parquet(
         spark.read.parquet(path), out_path, n_bytes, target_file_mb,
         compression,
     )
+
+
+def read_xml(
+    spark,
+    path: str,
+    row_tag: str,
+    schema=None,
+    **options,
+) -> DataFrame:
+    """XML source (Spark 4 built-in ``xml`` format — the spark-xml
+    package merged upstream): one DataFrame row per ``row_tag`` element.
+    Declared ``schema`` recommended for the same schema-on-write
+    discipline as read_csv (R1); inference costs an extra pass and
+    guesses types. Nested elements arrive as structs/arrays — flatten
+    with ordinary column expressions downstream."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (Spark 4 built-in): one ``row_tag`` element per row under
+    ``root_tag`` per output file. Same partitioned-files layout as every
+    other sink here — one file per task."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode(mode)
+        .save(path)
+    )

@@ -917,3 +917,18 @@ def test_referential_report_anti_join_plan(spark, tables):
     final = plan.split("== Initial Plan ==")[0]
     assert "LeftAnti" in final
     assert "CartesianProduct" not in final
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    from datamunging_spark.sources.io import read_xml, write_xml
+
+    df = spark.createDataFrame(
+        [(1, "a & b", 1.5), (2, "<tag>", None)], "id int, name string, v double"
+    )
+    path = str(tmp_path / "xml_out")
+    write_xml(df, path, row_tag="rec", root_tag="recs")
+    back = read_xml(
+        spark, path, row_tag="rec", schema="id int, name string, v double"
+    )
+    # entity escaping (&, <) must round-trip losslessly
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
