@@ -722,3 +722,41 @@ def cohort_retention(
         .groupBy("cohort_start", "period_offset")
         .agg(F.countDistinct(user_col).alias("n_users"))
     )
+
+
+def flatten_structs(
+    df: DataFrame, sep: str = "_", max_depth: int = 8
+) -> DataFrame:
+    """Expand nested struct columns into flat top-level columns
+    (``a.b.c`` → ``a_b_c``) — the post-read normalizer for the XML/JSON
+    sources, whose nested elements arrive as structs. Arrays and maps are
+    left intact (exploding them changes cardinality — that is a separate,
+    deliberate operation), and structs inside arrays stay nested for the
+    same reason.
+
+    Pure projection — zero shuffle, no data movement beyond the scan;
+    column-pruning still reaches the source because the flattened
+    references are ordinary nested-field accesses Catalyst pushes down.
+    Driver-side schema recursion only; ``max_depth`` guards degenerate
+    self-similar schemas.
+    """
+    from pyspark.sql.types import StructType
+
+    def fields(prefix_expr, prefix_name, dtype, depth):
+        if isinstance(dtype, StructType) and depth < max_depth:
+            out = []
+            for f in dtype.fields:
+                out += fields(
+                    f"{prefix_expr}.`{f.name}`",
+                    f"{prefix_name}{sep}{f.name}" if prefix_name else f.name,
+                    f.dataType,
+                    depth + 1,
+                )
+            return out
+        return [(prefix_expr, prefix_name)]
+
+    cols = []
+    for f in df.schema.fields:
+        for expr, name in fields(f"`{f.name}`", f.name, f.dataType, 0):
+            cols.append(F.expr(expr).alias(name))
+    return df.select(*cols)

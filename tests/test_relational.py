@@ -394,3 +394,22 @@ def test_cohort_retention_matches_duckdb(spark, tables):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_flatten_structs(spark):
+    from datamunging_spark.operators.relational import flatten_structs
+
+    df = spark.sql(
+        """SELECT 1 AS id,
+                  named_struct('a', 2, 'b',
+                               named_struct('c', 'x', 'd', 3.5)) AS s,
+                  array(named_struct('q', 7)) AS arr"""
+    )
+    out = flatten_structs(df)
+    assert out.columns == ["id", "s_a", "s_b_c", "s_b_d", "arr"]
+    r = out.collect()[0]
+    assert (r.id, r.s_a, r.s_b_c, r.s_b_d) == (1, 2, "x", 3.5)
+    assert r.arr[0].q == 7  # arrays (and structs inside them) untouched
+    # idempotent on already-flat frames
+    flat = spark.createDataFrame([(1, "a")], "id int, s string")
+    assert flatten_structs(flat).columns == ["id", "s"]
