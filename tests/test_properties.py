@@ -224,3 +224,46 @@ def test_scd2_incremental_fold_equals_rebuild_property(spark, snap_dicts):
     assert sorted(map(tuple, inc.select(*cols).collect()), key=nk) == sorted(
         map(tuple, full.select(*cols).collect()), key=nk
     )
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # user
+            st.integers(min_value=0, max_value=20),  # ts
+            st.sampled_from(["a", "b", "c", "x"]),   # event type
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_funnel_matches_python_reference(spark, events):
+    """∀ event sets (ties and repeats included): funnel_report ==
+    the chained-min reference (t_i = min ts of step-i events with
+    ts >= t_{i-1})."""
+    from datamunging_spark.operators.relational import funnel_report
+
+    steps = ["a", "b", "c"]
+    df = spark.createDataFrame(events, "user_id int, ts int, et string")
+    got = {
+        r.step: r.n_users
+        for r in funnel_report(df, "user_id", "ts", "et", steps).collect()
+    }
+    # pure-python chained-min reference
+    by_user = {}
+    for u, ts, et in events:
+        by_user.setdefault(u, []).append((ts, et))
+    counts = [0] * len(steps)
+    for evs in by_user.values():
+        t_prev = None
+        for i, s in enumerate(steps):
+            cand = [
+                ts for ts, et in evs
+                if et == s and (t_prev is None or ts >= t_prev)
+            ]
+            if not cand:
+                break
+            t_prev = min(cand)
+            counts[i] += 1
+    assert got == {i + 1: c for i, c in enumerate(counts)}
