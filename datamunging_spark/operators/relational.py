@@ -480,11 +480,16 @@ def hypertable_rollup(
     bucket: str,
     agg_exprs: dict[str, Column],
     keys: list[str] | None = None,
+    slide: str | None = None,
 ) -> DataFrame:
     """Time-bucketed rollup (the hypertable continuous-aggregate shape):
     fixed-width time buckets × optional dimension keys → named aggregates.
+    ``slide`` turns the tumbling buckets into HOPPING windows (e.g.
+    bucket="10 minutes", slide="5 minutes" → each event lands in
+    bucket/slide overlapping windows — the moving-aggregate face of the
+    same rollup; replication factor is that ratio, explicit and bounded).
 
-    Thin, deliberately: ``F.window`` tumbling buckets + one hash aggregate
+    Thin, deliberately: ``F.window`` buckets + one hash aggregate
     (map-side partial, shuffle bounded by buckets × keys). The SAME
     expression lifts to Structured Streaming unchanged — add
     ``withWatermark`` and the rollup maintains itself incrementally
@@ -492,9 +497,14 @@ def hypertable_rollup(
     point of the hypertable pattern: one definition, batch backfill +
     streaming refresh.
     """
-    g = events.groupBy(
-        F.window(ts_col, bucket).alias("_w"), *(keys or [])
-    ).agg(*[c.alias(n) for n, c in agg_exprs.items()])
+    w = (
+        F.window(ts_col, bucket, slide)
+        if slide is not None
+        else F.window(ts_col, bucket)
+    )
+    g = events.groupBy(w.alias("_w"), *(keys or [])).agg(
+        *[c.alias(n) for n, c in agg_exprs.items()]
+    )
     return g.select(
         F.col("_w.start").alias("bucket_start"),
         *(keys or []),

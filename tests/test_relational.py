@@ -413,3 +413,22 @@ def test_flatten_structs(spark):
     # idempotent on already-flat frames
     flat = spark.createDataFrame([(1, "a")], "id int, s string")
     assert flatten_structs(flat).columns == ["id", "s"]
+
+
+def test_hypertable_rollup_sliding_windows(spark):
+    from datamunging_spark.operators.relational import hypertable_rollup
+
+    ev = spark.createDataFrame(
+        [("2024-01-01 00:07:00", 1.0), ("2024-01-01 00:12:00", 2.0)],
+        "ts string, value double",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    out = hypertable_rollup(
+        ev, "ts", "10 minutes", {"n": F.count(F.lit(1))}, slide="5 minutes"
+    ).orderBy("bucket_start")
+    rows = [(str(r.bucket_start), r.n) for r in out.collect()]
+    # event@07 -> windows starting 00:00 and 00:05; event@12 -> 05 and 10
+    assert rows == [
+        ("2024-01-01 00:00:00", 1),
+        ("2024-01-01 00:05:00", 2),
+        ("2024-01-01 00:10:00", 1),
+    ]
