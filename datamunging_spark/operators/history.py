@@ -111,29 +111,20 @@ def snapshot_diff(
     # rows can name WHICH columns moved — triage mode; keep it off for
     # the cheap audit pass on very wide tables.
     if attribute_columns:
+        # per-column digests subsume the whole-row digest: row presence is
+        # any per-col digest's non-nullness (a digest of a NULL VALUE is
+        # still a non-null string), and "changed" is a non-empty
+        # changed-columns set — so triage mode shuffles exactly the
+        # per-column digests and nothing redundant.
         per_col = lambda c: row_digest([c])  # noqa: E731
         o = old.select(
-            *keys,
-            row_digest(compare_cols).alias("_old_d"),
-            *[per_col(c).alias(f"_oc_{c}") for c in compare_cols],
+            *keys, *[per_col(c).alias(f"_oc_{c}") for c in compare_cols]
         )
         n = new.select(
-            *keys,
-            row_digest(compare_cols).alias("_new_d"),
-            *[per_col(c).alias(f"_nc_{c}") for c in compare_cols],
+            *keys, *[per_col(c).alias(f"_nc_{c}") for c in compare_cols]
         )
-    else:
-        o = old.select(*keys, row_digest(compare_cols).alias("_old_d"))
-        n = new.select(*keys, row_digest(compare_cols).alias("_new_d"))
-    status = (
-        F.when(F.col("_old_d").isNull(), F.lit("added"))
-        .when(F.col("_new_d").isNull(), F.lit("removed"))
-        .when(F.col("_old_d") != F.col("_new_d"), F.lit("changed"))
-        .otherwise(F.lit("unchanged"))
-    )
-    joined = o.join(n, keys, "full_outer")
-    cols = [*keys, status.alias("status")]
-    if attribute_columns:
+        joined = o.join(n, keys, "full_outer")
+        probe = compare_cols[0]
         changed_cols = F.filter(
             F.array(
                 *[
@@ -146,10 +137,31 @@ def snapshot_diff(
             ),
             lambda x: x.isNotNull(),
         )
-        cols.append(
-            F.when(status == "changed", changed_cols).alias("changed_columns")
+        status = (
+            F.when(F.col(f"_oc_{probe}").isNull(), F.lit("added"))
+            .when(F.col(f"_nc_{probe}").isNull(), F.lit("removed"))
+            .when(F.size(changed_cols) > 0, F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
         )
-    out = joined.select(*cols)
+        out = joined.select(
+            *keys,
+            status.alias("status"),
+            F.when(status == "changed", changed_cols).alias(
+                "changed_columns"
+            ),
+        )
+    else:
+        o = old.select(*keys, row_digest(compare_cols).alias("_old_d"))
+        n = new.select(*keys, row_digest(compare_cols).alias("_new_d"))
+        status = (
+            F.when(F.col("_old_d").isNull(), F.lit("added"))
+            .when(F.col("_new_d").isNull(), F.lit("removed"))
+            .when(F.col("_old_d") != F.col("_new_d"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+        )
+        out = o.join(n, keys, "full_outer").select(
+            *keys, status.alias("status")
+        )
     if not include_unchanged:
         out = out.filter(F.col("status") != "unchanged")
     return out

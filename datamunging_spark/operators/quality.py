@@ -39,8 +39,13 @@ def accepted_values_rule(
     name: str, col: str, values: list, allow_null: bool = False
 ) -> Rule:
     """dbt-style ``accepted_values`` contract: the column must be one of
-    ``values`` (NULL fails unless ``allow_null``)."""
-    pred = F.col(col).isin(values)
+    ``values`` (NULL fails unless ``allow_null``). Listing ``None`` among
+    ``values`` is equivalent to ``allow_null=True`` (SQL ``isin`` can
+    never match NULL, so it is lifted out rather than silently ignored)."""
+    if any(v is None for v in values):
+        allow_null = True
+        values = [v for v in values if v is not None]
+    pred = F.col(col).isin(values) if values else F.lit(False)
     if allow_null:
         pred = pred | F.col(col).isNull()
     else:
@@ -52,7 +57,11 @@ def range_rule(
     name: str, col: str, lo=None, hi=None, allow_null: bool = False
 ) -> Rule:
     """Numeric bounds contract: ``lo <= col <= hi`` (either side open when
-    None; NULL fails unless ``allow_null``)."""
+    None; NULL fails unless ``allow_null``). At least one bound is
+    required — a bound-less rule would validate nothing while looking
+    like a contract."""
+    if lo is None and hi is None:
+        raise ValueError(f"range_rule {name!r}: provide lo and/or hi")
     pred = F.lit(True)
     if lo is not None:
         pred = pred & (F.col(col) >= lo)

@@ -748,16 +748,23 @@ def flatten_structs(
     column-pruning still reaches the source because the flattened
     references are ordinary nested-field accesses Catalyst pushes down.
     Driver-side schema recursion only; ``max_depth`` guards degenerate
-    self-similar schemas.
+    self-similar schemas. Raises ValueError when two flattened paths (or
+    a path and an existing column) collide under ``sep`` — an ambiguous
+    output frame would only fail later and more confusingly. Field names
+    containing backticks are escaped per Spark identifier rules.
     """
     from pyspark.sql.types import StructType
+
+    def q(name: str) -> str:
+        # Spark identifier escaping: backtick doubles inside backticks
+        return "`" + name.replace("`", "``") + "`"
 
     def fields(prefix_expr, prefix_name, dtype, depth):
         if isinstance(dtype, StructType) and depth < max_depth:
             out = []
             for f in dtype.fields:
                 out += fields(
-                    f"{prefix_expr}.`{f.name}`",
+                    f"{prefix_expr}.{q(f.name)}",
                     f"{prefix_name}{sep}{f.name}" if prefix_name else f.name,
                     f.dataType,
                     depth + 1,
@@ -766,7 +773,15 @@ def flatten_structs(
         return [(prefix_expr, prefix_name)]
 
     cols = []
+    seen: dict[str, str] = {}
     for f in df.schema.fields:
-        for expr, name in fields(f"`{f.name}`", f.name, f.dataType, 0):
+        for expr, name in fields(q(f.name), f.name, f.dataType, 0):
+            if name in seen:
+                raise ValueError(
+                    f"flatten_structs: output name {name!r} produced by "
+                    f"both {seen[name]} and {expr}; pick a different sep "
+                    "or rename before flattening"
+                )
+            seen[name] = expr
             cols.append(F.expr(expr).alias(name))
     return df.select(*cols)

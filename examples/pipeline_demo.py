@@ -9,12 +9,13 @@ Run:  python examples/pipeline_demo.py [sf_dir] [workdir]
 
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
 
 from pyspark.sql import functions as F
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from datamunging_spark import get_spark
 from datamunging_spark.operators.dedup import exact_dedup
@@ -62,8 +63,11 @@ def main() -> None:
     dups = unique_report(docs, ["doc_id"]).count()
     print(f"contracts: {summary.asDict()}  duplicate doc_ids: {dups}")
 
-    # 3. curation: quality gates + paragraph/doc dedup + PII redaction
-    curated = curate_corpus(docs).localCheckpoint()
+    # 3. curation: quality gates + paragraph + exact/fuzzy doc dedup
+    #    + PII redaction (flags on so the narrative matches what runs)
+    curated = curate_corpus(
+        docs, redact=True, para_dedup=True
+    ).localCheckpoint()
     print(f"curated: {docs.count()} -> {curated.count()} docs")
 
     # 4. train-set assembly: leakage-safe split + token budget

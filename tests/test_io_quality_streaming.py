@@ -932,3 +932,23 @@ def test_xml_roundtrip(spark, tmp_path):
     )
     # entity escaping (&, <) must round-trip losslessly
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_contract_rule_edge_cases(spark):
+    import pytest as _pytest
+
+    from datamunging_spark.operators.quality import (
+        accepted_values_rule,
+        invalid_rows,
+        range_rule,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A"), (2, None)], "id int, s string"
+    )
+    # None among values == allow_null (isin can never match NULL)
+    ok = invalid_rows(df, accepted_values_rule("r", "s", ["A", None]))
+    assert ok.count() == 0
+    # bound-less range rule is a config error, not a vacuous pass
+    with _pytest.raises(ValueError):
+        range_rule("r", "v")

@@ -432,3 +432,21 @@ def test_hypertable_rollup_sliding_windows(spark):
         ("2024-01-01 00:05:00", 2),
         ("2024-01-01 00:10:00", 1),
     ]
+
+
+def test_flatten_structs_collision_and_backtick(spark):
+    import pytest as _pytest
+
+    from datamunging_spark.operators.relational import flatten_structs
+
+    # name collision: existing a_b vs flattened a.b -> clear error
+    df = spark.sql(
+        "SELECT 1 AS a_b, named_struct('b', 2) AS a"
+    )
+    with _pytest.raises(ValueError, match="a_b"):
+        flatten_structs(df)
+    # backtick in a nested field name survives escaping
+    df2 = spark.createDataFrame([({"a`b": 1},)], "s struct<`a``b`: int>")
+    out = flatten_structs(df2)
+    assert out.columns == ["s_a`b"]
+    assert out.collect()[0][0] == 1
