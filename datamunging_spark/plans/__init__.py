@@ -35,3 +35,32 @@ def assert_broadcast_join(df: DataFrame) -> None:
 
 def count_shuffles(df: DataFrame) -> int:
     return formatted_plan(df).count("Exchange")
+
+
+def plan_summary(df: DataFrame) -> dict:
+    """The four scale-hygiene numbers for a plan (the per-query accounting
+    PLAN_AUDIT.md records; tools/audit_plans.py imports this): shuffle
+    Exchange count, BroadcastExchange count, whether any cartesian /
+    nested-loop join appears, and whole-stage-codegen span count. Counts
+    come from the pre-AQE physical plan (AQE can only coalesce/replace
+    exchanges at runtime, so these are upper bounds)."""
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # WholeStageCodegen ids only materialize once AQE finalizes (after an
+    # action on the frame); before that the count reports None, not 0
+    spans = set(re.findall(r"\*\((\d+)\)", final))
+    return {
+        "exchanges": len(
+            re.findall(
+                r"Exchange (hashpartitioning|rangepartitioning|"
+                r"SinglePartition)",
+                final,
+            )
+        ),
+        "broadcasts": final.count("BroadcastExchange"),
+        "cartesian": "CartesianProduct" in final
+        or "BroadcastNestedLoopJoin" in final,
+        "codegen_spans": len(spans) if "isFinalPlan=true" in plan else None,
+    }

@@ -331,3 +331,19 @@ def test_blocked_pairs_is_equi_join_not_cartesian(spark, tables):
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_plan_summary_counts(spark, tables):
+    from datamunging_spark.plans import plan_summary
+
+    df = tables["lineitem"].groupBy("l_returnflag").count()
+    s = plan_summary(df)
+    assert s["exchanges"] >= 1 and not s["cartesian"]
+    assert s["codegen_spans"] is None  # unexecuted: AQE not finalized
+    df.collect()  # count() builds a NEW plan; collect executes THIS one
+    assert plan_summary(df)["codegen_spans"] >= 1
+    joined = tables["orders"].join(
+        tables["customer"],
+        tables["orders"].o_custkey == tables["customer"].c_custkey,
+    )
+    assert plan_summary(joined)["cartesian"] is False
