@@ -40,6 +40,7 @@ __all__ = [
     "merge_entity_fields",
     "blocked_pairs_between",
     "incremental_resolve",
+    "blocking_report",
 ]
 
 
@@ -364,4 +365,54 @@ def incremental_resolve(
             F.coalesce(F.col("_n_hist"), F.lit(0)).cast("long"),
         )
         .drop("_batch_ent", "_cluster_ent", "_n_hist")
+    )
+
+
+def blocking_report(
+    df: DataFrame,
+    block_key: Column,
+    max_block: int | None = 10_000,
+) -> DataFrame:
+    """One-row diagnosis of a blocking key BEFORE running the pair join —
+    the number that decides whether a key is usable and where to set the
+    ``max_block`` valve: block count, size distribution (max/p50/p99),
+    total candidate pairs the key implies (Σ n·(n-1)/2 — the actual cost
+    driver), and how many blocks/pairs the valve at ``max_block`` would
+    drop. NULL keys (which never match) are reported separately.
+
+    Scale shape: one count aggregate on the block key + one global
+    aggregate over the (distinct-key-sized) counts — same cost as the
+    valve check blocked_pairs already runs, so profiling a key costs no
+    more than using it.
+    """
+    counts = (
+        df.select(block_key.alias("_blk"))
+        .groupBy("_blk")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    over = F.col("_blk").isNotNull() & (
+        F.lit(max_block is not None) & (F.col("n") > (max_block or 0))
+    )
+    return counts.agg(
+        F.sum(F.when(F.col("_blk").isNotNull(), 1).otherwise(0)).alias(
+            "n_blocks"
+        ),
+        F.sum(F.when(F.col("_blk").isNull(), F.col("n")).otherwise(0)).alias(
+            "n_null_rows"
+        ),
+        F.max(F.when(F.col("_blk").isNotNull(), F.col("n"))).alias(
+            "max_block_size"
+        ),
+        F.expr("percentile(if(_blk is not null, n, null), 0.5)").alias(
+            "p50_block_size"
+        ),
+        F.expr("percentile(if(_blk is not null, n, null), 0.99)").alias(
+            "p99_block_size"
+        ),
+        F.sum(F.when(F.col("_blk").isNotNull(), pairs).otherwise(0)).alias(
+            "candidate_pairs"
+        ),
+        F.sum(F.when(over, 1).otherwise(0)).alias("blocks_over_cap"),
+        F.sum(F.when(over, pairs).otherwise(0)).alias("pairs_dropped_by_cap"),
     )

@@ -692,3 +692,19 @@ def test_streaming_resolve_rolls_history_across_microbatches(spark, tmp_path):
     assert ent[201] == 101          # batch 2: adopted via rolled history
     assert ent[202] == 202          # batch 2: fresh entity
     assert hist.count() == 4        # seed + three streamed records
+
+
+def test_blocking_report_sizes_and_valve(spark):
+    from datamunging_spark.operators.entity import blocking_report
+
+    df = spark.createDataFrame(
+        [(1, "z"), (2, "z"), (3, "z"), (4, "y"), (5, None)],
+        "id int, zip string",
+    )
+    r = blocking_report(df, F.col("zip"), max_block=2).collect()[0]
+    assert r.n_blocks == 2 and r.n_null_rows == 1
+    assert r.max_block_size == 3 and r.candidate_pairs == 3  # 3C2 + 1C2
+    assert r.blocks_over_cap == 1 and r.pairs_dropped_by_cap == 3
+    # valve off
+    r2 = blocking_report(df, F.col("zip"), max_block=None).collect()[0]
+    assert r2.blocks_over_cap == 0 and r2.pairs_dropped_by_cap == 0
