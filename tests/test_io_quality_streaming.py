@@ -952,3 +952,54 @@ def test_contract_rule_edge_cases(spark):
     # bound-less range rule is a config error, not a vacuous pass
     with _pytest.raises(ValueError):
         range_rule("r", "v")
+
+
+def test_windowed_counts_sliding_real_stream(spark, tmp_path):
+    """Hopping windows through the REAL readStream path: each event lands
+    in window/slide overlapping windows; batch hypertable_rollup with the
+    same (bucket, slide) produces identical rows — the one-definition,
+    batch-backfill + streaming-refresh claim for hopping windows."""
+    from datamunging_spark.operators.relational import hypertable_rollup
+    from datamunging_spark.streaming import (
+        read_event_stream,
+        run_stream_to_memory,
+        windowed_counts,
+    )
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    rows = [
+        (1, "2024-01-01 00:07:00", 10, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:12:00", 11, "click", 2.0, "{}"),
+    ]
+    batch = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    batch.coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = read_event_stream(spark, str(src) + "/*")
+    counted = windowed_counts(
+        stream, window="10 minutes", slide="5 minutes", watermark="0 seconds"
+    )
+    # complete mode: append would withhold windows the 0s watermark has
+    # not yet closed past (the finite drain stops at the max event ts)
+    name = run_stream_to_memory(
+        counted, "slide_counts", output_mode="complete"
+    )
+    got = sorted(
+        (str(r.win_start), r.n_events)
+        for r in spark.table(name).collect()
+    )
+    want = sorted(
+        (str(r.bucket_start), r.n)
+        for r in hypertable_rollup(
+            batch, "ts", "10 minutes", {"n": F.count(F.lit(1))},
+            slide="5 minutes",
+        ).collect()
+    )
+    assert got == want and len(got) == 3
