@@ -30,6 +30,7 @@ __all__ = [
     "scd2_lookup",
     "scd2_apply_snapshot",
     "extract_changelog",
+    "scd2_validate",
 ]
 
 
@@ -510,3 +511,51 @@ def extract_changelog(
         F.lit(delete_op).alias(op_col),
     )
     return ups.unionByName(dels)
+
+
+def scd2_validate(
+    dim: DataFrame,
+    keys: list[str],
+    effective_from: str = "effective_from",
+    effective_to: str = "effective_to",
+    current_flag: str = "is_current",
+) -> DataFrame:
+    """Contract checker for an SCD-2 table (the structural invariants
+    :func:`scd2_lookup` assumes and :func:`scd2_build` guarantees —
+    run this on externally-supplied dimensions before trusting them):
+    one violation row per offending interval, tagged
+    ``empty_interval`` (from >= to), ``overlap`` (interval intersects
+    the key's next interval), ``multiple_current`` (key has >1 open
+    row), or ``flag_mismatch`` (current_flag disagrees with
+    effective_to's nullness). Empty result = table well-formed.
+
+    Scale shape: ONE shuffle on the keys — both the next-interval lead
+    and the open-row count share the key partitioning; violations emit
+    through a single filtered struct-array explode (the
+    scd2_apply_snapshot pattern — one pass, no per-check branches).
+    """
+    w = Window.partitionBy(*keys).orderBy(effective_from)
+    wk = Window.partitionBy(*keys)
+    f, t = F.col(effective_from), F.col(effective_to)
+    # window columns first (Spark cannot evaluate window expressions
+    # inside a generator), then one filtered-array explode over them
+    staged = dim.select(
+        *keys, f.alias(effective_from), t.alias(effective_to),
+        F.col(current_flag).alias(current_flag),
+        F.lead(effective_from).over(w).alias("_nxt_from"),
+        F.sum(F.when(t.isNull(), 1).otherwise(0)).over(wk).alias("_n_open"),
+    )
+    nxt = F.col("_nxt_from")
+    checks = [
+        ("empty_interval", t.isNotNull() & (f >= t)),
+        ("overlap", nxt.isNotNull() & (t.isNull() | (t > nxt))),
+        ("multiple_current", t.isNull() & (F.col("_n_open") > 1)),
+        ("flag_mismatch", F.col(current_flag) != t.isNull()),
+    ]
+    tags = F.array_compact(
+        F.array(*[F.when(cond, F.lit(tag)) for tag, cond in checks])
+    )
+    return staged.select(
+        *keys, effective_from, effective_to, current_flag,
+        F.explode(tags).alias("violation"),
+    )

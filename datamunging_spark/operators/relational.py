@@ -98,16 +98,28 @@ def top_k_per_group(
     order_by: list[Column],
     k: int,
     rank_out: str = "rn",
+    method: str = "row_number",
 ) -> DataFrame:
-    """Top-k per group via row_number window (§2.8 engine surface).
+    """Top-k per group via a ranking window (§2.8 engine surface).
+    ``method``: ``row_number`` (exactly k rows per group — callers must
+    make ``order_by`` a total order for determinism), ``rank`` (keep
+    ties at the boundary: groups can exceed k), or ``dense_rank`` (keep
+    the top k DISTINCT order values).
 
-    Callers must make ``order_by`` a total order (tiebreak on a key) for
-    deterministic output. Single shuffle on ``partition_by``; with AQE the
-    per-group sort is in-memory unless a group is skewed.
+    Single shuffle on ``partition_by``; with AQE the per-group sort is
+    in-memory unless a group is skewed; Spark inserts WindowGroupLimit
+    per-partition pre-filtering for all three rank functions.
     """
+    fns = {
+        "row_number": F.row_number,
+        "rank": F.rank,
+        "dense_rank": F.dense_rank,
+    }
+    if method not in fns:
+        raise ValueError(f"method must be one of {sorted(fns)}, got {method!r}")
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     return (
-        df.withColumn(rank_out, F.row_number().over(w))
+        df.withColumn(rank_out, fns[method]().over(w))
         .filter(F.col(rank_out) <= k)
     )
 

@@ -997,3 +997,40 @@ def test_snapshot_diff_column_attribution(spark):
         3: ("removed", None),
         4: ("added", None),
     }
+
+
+def test_scd2_validate(spark, tables):
+    from datamunging_spark.operators.history import scd2_build, scd2_validate
+
+    # well-formed: scd2_build output has zero violations
+    c = tables["customer"].select("c_custkey", "c_mktsegment").limit(100)
+    snaps = None
+    for v in (1, 2):
+        t = c.select(
+            "c_custkey",
+            F.when((F.col("c_custkey") + v) % 5 == 0, F.lit("S"))
+            .otherwise(F.col("c_mktsegment")).alias("seg"),
+            F.lit(v).alias("v"),
+        )
+        snaps = t if snaps is None else snaps.unionByName(t)
+    dim = scd2_build(snaps, ["c_custkey"], ["seg"], "v")
+    assert scd2_validate(dim, ["c_custkey"]).count() == 0
+
+    # malformed table: every violation class detected
+    bad = spark.createDataFrame(
+        [
+            (1, 5, 5, False),      # empty interval (from >= to)
+            (2, 1, None, True), (2, 3, None, True),  # overlap + 2 open rows
+            (3, 1, 4, True),       # flag says current but interval closed
+            (4, 1, 2, False), (4, 2, None, True),    # clean key
+        ],
+        "id int, effective_from int, effective_to int, is_current boolean",
+    )
+    got = sorted(
+        (r.id, r.violation) for r in scd2_validate(bad, ["id"]).collect()
+    )
+    assert (1, "empty_interval") in got
+    assert (2, "overlap") in got
+    assert (2, "multiple_current") in got
+    assert (3, "flag_mismatch") in got
+    assert not any(i == 4 for i, _ in got)

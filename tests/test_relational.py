@@ -450,3 +450,21 @@ def test_flatten_structs_collision_and_backtick(spark):
     out = flatten_structs(df2)
     assert out.columns == ["s_a`b"]
     assert out.collect()[0][0] == 1
+
+
+def test_top_k_per_group_rank_methods(spark):
+    from datamunging_spark.operators.relational import top_k_per_group
+
+    df = spark.createDataFrame(
+        [(1, 30), (1, 20), (1, 20), (1, 10)], "g int, v int"
+    )
+    order = [F.desc("v")]
+    rn = top_k_per_group(df, ["g"], order, 2)
+    assert rn.count() == 2
+    ties = top_k_per_group(df, ["g"], order, 2, method="rank")
+    assert sorted(r.v for r in ties.collect()) == [20, 20, 30]  # boundary tie kept
+    dense = top_k_per_group(df, ["g"], order, 2, method="dense_rank")
+    assert sorted(r.v for r in dense.collect()) == [20, 20, 30]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        top_k_per_group(df, ["g"], order, 2, method="ntile")
