@@ -246,3 +246,51 @@ def test_vocab_on_empty(spark):
     assert v.count() == 0
     r = vocab_coverage(empty, v).collect()[0]
     assert r.total_tokens == 0 and r.oov_rate is None
+
+
+def test_event_analytics_on_empty(spark):
+    from datamunging_spark.operators.relational import (
+        cohort_retention,
+        funnel_report,
+        interval_join,
+    )
+
+    empty = spark.createDataFrame([], "user_id int, ts int, et string")
+    out = funnel_report(empty, "user_id", "ts", "et", ["a", "b"])
+    # the step spine always renders; counts are zero
+    assert [(r.step, r.n_users) for r in out.collect()] == [(1, 0), (2, 0)]
+    ev = spark.createDataFrame([], "user_id int, ts timestamp")
+    assert cohort_retention(ev, "user_id", "ts").count() == 0
+    left = spark.createDataFrame([], "ls double, le double")
+    right = spark.createDataFrame([(0.0, 1.0)], "rs double, re double")
+    assert interval_join(left, right, "ls", "le", "rs", "re", 1.0).count() == 0
+
+
+def test_history_extensions_on_empty(spark):
+    from datamunging_spark.operators.history import (
+        extract_changelog,
+        scd2_apply_snapshot,
+        scd2_validate,
+    )
+
+    empty = spark.createDataFrame([], "id int, s string")
+    full = spark.createDataFrame([(1, "a")], "id int, s string")
+    # empty -> full is all upserts; full -> empty all deletes
+    log = extract_changelog(empty, full, ["id"], version=1)
+    assert [r.op for r in log.collect()] == ["upsert"]
+    log2 = extract_changelog(full, empty, ["id"], version=1)
+    assert [r.op for r in log2.collect()] == ["delete"]
+
+    dim = spark.createDataFrame(
+        [], "id int, attr string, effective_from int, effective_to int,"
+            " is_current boolean"
+    )
+    snap = spark.createDataFrame([(1, "x")], "id int, attr string")
+    stepped = scd2_apply_snapshot(dim, snap, ["id"], ["attr"], 1)
+    assert [(r.id, r.attr, r.effective_from) for r in stepped.collect()] \
+        == [(1, "x", 1)]
+    # empty snapshot leaves the dim untouched
+    assert scd2_apply_snapshot(
+        stepped, snap.limit(0), ["id"], ["attr"], 2
+    ).count() == 1
+    assert scd2_validate(dim, ["id"]).count() == 0
