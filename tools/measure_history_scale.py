@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from datamunging_spark import get_spark
 from datamunging_spark.operators.history import (
     apply_changelog,
+    scd2_apply_snapshot,
     scd2_build,
     snapshot_diff,
 )
@@ -120,6 +121,25 @@ def main():
             f"apply_changelog fixed log, base {scale}x",
             lambda: apply_changelog(
                 base, changes, ["c_custkey"], "ver", op_col="op"
+            ).count(),
+        )
+
+        # incremental SCD-2 step: dim grown from the scaled base, one new
+        # snapshot applied — cost must track open rows + snapshot, never
+        # the closed history
+        dim = scd2_build(
+            snaps, ["c_custkey"], ["seg"], "v"
+        ).localCheckpoint()
+        snap4 = base.select(
+            "c_custkey",
+            F.when(
+                (F.col("c_custkey") + 4) % 7 == 0, F.lit("SHIFTED")
+            ).otherwise(F.col("c_mktsegment")).alias("seg"),
+        )
+        timed(
+            f"scd2_apply_snapshot one step {scale}x",
+            lambda: scd2_apply_snapshot(
+                dim, snap4, ["c_custkey"], ["seg"], 4
             ).count(),
         )
     spark.stop()
