@@ -550,7 +550,9 @@ def scd2_validate(
         ("empty_interval", t.isNotNull() & (f >= t)),
         ("overlap", nxt.isNotNull() & (t.isNull() | (t > nxt))),
         ("multiple_current", t.isNull() & (F.col("_n_open") > 1)),
-        ("flag_mismatch", F.col(current_flag) != t.isNull()),
+        # null-safe: a NULL flag must REPORT as mismatch, not NULL-out
+        # the predicate and silently validate
+        ("flag_mismatch", ~F.col(current_flag).eqNullSafe(t.isNull())),
     ]
     tags = F.array_compact(
         F.array(*[F.when(cond, F.lit(tag)) for tag, cond in checks])

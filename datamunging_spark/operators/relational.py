@@ -7,7 +7,7 @@ scale-hygiene (broadcast hints for dimension tables, salting for skew).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datamunging_spark.functions import case_ladder
@@ -294,6 +294,18 @@ def range_join(
     return p.join(iv, cond, how).drop("_rbp", "_rbi")
 
 
+def _shuffle_partitions(spark: SparkSession) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, tolerating the
+    non-numeric ``"auto"`` value that AQE-managed platforms set — those
+    fall back to the cluster's default parallelism instead of raising
+    ValueError inside every distributed prefix computation."""
+    raw = spark.conf.get("spark.sql.shuffle.partitions", "")
+    try:
+        return int(raw)
+    except ValueError:
+        return spark.sparkContext.defaultParallelism
+
+
 def ranged_prefix_offsets(
     df: DataFrame, order_cols: list[str], part_agg: Column
 ) -> tuple[DataFrame, list[tuple[int, int]]]:
@@ -308,7 +320,7 @@ def ranged_prefix_offsets(
     ``[(pid, base_offset), ...]`` list; callers broadcast the offsets with
     whatever numeric type their running expression needs.
     """
-    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    parts = _shuffle_partitions(df.sparkSession)
     part_cols = [F.col(c) for c in order_cols]
     slim = (
         df.repartitionByRange(parts, *part_cols)
@@ -416,7 +428,9 @@ def gap_fill(
     observation at-or-before the grid point (observations need NOT be
     grid-aligned). Output = spine rows only, one per (key, grid point),
     with ``n_obs`` = real observations in the bucket ending at that point
-    (0 marks filled gaps); Σ n_obs == total observations.
+    (0 marks filled gaps); Σ n_obs == total observations with a non-NULL
+    ``time_col`` (NULL-timestamp rows cannot be placed on the grid and
+    are dropped).
 
     Scale shape: the same union-tag + window forward-fill as
     :func:`asof_join` — per-key bounds are one map-side-combinable
@@ -446,8 +460,15 @@ def gap_fill(
     spine = bounds.select(
         *keys, F.explode(grid).alias(time_col)
     ).withColumn("_is_real", F.lit(0))
-    real = df.select(*keys, time_col, *value_cols).withColumn(
-        "_is_real", F.lit(1)
+    # NULL-timestamp rows are dropped: they cannot be placed on the grid
+    # (the min/max spine already ignores them), and NULLs sort FIRST in
+    # the per-key window — left in, they would inflate the first grid
+    # point's n_obs and could seed the carried value, breaking the
+    # Σ n_obs == total observations invariant.
+    real = (
+        df.select(*keys, time_col, *value_cols)
+        .filter(t.isNotNull())
+        .withColumn("_is_real", F.lit(1))
     )
     u = real.unionByName(spine, allowMissingColumns=True)
     # Real rows sort before the grid row at the same instant, so an

@@ -22,6 +22,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 COMMIT_MARKER = "_SNAPSHOTS_COMMITTED"
 
+# Root-level manifest of applied CDC batch ids. Version directories carry
+# their own _CDC_BATCH_{id} tag, but vacuum deletes retired versions WITH
+# their tags — without a root manifest, a stream checkpoint replaying a
+# batch older than the retention window would be re-applied as a new
+# version (convergent only because apply_changelog is idempotent, and a
+# spurious extra version either way). vacuum_table_versions copies tags
+# into this directory before deleting, so batch_already_applied keeps
+# detecting replays across the full table lifetime.
+BATCHES_DIR = "_CDC_BATCHES"
+
 
 def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
@@ -183,6 +193,24 @@ def vacuum_table_versions(
         is_committed = v in set(committed)
         if not is_committed and not drop_torn:
             continue
+        if is_committed:
+            # Preserve the version's CDC batch tags in the root manifest
+            # BEFORE deleting, so replay detection survives retention.
+            for fstat in fs.listStatus(status.getPath()):
+                fname = fstat.getPath().getName()
+                if fname.startswith("_CDC_BATCH_"):
+                    bid = fname[len("_CDC_BATCH_"):]
+                    fs.mkdirs(
+                        jvm.org.apache.hadoop.fs.Path(
+                            f"{path}/{BATCHES_DIR}"
+                        )
+                    )
+                    fs.create(
+                        jvm.org.apache.hadoop.fs.Path(
+                            f"{path}/{BATCHES_DIR}/{bid}"
+                        ),
+                        True,
+                    ).close()
         fs.delete(status.getPath(), True)
         if is_committed:
             deleted.append(v)
@@ -207,9 +235,16 @@ def batch_already_applied(
     """True when some COMMITTED version carries ``batch_id``'s tag — the
     streaming replay test (a crash between the version commit and the
     stream checkpoint replays the batch; the tag makes the replay a
-    no-op instead of a double-apply). Scan cost is the committed-version
-    count — bounded by vacuum retention."""
+    no-op instead of a double-apply). Also consults the root
+    ``_CDC_BATCHES`` manifest, where vacuum preserves the tags of retired
+    versions — so detection works even for batches older than the
+    retention window. Scan cost is the committed-version count (bounded
+    by vacuum retention) plus one manifest existence probe."""
     fs, jvm = _fs(spark, path)
+    if fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{path}/{BATCHES_DIR}/{batch_id}")
+    ):
+        return True
     for v in list_table_versions(spark, path):
         if fs.exists(
             jvm.org.apache.hadoop.fs.Path(

@@ -839,6 +839,32 @@ def test_vacuum_table_versions(spark, tmp_path):
         vacuum_table_versions(spark, path, keep_last=0)
 
 
+def test_vacuum_preserves_cdc_batch_tags(spark, tmp_path):
+    """Vacuum must not lose replay detection: a batch tag on a retired
+    version survives in the root _CDC_BATCHES manifest, so a stream
+    checkpoint replaying a batch older than the retention window still
+    no-ops."""
+    from datamunging_spark.sources.versioned import (
+        batch_already_applied,
+        vacuum_table_versions,
+        write_table_version,
+    )
+
+    path = str(tmp_path / "vac_cdc")
+    df = spark.createDataFrame([(1, "a")], "id int, s string")
+    for v, bid in ((1, 10), (2, 11), (3, 12), (4, 13)):
+        write_table_version(df, path, v, batch_id=bid)
+    assert batch_already_applied(spark, path, 10)
+    deleted = vacuum_table_versions(spark, path, keep_last=2)
+    assert deleted == [1, 2]
+    # tags of the retired v1/v2 survive via the manifest
+    assert batch_already_applied(spark, path, 10)
+    assert batch_already_applied(spark, path, 11)
+    # tags of live versions still detected directly
+    assert batch_already_applied(spark, path, 13)
+    assert not batch_already_applied(spark, path, 99)
+
+
 def test_apply_changelog_null_op_upserts(spark):
     """A NULL op value means upsert per the 'any other value upserts'
     contract — it must not silently keep the stale base payload."""
@@ -1034,3 +1060,20 @@ def test_scd2_validate(spark, tables):
     assert (2, "multiple_current") in got
     assert (3, "flag_mismatch") in got
     assert not any(i == 4 for i, _ in got)
+
+
+def test_scd2_validate_null_flag_is_mismatch(spark):
+    """A NULL current_flag must REPORT as flag_mismatch — a non-null-safe
+    comparison would NULL-out the predicate and silently validate."""
+    from datamunging_spark.operators.history import scd2_validate
+
+    bad = spark.createDataFrame(
+        [(1, 1, 2, None), (1, 2, None, True)],
+        "id int, effective_from int, effective_to int, is_current boolean",
+    )
+    got = {
+        (r.effective_from, r.violation)
+        for r in scd2_validate(bad, ["id"]).collect()
+    }
+    assert (1, "flag_mismatch") in got
+    assert (2, "flag_mismatch") not in got

@@ -468,3 +468,21 @@ def test_top_k_per_group_rank_methods(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         top_k_per_group(df, ["g"], order, 2, method="ntile")
+
+
+def test_shuffle_partitions_auto_fallback(spark):
+    """AQE-managed platforms set spark.sql.shuffle.partitions="auto";
+    the distributed-prefix helpers must fall back to defaultParallelism
+    instead of raising ValueError."""
+    from types import SimpleNamespace
+
+    from datamunging_spark.operators.relational import _shuffle_partitions
+
+    assert _shuffle_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    fake = SimpleNamespace(
+        conf=SimpleNamespace(get=lambda key, default="": "auto"),
+        sparkContext=SimpleNamespace(defaultParallelism=7),
+    )
+    assert _shuffle_partitions(fake) == 7

@@ -115,6 +115,21 @@ def test_gap_fill_empty_input(spark):
     assert gap_fill(df, ["k"], "ts", ["v"]).count() == 0
 
 
+def test_gap_fill_null_timestamp_rows_dropped(spark):
+    """NULL-timestamp rows cannot sit on the grid; they must neither
+    inflate the first grid point's n_obs (NULLs sort first in the window)
+    nor seed the carried value."""
+    df = spark.createDataFrame(
+        [("a", None, 999.0), ("a", _ts(1), 10.0), ("a", _ts(3), 30.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = gap_fill(df, ["k"], "ts", ["v"], step="1 day")
+    rows = {r["ts"].day: (r["v"], r["n_obs"]) for r in out.collect()}
+    assert rows == {1: (10.0, 1), 2: (10.0, 0), 3: (30.0, 1)}
+    # Σ n_obs == total NON-NULL-ts observations
+    assert sum(n for _, n in rows.values()) == 2
+
+
 # ------------------------------------------------------------------ entity
 
 
