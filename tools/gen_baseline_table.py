@@ -1,16 +1,20 @@
 """Regenerate BASELINE.md's bench table from the bench artifact.
 
 Round 5's table was hand-run mid-round and drifted from the committed
-BENCH_r05.json on several medians (judge finding: "the normative doc
-should be generated from the artifact, not re-measured by hand"). This
-tool makes the table bytes a pure function of the artifact: it reads
-BENCH_DETAIL.json (written by bench.py alongside its stdout contract
-line; same shape plus the per-query [min, max] spread) and rewrites the
-block between the BENCH_TABLE markers in BASELINE.md.
+BENCH_r05.json on several medians; round 6's table was generated from an
+earlier BENCH_DETAIL.json and drifted from the FINAL committed
+BENCH_r06.json total (58.12 vs 53.14 s). The durable fix: the default
+source is now the latest driver-committed ``BENCH_r{N}.json`` — the
+normative artifact — not whatever BENCH_DETAIL.json a mid-round local
+run left behind; the header names the source file; and after writing,
+the tool re-reads the table and fails if its total differs from the
+source artifact's total (so the table can never silently disagree with
+the artifact it claims to render).
 
 Usage:
-    python tools/gen_baseline_table.py            # from ./BENCH_DETAIL.json
+    python tools/gen_baseline_table.py            # from latest BENCH_r*.json
     python tools/gen_baseline_table.py path.json  # from a specific artifact
+                                                  # (BENCH_DETAIL or BENCH_r*)
 """
 
 from __future__ import annotations
@@ -107,13 +111,13 @@ NOTES: dict[str, tuple[str, str]] = {
 }
 
 
-def render(detail: dict) -> str:
+def render(detail: dict, source: str) -> str:
     lines = [
         BEGIN,
-        f"Generated from the bench artifact (reps={detail.get('reps')}, "
+        f"Generated from `{source}` (reps={detail.get('reps')}, "
         f"sf={detail.get('sf')}, total={detail.get('value')} s) — do not "
-        "hand-edit; rerun `python bench.py && python "
-        "tools/gen_baseline_table.py`.",
+        "hand-edit; rerun `python tools/gen_baseline_table.py` after the "
+        "round artifact lands.",
         "",
         "| query | median (s) | [min, max] | reference (Hive-on-Tez) |",
         "|---|---|---|---|",
@@ -129,16 +133,36 @@ def render(detail: dict) -> str:
     return "\n".join(lines)
 
 
-def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        REPO, "BENCH_DETAIL.json"
-    )
+def latest_round_artifact() -> str | None:
+    """Newest driver-committed BENCH_r{N}.json by round number."""
+    best, best_n = None, -1
+    for name in os.listdir(REPO):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", name)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = name, int(m.group(1))
+    return os.path.join(REPO, best) if best else None
+
+
+def load_detail(src: str) -> dict:
+    """Accept either bench.py's BENCH_DETAIL shape or the driver's
+    BENCH_r{N}.json wrapper (contract line under ``parsed``)."""
     with open(src) as fh:
-        detail = json.load(fh)
+        data = json.load(fh)
+    return data["parsed"] if "parsed" in data else data
+
+
+def main() -> None:
+    if len(sys.argv) > 1:
+        src = sys.argv[1]
+    else:
+        src = latest_round_artifact() or os.path.join(
+            REPO, "BENCH_DETAIL.json"
+        )
+    detail = load_detail(src)
     path = os.path.join(REPO, "BASELINE.md")
     with open(path) as fh:
         doc = fh.read()
-    table = render(detail)
+    table = render(detail, os.path.basename(src))
     pattern = re.compile(
         re.escape(BEGIN) + r".*?" + re.escape(END), flags=re.S
     )
@@ -151,6 +175,17 @@ def main() -> None:
         )
     with open(path, "w") as fh:
         fh.write(doc)
+    # Self-check: the written table's total must equal the artifact's —
+    # the r6 drift class (table rendered from a different run than the
+    # committed artifact) fails loudly here.
+    with open(path) as fh:
+        written = fh.read()
+    m = re.search(r"total=([0-9.]+) s", written)
+    if not m or float(m.group(1)) != float(detail["value"]):
+        raise SystemExit(
+            f"table total {m and m.group(1)} != artifact total "
+            f"{detail['value']} from {src} — regenerate, do not hand-edit"
+        )
     print(f"wrote {len(detail['queries'])} rows from {src} into {path}")
 
 
