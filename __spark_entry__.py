@@ -1533,6 +1533,57 @@ def q_x1_simhash(spark, sf_dir):
     return simhash_df(d)
 
 
+def q_x1_span_dedup(spark, sf_dir):
+    """X1 span-level exact-substring dedup (the Lee et al. 2022
+    suffix-array family, re-expressed as winnowing fingerprints + anchor
+    equi-join + local extension — datamunging_spark/operators/spandedup).
+    Pairs of docs (10g, 10g+1) get a planted ~63-char shared suffix;
+    span_dedup must cut every cross-document span >= 50 chars (planted
+    AND the corpus's natural word-salad repeats) from all but the
+    earliest holder. Rows-only (winnowing picks depend on the engine-side
+    64-bit rolling hash) with two in-query invariants:
+    ``no_residual_span`` — re-running the detector on the cleaned corpus
+    finds nothing at the same settings; ``plant_ok`` — the earliest doc
+    of each planted pair still carries its plant, the later never does.
+    gram=24 (vs the 16 default) because the synthetic corpus's tiny
+    vocabulary makes 16-char grams collide heavily (maxdf 261 vs 13)."""
+    from datamunging_spark.operators.spandedup import (
+        shared_span_pairs,
+        span_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    g = F.floor(F.col("doc_id") / 10).cast("string")
+    plant = F.repeat(F.concat(F.lit(" plant"), g), 9)
+    planted = d.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 < 2, F.concat(F.col("text"), plant)
+        ).otherwise(F.col("text")),
+    ).localCheckpoint()  # feeds fingerprints + two text joins — scan once
+    out = span_dedup(planted, min_span=50, gram=24).localCheckpoint()
+    resid = shared_span_pairs(out, min_span=50, gram=24)
+    rid = (
+        resid.select(F.col("doc_a").alias("doc_id"))
+        .union(resid.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_bad", F.lit(True))
+    )
+    has_plant = F.col("text").contains(F.concat(F.lit(" plant"), g))
+    return (
+        out.join(rid, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.col("_bad").isNull().alias("no_residual_span"),
+            F.when(F.col("doc_id") % 10 == 0, has_plant)
+            .when(F.col("doc_id") % 10 == 1, ~has_plant)
+            .otherwise(~has_plant)
+            .alias("plant_ok"),
+        )
+    )
+
+
 def q_x2_ann_lsh(spark, sf_dir):
     """X2 scale path: approximate top-k via random-hyperplane LSH with
     OR-amplification (recall vs brute force property-tested)."""
@@ -1887,6 +1938,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # x2_ann_suite (both paths, recall-vs-brute-force in the output),
     # r38_w2v_synonyms + r40_pca_project → r38_ml_suite (long format;
     # all folded constituents stay benched and/or pytest-covered).
+    # Retired round 7: x1_simhash (rows-only with no in-query invariant;
+    # its real verification is the pigeonhole banding-guarantee pytest +
+    # Hamming property tests, and it stays benched) → slot given to
+    # x1_span_dedup, the round's new operator family.
     return {
         "r19_quality_report": q_r19_quality_report,
         "quality_summary": q_quality_summary,
@@ -1933,7 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_lm_quality": q_x4_lm_quality,
         "x1_semantic_dedup": q_x1_semantic_dedup,
         "x1_minhash_dedup": q_x1_minhash_dedup,
-        "x1_simhash": q_x1_simhash,
+        "x1_span_dedup": q_x1_span_dedup,
         "stream_windowed_real": q_stream_windowed_real,
         "x2_ann_suite": q_x2_ann_suite,
         "r38_ml_suite": q_r38_ml_suite,

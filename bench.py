@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "x1_content_hash",
     "x1_minhash_pairs",
     "x1_simhash",
+    "x1_span_dedup",
     "x1_embedding_neardup",
     "x2_topk_cosine",
     "x2_ann_lsh",

@@ -5,6 +5,7 @@
   text        — tokenize/TF-IDF/n-grams/lang-ID/quality (R22-R23, R33-R37, X4)
   ml          — Word2Vec/PCA/projection (R38-R41)
   dedup       — exact + MinHash/SimHash/Jaccard near-dup (X1)
+  spandedup   — cross-document exact-substring span dedup (X1, Lee et al.)
   similarity  — brute-force & LSH top-k vector search (X2)
   quality     — rule→invalid-rows validation reports (README.md:126-132 shape)
   multimodal  — binary payload columns + mapInPandas feature/resize (X3)

@@ -1,0 +1,174 @@
+"""Span-level exact-substring dedup (Lee et al. 2022 family) — planted
+shared spans must be detected at the winnowing guarantee boundary and
+cut from the right copies."""
+
+import pytest
+
+from datamunging_spark.operators.spandedup import (
+    remove_shared_spans,
+    shared_span_pairs,
+    span_dedup,
+    winnow_fingerprints,
+)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# Distinct filler so unrelated docs share no qualifying span; each ends
+# in a DISTINCT character so maximal extension stops exactly at the
+# planted boundary (a common trailing space would legitimately extend
+# the span one char left).
+A = "alpha bravo charlie delta echo foxtrot golf hotel india juliett."
+B = "kilo lima mike november oscar papa quebec romeo sierra tango,"
+C = "uniform victor whiskey xray yankee zulu one two three four five;"
+D = "six seven eight nine ten eleven twelve thirteen fourteen fifteen:"
+E = "sixteen seventeen eighteen nineteen twenty twentyone twentytwo?"
+SHARED = "this exact licensed boilerplate sentence repeats verbatim!"  # 58
+
+
+def test_planted_span_detected_with_offsets(spark):
+    df = _mk(spark, [(1, A + SHARED + B), (2, C + SHARED + D)])
+    spans = shared_span_pairs(df, min_span=50).collect()
+    assert len(spans) == 1
+    s = spans[0]
+    assert (s.doc_a, s.doc_b) == (1, 2)
+    assert s.start_a == len(A) and s.start_b == len(C)
+    assert s.length == len(SHARED)
+
+
+def test_guarantee_boundary(spark):
+    """A shared span of EXACTLY min_span chars must be detected (the
+    winnowing guarantee t = w + gram - 1 = min_span); one char below
+    must not be reported."""
+    exact = SHARED[:50]
+    df = _mk(spark, [(1, A + exact + B), (2, C + exact)])
+    got = shared_span_pairs(df, min_span=50).collect()
+    assert len(got) == 1 and got[0].length == 50
+
+    below = SHARED[:49]
+    df2 = _mk(spark, [(1, A + below + B), (2, C + below)])
+    assert shared_span_pairs(df2, min_span=50).count() == 0
+
+
+def test_span_dedup_keep_first_and_none(spark):
+    df = _mk(
+        spark,
+        [(1, A + SHARED + B), (2, C + SHARED + D), (3, E)],
+    )
+    first = {r.doc_id: r.text for r in span_dedup(df).collect()}
+    assert SHARED in first[1]  # earliest copy survives
+    assert SHARED not in first[2]
+    assert first[2] == C + D  # cut is exact, neighbors intact
+    assert first[3] == E  # untouched doc unchanged
+
+    none = {r.doc_id: r.text for r in span_dedup(df, keep="none").collect()}
+    assert SHARED not in none[1] and SHARED not in none[2]
+    assert none[1] == A + B
+
+
+def test_three_way_clique_keeps_earliest_only(spark):
+    df = _mk(
+        spark,
+        [(1, A + SHARED), (2, B + SHARED), (3, C + SHARED + " tail here")],
+    )
+    out = {r.doc_id: r.text for r in span_dedup(df).collect()}
+    assert SHARED in out[1]
+    assert SHARED not in out[2] and SHARED not in out[3]
+    # residual invariant: no qualifying span survives between any pair
+    cleaned = _mk(spark, sorted(out.items()))
+    assert shared_span_pairs(cleaned, min_span=50).count() == 0
+
+
+def test_two_distinct_spans_same_pair_both_cut(spark):
+    s2 = "another completely different repeated legal disclaimer text"
+    df = _mk(spark, [(1, A + SHARED + B + s2), (2, SHARED + C + s2)])
+    spans = shared_span_pairs(df).collect()
+    assert {s.length for s in spans} == {len(SHARED), len(s2)}
+    out = {r.doc_id: r.text for r in span_dedup(df).collect()}
+    assert out[2] == C
+
+
+def test_overlapping_spans_interval_merged(spark):
+    # doc 3 shares overlapping regions with docs 1 and 2 → the union is
+    # cut once, not double-cut or fragmented (the 1∩2 overlap is 48 chars
+    # — below min_span, so docs 1 and 2 keep their portions)
+    df = _mk(
+        spark,
+        [
+            (1, A + SHARED[:55]),
+            (2, B + SHARED[7:]),  # 51 chars; 1∩2 overlap 48 < min_span
+            (3, C + SHARED),
+        ],
+    )
+    out = {r.doc_id: r.text for r in span_dedup(df).collect()}
+    assert out[3] == C
+    assert SHARED[:55] in out[1] and SHARED[7:] in out[2]
+
+
+def test_hot_fingerprint_valve_drops_boilerplate(spark):
+    # the shared span appears in every doc; with max_fp_df below the doc
+    # count every anchor is valved and nothing is reported — the
+    # documented trade, identical to max_gram_df
+    rows = [(i, f"doc number {i} says " + SHARED) for i in range(1, 9)]
+    df = _mk(spark, rows)
+    assert shared_span_pairs(df, max_fp_df=2).count() == 0
+    assert shared_span_pairs(df, max_fp_df=None).count() == 8 * 7 // 2
+
+
+def test_short_and_null_docs_skipped(spark):
+    df = _mk(spark, [(1, None), (2, "tiny"), (3, A + SHARED + B)])
+    assert winnow_fingerprints(df).filter("doc_id < 3").count() == 0
+    out = {r.doc_id: r.text for r in span_dedup(df).collect()}
+    assert out[1] is None and out[2] == "tiny"
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "doc_id bigint, text string")
+    assert shared_span_pairs(df).count() == 0
+    assert span_dedup(df).count() == 0
+
+
+def test_unicode_offsets_are_codepoints(spark):
+    # multi-byte chars before the span: offsets must count codepoints,
+    # not bytes, and the cut must respect them
+    prefix = "héllo wörld ünïcode çhars ahead — " * 2
+    df = _mk(spark, [(1, A + SHARED), (2, prefix + SHARED)])
+    spans = shared_span_pairs(df).collect()
+    assert len(spans) == 1 and spans[0].start_b == len(prefix)
+    out = {r.doc_id: r.text for r in span_dedup(df).collect()}
+    assert out[2] == prefix
+
+
+def test_remove_shared_spans_preserves_other_columns(spark):
+    df = spark.createDataFrame(
+        [(1, A + SHARED, "web"), (2, B + SHARED, "book")],
+        "doc_id bigint, text string, source string",
+    )
+    spans = shared_span_pairs(df)
+    out = remove_shared_spans(df, spans)
+    assert set(out.columns) == {"doc_id", "text", "source"}
+    got = {r.doc_id: (r.text, r.source) for r in out.collect()}
+    assert got[1] == (A + SHARED, "web")
+    assert got[2] == (B, "book")
+
+
+def test_periodic_content_single_merged_cut(spark):
+    # self-similar repeated content creates anchors on several diagonals;
+    # the extended spans overlap and must merge into one clean cut
+    rep = " repeatme" * 10  # 90 chars, period 9
+    df = _mk(spark, [(1, A + rep), (2, B + rep + C)])
+    out = {r.doc_id: r.text for r in span_dedup(df).collect()}
+    assert out[1] == A + rep
+    assert "repeatme" not in out[2]
+    assert out[2].startswith(B.rstrip() ) or out[2].startswith(B)
+    assert out[2].endswith(C)
+
+
+def test_gram_must_be_smaller_than_min_span(spark):
+    df = _mk(spark, [(1, A)])
+    with pytest.raises(ValueError):
+        winnow_fingerprints(df, min_span=16, gram=16)
+    with pytest.raises(ValueError):
+        remove_shared_spans(df, df, keep="both")
