@@ -593,6 +593,7 @@ def interval_join(
     right_start: str,
     right_end: str,
     bucket_width: float,
+    max_rows_per_bucket: int | None = None,
 ) -> DataFrame:
     """Interval-OVERLAP join: one row per (left, right) pair whose closed
     intervals intersect (``l_start <= r_end AND r_start <= l_end``) — the
@@ -612,6 +613,13 @@ def interval_join(
     between the sides are the caller's contract (alias beforehand), same
     as Spark's own join. Inner semantics only: outer pairs are not
     defined for the replicated form.
+
+    Hot-bucket valve: a bucket holding k_l × k_r overlapping spans (one
+    bot user's 10^8 sessions all in one hour) does quadratic work in
+    that one task. ``max_rows_per_bucket`` keeps each bucket's first k
+    rows PER SIDE (deterministic (start, end) order); pairs involving
+    rows beyond the cap are dropped — the explicit trade, same contract
+    as ``max_block``.
     """
     w = float(bucket_width)
     if w <= 0:
@@ -632,8 +640,18 @@ def interval_join(
             F.floor(F.col(right_end) / F.lit(w)).cast("long"),
         )
     )
-    l = left.withColumn("_ibl", lb)
-    r = right.withColumn("_ibr", rb)
+    l = cap_rows_per_key(
+        left.withColumn("_ibl", lb),
+        ["_ibl"],
+        [left_start, left_end],
+        max_rows_per_bucket,
+    )
+    r = cap_rows_per_key(
+        right.withColumn("_ibr", rb),
+        ["_ibr"],
+        [right_start, right_end],
+        max_rows_per_bucket,
+    )
     canonical = F.floor(
         F.greatest(F.col(left_start), F.col(right_start)) / F.lit(w)
     ).cast("long")
@@ -646,12 +664,41 @@ def interval_join(
     return l.join(r, cond, "inner").drop("_ibl", "_ibr")
 
 
+def cap_rows_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    k: int | None,
+) -> DataFrame:
+    """Deterministic earliest-``k`` valve: keep each key's first ``k``
+    rows by ``order_cols`` — the event-analytics sibling of entity
+    resolution's ``max_block`` and dedup's ``max_gram_df``. Real event
+    tables always contain one bot account with 10^8 events; operators
+    that materialize per-key state (funnel's collect_list, a hot
+    interval bucket's pairwise matches) need a hard bound on that key.
+    ``k=None`` is a no-op. One window over the key exchange the caller
+    was about to pay anyway (sort spills to disk — never an in-memory
+    array of the hot key); make ``order_cols`` a total order for
+    byte-stable results."""
+    if k is None:
+        return df
+    if k < 1:
+        raise ValueError(f"cap must be >= 1 or None, got {k}")
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_capn", F.row_number().over(w))
+        .filter(F.col("_capn") <= k)
+        .drop("_capn")
+    )
+
+
 def funnel_report(
     events: DataFrame,
     user_col: str,
     ts_col: str,
     type_col: str,
     steps: list[str],
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel analysis: how many users completed step 1, then
     step 2 AT-OR-AFTER step 1, … in sequence — the standard
@@ -675,10 +722,20 @@ def funnel_report(
     stage count is a plain sum of non-null flags. No window over the
     event table, no self-joins (the SQL form is k-1 self-joins of the
     event table), no Python.
+
+    Hot-user valve: per-user state is bounded by that user's step-type
+    events — fine for humans, unbounded for the one bot account every
+    real event table contains. ``max_events_per_user`` keeps each user's
+    EARLIEST k step events (deterministic (ts, type) order) before the
+    collect; a capped user whose funnel completes only in later events is
+    undercounted — the explicit trade, same contract as ``max_block``.
     """
+    evs = events.filter(F.col(type_col).isin(steps))
+    evs = cap_rows_per_key(
+        evs, [user_col], [ts_col, type_col], max_events_per_user
+    )
     evs = (
-        events.filter(F.col(type_col).isin(steps))
-        .groupBy(user_col)
+        evs.groupBy(user_col)
         .agg(
             F.collect_list(
                 F.struct(
@@ -737,6 +794,7 @@ def cohort_retention(
     user_col: str,
     ts_col: str,
     period_days: int = 7,
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """Cohort retention: users bucketed by their FIRST event's period
     (cohort), then counted distinct per (cohort, periods-since-cohort)
@@ -747,8 +805,16 @@ def cohort_retention(
     combinable), one equi-join back on the user key, one count-distinct
     agg on the (cohort, offset) key. The join is user-grain — at 100 TB
     of events the first-event side is |users| rows, far smaller than
-    events, and both aggregates shuffle slim keys.
+    events, and both aggregates shuffle slim keys. Every per-key path is
+    already partial-aggregatable, so a bot user mostly costs scan time;
+    ``max_events_per_user`` (earliest-k by ts) still bounds the work the
+    bot contributes downstream — its cohort is unchanged (the first
+    event is by definition inside the earliest k), only its presence in
+    offsets past the cap is dropped.
     """
+    events = cap_rows_per_key(
+        events, [user_col], [ts_col], max_events_per_user
+    )
     firsts = events.groupBy(user_col).agg(F.min(ts_col).alias("_first_ts"))
     cohort = F.date_trunc("day", F.col("_first_ts")).cast("date")
     offset = F.floor(

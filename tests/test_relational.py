@@ -486,3 +486,67 @@ def test_shuffle_partitions_auto_fallback(spark):
         sparkContext=SimpleNamespace(defaultParallelism=7),
     )
     assert _shuffle_partitions(fake) == 7
+
+
+def test_funnel_report_hot_user_valve(spark):
+    from datamunging_spark.operators.relational import funnel_report
+
+    rows = [
+        # u1: completes within its first 3 step events
+        (1, 10, "a"), (1, 20, "b"), (1, 30, "c"),
+        # u2 (the bot): completes only at event 5 — beyond the cap
+        (2, 1, "a"), (2, 2, "a"), (2, 3, "a"), (2, 4, "b"), (2, 5, "c"),
+    ]
+    events = spark.createDataFrame(rows, "user_id int, ts int, et string")
+    full = funnel_report(events, "user_id", "ts", "et", ["a", "b", "c"])
+    assert [r.n_users for r in full.collect()] == [2, 2, 2]
+    capped = funnel_report(
+        events, "user_id", "ts", "et", ["a", "b", "c"],
+        max_events_per_user=3,
+    )
+    # the bot's earliest 3 step events are a,a,a -> stage 1 only
+    assert [r.n_users for r in capped.collect()] == [2, 1, 1]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        funnel_report(events, "user_id", "ts", "et", ["a"],
+                      max_events_per_user=0)
+
+
+def test_cohort_retention_valve_keeps_cohort(spark):
+    import datetime as _dt
+
+    from datamunging_spark.operators.relational import cohort_retention
+
+    def ts(day):
+        return _dt.datetime(2024, 1, day)
+
+    rows = [(1, ts(d)) for d in (1, 2, 8, 15)] + [(2, ts(9))]
+    events = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    capped = cohort_retention(events, "user_id", "ts",
+                              max_events_per_user=2)
+    got = {(str(r.cohort_start), r.period_offset): r.n_users
+           for r in capped.collect()}
+    # u1's cohort (Jan 1) is unchanged; its offset-2 (day 15) presence is
+    # dropped by the cap, offset-1 (day 8... beyond first 2 events) too
+    assert got == {("2024-01-01", 0): 1, ("2024-01-09", 0): 1}
+
+
+def test_interval_join_hot_bucket_valve(spark):
+    from datamunging_spark.operators.relational import interval_join
+
+    # 6 left and 6 right spans all inside one bucket, all overlapping
+    left = spark.createDataFrame(
+        [(i, 0.1 * i, 1.0) for i in range(6)], "lid int, ls double, le double"
+    )
+    right = spark.createDataFrame(
+        [(i, 0.0, 0.9 + 0.01 * i) for i in range(6)],
+        "rid int, rs double, re double",
+    )
+    full = interval_join(left, right, "ls", "le", "rs", "re", 10.0)
+    assert full.count() == 36
+    capped = interval_join(
+        left, right, "ls", "le", "rs", "re", 10.0, max_rows_per_bucket=2
+    )
+    # earliest 2 per side by (start, end): lid 0,1 x rid 0,1
+    got = sorted((r.lid, r.rid) for r in capped.collect())
+    assert got == [(0, 0), (0, 1), (1, 0), (1, 1)]

@@ -12,6 +12,10 @@ SCALE.md probe for the contracts:
   overlap join pays. Wall-time must track that output, not explode past
   it (the banding never builds a candidate set larger than the output
   + replication).
+* hot-user valve (r7): a skewed table where ONE bot user holds 10% of
+  all events. Valve-off funnel must still finish (collect_list spills),
+  valve-on (max_events_per_user) must cut the bot's contribution to a
+  constant; the probe prints both so the trade is measured, not assumed.
 
 Usage: python tools/measure_event_scale.py [sf_dir]
 """
@@ -96,6 +100,51 @@ def main():
                 a, b, "a_s", "a_t", "b_s", "b_t", 1800
             ).count(),
         )
+
+    # Skew probe: bot user = 10% of a 10x event table, all in one key.
+    e10 = ev.withColumn(
+        "_k", F.explode(F.array(*[F.lit(i) for i in range(10)]))
+    )
+    bot = e10.filter(F.col("_k") == 0).select(
+        F.lit(-1).alias("user_id"), "ts", "event_type"
+    )
+    skewed = (
+        e10.select(
+            (F.col("user_id") + F.col("_k") * 10_000_000).alias("user_id"),
+            "ts",
+            "event_type",
+        )
+        .unionByName(bot)
+        .localCheckpoint()
+    )
+    steps = ["view", "click", "purchase"]
+    timed(
+        "funnel skewed 10x (bot=10%), valve off",
+        lambda: funnel_report(
+            skewed, "user_id", "ts", "event_type", steps
+        ).count(),
+    )
+    timed(
+        "funnel skewed 10x, max_events_per_user=1000",
+        lambda: funnel_report(
+            skewed, "user_id", "ts", "event_type", steps,
+            max_events_per_user=1000,
+        ).count(),
+    )
+    # hot bucket: every bot event becomes a 1h span in the same window
+    bs = bot.select(
+        F.unix_timestamp("ts").cast("double").alias("s"),
+        (F.unix_timestamp("ts") + 3600).cast("double").alias("t"),
+    ).localCheckpoint()
+    bl = bs.select(F.col("s").alias("a_s"), F.col("t").alias("a_t"))
+    br = bs.select(F.col("s").alias("b_s"), F.col("t").alias("b_t"))
+    timed(
+        "interval join bot spans, max_rows_per_bucket=200",
+        lambda: interval_join(
+            bl, br, "a_s", "a_t", "b_s", "b_t", 1800,
+            max_rows_per_bucket=200,
+        ).count(),
+    )
     spark.stop()
 
 
