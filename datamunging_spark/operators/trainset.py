@@ -109,8 +109,13 @@ def contamination_report(
     Plan: corpus grams come from :func:`~.dedup.exploded_ngrams` (posexplode
     + window-lead, codegen-friendly); the benchmark gram set is deduped and
     broadcast — eval sets are KBs-to-MBs against a 100 TB corpus, the
-    textbook broadcast dimension. The count per doc is a map-side-combined
-    aggregate on the corpus' uniform id key.
+    textbook broadcast dimension. The per-doc DISTINCT is applied AFTER
+    the broadcast join — deduplicating the full corpus gram table first
+    (the r6 form) paid a second full-corpus (id, gram) exchange; matched
+    grams are eval-set-bounded, so ``count_distinct`` over them is a
+    map-side-combinable aggregate whose shuffle carries only contaminated
+    rows. Same semantics (count of a doc's distinct grams present in the
+    benchmark), one corpus-scale exchange instead of two.
     """
     bench_grams = (
         exploded_ngrams(
@@ -119,11 +124,13 @@ def contamination_report(
         .select("_sh")
         .distinct()
     )
-    corpus_grams = exploded_ngrams(corpus, text_col, id_col, n, distinct=True)
+    corpus_grams = exploded_ngrams(
+        corpus, text_col, id_col, n, distinct=False
+    )
     return (
         corpus_grams.join(F.broadcast(bench_grams), "_sh")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("overlap_grams"))
+        .agg(F.count_distinct(F.col("_sh")).alias("overlap_grams"))
         .filter(F.col("overlap_grams") >= min_overlap)
     )
 
