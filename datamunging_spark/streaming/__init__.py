@@ -342,6 +342,8 @@ def streaming_resolve(
     match_cond,
     resolved_path: str | None = None,
     checkpoint_path: str | None = None,
+    history_path: str | None = None,
+    history_keep_last: int = 2,
     entity_col: str = "entity_id",
     max_block: int | None = 10_000,
 ) -> DataFrame:
@@ -350,25 +352,66 @@ def streaming_resolve(
     :func:`~datamunging_spark.operators.entity.incremental_resolve`
     against the rolling resolved history, appends the labeled batch to
     ``resolved_path`` (parquet, ``n_hist_matches`` kept for the
-    merge-review queue), and unions it into the history for the NEXT
+    merge-review queue), and folds it into the history for the NEXT
     micro-batch — so a record arriving later than its entity-mates still
     adopts their entity, beyond any watermark horizon.
 
-    History here is memory-rolled (``localCheckpoint`` per batch —
-    the availableNow drain/backfill shape). For restartable production
-    loops persist the history per batch exactly like streaming_ingest's
-    versioned snapshots (same commit-marker pattern); the label state is
-    replay-idempotent for the same reason ingest is: re-resolving an
-    already-historied record (disjoint id space) adopts its own entity
-    (pinned by test_incremental_resolve_idempotent_reingest), so a
-    replayed batch can duplicate SINK rows but never corrupt labels.
-    Returns the final rolled history.
+    **Compaction (bounded state)**: only records whose ``id_col`` is NOT
+    already historied are folded in (slim-id anti-join, first-wins) — so
+    re-ingested/replayed records never grow the history; its row count is
+    bounded by DISTINCT record ids, not by stream volume. Labels stay
+    correct either way (re-resolving a historied record adopts its own
+    entity — pinned by test_incremental_resolve_idempotent_reingest);
+    first-wins means a same-id record arriving with a CHANGED payload
+    does not update the historied copy (ER history is a label registry,
+    not a CDC table — route payload updates through apply_changelog).
+
+    **Durability**: with ``history_path`` set, each batch's compacted
+    history is committed to the versioned store (sources/versioned —
+    commit markers, MONOTONIC ``latest+1`` numbering so versions never
+    collide across restarts, per-version ``_CDC_BATCH_{id}`` replay
+    tags), the LATEST version is loaded on start (overriding the
+    ``history`` argument), a batch whose tag is already committed is a
+    full no-op (crash-replay; tags survive vacuum via the root
+    ``_CDC_BATCHES`` manifest), and versions older than
+    ``history_keep_last`` are vacuumed each batch — the same retention
+    story ``advance_snapshot``/``vacuum_table_versions`` gave dedup.
+    Memory-only (``history_path=None``) keeps per-batch
+    ``localCheckpoint`` pinning — the availableNow drain/backfill shape.
+    Returns the final history. Caveat (same as streaming_ingest): replay
+    tags key on batch_id, so a ``history_path`` belongs to ONE logical
+    stream+checkpoint lineage — pointing a brand-new stream (fresh
+    checkpoint, genuinely new data, batch ids restarting at 0) at an old
+    history store would no-op its first batches; use a fresh
+    history_path or keep the checkpoint.
     """
     from datamunging_spark.operators.entity import incremental_resolve
+    from datamunging_spark.sources.versioned import (
+        batch_already_applied,
+        latest_table_version,
+        read_table_version,
+        vacuum_table_versions,
+        write_table_version,
+    )
 
-    state = {"hist": history.localCheckpoint()}
+    spark = records_stream.sparkSession
+    start = history
+    if history_path is not None:
+        if latest_table_version(spark, history_path) is not None:
+            start = read_table_version(spark, history_path)
+    state = {"hist": start.localCheckpoint()}
 
     def _process(batch_df, batch_id):
+        bspark = batch_df.sparkSession
+        if history_path is not None and batch_already_applied(
+            bspark, history_path, batch_id
+        ):
+            # replay of a batch whose history commit survived a crash
+            # (crash between the version commit and the streaming
+            # commit): state is durable, the sink append already
+            # happened — full no-op, same contract as streaming_ingest
+            state["hist"] = read_table_version(bspark, history_path)
+            return
         if not batch_df.head(1):
             return
         resolved = incremental_resolve(
@@ -383,11 +426,21 @@ def streaming_resolve(
         ).localCheckpoint()
         if resolved_path is not None:
             resolved.write.mode("append").parquet(resolved_path)
-        state["hist"] = (
-            state["hist"]
-            .unionByName(resolved.drop("n_hist_matches"))
-            .localCheckpoint()
+        fresh = resolved.drop("n_hist_matches").join(
+            state["hist"].select(id_col), id_col, "left_anti"
         )
+        new_hist = state["hist"].unionByName(fresh)
+        if history_path is not None:
+            v = (latest_table_version(bspark, history_path) or 0) + 1
+            write_table_version(
+                new_hist, history_path, v, batch_id=batch_id
+            )
+            state["hist"] = read_table_version(bspark, history_path, v)
+            vacuum_table_versions(
+                bspark, history_path, keep_last=history_keep_last
+            )
+        else:
+            state["hist"] = new_hist.localCheckpoint()
 
     writer = records_stream.writeStream.foreachBatch(_process).trigger(
         availableNow=True

@@ -709,6 +709,61 @@ def test_streaming_resolve_rolls_history_across_microbatches(spark, tmp_path):
     assert hist.count() == 4        # seed + three streamed records
 
 
+def test_streaming_resolve_bounded_history_and_durability(spark, tmp_path):
+    """Compaction + retention: N micro-batches RE-INGESTING the same
+    records keep the history row count flat (bounded by distinct ids,
+    not stream volume); with history_path set, each batch commits a
+    version, old versions are vacuumed to the retention window, and a
+    restarted loop resumes from the latest committed version."""
+    from pyspark.sql import functions as F
+
+    from datamunging_spark.operators.entity import name_similarity
+    from datamunging_spark.sources.versioned import list_table_versions
+    from datamunging_spark.streaming import streaming_resolve
+
+    src = tmp_path / "er_src_b"
+    src.mkdir()
+    rows = [(101, "ACME Corp", "111"), (102, "Fresh Co", "999")]
+    # the SAME two records arrive in 4 separate micro-batches
+    for i in range(4):
+        spark.createDataFrame(rows, ["id", "name", "zip"]).coalesce(
+            1
+        ).write.parquet(str(src / f"f{i}"))
+
+    seed = spark.createDataFrame(
+        [(1, "Widget LLC", "222", 1)], ["id", "name", "zip", "entity_id"]
+    )
+    hpath = str(tmp_path / "er_hist")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("id long, name string, zip string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        return streaming_resolve(
+            stream,
+            seed,
+            "id",
+            F.col("zip"),
+            ["name"],
+            name_similarity("a_name", "b_name") >= 0.85,
+            checkpoint_path=ckpt,
+            history_path=hpath,
+        )
+
+    hist = run(str(tmp_path / "er_ckpt_b"))
+    # flat state: seed + 2 distinct ids, regardless of 4x re-ingestion
+    assert hist.count() == 3
+    assert sorted(r["id"] for r in hist.collect()) == [1, 101, 102]
+    # retention: only the newest keep_last=2 versions survive vacuum
+    assert len(list_table_versions(spark, hpath)) == 2
+    # restart with a FRESH checkpoint: resumes from the committed
+    # history; re-resolving the same ids still does not grow it
+    hist2 = run(str(tmp_path / "er_ckpt_b2"))
+    assert hist2.count() == 3
+
+
 def test_blocking_report_sizes_and_valve(spark):
     from datamunging_spark.operators.entity import blocking_report
 
