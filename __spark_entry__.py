@@ -81,12 +81,57 @@ def q_r14_group_count(spark, sf_dir):
 
 
 def q_r19_quality_report(spark, sf_dir):
-    """R7+R8+R19+R14: the reference's data-quality pipeline
-    (README.md:126-132): regex-validate, keep failures, frequency report.
-    Pig NULL-on-non-match semantics via engine regex_extract."""
+    """R7+R8+R19+R14 plus the dbt-style data-contracts family, one oracle
+    row tagged by ``branch`` (the established suite-merge pattern):
+    'regex_fail' — the reference's bad-codes report (README.md:126-132,
+    Pig NULL-on-non-match semantics); 'dup_key' — unique_report
+    multiplicities over documents.source; 'orphan_fk' —
+    referential_report of orders→customer with every 10th customer
+    removed, so those orders' keys surface as broken FKs;
+    'accepted_values' — lang restricted to {en,de,fr} (zh/es fail);
+    'range' — n_chars bounded to [0,400], failures grouped by source.
+    Every branch is deterministic counts over strings → oracle-exact."""
+    from datamunging_spark.operators.quality import (
+        accepted_values_rule,
+        range_rule,
+        referential_report,
+        unique_report,
+    )
+
     docs = _t(spark, sf_dir, "documents")
-    rule = regex_rule("src_fmt", "source", r"^(src[0-9])$")
-    return invalid_value_report(docs, rule, "source", out="cnt")
+    b = F.lit  # branch tag shorthand
+    regex_b = invalid_value_report(
+        docs, regex_rule("src_fmt", "source", r"^(src[0-9])$"),
+        "source", out="cnt",
+    ).select(b("regex_fail").alias("branch"), F.col("source").alias("key"),
+             "cnt")
+    dup_b = unique_report(docs, ["source"]).select(
+        b("dup_key").alias("branch"), F.col("source").alias("key"),
+        F.col("n_rows").alias("cnt"),
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 != 0)
+    fk_b = referential_report(
+        orders, cust, ["o_custkey"], ["c_custkey"]
+    ).select(
+        b("orphan_fk").alias("branch"),
+        F.col("o_custkey").cast("string").alias("key"),
+        F.col("n_rows").alias("cnt"),
+    )
+    acc_b = invalid_value_report(
+        docs, accepted_values_rule("lang_ok", "lang", ["en", "de", "fr"]),
+        "lang", out="cnt",
+    ).select(b("accepted_values").alias("branch"),
+             F.col("lang").alias("key"), "cnt")
+    rng_b = invalid_value_report(
+        docs, range_rule("len_ok", "n_chars", lo=0, hi=400),
+        "source", out="cnt",
+    ).select(b("range").alias("branch"), F.col("source").alias("key"),
+             "cnt")
+    return (
+        regex_b.unionByName(dup_b).unionByName(fk_b)
+        .unionByName(acc_b).unionByName(rng_b)
+    )
 
 
 def q_quality_summary(spark, sf_dir):
@@ -1654,7 +1699,13 @@ def q_r38_ml_suite(spark, sf_dir):
     projection — the norm is invariant under any orthonormal basis of the
     principal subspace, so it is MORE cross-run-stable than the per-
     component values the old entry serialized. Orthonormality + sign
-    invariance stay pytest-covered."""
+    invariance stay pytest-covered AND surface as a gate-visible
+    ``invariant_ok`` column (the x5_pack_sequences pattern): synonym
+    rows pin cosine ∈ [-1,1], non-NaN, and query-word exclusion; norm
+    rows pin projection dimension == k, norm >= 0, and the fitted
+    basis's orthonormality error max|PᵀP−I| < 1e-6 (computed once on the
+    k×d component matrix — driver-scale)."""
+    import numpy as np
     from pyspark.ml.functions import vector_to_array
 
     from datamunging_spark.operators.ml import (
@@ -1667,26 +1718,33 @@ def q_r38_ml_suite(spark, sf_dir):
 
     d = tokenized(_t(spark, sf_dir, "documents"))
     w2v = fit_word2vec(d, vector_size=32, min_count=2, seed=42)
+    sim = F.col("similarity")
     syn = find_synonyms(w2v, "data", 10).select(
         F.lit("w2v_synonym").alias("kind"),
         F.col("word").alias("item"),
         F.round("similarity", 6).alias("metric"),
+        (
+            (sim >= -1.000001) & (sim <= 1.000001)
+            & ~F.isnan(sim) & (F.col("word") != "data")
+        ).alias("invariant_ok"),
     )
     emb = _t(spark, sf_dir, "embeddings")
-    pca = pca_project(fit_pca(emb, k=8), emb)
+    model = fit_pca(emb, k=8)
+    pc = model.pc.toArray()  # d x k, driver-scale
+    ortho_err = float(np.abs(pc.T @ pc - np.eye(pc.shape[1])).max())
+    pca = pca_project(model, emb)
+    arr = vector_to_array("pca")
+    norm = F.sqrt(
+        F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
     norms = pca.select(
         F.lit("pca_norm").alias("kind"),
         F.col("vec_id").cast("string").alias("item"),
-        F.round(
-            F.sqrt(
-                F.aggregate(
-                    vector_to_array("pca"),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v * v,
-                )
-            ),
-            4,
-        ).alias("metric"),
+        F.round(norm, 4).alias("metric"),
+        (
+            (F.size(arr) == 8) & (norm >= 0)
+            & F.lit(ortho_err < 1e-6)
+        ).alias("invariant_ok"),
     )
     return syn.unionByName(norms)
 
@@ -1913,6 +1971,90 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_r16_percentile_bucket(spark, SF0001)
 
 
+def q_x4_doc_quality(spark, sf_dir):
+    """X4 full per-document quality audit (bench-only; pytest-covered):
+    text profile + Gopher word/repetition flags + per-language
+    unigram-LM score and CCNet bands, one wide frame per doc — the
+    signal surface a curation run audits before committing thresholds."""
+    from datamunging_spark.operators.text import document_quality_report
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return document_quality_report(d, group_col="lang")
+
+
+def q_x4_bigram_lm(spark, sf_dir):
+    """X4 interpolated unigram+bigram LM quality scoring (bench-only;
+    round-trip and conditional-distribution properties pytest-covered)."""
+    from datamunging_spark.operators.text import (
+        bigram_lm_fit,
+        lm_quality_score_interpolated,
+        unigram_lm_fit,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return lm_quality_score_interpolated(
+        d, unigram_lm_fit(d), bigram_lm_fit(d)
+    )
+
+
+def q_x6_scd2_apply(spark, sf_dir):
+    """X6+ incremental SCD-2 maintenance (bench-only; equality-vs-rebuild
+    pinned in pytest): dimension built from two synthesized customer
+    republishes, then ONE more snapshot applied incrementally — the
+    continuous-ingest step whose cost must track the open rows + the new
+    snapshot, never the closed history."""
+    from datamunging_spark.operators.history import (
+        scd2_apply_snapshot,
+        scd2_build,
+    )
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+
+    def snap(v):
+        return c.select(
+            "c_custkey",
+            F.when((F.col("c_custkey") + v) % 5 == 0, F.lit("S"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("seg"),
+            F.lit(v).alias("v"),
+        )
+
+    dim = scd2_build(
+        snap(1).unionByName(snap(2)), ["c_custkey"], ["seg"], "v"
+    )
+    return scd2_apply_snapshot(
+        dim, snap(3).select("c_custkey", "seg"), ["c_custkey"], ["seg"], 3
+    )
+
+
+def q_x6_extract_changelog(spark, sf_dir):
+    """X6+ republish→CDC inverse (bench-only; apply∘extract identity
+    pytest-pinned): diff two customer republishes (every 13th key
+    deleted, every 7th segment changed) into the slim changelog."""
+    from datamunging_spark.operators.history import extract_changelog
+
+    old = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    new = old.filter(F.col("c_custkey") % 13 != 0).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("CHANGED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    return extract_changelog(old, new, ["c_custkey"], version=2)
+
+
+def q_x6_blocking_report(spark, sf_dir):
+    """X6 blocking-key diagnosis (bench-only): one-row profile of
+    customer blocked on nation — block sizes, implied candidate pairs,
+    valve drop counts."""
+    from datamunging_spark.operators.entity import blocking_report
+
+    c = _t(spark, sf_dir, "customer")
+    return blocking_report(c, F.col("c_nationkey"), max_block=1000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Capped at 50 entries by the driver gate. Retired-to-bench-only (still
     # exercised every round via bench.py and pytest, and their q_* functions
@@ -2008,11 +2150,30 @@ def oracle_sql() -> dict[str, str]:
         for i, lab in enumerate(labels)
     )
     return {
-        "r19_quality_report": (
-            "SELECT source, count(*) AS cnt FROM documents "
-            "WHERE nullif(regexp_extract(source, '^(src[0-9])$', 1), '') IS NULL "
-            "GROUP BY source"
-        ),
+        "r19_quality_report": """
+            SELECT 'regex_fail' AS branch, source AS key, count(*) AS cnt
+            FROM documents
+            WHERE nullif(regexp_extract(source, '^(src[0-9])$', 1), '') IS NULL
+            GROUP BY source
+            UNION ALL
+            SELECT 'dup_key', source, count(*) FROM documents
+            GROUP BY source HAVING count(*) > 1
+            UNION ALL
+            SELECT 'orphan_fk', CAST(o_custkey AS VARCHAR), count(*)
+            FROM orders
+            WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                    WHERE c_custkey % 10 != 0)
+            GROUP BY o_custkey
+            UNION ALL
+            SELECT 'accepted_values', lang, count(*) FROM documents
+            WHERE lang IS NULL OR lang NOT IN ('en', 'de', 'fr')
+            GROUP BY lang
+            UNION ALL
+            SELECT 'range', source, count(*) FROM documents
+            WHERE n_chars IS NULL OR NOT (n_chars >= 0 AND n_chars <= 400)
+            GROUP BY source
+        """,
         "quality_summary": """
             SELECT count(*) AS total_rows,
                    CAST(sum(CASE WHEN nullif(regexp_extract(source, '^(src[0-9])$', 1), '') IS NULL

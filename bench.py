@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "x4_gopher_gates",
     "x4_census",
     "x4_lm_quality",
+    "x4_doc_quality",
+    "x4_bigram_lm",
     "x1_semantic_dedup",
     "x2_pq_topk",
     "x2_sq8_roundtrip",
@@ -76,6 +78,9 @@ BENCH_QUERIES = [
     "x6_entity_resolution",
     "x6_er_pipeline",
     "x6_snapshot_history",
+    "x6_scd2_apply",
+    "x6_extract_changelog",
+    "x6_blocking_report",
     "x4_vocab",
     "x7_event_suite",
 ]

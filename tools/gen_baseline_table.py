@@ -43,6 +43,11 @@ NOTES: dict[str, tuple[str, str]] = {
     "x1_content_hash": ("X1 exact dedup hash", "—"),
     "x1_minhash_pairs": ("X1 MinHash-LSH candidates", "—"),
     "x1_simhash": ("X1 SimHash, 5000 docs", "—"),
+    "x1_span_dedup": (
+        "X1 exact-substring span dedup + residual invariant (winnowing "
+        "fp join, added r7)",
+        "—",
+    ),
     "x1_embedding_neardup": ("X1 embedding-cosine", "—"),
     "x2_topk_cosine": ("X2 brute-force top-k", "—"),
     "x2_ann_lsh": ("X2 ANN, 16 hyperplane tables", "—"),
@@ -104,6 +109,14 @@ NOTES: dict[str, tuple[str, str]] = {
         "—",
     ),
     "x4_vocab": ("top-500 vocab + OOV coverage", "—"),
+    "x4_doc_quality": (
+        "full per-doc quality audit (profile+Gopher+LM bands), added r7",
+        "—",
+    ),
+    "x4_bigram_lm": ("interpolated uni+bigram LM score, added r7", "—"),
+    "x6_scd2_apply": ("incremental SCD-2 one-snapshot step, added r7", "—"),
+    "x6_extract_changelog": ("republish→CDC diff, added r7", "—"),
+    "x6_blocking_report": ("blocking-key profile, added r7", "—"),
     "x7_event_suite": (
         "funnel + cohort retention + interval-overlap join",
         "—",
