@@ -12,6 +12,11 @@ for operators whose contract says cost tracks a controllable knob:
   corpus for a fixed probe set.
 * PQ encode + ADC search: one Arrow pass each over the corpus/codes —
   linear in vectors for a fixed query batch.
+* span dedup (r7): fingerprints are linear in corpus chars; candidate
+  pairs track genuine duplicate MASS, not corpus size. Probe: 10x the
+  corpus where each copy's text is alphabet-rotated (so copies share no
+  content and the duplicate mass merely replicates 10x) — wall-time
+  should scale ~linearly, NOT quadratically in copies.
 
 Usage: python tools/measure_new_ops_scale.py [sf_dir]
 """
@@ -112,6 +117,26 @@ def main():
 
     timed("PQ encode+ADC search 1x vectors", lambda: pq(emb))
     timed("PQ encode+ADC search 10x vectors", lambda: pq(emb10))
+
+    from datamunging_spark.operators.spandedup import shared_span_pairs
+
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    rotated = [
+        docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(k * 10_000_000)
+        ).withColumn(
+            "text", F.translate("text", alpha, alpha[k:] + alpha[:k])
+        )
+        for k in range(10)
+    ]
+    docs10r = rotated[0]
+    for c in rotated[1:]:
+        docs10r = docs10r.unionByName(c)
+    docs10r = docs10r.localCheckpoint()
+    timed("span-dedup pairs 1x corpus", lambda: shared_span_pairs(
+        docs, gram=24).count())
+    timed("span-dedup pairs 10x corpus (rotated copies)",
+          lambda: shared_span_pairs(docs10r, gram=24).count())
 
 
 if __name__ == "__main__":
