@@ -347,3 +347,18 @@ def test_plan_summary_counts(spark, tables):
         tables["orders"].o_custkey == tables["customer"].c_custkey,
     )
     assert plan_summary(joined)["cartesian"] is False
+
+
+def test_span_dedup_candidates_are_equi_join_not_cartesian(spark, tables):
+    """Span-dedup candidate generation must be a fingerprint equi-join
+    (the winnowing design point) — never CartesianProduct /
+    BroadcastNestedLoopJoin, which would be the all-pairs suffix-array
+    comparison the operator exists to avoid."""
+    from datamunging_spark.operators.spandedup import shared_span_pairs
+
+    docs = tables["documents"].select("doc_id", "text")
+    plan = _plan(
+        shared_span_pairs(docs, min_span=50, gram=24, materialize=False)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
