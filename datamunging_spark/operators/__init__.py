@@ -6,6 +6,7 @@
   ml          — Word2Vec/PCA/projection (R38-R41)
   dedup       — exact + MinHash/SimHash/Jaccard near-dup (X1)
   spandedup   — cross-document exact-substring span dedup (X1, Lee et al.)
+  bloom       — distributed Bloom build + probe (anti-join prefilter)
   similarity  — brute-force & LSH top-k vector search (X2)
   quality     — rule→invalid-rows validation reports (README.md:126-132 shape)
   multimodal  — binary payload columns + mapInPandas feature/resize (X3)

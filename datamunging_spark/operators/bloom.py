@@ -1,0 +1,184 @@
+"""Distributed Bloom filter build + vectorized membership probe — the
+classic shuffle-avoidance primitive for continuous ingest: a batch row
+whose key the filter rejects is DEFINITELY not in history, so only the
+(tiny) might-contain remainder needs the exact anti-join. Spark's own
+runtime row-group filtering uses the same trick internally
+(`bloom_filter_agg`/`might_contain`), but those expressions are not
+exposed to SQL/PySpark — this is the engine-level face.
+
+Design: values are hashed ONCE JVM-side (``F.xxhash64`` — stays in
+codegen), and the k bit positions derive from that 64-bit hash by
+Kirsch-Mitzenmacher double hashing (pos_i = h1 + i*h2 mod m), so the
+Python build and probe share one position function with no Python-side
+value hashing. The build ORs per-partition bitmaps in CHUNKS
+((chunk_id, bytes) rows, all-zero chunks skipped): partials combine in
+a keyed aggregate — never P full bitmaps in one task — and the driver
+assembles at most m/8 bytes. A 1e9-key filter at 1% fpp is ~1.2 GB:
+chunked build keeps every task at ``chunk_bytes``, and the probe ships
+the assembled filter to executors once via a broadcast variable.
+"""
+
+# NB: no `from __future__ import annotations` — pandas_udf resolves real
+# type objects at decoration time.
+
+import math
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class BloomFilter(NamedTuple):
+    """Immutable built filter: ``bits`` (little bitmap, len m/8), the
+    bit-space size ``m`` (multiple of 8) and hash count ``k``."""
+
+    bits: bytes
+    m: int
+    k: int
+
+
+def _mix(h):
+    """splitmix64 finalizer — derives the second hash stream from the
+    JVM xxhash64 value; numpy uint64 arithmetic wraps mod 2^64."""
+    import numpy as np
+
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
+def _positions(h, k, m):
+    """(n, k) array of bit positions for hash vector ``h`` — the ONE
+    definition build and probe share (Kirsch-Mitzenmacher: two streams
+    simulate k independent hashes with no quality loss)."""
+    import numpy as np
+
+    h1 = h.astype(np.uint64)
+    h2 = _mix(h1) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)
+
+
+def bloom_params(num_items: int, fpp: float) -> tuple[int, int]:
+    """Optimal (m bits, k hashes) for ``num_items`` at ``fpp`` — the
+    standard formulas, m rounded up to a whole byte."""
+    if num_items < 1:
+        raise ValueError(f"num_items must be >= 1, got {num_items}")
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
+    m = max(8, math.ceil(-num_items * math.log(fpp) / (math.log(2) ** 2)))
+    m = (m + 7) // 8 * 8
+    k = max(1, round(m / num_items * math.log(2)))
+    return m, k
+
+
+def bloom_build(
+    df: DataFrame,
+    cols: list[str],
+    num_items: int | None = None,
+    fpp: float = 0.01,
+    chunk_bytes: int = 1 << 23,
+) -> BloomFilter:
+    """Build a Bloom filter over the value tuples of ``cols``.
+
+    ``num_items`` sizes the filter (defaults to ``df.count()`` — pass it
+    explicitly when the plan is expensive to execute twice). Plan: one
+    JVM xxhash64 projection → per-partition chunked bitmaps
+    (``mapInPandas``, all-zero chunks skipped) → one groupBy(chunk) OR →
+    driver assembly of m/8 bytes. Two jobs (optional count + build), one
+    slim shuffle whose volume is ≤ partitions × live chunks.
+    """
+    if num_items is None:
+        num_items = df.count()
+    if num_items == 0:
+        m, k = bloom_params(1, fpp)
+        return BloomFilter(bytes(m // 8), m, k)
+    m, k = bloom_params(num_items, fpp)
+    n_bytes = m // 8
+    chunk = min(chunk_bytes, n_bytes)
+
+    hashes = df.select(F.xxhash64(*[F.col(c) for c in cols]).alias("_h"))
+    schema = T.StructType(
+        [
+            T.StructField("chunk_id", T.IntegerType()),
+            T.StructField("bits", T.BinaryType()),
+        ]
+    )
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        bitmap = np.zeros(n_bytes, dtype=np.uint8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pos = _positions(pdf["_h"].to_numpy(np.int64).view(np.uint64),
+                             k, m).ravel()
+            np.bitwise_or.at(
+                bitmap, (pos >> np.uint64(3)).astype(np.int64),
+                np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8),
+            )
+        ids, bufs = [], []
+        for cid in range(0, n_bytes, chunk):
+            piece = bitmap[cid : cid + chunk]
+            if piece.any():
+                ids.append(cid // chunk)
+                bufs.append(piece.tobytes())
+        if ids:
+            yield pd.DataFrame({"chunk_id": ids, "bits": bufs})
+
+    def merge(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        acc = None
+        for b in pdf["bits"]:
+            arr = np.frombuffer(b, dtype=np.uint8)
+            acc = arr.copy() if acc is None else (acc | arr)
+        return pd.DataFrame(
+            {"chunk_id": [key[0]], "bits": [acc.tobytes()]}
+        )
+
+    merged = (
+        hashes.mapInPandas(build, schema)
+        .groupBy("chunk_id")
+        .applyInPandas(merge, schema)
+        .collect()
+    )
+    bitmap = bytearray(n_bytes)
+    for row in merged:
+        off = row["chunk_id"] * chunk
+        bitmap[off : off + len(row["bits"])] = row["bits"]
+    return BloomFilter(bytes(bitmap), m, k)
+
+
+def bloom_might_contain(bloom: BloomFilter, *cols) -> Column:
+    """Boolean Column: True when the value tuple MIGHT be in the filter
+    (false positives at ≈ fpp), False when it is DEFINITELY absent — the
+    prefilter predicate. Hashing stays JVM-side (xxhash64); the bit probe
+    is a vectorized Arrow ``pandas_udf`` reading the filter from a
+    broadcast variable (shipped to each executor once, not per task)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    spark = SparkSession.getActiveSession()
+    bc = spark.sparkContext.broadcast((bloom.bits, bloom.m, bloom.k))
+
+    @pandas_udf(T.BooleanType())
+    def probe(h):
+        import numpy as np
+        import pandas as pd
+
+        bits, m, k = bc.value
+        bitmap = np.frombuffer(bits, dtype=np.uint8)
+        if not len(h):
+            return pd.Series([], dtype=bool)
+        pos = _positions(h.to_numpy(np.int64).view(np.uint64), k, m)
+        byte = (pos >> np.uint64(3)).astype(np.int64)
+        mask = np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)
+        return pd.Series(((bitmap[byte] & mask) != 0).all(axis=1))
+
+    return probe(F.xxhash64(*[F.col(c) if isinstance(c, str) else c
+                              for c in cols]))

@@ -237,6 +237,58 @@ def salted_join(
     return out.drop("_salt")
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: split every join key into ``n_salt``
+    sub-keys so one hot key's rows spread over ``n_salt`` tasks instead
+    of landing in one straggler. The ``big`` (skewed) side gets a
+    DETERMINISTIC salt (xxhash64 of the whole row mod n_salt — no
+    ``rand()``, so retried tasks and re-runs produce identical
+    partitioning); the ``small`` side replicates across all n_salt
+    values (bounded ``explode``, x n_salt rows). Result is row-identical
+    to ``big.join(small, keys, how)`` for ``inner`` and ``left`` — the
+    only ``how`` values accepted, because right/outer semantics break
+    under replication (an unmatched small-side row would surface
+    n_salt times).
+
+    When to reach for it: AQE's skew-join split (on by default) already
+    handles most sort-merge skew at runtime — prefer that. Salting is
+    the portable fallback for the cases AQE cannot re-plan: skew inside
+    a single giant key that must ALSO aggregate downstream, engines/
+    modes without AQE, or bucketed/co-located joins where the runtime
+    split would destroy the co-location. Cost is explicit: the small
+    side shuffles/broadcasts n_salt-fold.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r} "
+            "(right/outer would duplicate unmatched small-side rows "
+            "n_salt times under replication)"
+        )
+    if n_salt < 1:
+        raise ValueError(f"n_salt must be >= 1, got {n_salt}")
+    overlap = (set(big.columns) & set(small.columns)) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"non-key column collision {sorted(overlap)}: alias before "
+            "joining (same contract as Spark's own join)"
+        )
+    b = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
+               F.lit(n_salt)).cast("int"),
+    )
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return b.join(s, [*keys, "_salt"], how).drop("_salt")
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,

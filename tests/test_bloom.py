@@ -1,0 +1,114 @@
+"""Bloom filter build/probe — no false negatives ever, false positives
+bounded, chunked build correctness, and the incremental-dedup prefilter
+composition it exists for."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datamunging_spark.operators.bloom import (
+    BloomFilter,
+    bloom_build,
+    bloom_might_contain,
+    bloom_params,
+)
+
+
+def test_bloom_params_sane():
+    m, k = bloom_params(1000, 0.01)
+    assert m % 8 == 0 and m > 9000  # ~9.6 bits/key at 1%
+    assert 5 <= k <= 10
+    with pytest.raises(ValueError):
+        bloom_params(0, 0.01)
+    with pytest.raises(ValueError):
+        bloom_params(10, 1.5)
+
+
+def test_no_false_negatives_and_bounded_fpp(spark):
+    inserted = spark.range(0, 2000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("s")
+    )
+    bloom = bloom_build(inserted, ["s"], fpp=0.01)
+    # every inserted key MUST hit
+    hits = inserted.filter(bloom_might_contain(bloom, "s")).count()
+    assert hits == 2000
+    # disjoint probe set: false-positive rate near nominal (generous 5x)
+    probes = spark.range(100000, 110000).select(
+        F.concat(F.lit("key-"), F.col("id")).alias("s")
+    )
+    fp = probes.filter(bloom_might_contain(bloom, "s")).count()
+    assert fp <= 0.05 * 10000
+
+
+def test_empty_build_rejects_everything(spark):
+    empty = spark.createDataFrame([], "s string")
+    bloom = bloom_build(empty, ["s"])
+    probes = spark.createDataFrame([("a",), ("b",)], "s string")
+    assert probes.filter(bloom_might_contain(bloom, "s")).count() == 0
+
+
+def test_chunked_build_matches_single_chunk(spark):
+    df = spark.range(0, 500).select(
+        F.concat(F.lit("v"), F.col("id")).alias("s")
+    )
+    whole = bloom_build(df, ["s"], num_items=500, fpp=0.01)
+    chunked = bloom_build(
+        df, ["s"], num_items=500, fpp=0.01, chunk_bytes=64
+    )
+    assert whole == chunked  # same bits regardless of chunking
+
+
+def test_multi_column_keys(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "i int, s string")
+    bloom = bloom_build(df, ["i", "s"])
+    probe = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b")], "i int, s string"
+    )
+    got = {
+        (r.i, r.s)
+        for r in probe.filter(bloom_might_contain(bloom, "i", "s")).collect()
+    }
+    assert (1, "a") in got and (2, "b") in got
+    # cross-pairings are absent (tuple hashing, not per-column)
+    assert len(got) <= 3
+
+
+def test_incremental_dedup_prefilter_composition(spark):
+    """The operator's reason to exist: prefilter a batch against the
+    history filter so only might-contain rows pay the exact anti-join —
+    final survivors identical to the plain anti-join."""
+    hist = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(500)], "doc_id int, text string"
+    )
+    batch = spark.createDataFrame(
+        # 10 re-ingested + 490 new
+        [(1000 + i, f"doc {i}") for i in range(10)]
+        + [(2000 + i, f"fresh {i}") for i in range(490)],
+        "doc_id int, text string",
+    )
+    hist_hashes = hist.select(F.md5("text").alias("h"))
+    bloom = bloom_build(hist_hashes, ["h"], num_items=500)
+
+    b = batch.withColumn("_h", F.md5("text"))
+    maybe = b.filter(bloom_might_contain(bloom, "_h"))
+    definite_new = b.filter(~bloom_might_contain(bloom, "_h"))
+    survivors = definite_new.unionByName(
+        maybe.join(hist_hashes, maybe["_h"] == hist_hashes["h"],
+                   "left_anti")
+    ).drop("_h")
+
+    plain = batch.withColumn("_h", F.md5("text")).join(
+        hist_hashes,
+        F.col("_h") == F.col("h"),
+        "left_anti",
+    ).drop("_h")
+    assert sorted(map(tuple, survivors.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # and the anti-join side really shrank (no false-negative leak back)
+    assert maybe.count() < 50
+
+
+def test_bloomfilter_is_value_type():
+    a = BloomFilter(b"\x00" * 8, 64, 3)
+    b = BloomFilter(b"\x00" * 8, 64, 3)
+    assert a == b

@@ -550,3 +550,51 @@ def test_interval_join_hot_bucket_valve(spark):
     # earliest 2 per side by (start, end): lid 0,1 x rid 0,1
     got = sorted((r.lid, r.rid) for r in capped.collect())
     assert got == [(0, 0), (0, 1), (1, 0), (1, 1)]
+
+
+def test_salted_join_matches_plain_join(spark):
+    from datamunging_spark.operators.relational import salted_join
+
+    big = spark.createDataFrame(
+        [(k % 3, i) for i, k in enumerate(range(300))], "k int, v int"
+    )
+    small = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (9, "z")], "k int, tag string"
+    )
+    for how in ("inner", "left"):
+        got = sorted(
+            map(tuple, salted_join(big, small, ["k"], n_salt=4,
+                                   how=how).collect())
+        )
+        want = sorted(map(tuple, big.join(small, ["k"], how).collect()))
+        assert got == want
+    # determinism: same salt assignment across runs
+    a = salted_join(big, small, ["k"], n_salt=4).count()
+    b = salted_join(big, small, ["k"], n_salt=4).count()
+    assert a == b == 200
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        salted_join(big, small, ["k"], how="right")
+    with _pytest.raises(ValueError):
+        salted_join(big, small, ["k"], n_salt=0)
+    with _pytest.raises(ValueError):
+        salted_join(big.withColumn("tag", F.lit("x")), small, ["k"])
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key's rows must land in more than one salt bucket — the
+    point of the operator."""
+    from datamunging_spark.operators.relational import salted_join
+
+    hot = spark.createDataFrame(
+        [(1, i) for i in range(1000)], "k int, v int"
+    )
+    dim = spark.createDataFrame([(1, "hot")], "k int, tag string")
+    out = salted_join(hot, dim, ["k"], n_salt=8)
+    assert out.count() == 1000
+    n_buckets = (
+        hot.selectExpr("pmod(xxhash64(k, v), 8) AS s")
+        .select("s").distinct().count()
+    )
+    assert n_buckets > 1
