@@ -182,3 +182,24 @@ def bloom_might_contain(bloom: BloomFilter, *cols) -> Column:
 
     return probe(F.xxhash64(*[F.col(c) if isinstance(c, str) else c
                               for c in cols]))
+
+
+def bloom_or(a: BloomFilter, b: BloomFilter) -> BloomFilter:
+    """OR-merge two filters built with the SAME (m, k) — how a
+    continuous-ingest loop maintains its history filter incrementally:
+    build a batch-sized filter per ingest and fold it in, never
+    re-scanning history. (The merged filter's fpp corresponds to the
+    TOTAL inserted count — size the original m for the expected history,
+    exactly like a single build.) Parameter drift raises, mirroring
+    advance_snapshot's signature-stamp contract."""
+    import numpy as np
+
+    if (a.m, a.k) != (b.m, b.k):
+        raise ValueError(
+            f"cannot OR-merge Bloom filters with different parameters: "
+            f"(m={a.m}, k={a.k}) vs (m={b.m}, k={b.k})"
+        )
+    merged = np.frombuffer(a.bits, dtype=np.uint8) | np.frombuffer(
+        b.bits, dtype=np.uint8
+    )
+    return BloomFilter(merged.tobytes(), a.m, a.k)

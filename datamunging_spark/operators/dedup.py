@@ -136,6 +136,7 @@ def incremental_dedup(
     hash_col: str = "content_hash",
     within_batch: bool = True,
     seen_distinct: bool = False,
+    bloom=None,
 ) -> DataFrame:
     """Dedup a NEW ingest batch against a prior :func:`content_snapshot`,
     then (by default) within the batch itself — the standard continuous-
@@ -153,11 +154,26 @@ def incremental_dedup(
     Near-dup incrementality is :func:`incremental_minhash_dedup` (same
     pattern one level up, with a signature snapshot); exact-only here
     keeps this operator oracle-deterministic.
+
+    ``bloom`` (a :class:`~datamunging_spark.operators.bloom.BloomFilter`
+    built over the snapshot's ``hash_col``, maintainable per batch via
+    ``bloom_or``) prefilters the batch: rows the filter rejects are
+    DEFINITELY new and skip the anti-join entirely, so only the
+    might-contain remainder (≈ true dupes + fpp of the new mass) probes
+    the history — results identical by the no-false-negative guarantee,
+    with the join's batch side ~100× slimmer on mostly-new batches.
     """
     _hash_tmp_guard(new_df)
     hashed = new_df.withColumn(
         _HASH_TMP, F.md5(F.coalesce(normalize_text(text_col), F.lit("")))
     )
+    definitely_new = None
+    if bloom is not None:
+        from datamunging_spark.operators.bloom import bloom_might_contain
+
+        maybe = bloom_might_contain(bloom, _HASH_TMP)
+        definitely_new = hashed.filter(~maybe).drop(_HASH_TMP)
+        hashed = hashed.filter(maybe)
     # seen_distinct: content_snapshot/advance_snapshot output is distinct
     # by construction, and an anti-join is set-semantics anyway — the
     # defensive distinct only matters for caller-built snapshots with
@@ -173,6 +189,8 @@ def incremental_dedup(
         on=_HASH_TMP,
         how="left_anti",
     ).drop(_HASH_TMP)
+    if definitely_new is not None:
+        fresh = definitely_new.unionByName(fresh)
     return exact_dedup(fresh, text_col, id_col) if within_batch else fresh
 
 

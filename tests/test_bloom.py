@@ -112,3 +112,64 @@ def test_bloomfilter_is_value_type():
     a = BloomFilter(b"\x00" * 8, 64, 3)
     b = BloomFilter(b"\x00" * 8, 64, 3)
     assert a == b
+
+
+def test_bloom_or_merge_and_drift(spark):
+    from datamunging_spark.operators.bloom import bloom_or
+
+    a_df = spark.createDataFrame([("a",), ("b",)], "s string")
+    c_df = spark.createDataFrame([("c",), ("d",)], "s string")
+    a = bloom_build(a_df, ["s"], num_items=100)
+    c = bloom_build(c_df, ["s"], num_items=100)
+    merged = bloom_or(a, c)
+    probe = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",)], "s string"
+    )
+    assert probe.filter(bloom_might_contain(merged, "s")).count() == 4
+    other = bloom_build(a_df, ["s"], num_items=5000)  # different m
+    with pytest.raises(ValueError):
+        bloom_or(a, other)
+
+
+def test_incremental_dedup_bloom_param_identical_results(spark):
+    """incremental_dedup(bloom=...) must return exactly the plain-path
+    survivors, across two loop iterations with bloom_or maintenance."""
+    from datamunging_spark.operators.bloom import bloom_or
+    from datamunging_spark.operators.dedup import (
+        content_snapshot,
+        incremental_dedup,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(300)],
+        "doc_id int, text string",
+    )
+    snap = content_snapshot(hist).localCheckpoint()
+    bloom = bloom_build(snap, ["content_hash"], num_items=1000)
+
+    batch1 = spark.createDataFrame(
+        [(1000 + i, f"doc number {i}") for i in range(5)]      # dupes
+        + [(3000 + i, f"novel text {i}") for i in range(200)],  # new
+        "doc_id int, text string",
+    )
+    plain = incremental_dedup(batch1, snap)
+    fast = incremental_dedup(batch1, snap, bloom=bloom)
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+    # loop maintenance: fold batch1's survivors into snapshot + bloom
+    surv_snap = content_snapshot(fast)
+    snap2 = snap.unionByName(surv_snap).localCheckpoint()
+    bloom2 = bloom_or(
+        bloom, bloom_build(surv_snap, ["content_hash"], num_items=1000)
+    )
+    batch2 = spark.createDataFrame(
+        [(5000, "novel text 3"), (5001, "really fresh")],  # 1 dup vs b1
+        "doc_id int, text string",
+    )
+    plain2 = incremental_dedup(batch2, snap2)
+    fast2 = incremental_dedup(batch2, snap2, bloom=bloom2)
+    got = sorted(map(tuple, fast2.collect()))
+    assert got == sorted(map(tuple, plain2.collect()))
+    assert got == [(5001, "really fresh")]
