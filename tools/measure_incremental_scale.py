@@ -90,6 +90,31 @@ def main() -> None:
             f"[{min(samples):.2f}, {max(samples):.2f}] |"
         )
 
+    # Bloom prefilter (r7): the scale-relevant number is how many batch
+    # rows still reach the exact anti-join — wall-time at local sf is
+    # overhead-bound either way. Expectation: ~200 (the planted dupes +
+    # near-dups sharing history hashes... exact copies only) + fpp*800.
+    from datamunging_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+    from datamunging_spark.functions import normalize_text
+
+    snap = content_snapshot(docs).localCheckpoint()
+    bloom = bloom_build(snap, ["content_hash"], fpp=0.01)
+    probed = batch.withColumn(
+        "_h", F.md5(F.coalesce(normalize_text("text"), F.lit("")))
+    )
+    n_maybe = probed.filter(bloom_might_contain(bloom, "_h")).count()
+    out_plain = incremental_dedup(batch, snap).count()
+    out_bloom = incremental_dedup(batch, snap, bloom=bloom).count()
+    print()
+    print(
+        f"Bloom prefilter: {n_maybe}/{BATCH_N} batch rows reach the "
+        f"anti-join (rest are definitely-new); survivors "
+        f"{out_bloom} == plain {out_plain}: {out_bloom == out_plain}"
+    )
+
 
 if __name__ == "__main__":
     main()
