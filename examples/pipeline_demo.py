@@ -70,6 +70,33 @@ def main() -> None:
     ).localCheckpoint()
     print(f"curated: {docs.count()} -> {curated.count()} docs")
 
+    # 3b. span-level exact-substring dedup: cut verbatim cross-document
+    #     spans >= 40 chars (licence blocks, boilerplate) from all but
+    #     the earliest holder — the Lee et al. 2022 step after doc-level
+    #     dedup
+    from datamunging_spark.operators.spandedup import span_dedup
+
+    curated = span_dedup(curated, min_span=40, gram=24).localCheckpoint()
+    print(f"after span dedup: {curated.count()} docs (text trimmed in place)")
+
+    # 3c. continuous-ingest preview: a Bloom filter over the curated
+    #     corpus hashes prefilters the next crawl batch — rows it rejects
+    #     are definitely new and skip the anti-join
+    from datamunging_spark.operators.bloom import bloom_build
+    from datamunging_spark.operators.dedup import (
+        content_snapshot,
+        incremental_dedup,
+    )
+
+    snap = content_snapshot(curated).localCheckpoint()
+    bloom = bloom_build(snap, ["content_hash"])
+    next_batch = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    survivors = incremental_dedup(next_batch, snap, bloom=bloom)
+    print(
+        f"re-crawl of the raw corpus vs curated snapshot: "
+        f"{next_batch.count()} -> {survivors.count()} genuinely new docs"
+    )
+
     # 4. train-set assembly: leakage-safe split + token budget
     splits = split_dataset(
         curated, {"train": 0.9, "val": 0.1}, id_cols=["doc_id"]
