@@ -117,6 +117,29 @@ def test_hot_fingerprint_valve_drops_boilerplate(spark):
     assert shared_span_pairs(df, max_fp_df=None).count() == 8 * 7 // 2
 
 
+def test_max_pairs_per_doc_valve(spark):
+    """A doc matching many partners keeps only its earliest
+    max_pairs_per_doc pairs — deterministic, and off by default."""
+    rows = [(0, A + SHARED)] + [
+        (i, f"doc number {i} says " + SHARED) for i in range(1, 7)
+    ]
+    df = _mk(spark, rows)
+    full = shared_span_pairs(df, max_fp_df=None)
+    assert full.count() == 7 * 6 // 2
+    capped = shared_span_pairs(df, max_fp_df=None, max_pairs_per_doc=2)
+    got = sorted((r.doc_a, r.doc_b) for r in capped.collect())
+    # doc 0 keeps partners 1,2; each later doc keeps at most 2 pairs on
+    # either side
+    assert (0, 1) in got and (0, 2) in got and (0, 6) not in got
+    from collections import Counter
+
+    per_doc = Counter()
+    for da, db in got:
+        per_doc[da] += 1
+        per_doc[db] += 1
+    assert max(per_doc.values()) <= 4  # ≤ cap per side
+
+
 def test_short_and_null_docs_skipped(spark):
     df = _mk(spark, [(1, None), (2, "tiny"), (3, A + SHARED + B)])
     assert winnow_fingerprints(df).filter("doc_id < 3").count() == 0
