@@ -154,23 +154,61 @@ def bloom_build(
     return BloomFilter(bytes(bitmap), m, k)
 
 
+# One broadcast per distinct filter per application: repeated
+# bloom_might_contain calls with the SAME filter (every micro-batch of a
+# loop between bloom_or folds) must not stack fresh copies of a
+# potentially-GB bitmap on the driver and executors. Keyed by content
+# digest, released explicitly via bloom_release when a loop advances
+# its filter.
+_BC_CACHE: dict = {}
+
+
+def _bloom_key(spark, bloom: BloomFilter):
+    import hashlib
+
+    return (
+        spark.sparkContext.applicationId,
+        hashlib.sha1(bloom.bits).hexdigest(),
+        bloom.m,
+        bloom.k,
+    )
+
+
+def bloom_release(bloom: BloomFilter) -> bool:
+    """Unpersist the broadcast backing ``bloom``'s probe predicate (if
+    one exists) — call when a long-running loop advances its filter via
+    ``bloom_or`` so retired bitmaps do not accumulate for the session
+    lifetime. Queries still holding the old predicate must have finished.
+    Returns True when a broadcast was released."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    bc = _BC_CACHE.pop(_bloom_key(spark, bloom), None)
+    if bc is None:
+        return False
+    bc.unpersist()
+    return True
+
+
 def bloom_might_contain(bloom: BloomFilter, *cols) -> Column:
     """Boolean Column: True when the value tuple MIGHT be in the filter
     (false positives at ≈ fpp), False when it is DEFINITELY absent — the
     prefilter predicate. Hashing stays JVM-side (xxhash64); the bit probe
     is a vectorized Arrow ``pandas_udf`` reading the filter from a
-    broadcast variable (shipped to each executor once, not per task).
-
-    Each CALL creates one broadcast that lives until the session ends —
-    reuse the returned Column across predicates over the same filter
-    (incremental_dedup does: one call, two filters) instead of re-calling
-    per use, and in a long-running loop rebuild the predicate only when
-    the filter itself advances (e.g. after a ``bloom_or`` fold)."""
+    broadcast variable. The broadcast is CACHED per distinct filter per
+    application (content-keyed), so calling this every micro-batch with
+    an unchanged filter reuses one executor-resident copy; when the loop
+    folds a new batch in with ``bloom_or``, release the retired filter
+    with :func:`bloom_release`."""
     from pyspark.sql import SparkSession
     from pyspark.sql.functions import pandas_udf
 
     spark = SparkSession.getActiveSession()
-    bc = spark.sparkContext.broadcast((bloom.bits, bloom.m, bloom.k))
+    key = _bloom_key(spark, bloom)
+    bc = _BC_CACHE.get(key)
+    if bc is None:
+        bc = spark.sparkContext.broadcast((bloom.bits, bloom.m, bloom.k))
+        _BC_CACHE[key] = bc
 
     @pandas_udf(T.BooleanType())
     def probe(h):

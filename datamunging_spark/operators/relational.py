@@ -218,27 +218,6 @@ def asof_join(
 
 def salted_join(
     big: DataFrame,
-    skewed_small: DataFrame,
-    on: str,
-    salt_buckets: int = 16,
-    how: str = "inner",
-) -> DataFrame:
-    """Skew-hygiene helper (SURVEY.md §4): salt the big side's hot keys and
-    explode the small side across ``salt_buckets`` replicas. Prefer AQE's
-    built-in skew-join; this is the explicit fallback for persistent hot keys.
-    """
-    big_salted = big.withColumn(
-        "_salt", (F.rand(seed=7) * salt_buckets).cast("int")
-    )
-    small_exploded = skewed_small.withColumn(
-        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
-    )
-    out = big_salted.join(small_exploded, on=[on, "_salt"], how=how)
-    return out.drop("_salt")
-
-
-def salted_join(
-    big: DataFrame,
     small: DataFrame,
     keys: list[str],
     n_salt: int = 16,
@@ -669,9 +648,13 @@ def interval_join(
     Hot-bucket valve: a bucket holding k_l × k_r overlapping spans (one
     bot user's 10^8 sessions all in one hour) does quadratic work in
     that one task. ``max_rows_per_bucket`` keeps each bucket's first k
-    rows PER SIDE (deterministic (start, end) order); pairs involving
-    rows beyond the cap are dropped — the explicit trade, same contract
-    as ``max_block``.
+    rows PER SIDE, ordered by (start, end, xxhash64(all columns)) — the
+    hash tie-break makes the surviving set deterministic even when
+    several spans share identical endpoints (a bot emits duplicates);
+    pairs involving rows beyond the cap are dropped — the explicit
+    trade, same contract as ``max_block``. (With the valve on, every
+    column of both sides must be xxhash64-hashable — true for all scalar
+    and array types; maps are not.)
     """
     w = float(bucket_width)
     if w <= 0:
@@ -695,13 +678,15 @@ def interval_join(
     l = cap_rows_per_key(
         left.withColumn("_ibl", lb),
         ["_ibl"],
-        [left_start, left_end],
+        [left_start, left_end,
+         F.xxhash64(*[F.col(c) for c in left.columns])],
         max_rows_per_bucket,
     )
     r = cap_rows_per_key(
         right.withColumn("_ibr", rb),
         ["_ibr"],
-        [right_start, right_end],
+        [right_start, right_end,
+         F.xxhash64(*[F.col(c) for c in right.columns])],
         max_rows_per_bucket,
     )
     canonical = F.floor(
@@ -719,7 +704,7 @@ def interval_join(
 def cap_rows_per_key(
     df: DataFrame,
     key_cols: list[str],
-    order_cols: list[str],
+    order_cols: list,
     k: int | None,
 ) -> DataFrame:
     """Deterministic earliest-``k`` valve: keep each key's first ``k``
@@ -730,8 +715,11 @@ def cap_rows_per_key(
     interval bucket's pairwise matches) need a hard bound on that key.
     ``k=None`` is a no-op. One window over the key exchange the caller
     was about to pay anyway (sort spills to disk — never an in-memory
-    array of the hot key); make ``order_cols`` a total order for
-    byte-stable results."""
+    array of the hot key); make ``order_cols`` (names or Columns) a
+    total order for byte-stable results — or at least value-total:
+    rows tied on every order column AND every payload column are
+    interchangeable, so the surviving multiset stays deterministic
+    (funnel's (ts, type) order relies on exactly that)."""
     if k is None:
         return df
     if k < 1:

@@ -420,10 +420,10 @@ def training_shuffle(
     """
     from datamunging_spark.functions import salted_row_key
 
+    from datamunging_spark.operators.relational import _shuffle_partitions
+
     out = df.select("*", salted_row_key(id_cols, salt).alias("shuffle_key"))
-    parts = num_partitions or out.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions"
-    )
+    parts = num_partitions or _shuffle_partitions(out.sparkSession)
     return out.repartitionByRange(int(parts), "shuffle_key").sortWithinPartitions(
         "shuffle_key"
     )
@@ -460,10 +460,10 @@ def pack_sequences(
 
     import pandas as pd
 
+    from datamunging_spark.operators.relational import _shuffle_partitions
+
     spark = df.sparkSession
-    groups = int(
-        num_groups or spark.conf.get("spark.sql.shuffle.partitions")
-    )
+    groups = int(num_groups or _shuffle_partitions(spark))
     id_type = df.schema[id_col].dataType.simpleString()
     tok_type = df.schema[tokens_col].dataType.simpleString()
     out_schema = (

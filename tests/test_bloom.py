@@ -173,3 +173,21 @@ def test_incremental_dedup_bloom_param_identical_results(spark):
     got = sorted(map(tuple, fast2.collect()))
     assert got == sorted(map(tuple, plain2.collect()))
     assert got == [(5001, "really fresh")]
+
+
+def test_bloom_broadcast_cached_and_released(spark):
+    from datamunging_spark.operators.bloom import (
+        _BC_CACHE,
+        bloom_release,
+    )
+
+    df = spark.createDataFrame([("x",), ("y",)], "s string")
+    bloom = bloom_build(df, ["s"], num_items=10)
+    before = len(_BC_CACHE)
+    df.filter(bloom_might_contain(bloom, "s")).count()
+    df.filter(bloom_might_contain(bloom, "s")).count()
+    # two calls with the same filter share ONE broadcast
+    assert len(_BC_CACHE) == before + 1
+    assert bloom_release(bloom) is True
+    assert len(_BC_CACHE) == before
+    assert bloom_release(bloom) is False  # already gone

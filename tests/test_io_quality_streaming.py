@@ -414,7 +414,7 @@ def test_salted_join_matches_plain_join(spark, tables):
         F.col("c_custkey").alias("o_custkey"), "c_name"
     )
     plain = o.join(c, "o_custkey").count()
-    salted = salted_join(o, c, on="o_custkey", salt_buckets=8).count()
+    salted = salted_join(o, c, ["o_custkey"], n_salt=8).count()
     assert salted == plain
 
 

@@ -84,7 +84,7 @@ def test_join_chain_counts(tables):
     assert joined.count() == c.count()  # FK chain is total
 
 
-def test_salted_join_matches_plain_join(spark, tables):
+def test_salted_join_matches_plain_join_on_tables(spark, tables):
     """Skew-salting must be pure plan hygiene: same rows as the unsalted
     join, with the small side exploded across salt replicas."""
     from datamunging_spark.operators.relational import salted_join
@@ -94,7 +94,7 @@ def test_salted_join_matches_plain_join(spark, tables):
         "c_custkey", "o_custkey"
     )
     plain = o.join(c, "o_custkey").select("o_orderkey", "c_mktsegment")
-    salted = salted_join(o, c, "o_custkey", salt_buckets=8).select(
+    salted = salted_join(o, c, ["o_custkey"], n_salt=8).select(
         "o_orderkey", "c_mktsegment"
     )
     assert salted.count() == plain.count()
