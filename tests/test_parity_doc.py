@@ -67,3 +67,24 @@ def test_parity_query_references_exist():
 def test_every_oracle_key_is_a_query():
     q, o = entry.queries(), entry.oracle_sql()
     assert set(o) <= set(q), set(o) - set(q)
+
+
+def test_no_duplicate_toplevel_definitions():
+    """A second `def name` in a module silently shadows the first (the
+    round-7 salted_join incident), and a duplicate test name silently
+    drops coverage — guard both classes repo-wide."""
+    import ast
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    offenders = []
+    for p in list((root / "datamunging_spark").rglob("*.py")) + list(
+        (root / "tests").glob("*.py")
+    ) + [root / "__spark_entry__.py"]:
+        seen = {}
+        for node in ast.parse(p.read_text()).body:
+            if isinstance(node, (ast.FunctionDef, ast.ClassDef)):
+                if node.name in seen:
+                    offenders.append(f"{p.name}:{node.lineno} {node.name}")
+                seen[node.name] = node.lineno
+    assert not offenders, offenders
