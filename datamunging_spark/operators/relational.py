@@ -576,6 +576,93 @@ def hypertable_rollup(
     )
 
 
+#: Mergeable aggregate spec for incremental_rollup: kind -> (batch
+#: aggregate fn, pairwise merge fn). least/greatest skip NULLs (Spark
+#: semantics), and the coalesce(a+b, a, b) chain makes sum/count merges
+#: treat an absent side as identity.
+_MERGEABLE_AGGS = {
+    "sum": (lambda c: F.sum(c), lambda a, b: F.coalesce(a + b, a, b)),
+    "count": (
+        lambda c: F.count(c if c is not None else F.lit(1)),
+        lambda a, b: F.coalesce(a + b, a, b),
+    ),
+    "min": (lambda c: F.min(c), lambda a, b: F.least(a, b)),
+    "max": (lambda c: F.max(c), lambda a, b: F.greatest(a, b)),
+}
+
+
+def incremental_rollup(
+    agg_table: DataFrame | None,
+    new_events: DataFrame,
+    ts_col: str,
+    bucket: str,
+    aggs: dict[str, tuple],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Continuous-aggregate maintenance: fold ONE new event batch into an
+    existing time-bucketed rollup without rescanning historical events —
+    the incremental face of :func:`hypertable_rollup`, for the ingest
+    loop that owns raw events too large to re-aggregate per refresh.
+
+    ``aggs`` maps output column -> ("sum"|"count"|"min"|"max", src_col)
+    (src_col ignored for count) — the MERGEABLE subset: each has an
+    exact pairwise merge, so batch partials combine with the stored
+    rollup per (bucket, keys) cell with no history rescans. Derived
+    aggregates (avg = sum/count) are a projection over maintained parts,
+    the standard continuous-aggregate decomposition. ``agg_table=None``
+    seeds the rollup from the first batch; feeding each output back as
+    the next call's ``agg_table`` is the loop.
+
+    Scale shape: one hash aggregate over the BATCH (map-side partial,
+    shuffle bounded by the batch's live buckets × keys) + one full-outer
+    equi-join against the stored rollup — which is buckets × keys grain,
+    orders of magnitude smaller than the event history; cells untouched
+    by the batch pass through NULL-merged unchanged. NOT
+    replay-idempotent by itself (re-folding a batch double-counts sums)
+    — wrap the fold in the versioned store's batch tags for exactly-once
+    (the streaming_apply_changelog pattern).
+    """
+    for name, spec in aggs.items():
+        if spec[0] not in _MERGEABLE_AGGS:
+            raise ValueError(
+                f"agg {name!r}: kind {spec[0]!r} is not mergeable; "
+                f"supported: {sorted(_MERGEABLE_AGGS)} (avg/stddev are "
+                "projections over sum/count parts)"
+            )
+    grain = ["bucket_start", *(keys or [])]
+
+    def _batch_agg(spec):
+        kind = spec[0]
+        col = F.lit(1) if kind == "count" else F.col(spec[1])
+        return _MERGEABLE_AGGS[kind][0](col)
+
+    batch = hypertable_rollup(
+        new_events,
+        ts_col,
+        bucket,
+        {name: _batch_agg(spec) for name, spec in aggs.items()},
+        keys=keys,
+    )
+    if agg_table is None:
+        return batch
+    a = agg_table.select(
+        *grain, *[F.col(n).alias(f"_a_{n}") for n in aggs]
+    )
+    b = batch.select(
+        *grain, *[F.col(n).alias(f"_b_{n}") for n in aggs]
+    )
+    merged = a.join(b, on=grain, how="full_outer")
+    return merged.select(
+        *grain,
+        *[
+            _MERGEABLE_AGGS[kind][1](
+                F.col(f"_a_{name}"), F.col(f"_b_{name}")
+            ).alias(name)
+            for name, (kind, *_rest) in aggs.items()
+        ],
+    )
+
+
 def rolling_stats(
     df: DataFrame,
     keys: list[str],

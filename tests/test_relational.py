@@ -598,3 +598,70 @@ def test_salted_join_spreads_hot_key(spark):
         .select("s").distinct().count()
     )
     assert n_buckets > 1
+
+
+def test_incremental_rollup_matches_full_recompute(spark):
+    import datetime as _dt
+
+    from datamunging_spark.operators.relational import (
+        hypertable_rollup,
+        incremental_rollup,
+    )
+
+    def ev(day, hour, k, v):
+        return (_dt.datetime(2024, 1, day, hour), k, float(v))
+
+    schema = "ts timestamp, k string, v double"
+    batch1 = spark.createDataFrame(
+        [ev(1, 1, "a", 10), ev(1, 2, "a", 4), ev(1, 3, "b", 7)], schema
+    )
+    batch2 = spark.createDataFrame(
+        [ev(1, 22, "a", 1), ev(2, 5, "a", 9), ev(2, 6, "c", 2)], schema
+    )
+    aggs = {
+        "n": ("count",),
+        "total": ("sum", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+    state = incremental_rollup(None, batch1, "ts", "1 day", aggs, keys=["k"])
+    state = incremental_rollup(state, batch2, "ts", "1 day", aggs, keys=["k"])
+
+    full = hypertable_rollup(
+        batch1.unionByName(batch2),
+        "ts",
+        "1 day",
+        {
+            "n": F.count(F.lit(1)),
+            "total": F.sum("v"),
+            "lo": F.min("v"),
+            "hi": F.max("v"),
+        },
+        keys=["k"],
+    )
+    got = sorted(map(tuple, state.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want
+    # derived avg stays a projection over the maintained parts
+    avg = {(r.k, r.bucket_start.day): r.total / r.n
+           for r in state.collect()}
+    assert avg[("a", 1)] == 5.0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        incremental_rollup(None, batch1, "ts", "1 day", {"m": ("avg", "v")})
+
+
+def test_incremental_rollup_untouched_cells_pass_through(spark):
+    import datetime as _dt
+
+    from datamunging_spark.operators.relational import incremental_rollup
+
+    schema = "ts timestamp, v double"
+    b1 = spark.createDataFrame([(_dt.datetime(2024, 1, 1), 5.0)], schema)
+    b2 = spark.createDataFrame([(_dt.datetime(2024, 3, 1), 2.0)], schema)
+    aggs = {"total": ("sum", "v"), "n": ("count",)}
+    state = incremental_rollup(None, b1, "ts", "1 day", aggs)
+    state = incremental_rollup(state, b2, "ts", "1 day", aggs)
+    rows = {r.bucket_start.month: (r.total, r.n) for r in state.collect()}
+    assert rows == {1: (5.0, 1), 3: (2.0, 1)}
