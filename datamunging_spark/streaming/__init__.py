@@ -518,3 +518,73 @@ def streaming_apply_changelog(
     q.processAllAvailable()
     q.stop()
     return latest_table_version(spark, table_path)
+
+
+def streaming_rollup(
+    events_stream: DataFrame,
+    table_path: str,
+    ts_col: str,
+    bucket: str,
+    aggs: dict,
+    keys: list | None = None,
+    checkpoint_path: str | None = None,
+    keep_last: int = 2,
+) -> int | None:
+    """Continuous-aggregate materialization via ``foreachBatch``: each
+    micro-batch folds into the stored time-bucketed rollup with
+    :func:`~datamunging_spark.operators.relational.incremental_rollup`
+    (mergeable sum/count/min/max decomposition — only the batch
+    aggregates; event history is never rescanned) and commits the merged
+    rollup as the next version of the versioned store at ``table_path``.
+    The batch face and this streaming face share one fold implementation,
+    exactly like streaming_apply_changelog wraps roll_table_version.
+
+    Exactly-once: incremental_rollup's fold is NOT replay-idempotent
+    (re-folding double-counts sums), so every committed version carries
+    its micro-batch tag and a replayed batch no-ops — the
+    ``batch_already_applied`` contract, durable across vacuum via the
+    root manifest. Versions are monotonic latest+1; retired versions are
+    vacuumed to ``keep_last`` each commit. Drains with ``availableNow``;
+    returns the latest committed version (None for an empty drain on an
+    empty store). Read the current rollup with ``read_table_version``.
+    """
+    from datamunging_spark.operators.relational import incremental_rollup
+    from datamunging_spark.sources.versioned import (
+        batch_already_applied,
+        latest_table_version,
+        read_table_version,
+        vacuum_table_versions,
+        write_table_version,
+    )
+
+    spark = events_stream.sparkSession
+
+    def _process(batch_df, batch_id):
+        if not batch_df.head(1):
+            return
+        bspark = batch_df.sparkSession
+        if batch_already_applied(bspark, table_path, batch_id):
+            return
+        latest = latest_table_version(bspark, table_path)
+        state = (
+            read_table_version(bspark, table_path, latest)
+            if latest is not None
+            else None
+        )
+        rolled = incremental_rollup(
+            state, batch_df, ts_col, bucket, aggs, keys=keys
+        )
+        write_table_version(
+            rolled, table_path, (latest or 0) + 1, batch_id=batch_id
+        )
+        vacuum_table_versions(bspark, table_path, keep_last=keep_last)
+
+    writer = events_stream.writeStream.foreachBatch(_process).trigger(
+        availableNow=True
+    )
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    return latest_table_version(spark, table_path)

@@ -778,3 +778,70 @@ def test_blocking_report_sizes_and_valve(spark):
     # valve off
     r2 = blocking_report(df, F.col("zip"), max_block=None).collect()[0]
     assert r2.blocks_over_cap == 0 and r2.pairs_dropped_by_cap == 0
+
+
+def test_streaming_rollup_matches_batch_and_survives_restart(spark, tmp_path):
+    """foreachBatch continuous aggregate: micro-batch folds equal the
+    full-recompute rollup; a second drain with the same checkpoint adds
+    only new files; versions stay contiguous with retention."""
+    import datetime as _dt
+
+    from pyspark.sql import functions as F
+
+    from datamunging_spark.operators.relational import hypertable_rollup
+    from datamunging_spark.sources.versioned import (
+        list_table_versions,
+        read_table_version,
+    )
+    from datamunging_spark.streaming import streaming_rollup
+
+    src = tmp_path / "ru_src"
+    src.mkdir()
+    schema = "ts timestamp, k string, v double"
+    b1 = [(_dt.datetime(2024, 1, 1, 3), "a", 5.0),
+          (_dt.datetime(2024, 1, 1, 9), "b", 1.0)]
+    b2 = [(_dt.datetime(2024, 1, 1, 20), "a", 2.0),
+          (_dt.datetime(2024, 1, 2, 4), "a", 7.0)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(src / "f1"))
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        str(src / "f2"))
+
+    table = str(tmp_path / "ru_table")
+    ckpt = str(tmp_path / "ru_ckpt")
+    aggs = {"n": ("count",), "total": ("sum", "v"), "hi": ("max", "v")}
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        return streaming_rollup(
+            stream, table, "ts", "1 day", aggs, keys=["k"],
+            checkpoint_path=ckpt,
+        )
+
+    assert drain() == 2  # two micro-batches -> v1, v2
+    got = sorted(map(tuple, read_table_version(spark, table).collect()))
+    full = hypertable_rollup(
+        spark.createDataFrame(b1 + b2, schema), "ts", "1 day",
+        {"n": F.count(F.lit(1)), "total": F.sum("v"), "hi": F.max("v")},
+        keys=["k"],
+    )
+    assert got == sorted(map(tuple, full.collect()))
+
+    # second drain, same checkpoint, one new file: folds ONLY the new
+    # batch (no double counting), version advances to 3, retention holds
+    b3 = [(_dt.datetime(2024, 1, 2, 10), "b", 4.0)]
+    spark.createDataFrame(b3, schema).coalesce(1).write.parquet(
+        str(src / "f3"))
+    assert drain() == 3
+    assert list_table_versions(spark, table) == [2, 3]  # keep_last=2
+    got3 = sorted(map(tuple, read_table_version(spark, table).collect()))
+    full3 = hypertable_rollup(
+        spark.createDataFrame(b1 + b2 + b3, schema), "ts", "1 day",
+        {"n": F.count(F.lit(1)), "total": F.sum("v"), "hi": F.max("v")},
+        keys=["k"],
+    )
+    assert got3 == sorted(map(tuple, full3.collect()))
