@@ -806,7 +806,10 @@ def cap_rows_per_key(
     total order for byte-stable results — or at least value-total:
     rows tied on every order column AND every payload column are
     interchangeable, so the surviving multiset stays deterministic
-    (funnel's (ts, type) order relies on exactly that)."""
+    (funnel's (ts, type) order relies on exactly that). Sibling of
+    :func:`~datamunging_spark.operators.sampling.cap_per_group`, which
+    keeps a salted pseudo-RANDOM k per group (the training-mix
+    guardrail); this one keeps the semantically EARLIEST k."""
     if k is None:
         return df
     if k < 1:
