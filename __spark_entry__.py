@@ -1525,7 +1525,17 @@ def q_stream_windowed_real(spark, sf_dir):
     )
     win = windowed_counts(events, window="1 minute", watermark="2 minutes")
     name = run_stream_to_memory(win, "gate_stream_win")
-    return spark.table(name)
+    # in-query invariants (added r7): every emitted window is exactly one
+    # minute wide with a positive count — pins the windowing arithmetic
+    # and the nanos→micros timestamp conversion above
+    return spark.table(name).withColumn(
+        "window_ok",
+        (F.col("n_events") > 0)
+        & (
+            F.col("win_end").cast("long") - F.col("win_start").cast("long")
+            == 60
+        ),
+    )
 
 
 def q_x1_minhash_dedup(spark, sf_dir):
@@ -1751,12 +1761,22 @@ def q_r38_ml_suite(spark, sf_dir):
 
 def q_r37_ner(spark, sf_dir):
     """R37: per-doc entity extraction (Arrow-batched pandas_udf; model call
-    stubbed deterministically — container has no NLTK, SURVEY.md §5.4)."""
+    stubbed deterministically — container has no NLTK, SURVEY.md §5.4).
+    In-query invariant ``entities_ok`` (added r7, the rows-only pattern):
+    every extracted entity must be a non-empty token actually present in
+    the source text — pins the extraction plumbing (offsets, batching,
+    fallback heuristic) without depending on the absent model."""
     d = _t(spark, sf_dir, "documents")
+    ents = ner_entities(d)
     # Array column serialized for the driver's pandas canonicalizer
     # (unhashable-list crash otherwise — same fix as agg_suite).
-    return ner_entities(d).select(
-        "doc_id", F.concat_ws(",", "entities").alias("entities_csv")
+    return ents.select(
+        "doc_id",
+        F.concat_ws(",", "entities").alias("entities_csv"),
+        F.forall(
+            F.col("entities"),
+            lambda e: (F.length(e) > 0) & F.col("text").contains(e),
+        ).alias("entities_ok"),
     )
 
 
