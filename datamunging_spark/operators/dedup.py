@@ -158,10 +158,13 @@ def incremental_dedup(
     ``bloom`` (a :class:`~datamunging_spark.operators.bloom.BloomFilter`
     built over the snapshot's ``hash_col``, maintainable per batch via
     ``bloom_or``) prefilters the batch: rows the filter rejects are
-    DEFINITELY new and skip the anti-join entirely, so only the
-    might-contain remainder (≈ true dupes + fpp of the new mass) probes
-    the history — results identical by the no-false-negative guarantee,
-    with the join's batch side ~100× slimmer on mostly-new batches.
+    DEFINITELY new and bypass the anti-join entirely, so the join's
+    batch-side exchange shrinks to ≈ true dupes + fpp of the new mass.
+    The flagged batch is materialized once (localCheckpoint — the batch
+    is the loop's bounded working set) so the Arrow probe runs ONE pass
+    even though the definite/maybe split plus the downstream
+    within-batch dedup consume it from several plan branches. Results
+    identical by the no-false-negative guarantee.
     """
     _hash_tmp_guard(new_df)
     hashed = new_df.withColumn(
@@ -171,9 +174,15 @@ def incremental_dedup(
     if bloom is not None:
         from datamunging_spark.operators.bloom import bloom_might_contain
 
-        maybe = bloom_might_contain(bloom, _HASH_TMP)
-        definitely_new = hashed.filter(~maybe).drop(_HASH_TMP)
-        hashed = hashed.filter(maybe)
+        hashed = hashed.withColumn(
+            "__dm_bloom_maybe", bloom_might_contain(bloom, _HASH_TMP)
+        ).localCheckpoint()
+        definitely_new = hashed.filter(~F.col("__dm_bloom_maybe")).drop(
+            "__dm_bloom_maybe"
+        )
+        hashed = hashed.filter(F.col("__dm_bloom_maybe")).drop(
+            "__dm_bloom_maybe"
+        )
     # seen_distinct: content_snapshot/advance_snapshot output is distinct
     # by construction, and an anti-join is set-semantics anyway — the
     # defensive distinct only matters for caller-built snapshots with
@@ -184,13 +193,10 @@ def incremental_dedup(
     seen_keys = seen.select(F.col(hash_col).alias(_HASH_TMP))
     if not seen_distinct:
         seen_keys = seen_keys.distinct()
-    fresh = hashed.join(
-        seen_keys,
-        on=_HASH_TMP,
-        how="left_anti",
-    ).drop(_HASH_TMP)
+    fresh = hashed.join(seen_keys, on=_HASH_TMP, how="left_anti")
     if definitely_new is not None:
         fresh = definitely_new.unionByName(fresh)
+    fresh = fresh.drop(_HASH_TMP)
     return exact_dedup(fresh, text_col, id_col) if within_batch else fresh
 
 
