@@ -195,3 +195,42 @@ def test_gram_must_be_smaller_than_min_span(spark):
         winnow_fingerprints(df, min_span=16, gram=16)
     with pytest.raises(ValueError):
         remove_shared_spans(df, df, keep="both")
+
+
+def test_shared_span_report_global_and_grouped(spark):
+    from datamunging_spark.operators.spandedup import shared_span_report
+
+    df = spark.createDataFrame(
+        [
+            (1, A + SHARED, "web"),
+            (2, B + SHARED, "web"),
+            (3, C, "book"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    g = shared_span_report(df).collect()
+    assert len(g) == 1
+    r = g[0]
+    assert r.n_docs == 3 and r.n_spans == 1 and r.n_pairs == 1
+    assert r.max_span == len(SHARED) == r.p50_span
+    assert 0 < r.removal_char_frac < 1
+
+    by_src = {
+        r.source: r
+        for r in shared_span_report(df, group_col="source").collect()
+    }
+    # the span's doc_b (doc 2) is 'web'; 'book' reports a clean zero row
+    assert by_src["web"].n_spans == 1
+    assert by_src["book"].n_spans == 0
+    assert by_src["book"].removal_char_frac == 0.0
+
+
+def test_shared_span_report_clean_corpus_zero_row(spark):
+    from datamunging_spark.operators.spandedup import shared_span_report
+
+    df = spark.createDataFrame(
+        [(1, A), (2, B)], "doc_id bigint, text string"
+    )
+    r = shared_span_report(df).collect()
+    assert len(r) == 1
+    assert r[0].n_spans == 0 and r[0].removal_char_frac == 0.0
