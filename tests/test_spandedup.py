@@ -234,3 +234,88 @@ def test_shared_span_report_clean_corpus_zero_row(spark):
     r = shared_span_report(df).collect()
     assert len(r) == 1
     assert r[0].n_spans == 0 and r[0].removal_char_frac == 0.0
+
+
+def test_incremental_span_dedup_history_wins(spark):
+    from datamunging_spark.operators.spandedup import (
+        incremental_shared_spans,
+        incremental_span_dedup,
+    )
+
+    hist = _mk(spark, [(1, A + SHARED), (2, B)])
+    hist_fps = winnow_fingerprints(hist).localCheckpoint()
+    batch = _mk(
+        spark,
+        [
+            (100, C + SHARED),         # shares with history doc 1
+            (101, D + SHARED + E),     # shares with history AND doc 100
+            (102, E),                  # clean
+        ],
+    )
+    spans = incremental_shared_spans(batch, hist_fps, hist)
+    got = {(r.doc_a, r.doc_b) for r in spans.collect()}
+    assert got == {(1, 100), (1, 101)}  # history pairs only here
+
+    out = {r.doc_id: r.text
+           for r in incremental_span_dedup(batch, hist_fps, hist).collect()}
+    # history copy survives (not returned); batch copies of SHARED cut
+    assert out[100] == C
+    assert SHARED not in out[101]
+    # within-batch pass: after history removal 101 = D + E, and E (63
+    # chars >= min_span) is shared with the LATER doc 102 → 101 keeps
+    # it, 102 loses its whole text
+    assert out[101] == D + E
+    assert out[102] == ""
+
+    # batch pass off: 102 keeps E, only history spans are cut
+    no_batch = {
+        r.doc_id: r.text
+        for r in incremental_span_dedup(
+            batch, hist_fps, hist, within_batch=False
+        ).collect()
+    }
+    assert no_batch[102] == E and no_batch[101] == D + E
+
+
+def test_incremental_span_dedup_snapshot_rollforward_idempotent(spark):
+    """Re-ingesting content already folded into history removes it
+    entirely; rolling the snapshot forward with the CLEANED batch keeps
+    the loop stable (no self-matching residue)."""
+    from datamunging_spark.operators.spandedup import (
+        incremental_span_dedup,
+    )
+
+    hist = _mk(spark, [(1, A + SHARED)])
+    hist_fps = winnow_fingerprints(hist).localCheckpoint()
+    batch = _mk(spark, [(100, A + SHARED)])  # exact replay of history doc
+    out = incremental_span_dedup(batch, hist_fps, hist).collect()
+    assert out[0].text == ""  # the whole text was one shared span
+
+    cleaned = _mk(spark, [(r.doc_id, r.text) for r in out])
+    rolled = hist_fps.unionByName(
+        winnow_fingerprints(cleaned)
+    ).localCheckpoint()
+    texts = hist.unionByName(cleaned)
+    batch2 = _mk(spark, [(200, B + E)])  # genuinely new
+    out2 = incremental_span_dedup(batch2, rolled, texts).collect()
+    assert out2[0].text == B + E  # untouched
+
+
+def test_incremental_span_valve_batch_bounded(spark):
+    from datamunging_spark.operators.spandedup import (
+        incremental_shared_spans,
+    )
+
+    # SHARED present in many history docs -> joint df exceeds the valve
+    hist = _mk(
+        spark,
+        [(i, f"doc number {i} says " + SHARED) for i in range(1, 9)],
+    )
+    hist_fps = winnow_fingerprints(hist).localCheckpoint()
+    batch = _mk(spark, [(100, A + SHARED)])
+    assert incremental_shared_spans(
+        batch, hist_fps, hist, max_fp_df=2
+    ).count() == 0
+    assert incremental_shared_spans(
+        batch, hist_fps, hist, max_fp_df=None
+    ).count() == 8
