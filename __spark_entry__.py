@@ -1991,6 +1991,41 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_r16_percentile_bucket(spark, SF0001)
 
 
+def q_x1_incremental_span(spark, sf_dir):
+    """X1+ incremental span dedup (bench-only; pytest-covered): docs with
+    doc_id < 400 act as history — present only as their slim winnowing
+    fingerprint snapshot plus keyed text fetches — and the rest is the
+    batch. Cross-boundary shared suffixes are planted pairwise (history
+    doc 10g ↔ batch doc 400+10g), then the batch is span-deduped against
+    history and within itself; gram=24 for the synthetic vocabulary,
+    same as x1_span_dedup."""
+    from datamunging_spark.operators.spandedup import (
+        incremental_span_dedup,
+        winnow_fingerprints,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    hist_g = F.floor(F.col("doc_id") / 10).cast("string")
+    batch_g = F.floor((F.col("doc_id") - 400) / 10).cast("string")
+    plant = lambda g: F.repeat(F.concat(F.lit(" xplant"), g), 9)  # noqa: E731
+    planted = d.withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") < 400) & (F.col("doc_id") % 10 == 0),
+            F.concat(F.col("text"), plant(hist_g)),
+        )
+        .when(
+            (F.col("doc_id") >= 400) & ((F.col("doc_id") - 400) % 10 == 0),
+            F.concat(F.col("text"), plant(batch_g)),
+        )
+        .otherwise(F.col("text")),
+    ).localCheckpoint()
+    hist = planted.filter(F.col("doc_id") < 400)
+    batch = planted.filter(F.col("doc_id") >= 400)
+    hist_fps = winnow_fingerprints(hist, gram=24)
+    return incremental_span_dedup(batch, hist_fps, hist, gram=24)
+
+
 def q_x4_doc_quality(spark, sf_dir):
     """X4 full per-document quality audit (bench-only; pytest-covered):
     text profile + Gopher word/repetition flags + per-language

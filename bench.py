@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "x1_minhash_pairs",
     "x1_simhash",
     "x1_span_dedup",
+    "x1_incremental_span",
     "x1_embedding_neardup",
     "x2_topk_cosine",
     "x2_ann_lsh",

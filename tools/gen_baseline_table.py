@@ -48,6 +48,10 @@ NOTES: dict[str, tuple[str, str]] = {
         "fp join, added r7)",
         "—",
     ),
+    "x1_incremental_span": (
+        "X1+ span dedup vs history fp snapshot, added r7",
+        "—",
+    ),
     "x1_embedding_neardup": ("X1 embedding-cosine", "—"),
     "x2_topk_cosine": ("X2 brute-force top-k", "—"),
     "x2_ann_lsh": ("X2 ANN, 16 hyperplane tables", "—"),
