@@ -115,6 +115,40 @@ def main() -> None:
         f"{out_bloom} == plain {out_plain}: {out_bloom == out_plain}"
     )
 
+    # Incremental span dedup (r7): same contract — per-batch cost must
+    # track the batch + matched candidates, not history size. History
+    # text is fetched by keyed join for candidate docs only, so 10x
+    # history grows only the fingerprint-join probe side.
+    from datamunging_spark.operators.spandedup import (
+        incremental_shared_spans,
+        winnow_fingerprints,
+    )
+
+    print()
+    print("| span history docs | snapshot fps | batch spans | median (s) |")
+    print("|---|---|---|---|")
+    for k in (1, 10):
+        hist = docs
+        for i in range(1, k):
+            hist = hist.union(
+                docs.withColumn("doc_id", F.col("doc_id") + i * 100_000)
+            )
+        hist = hist.localCheckpoint()
+        fps = winnow_fingerprints(hist, gram=24).localCheckpoint()
+        n_fps = fps.count()
+        samples = []
+        n_spans = None
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            n_spans = incremental_shared_spans(
+                batch, fps, hist, gram=24
+            ).count()
+            samples.append(time.perf_counter() - t0)
+        print(
+            f"| {k * n_docs:,} | {n_fps:,} | {n_spans:,} | "
+            f"{statistics.median(samples):.2f} |"
+        )
+
 
 if __name__ == "__main__":
     main()
