@@ -319,3 +319,23 @@ def test_incremental_span_valve_batch_bounded(spark):
     assert incremental_shared_spans(
         batch, hist_fps, hist, max_fp_df=None
     ).count() == 8
+
+
+def test_incremental_span_empty_sides(spark):
+    from datamunging_spark.operators.spandedup import (
+        incremental_shared_spans,
+        incremental_span_dedup,
+    )
+
+    hist = _mk(spark, [(1, A + SHARED)])
+    hist_fps = winnow_fingerprints(hist)
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    # empty batch
+    assert incremental_shared_spans(empty, hist_fps, hist).count() == 0
+    assert incremental_span_dedup(empty, hist_fps, hist).count() == 0
+    # empty history
+    batch = _mk(spark, [(100, B + SHARED)])
+    empty_fps = winnow_fingerprints(empty)
+    assert incremental_shared_spans(batch, empty_fps, empty).count() == 0
+    out = incremental_span_dedup(batch, empty_fps, empty).collect()
+    assert out[0].text == B + SHARED
