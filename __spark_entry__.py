@@ -1763,11 +1763,15 @@ def q_r37_ner(spark, sf_dir):
     """R37: per-doc entity extraction (Arrow-batched pandas_udf; model call
     stubbed deterministically — container has no NLTK, SURVEY.md §5.4).
     In-query invariant ``entities_ok`` (added r7, the rows-only pattern):
-    every extracted entity must be a non-empty token actually present in
-    the source text — pins the extraction plumbing (offsets, batching,
-    fallback heuristic) without depending on the absent model."""
+    every extracted entity must be non-empty and present in the
+    WHITESPACE-NORMALIZED source text — normalized because the real NLTK
+    path joins multi-token entity leaves with single spaces, so an
+    entity spanning a newline ("New\\nYork" → "New York") is correct
+    extraction, not a violation; the invariant pins the plumbing under
+    both the model and the heuristic fallback."""
     d = _t(spark, sf_dir, "documents")
     ents = ner_entities(d)
+    norm_text = F.regexp_replace(F.col("text"), r"\s+", " ")
     # Array column serialized for the driver's pandas canonicalizer
     # (unhashable-list crash otherwise — same fix as agg_suite).
     return ents.select(
@@ -1775,7 +1779,7 @@ def q_r37_ner(spark, sf_dir):
         F.concat_ws(",", "entities").alias("entities_csv"),
         F.forall(
             F.col("entities"),
-            lambda e: (F.length(e) > 0) & F.col("text").contains(e),
+            lambda e: (F.length(e) > 0) & norm_text.contains(e),
         ).alias("entities_ok"),
     )
 

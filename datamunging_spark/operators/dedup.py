@@ -174,6 +174,13 @@ def incremental_dedup(
     if bloom is not None:
         from datamunging_spark.operators.bloom import bloom_might_contain
 
+        if "__dm_bloom_maybe" in new_df.columns:
+            raise ValueError(
+                "input DataFrame already has a '__dm_bloom_maybe' column;"
+                " rename it before calling incremental_dedup with a bloom"
+                " filter (reserved temp name — same contract as"
+                f" {_HASH_TMP!r})"
+            )
         hashed = hashed.withColumn(
             "__dm_bloom_maybe", bloom_might_contain(bloom, _HASH_TMP)
         ).localCheckpoint()

@@ -645,15 +645,28 @@ def incremental_rollup(
     )
     if agg_table is None:
         return batch
+    # NULL-SAFE grain merge: a NULL key value (or a NULL bucket_start
+    # from NULL-ts events) is a real cell that must keep merging with
+    # itself — name-list join equality would never match NULL==NULL and
+    # the cell would fragment into one new row per fold
     a = agg_table.select(
-        *grain, *[F.col(n).alias(f"_a_{n}") for n in aggs]
+        *[F.col(g).alias(f"_ga_{g}") for g in grain],
+        *[F.col(n).alias(f"_a_{n}") for n in aggs],
     )
     b = batch.select(
-        *grain, *[F.col(n).alias(f"_b_{n}") for n in aggs]
+        *[F.col(g).alias(f"_gb_{g}") for g in grain],
+        *[F.col(n).alias(f"_b_{n}") for n in aggs],
     )
-    merged = a.join(b, on=grain, how="full_outer")
+    cond = None
+    for g in grain:
+        c = F.col(f"_ga_{g}").eqNullSafe(F.col(f"_gb_{g}"))
+        cond = c if cond is None else (cond & c)
+    merged = a.join(b, on=cond, how="full_outer")
     return merged.select(
-        *grain,
+        *[
+            F.coalesce(F.col(f"_ga_{g}"), F.col(f"_gb_{g}")).alias(g)
+            for g in grain
+        ],
         *[
             _MERGEABLE_AGGS[kind][1](
                 F.col(f"_a_{name}"), F.col(f"_b_{name}")

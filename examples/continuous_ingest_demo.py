@@ -40,7 +40,7 @@ def main() -> None:
     spark = get_spark("continuous_ingest_demo")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # 1. doc feed: three micro-batches, batch 2 partially repeating batch 1
+    # 1. doc feed: two micro-batches, batch 2 partially repeating batch 1
     doc_src = f"{workdir}/doc_feed"
     os.makedirs(doc_src, exist_ok=True)
     base = [(i, f"document body number {i} with unique words {i*7}") for i in range(20)]
@@ -54,12 +54,12 @@ def main() -> None:
         .option("maxFilesPerTrigger", 1)
         .parquet(doc_src + "/*")
     )
-    snaps = streaming_ingest(
+    streaming_ingest(
         stream,
         survivors_path=f"{workdir}/survivors",
         checkpoint_path=f"{workdir}/ingest_ckpt",
         snapshots_path=f"{workdir}/snapshots",
-    )
+    )  # returned snapshots also persisted under snapshots_path
     survivors = spark.read.parquet(f"{workdir}/survivors")
     print(
         f"streaming ingest: 40 fed rows -> {survivors.count()} survivors "

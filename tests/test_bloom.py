@@ -191,3 +191,15 @@ def test_bloom_broadcast_cached_and_released(spark):
     assert bloom_release(bloom) is True
     assert len(_BC_CACHE) == before
     assert bloom_release(bloom) is False  # already gone
+
+
+def test_incremental_dedup_bloom_temp_column_guard(spark):
+    from datamunging_spark.operators.dedup import incremental_dedup
+
+    hist = spark.createDataFrame([(1, "a")], "doc_id int, text string")
+    snap = spark.createDataFrame([("h",)], "content_hash string")
+    bad = hist.withColumn("__dm_bloom_maybe", pytest.importorskip(
+        "pyspark.sql.functions").lit(True))
+    bloom = bloom_build(snap, ["content_hash"], num_items=10)
+    with pytest.raises(ValueError, match="__dm_bloom_maybe"):
+        incremental_dedup(bad, snap, bloom=bloom)

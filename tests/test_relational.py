@@ -665,3 +665,25 @@ def test_incremental_rollup_untouched_cells_pass_through(spark):
     state = incremental_rollup(state, b2, "ts", "1 day", aggs)
     rows = {r.bucket_start.month: (r.total, r.n) for r in state.collect()}
     assert rows == {1: (5.0, 1), 3: (2.0, 1)}
+
+
+def test_incremental_rollup_null_key_cell_merges(spark):
+    """A NULL key value is a real cell: folds must merge it, not
+    fragment one new row per batch (null-safe grain join)."""
+    import datetime as _dt
+
+    from datamunging_spark.operators.relational import incremental_rollup
+
+    schema = "ts timestamp, k string, v double"
+    b1 = spark.createDataFrame(
+        [(_dt.datetime(2024, 1, 1), None, 1.0)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(_dt.datetime(2024, 1, 1), None, 2.0)], schema
+    )
+    aggs = {"n": ("count",), "total": ("sum", "v")}
+    state = incremental_rollup(None, b1, "ts", "1 day", aggs, keys=["k"])
+    state = incremental_rollup(state, b2, "ts", "1 day", aggs, keys=["k"])
+    rows = state.collect()
+    assert len(rows) == 1
+    assert rows[0].k is None and rows[0].n == 2 and rows[0].total == 3.0

@@ -339,3 +339,43 @@ def test_incremental_span_empty_sides(spark):
     assert incremental_shared_spans(batch, empty_fps, empty).count() == 0
     out = incremental_span_dedup(batch, empty_fps, empty).collect()
     assert out[0].text == B + SHARED
+
+
+def test_shared_span_report_null_group_attaches(spark):
+    from datamunging_spark.operators.spandedup import shared_span_report
+
+    df = spark.createDataFrame(
+        [(1, A + SHARED, None), (2, B + SHARED, None), (3, C, "book")],
+        "doc_id bigint, text string, source string",
+    )
+    by_src = {
+        r.source: r
+        for r in shared_span_report(df, group_col="source").collect()
+    }
+    assert by_src[None].n_spans == 1  # NULL slice keeps its span mass
+    assert by_src["book"].n_spans == 0
+
+
+def test_incremental_span_pairs_valve(spark):
+    from datamunging_spark.operators.spandedup import (
+        incremental_shared_spans,
+        incremental_span_dedup,
+    )
+
+    hist = _mk(
+        spark, [(i, f"doc number {i} says " + SHARED) for i in range(1, 7)]
+    )
+    hist_fps = winnow_fingerprints(hist).localCheckpoint()
+    batch = _mk(spark, [(100, A + SHARED)])
+    assert incremental_shared_spans(
+        batch, hist_fps, hist, max_fp_df=None
+    ).count() == 6
+    capped = incremental_shared_spans(
+        batch, hist_fps, hist, max_fp_df=None, max_pairs_per_doc=2
+    )
+    assert capped.count() == 2
+    # end-to-end forwards the valve without TypeError
+    out = incremental_span_dedup(
+        batch, hist_fps, hist, max_fp_df=None, max_pairs_per_doc=2
+    ).collect()
+    assert SHARED not in out[0].text
