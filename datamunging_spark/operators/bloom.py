@@ -10,12 +10,26 @@ Design: values are hashed ONCE JVM-side (``F.xxhash64`` — stays in
 codegen), and the k bit positions derive from that 64-bit hash by
 Kirsch-Mitzenmacher double hashing (pos_i = h1 + i*h2 mod m), so the
 Python build and probe share one position function with no Python-side
-value hashing. The build ORs per-partition bitmaps in CHUNKS
-((chunk_id, bytes) rows, all-zero chunks skipped): partials combine in
-a keyed aggregate — never P full bitmaps in one task — and the driver
-assembles at most m/8 bytes. A 1e9-key filter at 1% fpp is ~1.2 GB:
-chunked build keeps every task at ``chunk_bytes``, and the probe ships
-the assembled filter to executors once via a broadcast variable.
+value hashing. Two build strategies (``bloom_build(method=...)``):
+
+- ``"local"`` — each map task ORs its rows into a task-local bitmap and
+  emits it as (chunk_id, bytes) rows (all-zero chunks skipped); a keyed
+  aggregate ORs the partials. Per-task MEMORY is the FULL m/8 bytes
+  (chunking bounds only the shuffle row size), so this is the cheap
+  path for small/medium filters where m/8 fits comfortably in a task.
+- ``"shuffle"`` — map tasks emit (chunk_id, bit-within-chunk) position
+  rows (deduplicated per Arrow batch), which shuffle BY CHUNK; each
+  reduce task then ORs exactly one chunk-sized bitmap. Per-task memory
+  is bounded at ``chunk_bytes`` regardless of filter size; shuffle
+  volume is ≈ distinct positions × 12 B. For the 1e9-key / 1% fpp
+  (~1.2 GB) filter this is the only memory-safe build — and it also
+  beats local's shuffle there (local ships partitions × live chunks ×
+  chunk_bytes, which exceeds position rows once partitions are many).
+
+``method="auto"`` (default) picks local below 128 MiB of bitmap and
+shuffle above. Both produce bit-identical filters (pinned by test). The
+probe ships the assembled filter to executors once via a broadcast
+variable, content-keyed by a digest computed ONCE at build/merge time.
 """
 
 # NB: no `from __future__ import annotations` — pandas_udf resolves real
@@ -31,11 +45,22 @@ from pyspark.sql import types as T
 
 class BloomFilter(NamedTuple):
     """Immutable built filter: ``bits`` (little bitmap, len m/8), the
-    bit-space size ``m`` (multiple of 8) and hash count ``k``."""
+    bit-space size ``m`` (multiple of 8) and hash count ``k``.
+    ``digest`` caches the sha1 of ``bits`` (computed once at
+    build/merge) so the per-call broadcast-cache lookup never re-hashes
+    a potentially-GB bitmap; ``None`` (hand-built filters) means the
+    first probe computes it lazily."""
 
     bits: bytes
     m: int
     k: int
+    digest: str | None = None
+
+
+def _digest(bits: bytes) -> str:
+    import hashlib
+
+    return hashlib.sha1(bits).hexdigest()
 
 
 def _mix(h):
@@ -73,30 +98,51 @@ def bloom_params(num_items: int, fpp: float) -> tuple[int, int]:
     return m, k
 
 
+#: Above this bitmap size ``method="auto"`` switches from the task-local
+#: build (per-task memory = full bitmap) to the position-shuffle build
+#: (per-task memory = one chunk).
+_LOCAL_BUILD_MAX_BYTES = 128 << 20
+
+
 def bloom_build(
     df: DataFrame,
     cols: list[str],
     num_items: int | None = None,
     fpp: float = 0.01,
     chunk_bytes: int = 1 << 23,
+    method: str = "auto",
 ) -> BloomFilter:
     """Build a Bloom filter over the value tuples of ``cols``.
 
     ``num_items`` sizes the filter (defaults to ``df.count()`` — pass it
-    explicitly when the plan is expensive to execute twice). Plan: one
-    JVM xxhash64 projection → per-partition chunked bitmaps
-    (``mapInPandas``, all-zero chunks skipped) → one groupBy(chunk) OR →
-    driver assembly of m/8 bytes. Two jobs (optional count + build), one
-    slim shuffle whose volume is ≤ partitions × live chunks.
+    explicitly when the plan is expensive to execute twice).
+
+    ``method="local"``: one JVM xxhash64 projection → per-task FULL
+    bitmaps emitted as chunked (chunk_id, bytes) rows (all-zero chunks
+    skipped) → one groupBy(chunk) OR → driver assembly. Per-task memory
+    is the whole m/8 bytes — fine while the bitmap is task-sized.
+
+    ``method="shuffle"``: tasks emit (chunk_id, bit) position rows
+    (deduplicated per Arrow batch) → shuffle by chunk → each reduce task
+    ORs ONE chunk-sized bitmap. Per-task memory is bounded at
+    ``chunk_bytes`` no matter how large the filter — the 100 TB / 1e9-key
+    path. ``method="auto"`` (default) picks local under 128 MiB of
+    bitmap, shuffle above. Both methods yield bit-identical filters.
     """
+    if method not in ("auto", "local", "shuffle"):
+        raise ValueError(
+            f"method must be 'auto'|'local'|'shuffle', got {method!r}"
+        )
     if num_items is None:
         num_items = df.count()
     if num_items == 0:
         m, k = bloom_params(1, fpp)
-        return BloomFilter(bytes(m // 8), m, k)
+        return BloomFilter(bytes(m // 8), m, k, _digest(bytes(m // 8)))
     m, k = bloom_params(num_items, fpp)
     n_bytes = m // 8
     chunk = min(chunk_bytes, n_bytes)
+    if method == "auto":
+        method = "local" if n_bytes <= _LOCAL_BUILD_MAX_BYTES else "shuffle"
 
     hashes = df.select(F.xxhash64(*[F.col(c) for c in cols]).alias("_h"))
     schema = T.StructType(
@@ -129,6 +175,48 @@ def bloom_build(
         if ids:
             yield pd.DataFrame({"chunk_id": ids, "bits": bufs})
 
+    chunk_bits = chunk * 8
+    pos_schema = T.StructType(
+        [
+            T.StructField("chunk_id", T.IntegerType()),
+            T.StructField("bit", T.LongType()),
+        ]
+    )
+
+    def emit_positions(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pos = np.unique(
+                _positions(
+                    pdf["_h"].to_numpy(np.int64).view(np.uint64), k, m
+                ).ravel()
+            )
+            yield pd.DataFrame(
+                {
+                    "chunk_id": (pos // np.uint64(chunk_bits)).astype(
+                        np.int32
+                    ),
+                    "bit": (pos % np.uint64(chunk_bits)).astype(np.int64),
+                }
+            )
+
+    def build_chunk(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        cid = int(key[0])
+        size = min(chunk, n_bytes - cid * chunk)
+        bitmap = np.zeros(size, dtype=np.uint8)
+        bit = pdf["bit"].to_numpy(np.int64)
+        np.bitwise_or.at(
+            bitmap, bit >> 3, np.uint8(1) << (bit & 7).astype(np.uint8)
+        )
+        return pd.DataFrame({"chunk_id": [cid], "bits": [bitmap.tobytes()]})
+
     def merge(key, pdf):
         import numpy as np
         import pandas as pd
@@ -141,17 +229,26 @@ def bloom_build(
             {"chunk_id": [key[0]], "bits": [acc.tobytes()]}
         )
 
-    merged = (
-        hashes.mapInPandas(build, schema)
-        .groupBy("chunk_id")
-        .applyInPandas(merge, schema)
-        .collect()
-    )
+    if method == "local":
+        merged = (
+            hashes.mapInPandas(build, schema)
+            .groupBy("chunk_id")
+            .applyInPandas(merge, schema)
+            .collect()
+        )
+    else:
+        merged = (
+            hashes.mapInPandas(emit_positions, pos_schema)
+            .groupBy("chunk_id")
+            .applyInPandas(build_chunk, schema)
+            .collect()
+        )
     bitmap = bytearray(n_bytes)
     for row in merged:
         off = row["chunk_id"] * chunk
         bitmap[off : off + len(row["bits"])] = row["bits"]
-    return BloomFilter(bytes(bitmap), m, k)
+    bits = bytes(bitmap)
+    return BloomFilter(bits, m, k, _digest(bits))
 
 
 # One broadcast per distinct filter per application: repeated
@@ -164,11 +261,9 @@ _BC_CACHE: dict = {}
 
 
 def _bloom_key(spark, bloom: BloomFilter):
-    import hashlib
-
     return (
         spark.sparkContext.applicationId,
-        hashlib.sha1(bloom.bits).hexdigest(),
+        bloom.digest if bloom.digest is not None else _digest(bloom.bits),
         bloom.m,
         bloom.k,
     )
@@ -228,14 +323,22 @@ def bloom_might_contain(bloom: BloomFilter, *cols) -> Column:
                               for c in cols]))
 
 
-def bloom_or(a: BloomFilter, b: BloomFilter) -> BloomFilter:
+def bloom_or(
+    a: BloomFilter, b: BloomFilter, release_inputs: bool = False
+) -> BloomFilter:
     """OR-merge two filters built with the SAME (m, k) — how a
     continuous-ingest loop maintains its history filter incrementally:
     build a batch-sized filter per ingest and fold it in, never
     re-scanning history. (The merged filter's fpp corresponds to the
     TOTAL inserted count — size the original m for the expected history,
     exactly like a single build.) Parameter drift raises, mirroring
-    advance_snapshot's signature-stamp contract."""
+    advance_snapshot's signature-stamp contract.
+
+    ``release_inputs=True`` calls :func:`bloom_release` on both inputs —
+    the convenient form for a loop that folds every batch and never
+    probes the retired filters again (keeps the probe's broadcast cache
+    from accumulating one executor-resident bitmap per batch); leave
+    False when queries still holding the old predicates may run."""
     import numpy as np
 
     if (a.m, a.k) != (b.m, b.k):
@@ -246,4 +349,8 @@ def bloom_or(a: BloomFilter, b: BloomFilter) -> BloomFilter:
     merged = np.frombuffer(a.bits, dtype=np.uint8) | np.frombuffer(
         b.bits, dtype=np.uint8
     )
-    return BloomFilter(merged.tobytes(), a.m, a.k)
+    if release_inputs:
+        bloom_release(a)
+        bloom_release(b)
+    bits = merged.tobytes()
+    return BloomFilter(bits, a.m, a.k, _digest(bits))

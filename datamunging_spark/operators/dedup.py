@@ -137,6 +137,7 @@ def incremental_dedup(
     within_batch: bool = True,
     seen_distinct: bool = False,
     bloom=None,
+    bloom_verify: int = 64,
 ) -> DataFrame:
     """Dedup a NEW ingest batch against a prior :func:`content_snapshot`,
     then (by default) within the batch itself — the standard continuous-
@@ -165,8 +166,38 @@ def incremental_dedup(
     even though the definite/maybe split plus the downstream
     within-batch dedup consume it from several plan branches. Results
     identical by the no-false-negative guarantee.
+
+    PRECONDITION on ``bloom``: the filter must COVER every hash in
+    ``seen`` — a stale filter (snapshot advanced without the matching
+    ``bloom_or`` fold) silently classifies uncovered duplicates as
+    "definitely new" and they bypass the anti-join, violating the
+    exact-dedup guarantee. ``bloom_verify`` (default 64, 0 disables)
+    guards the precondition: that many snapshot hashes are probed
+    through the filter in one tiny job and ANY miss raises — a miss is
+    proof of staleness (a covering Bloom filter has no false negatives).
+    Sampling can't prove full coverage, but the common failure mode
+    (filter lags the snapshot by a whole batch) is caught with
+    near-certainty at negligible cost.
     """
     _hash_tmp_guard(new_df)
+    if bloom is not None and bloom_verify:
+        from datamunging_spark.operators.bloom import bloom_might_contain
+
+        missed = (
+            seen.select(F.col(hash_col))
+            .limit(int(bloom_verify))
+            .filter(~bloom_might_contain(bloom, hash_col))
+            .count()
+        )
+        if missed:
+            raise ValueError(
+                f"stale bloom filter: {missed} of {bloom_verify} sampled "
+                f"snapshot hashes are ABSENT from the filter — it does not "
+                "cover the snapshot (did the snapshot advance without the "
+                "matching bloom_or fold?); uncovered duplicates would "
+                "silently bypass the anti-join. Rebuild or fold the filter, "
+                "or pass bloom_verify=0 to skip this check."
+            )
     hashed = new_df.withColumn(
         _HASH_TMP, F.md5(F.coalesce(normalize_text(text_col), F.lit("")))
     )

@@ -23,6 +23,20 @@ DEFAULT_BUCKET_LABELS = (
 DEFAULT_BUCKET_ELSE = "99+th"
 
 
+def _reserved_tmp_guard(df: DataFrame, names: tuple[str, ...], op: str) -> None:
+    """Raise when an input already carries one of ``op``'s reserved temp
+    column names — silently overwriting (withColumn) and then dropping it
+    would corrupt the caller's data with no error. Same loud contract as
+    dedup's ``_hash_tmp_guard`` / incremental_dedup's ``__dm_bloom_maybe``."""
+    clash = [n for n in names if n in df.columns]
+    if clash:
+        raise ValueError(
+            f"input DataFrame already has reserved temp column(s) {clash}; "
+            f"rename before calling {op} (these names are overwritten and "
+            "dropped internally)"
+        )
+
+
 def group_count(df: DataFrame, *keys: str, out: str = "cnt") -> DataFrame:
     """Pig GROUP BY + COUNT (R14, README.md:129-130): map-side partial
     aggregation + one shuffle on the group keys."""
@@ -251,6 +265,8 @@ def salted_join(
         )
     if n_salt < 1:
         raise ValueError(f"n_salt must be >= 1, got {n_salt}")
+    _reserved_tmp_guard(big, ("_salt",), "salted_join")
+    _reserved_tmp_guard(small, ("_salt",), "salted_join")
     overlap = (set(big.columns) & set(small.columns)) - set(keys)
     if overlap:
         raise ValueError(
@@ -305,6 +321,8 @@ def range_join(
         raise ValueError(
             f"range_join supports how='inner'|'left', got {how!r}"
         )
+    _reserved_tmp_guard(points, ("_rbp",), "range_join")
+    _reserved_tmp_guard(intervals, ("_rbi",), "range_join")
     p = points.withColumn(
         "_rbp", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
     )
@@ -763,6 +781,8 @@ def interval_join(
             "(0/negative widths would NULL the bucket sequence and "
             "silently return no pairs)"
         )
+    _reserved_tmp_guard(left, ("_ibl",), "interval_join")
+    _reserved_tmp_guard(right, ("_ibr",), "interval_join")
     lb = F.explode(
         F.sequence(
             F.floor(F.col(left_start) / F.lit(w)).cast("long"),
@@ -827,6 +847,7 @@ def cap_rows_per_key(
         return df
     if k < 1:
         raise ValueError(f"cap must be >= 1 or None, got {k}")
+    _reserved_tmp_guard(df, ("_capn",), "cap_rows_per_key")
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     return (
         df.withColumn("_capn", F.row_number().over(w))

@@ -203,3 +203,103 @@ def test_incremental_dedup_bloom_temp_column_guard(spark):
     bloom = bloom_build(snap, ["content_hash"], num_items=10)
     with pytest.raises(ValueError, match="__dm_bloom_maybe"):
         incremental_dedup(bad, snap, bloom=bloom)
+
+
+def test_shuffle_build_matches_local(spark):
+    """The memory-bounded position-shuffle build produces bit-identical
+    filters to the task-local build (and auto stays local for small
+    bitmaps)."""
+    df = spark.range(0, 800).select(
+        F.concat(F.lit("k"), F.col("id")).alias("s")
+    )
+    local = bloom_build(
+        df, ["s"], num_items=800, fpp=0.01, method="local", chunk_bytes=64
+    )
+    shuffled = bloom_build(
+        df, ["s"], num_items=800, fpp=0.01, method="shuffle", chunk_bytes=64
+    )
+    assert local.bits == shuffled.bits
+    assert (local.m, local.k) == (shuffled.m, shuffled.k)
+    auto = bloom_build(df, ["s"], num_items=800, fpp=0.01, chunk_bytes=64)
+    assert auto.bits == local.bits
+    with pytest.raises(ValueError, match="method"):
+        bloom_build(df, ["s"], num_items=10, method="bogus")
+
+
+def test_digest_cached_at_build_and_or(spark):
+    from datamunging_spark.operators.bloom import _digest, bloom_or
+
+    df = spark.createDataFrame([("x",), ("y",)], "s string")
+    a = bloom_build(df, ["s"], num_items=10)
+    assert a.digest == _digest(a.bits)
+    b = bloom_build(
+        spark.createDataFrame([("z",)], "s string"), ["s"], num_items=10
+    )
+    merged = bloom_or(a, b)
+    assert merged.digest == _digest(merged.bits)
+    # hand-built filters (digest=None) still probe fine (lazy digest)
+    hand = BloomFilter(a.bits, a.m, a.k)
+    assert hand.digest is None
+    assert df.filter(bloom_might_contain(hand, "s")).count() == 2
+    from datamunging_spark.operators.bloom import bloom_release
+
+    bloom_release(hand)
+
+
+def test_bloom_or_release_inputs_evicts_broadcasts(spark):
+    from datamunging_spark.operators.bloom import (
+        _BC_CACHE,
+        bloom_or,
+        bloom_release,
+    )
+
+    a_df = spark.createDataFrame([("a",)], "s string")
+    b_df = spark.createDataFrame([("b",)], "s string")
+    a = bloom_build(a_df, ["s"], num_items=10)
+    b = bloom_build(b_df, ["s"], num_items=10)
+    a_df.filter(bloom_might_contain(a, "s")).count()
+    b_df.filter(bloom_might_contain(b, "s")).count()
+    before = len(_BC_CACHE)
+    merged = bloom_or(a, b, release_inputs=True)
+    assert len(_BC_CACHE) == before - 2  # both retired broadcasts evicted
+    # merged still covers both key sets
+    both = a_df.unionByName(b_df)
+    assert both.filter(bloom_might_contain(merged, "s")).count() == 2
+    bloom_release(merged)
+
+
+def test_incremental_dedup_stale_bloom_raises(spark):
+    """A filter that does not cover the snapshot (stale: snapshot advanced
+    without the bloom_or fold) is caught by the sampled coverage probe."""
+    from datamunging_spark.operators.dedup import (
+        content_snapshot,
+        incremental_dedup,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(50)],
+        "doc_id int, text string",
+    )
+    snap = content_snapshot(hist)
+    # filter built over a DIFFERENT (disjoint) hash set -> covers nothing
+    other = content_snapshot(
+        spark.createDataFrame(
+            [(i, f"unrelated {i}") for i in range(50)],
+            "doc_id int, text string",
+        )
+    )
+    stale = bloom_build(other, ["content_hash"], num_items=100)
+    batch = spark.createDataFrame(
+        [(100, "doc number 7"), (101, "genuinely new")],
+        "doc_id int, text string",
+    )
+    with pytest.raises(ValueError, match="stale bloom filter"):
+        incremental_dedup(batch, snap, bloom=stale)
+    # bloom_verify=0 disables the check (documented escape hatch) -- and
+    # then the stale filter DOES leak the duplicate, which is the hazard
+    leaked = incremental_dedup(batch, snap, bloom=stale, bloom_verify=0)
+    assert leaked.count() == 2  # dupe of doc 7 leaked past the anti-join
+    # a covering filter passes the check and stays exact
+    good = bloom_build(snap, ["content_hash"], num_items=100)
+    exact = incremental_dedup(batch, snap, bloom=good)
+    assert [r.doc_id for r in exact.collect()] == [101]

@@ -687,3 +687,42 @@ def test_incremental_rollup_null_key_cell_merges(spark):
     rows = state.collect()
     assert len(rows) == 1
     assert rows[0].k is None and rows[0].n == 2 and rows[0].total == 3.0
+
+
+def test_reserved_temp_column_guards_raise(spark):
+    """Inputs already carrying an operator's reserved temp column raise
+    loudly instead of being silently overwritten-and-dropped (ADVICE r7:
+    same contract as dedup's _hash_tmp_guard)."""
+    import pytest
+    from datamunging_spark.operators.relational import (
+        cap_rows_per_key,
+        interval_join,
+        range_join,
+        salted_join,
+    )
+
+    base = spark.createDataFrame([(1, 10.0, 20.0)], "k int, s double, e double")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(base.withColumn("_salt", F.lit(0)), base.select("k"), ["k"])
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(base, base.select("k").withColumn("_salt", F.lit(0)), ["k"])
+    with pytest.raises(ValueError, match="_capn"):
+        cap_rows_per_key(base.withColumn("_capn", F.lit(1)), ["k"], ["s"], 2)
+    with pytest.raises(ValueError, match="_ibl"):
+        interval_join(
+            base.withColumn("_ibl", F.lit(0)),
+            base.selectExpr("k as k2", "s as s2", "e as e2"),
+            "s", "e", "s2", "e2", 10.0,
+        )
+    with pytest.raises(ValueError, match="_ibr"):
+        interval_join(
+            base,
+            base.selectExpr("k as k2", "s as s2", "e as e2")
+            .withColumn("_ibr", F.lit(0)),
+            "s", "e", "s2", "e2", 10.0,
+        )
+    pts = spark.createDataFrame([(5.0,)], "p double")
+    with pytest.raises(ValueError, match="_rbp"):
+        range_join(pts.withColumn("_rbp", F.lit(0)), base, "p", "s", "e", 10.0)
+    with pytest.raises(ValueError, match="_rbi"):
+        range_join(pts, base.withColumn("_rbi", F.lit(0)), "p", "s", "e", 10.0)

@@ -379,3 +379,24 @@ def test_incremental_span_pairs_valve(spark):
         batch, hist_fps, hist, max_fp_df=None, max_pairs_per_doc=2
     ).collect()
     assert SHARED not in out[0].text
+
+
+def test_shared_span_report_all_empty_texts_zero_frac(spark):
+    """A group whose texts are all empty/NULL must report
+    removal_char_frac = 0.0, never NULL (ADVICE r7: NULL silently skips
+    every downstream threshold comparison)."""
+    from datamunging_spark.operators.spandedup import shared_span_report
+
+    df = spark.createDataFrame(
+        [(1, "", "empty"), (2, None, "empty"),
+         (3, "some real text that is long enough to count", "full")],
+        "doc_id int, text string, source string",
+    )
+    rows = {r.source: r for r in
+            shared_span_report(df, group_col="source").collect()}
+    assert rows["empty"].removal_char_frac == 0.0
+    assert rows["empty"].total_chars == 0
+    assert rows["full"].removal_char_frac == 0.0  # no spans, nonzero chars
+    # global all-empty corpus
+    g = shared_span_report(df.filter("source = 'empty'")).collect()
+    assert len(g) == 1 and g[0].removal_char_frac == 0.0
