@@ -400,3 +400,74 @@ def test_shared_span_report_all_empty_texts_zero_frac(spark):
     # global all-empty corpus
     g = shared_span_report(df.filter("source = 'empty'")).collect()
     assert len(g) == 1 and g[0].removal_char_frac == 0.0
+
+
+def test_incremental_fp_reuse_identical_to_double_winnow(spark):
+    """The single-winnow within-batch pass (reuse uncut docs' fingerprints,
+    re-winnow only cut docs) is output-identical to the naive composition
+    that re-winnows the whole cleaned batch — on a corpus with BOTH
+    cross-boundary (history x batch) and within-batch planted spans."""
+    from datamunging_spark.operators.spandedup import (
+        incremental_shared_spans,
+        incremental_span_dedup,
+        remove_shared_spans,
+    )
+
+    WB = "a second independent within batch duplicated sentence here!!"
+    hist = _mk(spark, [(1, A + SHARED), (2, B)])
+    hist_fps = winnow_fingerprints(hist).localCheckpoint()
+    batch = _mk(
+        spark,
+        [
+            (100, C + SHARED + WB),   # history span AND within-batch span
+            (101, D + WB + E),        # within-batch span with 100
+            (102, E + SHARED),        # history span; E shared with 101's tail
+            (103, B[:20] + "unique tail that matches nobody else at all"),
+        ],
+    )
+    fast = {r.doc_id: r.text
+            for r in incremental_span_dedup(batch, hist_fps, hist).collect()}
+
+    # naive composition: history pass, then full re-winnow span_dedup
+    spans = incremental_shared_spans(batch, hist_fps, hist).localCheckpoint()
+    cleaned = remove_shared_spans(batch, spans)
+    naive = {r.doc_id: r.text for r in span_dedup(cleaned).collect()}
+    assert fast == naive
+
+
+def test_incremental_return_fps_matches_fresh_winnow(spark):
+    """_return_fps hands back exactly winnow_fingerprints(final text) —
+    the append-only snapshot increment — without re-winnowing uncut docs."""
+    from datamunging_spark.operators.spandedup import incremental_span_dedup
+
+    WB = "a second independent within batch duplicated sentence here!!"
+    hist = _mk(spark, [(1, A + SHARED)])
+    hist_fps = winnow_fingerprints(hist).localCheckpoint()
+    batch = _mk(
+        spark,
+        [(100, C + SHARED + WB), (101, D + WB + E), (102, E)],
+    )
+    final, fps = incremental_span_dedup(
+        batch, hist_fps, hist, _return_fps=True
+    )
+    final = final.localCheckpoint()
+    got = sorted(
+        (r.doc_id, r.fp, r.pos) for r in fps.collect()
+    )
+    want = sorted(
+        (r.doc_id, r.fp, r.pos)
+        for r in winnow_fingerprints(final).collect()
+    )
+    assert got == want and len(want) > 0
+
+    # within_batch=False flavor too
+    final2, fps2 = incremental_span_dedup(
+        batch, hist_fps, hist, within_batch=False, _return_fps=True
+    )
+    final2 = final2.localCheckpoint()
+    got2 = sorted((r.doc_id, r.fp, r.pos) for r in fps2.collect())
+    want2 = sorted(
+        (r.doc_id, r.fp, r.pos)
+        for r in winnow_fingerprints(final2).collect()
+    )
+    assert got2 == want2
