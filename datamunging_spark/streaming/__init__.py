@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -218,6 +219,15 @@ from datamunging_spark.sources.versioned import (
 )
 
 
+def _maybe_parquet(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet directory, or None when it does not exist — how the
+    optional span-state directories load alongside a snapshot version."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
 def streaming_ingest(
     docs_stream: DataFrame,
     snapshots=None,
@@ -227,6 +237,8 @@ def streaming_ingest(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    span: bool = False,
+    span_kwargs: dict | None = None,
     **ingest_kwargs,
 ):
     """Continuous-ingest loop on Structured Streaming via ``foreachBatch``:
@@ -267,6 +279,25 @@ def streaming_ingest(
     Memory-only state (``snapshots_path=None``) keeps per-batch
     ``localCheckpoint`` pinning and is fine for availableNow drains that
     persist the RETURNED snapshots themselves.
+
+    **Span stage** (``span=True``): after the exact+fuzzy cycle, each
+    micro-batch's survivors are span-deduped against ALL prior
+    micro-batches via
+    :func:`~datamunging_spark.operators.spandedup.incremental_span_dedup`
+    — history participates as a rolled-forward winnowing-fingerprint
+    snapshot plus a slim (id, text) survivor table fetched per-candidate,
+    mirroring how ``advance_snapshot`` rolls the hash/signature state.
+    The fingerprint snapshot advances by the operator's ``_return_fps``
+    increment (uncut docs' fingerprints reused; only cut docs
+    re-winnowed). Ordering contract: the exact/fuzzy snapshots are
+    advanced from the PRE-span-cut text (so a replay of an original
+    document is still rejected by content hash), while the span state
+    and the sink carry the CLEANED text — the keep-earliest rule across
+    stages. ``span_kwargs`` forwards min_span/gram/valves. With
+    ``snapshots_path`` set the span state is versioned alongside the
+    snapshot pair (``span_fps/`` + ``span_texts/`` under the same
+    ``v{batch_id}`` directory, covered by the same commit marker).
+    Returns ``(snapshots, (span_fps, span_texts))`` when ``span=True``.
     """
     from datamunging_spark.operators.dedup import (
         Snapshots,
@@ -277,11 +308,64 @@ def streaming_ingest(
 
     start = snapshots if snapshots is not None else Snapshots(None, None)
     spark = docs_stream.sparkSession
+    state = {"snaps": start, "span_fps": None, "span_texts": None}
+
+    def _load_span_state(sess, vpath):
+        fps = _maybe_parquet(sess, f"{vpath}/span_fps")
+        texts = _maybe_parquet(sess, f"{vpath}/span_texts")
+        state["span_fps"], state["span_texts"] = fps, texts
+
     if snapshots_path is not None:
         latest = _latest_snapshot_version(spark, snapshots_path)
         if latest is not None:
-            start = read_snapshots(spark, f"{snapshots_path}/v{latest:020d}")
-    state = {"snaps": start}
+            vpath = f"{snapshots_path}/v{latest:020d}"
+            start = read_snapshots(spark, vpath)
+            state["snaps"] = start
+            if span:
+                _load_span_state(spark, vpath)
+
+    def _span_pass(surv, bspark):
+        """Span-dedup the batch survivors against all prior micro-batches
+        and return the cleaned survivors; rolls the in-memory span state.
+        Bootstrap (no history yet) uses EMPTY history frames so the one
+        operator covers both cases (its empty-side behavior is pinned by
+        test_incremental_span_empty_sides)."""
+        from datamunging_spark.operators.spandedup import (
+            incremental_span_dedup,
+        )
+
+        kw = dict(span_kwargs or {})
+        hist_fps, hist_texts = state["span_fps"], state["span_texts"]
+        if hist_fps is None:
+            id_field = surv.schema[id_col]
+            hist_fps = bspark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        id_field,
+                        StructField("fp", LongType()),
+                        StructField("pos", IntegerType()),
+                    ]
+                ),
+            )
+            hist_texts = bspark.createDataFrame(
+                [], StructType([id_field, surv.schema[text_col]])
+            )
+        cleaned, fps_inc = incremental_span_dedup(
+            surv, hist_fps, hist_texts,
+            text_col=text_col, id_col=id_col,
+            _return_fps=True, **kw,
+        )
+        cleaned = cleaned.localCheckpoint()  # feeds sink + texts roll
+        texts_inc = cleaned.select(F.col(id_col), F.col(text_col))
+        if state["span_fps"] is None:
+            new_fps, new_texts = fps_inc, texts_inc
+        else:
+            new_fps = state["span_fps"].unionByName(fps_inc)
+            new_texts = state["span_texts"].unionByName(texts_inc)
+        state["span_fps"] = new_fps
+        state["span_texts"] = new_texts
+        return cleaned
 
     def _process(batch_df, batch_id):
         if snapshots_path is not None:
@@ -297,6 +381,8 @@ def streaming_ingest(
                 state["snaps"] = read_snapshots(
                     batch_df.sparkSession, vpath
                 )
+                if span:
+                    _load_span_state(batch_df.sparkSession, vpath)
                 return
         if not batch_df.head(1):
             return
@@ -308,19 +394,29 @@ def streaming_ingest(
             threshold=threshold,
             **ingest_kwargs,
         )
+        if span:
+            surv = _span_pass(surv, batch_df.sparkSession)
         if survivors_path is not None:
             surv.write.mode("append").parquet(survivors_path)
         if snapshots_path is not None:
             vpath = f"{snapshots_path}/v{batch_id:020d}"
             bspark = batch_df.sparkSession
             write_snapshots(snaps, vpath)
+            if span:
+                state["span_fps"].write.parquet(f"{vpath}/span_fps")
+                state["span_texts"].write.parquet(f"{vpath}/span_texts")
             _mark_snapshot_committed(bspark, vpath)
             state["snaps"] = read_snapshots(bspark, vpath)
+            if span:
+                _load_span_state(bspark, vpath)
         else:
             state["snaps"] = Snapshots(
                 snaps.content.localCheckpoint(),
                 snaps.signatures.localCheckpoint(),
             )
+            if span:
+                state["span_fps"] = state["span_fps"].localCheckpoint()
+                state["span_texts"] = state["span_texts"].localCheckpoint()
 
     writer = docs_stream.writeStream.foreachBatch(_process).trigger(
         availableNow=True
@@ -330,6 +426,8 @@ def streaming_ingest(
     q = writer.start()
     q.processAllAvailable()
     q.stop()
+    if span:
+        return state["snaps"], (state["span_fps"], state["span_texts"])
     return state["snaps"]
 
 

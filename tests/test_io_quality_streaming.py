@@ -1003,3 +1003,134 @@ def test_windowed_counts_sliding_real_stream(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) == 3
+
+
+def test_streaming_ingest_span_stage_cuts_across_microbatches(
+    spark, tmp_path
+):
+    """span=True: a batch-2 document embedding a verbatim span first seen
+    in batch 1 gets that span CUT (keep-earliest across micro-batches),
+    while exact/fuzzy-fresh content otherwise survives intact; the
+    returned span state covers the cleaned corpus."""
+    from datamunging_spark.streaming import streaming_ingest
+
+    S = "this exact licensed boilerplate sentence repeats verbatim!!"
+    a = "first document unique head. " * 3 + S
+    b = "completely different second batch body here. " * 3 + S
+    c = "third document with no shared content at all whatsoever okay"
+    src = tmp_path / "span_src"
+    src.mkdir()
+    spark.createDataFrame([(1, a)], ["doc_id", "text"]).coalesce(
+        1
+    ).write.parquet(str(src / "f1"))
+    spark.createDataFrame([(10, b), (11, c)], ["doc_id", "text"]).coalesce(
+        1
+    ).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = tmp_path / "span_surv"
+    snaps, (span_fps, span_texts) = streaming_ingest(
+        stream,
+        survivors_path=str(out),
+        checkpoint_path=str(tmp_path / "span_ckpt"),
+        threshold=0.9,
+        span=True,
+    )
+    surv = {r.doc_id: r.text for r in spark.read.parquet(str(out)).collect()}
+    assert surv[1] == a                      # batch-1 copy survives whole
+    assert S not in surv[10]                 # batch-2 copy of the span cut
+    assert surv[10].startswith("completely different")
+    assert surv[11] == c                     # untouched fresh doc
+    # span state covers the cleaned corpus: ids of texts == survivor ids
+    assert {r.doc_id for r in span_texts.collect()} == {1, 10, 11}
+    assert span_fps.count() > 0
+
+
+def test_streaming_ingest_span_state_survives_restart(spark, tmp_path):
+    """Restart durability for the span stage: with snapshots_path set the
+    fingerprint/text span state is versioned per batch; a RESTARTED run
+    (fresh memory, same checkpoint) must still cut a span first seen in a
+    batch committed before the 'crash'."""
+    from datamunging_spark.streaming import streaming_ingest
+
+    S = "this exact licensed boilerplate sentence repeats verbatim!!"
+    a = "first document unique head. " * 3 + S
+    b = "completely different second batch body here. " * 3 + S
+    src = tmp_path / "span_restart_src"
+    src.mkdir()
+    spark.createDataFrame([(1, a)], ["doc_id", "text"]).coalesce(
+        1
+    ).write.parquet(str(src / "f1"))
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+
+    out, ckpt, snaps_dir = (
+        str(tmp_path / "sr_surv"),
+        str(tmp_path / "sr_ckpt"),
+        str(tmp_path / "sr_snaps"),
+    )
+    streaming_ingest(
+        stream(), survivors_path=out, checkpoint_path=ckpt,
+        snapshots_path=snaps_dir, threshold=0.9, span=True,
+    )
+    spark.createDataFrame([(10, b)], ["doc_id", "text"]).coalesce(
+        1
+    ).write.parquet(str(src / "f2"))
+    snaps, (span_fps, span_texts) = streaming_ingest(
+        stream(), survivors_path=out, checkpoint_path=ckpt,
+        snapshots_path=snaps_dir, threshold=0.9, span=True,
+    )
+    surv = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert surv[1] == a
+    assert S not in surv[10]  # span state crossed the restart
+    assert {r.doc_id for r in span_texts.collect()} == {1, 10}
+
+
+def test_streaming_ingest_span_replayed_batch_is_noop(spark, tmp_path):
+    """Crash window between snapshot commit and streaming commit, span
+    stage on: the replayed batch must be a full no-op (no duplicate sink
+    append, no span-state self-append) and the reloaded span state must
+    still cut a later duplicate span."""
+    from datamunging_spark.streaming import streaming_ingest
+
+    S = "this exact licensed boilerplate sentence repeats verbatim!!"
+    a = "first document unique head. " * 3 + S
+    src = tmp_path / "span_replay_src"
+    src.mkdir()
+    spark.createDataFrame([(1, a)], ["doc_id", "text"]).coalesce(
+        1
+    ).write.parquet(str(src / "f1"))
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+
+    out, snaps_dir = (
+        str(tmp_path / "spr_surv"),
+        str(tmp_path / "spr_snaps"),
+    )
+    streaming_ingest(
+        stream(), survivors_path=out,
+        checkpoint_path=str(tmp_path / "spr_ckpt"),
+        snapshots_path=snaps_dir, threshold=0.9, span=True,
+    )
+    # checkpoint lost, snapshots retained -> batch 0 replays as committed
+    snaps, (span_fps, span_texts) = streaming_ingest(
+        stream(), survivors_path=out,
+        checkpoint_path=str(tmp_path / "spr_ckpt2"),
+        snapshots_path=snaps_dir, threshold=0.9, span=True,
+    )
+    assert spark.read.parquet(out).count() == 1  # no duplicate append
+    assert span_texts.count() == 1               # no span-state self-append
