@@ -709,6 +709,34 @@ def minhash_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def band_bloom_build(
+    hist_sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    fpp: float = 0.01,
+    num_items: int | None = None,
+):
+    """Bloom filter over a signature snapshot's BAND KEYS — the fuzzy
+    sibling of the content-hash filter :func:`incremental_dedup` takes:
+    a batch band row the filter rejects can match NO history band row,
+    so only the might-contain remainder probes the (big) history band
+    join. ``num_items`` defaults to ``hist_sig.count() × bands`` (one
+    band row per doc per band — pass it when the snapshot count is
+    already known). Maintain incrementally like the exact one: after
+    ``advance_snapshot``, build a filter over the SURVIVOR increment's
+    band rows with the same (m, k) — i.e. the same ``num_items``/``fpp``
+    sizing — and ``bloom_or`` it in; (num_hashes, bands) must match the
+    probe-time banding or keys are incomparable, same caller contract as
+    the signature snapshot itself."""
+    from datamunging_spark.operators.bloom import bloom_build
+
+    if num_items is None:
+        num_items = hist_sig.count() * bands
+    hb = _band_rows(hist_sig, id_col, num_hashes, bands).select("_b", "_k")
+    return bloom_build(hb, ["_b", "_k"], num_items=max(1, num_items), fpp=fpp)
+
+
 def incremental_minhash_dedup(
     new_df: DataFrame,
     hist_sig: DataFrame,
@@ -719,6 +747,8 @@ def incremental_minhash_dedup(
     bands: int = 16,
     shingle_words: int = 3,
     within_batch: bool = True,
+    band_bloom=None,
+    band_bloom_verify: int = 64,
     _return_survivor_sig: bool = False,
     **dedup_kwargs,
 ) -> DataFrame:
@@ -750,6 +780,17 @@ def incremental_minhash_dedup(
     ``advance_snapshot(survivor_sig=...)``) as a second return value, so
     the whole ingest→advance cycle signs the batch exactly once; this is
     what :func:`ingest_batch` does.
+
+    ``band_bloom`` (a :func:`band_bloom_build` filter over the history
+    band keys, maintainable per batch via ``bloom_or``) prefilters the
+    BATCH band rows before the history band join: a band row the filter
+    rejects can match no history band, so the join's batch-side input
+    shrinks to ≈ true band collisions + fpp of batch bands. Survivors
+    are identical by the no-false-negative guarantee (pinned by test).
+    Same coverage precondition as the exact path's ``bloom``:
+    ``band_bloom_verify`` (default 64 rows, 0 disables) probes sampled
+    HISTORY band rows through the filter and raises on any miss — a
+    stale filter would silently let history near-dups into the batch.
     """
     new_sig = minhash_signatures_df(
         new_df, text_col, id_col, num_hashes, shingle_words
@@ -761,6 +802,29 @@ def incremental_minhash_dedup(
         hist_bands = _band_rows(hist_sig, id_col, num_hashes, bands).select(
             F.col(id_col).alias("_hid"), "_b", "_k"
         )
+        if band_bloom is not None:
+            from datamunging_spark.operators.bloom import bloom_might_contain
+
+            if band_bloom_verify:
+                missed = (
+                    hist_bands.select("_b", "_k")
+                    .limit(int(band_bloom_verify))
+                    .filter(~bloom_might_contain(band_bloom, "_b", "_k"))
+                    .count()
+                )
+                if missed:
+                    raise ValueError(
+                        f"stale band bloom filter: {missed} of "
+                        f"{band_bloom_verify} sampled history band keys are "
+                        "ABSENT from the filter — it does not cover the "
+                        "signature snapshot (did the snapshot advance "
+                        "without the matching bloom_or fold, or with "
+                        "different (num_hashes, bands)?). Rebuild or fold "
+                        "the filter, or pass band_bloom_verify=0 to skip."
+                    )
+            new_bands = new_bands.filter(
+                bloom_might_contain(band_bloom, "_b", "_k")
+            )
         cand = (
             new_bands.join(hist_bands, on=["_b", "_k"])
             .select("_nid", "_hid")
@@ -977,6 +1041,10 @@ def ingest_batch(
             **dedup_kwargs,
         )
     else:
+        # bootstrap: no history to prefilter against — the band-bloom
+        # kwargs are meaningless here and minhash_dedup doesn't take them
+        dedup_kwargs.pop("band_bloom", None)
+        dedup_kwargs.pop("band_bloom_verify", None)
         sig = minhash_signatures_df(
             fresh, text_col, id_col, num_hashes, shingle_words
         ).persist()

@@ -115,6 +115,71 @@ def main() -> None:
         f"{out_bloom} == plain {out_plain}: {out_bloom == out_plain}"
     )
 
+    # Band-bloom prefilter (r8): same trick one level up — the filter
+    # holds the HISTORY BAND KEYS, and batch band rows it rejects skip
+    # the history band join entirely. Scale-relevant number: fraction of
+    # the batch's band rows that still probe the join.
+    from datamunging_spark.operators.bloom import bloom_or  # noqa: F401
+    from datamunging_spark.operators.dedup import (
+        _band_rows,
+        band_bloom_build,
+    )
+
+    # NOTE on the batch: the timing batch above is ~100% near-dup of
+    # history BY CONSTRUCTION (its "fresh" docs are history texts with a
+    # 2-word suffix — most of their 16 band keys still collide), which
+    # is the prefilter's worst case. Report BOTH: that batch, and a
+    # realistic crawl batch whose fresh docs are genuinely novel text.
+    novel = (
+        spark.range(800)
+        .select(
+            (F.col("id") + 13_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(20)),
+                    lambda i: F.md5(
+                        F.concat_ws("-", F.lit("novel"), F.col("id"), i)
+                    ),
+                ),
+            ).alias("text"),
+        )
+    )
+    batch_novel = (
+        batch.filter(F.col("doc_id") < 12_000_000).union(novel)
+    ).localCheckpoint()
+    hist_sig_b = minhash_signatures_df(docs).localCheckpoint()
+    band_bloom = band_bloom_build(hist_sig_b, fpp=0.01)
+    for label, bdf in (("near-dup-heavy", batch), ("realistic", batch_novel)):
+        sig_b = minhash_signatures_df(bdf).localCheckpoint()
+        bands_b = _band_rows(sig_b, "doc_id", 64, 16)
+        nb = bands_b.count()
+        np_ = bands_b.filter(
+            bloom_might_contain(band_bloom, "_b", "_k")
+        ).count()
+        print(
+            f"Band-bloom probe fraction ({label} batch): {np_}/{nb} "
+            f"band rows reach the history band join"
+        )
+    batch_sig = minhash_signatures_df(batch).localCheckpoint()
+    batch_bands = _band_rows(batch_sig, "doc_id", 64, 16)
+    n_bands = batch_bands.count()
+    n_probe = batch_bands.filter(
+        bloom_might_contain(band_bloom, "_b", "_k")
+    ).count()
+    s_plain = incremental_minhash_dedup(batch, hist_sig_b, threshold=0.7)
+    s_fast = incremental_minhash_dedup(
+        batch, hist_sig_b, threshold=0.7, band_bloom=band_bloom
+    )
+    same = sorted(map(tuple, s_fast.collect())) == sorted(
+        map(tuple, s_plain.collect())
+    )
+    print(
+        f"Band-bloom prefilter: {n_probe}/{n_bands} batch band rows reach "
+        f"the history band join (rest cannot collide); survivors "
+        f"byte-identical to plain path: {same}"
+    )
+
     # Incremental span dedup (r7): same contract — per-batch cost must
     # track the batch + matched candidates, not history size. History
     # text is fetched by keyed join for candidate docs only, so 10x
