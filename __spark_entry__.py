@@ -873,17 +873,21 @@ def q_x5_decontaminate(spark, sf_dir):
     strings, not engine hashes. (Suite-merged mid-round-6 so the new
     substring mode gets oracle visibility inside the 50-entry cap; the
     fuzzy mode stays pytest-covered — engine-hash-based, rows-only by
-    nature.) The corpus is materialized ONCE (localCheckpoint): the two
-    modes otherwise re-execute the parquet scan ~6× between them (corpus
-    grams, two anti-join sides, probe count, probe build) — the r6 bench
-    regression was exactly that."""
+    nature.) r8: the round-6 corpus localCheckpoint is REMOVED — the
+    consumers are plain pruned parquet scans (~5 of them), each cheaper
+    than the checkpoint's write job, and at 100 TB re-scanning a
+    columnar table per branch is the correct shape while materializing
+    the corpus is not (the r6 regression was about re-executing a
+    DERIVED plan, which a bare table scan isn't); the lazy substring
+    guard (r8) also drops the probe-count job. Floor analysis in
+    SCALE.md."""
     from datamunging_spark.functions import normalize_text
     from datamunging_spark.operators.trainset import (
         decontaminate,
         decontaminate_substring,
     )
 
-    d = _t(spark, sf_dir, "documents").localCheckpoint()
+    d = _t(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 20 == 0).select("doc_id", "text")
     ngram = decontaminate(d, bench, n=5, min_overlap=2).select(
         F.lit("ngram").alias("mode"), "doc_id", "source"

@@ -234,10 +234,16 @@ def decontaminate_substring(
     scans). The automaton builds once driver-side and rides to executors
     as a broadcast; the pure-Python structure here is correctness-sized
     (cross-checked against the join mode in tests), with the C-backed
-    ``pyahocorasick`` automaton as the documented production swap-in.
-    The count() guard below reads only the slim probe projection and
-    raises above a 100k-string sanity cap (the broadcast analog of
-    autoBroadcastJoinThreshold).
+    ``pyahocorasick`` automaton as the documented production swap-in,
+    guarded by a 100k-string sanity cap on the driver-built automaton
+    (the broadcast analog of autoBroadcastJoinThreshold; counted from
+    the collected pattern list — no extra job). The join matcher runs
+    NO eager action: an empty probe set anti-joins to the unchanged
+    corpus naturally, and oversize probe sets are the multipattern
+    matcher's job by contract (the join mode's corpus × probes scan cost
+    makes a 100k-probe join a non-starter long before the broadcast
+    limit bites) — keeping the plan lazy saves a count job per call,
+    which at bench scale was ~15% of the whole query.
 
     Parity seam: multipattern mode normalizes in Python (``str.lower`` +
     an ASCII-whitespace regex mirroring Java ``\s``); JVM and Python
@@ -254,17 +260,16 @@ def decontaminate_substring(
         .filter(F.length("_probe") >= min_len)
         .distinct()
     )
-    n_probes = probes.limit(100_001).count()
-    if n_probes > 100_000:
-        raise ValueError(
-            "benchmark has >100k distinct strings; use decontaminate "
-            "(n-gram collision) or an Aho-Corasick pandas_udf for "
-            "blocklist-scale pattern sets"
-        )
-    if n_probes == 0:
-        return corpus
     if matcher == "multipattern":
-        pats = [r["_probe"] for r in probes.collect()]
+        pats = [r["_probe"] for r in probes.limit(100_001).collect()]
+        if len(pats) > 100_000:
+            raise ValueError(
+                "benchmark has >100k distinct strings; use decontaminate "
+                "(n-gram collision) or an Aho-Corasick pandas_udf for "
+                "blocklist-scale pattern sets"
+            )
+        if not pats:
+            return corpus
         spark = corpus.sparkSession
         bc = spark.sparkContext.broadcast(_ac_build(pats))
         schema = corpus.schema
