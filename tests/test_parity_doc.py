@@ -88,3 +88,40 @@ def test_no_duplicate_toplevel_definitions():
                     offenders.append(f"{p.name}:{node.lineno} {node.name}")
                 seen[node.name] = node.lineno
     assert not offenders, offenders
+
+
+def test_bench_normalized_regression_list_is_deterministic():
+    """The variance-proof bench comparison (r8): same two artifacts ->
+    same machine factor and same flag list on every invocation, a
+    uniform slowdown yields factor > 1 with zero flags, and a single
+    genuine regression is flagged without moving the factor much."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from gen_baseline_table import machine_factor, normalized_deltas
+
+    prev = {"queries": {f"q{i}": 1.0 + i * 0.1 for i in range(20)}}
+    # uniform 15% machine drift, identical code
+    cur = {"queries": {k: v * 1.15 for k, v in prev["queries"].items()}}
+    f1, d1 = normalized_deltas(cur, prev)
+    f2, d2 = normalized_deltas(cur, prev)
+    assert f1 == f2 and d1 == d2  # deterministic
+    assert abs(f1 - 1.15) < 1e-9
+    assert not any(flag for _, _, flag in d1.values())  # drift, no flags
+
+    # one genuine 2x regression on top of the same drift
+    cur2 = dict(cur["queries"])
+    cur2["q10"] = prev["queries"]["q10"] * 1.15 * 2.0
+    f3, d3 = normalized_deltas({"queries": cur2}, prev)
+    flagged = sorted(q for q, (_, _, fl) in d3.items() if fl)
+    assert flagged == ["q10"]
+    assert abs(f3 - 1.15) < 0.02  # median factor barely moves
+
+    # small-query jitter is never flagged (abs floor: 1.35x ratio but
+    # only 0.35 normalized seconds of growth)
+    cur3 = dict(cur["queries"])
+    cur3["q0"] = prev["queries"]["q0"] * 1.15 * 1.35
+    _, d4 = normalized_deltas({"queries": cur3}, prev)
+    assert not d4["q0"][2]
+
+    assert machine_factor({"queries": {}}, prev) is None

@@ -128,16 +128,83 @@ NOTES: dict[str, tuple[str, str]] = {
 }
 
 
-def render(detail: dict, source: str) -> str:
-    lines = [
-        BEGIN,
+#: Normalized slowdown ratio above which a query is flagged, AND the
+#: absolute (normalized) seconds it must have grown by — both must hold,
+#: so sub-second queries cannot be flagged by scheduler jitter.
+REGRESSION_RATIO = 1.30
+REGRESSION_ABS_S = 0.40
+
+
+def machine_factor(cur: dict, prev: dict) -> float | None:
+    """Cross-run machine/noise factor: the MEDIAN over common queries of
+    (current median / previous median). Identical code on a uniformly
+    ~10% slower machine yields factor ≈ 1.1 and zero flags; a single
+    genuinely regressed query barely moves the median. More robust than
+    the r13_count yardstick alone (a bare count's median swings several
+    × with JVM warmth), and fully deterministic from the two artifacts —
+    re-running the comparison reproduces the same regression list."""
+    import statistics
+
+    common = [
+        cur["queries"][q] / prev["queries"][q]
+        for q in cur["queries"]
+        if q in prev["queries"] and prev["queries"][q] > 0
+    ]
+    return round(statistics.median(common), 4) if common else None
+
+
+def normalized_deltas(cur: dict, prev: dict) -> tuple[float | None, dict]:
+    """Per-query normalized delta vs the previous artifact. Returns
+    (factor, {query: (norm_ratio, norm_abs_delta_s, flagged)}) where
+    norm_ratio = (cur/prev)/factor — >1 means slower than the machine
+    drift explains."""
+    f = machine_factor(cur, prev)
+    out = {}
+    if f is None or f <= 0:
+        return f, out
+    for q, med in cur["queries"].items():
+        p = prev["queries"].get(q)
+        if not p:
+            continue
+        ratio = (med / p) / f
+        abs_d = med / f - p
+        out[q] = (
+            ratio,
+            abs_d,
+            ratio > REGRESSION_RATIO and abs_d > REGRESSION_ABS_S,
+        )
+    return f, out
+
+
+def render(detail: dict, source: str, prev: dict | None,
+           prev_source: str | None) -> str:
+    factor, deltas = (None, {})
+    if prev is not None:
+        factor, deltas = normalized_deltas(detail, prev)
+    head = (
         f"Generated from `{source}` (reps={detail.get('reps')}, "
         f"sf={detail.get('sf')}, total={detail.get('value')} s) — do not "
         "hand-edit; rerun `python tools/gen_baseline_table.py` after the "
-        "round artifact lands.",
+        "round artifact lands."
+    )
+    if factor is not None:
+        flagged = sorted(q for q, d in deltas.items() if d[2])
+        head += (
+            f" Δ column: per-query slowdown vs `{prev_source}` divided by "
+            f"the cross-run machine factor {factor:.2f} (median ratio over "
+            "common queries — identical code on a slower machine shows "
+            "factor > 1 and Δ ≈ 1.0); **flagged** when Δ > "
+            f"{REGRESSION_RATIO} AND the normalized growth exceeds "
+            f"{REGRESSION_ABS_S} s. Flagged: "
+            + (", ".join(flagged) if flagged else "none")
+            + "."
+        )
+    lines = [
+        BEGIN,
+        head,
         "",
-        "| query | median (s) | [min, max] | reference (Hive-on-Tez) |",
-        "|---|---|---|---|",
+        "| query | median (s) | [min, max] | Δ norm | reference (Hive-on-Tez) |",
+        "|---|---|---|---|---|",
     ]
     spread = detail.get("spread", {})
     for name, med in detail["queries"].items():
@@ -145,19 +212,28 @@ def render(detail: dict, source: str) -> str:
         label = f"{name} ({desc})" if desc else name
         lo_hi = spread.get(name)
         rng = f"[{lo_hi[0]:.2f}, {lo_hi[1]:.2f}]" if lo_hi else "—"
-        lines.append(f"| {label} | {med:.2f} | {rng} | {ref} |")
+        d = deltas.get(name)
+        dcol = "—" if d is None else (
+            f"**{d[0]:.2f}×**" if d[2] else f"{d[0]:.2f}×"
+        )
+        lines.append(f"| {label} | {med:.2f} | {rng} | {dcol} | {ref} |")
     lines.append(END)
     return "\n".join(lines)
 
 
-def latest_round_artifact() -> str | None:
-    """Newest driver-committed BENCH_r{N}.json by round number."""
-    best, best_n = None, -1
+def round_artifacts() -> list[str]:
+    """Driver-committed BENCH_r{N}.json paths, newest first."""
+    found = []
     for name in os.listdir(REPO):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", name)
-        if m and int(m.group(1)) > best_n:
-            best, best_n = name, int(m.group(1))
-    return os.path.join(REPO, best) if best else None
+        if m:
+            found.append((int(m.group(1)), name))
+    return [os.path.join(REPO, n) for _, n in sorted(found, reverse=True)]
+
+
+def latest_round_artifact() -> str | None:
+    arts = round_artifacts()
+    return arts[0] if arts else None
 
 
 def load_detail(src: str) -> dict:
@@ -176,10 +252,17 @@ def main() -> None:
             REPO, "BENCH_DETAIL.json"
         )
     detail = load_detail(src)
+    # previous round artifact for the normalized-delta column: the newest
+    # BENCH_r*.json that is not the source itself
+    prev, prev_src = None, None
+    for cand in round_artifacts():
+        if os.path.abspath(cand) != os.path.abspath(src):
+            prev, prev_src = load_detail(cand), os.path.basename(cand)
+            break
     path = os.path.join(REPO, "BASELINE.md")
     with open(path) as fh:
         doc = fh.read()
-    table = render(detail, os.path.basename(src))
+    table = render(detail, os.path.basename(src), prev, prev_src)
     pattern = re.compile(
         re.escape(BEGIN) + r".*?" + re.escape(END), flags=re.S
     )
