@@ -307,9 +307,13 @@ def q_sql_passthrough(spark, sf_dir):
 
 
 def q_approx_distinct(spark, sf_dir):
-    """§2.4 sketch surface: HLL++ approx_count_distinct vs exact, with the
-    relative-error bound asserted in-query (rows-only: DuckDB's HLL differs;
-    the bound check is the cross-engine-stable part)."""
+    """§2.4 sketch surface: HLL++ approx_count_distinct vs exact.
+    Promoted from rows-only to a full oracle row in r8: the RAW estimate
+    is engine-specific (DuckDB's HLL differs) so it is no longer a
+    return column — the cross-engine-checkable surface is the EXACT
+    count (DuckDB-verified) plus the relative-error bound computed
+    in-query from the live HLL estimate; if Spark's sketch ever drifts
+    outside 10% the boolean turns false and the value hash fails."""
     li = _t(spark, sf_dir, "lineitem")
     agg = li.agg(
         F.countDistinct("l_partkey").alias("n_exact"),
@@ -317,7 +321,6 @@ def q_approx_distinct(spark, sf_dir):
     )
     return agg.select(
         "n_exact",
-        "n_approx",
         (
             F.abs(F.col("n_approx") - F.col("n_exact"))
             / F.col("n_exact")
@@ -1499,9 +1502,16 @@ def q_x1_minhash_pairs(spark, sf_dir):
 def q_stream_windowed_real(spark, sf_dir):
     """Actual Structured Streaming execution inside the gate: file-source
     readStream over events → watermarked 1-min windows → memory sink
-    (availableNow), returning the sink table. Append mode emits only
-    watermark-closed windows (rows-only: a strict subset of the batch
-    result by design)."""
+    (availableNow), returning the sink table. Append mode emits exactly
+    the windows whose end ≤ the final watermark (max event time − 2 min;
+    availableNow runs a trailing no-data batch that flushes them), which
+    is DuckDB-expressible — promoted from rows-only to a full oracle row
+    in r8. The promotion immediately caught a real bug: the r7 entry
+    assumed TIMESTAMP(NANOS) parquet unconditionally and floor-divided a
+    MICROS column by 1000, producing 1970-era windows that the
+    width-only invariant could not see. The timestamp layout is now
+    DETECTED per file exactly like sources.load_table (bigint under
+    nanosAsLong ⇒ nanos ⇒ convert; native timestamp ⇒ use as-is)."""
     from datamunging_spark.streaming import (
         EVENTS_SCHEMA,
         run_stream_to_memory,
@@ -1511,27 +1521,37 @@ def q_stream_windowed_real(spark, sf_dir):
     from pyspark.sql.types import LongType, StructField, StructType
 
     # File-source streams need a directory: use sf_dir as base with a glob
-    # filter (the driver testdata keeps one parquet FILE per table). The raw
-    # file stores TIMESTAMP(NANOS) -> read ts as long, floor to micros
-    # (same conversion as sources.load_table).
-    raw_schema = StructType(
-        [
-            StructField(f.name, LongType() if f.name == "ts" else f.dataType)
-            for f in EVENTS_SCHEMA.fields
-        ]
-    )
+    # filter (the driver testdata keeps one parquet FILE per table).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stored_nanos = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .schema["ts"].dataType.simpleString() == "bigint"
     )
+    if stored_nanos:
+        raw_schema = StructType(
+            [
+                StructField(
+                    f.name, LongType() if f.name == "ts" else f.dataType
+                )
+                for f in EVENTS_SCHEMA.fields
+            ]
+        )
+        events = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    else:
+        events = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     win = windowed_counts(events, window="1 minute", watermark="2 minutes")
     name = run_stream_to_memory(win, "gate_stream_win")
-    # in-query invariants (added r7): every emitted window is exactly one
-    # minute wide with a positive count — pins the windowing arithmetic
-    # and the nanos→micros timestamp conversion above
+    # in-query invariant kept alongside the oracle: every emitted window
+    # is exactly one minute wide with a positive count
     return spark.table(name).withColumn(
         "window_ok",
         (F.col("n_events") > 0)
@@ -2150,6 +2170,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # its real verification is the pigeonhole banding-guarantee pytest +
     # Hamming property tests, and it stays benched) → slot given to
     # x1_span_dedup, the round's new operator family.
+    # Promoted round 8 (rows-only → full oracle rows, no slot change):
+    # approx_distinct (raw HLL estimate dropped from the output — engine-
+    # specific; the exact count + live relative-error bound are hash-
+    # checked) and stream_windowed_real (append-mode emission = windows
+    # with end <= max(ts)-watermark, batch-expressible in DuckDB; the
+    # promotion caught the r7 entry's unconditional nanos division
+    # producing 1970-era windows on micros-typed parquet).
     return {
         "r19_quality_report": q_r19_quality_report,
         "quality_summary": q_quality_summary,
@@ -2395,6 +2422,31 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY win_start, event_type
+        """,
+        # r8 promotion: the real Structured Streaming run's append-mode
+        # output is exactly the windows whose end <= final watermark
+        # (max event time - 2 min; the availableNow trailing no-data
+        # batch flushes them) -- batch-expressible, so the streaming
+        # engine's emission set, window arithmetic, timestamp decode,
+        # and per-window aggregates are all value-hash-checked.
+        "stream_windowed_real": """
+            WITH m AS (SELECT max(ts) - INTERVAL 2 MINUTE AS w FROM events)
+            SELECT date_trunc('minute', ts) AS win_start,
+                   date_trunc('minute', ts) + INTERVAL 1 MINUTE AS win_end,
+                   event_type, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sum_value,
+                   true AS window_ok
+            FROM events, m
+            GROUP BY win_start, win_end, event_type, m.w
+            HAVING win_end <= m.w
+        """,
+        # r8 promotion: the raw HLL estimate is engine-specific, but the
+        # exact count and the live relative-error bound are not.
+        "approx_distinct": """
+            SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_exact,
+                   true AS within_10pct
+            FROM lineitem
         """,
         "sampling_suite": """
             SELECT 'bernoulli' AS op, CAST(l_orderkey AS BIGINT) AS k1,
