@@ -362,3 +362,30 @@ def test_span_dedup_candidates_are_equi_join_not_cartesian(spark, tables):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_checkpoint_stage_audit_captures_composites(spark, tables):
+    """The r8 PLAN_AUDIT fix: eagerly-checkpointed composites must report
+    their per-stage plans through the localCheckpoint hook instead of the
+    0-shuffle final frame — drift assert for tools/audit_plans.py."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from audit_plans import _CheckpointAudit
+
+    from datamunging_spark.operators.dedup import ingest_batch
+    from datamunging_spark.plans import plan_summary
+
+    docs = tables["documents"].select("doc_id", "text").limit(200)
+    with _CheckpointAudit() as ck:
+        surv, _ = ingest_batch(docs, None)
+        final = plan_summary(surv)
+    assert len(ck.stages) >= 3  # exact pass + signing + survivor slices
+    assert sum(s["exchanges"] for s in ck.stages) >= 2
+    assert not any(s["cartesian"] for s in ck.stages)
+    # the final frame alone under-reports — exactly why the hook exists
+    assert final["exchanges"] <= sum(s["exchanges"] for s in ck.stages)
+    # hook restored on exit
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    assert DataFrame.localCheckpoint.__name__ == "localCheckpoint"
