@@ -59,15 +59,28 @@ FEATURE_SCHEMA = StructType(
 
 
 def extract_features(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder=None,
 ) -> DataFrame:
     """Decode / feature-extract over binary payloads via ``mapInPandas``.
 
-    Deterministic fake decode: "dimensions" derived from the byte length
-    (width = ceil(sqrt(n)), height = ceil(n/width)) plus first/last byte
-    values — stand-ins for a real decoder's (width, height, channels).
-    Batches arrive as Arrow record batches; the iterator shape keeps peak
-    memory to one batch regardless of partition size.
+    ``decoder`` is the codec seam made concrete (r8): a picklable
+    ``bytes -> (width, height)`` callable that rides to executors inside
+    the closure and runs once per payload inside the Arrow batch loop —
+    e.g. a PIL/turbojpeg decode (the importorskip-gated PIL golden test
+    pins this path against real PNG bytes). ``None`` (default — the only
+    option in this container, where no codec is installed) keeps the
+    deterministic fake decode: "dimensions" derived from the byte length
+    (width = ceil(sqrt(n)), height = ceil(n/width)). Either way the
+    output lands in the SAME ``fake_width``/``fake_height`` columns
+    (schema-stable for downstream consumers and the gate oracle; the
+    names record that the DEFAULT is fake). First/last byte values are
+    decoder-independent. Batches arrive as Arrow record batches; the
+    iterator shape keeps peak memory to one batch regardless of
+    partition size, and the decoder is loaded once per worker, never
+    per row.
     """
     import math
 
@@ -80,10 +93,20 @@ def extract_features(
         for pdf in batches:
             payloads = pdf[payload_col]
             n_bytes = payloads.map(lambda b: len(b) if b is not None else 0)
-            width = n_bytes.map(lambda n: int(math.ceil(math.sqrt(n))) if n else 0)
-            height = [
-                int(math.ceil(n / w)) if w else 0 for n, w in zip(n_bytes, width)
-            ]
+            if decoder is None:
+                width = n_bytes.map(
+                    lambda n: int(math.ceil(math.sqrt(n))) if n else 0
+                )
+                height = [
+                    int(math.ceil(n / w)) if w else 0
+                    for n, w in zip(n_bytes, width)
+                ]
+            else:
+                dims = [
+                    decoder(b) if b else (0, 0) for b in payloads
+                ]
+                width = [int(w) for w, _ in dims]
+                height = [int(h) for _, h in dims]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],

@@ -110,7 +110,14 @@ def ner_entities(
             def run(t: str) -> list[str]:
                 if t is None:
                     return []
-                tree = nltk.ne_chunk(nltk.pos_tag(nltk.word_tokenize(t)))
+                # binary=True is REQUIRED for 'NE' labels — the reference
+                # runs ne_chunk(pos, binary=True) (README.md:344); without
+                # it subtree labels are PERSON/GPE/... and the 'NE' filter
+                # would silently return [] for every row (r8 parity fix,
+                # caught by writing the importorskip golden test)
+                tree = nltk.ne_chunk(
+                    nltk.pos_tag(nltk.word_tokenize(t)), binary=True
+                )
                 return [
                     " ".join(w for w, _ in st.leaves())
                     for st in tree.subtrees()

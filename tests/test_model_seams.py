@@ -1,0 +1,185 @@
+"""Optional-model seams made CI-real (r8, VERDICT r7 item 6).
+
+This container ships none of NLTK / fastText / PIL, so the model-path
+golden tests below `importorskip` cleanly here; in an environment with
+the pinned libraries they pin reference parity (the NER golden is the
+reference README's own diseases-corpus anchor, README.md:339-358).
+The CONTRACT tests run everywhere: output types, NULL behavior, and
+Arrow-batched (never row-at-a-time) plan shape — a model drop-in cannot
+regress any of these without failing in this container too.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datamunging_spark.operators.text import detect_language, ner_entities
+
+# Reference anchor (README.md:339-358): diseases-corpus lines whose text
+# is recoverable from the pinned output. nltk.ne_chunk(pos, binary=True)
+# over these lines yields exactly these 'NE' subtree joins in the
+# reference run; drift in NLTK's tagger/chunker models shows up here
+# DELIBERATELY (that is what a pinned-model golden is for).
+REFERENCE_NER_ANCHORS = [
+    ("Blastomycosis", ["Blastomycosis"]),
+    ("Typhoid Fever", ["Typhoid Fever"]),
+    ("West Nile virus", ["West Nile"]),
+    ("Rocky Mountain spotted fever", ["Rocky Mountain"]),
+    ("Lyme disease", ["Lyme"]),
+    ("Hantavirus pulmonary syndrome", ["Hantavirus"]),
+    ("measles", []),
+    ("mumps", []),
+]
+
+
+def test_ner_nltk_golden_reference_parity(spark):
+    """Model path: with NLTK (3.x) + its punkt/tagger/chunker data
+    installed, ner_entities must reproduce the reference run's entity
+    lists on the recoverable diseases-corpus lines. Skips cleanly when
+    the library or its model data is absent (this container)."""
+    nltk = pytest.importorskip("nltk")
+    if not nltk.__version__.startswith("3."):
+        pytest.skip(f"golden pinned against NLTK 3.x, got {nltk.__version__}")
+    try:
+        nltk.ne_chunk(
+            nltk.pos_tag(nltk.word_tokenize("Smoke Test")), binary=True
+        )
+    except LookupError:
+        pytest.skip("NLTK model data (punkt/tagger/chunker) not downloaded")
+    d = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(REFERENCE_NER_ANCHORS)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: list(r["entities"])
+        for r in ner_entities(d).select("doc_id", "entities").collect()
+    }
+    for i, (line, want) in enumerate(REFERENCE_NER_ANCHORS):
+        assert got[i] == want, f"line {line!r}: {got[i]} != {want}"
+
+
+def test_ner_contract_runs_everywhere(spark):
+    """Seam contract (model present OR absent): array<string> output,
+    NULL text -> empty list (never NULL), and the UDF is Arrow-batched
+    (ArrowEvalPython in the plan — a row-at-a-time BatchEvalPython
+    drop-in would regress 10-100x and fails here)."""
+    d = spark.createDataFrame(
+        [(1, "John Smith visited Paris"), (2, None), (3, "")],
+        "doc_id int, text string",
+    )
+    out = ner_entities(d)
+    assert out.schema["entities"].dataType.simpleString() == "array<string>"
+    rows = {r.doc_id: r.entities for r in out.collect()}
+    assert rows[2] == [] and rows[3] == []
+    assert rows[1]  # heuristic and model both find something here
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+FASTTEXT_SENTENCES = [
+    ("the quick brown fox jumps over the lazy dog and it is fine", "en"),
+    ("le chat est dans la maison et il est content de la vie", "fr"),
+    ("der Hund ist nicht in der Schule und das ist ein Problem", "de"),
+    ("el perro es grande y la casa es una maravilla en la ciudad", "es"),
+]
+
+
+def test_language_id_fasttext_agreement(spark):
+    """Model path: with fastText + a lid model (path via
+    $FASTTEXT_LID_PATH, e.g. lid.176.ftz) installed, the shipped
+    marker-token heuristic must agree with fastText on unambiguous
+    sentences — the documented accuracy seam, checked whenever the real
+    model is actually available."""
+    import os
+
+    fasttext = pytest.importorskip("fasttext")
+    path = os.environ.get("FASTTEXT_LID_PATH")
+    if not path or not os.path.exists(path):
+        pytest.skip("set FASTTEXT_LID_PATH to a lid.176 model to run")
+    model = fasttext.load_model(path)
+    d = spark.createDataFrame(
+        [(t,) for t, _ in FASTTEXT_SENTENCES], "text string"
+    ).withColumn("lang", detect_language("text"))
+    ours = [r.lang for r in d.collect()]
+    for (text, want), got in zip(FASTTEXT_SENTENCES, ours):
+        ft = model.predict(text)[0][0].replace("__label__", "")
+        assert got == want == ft, f"{text!r}: ours={got} fasttext={ft}"
+
+
+def test_language_id_contract_runs_everywhere(spark):
+    """Seam contract: detect_language is EXPRESSION-ONLY (no Python in
+    the plan at all — the fastText upgrade slots in as a pandas_udf
+    behind the same column signature, but the default must stay
+    codegen'd), deterministic, and 'und' on marker-free text."""
+    d = spark.createDataFrame(
+        [(t,) for t, _ in FASTTEXT_SENTENCES] + [("zzz qqq 12345",)],
+        "text string",
+    ).withColumn("lang", detect_language("text"))
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # neither Arrow nor row Python
+    got = [r.lang for r in d.collect()]
+    assert got == [want for _, want in FASTTEXT_SENTENCES] + ["und"]
+
+
+def _png_decoder(b):
+    """The production swap-in the extract_features(decoder=...) seam
+    exists for — module-level so Spark can pickle it to workers."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(b)) as im:
+        return im.size  # (width, height)
+
+
+def test_image_codec_pil_golden(spark):
+    """Model path: with PIL installed, extract_features(decoder=...)
+    must report the REAL dimensions of generated PNG payloads through
+    the same Arrow batch loop (and schema) as the fake decode."""
+    import io
+
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    payloads = []
+    for i, (w, h) in enumerate([(3, 5), (16, 9), (1, 1)]):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), (255, 0, 0)).save(buf, format="PNG")
+        payloads.append((i, buf.getvalue(), {"media_type": "image/png"}))
+    from datamunging_spark.operators.multimodal import extract_features
+
+    d = spark.createDataFrame(
+        payloads,
+        "doc_id long, payload binary, "
+        "payload_meta struct<media_type:string>",
+    )
+    feats = {
+        r.doc_id: (r.fake_width, r.fake_height)
+        for r in extract_features(d, decoder=_png_decoder).collect()
+    }
+    assert feats == {0: (3, 5), 1: (16, 9), 2: (1, 1)}
+
+
+def test_image_codec_contract_runs_everywhere(spark):
+    """Seam contract: the decoder parameter changes VALUES only — schema,
+    batch shape, and NULL/empty handling are identical between the fake
+    decode and any real codec (pinned with a stand-in decoder so the
+    plumbing is exercised without PIL)."""
+    from datamunging_spark.operators.multimodal import (
+        FEATURE_SCHEMA,
+        extract_features,
+    )
+
+    d = spark.createDataFrame(
+        [(1, b"abcdef", {"media_type": "image/png"}),
+         (2, None, {"media_type": "image/png"})],
+        "doc_id long, payload binary, "
+        "payload_meta struct<media_type:string>",
+    )
+    fake = extract_features(d)
+    real = extract_features(d, decoder=lambda b: (len(b), 1))
+    assert fake.schema == real.schema == FEATURE_SCHEMA
+    rows = {r.doc_id: r for r in real.collect()}
+    assert (rows[1].fake_width, rows[1].fake_height) == (6, 1)
+    assert (rows[2].fake_width, rows[2].fake_height) == (0, 0)  # NULL payload
+    assert rows[2].first_byte is None
