@@ -57,11 +57,18 @@ def regex_extract(col: Column | str, pattern: str, group: int = 1) -> Column:
 def cast_int_hive(col: Column | str) -> Column:
     """Hive ``cast(string as int)``: NULL on failure (README.md:239,256).
 
-    Matches Spark's ANSI-off default; TRIM first because the reference CSV
-    carries padded numerics like ' 13 ' (README.md:170, FIXTURES.md F1).
+    TRIM first because the reference CSV carries padded numerics like
+    ' 13 ' (README.md:170, FIXTURES.md F1). Spark's ANSI-off string->int
+    cast is NOT Hive parity on its own: it routes through a decimal parse,
+    so ``'.'`` -> 0 and ``'1.5'`` -> 1, where Hive's LazyInteger returns
+    NULL for any non-pure-integer string (hypothesis found the ``'.'``
+    case). Gate the cast on a strict ``[+-]?digits`` match; out-of-range
+    pure integers still overflow to NULL under the ANSI-off cast, which
+    Hive also NULLs. Stays a codegen-able expression — no UDF.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(c).cast("int")
+    s = F.trim(c)
+    return F.when(s.rlike(r"^[+-]?[0-9]+$"), s.cast("int"))
 
 
 def parse_money(col: Column | str) -> Column:

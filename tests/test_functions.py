@@ -28,9 +28,15 @@ def test_regex_extract_null_on_non_match(spark):
 
 
 def test_cast_int_hive_null_on_bad(spark):
-    df = spark.createDataFrame([(" 13 ",), ("x",), ("",), ("42",)], ["s"])
+    # '.' and '1.5' pin Hive parity: Spark's bare ANSI-off cast routes
+    # through decimal ('.'->0, '1.5'->1); Hive NULLs both.
+    df = spark.createDataFrame(
+        [(" 13 ",), ("x",), ("",), ("42",), (".",), ("1.5",), ("+7",),
+         ("-8",), ("99999999999",)],
+        ["s"],
+    )
     out = [r["v"] for r in df.select(cast_int_hive("s").alias("v")).collect()]
-    assert out == [13, None, None, 42]
+    assert out == [13, None, None, 42, None, None, 7, -8, None]
 
 
 def test_parse_money(spark):
