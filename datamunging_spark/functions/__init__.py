@@ -62,13 +62,16 @@ def cast_int_hive(col: Column | str) -> Column:
     cast is NOT Hive parity on its own: it routes through a decimal parse,
     so ``'.'`` -> 0 and ``'1.5'`` -> 1, where Hive's LazyInteger returns
     NULL for any non-pure-integer string (hypothesis found the ``'.'``
-    case). Gate the cast on a strict ``[+-]?digits`` match; out-of-range
-    pure integers still overflow to NULL under the ANSI-off cast, which
-    Hive also NULLs. Stays a codegen-able expression — no UDF.
+    case). Gate the cast on a strict ``[+-]?digits`` match — anchored
+    ``\\A..\\z``, not ``^..$``, because Java's ``$`` matches before a
+    trailing newline so ``'123\\n'`` would slip through (space-only
+    ``trim`` does not strip it; Hive NULLs it). Out-of-range pure
+    integers still overflow to NULL under the ANSI-off cast, which Hive
+    also NULLs. Stays a codegen-able expression — no UDF.
     """
     c = F.col(col) if isinstance(col, str) else col
     s = F.trim(c)
-    return F.when(s.rlike(r"^[+-]?[0-9]+$"), s.cast("int"))
+    return F.when(s.rlike(r"\A[+-]?[0-9]+\z"), s.cast("int"))
 
 
 def parse_money(col: Column | str) -> Column:

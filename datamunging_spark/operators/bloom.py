@@ -48,13 +48,23 @@ class BloomFilter(NamedTuple):
     bit-space size ``m`` (multiple of 8) and hash count ``k``.
     ``digest`` caches the sha1 of ``bits`` (computed once at
     build/merge) so the per-call broadcast-cache lookup never re-hashes
-    a potentially-GB bitmap; ``None`` (hand-built filters) means the
-    first probe computes it lazily."""
+    a potentially-GB bitmap. A hand-built filter left at the ``None``
+    default re-hashes the FULL bitmap on EVERY probe/release call (the
+    tuple is immutable, so nothing can memoize it in place) — pass it
+    through :meth:`with_digest` once to get the cached-digest copy."""
 
     bits: bytes
     m: int
     k: int
     digest: str | None = None
+
+    def with_digest(self) -> "BloomFilter":
+        """Copy with ``digest`` filled (no-op if already cached) — the
+        one-time step that makes a hand-built filter probe at the same
+        O(1) driver cost as ``bloom_build``/``bloom_or`` outputs."""
+        if self.digest is not None:
+            return self
+        return self._replace(digest=_digest(self.bits))
 
 
 def _digest(bits: bytes) -> str:

@@ -30,6 +30,34 @@ def _hash_tmp_guard(df: DataFrame) -> None:
         )
 
 
+def _probe_sample(df: DataFrame) -> DataFrame:
+    """First + last row of EVERY partition of ``df`` (slim projection).
+
+    Order-independent sample for the bloom staleness probes: a
+    ``limit(N)`` deterministically reads the OLDEST files of an
+    append-only snapshot (``advance_snapshot`` unions old-first), so it
+    is blind to exactly the lag-by-one-fold staleness the probe exists
+    to catch. A fold appended to the snapshot lands in its own files
+    (own partitions) or at partition tails after compaction; sampling
+    the head AND tail of every partition covers both with certainty,
+    for one tiny shuffle of two rows per input partition. The column
+    scan it costs is asymptotically free — the incremental anti-join /
+    band join scans the same snapshot in full anyway.
+    """
+    cols = df.columns
+    s = df.select(
+        F.spark_partition_id().alias("_pid"), F.struct(*cols).alias("_s")
+    )
+    agg = s.groupBy("_pid").agg(
+        F.first("_s").alias("_f"), F.last("_s").alias("_l")
+    )
+    return (
+        agg.select(F.col("_f").alias("_s"))
+        .unionByName(agg.select(F.col("_l").alias("_s")))
+        .select("_s.*")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -171,28 +199,31 @@ def incremental_dedup(
     ``seen`` — a stale filter (snapshot advanced without the matching
     ``bloom_or`` fold) silently classifies uncovered duplicates as
     "definitely new" and they bypass the anti-join, violating the
-    exact-dedup guarantee. ``bloom_verify`` (default 64, 0 disables)
-    guards the precondition: that many snapshot hashes are probed
-    through the filter in one tiny job and ANY miss raises — a miss is
-    proof of staleness (a covering Bloom filter has no false negatives).
-    Sampling can't prove full coverage, but the common failure mode
-    (filter lags the snapshot by a whole batch) is caught with
-    near-certainty at negligible cost.
+    exact-dedup guarantee. ``bloom_verify`` (truthy enables, default on,
+    0 disables) guards the precondition: the first AND last snapshot
+    hash of every partition is probed through the filter in one tiny
+    job (:func:`_probe_sample` — order-independent, so an appended
+    uncovered fold cannot hide behind a head-of-table ``limit``) and
+    ANY miss raises — a miss is proof of staleness (a covering Bloom
+    filter has no false negatives). Sampling can't prove full coverage,
+    but the common failure mode (filter lags the snapshot by a whole
+    batch, i.e. whole parquet files uncovered) is caught with certainty
+    at negligible cost.
     """
     _hash_tmp_guard(new_df)
     if bloom is not None and bloom_verify:
         from datamunging_spark.operators.bloom import bloom_might_contain
 
         missed = (
-            seen.select(F.col(hash_col))
-            .limit(int(bloom_verify))
+            _probe_sample(seen.select(F.col(hash_col)))
             .filter(~bloom_might_contain(bloom, hash_col))
             .count()
         )
         if missed:
             raise ValueError(
-                f"stale bloom filter: {missed} of {bloom_verify} sampled "
-                f"snapshot hashes are ABSENT from the filter — it does not "
+                f"stale bloom filter: {missed} sampled snapshot hashes "
+                "(first+last of every partition) are ABSENT from the filter "
+                "— it does not "
                 "cover the snapshot (did the snapshot advance without the "
                 "matching bloom_or fold?); uncovered duplicates would "
                 "silently bypass the anti-join. Rebuild or fold the filter, "
@@ -788,9 +819,11 @@ def incremental_minhash_dedup(
     shrinks to ≈ true band collisions + fpp of batch bands. Survivors
     are identical by the no-false-negative guarantee (pinned by test).
     Same coverage precondition as the exact path's ``bloom``:
-    ``band_bloom_verify`` (default 64 rows, 0 disables) probes sampled
-    HISTORY band rows through the filter and raises on any miss — a
-    stale filter would silently let history near-dups into the batch.
+    ``band_bloom_verify`` (truthy enables, default on, 0 disables)
+    probes the first+last HISTORY band row of every partition through
+    the filter (:func:`_probe_sample` — order-independent) and raises
+    on any miss — a stale filter would silently let history near-dups
+    into the batch.
     """
     new_sig = minhash_signatures_df(
         new_df, text_col, id_col, num_hashes, shingle_words
@@ -807,15 +840,14 @@ def incremental_minhash_dedup(
 
             if band_bloom_verify:
                 missed = (
-                    hist_bands.select("_b", "_k")
-                    .limit(int(band_bloom_verify))
+                    _probe_sample(hist_bands.select("_b", "_k"))
                     .filter(~bloom_might_contain(band_bloom, "_b", "_k"))
                     .count()
                 )
                 if missed:
                     raise ValueError(
-                        f"stale band bloom filter: {missed} of "
-                        f"{band_bloom_verify} sampled history band keys are "
+                        f"stale band bloom filter: {missed} sampled history "
+                        "band keys (first+last of every partition) are "
                         "ABSENT from the filter — it does not cover the "
                         "signature snapshot (did the snapshot advance "
                         "without the matching bloom_or fold, or with "

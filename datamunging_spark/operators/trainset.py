@@ -253,7 +253,9 @@ def decontaminate_substring(
     matcher consistently.
     """
     from datamunging_spark.functions import normalize_text
+    from datamunging_spark.operators.relational import _reserved_tmp_guard
 
+    _reserved_tmp_guard(corpus, ("_norm",), "decontaminate_substring")
     btc = bench_text_col or text_col
     probes = (
         benchmark.select(normalize_text(F.col(btc)).alias("_probe"))

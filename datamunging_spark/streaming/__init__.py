@@ -221,10 +221,16 @@ from datamunging_spark.sources.versioned import (
 
 def _maybe_parquet(spark: SparkSession, path: str) -> DataFrame | None:
     """Read a parquet directory, or None when it does not exist — how the
-    optional span-state directories load alongside a snapshot version."""
+    optional span-state directories load alongside a snapshot version.
+    Only the legitimately-missing-directory AnalysisException maps to
+    None (the ``read_snapshots`` contract, dedup.py): a corrupt footer /
+    permission / FS error must RAISE, not silently reset span history to
+    empty and stop cutting every previously-seen span."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(path)
-    except Exception:
+    except AnalysisException:
         return None
 
 
@@ -239,6 +245,7 @@ def streaming_ingest(
     threshold: float = 0.8,
     span: bool = False,
     span_kwargs: dict | None = None,
+    snapshots_keep_last: int | None = None,
     **ingest_kwargs,
 ):
     """Continuous-ingest loop on Structured Streaming via ``foreachBatch``:
@@ -298,6 +305,18 @@ def streaming_ingest(
     snapshot pair (``span_fps/`` + ``span_texts/`` under the same
     ``v{batch_id}`` directory, covered by the same commit marker).
     Returns ``(snapshots, (span_fps, span_texts))`` when ``span=True``.
+
+    **Retention** (``snapshots_keep_last``): every version holds the FULL
+    state — slim for the hash/signature/fingerprint tables, but
+    ``span_texts`` is the whole accumulated survivor corpus, so without
+    retirement the store grows O(batches × corpus). Set
+    ``snapshots_keep_last=K`` to ``vacuum_table_versions`` after each
+    commit, bounding disk at K × state size (the same per-batch
+    retention ``streaming_resolve`` applies to its history). The
+    per-batch full-texts REWRITE remains the accepted cost of the
+    marker-atomic versioned layout — an append-only increment store
+    with periodic compaction is the upgrade seam if span ingest ever
+    fronts a corpus too large to rewrite per micro-batch.
     """
     from datamunging_spark.operators.dedup import (
         Snapshots,
@@ -403,12 +422,32 @@ def streaming_ingest(
             bspark = batch_df.sparkSession
             write_snapshots(snaps, vpath)
             if span:
-                state["span_fps"].write.parquet(f"{vpath}/span_fps")
-                state["span_texts"].write.parquet(f"{vpath}/span_texts")
+                # mode("overwrite"), NOT the errorifexists default: a
+                # crash between these writes and the commit marker leaves
+                # a torn marker-less v{batch_id} on disk; the replayed
+                # batch (state reloaded from the PRIOR committed version,
+                # so never self-overwriting its own input) must converge,
+                # not throw PATH_ALREADY_EXISTS forever — the same
+                # replay-convergence contract as write_snapshots /
+                # write_table_version.
+                state["span_fps"].write.mode("overwrite").parquet(
+                    f"{vpath}/span_fps"
+                )
+                state["span_texts"].write.mode("overwrite").parquet(
+                    f"{vpath}/span_texts"
+                )
             _mark_snapshot_committed(bspark, vpath)
             state["snaps"] = read_snapshots(bspark, vpath)
             if span:
                 _load_span_state(bspark, vpath)
+            if snapshots_keep_last is not None:
+                from datamunging_spark.sources.versioned import (
+                    vacuum_table_versions,
+                )
+
+                vacuum_table_versions(
+                    bspark, snapshots_path, keep_last=snapshots_keep_last
+                )
         else:
             state["snaps"] = Snapshots(
                 snaps.content.localCheckpoint(),

@@ -237,13 +237,19 @@ def test_digest_cached_at_build_and_or(spark):
     )
     merged = bloom_or(a, b)
     assert merged.digest == _digest(merged.bits)
-    # hand-built filters (digest=None) still probe fine (lazy digest)
+    # hand-built filters (digest=None) still probe fine, but re-hash the
+    # bitmap per call; with_digest() is the documented one-time fix
     hand = BloomFilter(a.bits, a.m, a.k)
     assert hand.digest is None
     assert df.filter(bloom_might_contain(hand, "s")).count() == 2
+    cached = hand.with_digest()
+    assert cached.digest == _digest(a.bits)
+    assert cached.with_digest() is cached  # no-op when already cached
+    assert df.filter(bloom_might_contain(cached, "s")).count() == 2
     from datamunging_spark.operators.bloom import bloom_release
 
     bloom_release(hand)
+    bloom_release(cached)
 
 
 def test_bloom_or_release_inputs_evicts_broadcasts(spark):
@@ -303,6 +309,43 @@ def test_incremental_dedup_stale_bloom_raises(spark):
     good = bloom_build(snap, ["content_hash"], num_items=100)
     exact = incremental_dedup(batch, snap, bloom=good)
     assert [r.doc_id for r in exact.collect()] == [101]
+
+
+def test_stale_bloom_probe_catches_lag_by_one_fold(spark):
+    """The documented common failure mode: the snapshot advanced
+    (append-only, old rows FIRST) but the matching bloom_or fold was
+    forgotten, so the filter covers everything EXCEPT the newest fold.
+    A head-of-table limit(N) probe deterministically samples only old
+    (covered) hashes and is blind to this; the per-partition first+last
+    probe must raise."""
+    from datamunging_spark.operators.dedup import (
+        Snapshots,
+        advance_snapshot,
+        content_snapshot,
+        incremental_dedup,
+    )
+
+    hist = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(200)],
+        "doc_id int, text string",
+    )
+    snap1 = content_snapshot(hist)
+    flt1 = bloom_build(snap1, ["content_hash"], num_items=1000)
+    batch1 = spark.createDataFrame(
+        [(1000 + i, f"fresh content {i}") for i in range(20)],
+        "doc_id int, text string",
+    )
+    survivors = incremental_dedup(batch1, snap1, bloom=flt1)
+    snap2 = advance_snapshot(survivors, Snapshots(snap1, None)).content
+    # flt1 is now stale by exactly one fold (covers snap1, not batch1's
+    # hashes).  The old-rows-first union means limit() would only see
+    # covered hashes; the partition probe must still catch it.
+    batch2 = spark.createDataFrame(
+        [(2000, "fresh content 3"), (2001, "never seen")],
+        "doc_id int, text string",
+    )
+    with pytest.raises(ValueError, match="stale bloom filter"):
+        incremental_dedup(batch2, snap2, bloom=flt1)
 
 
 def test_incremental_minhash_band_bloom_identical_results(spark):

@@ -30,13 +30,15 @@ def test_regex_extract_null_on_non_match(spark):
 def test_cast_int_hive_null_on_bad(spark):
     # '.' and '1.5' pin Hive parity: Spark's bare ANSI-off cast routes
     # through decimal ('.'->0, '1.5'->1); Hive NULLs both.
+    # '123\n' pins the \A..\z anchors: Java's $ matches before a final
+    # newline, so a ^..$ gate would cast it while Hive NULLs it.
     df = spark.createDataFrame(
         [(" 13 ",), ("x",), ("",), ("42",), (".",), ("1.5",), ("+7",),
-         ("-8",), ("99999999999",)],
+         ("-8",), ("99999999999",), ("123\n",)],
         ["s"],
     )
     out = [r["v"] for r in df.select(cast_int_hive("s").alias("v")).collect()]
-    assert out == [13, None, None, 42, None, None, 7, -8, None]
+    assert out == [13, None, None, 42, None, None, 7, -8, None, None]
 
 
 def test_parse_money(spark):

@@ -1134,3 +1134,92 @@ def test_streaming_ingest_span_replayed_batch_is_noop(spark, tmp_path):
     )
     assert spark.read.parquet(out).count() == 1  # no duplicate append
     assert span_texts.count() == 1               # no span-state self-append
+
+
+def test_streaming_ingest_span_torn_version_replay_converges(
+    spark, tmp_path
+):
+    """Crash window between the span-state write and the commit marker:
+    the torn marker-less v0 directory (span_fps/span_texts on disk)
+    must be OVERWRITTEN by the replayed batch, not throw
+    PATH_ALREADY_EXISTS forever (write_snapshots' replay-convergence
+    contract extends to the span state). Also vacuums to keep_last=1 and
+    checks retention."""
+    from datamunging_spark.sources.versioned import COMMIT_MARKER
+    from datamunging_spark.streaming import streaming_ingest
+
+    S = "this exact licensed boilerplate sentence repeats verbatim!!"
+    a = "first document unique head. " * 3 + S
+    b = "second batch different body. " * 3 + S
+    src = tmp_path / "torn_src"
+    src.mkdir()
+    spark.createDataFrame([(1, a)], ["doc_id", "text"]).coalesce(
+        1
+    ).write.parquet(str(src / "f1"))
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+
+    out, snaps_dir = str(tmp_path / "t_surv"), str(tmp_path / "t_snaps")
+    streaming_ingest(
+        stream(), survivors_path=out,
+        checkpoint_path=str(tmp_path / "t_ckpt"),
+        snapshots_path=snaps_dir, threshold=0.9, span=True,
+    )
+    # simulate the torn write: rip the marker off v0 and lose the
+    # checkpoint -> batch 0 replays as UNCOMMITTED into the existing dir
+    vdirs = [p for p in (tmp_path / "t_snaps").iterdir() if p.name[0] == "v"]
+    assert len(vdirs) == 1
+    (vdirs[0] / COMMIT_MARKER).unlink()
+    (tmp_path / "t_surv_gone").mkdir()  # fresh sink too (torn append)
+    streaming_ingest(
+        stream(), survivors_path=str(tmp_path / "t_surv_gone"),
+        checkpoint_path=str(tmp_path / "t_ckpt2"),
+        snapshots_path=snaps_dir, threshold=0.9, span=True,
+    )  # converges: overwrite of the torn span dirs, no crash
+    # second batch: span state still cuts, and keep_last=1 vacuums v0
+    spark.createDataFrame([(10, b)], ["doc_id", "text"]).coalesce(
+        1
+    ).write.parquet(str(src / "f2"))
+    snaps, (span_fps, span_texts) = streaming_ingest(
+        stream(), survivors_path=str(tmp_path / "t_surv_gone"),
+        checkpoint_path=str(tmp_path / "t_ckpt2"),
+        snapshots_path=snaps_dir, threshold=0.9, span=True,
+        snapshots_keep_last=1,
+    )
+    surv = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(str(tmp_path / "t_surv_gone")).collect()
+    }
+    assert S not in surv[10]  # span history survived the torn replay
+    committed = [
+        p.name
+        for p in (tmp_path / "t_snaps").iterdir()
+        if p.name[0] == "v" and (p / COMMIT_MARKER).exists()
+    ]
+    assert len(committed) == 1  # vacuumed to keep_last=1
+
+
+def test_maybe_parquet_missing_is_none_corrupt_raises(spark, tmp_path):
+    """_maybe_parquet maps ONLY the missing-directory AnalysisException
+    to None (bootstrap); a directory with an unreadable file must raise
+    rather than silently reset span history to empty."""
+    from datamunging_spark.streaming import _maybe_parquet
+
+    assert _maybe_parquet(spark, str(tmp_path / "nope")) is None
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
+    raised = False
+    try:
+        df = _maybe_parquet(spark, str(bad))
+        if df is not None:  # corruption may surface only at action time
+            df.collect()
+    except Exception:
+        raised = True
+    # silently-None (or silently-readable) is exactly the regression
+    assert raised, "corrupt span-state dir did not raise"

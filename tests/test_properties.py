@@ -2,6 +2,8 @@
 their Python reference semantics on arbitrary (ASCII) inputs, batched through
 one DataFrame per example set for Spark-roundtrip economy."""
 
+import re
+
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -69,11 +71,12 @@ def test_cast_int_hive_matches_python(spark, values):
     }
 
     def pyref(v: str):
-        s = v.strip()
-        try:
-            n = int(s)
-        except ValueError:
+        # Hive's LazyInteger accepts only [+-]?digits — unlike Python's
+        # int(), which also takes '1_2' underscores and unicode digits.
+        s = v.strip(" ")  # F.trim strips spaces only
+        if not re.fullmatch(r"[+-]?[0-9]+", s):
             return None
+        n = int(s)
         return n if -(2**31) <= n <= 2**31 - 1 else None
 
     for i, v in enumerate(values):
