@@ -1200,6 +1200,37 @@ def q_x7_event_suite(spark, sf_dir):
     return fun.unionByName(coh).unionByName(ovl)
 
 
+def q_x8_heavy_hitters(spark, sf_dir):
+    """X8 heavy-hitter sketch (bench-only; guarantees pinned by
+    tests/test_sketch.py): Misra-Gries frequent words over the documents
+    corpus — one Arrow pass with ≤ k counters per partition, shuffle
+    bounded at partitions × (k+2) rows regardless of vocabulary size
+    (operators/sketch.py docstring has the bounds). In-query invariants:
+    the count bracket is non-degenerate and the error floor respects the
+    (k+1) bound."""
+    from datamunging_spark.functions import tokenize
+    from datamunging_spark.operators.sketch import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(tokenize(F.lower(F.col("text")))).alias("word")
+    )
+    hh = heavy_hitters(words, "word", k=2048, min_share=0.002)
+    return hh.select(
+        "value",
+        "count_lo",
+        "count_hi",
+        "n_total",
+        "max_err",
+        (F.col("count_lo") <= F.col("count_hi")).alias("bracket_ok"),
+        (
+            F.col("max_err")
+            <= F.col("n_total") / F.lit(2048 + 1)
+            * F.lit(64)  # ≤ one d_i bound per task; 64 >> local[32] tasks
+        ).alias("within_err_floor"),
+    )
+
+
 def q_x4_vocab(spark, sf_dir):
     """X4 vocabulary build + OOV coverage (bench + pytest-oracle coverage;
     kept out of the 50-entry gate): deterministic top-500 corpus

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "x6_blocking_report",
     "x4_vocab",
     "x7_event_suite",
+    "x8_heavy_hitters",
 ]
 
 

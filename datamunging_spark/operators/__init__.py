@@ -7,6 +7,7 @@
   dedup       — exact + MinHash/SimHash/Jaccard near-dup (X1)
   spandedup   — cross-document exact-substring span dedup (X1, Lee et al.)
   bloom       — distributed Bloom build + probe (anti-join prefilter)
+  sketch      — Misra-Gries heavy hitters (bounded-shuffle frequent items)
   similarity  — brute-force & LSH top-k vector search (X2)
   quality     — rule→invalid-rows validation reports (README.md:126-132 shape)
   multimodal  — binary payload columns + mapInPandas feature/resize (X3)
