@@ -119,26 +119,19 @@ def _mg_partition(k: int):
     return run
 
 
-def heavy_hitters(
-    df: DataFrame,
-    col: str,
-    k: int = 4096,
-    min_share: float | None = None,
-) -> DataFrame:
-    """Misra-Gries heavy hitters over ``col`` with ≤ ``k`` counters per
-    partition (module docstring has the guarantees). Returns
-    ``(value, count_lo, count_hi, n_total, max_err)`` where
-    ``count_lo ≤ true count ≤ count_hi`` and ``max_err ≤ n/(k+1)``;
-    with ``min_share`` set, keeps only values whose count COULD reach
-    ``min_share × n`` (``count_hi`` ≥ threshold — supersets the exact
-    answer by the no-false-negative guarantee, pinned by test).
-
-    Plan shape: one Arrow pass over the data (no shuffle), then a hash
-    aggregate over ≤ partitions × (k+2) counter rows; the aggregated
-    summary is localCheckpointed (it is the bounded working set, read
-    by the hitter/meta branches) so the expensive scan runs once.
-    ``col`` is stringified for the summary (one key space regardless of
-    input type — join back on the string form to recover payloads).
+def hh_summary(df: DataFrame, col: str, k: int = 4096) -> DataFrame:
+    """Build a Misra-Gries SUMMARY of ``col``: the mergeable/persistable
+    sketch state — rows ``(value, cnt, meta)`` where data rows carry
+    ``meta=NULL`` counters and the two meta rows carry the summed
+    decrement total (``meta='dec'``) and non-null row count
+    (``meta='n'``). One Arrow pass (≤ ``k`` counters per partition),
+    then a hash aggregate over ≤ partitions × (k+2) counter rows;
+    localCheckpointed because every consumer (report, merge) reads it
+    from several branches and the scan must run once. ``col`` is
+    stringified (one key space regardless of input type). Data rows can
+    exceed ``k`` here (union of per-partition summaries) — the bounds
+    hold regardless; :func:`merge_hh_summaries` re-bounds to ``k`` for
+    the stored-state loop.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -151,16 +144,73 @@ def heavy_hitters(
         ]
     )
     rows = vals.mapInPandas(_mg_partition(int(k)), schema=schema)
-    summary = (
+    return (
         rows.groupBy("meta", "value")
-        .agg(F.sum("cnt").alias("c"))
+        .agg(F.sum("cnt").alias("cnt"))
         .localCheckpoint()
     )
+
+
+def merge_hh_summaries(
+    a: DataFrame, b: DataFrame | None, k: int = 4096
+) -> DataFrame:
+    """Merge two summaries into one with ≤ ``k`` data rows — the
+    Agarwal et al. (PODS 2012) merge rule: sum counters pointwise, then
+    subtract the (k+1)-th largest counter from all and drop ≤ 0,
+    charging the subtraction to the decrement total so the count
+    bracket / error floor stay true of the COMBINED stream. Everything
+    here is summary-sized (≤ ``k`` + partitions × (k+2) rows): the
+    orderBy/limit that finds the cutoff collects k+1 longs on the
+    driver, the data-sized scan happened in :func:`hh_summary`.
+    Associative and commutative, so batches can fold in any order —
+    this is the stored-state step of the incremental/streaming loop.
+    ``b=None`` re-bounds ``a`` alone (the first-batch seed). Parameter
+    drift between the two summaries' build-k is SAFE here, unlike the
+    minhash snapshots: the error total is carried explicitly in the
+    'dec' meta row, so the reported bracket stays true whatever k each
+    side used — k only tunes how tight future bounds are.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = a if b is None else a.unionByName(b)
+    merged = (
+        u.groupBy("meta", "value")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint()
+    )
+    data = merged.filter(F.col("meta").isNull())
+    cuts = [
+        r.cnt
+        for r in data.select("cnt").orderBy(F.desc("cnt")).limit(k + 1).collect()
+    ]
+    if len(cuts) <= k:
+        return merged
+    t = cuts[-1]  # (k+1)-th largest
+    rebound = (
+        data.filter(F.col("cnt") > t)
+        .withColumn("cnt", F.col("cnt") - F.lit(t))
+    )
+    meta = merged.filter(F.col("meta").isNotNull()).withColumn(
+        "cnt",
+        F.when(F.col("meta") == _META_DEC, F.col("cnt") + F.lit(t)).otherwise(
+            F.col("cnt")
+        ),
+    )
+    return rebound.unionByName(meta)
+
+
+def hh_report(summary: DataFrame, min_share: float | None = None) -> DataFrame:
+    """Render a summary into the heavy-hitter report
+    ``(value, count_lo, count_hi, n_total, max_err)`` with
+    ``count_lo ≤ true count ≤ count_hi`` and ``max_err`` = the summed
+    decrement total (≤ n/(k+1) per the module bounds); ``min_share``
+    keeps only values whose count COULD reach ``min_share × n``
+    (supersets the exact answer by the no-false-negative guarantee)."""
     meta = (
         summary.filter(F.col("meta").isNotNull())
         .groupBy()
         .pivot("meta", [_META_DEC, _META_N])
-        .sum("c")
+        .sum("cnt")
         .select(
             F.coalesce(F.col(_META_DEC), F.lit(0)).alias("max_err"),
             F.coalesce(F.col(_META_N), F.lit(0)).alias("n_total"),
@@ -168,7 +218,7 @@ def heavy_hitters(
     )
     out = (
         summary.filter(F.col("meta").isNull() & F.col("value").isNotNull())
-        .select("value", F.col("c").alias("count_lo"))
+        .select("value", F.col("cnt").alias("count_lo"))
         .crossJoin(F.broadcast(meta))
         .select(
             "value",
@@ -183,3 +233,15 @@ def heavy_hitters(
             F.col("count_hi") >= F.col("n_total") * F.lit(float(min_share))
         )
     return out
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 4096,
+    min_share: float | None = None,
+) -> DataFrame:
+    """One-shot Misra-Gries heavy hitters: :func:`hh_summary` rendered
+    by :func:`hh_report` (module docstring has the guarantees; split
+    faces exist for the incremental/streaming fold)."""
+    return hh_report(hh_summary(df, col, k), min_share)

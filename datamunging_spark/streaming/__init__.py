@@ -725,3 +725,74 @@ def streaming_rollup(
     q.processAllAvailable()
     q.stop()
     return latest_table_version(spark, table_path)
+
+
+def streaming_heavy_hitters(
+    values_stream: DataFrame,
+    col: str,
+    table_path: str,
+    k: int = 4096,
+    checkpoint_path: str | None = None,
+    keep_last: int = 2,
+) -> int | None:
+    """Continuous frequent-items maintenance via ``foreachBatch``: each
+    micro-batch is summarized by
+    :func:`~datamunging_spark.operators.sketch.hh_summary` (one Arrow
+    pass, ≤ k counters per partition) and folded into the stored
+    Misra-Gries summary with
+    :func:`~datamunging_spark.operators.sketch.merge_hh_summaries`
+    (summary-sized work only; the stored state stays ≤ k counter rows +
+    2 meta rows, so per-batch cost is batch-scan + an O(k) merge no
+    matter how long the stream has run). The mergeable-summaries bounds
+    survive every fold: the 'dec' meta row carries the exact error
+    budget, so :func:`~datamunging_spark.operators.sketch.hh_report`
+    over any committed version brackets the TRUE stream-so-far counts.
+
+    Exactly-once mirrors :func:`streaming_rollup`: the fold is not
+    replay-idempotent (re-folding double-counts), so each committed
+    version carries its micro-batch tag and a replayed batch no-ops;
+    versions vacuum to ``keep_last``. Drains with ``availableNow``;
+    returns the latest committed version. Read the current report with
+    ``hh_report(read_table_version(spark, table_path))``.
+    """
+    from datamunging_spark.operators.sketch import (
+        hh_summary,
+        merge_hh_summaries,
+    )
+    from datamunging_spark.sources.versioned import (
+        batch_already_applied,
+        latest_table_version,
+        read_table_version,
+        vacuum_table_versions,
+        write_table_version,
+    )
+
+    spark = values_stream.sparkSession
+
+    def _process(batch_df, batch_id):
+        if not batch_df.head(1):
+            return
+        bspark = batch_df.sparkSession
+        if batch_already_applied(bspark, table_path, batch_id):
+            return
+        latest = latest_table_version(bspark, table_path)
+        state = (
+            read_table_version(bspark, table_path, latest)
+            if latest is not None
+            else None
+        )
+        folded = merge_hh_summaries(hh_summary(batch_df, col, k), state, k)
+        write_table_version(
+            folded, table_path, (latest or 0) + 1, batch_id=batch_id
+        )
+        vacuum_table_versions(bspark, table_path, keep_last=keep_last)
+
+    writer = values_stream.writeStream.foreachBatch(_process).trigger(
+        availableNow=True
+    )
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    return latest_table_version(spark, table_path)

@@ -84,6 +84,116 @@ def test_heavy_hitters_k_validation(spark):
         heavy_hitters(df, "value", k=0)
 
 
+def test_merge_hh_summaries_bounds_survive_the_fold(spark):
+    """Mergeable-summaries property: folding two halves' summaries gives
+    a report whose guarantees hold for the COMBINED data — superset of
+    exact heavies, count bracketing — and the merged state is re-bounded
+    to <= k data rows."""
+    from datamunging_spark.operators.sketch import (
+        hh_report,
+        hh_summary,
+        merge_hh_summaries,
+    )
+
+    df = _skewed(spark)
+    n = 5 * 400 + 8000
+    h1 = df.filter(F.crc32(F.col("value")) % 2 == 0)
+    h2 = df.filter(F.crc32(F.col("value")) % 2 == 1)
+    k = 64
+    merged = merge_hh_summaries(
+        hh_summary(h1, "value", k), hh_summary(h2, "value", k), k
+    )
+    assert merged.filter(F.col("meta").isNull()).count() <= k
+    rep = {r.value: r for r in hh_report(merged, min_share=0.01).collect()}
+    exact = {
+        r.value for r in heavy_hitters_exact(df, "value", 0.01).collect()
+    }
+    assert exact <= set(rep)
+    truth = {
+        r.value: r.cnt
+        for r in df.groupBy("value").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for v, r in rep.items():
+        assert r.count_lo <= truth[v] <= r.count_hi, v
+        assert r.n_total == n
+
+
+def test_merge_hh_summaries_none_seed_rebounds(spark):
+    """b=None re-bounds a single summary to <= k data rows; the report
+    still brackets the true counts."""
+    from datamunging_spark.operators.sketch import (
+        hh_report,
+        hh_summary,
+        merge_hh_summaries,
+    )
+
+    df = _skewed(spark)
+    k = 32
+    s = hh_summary(df, "value", k)  # union of 8 partition summaries > k
+    rb = merge_hh_summaries(s, None, k)
+    assert rb.filter(F.col("meta").isNull()).count() <= k
+    truth = {
+        r.value: r.cnt
+        for r in df.groupBy("value").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for r in hh_report(rb).collect():
+        assert r.count_lo <= truth[r.value] <= r.count_hi
+
+
+def test_streaming_heavy_hitters_folds_and_replays(spark, tmp_path):
+    """foreachBatch sketch maintenance: two micro-batch folds bracket
+    the full-stream truth; a drain with a lost checkpoint no-ops on the
+    already-applied batch (version tags); retention vacuums."""
+    from datamunging_spark.operators.sketch import hh_report
+    from datamunging_spark.sources.versioned import read_table_version
+    from datamunging_spark.streaming import streaming_heavy_hitters
+
+    src = tmp_path / "hh_src"
+    src.mkdir()
+    b1 = [(f"heavy_{i % 3}",) for i in range(300)] + [
+        (f"t1_{j}",) for j in range(500)
+    ]
+    b2 = [(f"heavy_{i % 3}",) for i in range(300)] + [
+        (f"t2_{j}",) for j in range(500)
+    ]
+    spark.createDataFrame(b1, "value string").coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame(b2, "value string").coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    table = str(tmp_path / "hh_table")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("value string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        return streaming_heavy_hitters(
+            stream, "value", table, k=16, checkpoint_path=str(tmp_path / ckpt)
+        )
+
+    assert drain("hh_ckpt") == 2  # two micro-batches -> v1, v2
+    rep = {
+        r.value: r
+        for r in hh_report(read_table_version(spark, table)).collect()
+    }
+    # true stream-so-far counts: heavy_i = 200 each, n = 1600
+    for i in range(3):
+        r = rep[f"heavy_{i}"]
+        assert r.count_lo <= 200 <= r.count_hi
+        assert r.n_total == 1600
+    # lost checkpoint: both batches replay, tags no-op them (no double
+    # counting -- n_total would be 3200 if a fold re-applied)
+    assert drain("hh_ckpt2") == 2
+    rep2 = {
+        r.value: r
+        for r in hh_report(read_table_version(spark, table)).collect()
+    }
+    assert rep2[f"heavy_0"].n_total == 1600
+
+
 def test_heavy_hitters_summary_is_bounded(spark):
     """The shuffle-side summary is <= partitions x (k+2) rows regardless
     of the distinct-key count — the whole point of the sketch."""
