@@ -338,3 +338,40 @@ def test_bloom_positions_bounded_and_deterministic(hashes, k, m_raw):
     assert p1.shape == (len(hashes), k)
     assert (p1 == p2).all()
     assert (p1 < m).all()
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(
+            ["a", "b", "c", "d"] + [f"u{i}" for i in range(40)]
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    st.integers(min_value=2, max_value=12),
+)
+def test_heavy_hitters_mg_guarantees(spark, values, k):
+    """X8 Misra-Gries invariants on arbitrary skew/k: every reported
+    value brackets its true count, n_total is exact, and NO value with
+    true count > the reported error budget is missing (the
+    no-false-negative pigeonhole: f = sum(f_i) > sum(d_i) forces
+    f_i > d_i in some partition, where the counter survives)."""
+    from collections import Counter
+
+    from datamunging_spark.operators.sketch import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(v,) for v in values], "value string"
+    ).repartition(3)
+    truth = Counter(values)
+    rows = heavy_hitters(df, "value", k=k).collect()
+    sk = {r.value: r for r in rows}
+    n = len(values)
+    for v, r in sk.items():
+        assert r.count_lo <= truth[v] <= r.count_hi, v
+        assert r.n_total == n
+    max_err = rows[0].max_err if rows else 0
+    for v, f_true in truth.items():
+        if f_true > max_err:
+            assert v in sk, (v, f_true, max_err)
