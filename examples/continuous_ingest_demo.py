@@ -138,6 +138,41 @@ def main() -> None:
         f"streaming ER: {len(ents)} historied records; "
         f"record 2 adopted entity {ents[2]} across micro-batches"
     )
+
+    # 5. streaming heavy hitters: which domains dominate the crawl feed,
+    # maintained as a bounded Misra-Gries summary across micro-batches
+    from datamunging_spark.operators.sketch import hh_report
+    from datamunging_spark.streaming import streaming_heavy_hitters
+
+    hh_src = f"{workdir}/domain_feed"
+    os.makedirs(hh_src, exist_ok=True)
+    for n, dom in (("h1", "common.example"), ("h2", "big.example")):
+        rows = [(dom,)] * 40 + [(f"rare{n}{j}.example",) for j in range(60)]
+        spark.createDataFrame(rows, "domain string").coalesce(
+            1
+        ).write.parquet(f"{hh_src}/{n}")
+    hh_stream = (
+        spark.readStream.schema("domain string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(hh_src + "/*")
+    )
+    hv = streaming_heavy_hitters(
+        hh_stream,
+        "domain",
+        f"{workdir}/hh_table",
+        k=32,
+        checkpoint_path=f"{workdir}/hh_ckpt",
+    )
+    rep = hh_report(
+        read_table_version(spark, f"{workdir}/hh_table"), min_share=0.1
+    )
+    tops = sorted(
+        (r.value, r.count_lo, r.count_hi) for r in rep.collect()
+    )
+    print(
+        f"streaming heavy hitters: v{hv} committed; dominant domains "
+        f"(count brackets) {tops}"
+    )
     print(f"done; state under {workdir}")
     spark.stop()
 
