@@ -140,6 +140,36 @@ def test_merge_hh_summaries_none_seed_rebounds(spark):
         assert r.count_lo <= truth[r.value] <= r.count_hi
 
 
+def test_merge_rebound_survives_all_ties(spark):
+    """Boundary: every counter ties at the cutoff — the rebound may drop
+    ALL data rows (each loses exactly its full count, charged to the
+    error budget), and the guarantees must stay vacuously true: nothing
+    whose true count exceeds the reported max_err may be missing."""
+    from datamunging_spark.operators.sketch import (
+        hh_report,
+        hh_summary,
+        merge_hh_summaries,
+    )
+
+    df = spark.createDataFrame(
+        [(f"v{i}",) for i in range(100)], "value string"
+    ).repartition(2)
+    rb = merge_hh_summaries(hh_summary(df, "value", 10), None, 10)
+    assert rb.filter(F.col("meta").isNull()).count() <= 10
+    rep = hh_report(rb).collect()
+    max_err = (
+        rep[0].max_err
+        if rep
+        else rb.filter(F.col("meta") == "dec").first().cnt
+    )
+    for r in rep:  # brackets for whatever survived
+        assert r.count_lo <= 1 <= r.count_hi
+        assert r.n_total == 100
+    # every true count is 1; none may be missing unless 1 <= max_err
+    if max_err < 1:
+        assert len(rep) == 100
+
+
 def test_streaming_heavy_hitters_folds_and_replays(spark, tmp_path):
     """foreachBatch sketch maintenance: two micro-batch folds bracket
     the full-stream truth; a drain with a lost checkpoint no-ops on the
