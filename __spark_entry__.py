@@ -1216,13 +1216,24 @@ def q_x8_heavy_hitters(spark, sf_dir):
         F.explode(tokenize(F.lower(F.col("text")))).alias("word")
     )
     hh = heavy_hitters(words, "word", k=2048, min_share=0.002)
-    return hh.select(
+    # REAL invariant, not an arithmetic tautology: re-count the few
+    # surviving words exactly (one agg pass, survivor join broadcast by
+    # AQE) and require the true count inside the sketch bracket — the
+    # MG guarantee checked in-query at bench scale every round.
+    exact = words.groupBy(F.col("word").alias("value")).agg(
+        F.count(F.lit(1)).alias("_exact")
+    )
+    return hh.join(exact, "value", "left").select(
         "value",
         "count_lo",
         "count_hi",
         "n_total",
         "max_err",
-        (F.col("count_lo") <= F.col("count_hi")).alias("bracket_ok"),
+        (
+            F.col("_exact").isNotNull()
+            & (F.col("count_lo") <= F.col("_exact"))
+            & (F.col("_exact") <= F.col("count_hi"))
+        ).alias("bracket_ok"),
         (
             F.col("max_err")
             <= F.col("n_total") / F.lit(2048 + 1)
