@@ -74,7 +74,10 @@ def heavy_hitters_exact(
 
 def _mg_partition(k: int):
     """Batched Misra-Gries over an iterator of Arrow batches; at most
-    ``k`` counters held between batches."""
+    ``k`` counters held between batches. (A chunked-consolidation
+    variant — buffering value_counts and concat+groupby-ing every ~8k
+    rows — was measured at the 64M-row probe point and was no faster
+    than this per-batch ``Series.add``, so the simpler form stays.)"""
 
     def run(batches):
         import numpy as np
@@ -93,7 +96,9 @@ def _mg_partition(k: int):
             if len(counters) > k:
                 arr = counters.to_numpy()
                 # (k+1)-th largest: while >k counters are >= t, subtract
-                # t from everything — one decrement event of weight t.
+                # t from everything — one decrement event of weight t
+                # (each event removes >= (k+1)·t mass, so the summed
+                # dec stays <= n/(k+1))
                 t = int(np.partition(arr, -(k + 1))[-(k + 1)])
                 if t > 0:
                     dec += t
