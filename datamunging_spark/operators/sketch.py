@@ -250,3 +250,77 @@ def heavy_hitters(
     by :func:`hh_report` (module docstring has the guarantees; split
     faces exist for the incremental/streaming fold)."""
     return hh_report(hh_summary(df, col, k), min_share)
+
+
+def top_k_exact_via_sketch(
+    df: DataFrame, col: str, top_n: int, k: int = 4096
+) -> DataFrame:
+    """EXACT top-``top_n`` most frequent values at bounded shuffle — the
+    composition a 100 TB vocabulary/top-domain build needs: the plain
+    ``groupBy(col).count().orderBy(...)`` is exact but shuffles a
+    partial-aggregate row for EVERY distinct key, which at billions of
+    keys is the bottleneck (and the aggregation-OOM risk SCALE.md
+    measured). Instead:
+
+    1. :func:`hh_summary` proposes candidates (one Arrow pass, summary
+       ≤ partitions × (k+2) rows) — a guaranteed SUPERSET of every
+       value with true count > the summary's error total ``max_err``;
+    2. candidates are re-counted EXACTLY in one more pass (hash agg
+       restricted to candidate keys via a broadcast semi-join — output
+       bounded by the candidate count, not the key space);
+    3. ``certified_exact``: the V-th exact count is compared against
+       ``max_err``. When strictly greater, NO non-candidate can reach
+       the top-V (its true count ≤ max_err < the cutoff), so the
+       result PROVABLY equals the unbounded exact top-V — an exactness
+       certificate computed in-query, no oracle needed. When false
+       (k too small for the tail weight), the rows are still the exact
+       counts of a best-effort candidate set; raise k and rerun.
+
+    Ties break deterministically (count desc, value asc — the
+    ``build_vocab`` convention). Two data passes total, both with
+    bounded exchanges; certificate strictness makes boundary ties with
+    ``max_err`` fail closed.
+    """
+    if top_n < 1:
+        raise ValueError("top_n must be >= 1")
+    s = hh_summary(df, col, k)
+    cand = s.filter(F.col("meta").isNull() & F.col("value").isNotNull()).select(
+        "value"
+    )
+    meta = (
+        s.filter(F.col("meta") == _META_DEC)
+        .groupBy()
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("max_err"))
+    )
+    vals = df.select(F.col(col).cast("string").alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+    exact = (
+        vals.join(F.broadcast(cand), "value")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    top = exact.orderBy(F.desc("count"), F.asc("value")).limit(int(top_n))
+    vth = top.agg(
+        F.min("count").alias("_vth"), F.count(F.lit(1)).alias("_ntop")
+    )
+    # fail-closed certificate: with fewer than top_n candidate rows the
+    # true top-V could include non-candidates in the unfilled slots —
+    # UNLESS max_err == 0, where no counter was ever decremented and the
+    # candidate set is provably the COMPLETE key space.
+    return (
+        top.crossJoin(F.broadcast(meta))
+        .crossJoin(F.broadcast(vth))
+        .select(
+            "value",
+            "count",
+            (
+                (F.col("max_err") == 0)
+                | (
+                    (F.col("_ntop") == top_n)
+                    & (F.col("_vth") > F.col("max_err"))
+                )
+            ).alias("certified_exact"),
+            "max_err",
+        )
+    )

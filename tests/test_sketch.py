@@ -232,3 +232,51 @@ def test_heavy_hitters_summary_is_bounded(spark):
     sk = heavy_hitters(df, "value", k=k)
     # every surviving counter row came from some partition's <=k counters
     assert sk.count() <= 8 * k
+
+def test_top_k_exact_via_sketch_certified_equals_exact(spark):
+    """The certified path provably equals the unbounded exact top-V:
+    same values, same counts, same deterministic tie order."""
+    from datamunging_spark.operators.sketch import top_k_exact_via_sketch
+
+    df = _skewed(spark)
+    got = top_k_exact_via_sketch(df, "value", top_n=5, k=64).collect()
+    assert all(r.certified_exact for r in got)
+    truth = (
+        df.groupBy("value")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc("value"))
+        .limit(5)
+        .collect()
+    )
+    assert [(r.value, r["count"]) for r in got] == [
+        (r.value, r["count"]) for r in truth
+    ]
+
+
+def test_top_k_exact_via_sketch_uncertified_when_k_too_small(spark):
+    """k far below the tail weight: the certificate must fail closed
+    (counts of whatever survived are still exact)."""
+    from datamunging_spark.operators.sketch import top_k_exact_via_sketch
+
+    df = _skewed(spark, n_heavy=2, heavy_count=30, n_tail=8000)
+    got = top_k_exact_via_sketch(df, "value", top_n=5, k=4).collect()
+    assert got and not any(r.certified_exact for r in got)
+    truth = {
+        r.value: r.cnt
+        for r in df.groupBy("value").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    for r in got:  # exact recount even without the certificate
+        assert truth[r.value] == r["count"]
+
+
+def test_top_k_exact_via_sketch_zero_err_short_result(spark):
+    """Fewer distinct keys than top_n with max_err == 0: the candidate
+    set is the complete key space, so the short result certifies."""
+    from datamunging_spark.operators.sketch import top_k_exact_via_sketch
+
+    df = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)], "value string"
+    )
+    got = top_k_exact_via_sketch(df, "value", top_n=10, k=50).collect()
+    assert [(r.value, r["count"]) for r in got] == [("a", 5), ("b", 3), ("c", 1)]
+    assert all(r.certified_exact and r.max_err == 0 for r in got)
