@@ -281,7 +281,10 @@ def word_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def build_vocab(
-    df: DataFrame, text_col: str = "text", vocab_size: int = 10_000
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 10_000,
+    sketch_k: int | None = None,
 ) -> DataFrame:
     """Top-``vocab_size`` corpus vocabulary by frequency: (word, cnt,
     rank), rank 1-based in (cnt desc, word asc) order — the deterministic
@@ -294,7 +297,33 @@ def build_vocab(
     reducer), NEVER a global sort. The rank window runs over the already-
     truncated ``vocab_size`` rows, so its single-partition sort is
     bounded by the vocabulary, not the corpus.
+
+    The hash aggregate still exchanges a partial row per distinct word —
+    at web-corpus scale (billions of types) that shuffle/memory is the
+    bottleneck. ``sketch_k`` switches to
+    :func:`~datamunging_spark.operators.sketch.top_k_exact_via_sketch`:
+    Misra-Gries candidates at bounded state, exact recount of candidates
+    only, same (cnt desc, word asc) ranking, plus a ``certified_exact``
+    column — True proves the vocabulary equals this function's default
+    output (pinned by test); if it comes back False, raise ``sketch_k``.
+    Pick ``sketch_k`` ≳ a few × vocab_size / (expected share of the
+    vocab_size-th word); the certificate tells you whether it sufficed.
     """
+    if sketch_k is not None:
+        from datamunging_spark.operators.sketch import top_k_exact_via_sketch
+
+        toks = df.select(F.explode(tokenize(text_col)).alias("word")).filter(
+            F.col("word") != ""
+        )
+        top = top_k_exact_via_sketch(
+            toks, "word", top_n=vocab_size, k=sketch_k
+        ).select(
+            F.col("value").alias("word"),
+            F.col("count").alias("cnt"),
+            "certified_exact",
+        )
+        w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
+        return top.withColumn("rank", F.row_number().over(w))
     top = (
         word_count(df, text_col)
         .orderBy(F.col("cnt").desc(), F.col("word"))

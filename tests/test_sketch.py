@@ -280,3 +280,25 @@ def test_top_k_exact_via_sketch_zero_err_short_result(spark):
     got = top_k_exact_via_sketch(df, "value", top_n=10, k=50).collect()
     assert [(r.value, r["count"]) for r in got] == [("a", 5), ("b", 3), ("c", 1)]
     assert all(r.certified_exact and r.max_err == 0 for r in got)
+
+
+def test_build_vocab_sketch_path_matches_exact(spark):
+    """build_vocab(sketch_k=...) certifies and reproduces the default
+    exact vocabulary — same words, counts, ranks, tie order."""
+    from datamunging_spark.operators.text import build_vocab
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick red fox runs past the sleeping dog"),
+            (3, "a slow green turtle watches the quick fox go by"),
+            (4, "dogs and foxes and turtles all watch the quick fox"),
+        ],
+        ["doc_id", "text"],
+    ).repartition(3)
+    exact = build_vocab(docs, vocab_size=8).collect()
+    sk = build_vocab(docs, vocab_size=8, sketch_k=64).collect()
+    assert all(r.certified_exact for r in sk)
+    assert [(r.word, r.cnt, r.rank) for r in sk] == [
+        (r.word, r.cnt, r.rank) for r in exact
+    ]
