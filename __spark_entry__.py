@@ -1217,11 +1217,16 @@ def q_x8_heavy_hitters(spark, sf_dir):
     )
     hh = heavy_hitters(words, "word", k=2048, min_share=0.002)
     # REAL invariant, not an arithmetic tautology: re-count the few
-    # surviving words exactly (one agg pass, survivor join broadcast by
-    # AQE) and require the true count inside the sketch bracket — the
-    # MG guarantee checked in-query at bench scale every round.
-    exact = words.groupBy(F.col("word").alias("value")).agg(
-        F.count(F.lit(1)).alias("_exact")
+    # surviving words exactly and require the true count inside the
+    # sketch bracket — the MG guarantee checked in-query at bench scale
+    # every round. Survivors broadcast-semi-join the token stream BEFORE
+    # the aggregate (the top_k_exact_via_sketch shape), so the recount's
+    # agg output is bounded by the survivor count, not the vocabulary.
+    exact = (
+        words.select(F.col("word").alias("value"))
+        .join(F.broadcast(hh.select("value")), "value")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("_exact"))
     )
     return hh.join(exact, "value", "left").select(
         "value",

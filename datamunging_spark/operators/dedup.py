@@ -165,7 +165,7 @@ def incremental_dedup(
     within_batch: bool = True,
     seen_distinct: bool = False,
     bloom=None,
-    bloom_verify: int = 64,
+    bloom_verify: bool = True,
 ) -> DataFrame:
     """Dedup a NEW ingest batch against a prior :func:`content_snapshot`,
     then (by default) within the batch itself — the standard continuous-
@@ -779,7 +779,7 @@ def incremental_minhash_dedup(
     shingle_words: int = 3,
     within_batch: bool = True,
     band_bloom=None,
-    band_bloom_verify: int = 64,
+    band_bloom_verify: bool = True,
     _return_survivor_sig: bool = False,
     **dedup_kwargs,
 ) -> DataFrame:

@@ -99,12 +99,11 @@ def _mg_partition(k: int):
                 # t from everything — one decrement event of weight t
                 # (each event removes >= (k+1)·t mass, so the summed
                 # dec stays <= n/(k+1))
+                # always >= 1: every live counter is >= 1 by
+                # construction, so the decrement always fires
                 t = int(np.partition(arr, -(k + 1))[-(k + 1)])
-                if t > 0:
-                    dec += t
-                    counters = counters[counters > t] - t
-                else:  # t == 0: enough zero-count ties; just drop them
-                    counters = counters[counters > 0]
+                dec += t
+                counters = counters[counters > t] - t
         out = pd.DataFrame(
             {
                 "value": counters.index.astype(object),

@@ -359,19 +359,29 @@ def test_heavy_hitters_mg_guarantees(spark, values, k):
     f_i > d_i in some partition, where the counter survives)."""
     from collections import Counter
 
-    from datamunging_spark.operators.sketch import heavy_hitters
+    from pyspark.sql import functions as SF
+
+    from datamunging_spark.operators.sketch import hh_report, hh_summary
 
     df = spark.createDataFrame(
         [(v,) for v in values], "value string"
     ).repartition(3)
     truth = Counter(values)
-    rows = heavy_hitters(df, "value", k=k).collect()
+    summary = hh_summary(df, "value", k=k)
+    rows = hh_report(summary).collect()
     sk = {r.value: r for r in rows}
     n = len(values)
     for v, r in sk.items():
         assert r.count_lo <= truth[v] <= r.count_hi, v
         assert r.n_total == n
-    max_err = rows[0].max_err if rows else 0
+    # the error budget comes from the summary's 'dec' meta row — an
+    # EMPTY report is valid (all counters decremented away) and its
+    # budget is NOT zero, so don't default it from missing report rows
+    max_err = (
+        summary.filter(SF.col("meta") == "dec")
+        .agg(SF.coalesce(SF.sum("cnt"), SF.lit(0)))
+        .first()[0]
+    )
     for v, f_true in truth.items():
         if f_true > max_err:
             assert v in sk, (v, f_true, max_err)

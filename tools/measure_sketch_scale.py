@@ -48,7 +48,6 @@ def make_data(spark, distinct_tail: int):
     """20 heavy keys at ~1% of rows each (80% of mass in the tail).
     Deterministic (seeded id math, no rand())."""
     total = 4 * distinct_tail
-    heavy_rows = int(total * 0.01)
     base = spark.range(0, total, 1, PARTS)
     # ~20% of rows -> one of 20 heavy keys; rest -> unique-ish tail key
     df = base.select(
@@ -63,7 +62,7 @@ def make_data(spark, distinct_tail: int):
     # expression over range(), recomputed identically inside both timed
     # paths (a localCheckpoint of 64M rows OOMs the block manager and
     # would make the probe about storage, not aggregation)
-    return df, total, heavy_rows
+    return df, total
 
 
 def bench(fn, reps=3):
@@ -80,13 +79,13 @@ def main():
     spark = get_spark("measure_sketch_scale")
     spark.sparkContext.setLogLevel("ERROR")
     # warm the JVM + Arrow path so the first row isn't a cold outlier
-    warm, _, _ = make_data(spark, 10_000)
+    warm, _ = make_data(spark, 10_000)
     heavy_hitters_exact(warm, "value", MIN_SHARE).collect()
     heavy_hitters(warm, "value", k=K, min_share=MIN_SHARE).collect()
     print("| distinct keys | rows | exact wall (s) | sketch wall (s) | exact shuffle keys | sketch summary rows |")
     print("|---|---|---|---|---|---|")
     for d in (100_000, 1_000_000, 4_000_000, 16_000_000):
-        df, total, _ = make_data(spark, d)
+        df, total = make_data(spark, d)
         # the exact path is EXPECTED to fall over once the distinct-key
         # aggregate outgrows task memory — that failure mode is the
         # probe's point, so report it instead of crashing
