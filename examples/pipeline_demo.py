@@ -107,8 +107,14 @@ def main() -> None:
     budgeted = take_token_budget(train, 50_000, order_cols=["doc_id"])
     print(f"train docs within 50k-token budget: {budgeted.count()}")
 
-    # 5. vocabulary + coverage over the curated corpus
-    vocab = build_vocab(curated, vocab_size=200).localCheckpoint()
+    # 5. vocabulary + coverage over the curated corpus — built via the
+    # bounded-shuffle sketch path; certified_exact proves it equals the
+    # exact TakeOrdered vocabulary
+    vocab = build_vocab(
+        curated, vocab_size=200, sketch_k=4096
+    ).localCheckpoint()
+    cert = vocab.agg(F.min("certified_exact")).first()[0]
+    print(f"vocabulary: 200 words via MG sketch, certified_exact={cert}")
     vocab_coverage(curated, vocab).show(truncate=False)
 
     # 6. version the curated corpus and diff it against the raw one
