@@ -1247,6 +1247,39 @@ def q_x8_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_x8_distinct_users(spark, sf_dir):
+    """X8 per-key HLL distinct-count state (bench-only; merge identity
+    and streaming fold pinned by tests/test_sketch.py): distinct users
+    per event_type via Spark's built-in DataSketches HLL, cross-checked
+    in-query against the exact distinct count — within_hll_error pins
+    the lgk=12 error band (~1.6% @1σ; 5% asserted) at bench scale every
+    round. The exact side is affordable here; at 100 TB only the sketch
+    side runs and the bound is carried by the pinned tests."""
+    from datamunging_spark.operators.sketch import (
+        distinct_estimate,
+        distinct_sketch,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    est = distinct_estimate(
+        distinct_sketch(e, ["event_type"], "user_id"), ["event_type"]
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "distinct_est",
+        "exact_distinct",
+        (
+            F.abs(F.col("distinct_est") - F.col("exact_distinct"))
+            <= F.greatest(
+                F.col("exact_distinct") * F.lit(0.05), F.lit(16)
+            )
+        ).alias("within_hll_error"),
+    )
+
+
 def q_x4_vocab(spark, sf_dir):
     """X4 vocabulary build + OOV coverage (bench + pytest-oracle coverage;
     kept out of the 50-entry gate): deterministic top-500 corpus

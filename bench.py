@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "x4_vocab",
     "x7_event_suite",
     "x8_heavy_hitters",
+    "x8_distinct_users",
 ]
 
 

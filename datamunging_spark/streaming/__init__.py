@@ -796,3 +796,76 @@ def streaming_heavy_hitters(
     q.processAllAvailable()
     q.stop()
     return latest_table_version(spark, table_path)
+
+
+def streaming_distinct_counts(
+    values_stream: DataFrame,
+    keys: list,
+    col: str,
+    table_path: str,
+    lgk: int = 12,
+    checkpoint_path: str | None = None,
+    keep_last: int = 2,
+) -> int | None:
+    """Continuous per-key distinct-count maintenance via ``foreachBatch``:
+    each micro-batch is sketched with
+    :func:`~datamunging_spark.operators.sketch.distinct_sketch` (one
+    hash aggregate; HLL partials merged map-side) and unioned into the
+    stored per-key sketch state with
+    :func:`~datamunging_spark.operators.sketch.merge_distinct_sketches`
+    — so "distinct users per domain over the whole stream" costs
+    batch-scan + a state-sized merge per batch, with state bounded at
+    keys × 2^lgk bytes forever and NO rescan of history (DataSketches
+    HLL union == the sketch of the union, so folds lose nothing).
+
+    Exactly-once mirrors :func:`streaming_rollup`: the fold double-counts
+    on replay (a re-unioned sketch is harmless for distinct counts —
+    HLL union is idempotent — but the version history would fork), so
+    each committed version carries its micro-batch tag and a replayed
+    batch no-ops; versions vacuum to ``keep_last``. Drains with
+    ``availableNow``; returns the latest committed version. Render the
+    current counts with ``distinct_estimate(read_table_version(...))``.
+    """
+    from datamunging_spark.operators.sketch import (
+        distinct_sketch,
+        merge_distinct_sketches,
+    )
+    from datamunging_spark.sources.versioned import (
+        batch_already_applied,
+        latest_table_version,
+        read_table_version,
+        vacuum_table_versions,
+        write_table_version,
+    )
+
+    spark = values_stream.sparkSession
+
+    def _process(batch_df, batch_id):
+        if not batch_df.head(1):
+            return
+        bspark = batch_df.sparkSession
+        if batch_already_applied(bspark, table_path, batch_id):
+            return
+        latest = latest_table_version(bspark, table_path)
+        state = (
+            read_table_version(bspark, table_path, latest)
+            if latest is not None
+            else None
+        )
+        folded = merge_distinct_sketches(
+            distinct_sketch(batch_df, keys, col, lgk), state, keys
+        )
+        write_table_version(
+            folded, table_path, (latest or 0) + 1, batch_id=batch_id
+        )
+        vacuum_table_versions(bspark, table_path, keep_last=keep_last)
+
+    writer = values_stream.writeStream.foreachBatch(_process).trigger(
+        availableNow=True
+    )
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    return latest_table_version(spark, table_path)

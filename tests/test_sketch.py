@@ -302,3 +302,106 @@ def test_build_vocab_sketch_path_matches_exact(spark):
     assert [(r.word, r.cnt, r.rank) for r in sk] == [
         (r.word, r.cnt, r.rank) for r in exact
     ]
+
+
+def test_distinct_sketch_estimates_within_hll_error(spark):
+    """Per-key HLL estimates land within the lgk=12 error band (~1.6%
+    at 1 sigma; assert 5% for slack) of exact distinct counts."""
+    from datamunging_spark.operators.sketch import (
+        distinct_estimate,
+        distinct_sketch,
+    )
+
+    rows = [("dom_a", f"u{i}") for i in range(5000)] + [
+        ("dom_b", f"u{i % 300}") for i in range(2000)
+    ] + [("dom_c", None)] * 10
+    df = spark.createDataFrame(rows, "k string, v string").repartition(8)
+    est = {
+        r.k: r.distinct_est
+        for r in distinct_estimate(
+            distinct_sketch(df, ["k"], "v"), ["k"]
+        ).collect()
+    }
+    assert abs(est["dom_a"] - 5000) / 5000 < 0.05
+    assert abs(est["dom_b"] - 300) / 300 < 0.05
+    assert est["dom_c"] == 0  # NULL values ignored, key group kept
+
+
+def test_merge_distinct_sketches_equals_one_shot(spark):
+    """DataSketches merge guarantee: union(sketch(A), sketch(B)) gives
+    the SAME estimate as sketch(A ∪ B) — so incremental folds lose
+    nothing vs a full recompute. Keys on one side only pass through;
+    NULL key groups merge with themselves."""
+    from datamunging_spark.operators.sketch import (
+        distinct_estimate,
+        distinct_sketch,
+        merge_distinct_sketches,
+    )
+
+    rows = [(k, f"u{i % m}") for k, m, n in
+            [("a", 400, 1000), ("b", 50, 200), (None, 70, 100)]
+            for i in range(n)]
+    a_rows, b_rows = rows[::2], rows[1::2]
+    b_rows += [("only_b", f"x{i}") for i in range(150)]
+    full = spark.createDataFrame(
+        a_rows + b_rows, "k string, v string"
+    )
+    a = distinct_sketch(spark.createDataFrame(a_rows, "k string, v string"), ["k"], "v")
+    b = distinct_sketch(spark.createDataFrame(b_rows, "k string, v string"), ["k"], "v")
+    merged = merge_distinct_sketches(a, b, ["k"])
+    got = {
+        r.k: r.distinct_est
+        for r in distinct_estimate(merged, ["k"]).collect()
+    }
+    want = {
+        r.k: r.distinct_est
+        for r in distinct_estimate(
+            distinct_sketch(full, ["k"], "v"), ["k"]
+        ).collect()
+    }
+    assert got == want  # estimate-identical, not merely close
+    assert merge_distinct_sketches(a, None, ["k"]) is a  # first-batch seed
+
+
+def test_streaming_distinct_counts_folds_and_replays(spark, tmp_path):
+    """foreachBatch HLL maintenance: two micro-batch folds estimate the
+    whole-stream distincts; lost-checkpoint replay no-ops (batch tags);
+    state is one sketch row per key."""
+    from datamunging_spark.operators.sketch import distinct_estimate
+    from datamunging_spark.sources.versioned import read_table_version
+    from datamunging_spark.streaming import streaming_distinct_counts
+
+    src = tmp_path / "dc_src"
+    src.mkdir()
+    b1 = [("dom", f"u{i}") for i in range(400)]
+    b2 = [("dom", f"u{i}") for i in range(200, 600)]  # 200 overlap
+    spark.createDataFrame(b1, "k string, v string").coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame(b2, "k string, v string").coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    table = str(tmp_path / "dc_table")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("k string, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        return streaming_distinct_counts(
+            stream, ["k"], "v", table,
+            checkpoint_path=str(tmp_path / ckpt),
+        )
+
+    assert drain("dc_ckpt") == 2
+    state = read_table_version(spark, table)
+    assert state.count() == 1  # one sketch row per key
+    est = distinct_estimate(state, ["k"]).first().distinct_est
+    assert abs(est - 600) / 600 < 0.05  # true whole-stream distinct = 600
+    # lost checkpoint: replays no-op via batch tags (same estimate)
+    assert drain("dc_ckpt2") == 2
+    est2 = distinct_estimate(
+        read_table_version(spark, table), ["k"]
+    ).first().distinct_est
+    assert est2 == est
