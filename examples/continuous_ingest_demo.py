@@ -173,6 +173,38 @@ def main() -> None:
         f"streaming heavy hitters: v{hv} committed; dominant domains "
         f"(count brackets) {tops}"
     )
+
+    # 6. streaming distinct counts: unique visitors per domain as
+    # mergeable per-key HLL state (estimate-lossless folds — batch 2
+    # re-sees half of batch 1's visitors and the union doesn't double
+    # count them)
+    from datamunging_spark.operators.sketch import distinct_estimate
+    from datamunging_spark.streaming import streaming_distinct_counts
+
+    dc_src = f"{workdir}/visit_feed"
+    os.makedirs(dc_src, exist_ok=True)
+    for n, lo in (("v1", 0), ("v2", 100)):  # 100-visitor overlap
+        rows = [("big.example", f"user{u}") for u in range(lo, lo + 200)]
+        spark.createDataFrame(rows, "domain string, visitor string").coalesce(
+            1
+        ).write.parquet(f"{dc_src}/{n}")
+    dc_stream = (
+        spark.readStream.schema("domain string, visitor string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dc_src + "/*")
+    )
+    dv = streaming_distinct_counts(
+        dc_stream, ["domain"], "visitor",
+        f"{workdir}/dc_table", checkpoint_path=f"{workdir}/dc_ckpt",
+    )
+    est = distinct_estimate(
+        read_table_version(spark, f"{workdir}/dc_table"), ["domain"]
+    ).first()
+    print(
+        f"streaming distinct counts: v{dv} committed; "
+        f"{est.domain} ≈ {est.distinct_est} unique visitors "
+        f"(true 300 across two overlapping micro-batches)"
+    )
     print(f"done; state under {workdir}")
     spark.stop()
 
