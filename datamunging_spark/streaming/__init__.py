@@ -657,6 +657,80 @@ def streaming_apply_changelog(
     return latest_table_version(spark, table_path)
 
 
+def _versioned_stream_fold(
+    values_stream: DataFrame,
+    table_path: str,
+    fold,
+    checkpoint_path: str | None,
+    keep_last: int,
+    skip_applied: bool,
+) -> int | None:
+    """Shared ``foreachBatch`` scaffold for the fold-into-versioned-store
+    streaming operators (rollup / heavy hitters / distinct counts):
+    empty-batch guard → load latest committed state → ``fold(state_or_
+    None, batch_df)`` → commit as version latest+1 → vacuum to
+    ``keep_last`` → availableNow drain → return the latest version. One
+    home for the exactly-once contract, so an ordering fix lands once.
+
+    ``skip_applied`` encodes the fold's replay algebra:
+
+    - ``True`` (NON-idempotent folds — rollup sums, MG merges): every
+      version carries its micro-batch tag and a replayed batch id
+      no-ops, because re-folding would double-count. Required, and
+      carries the documented residual risk: after a LOST checkpoint the
+      new query renumbers batches from 0, and a low batch id covering
+      NEW data will be skipped as "already applied".
+    - ``False`` (IDEMPOTENT folds — HLL union, where re-union is the
+      identity): replayed batches are RE-FOLDED instead of skipped and
+      versions are written untagged. Estimates are unchanged on true
+      replays, and the checkpoint-loss case above folds the new data
+      instead of silently dropping it — strictly safer, available only
+      because the fold is idempotent.
+    """
+    from datamunging_spark.sources.versioned import (
+        batch_already_applied,
+        latest_table_version,
+        read_table_version,
+        vacuum_table_versions,
+        write_table_version,
+    )
+
+    spark = values_stream.sparkSession
+
+    def _process(batch_df, batch_id):
+        if not batch_df.head(1):
+            return
+        bspark = batch_df.sparkSession
+        if skip_applied and batch_already_applied(
+            bspark, table_path, batch_id
+        ):
+            return
+        latest = latest_table_version(bspark, table_path)
+        state = (
+            read_table_version(bspark, table_path, latest)
+            if latest is not None
+            else None
+        )
+        folded = fold(state, batch_df)
+        write_table_version(
+            folded,
+            table_path,
+            (latest or 0) + 1,
+            batch_id=batch_id if skip_applied else None,
+        )
+        vacuum_table_versions(bspark, table_path, keep_last=keep_last)
+
+    writer = values_stream.writeStream.foreachBatch(_process).trigger(
+        availableNow=True
+    )
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    return latest_table_version(spark, table_path)
+
+
 def streaming_rollup(
     events_stream: DataFrame,
     table_path: str,
@@ -686,45 +760,17 @@ def streaming_rollup(
     empty store). Read the current rollup with ``read_table_version``.
     """
     from datamunging_spark.operators.relational import incremental_rollup
-    from datamunging_spark.sources.versioned import (
-        batch_already_applied,
-        latest_table_version,
-        read_table_version,
-        vacuum_table_versions,
-        write_table_version,
+
+    return _versioned_stream_fold(
+        events_stream,
+        table_path,
+        lambda state, batch: incremental_rollup(
+            state, batch, ts_col, bucket, aggs, keys=keys
+        ),
+        checkpoint_path,
+        keep_last,
+        skip_applied=True,  # sum/count folds double-count on re-apply
     )
-
-    spark = events_stream.sparkSession
-
-    def _process(batch_df, batch_id):
-        if not batch_df.head(1):
-            return
-        bspark = batch_df.sparkSession
-        if batch_already_applied(bspark, table_path, batch_id):
-            return
-        latest = latest_table_version(bspark, table_path)
-        state = (
-            read_table_version(bspark, table_path, latest)
-            if latest is not None
-            else None
-        )
-        rolled = incremental_rollup(
-            state, batch_df, ts_col, bucket, aggs, keys=keys
-        )
-        write_table_version(
-            rolled, table_path, (latest or 0) + 1, batch_id=batch_id
-        )
-        vacuum_table_versions(bspark, table_path, keep_last=keep_last)
-
-    writer = events_stream.writeStream.foreachBatch(_process).trigger(
-        availableNow=True
-    )
-    if checkpoint_path is not None:
-        writer = writer.option("checkpointLocation", checkpoint_path)
-    q = writer.start()
-    q.processAllAvailable()
-    q.stop()
-    return latest_table_version(spark, table_path)
 
 
 def streaming_heavy_hitters(
@@ -759,43 +805,17 @@ def streaming_heavy_hitters(
         hh_summary,
         merge_hh_summaries,
     )
-    from datamunging_spark.sources.versioned import (
-        batch_already_applied,
-        latest_table_version,
-        read_table_version,
-        vacuum_table_versions,
-        write_table_version,
+
+    return _versioned_stream_fold(
+        values_stream,
+        table_path,
+        lambda state, batch: merge_hh_summaries(
+            hh_summary(batch, col, k), state, k
+        ),
+        checkpoint_path,
+        keep_last,
+        skip_applied=True,  # MG counter merges double-count on re-apply
     )
-
-    spark = values_stream.sparkSession
-
-    def _process(batch_df, batch_id):
-        if not batch_df.head(1):
-            return
-        bspark = batch_df.sparkSession
-        if batch_already_applied(bspark, table_path, batch_id):
-            return
-        latest = latest_table_version(bspark, table_path)
-        state = (
-            read_table_version(bspark, table_path, latest)
-            if latest is not None
-            else None
-        )
-        folded = merge_hh_summaries(hh_summary(batch_df, col, k), state, k)
-        write_table_version(
-            folded, table_path, (latest or 0) + 1, batch_id=batch_id
-        )
-        vacuum_table_versions(bspark, table_path, keep_last=keep_last)
-
-    writer = values_stream.writeStream.foreachBatch(_process).trigger(
-        availableNow=True
-    )
-    if checkpoint_path is not None:
-        writer = writer.option("checkpointLocation", checkpoint_path)
-    q = writer.start()
-    q.processAllAvailable()
-    q.stop()
-    return latest_table_version(spark, table_path)
 
 
 def streaming_distinct_counts(
@@ -818,54 +838,31 @@ def streaming_distinct_counts(
     keys × 2^lgk bytes forever and NO rescan of history (DataSketches
     HLL union == the sketch of the union, so folds lose nothing).
 
-    Exactly-once mirrors :func:`streaming_rollup`: the fold double-counts
-    on replay (a re-unioned sketch is harmless for distinct counts —
-    HLL union is idempotent — but the version history would fork), so
-    each committed version carries its micro-batch tag and a replayed
-    batch no-ops; versions vacuum to ``keep_last``. Drains with
-    ``availableNow``; returns the latest committed version. Render the
-    current counts with ``distinct_estimate(read_table_version(...))``.
+    Replay semantics differ from :func:`streaming_rollup` ON PURPOSE:
+    HLL union is IDEMPOTENT (re-unioning a batch's sketch is the
+    identity), so replayed batches are RE-FOLDED rather than skipped
+    (``skip_applied=False`` — versions written untagged). Estimates are
+    unchanged on true replays, and after a LOST checkpoint — where a
+    fresh query renumbers batches and a low batch id can cover NEW
+    files — the new data is folded instead of silently dropped by a
+    stale "already applied" tag, the data-loss window the
+    non-idempotent folds cannot avoid. The only cost is extra version
+    numbers on replay, bounded by vacuum. Drains with ``availableNow``;
+    returns the latest committed version. Render the current counts
+    with ``distinct_estimate(read_table_version(...))``.
     """
     from datamunging_spark.operators.sketch import (
         distinct_sketch,
         merge_distinct_sketches,
     )
-    from datamunging_spark.sources.versioned import (
-        batch_already_applied,
-        latest_table_version,
-        read_table_version,
-        vacuum_table_versions,
-        write_table_version,
+
+    return _versioned_stream_fold(
+        values_stream,
+        table_path,
+        lambda state, batch: merge_distinct_sketches(
+            distinct_sketch(batch, keys, col, lgk), state, keys
+        ),
+        checkpoint_path,
+        keep_last,
+        skip_applied=False,  # HLL union is idempotent: re-fold, never skip
     )
-
-    spark = values_stream.sparkSession
-
-    def _process(batch_df, batch_id):
-        if not batch_df.head(1):
-            return
-        bspark = batch_df.sparkSession
-        if batch_already_applied(bspark, table_path, batch_id):
-            return
-        latest = latest_table_version(bspark, table_path)
-        state = (
-            read_table_version(bspark, table_path, latest)
-            if latest is not None
-            else None
-        )
-        folded = merge_distinct_sketches(
-            distinct_sketch(batch_df, keys, col, lgk), state, keys
-        )
-        write_table_version(
-            folded, table_path, (latest or 0) + 1, batch_id=batch_id
-        )
-        vacuum_table_versions(bspark, table_path, keep_last=keep_last)
-
-    writer = values_stream.writeStream.foreachBatch(_process).trigger(
-        availableNow=True
-    )
-    if checkpoint_path is not None:
-        writer = writer.option("checkpointLocation", checkpoint_path)
-    q = writer.start()
-    q.processAllAvailable()
-    q.stop()
-    return latest_table_version(spark, table_path)

@@ -365,8 +365,11 @@ def test_merge_distinct_sketches_equals_one_shot(spark):
 
 def test_streaming_distinct_counts_folds_and_replays(spark, tmp_path):
     """foreachBatch HLL maintenance: two micro-batch folds estimate the
-    whole-stream distincts; lost-checkpoint replay no-ops (batch tags);
-    state is one sketch row per key."""
+    whole-stream distincts; a lost-checkpoint replay RE-FOLDS (the
+    idempotent-union semantics — estimates unchanged); and new files
+    landing before the re-drain ARE folded even when the fresh query
+    packs them into a low batch id — the data-loss window a
+    skip-applied tag check would open."""
     from datamunging_spark.operators.sketch import distinct_estimate
     from datamunging_spark.sources.versioned import read_table_version
     from datamunging_spark.streaming import streaming_distinct_counts
@@ -383,10 +386,10 @@ def test_streaming_distinct_counts_folds_and_replays(spark, tmp_path):
     )
     table = str(tmp_path / "dc_table")
 
-    def drain(ckpt):
+    def drain(ckpt, max_files=1):
         stream = (
             spark.readStream.schema("k string, v string")
-            .option("maxFilesPerTrigger", 1)
+            .option("maxFilesPerTrigger", max_files)
             .parquet(str(src) + "/*")
         )
         return streaming_distinct_counts(
@@ -399,9 +402,16 @@ def test_streaming_distinct_counts_folds_and_replays(spark, tmp_path):
     assert state.count() == 1  # one sketch row per key
     est = distinct_estimate(state, ["k"]).first().distinct_est
     assert abs(est - 600) / 600 < 0.05  # true whole-stream distinct = 600
-    # lost checkpoint: replays no-op via batch tags (same estimate)
-    assert drain("dc_ckpt2") == 2
+    # checkpoint lost AND a new file lands; the fresh query packs ALL
+    # files into batch 0 (max_files=10) — with a tag-based skip, batch 0
+    # "already applied" would silently drop f3's 200 new visitors; the
+    # idempotent re-fold counts them and re-union keeps old ones stable
+    b3 = [("dom", f"u{i}") for i in range(600, 800)]
+    spark.createDataFrame(b3, "k string, v string").coalesce(1).write.parquet(
+        str(src / "f3")
+    )
+    assert drain("dc_ckpt2", max_files=10) == 3  # one re-folded version
     est2 = distinct_estimate(
         read_table_version(spark, table), ["k"]
     ).first().distinct_est
-    assert est2 == est
+    assert abs(est2 - 800) / 800 < 0.05  # new visitors NOT lost
