@@ -125,6 +125,14 @@ NOTES: dict[str, tuple[str, str]] = {
         "funnel + cohort retention + interval-overlap join",
         "—",
     ),
+    "x8_heavy_hitters": (
+        "Misra-Gries frequent words + exact bracket check, added r8",
+        "—",
+    ),
+    "x8_distinct_users": (
+        "per-key HLL distinct counts + exact cross-check, added r8",
+        "—",
+    ),
 }
 
 
