@@ -1240,9 +1240,14 @@ def q_x8_heavy_hitters(spark, sf_dir):
             & (F.col("_exact") <= F.col("count_hi"))
         ).alias("bracket_ok"),
         (
+            # r9 (ADVICE): the MG merge bound is GLOBAL — Σd_i ≤
+            # Σn_i/(k+1) = n/(k+1) because d_i ≤ n_i/(k+1) per partition
+            # and the n_i sum to n. Assert it directly (the r8 ×64 slack
+            # rested on a per-task misreading and was ~64× looser than
+            # the theory, masking decrement-accounting regressions).
+            # +1 absolute slack only for integer floor-division rounding.
             F.col("max_err")
-            <= F.col("n_total") / F.lit(2048 + 1)
-            * F.lit(64)  # ≤ one d_i bound per task; 64 >> local[32] tasks
+            <= F.col("n_total") / F.lit(2048 + 1) + F.lit(1)
         ).alias("within_err_floor"),
     )
 
@@ -1630,15 +1635,34 @@ def q_stream_windowed_real(spark, sf_dir):
         )
     win = windowed_counts(events, window="1 minute", watermark="2 minutes")
     name = run_stream_to_memory(win, "gate_stream_win")
+    # Boundary guard (r9, ADVICE): Spark's append-mode eviction predicate
+    # at win_end == watermark is an engine detail (strict vs inclusive);
+    # if max(ts) ever lands exactly on a minute boundary the tied window
+    # would flake the value hash. Exclude it on BOTH sides — here with a
+    # strict win_end < watermark filter, and in the oracle with
+    # HAVING win_end < m.w — so the compared set is boundary-free.
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if stored_nanos:
+        batch = batch.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    wm = batch.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 MINUTES")).alias("w")
+    ).collect()[0]["w"]
     # in-query invariant kept alongside the oracle: every emitted window
     # is exactly one minute wide with a positive count
-    return spark.table(name).withColumn(
-        "window_ok",
-        (F.col("n_events") > 0)
-        & (
-            F.col("win_end").cast("long") - F.col("win_start").cast("long")
-            == 60
-        ),
+    return (
+        spark.table(name)
+        .where(F.col("win_end") < F.lit(wm))
+        .withColumn(
+            "window_ok",
+            (F.col("n_events") > 0)
+            & (
+                F.col("win_end").cast("long")
+                - F.col("win_start").cast("long")
+                == 60
+            ),
+        )
     )
 
 
@@ -2504,11 +2528,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY win_start, event_type
         """,
         # r8 promotion: the real Structured Streaming run's append-mode
-        # output is exactly the windows whose end <= final watermark
-        # (max event time - 2 min; the availableNow trailing no-data
-        # batch flushes them) -- batch-expressible, so the streaming
-        # engine's emission set, window arithmetic, timestamp decode,
-        # and per-window aggregates are all value-hash-checked.
+        # output is the windows closed by the final watermark (max event
+        # time - 2 min; the availableNow trailing no-data batch flushes
+        # them) -- batch-expressible, so the streaming engine's emission
+        # set, window arithmetic, timestamp decode, and per-window
+        # aggregates are all value-hash-checked. r9 (ADVICE): strict
+        # win_end < m.w, matching the Spark side's explicit boundary
+        # filter -- a window tied exactly to the watermark is excluded on
+        # both sides so the engine's eviction predicate at the boundary
+        # (strict vs inclusive) can never flake the hash.
         "stream_windowed_real": """
             WITH m AS (SELECT max(ts) - INTERVAL 2 MINUTE AS w FROM events)
             SELECT date_trunc('minute', ts) AS win_start,
@@ -2519,7 +2547,7 @@ def oracle_sql() -> dict[str, str]:
                    true AS window_ok
             FROM events, m
             GROUP BY win_start, win_end, event_type, m.w
-            HAVING win_end <= m.w
+            HAVING win_end < m.w
         """,
         # r8 promotion: the raw HLL estimate is engine-specific, but the
         # exact count and the live relative-error bound are not.

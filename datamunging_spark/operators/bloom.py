@@ -19,11 +19,16 @@ value hashing. Two build strategies (``bloom_build(method=...)``):
   path for small/medium filters where m/8 fits comfortably in a task.
 - ``"shuffle"`` — map tasks emit (chunk_id, bit-within-chunk) position
   rows (deduplicated per Arrow batch), which shuffle BY CHUNK; each
-  reduce task then ORs exactly one chunk-sized bitmap. Per-task memory
-  is bounded at ``chunk_bytes`` regardless of filter size; shuffle
-  volume is ≈ distinct positions × 12 B. For the 1e9-key / 1% fpp
-  (~1.2 GB) filter this is the only memory-safe build — and it also
-  beats local's shuffle there (local ships partitions × live chunks ×
+  reduce task then ORs exactly one chunk-sized bitmap. The true
+  per-reduce-task bound is the grouped POSITION ROWS of one chunk
+  (applyInPandas materializes them as one pandas frame, ~16 B/row) —
+  NOT the chunk bitmap: a dense 8 MiB chunk can group tens of millions
+  of rows. The shuffle path therefore SIZES ITS OWN chunk so the
+  expected rows per chunk (uniform xxhash64 positions ⇒
+  ≈ num_items·k / n_chunks) stay ~32 MB task-sized; shuffle volume is
+  ≈ distinct positions × 12 B either way. For the 1e9-key / 1% fpp
+  (~1.2 GB) filter this is the memory-safe build — and it also beats
+  local's shuffle there (local ships partitions × live chunks ×
   chunk_bytes, which exceeds position rows once partitions are many).
 
 ``method="auto"`` (default) picks local below 128 MiB of bitmap and
@@ -134,10 +139,13 @@ def bloom_build(
 
     ``method="shuffle"``: tasks emit (chunk_id, bit) position rows
     (deduplicated per Arrow batch) → shuffle by chunk → each reduce task
-    ORs ONE chunk-sized bitmap. Per-task memory is bounded at
-    ``chunk_bytes`` no matter how large the filter — the 100 TB / 1e9-key
-    path. ``method="auto"`` (default) picks local under 128 MiB of
-    bitmap, shuffle above. Both methods yield bit-identical filters.
+    ORs ONE chunk-sized bitmap. Per-reduce-task memory is the grouped
+    position rows of that chunk (~16 B/row at the Arrow→pandas
+    boundary), so the shuffle path re-derives its chunk size from
+    ``num_items·k`` to keep the expected group ≈ 32 MB (``chunk_bytes``
+    only caps it) — the 100 TB / 1e9-key path. ``method="auto"``
+    (default) picks local under 128 MiB of bitmap, shuffle above. Both
+    methods yield bit-identical filters for any chunk size.
     """
     if method not in ("auto", "local", "shuffle"):
         raise ValueError(
@@ -153,6 +161,19 @@ def bloom_build(
     chunk = min(chunk_bytes, n_bytes)
     if method == "auto":
         method = "local" if n_bytes <= _LOCAL_BUILD_MAX_BYTES else "shuffle"
+    if method == "shuffle":
+        # r9 (ADVICE): the reduce side materializes ALL position rows of
+        # a chunk in one pandas frame before build_chunk runs — up to
+        # ~num_items·k/n_chunks rows × ~16 B, NOT chunk_bytes. An 8 MiB
+        # chunk on a dense filter groups ~64M rows (~1 GB/task), i.e.
+        # the old "bounded at chunk_bytes" claim was ~100× off exactly
+        # at the scale this path exists for. Re-derive the chunk so the
+        # EXPECTED group stays ~2M rows (~32 MB); xxhash64 positions are
+        # uniform, so per-chunk counts concentrate tightly around the
+        # mean. chunk_bytes now only caps the result.
+        _target_rows = 2 << 20
+        want_chunks = max(1, -(-(num_items * k) // _target_rows))
+        chunk = min(chunk, max(4096, -(-n_bytes // want_chunks)))
 
     hashes = df.select(F.xxhash64(*[F.col(c) for c in cols]).alias("_h"))
     schema = T.StructType(
