@@ -1770,6 +1770,54 @@ def q_x1_span_dedup(spark, sf_dir):
     )
 
 
+def q_x1_strip_boilerplate(spark, sf_dir):
+    """X1 report-then-strip universal-boilerplate removal (bench-only,
+    new r9): the path SCALE.md's round-8 hostile-template study proved
+    pairwise span dedup cannot take at scale (a template in D docs needs
+    the quadratic D²/2 pair table that max_fp_df rightly valves away).
+    Plants a 130-char footer on ~35% of documents (deterministic doc
+    hash), mines it back from hot winnowing fingerprints
+    (operators/spandedup.boilerplate_templates — linear: fp groupBy +
+    bounded sample-pair extension + broadcast contains verify), strips
+    every occurrence with chained JVM-side literal replace, and returns
+    the report with in-query verification: ``mined_ok`` (the exact
+    planted string was recovered), ``stripped_ok`` (zero residual
+    occurrences corpus-wide — stronger than keep="first" span dedup,
+    which leaves the earliest copy). gram=24 as in x1_span_dedup (the
+    synthetic word-salad vocabulary collides 16-char grams)."""
+    from datamunging_spark.operators.spandedup import strip_boilerplate
+
+    tpl = (
+        "this universal template footer appears verbatim in every "
+        "single document of the corpus and a naive pairwise detector "
+        "drowns in it."
+    )
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            # pmod, not %: xxhash64 is signed and Spark's % keeps the
+            # sign, which would sweep every negative hash into the plant
+            F.pmod(F.xxhash64("doc_id"), F.lit(100)) < 35,
+            F.concat(F.col("text"), F.lit(tpl)),
+        ).otherwise(F.col("text")),
+    ).localCheckpoint()  # feeds mining (2 branches) + verify + strip
+    stripped, rep = strip_boilerplate(
+        planted, None, min_df=0.2, min_span=50, gram=24
+    )
+    resid = stripped.agg(
+        F.sum(F.col("text").contains(tpl).cast("long")).alias("_resid")
+    )
+    return rep.crossJoin(F.broadcast(resid)).select(
+        "template",
+        "length",
+        "n_docs",
+        "doc_frac",
+        (F.col("template") == tpl).alias("mined_ok"),
+        (F.col("_resid") == 0).alias("stripped_ok"),
+    )
+
+
 def q_x2_ann_lsh(spark, sf_dir):
     """X2 scale path: approximate top-k via random-hyperplane LSH with
     OR-amplification (recall vs brute force property-tested)."""

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "x7_event_suite",
     "x8_heavy_hitters",
     "x8_distinct_users",
+    "x1_strip_boilerplate",
 ]
 
 
