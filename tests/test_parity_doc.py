@@ -45,7 +45,9 @@ def test_parity_query_references_exist():
                "r38_w2v_synonyms", "r40_pca_project",
                # late r6: folded into sampling_suite / agg_suite
                "r26_sample_bernoulli", "r28_sample_bykey",
-               "grouping_suite"}
+               "grouping_suite",
+               # r9: bench-only from birth (gate at its 50-entry cap)
+               "x1_strip_boilerplate", "x1_incremental_span"}
     # Candidate tokens: snake_case words that look like gate keys.
     mentioned = set(re.findall(r"\b[a-z][a-z0-9]*(?:_[a-z0-9]+)+\b", text))
     # Only validate tokens that *claim* to be queries: those that appear in

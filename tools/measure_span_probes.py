@@ -206,11 +206,76 @@ def hostile_boilerplate_probe(spark):
         )
 
 
+def strip_boilerplate_probe(spark):
+    """The r9 answer to probe 2: report-then-strip on the SAME hostile
+    corpus — full template removal at linear cost, vs the valved
+    detector's 107/599 and the unvalved detector's quadratic pair
+    table."""
+    from datamunging_spark.operators.spandedup import (
+        boilerplate_templates,
+        strip_boilerplate,
+    )
+
+    print("\n### Probe 3 (r9): report-then-strip on the probe-2 corpus")
+    n = 600
+    template = (
+        "this universal template footer appears verbatim in every single "
+        "document of the hostile corpus and a naive detector drowns in it."
+    )
+    pair_tag = F.col("doc_id") % 300
+    docs = (
+        synth_docs(spark, n, 600, "host")
+        .withColumn(
+            "text",
+            F.concat(
+                F.substring("text", 1, 300),
+                F.lit(template),
+                F.substring("text", 301, 300),
+            ),
+        )
+        .withColumn(
+            "text",
+            F.when(
+                pair_tag < 30,
+                F.concat(
+                    "text",
+                    F.repeat(
+                        F.md5(F.concat(F.lit("p"), pair_tag.cast("string"))),
+                        6,
+                    ),
+                ),
+            ).otherwise(F.col("text")),
+        )
+        .localCheckpoint()
+    )
+    # warm + 3 reps, report median
+    walls = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        rep = boilerplate_templates(docs, min_df=0.5).localCheckpoint()
+        stripped = strip_boilerplate(docs, rep)
+        residual = stripped.filter(
+            F.col("text").contains(template)
+        ).count()
+        walls.append(time.perf_counter() - t0)
+    walls = sorted(walls[1:])
+    tpls = [r["template"] for r in rep.collect()]
+    print(f"| mode | wall (s) | templates mined | template cuts (of {n}) |")
+    print("|---|---|---|---|")
+    print(
+        f"| mine+verify+strip | {walls[1]:.2f} | {len(tpls)} "
+        f"| {n - residual} |"
+    )
+    assert tpls == [template], tpls
+    assert residual == 0
+
+
 def main():
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     fp_reuse_probe(spark)
     hostile_boilerplate_probe(spark)
+    strip_boilerplate_probe(spark)
 
 
 if __name__ == "__main__":
