@@ -1733,3 +1733,238 @@ def semantic_dedup(
         F.col("v").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+class SemanticSnapshot(NamedTuple):
+    """The state an incremental SemDeDup loop persists between batches:
+    the FROZEN KMeans centroids (numpy, n_clusters × dim — driver-side,
+    the IVF analog of a broadcast dimension; persist as an ``.npy``),
+    the cell-assigned history survivor embeddings (``assigned``:
+    (neighbor_id, _cv, _cell) — the IvfIndex layout; persist as parquet
+    partitioned by ``_cell``), and ``mean_fit_dist`` — the mean
+    vector-to-own-centroid distance AT FIT TIME, the baseline the
+    centroid-drift valve compares every future batch against."""
+
+    assigned: DataFrame
+    centers: "object"  # numpy (n_clusters, dim)
+    mean_fit_dist: float
+
+
+def _frozen_assign_udf(centers):
+    """pandas_udf assigning vectors to the nearest FROZEN centroid;
+    returns [cell, squared_distance] as a 2-double array (one Arrow pass
+    yields both the assignment and the drift signal — a struct-returning
+    UDF would be two passes or awkward typing). No parameter type hints:
+    this module runs under ``from __future__ import annotations``, which
+    turns hints into strings that pandas_udf cannot resolve against
+    function-local imports — the explicit returnType carries the type."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def assign(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        cell = d.argmin(axis=1)
+        return pd.Series(
+            list(
+                np.stack(
+                    [cell.astype(np.float64), d[np.arange(len(cell)), cell]],
+                    axis=1,
+                )
+            )
+        )
+
+    return assign
+
+
+def semantic_snapshot(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    n_clusters: int = 16,
+    seed: int = 42,
+    max_fit_rows: int = 100_000,
+) -> SemanticSnapshot:
+    """Bootstrap the incremental-SemDeDup state from a seed corpus
+    (normally the SURVIVORS of a batch :func:`semantic_dedup` run): one
+    sampled KMeans fit + one assignment pass (``ivf_build``), plus one
+    batch-sized agg recording the mean fit distance for the drift valve.
+    The fit is paid ONCE here; every later batch only assigns against
+    the frozen centroids — this is what removes the ~36-of-53-jobs
+    KMeans cost from the per-batch path (SCALE.md x1_semantic_dedup
+    audit)."""
+    from datamunging_spark.operators.similarity import ivf_build
+
+    idx = ivf_build(
+        df, corpus_id=id_col, vec_col=vec_col,
+        n_clusters=n_clusters, seed=seed, max_fit_rows=max_fit_rows,
+    )
+    assigned = idx.assigned.localCheckpoint()  # feeds dist agg + reuse
+    dist = F.element_at(
+        _frozen_assign_udf(idx.centers)(F.col("_cv")), 2
+    )
+    mean_fit = assigned.agg(F.avg(dist).alias("_m")).collect()[0]["_m"]
+    return SemanticSnapshot(assigned, idx.centers, float(mean_fit or 0.0))
+
+
+def incremental_semantic_dedup(
+    batch: DataFrame,
+    snapshot: SemanticSnapshot,
+    vec_col: str = "embedding",
+    id_col: str = "doc_id",
+    threshold: float = 0.95,
+    within_batch: bool = True,
+    max_drift: float | None = 2.0,
+    arrow_cosine: bool = True,
+    _return_assigned: bool = False,
+):
+    """SemDeDup a NEW ingest batch against history — completing the
+    batch-vs-history family (exact :func:`incremental_dedup`, fuzzy
+    :func:`incremental_minhash_dedup`, span
+    ``incremental_span_dedup``): drop batch docs whose embedding is a
+    semantic near-dup (cosine >= ``threshold``, within the same FROZEN
+    KMeans cell) of any history doc, then (by default) run the normal
+    within-batch :func:`semantic_dedup` under the same frozen
+    clustering. History always wins; batch and history id spaces must be
+    disjoint. Returns the surviving batch rows.
+
+    Scale shape: the batch is assigned to frozen cells in ONE Arrow pass
+    (no per-batch KMeans fit — the dominant cost of the batch path);
+    history participates as its cell-partitioned ``assigned`` table via
+    a batch×history equi-join on ``_cell`` — never rescanned, never
+    self-joined, and with the snapshot persisted partitioned-by-cell the
+    history side's exchange disappears entirely. Per-batch cost is
+    batch_rows × (history density of the touched cells), independent of
+    total history size — the measured 10× probe in SCALE.md.
+
+    Centroid-drift valve: frozen cells silently lose recall if the
+    embedding distribution shifts (new vectors crowd a few cells and
+    straddle boundaries). Each call compares the batch's mean
+    squared-distance-to-assigned-centroid against the snapshot's
+    ``mean_fit_dist``; a ratio above ``max_drift`` raises with a refit
+    instruction (rebuild :func:`semantic_snapshot` over the accumulated
+    survivors) rather than silently degrading — the same
+    refuse-on-drift contract as ``advance_snapshot``'s ``_sw`` stamp.
+    ``max_drift=None`` disables. The paper's boundary-straddle caveat
+    is inherited (recall < 1 by design), unchanged from the batch form.
+
+    ``_return_assigned=True`` additionally returns the SURVIVORS'
+    (neighbor_id, _cv, _cell) rows — the exact increment
+    :func:`advance_semantic_snapshot` appends, so the roll-forward
+    re-uses this call's single assignment pass."""
+    import numpy as np  # noqa: F401 — centers arithmetic via the UDF
+
+    # dimension probe (limit(1) — the advance_snapshot stamp pattern):
+    # a dim-mismatched batch would fail deep inside numpy broadcasting
+    probe = batch.select(F.size(F.col(vec_col)).alias("_d")).limit(1).collect()
+    dim = snapshot.centers.shape[1]
+    if probe and probe[0]["_d"] != dim:
+        raise ValueError(
+            f"embedding dimension drift: batch {vec_col} has "
+            f"{probe[0]['_d']} dims, snapshot centroids have {dim} — "
+            "refit semantic_snapshot for the new embedding space"
+        )
+    ad = _frozen_assign_udf(snapshot.centers)(F.col(vec_col))
+    assigned = batch.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        ad.alias("_ad"),
+    ).select(
+        "neighbor_id",
+        "_cv",
+        F.element_at("_ad", 1).cast("int").alias("_cell"),
+        F.element_at("_ad", 2).alias("_dist"),
+    ).localCheckpoint()  # feeds drift agg + history join + within-batch
+    if max_drift is not None and snapshot.mean_fit_dist > 0:
+        m = assigned.agg(F.avg("_dist").alias("_m")).collect()[0]["_m"]
+        if m is not None and m > max_drift * snapshot.mean_fit_dist:
+            raise ValueError(
+                f"centroid drift: batch mean squared assignment distance "
+                f"{m:.4g} exceeds {max_drift}x the snapshot's fit mean "
+                f"{snapshot.mean_fit_dist:.4g} — the frozen cells no "
+                "longer describe the embedding distribution; rebuild "
+                "semantic_snapshot over the accumulated survivors "
+                "(or raise/disable max_drift to accept the recall loss)"
+            )
+    bs = assigned.select(
+        F.col("neighbor_id").alias("_nid"),
+        F.col("_cv").alias("_bv"),
+        "_cell",
+    )
+    hs = snapshot.assigned.select(
+        F.col("neighbor_id").alias("_hid"),
+        F.col("_cv").alias("_hv"),
+        "_cell",
+    )
+    if arrow_cosine:
+        from datamunging_spark.operators.similarity import _cosine_udf
+
+        cos = _cosine_udf()(F.col("_bv"), F.col("_hv"))
+    else:
+        from datamunging_spark.functions import cosine_similarity
+
+        cos = cosine_similarity(F.col("_bv"), F.col("_hv"))
+    losers = (
+        bs.join(hs, "_cell")
+        .select("_nid", cos.alias("_cos"))
+        .filter(F.col("_cos") >= threshold)
+        .select(F.col("_nid").alias(id_col))
+        .distinct()
+        .localCheckpoint()  # consumed by the anti-join after cache drop
+    )
+    fresh = batch.join(losers, on=id_col, how="left_anti")
+    if within_batch:
+        from datamunging_spark.operators.similarity import IvfIndex
+
+        # same frozen clustering for the intra-batch pass: the batch was
+        # assigned exactly once above; semantic_dedup's index path
+        # semi-joins the assignment down to the surviving ids
+        fresh = semantic_dedup(
+            fresh,
+            vec_col=vec_col,
+            id_col=id_col,
+            threshold=threshold,
+            index=IvfIndex(
+                assigned.select("neighbor_id", "_cv", "_cell"),
+                snapshot.centers,
+                snapshot.centers.shape[0],
+            ),
+            arrow_cosine=arrow_cosine,
+        )
+    if not _return_assigned:
+        return fresh
+    fresh = fresh.localCheckpoint()
+    surv_assigned = assigned.select("neighbor_id", "_cv", "_cell").join(
+        fresh.select(F.col(id_col).alias("neighbor_id")),
+        on="neighbor_id",
+        how="left_semi",
+    )
+    return fresh, surv_assigned
+
+
+def advance_semantic_snapshot(
+    snapshot: SemanticSnapshot, survivor_assigned: DataFrame
+) -> SemanticSnapshot:
+    """Roll the semantic snapshot forward: append the batch survivors'
+    already-assigned rows (the ``_return_assigned`` output — assignment
+    happened once, in the dedup pass) to the history table. Centroids
+    and the fit-distance baseline are FROZEN by design — the drift valve
+    in :func:`incremental_semantic_dedup` is what decides when they must
+    be refit. Append-only, like :func:`advance_snapshot`; replaying the
+    same batch is harmless because its rows were already deduped against
+    the snapshot (pinned by test)."""
+    expect = {"neighbor_id", "_cv", "_cell"}
+    if set(survivor_assigned.columns) != expect:
+        raise ValueError(
+            f"survivor_assigned must be the _return_assigned output "
+            f"(columns {sorted(expect)}), got {survivor_assigned.columns}"
+        )
+    return SemanticSnapshot(
+        snapshot.assigned.unionByName(survivor_assigned),
+        snapshot.centers,
+        snapshot.mean_fit_dist,
+    )

@@ -978,6 +978,167 @@ def test_semantic_neardup_pairs_reuses_prebuilt_index(spark, tables):
     )
 
 
+def _semantic_snapshot_of(tables, hi=100):
+    from pyspark.sql import functions as F
+
+    from datamunging_spark.operators.dedup import semantic_snapshot
+
+    hist = tables["embeddings"].select("vec_id", "embedding").filter(
+        F.col("vec_id") < hi
+    )
+    return hist, semantic_snapshot(hist, id_col="vec_id", n_clusters=8)
+
+
+def test_incremental_semantic_dedup_history_wins(spark, tables):
+    """Batch-vs-history SemDeDup under a FROZEN clustering: perturbed
+    copies of history vectors are dropped (history wins, its rows
+    untouched), genuinely new vectors survive, and the within-batch pass
+    keeps exactly one of a planted intra-batch near-identical pair."""
+    from pyspark.sql import functions as F
+
+    from datamunging_spark.operators.dedup import (
+        incremental_semantic_dedup,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    hist, snap = _semantic_snapshot_of(tables)
+    hist_copies = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 900000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(1.0) + F.lit(1e-4)
+        ).alias("embedding"),
+    )
+    new_vecs = emb.filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 220)
+    ).select((F.col("vec_id") + 910000).alias("vec_id"), "embedding")
+    intra_pair = emb.filter(F.col("vec_id") == 250).select(
+        (F.col("vec_id") + 920000).alias("vec_id"), "embedding"
+    ).unionByName(
+        emb.filter(F.col("vec_id") == 250).select(
+            (F.col("vec_id") + 930000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x * F.lit(1.0) + F.lit(1e-4)
+            ).alias("embedding"),
+        )
+    )
+    batch = hist_copies.unionByName(new_vecs).unionByName(intra_pair)
+    out = incremental_semantic_dedup(
+        batch, snap, id_col="vec_id", threshold=0.999
+    )
+    kept = {r["vec_id"] for r in out.select("vec_id").collect()}
+    assert not any(900000 <= v < 910000 for v in kept)  # history wins
+    assert all(910000 + 200 + i in kept for i in range(20))  # new survive
+    # exactly the min-id copy of the intra-batch pair survives
+    assert 920250 in kept and 930250 not in kept
+
+
+def test_incremental_semantic_replay_is_harmless(spark, tables):
+    """Roll-forward + replay: advance the snapshot with a batch's
+    survivors, then re-ingest the SAME batch — every row now near-dups
+    history (itself), so the replay yields zero survivors and the
+    snapshot is unchanged by a second advance with the empty increment
+    (the append-only replay contract of advance_snapshot)."""
+    from pyspark.sql import functions as F
+
+    from datamunging_spark.operators.dedup import (
+        advance_semantic_snapshot,
+        incremental_semantic_dedup,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    hist, snap = _semantic_snapshot_of(tables)
+    batch = emb.filter(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 320)
+    ).select((F.col("vec_id") + 940000).alias("vec_id"), "embedding")
+    surv, inc = incremental_semantic_dedup(
+        batch, snap, id_col="vec_id", threshold=0.999,
+        _return_assigned=True,
+    )
+    n1 = surv.count()
+    assert n1 == 20
+    snap2 = advance_semantic_snapshot(snap, inc)
+    assert snap2.assigned.count() == 100 + n1
+    replay, inc2 = incremental_semantic_dedup(
+        batch, snap2, id_col="vec_id", threshold=0.999,
+        _return_assigned=True,
+    )
+    assert replay.count() == 0
+    snap3 = advance_semantic_snapshot(snap2, inc2)
+    assert snap3.assigned.count() == snap2.assigned.count()
+
+
+def test_incremental_semantic_dim_drift_raises(spark, tables):
+    from pyspark.sql import functions as F
+
+    from datamunging_spark.operators.dedup import (
+        incremental_semantic_dedup,
+    )
+
+    hist, snap = _semantic_snapshot_of(tables)
+    bad = hist.select(
+        (F.col("vec_id") + 950000).alias("vec_id"),
+        F.slice("embedding", 1, 32).alias("embedding"),
+    )
+    try:
+        incremental_semantic_dedup(bad, snap, id_col="vec_id")
+        raise AssertionError("expected dimension-drift ValueError")
+    except ValueError as e:
+        assert "dimension drift" in str(e)
+
+
+def test_incremental_semantic_centroid_drift_raises(spark, tables):
+    """A batch far outside the fitted embedding distribution must refuse
+    (frozen cells would silently lose recall), and max_drift=None
+    accepts it."""
+    from pyspark.sql import functions as F
+
+    from datamunging_spark.operators.dedup import (
+        incremental_semantic_dedup,
+    )
+
+    hist, snap = _semantic_snapshot_of(tables)
+    shifted = hist.select(
+        (F.col("vec_id") + 960000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(50.0)).alias(
+            "embedding"
+        ),
+    )
+    try:
+        incremental_semantic_dedup(shifted, snap, id_col="vec_id")
+        raise AssertionError("expected centroid-drift ValueError")
+    except ValueError as e:
+        assert "centroid drift" in str(e)
+    # max_drift=None accepts the batch (documented recall-loss opt-in);
+    # no count assertion — the +50 shift makes every vector nearly
+    # parallel to the ones-direction, so the within-batch pass rightly
+    # collapses most of them
+    out = incremental_semantic_dedup(
+        shifted, snap, id_col="vec_id", threshold=0.999, max_drift=None
+    )
+    assert out.count() >= 1
+
+
+def test_incremental_semantic_empty_batch_and_advance_guard(spark, tables):
+    from pyspark.sql import functions as F
+
+    from datamunging_spark.operators.dedup import (
+        advance_semantic_snapshot,
+        incremental_semantic_dedup,
+    )
+
+    hist, snap = _semantic_snapshot_of(tables)
+    empty = hist.filter(F.lit(False)).select("vec_id", "embedding")
+    out, inc = incremental_semantic_dedup(
+        empty, snap, id_col="vec_id", _return_assigned=True
+    )
+    assert out.count() == 0 and inc.count() == 0
+    try:
+        advance_semantic_snapshot(snap, hist)
+        raise AssertionError("expected schema-guard ValueError")
+    except ValueError as e:
+        assert "_return_assigned" in str(e)
+
+
 def test_centroid_scores_prototypes_score_highest(spark, tables):
     """D4 prototypicality: planted exact copies of one vector form a dense
     clump, so their centroid cosine must exceed the corpus median; scores
