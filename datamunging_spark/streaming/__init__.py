@@ -219,6 +219,19 @@ from datamunging_spark.sources.versioned import (
 )
 
 
+def _delete_subdirs(spark: SparkSession, vpath: str, names) -> None:
+    """Remove leftover span-state directories from a torn write attempt
+    in the opposite base/delta mode — reconstruction must never mistake
+    a gutted base for real state."""
+    from datamunging_spark.sources.versioned import _fs
+
+    fs, jvm = _fs(spark, vpath)
+    for n in names:
+        p = jvm.org.apache.hadoop.fs.Path(f"{vpath}/{n}")
+        if fs.exists(p):
+            fs.delete(p, True)
+
+
 def _maybe_parquet(spark: SparkSession, path: str) -> DataFrame | None:
     """Read a parquet directory, or None when it does not exist — how the
     optional span-state directories load alongside a snapshot version.
@@ -306,17 +319,32 @@ def streaming_ingest(
     ``v{batch_id}`` directory, covered by the same commit marker).
     Returns ``(snapshots, (span_fps, span_texts))`` when ``span=True``.
 
-    **Retention** (``snapshots_keep_last``): every version holds the FULL
-    state — slim for the hash/signature/fingerprint tables, but
-    ``span_texts`` is the whole accumulated survivor corpus, so without
-    retirement the store grows O(batches × corpus). Set
+    **Span state is a delta log (r9)**: each version persists only the
+    BATCH's increment (``span_fps_delta`` + ``span_texts_delta`` — the
+    operator's ``_return_fps`` fingerprint increment and the batch's
+    cleaned survivors), so the per-fold write is batch-sized, not
+    corpus-sized; the in-memory state between batches is the lazy union.
+    Loading reconstructs by unioning the newest FULL base (a version
+    carrying ``span_fps``/``span_texts``) with every later committed
+    version's deltas — old-layout stores, whose every version is a full
+    base, reload unchanged. Without retention no bases are ever written
+    (a pure delta log). With ``snapshots_keep_last=K`` a full base is
+    compacted in every K-th fold (first fold included), which guarantees
+    the retained tail-K window always contains the base the deltas after
+    it need — vacuum can then delete older versions without orphaning
+    state; ``snapshots_keep_last=1`` degenerates to the pre-r9
+    full-rewrite-per-version behavior. Base-vs-delta is decided
+    deterministically from the committed store, so torn-crash replays
+    converge (stale files from the other mode are deleted before the
+    write — changing ``snapshots_keep_last`` across a restart cannot
+    resurrect a torn base).
+
+    **Retention** (``snapshots_keep_last``): every version holds the
+    full exact/fuzzy snapshot pair (slim) plus the span delta; set
     ``snapshots_keep_last=K`` to ``vacuum_table_versions`` after each
-    commit, bounding disk at K × state size (the same per-batch
-    retention ``streaming_resolve`` applies to its history). The
-    per-batch full-texts REWRITE remains the accepted cost of the
-    marker-atomic versioned layout — an append-only increment store
-    with periodic compaction is the upgrade seam if span ingest ever
-    fronts a corpus too large to rewrite per micro-batch.
+    commit, bounding disk at K × (slim state + batch increment) + one
+    compacted span base per window (the same per-batch retention
+    ``streaming_resolve`` applies to its history).
     """
     from datamunging_spark.operators.dedup import (
         Snapshots,
@@ -327,12 +355,50 @@ def streaming_ingest(
 
     start = snapshots if snapshots is not None else Snapshots(None, None)
     spark = docs_stream.sparkSession
-    state = {"snaps": start, "span_fps": None, "span_texts": None}
+    state = {
+        "snaps": start,
+        "span_fps": None,
+        "span_texts": None,
+        # batch increments stashed by _span_pass for the delta write
+        "span_fps_inc": None,
+        "span_texts_inc": None,
+        # committed versions folded since (and including) the last FULL
+        # span base — drives the deterministic base-compaction cadence
+        "since_base": 0,
+    }
 
-    def _load_span_state(sess, vpath):
-        fps = _maybe_parquet(sess, f"{vpath}/span_fps")
-        texts = _maybe_parquet(sess, f"{vpath}/span_texts")
+    def _load_span_state(sess, upto_v):
+        """Reconstruct the span state as of committed version
+        ``upto_v``: newest full base at or before it, plus every later
+        committed version's deltas, in version order. Old-layout stores
+        (every version a full base) reduce to 'read the latest'."""
+        from datamunging_spark.sources.versioned import (
+            list_table_versions,
+        )
+
+        fps = texts = None
+        since = 0
+        for v in list_table_versions(sess, snapshots_path):
+            if v > upto_v:
+                break
+            vp = f"{snapshots_path}/v{v:020d}"
+            base = _maybe_parquet(sess, f"{vp}/span_fps")
+            if base is not None:
+                fps = base
+                texts = _maybe_parquet(sess, f"{vp}/span_texts")
+                since = 1
+                continue
+            d_fps = _maybe_parquet(sess, f"{vp}/span_fps_delta")
+            if d_fps is None:
+                continue  # pre-span or span-free version
+            d_texts = _maybe_parquet(sess, f"{vp}/span_texts_delta")
+            fps = d_fps if fps is None else fps.unionByName(d_fps)
+            texts = (
+                d_texts if texts is None else texts.unionByName(d_texts)
+            )
+            since += 1
         state["span_fps"], state["span_texts"] = fps, texts
+        state["since_base"] = since
 
     if snapshots_path is not None:
         latest = _latest_snapshot_version(spark, snapshots_path)
@@ -341,7 +407,7 @@ def streaming_ingest(
             start = read_snapshots(spark, vpath)
             state["snaps"] = start
             if span:
-                _load_span_state(spark, vpath)
+                _load_span_state(spark, latest)
 
     def _span_pass(surv, bspark):
         """Span-dedup the batch survivors against all prior micro-batches
@@ -376,7 +442,11 @@ def streaming_ingest(
             _return_fps=True, **kw,
         )
         cleaned = cleaned.localCheckpoint()  # feeds sink + texts roll
+        # materialize the fp increment once: it feeds the in-memory fold
+        # AND the per-version delta write
+        fps_inc = fps_inc.localCheckpoint()
         texts_inc = cleaned.select(F.col(id_col), F.col(text_col))
+        state["span_fps_inc"], state["span_texts_inc"] = fps_inc, texts_inc
         if state["span_fps"] is None:
             new_fps, new_texts = fps_inc, texts_inc
         else:
@@ -401,7 +471,7 @@ def streaming_ingest(
                     batch_df.sparkSession, vpath
                 )
                 if span:
-                    _load_span_state(batch_df.sparkSession, vpath)
+                    _load_span_state(batch_df.sparkSession, batch_id)
                 return
         if not batch_df.head(1):
             return
@@ -429,17 +499,41 @@ def streaming_ingest(
                 # so never self-overwriting its own input) must converge,
                 # not throw PATH_ALREADY_EXISTS forever — the same
                 # replay-convergence contract as write_snapshots /
-                # write_table_version.
-                state["span_fps"].write.mode("overwrite").parquet(
-                    f"{vpath}/span_fps"
+                # write_table_version. Base-vs-delta is decided from
+                # since_base, itself reconstructed from the committed
+                # store — deterministic under replay; stale files of the
+                # OTHER mode (a torn attempt under a different
+                # snapshots_keep_last) are deleted so reconstruction can
+                # never pick up a gutted base.
+                make_base = snapshots_keep_last is not None and (
+                    state["since_base"] == 0
+                    or state["since_base"] + 1 >= snapshots_keep_last
                 )
-                state["span_texts"].write.mode("overwrite").parquet(
-                    f"{vpath}/span_texts"
-                )
+                if make_base:
+                    _delete_subdirs(
+                        bspark, vpath,
+                        ("span_fps_delta", "span_texts_delta"),
+                    )
+                    state["span_fps"].write.mode("overwrite").parquet(
+                        f"{vpath}/span_fps"
+                    )
+                    state["span_texts"].write.mode("overwrite").parquet(
+                        f"{vpath}/span_texts"
+                    )
+                else:
+                    _delete_subdirs(
+                        bspark, vpath, ("span_fps", "span_texts")
+                    )
+                    state["span_fps_inc"].write.mode(
+                        "overwrite"
+                    ).parquet(f"{vpath}/span_fps_delta")
+                    state["span_texts_inc"].write.mode(
+                        "overwrite"
+                    ).parquet(f"{vpath}/span_texts_delta")
             _mark_snapshot_committed(bspark, vpath)
             state["snaps"] = read_snapshots(bspark, vpath)
             if span:
-                _load_span_state(bspark, vpath)
+                _load_span_state(bspark, batch_id)
             if snapshots_keep_last is not None:
                 from datamunging_spark.sources.versioned import (
                     vacuum_table_versions,

@@ -1204,6 +1204,94 @@ def test_streaming_ingest_span_torn_version_replay_converges(
     assert len(committed) == 1  # vacuumed to keep_last=1
 
 
+def test_streaming_ingest_span_state_is_delta_log(spark, tmp_path):
+    """r9 bounded span state: without retention every version persists
+    ONLY the batch's increment (span_*_delta, one survivor row here) and
+    never a full base — per-fold disk tracks batch size, not corpus
+    size — and a restarted run reconstructs the full span history by
+    unioning the delta chain (the late batch still loses its span to a
+    doc from batch 0). With snapshots_keep_last=2 a FULL base is
+    compacted on the cadence, vacuum retires old deltas, and the state
+    still cuts after the vacuum."""
+    from datamunging_spark.sources.versioned import COMMIT_MARKER
+    from datamunging_spark.streaming import streaming_ingest
+
+    S = "this exact licensed boilerplate sentence repeats verbatim!!"
+    texts = {
+        1: "first doc unique head. " * 3 + S,
+        10: "second doc other body entirely. " * 3,
+        20: "third doc again different text. " * 3,
+        30: "late fourth doc new material. " * 3 + S,
+    }
+    src = tmp_path / "delta_src"
+    src.mkdir()
+    for i, (did, t) in enumerate(list(texts.items())[:3]):
+        spark.createDataFrame([(did, t)], ["doc_id", "text"]).coalesce(
+            1
+        ).write.parquet(str(src / f"f{i}"))
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+
+    out, ckpt, snaps = (
+        str(tmp_path / "d_surv"),
+        str(tmp_path / "d_ckpt"),
+        str(tmp_path / "d_snaps"),
+    )
+    streaming_ingest(
+        stream(), survivors_path=out, checkpoint_path=ckpt,
+        snapshots_path=snaps, threshold=0.9, span=True,
+    )
+    vdirs = sorted(
+        p for p in (tmp_path / "d_snaps").iterdir() if p.name[0] == "v"
+    )
+    assert len(vdirs) == 3
+    for v in vdirs:
+        assert (v / "span_fps_delta").exists()
+        assert (v / "span_texts_delta").exists()
+        assert not (v / "span_fps").exists()  # pure delta log: no base
+        # the increment is THIS batch's one survivor, not the corpus
+        assert (
+            spark.read.parquet(str(v / "span_texts_delta")).count() == 1
+        )
+    # restart: batch 3 reconstructs from the 3-delta chain and cuts
+    spark.createDataFrame(
+        [(30, texts[30])], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(str(src / "f3"))
+    streaming_ingest(
+        stream(), survivors_path=out, checkpoint_path=ckpt,
+        snapshots_path=snaps, threshold=0.9, span=True,
+        snapshots_keep_last=2,
+    )
+    surv = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert surv[1] == texts[1] and S not in surv[30]
+    # keep_last=2 on a 4-delta chain forces a base compaction at v3 and
+    # vacuums to the last 2 versions; the retained window carries the
+    # base its reconstruction needs
+    committed = sorted(
+        p
+        for p in (tmp_path / "d_snaps").iterdir()
+        if p.name[0] == "v" and (p / COMMIT_MARKER).exists()
+    )
+    assert len(committed) == 2
+    assert (committed[-1] / "span_fps").exists()  # the compacted base
+    # post-vacuum restart: state reconstructs from the retained window
+    spark.createDataFrame(
+        [(40, "fifth doc body. " * 3 + S)], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(str(src / "f4"))
+    streaming_ingest(
+        stream(), survivors_path=out, checkpoint_path=ckpt,
+        snapshots_path=snaps, threshold=0.9, span=True,
+        snapshots_keep_last=2,
+    )
+    surv = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert S not in surv[40]
+
+
 def test_maybe_parquet_missing_is_none_corrupt_raises(spark, tmp_path):
     """_maybe_parquet maps ONLY the missing-directory AnalysisException
     to None (bootstrap); a directory with an unreadable file must raise

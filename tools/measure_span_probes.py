@@ -270,12 +270,72 @@ def strip_boilerplate_probe(spark):
     assert residual == 0
 
 
+def streaming_span_delta_probe(spark):
+    """r9 bounded streaming span state: per-fold disk written by the
+    delta log vs the counterfactual full-state rewrite (the pre-r9
+    behavior: whole accumulated survivor corpus + fp table per
+    version)."""
+    import os
+    import shutil
+    import tempfile
+
+    from datamunging_spark.streaming import streaming_ingest
+
+    print("\n### Probe 4 (r9): streaming span-state delta log, bytes/fold")
+    work = tempfile.mkdtemp(prefix="span_delta_probe_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    n_batches, per_batch = 6, 50
+    for b in range(n_batches):
+        synth_docs(spark, per_batch, 600, f"b{b}").select(
+            (F.col("doc_id") + b * per_batch).alias("doc_id"), "text"
+        ).coalesce(1).write.parquet(os.path.join(src, f"f{b}"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    snaps = os.path.join(work, "snaps")
+    streaming_ingest(
+        stream,
+        survivors_path=os.path.join(work, "surv"),
+        checkpoint_path=os.path.join(work, "ckpt"),
+        snapshots_path=snaps,
+        threshold=0.9,
+        span=True,
+    )
+
+    def dir_bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(p)
+            for f in fs
+        )
+
+    print("| fold | span delta bytes (r9) | full-state bytes (pre-r9 rewrite) |")
+    print("|---|---|---|")
+    cum = 0
+    for i, v in enumerate(sorted(os.listdir(snaps))):
+        vp = os.path.join(snaps, v)
+        delta = sum(
+            dir_bytes(os.path.join(vp, d))
+            for d in ("span_fps_delta", "span_texts_delta", "span_fps",
+                      "span_texts")
+            if os.path.isdir(os.path.join(vp, d))
+        )
+        cum += delta
+        print(f"| {i} | {delta:,} | {cum:,} |")
+    shutil.rmtree(work)
+
+
 def main():
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     fp_reuse_probe(spark)
     hostile_boilerplate_probe(spark)
     strip_boilerplate_probe(spark)
+    streaming_span_delta_probe(spark)
 
 
 if __name__ == "__main__":
