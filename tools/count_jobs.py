@@ -28,6 +28,7 @@ from datamunging_spark import get_spark
 QUERIES = [
     "x1_incremental_dedup",
     "x1_ingest_cycle",
+    "x1_incremental_span",
     "x_curation_full",
     "x1_minhash_pairs",
     "x1_paragraph_dedup",
