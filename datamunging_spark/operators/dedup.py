@@ -1387,6 +1387,8 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_gram_df: int | None = None,
+    valve: str = "exact",
+    valve_k: int = 65536,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity of probe docs vs the corpus — with NO
     cross join.
@@ -1399,7 +1401,18 @@ def ngram_jaccard_pairs(
     makes exact Jaccard feasible at corpus scale. Skew valve: set
     ``max_gram_df`` to drop grams shared by more than that many docs
     (standard hot-shingle cap; leave None for exact oracle parity).
+
+    ``valve="sketch"`` swaps the hot-gram detection from the exact
+    groupBy (which shuffles one row per DISTINCT gram — itself the
+    biggest exchange of the valve at billions of grams) to
+    :func:`~datamunging_spark.operators.sketch.hot_keys_sketch`
+    (Misra-Gries: one Arrow pass, shuffle ≤ partitions × (valve_k+2)
+    rows). Drops are a superset of the exact valve's above the MG floor
+    — over-dropping is the valve's documented trade; sizing and bounds
+    live on ``hot_keys_sketch``.
     """
+    if valve not in ("exact", "sketch"):
+        raise ValueError(f"valve must be 'exact'|'sketch', got {valve!r}")
     pg = exploded_ngrams(probes, text_col, id_col, n, distinct=True).select(
         F.col(id_col).alias("id_a"), "_sh"
     )
@@ -1407,12 +1420,17 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id_b"), "_sh"
     )
     if max_gram_df is not None:
-        hot = (
-            cg.groupBy("_sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_gram_df)
-            .select("_sh")
-        )
+        if valve == "sketch":
+            from datamunging_spark.operators.sketch import hot_keys_sketch
+
+            hot = hot_keys_sketch(cg, "_sh", max_gram_df, k=valve_k)
+        else:
+            hot = (
+                cg.groupBy("_sh")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") > max_gram_df)
+                .select("_sh")
+            )
         cg = cg.join(F.broadcast(hot), "_sh", "left_anti")
         pg = pg.join(F.broadcast(hot), "_sh", "left_anti")
     na = pg.groupBy("id_a").agg(F.count(F.lit(1)).alias("_na"))

@@ -378,3 +378,38 @@ def distinct_estimate(summary: DataFrame, keys: list[str]) -> DataFrame:
     return summary.select(
         *keys, F.hll_sketch_estimate(F.col("hll")).alias("distinct_est")
     )
+
+
+def hot_keys_sketch(
+    df: DataFrame, col: str, threshold: int, k: int = 65536
+) -> DataFrame:
+    """Hot keys at bounded shuffle — the detector behind the
+    ``valve="sketch"`` mode of ``max_gram_df``/``max_fp_df``: one
+    Misra-Gries Arrow pass (≤ ``k`` counters per partition) + a
+    summary-sized aggregate, instead of the exact valve's one-shuffled-
+    row-per-DISTINCT-key groupBy. Returns a single-column frame (named
+    ``col``, cast back to its original type) of keys whose MG count
+    UPPER bound exceeds ``threshold`` — ≤ k rows, always
+    broadcast-anti-join-able.
+
+    Contract (conservative in the valve's documented direction):
+
+    - **no hot key escapes above the floor** — every key with true row
+      count > ``threshold + n/(k+1)`` is present in the summary (MG
+      no-false-negative) with ``count_hi ≥ true count > threshold``,
+      so it is flagged; keys the summary missed have true count
+      ≤ n/(k+1) by the same bound, i.e. the residual fan-out per
+      surviving key is capped at ``max(threshold, n/(k+1))``. Size
+      ``k ≈ n/threshold`` when the exact cap must hold; any smaller k
+      trades cap tightness for counter memory, explicitly.
+    - **over-drop, never under-protect** — ``count_hi`` overstates by
+      ≤ the decrement total, and row counts overstate DOCUMENT
+      frequency when one document repeats a key, so some keys an exact
+      df-valve would keep are dropped. That is the valve's existing
+      trade (drops lose detection recall, never correctness), priced
+      per-corpus in SCALE.md.
+    """
+    rep = hh_report(hh_summary(df.select(F.col(col)), col, k=k))
+    return rep.filter(F.col("count_hi") > int(threshold)).select(
+        F.col("value").cast(df.schema[col].dataType).alias(col)
+    )

@@ -415,3 +415,60 @@ def test_streaming_distinct_counts_folds_and_replays(spark, tmp_path):
         read_table_version(spark, table), ["k"]
     ).first().distinct_est
     assert abs(est2 - 800) / 800 < 0.05  # new visitors NOT lost
+
+
+def test_hot_keys_sketch_superset_and_equal_at_large_k(spark):
+    """hot_keys_sketch at k >= distinct keys is error-free, so its hot
+    set EQUALS the exact row-count valve's; at tiny k the decrement
+    slack can only ADD keys (over-drop), never miss one hotter than
+    threshold + n/(k+1) — the conservative direction the valves need."""
+    from pyspark.sql import functions as F
+
+    from datamunging_spark.operators.sketch import hot_keys_sketch
+
+    df = spark.range(0, 1000).select(
+        F.when(F.col("id") < 600, F.lit("hot"))
+        .when(F.col("id") < 700, F.lit("warm"))
+        .otherwise(F.concat(F.lit("cold"), F.col("id")))
+        .alias("k")
+    )
+    exact = {
+        r["k"]
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 50)
+        .collect()
+    }
+    assert exact == {"hot", "warm"}
+    big_k = {r["k"] for r in hot_keys_sketch(df, "k", 50, k=4096).collect()}
+    assert big_k == exact
+    # tiny k: n/(k+1) slack inflates count_hi -> superset, and the
+    # truly hot key (600 > 50 + 1000/9) is always present
+    small = {r["k"] for r in hot_keys_sketch(df, "k", 50, k=8).collect()}
+    assert small >= {"hot"}
+    assert exact <= small or "warm" in small  # never misses above floor
+
+
+def test_ngram_sketch_valve_matches_exact(spark):
+    """ngram_jaccard_pairs(valve='sketch') at error-free k yields the
+    same pairs as the exact valve (grams are distinct per doc, so rows
+    == df and the two detectors agree exactly)."""
+    from pyspark.sql import functions as F
+
+    from datamunging_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = [(i, "the common boilerplate gram run appears everywhere here")
+            for i in range(12)]
+    docs += [(100, "alpha beta gamma delta epsilon zeta eta theta"),
+             (101, "alpha beta gamma delta epsilon zeta iota kappa")]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    kw = dict(n=3, threshold=0.2, max_gram_df=4)
+    key = ["id_a", "id_b"]
+    exact = ngram_jaccard_pairs(df, df, valve="exact", **kw)
+    sk = ngram_jaccard_pairs(df, df, valve="sketch", valve_k=1 << 16, **kw)
+    ex = sorted(map(tuple, exact.select(key).collect()))
+    sv = sorted(map(tuple, sk.select(key).collect()))
+    assert ex == sv
+    assert (100, 101) in {(a, b) for a, b in sv} | {
+        (b, a) for a, b in sv
+    }  # the df=2 genuine pair survives the valve in both modes

@@ -471,3 +471,39 @@ def test_incremental_return_fps_matches_fresh_winnow(spark):
         for r in winnow_fingerprints(final2).collect()
     )
     assert got2 == want2
+
+
+def test_sketch_valve_identical_to_exact_above_floor(spark):
+    """valve="sketch" with k >= distinct fingerprints has ZERO MG error
+    (no counter ever evicts), so its hot set equals the exact valve's
+    wherever row count == document frequency — the span table must be
+    byte-identical in both modes, on a corpus that exercises both a
+    surviving planted span and a valved-away hot template."""
+    from pyspark.sql import functions as F
+
+    tpl = "universal hot template fingerprint carrier sentence here!!"
+    rows = [(i, f"doc {i} unique filler padding words. " * 2 + tpl)
+            for i in range(20)]
+    rows += [(100, A + SHARED + B), (101, C + SHARED + D)]
+    df = _mk(spark, rows)
+    kw = dict(min_span=50, max_fp_df=4)
+    exact = shared_span_pairs(df, valve="exact", **kw)
+    sk = shared_span_pairs(df, valve="sketch", valve_k=1 << 16, **kw)
+    key = ["doc_a", "doc_b", "start_a", "start_b", "length"]
+    assert sorted(map(tuple, exact.select(key).collect())) == sorted(
+        map(tuple, sk.select(key).collect())
+    )
+    # the planted pairwise span (df=2) survived, and the hot template's
+    # quadratic 20·19/2 pair table did NOT materialize in either mode
+    # (a stray boundary-anchor pair or two is the valve's normal
+    # residue — identical across modes per the assert above)
+    assert sk.filter(
+        (F.col("doc_a") == 100) & (F.col("doc_b") == 101)
+    ).count() == 1
+    assert sk.filter(F.col("doc_a") < 100).count() < 10
+
+
+def test_sketch_valve_rejects_unknown_mode(spark):
+    df = _mk(spark, [(1, A + SHARED + B), (2, C + SHARED + D)])
+    with pytest.raises(ValueError, match="valve"):
+        shared_span_pairs(df, valve="bogus").collect()

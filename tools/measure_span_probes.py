@@ -329,6 +329,81 @@ def streaming_span_delta_probe(spark):
     shutil.rmtree(work)
 
 
+def sketch_valve_probe(spark):
+    """r9 valve='sketch' pricing on the probe-2 hostile corpus: detection
+    outcome + the exchanged rows of the hot-key detection itself
+    (exact valve = one row per distinct fp; sketch = bounded summary)."""
+    from datamunging_spark.operators.spandedup import (
+        span_dedup,
+        winnow_fingerprints,
+    )
+
+    print("\n### Probe 5 (r9): exact vs sketch valve on the probe-2 corpus")
+    n = 600
+    template = (
+        "this universal template footer appears verbatim in every single "
+        "document of the hostile corpus and a naive detector drowns in it."
+    )
+    pair_tag = F.col("doc_id") % 300
+    docs = (
+        synth_docs(spark, n, 600, "host")
+        .withColumn(
+            "text",
+            F.concat(
+                F.substring("text", 1, 300),
+                F.lit(template),
+                F.substring("text", 301, 300),
+            ),
+        )
+        .withColumn(
+            "text",
+            F.when(
+                pair_tag < 30,
+                F.concat(
+                    "text",
+                    F.repeat(
+                        F.md5(F.concat(F.lit("p"), pair_tag.cast("string"))),
+                        6,
+                    ),
+                ),
+            ).otherwise(F.col("text")),
+        )
+        .localCheckpoint()
+    )
+    fps = winnow_fingerprints(docs)
+    distinct_fps = fps.select("fp").distinct().count()
+    parts = fps.rdd.getNumPartitions()
+    tpl_len = len(template)
+    print(
+        "| valve | k | detector rows exchanged | wall (s) | spans "
+        "| template cuts (of 599) | pairwise cuts (of 30) |"
+    )
+    print("|---|---|---|---|---|---|---|")
+    for valve, k in (("exact", None), ("sketch", 4096), ("sketch", 256)):
+        t0 = time.perf_counter()
+        rows = span_dedup(
+            docs, max_fp_df=64, valve=valve,
+            **({"valve_k": k} if k else {}),
+            _return_spans=True,
+        )[1].collect()
+        w = time.perf_counter() - t0
+        tpl_cut = len(
+            {r.doc_b for r in rows if abs(r.length - tpl_len) <= 8}
+        )
+        pair_cut = len(
+            {(r.doc_a, r.doc_b) for r in rows if abs(r.length - 192) <= 8}
+        )
+        exch = (
+            f"{distinct_fps:,} (= distinct fps)"
+            if valve == "exact"
+            else f"<= {parts * (k + 2):,} (partitions x (k+2))"
+        )
+        print(
+            f"| {valve} | {k or '—'} | {exch} | {w:.2f} | {len(rows)} "
+            f"| {tpl_cut} | {pair_cut} |"
+        )
+
+
 def main():
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
@@ -336,6 +411,7 @@ def main():
     hostile_boilerplate_probe(spark)
     strip_boilerplate_probe(spark)
     streaming_span_delta_probe(spark)
+    sketch_valve_probe(spark)
 
 
 if __name__ == "__main__":
