@@ -1313,15 +1313,19 @@ def q_x4_vocab(spark, sf_dir):
 
 
 def q_x5_pack_sequences(spark, sf_dir):
-    """X5 sequence packing (rows-only: bin ids depend on the xxhash64 group
-    split, so no SQL oracle — but the packing INVARIANTS are checked inside
-    the query): pack documents into 1024-token bins, then emit per-doc
-    assignments with two in-query invariant columns that pytest also pins:
-    ``within_cap`` (every non-truncated bin holds ≤ 1024 tokens — the
-    correctness contract) and ``bin_sum_ok`` (bin_tokens equals the actual
-    sum over the bin's members — the bookkeeping contract). Both must be
-    uniformly true; violations would surface as false cells in the gate's
-    recorded sample and fail tests/test_trainset.py."""
+    """X5 sequence packing — PROMOTED to a full oracle row in r9 (the
+    r8 promotion recipe: drop the engine-specific columns, keep the
+    exact-checkable surface). Bin ids depend on the xxhash64 group
+    split, so they stay out of the gate output (pinned by
+    tests/test_trainset.py instead); everything returned is
+    deterministic and DuckDB-derivable — doc_id, n_tokens,
+    ``truncated`` (= n_tokens > max_len, a contract of the operator,
+    now hash-checked per doc) — plus the two REAL in-query invariants
+    computed over the actual packing: ``within_cap`` (every
+    non-truncated bin holds ≤ 1024 tokens) and ``bin_sum_ok``
+    (bin_tokens equals the actual member sum). The oracle expects both
+    uniformly true, so a packing violation now fails the VALUE HASH,
+    not just the invariant sampler."""
     from datamunging_spark.functions import token_count
     from datamunging_spark.operators.trainset import pack_sequences
 
@@ -1340,8 +1344,6 @@ def q_x5_pack_sequences(spark, sf_dir):
         .select(
             "doc_id",
             "n_tokens",
-            "bin_id",
-            "bin_tokens",
             "truncated",
             (F.col("truncated") | (F.col("bin_tokens") <= F.lit(1024))).alias(
                 "within_cap"
@@ -2712,6 +2714,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b.user_id AS BIGINT), NULL
             FROM spans a, spans b
             WHERE a.s <= b.t AND b.s <= a.t
+        """,
+        # r9 promotion: bin assignment is hash-split-dependent and stays
+        # pytest-pinned, but the per-doc surface is deterministic —
+        # n_tokens, the truncated contract (n_tokens > max_len), and the
+        # two packing invariants the Spark side computes over the REAL
+        # bins (the oracle expects them uniformly true, so a capacity or
+        # bookkeeping violation fails the value hash).
+        "x5_pack_sequences": """
+            SELECT doc_id,
+                   CAST(CASE WHEN text IS NULL THEN -1
+                        ELSE len(string_split(text, ' ')) END AS BIGINT)
+                       AS n_tokens,
+                   (CASE WHEN text IS NULL THEN -1
+                         ELSE len(string_split(text, ' ')) END) > 1024
+                       AS truncated,
+                   true AS within_cap,
+                   true AS bin_sum_ok
+            FROM documents
         """,
         "x5_token_budget": """
             WITH d AS (
