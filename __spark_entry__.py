@@ -2219,6 +2219,76 @@ def q_x4_doc_quality(spark, sf_dir):
     return document_quality_report(d, group_col="lang")
 
 
+def q_x4_lang_model(spark, sf_dir):
+    """X4 model-based language-ID (bench-only, new r9; accuracy-vs-
+    heuristic pinned by tests/test_text_ml.py): the driver corpus's
+    ``lang`` labels are independent of its word-salad text, so the
+    query first RE-RENDERS each doc's tokens through a per-language
+    vocabulary (deterministic hash per token — orthography-distinct
+    words incl. diacritics and CJK, same fixture family as the pytest),
+    then fits the char-n-gram hashed multinomial classifier on even-id
+    docs and scores the odd-id holdout. Times the full fit+score path
+    (the distributed L-BFGS + one codegen'd scoring pass); returns
+    per-language holdout accuracy with ``acc_ok`` (≥ 0.9) computed
+    in-query."""
+    from datamunging_spark.operators.text import (
+        lang_classifier_fit,
+        lang_classifier_score,
+    )
+
+    vocab = {
+        "en": ["house", "water", "morning", "bright", "garden", "window",
+               "children", "street", "weather", "evening"],
+        "fr": ["maison", "château", "déjà", "être", "garçon", "fenêtre",
+               "rue", "soirée", "jardin", "météo"],
+        "de": ["straße", "fenster", "mädchen", "schön", "garten", "wasser",
+               "morgen", "abend", "kinder", "wetter"],
+        "es": ["niño", "mañana", "jardín", "ventana", "calle", "señora",
+               "tiempo", "casa", "agua", "noche"],
+        "zh": ["房子", "水", "早晨", "明亮", "花园", "窗户", "孩子",
+               "街道", "天气", "晚上"],
+    }
+    arr = None
+    for lang, words in vocab.items():
+        a = F.array(*[F.lit(w) for w in words])
+        arr = a if arr is None else F.when(
+            F.col("lang") == lang, a
+        ).otherwise(arr)
+    # rightmost fallback above is fine: every fixture lang is in vocab
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ", -1)
+    rendered = d.withColumn(
+        "text",
+        F.concat_ws(
+            " ",
+            F.transform(
+                toks,
+                lambda t: F.element_at(
+                    arr, (F.pmod(F.xxhash64(t), F.lit(10)) + 1).cast("int")
+                ),
+            ),
+        ),
+    ).localCheckpoint()  # feeds the fit (iterative) and the scoring
+    clf = lang_classifier_fit(
+        rendered.filter(F.col("doc_id") % 2 == 0),
+        max_iter=10,
+        num_features=1 << 13,
+        max_fit_rows=400,
+    )
+    holdout = rendered.filter(F.col("doc_id") % 2 == 1)
+    scored = lang_classifier_score(clf, holdout)
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(
+                (F.col("lang_pred") == F.col("lang")).cast("double")
+            ).alias("accuracy"),
+        )
+        .withColumn("acc_ok", F.col("accuracy") >= 0.9)
+    )
+
+
 def q_x4_bigram_lm(spark, sf_dir):
     """X4 interpolated unigram+bigram LM quality scoring (bench-only;
     round-trip and conditional-distribution properties pytest-covered)."""

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "x8_heavy_hitters",
     "x8_distinct_users",
     "x1_strip_boilerplate",
+    "x4_lang_model",
 ]
 
 

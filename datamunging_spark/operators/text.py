@@ -11,6 +11,8 @@ Arrow).
 # NB: no `from __future__ import annotations` here — pandas_udf resolves real
 # type hints, and stringized annotations break its signature inference.
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
@@ -173,6 +175,136 @@ def detect_language(col: Column | str, langs: tuple[str, ...] = ("en", "fr", "de
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(cond, s).otherwise(best_score)
     return best_lang
+
+
+class LangClassifier(NamedTuple):
+    """A fitted model-based language identifier: the PipelineModel
+    (char-n-gram SQLTransformer → HashingTF → multinomial logistic
+    regression — all JVM-side, vectors broadcast at scoring time) plus
+    the index → language-code mapping the fit derived. Persist with
+    ``model.write()`` + the labels tuple beside it."""
+
+    model: object
+    labels: tuple
+
+
+def lang_classifier_fit(
+    labeled: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    gram: int = 3,
+    num_features: int = 1 << 15,
+    reg_param: float = 0.01,
+    max_iter: int = 50,
+    max_fit_rows: int = 100_000,
+    seed: int = 42,
+) -> LangClassifier:
+    """Fit a self-contained fastText-style language identifier:
+    character ``gram``-grams (the published fastText langid feature
+    space — character n-grams catch orthography, diacritics, and script
+    where the marker-token heuristic :func:`detect_language` needs
+    function words verbatim) → hashed counts → multinomial logistic
+    regression. The upgrade tier over the heuristic for corpora where
+    marker tokens are sparse (short/telegraphic text, informal
+    spelling); the real fastText model remains the external seam
+    (tests/test_model_seams.py golden).
+
+    Everything stays JVM-side and in one PipelineModel: a
+    SQLTransformer materializes the char n-grams as an expression
+    (``transform(sequence(...), i -> substring(...))`` over the
+    lowercased text — no tokenizer UDF, no Python), HashingTF hashes
+    them into ``num_features`` count dims, and Spark ML's distributed
+    L-BFGS fits the multinomial head. Labels are indexed DRIVER-side
+    from the distinct ``lang_col`` values (bounded by the language
+    count) so the fitted pipeline needs no label column at scoring
+    time. Rows with NULL/unseen ``lang_col`` are excluded from the fit.
+
+    Scale shape: the ITERATIVE fit runs on a seeded sample capped at
+    ``max_fit_rows`` (the ivf_build discipline — a language model's
+    decision boundary needs a representative sample, not the corpus;
+    at 100 TB a full-corpus L-BFGS would dominate everything), one
+    tree-aggregated gradient pass per iteration; scoring is one
+    codegen'd map pass with the num_features × n_langs model broadcast
+    once. Label discovery still scans the full input (one distinct on
+    the language column — bounded output).
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF, SQLTransformer
+
+    labels = tuple(
+        r[0]
+        for r in labeled.select(lang_col)
+        .filter(F.col(lang_col).isNotNull())
+        .distinct()
+        .sort(lang_col)
+        .collect()
+    )
+    if not labels:
+        raise ValueError(f"no non-null {lang_col!r} labels to fit on")
+    lab_arr = F.array(*[F.lit(lb) for lb in labels])
+    train = labeled.withColumn(
+        "_lid_label",
+        (F.array_position(lab_arr, F.col(lang_col)) - 1).cast("double"),
+    ).filter(F.col("_lid_label") >= 0)
+    n_train = train.count()
+    if n_train > max_fit_rows:
+        train = train.sample(
+            withReplacement=False,
+            fraction=min(1.0, max_fit_rows / n_train),
+            seed=seed,
+        )
+    # cache for the duration of the iterative fit only (R35
+    # cache-before-fit); released in the finally below
+    train = train.persist()
+    grams = SQLTransformer(
+        statement=(
+            "SELECT *, transform("
+            f"sequence(1, greatest(length(coalesce(lower({text_col}), ''))"
+            f" - {gram - 1}, 1)), "
+            f"i -> substring(coalesce(lower({text_col}), ''), i, {gram})"
+            ") AS _lid_grams FROM __THIS__"
+        )
+    )
+    tf = HashingTF(
+        inputCol="_lid_grams", outputCol="_lid_tf",
+        numFeatures=num_features,
+    )
+    lr = LogisticRegression(
+        featuresCol="_lid_tf",
+        labelCol="_lid_label",
+        regParam=reg_param,
+        maxIter=max_iter,
+        family="multinomial",
+    )
+    try:
+        model = Pipeline(stages=[grams, tf, lr]).fit(train)
+    finally:
+        train.unpersist()
+    return LangClassifier(model, labels)
+
+
+def lang_classifier_score(
+    clf: LangClassifier,
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "lang_pred",
+) -> DataFrame:
+    """Score a corpus with a fitted :class:`LangClassifier`: adds
+    ``out`` = the predicted language code (the fit's ``lang_col`` value
+    space). One codegen'd map pass — the n-gram expression, the hashed
+    dot products, and the argmax all execute JVM-side with the model
+    broadcast; intermediates dropped. ``df`` must carry ``text_col``
+    under the same name used at fit time (the quality_classifier
+    contract)."""
+    lab_arr = F.array(*[F.lit(lb) for lb in clf.labels])
+    scored = clf.model.transform(df)
+    return scored.withColumn(
+        out, F.element_at(lab_arr, F.col("prediction").cast("int") + 1)
+    ).drop(
+        "_lid_grams", "_lid_tf", "rawPrediction", "probability",
+        "prediction",
+    )
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:

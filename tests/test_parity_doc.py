@@ -47,7 +47,8 @@ def test_parity_query_references_exist():
                "r26_sample_bernoulli", "r28_sample_bykey",
                "grouping_suite",
                # r9: bench-only from birth (gate at its 50-entry cap)
-               "x1_strip_boilerplate", "x1_incremental_span"}
+               "x1_strip_boilerplate", "x1_incremental_span",
+               "x4_lang_model"}
     # Candidate tokens: snake_case words that look like gate keys.
     mentioned = set(re.findall(r"\b[a-z][a-z0-9]*(?:_[a-z0-9]+)+\b", text))
     # Only validate tokens that *claim* to be queries: those that appear in

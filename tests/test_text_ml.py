@@ -716,3 +716,70 @@ def test_sentiment_score_zero_shuffle_plan(spark, tables):
     )
     final = plan.split("== Initial Plan ==")[0]
     assert "Exchange" not in final  # pure map over the scan
+
+
+def test_lang_classifier_beats_marker_heuristic(spark):
+    """Model-based lang-ID (char-n-gram hashed multinomial LR — the
+    fastText-style upgrade tier): on a multilingual fixture where HALF
+    the docs carry no marker function-word at all, the classifier must
+    (a) beat the marker heuristic's held-out accuracy and (b) clear 90%
+    absolute — character n-grams catch orthography (déjà/straße/niño/
+    script) where the heuristic needs function words verbatim."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from datamunging_spark.operators.text import (
+        detect_language,
+        lang_classifier_fit,
+        lang_classifier_score,
+    )
+
+    vocab = {
+        "en": ["house", "water", "morning", "bright", "garden", "window",
+               "children", "street", "weather", "evening"],
+        "fr": ["maison", "château", "déjà", "être", "garçon", "fenêtre",
+               "rue", "soirée", "jardin", "météo"],
+        "de": ["straße", "fenster", "mädchen", "schön", "garten", "wasser",
+               "morgen", "abend", "kinder", "wetter"],
+        "es": ["niño", "mañana", "jardín", "ventana", "calle", "señora",
+               "tiempo", "casa", "agua", "noche"],
+        "zh": ["房子", "水", "早晨", "明亮", "花园", "窗户", "孩子",
+               "街道", "天气", "晚上"],
+    }
+    marker = {"en": "the", "fr": "le", "de": "der", "es": "el", "zh": "的"}
+    rng = random.Random(7)
+    rows, i = [], 0
+    for lang, words in vocab.items():
+        for j in range(30):
+            toks = [rng.choice(words) for _ in range(8)]
+            if j % 2 == 0:  # half the docs get one marker token
+                toks.insert(rng.randrange(len(toks)), marker[lang])
+            rows.append((i, lang, " ".join(toks)))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    train = df.filter(F.col("doc_id") % 3 != 0)
+    test = df.filter(F.col("doc_id") % 3 == 0).localCheckpoint()
+
+    clf = lang_classifier_fit(train)
+    assert clf.labels == ("de", "en", "es", "fr", "zh")
+    scored = lang_classifier_score(clf, test).withColumn(
+        "heur", detect_language("text")
+    )
+    agg = scored.agg(
+        F.avg((F.col("lang_pred") == F.col("lang")).cast("double")).alias(
+            "model_acc"
+        ),
+        F.avg((F.col("heur") == F.col("lang")).cast("double")).alias(
+            "heur_acc"
+        ),
+    ).collect()[0]
+    assert agg["model_acc"] >= agg["heur_acc"]
+    assert agg["model_acc"] >= 0.9
+    # the heuristic really is blind on the marker-free half
+    assert agg["heur_acc"] <= 0.75
+    # NULL/empty text scores without crashing
+    nulls = spark.createDataFrame(
+        [(900, None), (901, "")], "doc_id long, text string"
+    )
+    assert lang_classifier_score(clf, nulls).count() == 2
