@@ -386,11 +386,17 @@ def hot_keys_sketch(
     """Hot keys at bounded shuffle — the detector behind the
     ``valve="sketch"`` mode of ``max_gram_df``/``max_fp_df``: one
     Misra-Gries Arrow pass (≤ ``k`` counters per partition) + a
-    summary-sized aggregate, instead of the exact valve's one-shuffled-
-    row-per-DISTINCT-key groupBy. Returns a single-column frame (named
-    ``col``, cast back to its original type) of keys whose MG count
-    UPPER bound exceeds ``threshold`` — ≤ k rows, always
-    broadcast-anti-join-able.
+    summary-sized aggregate, RE-BOUNDED to ≤ ``k`` data rows via the
+    Agarwal merge rule (``merge_hh_summaries`` — the raw union of
+    per-partition summaries can reach partitions × k rows, and on a
+    heavy-tailed corpus the global error term would flag nearly all of
+    them), instead of the exact valve's one-shuffled-row-per-DISTINCT-
+    key groupBy. Returns a single-column frame (named ``col``, cast
+    back to its original type) of keys whose MG count UPPER bound
+    exceeds ``threshold`` — genuinely ≤ k rows, always
+    broadcast-anti-join-able. The re-bound adds its subtraction to the
+    error total, so ``count_hi`` stays a true upper bound of the
+    combined stream.
 
     Contract (conservative in the valve's documented direction):
 
@@ -409,7 +415,10 @@ def hot_keys_sketch(
       trade (drops lose detection recall, never correctness), priced
       per-corpus in SCALE.md.
     """
-    rep = hh_report(hh_summary(df.select(F.col(col)), col, k=k))
+    rep = hh_report(
+        merge_hh_summaries(hh_summary(df.select(F.col(col)), col, k=k),
+                           None, k=k)
+    )
     return rep.filter(F.col("count_hi") > int(threshold)).select(
         F.col("value").cast(df.schema[col].dataType).alias(col)
     )

@@ -533,7 +533,18 @@ def streaming_ingest(
             _mark_snapshot_committed(bspark, vpath)
             state["snaps"] = read_snapshots(bspark, vpath)
             if span:
-                _load_span_state(bspark, batch_id)
+                if make_base:
+                    # full reload from the just-written base: plan depth
+                    # resets to one flat read
+                    _load_span_state(bspark, batch_id)
+                else:
+                    # delta fold: the in-memory union (prior disk-backed
+                    # state ∪ this batch's checkpointed increments) IS
+                    # the reconstruction — re-listing and re-probing
+                    # every committed version per fold would cost
+                    # O(total versions) each micro-batch (r9 review);
+                    # only the cadence counter advances
+                    state["since_base"] += 1
             if snapshots_keep_last is not None:
                 from datamunging_spark.sources.versioned import (
                     vacuum_table_versions,
