@@ -2289,6 +2289,74 @@ def q_x4_lang_model(spark, sf_dir):
     )
 
 
+def q_x8_quantiles(spark, sf_dir):
+    """X8 mergeable quantile sketch (bench-only, new r9; guarantees
+    pinned by tests/test_sketch.py + hypothesis): the rank/quantile leg
+    of the sketch trio — price quantiles over lineitem via MRL/KLL
+    level compactors (one Arrow pass, ≤ k items per level; exchanges
+    carry summaries, never the data column; operators/sketch.py module
+    header has the bounds). In-query invariants, all REAL checks of the
+    sketch guarantees at bench scale:
+
+    - ``bracket_ok``: each reported value's true count ≤ value is
+      re-counted EXACTLY (a ≤|qs|-row broadcast against the column —
+      the x8_heavy_hitters recount shape) and must sit within the
+      carried rank-error budget of ``est_rank``;
+    - ``mass_ok``: Σ retained cnt·2^level == n exactly (compaction
+      conserves mass by construction);
+    - ``within_budget``: the carried budget obeys the worst-case
+      n·L/k for the summary's own occupied-level count L."""
+    from datamunging_spark.operators.sketch import (
+        quantile_report,
+        quantile_summary,
+    )
+
+    k = 512
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("price")
+    )
+    s = quantile_summary(li, "price", k=k)  # localCheckpointed state
+    rep = quantile_report(s, [0.01, 0.25, 0.5, 0.75, 0.99])
+    exact = (
+        li.crossJoin(
+            F.broadcast(rep.select("q", F.col("value").alias("_v")))
+        )
+        .filter(F.col("price") <= F.col("_v"))
+        .groupBy("q")
+        .agg(F.count(F.lit(1)).alias("_true_le"))
+    )
+    mass = s.filter(F.col("meta").isNull()).agg(
+        F.coalesce(
+            F.sum(F.expr("cnt * shiftleft(1L, level)")), F.lit(0)
+        ).alias("_mass"),
+        (F.max("level") + 1).alias("_levels"),
+    )
+    return (
+        rep.join(exact, "q", "left")
+        .crossJoin(F.broadcast(mass))
+        .select(
+            "q",
+            "value",
+            "rank_target",
+            "est_rank",
+            "n_total",
+            "max_rank_err",
+            (
+                F.col("_true_le").isNotNull()
+                & (
+                    F.abs(F.col("est_rank") - F.col("_true_le"))
+                    <= F.col("max_rank_err")
+                )
+            ).alias("bracket_ok"),
+            (F.col("_mass") == F.col("n_total")).alias("mass_ok"),
+            (
+                F.col("max_rank_err")
+                <= F.col("n_total") * F.col("_levels") / F.lit(k)
+            ).alias("within_budget"),
+        )
+    )
+
+
 def q_x4_bigram_lm(spark, sf_dir):
     """X4 interpolated unigram+bigram LM quality scoring (bench-only;
     round-trip and conditional-distribution properties pytest-covered)."""

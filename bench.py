@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "x8_distinct_users",
     "x1_strip_boilerplate",
     "x4_lang_model",
+    "x8_quantiles",
 ]
 
 

@@ -38,9 +38,16 @@ exact GROUP BY counts (README.md's census/word-count examples), which
 # real type objects at decoration time elsewhere in this package; keep
 # the module convention uniform.
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 _META_DEC = "dec"  # meta row: cnt = this partition's subtracted total d_i
 _META_N = "n"  # meta row: cnt = this partition's non-null row count n_i
@@ -422,3 +429,335 @@ def hot_keys_sketch(
     return rep.filter(F.col("count_hi") > int(threshold)).select(
         F.col("value").cast(df.schema[col].dataType).alias(col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile summaries (MRL/KLL-family level compactors)
+# ---------------------------------------------------------------------------
+#
+# The third leg of the sketch family: frequency (Misra-Gries, above),
+# distinct (HLL, above), and now rank/quantiles — "what is the p99
+# document length per crawl batch, maintained incrementally?" without
+# sorting or shuffling the data column. The exact face already exists
+# (`relational.grouped_percentiles`, R15): correct whenever a full sort
+# of the group fits the cluster; this is the engine's scale/streaming
+# path for when it doesn't.
+#
+# Design (Manku-Rajagopalan-Lindsay '98 uniform-capacity compactors, the
+# simple member of the KLL family; mergeability per Agarwal et al.,
+# "Mergeable Summaries", PODS 2012): a summary is a weighted point set —
+# retained items at LEVEL ℓ each stand for 2^ℓ original values. Inserts
+# land in level 0; whenever a level holds > k items it is COMPACTED:
+# sort, keep every other item of an even-length prefix (alternating
+# parity), promote the kept items to level ℓ+1.
+#
+# - **mass is conserved exactly**: 2m items of weight w become m items
+#   of weight 2w (the odd leftover stays put), so Σ cnt·2^level == n at
+#   all times — an exact in-query invariant, pinned by hypothesis.
+# - **rank error is carried exactly**: one compaction at level ℓ shifts
+#   the weighted count-below-t of any threshold t by ≤ 2^ℓ, so the
+#   summed budget (meta row 'err', the sibling of MG's 'dec') brackets
+#   every rank estimate: |est_rank(t) − true_rank(t)| ≤ err_total.
+#   Worst case err_total ≤ n·L/k for L ≈ log2(n/k) occupied levels
+#   (each compaction consumes ≥ k·2^ℓ mass and charges 2^ℓ), i.e.
+#   ~0.7% of n at k=4096 even for n = 10^12 — but consumers should read
+#   the CARRIED value, which is exact for the actual fold history.
+# - **merging adds budgets**: a merge unions the point sets (groupBy on
+#   (level, value) — mass and 'err'/'n' meta rows sum) and re-compacts
+#   overfull levels, charging those compactions to the budget like any
+#   other. Associative/commutative; parameter drift in k between folds
+#   only changes future tightness, never bracket truth (the hh_summary
+#   lesson).
+#
+# Scale shape: the build is one Arrow pass (≤ k items per level per
+# partition, levels grow logarithmically); the exchange carries
+# summaries (≤ partitions × k × L rows), never data. The re-bound pass
+# repartitionByRange's the pooled summary by VALUE, so each task
+# compacts a disjoint value range independently — valid because rank
+# decomposes over disjoint ranges (mass outside a range is conserved by
+# that range's compactions) and each event still charges its 2^ℓ to the
+# global budget; no single task ever holds the whole pooled summary.
+
+_META_ERR = "err"  # meta row: cnt = summed rank-error budget
+
+_Q_SCHEMA = StructType(
+    [
+        StructField("value", DoubleType()),
+        StructField("level", IntegerType()),
+        StructField("cnt", LongType()),
+        StructField("meta", StringType()),
+    ]
+)
+
+
+def _compact_levels(levels, parity, k, err):
+    """Compact every level holding > k items (cascading); mutates
+    ``levels``/``parity`` in place, returns the grown error budget.
+    ``levels[l]`` is a float64 array of items with weight 2**l."""
+    import numpy as np
+
+    l = 0
+    while l < len(levels):
+        if len(levels[l]) <= k:
+            l += 1
+            continue
+        buf = np.sort(levels[l])
+        m = (len(buf) // 2) * 2  # even-length prefix: mass conserved
+        promoted = buf[parity[l] : m : 2]
+        parity[l] ^= 1
+        if l + 1 == len(levels):
+            levels.append(np.empty(0, dtype="float64"))
+            parity.append(0)
+        levels[l] = buf[m:]  # odd leftover (0 or 1 items) stays
+        levels[l + 1] = np.concatenate([levels[l + 1], promoted])
+        err += 1 << l  # one compaction event at weight 2^l
+        # the promotion may overfill l+1 — loop continues upward
+        l += 1
+    return err
+
+
+def _emit_summary(levels, err, n):
+    """Render compactor state + meta rows into the summary frame."""
+    import pandas as pd
+
+    frames = []
+    for lvl, arr in enumerate(levels):
+        if not len(arr):
+            continue
+        vc = pd.Series(arr).value_counts()  # collapse duplicate values
+        frames.append(
+            pd.DataFrame(
+                {
+                    "value": vc.index.astype("float64"),
+                    "level": lvl,
+                    "cnt": vc.to_numpy(dtype="int64"),
+                    "meta": None,
+                }
+            )
+        )
+    frames.append(
+        pd.DataFrame(
+            {
+                # NaN, not None: keeps the column float64 through the
+                # concat so Arrow sees one clean double column
+                "value": [float("nan"), float("nan")],
+                "level": [0, 0],
+                "cnt": [err, n],
+                "meta": [_META_ERR, _META_N],
+            }
+        )
+    )
+    return pd.concat(frames, ignore_index=True)
+
+
+def _q_build_partition(k: int):
+    """Per-partition compactor build over an iterator of Arrow batches
+    of raw ``value`` doubles (NULL/NaN dropped, like the MG pass)."""
+
+    def run(batches):
+        import numpy as np
+
+        levels = [np.empty(0, dtype="float64")]
+        parity = [0]
+        err = 0
+        n = 0
+        for pdf in batches:
+            vals = pdf["value"].dropna().to_numpy(dtype="float64")
+            if not len(vals):
+                continue
+            n += len(vals)
+            levels[0] = np.concatenate([levels[0], vals])
+            err = _compact_levels(levels, parity, k, err)
+        yield _emit_summary(levels, err, n)
+
+    return run
+
+
+def _q_recompact_partition(k: int):
+    """Re-bound a pooled summary's value-range shard: expand (value,
+    level, cnt) rows back into per-level item arrays (bounded — the
+    input is summary-sized), compact overfull levels, and emit the
+    shard's data rows plus an 'err' DELTA meta row for the compactions
+    this pass added. 'n'/'err' meta rows pass through untouched (they
+    ride in whatever shard range-partitioning sent their NULL values
+    to) — the consumer re-aggregates meta by sum."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        pooled = [b for b in batches]
+        pdf = (
+            pd.concat(pooled, ignore_index=True)
+            if pooled
+            else pd.DataFrame(columns=["value", "level", "cnt", "meta"])
+        )
+        meta = pdf[pdf["meta"].notna()]
+        data = pdf[pdf["meta"].isna()]
+        levels = []
+        parity = []
+        for lvl, grp in data.groupby("level"):
+            lvl = int(lvl)
+            while len(levels) <= lvl:
+                levels.append(np.empty(0, dtype="float64"))
+                parity.append(0)
+            levels[lvl] = np.repeat(
+                grp["value"].to_numpy(dtype="float64"),
+                grp["cnt"].to_numpy(dtype="int64"),
+            )
+        if not levels:
+            levels, parity = [np.empty(0, dtype="float64")], [0]
+        delta = _compact_levels(levels, parity, k, 0)
+        out = _emit_summary(levels, delta, 0)
+        # drop the all-shards 'n'=0 stub; keep the err delta only when
+        # this shard actually compacted (meta rows must stay sparse)
+        out = out[~((out["meta"] == _META_N))]
+        if delta == 0:
+            out = out[out["meta"].isna()]
+        yield pd.concat([out, meta], ignore_index=True)
+
+    return run
+
+
+def quantile_summary(
+    df: DataFrame, col: str, k: int = 4096, rebound_partitions: int = 1
+) -> DataFrame:
+    """Build a mergeable QUANTILE summary of numeric ``col``: rows
+    ``(value, level, cnt, meta)`` — data rows (``meta`` NULL) are
+    retained items, ``cnt`` items of weight ``2^level`` each; meta rows
+    carry the non-null count (``meta='n'``) and the exact accumulated
+    rank-error budget (``meta='err'``). One Arrow build pass per
+    partition (≤ ``k`` items per level), a summary-sized groupBy, then
+    one range-sharded re-compaction so the stored state holds ≤ ``k``
+    items per level TOTAL (the pooled union of per-partition summaries
+    would otherwise grow with partition count — the hh_summary /
+    merge_hh_summaries split, fused here because unlike MG the re-bound
+    needs a sort and is cheapest while the summary is already in Arrow).
+    NULL and NaN values are excluded from ``n`` (same contract as the
+    MG pass). ``rebound_partitions`` sizes the range shuffle — 1 is
+    right up to ~10^2 partitions; at larger cluster scale raise it so
+    no task holds the whole pooled summary (module header: range shards
+    compact independently and the budget stays exact either way).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    vals = df.select(F.col(col).cast("double").alias("value"))
+    rows = vals.mapInPandas(_q_build_partition(int(k)), schema=_Q_SCHEMA)
+    pooled = rows.groupBy("meta", "level", "value").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    rebound = pooled.repartitionByRange(
+        int(rebound_partitions), "value"
+    ).mapInPandas(_q_recompact_partition(int(k)), schema=_Q_SCHEMA)
+    return (
+        rebound.groupBy("meta", "level", "value")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint()
+    )
+
+
+def merge_quantile_summaries(
+    a: DataFrame, b: DataFrame | None, k: int = 4096,
+    rebound_partitions: int = 1,
+) -> DataFrame:
+    """Merge two quantile summaries into one with ≤ ``k`` items per
+    level: union the weighted point sets (groupBy sums duplicate
+    (level, value) mass and the 'n'/'err' meta budgets), then
+    re-compact overfull levels, charging the new compactions to the
+    budget — everything summary-sized. ``b=None`` re-bounds ``a`` alone
+    (the first-batch seed). Associative and commutative up to
+    compaction parity (brackets and mass are exact either way), so
+    batches fold in any order — the stored-state step of the
+    incremental/streaming loop, exactly like :func:`merge_hh_summaries`.
+    Build-``k`` drift between the sides is SAFE: budgets are carried
+    explicitly, k only tunes future tightness.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    u = a if b is None else a.unionByName(b)
+    pooled = u.groupBy("meta", "level", "value").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    rebound = pooled.repartitionByRange(
+        int(rebound_partitions), "value"
+    ).mapInPandas(_q_recompact_partition(int(k)), schema=_Q_SCHEMA)
+    return (
+        rebound.groupBy("meta", "level", "value")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint()
+    )
+
+
+def quantile_report(summary: DataFrame, qs: list[float]) -> DataFrame:
+    """Render a quantile summary at probe points ``qs`` (each in
+    [0, 1]): for each q, the retained value at weighted nearest-rank
+    ``max(1, ceil(q·n))`` — columns ``(q, value, rank_target, est_rank,
+    n_total, max_rank_err)`` with the guarantee ``|est_rank −
+    true_count_le(value)| ≤ max_rank_err`` (module header; ``est_rank``
+    is the summary's weighted count ≤ value, ``true_count_le`` the
+    data's). The window cumsum and the qs join run over SUMMARY-sized
+    rows (≤ k·L + |qs|) — the single-partition window is fine here for
+    the same reason merge_hh_summaries' k-row collect is. An empty
+    summary (n=0) returns every q with NULL value and est_rank 0."""
+    spark = summary.sparkSession
+    for q in qs:
+        if not (0.0 <= float(q) <= 1.0):
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    meta = (
+        summary.filter(F.col("meta").isNotNull())
+        .groupBy()
+        .pivot("meta", [_META_ERR, _META_N])
+        .sum("cnt")
+        .select(
+            F.coalesce(F.col(_META_ERR), F.lit(0)).alias("max_rank_err"),
+            F.coalesce(F.col(_META_N), F.lit(0)).alias("n_total"),
+        )
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    data = (
+        summary.filter(F.col("meta").isNull())
+        # python-API shiftleft takes a literal shift only — SQL form
+        # accepts the level column (1L keeps it 64-bit)
+        .withColumn("_w", F.expr("cnt * shiftleft(1L, level)"))
+        # one row per VALUE before the cumsum: the same value can be
+        # retained at several levels, and a mid-tie crossing row would
+        # understate est_rank (= the summary's full count ≤ value)
+        .groupBy("value")
+        .agg(F.sum("_w").alias("_w"))
+        .withColumn("_cum", F.sum("_w").over(w))
+    )
+    qdf = spark.createDataFrame([(float(q),) for q in qs], ["q"])
+    targets = qdf.crossJoin(F.broadcast(meta)).withColumn(
+        "rank_target",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.col("q") * F.col("n_total")).cast("long"),
+        ),
+    )
+    hits = (
+        targets.join(
+            data.select("value", "_cum"),
+            F.col("_cum") >= F.col("rank_target"),
+            "left",
+        )
+        .groupBy("q", "rank_target", "n_total", "max_rank_err")
+        .agg(
+            F.min_by("value", "_cum").alias("value"),
+            F.coalesce(F.min("_cum"), F.lit(0)).alias("est_rank"),
+        )
+    )
+    return hits.select(
+        "q", "value", "rank_target", "est_rank", "n_total", "max_rank_err"
+    )
+
+
+def quantiles_sketch(
+    df: DataFrame, col: str, qs: list[float], k: int = 4096
+) -> DataFrame:
+    """One-shot sketched quantiles: :func:`quantile_summary` rendered by
+    :func:`quantile_report` (split faces exist for the incremental /
+    streaming fold; `relational.grouped_percentiles` is the exact
+    face)."""
+    return quantile_report(quantile_summary(df, col, k), qs)

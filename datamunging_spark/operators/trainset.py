@@ -209,7 +209,7 @@ def decontaminate_substring(
     min_len: int = 20,
     matcher: str = "join",
 ) -> DataFrame:
-    """Exact-substring decontamination: drop corpus docs that CONTAIN any
+    r"""Exact-substring decontamination: drop corpus docs that CONTAIN any
     benchmark string verbatim (normalized) — the right mode for short
     eval payloads (answer strings, test prompts) that n-gram collision
     (:func:`decontaminate`) can miss when the payload is shorter than the

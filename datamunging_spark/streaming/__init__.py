@@ -971,3 +971,48 @@ def streaming_distinct_counts(
         keep_last,
         skip_applied=False,  # HLL union is idempotent: re-fold, never skip
     )
+
+
+def streaming_quantiles(
+    values_stream: DataFrame,
+    col: str,
+    table_path: str,
+    k: int = 4096,
+    checkpoint_path: str | None = None,
+    keep_last: int = 2,
+) -> int | None:
+    """Continuous quantile-profile maintenance via ``foreachBatch`` —
+    the rank/quantile leg of the sketch-fold trio (frequency =
+    :func:`streaming_heavy_hitters`, distinct =
+    :func:`streaming_distinct_counts`): each micro-batch is summarized
+    by :func:`~datamunging_spark.operators.sketch.quantile_summary`
+    (one Arrow compactor pass, ≤ k items per level) and folded into the
+    stored summary with
+    :func:`~datamunging_spark.operators.sketch.merge_quantile_summaries`
+    (summary-sized union + re-compaction; stored state stays ≤ k items
+    per level forever). Mass conservation and the carried rank-error
+    budget survive every fold, so
+    ``quantile_report(read_table_version(...), qs)`` over any committed
+    version brackets the TRUE stream-so-far ranks.
+
+    Exactly-once mirrors :func:`streaming_heavy_hitters`: the fold is
+    NOT replay-idempotent (re-merging a batch's summary double-counts
+    its mass), so each committed version carries its micro-batch tag
+    and a replayed batch no-ops; versions vacuum to ``keep_last``.
+    Drains with ``availableNow``; returns the latest committed version.
+    """
+    from datamunging_spark.operators.sketch import (
+        merge_quantile_summaries,
+        quantile_summary,
+    )
+
+    return _versioned_stream_fold(
+        values_stream,
+        table_path,
+        lambda state, batch: merge_quantile_summaries(
+            quantile_summary(batch, col, k), state, k
+        ),
+        checkpoint_path,
+        keep_last,
+        skip_applied=True,  # summary mass double-counts on re-apply
+    )

@@ -385,3 +385,54 @@ def test_heavy_hitters_mg_guarantees(spark, values, k):
     for v, f_true in truth.items():
         if f_true > max_err:
             assert v in sk, (v, f_true, max_err)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        min_size=1,
+        max_size=400,
+    ),
+    st.integers(min_value=2, max_value=10),
+)
+def test_quantile_sketch_invariants(spark, values, k):
+    """X8 quantile-compactor invariants on arbitrary floats/k: retained
+    mass equals n EXACTLY (compaction promotes even pairs and parks the
+    leftover — it never loses mass), every reported value's est_rank is
+    within the carried budget of the true count<=value, and the stored
+    state is re-bounded to <= k items per level."""
+    from pyspark.sql import functions as SF
+
+    from datamunging_spark.operators.sketch import (
+        quantile_report,
+        quantile_summary,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in values], "x double"
+    ).repartition(3)
+    s = quantile_summary(df, "x", k=k)
+    n = len(values)
+    mass = (
+        s.filter(SF.col("meta").isNull())
+        .agg(
+            SF.coalesce(
+                SF.sum(SF.expr("cnt * shiftleft(1L, level)")), SF.lit(0)
+            )
+        )
+        .first()[0]
+    )
+    assert mass == n
+    per_level = (
+        s.filter(SF.col("meta").isNull())
+        .groupBy("level")
+        .agg(SF.sum("cnt").alias("items"))
+        .collect()
+    )
+    assert all(r.items <= k for r in per_level)
+    svals = sorted(float(v) for v in values)
+    for r in quantile_report(s, [0.0, 0.5, 1.0]).collect():
+        true_le = sum(1 for x in svals if x <= r.value)
+        assert abs(r.est_rank - true_le) <= r.max_rank_err, (r.q, r.value)
+        assert r.n_total == n

@@ -472,3 +472,193 @@ def test_ngram_sketch_valve_matches_exact(spark):
     assert (100, 101) in {(a, b) for a, b in sv} | {
         (b, a) for a, b in sv
     }  # the df=2 genuine pair survives the valve in both modes
+
+
+# ---------------------------------------------------------------------------
+# Quantile summaries (MRL/KLL-family compactors)
+# ---------------------------------------------------------------------------
+
+
+def _true_count_le(values, v):
+    return sum(1 for x in values if x <= v)
+
+
+def test_quantile_sketch_exact_below_k(spark):
+    """n <= k and one partition: no compaction ever fires, the budget is
+    zero, and every probe returns the exact nearest-rank quantile."""
+    import math
+
+    from datamunging_spark.operators.sketch import quantiles_sketch
+
+    vals = [float(x) for x in [7, 1, 9, 3, 3, 5, 2, 8, 4, 6]]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").coalesce(1)
+    qs = [0.0, 0.1, 0.25, 0.5, 0.9, 1.0]
+    out = {r.q: r for r in quantiles_sketch(df, "x", qs, k=64).collect()}
+    s = sorted(vals)
+    for q in qs:
+        r = out[q]
+        assert r.max_rank_err == 0
+        assert r.n_total == 10
+        target = max(1, math.ceil(q * 10))
+        assert r.rank_target == target
+        assert r.value == s[target - 1], q
+
+
+def test_quantile_summary_mass_is_conserved(spark):
+    """Sum(cnt * 2^level) == n exactly — compaction promotes pairs and
+    parks the odd leftover, it never loses mass (module invariant)."""
+    from datamunging_spark.operators.sketch import quantile_summary
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 997).cast("double").alias("x")
+    ).repartition(8)
+    s = quantile_summary(df, "x", k=32)
+    mass = (
+        s.filter(F.col("meta").isNull())
+        .agg(F.sum(F.expr("cnt * shiftleft(1L, level)")).alias("m"))
+        .collect()[0]["m"]
+    )
+    n = s.filter(F.col("meta") == "n").agg(F.sum("cnt")).collect()[0][0]
+    assert mass == n == 5000
+    # the stored state is re-bounded: <= k items per level
+    per_level = {
+        r.level: r.items
+        for r in s.filter(F.col("meta").isNull())
+        .groupBy("level")
+        .agg(F.sum("cnt").alias("items"))
+        .collect()
+    }
+    assert all(items <= 32 for items in per_level.values()), per_level
+
+
+def test_quantile_sketch_rank_bracket_holds(spark):
+    """The carried budget is a true bracket: for every reported value,
+    |est_rank - true count<=value| <= max_rank_err, and the budget obeys
+    the n*L/k worst case."""
+    import math
+
+    from datamunging_spark.operators.sketch import quantiles_sketch
+
+    # adversarially lumpy: two dense clusters + a sparse tail
+    vals = (
+        [float(i % 50) for i in range(4000)]
+        + [1000.0 + (i % 25) for i in range(4000)]
+        + [1e6 + i for i in range(500)]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(8)
+    k = 64
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    rows = quantiles_sketch(df, "x", qs, k=k).collect()
+    n = len(vals)
+    levels = math.ceil(math.log2(max(n / k, 2))) + 2
+    for r in rows:
+        assert r.n_total == n
+        true_le = _true_count_le(vals, r.value)
+        assert abs(r.est_rank - true_le) <= r.max_rank_err, (r.q, r.value)
+        # first-crossing pick: est_rank reaches the target
+        assert r.est_rank >= r.rank_target
+        assert r.max_rank_err <= n * levels / k
+
+
+def test_merge_quantile_summaries_budget_covers_union(spark):
+    """sketch(A) merged with sketch(B): mass adds (n = nA + nB) and the
+    report still brackets the true ranks of A UNION B."""
+    from datamunging_spark.operators.sketch import (
+        merge_quantile_summaries,
+        quantile_report,
+        quantile_summary,
+    )
+
+    a_vals = [float(i % 100) for i in range(3000)]
+    b_vals = [500.0 + (i % 100) for i in range(2000)]
+    a = spark.createDataFrame([(v,) for v in a_vals], "x double").repartition(4)
+    b = spark.createDataFrame([(v,) for v in b_vals], "x double").repartition(4)
+    merged = merge_quantile_summaries(
+        quantile_summary(a, "x", k=32), quantile_summary(b, "x", k=32), k=32
+    )
+    union = a_vals + b_vals
+    rows = quantile_report(merged, [0.1, 0.5, 0.6, 0.9]).collect()
+    for r in rows:
+        assert r.n_total == len(union)
+        true_le = _true_count_le(union, r.value)
+        assert abs(r.est_rank - true_le) <= r.max_rank_err, r.q
+    # per-level item bound survives the merge
+    per_level = (
+        merged.filter(F.col("meta").isNull())
+        .groupBy("level")
+        .agg(F.sum("cnt").alias("items"))
+        .collect()
+    )
+    assert all(r.items <= 32 for r in per_level)
+
+
+def test_quantile_sketch_nulls_empty_and_validation(spark):
+    from datamunging_spark.operators.sketch import (
+        quantile_report,
+        quantile_summary,
+        quantiles_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (3.0,), (None,), (2.0,)], "x double"
+    )
+    out = {r.q: r for r in quantiles_sketch(df, "x", [0.5, 1.0], k=16).collect()}
+    assert out[0.5].n_total == 3  # NULLs excluded from n
+    assert out[0.5].value == 2.0
+    assert out[1.0].value == 3.0
+
+    empty = spark.createDataFrame([], "x double")
+    rows = {r.q: r for r in quantiles_sketch(empty, "x", [0.5], k=16).collect()}
+    assert rows[0.5].value is None
+    assert rows[0.5].n_total == 0
+    assert rows[0.5].est_rank == 0
+
+    with pytest.raises(ValueError):
+        quantile_summary(df, "x", k=1)
+    with pytest.raises(ValueError):
+        quantile_report(quantile_summary(df, "x", k=16), [1.5])
+
+
+def test_streaming_quantiles_folds_and_replays(spark, tmp_path):
+    """foreachBatch quantile maintenance: two micro-batch folds bracket
+    the full-stream truth; a lost checkpoint replay no-ops (batch tags
+    -- the fold double-counts mass if re-applied); retention vacuums."""
+    from datamunging_spark.operators.sketch import quantile_report
+    from datamunging_spark.sources.versioned import read_table_version
+    from datamunging_spark.streaming import streaming_quantiles
+
+    src = tmp_path / "q_src"
+    src.mkdir()
+    b1 = [(float(i),) for i in range(1000)]
+    b2 = [(float(1000 + i),) for i in range(1000)]
+    spark.createDataFrame(b1, "x double").coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame(b2, "x double").coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    table = str(tmp_path / "q_table")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("x double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        return streaming_quantiles(
+            stream, "x", table, k=64, checkpoint_path=str(tmp_path / ckpt)
+        )
+
+    assert drain("q_ckpt") == 2
+    union = [v for v, in b1] + [v for v, in b2]
+    rows = quantile_report(
+        read_table_version(spark, table), [0.25, 0.5, 0.75]
+    ).collect()
+    for r in rows:
+        assert r.n_total == 2000
+        true_le = _true_count_le(union, r.value)
+        assert abs(r.est_rank - true_le) <= r.max_rank_err
+    # lost checkpoint: replays no-op (n_total would double otherwise)
+    assert drain("q_ckpt2") == 2
+    rows2 = quantile_report(read_table_version(spark, table), [0.5]).collect()
+    assert rows2[0].n_total == 2000
