@@ -619,6 +619,29 @@ def _q_recompact_partition(k: int):
     return run
 
 
+def _rebound(pooled: DataFrame, k: int, rebound_partitions: int) -> DataFrame:
+    """Shared re-bound tail of build/merge: checkpoint the pooled
+    summary FIRST — ``repartitionByRange`` computes its range bounds
+    with a separate sampling job over the upstream plan, which for the
+    build path is the full corpus-wide Arrow scan; checkpointing makes
+    the sample read summary-sized rows instead of scanning twice (the
+    r9 probe caught the build running every input stage two times).
+    With one shard there is nothing to range-split, so a plain
+    ``repartition(1)`` skips the sampling job entirely."""
+    pooled = pooled.localCheckpoint()
+    shards = (
+        pooled.repartition(1)
+        if rebound_partitions == 1
+        else pooled.repartitionByRange(rebound_partitions, "value")
+    )
+    rebound = shards.mapInPandas(_q_recompact_partition(k), schema=_Q_SCHEMA)
+    return (
+        rebound.groupBy("meta", "level", "value")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint()
+    )
+
+
 def quantile_summary(
     df: DataFrame, col: str, k: int = 4096, rebound_partitions: int = 1
 ) -> DataFrame:
@@ -629,7 +652,8 @@ def quantile_summary(
     rank-error budget (``meta='err'``). One Arrow build pass per
     partition (≤ ``k`` items per level), a summary-sized groupBy, then
     one range-sharded re-compaction so the stored state holds ≤ ``k``
-    items per level TOTAL (the pooled union of per-partition summaries
+    items per level per re-bound shard — TOTAL with the default single
+    shard (the pooled union of per-partition summaries
     would otherwise grow with partition count — the hh_summary /
     merge_hh_summaries split, fused here because unlike MG the re-bound
     needs a sort and is cheapest while the summary is already in Arrow).
@@ -646,14 +670,7 @@ def quantile_summary(
     pooled = rows.groupBy("meta", "level", "value").agg(
         F.sum("cnt").alias("cnt")
     )
-    rebound = pooled.repartitionByRange(
-        int(rebound_partitions), "value"
-    ).mapInPandas(_q_recompact_partition(int(k)), schema=_Q_SCHEMA)
-    return (
-        rebound.groupBy("meta", "level", "value")
-        .agg(F.sum("cnt").alias("cnt"))
-        .localCheckpoint()
-    )
+    return _rebound(pooled, int(k), int(rebound_partitions))
 
 
 def merge_quantile_summaries(
@@ -678,14 +695,7 @@ def merge_quantile_summaries(
     pooled = u.groupBy("meta", "level", "value").agg(
         F.sum("cnt").alias("cnt")
     )
-    rebound = pooled.repartitionByRange(
-        int(rebound_partitions), "value"
-    ).mapInPandas(_q_recompact_partition(int(k)), schema=_Q_SCHEMA)
-    return (
-        rebound.groupBy("meta", "level", "value")
-        .agg(F.sum("cnt").alias("cnt"))
-        .localCheckpoint()
-    )
+    return _rebound(pooled, int(k), int(rebound_partitions))
 
 
 def quantile_report(summary: DataFrame, qs: list[float]) -> DataFrame:
