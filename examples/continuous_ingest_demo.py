@@ -205,6 +205,40 @@ def main() -> None:
         f"{est.domain} ≈ {est.distinct_est} unique visitors "
         f"(true 300 across two overlapping micro-batches)"
     )
+
+    # 7. streaming quantiles: the feed's latency profile as a mergeable
+    # compactor summary — p50/p99 over the whole stream so far, with the
+    # carried rank-error budget printed next to the estimates
+    from datamunging_spark.operators.sketch import quantile_report
+    from datamunging_spark.streaming import streaming_quantiles
+
+    qt_src = f"{workdir}/latency_feed"
+    os.makedirs(qt_src, exist_ok=True)
+    for n, base in (("l1", 10.0), ("l2", 50.0)):
+        rows = [(base + (i % 100) / 10.0,) for i in range(500)]
+        spark.createDataFrame(rows, "ms double").coalesce(1).write.parquet(
+            f"{qt_src}/{n}"
+        )
+    qt_stream = (
+        spark.readStream.schema("ms double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qt_src + "/*")
+    )
+    qv = streaming_quantiles(
+        qt_stream, "ms", f"{workdir}/qt_table",
+        k=64, checkpoint_path=f"{workdir}/qt_ckpt",
+    )
+    qrep = {
+        r.q: r
+        for r in quantile_report(
+            read_table_version(spark, f"{workdir}/qt_table"), [0.5, 0.99]
+        ).collect()
+    }
+    print(
+        f"streaming quantiles: v{qv} committed; stream-so-far "
+        f"p50={qrep[0.5].value} p99={qrep[0.99].value} "
+        f"(±{qrep[0.5].max_rank_err} ranks of {qrep[0.5].n_total})"
+    )
     print(f"done; state under {workdir}")
     spark.stop()
 
