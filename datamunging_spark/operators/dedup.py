@@ -1780,24 +1780,32 @@ def _frozen_assign_udf(centers):
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    # hoisted: both depend only on the closed-over centers — per-batch
+    # recomputation paid a redundant copy + norm reduction on every
+    # Arrow batch of both the fit pass and every incremental batch
+    c = centers.astype(np.float64)
+    cnorm = (c * c).sum(axis=1)
+
     @pandas_udf(T.ArrayType(T.DoubleType()))
     def assign(vecs):
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         x = np.stack(vecs.to_numpy()).astype(np.float64)
-        c = centers.astype(np.float64)
         # ||x-c||² = ||x||² - 2x·cᵀ + ||c||² via ONE matmul — the naive
         # (rows × clusters × dim) broadcast temporary is ~61 GB per
         # 10k-row batch at the 1000-cluster/768-dim scale this operator
         # targets (same identity as pq_fit, similarity.py)
-        d = (
-            (x * x).sum(axis=1)[:, None]
-            - 2.0 * (x @ c.T)
-            + (c * c).sum(axis=1)[None, :]
-        )
+        xnorm = (x * x).sum(axis=1)
+        d = xnorm[:, None] - 2.0 * (x @ c.T) + cnorm[None, :]
         cell = d.argmin(axis=1)
-        # matmul round-off can dip a true-zero distance epsilon-negative
         dist = np.maximum(d[np.arange(len(cell)), cell], 0.0)
+        # identity round-off is RELATIVE (~1e-16 × the cancelled norms,
+        # accumulating with dim), so snap near-zero distances to exact 0
+        # at a relative threshold: a duplicate-of-seed batch must measure
+        # 0.0 exactly like the fit baseline did, whatever the embedding
+        # magnitude — an absolute epsilon cannot cover O(1e9) norms
+        scale = xnorm + cnorm[cell]
+        dist = np.where(dist < 1e-12 * scale, 0.0, dist)
         return pd.Series(
             list(np.stack([cell.astype(np.float64), dist], axis=1))
         )

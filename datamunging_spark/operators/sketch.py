@@ -665,6 +665,10 @@ def quantile_summary(
     """
     if k < 2:
         raise ValueError("k must be >= 2")
+    if rebound_partitions < 1:
+        # validate BEFORE the corpus-wide Arrow build scan (the
+        # shared_span_pairs fail-fast lesson)
+        raise ValueError("rebound_partitions must be >= 1")
     vals = df.select(F.col(col).cast("double").alias("value"))
     rows = vals.mapInPandas(_q_build_partition(int(k)), schema=_Q_SCHEMA)
     pooled = rows.groupBy("meta", "level", "value").agg(
@@ -691,6 +695,8 @@ def merge_quantile_summaries(
     """
     if k < 2:
         raise ValueError("k must be >= 2")
+    if rebound_partitions < 1:
+        raise ValueError("rebound_partitions must be >= 1")
     u = a if b is None else a.unionByName(b)
     pooled = u.groupBy("meta", "level", "value").agg(
         F.sum("cnt").alias("cnt")
@@ -710,6 +716,8 @@ def quantile_report(summary: DataFrame, qs: list[float]) -> DataFrame:
     the same reason merge_hh_summaries' k-row collect is. An empty
     summary (n=0) returns every q with NULL value and est_rank 0."""
     spark = summary.sparkSession
+    if not qs:
+        raise ValueError("qs must be non-empty")
     for q in qs:
         if not (0.0 <= float(q) <= 1.0):
             raise ValueError(f"quantile {q} outside [0, 1]")
