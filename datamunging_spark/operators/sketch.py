@@ -627,12 +627,16 @@ def _rebound(pooled: DataFrame, k: int, rebound_partitions: int) -> DataFrame:
     the sample read summary-sized rows instead of scanning twice (the
     r9 probe caught the build running every input stage two times).
     With one shard there is nothing to range-split, so a plain
-    ``repartition(1)`` skips the sampling job entirely."""
-    pooled = pooled.localCheckpoint()
+    ``repartition(1)`` skips the sampling job entirely — and with no
+    sampling pass to protect, the default path also skips the
+    checkpoint (one fewer eager job per build/merge/streaming fold;
+    the single scan feeds the one-shard exchange lazily)."""
     shards = (
         pooled.repartition(1)
         if rebound_partitions == 1
-        else pooled.repartitionByRange(rebound_partitions, "value")
+        else pooled.localCheckpoint().repartitionByRange(
+            rebound_partitions, "value"
+        )
     )
     rebound = shards.mapInPandas(_q_recompact_partition(k), schema=_Q_SCHEMA)
     return (

@@ -35,6 +35,10 @@ QUERIES = [
     "x1_semantic_dedup",
     "x2_pq_topk",
     "x4_lm_quality",
+    # r9 additions
+    "x1_strip_boilerplate",
+    "x4_lang_model",
+    "x8_quantiles",
 ]
 
 
