@@ -389,3 +389,28 @@ def test_checkpoint_stage_audit_captures_composites(spark, tables):
     from pyspark.sql.classic.dataframe import DataFrame
 
     assert DataFrame.localCheckpoint.__name__ == "localCheckpoint"
+
+
+def test_quantile_summary_never_sorts_or_shuffles_the_data_column(
+    spark, tables
+):
+    """X8 quantile sketch scale shape: the ONLY thing that crosses an
+    exchange is the summary (value/level/cnt rows out of the Arrow
+    compactor pass) — the raw column is never globally sorted (that
+    would be the exact-percentile plan) and never hashed into a
+    data-sized shuffle. Pinned on the lazy plan BEFORE construction
+    materializes it: the build's input side must show the Arrow eval
+    directly over the scan with no Sort/Exchange between."""
+    from datamunging_spark.operators.sketch import _Q_SCHEMA, _q_build_partition
+
+    li = tables["lineitem"].select(
+        F.col("l_extendedprice").cast("double").alias("value")
+    )
+    rows = li.mapInPandas(_q_build_partition(64), schema=_Q_SCHEMA)
+    plan = _plan(rows)
+    assert "MapInPandas" in plan
+    # no sort anywhere in the build pass, and no exchange BELOW the
+    # Arrow eval (the summary-sized groupBy above it is fine — this
+    # frame stops at the pass itself)
+    assert "Sort " not in plan and "SortExec" not in plan
+    assert "Exchange" not in plan  # the pass runs on input partitions
