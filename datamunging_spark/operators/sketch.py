@@ -783,3 +783,237 @@ def quantiles_sketch(
     streaming fold; `relational.grouped_percentiles` is the exact
     face)."""
     return quantile_report(quantile_summary(df, col, k), qs)
+
+
+# --- grouped quantile profiles -------------------------------------------
+#
+# The keyed sibling ("doc-length p50/p99 PER SOURCE, maintained
+# incrementally") — same compactor math per key group, same meta-row
+# budget accounting per key. Scale shape: the build pass holds one
+# compactor (≤ k items per level) per key PRESENT IN ITS PARTITION —
+# per-task memory is distinct-keys-per-partition × k items, the same
+# cardinality trade distinct_sketch documents (keys × 2^lgk bytes); the
+# re-bound hash-partitions the pooled summary BY KEY (no range sampling
+# to protect, so no checkpoint either), each key's whole summary
+# compacting in one task. Exchanges carry summaries only.
+
+
+def _grouped_schema(df: DataFrame, keys: list[str]) -> StructType:
+    return StructType(
+        [df.schema[name] for name in keys] + list(_Q_SCHEMA.fields)
+    )
+
+
+def _q_grouped_build_partition(keys: list[str], k: int):
+    """Per-partition keyed compactor build: dict key-tuple → state."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        states = {}  # key tuple -> [levels, parity, err, n]
+        for pdf in batches:
+            for kt, grp in pdf.groupby(keys, dropna=False, sort=False):
+                if not isinstance(kt, tuple):
+                    kt = (kt,)
+                vals = grp["value"].dropna().to_numpy(dtype="float64")
+                if not len(vals):
+                    continue
+                st = states.get(kt)
+                if st is None:
+                    st = [[np.empty(0, dtype="float64")], [0], 0, 0]
+                    states[kt] = st
+                st[3] += len(vals)
+                st[0][0] = np.concatenate([st[0][0], vals])
+                st[2] = _compact_levels(st[0], st[1], k, st[2])
+        frames = []
+        for kt, (levels, _parity, err, n) in states.items():
+            out = _emit_summary(levels, err, n)
+            for name, kv in zip(keys, kt):
+                out.insert(0, name, [kv] * len(out))
+            frames.append(out[keys + ["value", "level", "cnt", "meta"]])
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    return run
+
+
+def _q_grouped_recompact_partition(keys: list[str], k: int):
+    """Re-bound each key group of a hash-by-key shard independently;
+    per-key meta rows ride the same hash so they pass through here."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        pooled = [b for b in batches]
+        if not pooled:
+            return
+        pdf = pd.concat(pooled, ignore_index=True)
+        frames = []
+        for kt, grp in pdf.groupby(keys, dropna=False, sort=False):
+            if not isinstance(kt, tuple):
+                kt = (kt,)
+            meta = grp[grp["meta"].notna()]
+            data = grp[grp["meta"].isna()]
+            levels = [np.empty(0, dtype="float64")]
+            parity = [0]
+            for lvl, lgrp in data.groupby("level"):
+                lvl = int(lvl)
+                while len(levels) <= lvl:
+                    levels.append(np.empty(0, dtype="float64"))
+                    parity.append(0)
+                levels[lvl] = np.repeat(
+                    lgrp["value"].to_numpy(dtype="float64"),
+                    lgrp["cnt"].to_numpy(dtype="int64"),
+                )
+            delta = _compact_levels(levels, parity, k, 0)
+            out = _emit_summary(levels, delta, 0)
+            out = out[out["meta"] != _META_N]
+            if delta == 0:
+                out = out[out["meta"].isna()]
+            for name, kv in zip(keys, kt):
+                out.insert(0, name, [kv] * len(out))
+            frames.append(out[keys + ["value", "level", "cnt", "meta"]])
+            frames.append(meta[keys + ["value", "level", "cnt", "meta"]])
+        yield pd.concat(frames, ignore_index=True)
+
+    return run
+
+
+def _grouped_rebound(pooled: DataFrame, keys: list[str], k: int) -> DataFrame:
+    shards = pooled.repartition(*[F.col(c) for c in keys])
+    rebound = shards.mapInPandas(
+        _q_grouped_recompact_partition(keys, k),
+        schema=_grouped_schema(pooled, keys),
+    )
+    return (
+        rebound.groupBy(*keys, "meta", "level", "value")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint()
+    )
+
+
+def grouped_quantile_summary(
+    df: DataFrame, keys: list[str], col: str, k: int = 4096
+) -> DataFrame:
+    """Per-key quantile summary: :func:`quantile_summary`'s contract
+    with every guarantee (exact mass conservation, carried rank-error
+    budget, ≤ k items per level after re-bound) holding PER KEY GROUP —
+    rows ``(keys..., value, level, cnt, meta)``. NULL keys are real
+    groups (null-safe throughout, the incremental_rollup lesson). Use
+    for per-source / per-language corpus profiles; at very high key
+    cardinality note the per-task build state is
+    distinct-keys-per-partition × k items (pre-partition by key or fall
+    back to `relational.grouped_percentiles` when each group fits a
+    sort)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    if not keys:
+        raise ValueError("keys must be non-empty (quantile_summary is "
+                         "the ungrouped face)")
+    vals = df.select(
+        *[F.col(c) for c in keys], F.col(col).cast("double").alias("value")
+    )
+    rows = vals.mapInPandas(
+        _q_grouped_build_partition(keys, int(k)),
+        schema=_grouped_schema(vals, keys),
+    )
+    pooled = rows.groupBy(*keys, "meta", "level", "value").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    return _grouped_rebound(pooled, keys, int(k))
+
+
+def merge_grouped_quantile_summaries(
+    a: DataFrame, b: DataFrame | None, keys: list[str], k: int = 4096
+) -> DataFrame:
+    """Merge two per-key summaries (outer on keys — a key on one side
+    passes through re-bounded; on both, masses and budgets add and
+    overfull levels re-compact). ``b=None`` re-bounds ``a`` alone."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    u = a if b is None else a.unionByName(b)
+    pooled = u.groupBy(*keys, "meta", "level", "value").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    return _grouped_rebound(pooled, keys, int(k))
+
+
+def grouped_quantile_report(
+    summary: DataFrame, keys: list[str], qs: list[float]
+) -> DataFrame:
+    """Render a per-key summary at probe points ``qs``: one row per
+    (key group, q) — ``(keys..., q, value, rank_target, est_rank,
+    n_total, max_rank_err)`` with the per-key bracket guarantee. The
+    window and joins are summary-sized and partitioned BY KEY (no
+    single-partition window here, unlike the ungrouped report)."""
+    spark = summary.sparkSession
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not (0.0 <= float(q) <= 1.0):
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    meta = (
+        summary.filter(F.col("meta").isNotNull())
+        .groupBy(*keys)
+        .pivot("meta", [_META_ERR, _META_N])
+        .sum("cnt")
+        .select(
+            *keys,
+            F.coalesce(F.col(_META_ERR), F.lit(0)).alias("max_rank_err"),
+            F.coalesce(F.col(_META_N), F.lit(0)).alias("n_total"),
+        )
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in keys])
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    data = (
+        summary.filter(F.col("meta").isNull())
+        .withColumn("_w", F.expr("cnt * shiftleft(1L, level)"))
+        .groupBy(*keys, "value")
+        .agg(F.sum("_w").alias("_w"))
+        .withColumn("_cum", F.sum("_w").over(w))
+        .select(*keys, "value", "_cum")
+        .alias("d")
+    )
+    qdf = spark.createDataFrame([(float(q),) for q in qs], ["q"])
+    targets = (
+        meta.crossJoin(F.broadcast(qdf))
+        .withColumn(
+            "rank_target",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("q") * F.col("n_total")).cast("long"),
+            ),
+        )
+        .alias("t")
+    )
+    keycond = None
+    for c in keys:
+        cond = F.col(f"t.{c}").eqNullSafe(F.col(f"d.{c}"))
+        keycond = cond if keycond is None else (keycond & cond)
+    hits = (
+        targets.join(
+            data,
+            keycond & (F.col("d._cum") >= F.col("t.rank_target")),
+            "left",
+        )
+        .groupBy(
+            *[F.col(f"t.{c}") for c in keys],
+            "t.q",
+            "t.rank_target",
+            "t.n_total",
+            "t.max_rank_err",
+        )
+        .agg(
+            F.min_by("d.value", "d._cum").alias("value"),
+            F.coalesce(F.min("d._cum"), F.lit(0)).alias("est_rank"),
+        )
+    )
+    return hits.select(
+        *keys, "q", "value", "rank_target", "est_rank",
+        "n_total", "max_rank_err",
+    )

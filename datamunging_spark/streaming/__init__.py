@@ -978,6 +978,7 @@ def streaming_quantiles(
     col: str,
     table_path: str,
     k: int = 4096,
+    keys: list | None = None,
     checkpoint_path: str | None = None,
     keep_last: int = 2,
 ) -> int | None:
@@ -995,6 +996,10 @@ def streaming_quantiles(
     ``quantile_report(read_table_version(...), qs)`` over any committed
     version brackets the TRUE stream-so-far ranks.
 
+    ``keys`` switches to the PER-KEY profile (grouped_quantile_summary
+    / merge_grouped_quantile_summaries — "p99 doc length per source over
+    the whole crawl"); render with ``grouped_quantile_report``.
+
     Exactly-once mirrors :func:`streaming_heavy_hitters`: the fold is
     NOT replay-idempotent (re-merging a batch's summary double-counts
     its mass), so each committed version carries its micro-batch tag
@@ -1002,16 +1007,24 @@ def streaming_quantiles(
     Drains with ``availableNow``; returns the latest committed version.
     """
     from datamunging_spark.operators.sketch import (
+        grouped_quantile_summary,
+        merge_grouped_quantile_summaries,
         merge_quantile_summaries,
         quantile_summary,
     )
 
+    if keys:
+        fold = lambda state, batch: merge_grouped_quantile_summaries(  # noqa: E731
+            grouped_quantile_summary(batch, keys, col, k), state, keys, k
+        )
+    else:
+        fold = lambda state, batch: merge_quantile_summaries(  # noqa: E731
+            quantile_summary(batch, col, k), state, k
+        )
     return _versioned_stream_fold(
         values_stream,
         table_path,
-        lambda state, batch: merge_quantile_summaries(
-            quantile_summary(batch, col, k), state, k
-        ),
+        fold,
         checkpoint_path,
         keep_last,
         skip_applied=True,  # summary mass double-counts on re-apply

@@ -662,3 +662,181 @@ def test_streaming_quantiles_folds_and_replays(spark, tmp_path):
     assert drain("q_ckpt2") == 2
     rows2 = quantile_report(read_table_version(spark, table), [0.5]).collect()
     assert rows2[0].n_total == 2000
+
+
+def test_grouped_quantile_sketch_exact_below_k(spark):
+    """Two key groups with disjoint distributions, n <= k each, one
+    partition: zero budget and exact per-key nearest-rank quantiles."""
+    from datamunging_spark.operators.sketch import (
+        grouped_quantile_report,
+        grouped_quantile_summary,
+    )
+
+    rows = [("a", float(v)) for v in range(100)] + [
+        ("b", 1000.0 + v) for v in range(50)
+    ]
+    df = spark.createDataFrame(rows, "src string, x double").coalesce(1)
+    s = grouped_quantile_summary(df, ["src"], "x", k=256)
+    out = {
+        (r.src, r.q): r
+        for r in grouped_quantile_report(s, ["src"], [0.5, 1.0]).collect()
+    }
+    assert out[("a", 0.5)].value == 49.0
+    assert out[("a", 1.0)].value == 99.0
+    assert out[("b", 0.5)].value == 1024.0
+    assert out[("b", 1.0)].value == 1049.0
+    for r in out.values():
+        assert r.max_rank_err == 0
+        assert r.n_total == (100 if r.src == "a" else 50)
+
+
+def test_grouped_quantile_bracket_and_mass_per_key(spark):
+    """Per-key guarantees on multi-partition data: mass == n_key
+    exactly, bracket within the per-key carried budget, state <= k
+    items per level per key."""
+    from datamunging_spark.operators.sketch import (
+        grouped_quantile_report,
+        grouped_quantile_summary,
+    )
+
+    rows = [("a", float(i % 500)) for i in range(6000)] + [
+        ("b", float(2000 + i % 100)) for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "src string, x double").repartition(8)
+    s = grouped_quantile_summary(df, ["src"], "x", k=32)
+    mass = {
+        r.src: r.m
+        for r in s.filter(F.col("meta").isNull())
+        .groupBy("src")
+        .agg(F.sum(F.expr("cnt * shiftleft(1L, level)")).alias("m"))
+        .collect()
+    }
+    assert mass == {"a": 6000, "b": 3000}
+    per_level = (
+        s.filter(F.col("meta").isNull())
+        .groupBy("src", "level")
+        .agg(F.sum("cnt").alias("items"))
+        .collect()
+    )
+    assert all(r.items <= 32 for r in per_level)
+    truth = {"a": sorted(float(i % 500) for i in range(6000)),
+             "b": sorted(float(2000 + i % 100) for i in range(3000))}
+    for r in grouped_quantile_report(s, ["src"], [0.25, 0.5, 0.9]).collect():
+        vals = truth[r.src]
+        true_le = sum(1 for x in vals if x <= r.value)
+        assert abs(r.est_rank - true_le) <= r.max_rank_err, (r.src, r.q)
+        assert r.n_total == len(vals)
+
+
+def test_merge_grouped_quantile_summaries_outer_on_keys(spark):
+    """A key on one side passes through; a shared key's masses and
+    budgets add and the merged bracket covers the union."""
+    from datamunging_spark.operators.sketch import (
+        grouped_quantile_report,
+        grouped_quantile_summary,
+        merge_grouped_quantile_summaries,
+    )
+
+    a = spark.createDataFrame(
+        [("shared", float(i % 100)) for i in range(2000)]
+        + [("only_a", float(i)) for i in range(300)],
+        "src string, x double",
+    ).repartition(4)
+    b = spark.createDataFrame(
+        [("shared", 500.0 + i % 100) for i in range(1000)],
+        "src string, x double",
+    ).repartition(4)
+    m = merge_grouped_quantile_summaries(
+        grouped_quantile_summary(a, ["src"], "x", k=32),
+        grouped_quantile_summary(b, ["src"], "x", k=32),
+        ["src"],
+        k=32,
+    )
+    rep = {
+        (r.src, r.q): r
+        for r in grouped_quantile_report(m, ["src"], [0.5]).collect()
+    }
+    assert rep[("only_a", 0.5)].n_total == 300
+    shared = rep[("shared", 0.5)]
+    assert shared.n_total == 3000
+    union = sorted(
+        [float(i % 100) for i in range(2000)]
+        + [500.0 + i % 100 for i in range(1000)]
+    )
+    true_le = sum(1 for x in union if x <= shared.value)
+    assert abs(shared.est_rank - true_le) <= shared.max_rank_err
+
+
+def test_grouped_quantile_null_key_group_and_validation(spark):
+    from datamunging_spark.operators.sketch import (
+        grouped_quantile_report,
+        grouped_quantile_summary,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, 10.0), (None, 20.0), ("a", 3.0)],
+        "src string, x double",
+    )
+    s = grouped_quantile_summary(df, ["src"], "x", k=16)
+    out = {
+        (r.src, r.q): r
+        for r in grouped_quantile_report(s, ["src"], [1.0]).collect()
+    }
+    assert out[(None, 1.0)].value == 20.0  # NULL key is a real group
+    assert out[(None, 1.0)].n_total == 2
+    assert out[("a", 1.0)].value == 3.0
+    with pytest.raises(ValueError):
+        grouped_quantile_summary(df, [], "x")
+    with pytest.raises(ValueError):
+        grouped_quantile_report(s, ["src"], [])
+
+
+def test_streaming_grouped_quantiles_folds(spark, tmp_path):
+    """keys= switches the streaming fold to the per-key profile; two
+    folds bracket the per-key stream truth and replays no-op."""
+    from datamunging_spark.operators.sketch import grouped_quantile_report
+    from datamunging_spark.sources.versioned import read_table_version
+    from datamunging_spark.streaming import streaming_quantiles
+
+    src = tmp_path / "gq_src"
+    src.mkdir()
+    b1 = [("a", float(i)) for i in range(400)] + [
+        ("b", 1000.0 + i) for i in range(200)
+    ]
+    b2 = [("a", 400.0 + i) for i in range(400)]
+    for n, rows in (("f1", b1), ("f2", b2)):
+        spark.createDataFrame(rows, "src string, x double").coalesce(
+            1
+        ).write.parquet(str(src / n))
+    table = str(tmp_path / "gq_table")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("src string, x double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        return streaming_quantiles(
+            stream, "x", table, k=64, keys=["src"],
+            checkpoint_path=str(tmp_path / ckpt),
+        )
+
+    assert drain("gq_ckpt") == 2
+    rep = {
+        (r.src, r.q): r
+        for r in grouped_quantile_report(
+            read_table_version(spark, table), ["src"], [0.5]
+        ).collect()
+    }
+    a = rep[("a", 0.5)]
+    assert a.n_total == 800  # both micro-batches folded
+    truth_a = sorted([float(i) for i in range(400)] + [400.0 + i for i in range(400)])
+    true_le = sum(1 for x in truth_a if x <= a.value)
+    assert abs(a.est_rank - true_le) <= a.max_rank_err
+    assert rep[("b", 0.5)].n_total == 200
+    # lost checkpoint: replays no-op (mass would double otherwise)
+    assert drain("gq_ckpt2") == 2
+    rep2 = grouped_quantile_report(
+        read_table_version(spark, table), ["src"], [0.5]
+    ).collect()
+    assert {r.src: r.n_total for r in rep2} == {"a": 800, "b": 200}
