@@ -573,17 +573,50 @@ def _q_build_partition(k: int):
     return run
 
 
+def _recompact_frame(data, meta, k: int):
+    """ONE home for the expand → compact → emit → drop-stubs re-bound
+    body (the grouped face wraps it per key — a fix to the compaction
+    or err-delta accounting must not have to land twice): expand
+    (value, level, cnt) data rows back into per-level item arrays
+    (bounded — inputs are summary-sized), compact overfull levels, and
+    return the re-bounded data rows + an 'err' DELTA meta row when this
+    call compacted + the pass-through ``meta`` rows. The consumer
+    re-aggregates meta by sum."""
+    import numpy as np
+    import pandas as pd
+
+    levels = []
+    parity = []
+    for lvl, grp in data.groupby("level"):
+        lvl = int(lvl)
+        while len(levels) <= lvl:
+            levels.append(np.empty(0, dtype="float64"))
+            parity.append(0)
+        levels[lvl] = np.repeat(
+            grp["value"].to_numpy(dtype="float64"),
+            grp["cnt"].to_numpy(dtype="int64"),
+        )
+    if not levels:
+        levels, parity = [np.empty(0, dtype="float64")], [0]
+    delta = _compact_levels(levels, parity, k, 0)
+    out = _emit_summary(levels, delta, 0)
+    # drop the 'n'=0 stub; keep the err delta only when this call
+    # actually compacted (meta rows must stay sparse)
+    out = out[out["meta"] != _META_N]
+    if delta == 0:
+        out = out[out["meta"].isna()]
+    return pd.concat(
+        [out, meta[["value", "level", "cnt", "meta"]]], ignore_index=True
+    )
+
+
 def _q_recompact_partition(k: int):
-    """Re-bound a pooled summary's value-range shard: expand (value,
-    level, cnt) rows back into per-level item arrays (bounded — the
-    input is summary-sized), compact overfull levels, and emit the
-    shard's data rows plus an 'err' DELTA meta row for the compactions
-    this pass added. 'n'/'err' meta rows pass through untouched (they
-    ride in whatever shard range-partitioning sent their NULL values
-    to) — the consumer re-aggregates meta by sum."""
+    """Re-bound a pooled summary's value-range shard via
+    :func:`_recompact_frame`; 'n'/'err' meta rows pass through (they
+    ride in whatever shard range-partitioning sent their NaN values
+    to)."""
 
     def run(batches):
-        import numpy as np
         import pandas as pd
 
         pooled = [b for b in batches]
@@ -592,29 +625,9 @@ def _q_recompact_partition(k: int):
             if pooled
             else pd.DataFrame(columns=["value", "level", "cnt", "meta"])
         )
-        meta = pdf[pdf["meta"].notna()]
-        data = pdf[pdf["meta"].isna()]
-        levels = []
-        parity = []
-        for lvl, grp in data.groupby("level"):
-            lvl = int(lvl)
-            while len(levels) <= lvl:
-                levels.append(np.empty(0, dtype="float64"))
-                parity.append(0)
-            levels[lvl] = np.repeat(
-                grp["value"].to_numpy(dtype="float64"),
-                grp["cnt"].to_numpy(dtype="int64"),
-            )
-        if not levels:
-            levels, parity = [np.empty(0, dtype="float64")], [0]
-        delta = _compact_levels(levels, parity, k, 0)
-        out = _emit_summary(levels, delta, 0)
-        # drop the all-shards 'n'=0 stub; keep the err delta only when
-        # this shard actually compacted (meta rows must stay sparse)
-        out = out[~((out["meta"] == _META_N))]
-        if delta == 0:
-            out = out[out["meta"].isna()]
-        yield pd.concat([out, meta], ignore_index=True)
+        yield _recompact_frame(
+            pdf[pdf["meta"].isna()], pdf[pdf["meta"].notna()], k
+        )
 
     return run
 
@@ -647,7 +660,11 @@ def _rebound(pooled: DataFrame, k: int, rebound_partitions: int) -> DataFrame:
 
 
 def quantile_summary(
-    df: DataFrame, col: str, k: int = 4096, rebound_partitions: int = 1
+    df: DataFrame,
+    col: str,
+    k: int = 4096,
+    rebound_partitions: int = 1,
+    rebound: bool = True,
 ) -> DataFrame:
     """Build a mergeable QUANTILE summary of numeric ``col``: rows
     ``(value, level, cnt, meta)`` — data rows (``meta`` NULL) are
@@ -666,6 +683,13 @@ def quantile_summary(
     right up to ~10^2 partitions; at larger cluster scale raise it so
     no task holds the whole pooled summary (module header: range shards
     compact independently and the budget stays exact either way).
+    ``rebound=False`` returns the LAZY pooled per-partition union
+    instead (data rows can exceed k per level, exactly like
+    hh_summary's contract) — for feeding straight into
+    :func:`merge_quantile_summaries`, which pools and re-bounds anyway:
+    the streaming fold uses it to skip a redundant checkpoint +
+    re-compaction per micro-batch (and the skipped compactions don't
+    charge the budget twice).
     """
     if k < 2:
         raise ValueError("k must be >= 2")
@@ -678,6 +702,8 @@ def quantile_summary(
     pooled = rows.groupBy("meta", "level", "value").agg(
         F.sum("cnt").alias("cnt")
     )
+    if not rebound:
+        return pooled
     return _rebound(pooled, int(k), int(rebound_partitions))
 
 
@@ -843,7 +869,6 @@ def _q_grouped_recompact_partition(keys: list[str], k: int):
     per-key meta rows ride the same hash so they pass through here."""
 
     def run(batches):
-        import numpy as np
         import pandas as pd
 
         pooled = [b for b in batches]
@@ -854,28 +879,12 @@ def _q_grouped_recompact_partition(keys: list[str], k: int):
         for kt, grp in pdf.groupby(keys, dropna=False, sort=False):
             if not isinstance(kt, tuple):
                 kt = (kt,)
-            meta = grp[grp["meta"].notna()]
-            data = grp[grp["meta"].isna()]
-            levels = [np.empty(0, dtype="float64")]
-            parity = [0]
-            for lvl, lgrp in data.groupby("level"):
-                lvl = int(lvl)
-                while len(levels) <= lvl:
-                    levels.append(np.empty(0, dtype="float64"))
-                    parity.append(0)
-                levels[lvl] = np.repeat(
-                    lgrp["value"].to_numpy(dtype="float64"),
-                    lgrp["cnt"].to_numpy(dtype="int64"),
-                )
-            delta = _compact_levels(levels, parity, k, 0)
-            out = _emit_summary(levels, delta, 0)
-            out = out[out["meta"] != _META_N]
-            if delta == 0:
-                out = out[out["meta"].isna()]
+            out = _recompact_frame(
+                grp[grp["meta"].isna()], grp[grp["meta"].notna()], k
+            )
             for name, kv in zip(keys, kt):
                 out.insert(0, name, [kv] * len(out))
             frames.append(out[keys + ["value", "level", "cnt", "meta"]])
-            frames.append(meta[keys + ["value", "level", "cnt", "meta"]])
         yield pd.concat(frames, ignore_index=True)
 
     return run
@@ -894,8 +903,32 @@ def _grouped_rebound(pooled: DataFrame, keys: list[str], k: int) -> DataFrame:
     )
 
 
+_RESERVED_Q_COLS = frozenset({"value", "level", "cnt", "meta", "q"})
+
+
+def _check_q_keys(keys) -> None:
+    """Shared fail-fast validation for the grouped faces: keys must be
+    non-empty (an empty key list would otherwise produce a silent
+    NULL-condition join in the report and a bare TypeError in the
+    merge) and must not collide with the summary/report's own column
+    names (a key literally named 'value' would alias the data column
+    inside the Arrow pass)."""
+    if not keys:
+        raise ValueError(
+            "keys must be non-empty (the quantile_* functions are the "
+            "ungrouped face)"
+        )
+    bad = sorted(set(keys) & _RESERVED_Q_COLS)
+    if bad:
+        raise ValueError(
+            f"key column(s) {bad} collide with reserved summary/report "
+            f"columns {sorted(_RESERVED_Q_COLS)} — rename before grouping"
+        )
+
+
 def grouped_quantile_summary(
-    df: DataFrame, keys: list[str], col: str, k: int = 4096
+    df: DataFrame, keys: list[str], col: str, k: int = 4096,
+    rebound: bool = True,
 ) -> DataFrame:
     """Per-key quantile summary: :func:`quantile_summary`'s contract
     with every guarantee (exact mass conservation, carried rank-error
@@ -909,9 +942,7 @@ def grouped_quantile_summary(
     sort)."""
     if k < 2:
         raise ValueError("k must be >= 2")
-    if not keys:
-        raise ValueError("keys must be non-empty (quantile_summary is "
-                         "the ungrouped face)")
+    _check_q_keys(keys)
     vals = df.select(
         *[F.col(c) for c in keys], F.col(col).cast("double").alias("value")
     )
@@ -922,6 +953,8 @@ def grouped_quantile_summary(
     pooled = rows.groupBy(*keys, "meta", "level", "value").agg(
         F.sum("cnt").alias("cnt")
     )
+    if not rebound:
+        return pooled  # lazy merge input, same contract as the ungrouped
     return _grouped_rebound(pooled, keys, int(k))
 
 
@@ -933,6 +966,7 @@ def merge_grouped_quantile_summaries(
     overfull levels re-compact). ``b=None`` re-bounds ``a`` alone."""
     if k < 2:
         raise ValueError("k must be >= 2")
+    _check_q_keys(keys)
     u = a if b is None else a.unionByName(b)
     pooled = u.groupBy(*keys, "meta", "level", "value").agg(
         F.sum("cnt").alias("cnt")
@@ -949,6 +983,7 @@ def grouped_quantile_report(
     window and joins are summary-sized and partitioned BY KEY (no
     single-partition window here, unlike the ungrouped report)."""
     spark = summary.sparkSession
+    _check_q_keys(keys)
     if not qs:
         raise ValueError("qs must be non-empty")
     for q in qs:

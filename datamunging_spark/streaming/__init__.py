@@ -1013,13 +1013,18 @@ def streaming_quantiles(
         quantile_summary,
     )
 
+    # rebound=False: the merge pools and re-bounds anyway, so the batch
+    # side skips its own checkpoint + re-compaction (one fewer eager job
+    # per fold, and the budget isn't charged for a compaction the merge
+    # would redo — the r9 second-review finding)
     if keys:
         fold = lambda state, batch: merge_grouped_quantile_summaries(  # noqa: E731
-            grouped_quantile_summary(batch, keys, col, k), state, keys, k
+            grouped_quantile_summary(batch, keys, col, k, rebound=False),
+            state, keys, k,
         )
     else:
         fold = lambda state, batch: merge_quantile_summaries(  # noqa: E731
-            quantile_summary(batch, col, k), state, k
+            quantile_summary(batch, col, k, rebound=False), state, k
         )
     return _versioned_stream_fold(
         values_stream,

@@ -401,16 +401,24 @@ def test_quantile_summary_never_sorts_or_shuffles_the_data_column(
     data-sized shuffle. Pinned on the lazy plan BEFORE construction
     materializes it: the build's input side must show the Arrow eval
     directly over the scan with no Sort/Exchange between."""
-    from datamunging_spark.operators.sketch import _Q_SCHEMA, _q_build_partition
+    from datamunging_spark.operators.sketch import quantile_summary
 
-    li = tables["lineitem"].select(
-        F.col("l_extendedprice").cast("double").alias("value")
+    # rebound=False returns the REAL lazy build plan (the default path
+    # localCheckpoints eagerly, which would hide the build side from
+    # explain) — this pins quantile_summary itself, not a hand-rolled
+    # lookalike (r9 second-review finding)
+    rows = quantile_summary(
+        tables["lineitem"], "l_extendedprice", k=64, rebound=False
     )
-    rows = li.mapInPandas(_q_build_partition(64), schema=_Q_SCHEMA)
     plan = _plan(rows)
     assert "MapInPandas" in plan
-    # no sort anywhere in the build pass, and no exchange BELOW the
-    # Arrow eval (the summary-sized groupBy above it is fine — this
-    # frame stops at the pass itself)
+    # no sort anywhere (a global sort would be the exact-percentile
+    # plan), and the only exchange is the summary-sized aggregate ABOVE
+    # the Arrow pass — never a data-sized shuffle below it
     assert "Sort " not in plan and "SortExec" not in plan
-    assert "Exchange" not in plan  # the pass runs on input partitions
+    # tree section only (the node-detail section re-mentions every
+    # operator); in the tree, children print BELOW their parent, so
+    # nothing after the MapInPandas line may be an Exchange
+    tree = plan.split("\n\n")[0]
+    below_arrow = tree.split("MapInPandas")[-1]
+    assert "Exchange" not in below_arrow

@@ -840,3 +840,85 @@ def test_streaming_grouped_quantiles_folds(spark, tmp_path):
         read_table_version(spark, table), ["src"], [0.5]
     ).collect()
     assert {r.src: r.n_total for r in rep2} == {"a": 800, "b": 200}
+
+
+def test_quantile_ranged_rebound_path(spark):
+    """rebound_partitions > 1 (the cluster-scale range-sharded re-bound:
+    checkpointed sampling input, per-shard err-delta emission, meta rows
+    riding the NaN shard) preserves every guarantee — this is the path
+    the default never takes, pinned here so it cannot rot silently."""
+    from datamunging_spark.operators.sketch import (
+        merge_quantile_summaries,
+        quantile_report,
+        quantile_summary,
+    )
+
+    vals = [float(i % 700) for i in range(8000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(8)
+    s = quantile_summary(df, "x", k=32, rebound_partitions=3)
+    mass = (
+        s.filter(F.col("meta").isNull())
+        .agg(F.sum(F.expr("cnt * shiftleft(1L, level)")))
+        .first()[0]
+    )
+    assert mass == 8000
+    for r in quantile_report(s, [0.1, 0.5, 0.9]).collect():
+        true_le = sum(1 for x in vals if x <= r.value)
+        assert abs(r.est_rank - true_le) <= r.max_rank_err
+        assert r.n_total == 8000
+    # a ranged MERGE too (both sides sharded, budgets add)
+    m = merge_quantile_summaries(s, s, k=32, rebound_partitions=3)
+    r = quantile_report(m, [0.5]).collect()[0]
+    assert r.n_total == 16000
+    true_le = 2 * sum(1 for x in vals if x <= r.value)
+    assert abs(r.est_rank - true_le) <= r.max_rank_err
+
+
+def test_quantile_summary_rebound_false_is_valid_merge_input(spark):
+    """rebound=False returns the lazy pooled union (data rows may exceed
+    k per level, like hh_summary); feeding it to merge gives the same
+    bracket with NO double-charged budget — merge's budget must be <=
+    the rebound-then-merge form's."""
+    from datamunging_spark.operators.sketch import (
+        merge_quantile_summaries,
+        quantile_report,
+        quantile_summary,
+    )
+
+    vals = [float(i % 300) for i in range(5000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(8)
+    raw = quantile_summary(df, "x", k=32, rebound=False)
+    merged = merge_quantile_summaries(raw, None, k=32)
+    r = quantile_report(merged, [0.5]).collect()[0]
+    true_le = sum(1 for x in vals if x <= r.value)
+    assert abs(r.est_rank - true_le) <= r.max_rank_err
+    assert r.n_total == 5000
+    rebound_first = merge_quantile_summaries(
+        quantile_summary(df, "x", k=32), None, k=32
+    )
+    err_direct = quantile_report(merged, [0.5]).collect()[0].max_rank_err
+    err_double = quantile_report(rebound_first, [0.5]).collect()[0].max_rank_err
+    assert err_direct <= err_double
+
+
+def test_grouped_quantile_reserved_key_names_fail_fast(spark):
+    from datamunging_spark.operators.sketch import (
+        grouped_quantile_report,
+        grouped_quantile_summary,
+        merge_grouped_quantile_summaries,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, "a")], "value double, src string"
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        grouped_quantile_summary(df, ["value"], "value")
+    s = grouped_quantile_summary(
+        df.withColumnRenamed("value", "x"), ["src"], "x", k=16
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        merge_grouped_quantile_summaries(s, None, [], k=16)
+    with pytest.raises(ValueError, match="non-empty"):
+        grouped_quantile_report(s, [], [0.5])
+    with pytest.raises(ValueError, match="reserved"):
+        grouped_quantile_report(s, ["q"], [0.5])
