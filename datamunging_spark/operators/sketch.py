@@ -903,7 +903,15 @@ def _grouped_rebound(pooled: DataFrame, keys: list[str], k: int) -> DataFrame:
     )
 
 
-_RESERVED_Q_COLS = frozenset({"value", "level", "cnt", "meta", "q"})
+_RESERVED_Q_COLS = frozenset(
+    {
+        # summary columns (both grouped families)
+        "value", "level", "cnt", "meta",
+        # report output columns (quantile + heavy-hitter surfaces)
+        "q", "rank_target", "est_rank", "n_total", "max_rank_err",
+        "count_lo", "count_hi", "max_err",
+    }
+)
 
 
 def _check_q_keys(keys) -> None:
@@ -1051,4 +1059,231 @@ def grouped_quantile_report(
     return hits.select(
         *keys, "q", "value", "rank_target", "est_rank",
         "n_total", "max_rank_err",
+    )
+
+
+# --- grouped heavy hitters -------------------------------------------------
+#
+# Per-key frequent items ("top domains PER LANGUAGE at bounded shuffle")
+# — the keyed face of the MG leg, completing per-key coverage across the
+# sketch trio (distinct counts are keyed by construction, quantiles grew
+# grouped faces above). Exact face: `relational.top_k_per_group`. Same
+# cardinality trade as the other grouped faces: the build holds ≤ k
+# counters per key PRESENT IN ITS PARTITION. The per-key Agarwal
+# re-bound is pure DataFrame algebra — a rank window per key finds each
+# key's (k+1)-th counter, the subtraction is charged to that key's
+# 'dec' budget by EMITTING the cut as a dec-delta meta row and
+# re-aggregating (no null-unsafe key join anywhere).
+
+
+def _mg_grouped_partition(keys: list[str], k: int):
+    """Per-partition keyed Misra-Gries: dict key-tuple → counters."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        states = {}  # key tuple -> [counters Series, dec, n]
+        for pdf in batches:
+            for kt, grp in pdf.groupby(keys, dropna=False, sort=False):
+                if not isinstance(kt, tuple):
+                    kt = (kt,)
+                vals = grp["value"].dropna()
+                if not len(vals):
+                    continue
+                st = states.get(kt)
+                if st is None:
+                    st = [pd.Series(dtype="int64"), 0, 0]
+                    states[kt] = st
+                st[2] += len(vals)
+                vc = vals.value_counts()
+                st[0] = st[0].add(vc, fill_value=0).astype("int64")
+                if len(st[0]) > k:
+                    arr = st[0].to_numpy()
+                    t = int(np.partition(arr, -(k + 1))[-(k + 1)])
+                    st[1] += t
+                    st[0] = st[0][st[0] > t] - t
+        frames = []
+        for kt, (counters, dec, n) in states.items():
+            out = pd.DataFrame(
+                {
+                    "value": counters.index.astype(object),
+                    "cnt": counters.to_numpy(dtype="int64"),
+                    "meta": None,
+                }
+            )
+            meta = pd.DataFrame(
+                {
+                    "value": [None, None],
+                    "cnt": [dec, n],
+                    "meta": [_META_DEC, _META_N],
+                }
+            )
+            out = pd.concat([out, meta], ignore_index=True)
+            for name, kv in zip(keys, kt):
+                out.insert(0, name, [kv] * len(out))
+            frames.append(out[keys + ["value", "cnt", "meta"]])
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    return run
+
+
+def _grouped_hh_schema(df: DataFrame, keys: list[str]) -> StructType:
+    return StructType(
+        [df.schema[name] for name in keys]
+        + [
+            StructField("value", StringType()),
+            StructField("cnt", LongType()),
+            StructField("meta", StringType()),
+        ]
+    )
+
+
+def grouped_hh_summary(
+    df: DataFrame, keys: list[str], col: str, k: int = 4096
+) -> DataFrame:
+    """Per-key Misra-Gries summary of ``col``: hh_summary's contract
+    (count bracket, per-key n/(k+1) error floor, mergeable state,
+    budgets in per-key 'dec'/'n' meta rows) holding PER KEY GROUP.
+    NULL keys are real groups; NULL values excluded from each key's n.
+    Data rows per key can exceed ``k`` here (union of per-partition
+    summaries) — :func:`merge_grouped_hh_summaries` re-bounds per key.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    _check_q_keys(keys)
+    vals = df.select(
+        *[F.col(c) for c in keys], F.col(col).cast("string").alias("value")
+    )
+    rows = vals.mapInPandas(
+        _mg_grouped_partition(keys, int(k)),
+        schema=_grouped_hh_schema(vals, keys),
+    )
+    return (
+        rows.groupBy(*keys, "meta", "value")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint()
+    )
+
+
+def merge_grouped_hh_summaries(
+    a: DataFrame, b: DataFrame | None, keys: list[str], k: int = 4096
+) -> DataFrame:
+    """Merge per-key summaries and re-bound EVERY key to ≤ ``k`` data
+    rows with the Agarwal rule applied per key: a rank window finds
+    each key's (k+1)-th counter t_key, all of that key's counters drop
+    by t_key (≤ 0 pruned), and t_key is charged to the key's 'dec'
+    budget by emitting it as a dec-delta meta row and re-aggregating —
+    no key join, so NULL keys need no special casing. Everything is
+    summary-sized; ``b=None`` re-bounds ``a`` alone (first-batch seed).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    _check_q_keys(keys)
+    u = a if b is None else a.unionByName(b)
+    merged = (
+        u.groupBy(*keys, "meta", "value")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint()
+    )
+    data = merged.filter(F.col("meta").isNull())
+    meta = merged.filter(F.col("meta").isNotNull())
+    wrk = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(
+        F.desc("cnt"), F.asc("value")
+    )
+    wall = Window.partitionBy(*[F.col(c) for c in keys]).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = data.withColumn("_rk", F.row_number().over(wrk)).withColumn(
+        "_t",
+        F.coalesce(
+            F.max(F.when(F.col("_rk") == k + 1, F.col("cnt"))).over(wall),
+            F.lit(0),
+        ),
+    )
+    rebound = (
+        ranked.withColumn("cnt", F.col("cnt") - F.col("_t"))
+        .filter(F.col("cnt") > 0)
+        .drop("_rk", "_t")
+    )
+    # charge each key's cut to its dec budget WITHOUT a key join: emit
+    # one dec-delta meta row per cut key and let the groupBy fold it
+    dec_delta = (
+        ranked.filter(F.col("_rk") == k + 1)
+        .select(
+            *keys,
+            F.lit(None).cast("string").alias("value"),
+            F.col("cnt").alias("cnt"),
+            F.lit(_META_DEC).alias("meta"),
+        )
+    )
+    return (
+        rebound.unionByName(meta)
+        .unionByName(dec_delta)
+        .groupBy(*keys, "meta", "value")
+        .agg(F.sum("cnt").alias("cnt"))
+        .localCheckpoint()
+    )
+
+
+def grouped_hh_report(
+    summary: DataFrame, keys: list[str], min_share: float | None = None
+) -> DataFrame:
+    """Render a per-key summary into ``(keys..., value, count_lo,
+    count_hi, n_total, max_err)`` with per-key brackets; ``min_share``
+    keeps values that COULD reach that share of THEIR key's rows."""
+    _check_q_keys(keys)
+    meta = (
+        summary.filter(F.col("meta").isNotNull())
+        .groupBy(*keys)
+        .pivot("meta", [_META_DEC, _META_N])
+        .sum("cnt")
+        .select(
+            *keys,
+            F.coalesce(F.col(_META_DEC), F.lit(0)).alias("max_err"),
+            F.coalesce(F.col(_META_N), F.lit(0)).alias("n_total"),
+        )
+        .alias("m")
+    )
+    data = (
+        summary.filter(F.col("meta").isNull() & F.col("value").isNotNull())
+        .select(*keys, "value", F.col("cnt").alias("count_lo"))
+        .alias("d")
+    )
+    keycond = None
+    for c in keys:
+        cond = F.col(f"d.{c}").eqNullSafe(F.col(f"m.{c}"))
+        keycond = cond if keycond is None else (keycond & cond)
+    out = data.join(F.broadcast(meta), keycond).select(
+        *[F.col(f"d.{c}") for c in keys],
+        "d.value",
+        "d.count_lo",
+        (F.col("d.count_lo") + F.col("m.max_err")).alias("count_hi"),
+        "m.n_total",
+        "m.max_err",
+    )
+    if min_share is not None:
+        out = out.filter(
+            F.col("count_hi") >= F.col("n_total") * F.lit(float(min_share))
+        )
+    return out
+
+
+def grouped_heavy_hitters(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    k: int = 4096,
+    min_share: float | None = None,
+) -> DataFrame:
+    """One-shot per-key heavy hitters: summary → per-key re-bound →
+    report (split faces exist for the incremental/streaming fold;
+    `relational.top_k_per_group` is the exact face)."""
+    return grouped_hh_report(
+        merge_grouped_hh_summaries(
+            grouped_hh_summary(df, keys, col, k), None, keys, k
+        ),
+        keys,
+        min_share,
     )

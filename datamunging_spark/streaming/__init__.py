@@ -883,6 +883,7 @@ def streaming_heavy_hitters(
     col: str,
     table_path: str,
     k: int = 4096,
+    keys: list | None = None,
     checkpoint_path: str | None = None,
     keep_last: int = 2,
 ) -> int | None:
@@ -899,6 +900,10 @@ def streaming_heavy_hitters(
     budget, so :func:`~datamunging_spark.operators.sketch.hh_report`
     over any committed version brackets the TRUE stream-so-far counts.
 
+    ``keys`` switches to the PER-KEY profile (grouped_hh_summary /
+    merge_grouped_hh_summaries — "top domains per language over the
+    whole stream"); render with ``grouped_hh_report``.
+
     Exactly-once mirrors :func:`streaming_rollup`: the fold is not
     replay-idempotent (re-folding double-counts), so each committed
     version carries its micro-batch tag and a replayed batch no-ops;
@@ -907,16 +912,24 @@ def streaming_heavy_hitters(
     ``hh_report(read_table_version(spark, table_path))``.
     """
     from datamunging_spark.operators.sketch import (
+        grouped_hh_summary,
         hh_summary,
+        merge_grouped_hh_summaries,
         merge_hh_summaries,
     )
 
+    if keys:
+        fold = lambda state, batch: merge_grouped_hh_summaries(  # noqa: E731
+            grouped_hh_summary(batch, keys, col, k), state, keys, k
+        )
+    else:
+        fold = lambda state, batch: merge_hh_summaries(  # noqa: E731
+            hh_summary(batch, col, k), state, k
+        )
     return _versioned_stream_fold(
         values_stream,
         table_path,
-        lambda state, batch: merge_hh_summaries(
-            hh_summary(batch, col, k), state, k
-        ),
+        fold,
         checkpoint_path,
         keep_last,
         skip_applied=True,  # MG counter merges double-count on re-apply

@@ -922,3 +922,150 @@ def test_grouped_quantile_reserved_key_names_fail_fast(spark):
         grouped_quantile_report(s, [], [0.5])
     with pytest.raises(ValueError, match="reserved"):
         grouped_quantile_report(s, ["q"], [0.5])
+
+
+def test_grouped_heavy_hitters_exact_below_k_per_key(spark):
+    """Per-key MG: few distinct values per key and k large — zero
+    budget per key, exact per-key counts, NULL key is a real group."""
+    from datamunging_spark.operators.sketch import grouped_heavy_hitters
+
+    rows = (
+        [("en", "the")] * 30 + [("en", "of")] * 10
+        + [("fr", "le")] * 20 + [(None, "na")] * 5
+    )
+    df = spark.createDataFrame(rows, "lang string, word string").repartition(4)
+    out = {
+        (r.lang, r.value): r
+        for r in grouped_heavy_hitters(df, ["lang"], "word", k=16).collect()
+    }
+    assert out[("en", "the")].count_lo == out[("en", "the")].count_hi == 30
+    assert out[("en", "the")].n_total == 40
+    assert out[("fr", "le")].count_lo == 20
+    assert out[("fr", "le")].n_total == 20
+    assert out[(None, "na")].count_lo == 5  # NULL key group survives
+    assert all(r.max_err == 0 for r in out.values())
+
+
+def test_grouped_heavy_hitters_brackets_and_per_key_floor(spark):
+    """Planted per-key heavies over per-key distinct tails: every key's
+    heavy survives (no false negatives above ITS key's floor), brackets
+    hold against per-key truth, and the per-key re-bound caps data rows
+    at k per key."""
+    from datamunging_spark.operators.sketch import (
+        grouped_heavy_hitters,
+        grouped_hh_summary,
+        merge_grouped_hh_summaries,
+    )
+
+    rows = []
+    for lang, tail in (("en", 900), ("fr", 400)):
+        rows += [(lang, f"{lang}_heavy")] * 100
+        rows += [(lang, f"{lang}_t{j}") for j in range(tail)]
+    df = spark.createDataFrame(rows, "lang string, word string").repartition(8)
+    out = grouped_heavy_hitters(df, ["lang"], "word", k=32).collect()
+    truth = {}
+    for lang, tail in (("en", 900), ("fr", 400)):
+        truth[(lang, f"{lang}_heavy")] = 100
+        for j in range(tail):
+            truth[(lang, f"{lang}_t{j}")] = 1
+    found = {(r.lang, r.value) for r in out}
+    assert ("en", "en_heavy") in found and ("fr", "fr_heavy") in found
+    for r in out:
+        assert r.count_lo <= truth[(r.lang, r.value)] <= r.count_hi
+        assert r.n_total == (1000 if r.lang == "en" else 500)
+    s = merge_grouped_hh_summaries(
+        grouped_hh_summary(df, ["lang"], "word", k=32), None, ["lang"], k=32
+    )
+    per_key = (
+        s.filter(F.col("meta").isNull())
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 32 for r in per_key)
+
+
+def test_merge_grouped_hh_outer_on_keys_and_combined_bracket(spark):
+    """A key on one side passes through; shared keys' counters and
+    budgets fold and the combined-stream bracket holds per key."""
+    from datamunging_spark.operators.sketch import (
+        grouped_hh_report,
+        grouped_hh_summary,
+        merge_grouped_hh_summaries,
+    )
+
+    a = spark.createDataFrame(
+        [("en", "x")] * 50 + [("en", f"a{j}") for j in range(200)]
+        + [("de", "nur")] * 7,
+        "lang string, word string",
+    ).repartition(4)
+    b = spark.createDataFrame(
+        [("en", "x")] * 30 + [("en", f"b{j}") for j in range(100)],
+        "lang string, word string",
+    ).repartition(4)
+    m = merge_grouped_hh_summaries(
+        grouped_hh_summary(a, ["lang"], "word", k=16),
+        grouped_hh_summary(b, ["lang"], "word", k=16),
+        ["lang"],
+        k=16,
+    )
+    rep = {
+        (r.lang, r.value): r
+        for r in grouped_hh_report(m, ["lang"]).collect()
+    }
+    de = rep[("de", "nur")]
+    assert de.count_lo <= 7 <= de.count_hi and de.n_total == 7
+    en = rep[("en", "x")]
+    assert en.count_lo <= 80 <= en.count_hi  # combined-stream truth
+    assert en.n_total == 380
+
+
+def test_streaming_grouped_heavy_hitters_folds(spark, tmp_path):
+    """keys= switches the streaming HH fold to the per-key profile;
+    two folds bracket per-key stream truth and replays no-op."""
+    from datamunging_spark.operators.sketch import grouped_hh_report
+    from datamunging_spark.sources.versioned import read_table_version
+    from datamunging_spark.streaming import streaming_heavy_hitters
+
+    src = tmp_path / "ghh_src"
+    src.mkdir()
+    b1 = [("en", "the")] * 40 + [("en", f"t1_{j}") for j in range(50)] + [
+        ("fr", "le")
+    ] * 20
+    b2 = [("en", "the")] * 40 + [("fr", "le")] * 20
+    for n, rows in (("f1", b1), ("f2", b2)):
+        spark.createDataFrame(rows, "lang string, word string").coalesce(
+            1
+        ).write.parquet(str(src / n))
+    table = str(tmp_path / "ghh_table")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("lang string, word string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        return streaming_heavy_hitters(
+            stream, "word", table, k=16, keys=["lang"],
+            checkpoint_path=str(tmp_path / ckpt),
+        )
+
+    assert drain("ghh_ckpt") == 2
+    rep = {
+        (r.lang, r.value): r
+        for r in grouped_hh_report(
+            read_table_version(spark, table), ["lang"]
+        ).collect()
+    }
+    en = rep[("en", "the")]
+    assert en.count_lo <= 80 <= en.count_hi
+    assert en.n_total == 130
+    fr = rep[("fr", "le")]
+    assert fr.count_lo <= 40 <= fr.count_hi
+    assert fr.n_total == 40
+    # lost checkpoint: replays no-op (per-key n would double otherwise)
+    assert drain("ghh_ckpt2") == 2
+    rep2 = grouped_hh_report(
+        read_table_version(spark, table), ["lang"]
+    ).collect()
+    assert {r.lang: r.n_total for r in rep2}["en"] == 130
