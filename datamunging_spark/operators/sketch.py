@@ -824,6 +824,37 @@ def quantiles_sketch(
 # compacting in one task. Exchanges carry summaries only.
 
 
+def _norm_key(kt):
+    """Normalize a pandas groupby(dropna=False) group label: always a
+    tuple, with NA components replaced by None. CRITICAL for the keyed
+    Arrow passes' memory bound — pandas returns a FRESH float nan
+    object as the NA label on every groupby call, and nan != nan with
+    identity-based hashing, so a dict keyed on the raw label would
+    grow one separate ≤k state per Arrow BATCH for the NULL key group
+    (O(batches × k), data-proportional — the r9 fourth-review catch)
+    instead of one per key. Spark-side note: this conflates a float
+    key's NaN with NULL (string keys, the common case, can't carry
+    NaN); Spark's own groupBy keeps them distinct."""
+    import pandas as pd
+
+    if not isinstance(kt, tuple):
+        kt = (kt,)
+    return tuple(None if pd.isna(v) else v for v in kt)
+
+
+def _nullsafe_key_cond(left_alias: str, right_alias: str, keys):
+    """AND-fold of eqNullSafe over the key columns of two aliased
+    frames — NULL key groups must join with themselves (the
+    incremental_rollup lesson); one home for all grouped faces."""
+    cond = None
+    for c in keys:
+        eq = F.col(f"{left_alias}.{c}").eqNullSafe(
+            F.col(f"{right_alias}.{c}")
+        )
+        cond = eq if cond is None else (cond & eq)
+    return cond
+
+
 def _grouped_schema(df: DataFrame, keys: list[str]) -> StructType:
     return StructType(
         [df.schema[name] for name in keys] + list(_Q_SCHEMA.fields)
@@ -840,8 +871,7 @@ def _q_grouped_build_partition(keys: list[str], k: int):
         states = {}  # key tuple -> [levels, parity, err, n]
         for pdf in batches:
             for kt, grp in pdf.groupby(keys, dropna=False, sort=False):
-                if not isinstance(kt, tuple):
-                    kt = (kt,)
+                kt = _norm_key(kt)
                 vals = grp["value"].dropna().to_numpy(dtype="float64")
                 if not len(vals):
                     continue
@@ -877,8 +907,7 @@ def _q_grouped_recompact_partition(keys: list[str], k: int):
         pdf = pd.concat(pooled, ignore_index=True)
         frames = []
         for kt, grp in pdf.groupby(keys, dropna=False, sort=False):
-            if not isinstance(kt, tuple):
-                kt = (kt,)
+            kt = _norm_key(kt)
             out = _recompact_frame(
                 grp[grp["meta"].isna()], grp[grp["meta"].notna()], k
             )
@@ -910,6 +939,9 @@ _RESERVED_Q_COLS = frozenset(
         # report output columns (quantile + heavy-hitter surfaces)
         "q", "rank_target", "est_rank", "n_total", "max_rank_err",
         "count_lo", "count_hi", "max_err",
+        # meta pivot labels (become columns in the reports) and the
+        # internal temp columns of the re-bound/report plans
+        "dec", "n", "err", "_rk", "_t", "_w", "_cum",
     }
 )
 
@@ -1034,14 +1066,11 @@ def grouped_quantile_report(
         )
         .alias("t")
     )
-    keycond = None
-    for c in keys:
-        cond = F.col(f"t.{c}").eqNullSafe(F.col(f"d.{c}"))
-        keycond = cond if keycond is None else (keycond & cond)
     hits = (
         targets.join(
             data,
-            keycond & (F.col("d._cum") >= F.col("t.rank_target")),
+            _nullsafe_key_cond("t", "d", keys)
+            & (F.col("d._cum") >= F.col("t.rank_target")),
             "left",
         )
         .groupBy(
@@ -1086,8 +1115,7 @@ def _mg_grouped_partition(keys: list[str], k: int):
         states = {}  # key tuple -> [counters Series, dec, n]
         for pdf in batches:
             for kt, grp in pdf.groupby(keys, dropna=False, sort=False):
-                if not isinstance(kt, tuple):
-                    kt = (kt,)
+                kt = _norm_key(kt)
                 vals = grp["value"].dropna()
                 if not len(vals):
                     continue
@@ -1251,11 +1279,11 @@ def grouped_hh_report(
         .select(*keys, "value", F.col("cnt").alias("count_lo"))
         .alias("d")
     )
-    keycond = None
-    for c in keys:
-        cond = F.col(f"d.{c}").eqNullSafe(F.col(f"m.{c}"))
-        keycond = cond if keycond is None else (keycond & cond)
-    out = data.join(F.broadcast(meta), keycond).select(
+    # no broadcast hint: meta is one row per KEY GROUP, which at the
+    # high-cardinality regimes this sketch targets can exceed the
+    # broadcast limit — let AQE pick (the ungrouped report's broadcast
+    # is safe only because its meta is a single row)
+    out = data.join(meta, _nullsafe_key_cond("d", "m", keys)).select(
         *[F.col(f"d.{c}") for c in keys],
         "d.value",
         "d.count_lo",

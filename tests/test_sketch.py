@@ -1069,3 +1069,41 @@ def test_streaming_grouped_heavy_hitters_folds(spark, tmp_path):
         read_table_version(spark, table), ["lang"]
     ).collect()
     assert {r.lang: r.n_total for r in rep2}["en"] == 130
+
+
+def test_grouped_passes_consolidate_na_key_across_batches():
+    """pandas groupby(dropna=False) hands back a FRESH nan object as the
+    NA group label on every call; without normalization the keyed Arrow
+    passes would grow one separate state per BATCH for the NULL key
+    (O(batches x k) memory — the bound the sketch exists to prevent).
+    Drive the pass functions directly with multiple fake batches and
+    require exactly ONE consolidated state per key."""
+    import pandas as pd
+
+    from datamunging_spark.operators.sketch import (
+        _META_N,
+        _mg_grouped_partition,
+        _q_grouped_build_partition,
+    )
+
+    b1 = pd.DataFrame({"src": [None, None, "a"], "value": ["x", "y", "z"]})
+    b2 = pd.DataFrame({"src": [None, "a"], "value": ["x", "z"]})
+    out = pd.concat(
+        list(_mg_grouped_partition(["src"], 8)(iter([b1, b2]))),
+        ignore_index=True,
+    )
+    n_rows = out[out["meta"] == _META_N]
+    # one 'n' meta row per key — TWO would mean the NULL key split
+    assert len(n_rows) == 2
+    null_n = n_rows[n_rows["src"].isna()]["cnt"].tolist()
+    assert null_n == [3]  # both batches' NULL-key rows in one state
+
+    q1 = pd.DataFrame({"src": [None, None], "value": [1.0, 2.0]})
+    q2 = pd.DataFrame({"src": [None], "value": [3.0]})
+    qout = pd.concat(
+        list(_q_grouped_build_partition(["src"], 8)(iter([q1, q2]))),
+        ignore_index=True,
+    )
+    qn = qout[qout["meta"] == _META_N]
+    assert len(qn) == 1
+    assert qn["cnt"].tolist() == [3]
