@@ -158,20 +158,28 @@ def _ac_build(patterns: list[str]):
     structure sized for eval-suite/binary-CI blocklists; a production
     10^6-pattern deployment swaps in the C-backed ``pyahocorasick``
     automaton behind the same seam (imported if available in
-    ``_ac_find_any``)."""
+    ``_ac_find_any``).
+
+    ``out[state]`` is the tuple of PATTERN INDICES (into ``patterns``)
+    whose match ends at that state, fail-closure included — truthy iff
+    any pattern ends here, so the boolean consumers (``_ac_find_any``)
+    are unchanged, while occurrence consumers
+    (``spandedup._ac_find_matches`` — the blocklist-scale strip path)
+    recover each match's identity and length without a second automaton.
+    """
     goto: list[dict[str, int]] = [{}]
-    out: list[bool] = [False]
-    for pat in patterns:
+    out: list[tuple] = [()]
+    for i, pat in enumerate(patterns):
         s = 0
         for ch in pat:
             nxt = goto[s].get(ch)
             if nxt is None:
                 goto.append({})
-                out.append(False)
+                out.append(())
                 nxt = len(goto) - 1
                 goto[s][ch] = nxt
             s = nxt
-        out[s] = True
+        out[s] = out[s] + (i,)
     fail = [0] * len(goto)
     from collections import deque
 
@@ -184,7 +192,11 @@ def _ac_build(patterns: list[str]):
             while f and ch not in goto[f]:
                 f = fail[f]
             fail[t] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != t else 0
-            out[t] = out[t] or out[fail[t]]
+            # fail[t] is strictly shallower, so its closure is complete
+            # when t is popped (BFS order) — classic output merge.
+            out[t] = out[t] + tuple(
+                x for x in out[fail[t]] if x not in out[t]
+            )
     return goto, fail, out
 
 

@@ -246,12 +246,118 @@ def test_absolute_min_df_and_template_cap(spark):
 
 
 def test_strip_template_list_cap_raises(spark):
+    # explicit strip_mode='replace' keeps the hard cap (each char is
+    # rescanned once per template in that mode)
     docs = _synth_docs(spark, 5, 100, "cap")
     try:
         strip_boilerplate(
             docs, [f"template number {i} padded out" for i in range(20)],
-            max_strip_templates=10,
+            max_strip_templates=10, strip_mode="replace",
         )
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "max_strip_templates" in str(e)
+
+
+def test_strip_auto_switches_to_automaton_above_cap(spark):
+    # strip_mode='auto' (default) no longer raises above the replace cap:
+    # it switches to the Aho-Corasick pass. Blocklist-scale set (>1024
+    # templates, most absent from the corpus) with a handful planted.
+    tpls = [f"blocklist boilerplate template number {i:05d} padded long"
+            for i in range(1100)]
+    docs = spark.createDataFrame(
+        [
+            (0, f"alpha {tpls[7]} bravo"),
+            (1, f"{tpls[500]}charlie{tpls[1099]}"),
+            (2, "delta untouched echo"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"]
+           for r in strip_boilerplate(docs, tpls).collect()}
+    assert out[0] == "alpha  bravo"
+    assert out[1] == "charlie"
+    assert out[2] == "delta untouched echo"
+    assert out[3] is None
+
+
+def test_automaton_strip_equals_replace_chain_on_hostile_corpus(spark):
+    # mode equality on the SCALE.md hostile corpus: the mined template
+    # set stripped via the codegen replace chain and via the automaton
+    # pass must produce byte-identical corpora.
+    docs = _hostile_corpus(spark)
+    rep = boilerplate_templates(docs, min_df=0.5, min_span=50, gram=16)
+    tpls = [r["template"] for r in rep.collect()]
+    chain = strip_boilerplate(docs, tpls, strip_mode="replace")
+    autom = strip_boilerplate(docs, tpls, strip_mode="automaton")
+    diff = (
+        chain.select("doc_id", F.col("text").alias("_a"))
+        .join(autom.select("doc_id", F.col("text").alias("_b")), "doc_id")
+        .filter(~F.col("_a").eqNullSafe(F.col("_b")))
+        .count()
+    )
+    assert diff == 0
+    assert autom.filter(F.col("text").contains(TEMPLATE)).count() == 0
+
+
+def test_automaton_strip_overlap_and_nesting_semantics():
+    # driver-side unit tests of the single-pass resolver against the
+    # sequential str.replace chain (the semantics F.replace implements)
+    from datamunging_spark.operators.spandedup import _strip_once
+    from datamunging_spark.operators.trainset import _ac_build
+
+    def chain_ref(text, tpls):
+        for t in sorted(tpls, key=lambda s: (-len(s), s)):
+            text = text.replace(t, "")
+        return text
+
+    cases = [
+        # nested: longer template wins over its substring
+        ("xx<<FOOTER>>yy", ["<<FOOTER>>", "FOOTER"]),
+        # overlapping same-length: chain order (lex) decides
+        ("abab", ["ab", "ba"]),
+        ("bab", ["ab", "ba"]),
+        # within-template overlap phases: leftmost non-overlapping
+        ("aaaa", ["aa"]),
+        ("aaa", ["aa"]),
+        # repeated + adjacent occurrences
+        ("T1T1T1 mid T1", ["T1"]),
+        # template at string edges
+        ("EDGEmiddleEDGE", ["EDGE"]),
+        ("", ["EDGE"]),
+    ]
+    for text, tpls in cases:
+        chain = sorted(dict.fromkeys(tpls), key=lambda s: (-len(s), s))
+        auto = _ac_build(chain)
+        lens = tuple(len(t) for t in chain)
+        got = _strip_once(text, auto, lens, range(len(lens)))
+        assert got == chain_ref(text, tpls), (text, tpls, got)
+
+
+def test_replace_fold_branch_equals_nested_chain(spark):
+    # >_chain_batch templates in replace mode exercises the F.aggregate
+    # fold (constant plan depth); must equal the nested chain's output.
+    tpls = [f"fold template number {i:03d} padded out long enough" for i in range(9)]
+    docs = spark.createDataFrame(
+        [(0, f"aa{tpls[3]}bb{tpls[8]}cc"), (1, "untouched"), (2, None)],
+        "doc_id long, text string",
+    )
+    nested = strip_boilerplate(docs, tpls, strip_mode="replace")
+    fold = strip_boilerplate(docs, tpls, strip_mode="replace",
+                             _chain_batch=4)
+    a = {r["doc_id"]: r["text"] for r in nested.collect()}
+    b = {r["doc_id"]: r["text"] for r in fold.collect()}
+    assert a == b
+    assert a[0] == "aabbcc"
+    assert a[2] is None
+
+
+def test_strip_rejects_unknown_mode(spark):
+    docs = _synth_docs(spark, 2, 50, "mode")
+    try:
+        strip_boilerplate(docs, ["zzz long enough template zzz"],
+                          strip_mode="bogus")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "strip_mode" in str(e)

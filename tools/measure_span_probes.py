@@ -270,6 +270,66 @@ def strip_boilerplate_probe(spark):
     assert residual == 0
 
 
+def strip_mode_cost_probe(spark):
+    """r10: strip cost vs template count — the replace chain rescans
+    every char once per template (linear in templates), the Aho-Corasick
+    pass scans each char once regardless (build cost is driver-side,
+    amortized over the corpus). This is the measurement behind
+    strip_mode='auto' switching to the automaton above the replace cap."""
+    from datamunging_spark.operators.spandedup import strip_boilerplate
+
+    print("\n### Probe 6 (r10): replace chain vs automaton strip "
+          "cost by template count")
+    n = 600
+    planted = [
+        f"planted boilerplate template variant {i:04d} long enough here"
+        for i in range(8)
+    ]
+    docs = (
+        synth_docs(spark, n, 1200, "stripcost")
+        .withColumn(
+            "text",
+            F.concat(
+                F.substring("text", 1, 600),
+                F.element_at(
+                    F.array(*[F.lit(p) for p in planted]),
+                    (F.col("doc_id") % 8 + 1).cast("int"),
+                ),
+                F.substring("text", 601, 600),
+            ),
+        )
+        .localCheckpoint()
+    )
+    print("| templates | replace chain (s) | automaton (s) |")
+    print("|---|---|---|")
+    for n_tpl in (64, 1024, 4096):
+        # planted templates + absent filler templates up to n_tpl —
+        # the blocklist shape: most patterns never occur
+        tpls = planted + [
+            f"absent blocklist template number {i:05d} padded out long"
+            for i in range(n_tpl - len(planted))
+        ]
+        walls = {}
+        for mode in ("replace", "automaton"):
+            if mode == "replace" and n_tpl > 1024:
+                walls[mode] = float("nan")
+                continue
+            ws = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = strip_boilerplate(docs, tpls, strip_mode=mode)
+                res = out.filter(
+                    F.col("text").contains(planted[0])
+                ).count()
+                ws.append(time.perf_counter() - t0)
+                assert res == 0
+            walls[mode] = sorted(ws)[1]
+        print(
+            f"| {n_tpl} | {walls['replace']:.2f} "
+            f"| {walls['automaton']:.2f} |"
+        )
+
+
 def streaming_span_delta_probe(spark):
     """r9 bounded streaming span state: per-fold disk written by the
     delta log vs the counterfactual full-state rewrite (the pre-r9
@@ -410,6 +470,7 @@ def main():
     fp_reuse_probe(spark)
     hostile_boilerplate_probe(spark)
     strip_boilerplate_probe(spark)
+    strip_mode_cost_probe(spark)
     streaming_span_delta_probe(spark)
     sketch_valve_probe(spark)
 
