@@ -17,19 +17,21 @@ value hashing. Two build strategies (``bloom_build(method=...)``):
   aggregate ORs the partials. Per-task MEMORY is the FULL m/8 bytes
   (chunking bounds only the shuffle row size), so this is the cheap
   path for small/medium filters where m/8 fits comfortably in a task.
-- ``"shuffle"`` — map tasks emit (chunk_id, bit-within-chunk) position
-  rows (deduplicated per Arrow batch), which shuffle BY CHUNK; each
-  reduce task then ORs exactly one chunk-sized bitmap. The true
-  per-reduce-task bound is the grouped POSITION ROWS of one chunk
-  (applyInPandas materializes them as one pandas frame, ~16 B/row) —
-  NOT the chunk bitmap: a dense 8 MiB chunk can group tens of millions
-  of rows. The shuffle path therefore SIZES ITS OWN chunk so the
-  expected rows per chunk (uniform xxhash64 positions ⇒
-  ≈ num_items·k / n_chunks) stay ~32 MB task-sized; shuffle volume is
-  ≈ distinct positions × 12 B either way. For the 1e9-key / 1% fpp
-  (~1.2 GB) filter this is the memory-safe build — and it also beats
-  local's shuffle there (local ships partitions × live chunks ×
-  chunk_bytes, which exceeds position rows once partitions are many).
+- ``"shuffle"`` — two-level map-side pre-OR (the design the r8/r9
+  reviews asked for): map tasks collapse each Arrow batch's positions
+  into per-64-bit-WORD partial ORs (one row per distinct word the
+  batch touches), and Spark's partial hash aggregation keeps OR-ing
+  those across batches map-side in Tungsten-managed, SPILLABLE memory
+  — per-map-task memory is the agg hash map, never the bitmap. The
+  word agg shuffles ≤ distinct-nonzero-words × 16 B (≈ bitmap/4 bytes
+  for an optimally-sized filter — ~20× less than the old
+  row-per-position emit); a second word-count-sized exchange regroups
+  words by chunk, where the pack group is ≤ chunk_bytes/8 rows ≈ 2×
+  chunk bytes — the reduce bound really is chunk-sized now. For the
+  1e9-key / 1% fpp (~1.2 GB) filter this is the memory-safe build —
+  and it also beats local's shuffle volume there (local ships
+  partitions × live chunks × chunk_bytes, which exceeds the word table
+  once partitions are many).
 
 ``method="auto"`` (default) picks local below 128 MiB of bitmap and
 shuffle above. Both produce bit-identical filters (pinned by test). The
@@ -137,13 +139,15 @@ def bloom_build(
     skipped) → one groupBy(chunk) OR → driver assembly. Per-task memory
     is the whole m/8 bytes — fine while the bitmap is task-sized.
 
-    ``method="shuffle"``: tasks emit (chunk_id, bit) position rows
-    (deduplicated per Arrow batch) → shuffle by chunk → each reduce task
-    ORs ONE chunk-sized bitmap. Per-reduce-task memory is the grouped
-    position rows of that chunk (~16 B/row at the Arrow→pandas
-    boundary), so the shuffle path re-derives its chunk size from
-    ``num_items·k`` to keep the expected group ≈ 32 MB (``chunk_bytes``
-    only caps it) — the 100 TB / 1e9-key path. ``method="auto"``
+    ``method="shuffle"``: per-batch positions collapse to per-word
+    partial ORs → ``groupBy(word_id).agg(bit_or)`` (map-side partial
+    agg = the second pre-OR level, Tungsten-managed and spillable) →
+    regroup words by chunk → pack. Per-map-task memory is the agg hash
+    map (spillable); per-reduce-task memory is one chunk's nonzero
+    words, ≤ chunk_bytes/8 rows ≈ 2× ``chunk_bytes`` — chunk-sized for
+    real this time (the pre-r10 form grouped raw position rows, up to
+    tens of millions per dense chunk; SCALE.md carries the measured
+    row-count comparison). The 100 TB / 1e9-key path. ``method="auto"``
     (default) picks local under 128 MiB of bitmap, shuffle above. Both
     methods yield bit-identical filters for any chunk size.
     """
@@ -162,18 +166,9 @@ def bloom_build(
     if method == "auto":
         method = "local" if n_bytes <= _LOCAL_BUILD_MAX_BYTES else "shuffle"
     if method == "shuffle":
-        # r9 (ADVICE): the reduce side materializes ALL position rows of
-        # a chunk in one pandas frame before build_chunk runs — up to
-        # ~num_items·k/n_chunks rows × ~16 B, NOT chunk_bytes. An 8 MiB
-        # chunk on a dense filter groups ~64M rows (~1 GB/task), i.e.
-        # the old "bounded at chunk_bytes" claim was ~100× off exactly
-        # at the scale this path exists for. Re-derive the chunk so the
-        # EXPECTED group stays ~2M rows (~32 MB); xxhash64 positions are
-        # uniform, so per-chunk counts concentrate tightly around the
-        # mean. chunk_bytes now only caps the result.
-        _target_rows = 2 << 20
-        want_chunks = max(1, -(-(num_items * k) // _target_rows))
-        chunk = min(chunk, max(4096, -(-n_bytes // want_chunks)))
+        # words must align to chunk boundaries (each 64-bit word belongs
+        # to exactly one chunk)
+        chunk = max(8, chunk - chunk % 8)
 
     hashes = df.select(F.xxhash64(*[F.col(c) for c in cols]).alias("_h"))
     schema = T.StructType(
@@ -206,47 +201,66 @@ def bloom_build(
         if ids:
             yield pd.DataFrame({"chunk_id": ids, "bits": bufs})
 
-    chunk_bits = chunk * 8
-    pos_schema = T.StructType(
+    words_per_chunk = chunk // 8
+    word_schema = T.StructType(
         [
-            T.StructField("chunk_id", T.IntegerType()),
-            T.StructField("bit", T.LongType()),
+            T.StructField("word_id", T.LongType()),
+            T.StructField("word", T.LongType()),
         ]
     )
 
-    def emit_positions(batches):
+    def emit_words(batches):
+        # Map-side pre-OR, level 1 of 2 (the r8-ADVICE design): per
+        # Arrow batch, positions collapse into per-64-bit-WORD partial
+        # ORs (sort + reduceat — one row per distinct word touched by
+        # the batch, never one per position). Level 2 is Spark's own
+        # partial hash aggregation on the bit_or below, which keeps
+        # OR-ing these across batches map-side in Tungsten-managed
+        # (spillable) memory. The shuffle then carries at most
+        # min(distinct nonzero words, what partial agg held) × 16 B —
+        # for an optimally-sized filter (m ≈ 9.6·n at 1% fpp) that is
+        # ~m/64 × 16 B ≈ bitmap/4 bytes, vs num_items·k position rows
+        # (~7n × 12 B) for the old row-per-position emit: ~20× less.
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
             if not len(pdf):
                 continue
-            pos = np.unique(
-                _positions(
-                    pdf["_h"].to_numpy(np.int64).view(np.uint64), k, m
-                ).ravel()
-            )
+            pos = _positions(
+                pdf["_h"].to_numpy(np.int64).view(np.uint64), k, m
+            ).ravel()
+            wid = pos >> np.uint64(6)
+            bit = np.uint64(1) << (pos & np.uint64(63))
+            order = np.argsort(wid, kind="stable")
+            wid, bit = wid[order], bit[order]
+            uniq, starts = np.unique(wid, return_index=True)
+            ors = np.bitwise_or.reduceat(bit, starts)
             yield pd.DataFrame(
                 {
-                    "chunk_id": (pos // np.uint64(chunk_bits)).astype(
-                        np.int32
-                    ),
-                    "bit": (pos % np.uint64(chunk_bits)).astype(np.int64),
+                    "word_id": uniq.astype(np.int64),
+                    "word": ors.view(np.int64),
                 }
             )
 
-    def build_chunk(key, pdf):
+    def pack_chunk(key, pdf):
+        # One group = the NONZERO words of one chunk: ≤ words_per_chunk
+        # rows × ~16 B ≈ 2× chunk bytes — the truly chunk-sized reduce
+        # bound the old position-row grouping did not have (a dense
+        # 8 MiB chunk grouped tens of millions of position rows).
         import numpy as np
         import pandas as pd
 
         cid = int(key[0])
         size = min(chunk, n_bytes - cid * chunk)
-        bitmap = np.zeros(size, dtype=np.uint8)
-        bit = pdf["bit"].to_numpy(np.int64)
-        np.bitwise_or.at(
-            bitmap, bit >> 3, np.uint8(1) << (bit & 7).astype(np.uint8)
+        words = np.zeros(-(-size // 8), dtype=np.uint64)
+        idx = pdf["word_id"].to_numpy(np.int64) - cid * words_per_chunk
+        words[idx] = pdf["word"].to_numpy(np.int64).view(np.uint64)
+        return pd.DataFrame(
+            # explicit little-endian: bit i lands at byte i>>3, bit i&7,
+            # matching _positions' byte-addressed layout on any host
+            {"chunk_id": [cid], "bits": [words.astype("<u8").tobytes()[:size]]}
         )
-        return pd.DataFrame({"chunk_id": [cid], "bits": [bitmap.tobytes()]})
 
     def merge(key, pdf):
         import numpy as np
@@ -269,9 +283,15 @@ def bloom_build(
         )
     else:
         merged = (
-            hashes.mapInPandas(emit_positions, pos_schema)
+            hashes.mapInPandas(emit_words, word_schema)
+            .groupBy("word_id")
+            .agg(F.bit_or("word").alias("word"))
+            .withColumn(
+                "chunk_id",
+                F.expr(f"CAST(word_id DIV {words_per_chunk} AS INT)"),
+            )
             .groupBy("chunk_id")
-            .applyInPandas(build_chunk, schema)
+            .applyInPandas(pack_chunk, schema)
             .collect()
         )
     bitmap = bytearray(n_bytes)

@@ -222,6 +222,13 @@ def test_shuffle_build_matches_local(spark):
     assert (local.m, local.k) == (shuffled.m, shuffled.k)
     auto = bloom_build(df, ["s"], num_items=800, fpp=0.01, chunk_bytes=64)
     assert auto.bits == local.bits
+    # non-multiple-of-8 chunk_bytes: the word-agg build rounds its chunk
+    # down to word alignment; bits must still be identical
+    odd = bloom_build(
+        df, ["s"], num_items=800, fpp=0.01, method="shuffle", chunk_bytes=60
+    )
+    assert odd.bits == local.bits
+    assert odd.digest == local.digest
     with pytest.raises(ValueError, match="method"):
         bloom_build(df, ["s"], num_items=10, method="bogus")
 
