@@ -160,6 +160,8 @@ def bloom_build(
     if num_items == 0:
         m, k = bloom_params(1, fpp)
         return BloomFilter(bytes(m // 8), m, k, _digest(bytes(m // 8)))
+    if chunk_bytes < 1:
+        raise ValueError(f"chunk_bytes must be >= 1, got {chunk_bytes}")
     m, k = bloom_params(num_items, fpp)
     n_bytes = m // 8
     chunk = min(chunk_bytes, n_bytes)
@@ -169,6 +171,15 @@ def bloom_build(
         # words must align to chunk boundaries (each 64-bit word belongs
         # to exactly one chunk)
         chunk = max(8, chunk - chunk % 8)
+    # chunk_id is IntegerType: a tiny explicit chunk_bytes against a
+    # huge bitmap (>= 16 GiB at chunk<=8) would otherwise wrap the CAST
+    # silently and corrupt the assembly (r10 ADVICE).
+    n_chunks = -(-n_bytes // chunk)
+    if n_chunks > 2**31 - 1:
+        raise ValueError(
+            f"{n_chunks} chunks ({n_bytes} bitmap bytes at chunk_bytes="
+            f"{chunk}) exceed IntegerType chunk ids; raise chunk_bytes"
+        )
 
     hashes = df.select(F.xxhash64(*[F.col(c) for c in cols]).alias("_h"))
     schema = T.StructType(

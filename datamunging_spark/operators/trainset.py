@@ -168,18 +168,24 @@ def _ac_build(patterns: list[str]):
     recover each match's identity and length without a second automaton.
     """
     goto: list[dict[str, int]] = [{}]
-    out: list[tuple] = [()]
+    # Built as sets (O(1) closure merges — the tuple-concat + linear
+    # membership scan version was O(|out|^2) per state on deep shared
+    # suffixes near the 100k cap), frozen to sorted tuples at the end
+    # so the broadcast/pickled structure stays compact and
+    # deterministic. Consumers don't depend on order (_ac_find_any is
+    # truthiness-only; _ac_find_matches re-sorts hits globally).
+    out: list[set] = [set()]
     for i, pat in enumerate(patterns):
         s = 0
         for ch in pat:
             nxt = goto[s].get(ch)
             if nxt is None:
                 goto.append({})
-                out.append(())
+                out.append(set())
                 nxt = len(goto) - 1
                 goto[s][ch] = nxt
             s = nxt
-        out[s] = out[s] + (i,)
+        out[s].add(i)
     fail = [0] * len(goto)
     from collections import deque
 
@@ -192,12 +198,12 @@ def _ac_build(patterns: list[str]):
             while f and ch not in goto[f]:
                 f = fail[f]
             fail[t] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != t else 0
-            # fail[t] is strictly shallower, so its closure is complete
-            # when t is popped (BFS order) — classic output merge.
-            out[t] = out[t] + tuple(
-                x for x in out[fail[t]] if x not in out[t]
-            )
-    return goto, fail, out
+            # The closure merge happens when t's PARENT pops (i.e. at
+            # t's enqueue) — sound because fail[t] is strictly
+            # shallower than t, so fail[t]'s own closure completed in
+            # an earlier BFS layer.
+            out[t] |= out[fail[t]]
+    return goto, fail, [tuple(sorted(o)) for o in out]
 
 
 def _ac_find_any(text: str, auto) -> bool:

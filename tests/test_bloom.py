@@ -473,3 +473,19 @@ def test_ingest_batch_forwards_band_bloom(spark):
     )
     surv2, snaps2 = ingest_batch(b2, snaps1, band_bloom=bloom)
     assert [r.doc_id for r in surv2.collect()] == [11]
+
+
+def test_bloom_build_rejects_bad_chunking(spark):
+    # r10 ADVICE: chunk_id is IntegerType — a tiny chunk_bytes against a
+    # >=16 GiB bitmap would wrap the CAST; both guards raise before any
+    # Spark work runs.
+    import pytest
+
+    df = spark.createDataFrame([("a",)], "s string")
+    with pytest.raises(ValueError, match="chunk_bytes"):
+        bloom_build(df, ["s"], num_items=10, chunk_bytes=0)
+    with pytest.raises(ValueError, match="IntegerType"):
+        bloom_build(
+            df, ["s"], num_items=20_000_000_000, chunk_bytes=8,
+            method="shuffle",
+        )

@@ -361,3 +361,45 @@ def test_strip_rejects_unknown_mode(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "strip_mode" in str(e)
+
+
+def test_automaton_broadcast_cached_and_released(spark):
+    # r10 ADVICE: repeated automaton strips with an unchanged blocklist
+    # must reuse ONE content-keyed broadcast; strip_release retires it.
+    from datamunging_spark.operators import spandedup
+
+    tpls = ["cached template alpha long enough to matter",
+            "cached template beta long enough to matter"]
+    docs = spark.createDataFrame(
+        [(0, f"xx{tpls[0]}yy")], "doc_id long, text string"
+    )
+    spandedup._AC_BC_CACHE.clear()
+    strip_boilerplate(docs, tpls, strip_mode="automaton").collect()
+    assert len(spandedup._AC_BC_CACHE) == 1
+    strip_boilerplate(docs, list(reversed(tpls)),
+                      strip_mode="automaton").collect()
+    # same chain after dedupe+sort -> same key, still one entry
+    assert len(spandedup._AC_BC_CACHE) == 1
+    from datamunging_spark.operators.spandedup import strip_release
+
+    assert strip_release(tpls) is True
+    assert len(spandedup._AC_BC_CACHE) == 0
+    assert strip_release(tpls) is False  # already released
+
+
+def test_ac_build_closure_on_shared_suffixes():
+    # set-based fail-closure merge (r10 ADVICE perf fix) must still
+    # produce the full closure: patterns sharing suffixes emit at the
+    # longer pattern's end state; out tuples are sorted for determinism.
+    from datamunging_spark.operators.trainset import _ac_build
+
+    pats = ["abcde", "bcde", "cde", "de", "e"]
+    goto, fail, out = _ac_build(pats)
+    s = 0
+    for ch in "abcde":
+        while s and ch not in goto[s]:
+            s = fail[s]
+        s = goto[s].get(ch, 0)
+    # end state of "abcde" must report every suffix pattern, sorted
+    assert out[s] == (0, 1, 2, 3, 4)
+    assert all(o == tuple(sorted(o)) for o in out)
