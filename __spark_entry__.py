@@ -1851,8 +1851,12 @@ def q_x2_ann_suite(spark, sf_dir):
     either alone: the judge-visible output IS the recall). Truth is
     localCheckpoint-ed once (three consumers); per-method counts are
     bounded driver scalars (≤ k·|probes| rows). Rows-only (KMeans cells
-    and hyperplane buckets are engine-specific); pytest floors recall at
-    0.6 for both paths."""
+    and hyperplane buckets are engine-specific); the numeric ``recall``
+    column keeps the value visible across CORRECTNESS/bench history
+    (drift toward the floor is observable, r10 verdict item) while
+    ``recall_ok`` pins the same 0.6 floor pytest uses as a
+    gate-enforced invariant (check_oracle requires *_ok uniformly
+    true)."""
     from datamunging_spark.operators.similarity import ivf_topk, lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1871,11 +1875,12 @@ def q_x2_ann_suite(spark, sf_dir):
     for method, res in results.items():
         res = res.select("query_id", "neighbor_id").localCheckpoint()
         hits = res.join(truth, ["query_id", "neighbor_id"]).count()
-        rows.append(
-            (method, res.count(), hits, round(hits / n_truth, 4))
-        )
+        recall = round(hits / n_truth, 4)
+        rows.append((method, res.count(), hits, recall, recall >= 0.6))
     return spark.createDataFrame(
-        rows, "method string, n_results bigint, n_hits bigint, recall double"
+        rows,
+        "method string, n_results bigint, n_hits bigint, recall double, "
+        "recall_ok boolean",
     )
 
 
@@ -2355,6 +2360,126 @@ def q_x8_quantiles(spark, sf_dir):
             ).alias("within_budget"),
         )
     )
+
+
+def q_x8_grouped_sketch(spark, sf_dir):
+    """X8 grouped sketch faces (bench-only, new r11 — the faces a real
+    pipeline calls: per-language token stats, per-source length
+    profiles; until now they existed only in pytest). Long format over
+    BOTH keyed faces with the x8 recount shape's REAL per-key
+    invariants:
+
+    - ``face='hh'``: Misra-Gries frequent words PER LANGUAGE
+      (grouped_heavy_hitters, k=512). ``bracket_ok`` re-counts each
+      reported (lang, word) EXACTLY — the recount semi-joins the token
+      stream on the reported pairs BEFORE aggregating, so its agg is
+      bounded by the report size, not the vocabulary — and requires
+      count_lo ≤ exact ≤ count_hi; ``within_budget`` pins each KEY's
+      error floor max_err ≤ n_key/(k+1)+1 (the per-key Agarwal bound).
+    - ``face='q'``: MRL/KLL doc-length quantiles PER SOURCE
+      (grouped_quantile_summary→report, k=256). ``bracket_ok``
+      re-counts true rank within each key (≤|keys|·|qs| broadcast
+      probe rows) against the carried per-key rank-error budget;
+      ``within_budget`` pins per-key mass conservation
+      (Σ cnt·2^level == n_key) AND the n_key·L_key/k budget bound.
+
+    Shuffle shape: both faces exchange summaries only (≤ keys×(k+2)
+    counter rows / per-key compactor levels); the recount probes are
+    report-sized broadcasts — same scale story as the ungrouped x8
+    entries, now auditable per key in PLAN_AUDIT/BENCH history."""
+    from datamunging_spark.functions import tokenize
+    from datamunging_spark.operators.sketch import (
+        grouped_heavy_hitters,
+        grouped_quantile_report,
+        grouped_quantile_summary,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    k_hh = 512
+    words = d.select(
+        "lang", F.explode(tokenize(F.lower(F.col("text")))).alias("word")
+    ).localCheckpoint()  # feeds build + recount
+    hh = grouped_heavy_hitters(
+        words, ["lang"], "word", k=k_hh, min_share=0.002
+    ).localCheckpoint()  # report feeds probe + output join
+    exact_hh = (
+        words.select("lang", F.col("word").alias("value"))
+        .join(F.broadcast(hh.select("lang", "value")), ["lang", "value"])
+        .groupBy("lang", "value")
+        .agg(F.count(F.lit(1)).alias("_exact"))
+    )
+    hh_rows = hh.join(exact_hh, ["lang", "value"], "left").select(
+        F.lit("hh").alias("face"),
+        F.col("lang").alias("key"),
+        F.col("value").alias("item"),
+        F.col("count_lo").cast("double").alias("est"),
+        "n_total",
+        "max_err",
+        (
+            F.col("_exact").isNotNull()
+            & (F.col("count_lo") <= F.col("_exact"))
+            & (F.col("_exact") <= F.col("count_hi"))
+        ).alias("bracket_ok"),
+        (
+            F.col("max_err") <= F.col("n_total") / F.lit(k_hh + 1) + F.lit(1)
+        ).alias("within_budget"),
+    )
+
+    k_q = 256
+    qs_list = [0.25, 0.5, 0.75, 0.99]
+    vals = d.select(
+        "source", F.col("n_chars").cast("double").alias("nc")
+    ).localCheckpoint()  # feeds build + rank recount
+    summ = grouped_quantile_summary(vals, ["source"], "nc", k=k_q)
+    rep = grouped_quantile_report(summ, ["source"], qs_list).localCheckpoint()
+    exact_q = (
+        vals.join(
+            F.broadcast(
+                rep.select("source", "q", F.col("value").alias("_v"))
+            ),
+            "source",
+        )
+        .filter(F.col("nc") <= F.col("_v"))
+        .groupBy("source", "q")
+        .agg(F.count(F.lit(1)).alias("_true_le"))
+    )
+    mass = (
+        summ.filter(F.col("meta").isNull())
+        .groupBy("source")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("cnt * shiftleft(1L, level)")), F.lit(0)
+            ).alias("_mass"),
+            (F.max("level") + 1).alias("_levels"),
+        )
+    )
+    q_rows = (
+        rep.join(exact_q, ["source", "q"], "left")
+        .join(mass, "source", "left")
+        .select(
+            F.lit("q").alias("face"),
+            F.col("source").alias("key"),
+            F.col("q").cast("string").alias("item"),
+            F.col("value").alias("est"),
+            "n_total",
+            F.col("max_rank_err").alias("max_err"),
+            (
+                F.col("_true_le").isNotNull()
+                & (
+                    F.abs(F.col("est_rank") - F.col("_true_le"))
+                    <= F.col("max_rank_err")
+                )
+            ).alias("bracket_ok"),
+            (
+                (F.col("_mass") == F.col("n_total"))
+                & (
+                    F.col("max_rank_err")
+                    <= F.col("n_total") * F.col("_levels") / F.lit(k_q)
+                )
+            ).alias("within_budget"),
+        )
+    )
+    return hh_rows.unionByName(q_rows)
 
 
 def q_x4_bigram_lm(spark, sf_dir):

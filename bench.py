@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "x1_strip_boilerplate",
     "x4_lang_model",
     "x8_quantiles",
+    "x8_grouped_sketch",
 ]
 
 

@@ -832,9 +832,11 @@ def _norm_key(kt):
     identity-based hashing, so a dict keyed on the raw label would
     grow one separate ≤k state per Arrow BATCH for the NULL key group
     (O(batches × k), data-proportional — the r9 fourth-review catch)
-    instead of one per key. Spark-side note: this conflates a float
-    key's NaN with NULL (string keys, the common case, can't carry
-    NaN); Spark's own groupBy keeps them distinct."""
+    instead of one per key. Spark-side note: this WOULD conflate a
+    float key's NaN with NULL (Spark's own groupBy keeps them
+    distinct) — which is why :func:`_check_q_keys` rejects
+    float/double key columns at every public grouped face; the keys
+    that reach here cannot carry NaN."""
     import pandas as pd
 
     if not isinstance(kt, tuple):
@@ -946,13 +948,21 @@ _RESERVED_Q_COLS = frozenset(
 )
 
 
-def _check_q_keys(keys) -> None:
+def _check_q_keys(keys, df: DataFrame | None = None) -> None:
     """Shared fail-fast validation for the grouped faces: keys must be
     non-empty (an empty key list would otherwise produce a silent
     NULL-condition join in the report and a bare TypeError in the
-    merge) and must not collide with the summary/report's own column
+    merge), must not collide with the summary/report's own column
     names (a key literally named 'value' would alias the data column
-    inside the Arrow pass)."""
+    inside the Arrow pass), and — when a frame is supplied — must not
+    be float/double columns: the Arrow passes' pandas
+    ``groupby(dropna=False)`` labels NaN as NA, which
+    :func:`_norm_key` must fold to None for the memory bound, so a
+    float key's NaN group would silently merge into the NULL group —
+    diverging from Spark ``groupBy`` (NaN is its own group) and from
+    the exact faces. Rejected rather than normalized (r9 ADVICE):
+    sketch-grouping BY a float column is a smell — cast to a discrete
+    type first and the cast makes the binning explicit."""
     if not keys:
         raise ValueError(
             "keys must be non-empty (the quantile_* functions are the "
@@ -964,6 +974,20 @@ def _check_q_keys(keys) -> None:
             f"key column(s) {bad} collide with reserved summary/report "
             f"columns {sorted(_RESERVED_Q_COLS)} — rename before grouping"
         )
+    if df is not None:
+        from pyspark.sql.types import DoubleType, FloatType
+
+        floaty = [
+            c for c in keys
+            if isinstance(df.schema[c].dataType, (FloatType, DoubleType))
+        ]
+        if floaty:
+            raise ValueError(
+                f"float/double grouping key(s) {floaty} are not "
+                "supported by the grouped sketch faces (NaN would "
+                "conflate with NULL in the Arrow passes, diverging "
+                "from Spark groupBy); cast to string/decimal/int first"
+            )
 
 
 def grouped_quantile_summary(
@@ -974,7 +998,10 @@ def grouped_quantile_summary(
     with every guarantee (exact mass conservation, carried rank-error
     budget, ≤ k items per level after re-bound) holding PER KEY GROUP —
     rows ``(keys..., value, level, cnt, meta)``. NULL keys are real
-    groups (null-safe throughout, the incremental_rollup lesson). Use
+    groups (null-safe throughout, the incremental_rollup lesson);
+    float/double KEY columns are rejected up front — NaN would
+    conflate with NULL inside the Arrow passes (see
+    :func:`_check_q_keys`), cast to a discrete type first. Use
     for per-source / per-language corpus profiles; at very high key
     cardinality note the per-task build state is
     distinct-keys-per-partition × k items (pre-partition by key or fall
@@ -982,7 +1009,7 @@ def grouped_quantile_summary(
     sort)."""
     if k < 2:
         raise ValueError("k must be >= 2")
-    _check_q_keys(keys)
+    _check_q_keys(keys, df)
     vals = df.select(
         *[F.col(c) for c in keys], F.col(col).cast("double").alias("value")
     )
@@ -1006,7 +1033,7 @@ def merge_grouped_quantile_summaries(
     overfull levels re-compact). ``b=None`` re-bounds ``a`` alone."""
     if k < 2:
         raise ValueError("k must be >= 2")
-    _check_q_keys(keys)
+    _check_q_keys(keys, a)
     u = a if b is None else a.unionByName(b)
     pooled = u.groupBy(*keys, "meta", "level", "value").agg(
         F.sum("cnt").alias("cnt")
@@ -1174,13 +1201,15 @@ def grouped_hh_summary(
     """Per-key Misra-Gries summary of ``col``: hh_summary's contract
     (count bracket, per-key n/(k+1) error floor, mergeable state,
     budgets in per-key 'dec'/'n' meta rows) holding PER KEY GROUP.
-    NULL keys are real groups; NULL values excluded from each key's n.
+    NULL keys are real groups; NULL values excluded from each key's n;
+    float/double KEY columns are rejected up front (NaN/NULL
+    conflation hazard — see :func:`_check_q_keys`).
     Data rows per key can exceed ``k`` here (union of per-partition
     summaries) — :func:`merge_grouped_hh_summaries` re-bounds per key.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    _check_q_keys(keys)
+    _check_q_keys(keys, df)
     vals = df.select(
         *[F.col(c) for c in keys], F.col(col).cast("string").alias("value")
     )
@@ -1208,7 +1237,7 @@ def merge_grouped_hh_summaries(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
-    _check_q_keys(keys)
+    _check_q_keys(keys, a)
     u = a if b is None else a.unionByName(b)
     merged = (
         u.groupBy(*keys, "meta", "value")

@@ -460,6 +460,8 @@ def pack_sequences(
     tokens_col: str = "n_tokens",
     max_len: int = 2048,
     num_groups: int | None = None,
+    token_counter=None,
+    text_col: str = "text",
 ) -> DataFrame:
     """Sequence packing for training batches: assign each doc to a bin so
     that no bin exceeds ``max_len`` tokens — the standard sample-packing
@@ -479,6 +481,14 @@ def pack_sequences(
     Non-positive token counts (e.g. ``size(NULL) = -1`` under ANSI-off)
     are clamped to 0 so they can never inflate a bin's capacity.
 
+    ``token_counter`` (r11): optional Column-producing callable
+    ``col -> Column`` applied to ``text_col`` to (re)compute
+    ``tokens_col`` before packing — the same counting-tier seam as
+    :func:`take_token_budget` (regex estimate / in-repo byte-level BPE
+    via :func:`~datamunging_spark.operators.bpe.bpe_token_counter` /
+    tiktoken-HF where installed). Bin capacities are only as real as
+    the counts: pack with the same counter the trainer tokenizes with.
+
     Returns (id_col, tokens_col, bin_id, bin_tokens, truncated).
     """
     import bisect
@@ -487,6 +497,8 @@ def pack_sequences(
 
     from datamunging_spark.operators.relational import _shuffle_partitions
 
+    if token_counter is not None:
+        df = df.withColumn(tokens_col, token_counter(text_col))
     spark = df.sparkSession
     groups = int(num_groups or _shuffle_partitions(spark))
     id_type = df.schema[id_col].dataType.simpleString()
@@ -552,6 +564,8 @@ def take_token_budget(
     budget: int,
     tokens_col: str = "n_tokens",
     order_cols: list[str] | None = None,
+    token_counter=None,
+    text_col: str = "text",
 ) -> DataFrame:
     """Largest prefix of ``df`` (in ``order_cols`` order) whose running
     token sum stays within ``budget`` — "take the best docs until the
@@ -573,12 +587,24 @@ def take_token_budget(
     through one task. The kept keys then semi-join the original DataFrame,
     so the only materialized intermediate (``localCheckpoint``, pinning
     both passes to one partitioning) is the slim projection.
+
+    ``token_counter`` (r11) plugs the counting tier in: any
+    Column-producing callable ``col -> Column`` applied to ``text_col``
+    to (re)compute ``tokens_col`` before budgeting — pass
+    ``functions.bpe_ish_token_count`` for the cheap JVM regex estimate,
+    :func:`~datamunging_spark.operators.bpe.bpe_token_counter` for true
+    byte-level BPE counts from a merges file, or a tiktoken/HF-backed
+    UDF where those exist. Default None = ``tokens_col`` is already
+    present. The slim-projection shape is counter-agnostic: the counter
+    runs once inside pass (1)'s projection scan.
     """
     if not order_cols:
         raise ValueError(
             "order_cols is required and must uniquely order rows "
             "(append an id column as tiebreak)"
         )
+    if token_counter is not None:
+        df = df.withColumn(tokens_col, token_counter(text_col))
     kept_keys = (
         _global_running_sum(df, tokens_col, order_cols)
         .filter(F.col("_run") <= F.lit(budget))

@@ -259,6 +259,7 @@ def streaming_ingest(
     span: bool = False,
     span_kwargs: dict | None = None,
     snapshots_keep_last: int | None = None,
+    span_base_every: int | None = 64,
     **ingest_kwargs,
 ):
     """Continuous-ingest loop on Structured Streaming via ``foreachBatch``:
@@ -327,17 +328,25 @@ def streaming_ingest(
     Loading reconstructs by unioning the newest FULL base (a version
     carrying ``span_fps``/``span_texts``) with every later committed
     version's deltas — old-layout stores, whose every version is a full
-    base, reload unchanged. Without retention no bases are ever written
-    (a pure delta log). With ``snapshots_keep_last=K`` a full base is
-    compacted in every K-th fold (first fold included), which guarantees
-    the retained tail-K window always contains the base the deltas after
-    it need — vacuum can then delete older versions without orphaning
-    state; ``snapshots_keep_last=1`` degenerates to the pre-r9
-    full-rewrite-per-version behavior. Base-vs-delta is decided
+    base, reload unchanged. A full base is compacted every
+    ``min(snapshots_keep_last, span_base_every)``-th fold (first fold
+    included): the retention cadence guarantees the retained tail-K
+    window always contains the base the deltas after it need — vacuum
+    can then delete older versions without orphaning state
+    (``snapshots_keep_last=1`` degenerates to the pre-r9
+    full-rewrite-per-version behavior) — while ``span_base_every``
+    (r11, default 64) bounds the reconstruction lineage INDEPENDENT of
+    retention: without it a retention-free store is a pure delta log
+    whose restart reload unions EVERY committed version — an
+    operational footgun for long-lived streams (r9 ADVICE). Set
+    ``span_base_every=None`` to opt back into the pure delta log,
+    accepting O(total folds) reload lineage; the base write itself
+    costs one full span-state rewrite per cadence window (amortized:
+    1/``span_base_every`` extra state writes). Base-vs-delta is decided
     deterministically from the committed store, so torn-crash replays
     converge (stale files from the other mode are deleted before the
-    write — changing ``snapshots_keep_last`` across a restart cannot
-    resurrect a torn base).
+    write — changing ``snapshots_keep_last``/``span_base_every`` across
+    a restart cannot resurrect a torn base).
 
     **Retention** (``snapshots_keep_last``): every version holds the
     full exact/fuzzy snapshot pair (slim) plus the span delta; set
@@ -353,6 +362,10 @@ def streaming_ingest(
         write_snapshots,
     )
 
+    if span_base_every is not None and span_base_every < 1:
+        raise ValueError(
+            f"span_base_every must be >= 1 or None, got {span_base_every}"
+        )
     start = snapshots if snapshots is not None else Snapshots(None, None)
     spark = docs_stream.sparkSession
     state = {
@@ -505,9 +518,17 @@ def streaming_ingest(
                 # OTHER mode (a torn attempt under a different
                 # snapshots_keep_last) are deleted so reconstruction can
                 # never pick up a gutted base.
-                make_base = snapshots_keep_last is not None and (
+                cadence = min(
+                    (
+                        c
+                        for c in (snapshots_keep_last, span_base_every)
+                        if c is not None
+                    ),
+                    default=None,
+                )
+                make_base = cadence is not None and (
                     state["since_base"] == 0
-                    or state["since_base"] + 1 >= snapshots_keep_last
+                    or state["since_base"] + 1 >= cadence
                 )
                 if make_base:
                     _delete_subdirs(

@@ -1205,14 +1205,15 @@ def test_streaming_ingest_span_torn_version_replay_converges(
 
 
 def test_streaming_ingest_span_state_is_delta_log(spark, tmp_path):
-    """r9 bounded span state: without retention every version persists
-    ONLY the batch's increment (span_*_delta, one survivor row here) and
-    never a full base — per-fold disk tracks batch size, not corpus
-    size — and a restarted run reconstructs the full span history by
-    unioning the delta chain (the late batch still loses its span to a
-    doc from batch 0). With snapshots_keep_last=2 a FULL base is
-    compacted on the cadence, vacuum retires old deltas, and the state
-    still cuts after the vacuum."""
+    """r9 bounded span state: with span_base_every=None (pure delta
+    log) every version persists ONLY the batch's increment
+    (span_*_delta, one survivor row here) and never a full base —
+    per-fold disk tracks batch size, not corpus size — and a restarted
+    run reconstructs the full span history by unioning the delta chain
+    (the late batch still loses its span to a doc from batch 0). With
+    snapshots_keep_last=2 a FULL base is compacted on the cadence,
+    vacuum retires old deltas, and the state still cuts after the
+    vacuum."""
     from datamunging_spark.sources.versioned import COMMIT_MARKER
     from datamunging_spark.streaming import streaming_ingest
 
@@ -1245,6 +1246,7 @@ def test_streaming_ingest_span_state_is_delta_log(spark, tmp_path):
     streaming_ingest(
         stream(), survivors_path=out, checkpoint_path=ckpt,
         snapshots_path=snaps, threshold=0.9, span=True,
+        span_base_every=None,
     )
     vdirs = sorted(
         p for p in (tmp_path / "d_snaps").iterdir() if p.name[0] == "v"
@@ -1311,3 +1313,71 @@ def test_maybe_parquet_missing_is_none_corrupt_raises(spark, tmp_path):
         raised = True
     # silently-None (or silently-readable) is exactly the regression
     assert raised, "corrupt span-state dir did not raise"
+
+
+def test_streaming_ingest_span_base_cadence_without_retention(
+    spark, tmp_path
+):
+    """r9 ADVICE (fixed r11): snapshots_keep_last=None no longer means
+    unbounded reload lineage — span_base_every compacts a full base on
+    its own cadence (default 64; 3 here), so restart reconstruction
+    unions at most one base + the deltas after it. With cadence 3 over
+    three folds: v0 base (first fold), v1 delta-only, v2 base again;
+    a fourth batch restarts from the v2 base + nothing and still cuts."""
+    from datamunging_spark.streaming import streaming_ingest
+
+    S = "cadence boilerplate sentence that repeats verbatim everywhere!!"
+    src = tmp_path / "cad_src"
+    src.mkdir()
+    docs = [
+        (1, "first unique doc body here. " * 3 + S),
+        (10, "second doc some other text. " * 3),
+        (20, "third doc more different text. " * 3),
+    ]
+    for i, (did, t) in enumerate(docs):
+        spark.createDataFrame([(did, t)], ["doc_id", "text"]).coalesce(
+            1
+        ).write.parquet(str(src / f"f{i}"))
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+
+    out, ckpt, snaps = (
+        str(tmp_path / "c_surv"),
+        str(tmp_path / "c_ckpt"),
+        str(tmp_path / "c_snaps"),
+    )
+    streaming_ingest(
+        stream(), survivors_path=out, checkpoint_path=ckpt,
+        snapshots_path=snaps, threshold=0.9, span=True,
+        span_base_every=3,
+    )
+    vdirs = sorted(
+        p for p in (tmp_path / "c_snaps").iterdir() if p.name[0] == "v"
+    )
+    assert len(vdirs) == 3
+    assert (vdirs[0] / "span_fps").exists()  # first fold: base
+    assert not (vdirs[0] / "span_fps_delta").exists()
+    assert (vdirs[1] / "span_fps_delta").exists()  # mid-window: delta
+    assert not (vdirs[1] / "span_fps").exists()
+    assert (vdirs[2] / "span_fps").exists()  # cadence hit: base again
+    assert not (vdirs[2] / "span_fps_delta").exists()
+    # restart reconstructs from the newest base alone and still cuts
+    spark.createDataFrame(
+        [(30, "fourth doc late arrival. " * 3 + S)], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(str(src / "f3"))
+    streaming_ingest(
+        stream(), survivors_path=out, checkpoint_path=ckpt,
+        snapshots_path=snaps, threshold=0.9, span=True,
+        span_base_every=3,
+    )
+    surv = {r.doc_id: r.text for r in spark.read.parquet(out).collect()}
+    assert surv[1].endswith(S) and S not in surv[30]
+    import pytest
+
+    with pytest.raises(ValueError, match="span_base_every"):
+        streaming_ingest(stream(), span=True, span_base_every=0)

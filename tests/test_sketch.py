@@ -1107,3 +1107,54 @@ def test_grouped_passes_consolidate_na_key_across_batches():
     qn = qout[qout["meta"] == _META_N]
     assert len(qn) == 1
     assert qn["cnt"].tolist() == [3]
+
+
+def test_grouped_faces_reject_float_double_keys(spark):
+    """r9 ADVICE (fixed r11): a float/double grouping key can carry NaN,
+    which the Arrow passes' _norm_key would fold into the NULL group —
+    diverging from Spark groupBy (NaN is its own group) and from the
+    exact faces. Every public grouped face fails fast instead; the cast
+    to a discrete type is the caller's explicit choice."""
+    from datamunging_spark.operators.sketch import (
+        grouped_hh_summary,
+        grouped_quantile_summary,
+        merge_grouped_hh_summaries,
+        merge_grouped_quantile_summaries,
+    )
+
+    df = spark.createDataFrame(
+        [(1.5, "x", 1.0), (float("nan"), "y", 2.0), (None, "y", 3.0)],
+        "fkey double, skey string, v double",
+    )
+    for face in (
+        lambda: grouped_quantile_summary(df, ["fkey"], "v", k=4),
+        lambda: grouped_hh_summary(df, ["fkey"], "skey", k=4),
+        lambda: grouped_quantile_summary(
+            df.withColumn("fkey", F.col("fkey").cast("float")),
+            ["fkey"], "v", k=4,
+        ),
+        # mixed key list: the float member alone must trip it
+        lambda: grouped_hh_summary(df, ["skey", "fkey"], "v", k=4),
+    ):
+        with pytest.raises(ValueError, match="float/double grouping"):
+            face()
+    # merge faces reject a hand-built summary with a float key column
+    qsum = grouped_quantile_summary(
+        df.withColumn("k2", F.col("fkey").cast("string")), ["k2"], "v", k=4
+    )
+    bad = qsum.withColumn("k2", F.col("k2").cast("double"))
+    with pytest.raises(ValueError, match="float/double grouping"):
+        merge_grouped_quantile_summaries(bad, None, ["k2"], k=4)
+    hsum = grouped_hh_summary(
+        df.withColumn("k2", F.col("fkey").cast("string")), ["k2"], "skey",
+        k=4,
+    )
+    hbad = hsum.withColumn("k2", F.col("k2").cast("double"))
+    with pytest.raises(ValueError, match="float/double grouping"):
+        merge_grouped_hh_summaries(hbad, None, ["k2"], k=4)
+    # the discrete-key path (the documented recourse) still works and
+    # keeps NaN distinct from NULL: cast-to-string labels NaN "NaN"
+    cast = df.withColumn("kc", F.col("fkey").cast("string"))
+    rep = grouped_quantile_summary(cast, ["kc"], "v", k=8)
+    labels = {r["kc"] for r in rep.select("kc").distinct().collect()}
+    assert "NaN" in labels and None in labels  # distinct groups survive

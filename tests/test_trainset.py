@@ -463,3 +463,191 @@ def test_temperature_mix_shares(spark):
 
     with pytest.raises(ValueError):
         temperature_mix(df, temperature=0.0)
+
+
+# --- byte-level BPE tier (r11: the real-tokenizer token-counting gap) ---
+
+
+def test_bpe_trainer_closed_form():
+    """Sennrich greedy loop, hand-computed: 'aa aa aa' has pair ('a','a')
+    at freq 3 and ('Ġ','a') at 2, so merge 1 is ('a','a'); after it the
+    only pair left is ('Ġ','aa')."""
+    from datamunging_spark.operators.bpe import bpe_train
+
+    assert bpe_train(["aa aa aa"], 2) == [("a", "a"), ("Ġ", "aa")]
+    # ties break lexicographically: 'ab cd' -> all pairs freq 1, and
+    # ('Ġ','c') < ('a','b') < ('c','d') in the byte-unicode alphabet
+    # ordering of tuples
+    m = bpe_train(["ab cd"], 1)
+    assert m == [min([("a", "b"), ("Ġ", "c"), ("c", "d")])]
+
+
+def test_bpe_apply_closed_form():
+    """Greedy apply, hand-computed: ranks [ab, abc] tokenize 'abc abc'
+    into 3 tokens ('abc', 'Ġ', 'abc' — the leading-space pretoken maps
+    space to Ġ which never merges here)."""
+    from datamunging_spark.operators.bpe import bpe_encode, merges_to_ranks
+
+    ranks = merges_to_ranks([("a", "b"), ("ab", "c")])
+    assert bpe_encode("abc abc", ranks) == ["abc", "Ġ", "abc"]
+    # lowest-RANK pair merges first even when a later pair appears
+    # earlier in the string: with ranks [bc, ab], 'abc' -> a + bc
+    ranks2 = merges_to_ranks([("b", "c"), ("a", "b")])
+    assert bpe_encode("abc", ranks2) == ["a", "bc"]
+    # unranked pairs never merge; every byte still tokenizes
+    assert bpe_encode("xyz", merges_to_ranks([])) == ["x", "y", "z"]
+
+
+def test_bpe_fixture_regenerates_bit_identical():
+    """The committed merges fixture IS bpe_train(fixture_corpus(), 512)
+    — regeneration determinism is the fixture's whole contract."""
+    from datamunging_spark.operators.bpe import (
+        bpe_train,
+        fixture_corpus,
+        load_fixture_merges,
+    )
+
+    assert bpe_train(fixture_corpus(), 512) == load_fixture_merges()
+
+
+def test_bpe_bytes_to_unicode_reversible():
+    from datamunging_spark.operators.bpe import bytes_to_unicode
+
+    b2u = bytes_to_unicode()
+    assert len(b2u) == 256 and len(set(b2u.values())) == 256
+    assert b2u[ord("a")] == "a" and b2u[ord(" ")] == "Ġ"
+
+
+def test_bpe_token_counter_matches_driver_encode(spark):
+    """The distributed Arrow counter returns exactly
+    len(bpe_encode(text)) per row (NULL -> NULL), on ascii, unicode and
+    empty strings — the broadcast/memoized path is the same math as the
+    driver helper."""
+    from datamunging_spark.operators.bpe import (
+        bpe_encode,
+        bpe_token_counter,
+        load_fixture_merges,
+        merges_to_ranks,
+    )
+
+    merges = load_fixture_merges()
+    ranks = merges_to_ranks(merges)
+    texts = [
+        "the quick brown fox jumps over the lazy dog.",
+        "naïve café — déjà vu!",
+        "",
+        None,
+        "numbers 123 4567 and mixed a1b2c3",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    counter = bpe_token_counter(spark, merges)
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", counter("text").alias("n")).collect()
+    }
+    for i, t in enumerate(texts):
+        expect = None if t is None else len(bpe_encode(t, ranks))
+        assert got[i] == expect, (i, t, got[i], expect)
+    # the estimator lower-bounds the real count (one "token" per
+    # pretoken vs >= 1 BPE token per pretoken)
+    from datamunging_spark.functions import bpe_ish_token_count
+
+    both = df.filter(F.col("text").isNotNull()).select(
+        counter("text").alias("bpe"),
+        bpe_ish_token_count("text").alias("est"),
+    )
+    assert both.filter(F.col("bpe") < F.col("est")).count() == 0
+
+
+def test_token_counter_seam_in_budget_and_packing(spark):
+    """take_token_budget/pack_sequences accept token_counter= and
+    budget/pack in REAL BPE tokens: the kept prefix and bin loads obey
+    the counter's numbers, not the regex estimate's."""
+    from datamunging_spark.operators.bpe import (
+        bpe_encode,
+        bpe_token_counter,
+        load_fixture_merges,
+        merges_to_ranks,
+    )
+    from datamunging_spark.operators.trainset import (
+        pack_sequences,
+        take_token_budget,
+    )
+
+    merges = load_fixture_merges()
+    ranks = merges_to_ranks(merges)
+    texts = [
+        (0, "the quick brown fox. "),
+        (1, "byte pair encoding merges frequent pairs. "),
+        (2, "completely unseen zebra quagga xylophone!"),
+        (3, "the the the the the"),
+    ]
+    counts = {i: len(bpe_encode(t, ranks)) for i, t in texts}
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    counter = bpe_token_counter(spark, merges)
+
+    budget = counts[0] + counts[1]  # exactly two docs in doc_id order
+    kept = take_token_budget(
+        df, budget, order_cols=["doc_id"], token_counter=counter
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1]
+
+    packed = pack_sequences(
+        df, max_len=max(counts.values()), num_groups=1,
+        token_counter=counter,
+    )
+    rows = packed.collect()
+    assert {r["doc_id"]: r["n_tokens"] for r in rows} == counts
+    per_bin: dict = {}
+    for r in rows:
+        per_bin.setdefault(r["bin_id"], []).append(r)
+    for b, rs in per_bin.items():
+        assert sum(r["n_tokens"] for r in rs) == rs[0]["bin_tokens"]
+        assert rs[0]["bin_tokens"] <= max(counts.values())
+
+
+def test_bpe_tiktoken_golden(spark):
+    """Golden seam (importorskip, like the NER/PIL seams — tiktoken is
+    not in this container): where tiktoken IS available, a
+    tiktoken-backed counter plugs into the same token_counter= seam and
+    its counts match driver-side enc.encode lengths exactly."""
+    tiktoken = pytest.importorskip("tiktoken")
+    try:
+        enc = tiktoken.get_encoding("gpt2")
+    except Exception as e:  # vocab fetch needs network
+        pytest.skip(f"tiktoken vocab unavailable: {e}")
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    from datamunging_spark.operators.trainset import take_token_budget
+
+    def tiktoken_counter(col):
+        @pandas_udf(T.LongType())
+        def count(s):
+            return pd.Series(
+                [None if t is None else len(enc.encode(t)) for t in s],
+                dtype="object",
+            )
+
+        return count(F.col(col) if isinstance(col, str) else col)
+
+    texts = [(0, "hello world"), (1, "the quick brown fox"), (2, None)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", tiktoken_counter("text").alias("n")
+        ).collect()
+    }
+    for i, t in texts:
+        assert got[i] == (None if t is None else len(enc.encode(t)))
+    kept = take_token_budget(
+        df.filter(F.col("text").isNotNull()),
+        len(enc.encode("hello world")),
+        order_cols=["doc_id"],
+        token_counter=tiktoken_counter,
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [0]
