@@ -23,11 +23,15 @@ value hashing. Two build strategies (``bloom_build(method=...)``):
   batch touches), and Spark's partial hash aggregation keeps OR-ing
   those across batches map-side in Tungsten-managed, SPILLABLE memory
   — per-map-task memory is the agg hash map, never the bitmap. The
-  word agg shuffles ≤ distinct-nonzero-words × 16 B (≈ bitmap/4 bytes
-  for an optimally-sized filter — ~20× less than the old
-  row-per-position emit); a second word-count-sized exchange regroups
-  words by chunk, where the pack group is ≤ chunk_bytes/8 rows ≈ 2×
-  chunk bytes — the reduce bound really is chunk-sized now. For the
+  word agg shuffles ≤ min(positions, distinct nonzero words) × 16 B
+  PER MAP TASK — the reduction vs the old row-per-position emit grows
+  with task size (measured, SCALE.md r11: 1.9× at local 500k-row
+  tasks, which saturate the word table; →47× at this density as tasks
+  approach production 128 MB splits); a second word-count-sized
+  exchange regroups words by chunk, where the pack group is ≤
+  chunk_bytes/8 rows ≈ 2× chunk bytes — the reduce bound really is
+  chunk-sized now (measured: max group 34.8 M → 1.05 M rows at 16 M
+  keys), which is the bound that kept dense chunks from OOMing. For the
   1e9-key / 1% fpp (~1.2 GB) filter this is the memory-safe build —
   and it also beats local's shuffle volume there (local ships
   partitions × live chunks × chunk_bytes, which exceeds the word table
@@ -119,6 +123,61 @@ def bloom_params(num_items: int, fpp: float) -> tuple[int, int]:
 #: build (per-task memory = full bitmap) to the position-shuffle build
 #: (per-task memory = one chunk).
 _LOCAL_BUILD_MAX_BYTES = 128 << 20
+
+_WORD_SCHEMA = T.StructType(
+    [
+        T.StructField("word_id", T.LongType()),
+        T.StructField("word", T.LongType()),
+    ]
+)
+
+
+def _emit_words_fn(k: int, m: int):
+    """Map-side pre-OR, level 1 of 2 (the r8-ADVICE design): per Arrow
+    batch, positions collapse into per-64-bit-WORD partial ORs
+    (sort + reduceat — one row per distinct word touched by the batch,
+    never one per position). Level 2 is Spark's own partial hash
+    aggregation on the bit_or downstream, which keeps OR-ing these
+    across batches map-side in Tungsten-managed (spillable) memory. The
+    shuffle then carries min(positions-in-task, distinct words touched
+    by the task) rows × 16 B per map task, so the reduction vs the old
+    row-per-position emit GROWS WITH TASK SIZE and saturates at one row
+    per nonzero bitmap word per task. Measured at 16M keys / 19 MB
+    bitmap (SCALE.md r11 table): with local 500k-row tasks the tasks
+    sit near word saturation, so 58.9 M rows actually shuffle vs the
+    old emit's 112 M — 1.9× here, approaching m/64 rows per task (47×
+    at this density) at production 128 MB splits. The unconditional
+    win is the REDUCE bound: one chunk's group is its ≤ words_per_chunk
+    nonzero words — measured max group 1.05 M rows (17 MB) vs the old
+    grouping's 34.8 M position rows (556 MB), which is what made dense
+    chunks OOM-prone before r10. Module-level so
+    tools/measure_bloom_build.py can drive the REAL emit path and read
+    its runtime shuffle metrics."""
+
+    def emit_words(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pos = _positions(
+                pdf["_h"].to_numpy(np.int64).view(np.uint64), k, m
+            ).ravel()
+            wid = pos >> np.uint64(6)
+            bit = np.uint64(1) << (pos & np.uint64(63))
+            order = np.argsort(wid, kind="stable")
+            wid, bit = wid[order], bit[order]
+            uniq, starts = np.unique(wid, return_index=True)
+            ors = np.bitwise_or.reduceat(bit, starts)
+            yield pd.DataFrame(
+                {
+                    "word_id": uniq.astype(np.int64),
+                    "word": ors.view(np.int64),
+                }
+            )
+
+    return emit_words
 
 
 def bloom_build(
@@ -213,46 +272,7 @@ def bloom_build(
             yield pd.DataFrame({"chunk_id": ids, "bits": bufs})
 
     words_per_chunk = chunk // 8
-    word_schema = T.StructType(
-        [
-            T.StructField("word_id", T.LongType()),
-            T.StructField("word", T.LongType()),
-        ]
-    )
-
-    def emit_words(batches):
-        # Map-side pre-OR, level 1 of 2 (the r8-ADVICE design): per
-        # Arrow batch, positions collapse into per-64-bit-WORD partial
-        # ORs (sort + reduceat — one row per distinct word touched by
-        # the batch, never one per position). Level 2 is Spark's own
-        # partial hash aggregation on the bit_or below, which keeps
-        # OR-ing these across batches map-side in Tungsten-managed
-        # (spillable) memory. The shuffle then carries at most
-        # min(distinct nonzero words, what partial agg held) × 16 B —
-        # for an optimally-sized filter (m ≈ 9.6·n at 1% fpp) that is
-        # ~m/64 × 16 B ≈ bitmap/4 bytes, vs num_items·k position rows
-        # (~7n × 12 B) for the old row-per-position emit: ~20× less.
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            pos = _positions(
-                pdf["_h"].to_numpy(np.int64).view(np.uint64), k, m
-            ).ravel()
-            wid = pos >> np.uint64(6)
-            bit = np.uint64(1) << (pos & np.uint64(63))
-            order = np.argsort(wid, kind="stable")
-            wid, bit = wid[order], bit[order]
-            uniq, starts = np.unique(wid, return_index=True)
-            ors = np.bitwise_or.reduceat(bit, starts)
-            yield pd.DataFrame(
-                {
-                    "word_id": uniq.astype(np.int64),
-                    "word": ors.view(np.int64),
-                }
-            )
+    emit_words = _emit_words_fn(k, m)
 
     def pack_chunk(key, pdf):
         # One group = the NONZERO words of one chunk: ≤ words_per_chunk
@@ -294,7 +314,7 @@ def bloom_build(
         )
     else:
         merged = (
-            hashes.mapInPandas(emit_words, word_schema)
+            hashes.mapInPandas(emit_words, _WORD_SCHEMA)
             .groupBy("word_id")
             .agg(F.bit_or("word").alias("word"))
             .withColumn(

@@ -39,6 +39,8 @@ QUERIES = [
     "x1_strip_boilerplate",
     "x4_lang_model",
     "x8_quantiles",
+    # r11 addition (grouped sketch faces)
+    "x8_grouped_sketch",
 ]
 
 

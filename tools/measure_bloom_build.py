@@ -16,7 +16,10 @@ mid-size build (16M keys, 1% fpp):
   groups (the new reduce bound);
 - build walls for method='local' vs 'shuffle' + digest equality.
 
-Usage: python tools/measure_bloom_build.py [n_keys]
+Usage: SPARK_GRAFT_DRIVER_MEM=48g python tools/measure_bloom_build.py [n_keys]
+(the OLD-shape stats replay materializes per-position rows, which at
+16M keys OOMs the default 8 g local heap — the old design failing its
+own probe; the real build needs no such headroom)
 """
 
 from __future__ import annotations
@@ -120,6 +123,26 @@ def main() -> None:
         f"{pc['word']['total_distinct']:,} | "
         f"{pc['word']['max_group']:,} | "
         f"~{pc['word']['max_group'] * 16 / 1e6:.0f} MB |"
+    )
+
+    # the REAL word-agg emit path (bloom._emit_words_fn), runtime
+    # shuffle metrics read off the executed plan: this is the number of
+    # rows that ACTUALLY shuffle after Spark's map-side partial bit_or
+    # agg (level 2 of the pre-OR), vs the per-batch emissions above
+    from datamunging_spark.operators.bloom import _WORD_SCHEMA, _emit_words_fn
+    from datamunging_spark.plans import executed_plan_rows
+
+    word_agg = (
+        hashes.mapInPandas(_emit_words_fn(k, m), _WORD_SCHEMA)
+        .groupBy("word_id")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    wr = executed_plan_rows(word_agg)
+    print(
+        f"word-agg REAL shuffle records (post partial agg): "
+        f"{sum(wr['shuffle_rows']):,} "
+        f"(vs {new_rows:,} per-batch emissions, {old_rows:,} old "
+        f"position rows)"
     )
 
     walls = {}
