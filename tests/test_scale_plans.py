@@ -422,3 +422,28 @@ def test_quantile_summary_never_sorts_or_shuffles_the_data_column(
     tree = plan.split("\n\n")[0]
     below_arrow = tree.split("MapInPandas")[-1]
     assert "Exchange" not in below_arrow
+
+
+def test_executed_plan_rows_reads_runtime_metrics(spark, tables):
+    """r11 rows-class machinery: executed_plan_rows executes the plan
+    JVM-side and reads real shuffle/broadcast/scan row metrics off the
+    AQE-finalized tree — the numbers PLAN_AUDIT's measured rows-class
+    column is built from."""
+    from datamunging_spark.plans import executed_plan_rows
+
+    agg = tables["lineitem"].groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    r = executed_plan_rows(agg)
+    # one shuffle carrying the partial-agg rows: a handful of flag
+    # groups per input partition — summary-sized vs the corpus scan
+    assert len(r["shuffle_rows"]) == 1
+    corpus = max(r["scan_rows"])
+    assert corpus == tables["lineitem"].count()
+    assert 0 < r["shuffle_rows"][0] < 0.05 * corpus
+    # broadcast join: the dim side's rows appear as broadcast_rows
+    rj = executed_plan_rows(tables["supplier"].join(
+        F.broadcast(tables["nation"]),
+        tables["supplier"].s_nationkey == tables["nation"].n_nationkey,
+    ))
+    assert 25 in rj["broadcast_rows"]

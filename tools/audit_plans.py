@@ -93,7 +93,107 @@ class _CheckpointAudit:
 # global dedup must hash-partition the corpus once; a sort-based sink
 # must range-partition it) and the row count shrinks monotonically
 # downstream.
-_JUSTIFY: dict[str, str] = {}
+_JUSTIFY: dict[str, str] = {
+    # NB on reading C/M at sf0.01: the ratio is a GROWTH PROXY (rows
+    # proportional to the corpus scan), not a byte measure — several
+    # entries below are C/M only because a contract-BOUNDED constant
+    # (k·probes, k-capped vocab, partitions×(k+2) sketch rows) exceeds
+    # 5% of a 500-row corpus. Each note says which case it is.
+    "window_topk": "per-key window: ONE hash exchange of slim order "
+    "rows by the window key is the operator's contract; AQE coalesced "
+    "to 4.5k candidate rows here.",
+    "x1_simhash": "banded fingerprint equi-join: rows = docs × bands "
+    "(~54/doc), SLIM (hash,id) pairs — the 'only fp tables move' "
+    "design; bytes ≪ text payload.",
+    "x1_ngram_jaccard": "gram-key equi-join: fp rows = docs × grams, "
+    "slim hashes; same fp-table class as simhash.",
+    "x1_span_dedup": "winnowing fp equi-join + pair-local extension: "
+    "max exchange 9.7k fp rows vs 10.1k-row corpus scan, but rows are "
+    "(fp,id) hashes — text is fetched per-candidate only.",
+    "x1_incremental_span": "the r9-flagged composite, now MEASURED: 22 "
+    "runtime exchanges, max 2,074 rows — every one fp/summary-sized "
+    "(batch fps, snapshot advance deltas, candidate ids); the "
+    "corpus-text table never shuffles. Retired to documented floor "
+    "(SCALE.md r11 phase attribution).",
+    "x2_topk_cosine": "bounded-by-contract result rows (k × probes = "
+    "25): constant, not corpus-proportional — tiny-corpus ratio "
+    "artifact.",
+    "x2_ann_lsh": "bucketed candidate join: rows ≤ probes × tables × "
+    "bucket cap (1.6k) — valve-bounded constant, not corpus growth.",
+    "x2_ann_ivf": "k × probes result rows (25) — constant by contract.",
+    "x2_pq_topk": "ADC distance-table rows (constant per probe).",
+    "r33_tfidf": "(doc, term) postings aggregate: term-stat counting "
+    "is relational by design; slim token rows, partial-agg collapsed.",
+    "sessionize_events": "ONE hash exchange of events by user is "
+    "sessionization's contract (gap windowing needs per-user "
+    "co-location); rows are slim event keys.",
+    "asof_join": "range-bucket replicas (span/width+1 per interval) — "
+    "the documented banded shape; 4k rows on a 10k scan.",
+    "x_curation_full": "dedup composite: md5 content keys + band "
+    "signatures (≤ docs rows each, slim) — the exchanges ARE the "
+    "dedup keys, never the text.",
+    "x5_decontaminate": "corpus gram postings vs broadcast benchmark "
+    "grams: gram rows are slim hashes, linear in tokens; the probe "
+    "side is the broadcast.",
+    "x5_train_shuffle": "the range exchange IS the operator "
+    "(deterministic training shuffle must move every row exactly "
+    "once) — contract.",
+    "x5_pack_sequences": "hash-group exchange of SLIM (id, n_tokens) "
+    "pairs — the payload never moves (docstring contract).",
+    "x5_token_budget": "two-pass distributed prefix sum exchanges the "
+    "slim (order, tokens) projection only — payload untouched.",
+    "x1_paragraph_dedup": "paragraph-hash key rows (slim md5), ≤ "
+    "paragraph count.",
+    "x1_incremental_dedup": "band-signature rows (docs × bands, slim "
+    "hashes; 21.8k on 500 docs) + summary-sized snapshot advance; "
+    "history participates exchange-free by design.",
+    "x1_ingest_cycle": "same plan as x1_incremental_dedup + "
+    "roll-forward — same fp-table classes.",
+    "x1_url_dedup": "url key rows (slim strings), ≤ docs.",
+    "x4_gopher_gates": "(doc, line/gram) postings aggregates: per-doc "
+    "distinct-gram counting is deliberately relational (docstring: "
+    "the never-quadratic shape; a per-row HOF loop would be O(g²)); "
+    "rows are slim gram hashes, linear in tokens, partial-agg "
+    "collapsed — 77.5k gram rows ≈ 155/doc.",
+    "x4_doc_quality": "composes gopher + LM suites — union of their "
+    "postings/term exchanges; same slim-token-row class.",
+    "x4_bigram_lm": "bigram postings + per-language term tables — "
+    "slim token rows, linear; corpus totals ride 1-row broadcasts.",
+    "x4_lm_quality": "unigram term postings — same class.",
+    "x4_census": "group-count by (lang, source): one partial-agg "
+    "exchange of ≤ docs slim key rows — plain grouped aggregation.",
+    "x4_vocab": "k-capped vocabulary rows (31) — constant by contract.",
+    "x1_semantic_dedup": "embedding-vector rows to KMeans fit (capped "
+    "sample) + cell assignments: the vectors ARE this operator's "
+    "corpus; within-cell-only joins keep it sub-quadratic; fit "
+    "amortizable.",
+    "gap_fill": "range exchange sized by the OUTPUT grid (14.6k) — "
+    "gap-fill's floor is its output size (SCALE.md).",
+    "x6_entity_resolution": "blocking keys + sorted-neighborhood "
+    "range exchange of slim attribute rows — co-location is the "
+    "blocking contract.",
+    "x6_er_pipeline": "full ER composite: blocking/SNM/survivorship "
+    "stages each exchange slim key/attr rows once (3k max on 3k "
+    "scan).",
+    "x6_snapshot_history": "SCD-2 build: version×key slim rows (4.5k "
+    "= 3 versions × 1.5k keys) — history table construction must "
+    "co-locate by key.",
+    "x6_scd2_apply": "CDC merge exchanges key rows once — merge "
+    "contract.",
+    "x6_extract_changelog": "snapshot diff joins by key (1.5k slim "
+    "rows) — contract.",
+    "x7_event_suite": "funnel/retention per-user slim rows, one "
+    "shuffle each by design (749 max).",
+    "x8_heavy_hitters": "summary rows ≤ partitions × (k+2) — "
+    "constant-bounded sketch state; ratio artifact (33 rows).",
+    "x8_distinct_users": "per-key HLL sketch rows (750) — "
+    "summary-sized by construction.",
+    "x8_grouped_sketch": "per-key summary rows (keys × (k+2) / "
+    "compactor levels) + report-sized recount probes — "
+    "summary-sized by construction.",
+    "x1_strip_boilerplate": "mined template/fp rows (195 max) — "
+    "report-sized.",
+}
 
 
 def main() -> None:
@@ -115,6 +215,9 @@ def main() -> None:
         "x5_decontaminate's capped substring-probe anti-join,",
         "x8_heavy_hitters' 1-row error/total meta broadcast,",
         "x8_quantiles' |qs|-row recount probe + 1-row mass broadcast,",
+        "x8_grouped_sketch's summary-sized per-key rank-probe join",
+        "(grouped_quantile_report: key-equality + rank range — both",
+        "sides ≤ keys×|qs| / summary rows),",
         "and x1_strip_boilerplate's 1-row corpus-count broadcast +",
         "max_templates-bounded template verify/strip broadcasts).",
         "Composites that materialize eagerly during construction",
@@ -140,9 +243,14 @@ def main() -> None:
         "('composites shuffle only fp/summary tables') is auditable",
         "per exchange from measurement, not assertion. Runtime exchange",
         "count can sit below the static column (AQE reuse/coalesce;",
-        "reused exchanges counted once where they materialized). C/M",
-        "exchanges in corpus-order composites are justified below the",
-        "table.",
+        "reused exchanges counted once where they materialized).",
+        "Caveat: the ratio is a GROWTH PROXY (row-proportionality to",
+        "the corpus), not a byte measure — at sf0.01 a contract-bounded",
+        "constant (k·probes, sketch summaries) can exceed 5% of a",
+        "500-row corpus and read as C/M, and slim fingerprint tables",
+        "(docs × bands hashes) are corpus-LINEAR by design while",
+        "carrying a small fraction of the bytes. Every C/M entry is",
+        "therefore justified below the table, saying which case it is.",
         "",
         "| query | shuffles | broadcasts | cartesian-class | ckpt stages"
         " | rows-class (measured) |",

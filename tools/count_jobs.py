@@ -11,7 +11,8 @@ is submitted as its own job, so the count ≈ scheduled stages — which is
 the right unit anyway: each carries the local fixed overhead, and each
 would be a real stage boundary on a cluster.
 
-Usage: python tools/count_jobs.py [sf_dir]  (default /root/testdata/sf0.1)
+Usage: python tools/count_jobs.py [sf_dir] [query ...]
+(default /root/testdata/sf0.1, all QUERIES)
 """
 
 from __future__ import annotations
@@ -46,13 +47,14 @@ QUERIES = [
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = sys.argv[2:]
     spark = get_spark("job-count")
     spark.sparkContext.setLogLevel("ERROR")
     tracker = spark.sparkContext.statusTracker()
     entrymod.q_r13_count(spark, sf_dir).count()  # warm
     print("| query | jobs | wall (s) |")
     print("|---|---|---|")
-    for name in QUERIES:
+    for name in (only or QUERIES):
         fn = getattr(entrymod, f"q_{name}")
         before = set(tracker.getJobIdsForGroup(None))
         t0 = time.perf_counter()
