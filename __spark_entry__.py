@@ -2402,27 +2402,45 @@ def q_x8_grouped_sketch(spark, sf_dir):
     hh = grouped_heavy_hitters(
         words, ["lang"], "word", k=k_hh, min_share=0.002
     ).localCheckpoint()  # report feeds probe + output join
+    # recounts join NULL-SAFE on the key (NULL keys are real groups in
+    # the grouped faces — a plain equi-join would leave their _exact
+    # NULL and false-fail bracket_ok; r11 review catch)
     exact_hh = (
         words.select("lang", F.col("word").alias("value"))
-        .join(F.broadcast(hh.select("lang", "value")), ["lang", "value"])
-        .groupBy("lang", "value")
+        .alias("w")
+        .join(
+            F.broadcast(hh.select("lang", "value").alias("p")),
+            F.col("w.lang").eqNullSafe(F.col("p.lang"))
+            & (F.col("w.value") == F.col("p.value")),
+        )
+        .groupBy("w.lang", "w.value")
         .agg(F.count(F.lit(1)).alias("_exact"))
     )
-    hh_rows = hh.join(exact_hh, ["lang", "value"], "left").select(
-        F.lit("hh").alias("face"),
-        F.col("lang").alias("key"),
-        F.col("value").alias("item"),
-        F.col("count_lo").cast("double").alias("est"),
-        "n_total",
-        "max_err",
-        (
-            F.col("_exact").isNotNull()
-            & (F.col("count_lo") <= F.col("_exact"))
-            & (F.col("_exact") <= F.col("count_hi"))
-        ).alias("bracket_ok"),
-        (
-            F.col("max_err") <= F.col("n_total") / F.lit(k_hh + 1) + F.lit(1)
-        ).alias("within_budget"),
+    hh_rows = (
+        hh.alias("h")
+        .join(
+            exact_hh.alias("e"),
+            F.col("h.lang").eqNullSafe(F.col("e.lang"))
+            & (F.col("h.value") == F.col("e.value")),
+            "left",
+        )
+        .select(
+            F.lit("hh").alias("face"),
+            F.col("h.lang").alias("key"),
+            F.col("h.value").alias("item"),
+            F.col("h.count_lo").cast("double").alias("est"),
+            "h.n_total",
+            "h.max_err",
+            (
+                F.col("e._exact").isNotNull()
+                & (F.col("h.count_lo") <= F.col("e._exact"))
+                & (F.col("e._exact") <= F.col("h.count_hi"))
+            ).alias("bracket_ok"),
+            (
+                F.col("h.max_err")
+                <= F.col("h.n_total") / F.lit(k_hh + 1) + F.lit(1)
+            ).alias("within_budget"),
+        )
     )
 
     k_q = 256
@@ -2430,17 +2448,24 @@ def q_x8_grouped_sketch(spark, sf_dir):
     vals = d.select(
         "source", F.col("n_chars").cast("double").alias("nc")
     ).localCheckpoint()  # feeds build + rank recount
-    summ = grouped_quantile_summary(vals, ["source"], "nc", k=k_q)
+    # summ checkpointed: rep AND mass both read it — without this the
+    # grouped Arrow build pass runs twice per bench rep (r11 review)
+    summ = grouped_quantile_summary(
+        vals, ["source"], "nc", k=k_q
+    ).localCheckpoint()
     rep = grouped_quantile_report(summ, ["source"], qs_list).localCheckpoint()
     exact_q = (
-        vals.join(
+        vals.alias("v")
+        .join(
             F.broadcast(
-                rep.select("source", "q", F.col("value").alias("_v"))
+                rep.select(
+                    "source", "q", F.col("value").alias("_v")
+                ).alias("p")
             ),
-            "source",
+            F.col("v.source").eqNullSafe(F.col("p.source")),
         )
-        .filter(F.col("nc") <= F.col("_v"))
-        .groupBy("source", "q")
+        .filter(F.col("v.nc") <= F.col("p._v"))
+        .groupBy("v.source", "p.q")
         .agg(F.count(F.lit(1)).alias("_true_le"))
     )
     mass = (
@@ -2454,27 +2479,37 @@ def q_x8_grouped_sketch(spark, sf_dir):
         )
     )
     q_rows = (
-        rep.join(exact_q, ["source", "q"], "left")
-        .join(mass, "source", "left")
+        rep.alias("r")
+        .join(
+            exact_q.alias("x"),
+            F.col("r.source").eqNullSafe(F.col("x.source"))
+            & (F.col("r.q") == F.col("x.q")),
+            "left",
+        )
+        .join(
+            mass.alias("m"),
+            F.col("r.source").eqNullSafe(F.col("m.source")),
+            "left",
+        )
         .select(
             F.lit("q").alias("face"),
-            F.col("source").alias("key"),
-            F.col("q").cast("string").alias("item"),
-            F.col("value").alias("est"),
-            "n_total",
-            F.col("max_rank_err").alias("max_err"),
+            F.col("r.source").alias("key"),
+            F.col("r.q").cast("string").alias("item"),
+            F.col("r.value").alias("est"),
+            "r.n_total",
+            F.col("r.max_rank_err").alias("max_err"),
             (
-                F.col("_true_le").isNotNull()
+                F.col("x._true_le").isNotNull()
                 & (
-                    F.abs(F.col("est_rank") - F.col("_true_le"))
-                    <= F.col("max_rank_err")
+                    F.abs(F.col("r.est_rank") - F.col("x._true_le"))
+                    <= F.col("r.max_rank_err")
                 )
             ).alias("bracket_ok"),
             (
-                (F.col("_mass") == F.col("n_total"))
+                (F.col("m._mass") == F.col("r.n_total"))
                 & (
-                    F.col("max_rank_err")
-                    <= F.col("n_total") * F.col("_levels") / F.lit(k_q)
+                    F.col("r.max_rank_err")
+                    <= F.col("r.n_total") * F.col("m._levels") / F.lit(k_q)
                 )
             ).alias("within_budget"),
         )

@@ -212,7 +212,11 @@ def load_fixture_merges(path: str | None = None) -> list:
     with open(path or _FIXTURE_PATH, encoding="utf-8") as fh:
         out = []
         for line in fh:
-            if line.startswith("#") or not line.rstrip("\n"):
+            # a merge line has exactly one TAB; anything without one is
+            # a comment/blank. (Matching on a leading '#' would eat a
+            # legitimate ('#','#') merge — markdown-heavy corpora train
+            # exactly that pair.)
+            if "\t" not in line:
                 continue
             a, b = line.rstrip("\n").split("\t")
             out.append((a, b))
@@ -246,13 +250,20 @@ def bpe_token_counter(spark, merges):
     bc = spark.sparkContext.broadcast(merges_to_ranks(merges))
 
     def counter(col: Column | str) -> Column:
+        # memo lives in the CLOSURE, not the udf body: the pandas_udf
+        # function is called once per Arrow batch, and a body-local dict
+        # would reset every ~10k rows (review catch r11) — here it
+        # persists for the life of each deserialized task closure, which
+        # is what the module's Zipf-hit-rate story needs. b2u is tiny
+        # (256 entries) and rides the pickle.
+        memo: dict = {}
+        b2u = bytes_to_unicode()
+
         @pandas_udf(T.LongType())
         def count(s):
             import pandas as pd
 
             ranks = bc.value
-            b2u = bytes_to_unicode()
-            memo: dict = {}
             out = []
             for text in s:
                 if text is None or (

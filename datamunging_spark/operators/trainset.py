@@ -516,7 +516,13 @@ def pack_sequences(
         pdf = pdf.sort_values(
             [tokens_col, id_col], ascending=[False, True], kind="mergesort"
         )
-        toks = [max(int(t), 0) for t in pdf[tokens_col].to_numpy()]
+        # NULL counts arrive as NaN in the Arrow frame (and the
+        # token_counter seam produces them for NULL text) — clamp to 0
+        # like every other non-positive count instead of crashing int()
+        toks = [
+            0 if pd.isna(t) else max(int(t), 0)
+            for t in pdf[tokens_col].to_numpy()
+        ]
         caps: list[int] = []      # OPEN bins' residual capacities, sorted
         cap_bins: list[int] = []  # bin id parallel to caps
         next_bin = 0
@@ -595,18 +601,24 @@ def take_token_budget(
     :func:`~datamunging_spark.operators.bpe.bpe_token_counter` for true
     byte-level BPE counts from a merges file, or a tiktoken/HF-backed
     UDF where those exist. Default None = ``tokens_col`` is already
-    present. The slim-projection shape is counter-agnostic: the counter
-    runs once inside pass (1)'s projection scan.
+    present. The counted slim projection is localCheckpointed BEFORE
+    the prefix sum: repartitionByRange's bounds-sampling job plus the
+    prefix sum's own materialization would otherwise each run the
+    counting UDF over the whole corpus (the r9 repartitionByRange
+    lesson) — with the checkpoint the counter's corpus pass runs once
+    (kept rows recompute it lazily on read of ``tokens_col``).
     """
     if not order_cols:
         raise ValueError(
             "order_cols is required and must uniquely order rows "
             "(append an id column as tiebreak)"
         )
+    slim_src = df
     if token_counter is not None:
         df = df.withColumn(tokens_col, token_counter(text_col))
+        slim_src = df.select(*order_cols, tokens_col).localCheckpoint()
     kept_keys = (
-        _global_running_sum(df, tokens_col, order_cols)
+        _global_running_sum(slim_src, tokens_col, order_cols)
         .filter(F.col("_run") <= F.lit(budget))
         .select(*order_cols)
     )

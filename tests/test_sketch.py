@@ -1158,3 +1158,38 @@ def test_grouped_faces_reject_float_double_keys(spark):
     rep = grouped_quantile_summary(cast, ["kc"], "v", k=8)
     labels = {r["kc"] for r in rep.select("kc").distinct().collect()}
     assert "NaN" in labels and None in labels  # distinct groups survive
+
+
+def test_grouped_sketch_bench_entry_nullsafe_recounts(spark, tmp_path):
+    """r11 review catch: the x8_grouped_sketch bench entry's exact
+    recounts must join NULL-SAFE on the grouping key — NULL lang/source
+    are real groups in the grouped faces, and a plain equi-join would
+    false-fail their bracket_ok. Direct-drive on an sf0.001 copy with
+    planted NULL keys."""
+    import os
+
+    import __spark_entry__ as entry
+
+    src = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    nulled = docs.withColumn(
+        "lang",
+        F.when(F.col("doc_id") % 7 == 0, None).otherwise(F.col("lang")),
+    ).withColumn(
+        "source",
+        F.when(F.col("doc_id") % 5 == 0, None).otherwise(F.col("source")),
+    )
+    d = str(tmp_path / "sf_null")
+    os.makedirs(d)
+    nulled.write.parquet(os.path.join(d, "documents.parquet"))
+    for t in ("region nation customer supplier part orders lineitem "
+              "events embeddings").split():
+        os.symlink(f"{src}/{t}.parquet", os.path.join(d, f"{t}.parquet"))
+    rows = entry.q_x8_grouped_sketch(spark, d).collect()
+    nullkeys = [r for r in rows if r["key"] is None]
+    bad = [
+        r for r in rows
+        if r["bracket_ok"] is not True or r["within_budget"] is not True
+    ]
+    assert nullkeys, "planted NULL keys must surface as groups"
+    assert not bad, bad[:5]

@@ -651,3 +651,50 @@ def test_bpe_tiktoken_golden(spark):
         token_counter=tiktoken_counter,
     )
     assert [r["doc_id"] for r in kept.collect()] == [0]
+
+
+def test_token_counter_seam_null_text_clamps(spark):
+    """r11 review catch: the counter maps NULL text -> NULL count;
+    pack_sequences must clamp that to 0 (its documented non-positive
+    behavior), not crash int(NaN), and take_token_budget's greatest()
+    clamp must keep NULL-count rows from consuming budget."""
+    from datamunging_spark.operators.bpe import (
+        bpe_token_counter,
+        load_fixture_merges,
+    )
+    from datamunging_spark.operators.trainset import (
+        pack_sequences,
+        take_token_budget,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, None), (2, "byte pair")],
+        "doc_id long, text string",
+    )
+    counter = bpe_token_counter(spark, load_fixture_merges())
+    packed = pack_sequences(
+        df, max_len=64, num_groups=1, token_counter=counter
+    ).collect()
+    by_id = {r["doc_id"]: r for r in packed}
+    assert len(by_id) == 3
+    assert by_id[1]["n_tokens"] is None  # count passes through untouched
+    # zero-token doc joins an open bin, never inflates bin_tokens
+    assert by_id[1]["truncated"] is False
+    kept = take_token_budget(
+        df, 10_000, order_cols=["doc_id"], token_counter=counter
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2]
+
+
+def test_bpe_merges_file_hash_pair_roundtrips(tmp_path):
+    """r11 review catch: a legitimate ('#','#') merge must survive the
+    merges-file round trip (comment detection is no-TAB, not
+    leading-#)."""
+    from datamunging_spark.operators.bpe import (
+        load_fixture_merges,
+        write_merges,
+    )
+
+    p = str(tmp_path / "m.txt")
+    write_merges([("#", "#"), ("a", "b")], p)
+    assert load_fixture_merges(p) == [("#", "#"), ("a", "b")]

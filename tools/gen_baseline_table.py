@@ -133,6 +133,10 @@ NOTES: dict[str, tuple[str, str]] = {
         "per-key HLL distinct counts + exact cross-check, added r8",
         "—",
     ),
+    "x8_grouped_sketch": (
+        "grouped MG + quantile faces, per-key recount brackets, added r11",
+        "—",
+    ),
 }
 
 
