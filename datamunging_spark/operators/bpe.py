@@ -145,6 +145,44 @@ def merges_to_ranks(merges) -> dict:
     return {tuple(m): i for i, m in enumerate(merges)}
 
 
+def bpe_vocab(merges) -> dict:
+    """Token-string → id map DERIVED from the merges alone: ids 0-255
+    are the byte-alphabet units (id = byte value), merge rank r mints
+    id 256+r for its concatenation. Every token bpe_apply can emit is
+    either a base unit or a merge product, so this vocabulary is total
+    by construction — no separate vocab file needed. The numbering is
+    SELF-CONSISTENT (deterministic given the merges list), not GPT-2's
+    vocab.json numbering; pipelines that must match an external model's
+    ids bring that model's tokenizer through the ``token_counter``/
+    tokenizer seam instead."""
+    b2u = bytes_to_unicode()
+    vocab = {b2u[b]: b for b in range(256)}
+    for i, m in enumerate(merges):
+        vocab[m[0] + m[1]] = 256 + i
+    return vocab
+
+
+def bpe_encode_ids(text: str, ranks: dict, vocab: dict) -> list:
+    """Driver-side/test helper: text → self-consistent token ids."""
+    return [vocab[t] for t in bpe_encode(text, ranks)]
+
+
+def bpe_decode_ids(ids, merges) -> str:
+    """Inverse of :func:`bpe_encode_ids`: ids → token strings → bytes
+    (inverse byte-unicode map) → utf-8 text. Byte-level BPE is lossless
+    by construction — encode∘decode is the identity on any valid utf-8
+    string (property-pinned in tests) — because every token is a byte
+    sequence and the byte stream is simply re-concatenated."""
+    b2u = bytes_to_unicode()
+    u2b = {u: bytes([b]) for b, u in b2u.items()}
+    id2tok = {b: b2u[b] for b in range(256)}
+    for i, m in enumerate(merges):
+        id2tok[256 + i] = m[0] + m[1]
+    return b"".join(
+        u2b[ch] for i in ids for ch in id2tok[i]
+    ).decode("utf-8")
+
+
 def bpe_train(texts, n_merges: int) -> list:
     """Deterministic byte-level BPE trainer (Sennrich et al. 2016
     greedy loop on the pretoken frequency table): each step merges the
@@ -235,6 +273,57 @@ def write_merges(merges, path: str) -> None:
 #: worker before the memo resets. 1M entries of short strings is tens
 #: of MB — far under executor memory, far over any hot vocabulary.
 _MEMO_CAP = 1_000_000
+
+
+def bpe_tokenizer(spark, merges):
+    """Distributed tokenize-to-ids face: returns a Column-producing
+    callable ``col -> Column`` of ``array<int>`` self-consistent token
+    ids (:func:`bpe_vocab` numbering; NULL text → NULL array). Same
+    scale shape as :func:`bpe_token_counter` — one broadcast of
+    (ranks, vocab), one Arrow pass, per-distinct-pretoken memo holding
+    the id TUPLE — for pipelines that materialize actual id sequences
+    (packing real context windows, decode-side spot checks via
+    :func:`bpe_decode_ids`) rather than just budgets."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(
+        (merges_to_ranks(merges), bpe_vocab(merges))
+    )
+
+    def tokenizer(col: Column | str) -> Column:
+        memo: dict = {}
+        b2u = bytes_to_unicode()
+
+        @pandas_udf(T.ArrayType(T.IntegerType()))
+        def toks(s):
+            import pandas as pd
+
+            ranks, vocab = bc.value
+            out = []
+            for text in s:
+                if text is None or (
+                    not isinstance(text, str) and pd.isna(text)
+                ):
+                    out.append(None)
+                    continue
+                ids = []
+                for m in _PRETOK_RE.findall(text):
+                    t = memo.get(m)
+                    if t is None:
+                        units = tuple(b2u[b] for b in m.encode("utf-8"))
+                        t = tuple(
+                            vocab[u] for u in bpe_apply(units, ranks)
+                        )
+                        if len(memo) >= _MEMO_CAP:
+                            memo.clear()
+                        memo[m] = t
+                    ids.extend(t)
+                out.append(ids)
+            return pd.Series(out, dtype="object")
+
+        return toks(F.col(col) if isinstance(col, str) else col)
+
+    return tokenizer
 
 
 def bpe_token_counter(spark, merges):

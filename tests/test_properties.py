@@ -436,3 +436,23 @@ def test_quantile_sketch_invariants(spark, values, k):
         true_le = sum(1 for x in svals if x <= r.value)
         assert abs(r.est_rank - true_le) <= r.max_rank_err, (r.q, r.value)
         assert r.n_total == n
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_bpe_encode_decode_identity(text):
+    """Byte-level BPE is lossless on ARBITRARY unicode text: encode to
+    self-consistent ids, decode back, get the identical string — the
+    property that makes the merges-only fixture a real tokenizer, not
+    an estimator."""
+    from datamunging_spark.operators.bpe import (
+        bpe_decode_ids,
+        bpe_encode_ids,
+        bpe_vocab,
+        load_fixture_merges,
+        merges_to_ranks,
+    )
+
+    merges = load_fixture_merges()
+    ids = bpe_encode_ids(text, merges_to_ranks(merges), bpe_vocab(merges))
+    assert bpe_decode_ids(ids, merges) == text

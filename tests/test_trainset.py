@@ -698,3 +698,59 @@ def test_bpe_merges_file_hash_pair_roundtrips(tmp_path):
     p = str(tmp_path / "m.txt")
     write_merges([("#", "#"), ("a", "b")], p)
     assert load_fixture_merges(p) == [("#", "#"), ("a", "b")]
+
+
+def test_bpe_ids_roundtrip_and_vocab_total():
+    """The self-consistent id space is total (every emitted token has
+    an id) and byte-level encode∘decode is the identity — including
+    multibyte utf-8, emoji, and text full of unseen words."""
+    from datamunging_spark.operators.bpe import (
+        bpe_decode_ids,
+        bpe_encode_ids,
+        bpe_vocab,
+        load_fixture_merges,
+        merges_to_ranks,
+    )
+
+    merges = load_fixture_merges()
+    ranks, vocab = merges_to_ranks(merges), bpe_vocab(merges)
+    assert len(vocab) == 256 + len(merges)
+    for text in [
+        "the quick brown fox jumps over the lazy dog.",
+        "naïve café — déjà vu! 🚀 日本語テキスト",
+        "", "\n\t  mixed\nwhitespace ", "unseen zyzzyva qoph #### 123",
+    ]:
+        ids = bpe_encode_ids(text, ranks, vocab)
+        assert bpe_decode_ids(ids, merges) == text, text
+
+
+def test_bpe_tokenizer_distributed_matches_driver(spark):
+    """The Arrow tokenizer face returns exactly the driver helper's id
+    sequence per row (NULL -> NULL), and sum(len) == counter's count."""
+    from datamunging_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_token_counter,
+        bpe_tokenizer,
+        bpe_vocab,
+        load_fixture_merges,
+        merges_to_ranks,
+    )
+
+    merges = load_fixture_merges()
+    ranks, vocab = merges_to_ranks(merges), bpe_vocab(merges)
+    texts = [(0, "byte pair encoding"), (1, None), (2, "café 123!")]
+    df = spark.createDataFrame(texts, "i long, text string")
+    tok = bpe_tokenizer(spark, merges)
+    cnt = bpe_token_counter(spark, merges)
+    rows = {
+        r["i"]: r
+        for r in df.select(
+            "i", tok("text").alias("ids"), cnt("text").alias("n")
+        ).collect()
+    }
+    for i, t in texts:
+        if t is None:
+            assert rows[i]["ids"] is None and rows[i]["n"] is None
+        else:
+            assert rows[i]["ids"] == bpe_encode_ids(t, ranks, vocab)
+            assert rows[i]["n"] == len(rows[i]["ids"])
