@@ -565,6 +565,75 @@ def pack_sequences(
     return keyed.groupBy("_g").applyInPandas(pack, out_schema)
 
 
+def concat_packed_sequences(
+    df: DataFrame,
+    ids_col: str = "token_ids",
+    id_col: str = "doc_id",
+    max_len: int = 2048,
+    num_groups: int | None = None,
+) -> DataFrame:
+    """Materialize PACKED TRAINING SEQUENCES: run :func:`pack_sequences`
+    over ``size(ids_col)`` — the bin capacities are ALWAYS the actual
+    id-array lengths, never an estimate, so the emitted windows are
+    exactly ``bin_tokens`` long — then emit one row per bin with the
+    member docs' id arrays concatenated in deterministic (``id_col``
+    ascending) order: the actual context windows a trainer consumes,
+    not just the assignment table.
+
+    Entirely JVM-side after the packing pass: the bin concat is
+    ``collect_list(struct(id, ids))`` → ``array_sort`` → ``transform``
+    + ``flatten`` inside one hash aggregate — no Python boundary, and
+    every aggregate value is bounded by construction (Σ sizes per bin ≤
+    ``max_len``, except the documented truncated singleton bins, whose
+    single oversize doc passes through for the caller to split/drop).
+
+    Returns ``(bin_id, bin_tokens, n_docs, truncated, token_ids)``
+    where ``token_ids`` is the packed ``array<int>`` window. Pair with
+    :func:`~datamunging_spark.operators.bpe.bpe_tokenizer` upstream for
+    real ids:
+
+    >>> toks = bpe_tokenizer(spark, merges)
+    >>> docs = corpus.withColumn("token_ids", toks("text"))
+    >>> windows = concat_packed_sequences(docs, max_len=2048)
+    """
+    # NULL id arrays count 0 and contribute nothing — coalesced to an
+    # empty array so a NULL element can't nullify its whole bin's
+    # flatten() output
+    empty = F.array().cast(df.schema[ids_col].dataType.simpleString())
+    counted = df.withColumn(
+        ids_col, F.coalesce(F.col(ids_col), empty)
+    ).withColumn("_n_tok", F.size(F.col(ids_col)))
+    assign = pack_sequences(
+        counted,
+        id_col=id_col,
+        tokens_col="_n_tok",
+        max_len=max_len,
+        num_groups=num_groups,
+    )
+    member = assign.join(
+        counted.select(id_col, ids_col), id_col
+    )
+    packed = member.groupBy("bin_id").agg(
+        F.max("bin_tokens").alias("bin_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("truncated").alias("truncated"),
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(id_col).alias("_k"),
+                            F.col(ids_col).alias("_v"),
+                        )
+                    )
+                ),
+                lambda x: x["_v"],
+            )
+        ).alias("token_ids"),
+    )
+    return packed
+
+
 def take_token_budget(
     df: DataFrame,
     budget: int,

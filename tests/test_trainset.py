@@ -754,3 +754,61 @@ def test_bpe_tokenizer_distributed_matches_driver(spark):
         else:
             assert rows[i]["ids"] == bpe_encode_ids(t, ranks, vocab)
             assert rows[i]["n"] == len(rows[i]["ids"])
+
+
+def test_concat_packed_sequences_windows(spark):
+    """concat_packed_sequences emits real context windows: per bin, the
+    member docs' id arrays concatenated in doc_id order, window length
+    == bin_tokens <= max_len (truncated singletons excepted), NULL id
+    arrays contribute nothing, and the full corpus token stream is
+    conserved across windows."""
+    from datamunging_spark.operators.trainset import concat_packed_sequences
+
+    docs = [
+        (0, [1, 2, 3]),
+        (1, [4, 5]),
+        (2, [6]),
+        (3, None),
+        (4, list(range(100, 120))),  # oversize at max_len=8 -> truncated
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, token_ids array<int>")
+    out = concat_packed_sequences(df, max_len=8, num_groups=1).collect()
+    all_ids = sorted(i for r in out for i in r["token_ids"])
+    assert all_ids == sorted([1, 2, 3, 4, 5, 6] + list(range(100, 120)))
+    for r in out:
+        assert len(r["token_ids"]) == r["bin_tokens"]
+        if not r["truncated"]:
+            assert r["bin_tokens"] <= 8
+        else:
+            assert r["n_docs"] == 1 and r["bin_tokens"] == 20
+    # deterministic doc order within a bin: doc 0's ids precede doc 1's
+    # wherever they share a bin
+    for r in out:
+        ids = r["token_ids"]
+        if 1 in ids and 4 in ids:
+            assert ids.index(1) < ids.index(4)
+    # second run identical (deterministic end-to-end)
+    again = concat_packed_sequences(df, max_len=8, num_groups=1).collect()
+    assert sorted(map(str, again)) == sorted(map(str, out))
+
+
+def test_concat_packed_sequences_with_bpe_tokenizer(spark):
+    """End-to-end: bpe_tokenizer ids -> packed windows; every window
+    decodes back to the concatenation of its member docs' text."""
+    from datamunging_spark.operators.bpe import (
+        bpe_decode_ids,
+        bpe_tokenizer,
+        load_fixture_merges,
+    )
+    from datamunging_spark.operators.trainset import concat_packed_sequences
+
+    merges = load_fixture_merges()
+    texts = {0: "the quick brown fox. ", 1: "byte pair encoding. ",
+             2: "data processing engines. "}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    ).withColumn("token_ids", bpe_tokenizer(spark, merges)("text"))
+    out = concat_packed_sequences(df, max_len=4096, num_groups=1).collect()
+    assert len(out) == 1  # everything fits one window
+    decoded = bpe_decode_ids(out[0]["token_ids"], merges)
+    assert decoded == texts[0] + texts[1] + texts[2]
