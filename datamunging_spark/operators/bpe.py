@@ -154,11 +154,22 @@ def bpe_vocab(merges) -> dict:
     SELF-CONSISTENT (deterministic given the merges list), not GPT-2's
     vocab.json numbering; pipelines that must match an external model's
     ids bring that model's tokenizer through the ``token_counter``/
-    tokenizer seam instead."""
+    tokenizer seam instead.
+
+    Externally supplied merges files may contain DISTINCT merges whose
+    concatenations collide (e.g. ``('a','bc')`` and ``('ab','c')`` both
+    mint ``'abc'``); the LOWEST rank wins the id (``setdefault``), so
+    encode always emits one consistent id per token string and
+    encode∘decode stays the identity — but ``len(vocab)`` is then
+    ``< 256 + len(merges)`` and the higher colliding ids are never
+    emitted. (Training can legitimately produce such lists — ``(a,bc)``
+    can win one step and ``(ab,c)`` a later one if both adjacencies
+    occur in the corpus; the committed fixture happens to be
+    collision-free, pinned by test.)"""
     b2u = bytes_to_unicode()
     vocab = {b2u[b]: b for b in range(256)}
     for i, m in enumerate(merges):
-        vocab[m[0] + m[1]] = 256 + i
+        vocab.setdefault(m[0] + m[1], 256 + i)
     return vocab
 
 
@@ -275,27 +286,32 @@ def write_merges(merges, path: str) -> None:
 _MEMO_CAP = 1_000_000
 
 
-def bpe_tokenizer(spark, merges):
-    """Distributed tokenize-to-ids face: returns a Column-producing
-    callable ``col -> Column`` of ``array<int>`` self-consistent token
-    ids (:func:`bpe_vocab` numbering; NULL text → NULL array). Same
-    scale shape as :func:`bpe_token_counter` — one broadcast of
-    (ranks, vocab), one Arrow pass, per-distinct-pretoken memo holding
-    the id TUPLE — for pipelines that materialize actual id sequences
-    (packing real context windows, decode-side spot checks via
-    :func:`bpe_decode_ids`) rather than just budgets."""
+def _bpe_arrow_face(spark, merges, emit_ids: bool):
+    """Shared implementation of the two distributed BPE faces — ONE
+    broadcast of (ranks, vocab-or-None), one Arrow pass, and a
+    per-distinct-pretoken memo whose VALUE is the only difference
+    (id tuple vs token count). Factored so the subtle shared invariants
+    (closure-scoped memo, clear-before-insert cap policy, the
+    non-str-NaN guard) live in exactly one place."""
     from pyspark.sql.functions import pandas_udf
 
     bc = spark.sparkContext.broadcast(
-        (merges_to_ranks(merges), bpe_vocab(merges))
+        (merges_to_ranks(merges), bpe_vocab(merges) if emit_ids else None)
     )
+    ret_type = T.ArrayType(T.IntegerType()) if emit_ids else T.LongType()
 
-    def tokenizer(col: Column | str) -> Column:
+    def face(col: Column | str) -> Column:
+        # memo lives in the CLOSURE, not the udf body: the pandas_udf
+        # function is called once per Arrow batch, and a body-local dict
+        # would reset every ~10k rows (review catch r11) — here it
+        # persists for the life of each deserialized task closure, which
+        # is what the module's Zipf-hit-rate story needs. b2u is tiny
+        # (256 entries) and rides the pickle.
         memo: dict = {}
         b2u = bytes_to_unicode()
 
-        @pandas_udf(T.ArrayType(T.IntegerType()))
-        def toks(s):
+        @pandas_udf(ret_type)
+        def run(s):
             import pandas as pd
 
             ranks, vocab = bc.value
@@ -306,24 +322,43 @@ def bpe_tokenizer(spark, merges):
                 ):
                     out.append(None)
                     continue
-                ids = []
+                acc: list | int = [] if emit_ids else 0
                 for m in _PRETOK_RE.findall(text):
-                    t = memo.get(m)
-                    if t is None:
-                        units = tuple(b2u[b] for b in m.encode("utf-8"))
-                        t = tuple(
-                            vocab[u] for u in bpe_apply(units, ranks)
+                    v = memo.get(m)
+                    if v is None:
+                        units = bpe_apply(
+                            tuple(b2u[b] for b in m.encode("utf-8")), ranks
+                        )
+                        v = (
+                            tuple(vocab[u] for u in units)
+                            if emit_ids
+                            else len(units)
                         )
                         if len(memo) >= _MEMO_CAP:
                             memo.clear()
-                        memo[m] = t
-                    ids.extend(t)
-                out.append(ids)
+                        memo[m] = v
+                    if emit_ids:
+                        acc.extend(v)
+                    else:
+                        acc += v
+                out.append(acc)
             return pd.Series(out, dtype="object")
 
-        return toks(F.col(col) if isinstance(col, str) else col)
+        return run(F.col(col) if isinstance(col, str) else col)
 
-    return tokenizer
+    return face
+
+
+def bpe_tokenizer(spark, merges):
+    """Distributed tokenize-to-ids face: returns a Column-producing
+    callable ``col -> Column`` of ``array<int>`` self-consistent token
+    ids (:func:`bpe_vocab` numbering; NULL text → NULL array). Same
+    scale shape as :func:`bpe_token_counter` — one broadcast of
+    (ranks, vocab), one Arrow pass, per-distinct-pretoken memo holding
+    the id TUPLE — for pipelines that materialize actual id sequences
+    (packing real context windows, decode-side spot checks via
+    :func:`bpe_decode_ids`) rather than just budgets."""
+    return _bpe_arrow_face(spark, merges, emit_ids=True)
 
 
 def bpe_token_counter(spark, merges):
@@ -334,45 +369,4 @@ def bpe_token_counter(spark, merges):
     pretoken (module docstring has the scale story). Drop-in for
     ``functions.bpe_ish_token_count`` wherever budgets need true BPE
     counts: ``take_token_budget(df, ..., token_counter=counter)``."""
-    from pyspark.sql.functions import pandas_udf
-
-    bc = spark.sparkContext.broadcast(merges_to_ranks(merges))
-
-    def counter(col: Column | str) -> Column:
-        # memo lives in the CLOSURE, not the udf body: the pandas_udf
-        # function is called once per Arrow batch, and a body-local dict
-        # would reset every ~10k rows (review catch r11) — here it
-        # persists for the life of each deserialized task closure, which
-        # is what the module's Zipf-hit-rate story needs. b2u is tiny
-        # (256 entries) and rides the pickle.
-        memo: dict = {}
-        b2u = bytes_to_unicode()
-
-        @pandas_udf(T.LongType())
-        def count(s):
-            import pandas as pd
-
-            ranks = bc.value
-            out = []
-            for text in s:
-                if text is None or (
-                    not isinstance(text, str) and pd.isna(text)
-                ):
-                    out.append(None)
-                    continue
-                n = 0
-                for m in _PRETOK_RE.findall(text):
-                    c = memo.get(m)
-                    if c is None:
-                        units = tuple(b2u[b] for b in m.encode("utf-8"))
-                        c = len(bpe_apply(units, ranks))
-                        if len(memo) >= _MEMO_CAP:
-                            memo.clear()
-                        memo[m] = c
-                    n += c
-                out.append(n)
-            return pd.Series(out, dtype="object")
-
-        return count(F.col(col) if isinstance(col, str) else col)
-
-    return counter
+    return _bpe_arrow_face(spark, merges, emit_ids=False)

@@ -571,6 +571,7 @@ def concat_packed_sequences(
     id_col: str = "doc_id",
     max_len: int = 2048,
     num_groups: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Materialize PACKED TRAINING SEQUENCES: run :func:`pack_sequences`
     over ``size(ids_col)`` — the bin capacities are ALWAYS the actual
@@ -587,6 +588,25 @@ def concat_packed_sequences(
     ``max_len``, except the documented truncated singleton bins, whose
     single oversize doc passes through for the caller to split/drop).
 
+    ``id_col`` is a JOIN KEY here, so it must be UNIQUE and NON-NULL:
+    a NULL id would be packed (its size reaches a bin's
+    ``bin_tokens``) but then dropped by the member equi-join, and
+    duplicate ids fan the join out so bins collect every same-id
+    array. Both are caught at action time instead of silently
+    corrupting windows: NULL ids by a row-level raise on the slim
+    projection, duplicates by a per-bin guard
+    (``size(token_ids) == bin_tokens``) that raises with the offending
+    ``bin_id``.
+
+    ``materialize`` (default on) ``localCheckpoint``s the slim
+    ``(id, ids, size)`` projection BEFORE it fans out to the packing
+    pass and the member join — without it the upstream tokenizer (the
+    dominant cost when ``ids_col`` is a
+    :func:`~datamunging_spark.operators.bpe.bpe_tokenizer` column)
+    would run twice, once per branch. Same pinning trade as
+    :func:`take_token_budget`: executor-local storage, no lineage
+    recovery for the pinned slice.
+
     Returns ``(bin_id, bin_tokens, n_docs, truncated, token_ids)``
     where ``token_ids`` is the packed ``array<int>`` window. Pair with
     :func:`~datamunging_spark.operators.bpe.bpe_tokenizer` upstream for
@@ -600,9 +620,25 @@ def concat_packed_sequences(
     # empty array so a NULL element can't nullify its whole bin's
     # flatten() output
     empty = F.array().cast(df.schema[ids_col].dataType.simpleString())
-    counted = df.withColumn(
-        ids_col, F.coalesce(F.col(ids_col), empty)
-    ).withColumn("_n_tok", F.size(F.col(ids_col)))
+    # NULL ids raise HERE (cheap row expression, fires when the slim
+    # projection materializes) — the bin-level length guard below can't
+    # see a NULL-id doc that had a bin to itself, because the inner
+    # join erases the whole bin.
+    id_checked = F.when(
+        F.col(id_col).isNotNull(), F.col(id_col)
+    ).otherwise(
+        F.raise_error(
+            "concat_packed_sequences: NULL " + id_col
+            + " — id_col must be unique and non-null"
+        )
+    )
+    counted = (
+        df.select(id_checked.alias(id_col), ids_col)
+        .withColumn(ids_col, F.coalesce(F.col(ids_col), empty))
+        .withColumn("_n_tok", F.size(F.col(ids_col)))
+    )
+    if materialize:
+        counted = counted.localCheckpoint()
     assign = pack_sequences(
         counted,
         id_col=id_col,
@@ -629,9 +665,36 @@ def concat_packed_sequences(
                 ),
                 lambda x: x["_v"],
             )
+        ).alias("_w"),
+    )
+    # Per-bin contract guard (O(bins), on the output path so it runs
+    # whenever windows are consumed): a length mismatch means id_col
+    # broke the unique/non-null contract above — fail, don't emit
+    # corrupt windows.
+    return packed.select(
+        "bin_id",
+        "bin_tokens",
+        "n_docs",
+        "truncated",
+        F.when(
+            F.size("_w") == F.col("bin_tokens"), F.col("_w")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "concat_packed_sequences: window length != "
+                        "bin_tokens for bin_id "
+                    ),
+                    F.col("bin_id").cast("string"),
+                    F.lit(
+                        " — id_col must be unique and non-null "
+                        "(duplicate ids fan out the member join; "
+                        "NULL ids are dropped by it)"
+                    ),
+                )
+            )
         ).alias("token_ids"),
     )
-    return packed
 
 
 def take_token_budget(

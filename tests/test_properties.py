@@ -2,6 +2,7 @@
 their Python reference semantics on arbitrary (ASCII) inputs, batched through
 one DataFrame per example set for Spark-roundtrip economy."""
 
+import functools
 import re
 
 from hypothesis import given, settings, strategies as st
@@ -438,6 +439,20 @@ def test_quantile_sketch_invariants(spark, values, k):
         assert r.n_total == n
 
 
+@functools.lru_cache(maxsize=1)
+def _bpe_fixture():
+    # hoisted out of the hypothesis body: one fixture read + one
+    # ranks/vocab build for all 200 examples, not one per example
+    from datamunging_spark.operators.bpe import (
+        bpe_vocab,
+        load_fixture_merges,
+        merges_to_ranks,
+    )
+
+    merges = load_fixture_merges()
+    return merges, merges_to_ranks(merges), bpe_vocab(merges)
+
+
 @given(st.text(max_size=200))
 @settings(max_examples=200, deadline=None)
 def test_bpe_encode_decode_identity(text):
@@ -445,14 +460,8 @@ def test_bpe_encode_decode_identity(text):
     self-consistent ids, decode back, get the identical string — the
     property that makes the merges-only fixture a real tokenizer, not
     an estimator."""
-    from datamunging_spark.operators.bpe import (
-        bpe_decode_ids,
-        bpe_encode_ids,
-        bpe_vocab,
-        load_fixture_merges,
-        merges_to_ranks,
-    )
+    from datamunging_spark.operators.bpe import bpe_decode_ids, bpe_encode_ids
 
-    merges = load_fixture_merges()
-    ids = bpe_encode_ids(text, merges_to_ranks(merges), bpe_vocab(merges))
+    merges, ranks, vocab = _bpe_fixture()
+    ids = bpe_encode_ids(text, ranks, vocab)
     assert bpe_decode_ids(ids, merges) == text

@@ -812,3 +812,63 @@ def test_concat_packed_sequences_with_bpe_tokenizer(spark):
     assert len(out) == 1  # everything fits one window
     decoded = bpe_decode_ids(out[0]["token_ids"], merges)
     assert decoded == texts[0] + texts[1] + texts[2]
+
+
+def test_concat_packed_sequences_empty_input(spark):
+    """Empty corpus -> empty window table, stable 5-column schema."""
+    from datamunging_spark.operators.trainset import concat_packed_sequences
+
+    df = spark.createDataFrame([], "doc_id long, token_ids array<int>")
+    out = concat_packed_sequences(df, max_len=8, num_groups=1)
+    assert out.columns == [
+        "bin_id", "bin_tokens", "n_docs", "truncated", "token_ids"
+    ]
+    assert out.count() == 0
+
+
+def test_concat_packed_sequences_rejects_null_and_dup_ids(spark):
+    """id_col is a join key: a NULL id raises at the row guard, a
+    duplicate id raises at the per-bin window-length guard — neither
+    silently emits short/oversized windows (r11 review catch)."""
+    import pytest
+
+    from datamunging_spark.operators.trainset import concat_packed_sequences
+
+    nulled = spark.createDataFrame(
+        [(0, [1, 2]), (None, [3, 4, 5])],
+        "doc_id long, token_ids array<int>",
+    )
+    with pytest.raises(Exception, match="unique and non-null"):
+        concat_packed_sequences(nulled, max_len=8, num_groups=1).collect()
+
+    duped = spark.createDataFrame(
+        [(0, [1, 2]), (0, [3, 4, 5]), (1, [6])],
+        "doc_id long, token_ids array<int>",
+    )
+    with pytest.raises(Exception, match="unique and non-null"):
+        concat_packed_sequences(duped, max_len=8, num_groups=1).collect()
+
+
+def test_bpe_vocab_duplicate_concat_first_rank_wins():
+    """Distinct merges with colliding concatenations (('a','b') then
+    ('ab','c') and ('a','bc') both minting 'abc') keep the LOWEST-rank
+    id, encode emits that id consistently, and decode stays lossless;
+    the committed fixture itself is collision-free."""
+    from datamunging_spark.operators.bpe import (
+        bpe_decode_ids,
+        bpe_encode_ids,
+        bpe_vocab,
+        load_fixture_merges,
+        merges_to_ranks,
+    )
+
+    merges = [("a", "b"), ("b", "c"), ("ab", "c"), ("a", "bc")]
+    vocab = bpe_vocab(merges)
+    assert vocab["abc"] == 256 + 2          # first minting rank wins
+    assert len(vocab) == 256 + 3            # one id lost to the collision
+    ids = bpe_encode_ids("abcabc", merges_to_ranks(merges), vocab)
+    assert 256 + 3 not in ids               # the shadowed id never emits
+    assert bpe_decode_ids(ids, merges) == "abcabc"
+    # fixture sanity: trainer output has no collisions
+    fx = load_fixture_merges()
+    assert len(bpe_vocab(fx)) == 256 + len(fx)
