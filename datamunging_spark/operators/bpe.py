@@ -22,13 +22,15 @@ Scale shape (the part that must survive 100 TB):
   memo hit rate dominate, so steady-state cost per pretoken is one
   dict lookup. No shuffle, no driver involvement, composes with any
   downstream budget/packing operator.
-- **Training is fixture-scale by design.** ``bpe_train`` is the
-  classic greedy pair-count loop, driver-side and deterministic
-  (ties broken lexicographically) — it exists to generate the
-  committed in-repo fixture and closed-form tests, not to train a
-  production vocabulary on a corpus (that is a separate distributed
-  algorithm; production pipelines bring an already-trained merges
-  file, which is exactly what the apply path consumes).
+- **Training distributes the TABLE BUILD, not the loop.** The greedy
+  trainer's input is the pretoken frequency table, which is
+  vocabulary-sized by Zipf — so ``bpe_train_distributed`` runs one
+  JVM-side scan + map-side-combined aggregation keyed by pretoken,
+  collects the table under a fail-fast cap, and feeds the same
+  deterministic driver loop as the fixture-scale ``bpe_train``
+  (ties broken lexicographically; both faces share
+  ``_greedy_merges``). Production pipelines can also just bring an
+  already-trained merges file, which is what the apply path consumes.
 - **The seam is a Column-producing callable.** ``bpe_token_counter``
   returns ``col -> Column``; ``trainset.take_token_budget`` /
   ``pack_sequences`` accept any such callable via ``token_counter=``
@@ -194,20 +196,14 @@ def bpe_decode_ids(ids, merges) -> str:
     ).decode("utf-8")
 
 
-def bpe_train(texts, n_merges: int) -> list:
-    """Deterministic byte-level BPE trainer (Sennrich et al. 2016
-    greedy loop on the pretoken frequency table): each step merges the
-    most frequent adjacent pair, ties broken by lexicographic pair
-    order so the SAME corpus always yields the SAME merges list.
-    Driver-side, fixture-scale (O(n_merges × distinct pretokens)) —
-    see the module docstring for why training is not the distributed
-    path."""
-    b2u = bytes_to_unicode()
-    vocab: dict[tuple, int] = {}
-    for t in texts:
-        for m in _PRETOK_RE.findall(t):
-            units = tuple(b2u[b] for b in m.encode("utf-8"))
-            vocab[units] = vocab.get(units, 0) + 1
+def _greedy_merges(vocab: dict, n_merges: int) -> list:
+    """The Sennrich et al. 2016 greedy loop over a pretoken frequency
+    table ``{unit-tuple: count}``: each step merges the most frequent
+    adjacent pair, ties broken by lexicographic pair order so the SAME
+    table always yields the SAME merges list. Shared by the local and
+    distributed trainer faces — the loop itself is driver-side either
+    way (O(n_merges × distinct pretokens)), because the table, not the
+    corpus, is its input."""
     merges: list[tuple] = []
     for _ in range(int(n_merges)):
         pairs: dict[tuple, int] = {}
@@ -223,6 +219,83 @@ def bpe_train(texts, n_merges: int) -> list:
         }
         merges.append(pair)
     return merges
+
+
+def bpe_train(texts, n_merges: int) -> list:
+    """Deterministic byte-level BPE trainer over an in-memory text
+    list: build the pretoken frequency table locally, run the shared
+    :func:`_greedy_merges` loop. Fixture-scale by design — the corpus
+    must fit the driver; :func:`bpe_train_distributed` is the same
+    trainer with the table built by one Spark aggregation instead."""
+    b2u = bytes_to_unicode()
+    vocab: dict[tuple, int] = {}
+    for t in texts:
+        for m in _PRETOK_RE.findall(t):
+            units = tuple(b2u[b] for b in m.encode("utf-8"))
+            vocab[units] = vocab.get(units, 0) + 1
+    return _greedy_merges(vocab, n_merges)
+
+
+def bpe_train_distributed(
+    df,
+    text_col: str = "text",
+    n_merges: int = 512,
+    max_distinct_pretokens: int = 5_000_000,
+    min_freq: int = 1,
+) -> list:
+    """Corpus-scale BPE training: the greedy trainer's real input is
+    the pretoken FREQUENCY TABLE, not the corpus — and that table is
+    vocabulary-sized (Zipf: distinct pretokens grow sublinearly; web-
+    scale English corpora plateau around 10^7), so the distributed part
+    is exactly one scan + one map-side-combined aggregation keyed by
+    pretoken, after which the same deterministic
+    :func:`_greedy_merges` loop runs on the collected table. Corpus
+    size only changes the scan cost; the driver never holds corpus
+    data.
+
+    The collect is BOUNDED BY CONTRACT: ``limit(max_distinct_pretokens
+    + 1)`` caps what can ever reach the driver, and landing more rows
+    than the cap raises instead of silently training on an arbitrary
+    subset. ``min_freq`` (default 1 = exact parity with
+    :func:`bpe_train`) prunes the hapax tail BEFORE the collect — the
+    standard scale valve, documented divergence: pairs occurring only
+    inside pruned pretokens lose those counts.
+
+    Pretokenization is JVM-side (``regexp_extract_all`` on
+    ``functions.BPE_ISH_PATTERN`` — zero Python in the corpus pass);
+    the module-docstring ``\\p{L}``/``\\p{N}`` Java-vs-Python note
+    applies, so on text containing non-decimal numerals the table can
+    split differently from the local trainer's — parity on common text
+    is pinned by test against :func:`bpe_train` on the fixture corpus.
+    NULL text rows contribute nothing (``explode`` drops NULL arrays).
+    """
+    from datamunging_spark.functions import BPE_ISH_PATTERN
+
+    c = F.col(text_col)
+    freq = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+            ).alias("_pt")
+        )
+        .groupBy("_pt")
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+    if int(min_freq) > 1:
+        freq = freq.filter(F.col("_f") >= int(min_freq))
+    cap = int(max_distinct_pretokens)
+    rows = freq.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"bpe_train_distributed: > {cap} distinct pretokens "
+            "(raise max_distinct_pretokens or prune with min_freq)"
+        )
+    b2u = bytes_to_unicode()
+    vocab = {
+        tuple(b2u[b] for b in r["_pt"].encode("utf-8")): r["_f"]
+        for r in rows
+    }
+    return _greedy_merges(vocab, n_merges)
 
 
 def fixture_corpus() -> list:

@@ -572,6 +572,7 @@ def concat_packed_sequences(
     max_len: int = 2048,
     num_groups: int | None = None,
     materialize: bool = True,
+    split_oversize: bool = False,
 ) -> DataFrame:
     """Materialize PACKED TRAINING SEQUENCES: run :func:`pack_sequences`
     over ``size(ids_col)`` — the bin capacities are ALWAYS the actual
@@ -597,6 +598,20 @@ def concat_packed_sequences(
     projection, duplicates by a per-bin guard
     (``size(token_ids) == bin_tokens``) that raises with the offending
     ``bin_id``.
+
+    ``split_oversize`` (default off, preserving the truncated-
+    singleton contract) CHUNKS every doc into ``max_len``-sized id
+    slices before packing — a pure JVM map (``sequence`` →
+    ``slice`` → ``posexplode``, no shuffle, copy factor 1) that
+    replaces the pass-through-whole truncated bins with dense windows:
+    with it on, no output row is ``truncated`` and every window is
+    ≤ ``max_len``. Chunk identity is the composite string
+    ``"<doc_id> <chunk_idx zero-padded>"`` — unique (fixed-width
+    suffix) and orderable, so the member join stays unique-keyed and
+    windows order chunks doc-id-STRING-ascending, chunk-ascending
+    (numeric doc ids order lexicographically here, unlike the unsplit
+    path). The trailing partial chunk packs with other docs' slices
+    like any small doc.
 
     ``materialize`` (default on) ``localCheckpoint``s the slim
     ``(id, ids, size)`` projection BEFORE it fans out to the packing
@@ -632,11 +647,43 @@ def concat_packed_sequences(
             + " — id_col must be unique and non-null"
         )
     )
-    counted = (
-        df.select(id_checked.alias(id_col), ids_col)
-        .withColumn(ids_col, F.coalesce(F.col(ids_col), empty))
-        .withColumn("_n_tok", F.size(F.col(ids_col)))
+    counted = df.select(id_checked.alias(id_col), ids_col).withColumn(
+        ids_col, F.coalesce(F.col(ids_col), empty)
     )
+    if split_oversize:
+        # n_chunks = max(1, ceil(size / max_len)): zero-token docs keep
+        # one (empty) chunk row so their binning behavior matches the
+        # unsplit path; greatest() also keeps sequence() ascending.
+        last = F.greatest(
+            F.lit(0),
+            F.ceil(F.size(F.col(ids_col)) / F.lit(int(max_len))) - 1,
+        ).cast("int")
+        # composite chunk key as a SORTABLE string, not a struct:
+        # pack_sequences' pandas tiebreak sort needs an orderable
+        # scalar, and dicts (what struct columns become in pandas)
+        # aren't. Unique because the fixed-width chunk suffix makes
+        # the decomposition unambiguous even if a cast doc id
+        # contains spaces, and doc ids themselves are unique by the
+        # contract above.
+        chunk_key = F.concat_ws(
+            " ",
+            F.col("_d").cast("string"),
+            F.lpad(F.col("_c").cast("string"), 12, "0"),
+        )
+        counted = counted.select(
+            F.col(id_col).alias("_d"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), last),
+                    lambda i: F.slice(
+                        F.col(ids_col),
+                        i * F.lit(int(max_len)) + F.lit(1),
+                        F.lit(int(max_len)),
+                    ),
+                )
+            ).alias("_c", ids_col),
+        ).select(chunk_key.alias(id_col), ids_col)
+    counted = counted.withColumn("_n_tok", F.size(F.col(ids_col)))
     if materialize:
         counted = counted.localCheckpoint()
     assign = pack_sequences(

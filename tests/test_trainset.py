@@ -849,6 +849,69 @@ def test_concat_packed_sequences_rejects_null_and_dup_ids(spark):
         concat_packed_sequences(duped, max_len=8, num_groups=1).collect()
 
 
+def test_concat_packed_sequences_split_oversize(spark):
+    """split_oversize=True: oversized docs chunk into max_len slices
+    before packing — no truncated rows, every window <= max_len, the
+    corpus token stream is conserved, and a doc's chunks appear in
+    order across the windows' concatenation."""
+    from datamunging_spark.operators.trainset import concat_packed_sequences
+
+    big = list(range(100, 120))  # 20 tokens, max_len=8 -> 8+8+4
+    docs = [(0, [1, 2, 3]), (1, big), (2, [4, 5])]
+    df = spark.createDataFrame(docs, "doc_id long, token_ids array<int>")
+    out = concat_packed_sequences(
+        df, max_len=8, num_groups=1, split_oversize=True
+    ).collect()
+    assert not any(r["truncated"] for r in out)
+    assert all(r["bin_tokens"] <= 8 for r in out)
+    assert all(len(r["token_ids"]) == r["bin_tokens"] for r in out)
+    all_ids = sorted(i for r in out for i in r["token_ids"])
+    assert all_ids == sorted([1, 2, 3, 4, 5] + big)
+    # chunk order: within any single window, the big doc's ids that
+    # appear are a contiguous ascending run of `big`
+    for r in out:
+        sub = [i for i in r["token_ids"] if i in set(big)]
+        if sub:
+            k = big.index(sub[0])
+            assert sub == big[k:k + len(sub)]
+    # determinism across runs
+    again = concat_packed_sequences(
+        df, max_len=8, num_groups=1, split_oversize=True
+    ).collect()
+    assert sorted(map(str, again)) == sorted(map(str, out))
+
+
+def test_bpe_train_distributed_matches_local(spark):
+    """The distributed trainer (JVM pretoken frequency agg + shared
+    greedy loop) reproduces bpe_train exactly on the fixture corpus,
+    prunes with min_freq, and fail-fasts on the collect cap."""
+    import pytest
+
+    from datamunging_spark.operators.bpe import (
+        bpe_train,
+        bpe_train_distributed,
+        fixture_corpus,
+    )
+
+    texts = fixture_corpus()
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    assert bpe_train_distributed(df, n_merges=40) == bpe_train(texts, 40)
+    # NULL text rows contribute nothing
+    with_null = spark.createDataFrame(
+        [(t,) for t in texts] + [(None,)], "text string"
+    )
+    assert bpe_train_distributed(with_null, n_merges=40) == bpe_train(
+        texts, 40
+    )
+    # min_freq prunes the hapax tail: training still works, merges may
+    # differ from the unpruned run
+    pruned = bpe_train_distributed(df, n_merges=10, min_freq=3)
+    assert len(pruned) == 10
+    # cap fail-fast
+    with pytest.raises(ValueError, match="distinct pretokens"):
+        bpe_train_distributed(df, n_merges=5, max_distinct_pretokens=3)
+
+
 def test_bpe_vocab_duplicate_concat_first_rank_wins():
     """Distinct merges with colliding concatenations (('a','b') then
     ('ab','c') and ('a','bc') both minting 'abc') keep the LOWEST-rank
