@@ -1353,6 +1353,34 @@ def q_x5_pack_sequences(spark, sf_dir):
     )
 
 
+def q_x5_packed_windows(spark, sf_dir):
+    """X5 packed-window materialization (bench-only, r11). Token ids
+    are built JVM-side (split + xxhash — zero Python), so the bench
+    measures the OPERATOR's shape (slim packing shuffle + member join
+    + bin concat agg), not a tokenizer; ``split_oversize`` exercises
+    the chunking map, so no window is truncated. The returned
+    invariants are real: ``len_match_ok`` re-states the operator's own
+    raise guard (window length == bin_tokens), ``within_cap_ok`` the
+    packing cap."""
+    from datamunging_spark.operators.trainset import concat_packed_sequences
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(
+            F.split("text", " "),
+            lambda w: F.pmod(F.xxhash64(w), F.lit(50257)).cast("int"),
+        ).alias("token_ids"),
+    )
+    w = concat_packed_sequences(d, max_len=1024, split_oversize=True)
+    return w.select(
+        "bin_id",
+        "bin_tokens",
+        "n_docs",
+        (F.size("token_ids") == F.col("bin_tokens")).alias("len_match_ok"),
+        (F.col("bin_tokens") <= F.lit(1024)).alias("within_cap_ok"),
+    )
+
+
 def q_x5_token_budget(spark, sf_dir):
     """X5 token-budget prefix (oracle-paired): first docs by id until the
     running token sum reaches 100k. The Spark side is the two-pass

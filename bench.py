@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "x4_lang_model",
     "x8_quantiles",
     "x8_grouped_sketch",
+    "x5_packed_windows",
 ]
 
 
