@@ -142,6 +142,10 @@ _JUSTIFY: dict[str, str] = {
     "pairs — the payload never moves (docstring contract).",
     "x5_token_budget": "two-pass distributed prefix sum exchanges the "
     "slim (order, tokens) projection only — payload untouched.",
+    "x5_packed_windows": "windows must physically co-locate per bin, "
+    "so the member join + bin concat move the id ARRAYS once each — "
+    "the operator's contract (SCALE.md shuffle row); the packing pass "
+    "itself exchanges only slim (id, size) pairs.",
     "x1_paragraph_dedup": "paragraph-hash key rows (slim md5), ≤ "
     "paragraph count.",
     "x1_incremental_dedup": "band-signature rows (docs × bands, slim "
