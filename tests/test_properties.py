@@ -439,6 +439,40 @@ def test_quantile_sketch_invariants(spark, values, k):
         assert r.n_total == n
 
 
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 1000), max_size=30),
+        min_size=1,
+        max_size=12,
+    ),
+    st.booleans(),
+)
+def test_concat_packed_conserves_tokens(spark, arrays, split_oversize):
+    """concat_packed_sequences conserves the corpus token multiset for
+    arbitrary id arrays, with and without oversize splitting; window
+    length always equals bin_tokens, and with splitting on no window
+    exceeds max_len."""
+    from datamunging_spark.operators.trainset import concat_packed_sequences
+
+    max_len = 8
+    df = spark.createDataFrame(
+        [(i, a) for i, a in enumerate(arrays)],
+        "doc_id long, token_ids array<int>",
+    )
+    out = concat_packed_sequences(
+        df, max_len=max_len, num_groups=2, split_oversize=split_oversize
+    ).collect()
+    got = sorted(t for r in out for t in r["token_ids"])
+    assert got == sorted(t for a in arrays for t in a)
+    for r in out:
+        assert len(r["token_ids"]) == r["bin_tokens"]
+        if split_oversize:
+            assert r["bin_tokens"] <= max_len and not r["truncated"]
+        elif not r["truncated"]:
+            assert r["bin_tokens"] <= max_len
+
+
 @functools.lru_cache(maxsize=1)
 def _bpe_fixture():
     # hoisted out of the hypothesis body: one fixture read + one
