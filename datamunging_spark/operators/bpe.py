@@ -236,6 +236,26 @@ def bpe_train(texts, n_merges: int) -> list:
     return _greedy_merges(vocab, n_merges)
 
 
+def pretoken_frequencies(df, text_col: str = "text"):
+    """The distributed trainer's corpus pass as its own face: one JVM
+    ``regexp_extract_all`` scan + map-side-combined count per distinct
+    pretoken → ``(_pt string, _f long)``. Shared with the scale probe
+    (tools/measure_bpe_train_scale.py) so the pipeline exists in one
+    place."""
+    from datamunging_spark.functions import BPE_ISH_PATTERN
+
+    c = F.col(text_col)
+    return (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+            ).alias("_pt")
+        )
+        .groupBy("_pt")
+        .agg(F.count(F.lit(1)).alias("_f"))
+    )
+
+
 def bpe_train_distributed(
     df,
     text_col: str = "text",
@@ -269,18 +289,7 @@ def bpe_train_distributed(
     is pinned by test against :func:`bpe_train` on the fixture corpus.
     NULL text rows contribute nothing (``explode`` drops NULL arrays).
     """
-    from datamunging_spark.functions import BPE_ISH_PATTERN
-
-    c = F.col(text_col)
-    freq = (
-        df.select(
-            F.explode(
-                F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
-            ).alias("_pt")
-        )
-        .groupBy("_pt")
-        .agg(F.count(F.lit(1)).alias("_f"))
-    )
+    freq = pretoken_frequencies(df, text_col)
     if int(min_freq) > 1:
         freq = freq.filter(F.col("_f") >= int(min_freq))
     cap = int(max_distinct_pretokens)

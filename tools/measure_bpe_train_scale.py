@@ -3,13 +3,13 @@ frequency TABLE grows sublinearly with the corpus (Zipf), so the
 driver-side greedy loop's input — and the bounded collect — stay small
 while the corpus grows 100×.
 
-Runs the distributed pretoken aggregation (the trainer's only corpus
-pass) over the documents table at sf0.001 / sf0.01 / sf0.1 and prints
-corpus rows, total pretoken occurrences, and DISTINCT pretokens, plus
-the end-to-end distributed-training wall for a fixed n_merges at each
-SF. Record the table in SCALE.md next to the token-counting probe.
+Uses the operator's own ``pretoken_frequencies`` pass (one aggregation
+per SF for both stats), then times the end-to-end distributed training
+for a fixed n_merges. Record the table in SCALE.md next to the
+token-counting probe — the printed shape matches the committed one.
 
-Usage: python tools/measure_bpe_train_scale.py
+Usage: python tools/measure_bpe_train_scale.py [testdata_root]
+(default /root/testdata; probes sf0.001, sf0.01, sf0.1 under it)
 """
 
 import os
@@ -20,11 +20,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
-from datamunging_spark.functions import BPE_ISH_PATTERN  # noqa: E402
-from datamunging_spark.operators.bpe import bpe_train_distributed  # noqa: E402
+from datamunging_spark.operators.bpe import (  # noqa: E402
+    bpe_train_distributed,
+    pretoken_frequencies,
+)
 
 
 def main() -> None:
+    root = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata"
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
@@ -33,26 +36,22 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     print("| sf | docs | pretoken occurrences | distinct pretokens | "
-          "distinct/occurrence | train(64 merges) wall |")
-    print("|---|---|---|---|---|---|")
+          "train(64 merges) wall |")
+    print("|---|---|---|---|---|")
     for sf in ["sf0.001", "sf0.01", "sf0.1"]:
-        path = f"/root/testdata/{sf}/documents.parquet"
+        path = os.path.join(root, sf, "documents.parquet")
         df = spark.read.parquet(path).select("text")
         docs = df.count()
-        pts = df.select(
-            F.explode(
-                F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
-            ).alias("_pt")
-        )
-        total = pts.count()
-        distinct = pts.distinct().count()
+        stats = pretoken_frequencies(df).agg(
+            F.sum("_f").alias("total"), F.count(F.lit(1)).alias("distinct")
+        ).collect()[0]
         t0 = time.perf_counter()
         merges = bpe_train_distributed(df, n_merges=64)
         wall = time.perf_counter() - t0
         assert len(merges) == 64
         print(
-            f"| {sf} | {docs:,} | {total:,} | {distinct:,} | "
-            f"{distinct / max(total, 1):.4f} | {wall:.2f} s |"
+            f"| {sf} | {docs:,} | {stats['total']:,} | "
+            f"{stats['distinct']:,} | {wall:.2f} s |"
         )
     spark.stop()
 
