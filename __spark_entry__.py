@@ -1381,6 +1381,30 @@ def q_x5_packed_windows(spark, sf_dir):
     )
 
 
+def q_x5_dsir_select(spark, sf_dir):
+    """X5 DSIR data selection (bench-only, r11): score every document's
+    hashed-ngram log importance ratio against a target slice (src0-src3
+    documents standing in for the 'looks like Wikipedia' target) and
+    Gumbel-top-k resample 500. Exercises the whole family: two fits
+    over the complete 16^4 bucket spine, broadcast ratio join, decimal
+    score aggregate, TakeOrdered top-k. ``selected_ok`` re-states the
+    k contract; scores themselves are pinned against the Python md5
+    reference in tests/test_selection.py."""
+    from datamunging_spark.operators.selection import dsir_select
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    target = docs.filter(
+        F.col("source").isin("src0", "src1", "src2", "src3")
+    )
+    sel = dsir_select(docs, target, k=500, salt="bench")
+    return sel.select(
+        "doc_id",
+        "n_features",
+        F.round("dsir_logw", 4).alias("dsir_logw"),
+        (F.col("n_features") > 0).alias("selected_ok"),
+    )
+
+
 def q_x5_token_budget(spark, sf_dir):
     """X5 token-budget prefix (oracle-paired): first docs by id until the
     running token sum reaches 100k. The Spark side is the two-pass

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "x8_quantiles",
     "x8_grouped_sketch",
     "x5_packed_windows",
+    "x5_dsir_select",
 ]
 
 

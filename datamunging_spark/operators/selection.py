@@ -1,0 +1,270 @@
+"""Data selection via importance resampling (DSIR) — choosing the raw
+documents whose hashed n-gram feature distribution looks like a target
+corpus (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling", NeurIPS — reimplemented from the paper; the
+standard pretraining-pipeline step between raw curation and training-
+set assembly: "give me the 10M web docs most like Wikipedia+books").
+
+The pipeline is four relational faces that compose like the LM-quality
+family (text.py): featurize → fit (twice) → score → resample.
+
+Scale shapes (the 100 TB story):
+
+- **Features are md5-HEX-PREFIX buckets** (``substring(md5(gram), 1,
+  hash_chars)``): portable across engines byte-for-byte (the repo's
+  md5 discipline — no engine hash, no hex→int conversion), so scores
+  are oracle-reproducible. ``16^hash_chars`` buckets (default 4 →
+  65,536, the paper's 10k rounded up to a power of 16).
+- **The fitted distributions are COMPLETE bucket tables** (every one
+  of the 16^hash_chars buckets, absent ones smoothed) built by a left
+  join of a generated ``spark.range``-backed bucket spine onto the
+  observed counts — bounded rows by construction, the natural
+  broadcast side of the scoring join; no "default row" special case
+  can drift between engines.
+- **Scoring is the lm_quality_score plan**: explode grams → broadcast
+  join the bucket-ratio table → ONE map-side-combinable hash aggregate
+  back to doc grain, log-ratios summed as ``decimal(28,7)`` so the
+  reduction order can't change the score.
+- **Resampling is Gumbel top-k** (Kool et al. 2019: adding Gumbel
+  noise to log-weights and taking the top k IS sampling without
+  replacement from the softmax): the noise is a pure expression over
+  a salted md5 row key — deterministic on any engine and any
+  partitioning — and the top-k runs as TakeOrdered per-partition
+  heaps (plan-asserted), never a global sort exchange.
+
+Like the LM family, the composite (:func:`dsir_select`) scans the raw
+corpus twice (once fitting the raw feature distribution, once scoring)
+instead of materializing the corpus-sized gram table — the same
+trade text.py's fit+score pair makes, and the right one at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hashed_ngram_features",
+    "dsir_fit",
+    "dsir_logratios",
+    "dsir_scores",
+    "importance_resample",
+    "dsir_select",
+]
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_chars: int = 4,
+    bigrams: bool = True,
+) -> DataFrame:
+    """(id, bucket) — one row per word-gram OCCURRENCE, bucket =
+    ``substring(md5(gram), 1, hash_chars)`` (a hex string; see module
+    docstring for why hex-prefix, not hex→int). Grams are the
+    whitespace unigrams of the corpus-wide ``normalize_text`` form
+    plus (default) their adjacent bigrams — the paper's feature set.
+    Pure map: split once, derive bigrams by zipping the token array
+    with its shift (both slices have length size-1, so Spark's
+    NULL-padding zip_with semantics never trigger), no shuffle."""
+    from datamunging_spark.functions import normalize_text
+
+    if not 1 <= int(hash_chars) <= 8:
+        raise ValueError(f"hash_chars must be in [1, 8], got {hash_chars}")
+    toks = F.filter(
+        F.split(normalize_text(text_col), " ", -1), lambda w: w != ""
+    )
+    grams = toks
+    if bigrams:
+        n = F.size(toks)
+        bi = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(toks, 1, n - 1),
+                F.slice(toks, 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = F.concat(toks, bi)
+    return df.select(
+        F.col(id_col), F.explode(grams).alias("_gram")
+    ).select(
+        id_col,
+        F.substring(F.md5(F.col("_gram")), 1, int(hash_chars)).alias(
+            "bucket"
+        ),
+    )
+
+
+def _bucket_spine(spark, hash_chars: int) -> DataFrame:
+    """All 16^hash_chars hex-prefix buckets as one generated column —
+    lowercase hex, zero-padded to hash_chars (md5 output is lowercase,
+    so the spine matches the feature buckets exactly)."""
+    n = 16 ** int(hash_chars)
+    return spark.range(n).select(
+        F.lpad(F.lower(F.hex("id")), int(hash_chars), "0").alias("bucket")
+    )
+
+
+def dsir_fit(
+    features: DataFrame, hash_chars: int = 4, alpha: float = 1.0
+) -> DataFrame:
+    """Smoothed feature distribution over the COMPLETE bucket space:
+    (bucket, cnt, logprob) for every one of the 16^hash_chars buckets,
+    ``logprob = ln((cnt + alpha) / (total + alpha·B))`` (Laplace).
+    Absent buckets appear with cnt=0 and the floor mass — no implicit
+    "default" a consumer could compute differently. One map-side-
+    combinable count aggregate (bounded output) + the generated spine
+    left-joined on; logprob rounded to 7 decimals for the decimal-sum
+    discipline downstream."""
+    spark = features.sparkSession
+    b = 16 ** int(hash_chars)
+    cnts = features.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    total = cnts.agg(F.sum("cnt").alias("_total"))
+    return (
+        _bucket_spine(spark, hash_chars)
+        .join(cnts, "bucket", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(float(alpha)))
+                    / (
+                        F.coalesce(F.col("_total"), F.lit(0))
+                        + F.lit(float(alpha) * b)
+                    )
+                ),
+                7,
+            ).alias("logprob"),
+        )
+    )
+
+
+def dsir_logratios(fit_target: DataFrame, fit_raw: DataFrame) -> DataFrame:
+    """(bucket, logratio = target logprob − raw logprob): the per-
+    feature importance weight table. Both fits are complete over the
+    same bucket space, so this is a bounded inner equi-join with no
+    missing-bucket case."""
+    t = fit_target.select("bucket", F.col("logprob").alias("_lt"))
+    r = fit_raw.select("bucket", F.col("logprob").alias("_lr"))
+    return t.join(r, "bucket").select(
+        "bucket",
+        F.round(F.col("_lt") - F.col("_lr"), 7).alias("logratio"),
+    )
+
+
+def dsir_scores(
+    df: DataFrame,
+    logratios: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_chars: int = 4,
+    bigrams: bool = True,
+    broadcast_ratios: bool = True,
+) -> DataFrame:
+    """Per-document log importance weight: ``dsir_logw = Σ_features
+    logratio(bucket)`` over the doc's feature occurrences (the paper's
+    w(x) with the hashed-ngram bag). Output (id, n_features,
+    dsir_logw) for docs with ≥1 feature — featureless docs (empty
+    after normalization) carry no evidence and are dropped, same
+    contract as lm_quality_score. Plan: explode → broadcast inner join
+    (every bucket exists in the table) → one hash aggregate; ratios
+    summed as decimal(28,7) so the score is reduction-order-free."""
+    feats = hashed_ngram_features(
+        df, text_col=text_col, id_col=id_col,
+        hash_chars=hash_chars, bigrams=bigrams,
+    )
+    ratios = logratios.select(
+        "bucket", F.col("logratio").cast("decimal(28,7)").alias("_lr")
+    )
+    if broadcast_ratios:
+        ratios = F.broadcast(ratios)
+    return (
+        feats.join(ratios, "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("_lr").alias("_sum"),
+        )
+        .select(
+            id_col,
+            "n_features",
+            F.col("_sum").cast("double").alias("dsir_logw"),
+        )
+    )
+
+
+def importance_resample(
+    scored: DataFrame,
+    k: int,
+    id_cols: list[str] | None = None,
+    logw_col: str = "dsir_logw",
+    salt: str = "0",
+) -> DataFrame:
+    """Gumbel top-k sampling WITHOUT replacement from the softmax of
+    ``logw_col`` (Kool et al. 2019): key = logw + Gumbel(0,1), take
+    the k largest keys. The Gumbel noise is a pure expression over the
+    repo's salted md5 row key — u = (hex64(md5) + 1) / (2^32 + 2) ∈
+    (0,1) open on both ends, g = −ln(−ln(u)) — so the SAME (rows,
+    salt, k) select the SAME sample on any engine or partitioning;
+    ``salt`` re-deals. k is the operator's scale contract: the top-k
+    runs as per-partition TakeOrdered heaps (no global sort exchange,
+    plan-asserted in tests) and k rows land on the driver-side stage,
+    so keep k selection-sized (millions), not corpus-sized.
+
+    Returns the selected rows of ``scored`` with the ``_gumbel_key``
+    column retained (descending order of it = the sample's canonical
+    order)."""
+    from datamunging_spark.functions import salted_row_key
+
+    if not id_cols:
+        raise ValueError("id_cols must name the unique row identity")
+    u = (
+        (
+            F.conv(
+                F.substring(salted_row_key(id_cols, salt), 1, 8), 16, 10
+            ).cast("double")
+            + F.lit(1.0)
+        )
+        / F.lit(float(2**32) + 2.0)
+    )
+    key = F.col(logw_col) + (-F.log(-F.log(u)))
+    return (
+        scored.withColumn("_gumbel_key", key)
+        .orderBy(F.col("_gumbel_key").desc())
+        .limit(int(k))
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_chars: int = 4,
+    bigrams: bool = True,
+    alpha: float = 1.0,
+    salt: str = "0",
+) -> DataFrame:
+    """The composite: fit target and raw feature distributions, score
+    every raw doc's log importance ratio, Gumbel-top-k resample.
+    Returns (id, n_features, dsir_logw, _gumbel_key) for the k
+    selected docs. Scans the raw corpus twice (fit + score) rather
+    than materializing the corpus-sized gram table — the text.py
+    fit/score trade. The two fitted tables and the ratio table are
+    bucket-bounded (16^hash_chars rows) end to end."""
+    kw = dict(
+        text_col=text_col, id_col=id_col,
+        hash_chars=hash_chars, bigrams=bigrams,
+    )
+    fit_t = dsir_fit(
+        hashed_ngram_features(target, **kw), hash_chars, alpha
+    )
+    fit_r = dsir_fit(hashed_ngram_features(raw, **kw), hash_chars, alpha)
+    ratios = dsir_logratios(fit_t, fit_r)
+    scored = dsir_scores(raw, ratios, **kw)
+    return importance_resample(scored, k, id_cols=[id_col], salt=salt)

@@ -1,0 +1,195 @@
+"""DSIR data-selection family (operators/selection.py): feature
+hashing, smoothed fits, log-ratio scoring, Gumbel top-k resampling —
+pinned against a driver-side Python reference implementation (hashlib
+md5 + math), which is the strongest oracle available for the
+md5-portable discipline: every number must match to the documented
+rounding, not just look plausible."""
+
+import hashlib
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from datamunging_spark.operators.selection import (
+    dsir_fit,
+    dsir_logratios,
+    dsir_scores,
+    dsir_select,
+    hashed_ngram_features,
+    importance_resample,
+)
+
+HC = 3  # 4,096 buckets — small spine, few enough collisions that the
+# thematic separation check below is collision-stable (at 16^2 a
+# cat-doc unigram collides into the finance mass and flips it)
+
+
+def _norm(t: str) -> list[str]:
+    return [w for w in re.sub(r"\s+", " ", t.lower()).strip().split(" ") if w]
+
+
+def _grams(t: str) -> list[str]:
+    toks = _norm(t)
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _bucket(g: str, hc: int = HC) -> str:
+    return hashlib.md5(g.encode()).hexdigest()[:hc]
+
+
+def _py_fit(texts, hc=HC, alpha=1.0):
+    cnt: dict[str, int] = {}
+    for t in texts:
+        for g in _grams(t):
+            b = _bucket(g, hc)
+            cnt[b] = cnt.get(b, 0) + 1
+    total, nb = sum(cnt.values()), 16**hc
+    return {
+        f"{i:0{hc}x}": round(
+            math.log((cnt.get(f"{i:0{hc}x}", 0) + alpha) / (total + alpha * nb)),
+            7,
+        )
+        for i in range(nb)
+    }
+
+
+RAW = [
+    (0, "the stock market fell sharply on tuesday"),
+    (1, "cats and dogs are popular pets in many homes"),
+    (2, "the federal reserve raised interest rates again"),
+    (3, "my cat sleeps on the warm windowsill all day"),
+    (4, "quarterly earnings beat expectations across the board"),
+    (5, "dogs love to play fetch in the park"),
+]
+TARGET = [
+    (100, "cats are wonderful pets and cats sleep a lot"),
+    (101, "a dog and a cat can be friends with other pets"),
+    (102, "pets like cats and dogs enjoy play and sleep"),
+]
+
+
+def test_hashed_ngram_features_matches_python(spark):
+    df = spark.createDataFrame(RAW, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["bucket"])
+        for r in hashed_ngram_features(df, hash_chars=HC).collect()
+    )
+    want = sorted(
+        (i, _bucket(g)) for i, t in RAW for g in _grams(t)
+    )
+    assert got == want
+
+
+def test_dsir_fit_complete_smoothed_and_exact(spark):
+    df = spark.createDataFrame(RAW, "doc_id long, text string")
+    fit = dsir_fit(hashed_ngram_features(df, hash_chars=HC), HC).collect()
+    assert len(fit) == 16**HC  # complete bucket space
+    want = _py_fit([t for _, t in RAW])
+    got = {r["bucket"]: r["logprob"] for r in fit}
+    assert got == pytest.approx(want, abs=1e-7)
+    # probability mass: sum of exp(logprob) over the complete space = 1
+    assert sum(math.exp(v) for v in got.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_dsir_scores_match_python_reference(spark):
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    tgt = spark.createDataFrame(TARGET, "doc_id long, text string")
+    fit_t = dsir_fit(hashed_ngram_features(tgt, hash_chars=HC), HC)
+    fit_r = dsir_fit(hashed_ngram_features(raw, hash_chars=HC), HC)
+    ratios = dsir_logratios(fit_t, fit_r)
+    got = {
+        r["doc_id"]: (r["n_features"], r["dsir_logw"])
+        for r in dsir_scores(raw, ratios, hash_chars=HC).collect()
+    }
+    pt, pr = _py_fit([t for _, t in TARGET]), _py_fit([t for _, t in RAW])
+    ratio = {b: round(pt[b] - pr[b], 7) for b in pt}
+    for i, t in RAW:
+        gs = _grams(t)
+        want = sum(ratio[_bucket(g)] for g in gs)
+        assert got[i][0] == len(gs)
+        assert got[i][1] == pytest.approx(want, abs=1e-6), i
+    # the pet-themed raw docs outscore the finance ones under the
+    # pet-themed target — the operator's reason to exist. Compare the
+    # per-feature MEAN: the raw sum is length-sensitive (every unseen
+    # bigram adds negative mass), so doc length would swamp the theme
+    # at this tiny scale.
+    pets = {1, 3, 5}
+    mean = {i: lw / n for i, (n, lw) in got.items()}
+    assert min(mean[i] for i in pets) > max(
+        mean[i] for i in set(got) - pets
+    )
+
+
+def test_importance_resample_gumbel_exact_and_deterministic(spark):
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    tgt = spark.createDataFrame(TARGET, "doc_id long, text string")
+    sel = dsir_select(raw, tgt, k=3, hash_chars=HC, salt="s1")
+    rows = sel.collect()
+    assert len(rows) == 3
+    # Python reference for the Gumbel keys
+    pt, pr = _py_fit([t for _, t in TARGET]), _py_fit([t for _, t in RAW])
+    ratio = {b: round(pt[b] - pr[b], 7) for b in pt}
+
+    def gkey(i, t):
+        logw = sum(ratio[_bucket(g)] for g in _grams(t))
+        h = hashlib.md5(f"s1|{i}".encode()).hexdigest()[:8]
+        u = (int(h, 16) + 1.0) / (2**32 + 2.0)
+        return logw + (-math.log(-math.log(u)))
+
+    want = sorted(
+        ((gkey(i, t), i) for i, t in RAW), reverse=True
+    )[:3]
+    got = sorted(
+        ((r["_gumbel_key"], r["doc_id"]) for r in rows), reverse=True
+    )
+    assert [i for _, i in got] == [i for _, i in want]
+    for (gk, _), (wk, _) in zip(got, want):
+        assert gk == pytest.approx(wk, abs=1e-6)
+    # same salt → same sample; different salt → (here) different keys
+    again = dsir_select(raw, tgt, k=3, hash_chars=HC, salt="s1").collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"] for r in rows
+    )
+    other = dsir_select(raw, tgt, k=3, hash_chars=HC, salt="s2").collect()
+    assert {r["_gumbel_key"] for r in other} != {r["_gumbel_key"] for r in rows}
+
+
+def test_importance_resample_plan_is_take_ordered(spark):
+    """The top-k must run as TakeOrdered per-partition heaps, never a
+    global sort exchange — the operator's scale contract."""
+    scored = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("double").alias("dsir_logw"),
+    )
+    sel = importance_resample(scored, k=10, id_cols=["doc_id"])
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_selection_empty_and_validation(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    feats = hashed_ngram_features(empty, hash_chars=HC)
+    assert feats.count() == 0
+    fit = dsir_fit(feats, HC)
+    assert fit.count() == 16**HC  # smoothed uniform over the spine
+    lp = {r["logprob"] for r in fit.collect()}
+    assert len(lp) == 1  # all-equal mass
+    with pytest.raises(ValueError, match="id_cols"):
+        importance_resample(spark.range(1), k=1, id_cols=[])
+    with pytest.raises(ValueError, match="hash_chars"):
+        hashed_ngram_features(empty, hash_chars=0)
+    # featureless docs are dropped from scores (documented contract)
+    blank = spark.createDataFrame(
+        [(0, "   "), (1, "real words here")], "doc_id long, text string"
+    )
+    fit_b = dsir_fit(hashed_ngram_features(blank, hash_chars=HC), HC)
+    ids = {
+        r["doc_id"]
+        for r in dsir_scores(
+            blank, dsir_logratios(fit_b, fit_b), hash_chars=HC
+        ).collect()
+    }
+    assert ids == {1}

@@ -142,6 +142,11 @@ _JUSTIFY: dict[str, str] = {
     "pairs — the payload never moves (docstring contract).",
     "x5_token_budget": "two-pass distributed prefix sum exchanges the "
     "slim (order, tokens) projection only — payload untouched.",
+    "x5_dsir_select": "feature-bucket aggregates: gram rows are slim "
+    "md5-prefix strings, linear in tokens, partial-agg collapsed to "
+    "≤ 16^hash_chars buckets; the scoring join broadcasts the "
+    "bucket-bounded ratio table; top-k is TakeOrdered (no sort "
+    "exchange).",
     "x5_packed_windows": "windows must physically co-locate per bin, "
     "so the member join + bin concat move the id ARRAYS once each — "
     "the operator's contract (SCALE.md shuffle row); the packing pass "
