@@ -65,16 +65,26 @@ def hashed_ngram_features(
     docstring for why hex-prefix, not hex→int). Grams are the
     whitespace unigrams of the corpus-wide ``normalize_text`` form
     plus (default) their adjacent bigrams — the paper's feature set.
-    Pure map: split once, derive bigrams by zipping the token array
-    with its shift (both slices have length size-1, so Spark's
-    NULL-padding zip_with semantics never trigger), no shuffle."""
+    Pure map: the token array is BOUND as a column before the gram
+    expressions reference it (lambda-bearing expressions are excluded
+    from Spark's subexpression elimination, so the inline form would
+    re-normalize and re-split every row once per reference — the
+    measured text.py trap); bigrams zip the bound array with its shift
+    (both slices have length size-1, so Spark's NULL-padding zip_with
+    semantics never trigger). No shuffle. The bucket column carries
+    ``dsir_hash_chars`` metadata so downstream faces can fail fast on
+    a width mismatch instead of silently joining nothing."""
     from datamunging_spark.functions import normalize_text
 
     if not 1 <= int(hash_chars) <= 8:
         raise ValueError(f"hash_chars must be in [1, 8], got {hash_chars}")
-    toks = F.filter(
-        F.split(normalize_text(text_col), " ", -1), lambda w: w != ""
+    base = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(normalize_text(text_col), " ", -1), lambda w: w != ""
+        ).alias("_toks"),
     )
+    toks = F.col("_toks")
     grams = toks
     if bigrams:
         n = F.size(toks)
@@ -87,12 +97,12 @@ def hashed_ngram_features(
             ),
         ).otherwise(F.array().cast("array<string>"))
         grams = F.concat(toks, bi)
-    return df.select(
+    return base.select(
         F.col(id_col), F.explode(grams).alias("_gram")
     ).select(
         id_col,
         F.substring(F.md5(F.col("_gram")), 1, int(hash_chars)).alias(
-            "bucket"
+            "bucket", metadata={"dsir_hash_chars": int(hash_chars)}
         ),
     )
 
@@ -103,8 +113,31 @@ def _bucket_spine(spark, hash_chars: int) -> DataFrame:
     so the spine matches the feature buckets exactly)."""
     n = 16 ** int(hash_chars)
     return spark.range(n).select(
-        F.lpad(F.lower(F.hex("id")), int(hash_chars), "0").alias("bucket")
+        F.lpad(F.lower(F.hex("id")), int(hash_chars), "0").alias(
+            "bucket", metadata={"dsir_hash_chars": int(hash_chars)}
+        )
     )
+
+
+def _bucket_width(df: DataFrame) -> int | None:
+    """hash_chars recorded in a bucket column's metadata (None when the
+    table was built outside this module)."""
+    try:
+        m = df.schema["bucket"].metadata
+    except KeyError:
+        return None
+    v = m.get("dsir_hash_chars")
+    return int(v) if v is not None else None
+
+
+def _check_width(df: DataFrame, expect: int, who: str) -> None:
+    got = _bucket_width(df)
+    if got is not None and got != int(expect):
+        raise ValueError(
+            f"{who}: bucket width mismatch — table built with "
+            f"hash_chars={got}, caller expects {expect}; a mismatched "
+            "join would silently match nothing"
+        )
 
 
 def dsir_fit(
@@ -118,6 +151,12 @@ def dsir_fit(
     combinable count aggregate (bounded output) + the generated spine
     left-joined on; logprob rounded to 7 decimals for the decimal-sum
     discipline downstream."""
+    if not float(alpha) > 0:
+        # alpha=0 would turn absent buckets into log(0) = NULL in Spark
+        # SQL (not -inf), and NULLs vanish silently inside the decimal
+        # score sums downstream — fail here instead
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    _check_width(features, hash_chars, "dsir_fit")
     spark = features.sparkSession
     b = 16 ** int(hash_chars)
     cnts = features.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
@@ -148,6 +187,12 @@ def dsir_logratios(fit_target: DataFrame, fit_raw: DataFrame) -> DataFrame:
     feature importance weight table. Both fits are complete over the
     same bucket space, so this is a bounded inner equi-join with no
     missing-bucket case."""
+    wt, wr = _bucket_width(fit_target), _bucket_width(fit_raw)
+    if wt is not None and wr is not None and wt != wr:
+        raise ValueError(
+            f"dsir_logratios: fits built at different hash_chars "
+            f"({wt} vs {wr})"
+        )
     t = fit_target.select("bucket", F.col("logprob").alias("_lt"))
     r = fit_raw.select("bucket", F.col("logprob").alias("_lr"))
     return t.join(r, "bucket").select(
@@ -173,6 +218,7 @@ def dsir_scores(
     contract as lm_quality_score. Plan: explode → broadcast inner join
     (every bucket exists in the table) → one hash aggregate; ratios
     summed as decimal(28,7) so the score is reduction-order-free."""
+    _check_width(logratios, hash_chars, "dsir_scores")
     feats = hashed_ngram_features(
         df, text_col=text_col, id_col=id_col,
         hash_chars=hash_chars, bigrams=bigrams,
@@ -207,7 +253,7 @@ def importance_resample(
     """Gumbel top-k sampling WITHOUT replacement from the softmax of
     ``logw_col`` (Kool et al. 2019): key = logw + Gumbel(0,1), take
     the k largest keys. The Gumbel noise is a pure expression over the
-    repo's salted md5 row key — u = (hex64(md5) + 1) / (2^32 + 2) ∈
+    repo's salted md5 row key — u = (int(first 8 hex chars of md5) + 1) / (2^32 + 2), 32 bits ∈
     (0,1) open on both ends, g = −ln(−ln(u)) — so the SAME (rows,
     salt, k) select the SAME sample on any engine or partitioning;
     ``salt`` re-deals. k is the operator's scale contract: the top-k

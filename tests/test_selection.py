@@ -169,6 +169,39 @@ def test_importance_resample_plan_is_take_ordered(spark):
     assert "Exchange rangepartitioning" not in plan
 
 
+def test_featurize_splits_once_in_plan(spark):
+    """The token array must stay BOUND as a column: lambda-bearing
+    expressions are excluded from subexpression elimination, so an
+    inlined form evaluates normalize+split once per reference (6x) —
+    pin the optimized plan to exactly one split."""
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = (
+        hashed_ngram_features(df, hash_chars=HC)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("split(") == 1
+
+
+def test_selection_guards(spark):
+    """alpha<=0 raises (log(0) is NULL in Spark SQL and would vanish
+    in the decimal sums); mismatched bucket widths raise instead of
+    silently joining nothing."""
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    f2 = hashed_ngram_features(df, hash_chars=2)
+    f3 = hashed_ngram_features(df, hash_chars=3)
+    with pytest.raises(ValueError, match="alpha"):
+        dsir_fit(f2, 2, alpha=0.0)
+    with pytest.raises(ValueError, match="width mismatch"):
+        dsir_fit(f2, hash_chars=3)
+    with pytest.raises(ValueError, match="different hash_chars"):
+        dsir_logratios(dsir_fit(f2, 2), dsir_fit(f3, 3))
+    ratios2 = dsir_logratios(dsir_fit(f2, 2), dsir_fit(f2, 2))
+    with pytest.raises(ValueError, match="width mismatch"):
+        dsir_scores(df, ratios2, hash_chars=4)
+
+
 def test_selection_empty_and_validation(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     feats = hashed_ngram_features(empty, hash_chars=HC)
