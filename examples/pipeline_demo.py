@@ -97,6 +97,16 @@ def main() -> None:
         f"{next_batch.count()} -> {survivors.count()} genuinely new docs"
     )
 
+    # 3d. data selection: DSIR importance resampling — keep the curated
+    #     docs whose hashed-ngram distribution looks like a target slice
+    #     (src0/src1 standing in for "Wikipedia-like")
+    from datamunging_spark.operators.selection import dsir_select
+
+    target = curated.filter(F.col("source").isin("src0", "src1"))
+    picked = dsir_select(curated, target, k=200, salt="demo")
+    print(f"DSIR-selected 200 target-like docs "
+          f"(top logw {picked.agg(F.max('dsir_logw')).first()[0]:.2f})")
+
     # 4. train-set assembly: leakage-safe split + token budget
     splits = split_dataset(
         curated, {"train": 0.9, "val": 0.1}, id_cols=["doc_id"]
