@@ -59,6 +59,7 @@ def hashed_ngram_features(
     id_col: str = "doc_id",
     hash_chars: int = 4,
     bigrams: bool = True,
+    group_col: str | None = None,
 ) -> DataFrame:
     """(id, bucket) — one row per word-gram OCCURRENCE, bucket =
     ``substring(md5(gram), 1, hash_chars)`` (a hex string; see module
@@ -78,8 +79,10 @@ def hashed_ngram_features(
 
     if not 1 <= int(hash_chars) <= 8:
         raise ValueError(f"hash_chars must be in [1, 8], got {hash_chars}")
+    gb = [group_col] if group_col else []
     base = df.select(
         F.col(id_col),
+        *gb,
         F.filter(
             F.split(normalize_text(text_col), " ", -1), lambda w: w != ""
         ).alias("_toks"),
@@ -98,9 +101,10 @@ def hashed_ngram_features(
         ).otherwise(F.array().cast("array<string>"))
         grams = F.concat(toks, bi)
     return base.select(
-        F.col(id_col), F.explode(grams).alias("_gram")
+        F.col(id_col), *gb, F.explode(grams).alias("_gram")
     ).select(
         id_col,
+        *gb,
         F.substring(F.md5(F.col("_gram")), 1, int(hash_chars)).alias(
             "bucket", metadata={"dsir_hash_chars": int(hash_chars)}
         ),
@@ -141,7 +145,10 @@ def _check_width(df: DataFrame, expect: int, who: str) -> None:
 
 
 def dsir_fit(
-    features: DataFrame, hash_chars: int = 4, alpha: float = 1.0
+    features: DataFrame,
+    hash_chars: int = 4,
+    alpha: float = 1.0,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Smoothed feature distribution over the COMPLETE bucket space:
     (bucket, cnt, logprob) for every one of the 16^hash_chars buckets,
@@ -150,7 +157,15 @@ def dsir_fit(
     "default" a consumer could compute differently. One map-side-
     combinable count aggregate (bounded output) + the generated spine
     left-joined on; logprob rounded to 7 decimals for the decimal-sum
-    discipline downstream."""
+    discipline downstream.
+
+    ``group_col`` fits ONE DISTRIBUTION PER GROUP (the per-language
+    structure — text.py's unigram_lm_fit precedent): the spine is
+    generated per OBSERVED group (distinct groups × 16^hash_chars
+    rows — group_col must be low-cardinality like a language id),
+    probabilities are conditioned on the group via a NULL-safe window
+    total (a NULL group — unidentified language — is a real group,
+    never dropped by a join)."""
     if not float(alpha) > 0:
         # alpha=0 would turn absent buckets into log(0) = NULL in Spark
         # SQL (not -inf), and NULLs vanish silently inside the decimal
@@ -159,44 +174,88 @@ def dsir_fit(
     _check_width(features, hash_chars, "dsir_fit")
     spark = features.sparkSession
     b = 16 ** int(hash_chars)
-    cnts = features.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
-    total = cnts.agg(F.sum("cnt").alias("_total"))
-    return (
-        _bucket_spine(spark, hash_chars)
-        .join(cnts, "bucket", "left")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "bucket",
-            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(float(alpha)))
-                    / (
-                        F.coalesce(F.col("_total"), F.lit(0))
-                        + F.lit(float(alpha) * b)
-                    )
-                ),
-                7,
-            ).alias("logprob"),
+    gb = [group_col] if group_col else []
+    cnts = features.groupBy(*gb, "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    spine = _bucket_spine(spark, hash_chars)
+    if gb:
+        from pyspark.sql import Window
+
+        groups = features.select(*gb).distinct()
+        spine = groups.crossJoin(spine)
+        # NULL-safe join condition: the NULL group's spine rows must
+        # match its count rows (an equi-join would orphan them)
+        cond = spine["bucket"] == cnts["bucket"]
+        for g in gb:
+            cond = cond & spine[g].eqNullSafe(cnts[g])
+        joined = spine.join(cnts, cond, "left").select(
+            *[spine[g] for g in gb],
+            spine["bucket"],
+            cnts["cnt"],
         )
+        totaled = joined.withColumn(
+            "_total", F.sum("cnt").over(Window.partitionBy(*gb))
+        )
+    else:
+        total = cnts.agg(F.sum("cnt").alias("_total"))
+        totaled = spine.join(cnts, "bucket", "left").crossJoin(
+            F.broadcast(total)
+        )
+    return totaled.select(
+        *gb,
+        "bucket",
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        F.round(
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(float(alpha)))
+                / (
+                    F.coalesce(F.col("_total"), F.lit(0))
+                    + F.lit(float(alpha) * b)
+                )
+            ),
+            7,
+        ).alias("logprob"),
     )
 
 
-def dsir_logratios(fit_target: DataFrame, fit_raw: DataFrame) -> DataFrame:
+def dsir_logratios(
+    fit_target: DataFrame,
+    fit_raw: DataFrame,
+    group_col: str | None = None,
+) -> DataFrame:
     """(bucket, logratio = target logprob − raw logprob): the per-
     feature importance weight table. Both fits are complete over the
     same bucket space, so this is a bounded inner equi-join with no
-    missing-bucket case."""
+    missing-bucket case.
+
+    With ``group_col`` the join is per-group (NULL-safe): the table
+    covers the INTERSECTION of the two fits' groups — a raw group with
+    no target data has no defined ratio, so its docs get no scores
+    downstream (deliberate: no target for a language means nothing to
+    select toward there; count dropped groups yourself if that needs
+    surfacing)."""
     wt, wr = _bucket_width(fit_target), _bucket_width(fit_raw)
     if wt is not None and wr is not None and wt != wr:
         raise ValueError(
             f"dsir_logratios: fits built at different hash_chars "
             f"({wt} vs {wr})"
         )
-    t = fit_target.select("bucket", F.col("logprob").alias("_lt"))
-    r = fit_raw.select("bucket", F.col("logprob").alias("_lr"))
-    return t.join(r, "bucket").select(
-        "bucket",
+    gb = [group_col] if group_col else []
+    t = fit_target.select(
+        *gb, "bucket", F.col("logprob").alias("_lt")
+    )
+    r = fit_raw.select(
+        *[F.col(g).alias(f"_rg_{g}") for g in gb],
+        F.col("bucket").alias("_rbk"),
+        F.col("logprob").alias("_lr"),
+    )
+    cond = t["bucket"] == r["_rbk"]
+    for g in gb:
+        cond = cond & t[g].eqNullSafe(r[f"_rg_{g}"])
+    return t.join(r, cond).select(
+        *gb,
+        t["bucket"],
         F.round(F.col("_lt") - F.col("_lr"), 7).alias("logratio"),
     )
 
@@ -209,34 +268,50 @@ def dsir_scores(
     hash_chars: int = 4,
     bigrams: bool = True,
     broadcast_ratios: bool = True,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Per-document log importance weight: ``dsir_logw = Σ_features
     logratio(bucket)`` over the doc's feature occurrences (the paper's
     w(x) with the hashed-ngram bag). Output (id, n_features,
     dsir_logw) for docs with ≥1 feature — featureless docs (empty
     after normalization) carry no evidence and are dropped, same
-    contract as lm_quality_score. Plan: explode → broadcast inner join
+    contract as lm_quality_score. With ``group_col`` a doc scores
+    against ITS OWN group's ratio rows (NULL-safely — an
+    unidentified-language slice is a real group), the group column
+    rides the output for per-group resampling, and docs whose group
+    has no ratio rows (absent from the target) are dropped — see
+    :func:`dsir_logratios`. Plan: explode → broadcast inner join
     (every bucket exists in the table) → one hash aggregate; ratios
     summed as decimal(28,7) so the score is reduction-order-free."""
     _check_width(logratios, hash_chars, "dsir_scores")
+    gb = [group_col] if group_col else []
     feats = hashed_ngram_features(
         df, text_col=text_col, id_col=id_col,
-        hash_chars=hash_chars, bigrams=bigrams,
+        hash_chars=hash_chars, bigrams=bigrams, group_col=group_col,
     )
     ratios = logratios.select(
-        "bucket", F.col("logratio").cast("decimal(28,7)").alias("_lr")
+        *[F.col(g).alias(f"_rg_{g}") for g in gb],
+        F.col("bucket").alias("_rbk"),
+        F.col("logratio").cast("decimal(28,7)").alias("_lr"),
     )
     if broadcast_ratios:
+        # with group_col the table is groups × 16^hash_chars rows —
+        # pass broadcast_ratios=False past ~100 groups at hash_chars=4
         ratios = F.broadcast(ratios)
+    cond = feats["bucket"] == ratios["_rbk"]
+    for g in gb:
+        # NULL-safe: the NULL group scores against ITS OWN ratio rows
+        cond = cond & feats[g].eqNullSafe(ratios[f"_rg_{g}"])
     return (
-        feats.join(ratios, "bucket")
-        .groupBy(id_col)
+        feats.join(ratios, cond)
+        .groupBy(id_col, *[feats[g] for g in gb])
         .agg(
             F.count(F.lit(1)).alias("n_features"),
             F.sum("_lr").alias("_sum"),
         )
         .select(
             id_col,
+            *gb,
             "n_features",
             F.col("_sum").cast("double").alias("dsir_logw"),
         )
@@ -249,6 +324,7 @@ def importance_resample(
     id_cols: list[str] | None = None,
     logw_col: str = "dsir_logw",
     salt: str = "0",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Gumbel top-k sampling WITHOUT replacement from the softmax of
     ``logw_col`` (Kool et al. 2019): key = logw + Gumbel(0,1), take
@@ -260,6 +336,11 @@ def importance_resample(
     runs as per-partition TakeOrdered heaps (no global sort exchange,
     plan-asserted in tests) and k rows land on the driver-side stage,
     so keep k selection-sized (millions), not corpus-sized.
+
+    With ``group_col``, k applies PER GROUP (per-language selection):
+    the top-k becomes one NULL-safe window rank per group — a single
+    hash exchange on the group key instead of TakeOrdered, still never
+    a global sort of everything.
 
     Returns the selected rows of ``scored`` with the ``_gumbel_key``
     column retained (descending order of it = the sample's canonical
@@ -278,11 +359,20 @@ def importance_resample(
         / F.lit(float(2**32) + 2.0)
     )
     key = F.col(logw_col) + (-F.log(-F.log(u)))
-    return (
-        scored.withColumn("_gumbel_key", key)
-        .orderBy(F.col("_gumbel_key").desc())
-        .limit(int(k))
-    )
+    keyed = scored.withColumn("_gumbel_key", key)
+    if group_col:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_col).orderBy(
+            F.col("_gumbel_key").desc(),
+            *[F.col(c) for c in id_cols],  # determinism under key ties
+        )
+        return (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(k))
+            .drop("_rn")
+        )
+    return keyed.orderBy(F.col("_gumbel_key").desc()).limit(int(k))
 
 
 def dsir_select(
@@ -295,22 +385,30 @@ def dsir_select(
     bigrams: bool = True,
     alpha: float = 1.0,
     salt: str = "0",
+    group_col: str | None = None,
 ) -> DataFrame:
     """The composite: fit target and raw feature distributions, score
     every raw doc's log importance ratio, Gumbel-top-k resample.
     Returns (id, n_features, dsir_logw, _gumbel_key) for the k
-    selected docs. Scans the raw corpus twice (fit + score) rather
+    selected docs. With ``group_col``: per-group fits/ratios/scores
+    (NULL-safe; raw groups absent from the target are dropped — see
+    :func:`dsir_logratios`), the group column in the output, and k
+    PER GROUP. Scans the raw corpus twice (fit + score) rather
     than materializing the corpus-sized gram table — the text.py
     fit/score trade. The two fitted tables and the ratio table are
     bucket-bounded (16^hash_chars rows) end to end."""
     kw = dict(
         text_col=text_col, id_col=id_col,
-        hash_chars=hash_chars, bigrams=bigrams,
+        hash_chars=hash_chars, bigrams=bigrams, group_col=group_col,
     )
     fit_t = dsir_fit(
-        hashed_ngram_features(target, **kw), hash_chars, alpha
+        hashed_ngram_features(target, **kw), hash_chars, alpha, group_col
     )
-    fit_r = dsir_fit(hashed_ngram_features(raw, **kw), hash_chars, alpha)
-    ratios = dsir_logratios(fit_t, fit_r)
+    fit_r = dsir_fit(
+        hashed_ngram_features(raw, **kw), hash_chars, alpha, group_col
+    )
+    ratios = dsir_logratios(fit_t, fit_r, group_col)
     scored = dsir_scores(raw, ratios, **kw)
-    return importance_resample(scored, k, id_cols=[id_col], salt=salt)
+    return importance_resample(
+        scored, k, id_cols=[id_col], salt=salt, group_col=group_col
+    )

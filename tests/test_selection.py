@@ -169,6 +169,39 @@ def test_importance_resample_plan_is_take_ordered(spark):
     assert "Exchange rangepartitioning" not in plan
 
 
+def test_featurize_matches_python_on_arbitrary_text(spark):
+    """Feature parity extends to arbitrary ASCII text (punctuation
+    runs, repeated spaces, empty strings) — ASCII-only per the repo's
+    documented normalize_text boundary: Java regex ``\\s`` is ASCII
+    while Python's matches unicode whitespace (\\x1c-\\x1f etc.), so
+    unicode-whitespace parity is explicitly not a target (see
+    tests/test_properties.py's same note)."""
+    from hypothesis import given, settings, strategies as st
+
+    ascii_text = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=40,
+    )
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(ascii_text, min_size=1, max_size=8))
+    def run(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            (r["doc_id"], r["bucket"])
+            for r in hashed_ngram_features(df, hash_chars=HC).collect()
+        )
+        want = sorted(
+            (i, _bucket(g)) for i, t in enumerate(texts) for g in _grams(t)
+        )
+        assert got == want
+
+    run()
+
+
 def test_featurize_splits_once_in_plan(spark):
     """The token array must stay BOUND as a column: lambda-bearing
     expressions are excluded from subexpression elimination, so an
@@ -200,6 +233,83 @@ def test_selection_guards(spark):
     ratios2 = dsir_logratios(dsir_fit(f2, 2), dsir_fit(f2, 2))
     with pytest.raises(ValueError, match="width mismatch"):
         dsir_scores(df, ratios2, hash_chars=4)
+
+
+def test_grouped_dsir_per_language_reference_and_contracts(spark):
+    """group_col: per-group fits match the Python reference computed
+    on each group's slice alone; a doc scores against ITS group's
+    ratios; NULL group is a real group; raw groups absent from the
+    target are dropped; k applies per group, deterministically."""
+    raw_rows = [
+        (0, "en", "cats and dogs and cats"),
+        (1, "en", "stock market rates"),
+        (2, "fr", "les chats et les chiens"),
+        (3, "fr", "le marché boursier"),
+        (4, None, "cats chats mixed unknown"),
+        (5, "de", "katzen und hunde"),  # group absent from target
+    ]
+    tgt_rows = [
+        (100, "en", "cats cats pets"),
+        (101, "fr", "les chats adorables"),
+        (102, None, "cats unknown pets"),
+    ]
+    raw = spark.createDataFrame(
+        raw_rows, "doc_id long, lang string, text string"
+    )
+    tgt = spark.createDataFrame(
+        tgt_rows, "doc_id long, lang string, text string"
+    )
+    got = {
+        r["doc_id"]: (r["lang"], r["n_features"], r["dsir_logw"])
+        for r in dsir_scores(
+            raw,
+            dsir_logratios(
+                dsir_fit(
+                    hashed_ngram_features(
+                        tgt, hash_chars=HC, group_col="lang"
+                    ),
+                    HC,
+                    group_col="lang",
+                ),
+                dsir_fit(
+                    hashed_ngram_features(
+                        raw, hash_chars=HC, group_col="lang"
+                    ),
+                    HC,
+                    group_col="lang",
+                ),
+                group_col="lang",
+            ),
+            hash_chars=HC,
+            group_col="lang",
+        ).collect()
+    }
+    # de has no target slice -> doc 5 dropped; everything else scored
+    assert set(got) == {0, 1, 2, 3, 4}
+    # Python reference PER GROUP (each group's fit over its slice only)
+    for grp in ["en", "fr", None]:
+        pt = _py_fit([t for _, g, t in tgt_rows if g == grp])
+        pr = _py_fit([t for _, g, t in raw_rows if g == grp])
+        ratio = {b: round(pt[b] - pr[b], 7) for b in pt}
+        for i, g, t in raw_rows:
+            if g != grp:
+                continue
+            gs = _grams(t)
+            want = sum(ratio[_bucket(x)] for x in gs)
+            assert got[i][0] == g and got[i][1] == len(gs)
+            assert got[i][2] == pytest.approx(want, abs=1e-6), (i, g)
+    # per-group k: one doc per group, deterministic across runs
+    sel = dsir_select(
+        raw, tgt, k=1, hash_chars=HC, group_col="lang", salt="g"
+    )
+    rows = sel.collect()
+    assert len(rows) == 3 and len({r["lang"] for r in rows}) == 3
+    again = dsir_select(
+        raw, tgt, k=1, hash_chars=HC, group_col="lang", salt="g"
+    ).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in again
+    )
 
 
 def test_selection_empty_and_validation(spark):
