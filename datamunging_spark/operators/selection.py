@@ -106,42 +106,85 @@ def hashed_ngram_features(
         id_col,
         *gb,
         F.substring(F.md5(F.col("_gram")), 1, int(hash_chars)).alias(
-            "bucket", metadata={"dsir_hash_chars": int(hash_chars)}
+            "bucket",
+            metadata={
+                "dsir_hash_chars": int(hash_chars),
+                "dsir_group_col": group_col or "",
+            },
         ),
     )
 
 
-def _bucket_spine(spark, hash_chars: int) -> DataFrame:
+def _bucket_spine(spark, hash_chars: int, group_col: str | None) -> DataFrame:
     """All 16^hash_chars hex-prefix buckets as one generated column —
     lowercase hex, zero-padded to hash_chars (md5 output is lowercase,
     so the spine matches the feature buckets exactly)."""
     n = 16 ** int(hash_chars)
     return spark.range(n).select(
         F.lpad(F.lower(F.hex("id")), int(hash_chars), "0").alias(
-            "bucket", metadata={"dsir_hash_chars": int(hash_chars)}
+            "bucket",
+            metadata={
+                "dsir_hash_chars": int(hash_chars),
+                "dsir_group_col": group_col or "",
+            },
         )
     )
 
 
-def _bucket_width(df: DataFrame) -> int | None:
-    """hash_chars recorded in a bucket column's metadata (None when the
-    table was built outside this module)."""
+def _bucket_meta(df: DataFrame) -> tuple[int | None, str | None]:
+    """(hash_chars, group_col) recorded in a bucket column's metadata
+    ((None, None) when the table was built outside this module)."""
     try:
         m = df.schema["bucket"].metadata
     except KeyError:
-        return None
+        return None, None
     v = m.get("dsir_hash_chars")
-    return int(v) if v is not None else None
+    g = m.get("dsir_group_col")
+    return (int(v) if v is not None else None), g
 
 
-def _check_width(df: DataFrame, expect: int, who: str) -> None:
-    got = _bucket_width(df)
-    if got is not None and got != int(expect):
+def _check_meta(
+    df: DataFrame, hash_chars: int, group_col: str | None, who: str
+) -> None:
+    """Fail fast on bucket-table provenance mismatches — a width
+    mismatch would silently join NOTHING; a group mismatch (grouped
+    table consumed ungrouped, or vice versa) would silently join every
+    feature against EVERY group's rows, multiplying n_features and
+    summing cross-group ratios."""
+    w, g = _bucket_meta(df)
+    if w is not None and w != int(hash_chars):
         raise ValueError(
             f"{who}: bucket width mismatch — table built with "
-            f"hash_chars={got}, caller expects {expect}; a mismatched "
+            f"hash_chars={w}, caller expects {hash_chars}; a mismatched "
             "join would silently match nothing"
         )
+    if g is not None and g != (group_col or ""):
+        raise ValueError(
+            f"{who}: group mismatch — table built with "
+            f"group_col={g or None!r}, caller passes {group_col!r}; an "
+            "ungrouped consumer of a grouped table would silently sum "
+            "every group's rows"
+        )
+
+
+def _grouped_cond(left: DataFrame, right: DataFrame, gb: list):
+    """The NULL-safe (group..., bucket) join condition shared by the
+    ratio/score joins: right side pre-renamed to _rg_{g}/_rbk so no
+    ambiguous names survive the join."""
+    cond = left["bucket"] == right["_rbk"]
+    for g in gb:
+        cond = cond & left[g].eqNullSafe(right[f"_rg_{g}"])
+    return cond
+
+
+def _renamed_right(df: DataFrame, gb: list, value_cols: list) -> DataFrame:
+    """Right side of a grouped bucket join with its key columns renamed
+    to the _rg_{g}/_rbk scheme _grouped_cond expects."""
+    return df.select(
+        *[F.col(g).alias(f"_rg_{g}") for g in gb],
+        F.col("bucket").alias("_rbk"),
+        *value_cols,
+    )
 
 
 def dsir_fit(
@@ -171,28 +214,49 @@ def dsir_fit(
         # SQL (not -inf), and NULLs vanish silently inside the decimal
         # score sums downstream — fail here instead
         raise ValueError(f"alpha must be > 0, got {alpha}")
-    _check_width(features, hash_chars, "dsir_fit")
+    _check_meta(features, hash_chars, group_col, "dsir_fit")
     spark = features.sparkSession
     b = 16 ** int(hash_chars)
     gb = [group_col] if group_col else []
     cnts = features.groupBy(*gb, "bucket").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    spine = _bucket_spine(spark, hash_chars)
+    spine = _bucket_spine(spark, hash_chars, group_col)
     if gb:
         from pyspark.sql import Window
 
-        groups = features.select(*gb).distinct()
-        spine = groups.crossJoin(spine)
+        # groups come from the BOUNDED cnts aggregate, not from
+        # features directly — every feature row reaches cnts, so the
+        # group sets are identical, and the cnts exchange is reused
+        # instead of re-running the corpus-sized explode a second time
+        # just to enumerate groups (r11 review catch)
+        # The spine branch derives from cnts (groups come from the
+        # bounded aggregate — no second corpus scan, r11 review catch),
+        # so the spine-cnts join is a SELF-join: dataset-level aliases
+        # + qualified references are required or the analyzer rejects
+        # the column references as ambiguous.
+        groups = cnts.select(
+            *[F.col(g).alias(f"_sg_{g}") for g in gb]
+        ).distinct()
+        sp = groups.crossJoin(spine).alias("_sp")
+        cn = cnts.alias("_cn")
         # NULL-safe join condition: the NULL group's spine rows must
         # match its count rows (an equi-join would orphan them)
-        cond = spine["bucket"] == cnts["bucket"]
+        cond = F.col("_sp.bucket") == F.col("_cn.bucket")
         for g in gb:
-            cond = cond & spine[g].eqNullSafe(cnts[g])
-        joined = spine.join(cnts, cond, "left").select(
-            *[spine[g] for g in gb],
-            spine["bucket"],
-            cnts["cnt"],
+            cond = cond & F.col(f"_sp._sg_{g}").eqNullSafe(
+                F.col(f"_cn.{g}")
+            )
+        joined = sp.join(cn, cond, "left").select(
+            *[F.col(f"_sp._sg_{g}").alias(g) for g in gb],
+            F.col("_sp.bucket").alias(
+                "bucket",
+                metadata={
+                    "dsir_hash_chars": int(hash_chars),
+                    "dsir_group_col": group_col or "",
+                },
+            ),
+            F.col("_cn.cnt").alias("cnt"),
         )
         totaled = joined.withColumn(
             "_total", F.sum("cnt").over(Window.partitionBy(*gb))
@@ -235,25 +299,21 @@ def dsir_logratios(
     downstream (deliberate: no target for a language means nothing to
     select toward there; count dropped groups yourself if that needs
     surfacing)."""
-    wt, wr = _bucket_width(fit_target), _bucket_width(fit_raw)
+    wt, _ = _bucket_meta(fit_target)
+    wr, _ = _bucket_meta(fit_raw)
     if wt is not None and wr is not None and wt != wr:
         raise ValueError(
             f"dsir_logratios: fits built at different hash_chars "
             f"({wt} vs {wr})"
         )
+    _check_meta(fit_target, wt or 4, group_col, "dsir_logratios(target)")
+    _check_meta(fit_raw, wr or 4, group_col, "dsir_logratios(raw)")
     gb = [group_col] if group_col else []
     t = fit_target.select(
         *gb, "bucket", F.col("logprob").alias("_lt")
     )
-    r = fit_raw.select(
-        *[F.col(g).alias(f"_rg_{g}") for g in gb],
-        F.col("bucket").alias("_rbk"),
-        F.col("logprob").alias("_lr"),
-    )
-    cond = t["bucket"] == r["_rbk"]
-    for g in gb:
-        cond = cond & t[g].eqNullSafe(r[f"_rg_{g}"])
-    return t.join(r, cond).select(
+    r = _renamed_right(fit_raw, gb, [F.col("logprob").alias("_lr")])
+    return t.join(r, _grouped_cond(t, r, gb)).select(
         *gb,
         t["bucket"],
         F.round(F.col("_lt") - F.col("_lr"), 7).alias("logratio"),
@@ -283,27 +343,22 @@ def dsir_scores(
     :func:`dsir_logratios`. Plan: explode → broadcast inner join
     (every bucket exists in the table) → one hash aggregate; ratios
     summed as decimal(28,7) so the score is reduction-order-free."""
-    _check_width(logratios, hash_chars, "dsir_scores")
+    _check_meta(logratios, hash_chars, group_col, "dsir_scores")
     gb = [group_col] if group_col else []
     feats = hashed_ngram_features(
         df, text_col=text_col, id_col=id_col,
         hash_chars=hash_chars, bigrams=bigrams, group_col=group_col,
     )
-    ratios = logratios.select(
-        *[F.col(g).alias(f"_rg_{g}") for g in gb],
-        F.col("bucket").alias("_rbk"),
-        F.col("logratio").cast("decimal(28,7)").alias("_lr"),
+    ratios = _renamed_right(
+        logratios, gb, [F.col("logratio").cast("decimal(28,7)").alias("_lr")]
     )
     if broadcast_ratios:
         # with group_col the table is groups × 16^hash_chars rows —
         # pass broadcast_ratios=False past ~100 groups at hash_chars=4
         ratios = F.broadcast(ratios)
-    cond = feats["bucket"] == ratios["_rbk"]
-    for g in gb:
-        # NULL-safe: the NULL group scores against ITS OWN ratio rows
-        cond = cond & feats[g].eqNullSafe(ratios[f"_rg_{g}"])
+    # NULL-safe: the NULL group scores against ITS OWN ratio rows
     return (
-        feats.join(ratios, cond)
+        feats.join(ratios, _grouped_cond(feats, ratios, gb))
         .groupBy(id_col, *[feats[g] for g in gb])
         .agg(
             F.count(F.lit(1)).alias("n_features"),
@@ -337,10 +392,14 @@ def importance_resample(
     plan-asserted in tests) and k rows land on the driver-side stage,
     so keep k selection-sized (millions), not corpus-sized.
 
-    With ``group_col``, k applies PER GROUP (per-language selection):
-    the top-k becomes one NULL-safe window rank per group — a single
-    hash exchange on the group key instead of TakeOrdered, still never
-    a global sort of everything.
+    With ``group_col``, k applies PER GROUP (per-language selection)
+    as a two-stage NULL-safe window rank: stage 1 keeps ≤ k rows per
+    (group, input partition) — its exchange key includes the partition
+    id, so a dominant language (80%-English web crawls) spreads over
+    all tasks instead of hash-routing one language's entire corpus
+    into a single sort; stage 2 ranks the survivors (≤ k × partitions
+    per group) on the group key alone. Never a global sort, never a
+    skewed one.
 
     Returns the selected rows of ``scored`` with the ``_gumbel_key``
     column retained (descending order of it = the sample's canonical
@@ -363,12 +422,25 @@ def importance_resample(
     if group_col:
         from pyspark.sql import Window
 
-        w = Window.partitionBy(group_col).orderBy(
-            F.col("_gumbel_key").desc(),
-            *[F.col(c) for c in id_cols],  # determinism under key ties
+        tiebreak = [F.col(c) for c in id_cols]  # determinism under ties
+        # stage 1: local pre-reduction — ≤ k rows per (group, input
+        # partition); including the partition id in the window key
+        # keeps a dominant group's rows spread across tasks
+        w1 = Window.partitionBy(
+            group_col, F.col("_ipid")
+        ).orderBy(F.col("_gumbel_key").desc(), *tiebreak)
+        pre = (
+            keyed.withColumn("_ipid", F.spark_partition_id())
+            .withColumn("_rn", F.row_number().over(w1))
+            .filter(F.col("_rn") <= int(k))
+            .drop("_rn", "_ipid")
+        )
+        # stage 2: final per-group rank over ≤ k × partitions rows
+        w2 = Window.partitionBy(group_col).orderBy(
+            F.col("_gumbel_key").desc(), *tiebreak
         )
         return (
-            keyed.withColumn("_rn", F.row_number().over(w))
+            pre.withColumn("_rn", F.row_number().over(w2))
             .filter(F.col("_rn") <= int(k))
             .drop("_rn")
         )

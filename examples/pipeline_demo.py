@@ -104,8 +104,11 @@ def main() -> None:
 
     target = curated.filter(F.col("source").isin("src0", "src1"))
     picked = dsir_select(curated, target, k=200, salt="demo")
-    print(f"DSIR-selected 200 target-like docs "
-          f"(top logw {picked.agg(F.max('dsir_logw')).first()[0]:.2f})")
+    stats = picked.agg(
+        F.count(F.lit(1)).alias("n"), F.max("dsir_logw").alias("top")
+    ).first()
+    top = f"{stats['top']:.2f}" if stats["top"] is not None else "n/a"
+    print(f"DSIR-selected {stats['n']} target-like docs (top logw {top})")
 
     # 4. train-set assembly: leakage-safe split + token budget
     splits = split_dataset(

@@ -312,6 +312,50 @@ def test_grouped_dsir_per_language_reference_and_contracts(spark):
     )
 
 
+def test_grouped_resample_plan_and_mismatch_guard(spark):
+    """The grouped top-k's scale contract: hash exchanges only (no
+    rangepartitioning sort exchange), with the stage-1 window keyed by
+    (group, input partition id) so a dominant group can't hash-route
+    its whole corpus into one task. Plus the provenance guard: grouped
+    ratio tables consumed ungrouped (or vice versa) raise instead of
+    silently summing every group's rows."""
+    scored = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("lang"),
+        (F.col("id") % 7).cast("double").alias("dsir_logw"),
+    )
+    sel = importance_resample(
+        scored, k=5, id_cols=["doc_id"], group_col="lang"
+    )
+    rows = sel.collect()
+    assert len(rows) == 15  # 5 per group x 3 groups
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" not in plan
+    assert "SPARK_PARTITION_ID" in plan.upper() or "_ipid" in plan
+    # provenance guard
+    df = spark.createDataFrame(
+        [(0, "en", "a b")], "doc_id long, lang string, text string"
+    )
+    grouped_ratios = dsir_logratios(
+        dsir_fit(
+            hashed_ngram_features(df, hash_chars=HC, group_col="lang"),
+            HC,
+            group_col="lang",
+        ),
+        dsir_fit(
+            hashed_ngram_features(df, hash_chars=HC, group_col="lang"),
+            HC,
+            group_col="lang",
+        ),
+        group_col="lang",
+    )
+    with pytest.raises(ValueError, match="group mismatch"):
+        dsir_scores(df, grouped_ratios, hash_chars=HC)  # ungrouped use
+    with pytest.raises(ValueError, match="group mismatch"):
+        dsir_fit(hashed_ngram_features(df, hash_chars=HC), HC,
+                 group_col="lang")
+
+
 def test_selection_empty_and_validation(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     feats = hashed_ngram_features(empty, hash_chars=HC)
