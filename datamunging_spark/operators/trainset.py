@@ -891,15 +891,30 @@ def write_training_shards(
     tokens_col: str = "n_tokens",
     order_cols: list[str] | None = None,
     fmt: str = "parquet",
-) -> None:
+    manifest: bool = True,
+) -> list[dict] | None:
     """Materialize a training set as token-balanced shards:
     :func:`assign_token_shards` then a partitioned write (one
     ``shard=N/`` directory per shard; ``fmt`` = parquet or json for
     JSONL-style shards). The shuffle is one repartition on the shard id
-    so each shard writes from one task — files stay one-per-shard."""
+    so each shard writes from one task — files stay one-per-shard.
+
+    ``manifest`` (default on) also writes ``_MANIFEST.json`` at the
+    root — the shard listing a training data-loader consumes without
+    scanning the data: per shard ``{shard, path, rows, tokens}`` plus
+    totals and the write parameters. The stats come from one bounded
+    aggregate over the (localCheckpoint-pinned, so the prefix-sum
+    assignment isn't recomputed) assigned table, and the manifest is
+    written LAST — the same crash-visibility discipline as the
+    versioned store's commit markers (a torn write has no manifest).
+    Returns the per-shard entry list (None with ``manifest=False``)."""
+    import json as _json
+
     assigned = assign_token_shards(
         df, shard_tokens, tokens_col, order_cols
     )
+    if manifest:
+        assigned = assigned.localCheckpoint()
     (
         assigned.repartition("shard")
         .write.mode("overwrite")
@@ -907,6 +922,48 @@ def write_training_shards(
         .format(fmt)
         .save(path)
     )
+    if not manifest:
+        return None
+    stats = (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(tokens_col).cast("long").alias("tokens"),
+        )
+        .orderBy("shard")
+        .collect()
+    )
+    entries = [
+        {
+            "shard": int(r["shard"]),
+            "path": f"shard={int(r['shard'])}",
+            "rows": int(r["rows"]),
+            "tokens": int(r["tokens"]),
+        }
+        for r in stats
+    ]
+    payload = _json.dumps(
+        {
+            "fmt": fmt,
+            "shard_tokens": int(shard_tokens),
+            "tokens_col": tokens_col,
+            "order_cols": list(order_cols or []),
+            "n_shards": len(entries),
+            "total_rows": sum(e["rows"] for e in entries),
+            "total_tokens": sum(e["tokens"] for e in entries),
+            "shards": entries,
+        },
+        indent=1,
+    )
+    from datamunging_spark.sources.versioned import _fs
+
+    fs, jvm = _fs(df.sparkSession, path)
+    out = fs.create(
+        jvm.org.apache.hadoop.fs.Path(f"{path}/_MANIFEST.json"), True
+    )
+    out.write(bytearray(payload.encode("utf-8")))
+    out.close()
+    return entries
 
 
 def temperature_mix(

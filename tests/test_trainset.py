@@ -388,10 +388,35 @@ def test_write_training_shards_layout(spark, tables, tmp_path):
         "doc_id", token_count("text").cast("long").alias("n_tokens")
     )
     p = str(tmp_path / "shards")
-    write_training_shards(docs, p, shard_tokens=5000, order_cols=["doc_id"])
+    entries = write_training_shards(
+        docs, p, shard_tokens=5000, order_cols=["doc_id"]
+    )
     back = spark.read.parquet(p)
     assert back.count() == docs.count()
     assert back.select("shard").distinct().count() >= 2
+    # manifest: written last, and its per-shard stats match the data
+    import json
+
+    m = json.loads((tmp_path / "shards" / "_MANIFEST.json").read_text())
+    assert m["shards"] == entries and m["n_shards"] == len(entries)
+    assert m["total_rows"] == docs.count()
+    per_shard = {
+        r["shard"]: (r["rows"], r["tokens"])
+        for r in back.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("rows"), F.sum("n_tokens").alias("tokens"))
+        .collect()
+    }
+    for e in entries:
+        assert per_shard[e["shard"]] == (e["rows"], e["tokens"])
+    assert m["total_tokens"] == sum(t for _, t in per_shard.values())
+    # manifest=False path unchanged
+    p2 = str(tmp_path / "shards2")
+    assert write_training_shards(
+        docs, p2, shard_tokens=5000, order_cols=["doc_id"], manifest=False
+    ) is None
+    import os
+
+    assert not os.path.exists(os.path.join(p2, "_MANIFEST.json"))
 
 
 def test_decontaminate_substring_multipattern_matches_join(spark, tables):
