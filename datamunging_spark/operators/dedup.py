@@ -156,6 +156,87 @@ def content_snapshot(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def corpus_overlap_report(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fuzzy: bool = False,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """How much of corpus ``b`` is already in corpus ``a`` — the
+    planning question asked before merging datasets, budgeting a
+    crawl, or estimating contamination between collections. One-row
+    report: ``docs_a/docs_b`` (row counts), ``distinct_a/distinct_b``
+    (distinct normalized contents, :func:`content_snapshot`'s
+    contract), ``exact_shared`` (distinct contents of b present in a)
+    and ``pct_b_in_a`` (= exact_shared / distinct_b). With
+    ``fuzzy=True``, adds ``fuzzy_candidates_b`` — distinct b docs
+    sharing at least one MinHash LSH band with ANY a doc (an UPPER
+    bound on near-duplicates: band collisions overcount, which is the
+    right direction for a planning estimate) — and ``pct_b_near_a``.
+
+    Scale shape: nothing but slim tables move — 32-char content
+    hashes for the exact side (one semi-join of two hash snapshots),
+    (band, key) signature rows for the fuzzy side (the
+    batch-vs-history band join of :func:`incremental_minhash_dedup`,
+    never a self-join); the report itself is 1-row aggregates
+    broadcast together. No text is ever exchanged.
+    """
+    sa = content_snapshot(a, text_col)
+    sb = content_snapshot(b, text_col)
+    shared = sb.join(sa, "content_hash", "left_semi").agg(
+        F.count(F.lit(1)).alias("exact_shared")
+    )
+    stats = (
+        a.agg(F.count(F.lit(1)).alias("docs_a"))
+        .crossJoin(F.broadcast(b.agg(F.count(F.lit(1)).alias("docs_b"))))
+        .crossJoin(F.broadcast(sa.agg(F.count(F.lit(1)).alias("distinct_a"))))
+        .crossJoin(F.broadcast(sb.agg(F.count(F.lit(1)).alias("distinct_b"))))
+        .crossJoin(F.broadcast(shared))
+    )
+    out_cols = [
+        "docs_a",
+        "docs_b",
+        "distinct_a",
+        "distinct_b",
+        "exact_shared",
+        F.round(
+            F.col("exact_shared")
+            / F.greatest(F.col("distinct_b"), F.lit(1)),
+            6,
+        ).alias("pct_b_in_a"),
+    ]
+    if not fuzzy:
+        return stats.select(*out_cols)
+    ba = _band_rows(
+        minhash_signatures_df(a, text_col, id_col, num_hashes),
+        id_col, num_hashes, bands,
+    ).select(F.col("_b").alias("_ab"), F.col("_k").alias("_ak"))
+    bb = _band_rows(
+        minhash_signatures_df(b, text_col, id_col, num_hashes),
+        id_col, num_hashes, bands,
+    )
+    near = (
+        bb.join(
+            ba,
+            (bb["_b"] == ba["_ab"]) & (bb["_k"] == ba["_ak"]),
+            "left_semi",
+        )
+        .agg(F.count_distinct(F.col(id_col)).alias("fuzzy_candidates_b"))
+    )
+    return stats.crossJoin(F.broadcast(near)).select(
+        *out_cols,
+        "fuzzy_candidates_b",
+        F.round(
+            F.col("fuzzy_candidates_b")
+            / F.greatest(F.col("docs_b"), F.lit(1)),
+            6,
+        ).alias("pct_b_near_a"),
+    )
+
+
 def incremental_dedup(
     new_df: DataFrame,
     seen: DataFrame,

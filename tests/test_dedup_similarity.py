@@ -1294,3 +1294,57 @@ def test_ivf_pq_topk_full_probe_equals_flat_pq(spark, tables):
         if r["rank"] == 1
     }
     assert rank1 == {q: q + 900000 for q in range(6)}
+
+
+def test_corpus_overlap_report_exact_and_fuzzy(spark):
+    """corpus_overlap_report: planted exact overlap counted exactly
+    (cross-checked against DuckDB's md5-of-normalized-text semi-join),
+    fuzzy band candidates upper-bound the near-dup set and include the
+    paraphrase the exact side misses; empty b handled."""
+    import duckdb
+
+    from datamunging_spark.operators.dedup import corpus_overlap_report
+
+    a_rows = [
+        (i, f"document number {i} about topic {i % 5} with shared words")
+        for i in range(20)
+    ]
+    b_rows = (
+        [(100 + i, a_rows[i][1]) for i in range(6)]        # 6 exact dups
+        + [(200, a_rows[7][1] + " extra")]                 # near-dup only
+        + [(201, "completely unrelated fresh content here")]
+    )
+    a = spark.createDataFrame(a_rows, "doc_id long, text string")
+    b = spark.createDataFrame(b_rows, "doc_id long, text string")
+    r = corpus_overlap_report(a, b).collect()[0]
+    assert (r["docs_a"], r["docs_b"]) == (20, 8)
+    assert r["exact_shared"] == 6
+    assert r["pct_b_in_a"] == round(6 / r["distinct_b"], 6)
+    # DuckDB cross-check of the exact side (same md5-of-normalized
+    # contract)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ta AS SELECT * FROM (VALUES "
+        + ",".join(f"(?)" for _ in a_rows) + ") t(text)",
+        [t for _, t in a_rows],
+    )
+    con.execute(
+        "CREATE TABLE tb AS SELECT * FROM (VALUES "
+        + ",".join(f"(?)" for _ in b_rows) + ") t(text)",
+        [t for _, t in b_rows],
+    )
+    norm = "md5(trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g')))"
+    want = con.execute(
+        f"SELECT count(*) FROM (SELECT DISTINCT {norm} h FROM tb) b "
+        f"WHERE h IN (SELECT DISTINCT {norm} FROM ta)"
+    ).fetchone()[0]
+    assert r["exact_shared"] == want
+    # fuzzy: candidates include the 6 exact dups AND the paraphrase
+    rf = corpus_overlap_report(a, b, fuzzy=True, bands=16).collect()[0]
+    assert rf["fuzzy_candidates_b"] >= 7
+    assert rf["pct_b_near_a"] == round(rf["fuzzy_candidates_b"] / 8, 6)
+    # empty b: zeros, no division blowup
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    re_ = corpus_overlap_report(a, empty).collect()[0]
+    assert re_["docs_b"] == 0 and re_["exact_shared"] == 0
+    assert re_["pct_b_in_a"] == 0.0
