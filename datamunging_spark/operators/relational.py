@@ -347,8 +347,17 @@ def _shuffle_partitions(spark: SparkSession) -> int:
     """``spark.sql.shuffle.partitions`` as an int, tolerating the
     non-numeric ``"auto"`` value that AQE-managed platforms set — those
     fall back to the cluster's default parallelism instead of raising
-    ValueError inside every distributed prefix computation."""
-    raw = spark.conf.get("spark.sql.shuffle.partitions", "")
+    ValueError inside every distributed prefix computation.
+
+    No default is passed to ``conf.get``: Spark 4 VALIDATES an explicit
+    default against the conf's type, so ``conf.get(key, "")`` throws
+    IllegalArgumentException on any session that never set the key
+    (plain ``SparkSession.builder.getOrCreate()`` — the driver-contract
+    session shape); without a default it returns the built-in "200"."""
+    try:
+        raw = spark.conf.get("spark.sql.shuffle.partitions")
+    except Exception:
+        raw = ""
     try:
         return int(raw)
     except ValueError:

@@ -960,3 +960,28 @@ def test_bpe_vocab_duplicate_concat_first_rank_wins():
     # fixture sanity: trainer output has no collisions
     fx = load_fixture_merges()
     assert len(bpe_vocab(fx)) == 256 + len(fx)
+
+
+def test_write_training_shards_empty_corpus(spark, tmp_path):
+    """Empty corpus: zero-shard manifest, no crash — and the conf-read
+    path works on sessions that never set shuffle.partitions (Spark 4
+    validates explicit conf.get defaults, so conf.get(key, '') throws
+    on a plain session — r11 regression)."""
+    import json
+
+    from datamunging_spark.operators.relational import _shuffle_partitions
+    from datamunging_spark.operators.trainset import write_training_shards
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.unset("spark.sql.shuffle.partitions")
+        assert _shuffle_partitions(spark) >= 1  # must not raise
+        empty = spark.createDataFrame([], "doc_id long, n_tokens long")
+        p = str(tmp_path / "sh")
+        assert write_training_shards(
+            empty, p, shard_tokens=100, order_cols=["doc_id"]
+        ) == []
+        m = json.loads((tmp_path / "sh" / "_MANIFEST.json").read_text())
+        assert m["n_shards"] == 0 and m["total_tokens"] == 0
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
