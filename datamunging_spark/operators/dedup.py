@@ -173,9 +173,16 @@ def corpus_overlap_report(
     contract), ``exact_shared`` (distinct contents of b present in a)
     and ``pct_b_in_a`` (= exact_shared / distinct_b). With
     ``fuzzy=True``, adds ``fuzzy_candidates_b`` — distinct b docs
-    sharing at least one MinHash LSH band with ANY a doc (an UPPER
-    bound on near-duplicates: band collisions overcount, which is the
-    right direction for a planning estimate) — and ``pct_b_near_a``.
+    sharing at least one MinHash LSH band with ANY a doc — and
+    ``pct_b_near_a``. The fuzzy count is a PLANNING ESTIMATE that
+    leans high but is not a guaranteed bound: band collisions
+    overcount unrelated docs, while (i) genuinely similar pairs can
+    miss every band (≈1.2% at J=0.7 with the 64/16 defaults) and
+    (ii) docs with no extractable shingles (NULL/whitespace text)
+    produce no signature and are absent from it entirely — so
+    ``fuzzy_candidates_b`` can even sit below ``exact_shared`` on a
+    corpus with NULL-text exact duplicates; read the two columns
+    independently, not as nested sets.
 
     Scale shape: nothing but slim tables move — 32-char content
     hashes for the exact side (one semi-join of two hash snapshots),

@@ -902,19 +902,20 @@ def write_training_shards(
     ``manifest`` (default on) also writes ``_MANIFEST.json`` at the
     root — the shard listing a training data-loader consumes without
     scanning the data: per shard ``{shard, path, rows, tokens}`` plus
-    totals and the write parameters. The stats come from one bounded
-    aggregate over the (localCheckpoint-pinned, so the prefix-sum
-    assignment isn't recomputed) assigned table, and the manifest is
-    written LAST — the same crash-visibility discipline as the
-    versioned store's commit markers (a torn write has no manifest).
-    Returns the per-shard entry list (None with ``manifest=False``)."""
+    totals and the write parameters. The stats are aggregated from the
+    WRITTEN files (one bounded read-back scan — so the manifest
+    describes what is actually on disk, and nothing corpus-sized is
+    pinned in the block manager for a second consumer), with tokens
+    clamped ``greatest(·,0)`` exactly like the assignment math. The
+    manifest lands LAST via write-temp-then-rename, so a torn run
+    leaves no (or no visible) manifest — the content-bearing analog of
+    the versioned store's empty commit markers. Returns the per-shard
+    entry list (None with ``manifest=False``)."""
     import json as _json
 
     assigned = assign_token_shards(
         df, shard_tokens, tokens_col, order_cols
     )
-    if manifest:
-        assigned = assigned.localCheckpoint()
     (
         assigned.repartition("shard")
         .write.mode("overwrite")
@@ -924,15 +925,28 @@ def write_training_shards(
     )
     if not manifest:
         return None
-    stats = (
-        assigned.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(tokens_col).cast("long").alias("tokens"),
+    from pyspark.errors import AnalysisException
+
+    try:
+        written = df.sparkSession.read.format(fmt).load(path)
+        stats = (
+            written.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.coalesce(
+                    F.sum(F.greatest(F.col(tokens_col), F.lit(0))),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("tokens"),
+            )
+            .orderBy("shard")
+            .collect()
         )
-        .orderBy("shard")
-        .collect()
-    )
+    except AnalysisException:
+        # an EMPTY corpus writes no data files, so the read-back can't
+        # infer a schema — that's a zero-shard manifest, not an error
+        stats = []
     entries = [
         {
             "shard": int(r["shard"]),
@@ -957,12 +971,19 @@ def write_training_shards(
     )
     from datamunging_spark.sources.versioned import _fs
 
+    # temp + atomic rename: the marker discipline only works for
+    # content-FREE files; a content-bearing manifest written in place
+    # could be seen torn (0-byte / truncated) by a loader
     fs, jvm = _fs(df.sparkSession, path)
-    out = fs.create(
-        jvm.org.apache.hadoop.fs.Path(f"{path}/_MANIFEST.json"), True
-    )
-    out.write(bytearray(payload.encode("utf-8")))
-    out.close()
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{path}/._MANIFEST.json.tmp")
+    dst = jvm.org.apache.hadoop.fs.Path(f"{path}/_MANIFEST.json")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
+    fs.delete(dst, False)
+    fs.rename(tmp, dst)
     return entries
 
 
