@@ -329,13 +329,20 @@ def dsir_scores(
     bigrams: bool = True,
     broadcast_ratios: bool = True,
     group_col: str | None = None,
+    normalize: bool = False,
 ) -> DataFrame:
     """Per-document log importance weight: ``dsir_logw = Σ_features
     logratio(bucket)`` over the doc's feature occurrences (the paper's
     w(x) with the hashed-ngram bag). Output (id, n_features,
     dsir_logw) for docs with ≥1 feature — featureless docs (empty
     after normalization) carry no evidence and are dropped, same
-    contract as lm_quality_score. With ``group_col`` a doc scores
+    contract as lm_quality_score. ``normalize=True`` divides by
+    ``n_features`` (mean per-feature log-ratio) — the length-controlled
+    form: the raw sum is length-sensitive (every feature unseen in the
+    target adds negative mass), so ranking mixed-length docs by the raw
+    sum favors short docs regardless of theme; the paper's resampling
+    uses the raw sum on length-comparable chunks, so the default stays
+    raw. With ``group_col`` a doc scores
     against ITS OWN group's ratio rows (NULL-safely — an
     unidentified-language slice is a real group), the group column
     rides the output for per-group resampling, and docs whose group
@@ -368,7 +375,11 @@ def dsir_scores(
             id_col,
             *gb,
             "n_features",
-            F.col("_sum").cast("double").alias("dsir_logw"),
+            (
+                F.col("_sum").cast("double") / F.col("n_features")
+                if normalize
+                else F.col("_sum").cast("double")
+            ).alias("dsir_logw"),
         )
     )
 

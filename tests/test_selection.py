@@ -114,12 +114,20 @@ def test_dsir_scores_match_python_reference(spark):
     # pet-themed target — the operator's reason to exist. Compare the
     # per-feature MEAN: the raw sum is length-sensitive (every unseen
     # bigram adds negative mass), so doc length would swamp the theme
-    # at this tiny scale.
+    # at this tiny scale. normalize=True is exactly that form.
     pets = {1, 3, 5}
     mean = {i: lw / n for i, (n, lw) in got.items()}
     assert min(mean[i] for i in pets) > max(
         mean[i] for i in set(got) - pets
     )
+    normed = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_scores(
+            raw, ratios, hash_chars=HC, normalize=True
+        ).collect()
+    }
+    for i in got:
+        assert normed[i] == pytest.approx(mean[i], abs=1e-9), i
 
 
 def test_importance_resample_gumbel_exact_and_deterministic(spark):
