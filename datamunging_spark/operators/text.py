@@ -324,6 +324,106 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def c4_clean_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    min_line_words: int = 5,
+    require_terminal_punct: bool = True,
+    drop_javascript: bool = True,
+) -> DataFrame:
+    """The LINE-level half of the C4 cleaning recipe (Raffel et al.
+    2020, "Exploring the Limits of Transfer Learning" §2.2 — the other
+    de-facto standard web filter set next to the Gopher rules): keep
+    only lines that end in a terminal punctuation mark (``. ! ? "``),
+    contain at least ``min_line_words`` words, and don't contain the
+    word "javascript" (the cookie/JS-warning boilerplate marker);
+    surviving lines are rejoined with newlines into ``out_col``
+    (default: in place).
+
+    Expression-only — split on newlines, one ``filter`` lambda, one
+    ``array_join``; a pure codegen map over the scan, no UDF, no
+    shuffle. Run BEFORE :func:`c4_page_flags` (the paper's order:
+    lines are cleaned first, then page-level rules see the cleaned
+    text). The recipe's third leg — three-sentence-span dedup across
+    the corpus — is :mod:`~datamunging_spark.operators.spandedup`.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+
+    def keep(line):
+        trimmed = F.rtrim(line)
+        cond = F.lit(True)
+        if require_terminal_punct:
+            cond = cond & trimmed.rlike(r'[.!?"]$')
+        if min_line_words > 0:
+            cond = cond & (
+                F.size(
+                    F.filter(
+                        F.split(trimmed, r"\s+", -1), lambda w: w != ""
+                    )
+                )
+                >= F.lit(int(min_line_words))
+            )
+        if drop_javascript:
+            cond = cond & ~F.lower(line).rlike(r"\bjavascript\b")
+        return cond
+
+    cleaned = F.array_join(
+        F.filter(F.split(c, "\n", -1), keep), "\n"
+    )
+    return df.withColumn(out_col or text_col, cleaned)
+
+
+def c4_page_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_sentences: int = 3,
+    blocklist: list[str] | None = None,
+) -> DataFrame:
+    """The PAGE-level half of the C4 recipe (Raffel et al. 2020 §2.2):
+    one boolean per published rule plus ``c4_pass`` (AND) — flags, not
+    a filter, so kill counts are auditable per rule before committing
+    (the :func:`gopher_quality_flags` convention):
+
+    - ``min_sentences_ok`` — at least ``min_sentences`` sentences
+      (terminal-punctuation occurrences, the recipe's proxy);
+    - ``no_lorem_ipsum`` — placeholder text marker absent;
+    - ``no_curly_brace`` — no ``{`` (the paper's code-page marker);
+    - ``no_blocklist_hit`` — no word from ``blocklist`` present
+      (case-insensitive whole-word match). The paper uses the public
+      "List of Dirty, Naughty, Obscene..." list; it isn't vendored
+      here — pass your deployment's list, default empty = rule
+      vacuously true.
+
+    Expression-only, no UDF, no shuffle. Run on
+    :func:`c4_clean_lines` output for the paper's semantics."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    lo = F.lower(c)
+    n_sent = F.regexp_count(c, F.lit(r'[.!?]'))
+    no_block = F.lit(True)
+    for w in blocklist or []:
+        import re as _re
+
+        no_block = no_block & ~lo.rlike(
+            r"\b" + _re.escape(w.lower()) + r"\b"
+        )
+    out = df.withColumns(
+        {
+            "min_sentences_ok": n_sent >= F.lit(int(min_sentences)),
+            "no_lorem_ipsum": ~lo.contains("lorem ipsum"),
+            "no_curly_brace": ~c.contains("{"),
+            "no_blocklist_hit": no_block,
+        }
+    )
+    return out.withColumn(
+        "c4_pass",
+        F.col("min_sentences_ok")
+        & F.col("no_lorem_ipsum")
+        & F.col("no_curly_brace")
+        & F.col("no_blocklist_hit"),
+    )
+
+
 def gopher_quality_flags(
     df: DataFrame,
     text_col: str = "text",

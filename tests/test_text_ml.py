@@ -783,3 +783,67 @@ def test_lang_classifier_beats_marker_heuristic(spark):
         [(900, None), (901, "")], "doc_id long, text string"
     )
     assert lang_classifier_score(clf, nulls).count() == 2
+
+
+def test_c4_clean_lines_published_rules(spark):
+    """C4 line rules (Raffel'20 §2.2): terminal punctuation, >=5 words,
+    no 'javascript' lines — survivors rejoined in order; NULL text
+    becomes empty; rules individually toggleable."""
+    from datamunging_spark.operators.text import c4_clean_lines
+
+    page = "\n".join([
+        "This is a proper sentence with enough words.",   # keep
+        "Too short.",                                      # <5 words
+        "this line has plenty of words but no punct",     # no terminal
+        "Please enable JavaScript to view the comments.",  # javascript
+        'He said "use the quote ending here instead".',    # keep
+        "Is this a question with enough words here?",      # keep
+    ])
+    df = spark.createDataFrame(
+        [(0, page), (1, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["text"] for r in c4_clean_lines(df).collect()}
+    kept = got[0].split("\n")
+    assert kept == [
+        "This is a proper sentence with enough words.",
+        'He said "use the quote ending here instead".',
+        "Is this a question with enough words here?",
+    ]
+    assert got[1] == ""
+    # toggles: with punct rule off, the unpunctuated line survives
+    loose = c4_clean_lines(
+        df, require_terminal_punct=False, min_line_words=0,
+        drop_javascript=False,
+    ).collect()[0]["text"]
+    assert loose == page
+
+
+def test_c4_page_flags_published_rules(spark):
+    """C4 page rules: sentence floor, lorem ipsum, curly brace,
+    blocklist (whole-word, case-insensitive); c4_pass is the AND."""
+    from datamunging_spark.operators.text import c4_page_flags
+
+    rows = [
+        (0, "One good sentence. Another one here! And a third, yes?"),
+        (1, "Only two sentences. Right here."),
+        (2, "Lorem Ipsum dolor sit amet. More text. Even more text."),
+        (3, "function f() { return 1; } one. two. three."),
+        (4, "A badword appears here. Second sentence. Third sentence."),
+        (5, "badwordy is not the word itself. Two. Three."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in c4_page_flags(df, blocklist=["BadWord"]).collect()
+    }
+    assert got[0]["c4_pass"]
+    assert not got[1]["min_sentences_ok"] and not got[1]["c4_pass"]
+    assert not got[2]["no_lorem_ipsum"]
+    assert not got[3]["no_curly_brace"]
+    assert not got[4]["no_blocklist_hit"]
+    assert got[5]["no_blocklist_hit"]  # whole-word: 'badwordy' is clean
+    # zero-shuffle plan: pure map over the scan
+    plan = (
+        c4_page_flags(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
