@@ -39,6 +39,7 @@ def curate_corpus(
     para_sep: str = "\n",
     gopher: bool = False,
     gopher_rep: bool = False,
+    c4: bool = False,
     line_dedup: bool = False,
     url_col: str | None = None,
     materialize: bool | None = None,
@@ -51,7 +52,10 @@ def curate_corpus(
     repetition quality gates, plus ``gopher=True``: the published
     Gopher word-rule set (``gopher_quality_flags``) as a filter and
     ``gopher_rep=True``: the repetition half
-    (``gopher_repetition_flags`` — dup-line + top-n-gram gates), (2) optional
+    (``gopher_repetition_flags`` — dup-line + top-n-gram gates);
+    ``c4=True``: the C4 recipe (Raffel'20 §2.2) — line cleaning FIRST
+    (so every later stage sees the cleaned text, the paper's order)
+    then the page flags as a filter, (2) optional
     language allow-list (marker-argmax heuristic), (2b) ``line_dedup=
     True``: within-doc repeated-line scrub before any cross-doc hashing,
     (2c) ``lm_filter=True``: the CCNet move — fit a unigram LM on the
@@ -88,11 +92,28 @@ def curate_corpus(
         from datamunging_spark.operators.dedup import url_dedup
 
         kept = url_dedup(kept, url_col, id_col)
+    if c4:
+        # C4 line cleaning BEFORE the token/charset gates: the gates
+        # should judge the text every later stage will actually see.
+        from datamunging_spark.operators.text import c4_clean_lines
+
+        kept = c4_clean_lines(kept, text_col)
     kept = kept.filter(
         (token_count(c) >= min_tokens)
         & (ascii_ratio(c) >= min_ascii)
         & (repetition_ratio(c) <= max_repetition)
     )
+    if c4:
+        from datamunging_spark.operators.text import c4_page_flags
+
+        flagged = c4_page_flags(kept, text_col)
+        kept = flagged.filter(F.col("c4_pass")).drop(
+            "min_sentences_ok",
+            "no_lorem_ipsum",
+            "no_curly_brace",
+            "no_blocklist_hit",
+            "c4_pass",
+        )
     if gopher:
         # Published-rule gates (Rae et al. 2021 §A1.1) as a filter stage;
         # audit per-rule kill counts standalone via gopher_quality_flags.

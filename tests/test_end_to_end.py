@@ -273,3 +273,25 @@ def test_full_stack_training_pipeline_composition(spark, tables):
     )
     assert shards == list(range(len(shards)))  # contiguous shard ids
     assert sharded.count() == kept_budget.count()
+
+
+def test_curate_corpus_c4_stage(spark):
+    """c4=True: line cleaning runs before the gates (the cleaned text
+    is what survives) and the page flags filter; pages failing a C4
+    page rule drop while clean pages keep their cleaned text."""
+    from datamunging_spark.operators.pipeline import curate_corpus
+
+    good = "\n".join(
+        ["A full sentence with enough words right here.",
+         "no punctuation so this line goes away",
+         "Another proper sentence follows with more words.",
+         "And a third full sentence closes the page nicely."]
+    )
+    brace = "Code page { with braces. Two sentences. Three sentences."
+    rows = [(0, good, "web"), (1, brace, "web")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curate_corpus(df, fuzzy=False, c4=True, min_tokens=3)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(got) == {0}
+    assert "no punctuation" not in got[0]
+    assert got[0].count("\n") == 2  # three surviving lines
