@@ -40,6 +40,8 @@ def curate_corpus(
     gopher: bool = False,
     gopher_rep: bool = False,
     c4: bool = False,
+    c4_blocklist: list[str] | None = None,
+    c4_min_sentences: int = 3,
     line_dedup: bool = False,
     url_col: str | None = None,
     materialize: bool | None = None,
@@ -55,7 +57,9 @@ def curate_corpus(
     (``gopher_repetition_flags`` — dup-line + top-n-gram gates);
     ``c4=True``: the C4 recipe (Raffel'20 §2.2) — line cleaning FIRST
     (so every later stage sees the cleaned text, the paper's order)
-    then the page flags as a filter, (2) optional
+    then the page flags as a filter; the paper's bad-words page rule
+    needs ``c4_blocklist=`` (your deployment's list — without it that
+    rule is vacuous, as ``c4_page_flags`` documents), (2) optional
     language allow-list (marker-argmax heuristic), (2b) ``line_dedup=
     True``: within-doc repeated-line scrub before any cross-doc hashing,
     (2c) ``lm_filter=True``: the CCNet move — fit a unigram LM on the
@@ -106,7 +110,12 @@ def curate_corpus(
     if c4:
         from datamunging_spark.operators.text import c4_page_flags
 
-        flagged = c4_page_flags(kept, text_col)
+        flagged = c4_page_flags(
+            kept,
+            text_col,
+            min_sentences=c4_min_sentences,
+            blocklist=c4_blocklist,
+        )
         kept = flagged.filter(F.col("c4_pass")).drop(
             "min_sentences_ok",
             "no_lorem_ipsum",

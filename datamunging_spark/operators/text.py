@@ -385,8 +385,11 @@ def c4_page_flags(
     a filter, so kill counts are auditable per rule before committing
     (the :func:`gopher_quality_flags` convention):
 
-    - ``min_sentences_ok`` — at least ``min_sentences`` sentences
-      (terminal-punctuation occurrences, the recipe's proxy);
+    - ``min_sentences_ok`` — at least ``min_sentences`` sentences,
+      counted as runs of terminal punctuation (``[.!?"]`` — the same
+      terminal set the line rule keeps) followed by whitespace or end
+      of text: decimal points ("1.2.3") don't count, an ellipsis
+      counts once, a line kept for its quote terminator counts;
     - ``no_lorem_ipsum`` — placeholder text marker absent;
     - ``no_curly_brace`` — no ``{`` (the paper's code-page marker);
     - ``no_blocklist_hit`` — no word from ``blocklist`` present
@@ -397,16 +400,18 @@ def c4_page_flags(
 
     Expression-only, no UDF, no shuffle. Run on
     :func:`c4_clean_lines` output for the paper's semantics."""
+    import re as _re
+
     c = F.coalesce(F.col(text_col), F.lit(""))
     lo = F.lower(c)
-    n_sent = F.regexp_count(c, F.lit(r'[.!?]'))
-    no_block = F.lit(True)
-    for w in blocklist or []:
-        import re as _re
-
-        no_block = no_block & ~lo.rlike(
-            r"\b" + _re.escape(w.lower()) + r"\b"
-        )
+    n_sent = F.regexp_count(c, F.lit(r'[.!?"]+(\s|$)'))
+    if blocklist:
+        # ONE alternation scan, not one rlike per word — only the
+        # aggregate flag is exposed, so per-word passes buy nothing
+        alt = "|".join(_re.escape(w.lower()) for w in blocklist)
+        no_block = ~lo.rlike(r"\b(?:" + alt + r")\b")
+    else:
+        no_block = F.lit(True)
     out = df.withColumns(
         {
             "min_sentences_ok": n_sent >= F.lit(int(min_sentences)),

@@ -842,8 +842,24 @@ def test_c4_page_flags_published_rules(spark):
     assert not got[3]["no_curly_brace"]
     assert not got[4]["no_blocklist_hit"]
     assert got[5]["no_blocklist_hit"]  # whole-word: 'badwordy' is clean
-    # zero-shuffle plan: pure map over the scan
-    plan = (
-        c4_page_flags(df)._jdf.queryExecution().executedPlan().toString()
+    # sentence proxy: decimal points and mid-text dots don't count,
+    # ellipsis counts once, the line rule's quote terminator counts
+    proxy = spark.createDataFrame(
+        [
+            (0, "Version 1.2.3 of the app is out"),          # 0
+            (1, "Wait... loading... done..."),                # 3
+            (2, 'One."\nTwo here."\nThree lines end."'),     # 3
+        ],
+        "doc_id long, text string",
     )
-    assert "Exchange" not in plan
+    ps = {
+        r["doc_id"]: r["min_sentences_ok"]
+        for r in c4_page_flags(proxy, min_sentences=3).collect()
+    }
+    assert ps == {0: False, 1: True, 2: True}
+    # zero-shuffle plans: pure maps over the scan (both faces)
+    from datamunging_spark.operators.text import c4_clean_lines
+
+    for face in (c4_page_flags(df), c4_clean_lines(df)):
+        plan = face._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan

@@ -35,9 +35,12 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    print("| sf | docs | ratio-table rows | dsir_select wall (best of 3) |")
-    print("|---|---|---|---|")
-    for sf in ["sf0.01", "sf0.1"]:
+    print("| sf | docs | k | ratio-table rows | dsir_select wall (best of 3) |")
+    print("|---|---|---|---|---|")
+    # k scales with the corpus (10% at both legs) so the comparison
+    # doesn't mix a degenerate select-all small leg with a real
+    # selection at the big leg (r11 review catch)
+    for sf, k in [("sf0.01", 50), ("sf0.1", 500)]:
         docs = spark.read.parquet(
             os.path.join(root, sf, "documents.parquet")
         ).select("doc_id", "source", "text")
@@ -53,9 +56,9 @@ def main() -> None:
         walls = []
         for _ in range(3):
             t0 = time.perf_counter()
-            dsir_select(docs, target, k=500, salt="probe").count()
+            dsir_select(docs, target, k=k, salt="probe").count()
             walls.append(time.perf_counter() - t0)
-        print(f"| {sf} | {n:,} | {rt_rows:,} | {min(walls):.2f} s |")
+        print(f"| {sf} | {n:,} | {k} | {rt_rows:,} | {min(walls):.2f} s |")
     spark.stop()
 
 
