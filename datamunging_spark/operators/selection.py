@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "cluster_balanced_sample",
     "hashed_ngram_features",
     "dsir_fit",
     "dsir_logratios",
@@ -494,4 +495,54 @@ def dsir_select(
     scored = dsir_scores(raw, ratios, **kw)
     return importance_resample(
         scored, k, id_cols=[id_col], salt=salt, group_col=group_col
+    )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    per_cluster_cap: int = 100,
+    salt: str = "0",
+    seed: int = 42,
+) -> DataFrame:
+    """Diversity-balanced selection over EMBEDDING clusters — the
+    cluster-based curation move (Tirumala et al. 2023, "D4: Improving
+    LLM Pretraining via Document De-Duplication and Diversification"
+    family: after near-dedup, sample ACROSS semantic clusters instead
+    of letting the corpus's dominant topic fill the budget): KMeans
+    cells from :func:`~datamunging_spark.operators.similarity.ivf_build`
+    (sampled fit + one full assignment pass — the IVF scale story),
+    then :func:`~datamunging_spark.operators.sampling.cap_per_group`
+    keeps a deterministic salted-md5 pseudo-random at-most-
+    ``per_cluster_cap`` rows per cell.
+
+    Returns ``df``'s rows (≤ cap per cluster) plus a ``cluster``
+    column. One window exchange on the cell id (bounded groups; AQE
+    skew handling applies to a hot cell) on top of the build's
+    documented passes; re-deal with ``salt``, re-cluster with
+    ``seed``. Pair with :func:`dsir_select` for the standard recipe:
+    importance-select toward the target FIRST, then balance what
+    remains across clusters."""
+    from datamunging_spark.operators.sampling import cap_per_group
+    from datamunging_spark.operators.similarity import ivf_build
+
+    idx = ivf_build(
+        df,
+        corpus_id=id_col,
+        vec_col=vec_col,
+        n_clusters=n_clusters,
+        seed=seed,
+    )
+    cells = idx.assigned.select(
+        F.col("neighbor_id").alias(id_col),
+        F.col("_cell").alias("cluster"),
+    )
+    return cap_per_group(
+        df.join(cells, id_col),
+        ["cluster"],
+        per_cluster_cap,
+        id_cols=[id_col],
+        salt=salt,
     )

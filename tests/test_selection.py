@@ -388,3 +388,47 @@ def test_selection_empty_and_validation(spark):
         ).collect()
     }
     assert ids == {1}
+
+
+def test_cluster_balanced_sample_caps_each_cluster(spark):
+    """Two planted tight clusters, skewed 20:4 — the cap keeps <=3 per
+    cluster (so the dominant topic can't fill the budget), the minority
+    cluster survives whole, picks are salt-deterministic and re-deal
+    with a different salt."""
+    import random
+
+    from datamunging_spark.operators.selection import cluster_balanced_sample
+
+    rnd = random.Random(7)
+
+    def around(cx, cy):
+        return [cx + rnd.uniform(-.05, .05), cy + rnd.uniform(-.05, .05)]
+
+    rows = [(i, around(0.0, 0.0)) for i in range(20)] + [
+        (100 + i, around(10.0, 10.0)) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    out = cluster_balanced_sample(
+        df, n_clusters=2, per_cluster_cap=3, salt="s1", seed=1
+    ).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["cluster"], set()).add(r["doc_id"])
+    assert len(per) == 2
+    assert all(len(v) <= 3 for v in per.values())
+    # the two planted clusters never mix
+    for v in per.values():
+        assert {i < 100 for i in v} in ({True}, {False})
+    # deterministic per salt; different salt re-deals the big cluster
+    again = cluster_balanced_sample(
+        df, n_clusters=2, per_cluster_cap=3, salt="s1", seed=1
+    ).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(
+        r["doc_id"] for r in out
+    )
+    other = cluster_balanced_sample(
+        df, n_clusters=2, per_cluster_cap=3, salt="s2", seed=1
+    ).collect()
+    assert sorted(r["doc_id"] for r in other) != sorted(
+        r["doc_id"] for r in out
+    )
