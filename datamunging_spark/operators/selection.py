@@ -506,42 +506,66 @@ def cluster_balanced_sample(
     per_cluster_cap: int = 100,
     salt: str = "0",
     seed: int = 42,
+    cluster_col: str = "cluster",
 ) -> DataFrame:
     """Diversity-balanced selection over EMBEDDING clusters — the
     cluster-based curation move (Tirumala et al. 2023, "D4: Improving
     LLM Pretraining via Document De-Duplication and Diversification"
     family: after near-dedup, sample ACROSS semantic clusters instead
-    of letting the corpus's dominant topic fill the budget): KMeans
-    cells from :func:`~datamunging_spark.operators.similarity.ivf_build`
-    (sampled fit + one full assignment pass — the IVF scale story),
-    then :func:`~datamunging_spark.operators.sampling.cap_per_group`
-    keeps a deterministic salted-md5 pseudo-random at-most-
-    ``per_cluster_cap`` rows per cell.
+    of letting the corpus's dominant topic fill the budget).
 
-    Returns ``df``'s rows (≤ cap per cluster) plus a ``cluster``
-    column. One window exchange on the cell id (bounded groups; AQE
-    skew handling applies to a hot cell) on top of the build's
-    documented passes; re-deal with ``salt``, re-cluster with
-    ``seed``. Pair with :func:`dsir_select` for the standard recipe:
-    importance-select toward the target FIRST, then balance what
-    remains across clusters."""
+    Plan shape: KMeans centroids come from
+    :func:`~datamunging_spark.operators.similarity.ivf_build`'s SAMPLED
+    fit (its full assignment table is lazy and never consumed here);
+    cluster attachment is ONE Arrow pass with the centroid matrix in
+    the UDF closure (``dedup._frozen_assign_udf`` — no join, nothing
+    corpus-sized shuffles); the cap is
+    :func:`~datamunging_spark.operators.sampling.cap_per_group`'s one
+    window exchange on the bounded cell id (salted-md5 deterministic
+    picks; ``id_col`` must uniquely identify rows for the cap's
+    determinism contract — cap_per_group's docstring). The upstream
+    lineage executes twice (fit-cache fill + the output pass) —
+    ``localCheckpoint`` upstream first if it is an expensive curation
+    chain, the usual fit/score trade.
+
+    NULL ``vec_col`` rows carry no cluster evidence and are EXCLUDED
+    from both fit and output (the NULL-text contract family). Empty
+    input returns empty with the ``cluster_col`` schema instead of
+    crashing KMeans. Returns ``df``'s surviving rows (≤ cap per
+    cluster) plus ``cluster_col``; re-deal with ``salt``, re-cluster
+    with ``seed``. Pair with :func:`dsir_select` for the standard
+    recipe: importance-select toward the target FIRST, then balance
+    what remains across clusters."""
+    from datamunging_spark.operators.dedup import _frozen_assign_udf
     from datamunging_spark.operators.sampling import cap_per_group
     from datamunging_spark.operators.similarity import ivf_build
 
+    if cluster_col in df.columns:
+        raise ValueError(
+            f"cluster_col {cluster_col!r} already exists in df — pass a "
+            "different name"
+        )
+    vecs_ok = df.filter(F.col(vec_col).isNotNull())
+    if vecs_ok.isEmpty():
+        return vecs_ok.withColumn(
+            cluster_col, F.lit(None).cast("int")
+        )
     idx = ivf_build(
-        df,
+        vecs_ok,
         corpus_id=id_col,
         vec_col=vec_col,
         n_clusters=n_clusters,
         seed=seed,
     )
-    cells = idx.assigned.select(
-        F.col("neighbor_id").alias(id_col),
-        F.col("_cell").alias("cluster"),
+    assign = _frozen_assign_udf(idx.centers)
+    clustered = (
+        vecs_ok.withColumn("_cb", assign(F.col(vec_col)))
+        .withColumn(cluster_col, F.col("_cb").getItem(0).cast("int"))
+        .drop("_cb")
     )
     return cap_per_group(
-        df.join(cells, id_col),
-        ["cluster"],
+        clustered,
+        [cluster_col],
         per_cluster_cap,
         id_cols=[id_col],
         salt=salt,

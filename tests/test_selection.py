@@ -432,3 +432,26 @@ def test_cluster_balanced_sample_caps_each_cluster(spark):
     assert sorted(r["doc_id"] for r in other) != sorted(
         r["doc_id"] for r in out
     )
+    # no join in the plan: cluster attachment is one Arrow pass with
+    # the centroid matrix in the closure
+    lazy = cluster_balanced_sample(
+        df, n_clusters=2, per_cluster_cap=3, salt="s1", seed=1
+    )
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # NULL embeddings excluded (documented), empty input returns empty
+    # with the cluster column, name collisions raise
+    withnull = spark.createDataFrame(
+        rows + [(999, None)], "doc_id long, embedding array<double>"
+    )
+    got = cluster_balanced_sample(
+        withnull, n_clusters=2, per_cluster_cap=100, salt="s1", seed=1
+    ).collect()
+    assert 999 not in {r["doc_id"] for r in got} and len(got) == 24
+    empty = spark.createDataFrame([], "doc_id long, embedding array<double>")
+    e = cluster_balanced_sample(empty, n_clusters=2, per_cluster_cap=3)
+    assert e.columns[-1] == "cluster" and e.count() == 0
+    with pytest.raises(ValueError, match="cluster_col"):
+        cluster_balanced_sample(
+            df.withColumn("cluster", F.lit(1)), n_clusters=2
+        )
