@@ -29,6 +29,7 @@ from datamunging_spark.operators.dedup import exploded_ngrams
 
 __all__ = [
     "assign_token_shards",
+    "cap_tokens_per_group",
     "contamination_report",
     "pack_sequences",
     "take_token_budget",
@@ -985,6 +986,72 @@ def write_training_shards(
     fs.delete(dst, False)
     fs.rename(tmp, dst)
     return entries
+
+
+def cap_tokens_per_group(
+    df: DataFrame,
+    budgets: dict | int,
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+    id_cols: list[str] | None = None,
+    salt: str = "0",
+    default_budget: int | None = None,
+) -> DataFrame:
+    """Per-group TOKEN budgets — the mixing primitive behind "20B
+    tokens of web, 5B of code, 1B of math": within each ``group_col``
+    group, keep rows in salted-md5 pseudo-random order while the
+    group's inclusive running token sum stays within its budget (the
+    :func:`take_token_budget` keep contract, per group — a kept set
+    never exceeds the budget). The token-weighted sibling of
+    :func:`~datamunging_spark.operators.sampling.cap_per_group`'s row
+    cap.
+
+    ``budgets``: dict ``{group: budget}`` (groups absent from the
+    dict — including a NULL group — get ``default_budget``; None =
+    dropped, documented loudly because silence here would eat data)
+    or a single int applied to every group. The lookup is
+    ``try_element_at`` so a dict miss is a NULL budget on ANSI
+    sessions too, never an error. Negative/NULL token counts clamp to 0 (the family's
+    contract) so they can never free up budget. Deterministic given
+    unique ``id_cols`` (same requirement and same salted
+    :func:`~datamunging_spark.functions.salted_row_key` order as
+    cap_per_group — ``salt`` re-deals wholesale).
+
+    One window exchange on the group key; groups are independent so
+    AQE skew handling applies to a hot group's sort (same trade as
+    cap_per_group — for a per-group cap there is no two-stage
+    pre-reduction, because the cut depends on the group-global order).
+    """
+    from datamunging_spark.functions import salted_row_key
+
+    if not id_cols:
+        raise ValueError(
+            "id_cols is required and must uniquely identify a row"
+        )
+    if isinstance(budgets, dict):
+        pairs = []
+        for g, b in budgets.items():
+            pairs.extend([F.lit(g), F.lit(int(b)).cast("long")])
+        budget = F.try_element_at(
+            F.create_map(*pairs), F.col(group_col)
+        )
+        if default_budget is not None:
+            budget = F.coalesce(budget, F.lit(int(default_budget)))
+    else:
+        budget = F.lit(int(budgets)).cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(salted_row_key(id_cols, salt).asc(), *id_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(
+        F.greatest(F.col(tokens_col), F.lit(0)).cast("long")
+    ).over(w)
+    return (
+        df.withColumn("_run", run)
+        .filter(F.col("_run") <= budget)
+        .drop("_run")
+    )
 
 
 def temperature_mix(

@@ -985,3 +985,68 @@ def test_write_training_shards_empty_corpus(spark, tmp_path):
         assert m["n_shards"] == 0 and m["total_tokens"] == 0
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_cap_tokens_per_group_budgets(spark):
+    """Per-group token budgets: keep-while-cumsum<=budget per group in
+    salted order (the take_token_budget contract, per group), dict-miss
+    groups dropped unless default_budget, NULL/negative counts clamp,
+    salt re-deals deterministically."""
+    from datamunging_spark.operators.trainset import cap_tokens_per_group
+
+    rows = (
+        [(i, "web", 10) for i in range(10)]        # 100 web tokens
+        + [(100 + i, "code", 10) for i in range(4)]
+        + [(200, "misc", 10), (201, "web", None), (202, "web", -5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    out = cap_tokens_per_group(
+        df, {"web": 30, "code": 1000}, id_cols=["doc_id"], salt="s1"
+    )
+    got = out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.greatest("n_tokens", F.lit(0))).alias("t"),
+    ).collect()
+    by = {r["source"]: (r["n"], r["t"]) for r in got}
+    assert by["web"][1] <= 30        # budget respected
+    assert by["code"] == (4, 40)     # whole group fits
+    assert "misc" not in by          # dict miss, no default -> dropped
+    # NULL/negative clamp to 0: they can be kept without consuming budget
+    # default budget admits the miss group
+    withdef = cap_tokens_per_group(
+        df, {"web": 30}, id_cols=["doc_id"], default_budget=1000
+    )
+    assert withdef.filter("source = 'misc'").count() == 1
+    assert withdef.filter("source = 'code'").count() == 4
+    # int budget applies to every group
+    allcap = cap_tokens_per_group(df, 20, id_cols=["doc_id"])
+    per = {
+        r["source"]: r["t"]
+        for r in allcap.groupBy("source")
+        .agg(F.sum(F.greatest("n_tokens", F.lit(0))).alias("t"))
+        .collect()
+    }
+    assert all(t <= 20 for t in per.values())
+    # deterministic per salt, re-deals with another
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in cap_tokens_per_group(
+            df, {"web": 30, "code": 1000}, id_cols=["doc_id"], salt="s1"
+        ).collect()
+    )
+    assert a == b
+    c = sorted(
+        r["doc_id"]
+        for r in cap_tokens_per_group(
+            df, {"web": 30, "code": 1000}, id_cols=["doc_id"], salt="s2"
+        ).collect()
+    )
+    assert a != c
+    # empty input, validation
+    import pytest
+
+    empty = spark.createDataFrame([], "doc_id long, source string, n_tokens int")
+    assert cap_tokens_per_group(empty, 10, id_cols=["doc_id"]).count() == 0
+    with pytest.raises(ValueError, match="id_cols"):
+        cap_tokens_per_group(df, 10, id_cols=[])
