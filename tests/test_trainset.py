@@ -935,6 +935,9 @@ def test_bpe_train_distributed_matches_local(spark):
     # cap fail-fast
     with pytest.raises(ValueError, match="distinct pretokens"):
         bpe_train_distributed(df, n_merges=5, max_distinct_pretokens=3)
+    # empty corpus: no pretokens, no merges, no crash
+    empty = spark.createDataFrame([], "text string")
+    assert bpe_train_distributed(empty, n_merges=8) == []
 
 
 def test_bpe_vocab_duplicate_concat_first_rank_wins():
