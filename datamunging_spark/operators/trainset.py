@@ -1009,9 +1009,13 @@ def cap_tokens_per_group(
     ``budgets``: dict ``{group: budget}`` (groups absent from the
     dict — including a NULL group — get ``default_budget``; None =
     dropped, documented loudly because silence here would eat data)
-    or a single int applied to every group. The lookup is
+    or a single int applied to every group (``default_budget`` is
+    meaningless with an int and raises). The lookup is
     ``try_element_at`` so a dict miss is a NULL budget on ANSI
-    sessions too, never an error. Negative/NULL token counts clamp to 0 (the family's
+    sessions too, never an error. The running sum is ``decimal(38,0)``
+    — the same overflow-proof width as ``_global_running_sum``, so the
+    "take_token_budget contract per group" claim holds numerically
+    too. Negative/NULL token counts clamp to 0 (the family's
     contract) so they can never free up budget. Deterministic given
     unique ``id_cols`` (same requirement and same salted
     :func:`~datamunging_spark.functions.salted_row_key` order as
@@ -1027,6 +1031,11 @@ def cap_tokens_per_group(
     if not id_cols:
         raise ValueError(
             "id_cols is required and must uniquely identify a row"
+        )
+    if not isinstance(budgets, dict) and default_budget is not None:
+        raise ValueError(
+            "default_budget only applies with dict budgets — an int "
+            "budget already covers every group"
         )
     if isinstance(budgets, dict):
         pairs = []
@@ -1045,7 +1054,7 @@ def cap_tokens_per_group(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     run = F.sum(
-        F.greatest(F.col(tokens_col), F.lit(0)).cast("long")
+        F.greatest(F.col(tokens_col), F.lit(0)).cast("decimal(38,0)")
     ).over(w)
     return (
         df.withColumn("_run", run)

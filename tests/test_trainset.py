@@ -1006,12 +1006,35 @@ def test_cap_tokens_per_group_budgets(spark):
     out = cap_tokens_per_group(
         df, {"web": 30, "code": 1000}, id_cols=["doc_id"], salt="s1"
     )
-    got = out.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.greatest("n_tokens", F.lit(0))).alias("t"),
-    ).collect()
-    by = {r["source"]: (r["n"], r["t"]) for r in got}
-    assert by["web"][1] <= 30        # budget respected
+    # FULL Python reference of the keep set: the salted order is
+    # portable md5("s1|id"), the contract is keep-while-inclusive-
+    # cumsum-of-CLAMPED-tokens <= budget — so any drift (clamp removed,
+    # boundary off-by-one, order change) fails this equality, not just
+    # a loose <= bound
+    import hashlib
+
+    def ref_keep(group, budget):
+        members = sorted(
+            ((i, t) for i, g, t in rows if g == group),
+            key=lambda it: hashlib.md5(f"s1|{it[0]}".encode()).hexdigest(),
+        )
+        run, keep = 0, set()
+        for i, t in members:
+            run += max(t or 0, 0)
+            if run <= budget:
+                keep.add(i)
+        return keep
+
+    want = ref_keep("web", 30) | ref_keep("code", 1000)
+    assert {r["doc_id"] for r in out.collect()} == want
+    by = {
+        r["source"]: (r["n"], r["t"])
+        for r in out.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.greatest("n_tokens", F.lit(0))).alias("t"),
+        ).collect()
+    }
+    assert by["web"][1] == 30        # exactly three 10-token docs fit
     assert by["code"] == (4, 40)     # whole group fits
     assert "misc" not in by          # dict miss, no default -> dropped
     # NULL/negative clamp to 0: they can be kept without consuming budget
@@ -1053,3 +1076,5 @@ def test_cap_tokens_per_group_budgets(spark):
     assert cap_tokens_per_group(empty, 10, id_cols=["doc_id"]).count() == 0
     with pytest.raises(ValueError, match="id_cols"):
         cap_tokens_per_group(df, 10, id_cols=[])
+    with pytest.raises(ValueError, match="default_budget"):
+        cap_tokens_per_group(df, 10, id_cols=["doc_id"], default_budget=5)
