@@ -5,8 +5,12 @@ Importance Resampling", NeurIPS — reimplemented from the paper; the
 standard pretraining-pipeline step between raw curation and training-
 set assembly: "give me the 10M web docs most like Wikipedia+books").
 
-The pipeline is four relational faces that compose like the LM-quality
-family (text.py): featurize → fit (twice) → score → resample.
+The DSIR pipeline is four relational faces that compose like the
+LM-quality family (text.py): featurize → fit (twice) → score →
+resample — every face per-language-capable via ``group_col``. The
+module also carries the cluster-side selection move,
+:func:`cluster_balanced_sample` (D4-family diversity sampling over
+embedding cells).
 
 Scale shapes (the 100 TB story):
 
