@@ -364,6 +364,19 @@ def dsir_scores(
     ratios = _renamed_right(
         logratios, gb, [F.col("logratio").cast("decimal(28,7)").alias("_lr")]
     )
+    if broadcast_ratios and hash_chars >= 6:
+        # 16^6 = 16.7M rows (~0.5+ GB broadcast) even ungrouped — the
+        # bucket width alone breaks the broadcast regardless of group
+        # count, so auto-fall back to a shuffle join (r11 ADVICE)
+        import warnings
+
+        warnings.warn(
+            f"dsir_scores: ratio table has 16^{hash_chars} buckets — "
+            "too wide to broadcast; falling back to a shuffle join "
+            "(pass broadcast_ratios=False to silence)",
+            stacklevel=2,
+        )
+        broadcast_ratios = False
     if broadcast_ratios:
         # with group_col the table is groups × 16^hash_chars rows —
         # pass broadcast_ratios=False past ~100 groups at hash_chars=4
@@ -435,10 +448,9 @@ def importance_resample(
     )
     key = F.col(logw_col) + (-F.log(-F.log(u)))
     keyed = scored.withColumn("_gumbel_key", key)
+    tiebreak = [F.col(c) for c in id_cols]  # determinism under ties
     if group_col:
         from pyspark.sql import Window
-
-        tiebreak = [F.col(c) for c in id_cols]  # determinism under ties
         # stage 1: local pre-reduction — ≤ k rows per (group, input
         # partition); including the partition id in the window key
         # keeps a dominant group's rows spread across tasks
@@ -460,7 +472,10 @@ def importance_resample(
             .filter(F.col("_rn") <= int(k))
             .drop("_rn")
         )
-    return keyed.orderBy(F.col("_gumbel_key").desc()).limit(int(k))
+    # same determinism contract as the grouped path: key ties (identical
+    # logw + identical md5 8-hex prefix) resolve on row identity, never
+    # on partition layout (r11 ADVICE)
+    return keyed.orderBy(F.col("_gumbel_key").desc(), *tiebreak).limit(int(k))
 
 
 def dsir_select(

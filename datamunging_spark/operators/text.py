@@ -351,7 +351,10 @@ def c4_clean_lines(
     c = F.coalesce(F.col(text_col), F.lit(""))
 
     def keep(line):
-        trimmed = F.rtrim(line)
+        # line.strip() parity: rtrim strips only 0x20 spaces, so a line
+        # ending ". \t" or ".\r" would fail the terminal-punct test the
+        # C4 reference (which strips ALL whitespace) passes (r11 ADVICE)
+        trimmed = F.regexp_replace(line, r"\s+$", "")
         cond = F.lit(True)
         if require_terminal_punct:
             cond = cond & trimmed.rlike(r'[.!?"]$')

@@ -1007,8 +1007,10 @@ def cap_tokens_per_group(
     cap.
 
     ``budgets``: dict ``{group: budget}`` (groups absent from the
-    dict — including a NULL group — get ``default_budget``; None =
-    dropped, documented loudly because silence here would eat data)
+    dict get ``default_budget``; None = dropped, documented loudly
+    because silence here would eat data; a ``None`` KEY budgets the
+    NULL group explicitly — it is routed through an ``isNull`` branch
+    because Spark map literals reject NULL keys)
     or a single int applied to every group (``default_budget`` is
     meaningless with an int and raises). The lookup is
     ``try_element_at`` so a dict miss is a NULL budget on ANSI
@@ -1038,12 +1040,26 @@ def cap_tokens_per_group(
             "budget already covers every group"
         )
     if isinstance(budgets, dict):
+        # a None KEY is a real entry (the docstring invites it for the
+        # NULL group) but create_map rejects NULL keys at runtime with
+        # an opaque error — route it through a dedicated isNull branch
+        # instead (r11 ADVICE)
         pairs = []
         for g, b in budgets.items():
+            if g is None:
+                continue
             pairs.extend([F.lit(g), F.lit(int(b)).cast("long")])
-        budget = F.try_element_at(
-            F.create_map(*pairs), F.col(group_col)
-        )
+        if pairs:
+            budget = F.try_element_at(
+                F.create_map(*pairs), F.col(group_col)
+            )
+        else:
+            budget = F.lit(None).cast("long")
+        if None in budgets:
+            budget = F.when(
+                F.col(group_col).isNull(),
+                F.lit(int(budgets[None])).cast("long"),
+            ).otherwise(budget)
         if default_budget is not None:
             budget = F.coalesce(budget, F.lit(int(default_budget)))
     else:

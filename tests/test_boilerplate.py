@@ -385,6 +385,27 @@ def test_automaton_broadcast_cached_and_released(spark):
     assert strip_release(tpls) is True
     assert len(spandedup._AC_BC_CACHE) == 0
     assert strip_release(tpls) is False  # already released
+    # r11 ADVICE: entries keyed by a DEAD applicationId (app restart)
+    # can never match again — any later broadcast or release call
+    # sweeps them out instead of pinning them for the process lifetime
+
+    class _DeadBC:
+        released = False
+
+        def unpersist(self):
+            self.released = True
+
+    dead = _DeadBC()
+    spandedup._AC_BC_CACHE[("app-gone", "deadbeef")] = dead
+    strip_boilerplate(docs, tpls, strip_mode="automaton").collect()
+    assert ("app-gone", "deadbeef") not in spandedup._AC_BC_CACHE
+    assert dead.released
+    assert len(spandedup._AC_BC_CACHE) == 1  # the live entry remains
+    dead2 = _DeadBC()
+    spandedup._AC_BC_CACHE[("app-gone-2", "deadbeef")] = dead2
+    assert strip_release(tpls) is True  # release sweeps dead apps too
+    assert dead2.released
+    assert len(spandedup._AC_BC_CACHE) == 0
 
 
 def test_ac_build_closure_on_shared_suffixes():

@@ -175,6 +175,39 @@ def test_importance_resample_plan_is_take_ordered(spark):
     plan = sel._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+    # determinism under key ties: the ungrouped sort order carries the
+    # id tiebreak, same contract as the grouped path (r11 ADVICE)
+    take = next(
+        ln for ln in plan.splitlines() if "TakeOrderedAndProject" in ln
+    )
+    assert "doc_id" in take.split("output")[0]
+
+
+def test_dsir_scores_wide_bucket_broadcast_falls_back(spark):
+    """hash_chars >= 6 makes the complete ratio table 16^6+ rows — too
+    wide to broadcast regardless of group count: dsir_scores warns and
+    falls back to a shuffle join; narrow widths keep the broadcast
+    hint, warning-free (r11 ADVICE)."""
+    import warnings
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma")], "doc_id long, text string"
+    )
+    wide = spark.createDataFrame(
+        [("abcdef", 0.5)], "bucket string, logratio double"
+    )
+    with pytest.warns(UserWarning, match="too wide to broadcast"):
+        scored = dsir_scores(df, wide, hash_chars=6)
+    plan = scored._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in plan.lower()
+    narrow = spark.createDataFrame(
+        [("abc", 0.5)], "bucket string, logratio double"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        scored_n = dsir_scores(df, narrow, hash_chars=HC)
+    plan_n = scored_n._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" in plan_n.lower()
 
 
 def test_featurize_matches_python_on_arbitrary_text(spark):

@@ -682,7 +682,7 @@ def test_sentiment_score_matches_duckdb(spark, tables):
               SELECT doc_id,
                      regexp_replace(
                        unnest(regexp_split_to_array(
-                         lower(coalesce(text, '')), '\s+')),
+                         lower(coalesce(text, '')), '\\s+')),
                        '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g') AS word
               FROM (SELECT doc_id, text FROM read_parquet(
                         '/root/testdata/sf0.001/documents.parquet')
@@ -798,6 +798,10 @@ def test_c4_clean_lines_published_rules(spark):
         "Please enable JavaScript to view the comments.",  # javascript
         'He said "use the quote ending here instead".',    # keep
         "Is this a question with enough words here?",      # keep
+        "Trailing tab after punctuation keeps this line.\t",   # keep:
+        "Trailing space also keeps this line right here. \r",  # strip ALL
+        # trailing whitespace before the terminal test (C4 strips with
+        # line.strip(); plain rtrim only eats 0x20 — r11 ADVICE)
     ])
     df = spark.createDataFrame(
         [(0, page), (1, None)], "doc_id long, text string"
@@ -808,6 +812,8 @@ def test_c4_clean_lines_published_rules(spark):
         "This is a proper sentence with enough words.",
         'He said "use the quote ending here instead".',
         "Is this a question with enough words here?",
+        "Trailing tab after punctuation keeps this line.\t",
+        "Trailing space also keeps this line right here. \r",
     ]
     assert got[1] == ""
     # toggles: with punct rule off, the unpunctuated line survives

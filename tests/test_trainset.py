@@ -1078,3 +1078,29 @@ def test_cap_tokens_per_group_budgets(spark):
         cap_tokens_per_group(df, 10, id_cols=[])
     with pytest.raises(ValueError, match="default_budget"):
         cap_tokens_per_group(df, 10, id_cols=["doc_id"], default_budget=5)
+    # r11 ADVICE: a None KEY budgets the NULL group explicitly —
+    # create_map rejects NULL keys, so it rides an isNull branch
+    nrows = [(0, None, 10), (1, None, 10), (2, "web", 10)]
+    ndf = spark.createDataFrame(
+        nrows, "doc_id long, source string, n_tokens int"
+    )
+    nby = {
+        r["source"]: (r["n"], r["t"])
+        for r in cap_tokens_per_group(
+            ndf, {None: 10, "web": 100}, id_cols=["doc_id"]
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    assert nby[None] == (1, 10)   # one 10-token doc fits the NULL budget
+    assert nby["web"] == (1, 10)
+    # None-key-only dict: every non-NULL group is a dict miss (dropped)
+    only = cap_tokens_per_group(ndf, {None: 20}, id_cols=["doc_id"])
+    assert [r["source"] for r in only.collect()] == [None, None]
+    # default_budget still covers non-NULL misses alongside the None key
+    defd = cap_tokens_per_group(
+        ndf, {None: 10}, id_cols=["doc_id"], default_budget=100
+    )
+    assert defd.filter("source = 'web'").count() == 1
+    assert defd.filter("source IS NULL").count() == 1
