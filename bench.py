@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "x8_grouped_sketch",
     "x5_packed_windows",
     "x5_dsir_select",
+    "x1_minhash_portable",
+    "x3_phash_neardup",
 ]
 
 

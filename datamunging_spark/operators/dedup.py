@@ -436,24 +436,53 @@ def minhash_signatures_df(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_words: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
-    """(id, _sig array<long>) via exploded n-grams + one hash-aggregate —
-    the 100 TB shape.
+    """(id, _sig) via exploded n-grams + one hash-aggregate — the 100 TB
+    shape.
 
-    Each shingle string is xxhash64'd exactly once; all ``num_hashes``
-    signature slots are ``min(xxhash64(h, seed_i))`` aggregates in ONE
-    groupBy(id): partial (map-side) aggregation shrinks the shuffle to one
-    row per doc per partition, the shuffle key is the doc id (uniform, no
+    Each shingle string is hashed exactly once; all ``num_hashes``
+    signature slots are per-seed min aggregates in ONE groupBy(id):
+    partial (map-side) aggregation shrinks the shuffle to one row per
+    doc per partition, the shuffle key is the doc id (uniform, no
     skew), and MinHash is duplicate-insensitive so no distinct pass is
     needed. ~100× the naive expression form at sf0.1.
+
+    ``portable=False`` (default, the throughput path): ``_sig`` is
+    ``array<long>``, slot i = ``min(xxhash64(xxhash64(shingle), i))``
+    — JVM-codegen'd, 8 bytes per slot, engine-specific (Spark's seeded
+    xxhash64 exists nowhere else, which is why the fuzzy-dedup gate
+    rows were rows-only before r12).
+
+    ``portable=True``: ``_sig`` is ``array<string>``, slot i =
+    ``min(md5(i || '|' || md5(shingle)))`` — lexicographic min over
+    lowercase 32-hex md5 strings, byte-reproducible in any engine with
+    an md5() (the ``bernoulli_sample_portable`` / DSIR md5 discipline
+    applied to MinHash). Slot quality is the same (md5 uniform per
+    seed); cost is ~2× the signature bytes (32-char strings vs longs)
+    and md5 throughput below xxhash64's — use it for cross-engine
+    verification and reproducible-corpus contracts, not the hot path.
+    Per-seed min-hashes stay INDEPENDENT draws because the seed is
+    hashed INTO md5, not appended to its output.
     """
-    exploded = exploded_ngrams(df, text_col, id_col, shingle_words).select(
-        id_col, F.xxhash64("_sh").alias("_h")
-    )
-    aggs = [
-        F.min(F.xxhash64(F.col("_h"), F.lit(s))).alias(f"_m{s}")
-        for s in range(num_hashes)
-    ]
+    if portable:
+        exploded = exploded_ngrams(
+            df, text_col, id_col, shingle_words
+        ).select(id_col, F.md5("_sh").alias("_h"))
+        aggs = [
+            F.min(
+                F.md5(F.concat_ws("|", F.lit(str(s)), F.col("_h")))
+            ).alias(f"_m{s}")
+            for s in range(num_hashes)
+        ]
+    else:
+        exploded = exploded_ngrams(
+            df, text_col, id_col, shingle_words
+        ).select(id_col, F.xxhash64("_sh").alias("_h"))
+        aggs = [
+            F.min(F.xxhash64(F.col("_h"), F.lit(s))).alias(f"_m{s}")
+            for s in range(num_hashes)
+        ]
     return (
         exploded.groupBy(id_col)
         .agg(*aggs)
@@ -470,28 +499,35 @@ def _band_rows(
     """(id, _b, _k) LSH band rows from a signature table — a pure
     expression over ``_sig`` (no text needed), shared by the intra-corpus
     self-join (:func:`minhash_lsh_pairs`) and the incremental
-    history-vs-batch join (:func:`incremental_minhash_dedup`)."""
+    history-vs-batch join (:func:`incremental_minhash_dedup`).
+
+    A portable (``array<string>``) signature gets a portable band key:
+    ``md5`` of the comma-joined slot slice — the hex-string analog of
+    the default ``xxhash64`` key, reproducible in DuckDB SQL."""
     rows_per_band = num_hashes // bands
+    portable = isinstance(
+        sig.schema["_sig"].dataType.elementType, T.StringType
+    )
+
+    def band_key(b):
+        joined = F.concat_ws(
+            ",",
+            F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)
+            if portable
+            else F.transform(
+                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+        )
+        return F.md5(joined) if portable else F.xxhash64(joined)
+
     return sig.select(
         id_col,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    F.col("_sig"),
-                                    b * rows_per_band + 1,
-                                    rows_per_band,
-                                ),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("key"),
+                    b.alias("band"), band_key(b).alias("key")
                 ),
             )
         ).alias("_band"),
@@ -507,10 +543,14 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_words: int = 3,
+    portable: bool = False,
     _return_sig: bool = False,
     _precomputed_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
+    ``portable=True`` switches the signature/band hashing to the
+    engine-portable md5 form (see :func:`minhash_signatures_df`) —
+    same banding recall math, DuckDB-reproducible output.
 
     rows per band = num_hashes/bands. Docs sharing any band key collide.
     Scale shape: explode to (band_key, id) — one row per doc per band — then
@@ -535,7 +575,7 @@ def minhash_lsh_pairs(
         sig = _precomputed_sig
     else:
         sig = minhash_signatures_df(
-            df, text_col, id_col, num_hashes, shingle_words
+            df, text_col, id_col, num_hashes, shingle_words, portable
         )
     # Persist: the banding explode and the two signature re-joins below all
     # reference it; the cached table is tiny (id + 64 longs ≈ 0.5 KB/doc)

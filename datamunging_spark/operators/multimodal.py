@@ -218,6 +218,160 @@ def sample_frames(
     return src.mapInPandas(run, FRAME_SCHEMA)
 
 
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sh", LongType()),  # simhash_pairs' signature column
+    ]
+)
+
+
+def phash_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    gray_decoder=None,
+) -> DataFrame:
+    """64-bit difference-hash (dHash) per binary payload — the standard
+    perceptual image fingerprint (Krawetz's dHash; the pHash family's
+    cheapest member): reduce the image to a 9×8 grayscale grid and emit
+    one bit per horizontally-adjacent pixel pair (left > right). Near-
+    identical images differ in a few bits; Hamming distance ≤ 3-10 is
+    the published near-dup band.
+
+    One Arrow ``mapInPandas`` pass over the corpus scan (the
+    :func:`extract_features` shape — no shuffle, one decode per payload,
+    numpy inside the batch loop). ``gray_decoder`` is the codec seam
+    made concrete: a picklable ``bytes -> 8×9 row-major grayscale array
+    (list/ndarray of 72 floats)`` — production decodes with
+    PIL/turbojpeg and resizes to 9×8 grayscale (the importorskip golden
+    pins that path). ``None`` (this container: no codecs) uses the
+    deterministic fake decode: the byte stream bucketed into 72 equal
+    spans, bucket means as "pixels" — small payload edits move a few
+    bucket means, so planted near-identical payloads land within a few
+    Hamming bits, which is exactly the property the banded join needs
+    and what the pytest reference pins value-for-value.
+
+    Output column is named ``sh`` so the 64-bit banding machinery
+    (:func:`~datamunging_spark.operators.dedup.simhash_pairs` via
+    ``_precomputed_sh`` — pigeonhole-exact recall at
+    ``max_hamming <= bands-1``) consumes it unchanged. NULL/empty
+    payloads hash to 0 (all-equal pixels) and dedup among themselves,
+    the exact_dedup NULL-contract analog.
+    """
+    import numpy as np
+    import pandas as pd
+
+    src = df.select(id_col, payload_col)
+
+    def dhash64(grid72):
+        g = np.asarray(grid72, dtype=np.float64).reshape(8, 9)
+        bits = (g[:, :8] > g[:, 1:]).ravel()
+        # pack MSB-first into a SIGNED 64-bit value for LongType
+        v = 0
+        for b in bits:
+            v = (v << 1) | int(b)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def fake_gray(b):
+        n = len(b)
+        if n == 0:
+            return np.zeros(72)
+        a = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+        # 72 equal byte spans; span i = [floor(i*n/72), floor((i+1)*n/72))
+        bounds = (np.arange(73) * n) // 72
+        sums = np.add.reduceat(
+            a, np.minimum(bounds[:-1], n - 1)
+        )
+        widths = np.diff(bounds)
+        out = np.zeros(72)
+        nz = widths > 0
+        out[nz] = sums[nz] / widths[nz]
+        return out
+
+    def run(batches):
+        for pdf in batches:
+            hashes = []
+            for b in pdf[payload_col]:
+                raw = bytes(b) if b is not None else b""
+                grid = (
+                    fake_gray(raw)
+                    if gray_decoder is None
+                    else gray_decoder(raw)
+                )
+                hashes.append(dhash64(grid))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "sh": pd.Series(hashes, dtype="int64")}
+            )
+
+    return src.mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    gray_decoder=None,
+) -> DataFrame:
+    """Candidate near-duplicate IMAGE pairs at dHash Hamming distance ≤
+    ``max_hamming`` — the multimodal-pipeline dedup leg: one Arrow hash
+    pass (:func:`phash_df`), then the SimHash bit-band machinery
+    verbatim (``dedup.simhash_pairs`` with ``_precomputed_sh``): split
+    the 64-bit hash into ``bands`` chunks, equi-join docs sharing any
+    chunk (pigeonhole: recall is EXACT for ``max_hamming <= bands-1``),
+    verify with codegen ``bit_count(xor)``. Only (id, 8-byte hash) rows
+    ever shuffle — payload bytes stay in their scan tasks, the "fp
+    tables move, media doesn't" design at 100 TB.
+
+    Returns (id_a < id_b, hamming). The hash table is
+    ``localCheckpoint``-materialized (one Python pass feeds the banding
+    explode and both candidate re-joins)."""
+    from datamunging_spark.operators.dedup import simhash_pairs
+
+    ph = phash_df(
+        df, id_col=id_col, payload_col=payload_col,
+        gray_decoder=gray_decoder,
+    ).localCheckpoint()
+    return simhash_pairs(
+        df, id_col=id_col, max_hamming=max_hamming, bands=bands,
+        _precomputed_sh=ph,
+    )
+
+
+def phash_dedup(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    gray_decoder=None,
+) -> DataFrame:
+    """Image near-dedup: one survivor (min id) per transitive cluster of
+    payloads within ``max_hamming`` dHash bits — connected-component
+    selection over :func:`phash_pairs` (the same O(log n) large-star/
+    small-star labeling minhash_dedup/simhash_dedup use, with the same
+    star/chain correctness argument). The loser id set is materialized
+    before the anti-join; the corpus-sized payload column crosses no
+    exchange at any stage."""
+    from datamunging_spark.operators.dedup import (
+        connected_component_labels,
+    )
+
+    pairs = phash_pairs(
+        df, max_hamming=max_hamming, bands=bands, id_col=id_col,
+        payload_col=payload_col, gray_decoder=gray_decoder,
+    )
+    comp = connected_component_labels(pairs)
+    losers = (
+        comp.filter(F.col("v") != F.col("component"))
+        .select(F.col("v").alias(id_col))
+        .localCheckpoint()
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def decode_image_stub(*_args, **_kwargs):
     """Real image decode (PIL/turbojpeg) — NOT IMPLEMENTED in this container.
 

@@ -57,6 +57,91 @@ def test_dup_groups(docs_with_dups):
     assert g.agg(F.max("n_dups")).first()[0] == 2
 
 
+def test_minhash_portable_matches_hashlib_reference(spark):
+    """portable=True signatures, band keys, pairs and sig_jaccard are
+    md5-portable: pinned VALUE-FOR-VALUE against a driver-side hashlib
+    reference (the bernoulli_sample_portable / DSIR oracle discipline)
+    — any engine with md5() reproduces them byte-identically, which is
+    what promotes the fuzzy-dedup gate row to a full DuckDB oracle."""
+    import hashlib
+    import re
+
+    from pyspark.sql import types as T
+
+    from datamunging_spark.operators.dedup import minhash_signatures_df
+
+    texts = {
+        0: "the quick brown fox jumps over the lazy dog today",
+        1: "the quick brown fox jumps over the lazy dog tonight",
+        2: "completely different content about database engines here",
+        3: "tiny doc",
+        4: "the quick brown fox jumps over the lazy dog today",  # exact dup
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    NH, BANDS = 16, 4
+
+    def shingles(t, n=3):
+        toks = [
+            w
+            for w in re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+            if w
+        ]
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    def ref_sig(t):
+        hs = [hashlib.md5(sh.encode()).hexdigest() for sh in shingles(t)]
+        return [
+            min(
+                hashlib.md5(f"{s}|{h}".encode()).hexdigest() for h in hs
+            )
+            for s in range(NH)
+        ]
+
+    sig_df = minhash_signatures_df(df, num_hashes=NH, portable=True)
+    assert isinstance(sig_df.schema["_sig"].dataType.elementType, T.StringType)
+    got = {r["doc_id"]: list(r["_sig"]) for r in sig_df.collect()}
+    sigs = {i: ref_sig(t) for i, t in texts.items()}
+    assert got == sigs
+    # default path untouched: array<long> xxhash64 signatures
+    assert isinstance(
+        minhash_signatures_df(df, num_hashes=4)
+        .schema["_sig"].dataType.elementType,
+        T.LongType,
+    )
+
+    # pairs: band keys = md5 of the comma-joined slot slice; expected
+    # pair set and sig_jaccard derived ENTIRELY from the reference
+    def ref_bands(sig):
+        rpb = NH // BANDS
+        return [
+            hashlib.md5(
+                ",".join(sig[b * rpb:(b + 1) * rpb]).encode()
+            ).hexdigest()
+            for b in range(BANDS)
+        ]
+
+    exp = {}
+    ids = sorted(texts)
+    for a in ids:
+        for b in ids:
+            if a < b and any(
+                x == y for x, y in zip(ref_bands(sigs[a]), ref_bands(sigs[b]))
+            ):
+                exp[(a, b)] = len(set(sigs[a]) & set(sigs[b])) / NH
+    assert (0, 4) in exp  # the planted exact dup collides by construction
+    got_pairs = {
+        (r["id_a"], r["id_b"]): r["sig_jaccard"]
+        for r in minhash_lsh_pairs(
+            df, num_hashes=NH, bands=BANDS, portable=True
+        ).collect()
+    }
+    assert got_pairs == exp
+
+
 def test_minhash_recall_on_near_dups(docs_with_dups):
     pairs = minhash_lsh_pairs(docs_with_dups, num_hashes=64, bands=16)
     found = {

@@ -97,6 +97,132 @@ def test_multimodal_resize_and_frames(spark):
     assert offs == [0, 25, 50, 75]
 
 
+def _ref_dhash64(payload: bytes) -> int:
+    """Independent Python mirror of phash_df's fake-decode dHash —
+    bucket means over 72 equal byte spans, MSB-first left>right bits."""
+    n = len(payload)
+    grid = [0.0] * 72
+    if n:
+        for i in range(72):
+            lo, hi = (i * n) // 72, ((i + 1) * n) // 72
+            if hi > lo:
+                grid[i] = sum(payload[lo:hi]) / (hi - lo)
+    v = 0
+    for r in range(8):
+        for c in range(8):
+            v = (v << 1) | (1 if grid[r * 9 + c] > grid[r * 9 + c + 1] else 0)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_phash_neardup_planted_and_reference(spark):
+    """X3 image near-dup: dHash values pinned against an independent
+    Python reference; a planted in-place byte mutation lands within the
+    Hamming band and pairs up; an unrelated payload doesn't; exact
+    copies dedup to the min id; NULL/empty payloads hash to 0 and
+    cluster together rather than crashing."""
+    import random
+
+    from datamunging_spark.operators.multimodal import (
+        phash_df,
+        phash_dedup,
+        phash_pairs,
+    )
+
+    rng = random.Random(7)
+    base = bytes(rng.randrange(256) for _ in range(400))
+    mutated = bytearray(base)
+    for off in (13, 205):  # two in-place edits — a few bucket means move
+        mutated[off] = (mutated[off] + 90) % 256
+    other = bytes(rng.randrange(256) for _ in range(400))
+    rows = [
+        (0, base),
+        (1, bytes(mutated)),
+        (2, other),
+        (3, base),      # exact copy of 0
+        (4, b""),       # empty
+        (5, None),      # NULL payload
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    got = {r["doc_id"]: r["sh"] for r in phash_df(df).collect()}
+    want = {
+        i: _ref_dhash64(b if b is not None else b"") for i, b in rows
+    }
+    assert got == want
+    assert got[4] == 0 and got[5] == 0  # all-equal pixels -> no bits
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs[(0, 3)] == 0          # exact copy
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 3  # planted near-dup
+    assert (4, 5) in pairs             # empty/NULL cluster together
+    assert not any(2 in p for p in pairs)  # unrelated joins nothing
+    # reference Hamming agrees
+    assert pairs[(0, 1)] == bin(
+        (want[0] ^ want[1]) & ((1 << 64) - 1)
+    ).count("1")
+
+    survivors = sorted(
+        r["doc_id"] for r in phash_dedup(df, max_hamming=3).collect()
+    )
+    assert survivors == [0, 2, 4]  # min id per cluster {0,1,3},{2},{4,5}
+
+
+def test_phash_payloads_never_shuffle(spark):
+    """The corpus-sized payload column must stay inside its scan tasks:
+    every exchange in the pair plan carries only (id, hash/band) rows."""
+    from datamunging_spark.operators.multimodal import (
+        attach_binary_payload,
+        phash_pairs,
+    )
+
+    df = attach_binary_payload(
+        spark.createDataFrame(
+            [(i, f"payload body {i}") for i in range(20)],
+            ["doc_id", "text"],
+        )
+    )
+    plan = (
+        phash_pairs(df, max_hamming=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for frag in plan.split("Exchange")[1:]:
+        assert "payload" not in frag[:200], plan
+
+
+def test_phash_gray_decoder_seam(spark):
+    """A real codec plugs in as gray_decoder without touching the plan:
+    a picklable bytes->72-floats callable replaces the fake decode and
+    its hashes flow through banding unchanged (PIL golden for the real
+    image path lives in test_model_seams)."""
+    from datamunging_spark.operators.multimodal import phash_df
+
+    def decoder(b: bytes):
+        # stand-in "decode": constant gradient regardless of bytes
+        return [float(i % 9) for i in range(72)]
+
+    df = spark.createDataFrame(
+        [(0, b"aa"), (1, b"completely different")],
+        "doc_id long, payload binary",
+    )
+    got = {r["doc_id"]: r["sh"] for r in phash_df(df, gray_decoder=decoder).collect()}
+    # same decoded grid -> identical hash for both payloads
+    assert got[0] == got[1] == _ref_gradient_hash()
+
+
+def _ref_gradient_hash():
+    grid = [float(i % 9) for i in range(72)]
+    v = 0
+    for r in range(8):
+        for c in range(8):
+            v = (v << 1) | (1 if grid[r * 9 + c] > grid[r * 9 + c + 1] else 0)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def test_ivf_topk_recall(spark, tables):
     from datamunging_spark.operators.similarity import ivf_topk
 

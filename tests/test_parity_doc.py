@@ -48,7 +48,10 @@ def test_parity_query_references_exist():
                "grouping_suite",
                # r9: bench-only from birth (gate at its 50-entry cap)
                "x1_strip_boilerplate", "x1_incremental_span",
-               "x4_lang_model"}
+               "x4_lang_model",
+               # r12: slots freed for the oracle promotions
+               # (x1_minhash_portable, x5_dsir_select)
+               "x1_url_dedup", "x5_chunk_documents"}
     # Candidate tokens: snake_case words that look like gate keys.
     mentioned = set(re.findall(r"\b[a-z][a-z0-9]*(?:_[a-z0-9]+)+\b", text))
     # Only validate tokens that *claim* to be queries: those that appear in

@@ -159,6 +159,15 @@ _JUSTIFY: dict[str, str] = {
     "x1_ingest_cycle": "same plan as x1_incremental_dedup + "
     "roll-forward — same fp-table classes.",
     "x1_url_dedup": "url key rows (slim strings), ≤ docs.",
+    "x1_minhash_portable": "banded md5-signature equi-join: rows = "
+    "docs × bands, slim 32-hex strings (2× the xxhash64 tier's "
+    "bytes/slot — the documented portable-mode cost); text never "
+    "shuffles, same fp-table class as x1_simhash.",
+    "x3_phash_neardup": "banded 8-byte dHash equi-join (simhash_pairs "
+    "machinery): rows = docs × 16 bands of (id, chunk) pairs; the "
+    "binary payload column stays inside its scan tasks "
+    "(plan-asserted in tests) — the multimodal 'fp tables move, "
+    "media doesn't' shape.",
     "x4_gopher_gates": "(doc, line/gram) postings aggregates: per-doc "
     "distinct-gram counting is deliberately relational (docstring: "
     "the never-quadratic shape; a per-row HOF loop would be O(g²)); "
