@@ -1439,19 +1439,48 @@ def q_x5_dsir_select(spark, sf_dir):
 
 
 def q_x5_token_budget(spark, sf_dir):
-    """X5 token-budget prefix (oracle-paired): first docs by id until the
-    running token sum reaches 100k. The Spark side is the two-pass
-    distributed prefix sum (trainset.take_token_budget — range partition +
-    per-partition offsets, never a single-task global window); the DuckDB
-    oracle is the semantically-identical single-node window prefix sum, so
-    the pair proves the distributed scan computes the exact same prefix."""
+    """X5 token-budget prefix (oracle-paired; TWO counting tiers since
+    r12): first docs by id until the running token sum reaches 100k,
+    once with the cheap JVM regex estimate and once with TRUE byte-level
+    BPE counts from the committed 267-merge fixture
+    (``token_counter=bpe_token_counter(...)`` — the r11 real-tokenizer
+    seam, now oracle-guarded rather than pytest-only). The Spark side is
+    the two-pass distributed prefix sum either way; the DuckDB oracle
+    re-derives BOTH tiers independently — the regex tier as a window
+    prefix sum, the BPE tier by re-running the ENTIRE encoder in SQL
+    (see ``_bpe_oracle_sql``)."""
     from datamunging_spark.functions import token_count
+    from datamunging_spark.operators.bpe import (
+        bpe_token_counter,
+        load_fixture_merges,
+    )
     from datamunging_spark.operators.trainset import take_token_budget
 
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", token_count("text").cast("long").alias("n_tokens")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    regex = take_token_budget(
+        d.select(
+            "doc_id",
+            "source",
+            token_count("text").cast("long").alias("n_tokens"),
+        ),
+        100_000,
+        order_cols=["doc_id"],
+    ).select(
+        F.lit("regex").alias("branch"), "doc_id", "source", "n_tokens"
     )
-    return take_token_budget(d, 100_000, order_cols=["doc_id"])
+    # 75k, not the regex tier's 100k: the sf0.01 BPE total is ~96k, so
+    # 100k would never cut — the smaller budget makes the prefix
+    # BOUNDARY part of the hash-checked surface at the gate sf
+    counter = bpe_token_counter(spark, load_fixture_merges())
+    bpe = take_token_budget(
+        d, 75_000, order_cols=["doc_id"], token_counter=counter
+    ).select(
+        F.lit("bpe").alias("branch"),
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+    return regex.unionByName(bpe)
 
 
 def q_x1_paragraph_dedup(spark, sf_dir):
@@ -2785,6 +2814,120 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+
+def _bpe_oracle_sql() -> str:
+    """The x5_token_budget oracle, built at call time: regex tier as a
+    plain window prefix sum; BPE tier re-derived ENTIRELY in DuckDB —
+    the byte-to-unicode map and the committed 267-merge fixture embedded
+    as constant VALUES tables (the stopword/lexicon precedent: published
+    constants, not expected outputs), the GPT-2 pretokenizer as an RE2
+    regex, and the greedy merge loop as a recursive CTE. Each recursive
+    step applies ONE left-to-right replace pass of the current
+    lowest-rank adjacent pair (units bracketed by \\x1f, a byte whose
+    b2u image is non-ASCII, so the separator can never collide with
+    unit text); convergence to bpe_apply's merge-ALL-occurrences loop
+    holds because a merges list produced by training ranks any pair
+    involving a merged token AFTER the merge that created it, so
+    re-picking the min rank between passes never reorders merges.
+    Prototype match: all 500 sf0.01 docs equal the driver-side
+    bpe_encode reference."""
+    from datamunging_spark.operators.bpe import (
+        bytes_to_unicode,
+        load_fixture_merges,
+    )
+
+    def esc(v: str) -> str:
+        return v.replace("'", "''")
+
+    sep = "\x1f"
+    b2u_rows = ",".join(
+        f"({b},'{esc(ch)}')" for b, ch in bytes_to_unicode().items()
+    )
+    merge_rows = ",".join(
+        f"('{esc(a)}','{esc(b)}',{r})"
+        for r, (a, b) in enumerate(load_fixture_merges())
+    )
+    # RE2 rendering of bpe.PRETOK_PATTERN ([^\\W\\d_] == \\p{L};
+    # [^\\s\\w] == [^\\s\\p{L}\\p{N}_]); leading quote doubled for SQL
+    pretok = (
+        "'" + "''s|''t|''re|''ve|''m|''ll|''d"
+        + r"| ?\p{L}+| ?\p{N}+| ?(?:_|[^\s\p{L}\p{N}_])+|\s+" + "'"
+    )
+    pair = f"'{sep}' || m.a || '{sep}' || m.b || '{sep}'"
+    pair2 = f"'{sep}' || m2.a || '{sep}' || m2.b || '{sep}'"
+    return f"""
+        WITH RECURSIVE b2u(byte, ch) AS (VALUES {b2u_rows}),
+        mg(a, b, rank) AS (VALUES {merge_rows}),
+        pretoks AS (
+          SELECT doc_id, source,
+                 unnest(regexp_extract_all(text, {pretok})) AS pt
+          FROM documents
+        ),
+        distinct_pt AS (SELECT DISTINCT pt FROM pretoks),
+        pt_idx AS (
+          SELECT pt, unnest(range(octet_length(encode(pt)))) AS i
+          FROM distinct_pt
+        ),
+        pt_bytes AS (
+          SELECT pt, i,
+                 (SELECT ch FROM b2u WHERE byte =
+                    (strpos('0123456789abcdef', substr(lower(hex(encode(pt))), CAST(2*i + 1 AS INT), 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(lower(hex(encode(pt))), CAST(2*i + 2 AS INT), 1)) - 1)
+                 ) AS ch
+          FROM pt_idx
+        ),
+        init AS (
+          SELECT pt, '{sep}' || string_agg(ch, '{sep}' ORDER BY i) || '{sep}' AS s
+          FROM pt_bytes GROUP BY pt
+        ),
+        steps AS (
+          SELECT pt, s FROM init
+          UNION ALL
+          SELECT st.pt,
+                 replace(st.s, {pair}, '{sep}' || m.a || m.b || '{sep}') AS s
+          FROM steps st
+          JOIN mg m
+            ON m.rank = (SELECT min(m2.rank) FROM mg m2
+                         WHERE contains(st.s, {pair2}))
+        ),
+        terminal AS (
+          SELECT pt, len(string_split(s, '{sep}')) - 2 AS n_units
+          FROM steps st
+          WHERE NOT EXISTS (SELECT 1 FROM mg m WHERE contains(st.s, {pair}))
+        ),
+        bpe_counts AS (
+          SELECT p.doc_id, any_value(p.source) AS source,
+                 CAST(sum(t.n_units) AS BIGINT) AS n_tokens
+          FROM pretoks p JOIN terminal t ON p.pt = t.pt
+          GROUP BY p.doc_id
+        ),
+        bpe_run AS (
+          SELECT doc_id, source, n_tokens,
+                 sum(greatest(n_tokens, 0))
+                   OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS run
+          FROM bpe_counts
+        ),
+        rx AS (
+          SELECT doc_id, source,
+                 CASE WHEN text IS NULL THEN -1
+                      ELSE len(string_split(text, ' ')) END AS n_tokens
+          FROM documents
+        ),
+        rx_run AS (
+          SELECT doc_id, source, n_tokens,
+                 sum(greatest(n_tokens, 0))
+                   OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS run
+          FROM rx
+        )
+        SELECT 'regex' AS branch, doc_id, source,
+               CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM rx_run WHERE run <= 100000
+        UNION ALL
+        SELECT 'bpe' AS branch, doc_id, source, n_tokens
+        FROM bpe_run WHERE run <= 75000
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     pct_list = "[0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9,0.95,0.99]"
     labels = ["10th", "20th", "30th", "40th", "50th", "60th",
@@ -3133,21 +3276,7 @@ def oracle_sql() -> dict[str, str]:
                    true AS bin_sum_ok
             FROM documents
         """,
-        "x5_token_budget": """
-            WITH d AS (
-              SELECT doc_id, source,
-                     CASE WHEN text IS NULL THEN -1
-                          ELSE len(string_split(text, ' ')) END AS n_tokens
-              FROM documents
-            ), s AS (
-              SELECT doc_id, source, n_tokens,
-                     sum(greatest(n_tokens, 0))
-                       OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS run
-              FROM d
-            )
-            SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
-            FROM s WHERE run <= 100000
-        """,
+        "x5_token_budget": _bpe_oracle_sql(),
         "x1_paragraph_dedup": """
             WITH paras AS (
               SELECT doc_id,
