@@ -968,19 +968,29 @@ def q_x3_phash_neardup(spark, sf_dir):
     decode here), then the SimHash bit-band equi-join (pigeonhole-exact
     recall at hamming <= bands-1) and min-id CC survivor selection —
     the multimodal dedup leg: only (id, 8-byte hash) rows ever shuffle,
-    payload bytes stay in their scan tasks. Runs at hamming <= 15 /
-    16 bands — the LOOSE band, because the container's fake decode
-    (byte-bucket means over text-derived payloads) drifts more per
-    edit than a real resize decode (text near-dups here land at
-    hamming 11-15; 27 pairs at sf0.01), so the tight published band
-    (<=3-10) would make the CC stage vacuous at the bench. The tight
-    band + planted-case reference values are pinned in
-    tests/test_extensions.py; payload-never-shuffles plan-asserted
-    there."""
+    payload bytes stay in their scan tasks. Runs at the TIGHT published
+    band (hamming <= 3, 4 bands = SELECTIVE 16-bit band keys — a wider
+    band would shrink keys to 4 bits and degenerate the equi-join
+    toward all-pairs, the r12 review catch). Because the fake decode's
+    byte-bucket means drift more per text edit than a real resize
+    decode, near-dups are PLANTED the way real image near-dups behave:
+    every 10th doc re-enters with two in-place byte edits (JVM
+    ``overlay`` — no length change, so bucket boundaries hold), which
+    the tight band must recover and CC must fold back onto the
+    originals."""
     from datamunging_spark.operators.multimodal import phash_dedup
 
-    d = attach_binary_payload(_t(spark, sf_dir, "documents"))
-    return phash_dedup(d, max_hamming=15, bands=16).select(
+    d = _t(spark, sf_dir, "documents")
+    near = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+        .withColumn(
+            "text",
+            F.overlay(F.overlay("text", F.lit("Q"), 5), F.lit("Z"), 40),
+        )
+    )
+    corpus = attach_binary_payload(d.unionByName(near))
+    return phash_dedup(corpus, max_hamming=3, bands=4).select(
         "doc_id", "source"
     )
 
@@ -1415,14 +1425,18 @@ def q_x5_dsir_select(spark, sf_dir):
     The scoring is md5-portable by construction (hex-prefix buckets,
     7-decimal fits, decimal(28,7) sums, md5-derived Gumbel noise), so
     the DuckDB oracle re-derives the ENTIRE composite in SQL.
-    Values are emitted UNROUNDED: dsir_logw is the same exact decimal
-    cast to double in both engines (magnitudes << 2^53/1e7, so both
-    casts are the identical correctly-rounded double) and gumbel_key
-    differs across engines only by libm-ln ulps — both far inside the
-    driver's %.9g float canonicalization; a round() here would ADD
-    divergence risk (decimal sums sit exactly on the rounding grid,
-    where Spark's HALF_UP-on-shortest-repr and DuckDB's C-round can
-    legitimately disagree)."""
+    dsir_logw is emitted UNROUNDED: it is the same exact decimal cast
+    to double in both engines (magnitudes << 2^53/1e7, so both casts
+    are the identical correctly-rounded double), and a round() would
+    ADD divergence risk — decimal sums sit exactly on the rounding
+    grid, where Spark's HALF_UP-on-shortest-repr and DuckDB's C-round
+    can legitimately disagree. gumbel_key is the opposite case (r12
+    review): a CONTINUOUS double that differs across engines by
+    libm-ln ulps, so unrounded values risk straddling a %.9g
+    canonicalization boundary (~1e-6/value); rounding it to 7 decimals
+    — far off the decimal grid for a transcendental — collapses both
+    engines onto the same value except within ~1e-14 of a grid
+    midpoint."""
     from datamunging_spark.operators.selection import dsir_select
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
@@ -1434,7 +1448,7 @@ def q_x5_dsir_select(spark, sf_dir):
         "doc_id",
         "n_features",
         "dsir_logw",
-        F.col("_gumbel_key").alias("gumbel_key"),
+        F.round("_gumbel_key", 7).alias("gumbel_key"),
     )
 
 
@@ -2895,15 +2909,23 @@ def _bpe_oracle_sql() -> str:
           FROM steps st
           WHERE NOT EXISTS (SELECT 1 FROM mg m WHERE contains(st.s, {pair}))
         ),
-        bpe_counts AS (
-          SELECT p.doc_id, any_value(p.source) AS source,
-                 CAST(sum(t.n_units) AS BIGINT) AS n_tokens
+        pt_sums AS (
+          SELECT p.doc_id, CAST(sum(t.n_units) AS BIGINT) AS n
           FROM pretoks p JOIN terminal t ON p.pt = t.pt
           GROUP BY p.doc_id
         ),
+        bpe_counts AS (
+          -- LEFT from documents so pretoken-less docs don't vanish
+          -- (the Spark side keeps them): NULL text -> NULL count
+          -- (counter contract), empty text -> 0 (r12 review catch)
+          SELECT d.doc_id, d.source,
+                 CASE WHEN d.text IS NULL THEN NULL
+                      ELSE coalesce(ps.n, 0) END AS n_tokens
+          FROM documents d LEFT JOIN pt_sums ps ON d.doc_id = ps.doc_id
+        ),
         bpe_run AS (
           SELECT doc_id, source, n_tokens,
-                 sum(greatest(n_tokens, 0))
+                 sum(greatest(coalesce(n_tokens, 0), 0))
                    OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS run
           FROM bpe_counts
         ),
@@ -2926,6 +2948,41 @@ def _bpe_oracle_sql() -> str:
         SELECT 'bpe' AS branch, doc_id, source, n_tokens
         FROM bpe_run WHERE run <= 75000
     """
+
+
+
+#: Shared CTE prefix of the two portable-MinHash oracle rows
+#: (x1_minhash_portable pairs, x1_minhash_dedup CC survivors) — ONE
+#: definition of the md5 signature pipeline (normalize, 3-gram
+#: shingles, 64 per-seed lexicographic mins, 16 band keys, candidate
+#: pairs) so the gate rows can never silently desynchronize
+#: (r12 review catch).
+_MINHASH_MD5_CTES = """toks AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(toks) - 2, 1) + 1),
+                       i -> array_to_string(toks[i:i+2], ' ')))) AS sh
+              FROM toks
+            ), h AS (
+              SELECT doc_id, md5(sh) AS h FROM g
+            ), slots AS (
+              SELECT doc_id, s.seed AS seed,
+                     min(md5(CAST(s.seed AS VARCHAR) || '|' || h.h)) AS m
+              FROM h CROSS JOIN range(64) s(seed)
+              GROUP BY doc_id, s.seed
+            ), sigs AS (
+              SELECT doc_id, list(m ORDER BY seed) AS sig FROM slots GROUP BY doc_id
+            ), bands AS (
+              SELECT doc_id, b.b AS b,
+                     md5(array_to_string(sig[b.b*4+1 : b.b*4+4], ',')) AS k
+              FROM sigs CROSS JOIN range(16) b(b)
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3354,7 +3411,8 @@ def oracle_sql() -> dict[str, str]:
                         + 1.0) / 4294967298.0))) AS gumbel_key
               FROM scores
             )
-            SELECT doc_id, n_features, dsir_logw, gumbel_key
+            SELECT doc_id, n_features, dsir_logw,
+                   round(gumbel_key, 7) AS gumbel_key
             FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 200
         """,
         "x4_text_suite": f"""
@@ -3672,33 +3730,8 @@ def oracle_sql() -> dict[str, str]:
               WHERE p.vec_id % 25 = 0 AND p.vec_id != c.vec_id
             ) WHERE cosine >= 0.35
         """,
-        "x1_minhash_dedup": """
-            WITH RECURSIVE toks AS (
-              SELECT doc_id,
-                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
-              FROM documents
-            ), g AS (
-              SELECT doc_id, unnest(list_distinct(list_transform(
-                       range(1, greatest(len(toks) - 2, 1) + 1),
-                       i -> array_to_string(toks[i:i+2], ' ')))) AS sh
-              FROM toks
-            ), h AS (
-              SELECT doc_id, md5(sh) AS h FROM g
-            ), slots AS (
-              SELECT doc_id, s.seed AS seed,
-                     min(md5(CAST(s.seed AS VARCHAR) || '|' || h.h)) AS m
-              FROM h CROSS JOIN range(64) s(seed)
-              GROUP BY doc_id, s.seed
-            ), sigs AS (
-              SELECT doc_id, list(m ORDER BY seed) AS sig FROM slots GROUP BY doc_id
-            ), bands AS (
-              SELECT doc_id, b.b AS b,
-                     md5(array_to_string(sig[b.b*4+1 : b.b*4+4], ',')) AS k
-              FROM sigs CROSS JOIN range(16) b(b)
-            ), pairs AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a JOIN bands b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
-            ), matched AS (
+        "x1_minhash_dedup": f"""
+            WITH RECURSIVE {_MINHASH_MD5_CTES}, matched AS (
               SELECT p.id_a, p.id_b
               FROM pairs p
               JOIN sigs sa ON sa.doc_id = p.id_a
@@ -3717,33 +3750,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             WHERE d.doc_id NOT IN (SELECT DISTINCT u FROM reach WHERE v < u)
         """,
-        "x1_minhash_portable": """
-            WITH toks AS (
-              SELECT doc_id,
-                     string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
-              FROM documents
-            ), g AS (
-              SELECT doc_id, unnest(list_distinct(list_transform(
-                       range(1, greatest(len(toks) - 2, 1) + 1),
-                       i -> array_to_string(toks[i:i+2], ' ')))) AS sh
-              FROM toks
-            ), h AS (
-              SELECT doc_id, md5(sh) AS h FROM g
-            ), slots AS (
-              SELECT doc_id, s.seed AS seed,
-                     min(md5(CAST(s.seed AS VARCHAR) || '|' || h.h)) AS m
-              FROM h CROSS JOIN range(64) s(seed)
-              GROUP BY doc_id, s.seed
-            ), sigs AS (
-              SELECT doc_id, list(m ORDER BY seed) AS sig FROM slots GROUP BY doc_id
-            ), bands AS (
-              SELECT doc_id, b.b AS b,
-                     md5(array_to_string(sig[b.b*4+1 : b.b*4+4], ',')) AS k
-              FROM sigs CROSS JOIN range(16) b(b)
-            ), pairs AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a JOIN bands b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
-            )
+        "x1_minhash_portable": f"""
+            WITH {_MINHASH_MD5_CTES}
             SELECT p.id_a, p.id_b,
                    round(CAST(len(list_intersect(sa.sig, sb.sig)) AS DOUBLE) / 64, 6) AS sig_jaccard
             FROM pairs p

@@ -218,14 +218,6 @@ def sample_frames(
     return src.mapInPandas(run, FRAME_SCHEMA)
 
 
-PHASH_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("sh", LongType()),  # simhash_pairs' signature column
-    ]
-)
-
-
 def phash_df(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -263,6 +255,12 @@ def phash_df(
     import pandas as pd
 
     src = df.select(id_col, payload_col)
+    # schema carries the CALLER's id column (name AND type) — a
+    # hardcoded doc_id/Long schema would break phash_pairs/phash_dedup
+    # for any other id column (r12 review catch)
+    schema = StructType(
+        [src.schema[id_col], StructField("sh", LongType())]
+    )
 
     def dhash64(grid72):
         g = np.asarray(grid72, dtype=np.float64).reshape(8, 9)
@@ -301,10 +299,10 @@ def phash_df(
                 )
                 hashes.append(dhash64(grid))
             yield pd.DataFrame(
-                {"doc_id": pdf[id_col], "sh": pd.Series(hashes, dtype="int64")}
+                {id_col: pdf[id_col], "sh": pd.Series(hashes, dtype="int64")}
             )
 
-    return src.mapInPandas(run, PHASH_SCHEMA)
+    return src.mapInPandas(run, schema)
 
 
 def phash_pairs(
