@@ -459,9 +459,15 @@ def minhash_signatures_df(
     lowercase 32-hex md5 strings, byte-reproducible in any engine with
     an md5() (the ``bernoulli_sample_portable`` / DSIR md5 discipline
     applied to MinHash). Slot quality is the same (md5 uniform per
-    seed); cost is ~2× the signature bytes (32-char strings vs longs)
-    and md5 throughput below xxhash64's — use it for cross-engine
-    verification and reproducible-corpus contracts, not the hot path.
+    seed). Cost, MEASURED at sf0.1 (5k docs, local[32], warm): the
+    signature aggregate walls are equal (~0.9-1.0 s both tiers — the
+    explode+agg machinery dominates, both hashes are JVM-codegen'd)
+    and the pair plans are within noise (3.9 vs 4.2 s); the real
+    price is WIDTH — 32-char string slots vs 8-byte longs, ~4× the
+    signature/band-key bytes crossing the shuffle and sitting in the
+    persisted snapshot, which is what matters at 100 TB. Use the
+    default for throughput-critical snapshots, portable for
+    cross-engine verification and reproducible-corpus contracts.
     Per-seed min-hashes stay INDEPENDENT draws because the seed is
     hashed INTO md5, not appended to its output.
     """

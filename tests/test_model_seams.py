@@ -160,6 +160,65 @@ def test_image_codec_pil_golden(spark):
     assert feats == {0: (3, 5), 1: (16, 9), 2: (1, 1)}
 
 
+def _png_gray_decoder(b):
+    """Production gray_decoder for phash_df: decode, resize to the
+    dHash 9x8 grid, grayscale — module-level so Spark can pickle it."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(b)) as im:
+        g = im.convert("L").resize((9, 8))
+        return [float(v) for v in g.getdata()]
+
+
+def test_phash_pil_golden(spark):
+    """Model path: with PIL installed, phash_df(gray_decoder=...) runs a
+    REAL decode-resize-grayscale pipeline through the same Arrow pass;
+    a solid image and its copy hash identically (hamming 0), a solid
+    image of another shade with one corner block altered stays within a
+    few bits of its unaltered original, and a gradient image is far
+    from both — the actual perceptual property on actual pixels."""
+    import io
+
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    def png(im):
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        return buf.getvalue()
+
+    grad = Image.new("L", (64, 64))
+    grad.putdata([(x * 4) % 256 for y in range(64) for x in range(64)])
+    base = Image.new("L", (64, 64))
+    base.putdata([x * 2 + y for y in range(64) for x in range(64)])
+    near = base.copy()
+    for y in range(4):
+        for x in range(4):
+            near.putpixel((x, y), 255)  # one corner block edited
+    rows = [
+        (0, png(base)),
+        (1, png(base)),   # exact copy
+        (2, png(near)),   # near-dup
+        (3, png(grad)),   # different image
+    ]
+    from datamunging_spark.operators.multimodal import phash_df
+
+    d = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: r.sh
+        for r in phash_df(d, gray_decoder=_png_gray_decoder).collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert got[0] == got[1]            # copy: hamming 0
+    assert 0 < ham(got[0], got[2]) <= 6   # near-dup: few bits
+    assert ham(got[0], got[3]) > 10       # different image: far
+
+
 def test_image_codec_contract_runs_everywhere(spark):
     """Seam contract: the decoder parameter changes VALUES only — schema,
     batch shape, and NULL/empty handling are identical between the fake

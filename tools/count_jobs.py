@@ -42,6 +42,10 @@ QUERIES = [
     "x8_quantiles",
     # r11 addition (grouped sketch faces)
     "x8_grouped_sketch",
+    # r12 additions (portable minhash tier, phash dedup, two-tier budget)
+    "x1_minhash_portable",
+    "x3_phash_neardup",
+    "x5_token_budget",
 ]
 
 
