@@ -1647,17 +1647,21 @@ def q_x1_incremental_exact(spark, sf_dir):
 
 
 def q_x1_incremental_fuzzy(spark, sf_dir):
-    """X1 incremental NEAR-dedup (rows-only: MinHash band keying is
-    engine-specific, so no SQL oracle). In-query invariant
-    ``no_hist_band_match``: after the dedup, the SURVIVORS are re-banded
-    against the history signature snapshot and scored — the operator's
-    contract says no survivor has a banded history match at signature-
-    Jaccard >= threshold, so the column must be uniformly true (a false
-    cell would land in the gate's recorded sample). This checks the
-    anti-join bookkeeping deterministically; LSH *recall* is separately
-    property-tested in pytest with planted near-dups."""
+    """X1 incremental NEAR-dedup (FULL ORACLE ROW since r12, via the
+    portable md5 signature tier): docs with doc_id < 400 are the
+    already-ingested corpus, represented ONLY by their portable MinHash
+    signature snapshot; the rest is the new crawl batch, banded against
+    the snapshot (history docs never rescanned), history near-matches
+    at sig-Jaccard >= 0.5 dropped, then the intra-batch CC pass over
+    the survivors. The DuckDB oracle re-derives all of it from the
+    shared md5 signature CTEs: the history pass as a band equi-join
+    restricted to (hist, batch) pairs, the intra-batch pass as the
+    recursive-CTE transitive closure over survivor-survivor pairs —
+    subsuming the former ``no_hist_band_match`` invariant (a missed
+    history match would change the hash-checked survivor set). The
+    xxhash64 snapshot tier stays benched (x1_incremental_dedup /
+    x1_ingest_cycle) and planted-recall/bloom-pytest covered."""
     from datamunging_spark.operators.dedup import (
-        _band_rows,
         incremental_minhash_dedup,
         minhash_signatures_df,
     )
@@ -1665,45 +1669,10 @@ def q_x1_incremental_fuzzy(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
     hist = d.filter(F.col("doc_id") < 400)
     batch = d.filter(F.col("doc_id") >= 400)
-    hist_sig = minhash_signatures_df(hist).localCheckpoint()
-    out = incremental_minhash_dedup(
-        batch, hist_sig, threshold=0.5
-    ).localCheckpoint()
-    surv_sig = minhash_signatures_df(out)
-    sb = _band_rows(surv_sig, "doc_id", 64, 16).select(
-        F.col("doc_id").alias("_sid"), "_b", "_k"
-    )
-    hb = _band_rows(hist_sig, "doc_id", 64, 16).select(
-        F.col("doc_id").alias("_hid"), "_b", "_k"
-    )
-    matched = (
-        sb.join(hb, on=["_b", "_k"])
-        .select("_sid", "_hid")
-        .dropDuplicates(["_sid", "_hid"])
-        .join(
-            surv_sig.select(
-                F.col("doc_id").alias("_sid"), F.col("_sig").alias("_sa")
-            ),
-            "_sid",
-        )
-        .join(
-            hist_sig.select(
-                F.col("doc_id").alias("_hid"), F.col("_sig").alias("_sb")
-            ),
-            "_hid",
-        )
-        .filter(
-            F.size(F.array_intersect("_sa", "_sb")) / F.lit(64.0) >= 0.5
-        )
-        .select(F.col("_sid").alias("doc_id"))
-        .distinct()
-        .withColumn("_bad", F.lit(True))
-    )
-    return out.join(matched, "doc_id", "left").select(
-        "doc_id",
-        "source",
-        F.col("_bad").isNull().alias("no_hist_band_match"),
-    )
+    hist_sig = minhash_signatures_df(hist, portable=True).localCheckpoint()
+    return incremental_minhash_dedup(
+        batch, hist_sig, threshold=0.5, portable=True
+    ).select("doc_id", "source")
 
 
 def q_x1_minhash_portable(spark, sf_dir):
@@ -3729,6 +3698,41 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings p, embeddings c
               WHERE p.vec_id % 25 = 0 AND p.vec_id != c.vec_id
             ) WHERE cosine >= 0.35
+        """,
+        "x1_incremental_fuzzy": f"""
+            WITH RECURSIVE {_MINHASH_MD5_CTES}, hist_losers AS (
+              -- history pass: batch doc near-matches any snapshot doc
+              SELECT DISTINCT p.id_b AS doc_id
+              FROM pairs p
+              JOIN sigs sa ON sa.doc_id = p.id_a
+              JOIN sigs sb ON sb.doc_id = p.id_b
+              WHERE p.id_a < 400 AND p.id_b >= 400
+                AND CAST(len(list_intersect(sa.sig, sb.sig)) AS DOUBLE) / 64 >= 0.5
+            ), batch_matched AS (
+              -- intra-batch pairs among history-pass survivors (id_a < id_b,
+              -- so id_a >= 400 implies both endpoints are batch docs)
+              SELECT p.id_a, p.id_b
+              FROM pairs p
+              JOIN sigs sa ON sa.doc_id = p.id_a
+              JOIN sigs sb ON sb.doc_id = p.id_b
+              WHERE p.id_a >= 400
+                AND p.id_a NOT IN (SELECT doc_id FROM hist_losers)
+                AND p.id_b NOT IN (SELECT doc_id FROM hist_losers)
+                AND CAST(len(list_intersect(sa.sig, sb.sig)) AS DOUBLE) / 64 >= 0.5
+            ), edges AS (
+              SELECT id_a AS u, id_b AS v FROM batch_matched
+              UNION ALL
+              SELECT id_b AS u, id_a AS v FROM batch_matched
+            ), reach AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d
+            WHERE d.doc_id >= 400
+              AND d.doc_id NOT IN (SELECT doc_id FROM hist_losers)
+              AND d.doc_id NOT IN (SELECT DISTINCT u FROM reach WHERE v < u)
         """,
         "x1_minhash_dedup": f"""
             WITH RECURSIVE {_MINHASH_MD5_CTES}, matched AS (

@@ -914,6 +914,7 @@ def incremental_minhash_dedup(
     within_batch: bool = True,
     band_bloom=None,
     band_bloom_verify: bool = True,
+    portable: bool = False,
     _return_survivor_sig: bool = False,
     **dedup_kwargs,
 ) -> DataFrame:
@@ -928,7 +929,10 @@ def incremental_minhash_dedup(
     the signatures, so the snapshot needs NO text and band layout can even
     be re-chosen later; the (num_hashes, shingle_words) pair, however,
     must match the snapshot's or signatures are incomparable — the caller
-    owns that contract.
+    owns that contract. ``portable`` must likewise match the snapshot's
+    hash family (md5 strings vs xxhash64 longs — r12 tier); THAT
+    mismatch is detectable from the snapshot schema, so it fails fast
+    here instead of silently joining nothing.
 
     Plan: sign the batch once (explode + one hash-agg), band BOTH sides
     (expression-only), equi-join history×batch on (band, key) — never a
@@ -959,8 +963,18 @@ def incremental_minhash_dedup(
     on any miss — a stale filter would silently let history near-dups
     into the batch.
     """
+    hist_portable = isinstance(
+        hist_sig.schema["_sig"].dataType.elementType, T.StringType
+    )
+    if hist_portable != portable:
+        raise ValueError(
+            f"portable={portable} but the history snapshot carries "
+            f"{'md5 string' if hist_portable else 'xxhash64 long'} "
+            "signatures — the hash families are incomparable and the "
+            "band join would silently match nothing; re-sign one side"
+        )
     new_sig = minhash_signatures_df(
-        new_df, text_col, id_col, num_hashes, shingle_words
+        new_df, text_col, id_col, num_hashes, shingle_words, portable
     ).persist()
     try:
         new_bands = _band_rows(new_sig, id_col, num_hashes, bands).select(

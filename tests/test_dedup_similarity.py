@@ -142,6 +142,28 @@ def test_minhash_portable_matches_hashlib_reference(spark):
     assert got_pairs == exp
 
 
+def test_incremental_minhash_portable_mismatch_raises(spark):
+    """r12: the portable flag must match the snapshot's hash family —
+    an xxhash64 snapshot consumed with portable=True (or vice versa)
+    would band-join NOTHING silently; the schema makes the mismatch
+    detectable, so it raises instead."""
+    from datamunging_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures_df,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "some words here"), (1, "other words there")],
+        "doc_id long, text string",
+    )
+    long_sig = minhash_signatures_df(df, num_hashes=4)
+    str_sig = minhash_signatures_df(df, num_hashes=4, portable=True)
+    with pytest.raises(ValueError, match="incomparable"):
+        incremental_minhash_dedup(df, long_sig, num_hashes=4, portable=True)
+    with pytest.raises(ValueError, match="incomparable"):
+        incremental_minhash_dedup(df, str_sig, num_hashes=4)
+
+
 def test_minhash_recall_on_near_dups(docs_with_dups):
     pairs = minhash_lsh_pairs(docs_with_dups, num_hashes=64, bands=16)
     found = {

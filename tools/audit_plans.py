@@ -164,10 +164,11 @@ _JUSTIFY: dict[str, str] = {
     "bytes/slot — the documented portable-mode cost); text never "
     "shuffles, same fp-table class as x1_simhash.",
     "x3_phash_neardup": "banded 8-byte dHash equi-join (simhash_pairs "
-    "machinery): rows = docs × 16 bands of (id, chunk) pairs; the "
-    "binary payload column stays inside its scan tasks "
-    "(plan-asserted in tests) — the multimodal 'fp tables move, "
-    "media doesn't' shape.",
+    "machinery): rows = docs × 4 bands of (id, 16-bit chunk) pairs — "
+    "SELECTIVE keys (the r12 review killed a 16-band/4-bit variant "
+    "that degenerated toward all-pairs); the binary payload column "
+    "stays inside its scan tasks (plan-asserted in tests) — the "
+    "multimodal 'fp tables move, media doesn't' shape.",
     "x4_gopher_gates": "(doc, line/gram) postings aggregates: per-doc "
     "distinct-gram counting is deliberately relational (docstring: "
     "the never-quadratic shape; a per-row HOF loop would be O(g²)); "
