@@ -995,6 +995,38 @@ def q_x3_phash_neardup(spark, sf_dir):
     )
 
 
+def q_x3_incremental_phash(spark, sf_dir):
+    """X3 incremental image ingest (bench-only, r12): docs < 400 are the
+    already-ingested media corpus, represented ONLY by their (id, 8-byte
+    dHash) snapshot — the slimmest history artifact in the incremental
+    family; the rest is the new batch, with every 10th batch doc
+    replaced by an in-place near-dup of a HISTORY payload (overlay
+    edits). One Arrow hash pass over the batch, bit-band history×batch
+    equi-join, hamming verify, intra-batch CC — history payloads never
+    rescanned, batch payloads never shuffled. Planted-case semantics
+    pinned in tests/test_extensions.py."""
+    from datamunging_spark.operators.multimodal import (
+        incremental_phash_dedup,
+        phash_df,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    hist = attach_binary_payload(d.filter(F.col("doc_id") < 400))
+    hist_sh = phash_df(hist).localCheckpoint()
+    plants = (
+        d.filter(F.col("doc_id") < 400)
+        .filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 10_000_000)
+        .withColumn("text", F.overlay("text", F.lit("Q"), 5))
+    )
+    batch = attach_binary_payload(
+        d.filter(F.col("doc_id") >= 400).unionByName(plants)
+    )
+    return incremental_phash_dedup(batch, hist_sh, max_hamming=3).select(
+        "doc_id", "source"
+    )
+
+
 def q_x1_ngram_jaccard(spark, sf_dir):
     """X1 exact n-gram Jaccard over all pairs (a < b), threshold 0.5 — the
     oracle baseline that recovers exactly the planted near-dup pairs.

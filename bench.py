@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "x5_dsir_select",
     "x1_minhash_portable",
     "x3_phash_neardup",
+    "x3_incremental_phash",
 ]
 
 

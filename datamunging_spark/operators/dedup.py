@@ -1404,6 +1404,32 @@ def simhash_df(
     return voted.select(id_col, sh.alias("sh"))
 
 
+def _simhash_band_rows(sh: DataFrame, id_col: str, bands: int) -> DataFrame:
+    """(id, _b, _k) bit-band rows from a 64-bit hash table (``sh``
+    column) — the pigeonhole banding shared by the intra-corpus
+    self-join (:func:`simhash_pairs`, and phash via its precomputed-sh
+    seam) and the incremental history-vs-batch join
+    (:func:`~datamunging_spark.operators.multimodal.incremental_phash_dedup`)."""
+    width = 64 // bands
+    chunk_mask = (1 << width) - 1 if width < 64 else -1
+    return sh.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sh"), b * width)
+                        .bitwiseAND(F.lit(chunk_mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_c"),
+    ).select(id_col, F.col("_c.band").alias("_b"), F.col("_c.key").alias("_k"))
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -1436,8 +1462,6 @@ def simhash_pairs(
             f"max_hamming={max_hamming} needs bands >= {max_hamming + 1} "
             "for the pigeonhole recall guarantee"
         )
-    width = 64 // bands
-    chunk_mask = (1 << width) - 1 if width < 64 else -1
     if _precomputed_sh is not None:
         sh = _precomputed_sh
     else:
@@ -1448,22 +1472,7 @@ def simhash_pairs(
         sh = simhash_df(
             df, text_col, id_col, 64, shingle_words
         ).localCheckpoint()
-    banded = sh.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("sh"), b * width)
-                        .bitwiseAND(F.lit(chunk_mask))
-                        .alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_c"),
-    ).select(id_col, F.col("_c.band").alias("_b"), F.col("_c.key").alias("_k"))
+    banded = _simhash_band_rows(sh, id_col, bands)
     left = banded.select(F.col(id_col).alias("id_a"), "_b", "_k")
     right = banded.select(F.col(id_col).alias("id_b"), "_b", "_k")
     cand = (

@@ -370,6 +370,109 @@ def phash_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def incremental_phash_dedup(
+    new_df: DataFrame,
+    hist_phash: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    gray_decoder=None,
+    within_batch: bool = True,
+    _return_survivor_hash: bool = False,
+):
+    """Near-dedup a NEW media batch against a PRIOR corpus represented
+    only by its dHash table — the multimodal leg of the continuous-
+    ingest family (`incremental_dedup` exact / `incremental_minhash_dedup`
+    fuzzy / span / semantic siblings): historical PAYLOADS are never
+    rescanned; the snapshot is (id, 8-byte hash) — ~KB per thousand
+    images, the slimmest snapshot in the family.
+
+    Plan: hash the batch once (one Arrow pass), bit-band BOTH sides
+    (``dedup._simhash_band_rows`` — expression-only over the snapshot,
+    so band layout can be re-chosen later), equi-join history×batch on
+    (band, chunk) — never a self-join over history — verify candidates
+    with codegen ``bit_count(xor)`` ≤ ``max_hamming`` (recall EXACT by
+    pigeonhole while ``max_hamming <= bands-1``, enforced by
+    simhash_pairs' shared validation), anti-join the matched batch ids,
+    then (default) the intra-batch :func:`phash_dedup` pass over the
+    survivors' already-computed hashes. Batch payloads cross no
+    exchange at any stage.
+
+    Roll the snapshot forward by unioning the survivors' hash rows onto
+    ``hist_phash`` — pass ``_return_survivor_hash=True`` to get them as
+    a second return value from the SAME batch hashing (no re-decode),
+    mirroring ``incremental_minhash_dedup(_return_survivor_sig=)``."""
+    from datamunging_spark.operators.dedup import (
+        _simhash_band_rows,
+        connected_component_labels,
+        simhash_pairs,
+    )
+
+    if not 1 <= bands <= 64 or 64 % bands != 0:
+        raise ValueError(f"bands must divide 64, got {bands}")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands >= {max_hamming + 1} "
+            "for the pigeonhole recall guarantee"
+        )
+    new_sh = phash_df(
+        new_df, id_col=id_col, payload_col=payload_col,
+        gray_decoder=gray_decoder,
+    ).localCheckpoint()  # feeds history banding, verify join, intra-batch
+    nb = _simhash_band_rows(new_sh, id_col, bands).select(
+        F.col(id_col).alias("_nid"), "_b", "_k"
+    )
+    hb = _simhash_band_rows(hist_phash, id_col, bands).select(
+        F.col(id_col).alias("_hid"), "_b", "_k"
+    )
+    cand = (
+        nb.join(hb, on=["_b", "_k"])
+        .select("_nid", "_hid")
+        .dropDuplicates(["_nid", "_hid"])
+    )
+    losers = (
+        cand.join(
+            new_sh.select(F.col(id_col).alias("_nid"), F.col("sh").alias("_sa")),
+            "_nid",
+        )
+        .join(
+            hist_phash.select(
+                F.col(id_col).alias("_hid"), F.col("sh").alias("_sb")
+            ),
+            "_hid",
+        )
+        .filter(
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+            <= max_hamming
+        )
+        .select(F.col("_nid").alias(id_col))
+        .distinct()
+        .localCheckpoint()
+    )
+    fresh = new_df.join(losers, on=id_col, how="left_anti")
+    if within_batch:
+        surv_sh = new_sh.join(losers, on=id_col, how="left_anti")
+        pairs = simhash_pairs(
+            fresh, id_col=id_col, max_hamming=max_hamming, bands=bands,
+            _precomputed_sh=surv_sh,
+        )
+        comp = connected_component_labels(pairs)
+        cc_losers = (
+            comp.filter(F.col("v") != F.col("component"))
+            .select(F.col("v").alias(id_col))
+            .localCheckpoint()
+        )
+        fresh = fresh.join(cc_losers, on=id_col, how="left_anti")
+    if _return_survivor_hash:
+        fresh = fresh.localCheckpoint()
+        surv = new_sh.join(
+            fresh.select(id_col), on=id_col, how="left_semi"
+        ).localCheckpoint()
+        return fresh, surv
+    return fresh
+
+
 def decode_image_stub(*_args, **_kwargs):
     """Real image decode (PIL/turbojpeg) — NOT IMPLEMENTED in this container.
 

@@ -194,6 +194,63 @@ def test_phash_payloads_never_shuffle(spark):
         assert "payload" not in frag[:200], plan
 
 
+def test_incremental_phash_dedup_against_hash_snapshot(spark):
+    """X3 continuous-ingest leg: history is ONLY its (id, 8-byte hash)
+    table; a batch near-dup of a history image is dropped, fresh images
+    survive, an intra-batch near-dup pair folds to its min id, and the
+    survivor-hash return feeds the snapshot roll-forward without
+    re-decoding. Two-batch idempotence: re-ingesting the survivors
+    against the advanced snapshot drops everything (they all match
+    themselves at hamming 0)."""
+    import random
+
+    from datamunging_spark.operators.multimodal import (
+        incremental_phash_dedup,
+        phash_df,
+    )
+
+    rng = random.Random(11)
+
+    def payload():
+        return bytes(rng.randrange(256) for _ in range(400))
+
+    def mutate(b, *offs):
+        m = bytearray(b)
+        for off in offs:
+            m[off] = (m[off] + 90) % 256
+        return bytes(m)
+
+    h0, h1 = payload(), payload()
+    hist = spark.createDataFrame(
+        [(0, h0), (1, h1)], "doc_id long, payload binary"
+    )
+    hist_sh = phash_df(hist).localCheckpoint()
+    fresh_a, fresh_b = payload(), payload()
+    batch = spark.createDataFrame(
+        [
+            (100, mutate(h0, 17)),   # near-dup of history 0 -> dropped
+            (101, fresh_a),          # fresh -> survives
+            (102, fresh_b),          # fresh -> survives (cluster min)
+            (103, mutate(fresh_b, 200)),  # intra-batch near-dup of 102
+        ],
+        "doc_id long, payload binary",
+    )
+    out, surv_sh = incremental_phash_dedup(
+        batch, hist_sh, max_hamming=3, _return_survivor_hash=True
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [101, 102]
+    assert sorted(r["doc_id"] for r in surv_sh.collect()) == [101, 102]
+    # roll forward and re-ingest the survivors: all match themselves
+    advanced = hist_sh.unionByName(surv_sh).localCheckpoint()
+    again = incremental_phash_dedup(out, advanced, max_hamming=3)
+    assert again.count() == 0
+    # guard rails shared with simhash_pairs
+    with pytest.raises(ValueError, match="pigeonhole"):
+        incremental_phash_dedup(batch, hist_sh, max_hamming=5, bands=4)
+    with pytest.raises(ValueError, match="bands"):
+        incremental_phash_dedup(batch, hist_sh, bands=7)
+
+
 def test_phash_gray_decoder_seam(spark):
     """A real codec plugs in as gray_decoder without touching the plan:
     a picklable bytes->72-floats callable replaces the fake decode and

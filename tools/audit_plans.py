@@ -169,6 +169,11 @@ _JUSTIFY: dict[str, str] = {
     "that degenerated toward all-pairs); the binary payload column "
     "stays inside its scan tasks (plan-asserted in tests) — the "
     "multimodal 'fp tables move, media doesn't' shape.",
+    "x3_incremental_phash": "history participates as its (id, 8-byte "
+    "hash) snapshot only — banded history×batch equi-join on 16-bit "
+    "chunk keys, hamming verify on the tiny candidate set, batch "
+    "payloads never shuffle; the incremental family's slimmest "
+    "snapshot.",
     "x4_gopher_gates": "(doc, line/gram) postings aggregates: per-doc "
     "distinct-gram counting is deliberately relational (docstring: "
     "the never-quadratic shape; a per-row HOF loop would be O(g²)); "
