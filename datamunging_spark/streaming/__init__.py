@@ -596,6 +596,106 @@ def streaming_ingest(
     return state["snaps"]
 
 
+def streaming_phash_ingest(
+    media_stream: DataFrame,
+    hash_snapshot: DataFrame | None = None,
+    survivors_path: str | None = None,
+    checkpoint_path: str | None = None,
+    snapshot_path: str | None = None,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    bands: int = 4,
+    gray_decoder=None,
+    keep_last: int | None = None,
+) -> DataFrame:
+    """Continuous MEDIA ingest on Structured Streaming — the multimodal
+    leg of :func:`streaming_ingest`: every micro-batch runs
+    :func:`~datamunging_spark.operators.multimodal.incremental_phash_dedup`
+    against the current dHash snapshot (so image near-dups are caught
+    ACROSS micro-batches), appends its survivors to ``survivors_path``
+    (parquet), and rolls the snapshot forward for the NEXT batch. The
+    state is (id, 8-byte hash) per ever-ingested image — the family's
+    slimmest, so unlike the exact+fuzzy+span loop it needs no delta
+    log: each fold persists the full snapshot (one slim rewrite).
+
+    Ordering matches streaming_ingest's exactly-once stance: the sink
+    append lands BEFORE the snapshot version, so a crash between the
+    two can duplicate a batch's survivors on replay but never lose them
+    — and the DEDUP state stays correct either way, because
+    re-ingesting already-folded payloads yields zero survivors
+    (hamming-0 self-match; pinned by the two-batch idempotence test).
+
+    **Restart durability**: with ``checkpoint_path`` set, committed
+    micro-batches are skipped on restart — pair it with
+    ``snapshot_path`` (a :mod:`sources.versioned` store: version =
+    batch_id + 1, overwrite-idempotent, commit-markered) so the hash
+    state advances with the commit log; on start the latest committed
+    version overrides ``hash_snapshot``. ``keep_last`` vacuums old
+    versions after each fold. Runs with ``availableNow``
+    (drain-and-stop); returns the final snapshot for external
+    persistence when ``snapshot_path`` is None (localCheckpoint-pinned
+    in that mode)."""
+    from datamunging_spark.operators.multimodal import (
+        incremental_phash_dedup,
+        phash_df,
+    )
+    from datamunging_spark.sources.versioned import (
+        read_table_version,
+        vacuum_table_versions,
+        write_table_version,
+    )
+
+    spark = media_stream.sparkSession
+    start = hash_snapshot
+    if snapshot_path is not None:
+        latest = _latest_snapshot_version(spark, snapshot_path)
+        if latest is not None:
+            start = read_table_version(spark, snapshot_path, latest)
+    state = {"snap": start}
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        snap = state["snap"]
+        if snap is None:
+            # typed empty snapshot: first fold is pure within-batch dedup
+            snap = phash_df(
+                batch_df.limit(0), id_col=id_col,
+                payload_col=payload_col, gray_decoder=gray_decoder,
+            )
+        surv, surv_sh = incremental_phash_dedup(
+            batch_df, snap,
+            max_hamming=max_hamming, bands=bands, id_col=id_col,
+            payload_col=payload_col, gray_decoder=gray_decoder,
+            _return_survivor_hash=True,
+        )
+        if survivors_path is not None:
+            surv.write.mode("append").parquet(survivors_path)
+        new_snap = snap.unionByName(surv_sh)
+        if snapshot_path is not None:
+            write_table_version(
+                new_snap, snapshot_path, int(batch_id) + 1,
+                batch_id=int(batch_id),
+            )
+            new_snap = read_table_version(
+                spark, snapshot_path, int(batch_id) + 1
+            )
+            if keep_last is not None:
+                vacuum_table_versions(spark, snapshot_path, keep_last)
+        else:
+            new_snap = new_snap.localCheckpoint()
+        state["snap"] = new_snap
+
+    writer = media_stream.writeStream.foreachBatch(_process).trigger(
+        availableNow=True
+    )
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    return state["snap"]
+
+
 def streaming_resolve(
     records_stream: DataFrame,
     history: DataFrame,

@@ -653,6 +653,78 @@ def test_streaming_ingest_rolls_snapshots_across_microbatches(spark, tmp_path):
     assert snaps.signatures.count() == 3
 
 
+def test_streaming_phash_ingest_across_microbatches_and_restart(
+    spark, tmp_path
+):
+    """X3 streaming media ingest: an image near-dup arriving in a LATER
+    micro-batch than its original is dropped via the rolled-forward
+    dHash snapshot; fresh payloads land in the sink; with snapshot_path
+    the state survives a fresh run (a later drop re-ingested against
+    the persisted store drops its cross-RUN near-dup too)."""
+    import random
+
+    from datamunging_spark.streaming import streaming_phash_ingest
+
+    rng = random.Random(23)
+
+    def payload():
+        return bytes(rng.randrange(256) for _ in range(400))
+
+    def mutate(b, off):
+        m = bytearray(b)
+        m[off] = (m[off] + 90) % 256
+        return bytes(m)
+
+    p1, p2, p3 = payload(), payload(), payload()
+    src = tmp_path / "media_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, p1), (2, p2)], "doc_id long, payload binary"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(10, mutate(p1, 33)), (11, p3)],  # 10 = near-dup of batch-1 doc
+        "doc_id long, payload binary",
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+
+    out = tmp_path / "media_survivors"
+    snap = streaming_phash_ingest(
+        stream(),
+        survivors_path=str(out),
+        checkpoint_path=str(tmp_path / "media_ckpt"),
+        snapshot_path=str(tmp_path / "media_snap"),
+    )
+    surv_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(out)).collect()
+    )
+    assert surv_ids == [1, 2, 11]  # 10 dropped against the rolled snapshot
+    assert snap.count() == 3
+    # second RUN: a new drop with a near-dup of a run-1 doc and one
+    # fresh payload — state reloads from snapshot_path (hash_snapshot
+    # argument deliberately omitted)
+    p4 = payload()
+    spark.createDataFrame(
+        [(20, mutate(p3, 7)), (21, p4)], "doc_id long, payload binary"
+    ).coalesce(1).write.parquet(str(src / "f3"))
+    snap2 = streaming_phash_ingest(
+        stream(),
+        survivors_path=str(out),
+        checkpoint_path=str(tmp_path / "media_ckpt"),
+        snapshot_path=str(tmp_path / "media_snap"),
+    )
+    surv_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(out)).collect()
+    )
+    assert surv_ids == [1, 2, 11, 21]  # 20 dropped across RUNS
+    assert snap2.count() == 4
+
+
 def test_corpus_report_counts_and_dup_rate(spark):
     """Per-source census: token sums, distinct normalized contents, and
     duplicate rate line up with hand counts; NULL text counts as one
