@@ -218,6 +218,42 @@ def sample_frames(
     return src.mapInPandas(run, FRAME_SCHEMA)
 
 
+def _dhash64(grid72) -> int:
+    """64-bit dHash of a 9×8 row-major grayscale grid: one bit per
+    horizontally-adjacent pixel pair (left > right), MSB-first, packed
+    as a SIGNED value for LongType. Module-level: shared by the Arrow
+    batch loop and the driver-side property tests."""
+    import numpy as np
+
+    g = np.asarray(grid72, dtype=np.float64).reshape(8, 9)
+    bits = (g[:, :8] > g[:, 1:]).ravel()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _fake_gray72(b: bytes):
+    """Deterministic fake decode: the byte stream bucketed into 72 equal
+    spans, bucket means as 'pixels'. Each byte belongs to EXACTLY ONE
+    span, so a single in-place substitution moves one bucket mean and
+    can flip at most its two adjacent comparisons — ≤ 2 dHash bits, the
+    property the hypothesis test pins."""
+    import numpy as np
+
+    n = len(b)
+    if n == 0:
+        return np.zeros(72)
+    a = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
+    bounds = (np.arange(73) * n) // 72
+    sums = np.add.reduceat(a, np.minimum(bounds[:-1], n - 1))
+    widths = np.diff(bounds)
+    out = np.zeros(72)
+    nz = widths > 0
+    out[nz] = sums[nz] / widths[nz]
+    return out
+
+
 def phash_df(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -251,7 +287,6 @@ def phash_df(
     payloads hash to 0 (all-equal pixels) and dedup among themselves,
     the exact_dedup NULL-contract analog.
     """
-    import numpy as np
     import pandas as pd
 
     src = df.select(id_col, payload_col)
@@ -262,42 +297,17 @@ def phash_df(
         [src.schema[id_col], StructField("sh", LongType())]
     )
 
-    def dhash64(grid72):
-        g = np.asarray(grid72, dtype=np.float64).reshape(8, 9)
-        bits = (g[:, :8] > g[:, 1:]).ravel()
-        # pack MSB-first into a SIGNED 64-bit value for LongType
-        v = 0
-        for b in bits:
-            v = (v << 1) | int(b)
-        return v - (1 << 64) if v >= (1 << 63) else v
-
-    def fake_gray(b):
-        n = len(b)
-        if n == 0:
-            return np.zeros(72)
-        a = np.frombuffer(b, dtype=np.uint8).astype(np.float64)
-        # 72 equal byte spans; span i = [floor(i*n/72), floor((i+1)*n/72))
-        bounds = (np.arange(73) * n) // 72
-        sums = np.add.reduceat(
-            a, np.minimum(bounds[:-1], n - 1)
-        )
-        widths = np.diff(bounds)
-        out = np.zeros(72)
-        nz = widths > 0
-        out[nz] = sums[nz] / widths[nz]
-        return out
-
     def run(batches):
         for pdf in batches:
             hashes = []
             for b in pdf[payload_col]:
                 raw = bytes(b) if b is not None else b""
                 grid = (
-                    fake_gray(raw)
+                    _fake_gray72(raw)
                     if gray_decoder is None
                     else gray_decoder(raw)
                 )
-                hashes.append(dhash64(grid))
+                hashes.append(_dhash64(grid))
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "sh": pd.Series(hashes, dtype="int64")}
             )

@@ -499,3 +499,31 @@ def test_bpe_encode_decode_identity(text):
     merges, ranks, vocab = _bpe_fixture()
     ids = bpe_encode_ids(text, ranks, vocab)
     assert bpe_decode_ids(ids, merges) == text
+
+
+@given(
+    st.binary(min_size=1, max_size=600),
+    st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_phash_single_byte_edit_bounded(payload, data):
+    """X3 dHash locality guarantee: ONE in-place byte substitution moves
+    exactly one of the 72 bucket means (the spans partition the byte
+    stream), which participates in at most its two adjacent row-local
+    comparisons — so the Hamming distance is PROVABLY ≤ 2, the bound
+    that makes planted in-place near-dups land inside the tight
+    (hamming ≤ 3) band. Also pins determinism (same payload → same
+    hash) on arbitrary bytes."""
+    from datamunging_spark.operators.multimodal import (
+        _dhash64,
+        _fake_gray72,
+    )
+
+    h = _dhash64(_fake_gray72(payload))
+    assert h == _dhash64(_fake_gray72(payload))  # deterministic
+    off = data.draw(st.integers(0, len(payload) - 1))
+    delta = data.draw(st.integers(1, 255))
+    m = bytearray(payload)
+    m[off] = (m[off] + delta) % 256
+    h2 = _dhash64(_fake_gray72(bytes(m)))
+    assert bin((h ^ h2) & ((1 << 64) - 1)).count("1") <= 2
