@@ -120,7 +120,10 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 4)
+        # 2 decimals (10 ms) on the contract line: 68 entries at 4
+        # decimals broke the driver's ~2000-char tail capture in r12;
+        # full precision lives in BENCH_DETAIL.json's spread
+        timings[name] = round(statistics.median(samples), 2)
         spread[name] = [round(min(samples), 4), round(max(samples), 4)]
 
     total = round(sum(timings.values()), 4)

@@ -10,7 +10,8 @@
   sketch      — Misra-Gries heavy hitters (bounded-shuffle frequent items)
   similarity  — brute-force & LSH top-k vector search (X2)
   quality     — rule→invalid-rows validation reports (README.md:126-132 shape)
-  multimodal  — binary payload columns + mapInPandas feature/resize (X3)
+  multimodal  — binary payload columns + mapInPandas feature/resize,
+                dHash image near-dup + incremental ingest (X3)
   pipeline    — end-to-end corpus curation (quality gates → dedup)
   trainset    — decontamination, source mixing, training shuffle (X5)
   bpe         — byte-level BPE tokenize/count/train (X5 real-token tier)

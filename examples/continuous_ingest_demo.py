@@ -239,6 +239,42 @@ def main() -> None:
         f"p50={qrep[0.5].value} p99={qrep[0.99].value} "
         f"(±{qrep[0.5].max_rank_err} ranks of {qrep[0.5].n_total})"
     )
+    # -- streaming MEDIA ingest (r12): image near-dups caught across
+    # micro-batches against the rolled-forward dHash snapshot (history
+    # participates as (id, 8 bytes)/image — payloads never rescanned)
+    from datamunging_spark.streaming import streaming_phash_ingest
+
+    media_src = f"{workdir}/media_src"
+    os.makedirs(media_src, exist_ok=True)
+    base_img = bytes((7 * i) % 256 for i in range(400))
+    drop1 = [(1, base_img), (2, bytes(reversed(base_img)))]
+    near = bytearray(base_img)
+    near[13] = (near[13] + 90) % 256  # in-place edit: a re-encoded copy
+    drop2 = [(10, bytes(near)), (11, bytes((11 * i) % 256 for i in range(400)))]
+    for n, rows in (("d1", drop1), ("d2", drop2)):
+        spark.createDataFrame(
+            rows, "doc_id long, payload binary"
+        ).coalesce(1).write.parquet(f"{media_src}/{n}")
+    media_stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(media_src + "/*")
+    )
+    snap = streaming_phash_ingest(
+        media_stream,
+        survivors_path=f"{workdir}/media_survivors",
+        checkpoint_path=f"{workdir}/media_ckpt",
+        snapshot_path=f"{workdir}/media_snap",
+    )
+    kept = sorted(
+        r.doc_id
+        for r in spark.read.parquet(f"{workdir}/media_survivors").collect()
+    )
+    print(
+        f"streaming media ingest: {kept} kept of 4 "
+        f"(cross-batch image near-dup folded); hash snapshot rows: "
+        f"{snap.count()}"
+    )
     print(f"done; state under {workdir}")
     spark.stop()
 
