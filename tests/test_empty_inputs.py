@@ -294,3 +294,30 @@ def test_history_extensions_on_empty(spark):
         stepped, snap.limit(0), ["id"], ["attr"], 2
     ).count() == 1
     assert scd2_validate(dim, ["id"]).count() == 0
+
+
+def test_phash_family_on_empty(spark):
+    """r12 X3 dedup leg: empty media frames flow through hash, pairs,
+    dedup and the incremental face (both sides empty, and an empty
+    BATCH against a real snapshot) without crashing."""
+    from datamunging_spark.operators.multimodal import (
+        incremental_phash_dedup,
+        phash_dedup,
+        phash_df,
+        phash_pairs,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, payload binary")
+    assert phash_df(empty).count() == 0
+    assert phash_pairs(empty).count() == 0
+    assert phash_dedup(empty).count() == 0
+    empty_sh = phash_df(empty)
+    assert incremental_phash_dedup(empty, empty_sh).count() == 0
+    real = spark.createDataFrame(
+        [(1, b"some payload bytes")], "doc_id long, payload binary"
+    )
+    real_sh = phash_df(real).localCheckpoint()
+    # empty batch vs real history: nothing in, nothing out
+    assert incremental_phash_dedup(empty, real_sh).count() == 0
+    # real batch vs empty history: pure within-batch pass
+    assert incremental_phash_dedup(real, empty_sh).count() == 1
