@@ -380,6 +380,37 @@ def phash_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def phash_clusters(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    gray_decoder=None,
+) -> DataFrame:
+    """Label every payload with its image near-dup cluster id (the
+    cluster's min id) instead of dropping losers — the analysis-side
+    counterpart of :func:`phash_dedup` (the
+    ``dedup.minhash_clusters`` convention): duplicate-density reports,
+    survivor auditing, choosing per-cluster representatives by a custom
+    rule (e.g. highest resolution once real decoders are plugged in).
+    Payloads with no near-dup are their own singleton cluster."""
+    from datamunging_spark.operators.dedup import (
+        connected_component_labels,
+    )
+
+    pairs = phash_pairs(
+        df, max_hamming=max_hamming, bands=bands, id_col=id_col,
+        payload_col=payload_col, gray_decoder=gray_decoder,
+    )
+    comp = connected_component_labels(pairs).localCheckpoint()
+    return df.join(
+        comp.withColumnRenamed("v", id_col), on=id_col, how="left"
+    ).withColumn(
+        "cluster_id", F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("component")
+
+
 def incremental_phash_dedup(
     new_df: DataFrame,
     hist_phash: DataFrame,

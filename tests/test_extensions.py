@@ -169,6 +169,15 @@ def test_phash_neardup_planted_and_reference(spark):
     )
     assert survivors == [0, 2, 4]  # min id per cluster {0,1,3},{2},{4,5}
 
+    # analysis face: same clusters as labels, singletons for loners
+    from datamunging_spark.operators.multimodal import phash_clusters
+
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in phash_clusters(df, max_hamming=3).collect()
+    }
+    assert labels == {0: 0, 1: 0, 3: 0, 2: 2, 4: 4, 5: 4}
+
 
 def test_phash_payloads_never_shuffle(spark):
     """The corpus-sized payload column must stay inside its scan tasks:
