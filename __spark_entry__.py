@@ -999,9 +999,9 @@ def q_x3_incremental_phash(spark, sf_dir):
     """X3 incremental image ingest (bench-only, r12): docs < 400 are the
     already-ingested media corpus, represented ONLY by their (id, 8-byte
     dHash) snapshot — the slimmest history artifact in the incremental
-    family; the rest is the new batch, with every 10th batch doc
-    replaced by an in-place near-dup of a HISTORY payload (overlay
-    edits). One Arrow hash pass over the batch, bit-band history×batch
+    family; the new batch is the remaining docs PLUS near-dups of every
+    10th history doc appended to it (in-place overlay edits, re-keyed
+    +10M). One Arrow hash pass over the batch, bit-band history×batch
     equi-join, hamming verify, intra-batch CC — history payloads never
     rescanned, batch payloads never shuffled. Planted-case semantics
     pinned in tests/test_extensions.py."""

@@ -631,11 +631,18 @@ def streaming_phash_ingest(
     ``snapshot_path`` (a :mod:`sources.versioned` store: version =
     batch_id + 1, overwrite-idempotent, commit-markered) so the hash
     state advances with the commit log; on start the latest committed
-    version overrides ``hash_snapshot``. ``keep_last`` vacuums old
-    versions after each fold. Runs with ``availableNow``
-    (drain-and-stop); returns the final snapshot for external
-    persistence when ``snapshot_path`` is None (localCheckpoint-pinned
-    in that mode)."""
+    version overrides ``hash_snapshot``. A replayed batch whose version
+    already committed is a FULL NO-OP (state reloads from the committed
+    version) — re-running it would duplicate the sink and self-overwrite
+    the version the run's state reads from (the r12 review reproduced
+    that as a restart crash that gutted the committed version). Corollary
+    contract, shared with streaming_ingest: ``snapshot_path`` is coupled
+    to ONE checkpoint lineage — versions are keyed by batch id, so
+    pointing a fresh checkpoint at an existing store replays as no-ops.
+    ``keep_last`` vacuums old versions after each fold. Runs with
+    ``availableNow`` (drain-and-stop); returns the final snapshot for
+    external persistence when ``snapshot_path`` is None
+    (localCheckpoint-pinned in that mode)."""
     from datamunging_spark.operators.multimodal import (
         incremental_phash_dedup,
         phash_df,
@@ -655,6 +662,29 @@ def streaming_phash_ingest(
     state = {"snap": start}
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if snapshot_path is not None:
+            vpath = f"{snapshot_path}/v{int(batch_id) + 1}"
+            if _snapshot_version_committed(spark, vpath):
+                # replay of a batch whose snapshot version committed
+                # (crash landed between the snapshot write and the
+                # streaming commit): the state is already durable and
+                # the survivor append already happened — re-running
+                # would duplicate the sink AND self-overwrite the
+                # version this run's state was loaded from (overwrite
+                # deletes input files mid-scan — reproduced by the r12
+                # review as a restart crash that then GUTTED the
+                # committed version). Full no-op, the streaming_ingest
+                # contract.
+                state["snap"] = read_table_version(
+                    spark, snapshot_path, int(batch_id) + 1
+                )
+                return
+        if not batch_df.head(1):
+            # empty micro-batch: nothing to dedup, and a version write
+            # would rewrite the entire unchanged snapshot (and, with
+            # keep_last, vacuum a REAL older version for an identical
+            # copy)
+            return
         snap = state["snap"]
         if snap is None:
             # typed empty snapshot: first fold is pure within-batch dedup

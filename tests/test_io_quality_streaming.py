@@ -723,6 +723,43 @@ def test_streaming_phash_ingest_across_microbatches_and_restart(
     )
     assert surv_ids == [1, 2, 11, 21]  # 20 dropped across RUNS
     assert snap2.count() == 4
+    # crash-replay window (r12 review repro): a replayed batch whose
+    # snapshot version ALREADY committed must be a full no-op — never a
+    # self-overwrite of the version the run's state was loaded from,
+    # never a duplicate survivor append. A fresh checkpoint replays
+    # every source batch against the existing store (batch ids restart
+    # at 0, versions 1..3 are all committed), exercising the guard for
+    # each one.
+    snap3 = streaming_phash_ingest(
+        stream(),
+        survivors_path=str(out),
+        checkpoint_path=str(tmp_path / "media_ckpt_replay"),
+        snapshot_path=str(tmp_path / "media_snap"),
+    )
+    surv_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(out)).collect()
+    )
+    assert surv_ids == [1, 2, 11, 21]  # no duplicates from the replays
+    assert snap3.count() == 4          # committed versions intact
+    # empty micro-batch: no survivor append, no version churn
+    from datamunging_spark.sources.versioned import latest_table_version
+
+    before_v = latest_table_version(spark, str(tmp_path / "media_snap"))
+    spark.createDataFrame(
+        [], "doc_id long, payload binary"
+    ).coalesce(1).write.parquet(str(src / "f4"))
+    streaming_phash_ingest(
+        stream(),
+        survivors_path=str(out),
+        checkpoint_path=str(tmp_path / "media_ckpt"),
+        snapshot_path=str(tmp_path / "media_snap"),
+    )
+    assert latest_table_version(
+        spark, str(tmp_path / "media_snap")
+    ) == before_v
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(str(out)).collect()
+    ) == [1, 2, 11, 21]
 
 
 def test_corpus_report_counts_and_dup_rate(spark):
