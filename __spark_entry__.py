@@ -1856,6 +1856,42 @@ def q_x1_simhash(spark, sf_dir):
     return simhash_df(d)
 
 
+def q_x1_span_portable(spark, sf_dir):
+    """X1 span dedup's PORTABLE signature layer (oracle-paired, r12):
+    winnowing fingerprints in the md5 tier — fp = uint64 of the first
+    16 hex chars of md5(16-char gram), rightmost-min-per-35-window
+    selection — then the anchor self-equi-join (doc_a < doc_b), valve
+    OFF: the parity configuration, every anchor visible (the
+    x1_ngram_jaccard precedent). The DuckDB oracle re-derives the
+    ENTIRE layer: per-position md5 grams (two 8-nibble hex→int
+    gadgets), the window self-join with row_number ordered (v ASC,
+    i DESC) mirroring the rightmost-tie rule, and the anchor join —
+    1,878 anchors hash-matched at sf0.01. This is the detection layer
+    the rows-only span composite builds on; the Arrow pair-local
+    extension and interval-merge removal stay covered by the retired
+    x1_span_dedup entry's bench slot + its 24-test pytest module
+    (planted fixtures, winnowing-guarantee hypothesis property).
+    Position parity note: both engines index CODE POINTS (Python str,
+    DuckDB substr)."""
+    from datamunging_spark.operators.spandedup import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(
+        d, min_span=50, gram=16, portable=True
+    ).localCheckpoint()
+    a = fps.select(
+        F.col("doc_id").alias("id_a"), "fp", F.col("pos").alias("pos_a")
+    )
+    b = fps.select(
+        F.col("doc_id").alias("id_b"), "fp", F.col("pos").alias("pos_b")
+    )
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pos_a", "pos_b", "fp")
+    )
+
+
 def q_x1_span_dedup(spark, sf_dir):
     """X1 span-level exact-substring dedup (the Lee et al. 2022
     suffix-array family, re-expressed as winnowing fingerprints + anchor
@@ -2774,7 +2810,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # covered and benched; the X5 family keeps five oracle rows)
     # → slot given to x5_dsir_select (the DSIR composite, oracle-
     # paired end to end: md5 buckets, spine fits, decimal score sums,
-    # Gumbel top-k re-derived in SQL).
+    # Gumbel top-k re-derived in SQL). Late r12: x1_span_dedup
+    # (rows-only — the Arrow extension/removal stages are not
+    # SQL-expressible; stays benched with its 24-test pytest module
+    # incl. the planted-fixture verdicts its gate invariants restated)
+    # → slot given to x1_span_portable, the span family's FIRST full
+    # oracle row (md5-tier winnowing + anchor join re-derived in
+    # DuckDB, incl. the rightmost-min window selection).
     return {
         "r19_quality_report": q_r19_quality_report,
         "quality_summary": q_quality_summary,
@@ -2821,7 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_lm_quality": q_x4_lm_quality,
         "x1_semantic_dedup": q_x1_semantic_dedup,
         "x1_minhash_dedup": q_x1_minhash_dedup,
-        "x1_span_dedup": q_x1_span_dedup,
+        "x1_span_portable": q_x1_span_portable,
         "stream_windowed_real": q_stream_windowed_real,
         "x2_ann_suite": q_x2_ann_suite,
         "r38_ml_suite": q_r38_ml_suite,
@@ -3765,6 +3807,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id >= 400
               AND d.doc_id NOT IN (SELECT doc_id FROM hist_losers)
               AND d.doc_id NOT IN (SELECT DISTINCT u FROM reach WHERE v < u)
+        """,
+        "x1_span_portable": """
+            WITH docs AS (
+              SELECT doc_id, text FROM documents WHERE length(text) >= 50
+            ), pos AS (
+              SELECT doc_id, text, unnest(range(length(text) - 16 + 1)) AS i
+              FROM docs
+            ), g AS (
+              SELECT doc_id, i, md5(substr(text, CAST(i + 1 AS INT), 16)) AS hx
+              FROM pos
+            ), h AS (
+              -- uint64 of the first 16 hex chars, via two 8-nibble
+              -- hex->int gadgets (HUGEINT so the unsigned value orders
+              -- like numpy's uint64 selection key)
+              SELECT doc_id, i,
+                     CAST((CAST(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1 AS BIGINT) * 268435456 + CAST(strpos('0123456789abcdef', substr(hx, 2, 1)) - 1 AS BIGINT) * 16777216 + CAST(strpos('0123456789abcdef', substr(hx, 3, 1)) - 1 AS BIGINT) * 1048576 + CAST(strpos('0123456789abcdef', substr(hx, 4, 1)) - 1 AS BIGINT) * 65536 + CAST(strpos('0123456789abcdef', substr(hx, 5, 1)) - 1 AS BIGINT) * 4096 + CAST(strpos('0123456789abcdef', substr(hx, 6, 1)) - 1 AS BIGINT) * 256 + CAST(strpos('0123456789abcdef', substr(hx, 7, 1)) - 1 AS BIGINT) * 16 + CAST(strpos('0123456789abcdef', substr(hx, 8, 1)) - 1 AS BIGINT) * 1) AS HUGEINT) * 4294967296 + (CAST(strpos('0123456789abcdef', substr(hx, 9, 1)) - 1 AS BIGINT) * 268435456 + CAST(strpos('0123456789abcdef', substr(hx, 10, 1)) - 1 AS BIGINT) * 16777216 + CAST(strpos('0123456789abcdef', substr(hx, 11, 1)) - 1 AS BIGINT) * 1048576 + CAST(strpos('0123456789abcdef', substr(hx, 12, 1)) - 1 AS BIGINT) * 65536 + CAST(strpos('0123456789abcdef', substr(hx, 13, 1)) - 1 AS BIGINT) * 4096 + CAST(strpos('0123456789abcdef', substr(hx, 14, 1)) - 1 AS BIGINT) * 256 + CAST(strpos('0123456789abcdef', substr(hx, 15, 1)) - 1 AS BIGINT) * 16 + CAST(strpos('0123456789abcdef', substr(hx, 16, 1)) - 1 AS BIGINT) * 1) AS v
+              FROM g
+            ), wins AS (
+              SELECT doc_id, unnest(range(greatest(n - 35, 0) + 1)) AS s
+              FROM (SELECT doc_id, count(*) AS n FROM h GROUP BY doc_id)
+            ), sel AS (
+              -- winnowing: rightmost minimum per 35-wide window
+              SELECT DISTINCT doc_id, i, v FROM (
+                SELECT w.doc_id, w.s, h.i, h.v,
+                       row_number() OVER (
+                         PARTITION BY w.doc_id, w.s
+                         ORDER BY h.v ASC, h.i DESC
+                       ) AS rn
+                FROM wins w
+                JOIN h ON h.doc_id = w.doc_id
+                      AND h.i >= w.s AND h.i < w.s + 35
+              ) WHERE rn = 1
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(a.i AS INT) AS pos_a, CAST(b.i AS INT) AS pos_b,
+                   CAST(CASE WHEN a.v >= 9223372036854775808
+                             THEN a.v - 18446744073709551616
+                             ELSE a.v END AS BIGINT) AS fp
+            FROM sel a JOIN sel b ON a.v = b.v AND a.doc_id < b.doc_id
         """,
         "x1_minhash_dedup": f"""
             WITH RECURSIVE {_MINHASH_MD5_CTES}, matched AS (

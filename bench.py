@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "x1_minhash_portable",
     "x3_phash_neardup",
     "x3_incremental_phash",
+    "x1_span_portable",
 ]
 
 

@@ -507,3 +507,66 @@ def test_sketch_valve_rejects_unknown_mode(spark):
     df = _mk(spark, [(1, A + SHARED + B), (2, C + SHARED + D)])
     with pytest.raises(ValueError, match="valve"):
         shared_span_pairs(df, valve="bogus").collect()
+
+
+def test_winnow_portable_matches_reference(spark):
+    """r12 portable tier: winnowed (pos, fp) sets pinned value-for-value
+    against an independent Python reference — md5-first-16-hex uint64
+    keys, brute-force rightmost-min-per-window selection (the oracle
+    discipline behind the x1_span_portable gate row); the default
+    rolling-hash tier is untouched (different fp values, same schema)."""
+    import hashlib
+
+    from datamunging_spark.operators.spandedup import winnow_fingerprints
+
+    MS, G = 30, 8
+    W = MS - G + 1
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog repeatedly today",
+        2: "prefix text the quick brown fox jumps over the lazy dog end",
+        3: "completely different content that shares no span with others",
+        4: "short doc",  # < min_span: emits nothing
+    }
+
+    def ref(text):
+        if len(text) < MS:
+            return set()
+        n = len(text) - G + 1
+        h = [
+            int(hashlib.md5(text[i:i + G].encode()).hexdigest()[:16], 16)
+            for i in range(n)
+        ]
+        sel = set()
+        if n <= W:
+            m = min(h)
+            sel.add(max(i for i in range(n) if h[i] == m))
+        else:
+            for s in range(n - W + 1):
+                wnd = h[s:s + W]
+                m = min(wnd)
+                sel.add(s + max(i for i, v in enumerate(wnd) if v == m))
+
+        def sgn(v):
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        return {(i, sgn(h[i])) for i in sel}
+
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got: dict = {}
+    for r in winnow_fingerprints(
+        df, min_span=MS, gram=G, portable=True
+    ).collect():
+        got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
+    want = {i: ref(t) for i, t in texts.items() if ref(t)}
+    assert got == want
+    # shared-span docs 1 and 2 collide on at least one portable fp
+    shared = {f for _, f in got[1]} & {f for _, f in got[2]}
+    assert shared
+    # default tier: same schema, rolling-hash values (disjoint space)
+    base = {
+        r["fp"]
+        for r in winnow_fingerprints(df, min_span=MS, gram=G).collect()
+    }
+    assert base and base != {f for s in got.values() for _, f in s}

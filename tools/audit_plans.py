@@ -174,6 +174,11 @@ _JUSTIFY: dict[str, str] = {
     "chunk keys, hamming verify on the tiny candidate set, batch "
     "payloads never shuffle; the incremental family's slimmest "
     "snapshot.",
+    "x1_span_portable": "winnowed fp equi-join, valve OFF (parity "
+    "configuration, every anchor visible — the x1_ngram_jaccard "
+    "precedent): exchanges are slim (id, fp, pos) rows ≈ 6% of corpus "
+    "chars; the scale configuration (valves on) is the x1_span_dedup "
+    "bench slot.",
     "x4_gopher_gates": "(doc, line/gram) postings aggregates: per-doc "
     "distinct-gram counting is deliberately relational (docstring: "
     "the never-quadratic shape; a per-row HOF loop would be O(g²)); "
