@@ -1869,7 +1869,7 @@ def q_x1_span_portable(spark, sf_dir):
     1,878 anchors hash-matched at sf0.01. This is the detection layer
     the rows-only span composite builds on; the Arrow pair-local
     extension and interval-merge removal stay covered by the retired
-    x1_span_dedup entry's bench slot + its 24-test pytest module
+    x1_span_dedup entry's bench slot + its pytest module
     (planted fixtures, winnowing-guarantee hypothesis property).
     Position parity note: both engines index CODE POINTS (Python str,
     DuckDB substr)."""
@@ -2812,7 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # paired end to end: md5 buckets, spine fits, decimal score sums,
     # Gumbel top-k re-derived in SQL). Late r12: x1_span_dedup
     # (rows-only — the Arrow extension/removal stages are not
-    # SQL-expressible; stays benched with its 24-test pytest module
+    # SQL-expressible; stays benched with its pytest module
     # incl. the planted-fixture verdicts its gate invariants restated)
     # → slot given to x1_span_portable, the span family's FIRST full
     # oracle row (md5-tier winnowing + anchor join re-derived in
@@ -3818,11 +3818,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, i, md5(substr(text, CAST(i + 1 AS INT), 16)) AS hx
               FROM pos
             ), h AS (
-              -- uint64 of the first 16 hex chars, via two 8-nibble
-              -- hex->int gadgets (HUGEINT so the unsigned value orders
-              -- like numpy's uint64 selection key)
+              -- uint64 of the first 16 hex chars: two 8-nibble halves
+              -- (each BIGINT-safe), recombined as HUGEINT so the
+              -- unsigned value orders like numpy's uint64 selection key
               SELECT doc_id, i,
-                     CAST((CAST(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1 AS BIGINT) * 268435456 + CAST(strpos('0123456789abcdef', substr(hx, 2, 1)) - 1 AS BIGINT) * 16777216 + CAST(strpos('0123456789abcdef', substr(hx, 3, 1)) - 1 AS BIGINT) * 1048576 + CAST(strpos('0123456789abcdef', substr(hx, 4, 1)) - 1 AS BIGINT) * 65536 + CAST(strpos('0123456789abcdef', substr(hx, 5, 1)) - 1 AS BIGINT) * 4096 + CAST(strpos('0123456789abcdef', substr(hx, 6, 1)) - 1 AS BIGINT) * 256 + CAST(strpos('0123456789abcdef', substr(hx, 7, 1)) - 1 AS BIGINT) * 16 + CAST(strpos('0123456789abcdef', substr(hx, 8, 1)) - 1 AS BIGINT) * 1) AS HUGEINT) * 4294967296 + (CAST(strpos('0123456789abcdef', substr(hx, 9, 1)) - 1 AS BIGINT) * 268435456 + CAST(strpos('0123456789abcdef', substr(hx, 10, 1)) - 1 AS BIGINT) * 16777216 + CAST(strpos('0123456789abcdef', substr(hx, 11, 1)) - 1 AS BIGINT) * 1048576 + CAST(strpos('0123456789abcdef', substr(hx, 12, 1)) - 1 AS BIGINT) * 65536 + CAST(strpos('0123456789abcdef', substr(hx, 13, 1)) - 1 AS BIGINT) * 4096 + CAST(strpos('0123456789abcdef', substr(hx, 14, 1)) - 1 AS BIGINT) * 256 + CAST(strpos('0123456789abcdef', substr(hx, 15, 1)) - 1 AS BIGINT) * 16 + CAST(strpos('0123456789abcdef', substr(hx, 16, 1)) - 1 AS BIGINT) * 1) AS v
+                     CAST(list_sum(list_transform(range(1, 9),
+                       n -> CAST(strpos('0123456789abcdef', substr(hx, CAST(n AS INT), 1)) - 1 AS BIGINT)
+                            * (CAST(1 AS BIGINT) << CAST(4 * (8 - n) AS INT)))) AS HUGEINT)
+                     * 4294967296
+                     + list_sum(list_transform(range(9, 17),
+                       n -> CAST(strpos('0123456789abcdef', substr(hx, CAST(n AS INT), 1)) - 1 AS BIGINT)
+                            * (CAST(1 AS BIGINT) << CAST(4 * (16 - n) AS INT)))) AS v
               FROM g
             ), wins AS (
               SELECT doc_id, unnest(range(greatest(n - 35, 0) + 1)) AS s

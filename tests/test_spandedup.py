@@ -559,7 +559,7 @@ def test_winnow_portable_matches_reference(spark):
         df, min_span=MS, gram=G, portable=True
     ).collect():
         got.setdefault(r["doc_id"], set()).add((r["pos"], r["fp"]))
-    want = {i: ref(t) for i, t in texts.items() if ref(t)}
+    want = {i: s for i, t in texts.items() if (s := ref(t))}
     assert got == want
     # shared-span docs 1 and 2 collide on at least one portable fp
     shared = {f for _, f in got[1]} & {f for _, f in got[2]}
