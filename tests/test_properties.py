@@ -501,6 +501,49 @@ def test_bpe_encode_decode_identity(text):
     assert bpe_decode_ids(ids, merges) == text
 
 
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_ascii_text, min_size=1, max_size=6))
+def test_minhash_portable_signature_parity(spark, texts):
+    """r12 portable tier on ARBITRARY ascii corpora: every signature
+    slot equals the hashlib reference (lexicographic min over
+    md5(seed|md5(shingle)) hex strings) — the engine-portability
+    contract behind the fuzzy-dedup oracle rows, swept beyond the
+    planted fixture."""
+    import hashlib
+
+    from datamunging_spark.operators.dedup import minhash_signatures_df
+
+    NH = 8
+
+    def shingles(t, n=3):
+        toks = [
+            w
+            for w in re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+            if w
+        ]
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    def ref_sig(t):
+        hs = [hashlib.md5(sh.encode()).hexdigest() for sh in shingles(t)]
+        return [
+            min(hashlib.md5(f"{s}|{h}".encode()).hexdigest() for h in hs)
+            for s in range(NH)
+        ]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["_sig"])
+        for r in minhash_signatures_df(
+            df, num_hashes=NH, portable=True
+        ).collect()
+    }
+    assert got == {i: ref_sig(t) for i, t in enumerate(texts)}
+
+
 @given(
     st.binary(min_size=1, max_size=600),
     st.data(),
