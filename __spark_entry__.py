@@ -568,6 +568,46 @@ def q_x2_topk_cosine(spark, sf_dir):
     )
 
 
+def q_x2_bm25_hybrid(spark, sf_dir):
+    """X2 lexical + hybrid retrieval (r12, slot from the retired
+    x5_split_shuffle — see the retirement note in queries()): inverted
+    index → BM25 top-10 per query (decimal(28,7) contribution sums —
+    reduction-order-free, the DSIR discipline), brute-force cosine
+    top-10 for the same probe ids, reciprocal-rank fusion (Cormack'09)
+    of the two rankings. The full lexical leg (tokenize → postings →
+    idf/length normalization → ranked window) and the fusion arithmetic
+    are re-derived in the DuckDB oracle; the vector leg rides the same
+    cosine/tiebreak form the x2_topk_cosine oracle already pins. Query
+    time never shuffles the postings side — the index scan flows into a
+    broadcast join (plan-asserted in tests/test_retrieval.py)."""
+    from datamunging_spark.operators.retrieval import (
+        bm25_topk,
+        index_stats,
+        inverted_index,
+        rrf_fuse,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = d.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 40).alias("query"),
+    )
+    lex = bm25_topk(inverted_index(d), queries, index_stats(d), k=10)
+    vec = brute_force_topk(
+        emb.filter(F.col("vec_id") < 3), emb, k=10
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = rrf_fuse([lex.select("query_id", "doc_id", "rank"), vec])
+    return fused.select(
+        "query_id",
+        "doc_id",
+        F.col("rank_1").alias("lex_rank"),
+        F.col("rank_2").alias("vec_rank"),
+        "rrf",
+        "rank",
+    )
+
+
 def q_r33_tfidf(spark, sf_dir):
     """R33/R34: exact per-(doc,term) TF-IDF as relational algebra (explode →
     two hash aggs → term join + broadcast corpus count)."""
@@ -2817,6 +2857,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # → slot given to x1_span_portable, the span family's FIRST full
     # oracle row (md5-tier winnowing + anchor join re-derived in
     # DuckDB, incl. the rightmost-min window selection).
+    # x5_split_shuffle (the most mechanical X5 row — both halves are
+    # pure salted-md5 expressions; the X5 family keeps five oracle
+    # rows; its full DuckDB cross-check lives on verbatim in
+    # tests/test_trainset.py::test_split_shuffle_matches_duckdb_oracle
+    # and the entry stays benched) → slot given to x2_bm25_hybrid,
+    # the NEW lexical-retrieval family's oracle row (inverted index +
+    # BM25 + RRF fusion re-derived in DuckDB end to end).
     return {
         "r19_quality_report": q_r19_quality_report,
         "quality_summary": q_quality_summary,
@@ -2844,7 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "x5_decontaminate": q_x5_decontaminate,
         "x5_source_mix": q_x5_source_mix,
-        "x5_split_shuffle": q_x5_split_shuffle,
+        "x2_bm25_hybrid": q_x2_bm25_hybrid,
         "x3_media_features": q_x3_media_features,
         "x1_ngram_jaccard": q_x1_ngram_jaccard,
         "x1_embedding_neardup": q_x1_embedding_neardup,
@@ -3583,19 +3630,81 @@ def oracle_sql() -> dict[str, str]:
                    AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
                        < printf('%04x', CAST(floor((wt - floor(wt)) * 65536) AS INT)))
         """,
-        # split cuts: fixed-width lowercase-hex string compare ==
-        # numeric compare on the first-8-hex-chars value; cut constants
-        # are printf('%08x', int(cum_weight * 16**8)) computed with the
-        # SAME float accumulation as split_dataset (0.9, then 0.9+0.05)
-        "x5_split_shuffle": """
-            SELECT doc_id, source,
-                   CASE WHEN substr(md5(concat('v1', '|', CAST(doc_id AS VARCHAR))), 1, 8)
-                             < 'e6666666' THEN 'train'
-                        WHEN substr(md5(concat('v1', '|', CAST(doc_id AS VARCHAR))), 1, 8)
-                             < 'f3333333' THEN 'val'
-                        ELSE 'test' END AS split,
-                   md5(concat('epoch0', '|', CAST(doc_id AS VARCHAR))) AS shuffle_key
-            FROM documents
+        # BM25 re-derived in SQL: same space-split tokenization as the
+        # r33 oracle, Lucene "+1" idf, per-term contributions cast
+        # DECIMAL(28,7) before the sum (reduction-order-free — exact
+        # cross-engine equality), ranks tie-broken on ascending doc id;
+        # the vector leg is the x2_topk_cosine oracle's cosine/tiebreak
+        # form; RRF is a fixed-order two-term double expression.
+        "x2_bm25_hybrid": """
+            WITH terms AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x != '')) AS term
+              FROM documents
+            ), post AS (
+              SELECT term, doc_id, count(*) AS tf
+              FROM terms GROUP BY term, doc_id
+            ), dl AS (
+              SELECT doc_id, count(*) AS doc_len FROM terms GROUP BY doc_id
+            ), stats AS (
+              SELECT count(*) AS n_docs,
+                     CAST(sum(len(list_filter(string_split(lower(text), ' '),
+                                              x -> x != ''))) AS DOUBLE)
+                       / count(*) AS avgdl
+              FROM documents
+            ), qt AS (
+              SELECT DISTINCT doc_id AS query_id,
+                     unnest(list_filter(
+                         string_split(lower(substring(text, 1, 40)), ' '),
+                         x -> x != '')) AS term
+              FROM documents WHERE doc_id < 3
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM post
+              WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term
+            ), per_doc AS (
+              SELECT qt.query_id, post.doc_id,
+                     sum(CAST(
+                       ln(1.0 + (stats.n_docs - dfreq.df + 0.5)
+                                / (dfreq.df + 0.5))
+                       * (post.tf * 2.2)
+                       / (post.tf + 1.2 * (0.25 + 0.75 *
+                            (dl.doc_len / stats.avgdl)))
+                       AS DECIMAL(28,7))) AS s
+              FROM post
+              JOIN qt USING (term) JOIN dfreq USING (term)
+              JOIN dl ON dl.doc_id = post.doc_id
+              CROSS JOIN stats
+              GROUP BY qt.query_id, post.doc_id
+            ), lex AS (
+              SELECT query_id, doc_id, rank FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY s DESC, doc_id) AS rank
+                FROM per_doc
+              ) WHERE rank <= 10
+            ), vec AS (
+              SELECT query_id, doc_id, rank FROM (
+                SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+                       row_number() OVER (PARTITION BY q.vec_id
+                                          ORDER BY list_cosine_similarity(
+                                              CAST(q.embedding AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[])) DESC,
+                                          c.vec_id) AS rank
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id < 3 AND c.vec_id != q.vec_id
+              ) WHERE rank <= 10
+            ), fused AS (
+              SELECT query_id, doc_id,
+                     l.rank AS lex_rank, v.rank AS vec_rank,
+                     coalesce(1.0 / (60.0 + l.rank), 0.0)
+                       + coalesce(1.0 / (60.0 + v.rank), 0.0) AS rrf
+              FROM lex l FULL OUTER JOIN vec v USING (query_id, doc_id)
+            )
+            SELECT query_id, doc_id, lex_rank, vec_rank, rrf,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rrf DESC, doc_id) AS rank
+            FROM fused
         """,
         "x1_incremental_exact": """
             WITH hashed AS (

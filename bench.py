@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     "x3_phash_neardup",
     "x3_incremental_phash",
     "x1_span_portable",
+    "x5_split_shuffle",
+    "x2_bm25_hybrid",
 ]
 
 

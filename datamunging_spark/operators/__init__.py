@@ -9,6 +9,7 @@
   bloom       — distributed Bloom build + probe (anti-join prefilter)
   sketch      — Misra-Gries heavy hitters (bounded-shuffle frequent items)
   similarity  — brute-force & LSH top-k vector search (X2)
+  retrieval   — inverted index + BM25 + RRF hybrid fusion (X2 lexical)
   quality     — rule→invalid-rows validation reports (README.md:126-132 shape)
   multimodal  — binary payload columns + mapInPandas feature/resize,
                 dHash image near-dup + incremental ingest (X3)

@@ -1,0 +1,354 @@
+"""Lexical retrieval over a document corpus — inverted index, BM25
+ranked search, and reciprocal-rank fusion for hybrid (lexical +
+vector) retrieval. The keyword half of the X2 search story: X2's
+similarity module answers "which docs are NEAR this vector", this
+module answers "which docs MATCH these terms", and :func:`rrf_fuse`
+merges the two rankings the way production retrieval stacks do
+(Cormack et al. 2009, "Reciprocal Rank Fusion outperforms Condorcet
+and individual rank learning methods", SIGIR).
+
+BM25 is Robertson/Sparck-Jones probabilistic ranking in the Lucene
+parameterization (Robertson & Zaragoza 2009, "The Probabilistic
+Relevance Framework: BM25 and Beyond"):
+
+    score(q, d) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1)
+                              / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+    idf(t)      = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5))
+
+(the non-negative "+1" idf variant Lucene ships; query-side term
+frequency is ignored, also the Lucene default). Repeated query terms
+therefore contribute once — queries are sets of terms.
+
+Scale shapes (the 100 TB story):
+
+- **The index is ONE corpus shuffle, paid at build time.**
+  :func:`inverted_index` is tokenize → explode → one
+  map-side-combinable hash aggregate on (doc, term); the postings
+  table (term, doc_id, tf, doc_len) is the materialization a user
+  writes to parquet once. ``doc_len`` is denormalized into the
+  postings row (8 bytes) so query-time scoring never joins back to a
+  corpus-grain table — the Lucene norms-in-the-postings trade.
+- **Query time never shuffles the index.** :func:`bm25_topk` semi-joins
+  postings to the (broadcast) query-term list — one pushed-down scan,
+  no exchange on the postings side — and every later join input is
+  query-sized and broadcast. The only shuffle is the per-(query, doc)
+  score aggregate over MATCHED postings.
+- **df/N/avgdl are index-build artifacts.** :func:`term_stats` and
+  :func:`index_stats` are computed once with the index; pass them in
+  (the 100 TB path) and query-time df needs no second index scan. If
+  ``dfreq`` is omitted, :func:`bm25_topk` derives it on the fly from
+  the matched postings — correct (the semi-join keeps every posting of
+  each query term) but it re-reads the postings branch; fine
+  interactively, wasteful in a query loop.
+- **Scores are decimal sums.** Each per-term contribution is cast to
+  ``decimal(28,7)`` before the aggregate (the DSIR discipline), so the
+  total is reduction-order-free and byte-reproducible in any engine —
+  which is what makes the gate row a full DuckDB oracle.
+- **Fusion is rank-space.** RRF needs only the two (query, doc, rank)
+  top-k tables — k·|queries| rows each, broadcastable; the fused score
+  is a fixed-order expression over at most len(rankings) doubles, no
+  float aggregation.
+
+Tokenization is the repo's space-split parity form (functions.tokenize
+/ the r33 TF-IDF oracle): lowercase then split on single spaces,
+dropping empty tokens — byte-reproducible in DuckDB as
+``string_split(lower(text), ' ')``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "search_terms",
+    "inverted_index",
+    "index_stats",
+    "term_stats",
+    "bm25_topk",
+    "rrf_fuse",
+    "advance_index",
+    "combine_index_stats",
+]
+
+_CONTRIB_DECIMAL = "decimal(28,7)"
+
+
+def search_terms(col: Column | str, lowercase: bool = True) -> Column:
+    """``array<string>`` of query/document terms: (lowercase,) split on
+    single spaces, empty tokens dropped — the exact tokenization the
+    r33 TF-IDF oracle pins, so every downstream count is
+    DuckDB-reproducible."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(c, " ", -1), lambda w: w != "")
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(term, ``id_col``, tf, doc_len) postings — the corpus's inverted
+    index at (term, doc) grain, unique per (term, doc) by construction.
+
+    One tokenize + explode + ONE hash aggregate: partial (map-side)
+    combine shrinks the shuffle to one row per (doc, term) per
+    partition, and ``doc_len`` (total term count of the doc, counted
+    BEFORE the explode) rides the group key — constant per doc, so it
+    costs no extra aggregate. This is the one corpus-sized shuffle the
+    family ever performs; materialize the result with
+    ``materialize_columnar`` and query it forever.
+    """
+    toks = df.select(
+        F.col(id_col),
+        search_terms(text_col, lowercase).alias("_toks"),
+    ).withColumn("doc_len", F.size("_toks").cast("long"))
+    return (
+        toks.select(id_col, "doc_len", F.explode("_toks").alias("term"))
+        .groupBy("term", id_col, "doc_len")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("term", id_col, "tf", "doc_len")
+    )
+
+
+def index_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """One-row (n_docs, total_len, avgdl) corpus statistics for BM25's
+    length normalization — a single global aggregate over the SOURCE
+    corpus (no shuffle: partial counts reduce to one row), computed
+    once at index-build time and broadcast into every query. ``avgdl``
+    is a double but exact-sum-derived (sum of long lengths / long
+    count), so it is engine-reproducible; ``total_len`` keeps the
+    exact long sum so :func:`combine_index_stats` merges without
+    float error. Zero-length docs count toward both."""
+    return df.select(
+        F.size(search_terms(text_col, lowercase)).cast("long").alias("_dl")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("_dl"), F.lit(0)).cast("long").alias("total_len"),
+        (
+            F.sum("_dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+
+
+def term_stats(postings: DataFrame) -> DataFrame:
+    """(term, df) document frequencies from a postings table — one
+    map-side-combinable aggregate (postings are unique per (term, doc),
+    so ``count(*)`` IS df). Build it with the index and hand it to
+    :func:`bm25_topk` as ``dfreq`` so query time never re-derives df."""
+    return postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def bm25_topk(
+    postings: DataFrame,
+    queries: DataFrame,
+    stats: DataFrame,
+    k: int = 10,
+    query_col: str = "query",
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    lowercase: bool = True,
+    dfreq: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k BM25 hits per query: (query_id, ``id_col``, rank, bm25).
+
+    ``postings`` is an :func:`inverted_index` table (term, id, tf,
+    doc_len); ``stats`` the matching one-row :func:`index_stats`;
+    ``queries`` a SMALL batch (query_id, query text) — the broadcast
+    side by contract, like ``brute_force_topk``'s probe batch.
+
+    Plan: tokenize queries → distinct (query, term) pairs (term SETS —
+    the Lucene qtf=1 convention) → broadcast-semi-join postings on term
+    (ONE pushed scan of the index, no exchange on the postings side) →
+    broadcast df + (n_docs, avgdl) onto the matched rows → per-term
+    contributions cast ``decimal(28,7)`` → ONE (query, doc) hash
+    aggregate (the only shuffle, sized by matched postings) → top-k
+    window per query (WindowGroupLimit pre-filters per partition).
+    Ties break on ascending doc id — a total order, so ranks are
+    deterministic on any engine and any partitioning.
+
+    ``dfreq``: pass :func:`term_stats`'s table to skip the on-the-fly
+    df derivation (which is exact — the semi-join keeps EVERY posting
+    of each query term — but costs a second pass over the matched
+    branch). Query terms absent from the corpus match nothing and
+    contribute nothing; queries with no surviving term return no rows.
+    """
+    qt = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(search_terms(query_col, lowercase)).alias("term"),
+        )
+        .distinct()
+    )
+    matched = postings.join(F.broadcast(qt.select("term").distinct()), "term")
+    if dfreq is None:
+        # the convenience path reads the matched branch twice (df
+        # derivation + scoring) — pin it so an inline-built index is
+        # not recomputed (the simhash localCheckpoint precedent); the
+        # pinned table is query-term postings only, not the corpus
+        matched = matched.localCheckpoint()
+        dfreq = term_stats(matched)
+    # df/qt/stats are all query-sized: broadcast every one of them so
+    # the matched-postings branch flows shuffle-free into the score agg.
+    scored = (
+        matched.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+    )
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * (F.col("doc_len") / F.col("avgdl"))
+        )
+    )
+    per_doc = scored.select(
+        "query_id",
+        F.col(id_col),
+        (idf * tfn).cast(_CONTRIB_DECIMAL).alias("_c"),
+    ).groupBy("query_id", id_col).agg(F.sum("_c").alias("_s"))
+    from datamunging_spark.operators.relational import top_k_per_group
+
+    return top_k_per_group(
+        per_doc,
+        ["query_id"],
+        [F.col("_s").desc(), F.col(id_col).asc()],
+        k,
+        rank_out="rank",
+    ).select(
+        "query_id",
+        id_col,
+        "rank",
+        F.col("_s").cast("double").alias("bm25"),
+    )
+
+
+def advance_index(
+    postings: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    replace_ids: bool = False,
+) -> DataFrame:
+    """Roll an inverted index forward by one ingest batch — the
+    continuous-ingest leg (the X1+ ``advance_snapshot`` convention):
+    sign ONLY the batch (tokenize + one batch-sized aggregate) and
+    union its postings onto the history table; the historical corpus
+    is never rescanned and never shuffles (union is exchange-free —
+    each side keeps its partitions).
+
+    Append-only by contract: batch ids must be new. With
+    ``replace_ids=True`` the batch may also carry UPDATED documents —
+    history postings of any id present in the batch are dropped first
+    via a broadcast anti-join on ``id_col`` (one pass over history,
+    no exchange: the batch id list is the broadcast side). The caller
+    materializes the result as the new index table (same
+    write-the-snapshot discipline as ``advance_snapshot``) and keeps
+    (n_docs, avgdl) current via :func:`combine_index_stats` — BM25's
+    idf/avgdl then drift only by the batch delta, which is the
+    standard freshness trade of every incremental text index
+    (Lucene's segment model); a periodic full rebuild resets it.
+    """
+    new_post = inverted_index(batch, text_col, id_col, lowercase)
+    if replace_ids:
+        postings = postings.join(
+            F.broadcast(batch.select(F.col(id_col)).distinct()),
+            id_col,
+            "left_anti",
+        ).select("term", id_col, "tf", "doc_len")  # anti-join keys-first
+    return postings.unionByName(new_post)
+
+
+def combine_index_stats(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two one-row :func:`index_stats` tables into the combined
+    corpus's (n_docs, total_len, avgdl) — counts and exact long token
+    totals add, avgdl re-derives from the merged longs (the
+    mergeable-summary property, float-error-free: the merged table is
+    bit-identical to :func:`index_stats` run on the full corpus).
+    Empty sides (n_docs=0) are identity elements. For ``replace_ids``
+    updates, subtract the replaced docs' stats first (a one-row table
+    with negated n_docs/total_len merges the same way)."""
+    ar = a.select(
+        F.col("n_docs").alias("_na"), F.col("total_len").alias("_ta")
+    )
+    br = b.select(
+        F.col("n_docs").alias("_nb"), F.col("total_len").alias("_tb")
+    )
+    return ar.crossJoin(br).select(
+        (F.col("_na") + F.col("_nb")).alias("n_docs"),
+        (F.col("_ta") + F.col("_tb")).alias("total_len"),
+        F.when(
+            (F.col("_na") + F.col("_nb")) > 0,
+            (F.col("_ta") + F.col("_tb")).cast("double")
+            / (F.col("_na") + F.col("_nb")).cast("double"),
+        ).alias("avgdl"),
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    rrf_k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two or more per-query rankings
+    (Cormack'09): fused score = Σ_i 1/(rrf_k + rank_i), summing only
+    the lists the (query, doc) pair appears in.
+
+    Each input needs (``query_col``, ``id_col``, ``rank_col``) — e.g.
+    :func:`bm25_topk` output and ``brute_force_topk``/``ivf_topk``
+    output (aliased to a common id). Inputs are top-k tables
+    (k·|queries| rows), so the full outer joins are tiny; the fused
+    score is a FIXED-ORDER expression over len(rankings) doubles (no
+    float aggregation — reduction order cannot change it), and the
+    fused rank breaks ties on ascending doc id. Output: (query_id,
+    doc_id, rank_1..rank_n, rrf, rank).
+    """
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse needs at least two rankings")
+    fused = None
+    for i, r in enumerate(rankings):
+        ri = r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            F.col(rank_col).cast("long").alias(f"rank_{i + 1}"),
+        )
+        fused = (
+            ri
+            if fused is None
+            else fused.join(ri, ["query_id", "doc_id"], "full_outer")
+        )
+    score = None
+    for i in range(len(rankings)):
+        c = F.coalesce(
+            F.lit(1.0) / (F.lit(float(rrf_k)) + F.col(f"rank_{i + 1}")),
+            F.lit(0.0),
+        )
+        score = c if score is None else score + c
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rrf", score)
+        .withColumn("rank", F.row_number().over(w))
+    )

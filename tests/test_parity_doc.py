@@ -51,7 +51,11 @@ def test_parity_query_references_exist():
                "x4_lang_model",
                # r12: slots freed for the oracle promotions
                # (x1_minhash_portable, x5_dsir_select)
-               "x1_url_dedup", "x5_chunk_documents"}
+               "x1_url_dedup", "x5_chunk_documents",
+               # late r12: slot freed for the lexical-retrieval family
+               # (x2_bm25_hybrid); DuckDB cross-check preserved in
+               # test_trainset.py
+               "x5_split_shuffle"}
     # Candidate tokens: snake_case words that look like gate keys.
     mentioned = set(re.findall(r"\b[a-z][a-z0-9]*(?:_[a-z0-9]+)+\b", text))
     # Only validate tokens that *claim* to be queries: those that appear in

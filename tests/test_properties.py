@@ -570,3 +570,81 @@ def test_phash_single_byte_edit_bounded(payload, data):
     m[off] = (m[off] + delta) % 256
     h2 = _dhash64(_fake_gray72(bytes(m)))
     assert bin((h ^ h2) & ((1 << 64) - 1)).count("1") <= 2
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta zet eta".split()),
+            min_size=0, max_size=12,
+        ).map(" ".join),
+        min_size=1, max_size=12,
+    ),
+    st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma quux".split()),
+            min_size=1, max_size=4,
+        ).map(" ".join),
+        min_size=1, max_size=3,
+    ),
+)
+def test_bm25_matches_python_reference(spark, texts, query_texts):
+    """X2 lexical: engine BM25 == a driver-side pure-Python reference
+    (the DSIR hashlib-reference discipline) on arbitrary word-salad
+    corpora — idf/tf-normalization arithmetic, the decimal(28,7)
+    contribution quantization (ROUND_HALF_UP, matching Spark's
+    double→decimal cast), qtf=1 term-set semantics, and the
+    (score desc, doc asc) total order all pinned."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datamunging_spark.operators.retrieval import (
+        bm25_topk,
+        index_stats,
+        inverted_index,
+    )
+
+    k1, b, k = 1.2, 0.75, 4
+    docs = [(i, t) for i, t in enumerate(texts)]
+    queries = [(i, q) for i, q in enumerate(query_texts)]
+
+    # pure-Python reference
+    toks = {i: [w for w in t.split(" ") if w != ""] for i, t in docs}
+    n_docs = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    df: dict = {}
+    for ws in toks.values():
+        for w in set(ws):
+            df[w] = df.get(w, 0) + 1
+    q7 = Decimal("0.0000001")
+    want = []
+    for qid, q in queries:
+        scores: dict = {}
+        for term in {w for w in q.split(" ") if w != ""}:
+            if term not in df:
+                continue
+            idf = math.log(1.0 + (n_docs - df[term] + 0.5) / (df[term] + 0.5))
+            for i, ws in toks.items():
+                tf = ws.count(term)
+                if not tf:
+                    continue
+                tfn = (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * (len(ws) / avgdl))
+                )
+                c = Decimal(repr(idf * tfn)).quantize(q7, ROUND_HALF_UP)
+                scores[i] = scores.get(i, Decimal(0)) + c
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        want += [
+            (qid, i, r + 1, float(s)) for r, (i, s) in enumerate(ranked)
+        ]
+
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries, "query_id long, query string")
+    got = sorted(
+        (r.query_id, r.doc_id, r.rank, r.bm25)
+        for r in bm25_topk(
+            inverted_index(ddf), qdf, index_stats(ddf), k=k, k1=k1, b=b
+        ).collect()
+    )
+    assert got == sorted(want)

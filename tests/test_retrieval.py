@@ -1,0 +1,285 @@
+"""Lexical retrieval (X2): inverted index, BM25 top-k, RRF fusion."""
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from datamunging_spark.operators.retrieval import (
+    advance_index,
+    bm25_topk,
+    combine_index_stats,
+    index_stats,
+    inverted_index,
+    rrf_fuse,
+    term_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark shuffles rows fast"),
+            Row(doc_id=2, text="spark spark broadcast join"),
+            Row(doc_id=3, text="zebra  stampede"),  # double space: 2 terms
+            Row(doc_id=4, text=""),
+        ]
+    )
+
+
+def test_inverted_index_tf_and_doc_len(spark):
+    post = inverted_index(_docs(spark))
+    rows = {(r.term, r.doc_id): (r.tf, r.doc_len) for r in post.collect()}
+    assert rows[("spark", 1)] == (1, 4)
+    assert rows[("spark", 2)] == (2, 4)
+    assert rows[("zebra", 3)] == (1, 2)  # empty token dropped
+    # unique per (term, doc); the empty doc contributes no postings
+    assert len(rows) == post.count()
+    assert not [k for k in rows if k[1] == 4]
+
+
+def test_index_stats_counts_empty_docs(spark):
+    n_docs, total_len, avgdl = index_stats(_docs(spark)).collect()[0]
+    assert (n_docs, total_len) == (4, 10)
+    assert avgdl == pytest.approx((4 + 4 + 2 + 0) / 4.0)
+
+
+def test_bm25_planted_relevance_and_hand_score(spark):
+    docs = _docs(spark)
+    post, stats = inverted_index(docs), index_stats(docs)
+    q = spark.createDataFrame([Row(query_id=0, query="zebra")])
+    out = bm25_topk(post, q, stats, k=3).collect()
+    # 'zebra' appears only in doc 3 → exactly one hit, rank 1
+    assert [(r.doc_id, r.rank) for r in out] == [(3, 1)]
+    idf = math.log(1.0 + (4 - 1 + 0.5) / (1 + 0.5))
+    tfn = (1 * 2.2) / (1 + 1.2 * (1 - 0.75 + 0.75 * (2 / 2.5)))
+    assert out[0].bm25 == pytest.approx(idf * tfn, abs=1e-6)
+
+
+def test_bm25_query_term_sets_and_unseen_terms(spark):
+    docs = _docs(spark)
+    post, stats = inverted_index(docs), index_stats(docs)
+    q = spark.createDataFrame(
+        [
+            Row(query_id=0, query="zebra zebra zebra"),  # qtf ignored
+            Row(query_id=1, query="zebra"),
+            Row(query_id=2, query="quux xyzzy"),  # nothing matches
+        ]
+    )
+    out = bm25_topk(post, q, stats, k=3)
+    scores = {(r.query_id, r.doc_id): r.bm25 for r in out.collect()}
+    assert set(scores) == {(0, 3), (1, 3)}
+    assert scores[(0, 3)] == scores[(1, 3)]
+
+
+def test_bm25_matches_duckdb_and_precomputed_dfreq(spark):
+    import duckdb
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    post, stats = inverted_index(docs), index_stats(docs)
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 40).alias("query"),
+    )
+    out = bm25_topk(post, queries, stats, k=5)
+    got = sorted(
+        (r.query_id, r.doc_id, r.rank, round(r.bm25, 6))
+        for r in out.collect()
+    )
+    # the 100 TB path (df from the index-build term_stats table) is
+    # byte-identical to the on-the-fly derivation
+    pre = bm25_topk(post, queries, stats, k=5, dfreq=term_stats(post))
+    assert (
+        sorted(
+            (r.query_id, r.doc_id, r.rank, round(r.bm25, 6))
+            for r in pre.collect()
+        )
+        == got
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(
+        (qid, did, rank, round(s, 6))
+        for qid, did, rank, s in con.sql(
+            """
+            WITH terms AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(lower(text), ' '),
+                                        x -> x != '')) AS term
+              FROM documents
+            ), post AS (
+              SELECT term, doc_id, count(*) AS tf
+              FROM terms GROUP BY term, doc_id
+            ), dl AS (
+              SELECT doc_id, count(*) AS doc_len FROM terms GROUP BY doc_id
+            ), stats AS (
+              SELECT count(*) AS n_docs,
+                     CAST(sum(len(list_filter(string_split(lower(text), ' '),
+                                              x -> x != ''))) AS DOUBLE)
+                       / count(*) AS avgdl
+              FROM documents
+            ), qt AS (
+              SELECT DISTINCT doc_id AS query_id,
+                     unnest(list_filter(
+                         string_split(lower(substring(text, 1, 40)), ' '),
+                         x -> x != '')) AS term
+              FROM documents WHERE doc_id < 3
+            ), dfreq AS (
+              SELECT term, count(*) AS df FROM post
+              WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term
+            ), per_doc AS (
+              SELECT qt.query_id, post.doc_id,
+                     sum(CAST(
+                       ln(1.0 + (stats.n_docs - dfreq.df + 0.5)
+                                / (dfreq.df + 0.5))
+                       * (post.tf * 2.2)
+                       / (post.tf + 1.2 * (0.25 + 0.75 *
+                            (dl.doc_len / stats.avgdl)))
+                       AS DECIMAL(28,7))) AS s
+              FROM post
+              JOIN qt USING (term) JOIN dfreq USING (term)
+              JOIN dl ON dl.doc_id = post.doc_id
+              CROSS JOIN stats
+              GROUP BY qt.query_id, post.doc_id
+            )
+            SELECT query_id, doc_id, rank, CAST(s AS DOUBLE) FROM (
+              SELECT query_id, doc_id, s,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY s DESC, doc_id) AS rank
+              FROM per_doc
+            ) WHERE rank <= 5
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_bm25_deterministic_under_repartition(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    queries = docs.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 30).alias("query"),
+    )
+
+    def run(d):
+        return sorted(
+            (r.query_id, r.doc_id, r.rank, r.bm25)
+            for r in bm25_topk(
+                inverted_index(d), queries, index_stats(d), k=7
+            ).collect()
+        )
+
+    assert run(docs) == run(docs.repartition(13))
+
+
+def test_bm25_query_time_never_shuffles_on_term(spark, tmp_path):
+    """With the index-build artifacts precomputed (postings + term df +
+    stats — the 100 TB configuration), the query plan's exchanges are
+    only the (query, doc) score aggregate and the per-query window:
+    nothing repartitions by term, so the postings scan flows straight
+    into a broadcast join."""
+    import contextlib
+    import io
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    inverted_index(docs).write.mode("overwrite").parquet(
+        str(tmp_path / "post")
+    )
+    post = spark.read.parquet(str(tmp_path / "post"))
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 40).alias("query"),
+    )
+    out = bm25_topk(
+        post, queries, index_stats(docs), k=5, dfreq=term_stats(post)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    for frag in plan.split("Exchange hashpartitioning(")[1:]:
+        keys = frag.split(")")[0]
+        assert "term" not in keys, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rrf_fuse_hand_math_and_outer_union(spark):
+    a = spark.createDataFrame(
+        [Row(query_id=0, doc_id=10, rank=1), Row(query_id=0, doc_id=11, rank=2)]
+    )
+    b = spark.createDataFrame(
+        [Row(query_id=0, doc_id=11, rank=1), Row(query_id=0, doc_id=12, rank=2)]
+    )
+    out = {r.doc_id: r for r in rrf_fuse([a, b], rrf_k=60).collect()}
+    assert set(out) == {10, 11, 12}
+    assert out[11].rrf == pytest.approx(1 / 62 + 1 / 61)
+    assert out[10].rrf == pytest.approx(1 / 61)
+    assert out[12].rrf == pytest.approx(1 / 62)
+    assert [out[11].rank, out[10].rank, out[12].rank] == [1, 2, 3]
+    assert (out[10].rank_1, out[10].rank_2) == (1, None)
+    with pytest.raises(ValueError, match="at least two"):
+        rrf_fuse([a])
+
+
+def test_rrf_fuse_tie_breaks_on_doc_id(spark):
+    a = spark.createDataFrame(
+        [Row(query_id=0, doc_id=20, rank=1), Row(query_id=0, doc_id=5, rank=1)]
+    )
+    b = spark.createDataFrame(
+        [Row(query_id=0, doc_id=5, rank=2), Row(query_id=0, doc_id=20, rank=2)]
+    )
+    got = [(r.doc_id, r.rank) for r in
+           rrf_fuse([a, b]).orderBy("rank").collect()]
+    assert got == [(5, 1), (20, 2)]
+
+
+def test_retrieval_empty_inputs(spark):
+    docs = _docs(spark)
+    post, stats = inverted_index(docs), index_stats(docs)
+    no_q = spark.createDataFrame([], "query_id long, query string")
+    assert bm25_topk(post, no_q, stats, k=3).count() == 0
+    no_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert inverted_index(no_docs).count() == 0
+    n_docs, total_len, avgdl = index_stats(no_docs).collect()[0]
+    assert (n_docs, total_len, avgdl) == (0, 0, None)
+
+
+def test_advance_index_append_equals_full_rebuild(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    hist, batch = docs.filter("doc_id < 400"), docs.filter("doc_id >= 400")
+    rolled = advance_index(inverted_index(hist), batch)
+    full = inverted_index(docs)
+    assert sorted(map(tuple, rolled.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    # merged stats are bit-identical to full-corpus stats (exact longs)
+    merged = combine_index_stats(index_stats(hist), index_stats(batch))
+    assert merged.collect() == index_stats(docs).collect()
+
+
+def test_advance_index_replace_ids_drops_stale_postings(spark):
+    docs = _docs(spark)
+    updated = spark.createDataFrame(
+        [Row(doc_id=1, text="rewritten entirely"), Row(doc_id=9, text="new doc")]
+    )
+    rolled = advance_index(inverted_index(docs), updated, replace_ids=True)
+    terms_for_1 = {r.term for r in rolled.filter("doc_id = 1").collect()}
+    assert terms_for_1 == {"rewritten", "entirely"}  # no stale 'spark' rows
+    assert rolled.filter("doc_id = 9").count() == 2
+    # equals a full rebuild of the post-update corpus
+    after = docs.filter("doc_id != 1").unionByName(updated)
+    assert sorted(map(tuple, rolled.collect())) == sorted(
+        map(tuple, inverted_index(after).collect())
+    )
+
+
+def test_combine_index_stats_empty_identity(spark):
+    docs = _docs(spark)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    got = combine_index_stats(index_stats(docs), index_stats(empty)).collect()
+    assert got == index_stats(docs).collect()

@@ -1104,3 +1104,41 @@ def test_cap_tokens_per_group_budgets(spark):
     )
     assert defd.filter("source = 'web'").count() == 1
     assert defd.filter("source IS NULL").count() == 1
+
+
+def test_split_shuffle_matches_duckdb_oracle(spark):
+    """The retired x5_split_shuffle gate row's DuckDB cross-check,
+    preserved verbatim per the retirement protocol (r12 — slot given to
+    x2_bm25_hybrid): 90/5/5 salted-md5 split + epoch-salted shuffle key
+    re-derived in SQL. Split cuts: fixed-width lowercase-hex string
+    compare == numeric compare on the first-8-hex-chars value; cut
+    constants are printf('%08x', int(cum_weight * 16**8)) computed with
+    the SAME float accumulation as split_dataset (0.9, then 0.9+0.05)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in entrymod.q_x5_split_shuffle(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            """
+            SELECT doc_id, source,
+                   CASE WHEN substr(md5(concat('v1', '|', CAST(doc_id AS VARCHAR))), 1, 8)
+                             < 'e6666666' THEN 'train'
+                        WHEN substr(md5(concat('v1', '|', CAST(doc_id AS VARCHAR))), 1, 8)
+                             < 'f3333333' THEN 'val'
+                        ELSE 'test' END AS split,
+                   md5(concat('epoch0', '|', CAST(doc_id AS VARCHAR))) AS shuffle_key
+            FROM documents
+            """
+        ).fetchall()
+    )
+    assert got == want

@@ -174,6 +174,17 @@ _JUSTIFY: dict[str, str] = {
     "chunk keys, hamming verify on the tiny candidate set, batch "
     "payloads never shuffle; the incremental family's slimmest "
     "snapshot.",
+    "x5_split_shuffle": "split is a zero-shuffle md5 projection; the "
+    "training-shuffle half's ONE range exchange of the corpus is the "
+    "operator's contract (a global permutation must move every row "
+    "exactly once).",
+    "x2_bm25_hybrid": "index build = the family's one corpus-grain "
+    "exchange, partial-agg collapsed to (term, doc) postings (paid "
+    "once at build time — a persisted table in real use; rebuilt "
+    "inline here); query time the postings scan flows into a "
+    "BROADCAST join (plan-asserted: nothing repartitions by term), "
+    "and the score/window/fusion exchanges are matched-postings / "
+    "top-k sized.",
     "x1_span_portable": "winnowed fp equi-join, valve OFF (parity "
     "configuration, every anchor visible — the x1_ngram_jaccard "
     "precedent): exchanges are slim (id, fp, pos) rows ≈ 6% of corpus "
