@@ -69,6 +69,7 @@ __all__ = [
     "rrf_fuse",
     "advance_index",
     "combine_index_stats",
+    "stats_from_postings",
 ]
 
 _CONTRIB_DECIMAL = "decimal(28,7)"
@@ -159,6 +160,7 @@ def bm25_topk(
     b: float = 0.75,
     lowercase: bool = True,
     dfreq: DataFrame | None = None,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Top-k BM25 hits per query: (query_id, ``id_col``, rank, bm25).
 
@@ -182,7 +184,32 @@ def bm25_topk(
     of each query term — but costs a second pass over the matched
     branch). Query terms absent from the corpus match nothing and
     contribute nothing; queries with no surviving term return no rows.
+
+    ``max_df_frac``: the stopword valve — drop query terms whose
+    document frequency exceeds this fraction of ``n_docs`` (Lucene's
+    ``maxDocFreq`` MoreLikeThis guard). A hot term ("the") matches a
+    corpus-sized posting slice, so one careless query term can turn
+    the score aggregate into a corpus shuffle; such terms also carry
+    near-zero idf, so dropping them barely moves the ranking. The cut
+    happens on the (broadcast-sized) df table BEFORE the contribution
+    rows flow into the aggregate — the 100 TB protection. With the
+    precomputed ``dfreq`` it also prunes the matched-postings branch
+    itself (df is known before the scan); on the on-the-fly path the
+    scan still reads the hot term's postings once to count them.
+    Default None (off) — the parity/oracle configuration.
     """
+    def _df_valve(d):
+        # stopword valve: cut on the broadcast-sized df table, never
+        # on the posting rows themselves
+        return (
+            d.crossJoin(F.broadcast(stats))
+            .filter(
+                F.col("df")
+                <= F.lit(float(max_df_frac)) * F.col("n_docs")
+            )
+            .select("term", "df")
+        )
+
     qt = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -190,7 +217,13 @@ def bm25_topk(
         )
         .distinct()
     )
-    matched = postings.join(F.broadcast(qt.select("term").distinct()), "term")
+    qterms = qt.select("term").distinct()
+    if dfreq is not None and max_df_frac is not None:
+        # df known BEFORE the scan: hot terms never reach the
+        # postings join at all
+        dfreq = _df_valve(dfreq)
+        qterms = qterms.join(F.broadcast(dfreq.select("term")), "term")
+    matched = postings.join(F.broadcast(qterms), "term")
     if dfreq is None:
         # the convenience path reads the matched branch twice (df
         # derivation + scoring) — pin it so an inline-built index is
@@ -198,6 +231,8 @@ def bm25_topk(
         # pinned table is query-term postings only, not the corpus
         matched = matched.localCheckpoint()
         dfreq = term_stats(matched)
+        if max_df_frac is not None:
+            dfreq = _df_valve(dfreq)
     # df/qt/stats are all query-sized: broadcast every one of them so
     # the matched-postings branch flows shuffle-free into the score agg.
     scored = (
@@ -301,6 +336,37 @@ def combine_index_stats(a: DataFrame, b: DataFrame) -> DataFrame:
             (F.col("_ta") + F.col("_tb")).cast("double")
             / (F.col("_na") + F.col("_nb")).cast("double"),
         ).alias("avgdl"),
+    )
+
+
+def stats_from_postings(
+    postings: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(n_docs, total_len, avgdl) re-derived from a postings table —
+    for consumers holding ONLY the index (e.g. the streaming
+    index-maintenance loop, whose versioned state is the postings
+    table alone): distinct (doc, doc_len) pairs → one exact-long
+    aggregate. DIVERGENCE from :func:`index_stats`, documented: a
+    zero-term document has no postings, so it is invisible here —
+    n_docs counts docs with ≥1 term (the searchable corpus), which is
+    every doc a streamed index can ever return. One index-grain
+    distinct (a shuffle over slim (doc, len) rows) — run it at index
+    refresh time, not per query; on the build path prefer
+    :func:`index_stats` + :func:`combine_index_stats`, which never
+    rescan anything."""
+    return (
+        postings.select(F.col(id_col), F.col("doc_len"))
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("doc_len"), F.lit(0))
+            .cast("long")
+            .alias("total_len"),
+            (
+                F.sum("doc_len").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avgdl"),
+        )
     )
 
 

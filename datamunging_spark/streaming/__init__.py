@@ -1137,6 +1137,69 @@ def streaming_distinct_counts(
     )
 
 
+def streaming_index_ingest(
+    docs_stream: DataFrame,
+    table_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    checkpoint_path: str | None = None,
+    keep_last: int = 2,
+) -> int | None:
+    """Continuous inverted-index maintenance via ``foreachBatch`` — the
+    lexical-retrieval leg of the versioned-fold family: each micro-batch
+    of documents is signed with
+    :func:`~datamunging_spark.operators.retrieval.inverted_index` (ONE
+    batch-sized aggregate; history never rescanned) and rolled onto the
+    stored postings table with
+    :func:`~datamunging_spark.operators.retrieval.advance_index`
+    ``replace_ids=True`` — so the searchable index is always one
+    ``read_table_version`` away, Lucene's segment-merge freshness model
+    on the versioned store.
+
+    ``replace_ids=True`` is what makes the fold REPLAY-IDEMPOTENT (the
+    streaming_distinct_counts algebra, ``skip_applied=False``): a
+    re-folded batch first anti-joins its own doc ids out of the state,
+    so re-applying is the identity — and updated documents in a later
+    batch supersede their old postings for free, which append-only
+    folds cannot offer. After a lost checkpoint, replayed-or-new
+    batches fold correctly instead of being dropped by a stale tag.
+
+    Query the current version with
+    ``bm25_topk(read_table_version(spark, table_path), queries,
+    stats_from_postings(...))`` —
+    :func:`~datamunging_spark.operators.retrieval.stats_from_postings`
+    re-derives (n_docs, total_len, avgdl) from the postings alone
+    (zero-term docs are invisible to a streamed index, documented
+    there). Drains with ``availableNow``; returns the latest committed
+    version."""
+    from datamunging_spark.operators.retrieval import (
+        advance_index,
+        inverted_index,
+    )
+
+    def _fold(state, batch):
+        if state is None:
+            return inverted_index(batch, text_col, id_col, lowercase)
+        return advance_index(
+            state,
+            batch,
+            text_col=text_col,
+            id_col=id_col,
+            lowercase=lowercase,
+            replace_ids=True,
+        )
+
+    return _versioned_stream_fold(
+        docs_stream,
+        table_path,
+        _fold,
+        checkpoint_path,
+        keep_last,
+        skip_applied=False,  # replace_ids makes re-folding the identity
+    )
+
+
 def streaming_quantiles(
     values_stream: DataFrame,
     col: str,

@@ -12,6 +12,7 @@ from datamunging_spark.operators.retrieval import (
     index_stats,
     inverted_index,
     rrf_fuse,
+    stats_from_postings,
     term_stats,
 )
 
@@ -283,3 +284,86 @@ def test_combine_index_stats_empty_identity(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     got = combine_index_stats(index_stats(docs), index_stats(empty)).collect()
     assert got == index_stats(docs).collect()
+
+
+def test_stats_from_postings_matches_index_stats_minus_empty(spark):
+    docs = _docs(spark)
+    post = inverted_index(docs)
+    n_docs, total_len, avgdl = stats_from_postings(post).collect()[0]
+    # the empty doc is invisible to the index: 3 searchable docs
+    assert (n_docs, total_len) == (3, 10)
+    assert avgdl == pytest.approx(10 / 3)
+
+
+def test_streaming_index_ingest_folds_and_replaces(spark, tmp_path):
+    """Three micro-batches (the third UPDATES a doc from the first) fold
+    into a versioned postings table that equals a full rebuild of the
+    final corpus; replaying the last batch against the committed store
+    is the identity (replace_ids replay algebra)."""
+    from datamunging_spark.sources.versioned import read_table_version
+    from datamunging_spark.streaming import streaming_index_ingest
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    table = str(tmp_path / "postings_store")
+    ckpt = str(tmp_path / "idx_ckpt")
+    schema = "doc_id long, text string"
+    b1 = [(1, "spark rows fast"), (2, "broadcast join")]
+    b2 = [(3, "zebra stampede")]
+    b3 = [(1, "rewritten doc one"), (4, "windowed agg")]
+    for i, rows in enumerate((b1, b2, b3)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    v = streaming_index_ingest(stream, table, checkpoint_path=ckpt)
+    assert v == 3
+    got = sorted(map(tuple, read_table_version(spark, table).collect()))
+    final = spark.createDataFrame(
+        [(2, "broadcast join"), (3, "zebra stampede"),
+         (1, "rewritten doc one"), (4, "windowed agg")], schema
+    )
+    assert got == sorted(map(tuple, inverted_index(final).collect()))
+    # replay algebra: re-folding the last batch is the identity
+    from datamunging_spark.operators.retrieval import advance_index
+
+    replayed = advance_index(
+        read_table_version(spark, table),
+        spark.createDataFrame(b3, schema),
+        replace_ids=True,
+    )
+    assert sorted(map(tuple, replayed.collect())) == got
+    # the committed store is queryable end to end
+    q = spark.createDataFrame([(0, "zebra")], "query_id long, query string")
+    hits = bm25_topk(
+        read_table_version(spark, table),
+        q,
+        stats_from_postings(read_table_version(spark, table)),
+        k=3,
+    ).collect()
+    assert [(r.doc_id, r.rank) for r in hits] == [(3, 1)]
+
+
+def test_bm25_max_df_frac_stopword_valve(spark):
+    docs = _docs(spark)
+    post, stats = inverted_index(docs), index_stats(docs)
+    q = spark.createDataFrame(
+        [Row(query_id=0, query="spark zebra"), Row(query_id=1, query="zebra")]
+    )
+    # 'spark' df=2/4 docs > 0.4 → dropped; query 0 degrades to 'zebra'
+    out = bm25_topk(post, q, stats, k=4, max_df_frac=0.4)
+    scores = {(r.query_id, r.doc_id): r.bm25 for r in out.collect()}
+    assert set(scores) == {(0, 3), (1, 3)}
+    assert scores[(0, 3)] == scores[(1, 3)]
+    # precomputed-df path (prunes before the postings join) agrees
+    pre = bm25_topk(
+        post, q, stats, k=4, dfreq=term_stats(post), max_df_frac=0.4
+    )
+    assert {
+        (r.query_id, r.doc_id): r.bm25 for r in pre.collect()
+    } == scores
+    # valve off: 'spark' contributes again and doc ranks change
+    full = bm25_topk(post, q, stats, k=4)
+    assert full.filter("query_id = 0").count() == 3  # docs 1, 2, 3

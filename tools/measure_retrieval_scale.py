@@ -1,0 +1,106 @@
+"""Measure the lexical-retrieval family's 10× scale shape (the
+composite-probe rule: every composite gets a measured 10× row in
+SCALE.md).
+
+Claims under test:
+
+1. **Index build grows ~linearly with the corpus** (tokenize → explode
+   → one partial-agg hash aggregate — no join, no sort).
+2. **Query time is decoupled from corpus growth when the index-build
+   artifacts are precomputed** (the 100 TB configuration): the postings
+   scan broadcast-joins the query-term list, so a 10× corpus costs
+   ~10× more SCANNED postings but the exchanges stay matched-postings
+   sized — the query wall should grow far slower than 10×.
+3. **Incremental roll-forward signs only the batch**: advance_index on
+   a 10%-sized batch should cost a small fraction of the full rebuild.
+
+Usage: python tools/measure_retrieval_scale.py [testdata_root]
+(default /root/testdata; probes sf0.01 vs sf0.1 documents, best of 3)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from datamunging_spark.operators.retrieval import (  # noqa: E402
+    advance_index,
+    bm25_topk,
+    index_stats,
+    inverted_index,
+    term_stats,
+)
+
+
+def best_of(n, fn):
+    walls = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        walls.append(time.perf_counter() - t0)
+    return min(walls)
+
+
+def main() -> None:
+    root = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata"
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .appName("measure_retrieval_scale")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="retrieval_scale_")
+    print(
+        "| sf | docs | postings rows | build wall | warm query wall "
+        "(precomputed index) | incremental fold wall (10% batch) |"
+    )
+    print("|---|---|---|---|---|---|")
+    for sf in ("sf0.01", "sf0.1"):
+        docs = spark.read.parquet(
+            os.path.join(root, sf, "documents.parquet")
+        ).select("doc_id", "text")
+        n = docs.count()
+        path = f"{tmp}/{sf}"
+
+        def build():
+            inverted_index(docs).write.mode("overwrite").parquet(path)
+
+        build_wall = best_of(3, build)
+        post = spark.read.parquet(path)
+        n_post = post.count()
+        stats = index_stats(docs).localCheckpoint()
+        dfreq = term_stats(post).localCheckpoint()
+        queries = docs.filter(F.col("doc_id") < 8).select(
+            F.col("doc_id").alias("query_id"),
+            F.substring("text", 1, 40).alias("query"),
+        ).localCheckpoint()
+
+        def query():
+            bm25_topk(post, queries, stats, k=10, dfreq=dfreq).count()
+
+        query_wall = best_of(3, query)
+        cut = int(n * 0.9)
+        hist = inverted_index(
+            docs.filter(F.col("doc_id") < cut)
+        ).localCheckpoint()
+        batch = docs.filter(F.col("doc_id") >= cut).localCheckpoint()
+
+        def fold():
+            advance_index(hist, batch).count()
+
+        fold_wall = best_of(3, fold)
+        print(
+            f"| {sf} | {n} | {n_post} | {build_wall:.2f} s "
+            f"| {query_wall:.2f} s | {fold_wall:.2f} s |"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
