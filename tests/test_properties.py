@@ -648,3 +648,60 @@ def test_bm25_matches_python_reference(spark, texts, query_texts):
         ).collect()
     )
     assert got == sorted(want)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta".split()),
+            min_size=0, max_size=8,
+        ).map(" ".join),
+        min_size=1, max_size=14,
+    ),
+    st.data(),
+)
+def test_advance_index_fold_equals_full_rebuild(spark, texts, data):
+    """X2 lexical: folding ANY partition of a corpus into the index one
+    batch at a time (advance_index) is postings-identical to the full
+    rebuild, and the merged stats are bit-identical — the
+    mergeable-summary property the streaming loop rides."""
+    from datamunging_spark.operators.retrieval import (
+        advance_index,
+        combine_index_stats,
+        index_stats,
+        inverted_index,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(1, len(docs)), max_size=3, unique=True
+            )
+        )
+    )
+    bounds = [0] + cuts + [len(docs)]
+    batches = [
+        docs[a:b] for a, b in zip(bounds, bounds[1:]) if b > a
+    ]
+    schema = "doc_id long, text string"
+    post = None
+    stats = None
+    for rows in batches:
+        bdf = spark.createDataFrame(rows, schema)
+        post = (
+            inverted_index(bdf)
+            if post is None
+            else advance_index(post, bdf)
+        )
+        stats = (
+            index_stats(bdf)
+            if stats is None
+            else combine_index_stats(stats, index_stats(bdf))
+        )
+    full = spark.createDataFrame(docs, schema)
+    assert sorted(map(tuple, post.collect())) == sorted(
+        map(tuple, inverted_index(full).collect())
+    )
+    assert stats.collect() == index_stats(full).collect()
