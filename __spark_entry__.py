@@ -3664,12 +3664,16 @@ def oracle_sql() -> dict[str, str]:
               WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term
             ), per_doc AS (
               SELECT qt.query_id, post.doc_id,
+                     -- parenthesized as idf * (tfn): the exact
+                     -- double-op grouping of the Spark expression —
+                     -- (a*b)/c and a*(b/c) differ by 1 ulp, enough to
+                     -- flip a DECIMAL(28,7) half-rounding boundary
                      sum(CAST(
                        ln(1.0 + (stats.n_docs - dfreq.df + 0.5)
                                 / (dfreq.df + 0.5))
-                       * (post.tf * 2.2)
-                       / (post.tf + 1.2 * (0.25 + 0.75 *
-                            (dl.doc_len / stats.avgdl)))
+                       * ((post.tf * 2.2)
+                          / (post.tf + 1.2 * (0.25 + 0.75 *
+                               (dl.doc_len / stats.avgdl))))
                        AS DECIMAL(28,7))) AS s
               FROM post
               JOIN qt USING (term) JOIN dfreq USING (term)

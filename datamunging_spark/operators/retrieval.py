@@ -66,6 +66,7 @@ __all__ = [
     "index_stats",
     "term_stats",
     "bm25_topk",
+    "phrase_topk",
     "rrf_fuse",
     "advance_index",
     "combine_index_stats",
@@ -79,11 +80,16 @@ def search_terms(col: Column | str, lowercase: bool = True) -> Column:
     """``array<string>`` of query/document terms: (lowercase,) split on
     single spaces, empty tokens dropped — the exact tokenization the
     r33 TF-IDF oracle pins, so every downstream count is
-    DuckDB-reproducible."""
+    DuckDB-reproducible. The split itself is the canonical
+    ``functions.tokenize`` (the str.split-parity form lives in ONE
+    place); this wrapper adds the case fold and the empty-token
+    filter."""
+    from datamunging_spark.functions import tokenize
+
     c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
     if lowercase:
         c = F.lower(c)
-    return F.filter(F.split(c, " ", -1), lambda w: w != "")
+    return F.filter(tokenize(c), lambda w: w != "")
 
 
 def inverted_index(
@@ -91,6 +97,7 @@ def inverted_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     lowercase: bool = True,
+    positions: bool = False,
 ) -> DataFrame:
     """(term, ``id_col``, tf, doc_len) postings — the corpus's inverted
     index at (term, doc) grain, unique per (term, doc) by construction.
@@ -102,16 +109,41 @@ def inverted_index(
     costs no extra aggregate. This is the one corpus-sized shuffle the
     family ever performs; materialize the result with
     ``materialize_columnar`` and query it forever.
+
+    ``positions=True`` adds a ``positions`` column (sorted
+    ``array<int>`` of the term's 0-based token offsets in the doc —
+    Lucene's positional-postings trade: the index grows by one int per
+    token, and :func:`phrase_topk` becomes answerable from the index
+    alone). ``tf == size(positions)`` by construction. The aggregate
+    stays a single hash agg (``collect_list`` + ``array_sort`` — the
+    sort makes the row partitioning-independent, so positional indexes
+    are byte-deterministic too).
     """
     toks = df.select(
         F.col(id_col),
         search_terms(text_col, lowercase).alias("_toks"),
     ).withColumn("doc_len", F.size("_toks").cast("long"))
+    if not positions:
+        return (
+            toks.select(id_col, "doc_len", F.explode("_toks").alias("term"))
+            .groupBy("term", id_col, "doc_len")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .select("term", id_col, "tf", "doc_len")
+        )
     return (
-        toks.select(id_col, "doc_len", F.explode("_toks").alias("term"))
+        toks.select(
+            id_col,
+            "doc_len",
+            F.posexplode("_toks").alias("_pos", "term"),
+        )
         .groupBy("term", id_col, "doc_len")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .select("term", id_col, "tf", "doc_len")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.array_sort(F.collect_list(F.col("_pos").cast("int"))).alias(
+                "positions"
+            ),
+        )
+        .select("term", id_col, "tf", "doc_len", "positions")
     )
 
 
@@ -218,11 +250,18 @@ def bm25_topk(
         .distinct()
     )
     qterms = qt.select("term").distinct()
-    if dfreq is not None and max_df_frac is not None:
-        # df known BEFORE the scan: hot terms never reach the
-        # postings join at all
-        dfreq = _df_valve(dfreq)
-        qterms = qterms.join(F.broadcast(dfreq.select("term")), "term")
+    if dfreq is not None:
+        # a term_stats table spans the WHOLE corpus vocabulary —
+        # semi-join it down to the query terms before anything
+        # broadcasts it, or the scale path would broadcast 10^8+ rows
+        dfreq = dfreq.join(F.broadcast(qterms), "term")
+        if max_df_frac is not None:
+            # df known BEFORE the scan: hot terms never reach the
+            # postings join at all
+            dfreq = _df_valve(dfreq)
+            qterms = qterms.join(
+                F.broadcast(dfreq.select("term")), "term"
+            )
     matched = postings.join(F.broadcast(qterms), "term")
     if dfreq is None:
         # the convenience path reads the matched branch twice (df
@@ -337,6 +376,90 @@ def combine_index_stats(a: DataFrame, b: DataFrame) -> DataFrame:
             / (F.col("_na") + F.col("_nb")).cast("double"),
         ).alias("avgdl"),
     )
+
+
+def phrase_topk(
+    postings: DataFrame,
+    phrases: DataFrame,
+    k: int = 10,
+    query_col: str = "query",
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Exact phrase search over a POSITIONAL index — top-k docs per
+    phrase by phrase frequency: (query_id, ``id_col``, rank,
+    phrase_freq). ``postings`` must come from
+    :func:`inverted_index(..., positions=True) <inverted_index>`;
+    ``phrases`` is a SMALL (query_id, phrase text) batch, broadcast by
+    contract like :func:`bm25_topk`'s queries.
+
+    The classic positional-intersection algorithm, relational: explode
+    each phrase into (offset, term) pairs → broadcast-join postings on
+    term (ONE index scan, no exchange on the postings side) → shift
+    each matched posting's position list left by its phrase offset →
+    per (query, doc), a doc contains the phrase at start p iff p
+    survives the INTERSECTION of all shifted lists — intersection is
+    commutative, so the ``collect_list`` fold needs no ordering and the
+    result is partitioning-independent. Docs missing any phrase term
+    are dropped by requiring one matched posting per phrase offset
+    (duplicate terms in the phrase are distinct offsets, handled
+    exactly: "a a" demands a at p AND p+1). ``phrase_freq`` =
+    |intersection| = occurrence count; ranks break ties on ascending
+    doc id. The only shuffle is the matched-postings (query, doc)
+    aggregate — phrase search at 100 TB costs one pushed index scan,
+    like BM25."""
+    if "positions" not in postings.columns:
+        raise ValueError(
+            "phrase_topk needs a positional index — build the postings "
+            "with inverted_index(..., positions=True)"
+        )
+    qp = phrases.select(
+        F.col(query_id_col).alias("query_id"),
+        F.posexplode(search_terms(query_col, lowercase)).alias(
+            "_off", "term"
+        ),
+    )
+    qn = qp.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n_terms"))
+    hits = postings.join(F.broadcast(qp), "term").select(
+        "query_id",
+        id_col,
+        F.transform(
+            "positions", lambda x: x - F.col("_off")
+        ).alias("_shifted"),
+    )
+    grouped = (
+        hits.groupBy("query_id", id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n_matched"),
+            F.collect_list("_shifted").alias("_arrs"),
+        )
+        .join(F.broadcast(qn), "query_id")
+        .filter(F.col("_n_matched") == F.col("_n_terms"))
+        .select(
+            "query_id",
+            id_col,
+            F.size(
+                F.aggregate(
+                    F.slice(
+                        F.col("_arrs"), 2, F.size(F.col("_arrs")) - 1
+                    ),
+                    F.element_at(F.col("_arrs"), 1),
+                    lambda acc, x: F.array_intersect(acc, x),
+                )
+            ).alias("phrase_freq"),
+        )
+        .filter(F.col("phrase_freq") > 0)
+    )
+    from datamunging_spark.operators.relational import top_k_per_group
+
+    return top_k_per_group(
+        grouped,
+        ["query_id"],
+        [F.col("phrase_freq").desc(), F.col(id_col).asc()],
+        k,
+        rank_out="rank",
+    ).select("query_id", id_col, "rank", "phrase_freq")
 
 
 def stats_from_postings(

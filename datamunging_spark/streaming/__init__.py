@@ -1145,6 +1145,7 @@ def streaming_index_ingest(
     lowercase: bool = True,
     checkpoint_path: str | None = None,
     keep_last: int = 2,
+    version_col: str | None = None,
 ) -> int | None:
     """Continuous inverted-index maintenance via ``foreachBatch`` — the
     lexical-retrieval leg of the versioned-fold family: each micro-batch
@@ -1165,6 +1166,16 @@ def streaming_index_ingest(
     folds cannot offer. After a lost checkpoint, replayed-or-new
     batches fold correctly instead of being dropped by a stale tag.
 
+    replace_ids supersedes ACROSS batches only — two rows for the same
+    doc id WITHIN one micro-batch would both survive the batch's
+    (term, doc) aggregate and silently corrupt the index (df/stats
+    double-count the doc, BM25 sums stale + new text into one score).
+    So within-batch id collisions FAIL FAST by default; pass
+    ``version_col`` (a CDC-style monotonic version on the stream) to
+    resolve them last-wins instead — ties on the version break on a
+    content digest so the winner is deterministic under any
+    partitioning.
+
     Query the current version with
     ``bm25_topk(read_table_version(spark, table_path), queries,
     stats_from_postings(...))`` —
@@ -1173,12 +1184,42 @@ def streaming_index_ingest(
     (zero-term docs are invisible to a streamed index, documented
     there). Drains with ``availableNow``; returns the latest committed
     version."""
+    from pyspark.sql import Window
+
     from datamunging_spark.operators.retrieval import (
         advance_index,
         inverted_index,
     )
 
+    def _resolve_batch(batch):
+        if version_col is not None:
+            w = Window.partitionBy(id_col).orderBy(
+                F.col(version_col).desc(),
+                F.md5(F.coalesce(F.col(text_col), F.lit(""))).desc(),
+            )
+            return (
+                batch.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        dup = (
+            batch.groupBy(id_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .head(1)
+        )
+        if dup:
+            raise ValueError(
+                f"streaming_index_ingest: micro-batch carries multiple "
+                f"rows for {id_col}={dup[0][0]!r} — within-batch "
+                "collisions corrupt the (term, doc) grain; pass "
+                "version_col= for last-wins resolution or dedup the "
+                "stream upstream"
+            )
+        return batch
+
     def _fold(state, batch):
+        batch = _resolve_batch(batch)
         if state is None:
             return inverted_index(batch, text_col, id_col, lowercase)
         return advance_index(

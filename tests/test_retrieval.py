@@ -138,9 +138,9 @@ def test_bm25_matches_duckdb_and_precomputed_dfreq(spark):
                      sum(CAST(
                        ln(1.0 + (stats.n_docs - dfreq.df + 0.5)
                                 / (dfreq.df + 0.5))
-                       * (post.tf * 2.2)
-                       / (post.tf + 1.2 * (0.25 + 0.75 *
-                            (dl.doc_len / stats.avgdl)))
+                       * ((post.tf * 2.2)
+                          / (post.tf + 1.2 * (0.25 + 0.75 *
+                               (dl.doc_len / stats.avgdl))))
                        AS DECIMAL(28,7))) AS s
               FROM post
               JOIN qt USING (term) JOIN dfreq USING (term)
@@ -367,3 +367,119 @@ def test_bm25_max_df_frac_stopword_valve(spark):
     # valve off: 'spark' contributes again and doc ranks change
     full = bm25_topk(post, q, stats, k=4)
     assert full.filter("query_id = 0").count() == 3  # docs 1, 2, 3
+
+
+def test_streaming_index_ingest_within_batch_collision(spark, tmp_path):
+    """Two rows for one doc id inside a single micro-batch fail fast by
+    default (they would corrupt the (term, doc) grain); with
+    version_col the batch resolves last-wins deterministically."""
+    from datamunging_spark.sources.versioned import read_table_version
+    from datamunging_spark.streaming import streaming_index_ingest
+
+    schema = "doc_id long, text string, ver long"
+    rows = [(1, "old text", 1), (1, "new text", 2), (2, "other doc", 1)]
+
+    def drain(name, **kw):
+        src = tmp_path / f"{name}_src"
+        src.mkdir()
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / "f0")
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        return streaming_index_ingest(
+            stream,
+            str(tmp_path / f"{name}_tbl"),
+            checkpoint_path=str(tmp_path / f"{name}_ckpt"),
+            **kw,
+        )
+
+    import pyspark.errors
+
+    with pytest.raises(
+        (pyspark.errors.exceptions.base.PySparkException, Exception),
+        match="within-batch collisions",
+    ):
+        drain("collide")
+
+    assert drain("versioned", version_col="ver") == 1
+    post = read_table_version(spark, str(tmp_path / "versioned_tbl"))
+    terms_for_1 = {r.term for r in post.filter("doc_id = 1").collect()}
+    assert terms_for_1 == {"new", "text"}  # ver=2 won; ver=1 gone
+    assert post.filter("doc_id = 2").count() == 2
+
+
+def test_phrase_topk_planted_and_duplicate_terms(spark):
+    from datamunging_spark.operators.retrieval import phrase_topk
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the red fox jumps red fox again"),
+            Row(doc_id=2, text="fox red the jumps"),  # reversed: no match
+            Row(doc_id=3, text="red red red"),
+            Row(doc_id=4, text="red only"),
+        ]
+    )
+    post = inverted_index(docs, positions=True)
+    q = spark.createDataFrame(
+        [
+            Row(query_id=0, query="red fox"),
+            Row(query_id=1, query="red red"),  # duplicate-term phrase
+            Row(query_id=2, query="red"),      # single term == tf
+            Row(query_id=3, query="red wolf"),  # missing term: no rows
+        ]
+    )
+    out = phrase_topk(post, q, k=5)
+    got = {(r.query_id, r.doc_id): (r.rank, r.phrase_freq)
+           for r in out.collect()}
+    assert got[(0, 1)] == (1, 2)          # "red fox" twice in doc 1
+    assert (0, 2) not in got              # reversed order rejected
+    assert got[(1, 3)] == (1, 2)          # "red red" at starts 0,1
+    assert (1, 1) not in got              # "red ... red" not adjacent
+    assert got[(2, 3)] == (1, 3)          # single term: freq == tf
+    assert got[(2, 1)] == (2, 2)
+    assert not [k_ for k_ in got if k_[0] == 3]
+    with pytest.raises(ValueError, match="positional"):
+        phrase_topk(inverted_index(docs), q)
+
+
+def test_phrase_topk_matches_python_reference_and_repartition(spark):
+    from datamunging_spark.operators.retrieval import phrase_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    # phrases drawn from real doc prefixes so matches exist
+    phrases = [(i, " ".join(t.split(" ")[:2])) for i, t in rows[:3]]
+
+    def ref():
+        out = []
+        for qid, ph in phrases:
+            terms = [w for w in ph.lower().split(" ") if w]
+            scored = []
+            for did, text in rows:
+                toks = [w for w in text.lower().split(" ") if w]
+                freq = sum(
+                    1
+                    for p in range(len(toks) - len(terms) + 1)
+                    if toks[p:p + len(terms)] == terms
+                )
+                if freq:
+                    scored.append((did, freq))
+            scored.sort(key=lambda x: (-x[1], x[0]))
+            out += [
+                (qid, did, r + 1, f)
+                for r, (did, f) in enumerate(scored[:5])
+            ]
+        return sorted(out)
+
+    q = spark.createDataFrame(phrases, "query_id long, query string")
+
+    def run(d):
+        return sorted(
+            (r.query_id, r.doc_id, r.rank, r.phrase_freq)
+            for r in phrase_topk(
+                inverted_index(d, positions=True), q, k=5
+            ).collect()
+        )
+
+    assert run(docs) == ref()
+    assert run(docs.repartition(17)) == ref()
