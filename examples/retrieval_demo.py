@@ -1,0 +1,145 @@
+"""Retrieval tour: the lexical + hybrid search surface end to end on
+the synthetic documents/embeddings tables (~30 s on local[*]):
+
+1. build the inverted index ONCE (the family's only corpus shuffle)
+   and persist it with its stats/df artifacts;
+2. BM25 top-k for a query batch — the postings scan broadcast-joins
+   the query terms, nothing repartitions by term;
+3. the stopword valve (`max_df_frac`) cutting a hot term before the
+   scan;
+4. exact phrase search over the positional index;
+5. hybrid retrieval: RRF-fuse the BM25 ranking with brute-force
+   cosine top-k over the embeddings table;
+6. roll the index forward with one ingest batch (`advance_index` +
+   `combine_index_stats` — history is never rescanned), then the same
+   fold as a Structured Streaming loop into the versioned store.
+
+Run:  python examples/retrieval_demo.py [sf_dir] [workdir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from datamunging_spark import get_spark
+from datamunging_spark.operators.retrieval import (
+    advance_index,
+    bm25_topk,
+    combine_index_stats,
+    index_stats,
+    inverted_index,
+    phrase_topk,
+    rrf_fuse,
+    stats_from_postings,
+    term_stats,
+)
+from datamunging_spark.operators.similarity import brute_force_topk
+from datamunging_spark.sources.versioned import read_table_version
+from datamunging_spark.streaming import streaming_index_ingest
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    workdir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp()
+    spark = get_spark("retrieval_demo")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # 1. index build — materialize postings + stats + df once
+    post_path = f"{workdir}/postings"
+    inverted_index(docs).write.mode("overwrite").parquet(post_path)
+    post = spark.read.parquet(post_path)
+    stats = index_stats(docs).localCheckpoint()
+    dfreq = term_stats(post).localCheckpoint()
+    print(f"index: {post.count()} postings over {docs.count()} docs")
+
+    # 2. BM25 top-5 for three probe queries (doc prefixes)
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 40).alias("query"),
+    )
+    lex = bm25_topk(post, queries, stats, k=5, dfreq=dfreq)
+    print("bm25 top-5:")
+    lex.orderBy("query_id", "rank").show(6, truncate=False)
+
+    # 3. stopword valve: hot terms are cut on the df table, pre-scan
+    valved = bm25_topk(
+        post, queries, stats, k=5, dfreq=dfreq, max_df_frac=0.5
+    )
+    print(
+        f"valved (max_df_frac=0.5): {valved.count()} hits — the "
+        "synthetic corpus's ~40-word vocabulary makes EVERY term a "
+        "stopword at 50% df, so the valve cuts the whole query here; "
+        "on a real corpus it only drops the hot tail"
+    )
+
+    # 4. exact phrase search on the positional index
+    pos_post = inverted_index(docs, positions=True)
+    phrases = docs.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ",
+            F.slice(F.split(F.col("text"), " ", -1), 1, 3),
+        ).alias("query"),
+    )
+    print("phrase top-3:")
+    phrase_topk(pos_post, phrases, k=3).orderBy(
+        "query_id", "rank"
+    ).show(6, truncate=False)
+
+    # 5. hybrid: RRF-fuse the lexical ranking with the vector leg
+    vec = brute_force_topk(
+        emb.filter(F.col("vec_id") < 3), emb, k=5
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = rrf_fuse([lex.select("query_id", "doc_id", "rank"), vec])
+    print("hybrid (RRF) top-3:")
+    fused.filter(F.col("rank") <= 3).orderBy("query_id", "rank").show(
+        9, truncate=False
+    )
+
+    # 6. incremental roll-forward: sign the batch only, never history
+    hist_docs = docs.filter("doc_id < 400")
+    batch = docs.filter("doc_id >= 400")
+    rolled = advance_index(inverted_index(hist_docs), batch)
+    merged = combine_index_stats(
+        index_stats(hist_docs), index_stats(batch)
+    )
+    print(
+        f"rolled index: {rolled.count()} postings; merged stats:",
+        merged.collect()[0].asDict(),
+    )
+
+    # …and the same fold as a streaming loop into the versioned store
+    src = f"{workdir}/stream_src"
+    for i, bound in enumerate([(0, 250), (250, 500)]):
+        docs.filter(
+            (F.col("doc_id") >= bound[0]) & (F.col("doc_id") < bound[1])
+        ).coalesce(1).write.mode("overwrite").parquet(f"{src}/b{i}")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    table = f"{workdir}/postings_store"
+    v = streaming_index_ingest(
+        stream, table, checkpoint_path=f"{workdir}/ckpt"
+    )
+    live = read_table_version(spark, table)
+    hits = bm25_topk(
+        live, queries, stats_from_postings(live), k=3
+    )
+    print(f"streamed index v{v}: {live.count()} postings; "
+          f"{hits.count()} hits from the versioned store")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
