@@ -608,6 +608,32 @@ def q_x2_bm25_hybrid(spark, sf_dir):
     )
 
 
+def q_x2_boolean(spark, sf_dir):
+    """X2 boolean retrieval (bench-only, late r12): Lucene BooleanQuery
+    trio over the inverted index — must (strict AND, unseen terms
+    included), should (≥1 fallback when must is empty, BM25 boost
+    otherwise), must_not (left-anti exclusion) — ranked by BM25 with
+    decimal(28,7) sums. One postings scan for all three roles (term
+    union broadcast into a pinned semi-join); pinned to a pure-Python
+    reference in tests/test_retrieval.py."""
+    from datamunging_spark.operators.retrieval import (
+        boolean_topk,
+        index_stats,
+        inverted_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [
+            (0, "table row", "scan hash", "merge"),
+            (1, None, "spark window", "the"),
+            (2, "row scan", "", None),
+        ],
+        "query_id long, must string, should string, must_not string",
+    )
+    return boolean_topk(inverted_index(d), q, index_stats(d), k=10)
+
+
 def q_r33_tfidf(spark, sf_dir):
     """R33/R34: exact per-(doc,term) TF-IDF as relational algebra (explode →
     two hash aggs → term join + broadcast corpus count)."""

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "x1_span_portable",
     "x5_split_shuffle",
     "x2_bm25_hybrid",
+    "x2_boolean",
 ]
 
 

@@ -66,6 +66,7 @@ __all__ = [
     "index_stats",
     "term_stats",
     "bm25_topk",
+    "boolean_topk",
     "phrase_topk",
     "rrf_fuse",
     "advance_index",
@@ -375,6 +376,146 @@ def combine_index_stats(a: DataFrame, b: DataFrame) -> DataFrame:
             (F.col("_ta") + F.col("_tb")).cast("double")
             / (F.col("_na") + F.col("_nb")).cast("double"),
         ).alias("avgdl"),
+    )
+
+
+def boolean_topk(
+    postings: DataFrame,
+    queries: DataFrame,
+    stats: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    must_col: str = "must",
+    should_col: str = "should",
+    must_not_col: str = "must_not",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Boolean retrieval (the Lucene BooleanQuery trio) ranked by BM25:
+    (query_id, ``id_col``, rank, n_must, n_should, bm25). ``queries``
+    carries three space-split term-text columns per query — a doc
+    qualifies iff it contains EVERY ``must`` term (vacuously true when
+    must is empty/NULL, in which case ≥1 ``should`` match is required
+    instead — a query can't match the whole corpus by accident) and NO
+    ``must_not`` term; qualified docs are scored by BM25 over their
+    matched must+should terms (must clauses score too, the Lucene
+    convention; a term listed in both roles scores ONCE).
+
+    One postings scan: the union of all three roles' terms broadcasts
+    into a single semi-join, pinned via ``localCheckpoint`` (it feeds
+    the df derivation and all three role branches), then everything
+    downstream is matched-postings-sized — the same 100 TB shape as
+    :func:`bm25_topk`. A ``must`` term absent from the corpus matches
+    nothing, so its query returns no rows (strict AND, by design).
+    Exclusion is a left-anti join on the (query, doc) pairs any
+    must_not term hits. Deterministic: decimal(28,7) score sums,
+    (score desc, doc asc) ranks."""
+
+    def _role(col, tag):
+        return queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(search_terms(col, lowercase)).alias("term"),
+            F.lit(tag).alias("_role"),
+        ).distinct()
+
+    # collapse the three roles to per-(query, term) FLAGS before any
+    # postings row exists — the join output is then (query, doc,
+    # term)-unique by construction, so one doc-grain aggregate
+    # suffices (no matched-postings×roles intermediate grain)
+    roles = (
+        _role(must_col, "m")
+        .unionByName(_role(should_col, "s"))
+        .unionByName(_role(must_not_col, "x"))
+        .groupBy("query_id", "term")
+        .agg(
+            F.max(F.col("_role") == "m").alias("_is_m"),
+            F.max(F.col("_role") == "s").alias("_is_s"),
+            F.max(F.col("_role") == "x").alias("_is_x"),
+        )
+    )
+    terms = roles.select("term").distinct()
+    matched = postings.join(
+        F.broadcast(terms), "term"
+    ).localCheckpoint()
+    dfreq = term_stats(matched)
+    hits = matched.join(F.broadcast(roles), "term")
+
+    # BM25 over the matched (query, doc, term) scoring rows
+    scoring = (
+        hits.filter(F.col("_is_m") | F.col("_is_s"))
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+    )
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * (F.col("doc_len") / F.col("avgdl")))
+    )
+    per_doc = (
+        scoring.select(
+            "query_id",
+            id_col,
+            (idf * tfn).cast(_CONTRIB_DECIMAL).alias("_c"),
+            "_is_m",
+            "_is_s",
+        )
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum("_c").alias("_s"),
+            F.sum(F.when(F.col("_is_m"), 1).otherwise(0)).alias("n_must"),
+            F.sum(F.when(F.col("_is_s"), 1).otherwise(0)).alias(
+                "n_should"
+            ),
+        )
+    )
+    # per-query required must count (distinct terms, unseen ones incl.)
+    req = (
+        roles.filter(F.col("_is_m"))
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("_req_must"))
+    )
+    qualified = (
+        per_doc.join(F.broadcast(req), "query_id", "left")
+        .filter(
+            F.when(
+                F.coalesce(F.col("_req_must"), F.lit(0)) > 0,
+                F.col("n_must") == F.col("_req_must"),
+            ).otherwise(F.col("n_should") > 0)
+        )
+        .drop("_req_must")
+    )
+    banned = (
+        hits.filter(F.col("_is_x"))
+        .select("query_id", id_col)
+        .distinct()
+    )
+    survivors = qualified.join(
+        banned, ["query_id", id_col], "left_anti"
+    )
+    from datamunging_spark.operators.relational import top_k_per_group
+
+    return top_k_per_group(
+        survivors,
+        ["query_id"],
+        [F.col("_s").desc(), F.col(id_col).asc()],
+        k,
+        rank_out="rank",
+    ).select(
+        "query_id",
+        id_col,
+        "rank",
+        "n_must",
+        "n_should",
+        F.col("_s").cast("double").alias("bm25"),
     )
 
 

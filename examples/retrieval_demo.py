@@ -81,6 +81,19 @@ def main() -> None:
         "on a real corpus it only drops the hot tail"
     )
 
+    # 3b. boolean retrieval: must AND + should boost + must_not filter
+    from datamunging_spark.operators.retrieval import boolean_topk
+
+    bq = spark.createDataFrame(
+        [(0, "table row", "scan hash", "merge")],
+        "query_id long, must string, should string, must_not string",
+    )
+    print("boolean (must='table row', should='scan hash', "
+          "must_not='merge') top-3:")
+    boolean_topk(post, bq, stats, k=3).orderBy("rank").show(
+        3, truncate=False
+    )
+
     # 4. exact phrase search on the positional index
     pos_post = inverted_index(docs, positions=True)
     phrases = docs.filter(F.col("doc_id") < 2).select(

@@ -483,3 +483,125 @@ def test_phrase_topk_matches_python_reference_and_repartition(spark):
 
     assert run(docs) == ref()
     assert run(docs.repartition(17)) == ref()
+
+
+def test_boolean_topk_must_should_not(spark):
+    from datamunging_spark.operators.retrieval import boolean_topk
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark shuffle broadcast join"),
+            Row(doc_id=2, text="spark shuffle window"),
+            Row(doc_id=3, text="spark broadcast legacy"),
+            Row(doc_id=4, text="shuffle broadcast join"),
+            Row(doc_id=5, text="unrelated words here"),
+        ]
+    )
+    post, stats = inverted_index(docs), index_stats(docs)
+    q = spark.createDataFrame(
+        [
+            # must both spark+shuffle, boost join, exclude window
+            Row(query_id=0, must="spark shuffle", should="join",
+                must_not="window"),
+            # no must: >=1 should required
+            Row(query_id=1, must=None, should="legacy join",
+                must_not=""),
+            # must term absent from corpus: strict AND -> no rows
+            Row(query_id=2, must="spark quux", should="", must_not=""),
+        ]
+    )
+    out = boolean_topk(post, q, stats, k=5)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r.query_id, []).append(r)
+    # q0: doc 2 excluded (window), doc 3/4 fail must, doc 1 survives
+    assert [(r.doc_id, r.n_must, r.n_should) for r in by_q[0]] == [
+        (1, 2, 1)
+    ]
+    # q1: docs containing legacy or join: 1, 3, 4 (no must constraint)
+    assert sorted(r.doc_id for r in by_q[1]) == [1, 3, 4]
+    assert 2 not in by_q
+    # the should ('join') boost must rank doc 1 above doc 2 when the
+    # exclusion is lifted
+    q2 = spark.createDataFrame(
+        [Row(query_id=9, must="spark shuffle", should="join",
+             must_not="")]
+    )
+    ranked = boolean_topk(post, q2, stats, k=5).orderBy("rank").collect()
+    assert [r.doc_id for r in ranked] == [1, 2]
+    assert ranked[0].bm25 > ranked[1].bm25
+
+
+def test_boolean_topk_matches_python_reference(spark):
+    """Engine boolean+BM25 == a pure-Python reference (same decimal
+    quantization discipline as the BM25 property test) on real corpus
+    data, including the overlap rule (a term in must AND should scores
+    once) and the strict unseen-must behavior."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datamunging_spark.operators.retrieval import boolean_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    toks = {i: [w for w in t.lower().split(" ") if w] for i, t in rows}
+    n_docs = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    df: dict = {}
+    for ws in toks.values():
+        for w in set(ws):
+            df[w] = df.get(w, 0) + 1
+
+    qdefs = [
+        (0, "table row", "scan table", "merge"),   # overlap: 'table'
+        (1, None, "spark window", "the"),
+        (2, "row", "", None),
+    ]
+    k1, b, k, q7 = 1.2, 0.75, 6, Decimal("0.0000001")
+    want = []
+    for qid, must, should, must_not in qdefs:
+        m = {w for w in (must or "").lower().split(" ") if w}
+        s = {w for w in (should or "").lower().split(" ") if w}
+        x = {w for w in (must_not or "").lower().split(" ") if w}
+        scored = []
+        for did, ws in toks.items():
+            wset = set(ws)
+            if x & wset:
+                continue
+            if m:
+                if not m <= wset:
+                    continue
+            elif not (s & wset):
+                continue
+            total = Decimal(0)
+            nm = ns = 0
+            for term in (m | s) & wset:
+                idf = math.log(
+                    1.0 + (n_docs - df[term] + 0.5) / (df[term] + 0.5)
+                )
+                tf = ws.count(term)
+                tfn = (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * (len(ws) / avgdl))
+                )
+                total += Decimal(repr(idf * tfn)).quantize(
+                    q7, ROUND_HALF_UP
+                )
+                nm += term in m
+                ns += term in s
+            scored.append((did, nm, ns, total))
+        scored.sort(key=lambda t: (-t[3], t[0]))
+        want += [
+            (qid, did, r + 1, nm, ns, float(t))
+            for r, (did, nm, ns, t) in enumerate(scored[:k])
+        ]
+
+    q = spark.createDataFrame(
+        qdefs, "query_id long, must string, should string, must_not string"
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, r.rank, r.n_must, r.n_should, r.bm25)
+        for r in boolean_topk(
+            inverted_index(docs), q, index_stats(docs), k=k
+        ).collect()
+    )
+    assert got == sorted(want)

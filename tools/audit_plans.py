@@ -185,6 +185,11 @@ _JUSTIFY: dict[str, str] = {
     "BROADCAST join (plan-asserted: nothing repartitions by term), "
     "and the score/window/fusion exchanges are matched-postings / "
     "top-k sized.",
+    "x2_boolean": "same family shape as x2_bm25_hybrid: one corpus "
+    "exchange is the inline index build (persisted table in real "
+    "use); the three boolean roles share ONE pinned postings "
+    "semi-join, and the qualification/exclusion/score exchanges are "
+    "matched-postings / top-k sized.",
     "x1_span_portable": "winnowed fp equi-join, valve OFF (parity "
     "configuration, every anchor visible — the x1_ngram_jaccard "
     "precedent): exchanges are slim (id, fp, pos) rows ≈ 6% of corpus "
