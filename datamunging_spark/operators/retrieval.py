@@ -77,6 +77,29 @@ __all__ = [
 _CONTRIB_DECIMAL = "decimal(28,7)"
 
 
+def _bm25_parts(k1: float, b: float) -> tuple[Column, Column]:
+    """The (idf, tfn) column pair of the BM25 contribution — ONE home
+    for the formula both :func:`bm25_topk` and :func:`boolean_topk`
+    score with (and that the DuckDB oracles re-derive): Lucene "+1"
+    idf over (n_docs, df), k1/b length-normalized tf over
+    (tf, doc_len, avgdl). Callers multiply idf * tfn and cast
+    ``_CONTRIB_DECIMAL`` — keep that grouping; the oracle SQL is
+    parenthesized to match it."""
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+    )
+    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * (F.col("doc_len") / F.col("avgdl")))
+    )
+    return idf, tfn
+
+
 def search_terms(col: Column | str, lowercase: bool = True) -> Column:
     """``array<string>`` of query/document terms: (lowercase,) split on
     single spaces, empty tokens dropped — the exact tokenization the
@@ -280,21 +303,7 @@ def bm25_topk(
         .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (
-            (F.col("n_docs") - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-        )
-    )
-    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1)
-        * (
-            F.lit(1.0 - b)
-            + F.lit(b) * (F.col("doc_len") / F.col("avgdl"))
-        )
-    )
+    idf, tfn = _bm25_parts(k1, b)
     per_doc = scored.select(
         "query_id",
         F.col(id_col),
@@ -343,13 +352,22 @@ def advance_index(
     standard freshness trade of every incremental text index
     (Lucene's segment model); a periodic full rebuild resets it.
     """
-    new_post = inverted_index(batch, text_col, id_col, lowercase)
+    # positional indexes roll forward as positional indexes — detect
+    # from the history schema so a positions=True index can never be
+    # silently degraded (or loudly union-mismatched) by a fold
+    pos = "positions" in postings.columns
+    new_post = inverted_index(
+        batch, text_col, id_col, lowercase, positions=pos
+    )
     if replace_ids:
+        cols = ["term", id_col, "tf", "doc_len"] + (
+            ["positions"] if pos else []
+        )
         postings = postings.join(
             F.broadcast(batch.select(F.col(id_col)).distinct()),
             id_col,
             "left_anti",
-        ).select("term", id_col, "tf", "doc_len")  # anti-join keys-first
+        ).select(*cols)  # anti-join reorders keys-first
     return postings.unionByName(new_post)
 
 
@@ -414,11 +432,12 @@ def boolean_topk(
     (score desc, doc asc) ranks."""
 
     def _role(col, tag):
+        # no distinct — the roles groupBy below dedups everything
         return queries.select(
             F.col(query_id_col).alias("query_id"),
             F.explode(search_terms(col, lowercase)).alias("term"),
             F.lit(tag).alias("_role"),
-        ).distinct()
+        )
 
     # collapse the three roles to per-(query, term) FLAGS before any
     # postings row exists — the join output is then (query, doc,
@@ -448,18 +467,7 @@ def boolean_topk(
         .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (
-            (F.col("n_docs") - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-        )
-    )
-    tfn = (F.col("tf") * F.lit(k1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(k1)
-        * (F.lit(1.0 - b) + F.lit(b) * (F.col("doc_len") / F.col("avgdl")))
-    )
+    idf, tfn = _bm25_parts(k1, b)
     per_doc = (
         scoring.select(
             "query_id",

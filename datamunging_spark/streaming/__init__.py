@@ -1174,7 +1174,14 @@ def streaming_index_ingest(
     ``version_col`` (a CDC-style monotonic version on the stream) to
     resolve them last-wins instead — ties on the version break on a
     content digest so the winner is deterministic under any
-    partitioning.
+    partitioning. KNOWN GAP, by design: ``version_col`` arbitrates
+    WITHIN a micro-batch only — the stored postings carry no version,
+    so a stale version arriving in a LATER micro-batch still replaces
+    the newer text (last-batch-wins). Per-key-ordered sources (Kafka
+    keyed by doc id, Delta CDF) satisfy this for free; for genuinely
+    unordered streams route updates through
+    ``streaming_apply_changelog`` (which stores and compares versions)
+    and rebuild/fold the index from its materialized table.
 
     Query the current version with
     ``bm25_topk(read_table_version(spark, table_path), queries,

@@ -31,6 +31,7 @@ from datamunging_spark import get_spark
 from datamunging_spark.operators.retrieval import (
     advance_index,
     bm25_topk,
+    boolean_topk,
     combine_index_stats,
     index_stats,
     inverted_index,
@@ -82,8 +83,6 @@ def main() -> None:
     )
 
     # 3b. boolean retrieval: must AND + should boost + must_not filter
-    from datamunging_spark.operators.retrieval import boolean_topk
-
     bq = spark.createDataFrame(
         [(0, "table row", "scan hash", "merge")],
         "query_id long, must string, should string, must_not string",

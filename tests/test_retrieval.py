@@ -393,11 +393,10 @@ def test_streaming_index_ingest_within_batch_collision(spark, tmp_path):
             **kw,
         )
 
-    import pyspark.errors
+    from pyspark.errors import StreamingQueryException
 
     with pytest.raises(
-        (pyspark.errors.exceptions.base.PySparkException, Exception),
-        match="within-batch collisions",
+        StreamingQueryException, match="within-batch collisions"
     ):
         drain("collide")
 
@@ -605,3 +604,33 @@ def test_boolean_topk_matches_python_reference(spark):
         ).collect()
     )
     assert got == sorted(want)
+
+
+def test_advance_index_preserves_positional_schema(spark):
+    """A positions=True index rolls forward AS a positional index on
+    both the append and replace paths — equal to a full positional
+    rebuild, and still phrase-searchable (the review found the replace
+    path silently stripping positions and the append path throwing)."""
+    from datamunging_spark.operators.retrieval import phrase_topk
+
+    docs = _docs(spark)
+    hist = inverted_index(docs.filter("doc_id <= 2"), positions=True)
+    batch = docs.filter("doc_id > 2")
+    appended = advance_index(hist, batch)
+    assert "positions" in appended.columns
+    assert sorted(map(tuple, appended.collect())) == sorted(
+        map(tuple, inverted_index(docs, positions=True).collect())
+    )
+    upd = spark.createDataFrame(
+        [Row(doc_id=2, text="zebra broadcast zebra")]
+    )
+    replaced = advance_index(
+        inverted_index(docs, positions=True), upd, replace_ids=True
+    )
+    after = docs.filter("doc_id != 2").unionByName(upd)
+    assert sorted(map(tuple, replaced.collect())) == sorted(
+        map(tuple, inverted_index(after, positions=True).collect())
+    )
+    q = spark.createDataFrame([Row(query_id=0, query="zebra broadcast")])
+    hits = phrase_topk(replaced, q, k=3).collect()
+    assert [(r.doc_id, r.phrase_freq) for r in hits] == [(2, 1)]
