@@ -58,9 +58,10 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="retrieval_scale_")
     print(
         "| sf | docs | postings rows | build wall | warm query wall "
-        "(precomputed index) | incremental fold wall (10% batch) |"
+        "(precomputed index) | incremental fold wall (10% batch) "
+        "| phrase wall (positional) | boolean wall |"
     )
-    print("|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|---|")
     for sf in ("sf0.01", "sf0.1"):
         docs = spark.read.parquet(
             os.path.join(root, sf, "documents.parquet")
@@ -95,9 +96,38 @@ def main() -> None:
             advance_index(hist, batch).count()
 
         fold_wall = best_of(3, fold)
+
+        from datamunging_spark.operators.retrieval import (
+            boolean_topk,
+            phrase_topk,
+        )
+
+        pos_post = inverted_index(docs, positions=True).localCheckpoint()
+        phrases = docs.filter(F.col("doc_id") < 8).select(
+            F.col("doc_id").alias("query_id"),
+            F.concat_ws(
+                " ", F.slice(F.split(F.col("text"), " ", -1), 1, 3)
+            ).alias("query"),
+        ).localCheckpoint()
+
+        def phrase():
+            phrase_topk(pos_post, phrases, k=10).count()
+
+        phrase_wall = best_of(3, phrase)
+        bq = spark.createDataFrame(
+            [(0, "table row", "scan hash", "merge"),
+             (1, None, "spark window", "the")],
+            "query_id long, must string, should string, must_not string",
+        )
+
+        def boolean():
+            boolean_topk(post, bq, stats, k=10).count()
+
+        bool_wall = best_of(3, boolean)
         print(
             f"| {sf} | {n} | {n_post} | {build_wall:.2f} s "
-            f"| {query_wall:.2f} s | {fold_wall:.2f} s |"
+            f"| {query_wall:.2f} s | {fold_wall:.2f} s "
+            f"| {phrase_wall:.2f} s | {bool_wall:.2f} s |"
         )
     spark.stop()
 
