@@ -705,3 +705,63 @@ def test_advance_index_fold_equals_full_rebuild(spark, texts, data):
         map(tuple, inverted_index(full).collect())
     )
     assert stats.collect() == index_stats(full).collect()
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("a b c".split()), min_size=0, max_size=10
+        ).map(" ".join),
+        min_size=1, max_size=10,
+    ),
+    st.lists(
+        st.lists(
+            st.sampled_from("a b c".split()), min_size=1, max_size=3
+        ).map(" ".join),
+        min_size=1, max_size=3,
+    ),
+)
+def test_phrase_topk_matches_sliding_window_reference(
+    spark, texts, phrase_texts
+):
+    """X2 lexical: positional-intersection phrase search == the naive
+    sliding-window count on arbitrary 3-symbol word salads — the
+    adversarial regime for OVERLAPPING occurrences ("a a a" contains
+    "a a" twice) and duplicate-term phrases, which the planted module
+    test can't sweep."""
+    from datamunging_spark.operators.retrieval import (
+        inverted_index,
+        phrase_topk,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    phrases = [(i, p) for i, p in enumerate(phrase_texts)]
+    k = 5
+    want = []
+    for qid, ph in phrases:
+        terms = [w for w in ph.split(" ") if w]
+        scored = []
+        for did, text in docs:
+            toks = [w for w in text.split(" ") if w]
+            freq = sum(
+                1
+                for p in range(len(toks) - len(terms) + 1)
+                if toks[p:p + len(terms)] == terms
+            )
+            if freq:
+                scored.append((did, freq))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        want += [
+            (qid, did, r + 1, f)
+            for r, (did, f) in enumerate(scored[:k])
+        ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(phrases, "query_id long, query string")
+    got = sorted(
+        (r.query_id, r.doc_id, r.rank, r.phrase_freq)
+        for r in phrase_topk(
+            inverted_index(ddf, positions=True), qdf, k=k
+        ).collect()
+    )
+    assert got == sorted(want)
