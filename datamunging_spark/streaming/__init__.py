@@ -1137,6 +1137,74 @@ def streaming_distinct_counts(
     )
 
 
+def _index_version_is_delta(spark: SparkSession, vpath: str) -> bool:
+    """A streaming-index version directory is a DELTA iff it carries a
+    ``postings_delta`` subdirectory; otherwise it is a full base (the
+    pre-r13 layout, where every version was a full base, classifies as
+    all-bases and reloads unchanged)."""
+    from datamunging_spark.sources.versioned import _fs
+
+    fs, jvm = _fs(spark, vpath)
+    return fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{vpath}/postings_delta")
+    )
+
+
+def read_index_version(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reconstruct the postings table as of a committed version of a
+    :func:`streaming_index_ingest` store (default: latest): read the
+    newest FULL base at or before it, then fold each later committed
+    version's delta in order — anti-join its ``replaced_ids`` (batch-
+    sized, broadcast), union its ``postings_delta``. The fold replays
+    exactly :func:`~datamunging_spark.operators.retrieval.advance_index`
+    ``replace_ids=True``, so the reconstruction equals the full table
+    that a rewrite-per-version store would hold, with lineage bounded
+    by the base cadence (≤ ``min(keep_last, base_every)`` − 1 deltas).
+    Old-layout stores (every version a full base) reduce to 'read the
+    requested version'."""
+    from datamunging_spark.sources.versioned import list_table_versions
+
+    versions = list_table_versions(spark, table_path)
+    if version is None:
+        if not versions:
+            raise FileNotFoundError(
+                f"no committed versions under {table_path}"
+            )
+        version = versions[-1]
+    if version not in versions:
+        raise FileNotFoundError(
+            f"version v{version} not committed at {table_path}"
+        )
+    upto = [v for v in versions if v <= version]
+    base_v = None
+    for v in upto:
+        if not _index_version_is_delta(spark, f"{table_path}/v{v}"):
+            base_v = v
+    if base_v is None:
+        raise FileNotFoundError(
+            f"no full base at or before v{version} under {table_path} "
+            "— the base was vacuumed past the delta chain; raise "
+            "keep_last (the base cadence is min(keep_last, base_every))"
+        )
+    state = spark.read.parquet(f"{table_path}/v{base_v}")
+    cols = state.columns
+    for v in [v for v in upto if v > base_v]:
+        vp = f"{table_path}/v{v}"
+        replaced = spark.read.parquet(f"{vp}/replaced_ids")
+        delta = spark.read.parquet(f"{vp}/postings_delta")
+        state = (
+            state.join(F.broadcast(replaced), id_col, "left_anti")
+            .select(*cols)
+            .unionByName(delta)
+        )
+    return state
+
+
 def streaming_index_ingest(
     docs_stream: DataFrame,
     table_path: str,
@@ -1146,6 +1214,8 @@ def streaming_index_ingest(
     checkpoint_path: str | None = None,
     keep_last: int = 2,
     version_col: str | None = None,
+    stats: bool = True,
+    base_every: int | None = 64,
 ) -> int | None:
     """Continuous inverted-index maintenance via ``foreachBatch`` — the
     lexical-retrieval leg of the versioned-fold family: each micro-batch
@@ -1155,8 +1225,28 @@ def streaming_index_ingest(
     stored postings table with
     :func:`~datamunging_spark.operators.retrieval.advance_index`
     ``replace_ids=True`` — so the searchable index is always one
-    ``read_table_version`` away, Lucene's segment-merge freshness model
-    on the versioned store.
+    :func:`read_index_version` away, Lucene's segment-merge freshness
+    model on the versioned store.
+
+    **The store is a delta log with base compaction (r13, the span-
+    family r9 shape)**: most folds persist only the BATCH's increment
+    (``postings_delta`` + ``replaced_ids`` under the version directory)
+    — a batch-sized write, so a month of micro-batches costs a month of
+    batch-sized deltas, not a month of full index rewrites. A FULL base
+    (the version directory as plain parquet, the pre-r13 layout — old
+    stores reload unchanged as all-bases) is compacted every
+    ``min(keep_last, base_every)``-th fold: the retention term
+    guarantees the vacuumed tail-K window always contains the base its
+    deltas need (``keep_last=2``, the default, alternates base/delta —
+    raise ``keep_last`` to amortize further), while ``base_every``
+    (default 64) bounds the reconstruction lineage independent of
+    retention. ``base_every=None`` opts into a pure delta log after the
+    first fold (O(folds) reload lineage — the span family's documented
+    footgun, same warning). Base-vs-delta is decided from the COMMITTED
+    store alone and torn attempts are deleted whole before the write,
+    so crash replays converge on the same mode. Read any committed
+    version with :func:`read_index_version`, which replays the delta
+    chain (broadcast anti-join + union per delta) onto the newest base.
 
     ``replace_ids=True`` is what makes the fold REPLAY-IDEMPOTENT (the
     streaming_distinct_counts algebra, ``skip_applied=False``): a
@@ -1183,20 +1273,51 @@ def streaming_index_ingest(
     ``streaming_apply_changelog`` (which stores and compares versions)
     and rebuild/fold the index from its materialized table.
 
-    Query the current version with
-    ``bm25_topk(read_table_version(spark, table_path), queries,
-    stats_from_postings(...))`` —
+    **Stats ride the fold** (``stats=True``, default): a one-row
+    (n_docs, total_len, avgdl) table is folded through its OWN
+    versioned store at ``{table_path}_stats`` — same version numbers
+    as the postings store, vacuumed on the same cadence — via the
+    :func:`~datamunging_spark.operators.retrieval.combine_index_stats`
+    algebra: add the batch's searchable stats, subtract the replaced
+    docs' (derived from the history postings' slim (doc, doc_len)
+    grain, so the subtraction is always exact and replay re-folds to
+    the identity). The maintained invariant is ``stats ==
+    stats_from_postings(postings)`` at every version — O(1) to read at
+    query time, no index-grain rescan per refresh, and consistent with
+    the searchable-corpus convention (zero-term docs invisible; an
+    empty-text update under ``replace_ids`` is a DELETE, see
+    :func:`~datamunging_spark.operators.retrieval.advance_index`, and
+    the subtraction accounts for it automatically). Query the current
+    version with ``bm25_topk(read_index_version(spark, table_path),
+    queries, read_table_version(spark, table_path + "_stats"))``. The
+    stats version commits before its postings version: a crash between
+    the two leaves a stats version one ahead, which the overwrite-
+    idempotent replay rewrites; readers should pair MATCHING version
+    numbers (latest postings version is the anchor). With
+    ``stats=False`` only postings are versioned and the query path
+    falls back to
     :func:`~datamunging_spark.operators.retrieval.stats_from_postings`
-    re-derives (n_docs, total_len, avgdl) from the postings alone
-    (zero-term docs are invisible to a streamed index, documented
-    there). Drains with ``availableNow``; returns the latest committed
+    (a full index-grain distinct per refresh — fine interactively,
+    wasteful in a refresh loop, and the reason ``stats`` defaults on).
+    Drains with ``availableNow``; returns the latest committed
     version."""
     from pyspark.sql import Window
 
     from datamunging_spark.operators.retrieval import (
         advance_index,
+        combine_index_stats,
         inverted_index,
+        stats_from_postings,
     )
+    from datamunging_spark.sources.versioned import (
+        latest_table_version,
+        read_table_version,
+        vacuum_table_versions,
+        version_committed,
+        write_table_version,
+    )
+
+    stats_path = f"{table_path}_stats"
 
     def _resolve_batch(batch):
         if version_col is not None:
@@ -1225,27 +1346,136 @@ def streaming_index_ingest(
             )
         return batch
 
-    def _fold(state, batch):
-        batch = _resolve_batch(batch)
-        if state is None:
-            return inverted_index(batch, text_col, id_col, lowercase)
-        return advance_index(
-            state,
-            batch,
-            text_col=text_col,
-            id_col=id_col,
-            lowercase=lowercase,
-            replace_ids=True,
+    def _fold_stats(bspark, state, batch):
+        """Commit the next stats version BEFORE the scaffold commits
+        its postings version (same number — the postings store's
+        latest+1). Everything here is batch-sized or one-row except
+        the replaced-docs subtraction, a column-pruned (doc, doc_len)
+        semi-join pass over the history postings."""
+        next_v = (latest_table_version(bspark, table_path) or 0) + 1
+        batch_stats = stats_from_postings(
+            inverted_index(batch, text_col, id_col, lowercase), id_col
         )
+        if state is None:
+            new_stats = batch_stats
+        else:
+            prev_v = next_v - 1
+            if version_committed(bspark, f"{stats_path}/v{prev_v}"):
+                old_stats = read_table_version(
+                    bspark, stats_path, prev_v
+                )
+            else:  # store predates stats=True: derive once, fold after
+                old_stats = stats_from_postings(state, id_col)
+            replaced = (
+                state.join(
+                    F.broadcast(batch.select(id_col).distinct()),
+                    id_col,
+                    "semi",
+                )
+                .select(id_col, "doc_len")
+                .distinct()
+            )
+            negated = replaced.agg(
+                (-F.count(F.lit(1))).alias("n_docs"),
+                (-F.coalesce(F.sum("doc_len"), F.lit(0)))
+                .cast("long")
+                .alias("total_len"),
+                F.lit(None).cast("double").alias("avgdl"),
+            )
+            new_stats = combine_index_stats(
+                combine_index_stats(old_stats, negated), batch_stats
+            )
+        write_table_version(new_stats, stats_path, next_v)
+        vacuum_table_versions(bspark, stats_path, keep_last=keep_last)
 
-    return _versioned_stream_fold(
-        docs_stream,
-        table_path,
-        _fold,
-        checkpoint_path,
-        keep_last,
-        skip_applied=False,  # replace_ids makes re-folding the identity
+    def _process(batch_df, batch_id):
+        if not batch_df.head(1):
+            return
+        bspark = batch_df.sparkSession
+        latest = latest_table_version(bspark, table_path)
+        state = (
+            read_index_version(bspark, table_path, latest, id_col)
+            if latest is not None
+            else None
+        )
+        batch = _resolve_batch(batch_df)
+        if stats:
+            _fold_stats(bspark, state, batch)
+        next_v = (latest or 0) + 1
+        vpath = f"{table_path}/v{next_v}"
+        # torn leftovers from a crashed attempt (possibly in the OTHER
+        # base/delta mode after a config change) must not pollute the
+        # rewrite — an uncommitted vpath is invisible, delete it whole
+        from datamunging_spark.sources.versioned import _fs
+
+        fs, jvm = _fs(bspark, vpath)
+        jp = jvm.org.apache.hadoop.fs.Path(vpath)
+        if fs.exists(jp):
+            fs.delete(jp, True)
+        # base-vs-delta decided from the COMMITTED store alone, so
+        # replays of the same batch converge on the same mode
+        committed = list_table_versions(bspark, table_path)
+        newest_base = None
+        for v in committed:
+            if not _index_version_is_delta(bspark, f"{table_path}/v{v}"):
+                newest_base = v
+        deltas_since = len(
+            [
+                v
+                for v in committed
+                if newest_base is None or v > newest_base
+            ]
+        )
+        cadence = (
+            min(keep_last, base_every)
+            if base_every is not None
+            else None
+        )
+        write_base = (
+            state is None
+            or newest_base is None
+            or (cadence is not None and deltas_since + 1 >= cadence)
+        )
+        if write_base:
+            folded = (
+                inverted_index(batch, text_col, id_col, lowercase)
+                if state is None
+                else advance_index(
+                    state,
+                    batch,
+                    text_col=text_col,
+                    id_col=id_col,
+                    lowercase=lowercase,
+                    replace_ids=True,
+                )
+            )
+            write_table_version(folded, table_path, next_v)
+        else:
+            inverted_index(
+                batch, text_col, id_col, lowercase
+            ).write.mode("overwrite").parquet(f"{vpath}/postings_delta")
+            batch.select(F.col(id_col)).distinct().write.mode(
+                "overwrite"
+            ).parquet(f"{vpath}/replaced_ids")
+            _mark_snapshot_committed(bspark, vpath)
+        vacuum_table_versions(bspark, table_path, keep_last=keep_last)
+
+    if base_every is not None and base_every < 1:
+        raise ValueError(
+            f"base_every must be >= 1 or None, got {base_every}"
+        )
+    from datamunging_spark.sources.versioned import list_table_versions
+
+    spark = docs_stream.sparkSession
+    writer = docs_stream.writeStream.foreachBatch(_process).trigger(
+        availableNow=True
     )
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    return latest_table_version(spark, table_path)
 
 
 def streaming_quantiles(

@@ -301,7 +301,10 @@ def test_streaming_index_ingest_folds_and_replaces(spark, tmp_path):
     final corpus; replaying the last batch against the committed store
     is the identity (replace_ids replay algebra)."""
     from datamunging_spark.sources.versioned import read_table_version
-    from datamunging_spark.streaming import streaming_index_ingest
+    from datamunging_spark.streaming import (
+        read_index_version,
+        streaming_index_ingest,
+    )
 
     src = tmp_path / "docs_src"
     src.mkdir()
@@ -320,7 +323,7 @@ def test_streaming_index_ingest_folds_and_replaces(spark, tmp_path):
     ).parquet(str(src) + "/*")
     v = streaming_index_ingest(stream, table, checkpoint_path=ckpt)
     assert v == 3
-    got = sorted(map(tuple, read_table_version(spark, table).collect()))
+    got = sorted(map(tuple, read_index_version(spark, table).collect()))
     final = spark.createDataFrame(
         [(2, "broadcast join"), (3, "zebra stampede"),
          (1, "rewritten doc one"), (4, "windowed agg")], schema
@@ -330,7 +333,7 @@ def test_streaming_index_ingest_folds_and_replaces(spark, tmp_path):
     from datamunging_spark.operators.retrieval import advance_index
 
     replayed = advance_index(
-        read_table_version(spark, table),
+        read_index_version(spark, table),
         spark.createDataFrame(b3, schema),
         replace_ids=True,
     )
@@ -338,12 +341,117 @@ def test_streaming_index_ingest_folds_and_replaces(spark, tmp_path):
     # the committed store is queryable end to end
     q = spark.createDataFrame([(0, "zebra")], "query_id long, query string")
     hits = bm25_topk(
-        read_table_version(spark, table),
+        read_index_version(spark, table),
         q,
-        stats_from_postings(read_table_version(spark, table)),
+        stats_from_postings(read_index_version(spark, table)),
         k=3,
     ).collect()
     assert [(r.doc_id, r.rank) for r in hits] == [(3, 1)]
+    # the stats store rode the fold: every retained version upholds
+    # stats == stats_from_postings(postings) — incl. across the
+    # replace fold — so query-time stats are O(1), no index rescan
+    from datamunging_spark.sources.versioned import list_table_versions
+
+    svs = list_table_versions(spark, table + "_stats")
+    assert svs == list_table_versions(spark, table)
+    # latest version upholds the invariant (with the default keep_last=2
+    # the older retained delta's base is vacuumed — per-version checks
+    # live in test_streaming_index_delta_log_and_compaction)
+    assert (
+        read_table_version(spark, table + "_stats", svs[-1]).collect()
+        == stats_from_postings(
+            read_index_version(spark, table, svs[-1])
+        ).collect()
+    )
+    fast = bm25_topk(
+        read_index_version(spark, table),
+        q,
+        read_table_version(spark, table + "_stats"),
+        k=3,
+    ).collect()
+    assert [(r.doc_id, r.rank, r.bm25) for r in fast] == [
+        (r.doc_id, r.rank, r.bm25) for r in hits
+    ]
+
+
+def test_streaming_index_delta_log_and_compaction(spark, tmp_path):
+    """The index store is a delta log: with base_every=3 (< keep_last,
+    so cadence = 3) the first fold writes a full base, the next two
+    write batch-sized deltas, the fourth compacts a fresh base, the
+    fifth is a delta again. Every committed version reconstructs to
+    the full rebuild of its point-in-time corpus, the delta chain
+    replays the replace fold (including a delete-via-empty-text), and
+    the versioned stats invariant holds throughout."""
+    from datamunging_spark.sources.versioned import (
+        list_table_versions,
+        read_table_version,
+    )
+    from datamunging_spark.streaming import (
+        _index_version_is_delta,
+        read_index_version,
+        streaming_index_ingest,
+    )
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    table = str(tmp_path / "idx_store")
+    ckpt = str(tmp_path / "idx_ckpt")
+    schema = "doc_id long, text string"
+    batches = [
+        [(1, "spark rows fast"), (2, "broadcast join")],
+        [(3, "zebra stampede")],
+        [(1, "rewritten doc one")],          # replace inside a delta
+        [(4, "windowed agg plan")],
+        [(2, ""), (5, "late arrival doc")],  # delete via empty + add
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    v = streaming_index_ingest(
+        stream, table, checkpoint_path=ckpt, keep_last=5, base_every=3
+    )
+    assert v == 5
+    kinds = {
+        n: (
+            "delta"
+            if _index_version_is_delta(spark, f"{table}/v{n}")
+            else "base"
+        )
+        for n in list_table_versions(spark, table)
+    }
+    assert kinds == {
+        1: "base", 2: "delta", 3: "delta", 4: "base", 5: "delta"
+    }
+
+    def corpus_after(n):
+        docs: dict = {}
+        for rows in batches[:n]:
+            for i, t in rows:
+                docs[i] = t
+        return spark.createDataFrame(
+            [(i, t) for i, t in docs.items()], schema
+        )
+
+    for n in (1, 2, 3, 4, 5):
+        got = sorted(
+            map(tuple, read_index_version(spark, table, n).collect())
+        )
+        want = sorted(
+            map(tuple, inverted_index(corpus_after(n)).collect())
+        )
+        assert got == want, f"version {n}"
+        st = read_table_version(spark, f"{table}_stats", n).collect()
+        assert st == stats_from_postings(
+            read_index_version(spark, table, n)
+        ).collect(), f"stats v{n}"
+    # the delete landed: doc 2 is gone from the final index
+    assert read_index_version(spark, table).filter(
+        "doc_id = 2"
+    ).count() == 0
 
 
 def test_bm25_max_df_frac_stopword_valve(spark):
@@ -604,6 +712,458 @@ def test_boolean_topk_matches_python_reference(spark):
         ).collect()
     )
     assert got == sorted(want)
+
+
+def test_boolean_topk_valve_and_dfreq_paths(spark):
+    """max_df_frac treats hot terms as stopwords in ALL THREE roles
+    (the Lucene stop-filter analogy): a hot must term is no longer
+    required, a hot must_not term no longer excludes — and the
+    precomputed-dfreq path (which prunes hot terms BEFORE the postings
+    join) agrees byte-for-byte with the on-the-fly path. Unseen terms
+    are never valved (absence is not hotness)."""
+    from datamunging_spark.operators.retrieval import boolean_topk
+
+    docs = _docs(spark)
+    post, stats = inverted_index(docs), index_stats(docs)
+    # 'spark' df=2/4 > 0.4 → hot; 'zebra' df=1/4 stays
+    q = spark.createDataFrame(
+        [
+            # hot must: 'spark' dropped, query degrades to must='fast'
+            Row(query_id=0, must="spark fast", should="", must_not=""),
+            # hot must_not: exclusion lifted — doc 1 (contains spark)
+            # is returned under the valve, excluded without it
+            Row(query_id=1, must="fast", should="", must_not="spark"),
+            # unseen must term survives the valve: still strict AND
+            Row(query_id=2, must="zebra quux", should="", must_not=""),
+        ]
+    )
+    out = boolean_topk(post, q, stats, k=5, max_df_frac=0.4)
+    got = sorted((r.query_id, r.doc_id) for r in out.collect())
+    assert got == [(0, 1), (1, 1)]
+    pre = boolean_topk(
+        post, q, stats, k=5, dfreq=term_stats(post), max_df_frac=0.4
+    )
+    assert sorted(
+        (r.query_id, r.doc_id, r.rank, r.n_must, r.n_should, r.bm25)
+        for r in pre.collect()
+    ) == sorted(
+        (r.query_id, r.doc_id, r.rank, r.n_must, r.n_should, r.bm25)
+        for r in out.collect()
+    )
+    # without the valve: q0 strict AND on spark+fast → doc 1 only;
+    # q1's must_not='spark' excludes doc 1 → no rows for q1
+    full = boolean_topk(post, q, stats, k=5)
+    assert sorted((r.query_id, r.doc_id) for r in full.collect()) == [
+        (0, 1)
+    ]
+    # pin=False (no localCheckpoint) is result-identical
+    unpinned = boolean_topk(post, q, stats, k=5, pin=False)
+    assert sorted(
+        (r.query_id, r.doc_id) for r in unpinned.collect()
+    ) == [(0, 1)]
+
+
+def test_boolean_topk_min_should_match(spark):
+    from datamunging_spark.operators.retrieval import boolean_topk
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma"),
+            Row(doc_id=2, text="alpha beta"),
+            Row(doc_id=3, text="alpha delta"),
+            Row(doc_id=4, text="beta gamma"),
+        ]
+    )
+    post, stats = inverted_index(docs), index_stats(docs)
+    # no must: default needs >=1 should; msm=2 needs two distinct
+    q = spark.createDataFrame(
+        [(0, None, "beta gamma delta", "")],
+        "query_id long, must string, should string, must_not string",
+    )
+    loose = boolean_topk(post, q, stats, k=5)
+    assert sorted(r.doc_id for r in loose.collect()) == [1, 2, 3, 4]
+    tight = boolean_topk(post, q, stats, k=5, min_should_match=2)
+    assert sorted(r.doc_id for r in tight.collect()) == [1, 4]
+    # with must: msm applies ON TOP of the strict AND
+    qm = spark.createDataFrame(
+        [Row(query_id=0, must="alpha", should="beta gamma delta",
+             must_not="")]
+    )
+    both = boolean_topk(post, qm, stats, k=5, min_should_match=2)
+    assert [r.doc_id for r in both.collect()] == [1]
+
+
+def test_bm25_pin_flag_result_identical(spark):
+    docs = _docs(spark)
+    post, stats = inverted_index(docs), index_stats(docs)
+    q = spark.createDataFrame([Row(query_id=0, query="zebra fast")])
+    a = sorted(
+        (r.query_id, r.doc_id, r.rank, r.bm25)
+        for r in bm25_topk(post, q, stats, k=4).collect()
+    )
+    b = sorted(
+        (r.query_id, r.doc_id, r.rank, r.bm25)
+        for r in bm25_topk(post, q, stats, k=4, pin=False).collect()
+    )
+    assert a == b and a
+
+
+def test_advance_index_empty_text_update_is_delete(spark):
+    """replace_ids=True with an empty/NULL-text batch row removes the
+    doc from the index — the documented delete semantics."""
+    docs = _docs(spark)
+    batch = spark.createDataFrame(
+        [Row(doc_id=1, text=""), Row(doc_id=2, text=None)]
+    )
+    rolled = advance_index(inverted_index(docs), batch, replace_ids=True)
+    assert rolled.filter("doc_id in (1, 2)").count() == 0
+    after = docs.filter("doc_id not in (1, 2)")
+    assert sorted(map(tuple, rolled.collect())) == sorted(
+        map(tuple, inverted_index(after).collect())
+    )
+
+
+def _fielded_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark guide", "rows and shuffles explained here"),
+            (2, "zebra manual", "spark spark broadcast join details"),
+            (3, "unrelated title", "zebra stampede spark"),
+            (4, "", "empty title doc body"),
+        ],
+        "doc_id long, title string, body string",
+    )
+
+
+def test_fielded_index_and_stats(spark):
+    from datamunging_spark.operators.retrieval import (
+        field_stats,
+        fielded_index,
+        fielded_term_stats,
+    )
+
+    docs = _fielded_docs(spark)
+    post = fielded_index(docs, ["title", "body"])
+    rows = {
+        (r.field, r.term, r.doc_id): (r.tf, r.field_len)
+        for r in post.collect()
+    }
+    assert rows[("title", "spark", 1)] == (1, 2)
+    assert rows[("body", "spark", 2)] == (2, 5)
+    # empty title contributes no postings
+    assert not [k_ for k_ in rows if k_ == ("title", "", 4)]
+    assert not [k_ for k_ in rows if k_[0] == "title" and k_[2] == 4]
+    st = {r.field: (r.n_docs, r.total_len, r.avgdl)
+          for r in field_stats(docs, ["title", "body"]).collect()}
+    # zero-length titles still count toward n_docs and the average
+    assert st["title"] == (4, 6, pytest.approx(6 / 4))
+    assert st["body"][0] == 4
+    # doc-grain df: 'spark' in title(1) + body(2, 3) + body(1)? →
+    # docs {1, 2, 3}; a term in BOTH fields of one doc counts once
+    dfr = {r.term: r.df for r in fielded_term_stats(post).collect()}
+    assert dfr["spark"] == 3
+    assert dfr["zebra"] == 2
+
+
+def test_bm25f_hand_math_and_title_boost(spark):
+    import math
+
+    from datamunging_spark.operators.retrieval import (
+        bm25f_topk,
+        field_stats,
+        fielded_index,
+    )
+
+    docs = _fielded_docs(spark)
+    post = fielded_index(docs, ["title", "body"])
+    fst = field_stats(docs, ["title", "body"])
+    q = spark.createDataFrame(
+        [(0, "zebra")], "query_id long, query string"
+    )
+    out = bm25f_topk(
+        post, q, fst, weights={"title": 2.0, "body": 1.0}, k=5
+    ).orderBy("rank").collect()
+    # title hit (doc 2) outranks body hit (doc 3) under the 2× boost
+    assert [r.doc_id for r in out] == [2, 3]
+    # closed form for doc 2: zebra tf=1 in title (len 2, avgdl 1.5)
+    w, b, k1 = 2.0, 0.75, 1.2
+    tfw = round(w * (1.0 / (1.0 + b * (2 / 1.5 - 1.0))), 7)
+    idf = math.log(1.0 + (4 - 2 + 0.5) / (2 + 0.5))
+    assert out[0].bm25f == pytest.approx(
+        idf * (tfw / (k1 + tfw)), abs=1e-6
+    )
+
+
+def test_bm25f_single_field_ranks_match_bm25(spark):
+    """With one field, weight 1 and the same b, simple BM25F reduces to
+    BM25 without the Lucene (k1+1) numerator constant — identical
+    ranking, scores off by exactly that factor."""
+    from datamunging_spark.operators.retrieval import (
+        bm25f_topk,
+        field_stats,
+        fielded_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 40).alias("query"),
+    )
+    a = bm25_topk(
+        inverted_index(docs), queries, index_stats(docs), k=5
+    ).collect()
+    f = bm25f_topk(
+        fielded_index(docs, {"text": "text"}),
+        queries,
+        field_stats(docs, {"text": "text"}),
+        weights={"text": 1.0},
+        k=5,
+    ).collect()
+    assert sorted((r.query_id, r.doc_id, r.rank) for r in a) == sorted(
+        (r.query_id, r.doc_id, r.rank) for r in f
+    )
+    fa = {(r.query_id, r.doc_id): r.bm25f for r in f}
+    for r in a:
+        assert fa[(r.query_id, r.doc_id)] * 2.2 == pytest.approx(
+            r.bm25, rel=1e-5
+        )
+
+
+def test_bm25f_matches_python_reference(spark):
+    """Engine BM25F == a pure-Python reference with the same decimal
+    discipline (quantize each weighted field tf, then each term
+    contribution) on a real corpus split into synthetic title/body
+    fields — including the saturates-once overlap semantics."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datamunging_spark.operators.retrieval import (
+        bm25f_topk,
+        field_stats,
+        fielded_index,
+    )
+
+    raw = spark.read.parquet(f"{SF}/documents.parquet")
+    docs = raw.select(
+        "doc_id",
+        F.substring("text", 1, 25).alias("title"),
+        F.col("text").alias("body"),
+    )
+    rows = [(r.doc_id, r.title, r.body) for r in docs.collect()]
+    toks = {
+        i: {
+            "title": [w for w in t.lower().split(" ") if w],
+            "body": [w for w in bdy.lower().split(" ") if w],
+        }
+        for i, t, bdy in rows
+    }
+    n_docs = len(rows)
+    avgdl = {
+        f: sum(len(v[f]) for v in toks.values()) / n_docs
+        for f in ("title", "body")
+    }
+    df: dict = {}
+    for v in toks.values():
+        for w in set(v["title"]) | set(v["body"]):
+            df[w] = df.get(w, 0) + 1
+    weights, bs, k1, k = {"title": 2.5, "body": 1.0}, 0.6, 1.2, 5
+    q7 = Decimal("0.0000001")
+    queries = [(i, " ".join(t.split(" ")[:3])) for i, t, _ in rows[:3]]
+    want = []
+    for qid, qtext in queries:
+        terms = {w for w in qtext.lower().split(" ") if w}
+        scored = []
+        for did, v in toks.items():
+            total = Decimal(0)
+            hit = False
+            for term in terms:
+                tfw = Decimal(0)
+                for f in ("title", "body"):
+                    tf = v[f].count(term)
+                    if tf:
+                        tfn = tf / (
+                            1.0 + bs * (len(v[f]) / avgdl[f] - 1.0)
+                        )
+                        tfw += Decimal(
+                            repr(weights[f] * tfn)
+                        ).quantize(q7, ROUND_HALF_UP)
+                if tfw == 0:
+                    continue
+                hit = True
+                idf = math.log(
+                    1.0 + (n_docs - df[term] + 0.5) / (df[term] + 0.5)
+                )
+                x = float(tfw)
+                total += Decimal(repr(idf * (x / (k1 + x)))).quantize(
+                    q7, ROUND_HALF_UP
+                )
+            if hit:
+                scored.append((did, total))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        want += [
+            (qid, did, r + 1, float(s))
+            for r, (did, s) in enumerate(scored[:k])
+        ]
+
+    qdf = spark.createDataFrame(queries, "query_id long, query string")
+    got = sorted(
+        (r.query_id, r.doc_id, r.rank, r.bm25f)
+        for r in bm25f_topk(
+            fielded_index(docs, ["title", "body"]),
+            qdf,
+            field_stats(docs, ["title", "body"]),
+            weights=weights,
+            b=bs,
+            k=k,
+        ).collect()
+    )
+    assert got == sorted(want)
+    # the precomputed-dfreq path agrees byte-for-byte
+    from datamunging_spark.operators.retrieval import fielded_term_stats
+
+    post = fielded_index(docs, ["title", "body"])
+    pre = sorted(
+        (r.query_id, r.doc_id, r.rank, r.bm25f)
+        for r in bm25f_topk(
+            post,
+            qdf,
+            field_stats(docs, ["title", "body"]),
+            weights=weights,
+            b=bs,
+            k=k,
+            dfreq=fielded_term_stats(post),
+        ).collect()
+    )
+    assert pre == got
+
+
+def test_bm25f_deterministic_under_repartition_and_valve(spark):
+    from datamunging_spark.operators.retrieval import (
+        bm25f_topk,
+        field_stats,
+        fielded_index,
+    )
+
+    docs = _fielded_docs(spark)
+    fst = field_stats(docs, ["title", "body"])
+    q = spark.createDataFrame(
+        [(0, "spark zebra")], "query_id long, query string"
+    )
+
+    def run(d, **kw):
+        return sorted(
+            (r.query_id, r.doc_id, r.rank, r.bm25f)
+            for r in bm25f_topk(
+                fielded_index(d, ["title", "body"]),
+                q,
+                fst,
+                weights={"title": 2.0, "body": 1.0},
+                **kw,
+            ).collect()
+        )
+
+    assert run(docs) == run(docs.repartition(7))
+    # 'spark' is in 3/4 docs → valved at 0.5; only zebra scores
+    valved = run(docs, max_df_frac=0.5)
+    assert {t[1] for t in valved} == {2, 3}
+
+
+def _grouped_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "en", "spark rows fast"),
+            (2, "en", "spark broadcast join"),
+            (3, "de", "spark schnell zeilen"),
+            (4, "de", "zeilen zeilen puffer"),
+            (5, None, "spark mystery rows"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+
+
+def test_grouped_index_faces_equal_per_group_runs(spark):
+    """The grouped index/stats/df/bm25 faces == running the ungrouped
+    operator per group slice — including the NULL group, which is a
+    real corpus (searched by NULL-group queries only)."""
+    from datamunging_spark.operators.retrieval import bm25_topk
+
+    docs = _grouped_docs(spark)
+    post = inverted_index(docs, group_col="lang")
+    stats = index_stats(docs, group_col="lang")
+    dfr = term_stats(post, group_col="lang")
+    q = spark.createDataFrame(
+        [(10, "en", "spark rows"), (11, "de", "zeilen"),
+         (12, None, "spark"), (13, "fr", "spark")],
+        "query_id long, lang string, query string",
+    )
+    got = sorted(
+        (r.query_id, r.lang, r.doc_id, r.rank, r.bm25)
+        for r in bm25_topk(
+            post, q, stats, k=5, group_col="lang", dfreq=dfr
+        ).collect()
+    )
+    # reference: ungrouped run per slice
+    want = []
+    for lang, qids in (("en", [10]), ("de", [11]), (None, [12])):
+        cond = (
+            F.col("lang").isNull()
+            if lang is None
+            else F.col("lang") == lang
+        )
+        sl = docs.filter(cond)
+        qs = q.filter(F.col("query_id").isin(qids)).select(
+            "query_id", "query"
+        )
+        for r in bm25_topk(
+            inverted_index(sl), qs, index_stats(sl), k=5
+        ).collect():
+            want.append((r.query_id, lang, r.doc_id, r.rank, r.bm25))
+    assert got == sorted(want)
+    # a group absent from the corpus (fr) returns nothing
+    assert not [t for t in got if t[0] == 13]
+    # convenience path (dfreq=None) agrees
+    fly = sorted(
+        (r.query_id, r.lang, r.doc_id, r.rank, r.bm25)
+        for r in bm25_topk(
+            post, q, stats, k=5, group_col="lang"
+        ).collect()
+    )
+    assert fly == got
+
+
+def test_grouped_advance_index_replace_scoped_to_group(spark):
+    docs = _grouped_docs(spark)
+    post = inverted_index(docs, group_col="lang")
+    # doc_id 1 exists in 'en'; replacing (de, 1) must NOT touch it
+    batch = spark.createDataFrame(
+        [(1, "de", "neu text"), (6, None, "more mystery")],
+        "doc_id long, lang string, text string",
+    )
+    rolled = advance_index(
+        post, batch, group_col="lang", replace_ids=True
+    )
+    after = docs.unionByName(batch)  # (de,1) is new; no collision in docs
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    assert sorted(map(tuple, rolled.collect()), key=key) == sorted(
+        map(tuple, inverted_index(after, group_col="lang").collect()),
+        key=key,
+    )
+    # now a real replace: update (en, 1) and check (de, ...) untouched
+    upd = spark.createDataFrame(
+        [(1, "en", "rewritten entirely")],
+        "doc_id long, lang string, text string",
+    )
+    rolled2 = advance_index(
+        rolled, upd, group_col="lang", replace_ids=True
+    )
+    terms_en_1 = {
+        r.term
+        for r in rolled2.filter(
+            "lang = 'en' and doc_id = 1"
+        ).collect()
+    }
+    assert terms_en_1 == {"rewritten", "entirely"}
+    assert rolled2.filter("lang = 'de' and doc_id = 1").count() > 0
 
 
 def test_advance_index_preserves_positional_schema(spark):
