@@ -542,6 +542,60 @@ def _band_rows(
     )
 
 
+def _band_collision_pairs(
+    left_bands: DataFrame,
+    right_bands: DataFrame,
+    left_id: str,
+    right_id: str,
+    ordered: bool = False,
+) -> DataFrame:
+    """Distinct candidate id pairs from two (id, _b, _k) band-row
+    tables colliding on any band key — the ONE home for the near-dup
+    family's band-collision join (minhash/simhash self-joins and the
+    incremental history-vs-batch probes; phash rides the simhash seam).
+    ``ordered=True`` is the self-join form: both sides are the same
+    banded table and the canonical ``left_id < right_id`` cut halves
+    the pairs and drops self-matches. Keys are uniform by construction
+    (hash chunks), so collision groups stay tiny and the join never
+    degenerates toward all-pairs; only slim (id, band, key) rows ever
+    shuffle — payloads re-join onto the distinct pair set afterwards
+    via :func:`_pair_values`."""
+    cand = left_bands.join(right_bands, on=["_b", "_k"])
+    if ordered:
+        cand = cand.filter(F.col(left_id) < F.col(right_id))
+    return cand.select(left_id, right_id).dropDuplicates(
+        [left_id, right_id]
+    )
+
+
+def _pair_values(
+    pairs: DataFrame,
+    left_src: DataFrame,
+    right_src: DataFrame,
+    id_col: str,
+    val_col: str,
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+    left_val: str = "_va",
+    right_val: str = "_vb",
+) -> DataFrame:
+    """Join one per-id value column onto both sides of a candidate pair
+    table (the verify-predicate input): two slim equi-joins against the
+    pair set — pair-set-sized, never banded-row-sized."""
+    return pairs.join(
+        left_src.select(
+            F.col(id_col).alias(left_id), F.col(val_col).alias(left_val)
+        ),
+        left_id,
+    ).join(
+        right_src.select(
+            F.col(id_col).alias(right_id),
+            F.col(val_col).alias(right_val),
+        ),
+        right_id,
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -594,25 +648,19 @@ def minhash_lsh_pairs(
 
     left = banded.select(F.col(id_col).alias("id_a"), "_b", "_k")
     right = banded.select(F.col(id_col).alias("id_b"), "_b", "_k")
-    pair_ids = (
-        left.join(right, on=["_b", "_k"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    pair_ids = _band_collision_pairs(
+        left, right, "id_a", "id_b", ordered=True
     )
-    sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("_sig").alias("_sig_a"))
-    sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("_sig").alias("_sig_b"))
-    out = (
-        pair_ids.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                F.size(F.array_intersect("_sig_a", "_sig_b"))
-                / F.lit(float(num_hashes))
-            ).alias("sig_jaccard"),
-        )
+    out = _pair_values(
+        pair_ids, sig, sig, id_col, "_sig",
+        left_val="_sig_a", right_val="_sig_b",
+    ).select(
+        "id_a",
+        "id_b",
+        (
+            F.size(F.array_intersect("_sig_a", "_sig_b"))
+            / F.lit(float(num_hashes))
+        ).alias("sig_jaccard"),
     )
     return (out, sig) if _return_sig else out
 
@@ -1005,24 +1053,13 @@ def incremental_minhash_dedup(
             new_bands = new_bands.filter(
                 bloom_might_contain(band_bloom, "_b", "_k")
             )
-        cand = (
-            new_bands.join(hist_bands, on=["_b", "_k"])
-            .select("_nid", "_hid")
-            .dropDuplicates(["_nid", "_hid"])
-        )
-        scored = (
-            cand.join(
-                new_sig.select(F.col(id_col).alias("_nid"), F.col("_sig").alias("_sa")),
-                "_nid",
-            )
-            .join(
-                hist_sig.select(F.col(id_col).alias("_hid"), F.col("_sig").alias("_sb")),
-                "_hid",
-            )
-            .filter(
-                F.size(F.array_intersect("_sa", "_sb")) / F.lit(float(num_hashes))
-                >= threshold
-            )
+        cand = _band_collision_pairs(new_bands, hist_bands, "_nid", "_hid")
+        scored = _pair_values(
+            cand, new_sig, hist_sig, id_col, "_sig",
+            "_nid", "_hid", "_sa", "_sb",
+        ).filter(
+            F.size(F.array_intersect("_sa", "_sb")) / F.lit(float(num_hashes))
+            >= threshold
         )
         losers = scored.select(F.col("_nid").alias(id_col)).distinct().localCheckpoint()
         fresh = new_df.join(losers, on=id_col, how="left_anti")
@@ -1475,21 +1512,9 @@ def simhash_pairs(
     banded = _simhash_band_rows(sh, id_col, bands)
     left = banded.select(F.col(id_col).alias("id_a"), "_b", "_k")
     right = banded.select(F.col(id_col).alias("id_b"), "_b", "_k")
-    cand = (
-        left.join(right, on=["_b", "_k"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = _band_collision_pairs(left, right, "id_a", "id_b", ordered=True)
     return (
-        cand.join(
-            sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("_sa")),
-            "id_a",
-        )
-        .join(
-            sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("_sb")),
-            "id_b",
-        )
+        _pair_values(cand, sh, sh, id_col, "sh", left_val="_sa", right_val="_sb")
         .withColumn(
             "hamming",
             F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))),

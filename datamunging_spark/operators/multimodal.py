@@ -467,21 +467,16 @@ def incremental_phash_dedup(
     hb = _simhash_band_rows(hist_phash, id_col, bands).select(
         F.col(id_col).alias("_hid"), "_b", "_k"
     )
-    cand = (
-        nb.join(hb, on=["_b", "_k"])
-        .select("_nid", "_hid")
-        .dropDuplicates(["_nid", "_hid"])
+    from datamunging_spark.operators.dedup import (
+        _band_collision_pairs,
+        _pair_values,
     )
+
+    cand = _band_collision_pairs(nb, hb, "_nid", "_hid")
     losers = (
-        cand.join(
-            new_sh.select(F.col(id_col).alias("_nid"), F.col("sh").alias("_sa")),
-            "_nid",
-        )
-        .join(
-            hist_phash.select(
-                F.col(id_col).alias("_hid"), F.col("sh").alias("_sb")
-            ),
-            "_hid",
+        _pair_values(
+            cand, new_sh, hist_phash, id_col, "sh",
+            "_nid", "_hid", "_sa", "_sb",
         )
         .filter(
             F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
