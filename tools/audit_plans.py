@@ -190,6 +190,14 @@ _JUSTIFY: dict[str, str] = {
     "use); the three boolean roles share ONE pinned postings "
     "semi-join, and the qualification/exclusion/score exchanges are "
     "matched-postings / top-k sized.",
+    "x2_bm25_persisted": "the PROOF row for the family's scale claim: "
+    "C:0 — the build exchange is GONE (postings/dfreq/stats read from "
+    "materialized parquet); the one M exchange is the matched-postings "
+    "score aggregate, rows = Σ df(query terms) — slim (term, doc, tf, "
+    "len) rows, corpus-proportional here only because the synthetic "
+    "~31-word vocabulary makes 8 queries' terms cover a third of all "
+    "postings; on a real vocabulary this is the df-bounded slice the "
+    "max_df_frac valve caps. Remaining S exchanges are top-k windows.",
     "x1_span_portable": "winnowed fp equi-join, valve OFF (parity "
     "configuration, every anchor visible — the x1_ngram_jaccard "
     "precedent): exchanges are slim (id, fp, pos) rows ≈ 6% of corpus "
