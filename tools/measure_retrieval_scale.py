@@ -13,6 +13,12 @@ Claims under test:
    sized — the query wall should grow far slower than 10×.
 3. **Incremental roll-forward signs only the batch**: advance_index on
    a 10%-sized batch should cost a small fraction of the full rebuild.
+4. **(r13) BM25F and the grouped face keep the decoupling**: the
+   fielded/grouped query walls should track the plain BM25 wall (same
+   broadcast skeleton — one extra matched-sized aggregate for BM25F,
+   one string key column for groups), not the corpus.
+5. **(r13) boolean with a precomputed df table** (its new 100 TB
+   path) should not exceed the on-the-fly wall.
 
 Usage: python tools/measure_retrieval_scale.py [testdata_root]
 (default /root/testdata; probes sf0.01 vs sf0.1 documents, best of 3)
@@ -59,9 +65,11 @@ def main() -> None:
     print(
         "| sf | docs | postings rows | build wall | warm query wall "
         "(precomputed index) | incremental fold wall (10% batch) "
-        "| phrase wall (positional) | boolean wall |"
+        "| phrase wall (positional) | boolean wall | boolean wall "
+        "(precomputed df) | bm25f wall (fielded, precomputed) "
+        "| grouped bm25 wall (4 groups, precomputed) |"
     )
-    print("|---|---|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|---|---|---|---|")
     for sf in ("sf0.01", "sf0.1"):
         docs = spark.read.parquet(
             os.path.join(root, sf, "documents.parquet")
@@ -124,10 +132,70 @@ def main() -> None:
             boolean_topk(post, bq, stats, k=10).count()
 
         bool_wall = best_of(3, boolean)
+
+        def boolean_pre():
+            boolean_topk(post, bq, stats, k=10, dfreq=dfreq).count()
+
+        bool_pre_wall = best_of(3, boolean_pre)
+
+        from datamunging_spark.operators.retrieval import (
+            bm25f_topk,
+            field_stats,
+            fielded_index,
+            fielded_term_stats,
+        )
+
+        fdocs = docs.select(
+            "doc_id",
+            F.substring("text", 1, 25).alias("title"),
+            F.col("text").alias("body"),
+        )
+        fpath = f"{tmp}/{sf}_fielded"
+        fielded_index(fdocs, ["title", "body"]).write.mode(
+            "overwrite"
+        ).parquet(fpath)
+        fpost = spark.read.parquet(fpath)
+        fstats = field_stats(fdocs, ["title", "body"]).localCheckpoint()
+        fdfreq = fielded_term_stats(fpost).localCheckpoint()
+
+        def bm25f():
+            bm25f_topk(
+                fpost, queries, fstats,
+                weights={"title": 2.0, "body": 1.0},
+                k=10, dfreq=fdfreq,
+            ).count()
+
+        bm25f_wall = best_of(3, bm25f)
+
+        gdocs = docs.withColumn(
+            "lang", F.pmod(F.col("doc_id"), F.lit(4)).cast("string")
+        )
+        gpath = f"{tmp}/{sf}_grouped"
+        inverted_index(gdocs, group_col="lang").write.mode(
+            "overwrite"
+        ).parquet(gpath)
+        gpost = spark.read.parquet(gpath)
+        gstats = index_stats(gdocs, group_col="lang").localCheckpoint()
+        gdfreq = term_stats(gpost, group_col="lang").localCheckpoint()
+        gqueries = gdocs.filter(F.col("doc_id") < 8).select(
+            F.col("doc_id").alias("query_id"),
+            "lang",
+            F.substring("text", 1, 40).alias("query"),
+        ).localCheckpoint()
+
+        def grouped():
+            bm25_topk(
+                gpost, gqueries, gstats, k=10, dfreq=gdfreq,
+                group_col="lang",
+            ).count()
+
+        grouped_wall = best_of(3, grouped)
         print(
             f"| {sf} | {n} | {n_post} | {build_wall:.2f} s "
             f"| {query_wall:.2f} s | {fold_wall:.2f} s "
-            f"| {phrase_wall:.2f} s | {bool_wall:.2f} s |"
+            f"| {phrase_wall:.2f} s | {bool_wall:.2f} s "
+            f"| {bool_pre_wall:.2f} s | {bm25f_wall:.2f} s "
+            f"| {grouped_wall:.2f} s |"
         )
     spark.stop()
 
