@@ -706,6 +706,40 @@ def q_x2_bm25_persisted(spark, sf_dir):
     return bm25_topk(post, queries, stats, k=10, dfreq=dfreq)
 
 
+def q_x2_bm25f(spark, sf_dir):
+    """X2 BM25F weighted multi-field search (bench-only, r13): split
+    each document into a synthetic title (first 25 chars) + body,
+    build the fielded index inline (one corpus scan, structs double-
+    exploded), rank 8 queries with title weighted 2.5× — the simple
+    BM25F of Robertson/Zaragoza/Taylor '04 (per-field length
+    normalization, weights INSIDE the saturation so a term hitting
+    both fields saturates once). Pinned to a pure-Python reference in
+    tests/test_retrieval.py; decimal(28,7) field folds keep the score
+    reduction-order-free."""
+    from datamunging_spark.operators.retrieval import (
+        bm25f_topk,
+        field_stats,
+        fielded_index,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 25).alias("title"),
+        F.col("text").alias("body"),
+    )
+    q = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 40).alias("query"),
+    )
+    return bm25f_topk(
+        fielded_index(d, ["title", "body"]),
+        q,
+        field_stats(d, ["title", "body"]),
+        weights={"title": 2.5, "body": 1.0},
+        k=10,
+    )
+
+
 def q_r33_tfidf(spark, sf_dir):
     """R33/R34: exact per-(doc,term) TF-IDF as relational algebra (explode →
     two hash aggs → term join + broadcast corpus count)."""

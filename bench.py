@@ -27,6 +27,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import __spark_entry__ as entrymod
 from datamunging_spark import get_spark
 
+# r13: x1_content_hash (0.15 s) and x2_sq8_roundtrip (0.19 s) retired
+# from the bench list to fit the driver's ~2000-char tail capture as the
+# retrieval entries landed (the contract line was at 1862/1900 chars).
+# Both are single-expression ops with pytest coverage and flat history
+# (r6-r12); their q_* functions remain callable.
 BENCH_QUERIES = [
     "r13_count",
     "r14_group_count",
@@ -36,7 +41,6 @@ BENCH_QUERIES = [
     "top_revenue_orders",
     "window_topk",
     "r26_sample_bernoulli",
-    "x1_content_hash",
     "x1_minhash_pairs",
     "x1_simhash",
     "x1_span_dedup",
@@ -73,7 +77,6 @@ BENCH_QUERIES = [
     "x4_bigram_lm",
     "x1_semantic_dedup",
     "x2_pq_topk",
-    "x2_sq8_roundtrip",
     "reshape_suite",
     "gap_fill",
     "x6_entity_resolution",
@@ -100,6 +103,7 @@ BENCH_QUERIES = [
     "x2_bm25_hybrid",
     "x2_boolean",
     "x2_bm25_persisted",
+    "x2_bm25f",
 ]
 
 

@@ -76,6 +76,8 @@ __all__ = [
     "field_stats",
     "fielded_term_stats",
     "bm25f_topk",
+    "retrieval_metrics",
+    "more_like_this",
 ]
 
 _CONTRIB_DECIMAL = "decimal(28,7)"
@@ -519,6 +521,7 @@ def boolean_topk(
     max_df_frac: float | None = None,
     min_should_match: int = 0,
     pin: bool = True,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Boolean retrieval (the Lucene BooleanQuery trio) ranked by BM25:
     (query_id, ``id_col``, rank, n_must, n_should, bm25). ``queries``
@@ -561,12 +564,21 @@ def boolean_topk(
     escape hatch as :func:`bm25_topk` (no pin exists on the ``dfreq``
     path). Exclusion is a left-anti join on the (query, doc) pairs
     any surviving must_not term hits. Deterministic: decimal(28,7)
-    score sums, (score desc, doc asc) ranks."""
+    score sums, (score desc, doc asc) ranks. ``group_col``: the
+    grouped face over a grouped index — same contract as
+    :func:`bm25_topk`'s (queries carry the group, per-group stats/df,
+    NULL-safe, the group rides the output; hotness is judged against
+    the query's OWN group's df/n_docs)."""
+    gb = [group_col] if group_col else []
+    jk = (["_gk"] if group_col else []) + ["term"]
+    if group_col:
+        stats = stats.withColumn("_gk", _gkey(group_col)).drop(group_col)
 
     def _role(col, tag):
         # no distinct — the roles groupBy below dedups everything
         return queries.select(
             F.col(query_id_col).alias("query_id"),
+            *gb,
             F.explode(search_terms(col, lowercase)).alias("term"),
             F.lit(tag).alias("_role"),
         )
@@ -579,68 +591,80 @@ def boolean_topk(
         _role(must_col, "m")
         .unionByName(_role(should_col, "s"))
         .unionByName(_role(must_not_col, "x"))
-        .groupBy("query_id", "term")
-        .agg(
-            F.max(F.col("_role") == "m").alias("_is_m"),
-            F.max(F.col("_role") == "s").alias("_is_s"),
-            F.max(F.col("_role") == "x").alias("_is_x"),
-        )
+    )
+    if group_col:
+        roles = roles.withColumn("_gk", _gkey(group_col)).drop(group_col)
+    roles = roles.groupBy("query_id", *jk[:-1], "term").agg(
+        F.max(F.col("_role") == "m").alias("_is_m"),
+        F.max(F.col("_role") == "s").alias("_is_s"),
+        F.max(F.col("_role") == "x").alias("_is_x"),
     )
 
     def _hot_terms(d):
         # the valve's cut list, derived on the broadcast-sized df
-        # table — never on posting rows
-        return (
-            d.crossJoin(F.broadcast(stats))
-            .filter(
-                F.col("df") > F.lit(float(max_df_frac)) * F.col("n_docs")
-            )
-            .select("term")
-        )
+        # table — never on posting rows (per-group n_docs when grouped)
+        if group_col:
+            cut = d.join(F.broadcast(stats), "_gk")
+        else:
+            cut = d.crossJoin(F.broadcast(stats))
+        return cut.filter(
+            F.col("df") > F.lit(float(max_df_frac)) * F.col("n_docs")
+        ).select(*jk)
 
-    terms = roles.select("term").distinct()
+    terms = roles.select(*jk).distinct()
     if dfreq is not None:
         # a term_stats table spans the WHOLE corpus vocabulary — prune
         # it to the query terms before anything broadcasts it
-        dfreq = dfreq.join(F.broadcast(terms), "term")
+        if group_col:
+            dfreq = dfreq.withColumn("_gk", _gkey(group_col)).drop(
+                group_col
+            )
+        dfreq = dfreq.join(F.broadcast(terms), jk)
         if max_df_frac is not None:
             # df known BEFORE the scan: hot terms never reach the
             # postings join in any role
             hot = _hot_terms(dfreq)
-            roles = roles.join(F.broadcast(hot), "term", "left_anti")
-            dfreq = dfreq.join(F.broadcast(hot), "term", "left_anti")
-            terms = roles.select("term").distinct()
-        matched = postings.join(F.broadcast(terms), "term")
+            roles = roles.join(F.broadcast(hot), jk, "left_anti")
+            dfreq = dfreq.join(F.broadcast(hot), jk, "left_anti")
+            terms = roles.select(*jk).distinct()
+        if group_col:
+            postings = postings.withColumn("_gk", _gkey(group_col))
+        matched = postings.join(F.broadcast(terms), jk)
     else:
-        matched = postings.join(F.broadcast(terms), "term")
+        if group_col:
+            postings = postings.withColumn("_gk", _gkey(group_col))
+        matched = postings.join(F.broadcast(terms), jk)
         if pin:
             matched = matched.localCheckpoint(eager=False)
-        dfreq = term_stats(matched)
+        dfreq = matched.groupBy(*jk).agg(F.count(F.lit(1)).alias("df"))
         if max_df_frac is not None:
             # on-the-fly df: the scan reads a hot term's postings once
             # to count them, but the valved roles join below keeps them
             # out of every downstream branch (scoring, banned, req)
             hot = _hot_terms(dfreq)
-            roles = roles.join(F.broadcast(hot), "term", "left_anti")
-            dfreq = dfreq.join(F.broadcast(hot), "term", "left_anti")
-    hits = matched.join(F.broadcast(roles), "term")
+            roles = roles.join(F.broadcast(hot), jk, "left_anti")
+            dfreq = dfreq.join(F.broadcast(hot), jk, "left_anti")
+    hits = matched.join(F.broadcast(roles), jk)
 
     # BM25 over the matched (query, doc, term) scoring rows
-    scoring = (
-        hits.filter(F.col("_is_m") | F.col("_is_s"))
-        .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
+    scoring = hits.filter(F.col("_is_m") | F.col("_is_s")).join(
+        F.broadcast(dfreq), jk
     )
+    if group_col:
+        scoring = scoring.join(F.broadcast(stats), "_gk")
+    else:
+        scoring = scoring.crossJoin(F.broadcast(stats))
     idf, tfn = _bm25_parts(k1, b)
     per_doc = (
         scoring.select(
             "query_id",
+            *gb,
             id_col,
             (idf * tfn).cast(_CONTRIB_DECIMAL).alias("_c"),
             "_is_m",
             "_is_s",
         )
-        .groupBy("query_id", id_col)
+        .groupBy("query_id", *gb, id_col)
         .agg(
             F.sum("_c").alias("_s"),
             F.sum(F.when(F.col("_is_m"), 1).otherwise(0)).alias("n_must"),
@@ -685,6 +709,7 @@ def boolean_topk(
         rank_out="rank",
     ).select(
         "query_id",
+        *gb,
         id_col,
         "rank",
         "n_must",
@@ -701,6 +726,7 @@ def phrase_topk(
     query_id_col: str = "query_id",
     id_col: str = "doc_id",
     lowercase: bool = True,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Exact phrase search over a POSITIONAL index — top-k docs per
     phrase by phrase frequency: (query_id, ``id_col``, rank,
@@ -723,28 +749,37 @@ def phrase_topk(
     |intersection| = occurrence count; ranks break ties on ascending
     doc id. The only shuffle is the matched-postings (query, doc)
     aggregate — phrase search at 100 TB costs one pushed index scan,
-    like BM25."""
+    like BM25. ``group_col``: the grouped face over a grouped
+    positional index (same contract as :func:`bm25_topk`'s — phrases
+    carry the group, NULL-safe, group rides the output)."""
     if "positions" not in postings.columns:
         raise ValueError(
             "phrase_topk needs a positional index — build the postings "
             "with inverted_index(..., positions=True)"
         )
+    gb = [group_col] if group_col else []
+    jk = (["_gk"] if group_col else []) + ["term"]
     qp = phrases.select(
         F.col(query_id_col).alias("query_id"),
+        *gb,
         F.posexplode(search_terms(query_col, lowercase)).alias(
             "_off", "term"
         ),
     )
+    if group_col:
+        qp = qp.withColumn("_gk", _gkey(group_col)).drop(group_col)
+        postings = postings.withColumn("_gk", _gkey(group_col))
     qn = qp.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n_terms"))
-    hits = postings.join(F.broadcast(qp), "term").select(
+    hits = postings.join(F.broadcast(qp), jk).select(
         "query_id",
+        *gb,
         id_col,
         F.transform(
             "positions", lambda x: x - F.col("_off")
         ).alias("_shifted"),
     )
     grouped = (
-        hits.groupBy("query_id", id_col)
+        hits.groupBy("query_id", *gb, id_col)
         .agg(
             F.count(F.lit(1)).alias("_n_matched"),
             F.collect_list("_shifted").alias("_arrs"),
@@ -753,6 +788,7 @@ def phrase_topk(
         .filter(F.col("_n_matched") == F.col("_n_terms"))
         .select(
             "query_id",
+            *gb,
             id_col,
             F.size(
                 F.aggregate(
@@ -774,7 +810,7 @@ def phrase_topk(
         [F.col("phrase_freq").desc(), F.col(id_col).asc()],
         k,
         rank_out="rank",
-    ).select("query_id", id_col, "rank", "phrase_freq")
+    ).select("query_id", *gb, id_col, "rank", "phrase_freq")
 
 
 def fielded_index(
@@ -1096,6 +1132,262 @@ def stats_from_postings(
                 F.sum("doc_len").cast("double")
                 / F.count(F.lit(1)).cast("double")
             ).alias("avgdl"),
+        )
+    )
+
+
+def more_like_this(
+    postings: DataFrame,
+    doc_ids: DataFrame,
+    stats: DataFrame,
+    k: int = 10,
+    max_query_terms: int = 25,
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    dfreq: DataFrame | None = None,
+    max_df_frac: float | None = None,
+    min_df: int = 1,
+    include_self: bool = False,
+) -> DataFrame:
+    """"Find documents like these" — Lucene's MoreLikeThis, answered
+    from the INDEX ALONE (no text re-tokenization): for each source
+    doc in ``doc_ids`` (a small (``id_col``) batch, broadcast by
+    contract), pick its ``max_query_terms`` most distinctive terms by
+    tf·idf over its own postings, then run a standard
+    :func:`bm25_topk` scoring of those terms against the corpus.
+    Output (query_id = source doc id, ``id_col``, rank, bm25); the
+    source doc itself is excluded unless ``include_self=True`` (it
+    would otherwise always rank first, drowning the neighbors — with
+    it on, rank 1 == self is a useful sanity invariant).
+
+    ``min_df`` drops terms seen in fewer than that many docs (Lucene's
+    ``minDocFreq`` — typo-ish hapaxes carry extreme idf and hijack the
+    term budget); ``max_df_frac`` is the usual stopword valve, applied
+    to the term-selection df table BEFORE any postings join. Term
+    selection ties break (tf·idf desc, term asc) so the chosen term
+    set is deterministic on any engine.
+
+    Plan: ONE postings semi-join on the broadcast doc-id batch pulls
+    the source docs' postings (query-sized); idf from ``dfreq`` (pass
+    :func:`term_stats` — the on-the-fly fallback derives df of the
+    candidate terms from a second postings pass, same trade as
+    bm25_topk); a per-source top-``max_query_terms`` window; then the
+    scoring leg is exactly bm25_topk's broadcast skeleton with the
+    (source, term) pairs as the query-term table. Nothing repartitions
+    by term; the only corpus-grain touch is the pushed postings scan."""
+    ids = doc_ids.select(F.col(id_col)).distinct()
+    src = postings.join(F.broadcast(ids), id_col)
+    # df table for idf/valve: precomputed (pruned to the source docs'
+    # terms) or derived from the source postings' term set
+    if dfreq is None:
+        terms = src.select("term").distinct()
+        dfreq = term_stats(postings.join(F.broadcast(terms), "term"))
+    else:
+        dfreq = dfreq.join(
+            F.broadcast(src.select("term").distinct()), "term"
+        )
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= int(min_df))
+    if max_df_frac is not None:
+        dfreq = (
+            dfreq.crossJoin(F.broadcast(stats))
+            .filter(
+                F.col("df")
+                <= F.lit(float(max_df_frac)) * F.col("n_docs")
+            )
+            .select("term", "df")
+        )
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+    )
+    scored_terms = (
+        src.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            F.col(id_col).alias("query_id"),
+            "term",
+            (F.col("tf") * idf).alias("_tfidf"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_tfidf").desc(), F.col("term").asc()
+    )
+    qt = (
+        scored_terms.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= int(max_query_terms))
+        .select("query_id", "term")
+    )
+    # scoring leg == bm25_topk with qt as the prebuilt term table
+    matched = postings.join(
+        F.broadcast(qt.select("term").distinct()), "term"
+    )
+    dfq = dfreq  # already query-term-pruned (and valved)
+    scored = (
+        matched.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf2, tfn = _bm25_parts(k1, b)
+    per_doc = (
+        scored.select(
+            "query_id",
+            F.col(id_col),
+            (idf2 * tfn).cast(_CONTRIB_DECIMAL).alias("_c"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_c").alias("_s"))
+    )
+    if not include_self:
+        per_doc = per_doc.filter(F.col("query_id") != F.col(id_col))
+    from datamunging_spark.operators.relational import top_k_per_group
+
+    return top_k_per_group(
+        per_doc,
+        ["query_id"],
+        [F.col("_s").desc(), F.col(id_col).asc()],
+        k,
+        rank_out="rank",
+    ).select(
+        "query_id",
+        id_col,
+        "rank",
+        F.col("_s").cast("double").alias("bm25"),
+    )
+
+
+def retrieval_metrics(
+    ranking: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    grade_col: str | None = None,
+) -> DataFrame:
+    """Per-query ranking-quality metrics against a relevance-judgment
+    table — the evaluation leg of the retrieval family (how you tune
+    k1/b/weights/fusion): for each query in ``qrels``,
+
+    - ``precision_k`` = relevant retrieved in top-k / k (cutoff
+      convention: the denominator is k even when fewer docs returned),
+    - ``recall_k``    = relevant retrieved in top-k / all relevant,
+    - ``rr``          = 1/rank of the first relevant hit (0 if none) —
+      average over queries for MRR,
+    - ``ap_k``        = average precision at k: Σ_{relevant hit at
+      rank i ≤ k} P@i / min(n_rel, k),
+    - ``dcg_k`` / ``ndcg_k`` = (2^grade − 1)/log2(rank+1) gains
+      (Järvelin & Kekäläinen 2002), normalized by the ideal DCG of the
+      query's top-k grades — graded when ``grade_col`` is given,
+      binary (grade 1) otherwise.
+
+    ``ranking`` is a top-k table ((query, doc, rank) — any of
+    :func:`bm25_topk` / :func:`bm25f_topk` / :func:`boolean_topk` /
+    :func:`rrf_fuse` output); ``qrels`` carries (query, doc[, grade])
+    judgments, grades ≤ 0 dropped, duplicate judgments deduped.
+    Queries present in ``qrels`` but retrieving nothing still get a
+    row (all-zero metrics); queries only in ``ranking`` are dropped —
+    unjudged queries are unmeasurable, by convention.
+
+    Deterministic: every float fold (DCG, the AP numerator) quantizes
+    per-term to decimal(28,7) before summing, so results are
+    reduction-order-free and engine-reproducible; the ideal-DCG
+    ordering breaks grade ties on ascending doc id. Scale shape: both
+    inputs are evaluation-sized (k·|queries| and judgment rows); the
+    only exchanges are per-query windows and aggregates over them —
+    nothing corpus-sized anywhere."""
+    rk = ranking.select(
+        F.col(query_col).alias("query_id"),
+        F.col(id_col).alias("doc_id"),
+        F.col(rank_col).cast("long").alias("rank"),
+    ).filter(F.col("rank") <= int(k))
+    if grade_col is None:
+        qr = qrels.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            F.lit(1.0).alias("grade"),
+        )
+    else:
+        qr = qrels.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            F.col(grade_col).cast("double").alias("grade"),
+        ).filter(F.col("grade") > 0)
+    qr = qr.dropDuplicates(["query_id", "doc_id"])
+
+    rel = F.col("grade").isNotNull()
+    w = Window.partitionBy("query_id").orderBy("rank")
+    gain = (F.pow(F.lit(2.0), F.col("grade")) - F.lit(1.0)) / F.log2(
+        F.col("rank") + F.lit(1.0)
+    )
+    hits = rk.join(qr, ["query_id", "doc_id"], "left").withColumn(
+        "_cum", F.sum(F.when(rel, 1).otherwise(0)).over(w)
+    )
+    got = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_ret"),
+        F.sum(F.when(rel, 1).otherwise(0)).alias("rel_ret"),
+        F.min(F.when(rel, F.col("rank"))).alias("_first_rel"),
+        F.sum(
+            F.when(rel, gain).cast(_CONTRIB_DECIMAL)
+        ).alias("_dcg"),
+        F.sum(
+            F.when(
+                rel, F.col("_cum").cast("double") / F.col("rank")
+            ).cast(_CONTRIB_DECIMAL)
+        ).alias("_ap_num"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("grade").desc(), F.col("doc_id").asc()
+    )
+    ideal = (
+        qr.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= int(k))
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                (
+                    (F.pow(F.lit(2.0), F.col("grade")) - F.lit(1.0))
+                    / F.log2(F.col("_r") + F.lit(1.0))
+                ).cast(_CONTRIB_DECIMAL)
+            ).alias("_idcg")
+        )
+    )
+    n_rel = qr.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    z = F.lit(0.0)
+    return (
+        n_rel.join(ideal, "query_id")
+        .join(got, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.coalesce(F.col("n_ret"), F.lit(0)).alias("n_ret"),
+            F.coalesce(F.col("rel_ret"), F.lit(0)).alias("rel_ret"),
+            (
+                F.coalesce(F.col("rel_ret"), F.lit(0))
+                / F.lit(float(k))
+            ).alias("precision_k"),
+            (
+                F.coalesce(F.col("rel_ret"), F.lit(0))
+                / F.col("n_rel")
+            ).alias("recall_k"),
+            F.coalesce(
+                F.lit(1.0) / F.col("_first_rel"), z
+            ).alias("rr"),
+            F.coalesce(
+                F.col("_ap_num").cast("double")
+                / F.least(F.col("n_rel"), F.lit(int(k))),
+                z,
+            ).alias("ap_k"),
+            F.coalesce(F.col("_dcg").cast("double"), z).alias("dcg_k"),
+            F.coalesce(
+                F.col("_dcg").cast("double")
+                / F.col("_idcg").cast("double"),
+                z,
+            ).alias("ndcg_k"),
         )
     )
 

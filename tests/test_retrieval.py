@@ -1131,6 +1131,80 @@ def test_grouped_index_faces_equal_per_group_runs(spark):
     assert fly == got
 
 
+def test_grouped_boolean_and_phrase_faces(spark):
+    """Grouped boolean_topk / phrase_topk == the ungrouped operator on
+    each group slice (NULL group included) — the bm25 grouped-face
+    contract extended to the whole query family."""
+    from datamunging_spark.operators.retrieval import (
+        boolean_topk,
+        phrase_topk,
+    )
+
+    docs = _grouped_docs(spark)
+    post = inverted_index(docs, group_col="lang")
+    stats = index_stats(docs, group_col="lang")
+    bq = spark.createDataFrame(
+        [
+            (20, "en", "spark", "join", "fast"),
+            (21, "de", "zeilen", "", None),
+            (22, None, "spark", "", ""),
+        ],
+        "query_id long, lang string, must string, should string, "
+        "must_not string",
+    )
+    got = sorted(
+        (r.query_id, r.lang, r.doc_id, r.rank, r.n_must, r.n_should,
+         r.bm25)
+        for r in boolean_topk(
+            post, bq, stats, k=5, group_col="lang"
+        ).collect()
+    )
+    want = []
+    for lang, qid in (("en", 20), ("de", 21), (None, 22)):
+        cond = (
+            F.col("lang").isNull()
+            if lang is None
+            else F.col("lang") == lang
+        )
+        sl = docs.filter(cond)
+        qs = bq.filter(F.col("query_id") == qid).drop("lang")
+        for r in boolean_topk(
+            inverted_index(sl), qs, index_stats(sl), k=5
+        ).collect():
+            want.append(
+                (r.query_id, lang, r.doc_id, r.rank, r.n_must,
+                 r.n_should, r.bm25)
+            )
+    assert got == sorted(want) and got
+    pq = spark.createDataFrame(
+        [(30, "en", "spark broadcast"), (31, "de", "zeilen zeilen"),
+         (32, None, "spark mystery")],
+        "query_id long, lang string, query string",
+    )
+    ppost = inverted_index(docs, positions=True, group_col="lang")
+    pgot = sorted(
+        (r.query_id, r.lang, r.doc_id, r.rank, r.phrase_freq)
+        for r in phrase_topk(
+            ppost, pq, k=5, group_col="lang"
+        ).collect()
+    )
+    pwant = []
+    for lang, qid in (("en", 30), ("de", 31), (None, 32)):
+        cond = (
+            F.col("lang").isNull()
+            if lang is None
+            else F.col("lang") == lang
+        )
+        sl = docs.filter(cond)
+        qs = pq.filter(F.col("query_id") == qid).drop("lang")
+        for r in phrase_topk(
+            inverted_index(sl, positions=True), qs, k=5
+        ).collect():
+            pwant.append((r.query_id, lang, r.doc_id, r.rank,
+                          r.phrase_freq))
+    assert pgot == sorted(pwant) and pgot
+
+
 def test_grouped_advance_index_replace_scoped_to_group(spark):
     docs = _grouped_docs(spark)
     post = inverted_index(docs, group_col="lang")
@@ -1164,6 +1238,187 @@ def test_grouped_advance_index_replace_scoped_to_group(spark):
     }
     assert terms_en_1 == {"rewritten", "entirely"}
     assert rolled2.filter("lang = 'de' and doc_id = 1").count() > 0
+
+
+def test_retrieval_metrics_hand_math(spark):
+    from datamunging_spark.operators.retrieval import retrieval_metrics
+
+    ranking = spark.createDataFrame(
+        [(0, 5, 1), (0, 1, 2), (0, 2, 3), (0, 7, 4), (0, 3, 5),
+         (2, 4, 1)],  # q2 is unjudged -> dropped
+        "query_id long, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 9), (1, 8)],
+        "query_id long, doc_id long",
+    )
+    out = {r.query_id: r for r in
+           retrieval_metrics(ranking, qrels, k=5).collect()}
+    assert set(out) == {0, 1}
+    r0 = out[0]
+    assert (r0.n_rel, r0.n_ret, r0.rel_ret) == (4, 5, 3)
+    assert r0.precision_k == pytest.approx(3 / 5)
+    assert r0.recall_k == pytest.approx(3 / 4)
+    assert r0.rr == pytest.approx(1 / 2)
+    assert r0.ap_k == pytest.approx((1 / 2 + 2 / 3 + 3 / 5) / 4, abs=1e-6)
+    dcg = sum(1 / math.log2(r + 1) for r in (2, 3, 5))
+    idcg = sum(1 / math.log2(r + 1) for r in (1, 2, 3, 4))
+    assert r0.dcg_k == pytest.approx(dcg, abs=1e-6)
+    assert r0.ndcg_k == pytest.approx(dcg / idcg, abs=1e-6)
+    r1 = out[1]  # judged but nothing retrieved: all-zero row
+    assert (r1.n_rel, r1.n_ret, r1.rel_ret) == (1, 0, 0)
+    assert (r1.precision_k, r1.recall_k, r1.rr, r1.ap_k,
+            r1.dcg_k, r1.ndcg_k) == (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+
+
+def test_retrieval_metrics_graded_ndcg(spark):
+    from datamunging_spark.operators.retrieval import retrieval_metrics
+
+    ranking = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 11, 2.0), (0, 12, 1.0), (0, 13, 3.0), (0, 14, 0.0)],
+        "query_id long, doc_id long, grade double",
+    )
+    r = retrieval_metrics(
+        ranking, qrels, k=3, grade_col="grade"
+    ).collect()[0]
+    # grade 0 dropped -> n_rel 3; retrieved grades: rank2=2, rank3=1
+    assert r.n_rel == 3
+    dcg = (2**2 - 1) / math.log2(3) + (2**1 - 1) / math.log2(4)
+    idcg = (
+        (2**3 - 1) / math.log2(2)
+        + (2**2 - 1) / math.log2(3)
+        + (2**1 - 1) / math.log2(4)
+    )
+    assert r.dcg_k == pytest.approx(dcg, abs=1e-6)
+    assert r.ndcg_k == pytest.approx(dcg / idcg, abs=1e-6)
+
+
+def test_retrieval_metrics_matches_python_reference(spark):
+    """Engine metrics == a pure-Python scorer over a real BM25 ranking
+    with synthetic judgments — every formula cross-checked per query."""
+    from datamunging_spark.operators.retrieval import retrieval_metrics
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    queries = docs.filter(F.col("doc_id") < 6).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 40).alias("query"),
+    )
+    ranking = bm25_topk(
+        inverted_index(docs), queries, index_stats(docs), k=8
+    )
+    qrels = docs.filter(F.col("doc_id") < 60).select(
+        (F.col("doc_id") % 6).alias("query_id"),
+        F.col("doc_id").alias("doc_id"),
+    )
+    k = 8
+    got = {
+        r.query_id: r
+        for r in retrieval_metrics(ranking, qrels, k=k).collect()
+    }
+    rank_rows = sorted(
+        (r.query_id, r.rank, r.doc_id) for r in ranking.collect()
+    )
+    rel = {}
+    for r in qrels.collect():
+        rel.setdefault(r.query_id, set()).add(r.doc_id)
+    for qid, relset in rel.items():
+        retrieved = [(rk_, did) for q, rk_, did in rank_rows if q == qid]
+        hits = [rk_ for rk_, did in retrieved if did in relset]
+        n_rel = len(relset)
+        row = got[qid]
+        assert row.n_rel == n_rel
+        assert row.rel_ret == len(hits)
+        assert row.precision_k == pytest.approx(len(hits) / k)
+        assert row.recall_k == pytest.approx(len(hits) / n_rel)
+        assert row.rr == pytest.approx(1 / hits[0] if hits else 0.0)
+        ap = (
+            sum(
+                (i + 1) / rk_
+                for i, rk_ in enumerate(hits)
+            )
+            / min(n_rel, k)
+            if hits
+            else 0.0
+        )
+        assert row.ap_k == pytest.approx(ap, abs=1e-6)
+        dcg = sum(1 / math.log2(rk_ + 1) for rk_ in hits)
+        idcg = sum(
+            1 / math.log2(r_ + 1) for r_ in range(1, min(n_rel, k) + 1)
+        )
+        assert row.dcg_k == pytest.approx(dcg, abs=1e-6)
+        assert row.ndcg_k == pytest.approx(
+            dcg / idcg if idcg else 0.0, abs=1e-6
+        )
+
+
+def test_more_like_this_planted_and_self_invariant(spark):
+    from datamunging_spark.operators.retrieval import more_like_this
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra stampede crosses river"),
+            (2, "zebra stampede near river delta"),
+            (3, "broadcast join shuffle plan"),
+            (4, "shuffle plan broadcast join cost"),
+            (5, "unrelated text entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    post, stats = inverted_index(docs), index_stats(docs)
+    ids = spark.createDataFrame([(1,), (3,)], "doc_id long")
+    out = more_like_this(post, ids, stats, k=2)
+    top = {
+        r.query_id: r.doc_id
+        for r in out.filter("rank = 1").collect()
+    }
+    # nearest neighbor of 1 is its zebra twin 2; of 3 its join twin 4
+    assert top == {1: 2, 3: 4}
+    # self excluded by default...
+    assert out.filter("query_id = doc_id").count() == 0
+    # ...and ranks FIRST when included (sanity invariant)
+    with_self = more_like_this(post, ids, stats, k=3, include_self=True)
+    firsts = {
+        r.query_id: r.doc_id
+        for r in with_self.filter("rank = 1").collect()
+    }
+    assert firsts == {1: 1, 3: 3}
+
+
+def test_more_like_this_real_corpus_and_df_filters(spark):
+    from datamunging_spark.operators.retrieval import more_like_this
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    post, stats = inverted_index(docs), index_stats(docs)
+    ids = docs.filter(F.col("doc_id") < 3).select("doc_id")
+    base = more_like_this(post, ids, stats, k=5)
+    rows = base.collect()
+    assert rows and all(r.query_id != r.doc_id for r in rows)
+    # determinism under repartition
+    again = more_like_this(
+        inverted_index(docs.repartition(13)), ids, stats, k=5
+    )
+    assert sorted(
+        (r.query_id, r.doc_id, r.rank, r.bm25) for r in rows
+    ) == sorted(
+        (r.query_id, r.doc_id, r.rank, r.bm25) for r in again.collect()
+    )
+    # the precomputed-dfreq path agrees
+    pre = more_like_this(
+        post, ids, stats, k=5, dfreq=term_stats(post)
+    )
+    assert sorted(
+        (r.query_id, r.doc_id, r.rank, round(r.bm25, 9))
+        for r in pre.collect()
+    ) == sorted(
+        (r.query_id, r.doc_id, r.rank, round(r.bm25, 9)) for r in rows
+    )
+    # a tight term budget still returns results and stays deterministic
+    tight = more_like_this(post, ids, stats, k=5, max_query_terms=3)
+    assert tight.count() > 0
 
 
 def test_advance_index_preserves_positional_schema(spark):
