@@ -78,6 +78,8 @@ __all__ = [
     "bm25f_topk",
     "retrieval_metrics",
     "more_like_this",
+    "spell_suggest",
+    "near_topk",
 ]
 
 _CONTRIB_DECIMAL = "decimal(28,7)"
@@ -1258,6 +1260,259 @@ def more_like_this(
         "rank",
         F.col("_s").cast("double").alias("bm25"),
     )
+
+
+def _delete_variants(col: Column, max_edit: int) -> Column:
+    """``array<string>`` of all strings reachable from ``col`` by up to
+    ``max_edit`` single-character deletions, the string itself included
+    — SymSpell's delete neighborhood, as a pure expression: one
+    ``transform`` over character indices per deletion round, flattened
+    and deduped. A pair of terms within Levenshtein distance d always
+    shares a variant when both sides expand d deletions (substitution:
+    drop the differing character from both; insertion/deletion: drop it
+    from the longer side), so the variant equi-join has EXACT recall —
+    the verify predicate only removes false candidates."""
+    def deletes(c):
+        # guard the empty string: sequence(0, -1) would DESCEND
+        return F.when(
+            F.length(c) > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.length(c) - 1),
+                lambda i: F.concat(
+                    c.substr(F.lit(1), i),
+                    c.substr(i + F.lit(2), F.length(c)),
+                ),
+            ),
+        ).otherwise(F.slice(F.array(c), 1, 0))
+
+    out = F.array(col)
+    frontier = F.array(col)
+    for _ in range(int(max_edit)):
+        frontier = F.array_distinct(
+            F.flatten(F.transform(frontier, deletes))
+        )
+        out = F.array_distinct(F.concat(out, frontier))
+    return out
+
+
+def spell_suggest(
+    dfreq: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    query_col: str = "term",
+    max_edit: int = 1,
+    min_df: int = 1,
+    max_term_len: int = 32,
+) -> DataFrame:
+    """"Did you mean" — spelling suggestions for query terms from the
+    INDEX VOCABULARY, the SymSpell shape (Garbe's symmetric-delete
+    algorithm) done relationally: expand every vocabulary term and
+    every query term to its ≤``max_edit``-deletion neighborhood, join
+    on shared variants (exact recall for Levenshtein ≤ max_edit — see
+    :func:`_delete_variants`), verify with the true JVM
+    ``levenshtein``, rank per query term by (distance asc, df desc,
+    suggestion asc) and keep ``k``. Output (term, suggestion,
+    distance, df, rank); exact vocabulary hits come back at
+    distance 0, rank 1 — callers usually filter to terms whose rank-1
+    distance > 0.
+
+    ``dfreq`` is a :func:`term_stats` table (the vocabulary WITH
+    popularity — df breaks ties toward common words, the standard
+    suggestion heuristic); ``queries`` is a SMALL table with
+    ``query_col`` holding one term per row (broadcast side by
+    contract — tokenize upstream). ``min_df`` prunes hapax vocabulary
+    (often itself typos) BEFORE the expansion; ``max_term_len`` skips
+    pathological tokens (URLs, hashes) on both sides — each is a
+    valve on the expansion size, which is |V| × term-length rows at
+    max_edit=1 (≈ the postings of one average document per thousand
+    vocab terms; max_edit=2 squares the per-term factor — keep it ≤ 2).
+    Plan: ONE vocabulary scan + explode, equi-joined against the
+    broadcast query neighborhood — the vocabulary never shuffles; the
+    per-query top-k is a window over candidate matches."""
+    if max_edit < 1:
+        raise ValueError("max_edit must be >= 1")
+    vocab = dfreq.filter(
+        (F.col("df") >= int(min_df))
+        & (F.length("term") <= int(max_term_len))
+    )
+    vvar = vocab.select(
+        F.col("term").alias("suggestion"),
+        "df",
+        F.explode(_delete_variants(F.col("term"), max_edit)).alias(
+            "_v"
+        ),
+    )
+    qvar = queries.select(
+        F.col(query_col).alias("_qterm")
+    ).where(
+        F.length("_qterm") <= int(max_term_len)
+    ).distinct().select(
+        "_qterm",
+        F.explode(_delete_variants(F.col("_qterm"), max_edit)).alias(
+            "_v"
+        ),
+    ).distinct()
+    cand = (
+        vvar.join(F.broadcast(qvar), "_v")
+        .select("_qterm", "suggestion", "df")
+        .dropDuplicates(["_qterm", "suggestion"])
+        .withColumn(
+            "distance", F.levenshtein(F.col("_qterm"), F.col("suggestion"))
+        )
+        .filter(F.col("distance") <= int(max_edit))
+    )
+    from datamunging_spark.operators.relational import top_k_per_group
+
+    return top_k_per_group(
+        cand,
+        ["_qterm"],
+        [
+            F.col("distance").asc(),
+            F.col("df").desc(),
+            F.col("suggestion").asc(),
+        ],
+        k,
+        rank_out="rank",
+    ).select(
+        F.col("_qterm").alias("term"),
+        "suggestion",
+        "distance",
+        "df",
+        "rank",
+    )
+
+
+def near_topk(
+    postings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    slop: int = 0,
+    query_col: str = "query",
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Unordered proximity search over a POSITIONAL index — Lucene's
+    ``SpanNearQuery(inOrder=false)``: a doc qualifies iff some token
+    window contains at least one occurrence of EVERY distinct query
+    term, with window length ≤ n_terms + ``slop`` (``slop=0`` means
+    the terms are adjacent in some order; duplicate query terms
+    collapse — term-SET semantics, unlike :func:`phrase_topk`'s exact
+    sequence). Output (query_id, ``id_col``, rank, min_span) where
+    ``min_span`` is the smallest covering window's token length;
+    ranks order by (min_span asc, doc asc) — tighter is better.
+
+    The classic minimal-covering-window scan, run as a PURE
+    whole-stage-codegen fold (no UDF): per (query, doc) the matched
+    per-term position lists merge into one (pos, term_idx)-sorted
+    array, and one ``aggregate`` pass maintains last-seen positions
+    per term — when every term has been seen, the current window is
+    pos − min(last_seen) + 1; the minimum over the scan is the min
+    span. O(total positions · n_terms) per doc, all expression-level.
+    Plan shape identical to :func:`phrase_topk`: one pushed postings
+    scan broadcast-joined to the query terms; the only shuffle is the
+    matched (query, doc) aggregate."""
+    if "positions" not in postings.columns:
+        raise ValueError(
+            "near_topk needs a positional index — build the postings "
+            "with inverted_index(..., positions=True)"
+        )
+    qp = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(search_terms(query_col, lowercase)).alias("term"),
+        )
+        .distinct()
+        .withColumn(
+            "_tidx",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("term")
+            )
+            - 1,
+        )
+    )
+    qn = qp.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
+    hits = postings.join(F.broadcast(qp), "term").select(
+        "query_id",
+        id_col,
+        F.transform(
+            "positions",
+            lambda p: F.struct(
+                p.cast("int").alias("pos"),
+                F.col("_tidx").cast("int").alias("t"),
+            ),
+        ).alias("_tagged"),
+    )
+    big = F.lit(2**31 - 1)
+    merged = F.array_sort(F.flatten(F.collect_list("_tagged")))
+    scan = F.aggregate(
+        F.col("_merged"),
+        F.struct(
+            F.array_repeat(
+                F.lit(-1), F.col("_n").cast("int")
+            ).alias("last"),
+            big.alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            F.transform(
+                acc["last"],
+                lambda v, i: F.when(i == x["t"], x["pos"]).otherwise(v),
+            ).alias("last"),
+            F.when(
+                ~F.array_contains(
+                    F.transform(
+                        acc["last"],
+                        lambda v, i: F.when(
+                            i == x["t"], x["pos"]
+                        ).otherwise(v),
+                    ),
+                    F.lit(-1),
+                ),
+                F.least(
+                    acc["best"],
+                    x["pos"]
+                    - F.array_min(
+                        F.transform(
+                            acc["last"],
+                            lambda v, i: F.when(
+                                i == x["t"], x["pos"]
+                            ).otherwise(v),
+                        )
+                    )
+                    + F.lit(1),
+                ),
+            )
+            .otherwise(acc["best"])
+            .alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    grouped = (
+        hits.groupBy("query_id", id_col)
+        .agg(
+            F.count(F.lit(1)).alias("_n_matched"),
+            merged.alias("_merged"),
+        )
+        .join(F.broadcast(qn), "query_id")
+        .filter(F.col("_n_matched") == F.col("_n"))
+        .select(
+            "query_id",
+            id_col,
+            F.col("_n"),
+            scan.alias("min_span"),
+        )
+        .filter(F.col("min_span") <= F.col("_n") + F.lit(int(slop)))
+        .drop("_n")
+    )
+    from datamunging_spark.operators.relational import top_k_per_group
+
+    return top_k_per_group(
+        grouped,
+        ["query_id"],
+        [F.col("min_span").asc(), F.col(id_col).asc()],
+        k,
+        rank_out="rank",
+    ).select("query_id", id_col, "rank", "min_span")
 
 
 def retrieval_metrics(

@@ -12,7 +12,12 @@ the synthetic documents/embeddings tables (~30 s on local[*]):
    cosine top-k over the embeddings table;
 6. roll the index forward with one ingest batch (`advance_index` +
    `combine_index_stats` — history is never rescanned), then the same
-   fold as a Structured Streaming loop into the versioned store.
+   fold as a Structured Streaming loop into the versioned delta-log
+   store (read back with `read_index_version` + the O(1) stats table);
+7. BM25F weighted title/body search; 8. more-like-this from the index
+   alone; 9. proximity (min-span slop) search; 10. SymSpell spell
+   suggestion from the vocabulary; 11. ranking metrics (P/R@k, MRR,
+   AP@k, nDCG@k) against a judgment table.
 
 Run:  python examples/retrieval_demo.py [sf_dir] [workdir]
 """
@@ -42,7 +47,10 @@ from datamunging_spark.operators.retrieval import (
 )
 from datamunging_spark.operators.similarity import brute_force_topk
 from datamunging_spark.sources.versioned import read_table_version
-from datamunging_spark.streaming import streaming_index_ingest
+from datamunging_spark.streaming import (
+    read_index_version,
+    streaming_index_ingest,
+)
 
 
 def main() -> None:
@@ -144,12 +152,70 @@ def main() -> None:
     v = streaming_index_ingest(
         stream, table, checkpoint_path=f"{workdir}/ckpt"
     )
-    live = read_table_version(spark, table)
+    # the store is a delta log: reconstruct via read_index_version and
+    # read the O(1) stats table that rode the fold
+    live = read_index_version(spark, table)
     hits = bm25_topk(
-        live, queries, stats_from_postings(live), k=3
+        live, queries, read_table_version(spark, table + "_stats"), k=3
     )
     print(f"streamed index v{v}: {live.count()} postings; "
           f"{hits.count()} hits from the versioned store")
+
+    # 7. BM25F: title weighted 2.5x over a synthetic title/body split
+    from datamunging_spark.operators.retrieval import (
+        bm25f_topk,
+        field_stats,
+        fielded_index,
+        more_like_this,
+        near_topk,
+        retrieval_metrics,
+        spell_suggest,
+    )
+
+    fdocs = docs.select(
+        "doc_id",
+        F.substring("text", 1, 25).alias("title"),
+        F.col("text").alias("body"),
+    )
+    fhits = bm25f_topk(
+        fielded_index(fdocs, ["title", "body"]),
+        queries,
+        field_stats(fdocs, ["title", "body"]),
+        weights={"title": 2.5, "body": 1.0},
+        k=3,
+    )
+    print("bm25f (title 2.5x) top-3:")
+    fhits.orderBy("query_id", "rank").show(9, truncate=False)
+
+    # 8. more-like-this: neighbors of two docs, from the index alone
+    mlt = more_like_this(
+        post, docs.filter("doc_id < 2").select("doc_id"), stats, k=3,
+        dfreq=dfreq,
+    )
+    print("more-like-this top-3 per source doc:")
+    mlt.orderBy("query_id", "rank").show(6, truncate=False)
+
+    # 9. proximity: all query terms within a 2-token slop window
+    near = near_topk(pos_post, phrases, k=3, slop=2)
+    print("proximity (slop=2) top-3 with min spans:")
+    near.orderBy("query_id", "rank").show(6, truncate=False)
+
+    # 10. spell suggestion from the vocabulary (SymSpell deletes)
+    typos = spark.createDataFrame(
+        [("tabel",), ("rwo",)], "term string"
+    )
+    print("did-you-mean (max_edit=2):")
+    spell_suggest(dfreq, typos, k=3, max_edit=2).orderBy(
+        "term", "rank"
+    ).show(6, truncate=False)
+
+    # 11. evaluate a ranking against judgments (here: the hybrid run
+    # judged by the lexical top-3 — a smoke qrels, not a benchmark)
+    qrels = lex.filter("rank <= 3").select("query_id", "doc_id")
+    print("ranking metrics for the fused run vs lexical-top-3 qrels:")
+    retrieval_metrics(
+        fused.select("query_id", "doc_id", "rank"), qrels, k=5
+    ).orderBy("query_id").show(truncate=False)
     spark.stop()
 
 

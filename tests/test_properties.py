@@ -765,3 +765,120 @@ def test_phrase_topk_matches_sliding_window_reference(
         ).collect()
     )
     assert got == sorted(want)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta".split()),
+            min_size=0, max_size=10,
+        ).map(" ".join),
+        min_size=1, max_size=12,
+    ),
+    st.data(),
+)
+def test_near_topk_matches_window_reference(spark, texts, data):
+    """X2 proximity: near_topk's codegen min-span scan == a brute-force
+    all-windows Python reference on ANY corpus and query set, at any
+    slop — the covering-window semantics hold exactly."""
+    from datamunging_spark.operators.retrieval import (
+        inverted_index,
+        near_topk,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    n_q = data.draw(st.integers(1, 3))
+    queries = [
+        (
+            qi,
+            " ".join(
+                data.draw(
+                    st.lists(
+                        st.sampled_from(
+                            "alpha beta gamma delta".split()
+                        ),
+                        min_size=1,
+                        max_size=3,
+                    )
+                )
+            ),
+        )
+        for qi in range(n_q)
+    ]
+    slop = data.draw(st.integers(0, 4))
+    k = 8
+    want = []
+    for qid, q in queries:
+        terms = sorted({w for w in q.split(" ") if w})
+        n = len(terms)
+        scored = []
+        for did, text in docs:
+            toks = [w for w in text.split(" ") if w]
+            best = None
+            for i in range(len(toks)):
+                seen = set()
+                for j in range(i, len(toks)):
+                    if toks[j] in terms:
+                        seen.add(toks[j])
+                    if len(seen) == n:
+                        span = j - i + 1
+                        best = span if best is None else min(best, span)
+                        break
+            if best is not None and best <= n + slop:
+                scored.append((did, best))
+        scored.sort(key=lambda x: (x[1], x[0]))
+        want += [
+            (qid, did, r + 1, s)
+            for r, (did, s) in enumerate(scored[:k])
+        ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries, "query_id long, query string")
+    got = sorted(
+        (r.query_id, r.doc_id, r.rank, r.min_span)
+        for r in near_topk(
+            inverted_index(ddf, positions=True), qdf, k=k, slop=slop
+        ).collect()
+    )
+    assert got == sorted(want)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1, max_size=12, unique=True,
+    ),
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1, max_size=4, unique=True,
+    ),
+    st.integers(1, 2),
+)
+def test_spell_suggest_exact_recall_property(spark, vocab, qterms, d):
+    """X2 spell: the SymSpell delete-neighborhood join finds EXACTLY
+    the vocabulary terms within Levenshtein distance d of each query
+    term — recall proven exhaustively against all-pairs edit distance
+    on arbitrary short strings."""
+    from datamunging_spark.operators.retrieval import spell_suggest
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    dfreq = spark.createDataFrame(
+        [(t, i + 1) for i, t in enumerate(vocab)], "term string, df long"
+    )
+    qdf = spark.createDataFrame([(t,) for t in qterms], "term string")
+    got: dict = {}
+    for r in spell_suggest(dfreq, qdf, k=100, max_edit=d).collect():
+        got.setdefault(r.term, set()).add((r.suggestion, r.distance))
+    for qt in qterms:
+        want = {(v, lev(qt, v)) for v in vocab if lev(qt, v) <= d}
+        assert got.get(qt, set()) == want, (qt, d)

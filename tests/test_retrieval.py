@@ -1421,6 +1421,158 @@ def test_more_like_this_real_corpus_and_df_filters(spark):
     assert tight.count() > 0
 
 
+def _lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(
+                dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+            )
+    return dp[-1]
+
+
+def test_spell_suggest_planted_and_exhaustive_recall(spark):
+    from datamunging_spark.operators.retrieval import spell_suggest
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra zebra stampede river"),
+            (2, "zebra broadcast join"),
+            (3, "spark shuffle join join plan"),
+            (4, "sparse spars park"),
+        ],
+        "doc_id long, text string",
+    )
+    dfreq = term_stats(inverted_index(docs))
+    q = spark.createDataFrame(
+        [("zebr",), ("spark",), ("joim",), ("qqqq",)], "term string"
+    )
+    out = spell_suggest(dfreq, q, k=3, max_edit=1)
+    by_term = {}
+    for r in out.collect():
+        by_term.setdefault(r.term, []).append(
+            (r.rank, r.suggestion, r.distance, r.df)
+        )
+    # 'zebr' -> zebra (delete recall across an insertion)
+    assert sorted(by_term["zebr"])[0][1:3] == ("zebra", 1)
+    # exact hit surfaces at distance 0 rank 1
+    assert sorted(by_term["spark"])[0] == (1, "spark", 0, 1)
+    # 'spark' neighbors at distance 1: park, spars, sparse? (2 edits)
+    sugg = [s for _, s, d, _ in sorted(by_term["spark"]) if d == 1]
+    assert set(sugg) <= {"park", "spars"}
+    # 'joim' -> join (substitution); 'qqqq' -> nothing
+    assert sorted(by_term["joim"])[0][1] == "join"
+    assert "qqqq" not in by_term
+    # EXHAUSTIVE recall check vs all-pairs Levenshtein at max_edit=2
+    vocab = {(r.term, r.df) for r in dfreq.collect()}
+    out2 = spell_suggest(dfreq, q, k=100, max_edit=2)
+    got2 = {}
+    for r in out2.collect():
+        got2.setdefault(r.term, set()).add((r.suggestion, r.distance))
+    for qt in ("zebr", "spark", "joim", "qqqq"):
+        want = {(v, _lev(qt, v)) for v, _ in vocab if _lev(qt, v) <= 2}
+        assert got2.get(qt, set()) == want, qt
+    # ranking: distance asc, then df desc ('join' df=2 beats df-1 ties)
+    r2 = {r.suggestion: (r.distance, r.df, r.rank)
+          for r in out2.collect() if r.term == "joim"}
+    ranked = sorted(r2.values(), key=lambda t: t[2])
+    assert ranked == sorted(ranked, key=lambda t: (t[0], -t[1]))
+
+
+def test_near_topk_min_span_and_slop(spark):
+    from datamunging_spark.operators.retrieval import near_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),       # a..g adjacent-ish
+            (2, "alpha x x gamma"),        # span 4
+            (3, "gamma alpha"),            # reversed, adjacent
+            (4, "alpha x x x x x gamma"),  # span 7
+            (5, "alpha only here"),        # missing gamma
+            (6, "gamma y alpha y gamma alpha"),  # best window at end
+        ],
+        "doc_id long, text string",
+    )
+    post = inverted_index(docs, positions=True)
+    q = spark.createDataFrame(
+        [(0, "alpha gamma"), (1, "alpha"), (2, "alpha gamma zzz")],
+        "query_id long, query string",
+    )
+    tight = near_topk(post, q, k=10, slop=0)
+    got = {(r.query_id, r.doc_id): (r.rank, r.min_span)
+           for r in tight.collect()}
+    # slop 0: only adjacent pairs qualify (docs 3 and 6)
+    assert {k_ for k_ in got if k_[0] == 0} == {(0, 3), (0, 6)}
+    assert got[(0, 3)] == (1, 2) and got[(0, 6)] == (2, 2)
+    # single-term query: every doc containing it, span 1
+    assert {k_[1] for k_ in got if k_[0] == 1} == {1, 2, 3, 4, 5, 6}
+    # a query term absent from the corpus -> no rows
+    assert not [k_ for k_ in got if k_[0] == 2]
+    loose = near_topk(post, q, k=10, slop=2)
+    got2 = {(r.query_id, r.doc_id): r.min_span for r in loose.collect()}
+    assert got2[(0, 1)] == 3 and got2[(0, 2)] == 4
+    assert (0, 4) not in got2  # span 7 > 2 + 2
+    # duplicate terms collapse (set semantics)
+    dq = spark.createDataFrame(
+        [(9, "alpha alpha gamma")], "query_id long, query string"
+    )
+    assert {
+        (r.doc_id, r.min_span)
+        for r in near_topk(post, dq, k=10, slop=0).collect()
+    } == {(3, 2), (6, 2)}
+
+
+def test_near_topk_matches_python_reference(spark):
+    from datamunging_spark.operators.retrieval import near_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    # queries from real doc tokens, guaranteed matches
+    qs = []
+    for i, (did, t) in enumerate(rows[:3]):
+        toks = [w for w in t.lower().split(" ") if w]
+        qs.append((i, " ".join(dict.fromkeys(toks[:3]))))
+
+    def ref(slop):
+        out = []
+        for qid, q in qs:
+            terms = sorted(set(w for w in q.lower().split(" ") if w))
+            n = len(terms)
+            scored = []
+            for did, text in rows:
+                toks = [w for w in text.lower().split(" ") if w]
+                best = None
+                for i in range(len(toks)):
+                    seen = {}
+                    for j in range(i, len(toks)):
+                        if toks[j] in terms:
+                            seen[toks[j]] = j
+                        if len(seen) == n:
+                            span = j - i + 1
+                            best = span if best is None else min(
+                                best, span
+                            )
+                            break
+                if best is not None and best <= n + slop:
+                    scored.append((did, best))
+            scored.sort(key=lambda x: (x[1], x[0]))
+            out += [
+                (qid, did, r + 1, s)
+                for r, (did, s) in enumerate(scored[:10])
+            ]
+        return sorted(out)
+
+    post = inverted_index(docs, positions=True)
+    qdf = spark.createDataFrame(qs, "query_id long, query string")
+    for slop in (0, 3):
+        got = sorted(
+            (r.query_id, r.doc_id, r.rank, r.min_span)
+            for r in near_topk(post, qdf, k=10, slop=slop).collect()
+        )
+        assert got == ref(slop), f"slop={slop}"
+
+
 def test_advance_index_preserves_positional_schema(spark):
     """A positions=True index rolls forward AS a positional index on
     both the append and replace paths — equal to a full positional
