@@ -321,3 +321,63 @@ def test_phash_family_on_empty(spark):
     assert incremental_phash_dedup(empty, real_sh).count() == 0
     # real batch vs empty history: pure within-batch pass
     assert incremental_phash_dedup(real, empty_sh).count() == 1
+
+
+def test_r13_retrieval_additions_on_empty(spark):
+    """r13 retrieval legs: empty corpora, empty queries and empty
+    judgment tables flow through BM25F, more-like-this, proximity,
+    spell suggestion and the metrics without crashing."""
+    from datamunging_spark.operators.retrieval import (
+        bm25f_topk,
+        field_stats,
+        fielded_index,
+        fielded_term_stats,
+        index_stats,
+        inverted_index,
+        more_like_this,
+        near_topk,
+        retrieval_metrics,
+        spell_suggest,
+        term_stats,
+    )
+
+    no_docs = spark.createDataFrame(
+        [], "doc_id long, title string, body string"
+    )
+    fpost = fielded_index(no_docs, ["title", "body"])
+    assert fpost.count() == 0
+    assert fielded_term_stats(fpost).count() == 0
+    fst = field_stats(no_docs, ["title", "body"])
+    assert fst.count() == 0  # grouped-by-field aggregate: no rows
+    q = spark.createDataFrame([(0, "zebra")], "query_id long, query string")
+    assert bm25f_topk(
+        fpost, q, fst, weights={"title": 2.0, "body": 1.0}, k=3
+    ).count() == 0
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    post, stats = inverted_index(docs), index_stats(docs)
+    no_ids = spark.createDataFrame([], "doc_id long")
+    assert more_like_this(post, no_ids, stats, k=3).count() == 0
+    ppost = inverted_index(docs, positions=True)
+    no_q = spark.createDataFrame([], "query_id long, query string")
+    assert near_topk(ppost, no_q, k=3).count() == 0
+    # empty-string query term: the delete-variant guard handles it
+    sq = spark.createDataFrame([("",), ("beta",)], "term string")
+    sugg = spell_suggest(term_stats(post), sq, k=3, max_edit=2)
+    assert not [r for r in sugg.collect() if r.term == ""] or all(
+        r.distance <= 2 for r in sugg.collect()
+    )
+    no_qrels = spark.createDataFrame([], "query_id long, doc_id long")
+    ranking = spark.createDataFrame(
+        [(0, 1, 1)], "query_id long, doc_id long, rank long"
+    )
+    assert retrieval_metrics(ranking, no_qrels, k=3).count() == 0
+    no_rank = spark.createDataFrame(
+        [], "query_id long, doc_id long, rank long"
+    )
+    qrels = spark.createDataFrame(
+        [(0, 1)], "query_id long, doc_id long"
+    )
+    row = retrieval_metrics(no_rank, qrels, k=3).collect()
+    assert [(r.query_id, r.n_rel, r.rel_ret) for r in row] == [(0, 1, 0)]
