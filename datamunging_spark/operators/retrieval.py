@@ -1391,102 +1391,179 @@ def near_topk(
     query_id_col: str = "query_id",
     id_col: str = "doc_id",
     lowercase: bool = True,
+    ordered: bool = False,
 ) -> DataFrame:
-    """Unordered proximity search over a POSITIONAL index — Lucene's
-    ``SpanNearQuery(inOrder=false)``: a doc qualifies iff some token
-    window contains at least one occurrence of EVERY distinct query
-    term, with window length ≤ n_terms + ``slop`` (``slop=0`` means
-    the terms are adjacent in some order; duplicate query terms
-    collapse — term-SET semantics, unlike :func:`phrase_topk`'s exact
-    sequence). Output (query_id, ``id_col``, rank, min_span) where
-    ``min_span`` is the smallest covering window's token length;
-    ranks order by (min_span asc, doc asc) — tighter is better.
+    """Proximity search over a POSITIONAL index — Lucene's
+    ``SpanNearQuery``: a doc qualifies iff some token window contains
+    the query terms within window length ≤ n_terms + ``slop``.
+    ``ordered=False`` (default, ``inOrder=false``): at least one
+    occurrence of every DISTINCT query term, in any order (duplicate
+    query terms collapse — term-SET semantics). ``ordered=True``
+    (``inOrder=true`` — the sloppy-phrase form): positions p_0 < p_1 <
+    … matching the query's token SEQUENCE in order, duplicates kept,
+    so "a b a" demands two distinct a-positions around a b. Output
+    (query_id, ``id_col``, rank, min_span) where ``min_span`` is the
+    smallest qualifying window's token length; ranks order by
+    (min_span asc, doc asc) — tighter is better. ``slop=0`` with
+    ``ordered=True`` accepts exactly the :func:`phrase_topk` matches
+    (pinned by test).
 
-    The classic minimal-covering-window scan, run as a PURE
-    whole-stage-codegen fold (no UDF): per (query, doc) the matched
-    per-term position lists merge into one (pos, term_idx)-sorted
-    array, and one ``aggregate`` pass maintains last-seen positions
-    per term — when every term has been seen, the current window is
-    pos − min(last_seen) + 1; the minimum over the scan is the min
-    span. O(total positions · n_terms) per doc, all expression-level.
-    Plan shape identical to :func:`phrase_topk`: one pushed postings
-    scan broadcast-joined to the query terms; the only shuffle is the
+    Both modes are PURE whole-stage-codegen folds (no UDF) over the
+    per-(query, doc) merged position array: unordered runs the classic
+    minimal-covering-window scan (last-seen position per term; window
+    = pos − min(last_seen) + 1 whenever all seen); ordered runs the
+    minimal-window-subsequence DP (per query-prefix, carry the LATEST
+    possible chain start; entries at equal positions process in
+    descending query offset so a chain never reuses one position —
+    the standard dominance argument makes latest-start optimal).
+    O(total positions · n_terms) per doc, all expression-level. Plan
+    shape identical to :func:`phrase_topk`: one pushed postings scan
+    broadcast-joined to the query terms; the only shuffle is the
     matched (query, doc) aggregate."""
     if "positions" not in postings.columns:
         raise ValueError(
             "near_topk needs a positional index — build the postings "
             "with inverted_index(..., positions=True)"
         )
-    qp = (
-        queries.select(
+    big = F.lit(2**31 - 1)
+    if ordered:
+        # query token SEQUENCE, duplicates kept; tag = -offset so the
+        # (pos asc, tag asc) array sort processes equal positions in
+        # DESCENDING offset order (a chain never reuses one position)
+        qp = queries.select(
             F.col(query_id_col).alias("query_id"),
-            F.explode(search_terms(query_col, lowercase)).alias("term"),
+            F.posexplode(search_terms(query_col, lowercase)).alias(
+                "_off", "term"
+            ),
         )
-        .distinct()
-        .withColumn(
-            "_tidx",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy("term")
+        tag = F.transform(
+            "positions",
+            lambda p: F.struct(
+                p.cast("int").alias("pos"),
+                (-F.col("_off")).cast("int").alias("nt"),
+            ),
+        )
+    else:
+        qp = (
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.explode(
+                    search_terms(query_col, lowercase)
+                ).alias("term"),
             )
-            - 1,
+            .distinct()
+            .withColumn(
+                "_tidx",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy("term")
+                )
+                - 1,
+            )
         )
-    )
-    qn = qp.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
-    hits = postings.join(F.broadcast(qp), "term").select(
-        "query_id",
-        id_col,
-        F.transform(
+        tag = F.transform(
             "positions",
             lambda p: F.struct(
                 p.cast("int").alias("pos"),
                 F.col("_tidx").cast("int").alias("t"),
             ),
-        ).alias("_tagged"),
+        )
+    qn = qp.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
+    hits = postings.join(F.broadcast(qp), "term").select(
+        "query_id", id_col, tag.alias("_tagged")
     )
-    big = F.lit(2**31 - 1)
-    merged = F.array_sort(F.flatten(F.collect_list("_tagged")))
-    scan = F.aggregate(
-        F.col("_merged"),
-        F.struct(
-            F.array_repeat(
-                F.lit(-1), F.col("_n").cast("int")
-            ).alias("last"),
-            big.alias("best"),
-        ),
-        lambda acc, x: F.struct(
-            F.transform(
-                acc["last"],
-                lambda v, i: F.when(i == x["t"], x["pos"]).otherwise(v),
-            ).alias("last"),
-            F.when(
-                ~F.array_contains(
+    if ordered:
+        # minimal-window-subsequence DP: start[i] = latest possible
+        # start of a chain matching query tokens 0..i in order
+        def _ostep(acc, x):
+            off = -x["nt"]
+            # CASE branches evaluate lazily, so element_at(…, 0) can
+            # never fire (ANSI would reject the 0 index); for off >= 1
+            # the 1-based element_at(start, off) IS start[off-1]
+            chain_start = F.when(off == 0, x["pos"]).otherwise(
+                F.element_at(acc["start"], off)
+            )
+            valid = F.when(off == 0, F.lit(True)).otherwise(
+                F.element_at(acc["start"], off) != -1
+            )
+            return F.struct(
+                F.when(
+                    valid,
                     F.transform(
-                        acc["last"],
+                        acc["start"],
                         lambda v, i: F.when(
-                            i == x["t"], x["pos"]
+                            i == off, chain_start
                         ).otherwise(v),
                     ),
-                    F.lit(-1),
-                ),
-                F.least(
-                    acc["best"],
-                    x["pos"]
-                    - F.array_min(
+                )
+                .otherwise(acc["start"])
+                .alias("start"),
+                F.when(
+                    valid & (off == F.col("_n") - 1),
+                    F.least(
+                        acc["best"], x["pos"] - chain_start + F.lit(1)
+                    ),
+                )
+                .otherwise(acc["best"])
+                .alias("best"),
+            )
+
+        scan = F.aggregate(
+            F.col("_merged"),
+            F.struct(
+                F.array_repeat(
+                    F.lit(-1), F.col("_n").cast("int")
+                ).alias("start"),
+                big.alias("best"),
+            ),
+            _ostep,
+            lambda acc: acc["best"],
+        )
+    else:
+        scan = F.aggregate(
+            F.col("_merged"),
+            F.struct(
+                F.array_repeat(
+                    F.lit(-1), F.col("_n").cast("int")
+                ).alias("last"),
+                big.alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                F.transform(
+                    acc["last"],
+                    lambda v, i: F.when(
+                        i == x["t"], x["pos"]
+                    ).otherwise(v),
+                ).alias("last"),
+                F.when(
+                    ~F.array_contains(
                         F.transform(
                             acc["last"],
                             lambda v, i: F.when(
                                 i == x["t"], x["pos"]
                             ).otherwise(v),
+                        ),
+                        F.lit(-1),
+                    ),
+                    F.least(
+                        acc["best"],
+                        x["pos"]
+                        - F.array_min(
+                            F.transform(
+                                acc["last"],
+                                lambda v, i: F.when(
+                                    i == x["t"], x["pos"]
+                                ).otherwise(v),
+                            )
                         )
-                    )
-                    + F.lit(1),
-                ),
-            )
-            .otherwise(acc["best"])
-            .alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
+                        + F.lit(1),
+                    ),
+                )
+                .otherwise(acc["best"])
+                .alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+    merged = F.array_sort(F.flatten(F.collect_list("_tagged")))
     grouped = (
         hits.groupBy("query_id", id_col)
         .agg(

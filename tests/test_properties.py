@@ -882,3 +882,84 @@ def test_spell_suggest_exact_recall_property(spark, vocab, qterms, d):
     for qt in qterms:
         want = {(v, lev(qt, v)) for v in vocab if lev(qt, v) <= d}
         assert got.get(qt, set()) == want, (qt, d)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma".split()),
+            min_size=0, max_size=10,
+        ).map(" ".join),
+        min_size=1, max_size=12,
+    ),
+    st.data(),
+)
+def test_near_topk_ordered_matches_greedy_reference(spark, texts, data):
+    """X2 proximity, inOrder=true: the minimal-window-subsequence DP ==
+    the greedy earliest-completion reference on ANY corpus, query
+    sequence (duplicates included) and slop."""
+    from datamunging_spark.operators.retrieval import (
+        inverted_index,
+        near_topk,
+    )
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    terms = data.draw(
+        st.lists(
+            st.sampled_from("alpha beta gamma".split()),
+            min_size=1, max_size=4,
+        )
+    )
+    slop = data.draw(st.integers(0, 4))
+    k = 8
+
+    def ordered_min_span(toks):
+        best = None
+        for i, t in enumerate(toks):
+            if t != terms[0]:
+                continue
+            j, ok = i, True
+            for term in terms[1:]:
+                nxt = next(
+                    (
+                        p
+                        for p in range(j + 1, len(toks))
+                        if toks[p] == term
+                    ),
+                    None,
+                )
+                if nxt is None:
+                    ok = False
+                    break
+                j = nxt
+            if ok:
+                span = j - i + 1
+                best = span if best is None else min(best, span)
+        return best
+
+    scored = []
+    for did, text in docs:
+        toks = [w for w in text.split(" ") if w]
+        best = ordered_min_span(toks)
+        if best is not None and best <= len(terms) + slop:
+            scored.append((did, best))
+    scored.sort(key=lambda x: (x[1], x[0]))
+    want = sorted(
+        (0, did, r + 1, s) for r, (did, s) in enumerate(scored[:k])
+    )
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        [(0, " ".join(terms))], "query_id long, query string"
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, r.rank, r.min_span)
+        for r in near_topk(
+            inverted_index(ddf, positions=True),
+            qdf,
+            k=k,
+            slop=slop,
+            ordered=True,
+        ).collect()
+    )
+    assert got == want

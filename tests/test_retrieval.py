@@ -1523,6 +1523,123 @@ def test_near_topk_min_span_and_slop(spark):
     } == {(3, 2), (6, 2)}
 
 
+def _ordered_min_span(toks, terms):
+    """Greedy reference: for each start matching terms[0], take the
+    earliest in-order completion; min span over starts."""
+    best = None
+    for i, t in enumerate(toks):
+        if t != terms[0]:
+            continue
+        j, ok = i, True
+        for term in terms[1:]:
+            nxt = next(
+                (p for p in range(j + 1, len(toks)) if toks[p] == term),
+                None,
+            )
+            if nxt is None:
+                ok = False
+                break
+            j = nxt
+        if ok:
+            span = j - i + 1
+            best = span if best is None else min(best, span)
+    return best
+
+
+def test_near_topk_ordered_planted_and_phrase_parity(spark):
+    from datamunging_spark.operators.retrieval import (
+        near_topk,
+        phrase_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "red fox jumps"),
+            (2, "fox red"),          # unordered-adjacent, NOT in order
+            (3, "red x fox"),        # ordered span 3
+            (4, "a b a"),
+            (5, "a b"),
+            (6, "red fox red fox"),
+        ],
+        "doc_id long, text string",
+    )
+    post = inverted_index(docs, positions=True)
+    q = spark.createDataFrame(
+        [(0, "red fox")], "query_id long, query string"
+    )
+    strict = {
+        r.doc_id: r.min_span
+        for r in near_topk(post, q, k=10, slop=0, ordered=True).collect()
+    }
+    assert strict == {1: 2, 6: 2}  # doc 2 reversed, doc 3 span 3
+    loose = {
+        r.doc_id: r.min_span
+        for r in near_topk(post, q, k=10, slop=1, ordered=True).collect()
+    }
+    assert loose == {1: 2, 3: 3, 6: 2}
+    # duplicates kept in order: "a b a" needs two distinct a positions
+    dq = spark.createDataFrame(
+        [(0, "a b a")], "query_id long, query string"
+    )
+    dup = {
+        r.doc_id: r.min_span
+        for r in near_topk(post, dq, k=10, slop=0, ordered=True).collect()
+    }
+    assert dup == {4: 3}  # doc 5 lacks the second a
+    # ordered slop=0 accepts exactly the phrase matches on real data
+    rdocs = spark.read.parquet(f"{SF}/documents.parquet")
+    rpost = inverted_index(rdocs, positions=True)
+    phrases = rdocs.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.col("text"), " ", -1), 1, 3)
+        ).alias("query"),
+    )
+    ph = {(r.query_id, r.doc_id)
+          for r in phrase_topk(rpost, phrases, k=1000).collect()}
+    nr = {(r.query_id, r.doc_id)
+          for r in near_topk(
+              rpost, phrases, k=1000, slop=0, ordered=True
+          ).collect()}
+    assert ph == nr and ph
+
+
+def test_near_topk_ordered_matches_greedy_reference(spark):
+    from datamunging_spark.operators.retrieval import near_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = [(r.doc_id, r.text) for r in docs.collect()]
+    qs = []
+    for i, (did, t) in enumerate(rows[:3]):
+        toks = [w for w in t.lower().split(" ") if w]
+        # an in-order but non-adjacent subsequence of the doc
+        qs.append((i, " ".join(toks[0:5:2])))
+    post = inverted_index(docs, positions=True)
+    qdf = spark.createDataFrame(qs, "query_id long, query string")
+    for slop in (0, 4):
+        want = []
+        for qid, q in qs:
+            terms = [w for w in q.lower().split(" ") if w]
+            scored = []
+            for did, text in rows:
+                toks = [w for w in text.lower().split(" ") if w]
+                best = _ordered_min_span(toks, terms)
+                if best is not None and best <= len(terms) + slop:
+                    scored.append((did, best))
+            scored.sort(key=lambda x: (x[1], x[0]))
+            want += [
+                (qid, did, r + 1, s)
+                for r, (did, s) in enumerate(scored[:10])
+            ]
+        got = sorted(
+            (r.query_id, r.doc_id, r.rank, r.min_span)
+            for r in near_topk(
+                post, qdf, k=10, slop=slop, ordered=True
+            ).collect()
+        )
+        assert got == sorted(want), f"slop={slop}"
+
+
 def test_near_topk_matches_python_reference(spark):
     from datamunging_spark.operators.retrieval import near_topk
 
