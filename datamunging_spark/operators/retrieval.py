@@ -80,6 +80,7 @@ __all__ = [
     "more_like_this",
     "spell_suggest",
     "near_topk",
+    "snippets",
 ]
 
 _CONTRIB_DECIMAL = "decimal(28,7)"
@@ -1402,8 +1403,10 @@ def near_topk(
     (``inOrder=true`` — the sloppy-phrase form): positions p_0 < p_1 <
     … matching the query's token SEQUENCE in order, duplicates kept,
     so "a b a" demands two distinct a-positions around a b. Output
-    (query_id, ``id_col``, rank, min_span) where ``min_span`` is the
-    smallest qualifying window's token length; ranks order by
+    (query_id, ``id_col``, rank, min_span, span_start) where
+    ``min_span`` is the smallest qualifying window's token length and
+    ``span_start`` its 0-based token offset (the FIRST such window in
+    scan order — feed it to :func:`snippets`); ranks order by
     (min_span asc, doc asc) — tighter is better. ``slop=0`` with
     ``ordered=True`` accepts exactly the :func:`phrase_topk` matches
     (pinned by test).
@@ -1471,6 +1474,9 @@ def near_topk(
     hits = postings.join(F.broadcast(qp), "term").select(
         "query_id", id_col, tag.alias("_tagged")
     )
+    final = lambda acc: F.struct(  # noqa: E731
+        acc["best"].alias("best"), acc["bstart"].alias("bstart")
+    )
     if ordered:
         # minimal-window-subsequence DP: start[i] = latest possible
         # start of a chain matching query tokens 0..i in order
@@ -1485,6 +1491,11 @@ def near_topk(
             valid = F.when(off == 0, F.lit(True)).otherwise(
                 F.element_at(acc["start"], off) != -1
             )
+            improved = (
+                valid
+                & (off == F.col("_n") - 1)
+                & (x["pos"] - chain_start + F.lit(1) < acc["best"])
+            )
             return F.struct(
                 F.when(
                     valid,
@@ -1498,13 +1509,13 @@ def near_topk(
                 .otherwise(acc["start"])
                 .alias("start"),
                 F.when(
-                    valid & (off == F.col("_n") - 1),
-                    F.least(
-                        acc["best"], x["pos"] - chain_start + F.lit(1)
-                    ),
+                    improved, x["pos"] - chain_start + F.lit(1)
                 )
                 .otherwise(acc["best"])
                 .alias("best"),
+                F.when(improved, chain_start)
+                .otherwise(acc["bstart"])
+                .alias("bstart"),
             )
 
         scan = F.aggregate(
@@ -1514,11 +1525,39 @@ def near_topk(
                     F.lit(-1), F.col("_n").cast("int")
                 ).alias("start"),
                 big.alias("best"),
+                F.lit(-1).alias("bstart"),
             ),
             _ostep,
-            lambda acc: acc["best"],
+            final,
         )
     else:
+
+        def _ustep(acc, x):
+            def new_last():
+                return F.transform(
+                    acc["last"],
+                    lambda v, i: F.when(
+                        i == x["t"], x["pos"]
+                    ).otherwise(v),
+                )
+
+            improved = ~F.array_contains(new_last(), F.lit(-1)) & (
+                x["pos"] - F.array_min(new_last()) + F.lit(1)
+                < acc["best"]
+            )
+            return F.struct(
+                new_last().alias("last"),
+                F.when(
+                    improved,
+                    x["pos"] - F.array_min(new_last()) + F.lit(1),
+                )
+                .otherwise(acc["best"])
+                .alias("best"),
+                F.when(improved, F.array_min(new_last()))
+                .otherwise(acc["bstart"])
+                .alias("bstart"),
+            )
+
         scan = F.aggregate(
             F.col("_merged"),
             F.struct(
@@ -1526,42 +1565,10 @@ def near_topk(
                     F.lit(-1), F.col("_n").cast("int")
                 ).alias("last"),
                 big.alias("best"),
+                F.lit(-1).alias("bstart"),
             ),
-            lambda acc, x: F.struct(
-                F.transform(
-                    acc["last"],
-                    lambda v, i: F.when(
-                        i == x["t"], x["pos"]
-                    ).otherwise(v),
-                ).alias("last"),
-                F.when(
-                    ~F.array_contains(
-                        F.transform(
-                            acc["last"],
-                            lambda v, i: F.when(
-                                i == x["t"], x["pos"]
-                            ).otherwise(v),
-                        ),
-                        F.lit(-1),
-                    ),
-                    F.least(
-                        acc["best"],
-                        x["pos"]
-                        - F.array_min(
-                            F.transform(
-                                acc["last"],
-                                lambda v, i: F.when(
-                                    i == x["t"], x["pos"]
-                                ).otherwise(v),
-                            )
-                        )
-                        + F.lit(1),
-                    ),
-                )
-                .otherwise(acc["best"])
-                .alias("best"),
-            ),
-            lambda acc: acc["best"],
+            _ustep,
+            final,
         )
     merged = F.array_sort(F.flatten(F.collect_list("_tagged")))
     grouped = (
@@ -1576,7 +1583,14 @@ def near_topk(
             "query_id",
             id_col,
             F.col("_n"),
-            scan.alias("min_span"),
+            scan.alias("_sc"),
+        )
+        .select(
+            "query_id",
+            id_col,
+            "_n",
+            F.col("_sc.best").alias("min_span"),
+            F.col("_sc.bstart").alias("span_start"),
         )
         .filter(F.col("min_span") <= F.col("_n") + F.lit(int(slop)))
         .drop("_n")
@@ -1589,7 +1603,48 @@ def near_topk(
         [F.col("min_span").asc(), F.col(id_col).asc()],
         k,
         rank_out="rank",
-    ).select("query_id", id_col, "rank", "min_span")
+    ).select("query_id", id_col, "rank", "min_span", "span_start")
+
+
+def snippets(
+    docs: DataFrame,
+    hits: DataFrame,
+    context: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Token-window snippets for proximity hits — the display leg:
+    join :func:`near_topk` output (any table carrying ``id_col``,
+    ``span_start``, ``min_span``) back to the documents and cut the
+    matched window plus ``context`` tokens on each side, rejoined with
+    single spaces. Output = the ``hits`` columns + ``snippet``.
+    Snippets live in the ANALYZED token space (lowercased, parity
+    tokenization) — byte-faithful to scoring, not to the original
+    casing/whitespace; for display-faithful text, slice the raw
+    document by your own offsets. The window clamps at both document
+    edges. One broadcast-ready join on the doc id + a pure slice
+    expression — hits tables are top-k-sized, so broadcast them
+    against the corpus scan (done here automatically)."""
+    toks = docs.select(
+        F.col(id_col),
+        search_terms(text_col, lowercase).alias("_toks"),
+    )
+    start = F.greatest(
+        F.lit(1), F.col("span_start") + F.lit(1) - F.lit(int(context))
+    )
+    length = (
+        F.col("min_span")
+        + F.lit(2 * int(context))
+        - F.greatest(
+            F.lit(0),
+            F.lit(int(context)) - F.col("span_start"),
+        )
+    )
+    return toks.join(F.broadcast(hits), id_col).withColumn(
+        "snippet",
+        F.array_join(F.slice(F.col("_toks"), start, length), " "),
+    ).drop("_toks")
 
 
 def retrieval_metrics(

@@ -1640,6 +1640,46 @@ def test_near_topk_ordered_matches_greedy_reference(spark):
         assert got == sorted(want), f"slop={slop}"
 
 
+def test_snippets_window_and_clamping(spark):
+    from datamunging_spark.operators.retrieval import (
+        near_topk,
+        snippets,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "brown fox first words here"),
+            (3, "ends with the brown fox"),
+        ],
+        "doc_id long, text string",
+    )
+    post = inverted_index(docs, positions=True)
+    q = spark.createDataFrame(
+        [(0, "brown fox")], "query_id long, query string"
+    )
+    hits = near_topk(post, q, k=10, slop=0, ordered=True)
+    spans = {r.doc_id: (r.span_start, r.min_span) for r in hits.collect()}
+    assert spans == {1: (2, 2), 2: (0, 2), 3: (3, 2)}
+    out = {r.doc_id: r.snippet
+           for r in snippets(docs, hits, context=1).collect()}
+    assert out[1] == "quick brown fox jumps"
+    assert out[2] == "brown fox first"     # left edge clamped
+    assert out[3] == "the brown fox"       # right edge clamped
+    wide = {r.doc_id: r.snippet
+            for r in snippets(docs, hits, context=10).collect()}
+    assert wide[1] == "the quick brown fox jumps over the lazy dog"
+    # span_start also lands for the unordered scan
+    uq = spark.createDataFrame(
+        [(0, "fox brown")], "query_id long, query string"
+    )
+    uspans = {
+        r.doc_id: (r.span_start, r.min_span)
+        for r in near_topk(post, uq, k=10, slop=0).collect()
+    }
+    assert uspans == spans
+
+
 def test_near_topk_matches_python_reference(spark):
     from datamunging_spark.operators.retrieval import near_topk
 
