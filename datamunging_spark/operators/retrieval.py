@@ -412,6 +412,7 @@ def advance_index(
     lowercase: bool = True,
     replace_ids: bool = False,
     group_col: str | None = None,
+    fields: dict[str, str] | list[str] | None = None,
 ) -> DataFrame:
     """Roll an inverted index forward by one ingest batch — the
     continuous-ingest leg (the X1+ ``advance_snapshot`` convention):
@@ -447,19 +448,52 @@ def advance_index(
     with the same group face and ``replace_ids`` anti-joins on
     (group, id) NULL-safely — doc ids are only unique within their
     group, so a batch doc replaces its own group's postings only.
+
+    A FIELDED index (:func:`fielded_index`) rolls forward by passing
+    the SAME ``fields`` mapping used at build time — the batch is
+    signed at field grain and the replace anti-join still keys on the
+    doc id, so an updated doc swaps ALL its fields' postings at once
+    (and a doc whose every field is empty is a delete, the same
+    contract). Detection is schema-based like positions: a history
+    table with a ``field`` column REQUIRES ``fields=``, so a fielded
+    index can never be silently degraded by an unfielded fold.
     """
-    # positional indexes roll forward as positional indexes — detect
-    # from the history schema so a positions=True index can never be
-    # silently degraded (or loudly union-mismatched) by a fold
+    # positional/fielded indexes roll forward as what they are —
+    # detect from the history schema so neither can be silently
+    # degraded (or loudly union-mismatched) by a fold
     pos = "positions" in postings.columns
+    fielded = "field" in postings.columns
+    if fielded and fields is None:
+        raise ValueError(
+            "advance_index: the history table is a FIELDED index "
+            "(it has a 'field' column) — pass fields= (the same "
+            "mapping fielded_index built it with) so the batch is "
+            "signed at field grain"
+        )
+    if fields is not None and not fielded:
+        raise ValueError(
+            "advance_index: fields= given but the history table has "
+            "no 'field' column — it is not a fielded_index table"
+        )
     gb = [group_col] if group_col else []
-    new_post = inverted_index(
-        batch, text_col, id_col, lowercase, positions=pos,
-        group_col=group_col,
-    )
+    if fielded:
+        if group_col:
+            raise ValueError(
+                "advance_index: fielded indexes have no grouped face "
+                "yet — group_col with fields is unsupported"
+            )
+        new_post = fielded_index(batch, fields, id_col, lowercase)
+    else:
+        new_post = inverted_index(
+            batch, text_col, id_col, lowercase, positions=pos,
+            group_col=group_col,
+        )
     if replace_ids:
-        cols = gb + ["term", id_col, "tf", "doc_len"] + (
-            ["positions"] if pos else []
+        cols = gb + (
+            ["field", "term", id_col, "tf", "field_len"]
+            if fielded
+            else ["term", id_col, "tf", "doc_len"]
+            + (["positions"] if pos else [])
         )
         if group_col:
             # grouped indexes replace on (group, id) — doc ids are only

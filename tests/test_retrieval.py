@@ -1730,6 +1730,37 @@ def test_near_topk_matches_python_reference(spark):
         assert got == ref(slop), f"slop={slop}"
 
 
+def test_advance_index_fielded_roll_forward(spark):
+    from datamunging_spark.operators.retrieval import fielded_index
+
+    docs = _fielded_docs(spark)
+    hist = fielded_index(docs, ["title", "body"])
+    batch = spark.createDataFrame(
+        [(1, "new title", "entirely new body"),   # replace
+         (9, "fresh", "brand new doc"),           # append
+         (4, "", "")],                            # delete via empty
+        "doc_id long, title string, body string",
+    )
+    rolled = advance_index(
+        hist, batch, replace_ids=True, fields=["title", "body"]
+    )
+    after = docs.filter("doc_id not in (1, 4)").unionByName(
+        batch.filter("doc_id != 4")
+    )
+    assert sorted(map(tuple, rolled.collect())) == sorted(
+        map(tuple, fielded_index(after, ["title", "body"]).collect())
+    )
+    # schema detection fails fast both ways
+    with pytest.raises(ValueError, match="FIELDED"):
+        advance_index(hist, batch)
+    with pytest.raises(ValueError, match="not a fielded_index"):
+        advance_index(
+            inverted_index(_docs(spark)),
+            _docs(spark),
+            fields=["text"],
+        )
+
+
 def test_advance_index_preserves_positional_schema(spark):
     """A positions=True index rolls forward AS a positional index on
     both the append and replace paths — equal to a full positional
