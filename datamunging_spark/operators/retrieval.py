@@ -1427,6 +1427,7 @@ def near_topk(
     id_col: str = "doc_id",
     lowercase: bool = True,
     ordered: bool = False,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Proximity search over a POSITIONAL index — Lucene's
     ``SpanNearQuery``: a doc qualifies iff some token window contains
@@ -1456,12 +1457,16 @@ def near_topk(
     O(total positions · n_terms) per doc, all expression-level. Plan
     shape identical to :func:`phrase_topk`: one pushed postings scan
     broadcast-joined to the query terms; the only shuffle is the
-    matched (query, doc) aggregate."""
+    matched (query, doc) aggregate. ``group_col``: the grouped face
+    over a grouped positional index (the :func:`bm25_topk` contract —
+    queries carry the group, NULL-safe, group rides the output)."""
     if "positions" not in postings.columns:
         raise ValueError(
             "near_topk needs a positional index — build the postings "
             "with inverted_index(..., positions=True)"
         )
+    gb = [group_col] if group_col else []
+    jk = (["_gk"] if group_col else []) + ["term"]
     big = F.lit(2**31 - 1)
     if ordered:
         # query token SEQUENCE, duplicates kept; tag = -offset so the
@@ -1469,6 +1474,7 @@ def near_topk(
         # DESCENDING offset order (a chain never reuses one position)
         qp = queries.select(
             F.col(query_id_col).alias("query_id"),
+            *gb,
             F.posexplode(search_terms(query_col, lowercase)).alias(
                 "_off", "term"
             ),
@@ -1484,6 +1490,7 @@ def near_topk(
         qp = (
             queries.select(
                 F.col(query_id_col).alias("query_id"),
+                *gb,
                 F.explode(
                     search_terms(query_col, lowercase)
                 ).alias("term"),
@@ -1504,9 +1511,12 @@ def near_topk(
                 F.col("_tidx").cast("int").alias("t"),
             ),
         )
+    if group_col:
+        qp = qp.withColumn("_gk", _gkey(group_col)).drop(group_col)
+        postings = postings.withColumn("_gk", _gkey(group_col))
     qn = qp.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
-    hits = postings.join(F.broadcast(qp), "term").select(
-        "query_id", id_col, tag.alias("_tagged")
+    hits = postings.join(F.broadcast(qp), jk).select(
+        "query_id", *gb, id_col, tag.alias("_tagged")
     )
     final = lambda acc: F.struct(  # noqa: E731
         acc["best"].alias("best"), acc["bstart"].alias("bstart")
@@ -1606,7 +1616,7 @@ def near_topk(
         )
     merged = F.array_sort(F.flatten(F.collect_list("_tagged")))
     grouped = (
-        hits.groupBy("query_id", id_col)
+        hits.groupBy("query_id", *gb, id_col)
         .agg(
             F.count(F.lit(1)).alias("_n_matched"),
             merged.alias("_merged"),
@@ -1615,12 +1625,14 @@ def near_topk(
         .filter(F.col("_n_matched") == F.col("_n"))
         .select(
             "query_id",
+            *gb,
             id_col,
             F.col("_n"),
             scan.alias("_sc"),
         )
         .select(
             "query_id",
+            *gb,
             id_col,
             "_n",
             F.col("_sc.best").alias("min_span"),
@@ -1637,7 +1649,9 @@ def near_topk(
         [F.col("min_span").asc(), F.col(id_col).asc()],
         k,
         rank_out="rank",
-    ).select("query_id", id_col, "rank", "min_span", "span_start")
+    ).select(
+        "query_id", *gb, id_col, "rank", "min_span", "span_start"
+    )
 
 
 def snippets(

@@ -1203,6 +1203,36 @@ def test_grouped_boolean_and_phrase_faces(spark):
             pwant.append((r.query_id, lang, r.doc_id, r.rank,
                           r.phrase_freq))
     assert pgot == sorted(pwant) and pgot
+    # grouped proximity == per-slice ungrouped runs, both modes
+    from datamunging_spark.operators.retrieval import near_topk
+
+    for ordered in (False, True):
+        ngot = sorted(
+            (r.query_id, r.lang, r.doc_id, r.rank, r.min_span,
+             r.span_start)
+            for r in near_topk(
+                ppost, pq, k=5, slop=3, ordered=ordered,
+                group_col="lang",
+            ).collect()
+        )
+        nwant = []
+        for lang, qid in (("en", 30), ("de", 31), (None, 32)):
+            cond = (
+                F.col("lang").isNull()
+                if lang is None
+                else F.col("lang") == lang
+            )
+            sl = docs.filter(cond)
+            qs = pq.filter(F.col("query_id") == qid).drop("lang")
+            for r in near_topk(
+                inverted_index(sl, positions=True), qs, k=5, slop=3,
+                ordered=ordered,
+            ).collect():
+                nwant.append(
+                    (r.query_id, lang, r.doc_id, r.rank, r.min_span,
+                     r.span_start)
+                )
+        assert ngot == sorted(nwant) and ngot, f"ordered={ordered}"
 
 
 def test_grouped_advance_index_replace_scoped_to_group(spark):
