@@ -595,11 +595,12 @@ def boolean_topk(
     rows (strict AND, by design — absence is not hotness; the valve
     never drops unseen terms).
 
-    ``pin``: with ``dfreq=None`` the matched postings feed both the
-    df derivation and the role branches, so they are pinned with a
-    LAZY ``localCheckpoint(eager=False)`` — same trade and same
-    escape hatch as :func:`bm25_topk` (no pin exists on the ``dfreq``
-    path). Exclusion is a left-anti join on the (query, doc) pairs
+    ``pin``: the matched postings feed the scoring AND banned-pairs
+    branches on every path (plus the df derivation when
+    ``dfreq=None``), so they are pinned with a LAZY
+    ``localCheckpoint(eager=False)`` on both — same trade and same
+    escape hatch as :func:`bm25_topk`.
+    Exclusion is a left-anti join on the (query, doc) pairs
     any surviving must_not term hits. Deterministic: decimal(28,7)
     score sums, (score desc, doc asc) ranks. ``group_col``: the
     grouped face over a grouped index — same contract as
@@ -664,15 +665,15 @@ def boolean_topk(
             roles = roles.join(F.broadcast(hot), jk, "left_anti")
             dfreq = dfreq.join(F.broadcast(hot), jk, "left_anti")
             terms = roles.select(*jk).distinct()
-        if group_col:
-            postings = postings.withColumn("_gk", _gkey(group_col))
-        matched = postings.join(F.broadcast(terms), jk)
-    else:
-        if group_col:
-            postings = postings.withColumn("_gk", _gkey(group_col))
-        matched = postings.join(F.broadcast(terms), jk)
-        if pin:
-            matched = matched.localCheckpoint(eager=False)
+    if group_col:
+        postings = postings.withColumn("_gk", _gkey(group_col))
+    matched = postings.join(F.broadcast(terms), jk)
+    # the matched branch fans into scoring AND the banned-pairs
+    # distinct on BOTH df paths (plus the df derivation on the
+    # on-the-fly one) — pin it so the postings scan runs once
+    if pin:
+        matched = matched.localCheckpoint(eager=False)
+    if dfreq is None:
         dfreq = matched.groupBy(*jk).agg(F.count(F.lit(1)).alias("df"))
         if max_df_frac is not None:
             # on-the-fly df: the scan reads a hot term's postings once
@@ -1025,7 +1026,10 @@ def bm25f_topk(
     length normalization is the second BM25F knob). ``dfreq`` /
     ``max_df_frac`` / ``pin`` behave exactly as in :func:`bm25_topk`
     (same valve, same lazy pin on the convenience path, same
-    escape hatch).
+    escape hatch) — and idf's df is DOC-grain over ALL indexed fields
+    on both paths (the on-the-fly derivation runs before the weights
+    filter), so a weights subset reweights scoring without changing
+    df.
 
     Output (query_id, ``id_col``, rank, bm25f), ranks tie-broken on
     ascending doc id. Plan shape = :func:`bm25_topk` with one extra
@@ -1069,15 +1073,17 @@ def bm25f_topk(
             qterms = qterms.join(
                 F.broadcast(dfreq.select("term")), "term"
             )
-    matched = postings.filter(
-        F.col("field").isin(*weights)
-    ).join(F.broadcast(qterms), "term")
+    # df is DOC-grain over ALL indexed fields (fielded_term_stats'
+    # convention) — derive it BEFORE the weights filter, or a weights
+    # subset would shrink df and diverge from the precomputed path
+    all_matched = postings.join(F.broadcast(qterms), "term")
     if dfreq is None:
         if pin:
-            matched = matched.localCheckpoint(eager=False)
-        dfreq = fielded_term_stats(matched, id_col)
+            all_matched = all_matched.localCheckpoint(eager=False)
+        dfreq = fielded_term_stats(all_matched, id_col)
         if max_df_frac is not None:
             dfreq = _df_valve(dfreq)
+    matched = all_matched.filter(F.col("field").isin(*weights))
     favg = fstats.select("field", F.col("avgdl").alias("_avgdl"))
     w_f = _field_ladder(weights)
     b_f = _field_ladder(bmap)
@@ -1723,7 +1729,7 @@ def retrieval_metrics(
     ``ranking`` is a top-k table ((query, doc, rank) — any of
     :func:`bm25_topk` / :func:`bm25f_topk` / :func:`boolean_topk` /
     :func:`rrf_fuse` output); ``qrels`` carries (query, doc[, grade])
-    judgments, grades ≤ 0 dropped, duplicate judgments deduped.
+    judgments, grades ≤ 0 dropped, duplicate judgments resolved to the MAX grade.
     Queries present in ``qrels`` but retrieving nothing still get a
     row (all-zero metrics); queries only in ``ranking`` are dropped —
     unjudged queries are unmeasurable, by convention.
@@ -1752,7 +1758,12 @@ def retrieval_metrics(
             F.col(id_col).alias("doc_id"),
             F.col(grade_col).cast("double").alias("grade"),
         ).filter(F.col("grade") > 0)
-    qr = qr.dropDuplicates(["query_id", "doc_id"])
+    # duplicate judgments (two assessors) resolve to the MAX grade —
+    # a deterministic reduction, not a partitioning-dependent
+    # keep-first (the determinism contract below)
+    qr = qr.groupBy("query_id", "doc_id").agg(
+        F.max("grade").alias("grade")
+    )
 
     rel = F.col("grade").isNotNull()
     w = Window.partitionBy("query_id").orderBy("rank")

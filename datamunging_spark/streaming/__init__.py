@@ -1166,7 +1166,11 @@ def read_index_version(
     that a rewrite-per-version store would hold, with lineage bounded
     by the base cadence (≤ ``min(keep_last, base_every)`` − 1 deltas).
     Old-layout stores (every version a full base) reduce to 'read the
-    requested version'."""
+    requested version'. Guaranteed readable: the HEAD (the cadence
+    keeps its base inside the retention window). A retained DELTA
+    older than the newest base may have lost its own base to vacuum —
+    such point-in-time reads raise FileNotFoundError with the
+    keep_last guidance rather than returning a partial index."""
     from datamunging_spark.sources.versioned import list_table_versions
 
     versions = list_table_versions(spark, table_path)
@@ -1236,17 +1240,21 @@ def streaming_index_ingest(
     (the version directory as plain parquet, the pre-r13 layout — old
     stores reload unchanged as all-bases) is compacted every
     ``min(keep_last, base_every)``-th fold: the retention term
-    guarantees the vacuumed tail-K window always contains the base its
-    deltas need (``keep_last=2``, the default, alternates base/delta —
-    raise ``keep_last`` to amortize further), while ``base_every``
-    (default 64) bounds the reconstruction lineage independent of
-    retention. ``base_every=None`` opts into a pure delta log after the
-    first fold (O(folds) reload lineage — the span family's documented
-    footgun, same warning). Base-vs-delta is decided from the COMMITTED
+    guarantees the HEAD's delta chain always has its base inside the
+    vacuumed tail-K window (``keep_last=2``, the default, alternates
+    base/delta — raise ``keep_last`` to amortize further), while
+    ``base_every`` (default 64) bounds the reconstruction lineage on
+    top of it. The retention term is NEVER optional —
+    ``base_every=None`` only removes the lineage bound; vacuum would
+    otherwise delete the only base out from under a pure delta chain
+    and brick the store. Base-vs-delta is decided from the COMMITTED
     store alone and torn attempts are deleted whole before the write,
-    so crash replays converge on the same mode. Read any committed
-    version with :func:`read_index_version`, which replays the delta
-    chain (broadcast anti-join + union per delta) onto the newest base.
+    so crash replays converge on the same mode. Read the HEAD (or any
+    version whose base still survives retention — retained deltas
+    OLDER than the newest base lose their base to vacuum and raise;
+    the head chain is the guaranteed read) with
+    :func:`read_index_version`, which replays the delta chain
+    (broadcast anti-join + union per delta) onto the newest base.
 
     ``replace_ids=True`` is what makes the fold REPLAY-IDEMPOTENT (the
     streaming_distinct_counts algebra, ``skip_applied=False``): a
@@ -1288,12 +1296,16 @@ def streaming_index_ingest(
     empty-text update under ``replace_ids`` is a DELETE, see
     :func:`~datamunging_spark.operators.retrieval.advance_index`, and
     the subtraction accounts for it automatically). Query the current
-    version with ``bm25_topk(read_index_version(spark, table_path),
-    queries, read_table_version(spark, table_path + "_stats"))``. The
-    stats version commits before its postings version: a crash between
-    the two leaves a stats version one ahead, which the overwrite-
-    idempotent replay rewrites; readers should pair MATCHING version
-    numbers (latest postings version is the anchor). With
+    version ANCHORED on the postings head — the stats version commits
+    before its postings version, so a crash between the two can leave
+    the stats store one version ahead until the replay rewrites it;
+    always pass the postings version explicitly::
+
+        v = latest_table_version(spark, table_path)
+        bm25_topk(read_index_version(spark, table_path, v), queries,
+                  read_table_version(spark, table_path + "_stats", v))
+
+    With
     ``stats=False`` only postings are versioned and the query path
     falls back to
     :func:`~datamunging_spark.operators.retrieval.stats_from_postings`
@@ -1426,10 +1438,12 @@ def streaming_index_ingest(
                 if newest_base is None or v > newest_base
             ]
         )
-        cadence = (
-            min(keep_last, base_every)
-            if base_every is not None
-            else None
+        # the RETENTION term is never optional: without it, vacuum
+        # deletes the only base out from under a pure delta chain and
+        # the store is permanently unreadable (the span-family cadence
+        # rule — min over the non-None bounds)
+        cadence = min(
+            c for c in (keep_last, base_every) if c is not None
         )
         write_base = (
             state is None

@@ -153,10 +153,13 @@ def main() -> None:
         stream, table, checkpoint_path=f"{workdir}/ckpt"
     )
     # the store is a delta log: reconstruct via read_index_version and
-    # read the O(1) stats table that rode the fold
-    live = read_index_version(spark, table)
+    # read the O(1) stats table that rode the fold — ANCHORED on the
+    # postings head (the stats store can run one version ahead in the
+    # crash window, so never pair two unanchored 'latest' reads)
+    live = read_index_version(spark, table, v)
     hits = bm25_topk(
-        live, queries, read_table_version(spark, table + "_stats"), k=3
+        live, queries,
+        read_table_version(spark, table + "_stats", v), k=3,
     )
     print(f"streamed index v{v}: {live.count()} postings; "
           f"{hits.count()} hits from the versioned store")

@@ -362,12 +362,15 @@ def test_r13_retrieval_additions_on_empty(spark):
     ppost = inverted_index(docs, positions=True)
     no_q = spark.createDataFrame([], "query_id long, query string")
     assert near_topk(ppost, no_q, k=3).count() == 0
-    # empty-string query term: the delete-variant guard handles it
+    # empty-string query term: the delete-variant guard handles it,
+    # and recall stays exact — no vocab term here is within distance
+    # 2 of "", so the empty term must return NOTHING while the real
+    # term still resolves at distance 0
     sq = spark.createDataFrame([("",), ("beta",)], "term string")
-    sugg = spell_suggest(term_stats(post), sq, k=3, max_edit=2)
-    assert not [r for r in sugg.collect() if r.term == ""] or all(
-        r.distance <= 2 for r in sugg.collect()
-    )
+    rows = spell_suggest(term_stats(post), sq, k=3, max_edit=2).collect()
+    assert not [r for r in rows if r.term == ""]
+    assert [(r.suggestion, r.distance) for r in rows
+            if r.term == "beta" and r.rank == 1] == [("beta", 0)]
     no_qrels = spark.createDataFrame([], "query_id long, doc_id long")
     ranking = spark.createDataFrame(
         [(0, 1, 1)], "query_id long, doc_id long, rank long"

@@ -1037,6 +1037,104 @@ def test_bm25f_matches_python_reference(spark):
     assert pre == got
 
 
+def test_bm25f_weights_subset_keeps_all_field_df(spark):
+    """idf's df is doc-grain over ALL indexed fields on BOTH paths —
+    searching only the title must not shrink df to title-only counts
+    (the r13 review finding: the convenience path derived df from the
+    weights-filtered postings)."""
+    from datamunging_spark.operators.retrieval import (
+        bm25f_topk,
+        field_stats,
+        fielded_index,
+        fielded_term_stats,
+    )
+
+    docs = _fielded_docs(spark)
+    post = fielded_index(docs, ["title", "body"])
+    fst = field_stats(docs, ["title", "body"])
+    q = spark.createDataFrame(
+        [(0, "zebra spark")], "query_id long, query string"
+    )
+    fly = sorted(
+        (r.query_id, r.doc_id, r.rank, r.bm25f)
+        for r in bm25f_topk(
+            post, q, fst, weights={"title": 1.0}, k=5
+        ).collect()
+    )
+    pre = sorted(
+        (r.query_id, r.doc_id, r.rank, r.bm25f)
+        for r in bm25f_topk(
+            post, q, fst, weights={"title": 1.0}, k=5,
+            dfreq=fielded_term_stats(post),
+        ).collect()
+    )
+    assert fly == pre and fly
+
+
+def test_retrieval_metrics_duplicate_judgments_max_grade(spark):
+    from datamunging_spark.operators.retrieval import retrieval_metrics
+
+    ranking = spark.createDataFrame(
+        [(0, 11, 1)], "query_id long, doc_id long, rank long"
+    )
+    qrels = spark.createDataFrame(
+        [(0, 11, 1.0), (0, 11, 3.0), (0, 12, 2.0)],
+        "query_id long, doc_id long, grade double",
+    )
+    r = retrieval_metrics(
+        ranking, qrels, k=3, grade_col="grade"
+    ).collect()[0]
+    assert r.n_rel == 2  # (0,11) judged once, at max grade
+    dcg = (2**3 - 1) / math.log2(2)
+    idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3)
+    assert r.dcg_k == pytest.approx(dcg, abs=1e-6)
+    assert r.ndcg_k == pytest.approx(dcg / idcg, abs=1e-6)
+
+
+def test_streaming_index_base_every_none_keeps_retention_bases(spark, tmp_path):
+    """base_every=None removes only the LINEAGE bound — the retention
+    term still compacts a base every keep_last-th fold, so vacuum can
+    never delete the only base out from under the head (the r13
+    review's data-loss finding)."""
+    from datamunging_spark.sources.versioned import list_table_versions
+    from datamunging_spark.streaming import (
+        _index_version_is_delta,
+        read_index_version,
+        streaming_index_ingest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    table = str(tmp_path / "tbl")
+    schema = "doc_id long, text string"
+    batches = [[(i, f"doc number {i} text")] for i in range(5)]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    v = streaming_index_ingest(
+        stream, table, checkpoint_path=str(tmp_path / "ck"),
+        keep_last=2, base_every=None,
+    )
+    assert v == 5
+    retained = list_table_versions(spark, table)
+    assert len(retained) == 2
+    # the head is always readable: its base survives retention
+    assert any(
+        not _index_version_is_delta(spark, f"{table}/v{n}")
+        for n in retained
+    )
+    got = sorted(
+        r.doc_id
+        for r in read_index_version(spark, table)
+        .select("doc_id").distinct().collect()
+    )
+    assert got == [0, 1, 2, 3, 4]
+
+
 def test_bm25f_deterministic_under_repartition_and_valve(spark):
     from datamunging_spark.operators.retrieval import (
         bm25f_topk,

@@ -13,10 +13,12 @@ micro-batch). Modes:
 - rewrite: keep_last=1 → cadence 1: every fold compacts a full base
            (the r12-and-earlier cost shape).
 
-Reported per fold: drain wall and bytes written into the version
-directory. Then the read side: read_index_version reconstruction wall
-for the delta store's head (base + 7 delta folds) vs the rewrite
-store's head (plain read) — the lineage cost the base cadence bounds.
+Reported per fold: drain wall and the bytes of the newly committed
+version directory (postings + stats — measured directly per version,
+immune to vacuum). Then the read side: read_index_version
+reconstruction wall for the delta store's head (base + 7 delta folds)
+vs the rewrite store's head (plain read) — the lineage cost the base
+cadence bounds.
 
 Usage: python tools/measure_index_ingest_scale.py [sf_dir]
 (default /root/testdata/sf0.1)
@@ -73,7 +75,6 @@ def main() -> None:
         ckpt = f"{tmp}/{mode}_ckpt"
         os.makedirs(src)
         walls, sizes = [], []
-        prev_bytes = 0
         for i in range(n_batches):
             docs.filter(
                 (F.col("doc_id") >= bounds[i])
@@ -85,14 +86,17 @@ def main() -> None:
                 .parquet(src + "/*")
             )
             t0 = time.perf_counter()
-            streaming_index_ingest(
+            v = streaming_index_ingest(
                 stream, table, checkpoint_path=ckpt, **kw
             )
             walls.append(time.perf_counter() - t0)
-            # vacuum deletes old versions; track the live store's growth
-            cur = dir_bytes(table) + dir_bytes(table + "_stats")
-            sizes.append(cur - prev_bytes if mode == "delta" else cur)
-            prev_bytes = cur if mode == "delta" else 0
+            # bytes this fold WROTE = the newly committed version
+            # directories (postings + stats), measured directly —
+            # immune to vacuum shrinking the store mid-run
+            sizes.append(
+                dir_bytes(f"{table}/v{v}")
+                + dir_bytes(f"{table}_stats/v{v}")
+            )
         t0 = time.perf_counter()
         rows = read_index_version(spark, table).count()
         read_wall = time.perf_counter() - t0
@@ -100,6 +104,8 @@ def main() -> None:
         print(
             f"| {mode} | "
             + " ".join(f"{w:.2f}" for w in walls)
+            + " | "
+            + " ".join(f"{s // 1024}K" for s in sizes)
             + f" | head read {read_wall:.2f} s ({rows} postings) |"
         )
 
