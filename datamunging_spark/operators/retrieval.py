@@ -765,6 +765,10 @@ def phrase_topk(
     id_col: str = "doc_id",
     lowercase: bool = True,
     group_col: str | None = None,
+    stats: DataFrame | None = None,
+    dfreq: DataFrame | None = None,
+    max_df_frac: float | None = None,
+    on_hot: str = "raise",
 ) -> DataFrame:
     """Exact phrase search over a POSITIONAL index — top-k docs per
     phrase by phrase frequency: (query_id, ``id_col``, rank,
@@ -772,6 +776,15 @@ def phrase_topk(
     :func:`inverted_index(..., positions=True) <inverted_index>`;
     ``phrases`` is a SMALL (query_id, phrase text) batch, broadcast by
     contract like :func:`bm25_topk`'s queries.
+
+    ``max_df_frac`` (with ``stats``, and ideally ``dfreq`` =
+    :func:`term_stats`) arms the hot-term GUARD: phrase semantics
+    forbid silently dropping a term, so instead of valving, the guard
+    fails fast (``on_hot='raise'``) or warns (``'warn'``) at
+    query-construction time when any phrase term's df exceeds the
+    fraction — see :func:`_positional_hot_guard` for the scale hazard
+    and the CommonGrams/stop-analysis alternative. Default off (the
+    parity configuration).
 
     The classic positional-intersection algorithm, relational: explode
     each phrase into (offset, term) pairs → broadcast-join postings on
@@ -807,6 +820,10 @@ def phrase_topk(
     if group_col:
         qp = qp.withColumn("_gk", _gkey(group_col)).drop(group_col)
         postings = postings.withColumn("_gk", _gkey(group_col))
+    _positional_hot_guard(
+        qp.select(*jk).distinct(), postings, stats, dfreq, max_df_frac,
+        jk, group_col, "phrase_topk", on_hot,
+    )
     qn = qp.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n_terms"))
     hits = postings.join(F.broadcast(qp), jk).select(
         "query_id",
@@ -975,6 +992,97 @@ def _gkey(col: str) -> Column:
     return F.when(F.col(col).isNull(), F.lit("\x00")).otherwise(
         F.concat(F.lit("="), F.col(col).cast("string"))
     )
+
+
+def _positional_hot_guard(
+    qterms: DataFrame,
+    postings: DataFrame,
+    stats: DataFrame | None,
+    dfreq: DataFrame | None,
+    max_df_frac: float | None,
+    jk: list[str],
+    group_col: str | None,
+    op: str,
+    on_hot: str,
+) -> None:
+    """The positional operators' hot-term GUARD (not a valve): phrase
+    and proximity semantics forbid silently dropping a term (removing
+    "the" from the phrase "the who" changes what it matches), so where
+    :func:`bm25_topk`'s ``max_df_frac`` cuts hot terms, this checks the
+    query terms' document frequencies up front and FAILS FAST
+    (``on_hot='raise'``) or warns loudly (``'warn'``) when any exceeds
+    ``max_df_frac * n_docs``. Without it, one careless query term
+    ("the") drags a corpus-scale slice of POSITIONAL postings — tf plus
+    the full position arrays, the widest rows in the index — through
+    the (query, doc) aggregate, the one adversarial-input scale hazard
+    of the positional family.
+
+    The check is one bounded driver-side action at query-construction
+    time over the query-term-pruned df table (broadcast-sized: ≤ the
+    distinct query terms). Pass ``dfreq`` (:func:`term_stats`, the
+    index-build artifact — the 100 TB path) so the check never touches
+    the postings; without it, df derives from one slim postings
+    aggregate (term column only — column pruning keeps the position
+    arrays unread on a parquet index, but it is still a corpus-grain
+    scan, fine interactively).
+
+    The Lucene-world fix for a workload that legitimately needs hot
+    terms in phrases is analysis-side, not query-side: index
+    CommonGrams (hot-term bigrams as single tokens) or stop-filter at
+    analysis time so the hot term never enters the positional index;
+    the heavier engine-side option is a doc-co-partitioned merge-join
+    index layout. This guard makes the hazard loud until one of those
+    is in place."""
+    if max_df_frac is None:
+        return
+    if on_hot not in ("raise", "warn"):
+        raise ValueError(f"{op}: on_hot must be 'raise' or 'warn'")
+    if stats is None:
+        raise ValueError(
+            f"{op}: max_df_frac needs stats (index_stats — per-group "
+            "when grouped) to judge hotness against n_docs"
+        )
+    if dfreq is None:
+        dfreq = postings.join(F.broadcast(qterms), jk).groupBy(*jk).agg(
+            F.count(F.lit(1)).alias("df")
+        )
+    else:
+        if group_col:
+            dfreq = dfreq.withColumn("_gk", _gkey(group_col)).drop(
+                group_col
+            )
+        dfreq = dfreq.join(F.broadcast(qterms), jk)
+    if group_col:
+        stats = stats.withColumn("_gk", _gkey(group_col)).drop(group_col)
+        cut = dfreq.join(F.broadcast(stats), "_gk")
+    else:
+        cut = dfreq.crossJoin(F.broadcast(stats))
+    hot = (
+        cut.filter(
+            F.col("df") > F.lit(float(max_df_frac)) * F.col("n_docs")
+        )
+        .select("term")
+        .distinct()
+        .sort("term")
+        .limit(20)
+        .collect()
+    )
+    if hot:
+        terms = ", ".join(repr(r.term) for r in hot)
+        msg = (
+            f"{op}: query term(s) exceed max_df_frac="
+            f"{max_df_frac:g} of the corpus: {terms}. A hot term joins "
+            "its ENTIRE positional posting slice (positions arrays "
+            "included) into the per-doc aggregate — corpus-sized at "
+            "scale. Rephrase the query, raise max_df_frac, or index "
+            "CommonGrams / stop-filter at analysis time so hot terms "
+            "never reach the positional index."
+        )
+        if on_hot == "raise":
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=3)
 
 
 def _field_ladder(mapping: dict) -> Column:
@@ -1434,6 +1542,10 @@ def near_topk(
     lowercase: bool = True,
     ordered: bool = False,
     group_col: str | None = None,
+    stats: DataFrame | None = None,
+    dfreq: DataFrame | None = None,
+    max_df_frac: float | None = None,
+    on_hot: str = "raise",
 ) -> DataFrame:
     """Proximity search over a POSITIONAL index — Lucene's
     ``SpanNearQuery``: a doc qualifies iff some token window contains
@@ -1465,7 +1577,15 @@ def near_topk(
     broadcast-joined to the query terms; the only shuffle is the
     matched (query, doc) aggregate. ``group_col``: the grouped face
     over a grouped positional index (the :func:`bm25_topk` contract —
-    queries carry the group, NULL-safe, group rides the output)."""
+    queries carry the group, NULL-safe, group rides the output).
+
+    ``max_df_frac`` (with ``stats``, and ideally ``dfreq`` =
+    :func:`term_stats`) arms the hot-term GUARD — proximity semantics
+    forbid silently dropping a term, so a hot query term fails fast
+    (``on_hot='raise'``) or warns (``'warn'``) at query-construction
+    time instead of dragging its corpus-scale positional posting slice
+    through the aggregate; see :func:`_positional_hot_guard`. Default
+    off (the parity configuration)."""
     if "positions" not in postings.columns:
         raise ValueError(
             "near_topk needs a positional index — build the postings "
@@ -1520,6 +1640,10 @@ def near_topk(
     if group_col:
         qp = qp.withColumn("_gk", _gkey(group_col)).drop(group_col)
         postings = postings.withColumn("_gk", _gkey(group_col))
+    _positional_hot_guard(
+        qp.select(*jk).distinct(), postings, stats, dfreq, max_df_frac,
+        jk, group_col, "near_topk", on_hot,
+    )
     qn = qp.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
     hits = postings.join(F.broadcast(qp), jk).select(
         "query_id", *gb, id_col, tag.alias("_tagged")

@@ -1917,3 +1917,87 @@ def test_advance_index_preserves_positional_schema(spark):
     q = spark.createDataFrame([Row(query_id=0, query="zebra broadcast")])
     hits = phrase_topk(replaced, q, k=3).collect()
     assert [(r.doc_id, r.phrase_freq) for r in hits] == [(2, 1)]
+
+
+def test_positional_hot_term_guard(spark):
+    """phrase_topk/near_topk max_df_frac is a GUARD, not a valve:
+    semantics forbid dropping a term, so a hot query term raises (or
+    warns) at query-construction time — on both df paths, on the
+    grouped face, and judged against the query's own group's corpus."""
+    import warnings
+
+    from datamunging_spark.operators.retrieval import near_topk, phrase_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the spark engine"),
+            (2, "the fast plan"),
+            (3, "the wide shuffle"),
+            (4, "zebra stampede here"),
+        ],
+        "doc_id long, text string",
+    )
+    post = inverted_index(docs, positions=True)
+    stats = index_stats(docs)
+    dfr = term_stats(post)
+    hot_q = spark.createDataFrame(
+        [(0, "the spark")], "query_id long, query string"
+    )
+    cold_q = spark.createDataFrame(
+        [(0, "zebra stampede")], "query_id long, query string"
+    )
+    for op in (phrase_topk, near_topk):
+        # precomputed-df path: fails fast, names the term
+        with pytest.raises(ValueError, match="'the'"):
+            op(post, hot_q, stats=stats, dfreq=dfr, max_df_frac=0.5)
+        # on-the-fly df path
+        with pytest.raises(ValueError, match="max_df_frac"):
+            op(post, hot_q, stats=stats, max_df_frac=0.5)
+        # max_df_frac without stats is a usage error
+        with pytest.raises(ValueError, match="stats"):
+            op(post, hot_q, max_df_frac=0.5)
+        # warn mode proceeds with unchanged semantics
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            hits = op(
+                post, hot_q, stats=stats, dfreq=dfr,
+                max_df_frac=0.5, on_hot="warn",
+            ).collect()
+        assert any("max_df_frac" in str(x.message) for x in w)
+        assert hits == op(post, hot_q).collect()
+        # a cold query passes the guard silently and matches
+        guarded = op(
+            post, cold_q, stats=stats, dfreq=dfr, max_df_frac=0.5
+        )
+        assert [r.doc_id for r in guarded.collect()] == [4]
+
+    # grouped face: hotness is judged against the query's OWN group
+    gdocs = spark.createDataFrame(
+        [
+            ("en", 1, "the spark engine"),
+            ("en", 2, "the fast plan"),
+            ("de", 1, "der funke brennt"),
+            ("de", 2, "the imported word"),
+        ],
+        "lang string, doc_id long, text string",
+    )
+    gpost = inverted_index(gdocs, positions=True, group_col="lang")
+    gstats = index_stats(gdocs, group_col="lang")
+    gdfr = term_stats(gpost, group_col="lang")
+    en_q = spark.createDataFrame(
+        [("en", 0, "the spark")], "lang string, query_id long, query string"
+    )
+    de_q = spark.createDataFrame(
+        [("de", 0, "the imported")], "lang string, query_id long, query string"
+    )
+    # 'the' is hot in en (2/2 docs) but df 1/2 in de at frac 0.6
+    with pytest.raises(ValueError, match="'the'"):
+        phrase_topk(
+            gpost, en_q, group_col="lang",
+            stats=gstats, dfreq=gdfr, max_df_frac=0.6,
+        )
+    ok = phrase_topk(
+        gpost, de_q, group_col="lang",
+        stats=gstats, dfreq=gdfr, max_df_frac=0.6,
+    )
+    assert [(r.lang, r.doc_id) for r in ok.collect()] == [("de", 2)]
