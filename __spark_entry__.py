@@ -639,13 +639,18 @@ _ENTRY_CACHE: dict = {}
 
 def _bm25_persisted_index(spark, sf_dir):
     """Materialize the BM25 index-build artifacts (postings + term df +
-    one-row stats) to parquet ONCE per sf_dir — the cost a real
+    one-row stats) to parquet ONCE per corpus — the cost a real
     deployment pays at index-build time — and return the read-back
     tables. Cached process-wide; the parquet lives under /tmp keyed by
-    the sf_dir so repeated bench reps (and reruns in one session) hit
-    the warm path, exactly the production query-loop shape."""
+    a FINGERPRINT of the documents table (path + parquet size/mtime),
+    so regenerating the fixture data under the same sf_dir can never
+    silently bench a stale index. The build lands in a unique temp dir
+    followed by an atomic rename — a concurrent builder either wins
+    the rename or discards its copy and reads the winner's; no reader
+    can observe a partially written index."""
     import hashlib
     import os as _os
+    import shutil
     import tempfile
 
     key = ("bm25_idx", sf_dir)
@@ -657,21 +662,41 @@ def _bm25_persisted_index(spark, sf_dir):
         term_stats,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    base = _os.path.join(
-        tempfile.gettempdir(), f"spark_graft_bm25_{tag}"
+    h = hashlib.md5(sf_dir.encode())
+    droot = _os.path.join(sf_dir, "documents.parquet")
+    parts = (
+        sorted(
+            _os.path.join(droot, p) for p in _os.listdir(droot)
+        )
+        if _os.path.isdir(droot)
+        else [droot]
     )
-    done = _os.path.join(base, "_DONE")
-    if not _os.path.exists(done):
+    for p in parts:
+        st = _os.stat(p)
+        h.update(
+            f"{_os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}"
+            .encode()
+        )
+    base = _os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bm25_{h.hexdigest()[:12]}"
+    )
+    if not _os.path.isdir(base):
+        tmp = tempfile.mkdtemp(
+            prefix=_os.path.basename(base) + ".build.",
+            dir=tempfile.gettempdir(),
+        )
         d = _t(spark, sf_dir, "documents")
         post = inverted_index(d)
-        post.write.mode("overwrite").parquet(f"{base}/postings")
+        post.write.mode("overwrite").parquet(f"{tmp}/postings")
         term_stats(
-            spark.read.parquet(f"{base}/postings")
-        ).write.mode("overwrite").parquet(f"{base}/dfreq")
-        index_stats(d).write.mode("overwrite").parquet(f"{base}/stats")
-        with open(done, "w") as fh:
-            fh.write("ok")
+            spark.read.parquet(f"{tmp}/postings")
+        ).write.mode("overwrite").parquet(f"{tmp}/dfreq")
+        index_stats(d).write.mode("overwrite").parquet(f"{tmp}/stats")
+        try:
+            _os.rename(tmp, base)
+        except OSError:
+            # a concurrent builder won the rename — use its copy
+            shutil.rmtree(tmp, ignore_errors=True)
     out = (
         spark.read.parquet(f"{base}/postings"),
         spark.read.parquet(f"{base}/dfreq"),

@@ -593,7 +593,14 @@ def boolean_topk(
     default) if literal exclusion semantics matter. A ``must`` term
     absent from the corpus matches nothing, so its query returns no
     rows (strict AND, by design — absence is not hotness; the valve
-    never drops unseen terms).
+    never drops unseen terms). A valved should term also cannot count
+    toward ``min_should_match``, so msm DEGRADES per query by the
+    number of should terms the valve removed (floored at 0; the
+    no-must fallback still demands ≥ 1 actual match) — the clause is
+    gone, not unmatched, exactly as a stop-filtered analyzer leaves a
+    smaller clause list; a query whose every should term is hot
+    degrades to must-only matching instead of silently matching
+    nothing.
 
     ``pin``: the matched postings feed the scoring AND banned-pairs
     branches on every path (plus the df derivation when
@@ -637,6 +644,18 @@ def boolean_topk(
         F.max(F.col("_role") == "s").alias("_is_s"),
         F.max(F.col("_role") == "x").alias("_is_x"),
     )
+    # valve×msm interplay: a valved should term can no longer be
+    # matched, so msm degrades per query by the number of should terms
+    # the valve removed (the stop-filter analogy — the clause is gone,
+    # not unmatched); capture the pre-valve counts now. Skipped when
+    # either knob is off, keeping the common plan untouched.
+    degrade_msm = max_df_frac is not None and int(min_should_match) > 0
+    if degrade_msm:
+        given_s = roles.groupBy("query_id").agg(
+            F.sum(F.when(F.col("_is_s"), 1).otherwise(0)).alias(
+                "_given_s"
+            )
+        )
 
     def _hot_terms(d):
         # the valve's cut list, derived on the broadcast-sized df
@@ -718,16 +737,42 @@ def boolean_topk(
         .agg(F.count(F.lit(1)).alias("_req_must"))
     )
     msm = int(min_should_match)
+    if degrade_msm:
+        # effective msm = msm − (should terms the valve removed), ≥ 0;
+        # the no-must fallback still demands ≥ 1 actual should match
+        surv_s = roles.groupBy("query_id").agg(
+            F.sum(F.when(F.col("_is_s"), 1).otherwise(0)).alias(
+                "_surv_s"
+            )
+        )
+        req = (
+            req.join(F.broadcast(given_s), "query_id", "full")
+            .join(F.broadcast(surv_s), "query_id", "left")
+        )
+        msm_col = F.greatest(
+            F.lit(0),
+            F.lit(msm)
+            - (
+                F.coalesce(F.col("_given_s"), F.lit(0))
+                - F.coalesce(F.col("_surv_s"), F.lit(0))
+            ),
+        )
+        helper_cols = ["_req_must", "_given_s", "_surv_s"]
+    else:
+        msm_col = F.lit(msm)
+        helper_cols = ["_req_must"]
     qualified = (
         per_doc.join(F.broadcast(req), "query_id", "left")
         .filter(
             F.when(
                 F.coalesce(F.col("_req_must"), F.lit(0)) > 0,
                 (F.col("n_must") == F.col("_req_must"))
-                & (F.col("n_should") >= F.lit(msm)),
-            ).otherwise(F.col("n_should") >= F.lit(max(1, msm)))
+                & (F.col("n_should") >= msm_col),
+            ).otherwise(
+                F.col("n_should") >= F.greatest(F.lit(1), msm_col)
+            )
         )
-        .drop("_req_must")
+        .drop(*helper_cols)
     )
     banned = (
         hits.filter(F.col("_is_x"))
@@ -1145,9 +1190,25 @@ def bm25f_topk(
     per-(query, doc, term) decimal(28,7) field fold (reduction-order-
     free), idf·saturation on the exact fold, then the (query, doc)
     decimal sum and the per-query window. Nothing repartitions by
-    term; every join input beyond the index scan is query-sized."""
+    term; every join input beyond the index scan is query-sized.
+
+    Build-arg validation: per-field ``b`` keys must be a subset of
+    ``weights`` (checked at construction), and a postings field that is
+    missing from ``fstats`` or carries avgdl ≤ 0 raises AT EXECUTION
+    (a lazy ``raise_error`` inside the scoring expression — zero cost
+    on the valid path) instead of silently dropping that field's
+    postings from scoring. A ``weights`` field with no postings
+    anywhere simply contributes nothing — validate the fields mapping
+    upstream if that matters."""
     if not weights:
         raise ValueError("weights must select at least one field")
+    if isinstance(b, dict):
+        unknown_b = sorted(set(b) - set(weights))
+        if unknown_b:
+            raise ValueError(
+                f"bm25f_topk: per-field b names field(s) not in "
+                f"weights: {unknown_b}"
+            )
     bmap = (
         {f: float(b) for f in weights}
         if not isinstance(b, dict)
@@ -1195,6 +1256,26 @@ def bm25f_topk(
     favg = fstats.select("field", F.col("avgdl").alias("_avgdl"))
     w_f = _field_ladder(weights)
     b_f = _field_ladder(bmap)
+    # Build-arg validation, lazily INSIDE the scoring expression (no
+    # construction-time job): favg joins LEFT, and a posting whose
+    # field is missing from fstats — or carries avgdl <= 0 — raises at
+    # execution instead of silently dropping that field's postings
+    # from scoring / dividing by zero. Inner-join pruning can't elide
+    # the check because it produces the avgdl the score divides by.
+    avgdl_ok = F.when(
+        F.col("_avgdl").isNull() | (F.col("_avgdl") <= 0),
+        F.raise_error(
+            F.concat(
+                F.lit("bm25f_topk: field '"),
+                F.col("field"),
+                F.lit(
+                    "' is missing from fstats or has avgdl <= 0 — "
+                    "fstats must come from field_stats with the same "
+                    "fields mapping fielded_index was built with"
+                ),
+            )
+        ).cast("double"),
+    ).otherwise(F.col("_avgdl"))
     # per-(query, doc, term): exact decimal fold of the weighted
     # per-field normalized tf — order-free, so tf~ is reproducible
     wtf = (
@@ -1205,7 +1286,7 @@ def bm25f_topk(
                 / (
                     F.lit(1.0)
                     + b_f
-                    * (F.col("field_len") / F.col("_avgdl") - F.lit(1.0))
+                    * (F.col("field_len") / avgdl_ok - F.lit(1.0))
                 )
             )
         )
@@ -1214,7 +1295,7 @@ def bm25f_topk(
     )
     per_term = (
         matched.join(F.broadcast(qt), "term")
-        .join(F.broadcast(favg), "field")
+        .join(F.broadcast(favg), "field", "left")
         .select("query_id", F.col(id_col), "term", wtf)
         .groupBy("query_id", id_col, "term")
         .agg(F.sum("_wtf").alias("_tfw"))

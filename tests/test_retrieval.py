@@ -2001,3 +2001,246 @@ def test_positional_hot_term_guard(spark):
         stats=gstats, dfreq=gdfr, max_df_frac=0.6,
     )
     assert [(r.lang, r.doc_id) for r in ok.collect()] == [("de", 2)]
+
+
+def test_bm25f_validates_weights_against_fstats(spark):
+    """Mismatched build args fail loudly instead of silently dropping a
+    field from scoring: per-field b keys ⊄ weights raise at
+    construction; a postings field missing from fstats (or carrying
+    avgdl ≤ 0) raises at execution via the lazy in-plan check."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from datamunging_spark.operators.retrieval import (
+        bm25f_topk,
+        field_stats,
+        fielded_index,
+    )
+
+    docs = _fielded_docs(spark)
+    post = fielded_index(docs, ["title", "body"])
+    fst = field_stats(docs, ["title", "body"])
+    q = spark.createDataFrame([(0, "zebra")], "query_id long, query string")
+    with pytest.raises(ValueError, match="not in weights"):
+        bm25f_topk(
+            post, q, fst, weights={"title": 2.0}, b={"body": 0.5}
+        )
+    # fstats missing a field that HAS postings → in-plan raise at
+    # the first action, naming the field
+    fst_no_title = fst.filter(F.col("field") != "title")
+    with pytest.raises(SparkRuntimeException, match="missing from fstats"):
+        bm25f_topk(
+            post, q, fst_no_title, weights={"title": 2.0, "body": 1.0}
+        ).collect()
+    # doctored zero-avgdl stats raise the same way
+    fst_zero = fst.withColumn(
+        "avgdl",
+        F.when(F.col("field") == "title", F.lit(0.0)).otherwise(
+            F.col("avgdl")
+        ),
+    )
+    with pytest.raises(SparkRuntimeException, match="avgdl <= 0"):
+        bm25f_topk(
+            post, q, fst_zero, weights={"title": 2.0, "body": 1.0}
+        ).collect()
+    # a consistently-built all-empty field has no postings: it simply
+    # contributes nothing (no divide-by-zero row ever exists)
+    empty_titled = spark.createDataFrame(
+        [(1, "", "body text here"), (2, "", "more body")],
+        "doc_id long, title string, body string",
+    )
+    post2 = fielded_index(empty_titled, ["title", "body"])
+    fst2 = field_stats(empty_titled, ["title", "body"])
+    q2 = spark.createDataFrame([(0, "body")], "query_id long, query string")
+    out = bm25f_topk(
+        post2, q2, fst2, weights={"title": 2.0, "body": 1.0}, k=5
+    ).collect()
+    # both docs match on body; the shorter body length-normalizes higher
+    assert [r.doc_id for r in out] == [2, 1]
+
+
+def test_boolean_topk_msm_degrades_with_valved_should_terms(spark):
+    """min_should_match degrades per query by the number of should
+    terms the valve removed (the stop-filter analogy): a query whose
+    every should term is hot degrades to must-only matching instead of
+    silently matching nothing — identically on both df paths."""
+    from datamunging_spark.operators.retrieval import boolean_topk
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the a alpha beta"),
+            Row(doc_id=2, text="the a alpha"),
+            Row(doc_id=3, text="the a gamma"),
+            Row(doc_id=4, text="the beta gamma"),
+        ]
+    )
+    post, stats = inverted_index(docs), index_stats(docs)
+    # 'the' df=4/4 and 'a' df=3/4 are hot at frac 0.6; beta/gamma (2/4)
+    # and alpha (2/4) survive
+    q = spark.createDataFrame(
+        [
+            # both should terms hot → msm 2 degrades to 0: must-only
+            Row(query_id=0, must="alpha", should="the a", must_not=""),
+            # one of three should terms hot → msm 2 degrades to 1
+            Row(query_id=1, must=None, should="the beta gamma",
+                must_not=""),
+            # nothing valved → msm enforced verbatim
+            Row(query_id=2, must=None, should="beta gamma alpha",
+                must_not=""),
+        ]
+    )
+    out = boolean_topk(
+        post, q, stats, k=5, max_df_frac=0.6, min_should_match=2
+    )
+    got = sorted((r.query_id, r.doc_id) for r in out.collect())
+    # q0: must-only → docs with alpha; q1: ≥1 of beta/gamma;
+    # q2: ≥2 of beta/gamma/alpha (doc 1 has alpha+beta, doc 4 b+g)
+    assert got == [
+        (0, 1), (0, 2), (1, 1), (1, 3), (1, 4), (2, 1), (2, 4),
+    ]
+    pre = boolean_topk(
+        post, q, stats, k=5, dfreq=term_stats(post),
+        max_df_frac=0.6, min_should_match=2,
+    )
+    assert sorted((r.query_id, r.doc_id) for r in pre.collect()) == got
+    # without the valve, msm=2 over hot shoulds is enforced literally
+    strict = boolean_topk(post, q, stats, k=5, min_should_match=2)
+    sgot = sorted((r.query_id, r.doc_id) for r in strict.collect())
+    # q0: must alpha AND ≥2 of {the, a} → docs 1, 2; q1: ≥2 of
+    # {the, beta, gamma} → 1 (the+beta), 3 (the+gamma), 4 (all);
+    # q2 unchanged
+    assert sgot == [
+        (0, 1), (0, 2), (1, 1), (1, 3), (1, 4), (2, 1), (2, 4),
+    ]
+
+
+def test_bm25f_matches_duckdb(spark):
+    """Full BM25F re-derivation in DuckDB over the sf0.001 documents
+    table (fields synthesized identically in both engines: title =
+    first 20 chars, body = full text) — the in-pytest oracle for the
+    fielded family: same decimal(28,7) fold points, same cast-to-double
+    points, byte-comparable at 6 dp. The precomputed doc-grain dfreq
+    path must agree with the on-the-fly one too."""
+    import duckdb
+
+    from datamunging_spark.operators.retrieval import (
+        bm25f_topk,
+        field_stats,
+        fielded_index,
+        fielded_term_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        F.substring("text", 1, 20).alias("title"),
+        F.col("text").alias("body"),
+    )
+    post = fielded_index(docs, ["title", "body"])
+    fst = field_stats(docs, ["title", "body"])
+    queries = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("body", 1, 40).alias("query"),
+    )
+    out = bm25f_topk(
+        post, queries, fst, weights={"title": 2.0, "body": 1.0}, k=5
+    )
+    got = sorted(
+        (r.query_id, r.doc_id, r.rank, round(r.bm25f, 6))
+        for r in out.collect()
+    )
+    pre = bm25f_topk(
+        post, queries, fst, weights={"title": 2.0, "body": 1.0}, k=5,
+        dfreq=fielded_term_stats(post),
+    )
+    assert sorted(
+        (r.query_id, r.doc_id, r.rank, round(r.bm25f, 6))
+        for r in pre.collect()
+    ) == got
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM '{SF}/documents.parquet'"
+    )
+    want = sorted(
+        (qid, did, rank, round(s, 6))
+        for qid, did, rank, s in con.sql(
+            """
+            WITH docs2 AS (
+              SELECT doc_id, substring(text, 1, 20) AS title,
+                     text AS body
+              FROM documents
+            ), flen AS (
+              SELECT doc_id, 'title' AS field,
+                     len(list_filter(string_split(lower(title), ' '),
+                                     x -> x != '')) AS field_len
+              FROM docs2
+              UNION ALL
+              SELECT doc_id, 'body',
+                     len(list_filter(string_split(lower(body), ' '),
+                                     x -> x != ''))
+              FROM docs2
+            ), fstats AS (
+              SELECT field, count(*) AS n_docs,
+                     CAST(sum(field_len) AS DOUBLE) / count(*) AS avgdl
+              FROM flen GROUP BY field
+            ), n AS (
+              SELECT max(n_docs) AS n_docs FROM fstats
+            ), ftoks AS (
+              SELECT doc_id, 'title' AS field,
+                     unnest(list_filter(string_split(lower(title), ' '),
+                                        x -> x != '')) AS term
+              FROM docs2
+              UNION ALL
+              SELECT doc_id, 'body',
+                     unnest(list_filter(string_split(lower(body), ' '),
+                                        x -> x != ''))
+              FROM docs2
+            ), post AS (
+              SELECT field, term, doc_id, count(*) AS tf
+              FROM ftoks GROUP BY field, term, doc_id
+            ), qt AS (
+              SELECT DISTINCT doc_id AS query_id,
+                     unnest(list_filter(
+                         string_split(lower(substring(body, 1, 40)), ' '),
+                         x -> x != '')) AS term
+              FROM docs2 WHERE doc_id < 3
+            ), dfreq AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM post
+              WHERE term IN (SELECT DISTINCT term FROM qt)
+              GROUP BY term
+            ), per_term AS (
+              SELECT qt.query_id, post.doc_id, post.term,
+                     sum(CAST(
+                       (CASE post.field WHEN 'title' THEN 2.0
+                                        ELSE 1.0 END)
+                       * (post.tf / (1.0 + 0.75 *
+                            (flen.field_len / fstats.avgdl - 1.0)))
+                       AS DECIMAL(28,7))) AS tfw
+              FROM post
+              JOIN qt USING (term)
+              JOIN flen ON flen.doc_id = post.doc_id
+                       AND flen.field = post.field
+              JOIN fstats ON fstats.field = post.field
+              GROUP BY qt.query_id, post.doc_id, post.term
+            ), per_doc AS (
+              SELECT query_id, doc_id,
+                     sum(CAST(
+                       ln(1.0 + (n.n_docs - dfreq.df + 0.5)
+                                / (dfreq.df + 0.5))
+                       * (CAST(tfw AS DOUBLE)
+                          / (1.2 + CAST(tfw AS DOUBLE)))
+                       AS DECIMAL(28,7))) AS s
+              FROM per_term
+              JOIN dfreq USING (term) CROSS JOIN n
+              GROUP BY query_id, doc_id
+            )
+            SELECT query_id, doc_id, rank, CAST(s AS DOUBLE) FROM (
+              SELECT query_id, doc_id, s,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY s DESC, doc_id) AS rank
+              FROM per_doc
+            ) WHERE rank <= 5
+            """
+        ).fetchall()
+    )
+    assert got == want
