@@ -80,6 +80,7 @@ __all__ = [
     "more_like_this",
     "spell_suggest",
     "near_topk",
+    "hit_windows",
     "snippets",
 ]
 
@@ -1865,6 +1866,159 @@ def near_topk(
     )
 
 
+def hit_windows(
+    postings: DataFrame,
+    hits: DataFrame,
+    queries: DataFrame,
+    query_col: str = "query",
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Best-window offsets for SCORE-RANKED hits — the highlight leg
+    for :func:`bm25_topk` / :func:`bm25f_topk` / :func:`boolean_topk` /
+    :func:`rrf_fuse` output (which carry no positions): per (query,
+    doc) hit, the minimal token window covering every DISTINCT query
+    term PRESENT IN THAT DOC, from a positional index. Output = the
+    ``hits`` columns + ``n_terms`` (matched distinct terms),
+    ``min_span``, ``span_start`` — feed it to :func:`snippets`.
+    A hit whose doc matches NO query term (a vector-leg RRF hit) keeps
+    its row with NULL window columns; its snippet comes back NULL.
+
+    ``queries`` is the same (query_id, query text) batch the ranking
+    was built from (boolean callers concatenate their must+should
+    text). Unlike :func:`near_topk` this never needs a hot-term guard:
+    the postings scan is cut to the HIT DOCS FIRST (one broadcast join
+    on the top-k-sized doc-id list), so a hot query term contributes
+    scan bandwidth, never a corpus-sized aggregate — everything after
+    the first join is hits-sized. The window scan itself is
+    :func:`near_topk`'s unordered covering-window fold (pure codegen
+    ``aggregate`` HOF, no UDF), with term indexes assigned per (query,
+    doc) over the matched subset so a partially-matching doc still gets
+    its own best window. ``group_col``: the grouped face (hits and
+    queries carry the group; NULL-safe; group rides the output)."""
+    if "positions" not in postings.columns:
+        raise ValueError(
+            "hit_windows needs a positional index — build the postings "
+            "with inverted_index(..., positions=True)"
+        )
+    gb = [group_col] if group_col else []
+    jk = (["_gk"] if group_col else []) + ["term"]
+    dk = (["_gk"] if group_col else []) + [id_col]
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        *gb,
+        F.explode(search_terms(query_col, lowercase)).alias("term"),
+    ).distinct()
+    hk = hits.select(
+        F.col(query_id_col).alias("query_id"), *gb, F.col(id_col)
+    ).distinct()
+    if group_col:
+        qt = qt.withColumn("_gk", _gkey(group_col)).drop(group_col)
+        hk = hk.withColumn("_gk", _gkey(group_col)).drop(group_col)
+        postings = postings.withColumn("_gk", _gkey(group_col))
+    # hit docs FIRST: the corpus-grain scan shrinks to the top-k-sized
+    # doc list before any term matching; both joins broadcast
+    matched = (
+        postings.join(
+            F.broadcast(hk.select(*dk).distinct()), dk
+        )
+        .join(F.broadcast(qt), jk)
+        .join(F.broadcast(hk), ["query_id", *dk[:-1], id_col])
+    )
+    gk = ["_gk"] if group_col else []
+    wt = Window.partitionBy("query_id", *gk, id_col).orderBy("term")
+    tagged = matched.withColumn(
+        "_tidx", F.row_number().over(wt) - 1
+    ).select(
+        "query_id",
+        *gk,
+        id_col,
+        F.transform(
+            "positions",
+            lambda p: F.struct(
+                p.cast("int").alias("pos"),
+                F.col("_tidx").cast("int").alias("t"),
+            ),
+        ).alias("_tagged"),
+    )
+    big = F.lit(2**31 - 1)
+
+    def _ustep(acc, x):
+        def new_last():
+            return F.transform(
+                acc["last"],
+                lambda v, i: F.when(i == x["t"], x["pos"]).otherwise(v),
+            )
+
+        improved = ~F.array_contains(new_last(), F.lit(-1)) & (
+            x["pos"] - F.array_min(new_last()) + F.lit(1) < acc["best"]
+        )
+        return F.struct(
+            new_last().alias("last"),
+            F.when(
+                improved,
+                x["pos"] - F.array_min(new_last()) + F.lit(1),
+            )
+            .otherwise(acc["best"])
+            .alias("best"),
+            F.when(improved, F.array_min(new_last()))
+            .otherwise(acc["bstart"])
+            .alias("bstart"),
+        )
+
+    scan = F.aggregate(
+        F.col("_merged"),
+        F.struct(
+            F.array_repeat(
+                F.lit(-1), F.col("n_terms").cast("int")
+            ).alias("last"),
+            big.alias("best"),
+            F.lit(-1).alias("bstart"),
+        ),
+        _ustep,
+        lambda acc: F.struct(
+            acc["best"].alias("best"), acc["bstart"].alias("bstart")
+        ),
+    )
+    windows = (
+        tagged.groupBy("query_id", *gk, id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.array_sort(F.flatten(F.collect_list("_tagged"))).alias(
+                "_merged"
+            ),
+        )
+        .select(
+            "query_id",
+            *gk,
+            id_col,
+            "n_terms",
+            scan.alias("_sc"),
+        )
+        .select(
+            "query_id",
+            *gk,
+            id_col,
+            "n_terms",
+            F.col("_sc.best").alias("min_span"),
+            F.col("_sc.bstart").alias("span_start"),
+        )
+    )
+    out = hits
+    if group_col:
+        out = out.withColumn("_gk", _gkey(group_col))
+    out = out.join(
+        F.broadcast(
+            windows.withColumnRenamed("query_id", query_id_col)
+        ),
+        [query_id_col, *gk, id_col],
+        "left",
+    )
+    return out.drop("_gk") if group_col else out
+
+
 def snippets(
     docs: DataFrame,
     hits: DataFrame,
@@ -1873,9 +2027,11 @@ def snippets(
     id_col: str = "doc_id",
     lowercase: bool = True,
 ) -> DataFrame:
-    """Token-window snippets for proximity hits — the display leg:
-    join :func:`near_topk` output (any table carrying ``id_col``,
-    ``span_start``, ``min_span``) back to the documents and cut the
+    """Token-window snippets for retrieval hits — the display leg:
+    join :func:`near_topk` or :func:`hit_windows` output (any table
+    carrying ``id_col``, ``span_start``, ``min_span``; NULL windows —
+    a :func:`hit_windows` row whose doc matched no query term — yield
+    a NULL snippet) back to the documents and cut the
     matched window plus ``context`` tokens on each side, rejoined with
     single spaces. Output = the ``hits`` columns + ``snippet``.
     Snippets live in the ANALYZED token space (lowercased, parity

@@ -2244,3 +2244,91 @@ def test_bm25f_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_hit_windows_for_ranked_hits_and_snippets(spark):
+    """hit_windows gives bm25/boolean/rrf hits a best-window leg: the
+    minimal token window covering every query term PRESENT in the doc
+    (partial matches get their own window), NULL for hits whose doc
+    matches nothing — and snippets consumes the output directly."""
+    from datamunging_spark.operators.retrieval import (
+        hit_windows,
+        snippets,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha x x beta then alpha beta tail"),
+            (2, "beta only in this doc"),
+            (3, "alpha alone here"),
+            (4, "nothing relevant at all"),
+        ],
+        "doc_id long, text string",
+    )
+    post = inverted_index(docs, positions=True)
+    stats = index_stats(docs)
+    q = spark.createDataFrame(
+        [(0, "alpha beta")], "query_id long, query string"
+    )
+    ranked = bm25_topk(post, q, stats, k=10)
+    assert sorted(r.doc_id for r in ranked.collect()) == [1, 2, 3]
+    win = hit_windows(post, ranked, q)
+    got = {
+        r.doc_id: (r.n_terms, r.min_span, r.span_start)
+        for r in win.collect()
+    }
+    # doc 1 contains both: best window is "alpha beta" at offsets 5-6
+    assert got[1] == (2, 2, 5)
+    # partial matches window their own matched term (span 1)
+    assert got[2] == (1, 1, 0)
+    assert got[3] == (1, 1, 0)
+    # a hit row never drops: full outer shape preserved via left join
+    assert set(got) == {1, 2, 3}
+    snip = {
+        r.doc_id: r.snippet
+        for r in snippets(docs, win, context=1).collect()
+    }
+    assert snip[1] == "then alpha beta tail"
+    assert snip[2] == "beta only"
+    # a no-match hit (vector-leg RRF row) keeps its row, NULL window
+    fused = ranked.unionByName(
+        spark.createDataFrame(
+            [(0, 4, 9, 0.0)],
+            "query_id long, doc_id long, rank long, bm25 double",
+        )
+    )
+    wf = hit_windows(post, fused, q)
+    r4 = [r for r in wf.collect() if r.doc_id == 4][0]
+    assert r4.min_span is None and r4.span_start is None
+    s4 = [
+        r for r in snippets(docs, wf, context=1).collect()
+        if r.doc_id == 4
+    ][0]
+    assert s4.snippet is None
+
+    # grouped face: windows computed against the query's own group,
+    # NULL group included
+    gdocs = spark.createDataFrame(
+        [
+            ("en", 1, "alpha x beta"),
+            ("de", 1, "beta alpha"),
+            (None, 1, "alpha y y beta"),
+        ],
+        "lang string, doc_id long, text string",
+    )
+    gpost = inverted_index(gdocs, positions=True, group_col="lang")
+    gstats = index_stats(gdocs, group_col="lang")
+    gq = spark.createDataFrame(
+        [("en", 0, "alpha beta"), ("de", 1, "alpha beta"),
+         (None, 2, "alpha beta")],
+        "lang string, query_id long, query string",
+    )
+    granked = bm25_topk(gpost, gq, gstats, k=5, group_col="lang")
+    gwin = hit_windows(gpost, granked, gq, group_col="lang")
+    ggot = {
+        (r.lang, r.query_id): (r.min_span, r.span_start)
+        for r in gwin.collect()
+    }
+    assert ggot[("en", 0)] == (3, 0)
+    assert ggot[("de", 1)] == (2, 0)
+    assert ggot[(None, 2)] == (4, 0)
