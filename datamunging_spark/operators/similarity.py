@@ -146,12 +146,24 @@ class IvfIndex:
     — the production shape: re-fitting KMeans per query batch (what a
     fused call does) wastes the dominant cost. Persist ``assigned`` (or
     write it to parquet partitioned by ``_cell``) to reuse across jobs;
-    store ``centers`` beside it (an ``.npy`` is fine)."""
+    store ``centers`` beside it (an ``.npy``, or relationally via
+    :func:`ivf_centers_table`). ``mean_fit_dist`` is the mean squared
+    vector-to-own-centroid distance of the KMeans FIT sample — the
+    baseline :func:`advance_ivf_index`'s centroid-drift valve compares
+    every future ingest batch against (None on indexes built before the
+    valve existed; rebuild to arm it)."""
 
-    def __init__(self, assigned: DataFrame, centers, n_clusters: int):
+    def __init__(
+        self,
+        assigned: DataFrame,
+        centers,
+        n_clusters: int,
+        mean_fit_dist: float | None = None,
+    ):
         self.assigned = assigned
         self.centers = centers
         self.n_clusters = n_clusters
+        self.mean_fit_dist = mean_fit_dist
 
 
 def ivf_build(
@@ -188,12 +200,14 @@ def ivf_build(
     try:
         n_corpus = corp_v.count()
         fit_df = corp_v
+        n_fit = n_corpus
         if n_corpus > max_fit_rows:
             fit_df = corp_v.sample(
                 withReplacement=False,
                 fraction=min(1.0, max_fit_rows / n_corpus),
                 seed=seed,
             )
+            n_fit = fit_df.count()  # cheap: counts the cached sample
         km = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(fit_df)
     finally:
         corp_v.unpersist()
@@ -201,7 +215,12 @@ def ivf_build(
         "neighbor_id", "_cv", F.col("prediction").alias("_cell")
     )
     centers = np.stack([np.asarray(c) for c in km.clusterCenters()])
-    return IvfIndex(assigned, centers, n_clusters)
+    # the drift-valve baseline: KMeans' trainingCost is the fit sample's
+    # total squared distance to assigned centroids — free from the model
+    mean_fit = (
+        float(km.summary.trainingCost) / n_fit if n_fit else None
+    )
+    return IvfIndex(assigned, centers, n_clusters, mean_fit)
 
 
 def ivf_search(
@@ -281,6 +300,208 @@ def ivf_topk(
         corpus, corpus_id, vec_col, n_clusters, seed, max_fit_rows
     )
     return ivf_search(queries, index, k, query_id, vec_col, n_probe)
+
+
+def _assign_frozen(
+    index: IvfIndex,
+    batch: DataFrame,
+    corpus_id: str,
+    vec_col: str,
+    max_drift: float | None,
+) -> DataFrame:
+    """The batch's (neighbor_id, _cv, _cell) rows under the FROZEN
+    centroids — one Arrow matmul-identity pass, localCheckpoint-pinned
+    (it feeds the drift aggregate plus every consumer). NULL-vector
+    rows contribute nothing (they are deletes under ``replace_ids``).
+    Applies :func:`advance_ivf_index`'s dim probe and centroid-drift
+    valve; shared by the advance face and the streaming fold (which
+    needs the batch rows alone for its delta write)."""
+    # function-local import: dedup imports from this module
+    from datamunging_spark.operators.dedup import _frozen_assign_udf
+
+    valid = batch.filter(F.col(vec_col).isNotNull())
+    # dim probe (limit(1)): a dim-mismatched batch fails here with the
+    # fix named, not deep inside numpy broadcasting
+    probe = valid.select(F.size(F.col(vec_col)).alias("_d")).limit(1).collect()
+    dim = index.centers.shape[1]
+    if probe and probe[0]["_d"] != dim:
+        raise ValueError(
+            f"embedding dimension drift: batch {vec_col} has "
+            f"{probe[0]['_d']} dims, the index centroids have {dim} — "
+            "rebuild ivf_build for the new embedding space"
+        )
+    ad = _frozen_assign_udf(index.centers)(F.col(vec_col))
+    assigned = (
+        valid.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            ad.alias("_ad"),
+        )
+        .select(
+            "neighbor_id",
+            "_cv",
+            F.element_at("_ad", 1).cast("int").alias("_cell"),
+            F.element_at("_ad", 2).alias("_dist"),
+        )
+        .localCheckpoint()  # feeds drift agg + index union + PQ encode
+    )
+    if max_drift is not None:
+        if index.mean_fit_dist is None:
+            raise ValueError(
+                "advance_ivf_index: the index carries no mean_fit_dist "
+                "baseline (built before the drift valve existed) — "
+                "rebuild with ivf_build, or pass max_drift=None to "
+                "accept unguarded recall decay"
+            )
+        m = assigned.agg(F.avg("_dist").alias("_m")).collect()[0]["_m"]
+        # same epsilon discipline as incremental_semantic_dedup: a
+        # degenerate zero baseline must still refuse a distant batch
+        if m is not None and m > max_drift * index.mean_fit_dist + 1e-9:
+            raise ValueError(
+                f"centroid drift: batch mean squared assignment "
+                f"distance {m:.4g} exceeds {max_drift}x the index's "
+                f"fit mean {index.mean_fit_dist:.4g} — the frozen "
+                "cells no longer describe the embedding distribution; "
+                "rebuild ivf_build over the accumulated corpus (and "
+                "refit pq_fit if PQ rides the index), or raise/disable "
+                "max_drift to accept the recall loss"
+            )
+    return assigned
+
+
+def advance_ivf_index(
+    index: IvfIndex,
+    batch: DataFrame,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    replace_ids: bool = False,
+    max_drift: float | None = 2.0,
+    codebook: "PqCodebook | None" = None,
+    encoded_cells: DataFrame | None = None,
+    codes_col: str = "pq_codes",
+):
+    """Roll an IVF(-PQ) index forward by one ingest batch — the vector
+    leg of the batch-vs-history family (``advance_index`` for the
+    lexical index, ``advance_snapshot`` for dedup): assign ONLY the
+    batch's vectors to the FROZEN centroids in one Arrow pass (the
+    ``||x||² − 2x·cᵀ + ||c||²`` matmul identity, no per-batch KMeans
+    fit — the dominant cost of a rebuild) and union the new inverted-
+    list rows onto the history table, which is never rescanned and
+    never shuffles. Returns the advanced :class:`IvfIndex` — or, when
+    ``codebook`` + ``encoded_cells`` are passed, a ``(IvfIndex,
+    encoded_cells)`` pair with the batch PQ-encoded by the same FROZEN
+    codebook and appended, so a persisted IVF-PQ layout
+    (:func:`pq_encode_cells`) rolls forward in the same single
+    assignment pass.
+
+    Append-only by contract: batch ids must be new. With
+    ``replace_ids=True`` the batch may carry UPDATED vectors — history
+    rows (and codes) of any batch id are dropped first via a broadcast
+    anti-join on the id (the ``advance_index`` contract), and a batch
+    row whose ``vec_col`` is NULL is a DELETE: its old rows go, it
+    contributes none.
+
+    **Centroid-drift valve** (the ``incremental_semantic_dedup``
+    contract): frozen cells silently lose recall if the embedding
+    distribution shifts — new vectors crowd a few cells and straddle
+    boundaries, so ``n_probe`` recall decays with no error anywhere.
+    Each call compares the batch's mean squared distance-to-assigned-
+    centroid against the index's fit-time baseline
+    (``mean_fit_dist``); a ratio above ``max_drift`` raises with a
+    rebuild instruction instead of silently degrading. ``None``
+    disables; an index built before the baseline existed must be
+    rebuilt (or pass ``None``) — the valve refuses to guess.
+
+    Freshness trade, documented like ``advance_index``'s: centroids
+    (and codebooks) drift only by what the valve tolerates; a periodic
+    reclustering (rebuild with :func:`ivf_build` over the accumulated
+    corpus) resets it — FAISS's own add-vs-retrain split."""
+    # function-local import: dedup imports from this module
+    from datamunging_spark.operators.dedup import _frozen_assign_udf
+
+    if (codebook is None) != (encoded_cells is None):
+        raise ValueError(
+            "advance_ivf_index: pass codebook AND encoded_cells "
+            "together (the IVF-PQ roll-forward) or neither"
+        )
+    assigned = _assign_frozen(index, batch, corpus_id, vec_col, max_drift)
+    new_rows = assigned.select("neighbor_id", "_cv", "_cell")
+    history = index.assigned
+    if replace_ids:
+        ids = F.broadcast(
+            batch.select(F.col(corpus_id).alias("neighbor_id")).distinct()
+        )
+        history = history.join(ids, "neighbor_id", "left_anti").select(
+            "neighbor_id", "_cv", "_cell"
+        )
+    out = IvfIndex(
+        history.unionByName(new_rows),
+        index.centers,
+        index.n_clusters,
+        index.mean_fit_dist,
+    )
+    if codebook is None:
+        return out
+    encode = _pq_encode_udf(codebook)
+    new_codes = assigned.select(
+        "neighbor_id", "_cell", encode(F.col("_cv")).alias(codes_col)
+    )
+    hist_codes = encoded_cells
+    if replace_ids:
+        hist_codes = hist_codes.join(
+            F.broadcast(
+                batch.select(
+                    F.col(corpus_id).alias("neighbor_id")
+                ).distinct()
+            ),
+            "neighbor_id",
+            "left_anti",
+        ).select("neighbor_id", "_cell", codes_col)
+    return out, hist_codes.unionByName(new_codes)
+
+
+def ivf_centers_table(index: IvfIndex) -> DataFrame:
+    """The index's driver-side state as a RELATIONAL table — (cell,
+    center array<double>, mean_fit_dist) — so the whole IVF index
+    persists as parquet beside ``assigned`` (no ``.npy`` side-channel;
+    the streaming fold's restart story). n_clusters × dim doubles: a
+    broadcast-dimension-sized table. Rebuild with
+    :func:`ivf_index_from_tables`."""
+    spark = index.assigned.sparkSession
+    mfd = index.mean_fit_dist
+    return spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in row], mfd)
+            for i, row in enumerate(index.centers)
+        ],
+        "cell int, center array<double>, mean_fit_dist double",
+    )
+
+
+def ivf_index_from_tables(
+    assigned: DataFrame | None, centers_table: DataFrame
+) -> IvfIndex:
+    """Inverse of :func:`ivf_centers_table`: reassemble an
+    :class:`IvfIndex` from the persisted ``assigned`` parquet and the
+    centers table (one bounded collect of n_clusters rows).
+    ``assigned=None`` gives a centers-only shell — enough for
+    :func:`_assign_frozen` (the streaming fold's crash-recovery path,
+    where the centers committed but the first inverted-list write did
+    not); searching it is a caller error."""
+    import numpy as np
+
+    rows = sorted(
+        centers_table.select(
+            "cell", "center", "mean_fit_dist"
+        ).collect(),
+        key=lambda r: r["cell"],
+    )
+    if not rows:
+        raise ValueError("ivf_index_from_tables: empty centers table")
+    centers = np.stack([np.asarray(r["center"]) for r in rows])
+    return IvfIndex(
+        assigned, centers, len(rows), rows[0]["mean_fit_dist"]
+    )
 
 
 def _cosine_udf():

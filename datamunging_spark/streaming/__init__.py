@@ -1492,6 +1492,211 @@ def streaming_index_ingest(
     return latest_table_version(spark, table_path)
 
 
+def load_ivf_index(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+):
+    """Reassemble the :class:`~datamunging_spark.operators.similarity.
+    IvfIndex` as of a committed version of a :func:`streaming_ivf_ingest`
+    store (default: latest): the inverted lists reconstruct through
+    :func:`read_index_version` (same delta-log replay, id =
+    ``neighbor_id``), the frozen centroids + drift baseline through the
+    ``{table_path}_centers`` table (one bounded collect). Centroids are
+    FROZEN for the store's lifetime, so any assigned version pairs with
+    the one centers version."""
+    from datamunging_spark.operators.similarity import (
+        ivf_index_from_tables,
+    )
+    from datamunging_spark.sources.versioned import (
+        latest_table_version,
+        read_table_version,
+    )
+
+    cpath = f"{table_path}_centers"
+    cv = latest_table_version(spark, cpath)
+    if cv is None:
+        raise FileNotFoundError(
+            f"no committed centers table under {cpath} — not a "
+            "streaming_ivf_ingest store (or the first fold never ran)"
+        )
+    return ivf_index_from_tables(
+        read_index_version(spark, table_path, version, "neighbor_id"),
+        read_table_version(spark, cpath, cv),
+    )
+
+
+def streaming_ivf_ingest(
+    vec_stream: DataFrame,
+    table_path: str,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint_path: str | None = None,
+    keep_last: int = 2,
+    base_every: int | None = 64,
+    n_clusters: int = 16,
+    seed: int = 42,
+    max_fit_rows: int = 100_000,
+    max_drift: float | None = 2.0,
+) -> int | None:
+    """Continuous IVF vector-index maintenance via ``foreachBatch`` —
+    the ANN leg of the versioned-fold family, completing it across
+    every index-shaped state the engine ships (exact/fuzzy/span/
+    semantic/phash snapshots, the lexical index, now the vector index):
+    the FIRST non-empty micro-batch fits the coarse quantizer
+    (:func:`~datamunging_spark.operators.similarity.ivf_build`, seeded
+    sample ≤ ``max_fit_rows``) and writes the frozen centroids + drift
+    baseline ONCE to ``{table_path}_centers`` (the relational
+    :func:`~datamunging_spark.operators.similarity.ivf_centers_table`
+    — no ``.npy`` side-channel, so restart needs only the store); every
+    later batch is assigned to the frozen cells in ONE Arrow pass (no
+    per-batch KMeans — the
+    :func:`~datamunging_spark.operators.similarity.advance_ivf_index`
+    machinery, drift valve included: a shifted embedding distribution
+    FAILS the stream with a rebuild instruction rather than silently
+    losing recall) and folded onto the stored inverted lists with
+    ``replace_ids=True`` semantics — so re-folded batches are the
+    identity (replay-idempotent) and updated vectors supersede their
+    old rows; a NULL-vector row is a DELETE.
+
+    **The store is the same delta-log with base compaction as
+    :func:`streaming_index_ingest`** (identical layout — deltas under
+    ``postings_delta``/``replaced_ids``, base cadence
+    ``min(keep_last, base_every)``, torn-attempt cleanup, committed-
+    store-only mode decisions), so each fold writes O(batch) vector
+    rows, not the accumulated corpus — at 100 TB of embeddings a full
+    rewrite per micro-batch would dominate everything. Read any
+    version back with :func:`load_ivf_index` and search it with
+    ``ivf_search`` (or encode the head with a frozen codebook via
+    ``pq_encode_cells`` for the IVF-PQ serving layout — codes are
+    derivable state, deliberately not folded here). Within-batch id
+    collisions follow the last-row-wins of the anti-join ONLY across
+    batches; upstream dedup (or ``streaming_apply_changelog``) owns
+    within-batch ordering, as in the lexical loop. Drains with
+    ``availableNow``; returns the latest committed version."""
+    from datamunging_spark.operators.similarity import (
+        _assign_frozen,
+        ivf_build,
+        ivf_centers_table,
+        ivf_index_from_tables,
+    )
+    from datamunging_spark.sources.versioned import (
+        _fs,
+        latest_table_version,
+        list_table_versions,
+        read_table_version,
+        vacuum_table_versions,
+        write_table_version,
+    )
+
+    if base_every is not None and base_every < 1:
+        raise ValueError(
+            f"base_every must be >= 1 or None, got {base_every}"
+        )
+    cpath = f"{table_path}_centers"
+
+    def _process(batch_df, batch_id):
+        if not batch_df.head(1):
+            return
+        bspark = batch_df.sparkSession
+        cv = latest_table_version(bspark, cpath)
+        mv = latest_table_version(bspark, table_path)
+        next_v = (mv or 0) + 1
+        vpath = f"{table_path}/v{next_v}"
+        # torn leftovers from a crashed attempt must not pollute the
+        # write — an uncommitted vpath is invisible, delete it whole
+        fs, jvm = _fs(bspark, vpath)
+        jp = jvm.org.apache.hadoop.fs.Path(vpath)
+        if fs.exists(jp):
+            fs.delete(jp, True)
+        if cv is None:
+            # first fold: fit the quantizer on this batch, freeze it
+            idx = ivf_build(
+                batch_df.filter(F.col(vec_col).isNotNull()),
+                corpus_id=vec_id,
+                vec_col=vec_col,
+                n_clusters=n_clusters,
+                seed=seed,
+                max_fit_rows=max_fit_rows,
+            )
+            write_table_version(ivf_centers_table(idx), cpath, 1)
+            write_table_version(idx.assigned, table_path, next_v)
+            vacuum_table_versions(
+                bspark, table_path, keep_last=keep_last
+            )
+            return
+        centers = read_table_version(bspark, cpath, cv)
+        if mv is None:
+            # crash landed between the centers commit and the first
+            # inverted-list write: re-sign this batch under the
+            # committed frozen centers and write the missing base
+            shell = ivf_index_from_tables(None, centers)
+            first = _assign_frozen(
+                shell, batch_df, vec_id, vec_col, max_drift
+            ).select("neighbor_id", "_cv", "_cell")
+            write_table_version(first, table_path, 1)
+            vacuum_table_versions(
+                bspark, table_path, keep_last=keep_last
+            )
+            return
+        state = read_index_version(
+            bspark, table_path, None, "neighbor_id"
+        )
+        idx = ivf_index_from_tables(state, centers)
+        assigned = _assign_frozen(
+            idx, batch_df, vec_id, vec_col, max_drift
+        ).select("neighbor_id", "_cv", "_cell")
+        replaced = batch_df.select(
+            F.col(vec_id).alias("neighbor_id")
+        ).distinct()
+        # base-vs-delta decided from the COMMITTED store alone (the
+        # streaming_index_ingest cadence — retention term NON-optional,
+        # or vacuum deletes the only base under a pure delta chain)
+        committed = list_table_versions(bspark, table_path)
+        newest_base = None
+        for v in committed:
+            if not _index_version_is_delta(bspark, f"{table_path}/v{v}"):
+                newest_base = v
+        deltas_since = len(
+            [
+                v
+                for v in committed
+                if newest_base is None or v > newest_base
+            ]
+        )
+        cadence = min(
+            c for c in (keep_last, base_every) if c is not None
+        )
+        write_base = newest_base is None or (
+            cadence is not None and deltas_since + 1 >= cadence
+        )
+        if write_base:
+            folded = state.join(
+                F.broadcast(replaced), "neighbor_id", "left_anti"
+            ).select("neighbor_id", "_cv", "_cell").unionByName(assigned)
+            write_table_version(folded, table_path, next_v)
+        else:
+            assigned.write.mode("overwrite").parquet(
+                f"{vpath}/postings_delta"
+            )
+            replaced.write.mode("overwrite").parquet(
+                f"{vpath}/replaced_ids"
+            )
+            _mark_snapshot_committed(bspark, vpath)
+        vacuum_table_versions(bspark, table_path, keep_last=keep_last)
+
+    spark = vec_stream.sparkSession
+    writer = vec_stream.writeStream.foreachBatch(_process).trigger(
+        availableNow=True
+    )
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+    return latest_table_version(spark, table_path)
+
+
 def streaming_quantiles(
     values_stream: DataFrame,
     col: str,

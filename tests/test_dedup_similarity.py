@@ -1455,3 +1455,278 @@ def test_corpus_overlap_report_exact_and_fuzzy(spark):
     re_ = corpus_overlap_report(a, empty).collect()[0]
     assert re_["docs_b"] == 0 and re_["exact_shared"] == 0
     assert re_["pct_b_in_a"] == 0.0
+
+
+def test_advance_ivf_index_append_recall_parity(spark, tables):
+    """advance_ivf_index(history, batch) with every cell probed equals
+    exact brute force over history ∪ batch (same Arrow cosine kernel,
+    same tie-break) — the append≡rebuild invariant in recall terms; and
+    a batch copy of a history vector lands in that vector's own cell."""
+    from datamunging_spark.operators.similarity import (
+        advance_ivf_index,
+        brute_force_topk,
+        ivf_build,
+        ivf_search,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    hist = emb.filter(F.col("vec_id") < 40).localCheckpoint()
+    batch = emb.filter(F.col("vec_id").between(40, 59)).localCheckpoint()
+    idx = ivf_build(hist, n_clusters=8)
+    idx.assigned = idx.assigned.localCheckpoint()
+    assert idx.mean_fit_dist is not None and idx.mean_fit_dist >= 0.0
+    adv = advance_ivf_index(idx, batch)
+    assert adv.assigned.count() == hist.count() + batch.count()
+    # frozen centroids: the advanced index is the same object state
+    assert adv.mean_fit_dist == idx.mean_fit_dist
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = ivf_search(queries, adv, k=5, n_probe=8).collect()
+    want = brute_force_topk(
+        queries, hist.unionByName(batch), k=5, arrow_cosine=True
+    ).collect()
+    key = lambda rs: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in rs
+    )
+    assert key(got) == key(want)
+    # a batch row that copies a history vector joins its cell
+    copy = hist.filter(F.col("vec_id") == 7).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    adv2 = advance_ivf_index(idx, copy)
+    cells = {
+        r["neighbor_id"]: r["_cell"]
+        for r in adv2.assigned.filter(
+            F.col("neighbor_id").isin(7, 100007)
+        ).collect()
+    }
+    assert cells[7] == cells[100007]
+
+
+def test_advance_ivf_index_replace_and_delete(spark, tables):
+    """replace_ids=True swaps updated vectors' inverted-list rows and
+    treats NULL-vector rows as deletes — the advance_index contract."""
+    from datamunging_spark.operators.similarity import (
+        advance_ivf_index,
+        ivf_build,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    hist = emb.filter(F.col("vec_id") < 30).localCheckpoint()
+    idx = ivf_build(hist, n_clusters=4)
+    idx.assigned = idx.assigned.localCheckpoint()
+    moved = emb.filter(F.col("vec_id") == 50).select("embedding").head()[0]
+    batch = spark.createDataFrame(
+        [(3, moved), (4, None), (77, moved)],
+        "vec_id long, embedding array<double>",
+    )
+    adv = advance_ivf_index(idx, batch, replace_ids=True)
+    rows = {r["neighbor_id"]: r["_cv"] for r in adv.assigned.collect()}
+    # 4 deleted, 3 replaced with the new vector, 77 appended
+    assert 4 not in rows
+    assert list(rows[3]) == pytest.approx(list(moved))
+    assert 77 in rows
+    assert len(rows) == 30 - 1 + 1  # 30 hist - delete + append (3 swaps)
+    # append-only misuse is the caller's contract; replace also replays
+    # idempotently: folding the same batch twice is the identity
+    again = advance_ivf_index(adv, batch, replace_ids=True)
+    assert sorted(
+        (r["neighbor_id"], r["_cell"]) for r in again.assigned.collect()
+    ) == sorted(
+        (r["neighbor_id"], r["_cell"]) for r in adv.assigned.collect()
+    )
+
+
+def test_advance_ivf_index_drift_valve(spark, tables):
+    """A batch whose embedding distribution left the frozen cells
+    raises with a rebuild instruction; a baseline-less index refuses to
+    guess; dimension drift fails fast with the fix named."""
+    from datamunging_spark.operators.similarity import (
+        IvfIndex,
+        advance_ivf_index,
+        ivf_build,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    hist = emb.filter(F.col("vec_id") < 30).localCheckpoint()
+    idx = ivf_build(hist, n_clusters=4)
+    idx.assigned = idx.assigned.localCheckpoint()
+    far = emb.filter(F.col("vec_id").between(30, 34)).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x * F.lit(1000.0) + F.lit(500.0)
+        ).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="centroid drift"):
+        advance_ivf_index(idx, far, max_drift=2.0)
+    # near batch passes the same valve
+    near = emb.filter(F.col("vec_id").between(30, 34))
+    adv = advance_ivf_index(idx, near, max_drift=2.0)
+    assert adv.assigned.count() == 35
+    # no baseline → the valve refuses rather than silently skipping
+    bare = IvfIndex(idx.assigned, idx.centers, idx.n_clusters)
+    with pytest.raises(ValueError, match="mean_fit_dist"):
+        advance_ivf_index(bare, near, max_drift=2.0)
+    assert advance_ivf_index(
+        bare, near, max_drift=None
+    ).assigned.count() == 35
+    wrong_dim = spark.createDataFrame(
+        [(99, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="dimension drift"):
+        advance_ivf_index(idx, wrong_dim, max_drift=None)
+
+
+def test_advance_ivf_pq_rolls_codes_with_frozen_codebook(spark, tables):
+    """The IVF-PQ pair advances in one assignment pass: the rolled
+    encoded_cells table equals pq_encode_cells re-run on the advanced
+    index with the same frozen codebook (deterministic codes), and
+    ivf_pq_topk over the rolled tables finds a planted batch copy."""
+    from datamunging_spark.functions import l2_norm
+    from datamunging_spark.operators.similarity import (
+        advance_ivf_index,
+        ivf_build,
+        ivf_pq_topk,
+        pq_encode_cells,
+        pq_fit,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    unit = emb.withColumn("_n", l2_norm(F.col("embedding"))).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda v: v.cast("double") / F.col("_n")
+        ).alias("embedding"),
+    )
+    hist = unit.filter(F.col("vec_id") < 40).localCheckpoint()
+    batch = unit.filter(
+        F.col("vec_id").between(40, 49)
+    ).unionByName(
+        unit.filter(F.col("vec_id") == 2).select(
+            (F.col("vec_id") + 900000).alias("vec_id"), "embedding"
+        )
+    ).localCheckpoint()
+    idx = ivf_build(hist, n_clusters=4)
+    idx.assigned = idx.assigned.localCheckpoint()
+    cb = pq_fit(hist, m=8, k=16, iters=5)
+    enc = pq_encode_cells(idx, cb).localCheckpoint()
+    adv, enc_adv = advance_ivf_index(
+        idx, batch, codebook=cb, encoded_cells=enc
+    )
+    fresh = pq_encode_cells(adv, cb)
+    norm = lambda df: sorted(  # noqa: E731
+        (r["neighbor_id"], r["_cell"], tuple(r["pq_codes"]))
+        for r in df.collect()
+    )
+    assert norm(enc_adv) == norm(fresh)
+    q = unit.filter(F.col("vec_id") == 2)
+    hits = ivf_pq_topk(q, adv, cb, enc_adv, k=3, n_probe=4).collect()
+    assert hits[0]["neighbor_id"] == 900002  # the planted batch copy
+    # codebook and codes must travel together
+    with pytest.raises(ValueError, match="together"):
+        advance_ivf_index(idx, batch, codebook=cb)
+
+
+def test_ivf_centers_table_roundtrip(spark, tables):
+    """The relational centers table reassembles the identical index:
+    same centers, same baseline, same search results."""
+    import numpy as np
+
+    from datamunging_spark.operators.similarity import (
+        ivf_build,
+        ivf_centers_table,
+        ivf_index_from_tables,
+        ivf_search,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    idx = ivf_build(emb.filter(F.col("vec_id") < 50), n_clusters=8)
+    idx.assigned = idx.assigned.localCheckpoint()
+    back = ivf_index_from_tables(
+        idx.assigned, ivf_centers_table(idx)
+    )
+    assert np.allclose(back.centers, idx.centers)
+    assert back.n_clusters == idx.n_clusters
+    assert back.mean_fit_dist == pytest.approx(idx.mean_fit_dist)
+    q = emb.filter(F.col("vec_id") < 2)
+    a = ivf_search(q, idx, k=5, n_probe=3).collect()
+    b = ivf_search(q, back, k=5, n_probe=3).collect()
+    assert [
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in a
+    ] == [(r["query_id"], r["rank"], r["neighbor_id"]) for r in b]
+
+
+def test_streaming_ivf_ingest_folds_reads_and_replays(spark, tables, tmp_path):
+    """Three embedding micro-batches (the third UPDATES a vector from
+    the first and DELETES one via NULL) fold into a delta-log vector
+    store; load_ivf_index reconstructs the head, full-probe search over
+    it equals brute force over the final corpus, and a restart with the
+    same checkpoint replays as a no-op."""
+    from datamunging_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_search,
+    )
+    from datamunging_spark.streaming import (
+        load_ivf_index,
+        streaming_ivf_ingest,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    rows = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 45).collect()
+    }
+    schema = "vec_id long, embedding array<double>"
+    b1 = [(i, rows[i]) for i in range(0, 20)]
+    b2 = [(i, rows[i]) for i in range(20, 40)]
+    # update vec 5 to vec 40's embedding; delete vec 6
+    b3 = [(5, rows[40]), (6, None), (44, rows[44])]
+    src = tmp_path / "vec_src"
+    src.mkdir()
+    for i, batch in enumerate((b1, b2, b3)):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    table = str(tmp_path / "ivf_store")
+    ckpt = str(tmp_path / "ivf_ckpt")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    v = streaming_ivf_ingest(
+        stream, table, checkpoint_path=ckpt, n_clusters=4, seed=7
+    )
+    assert v == 3
+    idx = load_ivf_index(spark, table)
+    got_ids = {
+        r["neighbor_id"]: r["_cv"] for r in idx.assigned.collect()
+    }
+    assert 6 not in got_ids
+    assert list(got_ids[5]) == pytest.approx(rows[40])
+    assert set(got_ids) == (set(range(0, 20)) | set(range(20, 40))
+                            | {44}) - {6}
+    # full-probe search over the store == brute force over final corpus
+    final = spark.createDataFrame(
+        [(i, vec) for i, vec in got_ids.items()], schema
+    )
+    queries = emb.filter(F.col("vec_id") < 2)
+    a = ivf_search(queries, idx, k=5, n_probe=idx.n_clusters).collect()
+    b = brute_force_topk(
+        queries, final, k=5, arrow_cosine=True
+    ).collect()
+    assert sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in a
+    ) == sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in b)
+    # the store really is a delta log: v2 has no base parquet, v1/v3 do
+    import os
+
+    assert os.path.isdir(f"{table}/v2/postings_delta")
+    assert not os.path.isdir(f"{table}/v1/postings_delta")
+    # restart with the same checkpoint: committed batches skipped
+    stream2 = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    v2 = streaming_ivf_ingest(
+        stream2, table, checkpoint_path=ckpt, n_clusters=4, seed=7
+    )
+    assert v2 == 3
+    assert sorted(load_ivf_index(spark, table).assigned.collect()) == \
+        sorted(idx.assigned.collect())
