@@ -478,12 +478,9 @@ def advance_index(
         )
     gb = [group_col] if group_col else []
     if fielded:
-        if group_col:
-            raise ValueError(
-                "advance_index: fielded indexes have no grouped face "
-                "yet — group_col with fields is unsupported"
-            )
-        new_post = fielded_index(batch, fields, id_col, lowercase)
+        new_post = fielded_index(
+            batch, fields, id_col, lowercase, group_col=group_col
+        )
     else:
         new_post = inverted_index(
             batch, text_col, id_col, lowercase, positions=pos,
@@ -919,6 +916,7 @@ def fielded_index(
     fields: dict[str, str] | list[str],
     id_col: str = "doc_id",
     lowercase: bool = True,
+    group_col: str | None = None,
 ) -> DataFrame:
     """(field, term, ``id_col``, tf, field_len) per-field postings —
     the multi-field index behind :func:`bm25f_topk` (title/body
@@ -932,10 +930,15 @@ def fielded_index(
     contract as :func:`inverted_index`, just at field grain (the index
     grows by the extra fields' tokens, not by a scan per field). An
     empty/NULL field contributes no postings (its length still counts
-    in :func:`field_stats`, the BM25F convention)."""
+    in :func:`field_stats`, the BM25F convention). ``group_col`` builds
+    a PER-CORPUS fielded index in one pass (per-language title/body —
+    the production norm the grouped faces exist for): the group rides
+    every posting row, the grain becomes (group, field, term, doc),
+    NULL is a real group — the :func:`inverted_index` convention."""
     fmap = {f: f for f in fields} if isinstance(fields, list) else fields
     if not fmap:
         raise ValueError("fields must name at least one text column")
+    gb = [group_col] if group_col else []
     packed = F.array(
         *[
             F.struct(
@@ -946,8 +949,9 @@ def fielded_index(
         ]
     )
     toks = (
-        df.select(F.col(id_col), F.explode(packed).alias("_f"))
+        df.select(*gb, F.col(id_col), F.explode(packed).alias("_f"))
         .select(
+            *gb,
             id_col,
             F.col("_f.field").alias("field"),
             F.col("_f.toks").alias("_toks"),
@@ -956,11 +960,12 @@ def fielded_index(
     )
     return (
         toks.select(
-            id_col, "field", "field_len", F.explode("_toks").alias("term")
+            *gb, id_col, "field", "field_len",
+            F.explode("_toks").alias("term"),
         )
-        .groupBy("field", "term", id_col, "field_len")
+        .groupBy(*gb, "field", "term", id_col, "field_len")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .select("field", "term", id_col, "tf", "field_len")
+        .select(*gb, "field", "term", id_col, "tf", "field_len")
     )
 
 
@@ -969,16 +974,20 @@ def field_stats(
     fields: dict[str, str] | list[str],
     id_col: str = "doc_id",
     lowercase: bool = True,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Per-field (field, n_docs, total_len, avgdl) — BM25F's per-field
     length normalization baseline, one row per field from ONE corpus
     scan + one tiny aggregate (|fields| rows out). Every doc counts in
     every field's n_docs (an empty title is a zero-length title, the
     :func:`index_stats` convention), so n_docs is identical across
-    rows and doubles as the corpus N for idf."""
+    rows and doubles as the corpus N for idf. ``group_col``: one row
+    per (group, field) — per-corpus baselines for the grouped
+    :func:`bm25f_topk` face; still groups×fields-sized output."""
     fmap = {f: f for f in fields} if isinstance(fields, list) else fields
     if not fmap:
         raise ValueError("fields must name at least one text column")
+    gb = [group_col] if group_col else []
     packed = F.array(
         *[
             F.struct(
@@ -991,12 +1000,13 @@ def field_stats(
         ]
     )
     return (
-        df.select(F.explode(packed).alias("_f"))
+        df.select(*gb, F.explode(packed).alias("_f"))
         .select(
+            *gb,
             F.col("_f.field").alias("field"),
             F.col("_f.flen").alias("_fl"),
         )
-        .groupBy("field")
+        .groupBy(*gb, "field")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.coalesce(F.sum("_fl"), F.lit(0))
@@ -1011,7 +1021,9 @@ def field_stats(
 
 
 def fielded_term_stats(
-    postings: DataFrame, id_col: str = "doc_id"
+    postings: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
 ) -> DataFrame:
     """(term, df) DOCUMENT frequencies from a fielded postings table —
     a term counts once per doc no matter how many fields it appears in
@@ -1019,11 +1031,13 @@ def fielded_term_stats(
     distinct over the slim (term, doc) projection + one aggregate —
     an index-build artifact like :func:`term_stats`: compute it with
     the index, persist it, hand it to :func:`bm25f_topk` as ``dfreq``
-    so query time never pays the distinct."""
+    so query time never pays the distinct. ``group_col``: per-(group,
+    term) doc-grain df from a grouped fielded index."""
+    gb = [group_col] if group_col else []
     return (
-        postings.select("term", id_col)
+        postings.select(*gb, "term", id_col)
         .distinct()
-        .groupBy("term")
+        .groupBy(*gb, "term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
 
@@ -1157,6 +1171,7 @@ def bm25f_topk(
     dfreq: DataFrame | None = None,
     max_df_frac: float | None = None,
     pin: bool = True,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Top-k weighted multi-field search — simple BM25F (Robertson,
     Zaragoza & Taylor 2004, "Simple BM25 extension to multiple
@@ -1193,8 +1208,19 @@ def bm25f_topk(
     decimal sum and the per-query window. Nothing repartitions by
     term; every join input beyond the index scan is query-sized.
 
+    ``group_col``: the grouped face over a grouped fielded index
+    (:func:`fielded_index` / :func:`field_stats` /
+    :func:`fielded_term_stats` all built with the same ``group_col`` —
+    per-language title/body, the multi-corpus production norm). Same
+    contract as :func:`bm25_topk`'s: queries carry the group and search
+    ONLY their own group's postings with that group's per-field
+    avgdl / N / doc-grain df, NULL-safely; ``query_id`` unique ACROSS
+    groups; the group rides the output; every group-key join stays a
+    broadcast against the one pushed postings scan.
+
     Build-arg validation: per-field ``b`` keys must be a subset of
-    ``weights`` (checked at construction), and a postings field that is
+    ``weights`` (checked at construction), and a postings (group,)
+    field that is
     missing from ``fstats`` or carries avgdl ≤ 0 raises AT EXECUTION
     (a lazy ``raise_error`` inside the scoring expression — zero cost
     on the valid path) instead of silently dropping that field's
@@ -1215,46 +1241,70 @@ def bm25f_topk(
         if not isinstance(b, dict)
         else {f: float(b.get(f, 0.75)) for f in weights}
     )
-    # one-row corpus N for idf (n_docs is identical on every fstats row)
-    nstats = fstats.agg(F.max("n_docs").alias("n_docs"))
+    gb = [group_col] if group_col else []
+    gk = ["_gk"] if group_col else []
+    jk = gk + ["term"]
+    fk = gk + ["field"]
+    if group_col:
+        fstats = fstats.withColumn("_gk", _gkey(group_col)).drop(
+            group_col
+        )
+        # per-group corpus N (n_docs identical within a group's rows)
+        nstats = fstats.groupBy("_gk").agg(
+            F.max("n_docs").alias("n_docs")
+        )
+    else:
+        # one-row corpus N (n_docs is identical on every fstats row)
+        nstats = fstats.agg(F.max("n_docs").alias("n_docs"))
 
     def _df_valve(d):
-        return (
-            d.crossJoin(F.broadcast(nstats))
-            .filter(
-                F.col("df")
-                <= F.lit(float(max_df_frac)) * F.col("n_docs")
-            )
-            .select("term", "df")
+        cut = (
+            d.join(F.broadcast(nstats), "_gk")
+            if group_col
+            else d.crossJoin(F.broadcast(nstats))
         )
+        return cut.filter(
+            F.col("df") <= F.lit(float(max_df_frac)) * F.col("n_docs")
+        ).select(*jk, "df")
 
     qt = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
+            *gb,
             F.explode(search_terms(query_col, lowercase)).alias("term"),
         )
         .distinct()
     )
-    qterms = qt.select("term").distinct()
+    if group_col:
+        qt = qt.withColumn("_gk", _gkey(group_col)).drop(group_col)
+    qterms = qt.select(*jk).distinct()
     if dfreq is not None:
-        dfreq = dfreq.join(F.broadcast(qterms), "term")
+        if group_col:
+            dfreq = dfreq.withColumn("_gk", _gkey(group_col)).drop(
+                group_col
+            )
+        dfreq = dfreq.join(F.broadcast(qterms), jk)
         if max_df_frac is not None:
             dfreq = _df_valve(dfreq)
             qterms = qterms.join(
-                F.broadcast(dfreq.select("term")), "term"
+                F.broadcast(dfreq.select(*jk)), jk
             )
     # df is DOC-grain over ALL indexed fields (fielded_term_stats'
     # convention) — derive it BEFORE the weights filter, or a weights
     # subset would shrink df and diverge from the precomputed path
-    all_matched = postings.join(F.broadcast(qterms), "term")
+    if group_col:
+        postings = postings.withColumn("_gk", _gkey(group_col))
+    all_matched = postings.join(F.broadcast(qterms), jk)
     if dfreq is None:
         if pin:
             all_matched = all_matched.localCheckpoint(eager=False)
-        dfreq = fielded_term_stats(all_matched, id_col)
+        dfreq = fielded_term_stats(
+            all_matched, id_col, group_col=("_gk" if group_col else None)
+        )
         if max_df_frac is not None:
             dfreq = _df_valve(dfreq)
     matched = all_matched.filter(F.col("field").isin(*weights))
-    favg = fstats.select("field", F.col("avgdl").alias("_avgdl"))
+    favg = fstats.select(*fk, F.col("avgdl").alias("_avgdl"))
     w_f = _field_ladder(weights)
     b_f = _field_ladder(bmap)
     # Build-arg validation, lazily INSIDE the scoring expression (no
@@ -1295,10 +1345,10 @@ def bm25f_topk(
         .alias("_wtf")
     )
     per_term = (
-        matched.join(F.broadcast(qt), "term")
-        .join(F.broadcast(favg), "field", "left")
-        .select("query_id", F.col(id_col), "term", wtf)
-        .groupBy("query_id", id_col, "term")
+        matched.join(F.broadcast(qt), jk)
+        .join(F.broadcast(favg), fk, "left")
+        .select("query_id", *gb, *gk, F.col(id_col), "term", wtf)
+        .groupBy("query_id", *gb, *gk, id_col, "term")
         .agg(F.sum("_wtf").alias("_tfw"))
     )
     idf = F.log(
@@ -1309,17 +1359,21 @@ def bm25f_topk(
         )
     )
     tfw = F.col("_tfw").cast("double")
+    scored = per_term.join(F.broadcast(dfreq), jk)
+    if group_col:
+        scored = scored.join(F.broadcast(nstats), "_gk")
+    else:
+        scored = scored.crossJoin(F.broadcast(nstats))
     per_doc = (
-        per_term.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(nstats))
-        .select(
+        scored.select(
             "query_id",
+            *gb,
             F.col(id_col),
             (idf * (tfw / (F.lit(float(k1)) + tfw)))
             .cast(_CONTRIB_DECIMAL)
             .alias("_c"),
         )
-        .groupBy("query_id", id_col)
+        .groupBy("query_id", *gb, id_col)
         .agg(F.sum("_c").alias("_s"))
     )
     from datamunging_spark.operators.relational import top_k_per_group
@@ -1332,6 +1386,7 @@ def bm25f_topk(
         rank_out="rank",
     ).select(
         "query_id",
+        *gb,
         id_col,
         "rank",
         F.col("_s").cast("double").alias("bm25f"),

@@ -2332,3 +2332,114 @@ def test_hit_windows_for_ranked_hits_and_snippets(spark):
     assert ggot[("en", 0)] == (3, 0)
     assert ggot[("de", 1)] == (2, 0)
     assert ggot[(None, 2)] == (4, 0)
+
+
+def test_grouped_bm25f_equals_per_group_runs(spark):
+    """The grouped fielded face returns exactly what running the
+    ungrouped fielded pipeline per group slice would — NULL group
+    included — on both df paths, with per-group avgdl/N/df."""
+    from datamunging_spark.operators.retrieval import (
+        bm25f_topk,
+        field_stats,
+        fielded_index,
+        fielded_term_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("en", 1, "spark guide", "rows and shuffles explained"),
+            ("en", 2, "zebra manual", "spark spark broadcast join"),
+            ("de", 1, "funke handbuch", "zeilen und spark mischen"),
+            ("de", 2, "zebra zucht", "spark im titel nicht"),
+            (None, 1, "untagged spark", "spark body here"),
+            (None, 2, "other doc", "zebra grazing field"),
+        ],
+        "lang string, doc_id long, title string, body string",
+    )
+    fields = ["title", "body"]
+    gpost = fielded_index(docs, fields, group_col="lang")
+    gfst = field_stats(docs, fields, group_col="lang")
+    gdfr = fielded_term_stats(gpost, group_col="lang")
+    queries = spark.createDataFrame(
+        [("en", 0, "spark zebra"), ("de", 1, "spark zebra"),
+         (None, 2, "spark zebra")],
+        "lang string, query_id long, query string",
+    )
+    weights = {"title": 2.0, "body": 1.0}
+    skey = lambda t: (t[0] or "", *t[1:])  # noqa: E731 — None lang sorts
+
+    for dfr in (None, gdfr):
+        got = sorted(
+            (
+                (r.lang, r.query_id, r.doc_id, r.rank, round(r.bm25f, 7))
+                for r in bm25f_topk(
+                    gpost, queries, gfst, weights, k=5,
+                    group_col="lang", dfreq=dfr,
+                ).collect()
+            ),
+            key=skey,
+        )
+        want = []
+        for lang in ("en", "de", None):
+            cond = (
+                F.col("lang").isNull()
+                if lang is None
+                else F.col("lang") == lang
+            )
+            sl = docs.filter(cond)
+            sq = queries.filter(cond).select("query_id", "query")
+            sp = fielded_index(sl, fields)
+            sf = field_stats(sl, fields)
+            sd = None if dfr is None else fielded_term_stats(sp)
+            want += [
+                (lang, r.query_id, r.doc_id, r.rank, round(r.bm25f, 7))
+                for r in bm25f_topk(
+                    sp, sq, sf, weights, k=5, dfreq=sd
+                ).collect()
+            ]
+        assert got == sorted(want, key=skey)
+    # the valve judges hotness against the query's own group: 'spark'
+    # is in 2/2 en docs but 1/2 de docs... (title+body doc-grain: en
+    # df=2, de df=2, None df=1 of 2 docs) — cut at 0.6 kills en+de
+    valved = bm25f_topk(
+        gpost, queries, gfst, weights, k=5,
+        group_col="lang", dfreq=gdfr, max_df_frac=0.6,
+    ).collect()
+    # en/de keep only 'zebra' scoring; the None group keeps both terms
+    assert all(r.bm25f > 0 for r in valved)
+
+
+def test_grouped_advance_index_fielded_roll_forward(spark):
+    """A grouped FIELDED index rolls forward: the fold signs the batch
+    at (group, field) grain and replace anti-joins on (group, id) —
+    advance ≡ full grouped rebuild of the final corpus."""
+    docs = spark.createDataFrame(
+        [
+            ("en", 1, "spark title", "body one"),
+            ("de", 1, "funke titel", "körper eins"),
+            (None, 1, "untagged", "body"),
+        ],
+        "lang string, doc_id long, title string, body string",
+    )
+    batch = spark.createDataFrame(
+        [
+            ("en", 1, "rewritten title", "new body"),  # replaces en/1
+            ("de", 2, "neuer titel", "zwei"),          # appends de/2
+        ],
+        "lang string, doc_id long, title string, body string",
+    )
+    from datamunging_spark.operators.retrieval import fielded_index
+
+    fields = ["title", "body"]
+    hist = fielded_index(docs, fields, group_col="lang")
+    rolled = advance_index(
+        hist, batch, fields=fields, group_col="lang", replace_ids=True
+    )
+    final = docs.filter(
+        ~(F.col("lang").eqNullSafe("en") & (F.col("doc_id") == 1))
+    ).unionByName(batch)
+    want = fielded_index(final, fields, group_col="lang")
+    nk = lambda t: (t[0] or "", *t[1:])  # noqa: E731 — NULL lang sorts
+    assert sorted(map(tuple, rolled.collect()), key=nk) == sorted(
+        map(tuple, want.collect()), key=nk
+    )
