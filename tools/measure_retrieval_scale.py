@@ -67,9 +67,11 @@ def main() -> None:
         "(precomputed index) | incremental fold wall (10% batch) "
         "| phrase wall (positional) | boolean wall | boolean wall "
         "(precomputed df) | bm25f wall (fielded, precomputed) "
-        "| grouped bm25 wall (4 groups, precomputed) |"
+        "| grouped bm25 wall (4 groups, precomputed) "
+        "| hit_windows+snippets wall (r14) "
+        "| grouped bm25f wall (4 groups, r14) |"
     )
-    print("|---|---|---|---|---|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|---|---|---|---|---|---|")
     for sf in ("sf0.01", "sf0.1"):
         docs = spark.read.parquet(
             os.path.join(root, sf, "documents.parquet")
@@ -190,12 +192,62 @@ def main() -> None:
             ).count()
 
         grouped_wall = best_of(3, grouped)
+
+        # r14: best-window + snippet leg over score-ranked hits — the
+        # claim is hits-sized work after the one positional scan (the
+        # postings are cut to the top-k doc list BEFORE term matching)
+        from datamunging_spark.operators.retrieval import (
+            hit_windows,
+            snippets,
+        )
+
+        ranked = bm25_topk(
+            post, queries, stats, k=10, dfreq=dfreq
+        ).localCheckpoint()
+
+        def windows():
+            snippets(
+                docs, hit_windows(pos_post, ranked, queries), context=3
+            ).count()
+
+        win_wall = best_of(3, windows)
+
+        # r14: grouped fielded face — should track the plain bm25f wall
+        gfdocs = fdocs.withColumn(
+            "lang", F.pmod(F.col("doc_id"), F.lit(4)).cast("string")
+        )
+        gfpath = f"{tmp}/{sf}_gfielded"
+        fielded_index(
+            gfdocs, ["title", "body"], group_col="lang"
+        ).write.mode("overwrite").parquet(gfpath)
+        gfpost = spark.read.parquet(gfpath)
+        gffst = field_stats(
+            gfdocs, ["title", "body"], group_col="lang"
+        ).localCheckpoint()
+        gfdfr = fielded_term_stats(
+            gfpost, group_col="lang"
+        ).localCheckpoint()
+        gfq = gdocs.filter(F.col("doc_id") < 8).select(
+            F.col("doc_id").alias("query_id"),
+            "lang",
+            F.substring("text", 1, 40).alias("query"),
+        ).localCheckpoint()
+
+        def gbm25f():
+            bm25f_topk(
+                gfpost, gfq, gffst,
+                weights={"title": 2.0, "body": 1.0},
+                k=10, dfreq=gfdfr, group_col="lang",
+            ).count()
+
+        gbm25f_wall = best_of(3, gbm25f)
         print(
             f"| {sf} | {n} | {n_post} | {build_wall:.2f} s "
             f"| {query_wall:.2f} s | {fold_wall:.2f} s "
             f"| {phrase_wall:.2f} s | {bool_wall:.2f} s "
             f"| {bool_pre_wall:.2f} s | {bm25f_wall:.2f} s "
-            f"| {grouped_wall:.2f} s |"
+            f"| {grouped_wall:.2f} s | {win_wall:.2f} s "
+            f"| {gbm25f_wall:.2f} s |"
         )
     spark.stop()
 
