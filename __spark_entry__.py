@@ -653,9 +653,6 @@ def _bm25_persisted_index(spark, sf_dir):
     import shutil
     import tempfile
 
-    key = ("bm25_idx", sf_dir)
-    if key in _ENTRY_CACHE:
-        return _ENTRY_CACHE[key]
     from datamunging_spark.operators.retrieval import (
         index_stats,
         inverted_index,
@@ -680,6 +677,11 @@ def _bm25_persisted_index(spark, sf_dir):
     base = _os.path.join(
         tempfile.gettempdir(), f"spark_graft_bm25_{h.hexdigest()[:12]}"
     )
+    # the in-process cache keys on the FINGERPRINTED path too, so
+    # regenerating the fixture mid-session invalidates both tiers
+    key = ("bm25_idx", base)
+    if key in _ENTRY_CACHE:
+        return _ENTRY_CACHE[key]
     if not _os.path.isdir(base):
         tmp = tempfile.mkdtemp(
             prefix=_os.path.basename(base) + ".build.",

@@ -1995,6 +1995,86 @@ def _frozen_assign_udf(centers):
     return assign
 
 
+def assign_frozen_batch(
+    centers,
+    mean_fit_dist,
+    batch: DataFrame,
+    id_col: str,
+    vec_col: str,
+    max_drift,
+    refit_hint: str,
+    drop_null_vecs: bool = False,
+    pin: bool = True,
+) -> DataFrame:
+    """(neighbor_id, _cv, _cell, _dist) of a batch under FROZEN
+    centroids — ONE home for the dim probe + Arrow matmul-identity
+    assignment + centroid-drift valve that every frozen-cell consumer
+    shares (:func:`incremental_semantic_dedup` here; the vector
+    index's ``advance_ivf_index`` / ``streaming_ivf_ingest`` in
+    similarity/streaming). The valve compares the batch's mean squared
+    assignment distance against ``mean_fit_dist`` (the fit-time
+    baseline) and raises with ``refit_hint`` when the ratio exceeds
+    ``max_drift`` — the same relative-epsilon discipline in one place,
+    so a future tightening cannot silently diverge between callers.
+    ``drop_null_vecs``: treat NULL-vector rows as absent (the vector
+    index's delete convention); off for the dedup path, whose batches
+    carry no NULLs by contract. ``pin`` eagerly localCheckpoints the
+    assignment (it usually feeds several consumers); the drift
+    aggregate forces materialization anyway whenever the valve is
+    armed."""
+    src = (
+        batch.filter(F.col(vec_col).isNotNull())
+        if drop_null_vecs
+        else batch
+    )
+    # dimension probe (limit(1) — the advance_snapshot stamp pattern):
+    # a dim-mismatched batch would fail deep inside numpy broadcasting
+    probe = src.select(F.size(F.col(vec_col)).alias("_d")).limit(1).collect()
+    dim = centers.shape[1]
+    if probe and probe[0]["_d"] != dim:
+        raise ValueError(
+            f"embedding dimension drift: batch {vec_col} has "
+            f"{probe[0]['_d']} dims, the frozen centroids have {dim} "
+            f"— {refit_hint}"
+        )
+    ad = _frozen_assign_udf(centers)(F.col(vec_col))
+    assigned = src.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        ad.alias("_ad"),
+    ).select(
+        "neighbor_id",
+        "_cv",
+        F.element_at("_ad", 1).cast("int").alias("_cell"),
+        F.element_at("_ad", 2).alias("_dist"),
+    )
+    if pin or max_drift is not None:
+        assigned = assigned.localCheckpoint()
+    if max_drift is not None:
+        if mean_fit_dist is None:
+            raise ValueError(
+                "assign_frozen_batch: no mean_fit_dist baseline (the "
+                "index/snapshot predates the drift valve) — "
+                f"{refit_hint}, or pass max_drift=None to accept "
+                "unguarded recall decay"
+            )
+        m = assigned.agg(F.avg("_dist").alias("_m")).collect()[0]["_m"]
+        # a degenerate zero fit baseline (every seed vector at a
+        # centroid) must still refuse a genuinely distant batch — the
+        # tiny absolute epsilon only absorbs float round-off, it does
+        # not reopen the mean_fit_dist==0 bypass the r9 review caught
+        if m is not None and m > max_drift * mean_fit_dist + 1e-9:
+            raise ValueError(
+                f"centroid drift: batch mean squared assignment "
+                f"distance {m:.4g} exceeds {max_drift}x the frozen "
+                f"baseline {mean_fit_dist:.4g} — the frozen cells no "
+                "longer describe the embedding distribution; "
+                f"{refit_hint} (or raise/disable max_drift to accept "
+                "the recall loss)"
+            )
+    return assigned
+
+
 def semantic_snapshot(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -2070,44 +2150,20 @@ def incremental_semantic_dedup(
     (neighbor_id, _cv, _cell) rows — the exact increment
     :func:`advance_semantic_snapshot` appends, so the roll-forward
     re-uses this call's single assignment pass."""
-    import numpy as np  # noqa: F401 — centers arithmetic via the UDF
-
-    # dimension probe (limit(1) — the advance_snapshot stamp pattern):
-    # a dim-mismatched batch would fail deep inside numpy broadcasting
-    probe = batch.select(F.size(F.col(vec_col)).alias("_d")).limit(1).collect()
-    dim = snapshot.centers.shape[1]
-    if probe and probe[0]["_d"] != dim:
-        raise ValueError(
-            f"embedding dimension drift: batch {vec_col} has "
-            f"{probe[0]['_d']} dims, snapshot centroids have {dim} — "
-            "refit semantic_snapshot for the new embedding space"
-        )
-    ad = _frozen_assign_udf(snapshot.centers)(F.col(vec_col))
-    assigned = batch.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        ad.alias("_ad"),
-    ).select(
-        "neighbor_id",
-        "_cv",
-        F.element_at("_ad", 1).cast("int").alias("_cell"),
-        F.element_at("_ad", 2).alias("_dist"),
-    ).localCheckpoint()  # feeds drift agg + history join + within-batch
-    if max_drift is not None:
-        m = assigned.agg(F.avg("_dist").alias("_m")).collect()[0]["_m"]
-        # a degenerate zero fit baseline (every seed vector at a
-        # centroid) must still refuse a genuinely distant batch — the
-        # tiny absolute epsilon only absorbs float round-off, it does
-        # not reopen the mean_fit_dist==0 bypass the r9 review caught
-        if m is not None and m > max_drift * snapshot.mean_fit_dist + 1e-9:
-            raise ValueError(
-                f"centroid drift: batch mean squared assignment distance "
-                f"{m:.4g} exceeds {max_drift}x the snapshot's fit mean "
-                f"{snapshot.mean_fit_dist:.4g} — the frozen cells no "
-                "longer describe the embedding distribution; rebuild "
-                "semantic_snapshot over the accumulated survivors "
-                "(or raise/disable max_drift to accept the recall loss)"
-            )
+    # dim probe + frozen assignment + drift valve, shared with the
+    # vector index's advance face (pin: feeds drift agg + history join
+    # + within-batch)
+    assigned = assign_frozen_batch(
+        snapshot.centers,
+        snapshot.mean_fit_dist,
+        batch,
+        id_col,
+        vec_col,
+        max_drift,
+        refit_hint=(
+            "rebuild semantic_snapshot over the accumulated survivors"
+        ),
+    )
     bs = assigned.select(
         F.col("neighbor_id").alias("_nid"),
         F.col("_cv").alias("_bv"),

@@ -728,24 +728,26 @@ def boolean_topk(
             ),
         )
     )
-    # per-query required must count (distinct terms, unseen ones incl.)
-    req = (
-        roles.filter(F.col("_is_m"))
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("_req_must"))
-    )
     msm = int(min_should_match)
     if degrade_msm:
+        # ONE post-valve aggregate covers every query that can still
+        # hit anything (must-only, should-only, both): surviving must
+        # count AND surviving should count together; the pre-valve
+        # should counts join LEFT (queries whose every role was valved
+        # produce no hits rows, so their absence here is harmless).
         # effective msm = msm − (should terms the valve removed), ≥ 0;
-        # the no-must fallback still demands ≥ 1 actual should match
-        surv_s = roles.groupBy("query_id").agg(
-            F.sum(F.when(F.col("_is_s"), 1).otherwise(0)).alias(
-                "_surv_s"
-            )
-        )
+        # the no-must fallback still demands ≥ 1 actual should match.
         req = (
-            req.join(F.broadcast(given_s), "query_id", "full")
-            .join(F.broadcast(surv_s), "query_id", "left")
+            roles.groupBy("query_id")
+            .agg(
+                F.sum(F.when(F.col("_is_m"), 1).otherwise(0)).alias(
+                    "_req_must"
+                ),
+                F.sum(F.when(F.col("_is_s"), 1).otherwise(0)).alias(
+                    "_surv_s"
+                ),
+            )
+            .join(F.broadcast(given_s), "query_id", "left")
         )
         msm_col = F.greatest(
             F.lit(0),
@@ -757,6 +759,12 @@ def boolean_topk(
         )
         helper_cols = ["_req_must", "_given_s", "_surv_s"]
     else:
+        # per-query required must count (distinct terms, unseen incl.)
+        req = (
+            roles.filter(F.col("_is_m"))
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("_req_must"))
+        )
         msm_col = F.lit(msm)
         helper_cols = ["_req_must"]
     qualified = (
@@ -1668,6 +1676,55 @@ def spell_suggest(
     )
 
 
+def _covering_window_scan(n_col: Column) -> Column:
+    """The unordered minimal-covering-window fold — ONE home for the
+    algorithm :func:`near_topk` (unordered mode) and
+    :func:`hit_windows` both rank with: a pure codegen ``aggregate``
+    HOF over the per-(query, doc) ``_merged`` array of (pos, t)
+    structs (position-sorted), carrying last-seen position per term
+    index; whenever all ``n_col`` terms have been seen, the window
+    ``pos − min(last_seen) + 1`` competes for the best. Returns the
+    final (best, bstart) struct; ``bstart`` is the FIRST minimal
+    window's start in scan order."""
+    big = F.lit(2**31 - 1)
+
+    def _ustep(acc, x):
+        def new_last():
+            return F.transform(
+                acc["last"],
+                lambda v, i: F.when(i == x["t"], x["pos"]).otherwise(v),
+            )
+
+        improved = ~F.array_contains(new_last(), F.lit(-1)) & (
+            x["pos"] - F.array_min(new_last()) + F.lit(1) < acc["best"]
+        )
+        return F.struct(
+            new_last().alias("last"),
+            F.when(
+                improved,
+                x["pos"] - F.array_min(new_last()) + F.lit(1),
+            )
+            .otherwise(acc["best"])
+            .alias("best"),
+            F.when(improved, F.array_min(new_last()))
+            .otherwise(acc["bstart"])
+            .alias("bstart"),
+        )
+
+    return F.aggregate(
+        F.col("_merged"),
+        F.struct(
+            F.array_repeat(F.lit(-1), n_col.cast("int")).alias("last"),
+            big.alias("best"),
+            F.lit(-1).alias("bstart"),
+        ),
+        _ustep,
+        lambda acc: F.struct(
+            acc["best"].alias("best"), acc["bstart"].alias("bstart")
+        ),
+    )
+
+
 def near_topk(
     postings: DataFrame,
     queries: DataFrame,
@@ -1842,45 +1899,7 @@ def near_topk(
             final,
         )
     else:
-
-        def _ustep(acc, x):
-            def new_last():
-                return F.transform(
-                    acc["last"],
-                    lambda v, i: F.when(
-                        i == x["t"], x["pos"]
-                    ).otherwise(v),
-                )
-
-            improved = ~F.array_contains(new_last(), F.lit(-1)) & (
-                x["pos"] - F.array_min(new_last()) + F.lit(1)
-                < acc["best"]
-            )
-            return F.struct(
-                new_last().alias("last"),
-                F.when(
-                    improved,
-                    x["pos"] - F.array_min(new_last()) + F.lit(1),
-                )
-                .otherwise(acc["best"])
-                .alias("best"),
-                F.when(improved, F.array_min(new_last()))
-                .otherwise(acc["bstart"])
-                .alias("bstart"),
-            )
-
-        scan = F.aggregate(
-            F.col("_merged"),
-            F.struct(
-                F.array_repeat(
-                    F.lit(-1), F.col("_n").cast("int")
-                ).alias("last"),
-                big.alias("best"),
-                F.lit(-1).alias("bstart"),
-            ),
-            _ustep,
-            final,
-        )
+        scan = _covering_window_scan(F.col("_n"))
     merged = F.array_sort(F.flatten(F.collect_list("_tagged")))
     grouped = (
         hits.groupBy("query_id", *gb, id_col)
@@ -1998,45 +2017,7 @@ def hit_windows(
             ),
         ).alias("_tagged"),
     )
-    big = F.lit(2**31 - 1)
-
-    def _ustep(acc, x):
-        def new_last():
-            return F.transform(
-                acc["last"],
-                lambda v, i: F.when(i == x["t"], x["pos"]).otherwise(v),
-            )
-
-        improved = ~F.array_contains(new_last(), F.lit(-1)) & (
-            x["pos"] - F.array_min(new_last()) + F.lit(1) < acc["best"]
-        )
-        return F.struct(
-            new_last().alias("last"),
-            F.when(
-                improved,
-                x["pos"] - F.array_min(new_last()) + F.lit(1),
-            )
-            .otherwise(acc["best"])
-            .alias("best"),
-            F.when(improved, F.array_min(new_last()))
-            .otherwise(acc["bstart"])
-            .alias("bstart"),
-        )
-
-    scan = F.aggregate(
-        F.col("_merged"),
-        F.struct(
-            F.array_repeat(
-                F.lit(-1), F.col("n_terms").cast("int")
-            ).alias("last"),
-            big.alias("best"),
-            F.lit(-1).alias("bstart"),
-        ),
-        _ustep,
-        lambda acc: F.struct(
-            acc["best"].alias("best"), acc["bstart"].alias("bstart")
-        ),
-    )
+    scan = _covering_window_scan(F.col("n_terms"))
     windows = (
         tagged.groupBy("query_id", *gk, id_col)
         .agg(

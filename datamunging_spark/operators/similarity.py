@@ -307,66 +307,42 @@ def _assign_frozen(
     batch: DataFrame,
     corpus_id: str,
     vec_col: str,
-    max_drift: float | None,
+    max_drift,
+    pin: bool = True,
 ) -> DataFrame:
-    """The batch's (neighbor_id, _cv, _cell) rows under the FROZEN
-    centroids — one Arrow matmul-identity pass, localCheckpoint-pinned
-    (it feeds the drift aggregate plus every consumer). NULL-vector
-    rows contribute nothing (they are deletes under ``replace_ids``).
-    Applies :func:`advance_ivf_index`'s dim probe and centroid-drift
-    valve; shared by the advance face and the streaming fold (which
-    needs the batch rows alone for its delta write)."""
+    """The batch's (neighbor_id, _cv, _cell, _dist) rows under the
+    FROZEN centroids — a thin face over the shared
+    ``dedup.assign_frozen_batch`` (ONE home for the dim probe, Arrow
+    matmul-identity assignment, and centroid-drift valve, so the
+    epsilon discipline cannot diverge between the dedup and
+    vector-index callers). NULL-vector rows contribute nothing (they
+    are deletes under ``replace_ids``). ``pin=False`` skips the
+    localCheckpoint when the caller consumes the assignment exactly
+    once and the valve is off (no drift aggregate to re-read it)."""
     # function-local import: dedup imports from this module
-    from datamunging_spark.operators.dedup import _frozen_assign_udf
+    from datamunging_spark.operators.dedup import assign_frozen_batch
 
-    valid = batch.filter(F.col(vec_col).isNotNull())
-    # dim probe (limit(1)): a dim-mismatched batch fails here with the
-    # fix named, not deep inside numpy broadcasting
-    probe = valid.select(F.size(F.col(vec_col)).alias("_d")).limit(1).collect()
-    dim = index.centers.shape[1]
-    if probe and probe[0]["_d"] != dim:
+    if index.mean_fit_dist is None and max_drift is not None:
         raise ValueError(
-            f"embedding dimension drift: batch {vec_col} has "
-            f"{probe[0]['_d']} dims, the index centroids have {dim} — "
-            "rebuild ivf_build for the new embedding space"
+            "advance_ivf_index: the index carries no mean_fit_dist "
+            "baseline (built before the drift valve existed) — "
+            "rebuild with ivf_build, or pass max_drift=None to "
+            "accept unguarded recall decay"
         )
-    ad = _frozen_assign_udf(index.centers)(F.col(vec_col))
-    assigned = (
-        valid.select(
-            F.col(corpus_id).alias("neighbor_id"),
-            F.col(vec_col).alias("_cv"),
-            ad.alias("_ad"),
-        )
-        .select(
-            "neighbor_id",
-            "_cv",
-            F.element_at("_ad", 1).cast("int").alias("_cell"),
-            F.element_at("_ad", 2).alias("_dist"),
-        )
-        .localCheckpoint()  # feeds drift agg + index union + PQ encode
+    return assign_frozen_batch(
+        index.centers,
+        index.mean_fit_dist,
+        batch,
+        corpus_id,
+        vec_col,
+        max_drift,
+        refit_hint=(
+            "rebuild ivf_build over the accumulated corpus (and refit "
+            "pq_fit if PQ rides the index)"
+        ),
+        drop_null_vecs=True,
+        pin=pin,
     )
-    if max_drift is not None:
-        if index.mean_fit_dist is None:
-            raise ValueError(
-                "advance_ivf_index: the index carries no mean_fit_dist "
-                "baseline (built before the drift valve existed) — "
-                "rebuild with ivf_build, or pass max_drift=None to "
-                "accept unguarded recall decay"
-            )
-        m = assigned.agg(F.avg("_dist").alias("_m")).collect()[0]["_m"]
-        # same epsilon discipline as incremental_semantic_dedup: a
-        # degenerate zero baseline must still refuse a distant batch
-        if m is not None and m > max_drift * index.mean_fit_dist + 1e-9:
-            raise ValueError(
-                f"centroid drift: batch mean squared assignment "
-                f"distance {m:.4g} exceeds {max_drift}x the index's "
-                f"fit mean {index.mean_fit_dist:.4g} — the frozen "
-                "cells no longer describe the embedding distribution; "
-                "rebuild ivf_build over the accumulated corpus (and "
-                "refit pq_fit if PQ rides the index), or raise/disable "
-                "max_drift to accept the recall loss"
-            )
-    return assigned
 
 
 def advance_ivf_index(
@@ -424,7 +400,13 @@ def advance_ivf_index(
             "advance_ivf_index: pass codebook AND encoded_cells "
             "together (the IVF-PQ roll-forward) or neither"
         )
-    assigned = _assign_frozen(index, batch, corpus_id, vec_col, max_drift)
+    # pin only when something re-reads the assignment: the drift agg
+    # (valve armed) or the PQ encode leg — a plain append consumes it
+    # once and stays lazy, the advance-family contract
+    assigned = _assign_frozen(
+        index, batch, corpus_id, vec_col, max_drift,
+        pin=codebook is not None,
+    )
     new_rows = assigned.select("neighbor_id", "_cv", "_cell")
     history = index.assigned
     if replace_ids:

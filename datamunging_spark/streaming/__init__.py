@@ -1538,6 +1538,7 @@ def streaming_ivf_ingest(
     seed: int = 42,
     max_fit_rows: int = 100_000,
     max_drift: float | None = 2.0,
+    version_col: str | None = None,
 ) -> int | None:
     """Continuous IVF vector-index maintenance via ``foreachBatch`` —
     the ANN leg of the versioned-fold family, completing it across
@@ -1569,11 +1570,20 @@ def streaming_ivf_ingest(
     version back with :func:`load_ivf_index` and search it with
     ``ivf_search`` (or encode the head with a frozen codebook via
     ``pq_encode_cells`` for the IVF-PQ serving layout — codes are
-    derivable state, deliberately not folded here). Within-batch id
-    collisions follow the last-row-wins of the anti-join ONLY across
-    batches; upstream dedup (or ``streaming_apply_changelog``) owns
-    within-batch ordering, as in the lexical loop. Drains with
-    ``availableNow``; returns the latest committed version."""
+    derivable state, deliberately not folded here).
+
+    Within-batch id collisions FAIL FAST by default (two rows for one
+    vec_id in a micro-batch would BOTH survive the history anti-join
+    and make the id searchable twice — the lexical loop's contract);
+    pass ``version_col`` (a CDC-style monotonic version) to resolve
+    them last-wins instead, ties broken on a content hash of the
+    vector so the winner is deterministic under any partitioning. The
+    lexical loop's known gap is shared: the store carries no version,
+    so ordering ACROSS micro-batches is the source's job. A FIRST
+    batch that carries only NULL-vector (delete) rows is skipped —
+    deletes against an empty store are no-ops and there is nothing to
+    fit the quantizer on. Drains with ``availableNow``; returns the
+    latest committed version."""
     from datamunging_spark.operators.similarity import (
         _assign_frozen,
         ivf_build,
@@ -1593,12 +1603,42 @@ def streaming_ivf_ingest(
         raise ValueError(
             f"base_every must be >= 1 or None, got {base_every}"
         )
+    from pyspark.sql import Window
+
     cpath = f"{table_path}_centers"
+
+    def _resolve_batch(batch):
+        if version_col is not None:
+            w = Window.partitionBy(vec_id).orderBy(
+                F.col(version_col).desc(),
+                F.hash(F.col(vec_col)).desc(),
+            )
+            return (
+                batch.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        dup = (
+            batch.groupBy(vec_id)
+            .count()
+            .filter(F.col("count") > 1)
+            .head(1)
+        )
+        if dup:
+            raise ValueError(
+                f"streaming_ivf_ingest: micro-batch carries multiple "
+                f"rows for {vec_id}={dup[0][0]!r} — both would survive "
+                "the history anti-join and be searchable twice; pass "
+                "version_col= for last-wins resolution or dedup the "
+                "stream upstream"
+            )
+        return batch
 
     def _process(batch_df, batch_id):
         if not batch_df.head(1):
             return
         bspark = batch_df.sparkSession
+        batch_df = _resolve_batch(batch_df)
         cv = latest_table_version(bspark, cpath)
         mv = latest_table_version(bspark, table_path)
         next_v = (mv or 0) + 1
@@ -1610,9 +1650,15 @@ def streaming_ivf_ingest(
         if fs.exists(jp):
             fs.delete(jp, True)
         if cv is None:
+            fit_src = batch_df.filter(F.col(vec_col).isNotNull())
+            if not fit_src.head(1):
+                # delete-only first batch: deletes against an empty
+                # store are no-ops and KMeans has nothing to fit on —
+                # skip; the first REAL batch fits the quantizer
+                return
             # first fold: fit the quantizer on this batch, freeze it
             idx = ivf_build(
-                batch_df.filter(F.col(vec_col).isNotNull()),
+                fit_src,
                 corpus_id=vec_id,
                 vec_col=vec_col,
                 n_clusters=n_clusters,
@@ -1632,7 +1678,7 @@ def streaming_ivf_ingest(
             # committed frozen centers and write the missing base
             shell = ivf_index_from_tables(None, centers)
             first = _assign_frozen(
-                shell, batch_df, vec_id, vec_col, max_drift
+                shell, batch_df, vec_id, vec_col, max_drift, pin=False
             ).select("neighbor_id", "_cv", "_cell")
             write_table_version(first, table_path, 1)
             vacuum_table_versions(
@@ -1644,7 +1690,7 @@ def streaming_ivf_ingest(
         )
         idx = ivf_index_from_tables(state, centers)
         assigned = _assign_frozen(
-            idx, batch_df, vec_id, vec_col, max_drift
+            idx, batch_df, vec_id, vec_col, max_drift, pin=False
         ).select("neighbor_id", "_cv", "_cell")
         replaced = batch_df.select(
             F.col(vec_id).alias("neighbor_id")

@@ -1730,3 +1730,77 @@ def test_streaming_ivf_ingest_folds_reads_and_replays(spark, tables, tmp_path):
     assert v2 == 3
     assert sorted(load_ivf_index(spark, table).assigned.collect()) == \
         sorted(idx.assigned.collect())
+
+
+def test_streaming_ivf_collision_guard_and_delete_only_first_batch(
+    spark, tables, tmp_path
+):
+    """Within-batch vec_id collisions fail fast (or resolve last-wins
+    via version_col with a deterministic tie-break); a delete-only
+    first batch is skipped instead of crashing KMeans."""
+    from datamunging_spark.streaming import (
+        load_ivf_index,
+        streaming_ivf_ingest,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    rows = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 25).collect()
+    }
+    schema = "vec_id long, embedding array<double>"
+
+    # collision without version_col → ValueError fails the stream
+    src = tmp_path / "col_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, rows[1]), (1, rows[2]), (3, rows[3])], schema
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    with pytest.raises(Exception, match="multiple\\s+rows"):
+        streaming_ivf_ingest(
+            stream, str(tmp_path / "col_store"),
+            checkpoint_path=str(tmp_path / "col_ckpt"), n_clusters=2,
+        )
+
+    # with version_col: last version wins deterministically
+    vschema = "vec_id long, embedding array<double>, v long"
+    vsrc = tmp_path / "v_src"
+    vsrc.mkdir()
+    spark.createDataFrame(
+        [(1, rows[1], 1), (1, rows[2], 2)]
+        + [(i, rows[i], 1) for i in range(3, 20)],
+        vschema,
+    ).coalesce(1).write.parquet(str(vsrc / "f0"))
+    vstream = spark.readStream.schema(vschema).parquet(str(vsrc) + "/*")
+    vtable = str(tmp_path / "v_store")
+    streaming_ivf_ingest(
+        vstream, vtable, checkpoint_path=str(tmp_path / "v_ckpt"),
+        n_clusters=2, version_col="v",
+    )
+    got = {
+        r["neighbor_id"]: list(r["_cv"])
+        for r in load_ivf_index(spark, vtable).assigned.collect()
+    }
+    assert got[1] == pytest.approx(rows[2])  # v=2 won
+    assert len(got) == 18
+
+    # delete-only first batch skipped; the next real batch fits
+    dsrc = tmp_path / "d_src"
+    dsrc.mkdir()
+    spark.createDataFrame(
+        [(9, None)], schema
+    ).coalesce(1).write.parquet(str(dsrc / "f0"))
+    spark.createDataFrame(
+        [(i, rows[i]) for i in range(0, 10)], schema
+    ).coalesce(1).write.parquet(str(dsrc / "f1"))
+    dstream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(dsrc) + "/*")
+    dtable = str(tmp_path / "d_store")
+    v = streaming_ivf_ingest(
+        dstream, dtable, checkpoint_path=str(tmp_path / "d_ckpt"),
+        n_clusters=2,
+    )
+    assert v == 1
+    assert load_ivf_index(spark, dtable).assigned.count() == 10

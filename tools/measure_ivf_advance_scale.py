@@ -25,12 +25,15 @@ Output: markdown rows for SCALE.md.
 
 from __future__ import annotations
 
+import os
 import statistics
 import sys
 import tempfile
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from pyspark.sql import functions as F
 
@@ -41,15 +44,17 @@ from datamunging_spark.operators.similarity import (
 )
 from datamunging_spark.sources.io import load_table
 
-SF_DIR = "/root/testdata/sf0.1"
 BATCH_N = 500
 REPS = 3
 
 
 def main() -> None:
+    sf_dir = (
+        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    )
     spark = get_spark("ivf-advance-scale")
     spark.sparkContext.setLogLevel("ERROR")
-    emb = load_table(spark, SF_DIR, "embeddings").select(
+    emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
     n_emb = emb.count()
