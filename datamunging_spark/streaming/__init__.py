@@ -1220,6 +1220,7 @@ def streaming_index_ingest(
     version_col: str | None = None,
     stats: bool = True,
     base_every: int | None = 64,
+    positions: bool = False,
 ) -> int | None:
     """Continuous inverted-index maintenance via ``foreachBatch`` — the
     lexical-retrieval leg of the versioned-fold family: each micro-batch
@@ -1311,8 +1312,16 @@ def streaming_index_ingest(
     :func:`~datamunging_spark.operators.retrieval.stats_from_postings`
     (a full index-grain distinct per refresh — fine interactively,
     wasteful in a refresh loop, and the reason ``stats`` defaults on).
-    Drains with ``availableNow``; returns the latest committed
-    version."""
+
+    ``positions=True`` maintains a POSITIONAL index (the
+    ``inverted_index(..., positions=True)`` layout) so ``phrase_topk``
+    / ``near_topk`` / ``hit_windows`` answer straight from the
+    streamed store: the flag matters only for the FIRST base — every
+    later fold detects positionality from the stored schema (the
+    ``advance_index`` contract), so an existing store can never be
+    silently degraded by a mismatched flag. Stats are unaffected
+    (``doc_len`` rides positional postings too). Drains with
+    ``availableNow``; returns the latest committed version."""
     from pyspark.sql import Window
 
     from datamunging_spark.operators.retrieval import (
@@ -1450,9 +1459,18 @@ def streaming_index_ingest(
             or newest_base is None
             or (cadence is not None and deltas_since + 1 >= cadence)
         )
+        # positionality: the flag decides the FIRST base; afterwards
+        # the stored schema is authoritative (advance_index detects it
+        # too, so a flag flip cannot degrade an existing store)
+        pos = (
+            "positions" in state.columns if state is not None
+            else positions
+        )
         if write_base:
             folded = (
-                inverted_index(batch, text_col, id_col, lowercase)
+                inverted_index(
+                    batch, text_col, id_col, lowercase, positions=pos
+                )
                 if state is None
                 else advance_index(
                     state,
@@ -1466,7 +1484,7 @@ def streaming_index_ingest(
             write_table_version(folded, table_path, next_v)
         else:
             inverted_index(
-                batch, text_col, id_col, lowercase
+                batch, text_col, id_col, lowercase, positions=pos
             ).write.mode("overwrite").parquet(f"{vpath}/postings_delta")
             batch.select(F.col(id_col)).distinct().write.mode(
                 "overwrite"

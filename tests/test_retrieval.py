@@ -2443,3 +2443,58 @@ def test_grouped_advance_index_fielded_roll_forward(spark):
     assert sorted(map(tuple, rolled.collect()), key=nk) == sorted(
         map(tuple, want.collect()), key=nk
     )
+
+
+def test_streaming_index_ingest_positional(spark, tmp_path):
+    """positions=True maintains a positional streamed store: the head
+    reconstruction equals a full positional rebuild of the final
+    corpus, and phrase/proximity search answer straight from it."""
+    from datamunging_spark.operators.retrieval import (
+        near_topk,
+        phrase_topk,
+    )
+    from datamunging_spark.streaming import (
+        read_index_version,
+        streaming_index_ingest,
+    )
+
+    src = tmp_path / "pdocs_src"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    b1 = [(1, "alpha beta gamma"), (2, "alpha x beta")]
+    b2 = [(3, "gamma alpha beta tail")]
+    b3 = [(1, "beta alpha rewritten"), (4, "alpha y y beta")]
+    for i, rows in enumerate((b1, b2, b3)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    table = str(tmp_path / "pos_store")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    v = streaming_index_ingest(
+        stream, table, checkpoint_path=str(tmp_path / "pos_ckpt"),
+        positions=True,
+    )
+    assert v == 3
+    head = read_index_version(spark, table)
+    assert "positions" in head.columns
+    final = spark.createDataFrame(
+        [(2, "alpha x beta"), (3, "gamma alpha beta tail"),
+         (1, "beta alpha rewritten"), (4, "alpha y y beta")], schema
+    )
+    want = inverted_index(final, positions=True)
+    assert sorted(map(tuple, head.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    q = spark.createDataFrame(
+        [(0, "alpha beta")], "query_id long, query string"
+    )
+    hits = {r.doc_id: r.phrase_freq
+            for r in phrase_topk(head, q, k=10).collect()}
+    # adjacent "alpha beta": doc 3 only (doc 2 has 'alpha x beta',
+    # doc 1 reversed, doc 4 gapped)
+    assert hits == {3: 1}
+    prox = {r.doc_id: r.min_span
+            for r in near_topk(head, q, k=10, slop=2).collect()}
+    assert prox == {1: 2, 2: 3, 3: 2, 4: 4}
