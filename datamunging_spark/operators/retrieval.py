@@ -1402,7 +1402,9 @@ def bm25f_topk(
 
 
 def stats_from_postings(
-    postings: DataFrame, id_col: str = "doc_id"
+    postings: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
 ) -> DataFrame:
     """(n_docs, total_len, avgdl) re-derived from a postings table —
     for consumers holding ONLY the index (e.g. the streaming
@@ -1415,20 +1417,23 @@ def stats_from_postings(
     distinct (a shuffle over slim (doc, len) rows) — run it at index
     refresh time, not per query; on the build path prefer
     :func:`index_stats` + :func:`combine_index_stats`, which never
-    rescan anything."""
-    return (
-        postings.select(F.col(id_col), F.col("doc_len"))
-        .distinct()
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.coalesce(F.sum("doc_len"), F.lit(0))
-            .cast("long")
-            .alias("total_len"),
-            (
-                F.sum("doc_len").cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("avgdl"),
-        )
+    rescan anything. ``group_col``: one row per group from a grouped
+    index (docs are unique within their group), the grouped
+    :func:`index_stats` shape."""
+    gb = [group_col] if group_col else []
+    sized = postings.select(
+        *gb, F.col(id_col), F.col("doc_len")
+    ).distinct()
+    grouped = sized.groupBy(*gb) if gb else sized
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("doc_len"), F.lit(0))
+        .cast("long")
+        .alias("total_len"),
+        (
+            F.sum("doc_len").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
     )
 
 

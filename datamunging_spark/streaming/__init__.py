@@ -1154,7 +1154,7 @@ def read_index_version(
     spark: SparkSession,
     table_path: str,
     version: int | None = None,
-    id_col: str = "doc_id",
+    id_col: "str | list[str]" = "doc_id",
 ) -> DataFrame:
     """Reconstruct the postings table as of a committed version of a
     :func:`streaming_index_ingest` store (default: latest): read the
@@ -1201,11 +1201,22 @@ def read_index_version(
         vp = f"{table_path}/v{v}"
         replaced = spark.read.parquet(f"{vp}/replaced_ids")
         delta = spark.read.parquet(f"{vp}/postings_delta")
-        state = (
-            state.join(F.broadcast(replaced), id_col, "left_anti")
-            .select(*cols)
-            .unionByName(delta)
-        )
+        if isinstance(id_col, str):
+            anti = state.join(
+                F.broadcast(replaced), id_col, "left_anti"
+            )
+        else:
+            # grouped stores replace on (group, id) — NULL is a real
+            # group, so the anti-join must be NULL-safe per key
+            r = replaced.select(
+                *[F.col(c).alias(f"_r_{c}") for c in id_col]
+            )
+            cond = None
+            for c in id_col:
+                eq = F.col(c).eqNullSafe(F.col(f"_r_{c}"))
+                cond = eq if cond is None else (cond & eq)
+            anti = state.join(F.broadcast(r), cond, "left_anti")
+        state = anti.select(*cols).unionByName(delta)
     return state
 
 
@@ -1221,6 +1232,7 @@ def streaming_index_ingest(
     stats: bool = True,
     base_every: int | None = 64,
     positions: bool = False,
+    group_col: str | None = None,
 ) -> int | None:
     """Continuous inverted-index maintenance via ``foreachBatch`` — the
     lexical-retrieval leg of the versioned-fold family: each micro-batch
@@ -1320,7 +1332,19 @@ def streaming_index_ingest(
     later fold detects positionality from the stored schema (the
     ``advance_index`` contract), so an existing store can never be
     silently degraded by a mismatched flag. Stats are unaffected
-    (``doc_len`` rides positional postings too). Drains with
+    (``doc_len`` rides positional postings too).
+
+    ``group_col`` maintains a GROUPED store (per-language streamed
+    corpora — doc ids unique within their group, NULL a real group):
+    folds sign and replace at (group, id) grain (the delta replay's
+    anti-join is NULL-safe per key), within-batch collisions are
+    judged per (group, id), and the stats store holds one row PER
+    GROUP folded by the same add/subtract algebra (union + one
+    groups-sized aggregate instead of the one-row crossJoin form).
+    Read the head with ``read_index_version(...,
+    id_col=[group_col, id_col])`` and query it with the grouped
+    :func:`~datamunging_spark.operators.retrieval.bm25_topk` face;
+    the stats version pairs the same way. Drains with
     ``availableNow``; returns the latest committed version."""
     from pyspark.sql import Window
 
@@ -1339,10 +1363,12 @@ def streaming_index_ingest(
     )
 
     stats_path = f"{table_path}_stats"
+    gb = [group_col] if group_col else []
+    rid = [group_col, id_col] if group_col else id_col
 
     def _resolve_batch(batch):
         if version_col is not None:
-            w = Window.partitionBy(id_col).orderBy(
+            w = Window.partitionBy(*gb, id_col).orderBy(
                 F.col(version_col).desc(),
                 F.md5(F.coalesce(F.col(text_col), F.lit(""))).desc(),
             )
@@ -1352,30 +1378,62 @@ def streaming_index_ingest(
                 .drop("_rn")
             )
         dup = (
-            batch.groupBy(id_col)
+            batch.groupBy(*gb, id_col)
             .count()
             .filter(F.col("count") > 1)
             .head(1)
         )
         if dup:
+            key = f"({group_col}, {id_col})" if group_col else id_col
             raise ValueError(
                 f"streaming_index_ingest: micro-batch carries multiple "
-                f"rows for {id_col}={dup[0][0]!r} — within-batch "
+                f"rows for {key}={tuple(dup[0])[:-1]!r} — within-batch "
                 "collisions corrupt the (term, doc) grain; pass "
                 "version_col= for last-wins resolution or dedup the "
                 "stream upstream"
             )
         return batch
 
+    def _replaced_slim(state, batch):
+        """The (group,) doc, doc_len rows of history docs the batch
+        replaces — NULL-safe on the group via the encoded key."""
+        if not group_col:
+            return (
+                state.join(
+                    F.broadcast(batch.select(id_col).distinct()),
+                    id_col,
+                    "semi",
+                )
+                .select(id_col, "doc_len")
+                .distinct()
+            )
+        from datamunging_spark.operators.retrieval import _gkey
+
+        keyed = state.withColumn("_bk", _gkey(group_col))
+        ids = F.broadcast(
+            batch.select(
+                _gkey(group_col).alias("_bk"), F.col(id_col)
+            ).distinct()
+        )
+        return (
+            keyed.join(ids, ["_bk", id_col], "semi")
+            .select(group_col, id_col, "doc_len")
+            .distinct()
+        )
+
     def _fold_stats(bspark, state, batch):
         """Commit the next stats version BEFORE the scaffold commits
         its postings version (same number — the postings store's
-        latest+1). Everything here is batch-sized or one-row except
-        the replaced-docs subtraction, a column-pruned (doc, doc_len)
-        semi-join pass over the history postings."""
+        latest+1). Everything here is batch-sized or group-rows-sized
+        except the replaced-docs subtraction, a column-pruned (doc,
+        doc_len) semi-join pass over the history postings."""
         next_v = (latest_table_version(bspark, table_path) or 0) + 1
         batch_stats = stats_from_postings(
-            inverted_index(batch, text_col, id_col, lowercase), id_col
+            inverted_index(
+                batch, text_col, id_col, lowercase, group_col=group_col
+            ),
+            id_col,
+            group_col=group_col,
         )
         if state is None:
             new_stats = batch_stats
@@ -1386,26 +1444,49 @@ def streaming_index_ingest(
                     bspark, stats_path, prev_v
                 )
             else:  # store predates stats=True: derive once, fold after
-                old_stats = stats_from_postings(state, id_col)
-            replaced = (
-                state.join(
-                    F.broadcast(batch.select(id_col).distinct()),
-                    id_col,
-                    "semi",
+                old_stats = stats_from_postings(
+                    state, id_col, group_col=group_col
                 )
-                .select(id_col, "doc_len")
-                .distinct()
-            )
-            negated = replaced.agg(
-                (-F.count(F.lit(1))).alias("n_docs"),
-                (-F.coalesce(F.sum("doc_len"), F.lit(0)))
-                .cast("long")
-                .alias("total_len"),
-                F.lit(None).cast("double").alias("avgdl"),
-            )
-            new_stats = combine_index_stats(
-                combine_index_stats(old_stats, negated), batch_stats
-            )
+            replaced = _replaced_slim(state, batch)
+            if group_col:
+                # grouped algebra: negate per group, then one
+                # groups-sized union aggregate re-derives avgdl —
+                # exact long sums, the combine_index_stats property
+                negated = replaced.groupBy(group_col).agg(
+                    (-F.count(F.lit(1))).alias("n_docs"),
+                    (-F.coalesce(F.sum("doc_len"), F.lit(0)))
+                    .cast("long")
+                    .alias("total_len"),
+                    F.lit(None).cast("double").alias("avgdl"),
+                )
+                new_stats = (
+                    old_stats.unionByName(negated)
+                    .unionByName(batch_stats)
+                    .groupBy(group_col)
+                    .agg(
+                        F.sum("n_docs").cast("long").alias("n_docs"),
+                        F.sum("total_len")
+                        .cast("long")
+                        .alias("total_len"),
+                    )
+                    .filter(F.col("n_docs") > 0)
+                    .withColumn(
+                        "avgdl",
+                        F.col("total_len").cast("double")
+                        / F.col("n_docs").cast("double"),
+                    )
+                )
+            else:
+                negated = replaced.agg(
+                    (-F.count(F.lit(1))).alias("n_docs"),
+                    (-F.coalesce(F.sum("doc_len"), F.lit(0)))
+                    .cast("long")
+                    .alias("total_len"),
+                    F.lit(None).cast("double").alias("avgdl"),
+                )
+                new_stats = combine_index_stats(
+                    combine_index_stats(old_stats, negated), batch_stats
+                )
         write_table_version(new_stats, stats_path, next_v)
         vacuum_table_versions(bspark, stats_path, keep_last=keep_last)
 
@@ -1415,7 +1496,7 @@ def streaming_index_ingest(
         bspark = batch_df.sparkSession
         latest = latest_table_version(bspark, table_path)
         state = (
-            read_index_version(bspark, table_path, latest, id_col)
+            read_index_version(bspark, table_path, latest, rid)
             if latest is not None
             else None
         )
@@ -1469,7 +1550,8 @@ def streaming_index_ingest(
         if write_base:
             folded = (
                 inverted_index(
-                    batch, text_col, id_col, lowercase, positions=pos
+                    batch, text_col, id_col, lowercase, positions=pos,
+                    group_col=group_col,
                 )
                 if state is None
                 else advance_index(
@@ -1479,14 +1561,16 @@ def streaming_index_ingest(
                     id_col=id_col,
                     lowercase=lowercase,
                     replace_ids=True,
+                    group_col=group_col,
                 )
             )
             write_table_version(folded, table_path, next_v)
         else:
             inverted_index(
-                batch, text_col, id_col, lowercase, positions=pos
+                batch, text_col, id_col, lowercase, positions=pos,
+                group_col=group_col,
             ).write.mode("overwrite").parquet(f"{vpath}/postings_delta")
-            batch.select(F.col(id_col)).distinct().write.mode(
+            batch.select(*gb, F.col(id_col)).distinct().write.mode(
                 "overwrite"
             ).parquet(f"{vpath}/replaced_ids")
             _mark_snapshot_committed(bspark, vpath)

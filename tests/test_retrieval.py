@@ -2498,3 +2498,75 @@ def test_streaming_index_ingest_positional(spark, tmp_path):
     prox = {r.doc_id: r.min_span
             for r in near_topk(head, q, k=10, slop=2).collect()}
     assert prox == {1: 2, 2: 3, 3: 2, 4: 4}
+
+
+def test_streaming_index_ingest_grouped(spark, tmp_path):
+    """A grouped streamed store folds at (group, id) grain: an update
+    replaces only its own group's postings (NULL group included), the
+    head equals a full grouped rebuild, per-group stats ride the fold
+    with stats == stats_from_postings at the head, and the grouped
+    bm25 face queries the store directly."""
+    from datamunging_spark.sources.versioned import read_table_version
+    from datamunging_spark.streaming import (
+        read_index_version,
+        streaming_index_ingest,
+    )
+
+    src = tmp_path / "gdocs_src"
+    src.mkdir()
+    schema = "lang string, doc_id long, text string"
+    b1 = [("en", 1, "spark rows fast"), ("de", 1, "funken zeilen"),
+          (None, 1, "untagged text")]
+    b2 = [("en", 2, "broadcast join"), (None, 2, "more untagged")]
+    # updates en/1 and the NULL-group doc 1; de/1 untouched
+    b3 = [("en", 1, "rewritten english"), (None, 1, "rewritten untagged")]
+    for i, rows in enumerate((b1, b2, b3)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    table = str(tmp_path / "grp_store")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    v = streaming_index_ingest(
+        stream, table, checkpoint_path=str(tmp_path / "grp_ckpt"),
+        group_col="lang",
+    )
+    assert v == 3
+    head = read_index_version(spark, table, id_col=["lang", "doc_id"])
+    final = spark.createDataFrame(
+        [("de", 1, "funken zeilen"), ("en", 2, "broadcast join"),
+         (None, 2, "more untagged"), ("en", 1, "rewritten english"),
+         (None, 1, "rewritten untagged")], schema
+    )
+    nk = lambda t: (t[0] or "", *t[1:])  # noqa: E731
+    assert sorted(map(tuple, head.collect()), key=nk) == sorted(
+        map(tuple, inverted_index(final, group_col="lang").collect()),
+        key=nk,
+    )
+    # per-group stats invariant at the head
+    st = read_table_version(spark, table + "_stats", v)
+    want_st = stats_from_postings(head, group_col="lang")
+    assert sorted(
+        map(tuple, st.collect()), key=nk
+    ) == sorted(map(tuple, want_st.collect()), key=nk)
+    # grouped query straight off the store
+    q = spark.createDataFrame(
+        [("en", 0, "rewritten"), (None, 1, "rewritten")],
+        "lang string, query_id long, query string",
+    )
+    hits = bm25_topk(head, q, st, k=5, group_col="lang").collect()
+    got = {(r.lang, r.query_id): r.doc_id for r in hits}
+    assert got == {("en", 0): 1, (None, 1): 1}
+    # collision guard is (group, id)-scoped: same doc_id in two groups
+    # within one batch is NOT a collision
+    src2 = tmp_path / "gsrc2"
+    src2.mkdir()
+    spark.createDataFrame(
+        [("en", 7, "one"), ("de", 7, "zwei")], schema
+    ).coalesce(1).write.parquet(str(src2 / "f0"))
+    s2 = spark.readStream.schema(schema).parquet(str(src2) + "/*")
+    assert streaming_index_ingest(
+        s2, str(tmp_path / "grp2"),
+        checkpoint_path=str(tmp_path / "grp2_ckpt"), group_col="lang",
+    ) == 1
