@@ -78,6 +78,7 @@ __all__ = [
     "bm25f_topk",
     "retrieval_metrics",
     "more_like_this",
+    "prf_expand",
     "spell_suggest",
     "near_topk",
     "hit_windows",
@@ -1558,6 +1559,136 @@ def more_like_this(
         id_col,
         "rank",
         F.col("_s").cast("double").alias("bm25"),
+    )
+
+
+def prf_expand(
+    postings: DataFrame,
+    queries: DataFrame,
+    stats: DataFrame,
+    fb_docs: int = 5,
+    fb_terms: int = 10,
+    query_col: str = "query",
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    lowercase: bool = True,
+    dfreq: DataFrame | None = None,
+    min_df: int = 1,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion — the Rocchio idiom
+    (Rocchio 1971; Lucene's PRF recipe = MoreLikeThis over the top
+    hits): run BM25, treat each query's top ``fb_docs`` hits as
+    relevant, rank the feedback docs' terms by summed tf·idf over the
+    feedback set (the :func:`more_like_this` selection, ties broken
+    (score desc, term asc) so the expansion is deterministic on any
+    engine), drop the query's own terms, keep ``fb_terms``. Output one
+    row per input query: (query_id, ``query_col``, expanded_query)
+    where ``expanded_query`` is the original text plus the selected
+    terms space-joined in selection order — feed it straight back to
+    :func:`bm25_topk` (query terms are SETS, so unit-weight expansion
+    is Rocchio on the discrete term space) or hand the terms to
+    :func:`boolean_topk` as extra ``should`` text. A query whose
+    search matches nothing expands to itself.
+
+    ``min_df`` / ``max_df_frac`` are the :func:`more_like_this`
+    guards, applied to the candidate-term df table BEFORE any
+    postings join (hapaxes hijack the idf budget; stopwords drag
+    corpus-sized posting slices). ``dfreq`` (a :func:`term_stats`
+    table) keeps the whole call index-artifact-only.
+
+    Plan: one :func:`bm25_topk` (its shapes documented there), then
+    ONE postings semi-join on the broadcast feedback doc ids
+    (fb_docs·|queries| rows — query-sized), a per-(query, term)
+    decimal tf·idf fold, a per-query window, and a query-sized
+    collect_list. Nothing beyond the two pushed postings scans is
+    corpus-grain."""
+    ranked = bm25_topk(
+        postings, queries, stats, k=int(fb_docs),
+        query_col=query_col, query_id_col=query_id_col, id_col=id_col,
+        k1=k1, b=b, lowercase=lowercase, dfreq=dfreq,
+        max_df_frac=max_df_frac,
+    )
+    fb = ranked.select("query_id", F.col(id_col))
+    fb_post = postings.join(
+        F.broadcast(fb.select(id_col).distinct()), id_col
+    ).join(F.broadcast(fb), id_col)
+    # candidate-term df for idf: precomputed (pruned) or one postings
+    # count pass over the candidate term set — the more_like_this trade
+    cand_terms = fb_post.select("term").distinct()
+    if dfreq is None:
+        cdf = term_stats(
+            postings.join(F.broadcast(cand_terms), "term")
+        )
+    else:
+        cdf = dfreq.join(F.broadcast(cand_terms), "term")
+    if min_df > 1:
+        cdf = cdf.filter(F.col("df") >= int(min_df))
+    if max_df_frac is not None:
+        cdf = (
+            cdf.crossJoin(F.broadcast(stats))
+            .filter(
+                F.col("df")
+                <= F.lit(float(max_df_frac)) * F.col("n_docs")
+            )
+            .select("term", "df")
+        )
+    idf = F.log(
+        F.lit(1.0)
+        + (
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+    )
+    scored = (
+        fb_post.join(F.broadcast(cdf), "term")
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "query_id",
+            "term",
+            (F.col("tf") * idf).cast(_CONTRIB_DECIMAL).alias("_w"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.sum("_w").alias("_w"))
+    )
+    # drop the query's own terms — expansion adds NEW vocabulary
+    own = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(search_terms(query_col, lowercase)).alias("term"),
+    ).distinct()
+    fresh = scored.join(F.broadcast(own), ["query_id", "term"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_w").desc(), F.col("term").asc()
+    )
+    picked = (
+        fresh.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= int(fb_terms))
+        .groupBy("query_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_r", "term"))
+                    ),
+                    lambda s: s["term"],
+                ),
+                " ",
+            ).alias("_exp")
+        )
+    )
+    return queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_col)
+    ).join(F.broadcast(picked), "query_id", "left").select(
+        "query_id",
+        query_col,
+        F.when(
+            F.col("_exp").isNull() | (F.col("_exp") == ""),
+            F.col(query_col),
+        )
+        .otherwise(F.concat_ws(" ", F.col(query_col), F.col("_exp")))
+        .alias("expanded_query"),
     )
 
 

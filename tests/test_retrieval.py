@@ -2570,3 +2570,69 @@ def test_streaming_index_ingest_grouped(spark, tmp_path):
         s2, str(tmp_path / "grp2"),
         checkpoint_path=str(tmp_path / "grp2_ckpt"), group_col="lang",
     ) == 1
+
+
+def test_prf_expand_planted_recall_gain(spark):
+    """PRF pulls vocabulary from the top hits: the expanded query
+    retrieves a planted doc that shares NO term with the original
+    query; expansion excludes the query's own terms, respects
+    fb_terms, and a no-hit query expands to itself."""
+    from datamunging_spark.operators.retrieval import prf_expand
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha bridge uniq1a uniq1b"),
+            (2, "alpha bridge uniq2a uniq2b"),
+            (3, "alpha bridge uniq3a uniq3b"),
+            (4, "bridge gamma target doc"),  # no 'alpha'
+        ]
+        + [(i, f"filler{i} pad{i} stuff{i}") for i in range(5, 21)],
+        "doc_id long, text string",
+    )
+    post, stats = inverted_index(docs), index_stats(docs)
+    dfr = term_stats(post)
+    q = spark.createDataFrame(
+        [(0, "alpha"), (1, "zzz-unseen")],
+        "query_id long, query string",
+    )
+    exp = prf_expand(
+        post, q, stats, fb_docs=3, fb_terms=2, dfreq=dfr
+    )
+    rows = {r.query_id: r for r in exp.collect()}
+    # original text is a prefix; own terms never re-added
+    assert rows[0].expanded_query.startswith("alpha ")
+    added = rows[0].expanded_query.split()[1:]
+    assert "alpha" not in added and len(added) == 2
+    # 'bridge' is in every feedback doc AND corpus-rare (df 4/20):
+    # summed tf.idf beats any single-doc unique term
+    assert "bridge" in added
+    # the no-hit query passes through unchanged
+    assert rows[1].expanded_query == "zzz-unseen"
+    # recall gain: doc 4 has no 'alpha', appears only after expansion
+    before = {
+        r.doc_id
+        for r in bm25_topk(post, q, stats, k=10).collect()
+        if r.query_id == 0
+    }
+    assert 4 not in before
+    q2 = exp.select(
+        "query_id", F.col("expanded_query").alias("query")
+    )
+    after = {
+        r.doc_id
+        for r in bm25_topk(post, q2, stats, k=10).collect()
+        if r.query_id == 0
+    }
+    assert 4 in after
+    # deterministic under repartition
+    exp2 = prf_expand(
+        post.repartition(7), q, stats, fb_docs=3, fb_terms=2, dfreq=dfr
+    )
+    assert sorted(map(tuple, exp.collect())) == sorted(
+        map(tuple, exp2.collect())
+    )
+    # on-the-fly df path agrees with the precomputed one
+    exp3 = prf_expand(post, q, stats, fb_docs=3, fb_terms=2)
+    assert sorted(map(tuple, exp3.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
