@@ -259,6 +259,7 @@ def bm25_topk(
     max_df_frac: float | None = None,
     pin: bool = True,
     group_col: str | None = None,
+    term_boosts: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 hits per query: (query_id, ``id_col``, rank, bm25).
 
@@ -316,6 +317,17 @@ def bm25_topk(
     group rides the output. ``query_id`` must be unique ACROSS groups
     (it alone keys the final ranks). Same plan shape: the group key
     joins are still broadcasts against the one pushed postings scan.
+
+    ``term_boosts``: Lucene-style per-term query boosts — a SMALL
+    (query_id, term, boost) table (broadcast by contract; query_id is
+    globally unique, so it keys boosts on the grouped face too). Each
+    listed pair's contribution is multiplied by its boost BEFORE the
+    decimal cast; unlisted pairs default to 1.0, so ``None`` (the
+    parity/oracle configuration) and an all-1.0 table are identical.
+    This is the weighted-query face :func:`prf_expand`'s
+    ``return_terms`` output feeds (RM3-style down-weighted expansion
+    terms). Boosts scale scoring only — term matching, the valve, and
+    df are boost-blind.
     """
     gb = [group_col] if group_col else []
     jk = (["_gk"] if group_col else []) + ["term"]
@@ -383,11 +395,25 @@ def bm25_topk(
     else:
         scored = scored.crossJoin(F.broadcast(stats))
     idf, tfn = _bm25_parts(k1, b)
+    contrib = idf * tfn
+    if term_boosts is not None:
+        scored = scored.join(
+            F.broadcast(
+                term_boosts.select(
+                    F.col("query_id"),
+                    F.col("term"),
+                    F.col("boost").cast("double").alias("_boost"),
+                )
+            ),
+            ["query_id", "term"],
+            "left",
+        )
+        contrib = contrib * F.coalesce(F.col("_boost"), F.lit(1.0))
     per_doc = scored.select(
         "query_id",
         *gb,
         F.col(id_col),
-        (idf * tfn).cast(_CONTRIB_DECIMAL).alias("_c"),
+        contrib.cast(_CONTRIB_DECIMAL).alias("_c"),
     ).groupBy("query_id", *gb, id_col).agg(F.sum("_c").alias("_s"))
     from datamunging_spark.operators.relational import top_k_per_group
 
@@ -1577,6 +1603,8 @@ def prf_expand(
     dfreq: DataFrame | None = None,
     min_df: int = 1,
     max_df_frac: float | None = None,
+    return_terms: bool = False,
+    beta: float = 0.5,
 ) -> DataFrame:
     """Pseudo-relevance-feedback query expansion — the Rocchio idiom
     (Rocchio 1971; Lucene's PRF recipe = MoreLikeThis over the top
@@ -1598,6 +1626,14 @@ def prf_expand(
     postings join (hapaxes hijack the idf budget; stopwords drag
     corpus-sized posting slices). ``dfreq`` (a :func:`term_stats`
     table) keeps the whole call index-artifact-only.
+
+    ``return_terms=True`` returns the RM3-style weighted form instead:
+    (query_id, term, boost) for the selected EXPANSION terms, boost =
+    ``beta`` × (summed tf·idf / the query's max) — Rocchio's β on
+    max-normalized weights, in (0, β]. Feed it to :func:`bm25_topk`'s
+    ``term_boosts`` together with the expanded TEXT (original terms
+    keep their implicit boost 1.0), so expansion vocabulary widens
+    recall without out-voting what the user actually typed.
 
     Plan: one :func:`bm25_topk` (its shapes documented there), then
     ONE postings semi-join on the broadcast feedback doc ids
@@ -1662,6 +1698,24 @@ def prf_expand(
     w = Window.partitionBy("query_id").orderBy(
         F.col("_w").desc(), F.col("term").asc()
     )
+    if return_terms:
+        wmax = Window.partitionBy("query_id")
+        return (
+            fresh.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= int(fb_terms))
+            .withColumn("_max", F.max("_w").over(wmax))
+            .select(
+                "query_id",
+                "term",
+                (
+                    F.lit(float(beta))
+                    * (
+                        F.col("_w").cast("double")
+                        / F.col("_max").cast("double")
+                    )
+                ).alias("boost"),
+            )
+        )
     picked = (
         fresh.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= int(fb_terms))

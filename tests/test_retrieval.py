@@ -2636,3 +2636,135 @@ def test_prf_expand_planted_recall_gain(spark):
     assert sorted(map(tuple, exp3.collect())) == sorted(
         map(tuple, exp.collect())
     )
+
+
+def _py_min_cover(toks, terms):
+    """Brute-force reference: smallest window of toks covering every
+    term in `terms` (all present by precondition); returns
+    (span, start) of the FIRST minimal window in scan order."""
+    best = None
+    n = len(toks)
+    for i in range(n):
+        seen = set()
+        for j in range(i, n):
+            if toks[j] in terms:
+                seen.add(toks[j])
+            if seen == terms:
+                if best is None or (j - i + 1) < best[0]:
+                    best = (j - i + 1, i)
+                break
+    return best
+
+
+def test_hit_windows_matches_python_reference(spark):
+    """Randomized cross-check: hit_windows' covering window equals a
+    brute-force python scan over every (query, hit-doc) pair,
+    including partial matches (window covers the PRESENT terms)."""
+    import random
+
+    rng = random.Random(1414)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+        for i in range(40)
+    ]
+    queries = [
+        (qid, " ".join(rng.sample(vocab, rng.randint(1, 3))))
+        for qid in range(6)
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(queries, "query_id long, query string")
+    post = inverted_index(ddf, positions=True)
+    ranked = bm25_topk(post, qdf, index_stats(ddf), k=8)
+    from datamunging_spark.operators.retrieval import hit_windows
+
+    got = {
+        (r.query_id, r.doc_id): (r.n_terms, r.min_span, r.span_start)
+        for r in hit_windows(post, ranked, qdf).collect()
+    }
+    toks_by_id = {i: t.split() for i, t in docs}
+    q_by_id = {qid: set(q.split()) for qid, q in queries}
+    assert got  # the fixture must produce hits
+    for (qid, did), (n_terms, span, start) in got.items():
+        toks = toks_by_id[did]
+        present = q_by_id[qid] & set(toks)
+        assert n_terms == len(present) and present
+        want = _py_min_cover(toks, present)
+        assert (span, start) == want, (qid, did, present)
+
+
+def test_bm25_term_boosts_and_weighted_prf(spark):
+    """term_boosts scales per-(query, term) contributions: an all-1.0
+    table is byte-identical to unboosted, a hand-computed boost moves
+    the score exactly, and prf_expand(return_terms=True) feeds the
+    RM3-style weighted search (expansion capped at beta, original
+    terms implicit 1.0)."""
+    from datamunging_spark.operators.retrieval import prf_expand
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha bridge uniq1a uniq1b"),
+            (2, "alpha bridge uniq2a uniq2b"),
+            (3, "alpha bridge uniq3a uniq3b"),
+            (4, "bridge gamma target doc"),
+        ]
+        + [(i, f"filler{i} pad{i} stuff{i}") for i in range(5, 21)],
+        "doc_id long, text string",
+    )
+    post, stats = inverted_index(docs), index_stats(docs)
+    q = spark.createDataFrame(
+        [(0, "alpha gamma")], "query_id long, query string"
+    )
+    base = {
+        r.doc_id: r.bm25 for r in bm25_topk(post, q, stats, k=10).collect()
+    }
+    ones = spark.createDataFrame(
+        [(0, "alpha", 1.0), (0, "gamma", 1.0)],
+        "query_id long, term string, boost double",
+    )
+    same = {
+        r.doc_id: r.bm25
+        for r in bm25_topk(
+            post, q, stats, k=10, term_boosts=ones
+        ).collect()
+    }
+    assert same == base
+    # hand-math: doubling 'gamma' doubles exactly its contribution on
+    # doc 4 (which matches both terms... only gamma: doc 4 has no alpha)
+    boosted = spark.createDataFrame(
+        [(0, "gamma", 2.0)], "query_id long, term string, boost double"
+    )
+    got = {
+        r.doc_id: r.bm25
+        for r in bm25_topk(
+            post, q, stats, k=10, term_boosts=boosted
+        ).collect()
+    }
+    assert got[4] == pytest.approx(2.0 * base[4], abs=1e-6)
+    # docs matching only 'alpha' are untouched
+    assert got[1] == pytest.approx(base[1], abs=1e-9)
+
+    # weighted PRF: expansion terms come back with boost in (0, beta],
+    # the top term exactly beta; feeding text+boosts surfaces doc 4
+    # for the 'alpha' query without letting expansion out-vote alpha
+    q1 = spark.createDataFrame(
+        [(0, "alpha")], "query_id long, query string"
+    )
+    terms = prf_expand(
+        post, q1, stats, fb_docs=3, fb_terms=2,
+        return_terms=True, beta=0.4,
+    )
+    trows = sorted(
+        (r.term, round(r.boost, 6)) for r in terms.collect()
+    )
+    assert all(0 < b <= 0.4 for _, b in trows)
+    assert max(b for _, b in trows) == pytest.approx(0.4)
+    exp_text = prf_expand(post, q1, stats, fb_docs=3, fb_terms=2)
+    q2 = exp_text.select(
+        "query_id", F.col("expanded_query").alias("query")
+    )
+    weighted = bm25_topk(post, q2, stats, k=10, term_boosts=terms)
+    wd = {r.doc_id: (r.rank, r.bm25) for r in weighted.collect()}
+    assert 4 in wd  # expansion vocabulary reached doc 4
+    # alpha-bearing docs still outrank the expansion-only doc 4
+    assert all(wd[d][0] < wd[4][0] for d in (1, 2, 3))
