@@ -888,6 +888,50 @@ def _pq_encode_udf(codebook: PqCodebook):
     return encode
 
 
+def pq_codebook_table(codebook: "PqCodebook", spark) -> DataFrame:
+    """The PQ codebooks as a RELATIONAL table — (subspace, code,
+    center array<double>) — so an IVF-PQ deployment persists entirely
+    as parquet (the :func:`ivf_centers_table` convention; the
+    streaming fold's restart story). m × k rows of sub_dim doubles: a
+    broadcast-dimension-sized table. Rebuild with
+    :func:`pq_codebook_from_table`."""
+    books = codebook.codebooks
+    return spark.createDataFrame(
+        [
+            (int(j), int(c), [float(x) for x in books[j][c]])
+            for j in range(codebook.m)
+            for c in range(books.shape[1])
+        ],
+        "subspace int, code int, center array<double>",
+    )
+
+
+def pq_codebook_from_table(centers_table: DataFrame) -> "PqCodebook":
+    """Inverse of :func:`pq_codebook_table`: reassemble a
+    :class:`PqCodebook` from the persisted table (one bounded collect
+    of m × k rows)."""
+    import numpy as np
+
+    rows = sorted(
+        centers_table.select("subspace", "code", "center").collect(),
+        key=lambda r: (r["subspace"], r["code"]),
+    )
+    if not rows:
+        raise ValueError("pq_codebook_from_table: empty table")
+    m = rows[-1]["subspace"] + 1
+    k = rows[-1]["code"] + 1
+    if len(rows) != m * k:
+        raise ValueError(
+            f"pq_codebook_from_table: expected {m * k} rows "
+            f"(m={m} × k={k}), got {len(rows)} — not a full codebook"
+        )
+    sub = len(rows[0]["center"])
+    books = np.empty((m, k, sub))
+    for r in rows:
+        books[r["subspace"]][r["code"]] = np.asarray(r["center"])
+    return PqCodebook(books, m, sub)
+
+
 def pq_encode(
     corpus: DataFrame,
     codebook: PqCodebook,

@@ -1628,6 +1628,33 @@ def load_ivf_index(
     )
 
 
+def load_pq_codebook(spark: SparkSession, table_path: str):
+    """The frozen :class:`~datamunging_spark.operators.similarity.
+    PqCodebook` of a :func:`streaming_ivf_ingest` store built with
+    ``codebook_m`` (persisted relationally at
+    ``{table_path}_codebook``). Pair with :func:`load_ivf_index` —
+    the store's ``pq_codes`` column plus this codebook is the full
+    ``ivf_pq_topk`` serving layout."""
+    from datamunging_spark.operators.similarity import (
+        pq_codebook_from_table,
+    )
+    from datamunging_spark.sources.versioned import (
+        latest_table_version,
+        read_table_version,
+    )
+
+    cbpath = f"{table_path}_codebook"
+    cbv = latest_table_version(spark, cbpath)
+    if cbv is None:
+        raise FileNotFoundError(
+            f"no committed codebook under {cbpath} — the store was "
+            "not built with codebook_m"
+        )
+    return pq_codebook_from_table(
+        read_table_version(spark, cbpath, cbv)
+    )
+
+
 def streaming_ivf_ingest(
     vec_stream: DataFrame,
     table_path: str,
@@ -1641,6 +1668,9 @@ def streaming_ivf_ingest(
     max_fit_rows: int = 100_000,
     max_drift: float | None = 2.0,
     version_col: str | None = None,
+    codebook_m: int | None = None,
+    codebook_k: int = 256,
+    codebook_iters: int = 10,
 ) -> int | None:
     """Continuous IVF vector-index maintenance via ``foreachBatch`` —
     the ANN leg of the versioned-fold family, completing it across
@@ -1670,9 +1700,22 @@ def streaming_ivf_ingest(
     rows, not the accumulated corpus — at 100 TB of embeddings a full
     rewrite per micro-batch would dominate everything. Read any
     version back with :func:`load_ivf_index` and search it with
-    ``ivf_search`` (or encode the head with a frozen codebook via
-    ``pq_encode_cells`` for the IVF-PQ serving layout — codes are
-    derivable state, deliberately not folded here).
+    ``ivf_search``.
+
+    ``codebook_m`` arms the FULL IVF-PQ layout: the first fold also
+    fits the product-quantization codebooks on the first batch
+    (``pq_fit(m=codebook_m, k=codebook_k, iters=codebook_iters)`` —
+    seeded, so a crash-replayed first batch refits the identical
+    codebook) and persists them relationally at
+    ``{table_path}_codebook`` (``pq_codebook_table``); every fold then
+    encodes its batch with the FROZEN codebook and the codes ride the
+    SAME versioned rows as a ``pq_codes`` column — one store, no
+    second fold to keep consistent, deltas carry codes for free.
+    Serve with :func:`load_pq_codebook` + ``ivf_pq_topk(...,
+    encoded_cells=index.assigned.select('neighbor_id', '_cell',
+    'pq_codes'))``. Codebook freshness is the same add-vs-retrain
+    trade as the centroids (the drift valve guards both — a
+    distribution shift that breaks cells breaks codes too).
 
     Within-batch id collisions FAIL FAST by default (two rows for one
     vec_id in a micro-batch would BOTH survive the history anti-join
@@ -1688,9 +1731,13 @@ def streaming_ivf_ingest(
     latest committed version."""
     from datamunging_spark.operators.similarity import (
         _assign_frozen,
+        _pq_encode_udf,
         ivf_build,
         ivf_centers_table,
         ivf_index_from_tables,
+        pq_codebook_from_table,
+        pq_codebook_table,
+        pq_fit,
     )
     from datamunging_spark.sources.versioned import (
         _fs,
@@ -1708,6 +1755,25 @@ def streaming_ivf_ingest(
     from pyspark.sql import Window
 
     cpath = f"{table_path}_centers"
+    cbpath = f"{table_path}_codebook"
+
+    def _fit_codebook(bspark, fit_src):
+        cb = pq_fit(
+            fit_src,
+            vec_col=vec_col,
+            m=codebook_m,
+            k=codebook_k,
+            seed=seed,
+            max_fit_rows=max_fit_rows,
+            iters=codebook_iters,
+        )
+        write_table_version(pq_codebook_table(cb, bspark), cbpath, 1)
+        return cb
+
+    def _with_codes(assigned_df, cb):
+        return assigned_df.withColumn(
+            "pq_codes", _pq_encode_udf(cb)(F.col("_cv"))
+        )
 
     def _resolve_batch(batch):
         if version_col is not None:
@@ -1768,7 +1834,11 @@ def streaming_ivf_ingest(
                 max_fit_rows=max_fit_rows,
             )
             write_table_version(ivf_centers_table(idx), cpath, 1)
-            write_table_version(idx.assigned, table_path, next_v)
+            base = idx.assigned
+            if codebook_m is not None:
+                cb = _fit_codebook(bspark, fit_src)
+                base = _with_codes(base, cb)
+            write_table_version(base, table_path, next_v)
             vacuum_table_versions(
                 bspark, table_path, keep_last=keep_last
             )
@@ -1782,6 +1852,22 @@ def streaming_ivf_ingest(
             first = _assign_frozen(
                 shell, batch_df, vec_id, vec_col, max_drift, pin=False
             ).select("neighbor_id", "_cv", "_cell")
+            if codebook_m is not None:
+                # seeded pq_fit on the SAME replayed batch refits the
+                # identical codebook, so a crash between the codebook
+                # and list commits converges either way
+                cbv = latest_table_version(bspark, cbpath)
+                cb = (
+                    pq_codebook_from_table(
+                        read_table_version(bspark, cbpath, cbv)
+                    )
+                    if cbv is not None
+                    else _fit_codebook(
+                        bspark,
+                        batch_df.filter(F.col(vec_col).isNotNull()),
+                    )
+                )
+                first = _with_codes(first, cb)
             write_table_version(first, table_path, 1)
             vacuum_table_versions(
                 bspark, table_path, keep_last=keep_last
@@ -1790,10 +1876,35 @@ def streaming_ivf_ingest(
         state = read_index_version(
             bspark, table_path, None, "neighbor_id"
         )
+        # codes are schema-authoritative, like positionality in the
+        # lexical loop: the store decides; a flag flip cannot retrofit
+        has_codes = "pq_codes" in state.columns
+        if has_codes:
+            cbv = latest_table_version(bspark, cbpath)
+            if cbv is None:
+                raise ValueError(
+                    "streaming_ivf_ingest: the store carries pq_codes "
+                    f"but no codebook is committed under {cbpath} — "
+                    "the codebook table was deleted; restore it or "
+                    "rebuild the store"
+                )
+            cb = pq_codebook_from_table(
+                read_table_version(bspark, cbpath, cbv)
+            )
+        elif codebook_m is not None:
+            raise ValueError(
+                "streaming_ivf_ingest: codebook_m given but the store "
+                "has no pq_codes column — codes cannot be retrofitted "
+                "onto an existing store (history would need a full "
+                "re-encode); rebuild the store with codebook_m set "
+                "from the first fold"
+            )
         idx = ivf_index_from_tables(state, centers)
         assigned = _assign_frozen(
             idx, batch_df, vec_id, vec_col, max_drift, pin=False
         ).select("neighbor_id", "_cv", "_cell")
+        if has_codes:
+            assigned = _with_codes(assigned, cb)
         replaced = batch_df.select(
             F.col(vec_id).alias("neighbor_id")
         ).distinct()
@@ -1821,7 +1932,7 @@ def streaming_ivf_ingest(
         if write_base:
             folded = state.join(
                 F.broadcast(replaced), "neighbor_id", "left_anti"
-            ).select("neighbor_id", "_cv", "_cell").unionByName(assigned)
+            ).select(*state.columns).unionByName(assigned)
             write_table_version(folded, table_path, next_v)
         else:
             assigned.write.mode("overwrite").parquet(

@@ -1804,3 +1804,95 @@ def test_streaming_ivf_collision_guard_and_delete_only_first_batch(
     )
     assert v == 1
     assert load_ivf_index(spark, dtable).assigned.count() == 10
+
+
+def test_streaming_ivf_pq_codes_ride_the_store(spark, tables, tmp_path):
+    """codebook_m arms the full IVF-PQ layout: codes ride the versioned
+    rows as a pq_codes column encoded with the frozen first-fold
+    codebook, equal to a fresh re-encode of the head; ivf_pq_topk
+    serves straight off load_ivf_index + load_pq_codebook; a store
+    built without codes refuses a later codebook_m."""
+    from datamunging_spark.functions import l2_norm
+    from datamunging_spark.operators.similarity import (
+        _pq_encode_udf,
+        ivf_pq_topk,
+    )
+    from datamunging_spark.streaming import (
+        load_ivf_index,
+        load_pq_codebook,
+        streaming_ivf_ingest,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    unit = emb.withColumn("_n", l2_norm(F.col("embedding"))).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda v: v.cast("double") / F.col("_n")
+        ).alias("embedding"),
+    )
+    rows = {
+        r["vec_id"]: list(r["embedding"])
+        for r in unit.filter(F.col("vec_id") < 45).collect()
+    }
+    schema = "vec_id long, embedding array<double>"
+    b1 = [(i, rows[i]) for i in range(0, 20)]
+    b2 = [(i, rows[i]) for i in range(20, 40)]
+    # batch 3 plants an exact copy of vec 2 under a new id
+    b3 = [(900002, rows[2]), (44, rows[44])]
+    src = tmp_path / "pq_src"
+    src.mkdir()
+    for i, batch in enumerate((b1, b2, b3)):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    table = str(tmp_path / "pq_store")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    v = streaming_ivf_ingest(
+        stream, table, checkpoint_path=str(tmp_path / "pq_ckpt"),
+        n_clusters=4, seed=7, codebook_m=8, codebook_k=16,
+        codebook_iters=5,
+    )
+    assert v == 3
+    idx = load_ivf_index(spark, table)
+    assert "pq_codes" in idx.assigned.columns
+    cb = load_pq_codebook(spark, table)
+    # stored codes == fresh re-encode of the head with the frozen book
+    fresh = idx.assigned.select(
+        "neighbor_id",
+        _pq_encode_udf(cb)(F.col("_cv")).alias("_f"),
+    )
+    joined = idx.assigned.select("neighbor_id", "pq_codes").join(
+        fresh, "neighbor_id"
+    )
+    assert joined.filter(F.col("pq_codes") != F.col("_f")).count() == 0
+    # serve IVF-PQ straight off the store
+    q = unit.filter(F.col("vec_id") == 2)
+    enc = idx.assigned.select("neighbor_id", "_cell", "pq_codes")
+    hits = ivf_pq_topk(q, idx, cb, enc, k=3, n_probe=4).collect()
+    assert hits[0]["neighbor_id"] == 900002
+    # codeless store + late codebook_m refuses (no silent retrofit)
+    src2 = tmp_path / "pq_src2"
+    src2.mkdir()
+    for i, batch in enumerate((b1, b2)):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            str(src2 / f"f{i}")
+        )
+    table2 = str(tmp_path / "pq_store2")
+    s1 = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src2) + "/*")
+    streaming_ivf_ingest(
+        s1, table2, checkpoint_path=str(tmp_path / "pq_ckpt2a"),
+        n_clusters=4, seed=7,
+    )
+    spark.createDataFrame(b3, schema).coalesce(1).write.parquet(
+        str(src2 / "f9")
+    )
+    s2 = spark.readStream.schema(schema).parquet(str(src2) + "/*")
+    with pytest.raises(Exception, match="retrofitted"):
+        streaming_ivf_ingest(
+            s2, table2, checkpoint_path=str(tmp_path / "pq_ckpt2b"),
+            n_clusters=4, seed=7, codebook_m=8,
+        )
