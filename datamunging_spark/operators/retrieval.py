@@ -404,6 +404,12 @@ def bm25_topk(
                     F.col("term"),
                     F.col("boost").cast("double").alias("_boost"),
                 )
+                # duplicate (query, term) rows resolve to the MAX boost
+                # (the retrieval_metrics duplicate-judgment convention)
+                # — a bare left join would fan the scored rows out and
+                # silently double-count the term
+                .groupBy("query_id", "term")
+                .agg(F.max("_boost").alias("_boost"))
             ),
             ["query_id", "term"],
             "left",
@@ -1464,6 +1470,52 @@ def stats_from_postings(
     )
 
 
+def _candidate_df(
+    postings: DataFrame,
+    cand_terms: DataFrame,
+    stats: DataFrame,
+    dfreq: DataFrame | None,
+    min_df: int,
+    max_df_frac: float | None,
+) -> DataFrame:
+    """(term, df) for a candidate term set with the MoreLikeThis
+    guards — ONE home for the selection-df derivation
+    :func:`more_like_this` and :func:`prf_expand` share: a precomputed
+    :func:`term_stats` table pruned to the candidates, or one postings
+    count pass; ``min_df`` cuts hapaxes, ``max_df_frac`` the stopword
+    valve — both on the broadcast-sized df table BEFORE any postings
+    join."""
+    if dfreq is None:
+        cdf = term_stats(postings.join(F.broadcast(cand_terms), "term"))
+    else:
+        cdf = dfreq.join(F.broadcast(cand_terms), "term")
+    if min_df > 1:
+        cdf = cdf.filter(F.col("df") >= int(min_df))
+    if max_df_frac is not None:
+        cdf = (
+            cdf.crossJoin(F.broadcast(stats))
+            .filter(
+                F.col("df")
+                <= F.lit(float(max_df_frac)) * F.col("n_docs")
+            )
+            .select("term", "df")
+        )
+    return cdf
+
+
+def _selection_idf() -> Column:
+    """The Lucene "+1" idf over (n_docs, df) — the term-SELECTION
+    ranking weight of :func:`more_like_this` / :func:`prf_expand`
+    (final SCORING goes through :func:`_bm25_parts`)."""
+    return F.log(
+        F.lit(1.0)
+        + (
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+    )
+
+
 def more_like_this(
     postings: DataFrame,
     doc_ids: DataFrame,
@@ -1507,32 +1559,13 @@ def more_like_this(
     ids = doc_ids.select(F.col(id_col)).distinct()
     src = postings.join(F.broadcast(ids), id_col)
     # df table for idf/valve: precomputed (pruned to the source docs'
-    # terms) or derived from the source postings' term set
-    if dfreq is None:
-        terms = src.select("term").distinct()
-        dfreq = term_stats(postings.join(F.broadcast(terms), "term"))
-    else:
-        dfreq = dfreq.join(
-            F.broadcast(src.select("term").distinct()), "term"
-        )
-    if min_df > 1:
-        dfreq = dfreq.filter(F.col("df") >= int(min_df))
-    if max_df_frac is not None:
-        dfreq = (
-            dfreq.crossJoin(F.broadcast(stats))
-            .filter(
-                F.col("df")
-                <= F.lit(float(max_df_frac)) * F.col("n_docs")
-            )
-            .select("term", "df")
-        )
-    idf = F.log(
-        F.lit(1.0)
-        + (
-            (F.col("n_docs") - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-        )
+    # terms) or derived from the source postings' term set — the
+    # shared _candidate_df guards (min_df hapax cut, stopword valve)
+    dfreq = _candidate_df(
+        postings, src.select("term").distinct(), stats, dfreq,
+        min_df, max_df_frac,
     )
+    idf = _selection_idf()
     scored_terms = (
         src.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats.select("n_docs")))
@@ -1627,13 +1660,15 @@ def prf_expand(
     corpus-sized posting slices). ``dfreq`` (a :func:`term_stats`
     table) keeps the whole call index-artifact-only.
 
-    ``return_terms=True`` returns the RM3-style weighted form instead:
-    (query_id, term, boost) for the selected EXPANSION terms, boost =
-    ``beta`` × (summed tf·idf / the query's max) — Rocchio's β on
-    max-normalized weights, in (0, β]. Feed it to :func:`bm25_topk`'s
-    ``term_boosts`` together with the expanded TEXT (original terms
-    keep their implicit boost 1.0), so expansion vocabulary widens
-    recall without out-voting what the user actually typed.
+    ``return_terms=True`` adds the RM3-style weighted form to the SAME
+    output (one bm25 run, one feedback scan — not a second call): a
+    ``boosts`` column of (term, boost) structs in selection order,
+    boost = ``beta`` × (summed tf·idf / the query's max) — Rocchio's β
+    on max-normalized weights, in (0, β]; empty for no-hit queries.
+    Explode it into :func:`bm25_topk`'s ``term_boosts`` alongside the
+    ``expanded_query`` text (original terms keep their implicit boost
+    1.0), so expansion vocabulary widens recall without out-voting
+    what the user actually typed.
 
     Plan: one :func:`bm25_topk` (its shapes documented there), then
     ONE postings semi-join on the broadcast feedback doc ids
@@ -1648,36 +1683,16 @@ def prf_expand(
         max_df_frac=max_df_frac,
     )
     fb = ranked.select("query_id", F.col(id_col))
-    fb_post = postings.join(
-        F.broadcast(fb.select(id_col).distinct()), id_col
-    ).join(F.broadcast(fb), id_col)
-    # candidate-term df for idf: precomputed (pruned) or one postings
-    # count pass over the candidate term set — the more_like_this trade
-    cand_terms = fb_post.select("term").distinct()
-    if dfreq is None:
-        cdf = term_stats(
-            postings.join(F.broadcast(cand_terms), "term")
-        )
-    else:
-        cdf = dfreq.join(F.broadcast(cand_terms), "term")
-    if min_df > 1:
-        cdf = cdf.filter(F.col("df") >= int(min_df))
-    if max_df_frac is not None:
-        cdf = (
-            cdf.crossJoin(F.broadcast(stats))
-            .filter(
-                F.col("df")
-                <= F.lit(float(max_df_frac)) * F.col("n_docs")
-            )
-            .select("term", "df")
-        )
-    idf = F.log(
-        F.lit(1.0)
-        + (
-            (F.col("n_docs") - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-        )
+    # one broadcast join restricts postings to the feedback docs AND
+    # attaches query_id (fb is fb_docs x |queries| rows)
+    fb_post = postings.join(F.broadcast(fb), id_col)
+    # candidate-term df for idf: the shared _candidate_df guards —
+    # precomputed (pruned) or one postings count pass
+    cdf = _candidate_df(
+        postings, fb_post.select("term").distinct(), stats, dfreq,
+        min_df, max_df_frac,
     )
+    idf = _selection_idf()
     scored = (
         fb_post.join(F.broadcast(cdf), "term")
         .crossJoin(F.broadcast(stats.select("n_docs")))
@@ -1698,43 +1713,41 @@ def prf_expand(
     w = Window.partitionBy("query_id").orderBy(
         F.col("_w").desc(), F.col("term").asc()
     )
-    if return_terms:
-        wmax = Window.partitionBy("query_id")
-        return (
-            fresh.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= int(fb_terms))
-            .withColumn("_max", F.max("_w").over(wmax))
-            .select(
-                "query_id",
-                "term",
-                (
-                    F.lit(float(beta))
-                    * (
-                        F.col("_w").cast("double")
-                        / F.col("_max").cast("double")
-                    )
-                ).alias("boost"),
-            )
-        )
-    picked = (
-        fresh.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= int(fb_terms))
-        .groupBy("query_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("_r", "term"))
-                    ),
-                    lambda s: s["term"],
-                ),
-                " ",
-            ).alias("_exp")
-        )
+    sel = fresh.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= int(fb_terms)
     )
-    return queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(query_col)
-    ).join(F.broadcast(picked), "query_id", "left").select(
+    aggs = [
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_r", "term"))),
+                lambda st: st["term"],
+            ),
+            " ",
+        ).alias("_exp")
+    ]
+    if return_terms:
+        # boosts ride the SAME pass (one bm25 run, one feedback scan,
+        # one selection fold — not a second prf_expand call)
+        sel = sel.withColumn(
+            "_max", F.max("_w").over(Window.partitionBy("query_id"))
+        ).withColumn(
+            "_boost",
+            F.lit(float(beta))
+            * (F.col("_w").cast("double") / F.col("_max").cast("double")),
+        )
+        aggs.append(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_r", "term", "_boost"))
+                ),
+                lambda st: F.struct(
+                    st["term"].alias("term"),
+                    st["_boost"].alias("boost"),
+                ),
+            ).alias("_boosts")
+        )
+    picked = sel.groupBy("query_id").agg(*aggs)
+    out_cols = [
         "query_id",
         query_col,
         F.when(
@@ -1743,7 +1756,19 @@ def prf_expand(
         )
         .otherwise(F.concat_ws(" ", F.col(query_col), F.col("_exp")))
         .alias("expanded_query"),
-    )
+    ]
+    if return_terms:
+        out_cols.append(
+            F.coalesce(
+                F.col("_boosts"),
+                F.array().cast(
+                    "array<struct<term:string,boost:double>>"
+                ),
+            ).alias("boosts")
+        )
+    return queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_col)
+    ).join(F.broadcast(picked), "query_id", "left").select(*out_cols)
 
 
 def _delete_variants(col: Column, max_edit: int) -> Column:

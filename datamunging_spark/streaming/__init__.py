@@ -1385,9 +1385,11 @@ def streaming_index_ingest(
         )
         if dup:
             key = f"({group_col}, {id_col})" if group_col else id_col
+            vals = tuple(dup[0])[:-1]
+            vals = vals[0] if len(vals) == 1 else vals
             raise ValueError(
                 f"streaming_index_ingest: micro-batch carries multiple "
-                f"rows for {key}={tuple(dup[0])[:-1]!r} — within-batch "
+                f"rows for {key}={vals!r} — within-batch "
                 "collisions corrupt the (term, doc) grain; pass "
                 "version_col= for last-wins resolution or dedup the "
                 "stream upstream"
@@ -1500,6 +1502,30 @@ def streaming_index_ingest(
             if latest is not None
             else None
         )
+        if state is not None:
+            # the grouped face is schema-authoritative like positions/
+            # field/pq_codes: a flag flip cannot silently degrade an
+            # existing store (the doc_id-only anti-join would delete
+            # across groups and the base rewrite would drop the group
+            # column)
+            known = {
+                "term", id_col, "tf", "doc_len", "positions",
+            } | ({group_col} if group_col else set())
+            extra = sorted(set(state.columns) - known)
+            if group_col and group_col not in state.columns:
+                raise ValueError(
+                    f"streaming_index_ingest: group_col={group_col!r} "
+                    "given but the store has no such column — it is "
+                    "not a grouped store (or was built with a "
+                    "different group column)"
+                )
+            if extra:
+                raise ValueError(
+                    f"streaming_index_ingest: the store carries "
+                    f"column(s) {extra} this fold does not understand "
+                    "— likely a GROUPED store; pass the same "
+                    "group_col= it was built with"
+                )
         batch = _resolve_batch(batch_df)
         if stats:
             _fold_stats(bspark, state, batch)
@@ -1775,6 +1801,26 @@ def streaming_ivf_ingest(
             "pq_codes", _pq_encode_udf(cb)(F.col("_cv"))
         )
 
+    # the codebook is FROZEN at v1 for the store's lifetime — load it
+    # once per drain, not once per micro-batch (m x k rows collected +
+    # a numpy rebuild per fold otherwise)
+    _cb_cache: dict = {}
+
+    def _load_cb(bspark):
+        if "cb" not in _cb_cache:
+            cbv = latest_table_version(bspark, cbpath)
+            if cbv is None:
+                raise ValueError(
+                    "streaming_ivf_ingest: the store carries pq_codes "
+                    f"but no codebook is committed under {cbpath} — "
+                    "the codebook table was deleted; restore it or "
+                    "rebuild the store"
+                )
+            _cb_cache["cb"] = pq_codebook_from_table(
+                read_table_version(bspark, cbpath, cbv)
+            )
+        return _cb_cache["cb"]
+
     def _resolve_batch(batch):
         if version_col is not None:
             w = Window.partitionBy(vec_id).orderBy(
@@ -1880,17 +1926,7 @@ def streaming_ivf_ingest(
         # lexical loop: the store decides; a flag flip cannot retrofit
         has_codes = "pq_codes" in state.columns
         if has_codes:
-            cbv = latest_table_version(bspark, cbpath)
-            if cbv is None:
-                raise ValueError(
-                    "streaming_ivf_ingest: the store carries pq_codes "
-                    f"but no codebook is committed under {cbpath} — "
-                    "the codebook table was deleted; restore it or "
-                    "rebuild the store"
-                )
-            cb = pq_codebook_from_table(
-                read_table_version(bspark, cbpath, cbv)
-            )
+            cb = _load_cb(bspark)
         elif codebook_m is not None:
             raise ValueError(
                 "streaming_ivf_ingest: codebook_m given but the store "

@@ -2750,17 +2750,22 @@ def test_bm25_term_boosts_and_weighted_prf(spark):
     q1 = spark.createDataFrame(
         [(0, "alpha")], "query_id long, query string"
     )
-    terms = prf_expand(
+    exp = prf_expand(
         post, q1, stats, fb_docs=3, fb_terms=2,
         return_terms=True, beta=0.4,
     )
-    trows = sorted(
-        (r.term, round(r.boost, 6)) for r in terms.collect()
-    )
+    # ONE call carries both faces: expanded text + (term, boost) structs
+    row = exp.collect()[0]
+    assert row.expanded_query.startswith("alpha ")
+    trows = sorted((b.term, round(b.boost, 6)) for b in row.boosts)
     assert all(0 < b <= 0.4 for _, b in trows)
     assert max(b for _, b in trows) == pytest.approx(0.4)
-    exp_text = prf_expand(post, q1, stats, fb_docs=3, fb_terms=2)
-    q2 = exp_text.select(
+    # boosted terms == the appended text terms
+    assert {t for t, _ in trows} == set(row.expanded_query.split()[1:])
+    terms = exp.select(
+        "query_id", F.explode("boosts").alias("_b")
+    ).select("query_id", "_b.term", "_b.boost")
+    q2 = exp.select(
         "query_id", F.col("expanded_query").alias("query")
     )
     weighted = bm25_topk(post, q2, stats, k=10, term_boosts=terms)
@@ -2768,3 +2773,51 @@ def test_bm25_term_boosts_and_weighted_prf(spark):
     assert 4 in wd  # expansion vocabulary reached doc 4
     # alpha-bearing docs still outrank the expansion-only doc 4
     assert all(wd[d][0] < wd[4][0] for d in (1, 2, 3))
+
+
+def test_streaming_index_grouped_flag_flip_refuses(spark, tmp_path):
+    """The grouped face is schema-authoritative: re-folding a grouped
+    store without group_col (or an ungrouped store with one) fails
+    loudly instead of silently degrading the store."""
+    from datamunging_spark.streaming import streaming_index_ingest
+
+    schema = "lang string, doc_id long, text string"
+    src = tmp_path / "ff_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [("en", 1, "one doc"), ("de", 1, "zwei doc")], schema
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    table = str(tmp_path / "ff_store")
+    s1 = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    assert streaming_index_ingest(
+        s1, table, checkpoint_path=str(tmp_path / "ff_c1"),
+        group_col="lang",
+    ) == 1
+    spark.createDataFrame(
+        [("en", 2, "more text")], schema
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    s2 = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    with pytest.raises(Exception, match="GROUPED store"):
+        streaming_index_ingest(
+            s2, table, checkpoint_path=str(tmp_path / "ff_c2")
+        )
+    # and the converse: an ungrouped store refuses a group_col fold
+    usrc = tmp_path / "ff_usrc"
+    usrc.mkdir()
+    spark.createDataFrame(
+        [("en", 1, "one doc"), ("de", 2, "zwei doc")], schema
+    ).coalesce(1).write.parquet(str(usrc / "f0"))
+    utable = str(tmp_path / "ff_ustore")
+    s3 = spark.readStream.schema(schema).parquet(str(usrc) + "/*")
+    assert streaming_index_ingest(
+        s3, utable, checkpoint_path=str(tmp_path / "ff_c3")
+    ) == 1
+    spark.createDataFrame(
+        [("en", 9, "late")], schema
+    ).coalesce(1).write.parquet(str(usrc / "f1"))
+    s4 = spark.readStream.schema(schema).parquet(str(usrc) + "/*")
+    with pytest.raises(Exception, match="no such column|not a grouped"):
+        streaming_index_ingest(
+            s4, utable, checkpoint_path=str(tmp_path / "ff_c4"),
+            group_col="lang",
+        )
