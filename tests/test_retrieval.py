@@ -2821,3 +2821,94 @@ def test_streaming_index_grouped_flag_flip_refuses(spark, tmp_path):
             s4, utable, checkpoint_path=str(tmp_path / "ff_c4"),
             group_col="lang",
         )
+
+
+def test_boolean_msm_valve_matches_python_reference(spark):
+    """Randomized cross-check of the valve×msm interplay: hot terms
+    (df > frac·N) leave ALL roles, msm degrades per query by the
+    number of should terms the valve removed (floored at 0; no-must
+    fallback still demands ≥1), survivors score BM25 over matched
+    must+should — engine == a pure-Python reference on both df paths."""
+    import math
+    import random
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datamunging_spark.operators.retrieval import boolean_topk
+
+    rng = random.Random(1441)
+    vocab = [f"t{i}" for i in range(14)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 12))))
+        for i in range(30)
+    ]
+    toks = {i: t.split() for i, t in rows}
+    n_docs = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    df: dict = {}
+    for ws in toks.values():
+        for w in set(ws):
+            df[w] = df.get(w, 0) + 1
+    qdefs = [
+        (
+            qid,
+            " ".join(rng.sample(vocab, rng.randint(0, 2))) or None,
+            " ".join(rng.sample(vocab, rng.randint(1, 4))),
+            " ".join(rng.sample(vocab, rng.randint(0, 1))) or None,
+        )
+        for qid in range(8)
+    ]
+    frac, msm, k1, b, k = 0.35, 2, 1.2, 0.75, 8
+    q7 = Decimal("0.0000001")
+    hot = {w for w, d in df.items() if d > frac * n_docs}
+    want = []
+    for qid, must, should, must_not in qdefs:
+        m0 = {w for w in (must or "").split() if w}
+        s0 = {w for w in (should or "").split() if w}
+        x0 = {w for w in (must_not or "").split() if w}
+        m, s, x = m0 - hot, s0 - hot, x0 - hot
+        msm_eff = max(0, msm - len(s0 & hot))
+        scored = []
+        for did, ws in toks.items():
+            wset = set(ws)
+            if x & wset:
+                continue
+            nm = len(m & wset)
+            ns = len(s & wset)
+            if m:
+                if nm < len(m) or ns < msm_eff:
+                    continue
+            elif ns < max(1, msm_eff):
+                continue
+            total = Decimal(0)
+            for term in (m | s) & wset:
+                idf = math.log(
+                    1.0 + (n_docs - df[term] + 0.5) / (df[term] + 0.5)
+                )
+                tf = ws.count(term)
+                tfn = (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * (len(ws) / avgdl))
+                )
+                total += Decimal(repr(idf * tfn)).quantize(
+                    q7, ROUND_HALF_UP
+                )
+            scored.append((did, nm, ns, total))
+        scored.sort(key=lambda t: (-t[3], t[0]))
+        want += [
+            (qid, did, r + 1, nm, ns, float(t))
+            for r, (did, nm, ns, t) in enumerate(scored[:k])
+        ]
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = spark.createDataFrame(
+        qdefs, "query_id long, must string, should string, must_not string"
+    )
+    post, stats = inverted_index(docs), index_stats(docs)
+    for dfr in (None, term_stats(post)):
+        got = sorted(
+            (r.query_id, r.doc_id, r.rank, r.n_must, r.n_should, r.bm25)
+            for r in boolean_topk(
+                post, q, stats, k=k, dfreq=dfr,
+                max_df_frac=frac, min_should_match=msm,
+            ).collect()
+        )
+        assert got == sorted(want), ("dfreq" if dfr else "on-the-fly")
