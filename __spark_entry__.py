@@ -699,6 +699,29 @@ def _bm25_persisted_index(spark, sf_dir):
         except OSError:
             # a concurrent builder won the rename — use its copy
             shutil.rmtree(tmp, ignore_errors=True)
+        # evict superseded entries: siblings with a DIFFERENT
+        # fingerprint (stale indexes of regenerated fixtures) and
+        # crashed builders' leftover .build.* temp dirs — otherwise
+        # /tmp grows without bound across fixture regenerations.
+        # Best-effort: a concurrent session still READING a stale
+        # index loses it mid-query in the worst case, the documented
+        # trade for bounded /tmp (regenerations imply the old fixture
+        # is gone anyway).
+        import time as _time
+
+        for sib in _os.listdir(tempfile.gettempdir()):
+            sp = _os.path.join(tempfile.gettempdir(), sib)
+            if not sib.startswith("spark_graft_bm25_") or sp == base:
+                continue
+            if ".build." in sib:
+                # only reap ABANDONED builder temps (a live concurrent
+                # build is minutes old at most; crashed leftovers age)
+                try:
+                    if _time.time() - _os.stat(sp).st_mtime < 3600:
+                        continue
+                except OSError:
+                    continue
+            shutil.rmtree(sp, ignore_errors=True)
     out = (
         spark.read.parquet(f"{base}/postings"),
         spark.read.parquet(f"{base}/dfreq"),

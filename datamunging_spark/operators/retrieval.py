@@ -867,8 +867,13 @@ def phrase_topk(
     fails fast (``on_hot='raise'``) or warns (``'warn'``) at
     query-construction time when any phrase term's df exceeds the
     fraction — see :func:`_positional_hot_guard` for the scale hazard
-    and the CommonGrams/stop-analysis alternative. Default off (the
-    parity configuration).
+    and the CommonGrams/stop-analysis alternative. DEFAULT-ARMED when
+    ``stats`` is provided: leaving ``max_df_frac=None`` with stats in
+    hand arms the warn tier at the generous 0.5 threshold (an operator
+    who wired up stats gets hot-term visibility without reading this
+    docstring; pass dfreq too so the check never touches the
+    postings). With ``stats=None`` the guard stays fully off — the
+    parity configuration.
 
     The classic positional-intersection algorithm, relational: explode
     each phrase into (offset, term) pairs → broadcast-join postings on
@@ -904,6 +909,9 @@ def phrase_topk(
     if group_col:
         qp = qp.withColumn("_gk", _gkey(group_col)).drop(group_col)
         postings = postings.withColumn("_gk", _gkey(group_col))
+    if max_df_frac is None and stats is not None:
+        # default-armed warn tier (see docstring)
+        max_df_frac, on_hot = 0.5, "warn"
     _positional_hot_guard(
         qp.select(*jk).distinct(), postings, stats, dfreq, max_df_frac,
         jk, group_col, "phrase_topk", on_hot,
@@ -1993,8 +2001,10 @@ def near_topk(
     forbid silently dropping a term, so a hot query term fails fast
     (``on_hot='raise'``) or warns (``'warn'``) at query-construction
     time instead of dragging its corpus-scale positional posting slice
-    through the aggregate; see :func:`_positional_hot_guard`. Default
-    off (the parity configuration)."""
+    through the aggregate; see :func:`_positional_hot_guard`.
+    DEFAULT-ARMED at the warn tier (``max_df_frac=0.5``) when
+    ``stats`` is provided, like :func:`phrase_topk`; fully off — the
+    parity configuration — only when stats are absent."""
     if "positions" not in postings.columns:
         raise ValueError(
             "near_topk needs a positional index — build the postings "
@@ -2049,6 +2059,9 @@ def near_topk(
     if group_col:
         qp = qp.withColumn("_gk", _gkey(group_col)).drop(group_col)
         postings = postings.withColumn("_gk", _gkey(group_col))
+    if max_df_frac is None and stats is not None:
+        # default-armed warn tier (see docstring)
+        max_df_frac, on_hot = 0.5, "warn"
     _positional_hot_guard(
         qp.select(*jk).distinct(), postings, stats, dfreq, max_df_frac,
         jk, group_col, "near_topk", on_hot,
@@ -2277,6 +2290,7 @@ def snippets(
     text_col: str = "text",
     id_col: str = "doc_id",
     lowercase: bool = True,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Token-window snippets for retrieval hits — the display leg:
     join :func:`near_topk` or :func:`hit_windows` output (any table
@@ -2291,11 +2305,23 @@ def snippets(
     document by your own offsets. The window clamps at both document
     edges. One broadcast-ready join on the doc id + a pure slice
     expression — hits tables are top-k-sized, so broadcast them
-    against the corpus scan (done here automatically)."""
+    against the corpus scan (done here automatically).
+    ``group_col``: the grouped face — REQUIRED when the hits came from
+    a grouped index whose doc ids are only unique within their group
+    (both ``docs`` and ``hits`` carry the group; the join is on
+    (group, id), NULL-safe); an id-only join would fan each hit across
+    groups and cut snippets from the wrong group's document."""
+    gb = [group_col] if group_col else []
+    jk = (["_gk"] if group_col else []) + [id_col]
     toks = docs.select(
         F.col(id_col),
+        *gb,
         search_terms(text_col, lowercase).alias("_toks"),
     )
+    h = hits
+    if group_col:
+        toks = toks.withColumn("_gk", _gkey(group_col)).drop(group_col)
+        h = h.withColumn("_gk", _gkey(group_col))
     start = F.greatest(
         F.lit(1), F.col("span_start") + F.lit(1) - F.lit(int(context))
     )
@@ -2307,10 +2333,11 @@ def snippets(
             F.lit(int(context)) - F.col("span_start"),
         )
     )
-    return toks.join(F.broadcast(hits), id_col).withColumn(
+    out = toks.join(F.broadcast(h), jk).withColumn(
         "snippet",
         F.array_join(F.slice(F.col("_toks"), start, length), " "),
     ).drop("_toks")
+    return out.drop("_gk") if group_col else out
 
 
 def retrieval_metrics(

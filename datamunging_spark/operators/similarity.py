@@ -137,6 +137,17 @@ def _bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int):
     return buckets
 
 
+def _pygkey(v) -> str:
+    """Driver-side twin of retrieval's ``_gkey`` NULL-safe group
+    encoding ("\\x00" tags NULL; values get an "=" prefix after a
+    string cast), so a dict of per-group centers keyed here matches the
+    ``_gkey`` column computed in-plan. Parity holds for the group-col
+    types a tenant/language key actually is (string, int) — Python
+    ``str()`` and Spark's string cast agree there; exotic group types
+    (float, timestamp) are the caller's parity risk."""
+    return "\x00" if v is None else "=" + str(v)
+
+
 class IvfIndex:
     """A built IVF index: the cell-assigned corpus (``assigned``:
     (neighbor_id, _cv, _cell) DataFrame — the inverted lists) plus the
@@ -151,7 +162,18 @@ class IvfIndex:
     vector-to-own-centroid distance of the KMeans FIT sample — the
     baseline :func:`advance_ivf_index`'s centroid-drift valve compares
     every future ingest batch against (None on indexes built before the
-    valve existed; rebuild to arm it)."""
+    valve existed; rebuild to arm it).
+
+    GROUPED face (``group_col`` set — per-language/per-tenant vector
+    corpora, the production norm the lexical grouped indexes serve):
+    ``assigned`` additionally carries the group column (ids unique
+    WITHIN their group, the grouped-index contract); ``centers`` and
+    ``mean_fit_dist`` become dicts keyed by the RAW group value (None
+    for the NULL group — a real group, like everywhere in the repo),
+    each group with its own independently-fitted centroids and drift
+    baseline; ``group_type`` records the column's Spark type for the
+    relational round-trip. ``n_clusters`` is the REQUESTED k — a group
+    smaller than k gets ``min(k, group_rows)`` centroids."""
 
     def __init__(
         self,
@@ -159,11 +181,69 @@ class IvfIndex:
         centers,
         n_clusters: int,
         mean_fit_dist: float | None = None,
+        group_col: str | None = None,
+        group_type=None,
     ):
         self.assigned = assigned
         self.centers = centers
         self.n_clusters = n_clusters
         self.mean_fit_dist = mean_fit_dist
+        self.group_col = group_col
+        self.group_type = group_type
+
+
+def _grouped_assign_udf(centers_by_group: dict):
+    """pandas_udf assigning (vector, gkey-string) rows to the nearest
+    FROZEN centroid OF THAT ROW'S GROUP; returns [cell,
+    squared_distance] — the grouped twin of
+    ``dedup._frozen_assign_udf`` (same matmul identity, same relative
+    snap-to-zero epsilon, so the drift-valve discipline cannot diverge
+    between the grouped and ungrouped faces). ``centers_by_group`` is
+    keyed by RAW group value (the :class:`IvfIndex` convention); the
+    closure re-keys to the ``_gkey`` string encoding the in-plan
+    column carries. Groups × n_clusters × dim floats ride the closure
+    — the broadcast-dimension analog (groups are bounded by the
+    :func:`ivf_build` ``max_groups`` contract)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    prepped = {
+        _pygkey(g): (
+            c.astype(np.float64),
+            (c.astype(np.float64) ** 2).sum(axis=1),
+        )
+        for g, c in centers_by_group.items()
+    }
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def assign(vecs: pd.Series, gks: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.stack(vecs.to_numpy()).astype(np.float64)
+        # factorize, NOT numpy string equality: the NULL group's
+        # "\x00" gkey sentinel breaks numpy's elementwise == on object
+        # arrays (C-string truncation — the mask comes back all-False
+        # and those rows keep uninitialized garbage); pandas' hashing
+        # paths handle embedded null bytes correctly
+        codes, uniques = pd.factorize(gks)
+        out = np.full((len(x), 2), np.nan)
+        for ci, gk in enumerate(uniques):
+            m = codes == ci
+            c, cnorm = prepped[gk]
+            xs = x[m]
+            xnorm = (xs * xs).sum(axis=1)
+            d = xnorm[:, None] - 2.0 * (xs @ c.T) + cnorm[None, :]
+            cell = d.argmin(axis=1)
+            dist = np.maximum(d[np.arange(len(cell)), cell], 0.0)
+            scale = xnorm + cnorm[cell]
+            dist = np.where(dist < 1e-12 * scale, 0.0, dist)
+            out[m, 0] = cell
+            out[m, 1] = dist
+        return pd.Series(list(out))
+
+    return assign
 
 
 def ivf_build(
@@ -173,6 +253,8 @@ def ivf_build(
     n_clusters: int = 16,
     seed: int = 42,
     max_fit_rows: int = 100_000,
+    group_col: str | None = None,
+    max_groups: int = 256,
 ) -> IvfIndex:
     """Build the IVF index: sampled KMeans fit + one full assignment pass.
 
@@ -182,11 +264,30 @@ def ivf_build(
     everything). Cell ASSIGNMENT is still a single full pass, so every
     corpus vector lands in an inverted list. The pre-sample count() is a
     parquet metadata-weight pass, not a full scan.
+
+    ``group_col``: the GROUPED face — one independent index per group
+    value (per-language/per-tenant corpora; NULL is a real group). Each
+    group's KMeans fit is EXACTLY a per-slice :func:`ivf_build` fit
+    (same sampling fraction discipline, same seed — the pin tests
+    compare them verbatim), run driver-side per group, which is why
+    groups are bounded by ``max_groups`` (fit cost is O(groups); the
+    per-tenant norm is tens). A group with fewer rows than
+    ``n_clusters`` gets ``min`` centroids. Assignment stays ONE full
+    corpus pass — the grouped Arrow kernel with the per-group centers
+    dict in closure (the same matmul-identity kernel
+    :func:`advance_ivf_index` uses, so build-time and advance-time
+    assignment can never disagree); it agrees with MLlib's
+    ``transform`` argmin except on exact centroid-distance ties.
     """
     import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if group_col is not None:
+        return _ivf_build_grouped(
+            corpus, corpus_id, vec_col, n_clusters, seed, max_fit_rows,
+            group_col, max_groups,
+        )
     corp_v = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     ).withColumn("features", array_to_vector("_cv"))
@@ -223,6 +324,139 @@ def ivf_build(
     return IvfIndex(assigned, centers, n_clusters, mean_fit)
 
 
+def _ivf_build_grouped(
+    corpus: DataFrame,
+    corpus_id: str,
+    vec_col: str,
+    n_clusters: int,
+    seed: int,
+    max_fit_rows: int,
+    group_col: str,
+    max_groups: int,
+) -> IvfIndex:
+    """The grouped :func:`ivf_build` body: per-group sampled KMeans
+    fits (driver loop — each one byte-for-byte the per-slice ungrouped
+    fit), then ONE grouped Arrow assignment pass over the whole
+    corpus. See :func:`ivf_build`'s docstring for the contract."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from datamunging_spark.operators.retrieval import _gkey
+
+    corp_v = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col(group_col),
+    )
+    corp_v.persist()
+    try:
+        counts = (
+            corp_v.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        if len(counts) > max_groups:
+            raise ValueError(
+                f"ivf_build: {len(counts)} distinct {group_col!r} "
+                f"groups exceed max_groups={max_groups} — the grouped "
+                "build fits one KMeans per group (driver loop, "
+                "O(groups) cost); raise max_groups if the cardinality "
+                "is intentional, or this is not a grouping column"
+            )
+        centers: dict = {}
+        mean_fit: dict = {}
+        for row in sorted(
+            counts, key=lambda r: _pygkey(r[group_col])
+        ):
+            gval, n_g = row[group_col], row["_n"]
+            gslice = corp_v.filter(
+                F.col(group_col).isNull()
+                if gval is None
+                else F.col(group_col) == F.lit(gval)
+            ).withColumn("features", array_to_vector("_cv"))
+            fit_df = gslice
+            n_fit = n_g
+            if n_g > max_fit_rows:
+                fit_df = gslice.sample(
+                    withReplacement=False,
+                    fraction=min(1.0, max_fit_rows / n_g),
+                    seed=seed,
+                )
+                n_fit = fit_df.count()
+            km = KMeans(
+                k=min(n_clusters, n_fit), seed=seed,
+                featuresCol="features",
+            ).fit(fit_df)
+            centers[gval] = np.stack(
+                [np.asarray(c) for c in km.clusterCenters()]
+            )
+            mean_fit[gval] = (
+                float(km.summary.trainingCost) / n_fit if n_fit else None
+            )
+        ad = _grouped_assign_udf(centers)(
+            F.col("_cv"), _gkey(group_col)
+        )
+        assigned = corp_v.select(
+            "neighbor_id",
+            "_cv",
+            F.element_at(ad, 1).cast("int").alias("_cell"),
+            F.col(group_col),
+        )
+    finally:
+        # cache covered the iterative fits; the returned assignment
+        # plan stays lazy over the corpus scan (the ungrouped
+        # contract) — persist/write `assigned` to reuse across jobs
+        corp_v.unpersist()
+    return IvfIndex(
+        assigned,
+        centers,
+        n_clusters,
+        mean_fit,
+        group_col=group_col,
+        group_type=corpus.schema[group_col].dataType,
+    )
+
+
+def _filter_id_set(
+    filter_ids: DataFrame, index: IvfIndex, op: str
+):
+    """Normalize a ``filter_ids`` predicate table for the filtered-ANN
+    semi-join: returns (slim id table, join keys). A one-column table
+    filters on the id alone; a grouped index additionally accepts a
+    two-column table carrying the group column (matched by NAME) so
+    ids that are only unique within their group filter correctly —
+    the join is then on (``_gk``, id), NULL-safe."""
+    cols = filter_ids.columns
+    if index.group_col is not None and index.group_col in cols:
+        from datamunging_spark.operators.retrieval import _gkey
+
+        rest = [c for c in cols if c != index.group_col]
+        if len(rest) != 1:
+            raise ValueError(
+                f"{op}: filter_ids with the group column must have "
+                f"exactly one id column beside it, got {cols}"
+            )
+        flt = (
+            filter_ids.select(
+                _gkey(index.group_col).alias("_gk"),
+                F.col(rest[0]).alias("neighbor_id"),
+            ).distinct()
+        )
+        return flt, ["_gk", "neighbor_id"]
+    if len(cols) != 1:
+        raise ValueError(
+            f"{op}: filter_ids must be a one-column id table (or "
+            f"(group, id) for a grouped index), got {cols}"
+        )
+    return (
+        filter_ids.select(
+            F.col(cols[0]).alias("neighbor_id")
+        ).distinct(),
+        ["neighbor_id"],
+    )
+
+
 def ivf_search(
     queries: DataFrame,
     index: IvfIndex,
@@ -230,42 +464,140 @@ def ivf_search(
     query_id: str = "vec_id",
     vec_col: str = "embedding",
     n_probe: int = 4,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Search a built :class:`IvfIndex`: each probe vector visits only its
     ``n_probe`` nearest cells. Candidate generation is an equi-join on the
     cell id, so the index is scanned once and shuffled on a bounded-
     cardinality key; recall/cost is tuned by n_probe (n_probe = n_clusters
     degrades gracefully to exact). Centroids ride to executors inside the
-    probe pandas_udf closure."""
+    probe pandas_udf closure.
+
+    GROUPED index: queries must carry the index's ``group_col``; each
+    query probes ITS group's centroids only and candidates join on
+    (group, cell) — per-group search in one plan, group rides the
+    output. Query ids are the output key (one group per query row, the
+    grouped-retrieval contract).
+
+    ``filter_ids``: predicate-constrained ANN (``WHERE lang='en'``
+    top-k) with an explicit recall contract — the id-set is SEMI-JOINED
+    into the probed-cell candidates BEFORE the local top-k (the
+    pre-filter strategy), so k fills from the filtered sub-corpus and
+    recall is the ordinary n_probe cell recall over that sub-corpus.
+    Pass a one-column DataFrame of corpus ids (any column name); for a
+    grouped index whose ids collide across groups, include the group
+    column too (matched by name) and the semi-join is on (group, id).
+    The alternative — post-filtering an UNfiltered top-k — silently
+    under-fills k whenever fewer than k of the global top-k survive
+    the predicate (no recall contract at all for selective predicates;
+    the planted test pins the difference). Keep the id-set
+    broadcast-sized or pre-partitioned; a corpus-scale filter belongs
+    upstream of the index build."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, IntegerType
 
     centers = index.centers
-    n_probe_eff = min(n_probe, index.n_clusters)
+    grouped = index.group_col is not None
+    gb = [index.group_col] if grouped else []
 
-    @pandas_udf(ArrayType(IntegerType()))
-    def probe_cells(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype=object)
-        x = np.stack(vecs.to_numpy()).astype(np.float64)
-        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-        nearest = np.argsort(d, axis=1)[:, :n_probe_eff].astype(np.int32)
-        return pd.Series(list(nearest))
+    if grouped:
+        from datamunging_spark.operators.retrieval import _gkey
 
-    q = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
-    )
+        if index.group_col not in queries.columns:
+            raise ValueError(
+                f"ivf_search: grouped index (group_col="
+                f"{index.group_col!r}) but the query batch has no "
+                "such column — queries must carry their group"
+            )
+        prepped = {
+            _pygkey(g): c.astype(np.float64)
+            for g, c in centers.items()
+        }
+        n_probe_i = int(n_probe)
+
+        @pandas_udf(ArrayType(IntegerType()))
+        def probe_cells_g(vecs: pd.Series, gks: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype=object)
+            x = np.stack(vecs.to_numpy()).astype(np.float64)
+            # factorize, not numpy string ==: the "\x00" NULL-group
+            # sentinel breaks numpy object-array equality (see
+            # _grouped_assign_udf)
+            codes, uniques = pd.factorize(gks)
+            out = [None] * len(x)
+            for ci, gk in enumerate(uniques):
+                c = prepped[gk]
+                m = np.flatnonzero(codes == ci)
+                d = ((x[m][:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                near = np.argsort(d, axis=1)[
+                    :, : min(n_probe_i, len(c))
+                ].astype(np.int32)
+                for i, row in zip(m, near):
+                    out[i] = row
+            return pd.Series(out)
+
+        qgk = queries.select(
+            F.col(query_id), F.col(vec_col), F.col(index.group_col)
+        )
+        known = {_pygkey(g) for g in centers}
+        batch_groups = [
+            r[index.group_col]
+            for r in qgk.select(index.group_col).distinct().collect()
+        ]
+        unknown = sorted(
+            str(g) for g in batch_groups if _pygkey(g) not in known
+        )
+        if unknown:
+            raise ValueError(
+                f"ivf_search: query group(s) {unknown} have no "
+                "centroids in this index — the group was never built; "
+                "rebuild ivf_build over a corpus containing it"
+            )
+        q = qgk.select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.col(index.group_col),
+            F.explode(
+                probe_cells_g(F.col(vec_col), _gkey(index.group_col))
+            ).alias("_cell"),
+        ).withColumn("_gk", _gkey(index.group_col))
+        cand = index.assigned.withColumn(
+            "_gk", _gkey(index.group_col)
+        ).select("neighbor_id", "_cv", "_cell", "_gk")
+        jk = ["_gk", "_cell"]
+    else:
+        n_probe_eff = min(n_probe, index.n_clusters)
+
+        @pandas_udf(ArrayType(IntegerType()))
+        def probe_cells(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype=object)
+            x = np.stack(vecs.to_numpy()).astype(np.float64)
+            d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            nearest = np.argsort(d, axis=1)[:, :n_probe_eff].astype(
+                np.int32
+            )
+            return pd.Series(list(nearest))
+
+        q = queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.explode(probe_cells(F.col(vec_col))).alias("_cell"),
+        )
+        cand = index.assigned
+        jk = ["_cell"]
+
+    scored = F.broadcast(q).join(cand, jk).drop("_cell")
+    if filter_ids is not None:
+        flt, fjk = _filter_id_set(filter_ids, index, "ivf_search")
+        scored = scored.join(flt, fjk, "semi")
     scored = (
-        F.broadcast(q)
-        .join(index.assigned, "_cell")
-        .drop("_cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        scored.filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
+            *gb,
             "neighbor_id",
             _cosine_udf()(F.col("_qv"), F.col("_cv")).alias("cosine"),
         )
@@ -276,7 +608,7 @@ def ivf_search(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
+        .select("query_id", *gb, "neighbor_id", "rank", "cosine")
     )
 
 
@@ -291,15 +623,22 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 42,
     max_fit_rows: int = 100_000,
+    group_col: str | None = None,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) coarse quantization — the
     other standard ANN scale path beside hyperplane LSH. One-shot
-    composition of :func:`ivf_build` + :func:`ivf_search`; pipelines with
+    composition of :func:`ivf_build` + :func:`ivf_search` (both faces'
+    ``group_col`` / ``filter_ids`` ride through); pipelines with
     recurring query batches should build once and search many times."""
     index = ivf_build(
-        corpus, corpus_id, vec_col, n_clusters, seed, max_fit_rows
+        corpus, corpus_id, vec_col, n_clusters, seed, max_fit_rows,
+        group_col=group_col,
     )
-    return ivf_search(queries, index, k, query_id, vec_col, n_probe)
+    return ivf_search(
+        queries, index, k, query_id, vec_col, n_probe,
+        filter_ids=filter_ids,
+    )
 
 
 def _assign_frozen(
@@ -343,6 +682,104 @@ def _assign_frozen(
         drop_null_vecs=True,
         pin=pin,
     )
+
+
+def _assign_frozen_grouped(
+    index: IvfIndex,
+    batch: DataFrame,
+    corpus_id: str,
+    vec_col: str,
+    max_drift,
+    pin: bool = True,
+) -> DataFrame:
+    """Grouped twin of :func:`_assign_frozen`: the batch's
+    (neighbor_id, _cv, _cell, _dist, group) rows under each group's
+    FROZEN centroids, with a PER-GROUP centroid-drift valve (one
+    bounded groups-sized collect; a drifted tenant raises naming the
+    group — other tenants' ingest is not hostage to one shifted
+    distribution, but this call refuses to write the shifted one).
+    NULL-vector rows are deletes and contribute nothing. A batch group
+    absent from the index raises — the advance face cannot mint
+    centroids; bootstrap new groups with :func:`ivf_build` (or the
+    streaming loop, which fits them on first appearance)."""
+    from datamunging_spark.operators.retrieval import _gkey
+
+    gcol = index.group_col
+    if gcol not in batch.columns:
+        raise ValueError(
+            f"advance_ivf_index: grouped index (group_col={gcol!r}) "
+            "but the batch has no such column"
+        )
+    src = batch.filter(F.col(vec_col).isNotNull())
+    batch_groups = [
+        r[gcol] for r in src.select(gcol).distinct().collect()
+    ]
+    known = {_pygkey(g) for g in index.centers}
+    unknown = sorted(
+        str(g) for g in batch_groups if _pygkey(g) not in known
+    )
+    if unknown:
+        raise ValueError(
+            f"advance_ivf_index: batch group(s) {unknown} have no "
+            "frozen centroids in this index — the advance face cannot "
+            "mint centroids; bootstrap the new group with ivf_build "
+            "over its corpus (streaming_ivf_ingest fits new groups on "
+            "first appearance)"
+        )
+    probe = (
+        src.select(F.size(F.col(vec_col)).alias("_d")).limit(1).collect()
+    )
+    if probe and index.centers:
+        dim = next(iter(index.centers.values())).shape[1]
+        if probe[0]["_d"] != dim:
+            raise ValueError(
+                f"embedding dimension drift: batch {vec_col} has "
+                f"{probe[0]['_d']} dims, the frozen centroids have "
+                f"{dim} — rebuild ivf_build over the accumulated corpus"
+            )
+    ad = _grouped_assign_udf(index.centers)(F.col(vec_col), _gkey(gcol))
+    assigned = src.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.element_at(ad, 1).cast("int").alias("_cell"),
+        F.element_at(ad, 2).alias("_dist"),
+        F.col(gcol),
+    )
+    if pin or max_drift is not None:
+        assigned = assigned.localCheckpoint()
+    if max_drift is not None:
+        means = assigned.groupBy(gcol).agg(
+            F.avg("_dist").alias("_m")
+        ).collect()
+        drifted = []
+        base_by_gk = {
+            _pygkey(g): v for g, v in index.mean_fit_dist.items()
+        }
+        for r in means:
+            base = base_by_gk.get(_pygkey(r[gcol]))
+            if base is None:
+                raise ValueError(
+                    f"advance_ivf_index: group {r[gcol]!r} carries no "
+                    "mean_fit_dist baseline (built before the drift "
+                    "valve existed) — rebuild, or pass max_drift=None"
+                )
+            m = r["_m"]
+            # same relative-epsilon discipline as assign_frozen_batch
+            if m is not None and m > max_drift * base + 1e-9:
+                drifted.append((r[gcol], m, base))
+        if drifted:
+            detail = "; ".join(
+                f"group {g!r}: batch mean {m:.4g} vs baseline {b:.4g}"
+                for g, m, b in drifted
+            )
+            raise ValueError(
+                f"centroid drift above {max_drift}x the frozen "
+                f"per-group baseline — {detail}. The frozen cells no "
+                "longer describe those groups' embedding "
+                "distributions; rebuild ivf_build over the "
+                "accumulated corpus (or raise/disable max_drift)"
+            )
+    return assigned
 
 
 def advance_ivf_index(
@@ -391,7 +828,26 @@ def advance_ivf_index(
     Freshness trade, documented like ``advance_index``'s: centroids
     (and codebooks) drift only by what the valve tolerates; a periodic
     reclustering (rebuild with :func:`ivf_build` over the accumulated
-    corpus) resets it — FAISS's own add-vs-retrain split."""
+    corpus) resets it — FAISS's own add-vs-retrain split.
+
+    Lineage note: each call returns ``history.unionByName(new_rows)``
+    — an ad-hoc driver LOOP of advances grows the plan lineage
+    unboundedly (eventually planner-time-bound, like any iterative
+    DataFrame fold). Loop callers should persist the advanced
+    ``assigned`` periodically (parquet partitioned by ``_cell``), or
+    use :func:`~datamunging_spark.streaming.streaming_ivf_ingest`,
+    which persists every fold by construction.
+
+    GROUPED index: the batch carries the group column; each row is
+    assigned under ITS group's frozen centroids, the drift valve runs
+    PER GROUP (a drifted tenant raises naming the group), replace/
+    delete anti-joins key on (group, id) — grouped ids are only unique
+    within their group — and a batch group the index has never seen
+    raises (bootstrap new groups with :func:`ivf_build`, or let the
+    streaming loop fit them on first appearance). The PQ leg rides
+    unchanged: codebooks quantize vectors group-independently, so one
+    GLOBAL codebook serves every group and ``encoded_cells`` carries
+    the group column alongside the codes."""
     # function-local import: dedup imports from this module
     from datamunging_spark.operators.dedup import _frozen_assign_udf
 
@@ -400,63 +856,119 @@ def advance_ivf_index(
             "advance_ivf_index: pass codebook AND encoded_cells "
             "together (the IVF-PQ roll-forward) or neither"
         )
+    grouped = index.group_col is not None
+    gb = [index.group_col] if grouped else []
+    row_cols = ["neighbor_id", "_cv", "_cell", *gb]
+    code_cols = ["neighbor_id", "_cell", codes_col, *gb]
     # pin only when something re-reads the assignment: the drift agg
     # (valve armed) or the PQ encode leg — a plain append consumes it
     # once and stays lazy, the advance-family contract
-    assigned = _assign_frozen(
-        index, batch, corpus_id, vec_col, max_drift,
-        pin=codebook is not None,
-    )
-    new_rows = assigned.select("neighbor_id", "_cv", "_cell")
+    if grouped:
+        # grouped ids are only unique within their group: the replace
+        # anti-join must key on (group, id) or one tenant's update
+        # would delete another's rows
+        from datamunging_spark.operators.retrieval import _gkey
+
+        assigned = _assign_frozen_grouped(
+            index, batch, corpus_id, vec_col, max_drift,
+            pin=codebook is not None,
+        )
+
+        def _anti_replaced(hist: DataFrame, keep_cols: list) -> DataFrame:
+            ids = F.broadcast(
+                batch.select(
+                    _gkey(index.group_col).alias("_gk"),
+                    F.col(corpus_id).alias("neighbor_id"),
+                ).distinct()
+            )
+            return (
+                hist.withColumn("_gk", _gkey(index.group_col))
+                .join(ids, ["_gk", "neighbor_id"], "left_anti")
+                .select(*keep_cols)
+            )
+    else:
+        assigned = _assign_frozen(
+            index, batch, corpus_id, vec_col, max_drift,
+            pin=codebook is not None,
+        )
+
+        def _anti_replaced(hist: DataFrame, keep_cols: list) -> DataFrame:
+            ids = F.broadcast(
+                batch.select(
+                    F.col(corpus_id).alias("neighbor_id")
+                ).distinct()
+            )
+            return hist.join(ids, "neighbor_id", "left_anti").select(
+                *keep_cols
+            )
+
+    new_rows = assigned.select(*row_cols)
     history = index.assigned
     if replace_ids:
-        ids = F.broadcast(
-            batch.select(F.col(corpus_id).alias("neighbor_id")).distinct()
-        )
-        history = history.join(ids, "neighbor_id", "left_anti").select(
-            "neighbor_id", "_cv", "_cell"
-        )
+        history = _anti_replaced(history, row_cols)
     out = IvfIndex(
         history.unionByName(new_rows),
         index.centers,
         index.n_clusters,
         index.mean_fit_dist,
+        group_col=index.group_col,
+        group_type=index.group_type,
     )
     if codebook is None:
         return out
     encode = _pq_encode_udf(codebook)
     new_codes = assigned.select(
-        "neighbor_id", "_cell", encode(F.col("_cv")).alias(codes_col)
+        "neighbor_id", "_cell", encode(F.col("_cv")).alias(codes_col),
+        *gb,
     )
     hist_codes = encoded_cells
     if replace_ids:
-        hist_codes = hist_codes.join(
-            F.broadcast(
-                batch.select(
-                    F.col(corpus_id).alias("neighbor_id")
-                ).distinct()
-            ),
-            "neighbor_id",
-            "left_anti",
-        ).select("neighbor_id", "_cell", codes_col)
+        hist_codes = _anti_replaced(hist_codes, code_cols)
     return out, hist_codes.unionByName(new_codes)
 
 
 def ivf_centers_table(index: IvfIndex) -> DataFrame:
     """The index's driver-side state as a RELATIONAL table — (cell,
-    center array<double>, mean_fit_dist) — so the whole IVF index
-    persists as parquet beside ``assigned`` (no ``.npy`` side-channel;
-    the streaming fold's restart story). n_clusters × dim doubles: a
-    broadcast-dimension-sized table. Rebuild with
+    center array<double>, mean_fit_dist), with the group column FIRST
+    when the index is grouped — so the whole IVF index persists as
+    parquet beside ``assigned`` (no ``.npy`` side-channel; the
+    streaming fold's restart story). n_clusters × dim doubles per
+    group: a broadcast-dimension-sized table. Rebuild with
     :func:`ivf_index_from_tables`."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, StructField, StructType,
+    )
+
     spark = index.assigned.sparkSession
-    mfd = index.mean_fit_dist
+    base_fields = [
+        StructField("cell", IntegerType()),
+        StructField("center", ArrayType(DoubleType())),
+        StructField("mean_fit_dist", DoubleType()),
+    ]
+    if index.group_col is None:
+        mfd = index.mean_fit_dist
+        return spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in row], mfd)
+                for i, row in enumerate(index.centers)
+            ],
+            StructType(base_fields),
+        )
+    # grouped: centers/mean_fit_dist are keyed by RAW group value
+    rows = []
+    for gval in sorted(index.centers, key=_pygkey):
+        c = index.centers[gval]
+        mfd = index.mean_fit_dist.get(gval)
+        for i, row in enumerate(c):
+            rows.append(
+                (gval, int(i), [float(x) for x in row], mfd)
+            )
     return spark.createDataFrame(
-        [
-            (int(i), [float(x) for x in row], mfd)
-            for i, row in enumerate(index.centers)
-        ],
-        "cell int, center array<double>, mean_fit_dist double",
+        rows,
+        StructType(
+            [StructField(index.group_col, index.group_type)]
+            + base_fields
+        ),
     )
 
 
@@ -469,9 +981,54 @@ def ivf_index_from_tables(
     ``assigned=None`` gives a centers-only shell — enough for
     :func:`_assign_frozen` (the streaming fold's crash-recovery path,
     where the centers committed but the first inverted-list write did
-    not); searching it is a caller error."""
+    not); searching it is a caller error. A centers table carrying a
+    column beyond (cell, center, mean_fit_dist) is a GROUPED index's
+    — that column is the group column and the rebuilt index is
+    grouped."""
     import numpy as np
 
+    extra = [
+        c
+        for c in centers_table.columns
+        if c not in ("cell", "center", "mean_fit_dist")
+    ]
+    if len(extra) > 1:
+        raise ValueError(
+            f"ivf_index_from_tables: unrecognized columns {extra} — "
+            "a grouped centers table has exactly one group column "
+            "beside (cell, center, mean_fit_dist)"
+        )
+    if extra:
+        gcol = extra[0]
+        rows = centers_table.select(
+            gcol, "cell", "center", "mean_fit_dist"
+        ).collect()
+        if not rows:
+            raise ValueError(
+                "ivf_index_from_tables: empty centers table"
+            )
+        by_g: dict = {}
+        for r in rows:
+            by_g.setdefault(_pygkey(r[gcol]), []).append(r)
+        centers = {}
+        mean_fit = {}
+        n_max = 0
+        for grows in by_g.values():
+            grows.sort(key=lambda r: r["cell"])
+            gval = grows[0][gcol]
+            centers[gval] = np.stack(
+                [np.asarray(r["center"]) for r in grows]
+            )
+            mean_fit[gval] = grows[0]["mean_fit_dist"]
+            n_max = max(n_max, len(grows))
+        return IvfIndex(
+            assigned,
+            centers,
+            n_max,
+            mean_fit,
+            group_col=gcol,
+            group_type=centers_table.schema[gcol].dataType,
+        )
     rows = sorted(
         centers_table.select(
             "cell", "center", "mean_fit_dist"
@@ -961,6 +1518,9 @@ def pq_topk(
     query_id: str = "vec_id",
     vec_col: str = "embedding",
     codes_col: str = "pq_codes",
+    refine_k: int | None = None,
+    vectors: DataFrame | None = None,
+    vectors_id: str = "vec_id",
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: full-precision queries against the
     PQ-encoded corpus. Per query batch, a (m × k) inner-product lookup
@@ -973,11 +1533,32 @@ def pq_topk(
     to probe cells (IVF-PQ, the standard billion-scale layout).
 
     Scores approximate the DOT PRODUCT — L2-normalize vectors upstream
-    if cosine ranking is wanted (recall floor property-tested)."""
+    if cosine ranking is wanted (recall floor property-tested).
+
+    ``refine_k`` arms the exact RE-RANK leg (FAISS's ``RefineFlat``
+    shape): the ADC pass keeps top-``refine_k`` candidates per query
+    (``refine_k ≥ k``; a few × k recovers most of the quantization
+    recall loss — measured in SCALE.md), then ONE hits-sized broadcast
+    join fetches their FULL vectors from ``vectors`` ((id, vec) —
+    ``vectors_id``/``vec_col`` name the columns) and the final top-k
+    ranks on the EXACT dot product. Cost: one |queries|·refine_k-row
+    broadcast join against the vector table — the quantized scan still
+    never touches full vectors. With ``refine_k`` ≥ corpus size the
+    result IS brute force (pinned by test)."""
     import numpy as np
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    if (refine_k is None) != (vectors is None):
+        raise ValueError(
+            "pq_topk: pass refine_k AND vectors together (the exact "
+            "re-rank leg) or neither"
+        )
+    if refine_k is not None and refine_k < k:
+        raise ValueError(
+            f"pq_topk: refine_k={refine_k} must be >= k={k} — the "
+            "re-rank selects the final k from the ADC top-refine_k"
+        )
     books = codebook.codebooks
     m = codebook.m
     q_rows = queries.select(
@@ -1005,6 +1586,8 @@ def pq_topk(
         ]
     )
 
+    k_adc = k if refine_k is None else int(refine_k)
+
     def scan(batches):
         import pandas as pd
 
@@ -1018,7 +1601,7 @@ def pq_topk(
             # k+1: a query may meet itself in this batch and the self row
             # is filtered AFTER the local cut — without the slack it
             # would silently displace a real neighbor
-            top = min(k + 1, scores.shape[1])
+            top = min(k_adc + 1, scores.shape[1])
             idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
             rows = {
                 "query_id": np.repeat(q_ids, top),
@@ -1033,11 +1616,59 @@ def pq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
-    return (
+    adc = (
         local.filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_adc)
+    )
+    if refine_k is None:
+        return adc.select(
+            "query_id", "neighbor_id", "rank",
+            F.round("score", 6).alias("score"),
+        )
+    return _exact_rerank(
+        adc.select("query_id", "neighbor_id"),
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+        ),
+        vectors.select(
+            F.col(vectors_id).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+        ),
+        k,
+    )
+
+
+def _exact_rerank(
+    cands: DataFrame, q_slim: DataFrame, vecs: DataFrame, k: int
+) -> DataFrame:
+    """The refine leg shared by :func:`pq_topk` / :func:`ivf_pq_topk`:
+    exact dot-product re-rank of a hits-sized (query_id, neighbor_id)
+    candidate table — broadcast the candidates against the full-vector
+    table (ONE hits-sized join; the corpus-scale scan stays on the
+    quantized side), attach the query vectors (broadcast), score with
+    the expression-form dot product (codegen, engine-reproducible) and
+    keep the top-k."""
+    exact = (
+        vecs.join(F.broadcast(cands), "neighbor_id")
+        .join(F.broadcast(q_slim), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot_product(F.col("_qv"), F.col("_cv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("score", 6).alias("score"),
+        )
     )
 
 
@@ -1048,10 +1679,13 @@ def pq_encode_cells(
     (neighbor_id, _cell, codes) — the persistable IVF-PQ index table
     (write partitioned by ``_cell``). This is the standard billion-scale
     ANN layout (Jégou et al. 2011 §IV): coarse cells bound the candidate
-    set, PQ codes bound the memory per candidate."""
+    set, PQ codes bound the memory per candidate. A grouped index's
+    group column rides along (one GLOBAL codebook serves every group —
+    PQ quantizes vectors group-independently)."""
     encode = _pq_encode_udf(codebook)
+    gb = [index.group_col] if index.group_col else []
     return index.assigned.select(
-        "neighbor_id", "_cell", encode(F.col("_cv")).alias(out)
+        "neighbor_id", "_cell", encode(F.col("_cv")).alias(out), *gb
     )
 
 
@@ -1065,6 +1699,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     n_probe: int = 4,
     codes_col: str = "pq_codes",
+    refine_k: int | None = None,
 ) -> DataFrame:
     """IVF-PQ ADC search: each query visits its ``n_probe`` nearest cells
     (computed driver-side from the same query batch the ADC lookup table
@@ -1074,11 +1709,28 @@ def ivf_pq_topk(
     top-k inside the scoring scan (same reduction as :func:`pq_topk`)
     cuts what reaches the one real shuffle — the final per-query window
     — to ~batches·queries·k rows. Scores approximate dot products
-    (normalize upstream for cosine)."""
+    (normalize upstream for cosine).
+
+    ``refine_k`` arms the exact RE-RANK leg (``pq_topk``'s contract):
+    the ADC pass keeps top-``refine_k`` per query, then one hits-sized
+    broadcast join against ``index.assigned``'s full vectors re-ranks
+    on the EXACT dot product and keeps k — most of the quantization
+    recall loss back for one small join (the FAISS RefineFlat shape;
+    recall-vs-refine_k measured in SCALE.md)."""
     import numpy as np
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
+    if index.group_col is not None:
+        raise ValueError(
+            "ivf_pq_topk: grouped IVF-PQ search is not implemented — "
+            "search grouped indexes with ivf_search (flat vectors), "
+            "or build an ungrouped IVF-PQ index per group"
+        )
+    if refine_k is not None and refine_k < k:
+        raise ValueError(
+            f"ivf_pq_topk: refine_k={refine_k} must be >= k={k}"
+        )
     books = codebook.codebooks
     m = codebook.m
     sub = codebook.sub_dim
@@ -1120,6 +1772,8 @@ def ivf_pq_topk(
         ]
     )
 
+    k_adc = k if refine_k is None else int(refine_k)
+
     def scan(batches):
         import pandas as pd
 
@@ -1141,7 +1795,7 @@ def ivf_pq_topk(
             yield (
                 out.sort_values("score", ascending=False)
                 .groupby("query_id", sort=False)
-                .head(k + 1)
+                .head(k_adc + 1)
             )
 
     local = (
@@ -1153,12 +1807,22 @@ def ivf_pq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
-    return (
+    adc = (
         local.filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
+        .filter(F.col("rank") <= k_adc)
+    )
+    if refine_k is None:
+        return adc.select(
             "query_id", "neighbor_id", "rank",
             F.round("score", 6).alias("score"),
         )
+    return _exact_rerank(
+        adc.select("query_id", "neighbor_id"),
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+        ),
+        index.assigned.select("neighbor_id", "_cv"),
+        k,
     )

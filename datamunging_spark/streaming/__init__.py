@@ -1520,11 +1520,21 @@ def streaming_index_ingest(
                     "different group column)"
                 )
             if extra:
+                if "field" in extra:
+                    raise ValueError(
+                        f"streaming_index_ingest: the store carries "
+                        f"column(s) {extra} — this is a FIELDED index "
+                        "(fielded_index layout), not an ingest store; "
+                        "this fold maintains plain inverted_index "
+                        "stores only"
+                    )
                 raise ValueError(
                     f"streaming_index_ingest: the store carries "
                     f"column(s) {extra} this fold does not understand "
-                    "— likely a GROUPED store; pass the same "
-                    "group_col= it was built with"
+                    "— a GROUPED store needs the same group_col= it "
+                    "was built with; otherwise the path points at a "
+                    "table with a different layout than this fold "
+                    "writes"
                 )
         batch = _resolve_batch(batch_df)
         if stats:

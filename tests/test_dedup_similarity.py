@@ -1896,3 +1896,457 @@ def test_streaming_ivf_pq_codes_ride_the_store(spark, tables, tmp_path):
             s2, table2, checkpoint_path=str(tmp_path / "pq_ckpt2b"),
             n_clusters=4, seed=7, codebook_m=8,
         )
+
+
+# --------------------------------------------------------------------------
+# r15: grouped IVF faces, filtered ANN, exact re-rank (refine_k)
+
+
+@pytest.fixture(scope="module")
+def grouped_vecs(spark, tables):
+    """Embeddings split into three groups incl. the NULL group (a real
+    group, the repo convention), ids kept globally unique here; the
+    collision-specific tests build their own colliding corpora."""
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    return emb.withColumn(
+        "grp",
+        F.when(F.col("vec_id") % 3 == 0, "en")
+        .when(F.col("vec_id") % 3 == 1, "fr")
+        .otherwise(F.lit(None).cast("string")),
+    ).localCheckpoint()
+
+
+def _per_slice(df, gval):
+    cond = (
+        F.col("grp").isNull() if gval is None else F.col("grp") == gval
+    )
+    return df.filter(cond)
+
+
+def test_grouped_ivf_build_matches_per_slice_fits(spark, grouped_vecs):
+    """Each group's fit in a grouped ivf_build IS the per-slice
+    ungrouped fit (same sampling discipline, same seed): centroids and
+    drift baselines match the per-group ivf_build verbatim, incl. the
+    NULL group; every corpus row gets a valid cell for ITS group."""
+    import numpy as np
+
+    from datamunging_spark.operators.similarity import ivf_build
+
+    gidx = ivf_build(grouped_vecs, n_clusters=4, group_col="grp")
+    assert gidx.group_col == "grp"
+    assert set(map(str, gidx.centers)) == {"en", "fr", "None"}
+    for gval in ("en", "fr", None):
+        uidx = ivf_build(_per_slice(grouped_vecs, gval), n_clusters=4)
+        assert np.allclose(gidx.centers[gval], uidx.centers)
+        assert gidx.mean_fit_dist[gval] == pytest.approx(
+            uidx.mean_fit_dist
+        )
+    assert gidx.assigned.count() == grouped_vecs.count()
+    bad = gidx.assigned.filter(
+        (F.col("_cell") < 0) | (F.col("_cell") >= 4)
+    )
+    assert bad.count() == 0
+
+
+def test_grouped_ivf_search_equals_per_slice_runs(spark, grouped_vecs):
+    """The grouped search face ≡ running ungrouped ivf_search per group
+    slice (same centers, same assigned rows) — exact row equality,
+    NULL group included; a query batch missing the group column, or
+    carrying a group the index never built, raises."""
+    from datamunging_spark.operators.similarity import (
+        IvfIndex,
+        ivf_build,
+        ivf_search,
+    )
+
+    gidx = ivf_build(grouped_vecs, n_clusters=4, group_col="grp")
+    gidx.assigned = gidx.assigned.localCheckpoint()
+    queries = grouped_vecs.filter(F.col("vec_id") < 9)
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], round(r["cosine"], 9))
+        for r in ivf_search(queries, gidx, k=5, n_probe=2).collect()
+    )
+    want = []
+    for gval in ("en", "fr", None):
+        slice_idx = IvfIndex(
+            _per_slice(gidx.assigned, gval).select(
+                "neighbor_id", "_cv", "_cell"
+            ),
+            gidx.centers[gval],
+            gidx.n_clusters,
+            gidx.mean_fit_dist[gval],
+        )
+        want.extend(
+            (r["query_id"], r["rank"], r["neighbor_id"], round(r["cosine"], 9))
+            for r in ivf_search(
+                _per_slice(queries, gval), slice_idx, k=5, n_probe=2
+            ).collect()
+        )
+    assert got == sorted(want)
+    with pytest.raises(ValueError, match="no such column"):
+        ivf_search(queries.drop("grp"), gidx, k=5)
+    with pytest.raises(ValueError, match="no\ncentroids|no "):
+        ivf_search(
+            queries.withColumn("grp", F.lit("de")), gidx, k=5
+        )
+
+
+def test_grouped_advance_colliding_ids_and_valve(spark):
+    """Grouped advance keys replace/delete on (group, id) — ids collide
+    across groups by design here and one tenant's update/delete cannot
+    touch another's rows; the drift valve runs PER GROUP and raises
+    naming the drifted group; an unseen batch group raises."""
+    import numpy as np
+
+    from datamunging_spark.operators.similarity import (
+        advance_ivf_index,
+        ivf_build,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, g, [float(x) for x in rng.randn(8)])
+        for g in ("a", "b")
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id int, grp string, embedding array<double>"
+    ).localCheckpoint()
+    idx = ivf_build(corpus, n_clusters=4, group_col="grp")
+    idx.assigned = idx.assigned.localCheckpoint()
+    # replace id 5 in group a only; delete id 7 in group a only
+    batch = spark.createDataFrame(
+        [
+            (5, "a", [float(x) for x in rng.randn(8)]),
+            (7, "a", None),
+        ],
+        "vec_id int, grp string, embedding array<double>",
+    )
+    adv = advance_ivf_index(idx, batch, replace_ids=True)
+    by_key = {
+        (r["grp"], r["neighbor_id"]): r["_cv"]
+        for r in adv.assigned.filter(
+            F.col("neighbor_id").isin(5, 7)
+        ).collect()
+    }
+    assert ("a", 7) not in by_key  # deleted in a
+    assert ("b", 7) in by_key  # untouched in b
+    old_b5 = {
+        r["neighbor_id"]: r["_cv"]
+        for r in idx.assigned.filter(
+            (F.col("grp") == "b") & (F.col("neighbor_id") == 5)
+        ).collect()
+    }
+    assert by_key[("b", 5)] == old_b5[5]  # b's id 5 not replaced
+    assert by_key[("a", 5)] != old_b5[5]
+    # per-group drift valve: drifted group named, calm group passes
+    far = spark.createDataFrame(
+        [(100, "a", [float(50 + x) for x in rng.randn(8)])],
+        "vec_id int, grp string, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="group 'a'"):
+        advance_ivf_index(idx, far, max_drift=2.0)
+    near = spark.createDataFrame(
+        [(101, "b", [float(x) for x in rng.randn(8)])],
+        "vec_id int, grp string, embedding array<double>",
+    )
+    assert (
+        advance_ivf_index(idx, near, max_drift=2.0).assigned.count()
+        == 81
+    )
+    # unseen group refuses — the advance face cannot mint centroids
+    with pytest.raises(ValueError, match="ivf_build"):
+        advance_ivf_index(
+            idx,
+            spark.createDataFrame(
+                [(1, "c", [0.0] * 8)],
+                "vec_id int, grp string, embedding array<double>",
+            ),
+        )
+
+
+def test_grouped_advance_append_equals_rebuild_recall(spark, grouped_vecs):
+    """Grouped append≡rebuild in recall terms: advancing a grouped
+    index then searching with every cell probed equals per-group brute
+    force over history ∪ batch (the ungrouped parity test, grouped)."""
+    from datamunging_spark.operators.similarity import (
+        advance_ivf_index,
+        brute_force_topk,
+        ivf_build,
+        ivf_search,
+    )
+
+    hist = grouped_vecs.filter(F.col("vec_id") < 60).localCheckpoint()
+    batch = grouped_vecs.filter(
+        F.col("vec_id").between(60, 89)
+    ).localCheckpoint()
+    idx = ivf_build(hist, n_clusters=4, group_col="grp")
+    idx.assigned = idx.assigned.localCheckpoint()
+    adv = advance_ivf_index(idx, batch)
+    queries = grouped_vecs.filter(F.col("vec_id") < 6)
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in ivf_search(queries, adv, k=5, n_probe=4).collect()
+    )
+    want = []
+    full = hist.unionByName(batch)
+    for gval in ("en", "fr", None):
+        want.extend(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in brute_force_topk(
+                _per_slice(queries, gval),
+                _per_slice(full, gval),
+                k=5,
+                arrow_cosine=True,
+            ).collect()
+        )
+    assert got == sorted(want)
+
+
+def test_grouped_centers_table_round_trip(spark, grouped_vecs):
+    """ivf_centers_table ↔ ivf_index_from_tables round-trips the
+    grouped state exactly — per-group centers, per-group baselines,
+    group column name AND type (string incl. NULL group; int too)."""
+    import numpy as np
+
+    from datamunging_spark.operators.similarity import (
+        ivf_build,
+        ivf_centers_table,
+        ivf_index_from_tables,
+        ivf_search,
+    )
+
+    gidx = ivf_build(grouped_vecs, n_clusters=4, group_col="grp")
+    gidx.assigned = gidx.assigned.localCheckpoint()
+    ct = ivf_centers_table(gidx)
+    assert ct.columns == ["grp", "cell", "center", "mean_fit_dist"]
+    back = ivf_index_from_tables(gidx.assigned, ct)
+    assert back.group_col == "grp"
+    assert back.group_type == gidx.group_type
+    assert set(map(str, back.centers)) == set(map(str, gidx.centers))
+    for g in gidx.centers:
+        assert np.allclose(gidx.centers[g], back.centers[g])
+        assert back.mean_fit_dist[g] == pytest.approx(
+            gidx.mean_fit_dist[g]
+        )
+    q = grouped_vecs.filter(F.col("vec_id") < 6)
+    a = ivf_search(q, gidx, k=3, n_probe=4).collect()
+    b = ivf_search(q, back, k=3, n_probe=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # int-typed group column survives the round trip too
+    ivecs = grouped_vecs.withColumn(
+        "tenant", (F.col("vec_id") % 2).cast("int")
+    ).drop("grp")
+    iidx = ivf_build(ivecs, n_clusters=4, group_col="tenant")
+    it = ivf_centers_table(iidx)
+    iback = ivf_index_from_tables(None, it)
+    assert iback.group_col == "tenant"
+    assert set(iback.centers) == {0, 1}
+    assert np.allclose(iback.centers[0], iidx.centers[0])
+
+
+def test_filtered_ann_prefilter_fills_k_postfilter_does_not(
+    spark, tables
+):
+    """The filtered-ANN contract, planted: with a selective predicate,
+    post-filtering an unfiltered top-k under-fills k (no recall
+    contract), while filter_ids pre-filters the probed candidates and
+    fills k with exactly the brute-force-over-filtered-subset result
+    at full probe."""
+    from datamunging_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_build,
+        ivf_search,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") < 200).localCheckpoint()
+    queries = corpus.filter(F.col("vec_id") < 3)
+    idx = ivf_build(corpus, n_clusters=4)
+    idx.assigned = idx.assigned.localCheckpoint()
+    keep = corpus.filter(F.col("vec_id") % 10 == 0).select("vec_id")
+    # post-filter: global top-10 then predicate — visibly under-fills
+    unfiltered = ivf_search(queries, idx, k=10, n_probe=4)
+    post = unfiltered.filter(F.col("neighbor_id") % 10 == 0)
+    post_counts = {
+        r["query_id"]: r["n"]
+        for r in post.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert all(post_counts.get(q, 0) < 10 for q in (0, 1, 2))
+    # pre-filter: k fills from the filtered sub-corpus; at full probe
+    # it IS brute force over that sub-corpus
+    pre = ivf_search(queries, idx, k=10, n_probe=4, filter_ids=keep)
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in pre.collect()
+    )
+    assert len(got) == 30  # 3 queries × full k
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in brute_force_topk(
+            queries,
+            corpus.join(keep, "vec_id", "semi"),
+            k=10,
+            arrow_cosine=True,
+        ).collect()
+    )
+    assert got == want
+    # malformed filter tables refuse
+    with pytest.raises(ValueError, match="one-column"):
+        ivf_search(
+            queries, idx, k=10,
+            filter_ids=keep.withColumn("extra", F.lit(1)),
+        )
+
+
+def test_filtered_ann_grouped_filter_on_group_and_id(spark):
+    """On a grouped index whose ids collide across groups, a (group,
+    id) filter table constrains per group — an id-only filter would
+    leak the other group's rows into the allowed set."""
+    import numpy as np
+
+    from datamunging_spark.operators.similarity import (
+        ivf_build,
+        ivf_search,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, g, [float(x) for x in rng.randn(8)])
+        for g in ("a", "b")
+        for i in range(30)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id int, grp string, embedding array<double>"
+    ).localCheckpoint()
+    idx = ivf_build(corpus, n_clusters=2, group_col="grp")
+    idx.assigned = idx.assigned.localCheckpoint()
+    queries = corpus.filter(
+        (F.col("vec_id") == 0) & (F.col("grp") == "a")
+    )
+    # allow ONLY group a's even ids; group b's even ids stay excluded
+    flt = spark.createDataFrame(
+        [("a", i) for i in range(0, 30, 2)], "grp string, vec_id int"
+    )
+    out = ivf_search(
+        queries, idx, k=5, n_probe=2, filter_ids=flt
+    ).collect()
+    assert len(out) == 5
+    assert all(r["grp"] == "a" and r["neighbor_id"] % 2 == 0 for r in out)
+
+
+def test_pq_refine_k_recovers_exact_ranking(spark, tables):
+    """refine_k ≥ corpus size makes pq_topk exactly brute force by dot
+    product (the FAISS RefineFlat shape, taken to its limit); smaller
+    refine_k never ranks worse than plain ADC against the exact
+    ranking; validation refuses a lone refine_k/vectors and
+    refine_k < k."""
+    import numpy as np
+
+    from datamunging_spark.operators.similarity import (
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") < 150).localCheckpoint()
+    queries = corpus.filter(F.col("vec_id") < 4)
+    cb = pq_fit(corpus, m=8, k=32, seed=5)
+    enc = pq_encode(corpus, cb).localCheckpoint()
+    # exact reference: numpy dot-product top-5, self excluded,
+    # ties on ascending id (the module convention)
+    mat = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in corpus.collect()
+    }
+    exact = {}
+    for qr in queries.collect():
+        qv = mat[qr["vec_id"]]
+        ranked = sorted(
+            ((float(qv @ v), -i) for i, v in mat.items()
+             if i != qr["vec_id"]),
+            reverse=True,
+        )[:5]
+        exact[qr["vec_id"]] = [-i for _, i in ranked]
+    refined = {}
+    for r in pq_topk(
+        queries, enc, cb, k=5, refine_k=150, vectors=corpus
+    ).collect():
+        refined.setdefault(r["query_id"], []).append(
+            (r["rank"], r["neighbor_id"])
+        )
+    got = {
+        q: [n for _, n in sorted(v)] for q, v in refined.items()
+    }
+    assert got == exact
+    # moderate refine_k: recall vs exact never below plain ADC's
+    def recall(hits):
+        by_q = {}
+        for r in hits:
+            by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(by_q.get(q, set()) & set(exact[q])) for q in exact
+        )
+
+    plain = recall(pq_topk(queries, enc, cb, k=5).collect())
+    part = recall(
+        pq_topk(
+            queries, enc, cb, k=5, refine_k=25, vectors=corpus
+        ).collect()
+    )
+    assert part >= plain
+    with pytest.raises(ValueError, match="together"):
+        pq_topk(queries, enc, cb, k=5, refine_k=25)
+    with pytest.raises(ValueError, match=">= k"):
+        pq_topk(
+            queries, enc, cb, k=5, refine_k=3, vectors=corpus
+        )
+
+
+def test_ivf_pq_refine_k_full_probe_is_exact(spark, tables):
+    """ivf_pq_topk with every cell probed and refine_k ≥ corpus equals
+    the exact dot-product ranking — the quantization error is fully
+    re-ranked away; grouped IVF-PQ search refuses loudly."""
+    import numpy as np
+
+    from datamunging_spark.operators.similarity import (
+        ivf_build,
+        ivf_pq_topk,
+        pq_encode_cells,
+        pq_fit,
+    )
+
+    emb = tables["embeddings"].select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") < 120).localCheckpoint()
+    queries = corpus.filter(F.col("vec_id") < 3)
+    idx = ivf_build(corpus, n_clusters=4)
+    idx.assigned = idx.assigned.localCheckpoint()
+    cb = pq_fit(corpus, m=8, k=32, seed=5)
+    cells = pq_encode_cells(idx, cb).localCheckpoint()
+    mat = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in corpus.collect()
+    }
+    exact = {}
+    for qr in queries.collect():
+        qv = mat[qr["vec_id"]]
+        ranked = sorted(
+            ((float(qv @ v), -i) for i, v in mat.items()
+             if i != qr["vec_id"]),
+            reverse=True,
+        )[:5]
+        exact[qr["vec_id"]] = [-i for _, i in ranked]
+    got = {}
+    for r in sorted(
+        ivf_pq_topk(
+            queries, idx, cb, cells, k=5, n_probe=4, refine_k=120
+        ).collect(),
+        key=lambda r: (r["query_id"], r["rank"]),
+    ):
+        got.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert got == exact
+    with pytest.raises(ValueError, match=">= k"):
+        ivf_pq_topk(queries, idx, cb, cells, k=5, refine_k=2)

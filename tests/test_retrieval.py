@@ -2912,3 +2912,122 @@ def test_boolean_msm_valve_matches_python_reference(spark):
             ).collect()
         )
         assert got == sorted(want), ("dfreq" if dfr else "on-the-fly")
+
+
+def test_snippets_grouped_face_cuts_from_own_group(spark):
+    """snippets(group_col=) joins docs on (group, id) NULL-safely: with
+    doc ids that collide across groups (the grouped-index norm), each
+    hit's snippet comes from ITS group's document — an id-only join
+    would fan hits across groups and cut from the wrong text."""
+    from datamunging_spark.operators.retrieval import (
+        hit_windows,
+        snippets,
+    )
+
+    gdocs = spark.createDataFrame(
+        [
+            ("en", 1, "alpha beta english tail"),
+            ("de", 1, "vorspann alpha beta deutsch"),
+            (None, 1, "null group alpha beta words"),
+        ],
+        "lang string, doc_id long, text string",
+    )
+    gpost = inverted_index(gdocs, positions=True, group_col="lang")
+    gstats = index_stats(gdocs, group_col="lang")
+    gq = spark.createDataFrame(
+        [("en", 0, "alpha beta"), ("de", 1, "alpha beta"),
+         (None, 2, "alpha beta")],
+        "lang string, query_id long, query string",
+    )
+    ranked = bm25_topk(gpost, gq, gstats, k=5, group_col="lang")
+    win = hit_windows(gpost, ranked, gq, group_col="lang")
+    out = snippets(gdocs, win, context=0, group_col="lang")
+    got = {
+        (r.lang, r.query_id): r.snippet for r in out.collect()
+    }
+    assert got[("en", 0)] == "alpha beta"
+    assert got[("de", 1)] == "alpha beta"
+    assert got[(None, 2)] == "alpha beta"
+    # exactly one snippet row per hit — no cross-group fan-out
+    assert out.count() == win.count()
+
+
+def test_positional_guard_default_armed_with_stats(spark):
+    """Passing stats WITHOUT max_df_frac default-arms the warn tier at
+    0.5 (an operator who wired stats gets hot-term visibility without
+    opting in); results are unchanged; stats=None keeps the guard
+    fully off — the parity configuration."""
+    import warnings
+
+    from datamunging_spark.operators.retrieval import (
+        near_topk,
+        phrase_topk,
+        term_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the spark engine"),
+            (2, "the fast plan"),
+            (3, "the wide shuffle"),
+            (4, "zebra stampede here"),
+        ],
+        "doc_id long, text string",
+    )
+    post = inverted_index(docs, positions=True)
+    stats = index_stats(docs)
+    dfr = term_stats(post)
+    hot_q = spark.createDataFrame(
+        [(0, "the spark")], "query_id long, query string"
+    )
+    for op in (phrase_topk, near_topk):
+        bare = op(post, hot_q).collect()
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            armed = op(post, hot_q, stats=stats, dfreq=dfr).collect()
+        assert any("max_df_frac" in str(x.message) for x in w)
+        assert armed == bare
+        # no stats → no guard, no warning
+        with warnings.catch_warnings(record=True) as w2:
+            warnings.simplefilter("always")
+            op(post, hot_q).collect()
+        assert not any(
+            "max_df_frac" in str(x.message) for x in w2
+        )
+        # explicit max_df_frac still gets the raise tier by default
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="'the'"):
+            op(post, hot_q, stats=stats, dfreq=dfr, max_df_frac=0.5)
+
+
+def test_streaming_ingest_names_fielded_store_in_error(
+    spark, tmp_path
+):
+    """Pointing streaming_index_ingest at a FIELDED index store says
+    so — the generic 'grouped store?' hint was misleading when the
+    extra column is the fielded layout's ``field``."""
+    from datamunging_spark.sources.versioned import write_table_version
+    from datamunging_spark.streaming import streaming_index_ingest
+
+    docs = spark.createDataFrame(
+        [(1, "title words", "body words here")],
+        "doc_id long, title string, body string",
+    )
+    from datamunging_spark.operators.retrieval import fielded_index
+
+    table = str(tmp_path / "fielded_store")
+    write_table_version(
+        fielded_index(docs, ["title", "body"]), table, 1
+    )
+    schema = "doc_id long, text string"
+    src = tmp_path / "fi_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(2, "plain doc")], schema
+    ).coalesce(1).write.parquet(str(src / "f0"))
+    s = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    with pytest.raises(Exception, match="FIELDED index"):
+        streaming_index_ingest(
+            s, table, checkpoint_path=str(tmp_path / "fi_ck")
+        )
