@@ -637,30 +637,26 @@ def q_x2_boolean(spark, sf_dir):
 _ENTRY_CACHE: dict = {}
 
 
-def _bm25_persisted_index(spark, sf_dir):
-    """Materialize the BM25 index-build artifacts (postings + term df +
-    one-row stats) to parquet ONCE per corpus — the cost a real
-    deployment pays at index-build time — and return the read-back
-    tables. Cached process-wide; the parquet lives under /tmp keyed by
-    a FINGERPRINT of the documents table (path + parquet size/mtime),
-    so regenerating the fixture data under the same sf_dir can never
-    silently bench a stale index. The build lands in a unique temp dir
-    followed by an atomic rename — a concurrent builder either wins
-    the rename or discards its copy and reads the winner's; no reader
-    can observe a partially written index."""
+def _persisted_artifact(sf_dir, table, tag, build):
+    """A fingerprinted /tmp artifact directory shared by the persisted-
+    index bench queries: keyed by a FINGERPRINT of the source table
+    (path + parquet size/mtime), so regenerating the fixture data under
+    the same sf_dir can never silently bench a stale artifact. The
+    build lands in a unique temp dir followed by an atomic rename — a
+    concurrent builder either wins the rename or discards its copy and
+    reads the winner's; no reader can observe a partially written
+    artifact. On a successful build, superseded siblings of the same
+    ``tag`` (stale fingerprints) and ABANDONED ``.build.`` temps (>1h
+    old — a live concurrent build is minutes old) are best-effort
+    deleted so /tmp stays bounded across fixture regenerations."""
     import hashlib
     import os as _os
     import shutil
     import tempfile
-
-    from datamunging_spark.operators.retrieval import (
-        index_stats,
-        inverted_index,
-        term_stats,
-    )
+    import time as _time
 
     h = hashlib.md5(sf_dir.encode())
-    droot = _os.path.join(sf_dir, "documents.parquet")
+    droot = _os.path.join(sf_dir, f"{table}.parquet")
     parts = (
         sorted(
             _os.path.join(droot, p) for p in _os.listdir(droot)
@@ -675,53 +671,66 @@ def _bm25_persisted_index(spark, sf_dir):
             .encode()
         )
     base = _os.path.join(
-        tempfile.gettempdir(), f"spark_graft_bm25_{h.hexdigest()[:12]}"
+        tempfile.gettempdir(),
+        f"spark_graft_{tag}_{h.hexdigest()[:12]}",
     )
-    # the in-process cache keys on the FINGERPRINTED path too, so
-    # regenerating the fixture mid-session invalidates both tiers
-    key = ("bm25_idx", base)
-    if key in _ENTRY_CACHE:
-        return _ENTRY_CACHE[key]
     if not _os.path.isdir(base):
         tmp = tempfile.mkdtemp(
             prefix=_os.path.basename(base) + ".build.",
             dir=tempfile.gettempdir(),
         )
-        d = _t(spark, sf_dir, "documents")
-        post = inverted_index(d)
-        post.write.mode("overwrite").parquet(f"{tmp}/postings")
-        term_stats(
-            spark.read.parquet(f"{tmp}/postings")
-        ).write.mode("overwrite").parquet(f"{tmp}/dfreq")
-        index_stats(d).write.mode("overwrite").parquet(f"{tmp}/stats")
+        build(tmp)
         try:
             _os.rename(tmp, base)
         except OSError:
             # a concurrent builder won the rename — use its copy
             shutil.rmtree(tmp, ignore_errors=True)
-        # evict superseded entries: siblings with a DIFFERENT
-        # fingerprint (stale indexes of regenerated fixtures) and
-        # crashed builders' leftover .build.* temp dirs — otherwise
-        # /tmp grows without bound across fixture regenerations.
-        # Best-effort: a concurrent session still READING a stale
-        # index loses it mid-query in the worst case, the documented
-        # trade for bounded /tmp (regenerations imply the old fixture
-        # is gone anyway).
-        import time as _time
-
         for sib in _os.listdir(tempfile.gettempdir()):
             sp = _os.path.join(tempfile.gettempdir(), sib)
-            if not sib.startswith("spark_graft_bm25_") or sp == base:
+            if not sib.startswith(f"spark_graft_{tag}_") or sp == base:
                 continue
             if ".build." in sib:
-                # only reap ABANDONED builder temps (a live concurrent
-                # build is minutes old at most; crashed leftovers age)
                 try:
                     if _time.time() - _os.stat(sp).st_mtime < 3600:
                         continue
                 except OSError:
                     continue
             shutil.rmtree(sp, ignore_errors=True)
+    return base
+
+
+def _bm25_persisted_index(spark, sf_dir):
+    """Materialize the BM25 index-build artifacts (postings + term df +
+    one-row stats) to parquet ONCE per corpus — the cost a real
+    deployment pays at index-build time — and return the read-back
+    tables (fingerprinted /tmp layout + atomic build + eviction via
+    :func:`_persisted_artifact`). Cached process-wide; the in-process
+    cache keys on the fingerprinted path too, so regenerating the
+    fixture mid-session invalidates both tiers."""
+    from datamunging_spark.operators.retrieval import (
+        index_stats,
+        inverted_index,
+        term_stats,
+    )
+
+    def build(tmp):
+        d = _t(spark, sf_dir, "documents")
+        # positional since r15: the same artifact serves BM25 (parquet
+        # column pruning keeps `positions` unread on that path — plan-
+        # checked in SCALE.md) and the hit_windows/snippets highlight
+        # leg; the tag carries the layout so pre-r15 caches can't be
+        # read stale
+        post = inverted_index(d, positions=True)
+        post.write.mode("overwrite").parquet(f"{tmp}/postings")
+        term_stats(
+            spark.read.parquet(f"{tmp}/postings")
+        ).write.mode("overwrite").parquet(f"{tmp}/dfreq")
+        index_stats(d).write.mode("overwrite").parquet(f"{tmp}/stats")
+
+    base = _persisted_artifact(sf_dir, "documents", "bm25pos", build)
+    key = ("bm25_idx", base)
+    if key in _ENTRY_CACHE:
+        return _ENTRY_CACHE[key]
     out = (
         spark.read.parquet(f"{base}/postings"),
         spark.read.parquet(f"{base}/dfreq"),
@@ -729,6 +738,107 @@ def _bm25_persisted_index(spark, sf_dir):
     )
     _ENTRY_CACHE[key] = out
     return out
+
+
+def _ivf_persisted_store(spark, sf_dir):
+    """Materialize an IVF index over 90% of the embeddings table
+    (inverted lists partitioned by ``_cell`` + the relational centers
+    table) — the artifact a vector deployment pays for at build time;
+    the remaining 10% slice is the bench's ingest batch. Same
+    fingerprint/atomic-rename/eviction story as the BM25 index."""
+    from datamunging_spark.operators.similarity import (
+        ivf_build,
+        ivf_centers_table,
+    )
+
+    def build(tmp):
+        emb = _t(spark, sf_dir, "embeddings")
+        hist = emb.filter(F.col("vec_id") % 10 != 0)
+        idx = ivf_build(hist, n_clusters=16, seed=42)
+        idx.assigned.write.mode("overwrite").partitionBy(
+            "_cell"
+        ).parquet(f"{tmp}/assigned")
+        ivf_centers_table(idx).write.mode("overwrite").parquet(
+            f"{tmp}/centers"
+        )
+
+    base = _persisted_artifact(sf_dir, "embeddings", "ivf", build)
+    key = ("ivf_idx", base)
+    if key in _ENTRY_CACHE:
+        return _ENTRY_CACHE[key]
+    out = (
+        spark.read.parquet(f"{base}/assigned"),
+        spark.read.parquet(f"{base}/centers"),
+    )
+    _ENTRY_CACHE[key] = out
+    return out
+
+
+def q_x2_ivf_advance(spark, sf_dir):
+    """X2 vector-index maintenance, the 100 TB ingest-loop shape
+    (bench-only, r15 — the lexical x2_bm25_persisted's vector twin):
+    roll a PERSISTED IVF index forward by one ingest batch (the 10%
+    embeddings slice, frozen-centroid Arrow assignment, drift valve
+    armed) and search the advanced index (8 probe vectors, n_probe=4).
+    The first rep pays the one-time index build (folded out by the
+    median-of-3 protocol); steady state measures exactly what a
+    production advance+serve loop pays per batch: one O(batch) Arrow
+    assignment + one batch-sized drift aggregate + the probed-cell
+    equi-join — the history lists are read, never rescanned per rep,
+    never shuffled."""
+    from datamunging_spark.operators.similarity import (
+        advance_ivf_index,
+        ivf_index_from_tables,
+        ivf_search,
+    )
+
+    assigned, centers = _ivf_persisted_store(spark, sf_dir)
+    idx = ivf_index_from_tables(assigned, centers)
+    emb = _t(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        "embedding",
+    )
+    adv = advance_ivf_index(idx, batch, max_drift=4.0)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_search(queries, adv, k=10, n_probe=4)
+
+
+def q_x2_hybrid_snippets(spark, sf_dir):
+    """X2 hybrid retrieval with the r14/r15 highlight legs end-to-end
+    (bench-only, r15): BM25 over the PERSISTED lexical index fused
+    (RRF) with a brute-force vector leg, then hit_windows computes
+    best-window offsets for the fused hits and snippets cuts the
+    display text — the full serve-path composition a search deployment
+    runs per query batch. Window+snippet cost rides on hits-sized
+    joins by construction (the postings scan is cut to the top-k doc
+    list first), so the composite prices the highlight leg without a
+    second corpus exchange."""
+    from datamunging_spark.operators.retrieval import (
+        bm25_topk,
+        hit_windows,
+        rrf_fuse,
+        snippets,
+    )
+    from datamunging_spark.operators.similarity import brute_force_topk
+
+    post, dfreq, stats = _bm25_persisted_index(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    queries = d.filter(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring(F.col("text"), 1, 60).alias("query"),
+    )
+    lex = bm25_topk(post, queries, stats, dfreq=dfreq, k=10)
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = brute_force_topk(
+        emb.filter(F.col("vec_id") < 8),
+        emb,
+        k=10,
+        arrow_cosine=True,
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = rrf_fuse([lex.select("query_id", "doc_id", "rank"), vec])
+    win = hit_windows(post, fused, queries)
+    return snippets(d, win)
 
 
 def q_x2_bm25_persisted(spark, sf_dir):

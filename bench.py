@@ -32,6 +32,12 @@ from datamunging_spark import get_spark
 # retrieval entries landed (the contract line was at 1862/1900 chars).
 # Both are single-expression ops with pytest coverage and flat history
 # (r6-r12); their q_* functions remain callable.
+# r15: x5_chunk_documents (0.33 s, one posexplode expression) and
+# x6_blocking_report (0.21 s, one groupBy profile) retired the same way
+# (pytest-covered, flat r5-r14 history, q_* still callable) to fund the
+# round's two composites: x2_ivf_advance (persisted vector store,
+# advance + search — the x2_bm25_persisted twin) and x2_hybrid_snippets
+# (RRF fusion through hit_windows + snippets, the full serve path).
 BENCH_QUERIES = [
     "r13_count",
     "r14_group_count",
@@ -66,7 +72,6 @@ BENCH_QUERIES = [
     "x5_pack_sequences",
     "x5_token_budget",
     "x1_paragraph_dedup",
-    "x5_chunk_documents",
     "x1_incremental_dedup",
     "x1_ingest_cycle",
     "x1_url_dedup",
@@ -84,7 +89,6 @@ BENCH_QUERIES = [
     "x6_snapshot_history",
     "x6_scd2_apply",
     "x6_extract_changelog",
-    "x6_blocking_report",
     "x4_vocab",
     "x7_event_suite",
     "x8_heavy_hitters",
@@ -103,6 +107,8 @@ BENCH_QUERIES = [
     "x2_bm25_hybrid",
     "x2_boolean",
     "x2_bm25_persisted",
+    "x2_ivf_advance",
+    "x2_hybrid_snippets",
     "x2_bm25f",
 ]
 

@@ -1658,9 +1658,17 @@ def load_ivf_index(
             f"no committed centers table under {cpath} — not a "
             "streaming_ivf_ingest store (or the first fold never ran)"
         )
+    centers_df = read_table_version(spark, cpath, cv)
+    # a grouped store replays its replace/delete folds on (group, id)
+    gcols = [
+        c
+        for c in centers_df.columns
+        if c not in ("cell", "center", "mean_fit_dist")
+    ]
+    rid = [gcols[0], "neighbor_id"] if gcols else "neighbor_id"
     return ivf_index_from_tables(
-        read_index_version(spark, table_path, version, "neighbor_id"),
-        read_table_version(spark, cpath, cv),
+        read_index_version(spark, table_path, version, rid),
+        centers_df,
     )
 
 
@@ -1707,6 +1715,7 @@ def streaming_ivf_ingest(
     codebook_m: int | None = None,
     codebook_k: int = 256,
     codebook_iters: int = 10,
+    group_col: str | None = None,
 ) -> int | None:
     """Continuous IVF vector-index maintenance via ``foreachBatch`` —
     the ANN leg of the versioned-fold family, completing it across
@@ -1764,10 +1773,30 @@ def streaming_ivf_ingest(
     batch that carries only NULL-vector (delete) rows is skipped —
     deletes against an empty store are no-ops and there is nothing to
     fit the quantizer on. Drains with ``availableNow``; returns the
-    latest committed version."""
+    latest committed version.
+
+    ``group_col`` arms the GROUPED store (per-language/per-tenant
+    corpora — the grouped ``ivf_build``/``advance_ivf_index``
+    semantics, folded): rows carry the group, ids are unique WITHIN
+    their group, replace/delete keys on (group, id), the drift valve
+    runs per group, and each group gets its own frozen centroids.
+    Unlike the advance face, a batch group the store has never seen is
+    FIT ON FIRST APPEARANCE: its centroids are fitted from that batch
+    (seeded, so a crash-replay refits identically) and appended to the
+    centers table as a NEW version — existing groups' centroids stay
+    frozen verbatim; the committed centers version at any list version
+    covers every group that version's rows mention. The flag is
+    schema-authoritative like positions/pq_codes: a grouped store
+    refuses an ungrouped fold and vice versa (the doc-id-only replay
+    would delete across groups). One GLOBAL PQ codebook serves all
+    groups when ``codebook_m`` is set (codes quantize vectors
+    group-independently)."""
     from datamunging_spark.operators.similarity import (
+        IvfIndex,
         _assign_frozen,
+        _assign_frozen_grouped,
         _pq_encode_udf,
+        _pygkey,
         ivf_build,
         ivf_centers_table,
         ivf_index_from_tables,
@@ -1831,9 +1860,16 @@ def streaming_ivf_ingest(
             )
         return _cb_cache["cb"]
 
+    key_cols = ([group_col] if group_col else []) + [vec_id]
+
     def _resolve_batch(batch):
+        if group_col is not None and group_col not in batch.columns:
+            raise ValueError(
+                f"streaming_ivf_ingest: group_col={group_col!r} given "
+                "but the micro-batch has no such column"
+            )
         if version_col is not None:
-            w = Window.partitionBy(vec_id).orderBy(
+            w = Window.partitionBy(*key_cols).orderBy(
                 F.col(version_col).desc(),
                 F.hash(F.col(vec_col)).desc(),
             )
@@ -1843,7 +1879,7 @@ def streaming_ivf_ingest(
                 .drop("_rn")
             )
         dup = (
-            batch.groupBy(vec_id)
+            batch.groupBy(*key_cols)
             .count()
             .filter(F.col("count") > 1)
             .head(1)
@@ -1851,12 +1887,87 @@ def streaming_ivf_ingest(
         if dup:
             raise ValueError(
                 f"streaming_ivf_ingest: micro-batch carries multiple "
-                f"rows for {vec_id}={dup[0][0]!r} — both would survive "
-                "the history anti-join and be searchable twice; pass "
-                "version_col= for last-wins resolution or dedup the "
-                "stream upstream"
+                f"rows for {tuple(key_cols)}={tuple(dup[0][:-1])!r} — "
+                "both would survive the history anti-join and be "
+                "searchable twice; pass version_col= for last-wins "
+                "resolution or dedup the stream upstream"
             )
         return batch
+
+    def _flag_check(centers_df):
+        # groupedness is schema-authoritative from the CENTERS table
+        # (like positions/pq_codes): a flip in either direction would
+        # make the (group, id) vs id-only replay delete wrong rows
+        store_g = [
+            c
+            for c in centers_df.columns
+            if c not in ("cell", "center", "mean_fit_dist")
+        ]
+        store_gcol = store_g[0] if store_g else None
+        if store_gcol != group_col:
+            raise ValueError(
+                f"streaming_ivf_ingest: the store's centers table says "
+                f"group_col={store_gcol!r} but this fold was given "
+                f"group_col={group_col!r} — groupedness is decided by "
+                "the store; pass the column it was built with (or "
+                "rebuild the store to change it)"
+            )
+
+    def _ensure_groups(idx, bdf, cv_now):
+        """Fit-on-first-appearance: batch groups the store has never
+        seen get centroids fitted from THIS batch (seeded — a crash
+        replay refits identically) and the merged centers commit as a
+        NEW version BEFORE any list write, so a crash between the two
+        converges on replay. Existing groups' centroids are carried
+        verbatim — still frozen."""
+        if group_col is None:
+            return idx
+        src = bdf.filter(F.col(vec_col).isNotNull())
+        known = {_pygkey(g) for g in idx.centers}
+        groups = [
+            r[group_col]
+            for r in src.select(group_col).distinct().collect()
+        ]
+        new = [g for g in groups if _pygkey(g) not in known]
+        if not new:
+            return idx
+        cond = None
+        non_null = [g for g in new if g is not None]
+        if non_null:
+            cond = F.col(group_col).isin(non_null)
+        if any(g is None for g in new):
+            isn = F.col(group_col).isNull()
+            cond = isn if cond is None else (cond | isn)
+        new_idx = ivf_build(
+            src.filter(cond),
+            corpus_id=vec_id,
+            vec_col=vec_col,
+            n_clusters=n_clusters,
+            seed=seed,
+            max_fit_rows=max_fit_rows,
+            group_col=group_col,
+        )
+        merged = IvfIndex(
+            new_idx.assigned,  # session carrier; lists live in the store
+            {**idx.centers, **new_idx.centers},
+            n_clusters,
+            {**idx.mean_fit_dist, **new_idx.mean_fit_dist},
+            group_col=group_col,
+            group_type=new_idx.group_type,
+        )
+        write_table_version(
+            ivf_centers_table(merged), cpath, cv_now + 1
+        )
+        return merged
+
+    def _assign_rows(idx, bdf):
+        if group_col is not None:
+            return _assign_frozen_grouped(
+                idx, bdf, vec_id, vec_col, max_drift, pin=False
+            ).select("neighbor_id", "_cv", "_cell", group_col)
+        return _assign_frozen(
+            idx, bdf, vec_id, vec_col, max_drift, pin=False
+        ).select("neighbor_id", "_cv", "_cell")
 
     def _process(batch_df, batch_id):
         if not batch_df.head(1):
@@ -1888,6 +1999,7 @@ def streaming_ivf_ingest(
                 n_clusters=n_clusters,
                 seed=seed,
                 max_fit_rows=max_fit_rows,
+                group_col=group_col,
             )
             write_table_version(ivf_centers_table(idx), cpath, 1)
             base = idx.assigned
@@ -1900,14 +2012,14 @@ def streaming_ivf_ingest(
             )
             return
         centers = read_table_version(bspark, cpath, cv)
+        _flag_check(centers)
         if mv is None:
             # crash landed between the centers commit and the first
             # inverted-list write: re-sign this batch under the
             # committed frozen centers and write the missing base
             shell = ivf_index_from_tables(None, centers)
-            first = _assign_frozen(
-                shell, batch_df, vec_id, vec_col, max_drift, pin=False
-            ).select("neighbor_id", "_cv", "_cell")
+            shell = _ensure_groups(shell, batch_df, cv)
+            first = _assign_rows(shell, batch_df)
             if codebook_m is not None:
                 # seeded pq_fit on the SAME replayed batch refits the
                 # identical codebook, so a crash between the codebook
@@ -1930,7 +2042,10 @@ def streaming_ivf_ingest(
             )
             return
         state = read_index_version(
-            bspark, table_path, None, "neighbor_id"
+            bspark,
+            table_path,
+            None,
+            [group_col, "neighbor_id"] if group_col else "neighbor_id",
         )
         # codes are schema-authoritative, like positionality in the
         # lexical loop: the store decides; a flag flip cannot retrofit
@@ -1946,13 +2061,13 @@ def streaming_ivf_ingest(
                 "from the first fold"
             )
         idx = ivf_index_from_tables(state, centers)
-        assigned = _assign_frozen(
-            idx, batch_df, vec_id, vec_col, max_drift, pin=False
-        ).select("neighbor_id", "_cv", "_cell")
+        idx = _ensure_groups(idx, batch_df, cv)
+        assigned = _assign_rows(idx, batch_df)
         if has_codes:
             assigned = _with_codes(assigned, cb)
         replaced = batch_df.select(
-            F.col(vec_id).alias("neighbor_id")
+            *([group_col] if group_col else []),
+            F.col(vec_id).alias("neighbor_id"),
         ).distinct()
         # base-vs-delta decided from the COMMITTED store alone (the
         # streaming_index_ingest cadence — retention term NON-optional,
@@ -1976,9 +2091,22 @@ def streaming_ivf_ingest(
             cadence is not None and deltas_since + 1 >= cadence
         )
         if write_base:
-            folded = state.join(
-                F.broadcast(replaced), "neighbor_id", "left_anti"
-            ).select(*state.columns).unionByName(assigned)
+            if group_col is not None:
+                # (group, id) keys, NULL-safe — the grouped replay
+                # contract (read_index_version's list-key fold)
+                r = replaced.select(
+                    F.col(group_col).alias("_r_g"),
+                    F.col("neighbor_id").alias("_r_id"),
+                )
+                cond = F.col(group_col).eqNullSafe(
+                    F.col("_r_g")
+                ) & F.col("neighbor_id").eqNullSafe(F.col("_r_id"))
+                anti = state.join(F.broadcast(r), cond, "left_anti")
+            else:
+                anti = state.join(
+                    F.broadcast(replaced), "neighbor_id", "left_anti"
+                )
+            folded = anti.select(*state.columns).unionByName(assigned)
             write_table_version(folded, table_path, next_v)
         else:
             assigned.write.mode("overwrite").parquet(

@@ -2350,3 +2350,156 @@ def test_ivf_pq_refine_k_full_probe_is_exact(spark, tables):
     assert got == exact
     with pytest.raises(ValueError, match=">= k"):
         ivf_pq_topk(queries, idx, cb, cells, k=5, refine_k=2)
+
+
+def test_streaming_ivf_ingest_grouped_store(spark, tmp_path):
+    """The grouped streaming vector store: per-group frozen centroids,
+    (group, id) replace/delete across folds with colliding ids, a NEW
+    group fitted on first appearance (centers table grows a version;
+    old groups' centroids stay frozen verbatim), NULL group included,
+    and groupedness is schema-authoritative (flag flips refuse)."""
+    import numpy as np
+
+    from datamunging_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_search,
+    )
+    from datamunging_spark.sources.versioned import (
+        latest_table_version,
+        read_table_version,
+    )
+    from datamunging_spark.streaming import (
+        load_ivf_index,
+        streaming_ivf_ingest,
+    )
+
+    rng = np.random.RandomState(23)
+    schema = "vec_id int, grp string, embedding array<double>"
+
+    def mk(rows):
+        return [
+            (i, g, [float(x) for x in rng.randn(8)]) for g, i in rows
+        ]
+
+    # fold 1: groups a + NULL, ids collide across groups by design
+    b1 = mk([("a", i) for i in range(20)] + [(None, i) for i in range(20)])
+    # fold 2: NEW group b appears; replace a's id 3; delete NULL's id 4
+    b2 = mk([("b", i) for i in range(20)] + [("a", 3)])
+    b2.append((4, None, None))
+    src = tmp_path / "givf_src"
+    src.mkdir()
+    table = str(tmp_path / "givf_store")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(src / "f0")
+    )
+    s1 = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    assert streaming_ivf_ingest(
+        s1, table, checkpoint_path=str(tmp_path / "givf_c1"),
+        n_clusters=4, seed=7, group_col="grp",
+    ) == 1
+    cpath = f"{table}_centers"
+    assert latest_table_version(spark, cpath) == 1
+    c1 = read_table_version(spark, cpath, 1)
+    assert c1.columns == ["grp", "cell", "center", "mean_fit_dist"]
+    groups_v1 = {r["grp"] for r in c1.select("grp").distinct().collect()}
+    assert groups_v1 == {"a", None}
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    s2 = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    assert streaming_ivf_ingest(
+        s2, table, checkpoint_path=str(tmp_path / "givf_c1"),
+        n_clusters=4, seed=7, group_col="grp",
+    ) == 2
+    # new group b minted a centers version; a's centroids unchanged
+    assert latest_table_version(spark, cpath) == 2
+    c2 = read_table_version(spark, cpath, 2)
+    assert {
+        r["grp"] for r in c2.select("grp").distinct().collect()
+    } == {"a", "b", None}
+    a1 = {
+        r["cell"]: r["center"]
+        for r in c1.filter(F.col("grp") == "a").collect()
+    }
+    a2 = {
+        r["cell"]: r["center"]
+        for r in c2.filter(F.col("grp") == "a").collect()
+    }
+    assert a1 == a2
+    idx = load_ivf_index(spark, table)
+    assert idx.group_col == "grp"
+    rows = idx.assigned.collect()
+    # 40 (fold 1) + 20 (b) + replace (net 0) - delete (1) = 59
+    assert len(rows) == 59
+    assert not [
+        r for r in rows if r["grp"] is None and r["neighbor_id"] == 4
+    ]  # NULL group's id 4 deleted...
+    assert [
+        r for r in rows if r["grp"] == "a" and r["neighbor_id"] == 4
+    ]  # ...but a's id 4 survives the collision
+    # grouped search over the store == per-group brute force (all
+    # cells probed)
+    q = spark.createDataFrame(
+        [(0, "a", [float(x) for x in rng.randn(8)])], schema
+    ).withColumnRenamed("embedding", "embedding")
+    got = sorted(
+        (r["rank"], r["neighbor_id"])
+        for r in ivf_search(q, idx, k=5, n_probe=4).collect()
+    )
+    corpus_a = spark.createDataFrame(
+        [
+            (r["neighbor_id"], r["_cv"])
+            for r in rows
+            if r["grp"] == "a"
+        ],
+        "vec_id int, embedding array<double>",
+    )
+    want = sorted(
+        (r["rank"], r["neighbor_id"])
+        for r in brute_force_topk(
+            q.select("vec_id", "embedding"), corpus_a, k=5,
+            arrow_cosine=True,
+        ).collect()
+    )
+    assert got == want
+    # flag flips refuse in both directions
+    spark.createDataFrame(
+        mk([("a", 100)]), schema
+    ).coalesce(1).write.parquet(str(src / "f2"))
+    s3 = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    with pytest.raises(Exception, match="decided by"):
+        streaming_ivf_ingest(
+            s3, table, checkpoint_path=str(tmp_path / "givf_c1"),
+            n_clusters=4, seed=7,
+        )
+    # ungrouped store refuses a grouped fold
+    usrc = tmp_path / "givf_usrc"
+    usrc.mkdir()
+    utable = str(tmp_path / "givf_ustore")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(usrc / "f0")
+    )
+    u1 = spark.readStream.schema(schema).parquet(str(usrc) + "/*")
+    # ungrouped fold over the same rows (ids collide → needs distinct
+    # ids; use grp-a rows only)
+    ua = spark.createDataFrame(
+        mk([("x", i) for i in range(10)]), schema
+    )
+    import shutil
+
+    shutil.rmtree(usrc)
+    usrc.mkdir()
+    ua.coalesce(1).write.parquet(str(usrc / "f0"))
+    u1 = spark.readStream.schema(schema).parquet(str(usrc) + "/*")
+    assert streaming_ivf_ingest(
+        u1, utable, checkpoint_path=str(tmp_path / "givf_c4"),
+        n_clusters=4, seed=7,
+    ) == 1
+    ua2 = spark.createDataFrame(mk([("x", 50)]), schema)
+    ua2.coalesce(1).write.parquet(str(usrc / "f1"))
+    u2 = spark.readStream.schema(schema).parquet(str(usrc) + "/*")
+    with pytest.raises(Exception, match="decided by"):
+        streaming_ivf_ingest(
+            u2, utable, checkpoint_path=str(tmp_path / "givf_c4"),
+            n_clusters=4, seed=7, group_col="grp",
+        )
