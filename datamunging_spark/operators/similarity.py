@@ -1567,6 +1567,12 @@ def pq_topk(
     if not q_rows:
         raise ValueError("empty query batch")
     q_ids = np.array([r["query_id"] for r in q_rows])
+    if len(set(q_ids.tolist())) != len(q_ids):
+        raise ValueError(
+            "pq_topk: duplicate query ids in the batch — query_id is "
+            "the output key (one row per query, even on grouped "
+            "corpora); re-key the batch"
+        )
     qx = np.stack([np.asarray(r["_qv"]) for r in q_rows]).astype(np.float64)
     sub = codebook.sub_dim
     # LUT[q, j, c] = <q_subvec_j, centroid_jc>
@@ -1700,6 +1706,7 @@ def ivf_pq_topk(
     n_probe: int = 4,
     codes_col: str = "pq_codes",
     refine_k: int | None = None,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ ADC search: each query visits its ``n_probe`` nearest cells
     (computed driver-side from the same query batch the ADC lookup table
@@ -1716,51 +1723,118 @@ def ivf_pq_topk(
     broadcast join against ``index.assigned``'s full vectors re-ranks
     on the EXACT dot product and keeps k — most of the quantization
     recall loss back for one small join (the FAISS RefineFlat shape;
-    recall-vs-refine_k measured in SCALE.md)."""
+    recall-vs-refine_k measured in SCALE.md).
+
+    GROUPED index (one GLOBAL codebook — PQ quantizes vectors
+    group-independently): queries carry the group column, each query
+    probes ITS group's centroids, candidates join on (group, cell)
+    from a grouped ``encoded_cells`` (:func:`pq_encode_cells` keeps
+    the group), the refine join keys (group, id), and the group rides
+    the output — :func:`ivf_search`'s grouped contract on the
+    quantized tier. ``filter_ids``: the :func:`ivf_search` pre-filter
+    contract — the id-set (or (group, id) table on grouped indexes)
+    semi-joins the probed-cell candidates BEFORE scoring."""
     import numpy as np
 
-    from pyspark.sql.types import DoubleType, StructField, StructType
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType,
+    )
 
-    if index.group_col is not None:
-        raise ValueError(
-            "ivf_pq_topk: grouped IVF-PQ search is not implemented — "
-            "search grouped indexes with ivf_search (flat vectors), "
-            "or build an ungrouped IVF-PQ index per group"
-        )
     if refine_k is not None and refine_k < k:
         raise ValueError(
             f"ivf_pq_topk: refine_k={refine_k} must be >= k={k}"
         )
+    grouped = index.group_col is not None
+    gb = [index.group_col] if grouped else []
     books = codebook.codebooks
     m = codebook.m
     sub = codebook.sub_dim
     centers = index.centers
-    q_rows = queries.select(
-        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
-    ).collect()
+    if grouped:
+        if index.group_col not in queries.columns:
+            raise ValueError(
+                f"ivf_pq_topk: grouped index (group_col="
+                f"{index.group_col!r}) but the query batch has no "
+                "such column — queries must carry their group"
+            )
+        if index.group_col not in encoded_cells.columns:
+            raise ValueError(
+                "ivf_pq_topk: grouped index but encoded_cells has no "
+                f"{index.group_col!r} column — encode with "
+                "pq_encode_cells on the grouped index"
+            )
+        q_rows = queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.col(index.group_col).alias("_g"),
+        ).collect()
+    else:
+        q_rows = queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+        ).collect()
     if not q_rows:
         raise ValueError("empty query batch")
     q_ids = [r["query_id"] for r in q_rows]
+    if len(set(q_ids)) != len(q_ids):
+        raise ValueError(
+            "ivf_pq_topk: duplicate query ids in the batch — query_id "
+            "is the output key (one row per query, even on grouped "
+            "corpora: a 'a'/q1 vs 'b'/q1 collision would share one ADC "
+            "lookup row and one ranking window); re-key the batch"
+        )
     qx = np.stack([np.asarray(r["_qv"]) for r in q_rows]).astype(np.float64)
     lut = np.einsum("qjs,jcs->qjc", qx.reshape(len(qx), m, sub), books)
     qpos = {qid: i for i, qid in enumerate(q_ids)}
 
-    d = ((qx[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
-    n_probe_eff = min(n_probe, index.n_clusters)
-    probed = np.argsort(d, axis=1)[:, :n_probe_eff]
     spark = queries.sparkSession
     qid_type = queries.schema[query_id].dataType
-    q_cells = spark.createDataFrame(
-        [(qid, int(c)) for qid, row in zip(q_ids, probed) for c in row],
-        StructType(
+    if grouped:
+        centers_by_gk = {_pygkey(g): c for g, c in centers.items()}
+        cell_rows = []
+        for r, qv in zip(q_rows, qx):
+            gk = _pygkey(r["_g"])
+            c = centers_by_gk.get(gk)
+            if c is None:
+                raise ValueError(
+                    f"ivf_pq_topk: query group {r['_g']!r} has no "
+                    "centroids in this index — the group was never "
+                    "built"
+                )
+            d = ((qv[None, :] - c) ** 2).sum(axis=1)
+            for cell in np.argsort(d)[: min(int(n_probe), len(c))]:
+                cell_rows.append((r["query_id"], gk, int(cell)))
+        q_cells = spark.createDataFrame(
+            cell_rows,
+            StructType(
+                [
+                    StructField("query_id", qid_type),
+                    StructField("_gk", StringType()),
+                    StructField(
+                        "_cell", encoded_cells.schema["_cell"].dataType
+                    ),
+                ]
+            ),
+        )
+    else:
+        d = ((qx[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        n_probe_eff = min(n_probe, index.n_clusters)
+        probed = np.argsort(d, axis=1)[:, :n_probe_eff]
+        q_cells = spark.createDataFrame(
             [
-                StructField("query_id", qid_type),
-                StructField(
-                    "_cell", encoded_cells.schema["_cell"].dataType
-                ),
-            ]
-        ),
-    )
+                (qid, int(c))
+                for qid, row in zip(q_ids, probed)
+                for c in row
+            ],
+            StructType(
+                [
+                    StructField("query_id", qid_type),
+                    StructField(
+                        "_cell", encoded_cells.schema["_cell"].dataType
+                    ),
+                ]
+            ),
+        )
 
     schema = StructType(
         [
@@ -1798,12 +1872,21 @@ def ivf_pq_topk(
                 .head(k_adc + 1)
             )
 
-    local = (
-        F.broadcast(q_cells)
-        .join(encoded_cells, "_cell")
-        .select("query_id", "neighbor_id", codes_col)
-        .mapInPandas(scan, schema=schema)
-    )
+    if grouped:
+        from datamunging_spark.operators.retrieval import _gkey
+
+        cand_enc = encoded_cells.withColumn(
+            "_gk", _gkey(index.group_col)
+        )
+        joined = F.broadcast(q_cells).join(cand_enc, ["_gk", "_cell"])
+    else:
+        joined = F.broadcast(q_cells).join(encoded_cells, "_cell")
+    if filter_ids is not None:
+        flt, fjk = _filter_id_set(filter_ids, index, "ivf_pq_topk")
+        joined = joined.join(flt, fjk, "semi")
+    local = joined.select(
+        "query_id", "neighbor_id", codes_col
+    ).mapInPandas(scan, schema=schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
@@ -1812,10 +1895,69 @@ def ivf_pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k_adc)
     )
+    # one group per query row (the grouped-retrieval contract): the
+    # group rides back onto the output via the broadcast query batch
+    qgroups = (
+        F.broadcast(
+            queries.select(
+                F.col(query_id).alias("query_id"), *gb
+            ).distinct()
+        )
+        if grouped
+        else None
+    )
     if refine_k is None:
-        return adc.select(
+        out = adc.select(
             "query_id", "neighbor_id", "rank",
             F.round("score", 6).alias("score"),
+        )
+        if grouped:
+            out = out.join(qgroups, "query_id").select(
+                "query_id", *gb, "neighbor_id", "rank", "score"
+            )
+        return out
+    if grouped:
+        from datamunging_spark.operators.retrieval import _gkey
+
+        cands = (
+            adc.select("query_id", "neighbor_id")
+            .join(qgroups, "query_id")
+            .withColumn("_gk", _gkey(index.group_col))
+            .select("query_id", "_gk", "neighbor_id")
+        )
+        vecs = index.assigned.withColumn(
+            "_gk", _gkey(index.group_col)
+        ).select("_gk", "neighbor_id", "_cv")
+        exact = (
+            vecs.join(F.broadcast(cands), ["_gk", "neighbor_id"])
+            .join(
+                F.broadcast(
+                    queries.select(
+                        F.col(query_id).alias("query_id"),
+                        F.col(vec_col).alias("_qv"),
+                    )
+                ),
+                "query_id",
+            )
+            .select(
+                "query_id",
+                "_gk",
+                "neighbor_id",
+                dot_product(F.col("_qv"), F.col("_cv")).alias("score"),
+            )
+        )
+        wr = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("neighbor_id")
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+            .drop("_gk")
+            .join(qgroups, "query_id")
+            .select(
+                "query_id", *gb, "neighbor_id", "rank",
+                F.round("score", 6).alias("score"),
+            )
         )
     return _exact_rerank(
         adc.select("query_id", "neighbor_id"),

@@ -2503,3 +2503,131 @@ def test_streaming_ivf_ingest_grouped_store(spark, tmp_path):
             u2, utable, checkpoint_path=str(tmp_path / "givf_c4"),
             n_clusters=4, seed=7, group_col="grp",
         )
+
+
+def test_grouped_ivf_pq_topk_equals_per_slice_and_filters(spark):
+    """Grouped IVF-PQ search ≡ per-slice ungrouped ivf_pq_topk runs
+    (one GLOBAL codebook, per-group cells) with colliding ids and the
+    NULL group; refine_k at full probe ≡ per-group exact dot ranking;
+    filter_ids constrains per (group, id)."""
+    import numpy as np
+
+    from datamunging_spark.operators.similarity import (
+        IvfIndex,
+        ivf_build,
+        ivf_pq_topk,
+        pq_encode_cells,
+        pq_fit,
+    )
+
+    rng = np.random.RandomState(17)
+    rows = [
+        (i, g, [float(x) for x in rng.randn(16)])
+        for g in ("a", "b", None)
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id int, grp string, embedding array<double>"
+    ).localCheckpoint()
+    gidx = ivf_build(corpus, n_clusters=4, group_col="grp")
+    gidx.assigned = gidx.assigned.localCheckpoint()
+    cb = pq_fit(corpus, m=4, k=16, seed=9)
+    cells = pq_encode_cells(gidx, cb).localCheckpoint()
+    # query ids are the OUTPUT key and must be unique across the
+    # batch even on grouped corpora (duplicate ids fail fast below) —
+    # pick disjoint per-group id ranges, all still self-excluded
+    queries = corpus.filter(
+        ((F.col("grp") == "a") & (F.col("vec_id") < 2))
+        | ((F.col("grp") == "b") & F.col("vec_id").between(2, 3))
+        | (F.col("grp").isNull() & F.col("vec_id").between(4, 5))
+    ).localCheckpoint()
+    skey = lambda t: (str(t[0]), t[1], t[2], t[3])  # noqa: E731
+    got = sorted(
+        (
+            (r["grp"], r["query_id"], r["rank"], r["neighbor_id"])
+            for r in ivf_pq_topk(
+                queries, gidx, cb, cells, k=5, n_probe=2
+            ).collect()
+        ),
+        key=skey,
+    )
+    assert len(got) == 30  # 6 query rows x k
+    want = []
+    for gval in ("a", "b", None):
+        cond = (
+            F.col("grp").isNull()
+            if gval is None
+            else F.col("grp") == gval
+        )
+        sidx = IvfIndex(
+            gidx.assigned.filter(cond).select(
+                "neighbor_id", "_cv", "_cell"
+            ),
+            gidx.centers[gval],
+            gidx.n_clusters,
+            gidx.mean_fit_dist[gval],
+        )
+        scells = cells.filter(cond).select(
+            "neighbor_id", "_cell", "pq_codes"
+        )
+        want.extend(
+            (gval, r["query_id"], r["rank"], r["neighbor_id"])
+            for r in ivf_pq_topk(
+                queries.filter(cond), sidx, cb, scells, k=5, n_probe=2
+            ).collect()
+        )
+    assert got == sorted(want, key=skey)
+    # refine_k at full probe == per-group exact dot ranking
+    mat = {
+        (r["grp"], r["vec_id"]): np.asarray(
+            r["embedding"], dtype=np.float64
+        )
+        for r in corpus.collect()
+    }
+    exact = {}
+    for qr in queries.collect():
+        qv = mat[(qr["grp"], qr["vec_id"])]
+        ranked = sorted(
+            (
+                (float(qv @ v), -i)
+                for (g, i), v in mat.items()
+                if g == qr["grp"] and i != qr["vec_id"]
+            ),
+            reverse=True,
+        )[:5]
+        exact[(qr["grp"], qr["vec_id"])] = [-i for _, i in ranked]
+    ref = {}
+    for r in sorted(
+        ivf_pq_topk(
+            queries, gidx, cb, cells, k=5, n_probe=4, refine_k=200
+        ).collect(),
+        key=lambda r: (str(r["grp"]), r["query_id"], r["rank"]),
+    ):
+        ref.setdefault((r["grp"], r["query_id"]), []).append(
+            r["neighbor_id"]
+        )
+    assert ref == exact
+    # (group, id) filter: only group a's even ids allowed
+    flt = spark.createDataFrame(
+        [("a", i) for i in range(0, 40, 2)], "grp string, vec_id int"
+    )
+    fout = ivf_pq_topk(
+        queries.filter(F.col("grp") == "a"),
+        gidx, cb, cells, k=5, n_probe=4, filter_ids=flt,
+    ).collect()
+    assert len(fout) == 10
+    assert all(
+        r["grp"] == "a" and r["neighbor_id"] % 2 == 0 for r in fout
+    )
+    # grouped index demands grouped encoded_cells and grouped queries
+    with pytest.raises(ValueError, match="pq_encode_cells"):
+        ivf_pq_topk(
+            queries, gidx, cb,
+            cells.drop("grp"), k=5,
+        )
+    with pytest.raises(ValueError, match="no such column"):
+        ivf_pq_topk(queries.drop("grp"), gidx, cb, cells, k=5)
+    # colliding QUERY ids fail fast (one ADC row per query id)
+    dup_q = corpus.filter(F.col("vec_id") == 9)
+    with pytest.raises(ValueError, match="duplicate query ids"):
+        ivf_pq_topk(dup_q, gidx, cb, cells, k=5)
