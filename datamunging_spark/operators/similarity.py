@@ -28,6 +28,7 @@ def brute_force_topk(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     arrow_cosine: bool = False,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -44,33 +45,50 @@ def brute_force_topk(
     batches where the interpreted HOF arithmetic dominates; results are
     identical up to float summation order.
 
+    ``group_col``: the grouped face — both sides carry the group, each
+    query ranks ONLY its group's corpus slice (the broadcast nested
+    loop becomes a broadcast hash join on the NULL-safe group key, so
+    grouping makes the exact tier CHEAPER, not costlier), ids need be
+    unique only within their group (self-exclusion keys (group, id)),
+    the group rides the output. Query ids stay the output key.
+
     Generalizes MLlib ``findSynonyms`` (R39, reference README.md:388-392)
     to any array<float> column.
     """
+    gb = [group_col] if group_col else []
     q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        *gb,
     )
     c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        *gb,
     )
     cos = (
         _cosine_udf()(F.col("_qv"), F.col("_cv"))
         if arrow_cosine
         else cosine_similarity(F.col("_qv"), F.col("_cv"))
     )
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-    )
+    if group_col:
+        from datamunging_spark.operators.retrieval import _gkey
+
+        q = q.withColumn("_gk", _gkey(group_col))
+        c = c.withColumn("_gk", _gkey(group_col)).drop(group_col)
+        scored = F.broadcast(q).join(c, "_gk")
+    else:
+        scored = F.broadcast(q).crossJoin(c)
+    scored = scored.filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", *gb, "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
+        .select("query_id", *gb, "neighbor_id", "rank", "cosine")
     )
 
 
@@ -1074,7 +1092,11 @@ class LshIndex:
     enough — no matrix artifact needed). Build once with
     :func:`lsh_build`, search many batches with :func:`lsh_search`;
     persist ``bucketed`` (or write partitioned by ``_t, _bk``) to stop
-    paying the corpus bucketing matmul per query batch."""
+    paying the corpus bucketing matmul per query batch. ``group_col``:
+    the grouped face — hyperplanes are data-independent, so grouping is
+    purely a join-key matter: ``bucketed`` keeps the group column and
+    search collides on (group, table, bucket); ids need be unique only
+    within their group."""
 
     def __init__(
         self,
@@ -1083,12 +1105,14 @@ class LshIndex:
         n_planes: int,
         n_tables: int,
         seed: int,
+        group_col: str | None = None,
     ):
         self.bucketed = bucketed
         self.dim = dim
         self.n_planes = n_planes
         self.n_tables = n_tables
         self.seed = seed
+        self.group_col = group_col
 
 
 def lsh_build(
@@ -1099,16 +1123,22 @@ def lsh_build(
     n_planes: int = 8,
     n_tables: int = 8,
     seed: int = 42,
+    group_col: str | None = None,
 ) -> LshIndex:
     """Bucket the corpus into all ``n_tables`` hash tables: one
-    Arrow-batched numpy matmul + one posexplode over the corpus scan."""
+    Arrow-batched numpy matmul + one posexplode over the corpus scan.
+    ``group_col`` rides the bucketed rows (see :class:`LshIndex`)."""
+    gb = [group_col] if group_col else []
     udf = _bucket_udf(dim, n_planes, n_tables, seed)
     bucketed = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
+        *gb,
         F.posexplode(udf(F.col(vec_col))).alias("_t", "_bk"),
     )
-    return LshIndex(bucketed, dim, n_planes, n_tables, seed)
+    return LshIndex(
+        bucketed, dim, n_planes, n_tables, seed, group_col=group_col
+    )
 
 
 def lsh_search(
@@ -1117,27 +1147,57 @@ def lsh_search(
     k: int = 10,
     query_id: str = "vec_id",
     vec_col: str = "embedding",
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Search a built :class:`LshIndex`: bucket the (small) query batch
     with the index's hyperplanes, equi-join on (table, bucket), rescore
-    candidates by exact cosine, keep top-k."""
+    candidates by exact cosine, keep top-k. GROUPED index: queries
+    carry the group, collisions join on (group, table, bucket), the
+    group rides the output. ``filter_ids``: the :func:`ivf_search`
+    pre-filter contract — the id-set (or (group, id) table) semi-joins
+    the bucket-collision candidates BEFORE rescoring, so k fills from
+    the filtered sub-corpus at the index's ordinary collision recall."""
+    grouped = index.group_col is not None
+    gb = [index.group_col] if grouped else []
+    if grouped and index.group_col not in queries.columns:
+        raise ValueError(
+            f"lsh_search: grouped index (group_col="
+            f"{index.group_col!r}) but the query batch has no such "
+            "column — queries must carry their group"
+        )
     udf = _bucket_udf(index.dim, index.n_planes, index.n_tables, index.seed)
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("_qv"),
+        *gb,
         F.posexplode(udf(F.col(vec_col))).alias("_t", "_bk"),
     )
+    cand = index.bucketed
+    jk = ["_t", "_bk"]
+    if grouped:
+        from datamunging_spark.operators.retrieval import _gkey
+
+        q = q.withColumn("_gk", _gkey(index.group_col))
+        cand = cand.withColumn("_gk", _gkey(index.group_col)).drop(
+            index.group_col
+        )
+        jk = ["_gk", "_t", "_bk"]
     scored = (
         F.broadcast(q)
-        .join(index.bucketed, on=["_t", "_bk"])
+        .join(cand, on=jk)
         .drop("_t", "_bk")
         .dropDuplicates(["query_id", "neighbor_id"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            _cosine_udf()(F.col("_qv"), F.col("_cv")).alias("cosine"),
-        )
+    )
+    if filter_ids is not None:
+        flt, fjk = _filter_id_set(filter_ids, index, "lsh_search")
+        scored = scored.join(flt, fjk, "semi")
+    scored = scored.filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        *gb,
+        "neighbor_id",
+        _cosine_udf()(F.col("_qv"), F.col("_cv")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -1145,7 +1205,7 @@ def lsh_search(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
+        .select("query_id", *gb, "neighbor_id", "rank", "cosine")
     )
 
 

@@ -2631,3 +2631,106 @@ def test_grouped_ivf_pq_topk_equals_per_slice_and_filters(spark):
     dup_q = corpus.filter(F.col("vec_id") == 9)
     with pytest.raises(ValueError, match="duplicate query ids"):
         ivf_pq_topk(dup_q, gidx, cb, cells, k=5)
+
+
+def test_grouped_brute_force_and_lsh_equal_per_slice(spark):
+    """Grouped brute_force_topk / lsh_search ≡ per-slice ungrouped runs
+    with colliding ids and the NULL group (exact equality — the
+    hyperplanes are data-independent, so grouping is purely a join-key
+    matter); lsh filter_ids pre-filters the bucket collisions."""
+    import numpy as np
+
+    from datamunging_spark.operators.similarity import (
+        LshIndex,
+        brute_force_topk,
+        lsh_build,
+        lsh_search,
+    )
+
+    rng = np.random.RandomState(29)
+    rows = [
+        (i, g, [float(x) for x in rng.randn(16)])
+        for g in ("a", "b", None)
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id int, grp string, embedding array<double>"
+    ).localCheckpoint()
+    queries = corpus.filter(
+        ((F.col("grp") == "a") & (F.col("vec_id") < 2))
+        | ((F.col("grp") == "b") & F.col("vec_id").between(2, 3))
+        | (F.col("grp").isNull() & F.col("vec_id").between(4, 5))
+    ).localCheckpoint()
+    skey = lambda t: (str(t[0]), t[1], t[2], t[3])  # noqa: E731
+
+    def per_slice(fn):
+        out = []
+        for gval in ("a", "b", None):
+            cond = (
+                F.col("grp").isNull()
+                if gval is None
+                else F.col("grp") == gval
+            )
+            out.extend(
+                (gval, r["query_id"], r["rank"], r["neighbor_id"])
+                for r in fn(
+                    queries.filter(cond), corpus.filter(cond)
+                ).collect()
+            )
+        return sorted(out, key=skey)
+
+    got_bf = sorted(
+        (
+            (r["grp"], r["query_id"], r["rank"], r["neighbor_id"])
+            for r in brute_force_topk(
+                queries, corpus, k=5, group_col="grp"
+            ).collect()
+        ),
+        key=skey,
+    )
+    assert got_bf == per_slice(
+        lambda q, c: brute_force_topk(q, c, k=5)
+    )
+    assert len(got_bf) == 30
+
+    gidx = lsh_build(
+        corpus, dim=16, n_planes=4, n_tables=4, group_col="grp"
+    )
+    gidx.bucketed = gidx.bucketed.localCheckpoint()
+    got_lsh = sorted(
+        (
+            (r["grp"], r["query_id"], r["rank"], r["neighbor_id"])
+            for r in lsh_search(queries, gidx, k=5).collect()
+        ),
+        key=skey,
+    )
+
+    def slice_lsh(q, c):
+        idx = lsh_build(c, dim=16, n_planes=4, n_tables=4)
+        return lsh_search(q, idx, k=5)
+
+    assert got_lsh == per_slice(slice_lsh)
+    # grouped queries missing the group column refuse
+    with pytest.raises(ValueError, match="no such column"):
+        lsh_search(queries.drop("grp"), gidx, k=5)
+    # filter_ids on (group, id): only group a's even ids allowed
+    flt = spark.createDataFrame(
+        [("a", i) for i in range(0, 40, 2)], "grp string, vec_id int"
+    )
+    fout = lsh_search(
+        queries.filter(F.col("grp") == "a"), gidx, k=5,
+        filter_ids=flt,
+    ).collect()
+    assert fout and all(
+        r["grp"] == "a" and r["neighbor_id"] % 2 == 0 for r in fout
+    )
+    # ungrouped filter face still works (one-column id table)
+    uidx = lsh_build(
+        corpus.filter(F.col("grp") == "a"), dim=16, n_planes=4,
+        n_tables=4,
+    )
+    uout = lsh_search(
+        queries.filter(F.col("grp") == "a"), uidx, k=5,
+        filter_ids=flt.select("vec_id"),
+    ).collect()
+    assert uout and all(r["neighbor_id"] % 2 == 0 for r in uout)
