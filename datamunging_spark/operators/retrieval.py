@@ -260,6 +260,7 @@ def bm25_topk(
     pin: bool = True,
     group_col: str | None = None,
     term_boosts: DataFrame | None = None,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k BM25 hits per query: (query_id, ``id_col``, rank, bm25).
 
@@ -328,6 +329,14 @@ def bm25_topk(
     ``return_terms`` output feeds (RM3-style down-weighted expansion
     terms). Boosts scale scoring only — term matching, the valve, and
     df are boost-blind.
+
+    ``filter_ids``: predicate-constrained search (``WHERE lang='en'``
+    top-k) — a doc-id table (or (group, id) on the grouped face) cut
+    into the matched postings BEFORE scoring, so k fills from the
+    allowed sub-corpus; df/N/avgdl stay CORPUS-level (the Lucene
+    filter-query contract — allowed docs score identically to the
+    unfiltered run; pinned by test). See :func:`_apply_lex_filter`
+    for the join shape and why the valve stays corpus-level.
     """
     gb = [group_col] if group_col else []
     jk = (["_gk"] if group_col else []) + ["term"]
@@ -385,6 +394,11 @@ def bm25_topk(
         dfreq = matched.groupBy(*jk).agg(F.count(F.lit(1)).alias("df"))
         if max_df_frac is not None:
             dfreq = _df_valve(dfreq)
+    # the filter cuts the SCORING branch only — df above is already
+    # captured from the unfiltered matched rows (corpus-level stats)
+    matched = _apply_lex_filter(
+        matched, filter_ids, group_col, id_col, "bm25_topk"
+    )
     # df/qt/stats are all query-sized: broadcast every one of them so
     # the matched-postings branch flows shuffle-free into the score agg.
     scored = matched.join(
@@ -590,6 +604,7 @@ def boolean_topk(
     min_should_match: int = 0,
     pin: bool = True,
     group_col: str | None = None,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Boolean retrieval (the Lucene BooleanQuery trio) ranked by BM25:
     (query_id, ``id_col``, rank, n_must, n_should, bm25). ``queries``
@@ -644,7 +659,13 @@ def boolean_topk(
     grouped face over a grouped index — same contract as
     :func:`bm25_topk`'s (queries carry the group, per-group stats/df,
     NULL-safe, the group rides the output; hotness is judged against
-    the query's OWN group's df/n_docs)."""
+    the query's OWN group's df/n_docs). ``filter_ids``: predicate-
+    constrained search — the :func:`bm25_topk` contract (doc-id or
+    (group, id) table, corpus-level df, k fills from the allowed
+    sub-corpus); the cut lands before EVERY doc-grain branch
+    (scoring, must-counting, banned pairs), which is sound because
+    boolean evaluation is per-doc: a doc outside the filter can
+    neither qualify nor be banned."""
     gb = [group_col] if group_col else []
     jk = (["_gk"] if group_col else []) + ["term"]
     if group_col:
@@ -732,6 +753,11 @@ def boolean_topk(
             hot = _hot_terms(dfreq)
             roles = roles.join(F.broadcast(hot), jk, "left_anti")
             dfreq = dfreq.join(F.broadcast(hot), jk, "left_anti")
+    # df above is captured pre-filter (corpus-level stats); the cut
+    # here feeds every doc-grain branch — scoring, req, banned
+    matched = _apply_lex_filter(
+        matched, filter_ids, group_col, id_col, "boolean_topk"
+    )
     hits = matched.join(F.broadcast(roles), jk)
 
     # BM25 over the matched (query, doc, term) scoring rows
@@ -853,6 +879,7 @@ def phrase_topk(
     dfreq: DataFrame | None = None,
     max_df_frac: float | None = None,
     on_hot: str = "raise",
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Exact phrase search over a POSITIONAL index — top-k docs per
     phrase by phrase frequency: (query_id, ``id_col``, rank,
@@ -891,7 +918,12 @@ def phrase_topk(
     aggregate — phrase search at 100 TB costs one pushed index scan,
     like BM25. ``group_col``: the grouped face over a grouped
     positional index (same contract as :func:`bm25_topk`'s — phrases
-    carry the group, NULL-safe, group rides the output)."""
+    carry the group, NULL-safe, group rides the output).
+    ``filter_ids``: predicate-constrained search — the
+    :func:`bm25_topk` contract (doc-id or (group, id) table; matching
+    is exact so there are no stats to hold fixed; k fills from the
+    allowed sub-corpus). The cut lands on the matched postings before
+    the intersection aggregate, so the guard stays corpus-level."""
     if "positions" not in postings.columns:
         raise ValueError(
             "phrase_topk needs a positional index — build the postings "
@@ -917,7 +949,10 @@ def phrase_topk(
         jk, group_col, "phrase_topk", on_hot,
     )
     qn = qp.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n_terms"))
-    hits = postings.join(F.broadcast(qp), jk).select(
+    hits = _apply_lex_filter(
+        postings.join(F.broadcast(qp), jk),
+        filter_ids, group_col, id_col, "phrase_topk",
+    ).select(
         "query_id",
         *gb,
         id_col,
@@ -1103,6 +1138,53 @@ def _gkey(col: str) -> Column:
     )
 
 
+def _apply_lex_filter(
+    matched: DataFrame,
+    filter_ids: DataFrame | None,
+    group_col: str | None,
+    id_col: str,
+    op: str,
+) -> DataFrame:
+    """Filtered lexical search — cut the MATCHED postings branch to a
+    predicate id-set (the Lucene filter-query contract; the vector
+    family's ``ivf_search(filter_ids=)`` twin). ``filter_ids`` is a
+    one-column doc-id table, or (group, id) — matched by NAME — on a
+    grouped search where ids are only unique within their group; the
+    join is then on (``_gk``, id), NULL-safe. Semantics: the filter
+    constrains CANDIDATE DOCS ONLY — df/N/avgdl stay corpus-level
+    (Lucene never recomputes statistics under a filter), so allowed
+    docs score identically to the unfiltered run and k fills from the
+    allowed sub-corpus instead of under-filling like a post-filtered
+    top-k. Plan: a LEFT SEMI join on the query-term-sized matched
+    branch — no broadcast hint, because a predicate set can be
+    corpus-scale (``lang='en'``); AQE picks a broadcast when the set
+    is small. The filter sits AFTER the postings⋈terms join, so a hot
+    term's corpus slice still flows into this semi-join — the
+    valve/guard stays corpus-level and stays necessary."""
+    if filter_ids is None:
+        return matched
+    cols = filter_ids.columns
+    if group_col is not None and group_col in cols:
+        rest = [c for c in cols if c != group_col]
+        if len(rest) != 1:
+            raise ValueError(
+                f"{op}: filter_ids with the group column must have "
+                f"exactly one id column beside it, got {cols}"
+            )
+        flt = filter_ids.select(
+            _gkey(group_col).alias("_gk"),
+            F.col(rest[0]).alias(id_col),
+        ).distinct()
+        return matched.join(flt, ["_gk", id_col], "left_semi")
+    if len(cols) != 1:
+        raise ValueError(
+            f"{op}: filter_ids must be a one-column doc-id table (or "
+            f"(group, id) for a grouped search), got {cols}"
+        )
+    flt = filter_ids.select(F.col(cols[0]).alias(id_col)).distinct()
+    return matched.join(flt, [id_col], "left_semi")
+
+
 def _positional_hot_guard(
     qterms: DataFrame,
     postings: DataFrame,
@@ -1221,6 +1303,7 @@ def bm25f_topk(
     max_df_frac: float | None = None,
     pin: bool = True,
     group_col: str | None = None,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k weighted multi-field search — simple BM25F (Robertson,
     Zaragoza & Taylor 2004, "Simple BM25 extension to multiple
@@ -1275,7 +1358,10 @@ def bm25f_topk(
     on the valid path) instead of silently dropping that field's
     postings from scoring. A ``weights`` field with no postings
     anywhere simply contributes nothing — validate the fields mapping
-    upstream if that matters."""
+    upstream if that matters. ``filter_ids``: predicate-constrained
+    search — the :func:`bm25_topk` contract (doc-id or (group, id)
+    table; doc-grain df and per-field avgdl stay corpus-level, so
+    allowed docs score identically to the unfiltered run)."""
     if not weights:
         raise ValueError("weights must select at least one field")
     if isinstance(b, dict):
@@ -1353,6 +1439,12 @@ def bm25f_topk(
         if max_df_frac is not None:
             dfreq = _df_valve(dfreq)
     matched = all_matched.filter(F.col("field").isin(*weights))
+    # df above derives from the UNFILTERED all_matched branch — the
+    # filter constrains candidate docs only (corpus-level stats, the
+    # bm25_topk filter_ids contract)
+    matched = _apply_lex_filter(
+        matched, filter_ids, group_col, id_col, "bm25f_topk"
+    )
     favg = fstats.select(*fk, F.col("avgdl").alias("_avgdl"))
     w_f = _field_ladder(weights)
     b_f = _field_ladder(bmap)
@@ -1963,6 +2055,7 @@ def near_topk(
     dfreq: DataFrame | None = None,
     max_df_frac: float | None = None,
     on_hot: str = "raise",
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Proximity search over a POSITIONAL index — Lucene's
     ``SpanNearQuery``: a doc qualifies iff some token window contains
@@ -2004,7 +2097,10 @@ def near_topk(
     through the aggregate; see :func:`_positional_hot_guard`.
     DEFAULT-ARMED at the warn tier (``max_df_frac=0.5``) when
     ``stats`` is provided, like :func:`phrase_topk`; fully off — the
-    parity configuration — only when stats are absent."""
+    parity configuration — only when stats are absent.
+    ``filter_ids``: predicate-constrained search — the
+    :func:`phrase_topk` contract (doc-id or (group, id) table, cut on
+    the matched postings before the window scan)."""
     if "positions" not in postings.columns:
         raise ValueError(
             "near_topk needs a positional index — build the postings "
@@ -2067,9 +2163,10 @@ def near_topk(
         jk, group_col, "near_topk", on_hot,
     )
     qn = qp.groupBy("query_id").agg(F.count(F.lit(1)).alias("_n"))
-    hits = postings.join(F.broadcast(qp), jk).select(
-        "query_id", *gb, id_col, tag.alias("_tagged")
-    )
+    hits = _apply_lex_filter(
+        postings.join(F.broadcast(qp), jk),
+        filter_ids, group_col, id_col, "near_topk",
+    ).select("query_id", *gb, id_col, tag.alias("_tagged"))
     final = lambda acc: F.struct(  # noqa: E731
         acc["best"].alias("best"), acc["bstart"].alias("bstart")
     )

@@ -3031,3 +3031,235 @@ def test_streaming_ingest_names_fielded_store_in_error(
         streaming_index_ingest(
             s, table, checkpoint_path=str(tmp_path / "fi_ck")
         )
+
+
+def _postfilter_rerank(rows, allowed, key, k, asc=False):
+    """Reference for the filter_ids contract: post-filter an
+    EXHAUSTIVE (k=corpus) unfiltered run to the allowed ids and
+    recompute ranks — corpus-level stats mean the scores must match
+    the filtered run exactly."""
+    out = []
+    byq = {}
+    for r in rows:
+        byq.setdefault(r.query_id, []).append(r)
+    for qid, rs in byq.items():
+        kept = [r for r in rs if r.doc_id in allowed]
+        kept.sort(
+            key=lambda r: (
+                key(r) if asc else -key(r),
+                r.doc_id,
+            )
+        )
+        for i, r in enumerate(kept[:k]):
+            out.append((qid, r.doc_id, i + 1, key(r)))
+    return sorted(out)
+
+
+def test_bm25_filter_ids_fills_k_with_corpus_stats(spark):
+    """bm25_topk(filter_ids=): allowed docs score IDENTICALLY to the
+    unfiltered run (corpus-level df/N/avgdl — the Lucene filter-query
+    contract) and k fills from the allowed sub-corpus where a naive
+    post-filter of the top-k under-fills."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark rows fast fast fast"),
+            (2, "spark rows fast fast"),
+            (3, "spark rows fast"),
+            (4, "spark rows"),
+            (5, "spark shuffle"),
+            (6, "zebra herd"),
+        ],
+        "doc_id long, text string",
+    )
+    post = inverted_index(docs)
+    stats = index_stats(docs)
+    dfr = term_stats(post)
+    q = spark.createDataFrame(
+        [(10, "spark fast"), (11, "rows")],
+        "query_id long, query string",
+    )
+    flt = spark.createDataFrame([(4,), (5,), (6,)], "doc_id long")
+    got = sorted(
+        (r.query_id, r.doc_id, r.rank, r.bm25)
+        for r in bm25_topk(post, q, stats, k=2, filter_ids=flt).collect()
+    )
+    full = bm25_topk(post, q, stats, k=10).collect()
+    want = _postfilter_rerank(full, {4, 5, 6}, lambda r: r.bm25, 2)
+    assert got == want
+    # k FILLS from the allowed set: the unfiltered top-2 for q10 is
+    # docs {1, 2} — post-filtering the top-2 yields NOTHING, the
+    # filtered run still returns 2 hits per matching query
+    top2 = [r for r in full if r.query_id == 10 and r.rank <= 2]
+    assert {r.doc_id for r in top2} == {1, 2}
+    assert len([t for t in got if t[0] == 10]) == 2
+    # precomputed-dfreq path agrees with the convenience path
+    got_df = sorted(
+        (r.query_id, r.doc_id, r.rank, r.bm25)
+        for r in bm25_topk(
+            post, q, stats, k=2, dfreq=dfr, filter_ids=flt
+        ).collect()
+    )
+    assert got_df == got
+    # malformed filter tables fail fast
+    with pytest.raises(ValueError, match="one-column"):
+        bm25_topk(
+            post, q, stats, filter_ids=docs.select("doc_id", "text")
+        )
+
+
+def test_grouped_bm25_filter_ids_matches_per_slice(spark):
+    """The grouped filtered face == per-slice filtered runs, with doc
+    ids that COLLIDE across groups ((group, id) filter table, NULL
+    group included); a bare one-column filter on a grouped search
+    cuts that id in EVERY group."""
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "spark rows fast"),
+            (2, "en", "spark broadcast join"),
+            (1, "de", "spark schnell zeilen"),
+            (2, "de", "zeilen zeilen puffer"),
+            (1, None, "spark mystery rows"),
+            (2, None, "spark plain rows"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    post = inverted_index(docs, group_col="lang")
+    stats = index_stats(docs, group_col="lang")
+    q = spark.createDataFrame(
+        [(10, "en", "spark"), (11, "de", "zeilen"), (12, None, "rows")],
+        "query_id long, lang string, query string",
+    )
+    flt = spark.createDataFrame(
+        [("en", 2), ("de", 2), (None, 2)], "lang string, doc_id long"
+    )
+    got = sorted(
+        (r.query_id, r.lang, r.doc_id, r.rank, r.bm25)
+        for r in bm25_topk(
+            post, q, stats, k=5, group_col="lang", filter_ids=flt
+        ).collect()
+    )
+    want = []
+    for lang, qid in (("en", 10), ("de", 11), (None, 12)):
+        cond = (
+            F.col("lang").isNull()
+            if lang is None
+            else F.col("lang") == lang
+        )
+        sl = docs.filter(cond)
+        qs = q.filter(F.col("query_id") == qid).select(
+            "query_id", "query"
+        )
+        one = spark.createDataFrame([(2,)], "doc_id long")
+        for r in bm25_topk(
+            inverted_index(sl), qs, index_stats(sl), k=5,
+            filter_ids=one,
+        ).collect():
+            want.append((r.query_id, lang, r.doc_id, r.rank, r.bm25))
+    assert got == sorted(want)
+    assert {t[2] for t in got} == {2}
+    # bare one-column filter on the grouped face: id 1 cut everywhere
+    bare = sorted(
+        (r.query_id, r.doc_id)
+        for r in bm25_topk(
+            post, q, stats, k=5, group_col="lang",
+            filter_ids=spark.createDataFrame([(2,)], "doc_id long"),
+        ).collect()
+    )
+    assert bare == sorted((t[0], t[2]) for t in got)
+    # (group, id) filter with extra columns fails fast
+    with pytest.raises(ValueError, match="exactly one id column"):
+        bm25_topk(
+            post, q, stats, group_col="lang",
+            filter_ids=docs.select("lang", "doc_id", "text"),
+        )
+
+
+def test_filter_ids_on_boolean_phrase_near_bm25f(spark):
+    """Every lexical search face honors the same filter_ids contract:
+    filtered run == post-filter re-rank of an exhaustive unfiltered
+    run (corpus-level stats), per operator sort order."""
+    from datamunging_spark.operators.retrieval import (
+        bm25f_topk,
+        boolean_topk,
+        field_stats,
+        fielded_index,
+        near_topk,
+        phrase_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark rows fast spark rows"),
+            (2, "spark rows fast"),
+            (3, "fast rows spark"),
+            (4, "spark alone"),
+            (5, "rows alone fast"),
+        ],
+        "doc_id long, text string",
+    )
+    allowed = {2, 3, 5}
+    flt = spark.createDataFrame([(i,) for i in allowed], "doc_id long")
+    post = inverted_index(docs)
+    ppost = inverted_index(docs, positions=True)
+    stats = index_stats(docs)
+
+    bq = spark.createDataFrame(
+        [(20, "rows", "fast spark", "")],
+        "query_id long, must string, should string, must_not string",
+    )
+    got_b = sorted(
+        (r.query_id, r.doc_id, r.rank, r.bm25)
+        for r in boolean_topk(
+            post, bq, stats, k=2, filter_ids=flt
+        ).collect()
+    )
+    want_b = _postfilter_rerank(
+        boolean_topk(post, bq, stats, k=10).collect(),
+        allowed, lambda r: r.bm25, 2,
+    )
+    assert got_b == want_b
+
+    pq = spark.createDataFrame(
+        [(30, "spark rows")], "query_id long, query string"
+    )
+    got_p = sorted(
+        (r.query_id, r.doc_id, r.rank, r.phrase_freq)
+        for r in phrase_topk(ppost, pq, k=2, filter_ids=flt).collect()
+    )
+    want_p = _postfilter_rerank(
+        phrase_topk(ppost, pq, k=10).collect(),
+        allowed, lambda r: r.phrase_freq, 2,
+    )
+    assert got_p == want_p
+    assert got_p and {t[1] for t in got_p} <= allowed
+
+    got_n = sorted(
+        (r.query_id, r.doc_id, r.rank, r.min_span)
+        for r in near_topk(
+            ppost, pq, k=2, slop=1, filter_ids=flt
+        ).collect()
+    )
+    want_n = _postfilter_rerank(
+        near_topk(ppost, pq, k=10, slop=1).collect(),
+        allowed, lambda r: r.min_span, 2, asc=True,
+    )
+    assert got_n == want_n
+
+    fdocs = docs.select(
+        "doc_id", F.col("text").alias("body"),
+        F.split("text", " ").getItem(0).alias("title"),
+    )
+    weights = {"title": 2.0, "body": 1.0}
+    fpost = fielded_index(fdocs, ["title", "body"])
+    fstats = field_stats(fdocs, ["title", "body"])
+    got_f = sorted(
+        (r.query_id, r.doc_id, r.rank, r.bm25f)
+        for r in bm25f_topk(
+            fpost, pq, fstats, weights, k=2, filter_ids=flt
+        ).collect()
+    )
+    want_f = _postfilter_rerank(
+        bm25f_topk(fpost, pq, fstats, weights, k=10).collect(),
+        allowed, lambda r: r.bm25f, 2,
+    )
+    assert got_f == want_f
