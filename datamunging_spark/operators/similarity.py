@@ -2028,3 +2028,121 @@ def ivf_pq_topk(
         index.assigned.select("neighbor_id", "_cv"),
         k,
     )
+
+
+def ivf_cell_stats(index: IvfIndex, per_cell: bool = False) -> DataFrame:
+    """Inverted-list balance report — the index-health leg of the
+    vector family (how you decide to rebuild, re-fit k, or salt):
+    per group (grouped face) one summary row with
+
+    - ``n_cells`` / ``n_vectors`` / ``n_empty`` — list count, corpus
+      size, cells with NO vectors (empty cells waste probes: n_probe
+      buys fewer candidates than it paid for),
+    - ``min_cell`` / ``max_cell`` / ``mean_cell`` — list-size spread,
+    - ``imbalance`` — FAISS's imbalance factor: n_cells · Σnᵢ² /
+      (Σnᵢ)², 1.0 = perfectly balanced; a value of f means unlucky
+      queries probe lists ~f× the balanced size (skew: the 100 TB
+      search-latency killer, since one hot cell serializes its scan).
+
+    ``per_cell=True`` returns the raw (cell, n_vectors) table instead
+    — empty cells included with 0 (derived from the centers, so the
+    report covers cells the corpus never hit). Scale shape: ONE
+    summary-sized aggregate keyed by (group, cell) over the slim
+    ``assigned`` projection — the vector payload column never moves —
+    then a broadcast-dim-sized join against the centers table."""
+    gcol = index.group_col
+    gb = [gcol] if gcol else []
+    gk = ["_gk"] if gcol else []
+    from datamunging_spark.operators.retrieval import _gkey
+
+    cells = ivf_centers_table(index).select(*gb, "cell")
+    a = index.assigned.select(
+        *gb, F.col("_cell").alias("cell")
+    )
+    if gcol:
+        cells = cells.withColumn("_gk", _gkey(gcol))
+        a = a.select(_gkey(gcol).alias("_gk"), "cell")
+    counts = a.groupBy(*gk, "cell").agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+    per = cells.join(counts, gk + ["cell"], "left").select(
+        *gb,
+        "cell",
+        F.coalesce(F.col("n_vectors"), F.lit(0)).alias("n_vectors"),
+    )
+    if per_cell:
+        return per
+    n = F.col("n_vectors")
+    return per.groupBy(*gb).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum(n).alias("n_vectors"),
+        F.sum(F.when(n == 0, 1).otherwise(0)).alias("n_empty"),
+        F.min(n).alias("min_cell"),
+        F.max(n).alias("max_cell"),
+        F.avg(n).alias("mean_cell"),
+        (
+            F.count(F.lit(1))
+            * F.sum(n * n)
+            / (F.sum(n) * F.sum(n))
+        ).alias("imbalance"),
+    )
+
+
+def ann_recall_report(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int | None = None,
+    query_id_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query recall of an approximate top-k against exact ground
+    truth — the evaluation leg of the vector family (how you tune
+    n_probe / n_tables / refine_k / codebook_m; the
+    :func:`~datamunging_spark.operators.retrieval.retrieval_metrics`
+    twin): feed any ANN output (:func:`ivf_search` / :func:`lsh_search`
+    / :func:`pq_topk` / :func:`ivf_pq_topk`) as ``approx`` and a
+    :func:`brute_force_topk` run as ``exact``; get (query_id, n_exact,
+    n_hit, recall) where ``recall`` = |approx ∩ exact| / |exact| —
+    the standard ANN recall@k with the exact top-k as ground truth
+    (denominator = the ACTUAL exact hit count, so corpora smaller
+    than k don't deflate the score).
+
+    ``k``: optional cutoff applied to ``rank_col`` on BOTH sides
+    (measure recall@1 from a top-10 run); ``None`` scores the tables
+    as given. Queries present in ``exact`` but retrieving nothing
+    approximate score 0; queries only in ``approx`` are dropped —
+    without ground truth they are unmeasurable (the
+    :func:`retrieval_metrics` qrels convention). Grouped searches
+    need no group handling here: their contract already demands
+    globally-unique query ids. Both inputs are evaluation-sized
+    (k·|queries|); one broadcast-able join + one aggregate."""
+    if k is not None:
+        approx = approx.filter(F.col(rank_col) <= int(k))
+        exact = exact.filter(F.col(rank_col) <= int(k))
+    e = exact.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(id_col).alias("_nid"),
+    )
+    a = (
+        approx.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(id_col).alias("_nid"),
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        e.join(a, ["query_id", "_nid"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_exact")).alias("recall"),
+        )
+    )

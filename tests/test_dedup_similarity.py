@@ -2734,3 +2734,126 @@ def test_grouped_brute_force_and_lsh_equal_per_slice(spark):
         filter_ids=flt.select("vec_id"),
     ).collect()
     assert uout and all(r["neighbor_id"] % 2 == 0 for r in uout)
+
+
+def test_ivf_cell_stats_hand_math_and_empty_cells(spark):
+    """Closed-form balance report over a hand-assembled index: empty
+    cells come from the CENTERS (not the corpus), imbalance is the
+    FAISS n·Σn²/(Σn)² factor."""
+    import numpy as np
+
+    from datamunging_spark.operators.similarity import (
+        IvfIndex,
+        ivf_cell_stats,
+    )
+
+    assigned = spark.createDataFrame(
+        [(1, [1.0], 0), (2, [1.1], 0), (3, [0.9], 0), (4, [5.0], 1)],
+        "neighbor_id long, _cv array<double>, _cell int",
+    )
+    idx = IvfIndex(assigned, np.array([[1.0], [5.0], [9.0]]), 3)
+    [s] = ivf_cell_stats(idx).collect()
+    assert (s.n_cells, s.n_vectors, s.n_empty) == (3, 4, 1)
+    assert (s.min_cell, s.max_cell) == (0, 3)
+    assert abs(s.mean_cell - 4 / 3) < 1e-12
+    assert abs(s.imbalance - 3 * (9 + 1 + 0) / 16) < 1e-12
+    per = sorted(
+        (r.cell, r.n_vectors)
+        for r in ivf_cell_stats(idx, per_cell=True).collect()
+    )
+    assert per == [(0, 3), (1, 1), (2, 0)]
+
+
+def test_ivf_cell_stats_grouped_face(spark):
+    """Grouped report: one summary row per group (NULL group
+    included), each over its OWN centers — a group's empty cell does
+    not leak into another group's row."""
+    import numpy as np
+
+    from pyspark.sql.types import StringType
+
+    from datamunging_spark.operators.similarity import (
+        IvfIndex,
+        ivf_cell_stats,
+    )
+
+    assigned = spark.createDataFrame(
+        [
+            ("en", 1, [1.0], 0),
+            ("en", 2, [1.2], 0),
+            (None, 1, [7.0], 0),
+        ],
+        "grp string, neighbor_id long, _cv array<double>, _cell int",
+    )
+    idx = IvfIndex(
+        assigned,
+        {"en": np.array([[1.0], [4.0]]), None: np.array([[7.0]])},
+        2,
+        mean_fit_dist={"en": 0.1, None: 0.1},
+        group_col="grp",
+        group_type=StringType(),
+    )
+    rows = {r.grp: r for r in ivf_cell_stats(idx).collect()}
+    assert set(rows) == {"en", None}
+    assert (rows["en"].n_cells, rows["en"].n_vectors,
+            rows["en"].n_empty) == (2, 2, 1)
+    assert (rows[None].n_cells, rows[None].n_vectors,
+            rows[None].n_empty) == (1, 1, 0)
+    per = sorted(
+        (
+            (r.grp, r.cell, r.n_vectors)
+            for r in ivf_cell_stats(idx, per_cell=True).collect()
+        ),
+        key=lambda t: (t[0] is not None, t[0] or "", t[1]),
+    )
+    assert per == [
+        (None, 0, 1), ("en", 0, 2), ("en", 1, 0),
+    ]
+
+
+def test_ann_recall_report_hand_math_and_pipeline(spark, tables):
+    """Hand-math recall rows (miss, partial, zero-retrieval, unjudged
+    dropped; k cutoff on both sides), then the real tuning loop:
+    ivf_search recall vs brute force is measurable and n_probe=all
+    recovers recall 1.0."""
+    from datamunging_spark.operators.similarity import (
+        ann_recall_report,
+        brute_force_topk,
+        ivf_build,
+        ivf_search,
+    )
+
+    approx = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (3, 30, 1)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 12, 2), (1, 13, 3), (2, 20, 1)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    got = {
+        r.query_id: (r.n_exact, r.n_hit, r.recall)
+        for r in ann_recall_report(approx, exact).collect()
+    }
+    # q1: 2 of 3; q2: retrieved nothing -> 0; q3 unjudged -> dropped
+    assert got == {1: (3, 2, 2 / 3), 2: (1, 0, 0.0)}
+    at1 = {
+        r.query_id: r.recall
+        for r in ann_recall_report(approx, exact, k=1).collect()
+    }
+    assert at1 == {1: 1.0, 2: 0.0}
+
+    emb = tables["embeddings"].limit(200).cache()
+    qs = emb.limit(8)
+    truth = brute_force_topk(qs, emb, k=5)
+    idx = ivf_build(emb, n_clusters=8)
+    rep = ann_recall_report(
+        ivf_search(qs, idx, k=5, n_probe=2), truth
+    ).agg(F.avg("recall").alias("r")).collect()[0].r
+    assert 0.0 <= rep <= 1.0
+    # n_probe = n_clusters scans every cell: the candidate set IS the
+    # corpus, so recall vs brute force is total
+    full = ann_recall_report(
+        ivf_search(qs, idx, k=5, n_probe=8), truth
+    ).agg(F.min("recall").alias("r")).collect()[0].r
+    assert full == 1.0
