@@ -1629,6 +1629,7 @@ def more_like_this(
     max_df_frac: float | None = None,
     min_df: int = 1,
     include_self: bool = False,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """"Find documents like these" — Lucene's MoreLikeThis, answered
     from the INDEX ALONE (no text re-tokenization): for each source
@@ -1655,7 +1656,13 @@ def more_like_this(
     bm25_topk); a per-source top-``max_query_terms`` window; then the
     scoring leg is exactly bm25_topk's broadcast skeleton with the
     (source, term) pairs as the query-term table. Nothing repartitions
-    by term; the only corpus-grain touch is the pushed postings scan."""
+    by term; the only corpus-grain touch is the pushed postings scan.
+    ``filter_ids``: predicate-constrained neighbors ("similar docs
+    WITHIN lang='en'") — the :func:`bm25_topk` contract (one-column
+    doc-id table; term selection and df stay corpus-level, the cut
+    lands on the scoring branch only). The SOURCE docs need not be in
+    the filter — it constrains what can be retrieved, not what can
+    ask."""
     ids = doc_ids.select(F.col(id_col)).distinct()
     src = postings.join(F.broadcast(ids), id_col)
     # df table for idf/valve: precomputed (pruned to the source docs'
@@ -1686,6 +1693,11 @@ def more_like_this(
     # scoring leg == bm25_topk with qt as the prebuilt term table
     matched = postings.join(
         F.broadcast(qt.select("term").distinct()), "term"
+    )
+    # the filter cuts CANDIDATES only — term selection and df above
+    # are corpus-level (the bm25_topk filter_ids contract)
+    matched = _apply_lex_filter(
+        matched, filter_ids, None, id_col, "more_like_this"
     )
     dfq = dfreq  # already query-term-pruned (and valved)
     scored = (
@@ -1738,6 +1750,7 @@ def prf_expand(
     max_df_frac: float | None = None,
     return_terms: bool = False,
     beta: float = 0.5,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Pseudo-relevance-feedback query expansion — the Rocchio idiom
     (Rocchio 1971; Lucene's PRF recipe = MoreLikeThis over the top
@@ -1775,12 +1788,16 @@ def prf_expand(
     (fb_docs·|queries| rows — query-sized), a per-(query, term)
     decimal tf·idf fold, a per-query window, and a query-sized
     collect_list. Nothing beyond the two pushed postings scans is
-    corpus-grain."""
+    corpus-grain. ``filter_ids``: when the EXPANDED query will search
+    a filtered corpus, pass the same filter here — feedback docs then
+    come from the allowed sub-corpus (expansion terms mined from docs
+    the final search can never return would drag the query toward the
+    excluded population); the :func:`bm25_topk` contract applies."""
     ranked = bm25_topk(
         postings, queries, stats, k=int(fb_docs),
         query_col=query_col, query_id_col=query_id_col, id_col=id_col,
         k1=k1, b=b, lowercase=lowercase, dfreq=dfreq,
-        max_df_frac=max_df_frac,
+        max_df_frac=max_df_frac, filter_ids=filter_ids,
     )
     fb = ranked.select("query_id", F.col(id_col))
     # one broadcast join restricts postings to the feedback docs AND

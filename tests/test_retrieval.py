@@ -3263,3 +3263,64 @@ def test_filter_ids_on_boolean_phrase_near_bm25f(spark):
         allowed, lambda r: r.bm25f, 2,
     )
     assert got_f == want_f
+
+
+def test_filter_ids_on_more_like_this_and_prf_expand(spark):
+    """more_like_this(filter_ids=) constrains what can be RETRIEVED
+    (term selection and df stay corpus-level — post-filter re-rank
+    pin; sources need not be in the filter); prf_expand(filter_ids=)
+    mines feedback from the allowed sub-corpus only, so an excluded
+    top hit's distinctive vocabulary never enters the expansion."""
+    from datamunging_spark.operators.retrieval import (
+        more_like_this,
+        prf_expand,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "zebra stampede crosses river"),
+            (2, "zebra stampede near river delta"),
+            (3, "zebra stampede watering river bend"),
+            (4, "broadcast join shuffle plan"),
+            (5, "unrelated text entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    post, stats = inverted_index(docs), index_stats(docs)
+    ids = spark.createDataFrame([(1,)], "doc_id long")
+    allowed = {3, 4, 5}
+    flt = spark.createDataFrame([(i,) for i in allowed], "doc_id long")
+    got = sorted(
+        (r.query_id, r.doc_id, r.rank, r.bm25)
+        for r in more_like_this(
+            post, ids, stats, k=2, filter_ids=flt
+        ).collect()
+    )
+    want = _postfilter_rerank(
+        more_like_this(post, ids, stats, k=10).collect(),
+        allowed, lambda r: r.bm25, 2,
+    )
+    assert got == want
+    # source doc 1 is OUTSIDE the filter yet still asks; its zebra
+    # twin 2 is excluded, so the allowed zebra doc 3 leads
+    assert got[0][1] == 3
+
+    q = spark.createDataFrame(
+        [(50, "zebra stampede")], "query_id long, query string"
+    )
+    # unfiltered: doc 2 ("delta") is a top feedback doc; filter it out
+    exp_flt = spark.createDataFrame(
+        [(1,), (3,), (4,), (5,)], "doc_id long"
+    )
+    terms_all = prf_expand(
+        post, q, stats, fb_docs=2, fb_terms=8, return_terms=True,
+    )
+    terms_cut = prf_expand(
+        post, q, stats, fb_docs=2, fb_terms=8, return_terms=True,
+        filter_ids=exp_flt,
+    )
+    t_all = {b.term for r in terms_all.collect() for b in r.boosts}
+    t_cut = {b.term for r in terms_cut.collect() for b in r.boosts}
+    assert "delta" in t_all  # doc 2's distinctive term
+    assert "delta" not in t_cut  # excluded doc can't seed expansion
+    assert "watering" in t_cut or "bend" in t_cut  # doc 3 feeds it
