@@ -8,8 +8,10 @@
   spandedup   — cross-document exact-substring span dedup (X1, Lee et al.)
   bloom       — distributed Bloom build + probe (anti-join prefilter)
   sketch      — Misra-Gries heavy hitters (bounded-shuffle frequent items)
-  similarity  — brute-force & LSH top-k vector search (X2)
-  retrieval   — inverted index + BM25 + RRF hybrid fusion (X2 lexical)
+  similarity  — vector search: brute-force/LSH/IVF/PQ top-k, grouped +
+                filtered + refine faces, index health & recall eval (X2)
+  retrieval   — inverted index + BM25/BM25F/boolean/phrase/proximity,
+                grouped + filtered faces, MLT/PRF/spell, RRF (X2 lexical)
   quality     — rule→invalid-rows validation reports (README.md:126-132 shape)
   multimodal  — binary payload columns + mapInPandas feature/resize,
                 dHash image near-dup + incremental ingest (X3)

@@ -1577,6 +1577,7 @@ def _candidate_df(
     dfreq: DataFrame | None,
     min_df: int,
     max_df_frac: float | None,
+    gk: bool = False,
 ) -> DataFrame:
     """(term, df) for a candidate term set with the MoreLikeThis
     guards — ONE home for the selection-df derivation
@@ -1584,22 +1585,28 @@ def _candidate_df(
     :func:`term_stats` table pruned to the candidates, or one postings
     count pass; ``min_df`` cuts hapaxes, ``max_df_frac`` the stopword
     valve — both on the broadcast-sized df table BEFORE any postings
-    join."""
+    join. ``gk``: the grouped face — every input already carries
+    ``_gk``; df, the hapax cut and the valve are then per-group
+    (hotness judged against the term's OWN group's n_docs)."""
+    jk = (["_gk"] if gk else []) + ["term"]
     if dfreq is None:
-        cdf = term_stats(postings.join(F.broadcast(cand_terms), "term"))
+        cdf = term_stats(
+            postings.join(F.broadcast(cand_terms), jk),
+            group_col="_gk" if gk else None,
+        )
     else:
-        cdf = dfreq.join(F.broadcast(cand_terms), "term")
+        cdf = dfreq.join(F.broadcast(cand_terms), jk)
     if min_df > 1:
         cdf = cdf.filter(F.col("df") >= int(min_df))
     if max_df_frac is not None:
-        cdf = (
-            cdf.crossJoin(F.broadcast(stats))
-            .filter(
-                F.col("df")
-                <= F.lit(float(max_df_frac)) * F.col("n_docs")
-            )
-            .select("term", "df")
+        joined = (
+            cdf.join(F.broadcast(stats), "_gk")
+            if gk
+            else cdf.crossJoin(F.broadcast(stats))
         )
+        cdf = joined.filter(
+            F.col("df") <= F.lit(float(max_df_frac)) * F.col("n_docs")
+        ).select(*jk, "df")
     return cdf
 
 
@@ -1630,6 +1637,7 @@ def more_like_this(
     min_df: int = 1,
     include_self: bool = False,
     filter_ids: DataFrame | None = None,
+    group_col: str | None = None,
 ) -> DataFrame:
     """"Find documents like these" — Lucene's MoreLikeThis, answered
     from the INDEX ALONE (no text re-tokenization): for each source
@@ -1662,57 +1670,85 @@ def more_like_this(
     doc-id table; term selection and df stay corpus-level, the cut
     lands on the scoring branch only). The SOURCE docs need not be in
     the filter — it constrains what can be retrieved, not what can
-    ask."""
-    ids = doc_ids.select(F.col(id_col)).distinct()
-    src = postings.join(F.broadcast(ids), id_col)
+    ask. ``group_col``: the grouped face over a grouped index
+    (``doc_ids`` carries the group column; ``stats``/``dfreq`` must
+    be the grouped faces) — each source selects terms against its OWN
+    group's df/n_docs and retrieves from its own corpus only, NULL
+    group included; (group, query_id) is the output grain, since doc
+    ids are only unique within their group."""
+    gb = [group_col] if group_col else []
+    gk = ["_gk"] if group_col else []
+    jk = gk + ["term"]
+    if group_col:
+        postings = postings.withColumn("_gk", _gkey(group_col))
+        stats = stats.withColumn("_gk", _gkey(group_col)).drop(group_col)
+        if dfreq is not None:
+            dfreq = dfreq.withColumn("_gk", _gkey(group_col)).drop(
+                group_col
+            )
+        ids = doc_ids.select(
+            _gkey(group_col).alias("_gk"), F.col(id_col)
+        ).distinct()
+    else:
+        ids = doc_ids.select(F.col(id_col)).distinct()
+    src = postings.join(F.broadcast(ids), gk + [id_col])
     # df table for idf/valve: precomputed (pruned to the source docs'
     # terms) or derived from the source postings' term set — the
     # shared _candidate_df guards (min_df hapax cut, stopword valve)
     dfreq = _candidate_df(
-        postings, src.select("term").distinct(), stats, dfreq,
-        min_df, max_df_frac,
+        postings, src.select(*jk).distinct(), stats, dfreq,
+        min_df, max_df_frac, gk=bool(group_col),
     )
     idf = _selection_idf()
-    scored_terms = (
-        src.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats.select("n_docs")))
-        .select(
-            F.col(id_col).alias("query_id"),
-            "term",
-            (F.col("tf") * idf).alias("_tfidf"),
+    scored_terms = src.join(F.broadcast(dfreq), jk)
+    if group_col:
+        scored_terms = scored_terms.join(
+            F.broadcast(stats.select("_gk", "n_docs")), "_gk"
         )
+    else:
+        scored_terms = scored_terms.crossJoin(
+            F.broadcast(stats.select("n_docs"))
+        )
+    scored_terms = scored_terms.select(
+        *gk,
+        F.col(id_col).alias("query_id"),
+        "term",
+        (F.col("tf") * idf).alias("_tfidf"),
     )
-    w = Window.partitionBy("query_id").orderBy(
+    w = Window.partitionBy(*gk, "query_id").orderBy(
         F.col("_tfidf").desc(), F.col("term").asc()
     )
     qt = (
         scored_terms.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= int(max_query_terms))
-        .select("query_id", "term")
+        .select(*gk, "query_id", "term")
     )
     # scoring leg == bm25_topk with qt as the prebuilt term table
     matched = postings.join(
-        F.broadcast(qt.select("term").distinct()), "term"
+        F.broadcast(qt.select(*jk).distinct()), jk
     )
     # the filter cuts CANDIDATES only — term selection and df above
     # are corpus-level (the bm25_topk filter_ids contract)
     matched = _apply_lex_filter(
-        matched, filter_ids, None, id_col, "more_like_this"
+        matched, filter_ids, group_col, id_col, "more_like_this"
     )
     dfq = dfreq  # already query-term-pruned (and valved)
-    scored = (
-        matched.join(F.broadcast(qt), "term")
-        .join(F.broadcast(dfq), "term")
-        .crossJoin(F.broadcast(stats))
+    scored = matched.join(F.broadcast(qt), jk).join(
+        F.broadcast(dfq), jk
     )
+    if group_col:
+        scored = scored.join(F.broadcast(stats), "_gk")
+    else:
+        scored = scored.crossJoin(F.broadcast(stats))
     idf2, tfn = _bm25_parts(k1, b)
     per_doc = (
         scored.select(
             "query_id",
+            *gb,
             F.col(id_col),
             (idf2 * tfn).cast(_CONTRIB_DECIMAL).alias("_c"),
         )
-        .groupBy("query_id", id_col)
+        .groupBy("query_id", *gb, id_col)
         .agg(F.sum("_c").alias("_s"))
     )
     if not include_self:
@@ -1721,12 +1757,13 @@ def more_like_this(
 
     return top_k_per_group(
         per_doc,
-        ["query_id"],
+        [*gb, "query_id"],
         [F.col("_s").desc(), F.col(id_col).asc()],
         k,
         rank_out="rank",
     ).select(
         "query_id",
+        *gb,
         id_col,
         "rank",
         F.col("_s").cast("double").alias("bm25"),
@@ -1751,6 +1788,7 @@ def prf_expand(
     return_terms: bool = False,
     beta: float = 0.5,
     filter_ids: DataFrame | None = None,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Pseudo-relevance-feedback query expansion — the Rocchio idiom
     (Rocchio 1971; Lucene's PRF recipe = MoreLikeThis over the top
@@ -1792,28 +1830,55 @@ def prf_expand(
     a filtered corpus, pass the same filter here — feedback docs then
     come from the allowed sub-corpus (expansion terms mined from docs
     the final search can never return would drag the query toward the
-    excluded population); the :func:`bm25_topk` contract applies."""
+    excluded population); the :func:`bm25_topk` contract applies.
+    ``group_col``: the grouped face over a grouped index (queries
+    carry the group; ``stats``/``dfreq`` the grouped faces;
+    query_id globally unique, the grouped-search contract) — feedback
+    and expansion vocabulary come from each query's OWN group's
+    corpus/df, and the group column rides the output for the re-feed
+    to the grouped :func:`bm25_topk`."""
     ranked = bm25_topk(
         postings, queries, stats, k=int(fb_docs),
         query_col=query_col, query_id_col=query_id_col, id_col=id_col,
         k1=k1, b=b, lowercase=lowercase, dfreq=dfreq,
         max_df_frac=max_df_frac, filter_ids=filter_ids,
+        group_col=group_col,
     )
-    fb = ranked.select("query_id", F.col(id_col))
+    gb = [group_col] if group_col else []
+    gk = ["_gk"] if group_col else []
+    jk = gk + ["term"]
+    if group_col:
+        postings = postings.withColumn("_gk", _gkey(group_col))
+        stats = stats.withColumn("_gk", _gkey(group_col)).drop(group_col)
+        if dfreq is not None:
+            dfreq = dfreq.withColumn("_gk", _gkey(group_col)).drop(
+                group_col
+            )
+        fb = ranked.select(
+            "query_id", _gkey(group_col).alias("_gk"), F.col(id_col)
+        )
+    else:
+        fb = ranked.select("query_id", F.col(id_col))
     # one broadcast join restricts postings to the feedback docs AND
-    # attaches query_id (fb is fb_docs x |queries| rows)
-    fb_post = postings.join(F.broadcast(fb), id_col)
+    # attaches query_id (fb is fb_docs x |queries| rows); group-matched
+    # on the grouped face, so feedback terms come from the OWN corpus
+    fb_post = postings.join(F.broadcast(fb), gk + [id_col])
     # candidate-term df for idf: the shared _candidate_df guards —
     # precomputed (pruned) or one postings count pass
     cdf = _candidate_df(
-        postings, fb_post.select("term").distinct(), stats, dfreq,
-        min_df, max_df_frac,
+        postings, fb_post.select(*jk).distinct(), stats, dfreq,
+        min_df, max_df_frac, gk=bool(group_col),
     )
     idf = _selection_idf()
+    scored = fb_post.join(F.broadcast(cdf), jk)
+    if group_col:
+        scored = scored.join(
+            F.broadcast(stats.select("_gk", "n_docs")), "_gk"
+        )
+    else:
+        scored = scored.crossJoin(F.broadcast(stats.select("n_docs")))
     scored = (
-        fb_post.join(F.broadcast(cdf), "term")
-        .crossJoin(F.broadcast(stats.select("n_docs")))
-        .select(
+        scored.select(
             "query_id",
             "term",
             (F.col("tf") * idf).cast(_CONTRIB_DECIMAL).alias("_w"),
@@ -1866,6 +1931,7 @@ def prf_expand(
     picked = sel.groupBy("query_id").agg(*aggs)
     out_cols = [
         "query_id",
+        *gb,
         query_col,
         F.when(
             F.col("_exp").isNull() | (F.col("_exp") == ""),
@@ -1884,7 +1950,7 @@ def prf_expand(
             ).alias("boosts")
         )
     return queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(query_col)
+        F.col(query_id_col).alias("query_id"), *gb, F.col(query_col)
     ).join(F.broadcast(picked), "query_id", "left").select(*out_cols)
 
 
@@ -1929,6 +1995,7 @@ def spell_suggest(
     max_edit: int = 1,
     min_df: int = 1,
     max_term_len: int = 32,
+    group_col: str | None = None,
 ) -> DataFrame:
     """"Did you mean" — spelling suggestions for query terms from the
     INDEX VOCABULARY, the SymSpell shape (Garbe's symmetric-delete
@@ -1954,34 +2021,50 @@ def spell_suggest(
     vocab terms; max_edit=2 squares the per-term factor — keep it ≤ 2).
     Plan: ONE vocabulary scan + explode, equi-joined against the
     broadcast query neighborhood — the vocabulary never shuffles; the
-    per-query top-k is a window over candidate matches."""
+    per-query top-k is a window over candidate matches. ``group_col``:
+    the grouped face — ``dfreq`` is a grouped :func:`term_stats`
+    table and ``queries`` carry the group column; each query term
+    draws suggestions from its OWN group's vocabulary with that
+    group's df tie-break, NULL-safely, and the group rides the
+    output (a "did you mean" must not suggest another language's
+    spelling)."""
     if max_edit < 1:
         raise ValueError("max_edit must be >= 1")
+    gb = [group_col] if group_col else []
+    gk = ["_gk"] if group_col else []
     vocab = dfreq.filter(
         (F.col("df") >= int(min_df))
         & (F.length("term") <= int(max_term_len))
     )
+    if group_col:
+        vocab = vocab.withColumn("_gk", _gkey(group_col)).drop(
+            group_col
+        )
     vvar = vocab.select(
+        *gk,
         F.col("term").alias("suggestion"),
         "df",
         F.explode(_delete_variants(F.col("term"), max_edit)).alias(
             "_v"
         ),
     )
-    qvar = queries.select(
-        F.col(query_col).alias("_qterm")
-    ).where(
+    q = queries.select(*gb, F.col(query_col).alias("_qterm")).where(
         F.length("_qterm") <= int(max_term_len)
-    ).distinct().select(
+    )
+    if group_col:
+        q = q.select(_gkey(group_col).alias("_gk"), *gb, "_qterm")
+    qvar = q.distinct().select(
+        *gk,
+        *gb,
         "_qterm",
         F.explode(_delete_variants(F.col("_qterm"), max_edit)).alias(
             "_v"
         ),
     ).distinct()
     cand = (
-        vvar.join(F.broadcast(qvar), "_v")
-        .select("_qterm", "suggestion", "df")
-        .dropDuplicates(["_qterm", "suggestion"])
+        vvar.join(F.broadcast(qvar), gk + ["_v"])
+        .select(*gb, "_qterm", "suggestion", "df")
+        .dropDuplicates([*gb, "_qterm", "suggestion"])
         .withColumn(
             "distance", F.levenshtein(F.col("_qterm"), F.col("suggestion"))
         )
@@ -1991,7 +2074,7 @@ def spell_suggest(
 
     return top_k_per_group(
         cand,
-        ["_qterm"],
+        [*gb, "_qterm"],
         [
             F.col("distance").asc(),
             F.col("df").desc(),
@@ -2001,6 +2084,7 @@ def spell_suggest(
         rank_out="rank",
     ).select(
         F.col("_qterm").alias("term"),
+        *gb,
         "suggestion",
         "distance",
         "df",

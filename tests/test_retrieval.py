@@ -3324,3 +3324,141 @@ def test_filter_ids_on_more_like_this_and_prf_expand(spark):
     assert "delta" in t_all  # doc 2's distinctive term
     assert "delta" not in t_cut  # excluded doc can't seed expansion
     assert "watering" in t_cut or "bend" in t_cut  # doc 3 feeds it
+
+
+def _nsort(rows):
+    """Sort tuples whose second element may be None (the NULL group)."""
+    return sorted(rows, key=lambda t: (t[0], t[1] is not None, t[1] or ""))
+
+
+def test_grouped_mlt_prf_spell_equal_per_slice_runs(spark):
+    """The grouped faces of more_like_this / prf_expand /
+    spell_suggest == per-slice ungrouped runs — colliding doc ids
+    across groups, NULL group included; suggestions/expansion/
+    neighbors never cross a group boundary."""
+    from datamunging_spark.operators.retrieval import (
+        more_like_this,
+        prf_expand,
+        spell_suggest,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "zebra stampede crosses river"),
+            (2, "en", "zebra stampede near river delta"),
+            (3, "en", "broadcast join shuffle plan"),
+            (1, "de", "zebra herde fluss ufer"),
+            (2, "de", "zebra herde nahe fluss"),
+            (3, "de", "schnelle zeilen puffer"),
+            (1, None, "mystery zebra walks alone"),
+            (2, None, "mystery zebra walks around"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    post = inverted_index(docs, group_col="lang")
+    stats = index_stats(docs, group_col="lang")
+    dfr = term_stats(post, group_col="lang")
+
+    def slices():
+        for lang in ("en", "de", None):
+            cond = (
+                F.col("lang").isNull()
+                if lang is None
+                else F.col("lang") == lang
+            )
+            yield lang, docs.filter(cond)
+
+    # --- more_like_this: doc id 1 exists in EVERY group
+    ids = spark.createDataFrame(
+        [("en", 1), ("de", 1), (None, 1)], "lang string, doc_id long"
+    )
+    got = _nsort(
+        (r.query_id, r.lang, r.doc_id, r.rank, r.bm25)
+        for r in more_like_this(
+            post, ids, stats, k=2, group_col="lang", dfreq=dfr
+        ).collect()
+    )
+    want = []
+    for lang, sl in slices():
+        one = spark.createDataFrame([(1,)], "doc_id long")
+        for r in more_like_this(
+            inverted_index(sl), one, index_stats(sl), k=2
+        ).collect():
+            want.append((r.query_id, lang, r.doc_id, r.rank, r.bm25))
+    assert got == _nsort(want)
+    # neighbors stay in-group: every group's nearest doc-1 twin is
+    # its own doc 2
+    assert {(t[1], t[2]) for t in got if t[3] == 1} == {
+        ("en", 2), ("de", 2), (None, 2),
+    }
+    # convenience df path agrees
+    fly = _nsort(
+        (r.query_id, r.lang, r.doc_id, r.rank, r.bm25)
+        for r in more_like_this(
+            post, ids, stats, k=2, group_col="lang"
+        ).collect()
+    )
+    assert fly == got
+
+    # --- prf_expand: globally-unique query ids, expansion per group
+    q = spark.createDataFrame(
+        [(10, "en", "zebra stampede"), (11, "de", "zebra herde"),
+         (12, None, "mystery zebra")],
+        "query_id long, lang string, query string",
+    )
+    gexp = {
+        r.query_id: (r.lang, r.expanded_query)
+        for r in prf_expand(
+            post, q, stats, fb_docs=2, fb_terms=4, group_col="lang",
+            dfreq=dfr,
+        ).collect()
+    }
+    for lang, qid in (("en", 10), ("de", 11), (None, 12)):
+        cond = (
+            F.col("lang").isNull()
+            if lang is None
+            else F.col("lang") == lang
+        )
+        sl = docs.filter(cond)
+        qs = q.filter(F.col("query_id") == qid).select(
+            "query_id", "query"
+        )
+        [want_r] = prf_expand(
+            inverted_index(sl), qs, index_stats(sl), fb_docs=2,
+            fb_terms=4,
+        ).collect()
+        assert gexp[qid] == (lang, want_r.expanded_query)
+    # de expansion vocabulary is German only
+    assert "river" not in gexp[11][1]
+
+    # --- spell_suggest: same typo, per-group vocabulary
+    terms = spark.createDataFrame(
+        [("en", "zebr"), ("de", "zebr"), (None, "zebr"),
+         ("en", "rivr"), ("de", "flus")],
+        "lang string, term string",
+    )
+    gsug = _nsort(
+        (r.term, r.lang, r.suggestion, r.distance, r.df, r.rank)
+        for r in spell_suggest(
+            dfr, terms, k=2, group_col="lang"
+        ).collect()
+    )
+    want_s = []
+    for lang, sl in slices():
+        cond = (
+            F.col("lang").isNull()
+            if lang is None
+            else F.col("lang") == lang
+        )
+        tq = terms.filter(cond).select("term")
+        for r in spell_suggest(
+            term_stats(inverted_index(sl)), tq, k=2
+        ).collect():
+            want_s.append(
+                (r.term, lang, r.suggestion, r.distance, r.df, r.rank)
+            )
+    assert gsug == _nsort(want_s)
+    # "rivr" finds river in en only; "flus" finds fluss in de only
+    assert ("rivr", "en", "river", 1, 2, 1) in gsug
+    assert not [t for t in gsug if t[0] == "rivr" and t[1] != "en"]
+    assert ("flus", "de", "fluss", 1, 2, 1) in gsug
