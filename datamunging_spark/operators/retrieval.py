@@ -1534,6 +1534,77 @@ def bm25f_topk(
     )
 
 
+def index_health(
+    postings: DataFrame,
+    stats: DataFrame | None = None,
+    dfreq: DataFrame | None = None,
+    group_col: str | None = None,
+    hot_terms: int = 0,
+) -> DataFrame:
+    """Postings-list balance report — the lexical index's health leg
+    (the :func:`~datamunging_spark.operators.similarity.ivf_cell_stats`
+    twin; how a 100 TB operator picks ``max_df_frac`` and decides
+    whether a CommonGrams/stop-analysis pass is due): one summary row
+    (per group on the grouped face) with
+
+    - ``n_terms`` / ``n_postings`` — vocabulary size and index rows,
+    - ``max_df`` / ``mean_df`` / ``p90_df`` / ``p99_df`` — the
+      document-frequency spread (hot terms are the lexical skew: one
+      stopword's posting slice is corpus-sized, the same
+      search-latency killer as a hot IVF cell),
+    - with ``stats``: ``n_docs`` and ``max_df_frac`` = max_df/n_docs —
+      the observed worst term, directly comparable to the valve/guard
+      threshold you would set.
+
+    ``hot_terms=N`` returns the top-N hottest terms per group instead
+    ((term, df[, df_frac]) — df desc, term asc; the candidate stop
+    list). Scale shape: ONE summary-sized aggregate over the df table
+    (``dfreq`` = :func:`term_stats` reused when given, derived in one
+    map-side-combinable pass otherwise); percentiles are
+    ``percentile_approx`` — report-grade, not oracle-grade."""
+    gb = [group_col] if group_col else []
+    d = dfreq if dfreq is not None else term_stats(postings, group_col)
+    if stats is not None:
+        nd = stats.select(*gb, "n_docs")
+        if group_col:
+            d = d.withColumn("_gk", _gkey(group_col)).drop(group_col)
+            nd = nd.withColumn("_gk", _gkey(group_col))
+            d = d.join(F.broadcast(nd), "_gk").drop("_gk")
+        else:
+            d = d.crossJoin(F.broadcast(nd))
+    if hot_terms:
+        from datamunging_spark.operators.relational import (
+            top_k_per_group,
+        )
+
+        extra = (
+            [(F.col("df") / F.col("n_docs")).alias("df_frac")]
+            if stats is not None
+            else []
+        )
+        return top_k_per_group(
+            d,
+            gb,
+            [F.col("df").desc(), F.col("term").asc()],
+            int(hot_terms),
+            rank_out="rank",
+        ).select(*gb, "term", "df", *extra, "rank")
+    aggs = [
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("df").alias("n_postings"),
+        F.max("df").alias("max_df"),
+        F.avg("df").alias("mean_df"),
+        F.percentile_approx("df", 0.9).alias("p90_df"),
+        F.percentile_approx("df", 0.99).alias("p99_df"),
+    ]
+    if stats is not None:
+        aggs += [
+            F.max("n_docs").alias("n_docs"),
+            (F.max("df") / F.max("n_docs")).alias("max_df_frac"),
+        ]
+    return d.groupBy(*gb).agg(*aggs)
+
+
 def stats_from_postings(
     postings: DataFrame,
     id_col: str = "doc_id",

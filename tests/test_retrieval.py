@@ -3462,3 +3462,38 @@ def test_grouped_mlt_prf_spell_equal_per_slice_runs(spark):
     assert ("rivr", "en", "river", 1, 2, 1) in gsug
     assert not [t for t in gsug if t[0] == "rivr" and t[1] != "en"]
     assert ("flus", "de", "fluss", 1, 2, 1) in gsug
+
+
+def test_index_health_hand_math_and_grouped(spark):
+    """Closed-form health report over the 4-doc fixture, the
+    hot-terms face as a candidate stop list, and the grouped face."""
+    from datamunging_spark.operators.retrieval import index_health
+
+    docs = _docs(spark)
+    post = inverted_index(docs)
+    stats = index_stats(docs)
+    [h] = index_health(post, stats).collect()
+    # vocabulary: spark(2) shuffles rows fast broadcast join zebra
+    # stampede (1 each) over 4 docs (one empty)
+    assert (h.n_terms, h.n_postings, h.max_df) == (8, 9, 2)
+    assert abs(h.mean_df - 9 / 8) < 1e-12
+    assert (h.n_docs, h.max_df_frac) == (4, 0.5)
+    hot = index_health(post, stats, hot_terms=2).collect()
+    assert [(r.term, r.df, r.df_frac, r.rank) for r in hot] == [
+        ("spark", 2, 0.5, 1),
+        ("broadcast", 1, 0.25, 2),
+    ]
+    # dfreq reuse path agrees; no-stats face drops the doc columns
+    [h2] = index_health(post, stats, dfreq=term_stats(post)).collect()
+    assert (h2.n_terms, h2.max_df_frac) == (8, 0.5)
+    [bare] = index_health(post).collect()
+    assert "n_docs" not in bare.asDict()
+    # grouped: per-group rows incl. NULL group, per-group n_docs
+    gdocs = _grouped_docs(spark)
+    gp = inverted_index(gdocs, group_col="lang")
+    gs = index_stats(gdocs, group_col="lang")
+    rows = {r.lang: r for r in index_health(gp, gs, group_col="lang").collect()}
+    assert set(rows) == {"en", "de", None}
+    assert rows["de"].max_df == 2  # zeilen in 2 de docs
+    assert rows["de"].n_docs == 2
+    assert rows[None].n_docs == 1
