@@ -437,19 +437,19 @@ def _ivf_build_grouped(
 
 
 def _filter_id_set(
-    filter_ids: DataFrame, index: IvfIndex, op: str
+    filter_ids: DataFrame, group_col: str | None, op: str
 ):
     """Normalize a ``filter_ids`` predicate table for the filtered-ANN
     semi-join: returns (slim id table, join keys). A one-column table
-    filters on the id alone; a grouped index additionally accepts a
+    filters on the id alone; a grouped face additionally accepts a
     two-column table carrying the group column (matched by NAME) so
     ids that are only unique within their group filter correctly —
     the join is then on (``_gk``, id), NULL-safe."""
     cols = filter_ids.columns
-    if index.group_col is not None and index.group_col in cols:
+    if group_col is not None and group_col in cols:
         from datamunging_spark.operators.retrieval import _gkey
 
-        rest = [c for c in cols if c != index.group_col]
+        rest = [c for c in cols if c != group_col]
         if len(rest) != 1:
             raise ValueError(
                 f"{op}: filter_ids with the group column must have "
@@ -457,7 +457,7 @@ def _filter_id_set(
             )
         flt = (
             filter_ids.select(
-                _gkey(index.group_col).alias("_gk"),
+                _gkey(group_col).alias("_gk"),
                 F.col(rest[0]).alias("neighbor_id"),
             ).distinct()
         )
@@ -465,7 +465,7 @@ def _filter_id_set(
     if len(cols) != 1:
         raise ValueError(
             f"{op}: filter_ids must be a one-column id table (or "
-            f"(group, id) for a grouped index), got {cols}"
+            f"(group, id) for a grouped face), got {cols}"
         )
     return (
         filter_ids.select(
@@ -609,7 +609,9 @@ def ivf_search(
 
     scored = F.broadcast(q).join(cand, jk).drop("_cell")
     if filter_ids is not None:
-        flt, fjk = _filter_id_set(filter_ids, index, "ivf_search")
+        flt, fjk = _filter_id_set(
+            filter_ids, index.group_col, "ivf_search"
+        )
         scored = scored.join(flt, fjk, "semi")
     scored = (
         scored.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1189,7 +1191,9 @@ def lsh_search(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     if filter_ids is not None:
-        flt, fjk = _filter_id_set(filter_ids, index, "lsh_search")
+        flt, fjk = _filter_id_set(
+            filter_ids, index.group_col, "lsh_search"
+        )
         scored = scored.join(flt, fjk, "semi")
     scored = scored.filter(
         F.col("query_id") != F.col("neighbor_id")
@@ -1555,6 +1559,7 @@ def pq_encode(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     out: str = "pq_codes",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Encode each vector to its ``m`` nearest-sub-centroid codes — one
     Arrow pass with the codebooks in closure (shared kernel
@@ -1562,11 +1567,16 @@ def pq_encode(
     ``array<int>`` in [0, k). The encoded table is the persistable
     artifact (~m bytes/vector + id): at 100 TB of raw vectors the codes
     are hundreds of GB — broadcastable per executor, scan-only, never
-    shuffled by this op."""
+    shuffled by this op. ``group_col`` rides the group column through
+    for :func:`pq_topk`'s grouped face (PQ quantizes vectors
+    group-independently — one GLOBAL codebook, the group is a join
+    key, not a model input)."""
     encode = _pq_encode_udf(codebook)
+    gb = [group_col] if group_col else []
     return corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
         encode(F.col(vec_col)).alias(out),
+        *gb,
     )
 
 
@@ -1581,6 +1591,8 @@ def pq_topk(
     refine_k: int | None = None,
     vectors: DataFrame | None = None,
     vectors_id: str = "vec_id",
+    group_col: str | None = None,
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: full-precision queries against the
     PQ-encoded corpus. Per query batch, a (m × k) inner-product lookup
@@ -1604,7 +1616,25 @@ def pq_topk(
     ranks on the EXACT dot product. Cost: one |queries|·refine_k-row
     broadcast join against the vector table — the quantized scan still
     never touches full vectors. With ``refine_k`` ≥ corpus size the
-    result IS brute force (pinned by test)."""
+    result IS brute force (pinned by test).
+
+    ``group_col``: the grouped face — queries and ``encoded`` (and
+    ``vectors``, when refining) all carry the group column
+    (:func:`pq_encode` ``group_col=`` rides it through), each query
+    scores ONLY its group's codes (the per-batch kernel partitions by
+    the NULL-safe group key — ``pd.factorize``, one pass), ids need be
+    unique only within their group, the group rides the output. One
+    GLOBAL codebook serves every group (PQ quantizes vectors
+    group-independently; the group is a join key, not a model input) —
+    :func:`ivf_pq_topk`'s grouped contract on the flat-scan tier.
+    Query ids stay the output key (duplicates fail fast); a query
+    whose group has no encoded rows simply returns no rows.
+
+    ``filter_ids``: predicate-constrained search — a one-column id
+    table (or (group, id) on the grouped face, NULL-safe) semi-joins
+    the codes table BEFORE the scan, so k fills from the filtered
+    sub-corpus and ADC scores are untouched (the LUT depends only on
+    the query) — the :func:`ivf_search` pre-filter contract."""
     import numpy as np
 
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -1619,10 +1649,25 @@ def pq_topk(
             f"pq_topk: refine_k={refine_k} must be >= k={k} — the "
             "re-rank selects the final k from the ADC top-refine_k"
         )
+    gb = [group_col] if group_col else []
+    if group_col:
+        for side, df_side in (
+            ("queries", queries),
+            ("encoded", encoded),
+        ) + ((("vectors", vectors),) if vectors is not None else ()):
+            if group_col not in df_side.columns:
+                raise ValueError(
+                    f"pq_topk: group_col={group_col!r} but the "
+                    f"{side} table has no such column — every side "
+                    "of the grouped face carries its group "
+                    "(pq_encode(group_col=) keeps it on the codes)"
+                )
     books = codebook.codebooks
     m = codebook.m
     q_rows = queries.select(
-        F.col(query_id).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        *([F.col(group_col).alias("_g")] if group_col else []),
     ).collect()
     if not q_rows:
         raise ValueError("empty query batch")
@@ -1654,6 +1699,12 @@ def pq_topk(
 
     k_adc = k if refine_k is None else int(refine_k)
 
+    if group_col:
+        q_by_gk: dict = {}
+        for i, r in enumerate(q_rows):
+            q_by_gk.setdefault(_pygkey(r["_g"]), []).append(i)
+        q_by_gk = {g: np.asarray(ix) for g, ix in q_by_gk.items()}
+
     def scan(batches):
         import pandas as pd
 
@@ -1676,9 +1727,58 @@ def pq_topk(
             }
             yield pd.DataFrame(rows)
 
-    local = encoded.select("neighbor_id", codes_col).mapInPandas(
-        scan, schema=schema
-    )
+    def scan_grouped(batches):
+        # same LUT reduction, partitioned by the in-plan _gk column
+        # (pd.factorize group masks — one pass, NULL-byte safe); each
+        # group's queries score only that group's code rows
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            gk_codes, gk_uniq = pd.factorize(pdf["_gk"])
+            outs = []
+            for gi, gk in enumerate(gk_uniq):
+                qix = q_by_gk.get(gk)
+                if qix is None:
+                    continue
+                mask = gk_codes == gi
+                codes = np.stack(
+                    pdf.loc[mask, codes_col].to_numpy()
+                ).astype(np.int64)
+                nb = pdf.loc[mask, "neighbor_id"].to_numpy()
+                scores = lut[qix][
+                    :, np.arange(m)[None, :], codes
+                ].sum(axis=2)
+                top = min(k_adc + 1, scores.shape[1])
+                idx = np.argpartition(
+                    -scores, top - 1, axis=1
+                )[:, :top]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.repeat(q_ids[qix], top),
+                            "neighbor_id": nb[idx].ravel(),
+                            "score": np.take_along_axis(
+                                scores, idx, axis=1
+                            ).ravel(),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    enc = encoded
+    if group_col:
+        from datamunging_spark.operators.retrieval import _gkey
+
+        enc = enc.withColumn("_gk", _gkey(group_col))
+    if filter_ids is not None:
+        flt, fjk = _filter_id_set(filter_ids, group_col, "pq_topk")
+        enc = enc.join(flt, fjk, "semi")
+    local = enc.select(
+        "neighbor_id", codes_col, *(["_gk"] if group_col else [])
+    ).mapInPandas(scan_grouped if group_col else scan, schema=schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
@@ -1687,27 +1787,64 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k_adc)
     )
+    # one group per query row (the grouped-retrieval contract): the
+    # group rides back onto the output via the broadcast query batch
+    qgroups = (
+        F.broadcast(
+            queries.select(
+                F.col(query_id).alias("query_id"), *gb
+            ).distinct()
+        )
+        if group_col
+        else None
+    )
     if refine_k is None:
-        return adc.select(
+        out = adc.select(
             "query_id", "neighbor_id", "rank",
             F.round("score", 6).alias("score"),
         )
+        if group_col:
+            out = out.join(qgroups, "query_id").select(
+                "query_id", *gb, "neighbor_id", "rank", "score"
+            )
+        return out
+    cands = adc.select("query_id", "neighbor_id")
+    vecs = vectors.select(
+        F.col(vectors_id).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        *gb,
+    )
+    if group_col:
+        from datamunging_spark.operators.retrieval import _gkey
+
+        cands = (
+            cands.join(qgroups, "query_id")
+            .withColumn("_gk", _gkey(group_col))
+            .select("query_id", "_gk", "neighbor_id")
+        )
+        vecs = vecs.withColumn("_gk", _gkey(group_col)).select(
+            "_gk", "neighbor_id", "_cv"
+        )
     return _exact_rerank(
-        adc.select("query_id", "neighbor_id"),
+        cands,
         queries.select(
             F.col(query_id).alias("query_id"),
             F.col(vec_col).alias("_qv"),
         ),
-        vectors.select(
-            F.col(vectors_id).alias("neighbor_id"),
-            F.col(vec_col).alias("_cv"),
-        ),
+        vecs,
         k,
+        gb=gb,
+        qgroups=qgroups,
     )
 
 
 def _exact_rerank(
-    cands: DataFrame, q_slim: DataFrame, vecs: DataFrame, k: int
+    cands: DataFrame,
+    q_slim: DataFrame,
+    vecs: DataFrame,
+    k: int,
+    gb: list[str] | None = None,
+    qgroups: DataFrame | None = None,
 ) -> DataFrame:
     """The refine leg shared by :func:`pq_topk` / :func:`ivf_pq_topk`:
     exact dot-product re-rank of a hits-sized (query_id, neighbor_id)
@@ -1715,9 +1852,13 @@ def _exact_rerank(
     table (ONE hits-sized join; the corpus-scale scan stays on the
     quantized side), attach the query vectors (broadcast), score with
     the expression-form dot product (codegen, engine-reproducible) and
-    keep the top-k."""
+    keep the top-k. Grouped face (``gb`` non-empty): ``cands`` and
+    ``vecs`` both carry the NULL-safe ``_gk`` key so colliding
+    neighbor ids fetch THEIR group's vector; ``qgroups`` re-attaches
+    the group value(s) to the output."""
+    keys = ["_gk", "neighbor_id"] if gb else ["neighbor_id"]
     exact = (
-        vecs.join(F.broadcast(cands), "neighbor_id")
+        vecs.join(F.broadcast(cands), keys)
         .join(F.broadcast(q_slim), "query_id")
         .select(
             "query_id",
@@ -1728,13 +1869,15 @@ def _exact_rerank(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )
-    return (
+    out = (
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", "rank",
-            F.round("score", 6).alias("score"),
-        )
+    )
+    if gb:
+        out = out.join(qgroups, "query_id")
+    return out.select(
+        "query_id", *(gb or []), "neighbor_id", "rank",
+        F.round("score", 6).alias("score"),
     )
 
 
@@ -1942,7 +2085,9 @@ def ivf_pq_topk(
     else:
         joined = F.broadcast(q_cells).join(encoded_cells, "_cell")
     if filter_ids is not None:
-        flt, fjk = _filter_id_set(filter_ids, index, "ivf_pq_topk")
+        flt, fjk = _filter_id_set(
+            filter_ids, index.group_col, "ivf_pq_topk"
+        )
         joined = joined.join(flt, fjk, "semi")
     local = joined.select(
         "query_id", "neighbor_id", codes_col
@@ -1976,57 +2121,29 @@ def ivf_pq_topk(
                 "query_id", *gb, "neighbor_id", "rank", "score"
             )
         return out
+    cands = adc.select("query_id", "neighbor_id")
+    vecs = index.assigned.select("neighbor_id", "_cv")
     if grouped:
         from datamunging_spark.operators.retrieval import _gkey
 
         cands = (
-            adc.select("query_id", "neighbor_id")
-            .join(qgroups, "query_id")
+            cands.join(qgroups, "query_id")
             .withColumn("_gk", _gkey(index.group_col))
             .select("query_id", "_gk", "neighbor_id")
         )
         vecs = index.assigned.withColumn(
             "_gk", _gkey(index.group_col)
         ).select("_gk", "neighbor_id", "_cv")
-        exact = (
-            vecs.join(F.broadcast(cands), ["_gk", "neighbor_id"])
-            .join(
-                F.broadcast(
-                    queries.select(
-                        F.col(query_id).alias("query_id"),
-                        F.col(vec_col).alias("_qv"),
-                    )
-                ),
-                "query_id",
-            )
-            .select(
-                "query_id",
-                "_gk",
-                "neighbor_id",
-                dot_product(F.col("_qv"), F.col("_cv")).alias("score"),
-            )
-        )
-        wr = Window.partitionBy("query_id").orderBy(
-            F.col("score").desc(), F.col("neighbor_id")
-        )
-        return (
-            exact.withColumn("rank", F.row_number().over(wr))
-            .filter(F.col("rank") <= k)
-            .drop("_gk")
-            .join(qgroups, "query_id")
-            .select(
-                "query_id", *gb, "neighbor_id", "rank",
-                F.round("score", 6).alias("score"),
-            )
-        )
     return _exact_rerank(
-        adc.select("query_id", "neighbor_id"),
+        cands,
         queries.select(
             F.col(query_id).alias("query_id"),
             F.col(vec_col).alias("_qv"),
         ),
-        index.assigned.select("neighbor_id", "_cv"),
+        vecs,
         k,
+        gb=gb if grouped else None,
+        qgroups=qgroups,
     )
 
 

@@ -2633,6 +2633,155 @@ def test_grouped_ivf_pq_topk_equals_per_slice_and_filters(spark):
         ivf_pq_topk(dup_q, gidx, cb, cells, k=5)
 
 
+def test_grouped_pq_topk_equals_per_slice_and_filters(spark):
+    """Grouped pq_topk ≡ per-slice ungrouped runs (one GLOBAL
+    codebook; the kernel partitions each batch by the NULL-safe group
+    key) with colliding ids and the NULL group; refine keys
+    (group, id); filter_ids cuts the codes table BEFORE the scan so k
+    fills from the filtered sub-corpus where a post-filter
+    under-fills."""
+    import numpy as np
+
+    from datamunging_spark.operators.similarity import (
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+
+    rng = np.random.RandomState(23)
+    rows = [
+        (i, g, [float(x) for x in rng.randn(16)])
+        for g in ("a", "b", None)
+        for i in range(30)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id int, grp string, embedding array<double>"
+    ).localCheckpoint()
+    cb = pq_fit(corpus, m=4, k=16, seed=11)
+    enc = pq_encode(corpus, cb, group_col="grp").localCheckpoint()
+    queries = corpus.filter(
+        ((F.col("grp") == "a") & (F.col("vec_id") < 2))
+        | ((F.col("grp") == "b") & F.col("vec_id").between(2, 3))
+        | (F.col("grp").isNull() & F.col("vec_id").between(4, 5))
+    ).localCheckpoint()
+    skey = lambda t: (str(t[0]), t[1], t[2], t[3])  # noqa: E731
+    got = sorted(
+        (
+            (r["grp"], r["query_id"], r["rank"], r["neighbor_id"])
+            for r in pq_topk(
+                queries, enc, cb, k=5, group_col="grp"
+            ).collect()
+        ),
+        key=skey,
+    )
+    assert len(got) == 30  # 6 query rows x k
+    want = []
+    for gval in ("a", "b", None):
+        cond = (
+            F.col("grp").isNull()
+            if gval is None
+            else F.col("grp") == gval
+        )
+        want.extend(
+            (gval, r["query_id"], r["rank"], r["neighbor_id"])
+            for r in pq_topk(
+                queries.filter(cond),
+                enc.filter(cond).drop("grp"),
+                cb,
+                k=5,
+            ).collect()
+        )
+    assert got == sorted(want, key=skey)
+    # grouped refine at refine_k ≥ group size == per-group exact dot
+    # ranking (vectors joined on (group, id) — colliding ids fetch
+    # THEIR group's vector)
+    mat = {
+        (r["grp"], r["vec_id"]): np.asarray(
+            r["embedding"], dtype=np.float64
+        )
+        for r in corpus.collect()
+    }
+    exact = {}
+    for qr in queries.collect():
+        qv = mat[(qr["grp"], qr["vec_id"])]
+        ranked = sorted(
+            (
+                (float(qv @ v), -i)
+                for (g, i), v in mat.items()
+                if g == qr["grp"] and i != qr["vec_id"]
+            ),
+            reverse=True,
+        )[:5]
+        exact[(qr["grp"], qr["vec_id"])] = [-i for _, i in ranked]
+    ref = {}
+    for r in sorted(
+        pq_topk(
+            queries, enc, cb, k=5, refine_k=200,
+            vectors=corpus, group_col="grp",
+        ).collect(),
+        key=lambda r: (str(r["grp"]), r["query_id"], r["rank"]),
+    ):
+        ref.setdefault((r["grp"], r["query_id"]), []).append(
+            r["neighbor_id"]
+        )
+    assert ref == exact
+    # (group, id) filter: only group a's even ids allowed
+    flt = spark.createDataFrame(
+        [("a", i) for i in range(0, 30, 2)], "grp string, vec_id int"
+    )
+    fout = pq_topk(
+        queries.filter(F.col("grp") == "a"),
+        enc, cb, k=5, group_col="grp", filter_ids=flt,
+    ).collect()
+    assert len(fout) == 10
+    assert all(
+        r["grp"] == "a" and r["neighbor_id"] % 2 == 0 for r in fout
+    )
+    # flat filter_ids == pre-filtering the codes table by hand, and a
+    # naive post-filter of the unfiltered top-k under-fills k
+    qa = queries.filter(F.col("grp") == "a")
+    enc_a = enc.filter(F.col("grp") == "a").drop("grp")
+    flat_flt = spark.createDataFrame(
+        [(i,) for i in range(0, 30, 2)], "vec_id int"
+    )
+    trip = lambda rs: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in rs
+    )
+    fhits = pq_topk(qa, enc_a, cb, k=5, filter_ids=flat_flt).collect()
+    assert trip(fhits) == trip(
+        pq_topk(
+            qa,
+            enc_a.filter(F.col("neighbor_id") % 2 == 0),
+            cb,
+            k=5,
+        ).collect()
+    )
+    post = [
+        r
+        for r in pq_topk(qa, enc_a, cb, k=5).collect()
+        if r["neighbor_id"] % 2 == 0
+    ]
+    assert len(post) < len(fhits) == 10
+    # every side of the grouped face must carry the group column
+    with pytest.raises(ValueError, match="queries table has no such"):
+        pq_topk(queries.drop("grp"), enc, cb, k=5, group_col="grp")
+    with pytest.raises(ValueError, match="encoded table has no such"):
+        pq_topk(
+            queries, enc.drop("grp"), cb, k=5, group_col="grp"
+        )
+    with pytest.raises(ValueError, match="vectors table has no such"):
+        pq_topk(
+            queries, enc, cb, k=5, group_col="grp",
+            refine_k=10, vectors=corpus.drop("grp"),
+        )
+    # colliding QUERY ids fail fast (query_id is the output key)
+    with pytest.raises(ValueError, match="duplicate query ids"):
+        pq_topk(
+            corpus.filter(F.col("vec_id") == 9),
+            enc, cb, k=5, group_col="grp",
+        )
+
+
 def test_grouped_brute_force_and_lsh_equal_per_slice(spark):
     """Grouped brute_force_topk / lsh_search ≡ per-slice ungrouped runs
     with colliding ids and the NULL group (exact equality — the
