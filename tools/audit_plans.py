@@ -206,6 +206,22 @@ _JUSTIFY: dict[str, str] = {
     "~31-word vocabulary makes 8 queries' terms cover a third of all "
     "postings; on a real vocabulary this is the df-bounded slice the "
     "max_df_frac valve caps. Remaining S exchanges are top-k windows.",
+    "x2_ivf_advance": "the ONE runtime exchange is the search-side "
+    "top-k window input — WindowGroupLimit-Partial pre-cut candidate "
+    "rows hashed by query_id (396 = 8 queries × per-partition k caps, "
+    "contract-bounded, not corpus-proportional — the x2_topk_cosine "
+    "tiny-corpus ratio artifact); the advance itself exchanges "
+    "NOTHING (frozen-centroid Arrow assignment is a map, the drift "
+    "check is a 1-row aggregate, history lists ride the persisted "
+    "parquet scan into a broadcast probe-cell join).",
+    "x2_hybrid_snippets": "the full serve path inherits "
+    "x2_bm25_persisted's C:0 (persisted postings — no build "
+    "exchange); the two M exchanges are the matched-postings score "
+    "aggregate (the persisted row's Σ df(query terms) note) and the "
+    "hit_windows window fold AFTER the postings scan is cut to the "
+    "top-k hit-doc list by a broadcast join — hits-sized by "
+    "construction; the S exchanges are RRF/top-k windows and the "
+    "snippet display join on ≤ queries × k doc ids.",
     "x1_span_portable": "winnowed fp equi-join, valve OFF (parity "
     "configuration, every anchor visible — the x1_ngram_jaccard "
     "precedent): exchanges are slim (id, fp, pos) rows ≈ 6% of corpus "
