@@ -17,7 +17,13 @@ the synthetic documents/embeddings tables (~30 s on local[*]):
 7. BM25F weighted title/body search; 8. more-like-this from the index
    alone; 9. proximity (min-span slop) search; 10. SymSpell spell
    suggestion from the vocabulary; 11. ranking metrics (P/R@k, MRR,
-   AP@k, nDCG@k) against a judgment table.
+   AP@k, nDCG@k) against a judgment table; 12. predicate-constrained
+   search (`filter_ids` — corpus-level stats, k fills from the
+   sub-corpus); 13. pseudo-relevance-feedback expansion
+   (`prf_expand`) fed back into BM25; 14. highlight: `hit_windows`
+   best-window offsets for the hybrid hits + `snippets` display cuts;
+   15. `index_health` — the df-spread report and hottest-terms stop
+   list that tell you where to arm `max_df_frac`.
 
 Run:  python examples/retrieval_demo.py [sf_dir] [workdir]
 """
@@ -219,6 +225,54 @@ def main() -> None:
     retrieval_metrics(
         fused.select("query_id", "doc_id", "rank"), qrels, k=5
     ).orderBy("query_id").show(truncate=False)
+
+    # 12. filtered search: the predicate id-set cuts the MATCHED
+    # postings branch pre-score while df/N/avgdl stay corpus-level
+    # (the Lucene filter-query contract — allowed docs score exactly
+    # as in the unfiltered run, and k fills from the sub-corpus)
+    from datamunging_spark.operators.retrieval import (
+        hit_windows,
+        index_health,
+        prf_expand,
+        snippets,
+    )
+
+    allowed = docs.filter("doc_id % 2 = 0").select("doc_id")
+    flt = bm25_topk(
+        post, queries, stats, k=5, dfreq=dfreq, filter_ids=allowed
+    )
+    print("bm25 over even doc ids only (filter_ids) top-5:")
+    flt.orderBy("query_id", "rank").show(6, truncate=False)
+
+    # 13. pseudo-relevance feedback: Rocchio-expand each query with
+    # index-selected terms from its top hits, then re-search
+    expanded = prf_expand(
+        post, queries, stats, fb_docs=3, fb_terms=5, dfreq=dfreq
+    )
+    print("PRF-expanded queries (RM3 term selection from the index):")
+    expanded.show(3, truncate=False)
+    print("bm25 over the expanded queries, top-3:")
+    bm25_topk(post, expanded, stats, k=3, dfreq=dfreq).orderBy(
+        "query_id", "rank"
+    ).show(6, truncate=False)
+
+    # 14. highlight the hybrid hits: best-window offsets (postings are
+    # cut to the top-k hit-doc list FIRST — hits-sized joins only),
+    # then token-window snippets for display
+    win = hit_windows(pos_post, fused.filter("rank <= 3"), queries)
+    print("snippets for the fused top-3:")
+    snippets(docs, win).orderBy("query_id", "doc_id").show(
+        6, truncate=False
+    )
+
+    # 15. index health: the df spread + observed max_df_frac (where to
+    # arm the valve), and the hottest terms as a candidate stop list
+    print("index health (one summary row):")
+    index_health(post, stats, dfreq=dfreq).show(truncate=False)
+    print("hottest 5 terms (candidate stop list):")
+    index_health(post, stats, dfreq=dfreq, hot_terms=5).show(
+        truncate=False
+    )
     spark.stop()
 
 
