@@ -3497,3 +3497,16 @@ def test_index_health_hand_math_and_grouped(spark):
     assert rows["de"].max_df == 2  # zeilen in 2 de docs
     assert rows["de"].n_docs == 2
     assert rows[None].n_docs == 1
+    # grouped hot-terms face: per-group candidate stop list (NULL
+    # group ties break on term asc)
+    ghot = {
+        r.lang: (r.term, r.df, r.df_frac)
+        for r in index_health(
+            gp, gs, group_col="lang", hot_terms=1
+        ).collect()
+    }
+    assert ghot == {
+        "en": ("spark", 2, 1.0),
+        "de": ("zeilen", 2, 1.0),
+        None: ("mystery", 1, 1.0),
+    }
