@@ -646,15 +646,23 @@ def _persisted_artifact(sf_dir, table, tag, build):
     concurrent builder either wins the rename or discards its copy and
     reads the winner's; no reader can observe a partially written
     artifact. On a successful build, superseded siblings of the same
-    ``tag`` (stale fingerprints) and ABANDONED ``.build.`` temps (>1h
-    old — a live concurrent build is minutes old) are best-effort
-    deleted so /tmp stays bounded across fixture regenerations."""
+    ``tag`` AND the same sf_dir (stale fingerprints) and ABANDONED
+    ``.build.`` temps (>1h old — a live concurrent build is minutes
+    old) are best-effort deleted so /tmp stays bounded across fixture
+    regenerations. The directory name carries a stable per-sf_dir
+    component SEPARATE from the content fingerprint
+    (``spark_graft_{tag}_{sf8}_{fp12}``) and eviction only ever
+    touches siblings sharing that component — benching a second
+    corpus on the same machine no longer deletes the first corpus's
+    live artifact out from under a concurrent bench (r15-close
+    advice)."""
     import hashlib
     import os as _os
     import shutil
     import tempfile
     import time as _time
 
+    sf8 = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     h = hashlib.md5(sf_dir.encode())
     droot = _os.path.join(sf_dir, f"{table}.parquet")
     parts = (
@@ -672,7 +680,7 @@ def _persisted_artifact(sf_dir, table, tag, build):
         )
     base = _os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_{tag}_{h.hexdigest()[:12]}",
+        f"spark_graft_{tag}_{sf8}_{h.hexdigest()[:12]}",
     )
     if not _os.path.isdir(base):
         tmp = tempfile.mkdtemp(
@@ -687,7 +695,11 @@ def _persisted_artifact(sf_dir, table, tag, build):
             shutil.rmtree(tmp, ignore_errors=True)
         for sib in _os.listdir(tempfile.gettempdir()):
             sp = _os.path.join(tempfile.gettempdir(), sib)
-            if not sib.startswith(f"spark_graft_{tag}_") or sp == base:
+            # only siblings of the SAME corpus (tag + sf component) are
+            # candidates — another sf_dir's artifact is live by
+            # definition, not superseded
+            if not sib.startswith(f"spark_graft_{tag}_{sf8}_") or \
+                    sp == base:
                 continue
             if ".build." in sib:
                 try:

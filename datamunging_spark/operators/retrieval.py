@@ -895,12 +895,18 @@ def phrase_topk(
     query-construction time when any phrase term's df exceeds the
     fraction — see :func:`_positional_hot_guard` for the scale hazard
     and the CommonGrams/stop-analysis alternative. DEFAULT-ARMED when
-    ``stats`` is provided: leaving ``max_df_frac=None`` with stats in
-    hand arms the warn tier at the generous 0.5 threshold (an operator
-    who wired up stats gets hot-term visibility without reading this
-    docstring; pass dfreq too so the check never touches the
-    postings). With ``stats=None`` the guard stays fully off — the
-    parity configuration.
+    ``stats`` AND ``dfreq`` are both provided: leaving
+    ``max_df_frac=None`` with the index-build artifacts in hand arms
+    the warn tier at the generous 0.5 threshold (an operator who wired
+    up the stats tables gets hot-term visibility without reading this
+    docstring), and the check is then a broadcast-sized df lookup — no
+    postings scan, no new job shape. With ``dfreq`` absent the default
+    stays OFF (r15-close advice: auto-arming without dfreq ran an
+    eager corpus-grain postings aggregate plus a driver collect at
+    every query construction — a latency regression for existing
+    stats-passing callers); pass ``max_df_frac`` explicitly to opt
+    into the on-the-fly derivation. With ``stats=None`` the guard
+    stays fully off — the parity configuration.
 
     The classic positional-intersection algorithm, relational: explode
     each phrase into (offset, term) pairs → broadcast-join postings on
@@ -941,8 +947,9 @@ def phrase_topk(
     if group_col:
         qp = qp.withColumn("_gk", _gkey(group_col)).drop(group_col)
         postings = postings.withColumn("_gk", _gkey(group_col))
-    if max_df_frac is None and stats is not None:
-        # default-armed warn tier (see docstring)
+    if max_df_frac is None and stats is not None and dfreq is not None:
+        # default-armed warn tier, broadcast-sized check only (see
+        # docstring; r15-close advice)
         max_df_frac, on_hot = 0.5, "warn"
     _positional_hot_guard(
         qp.select(*jk).distinct(), postings, stats, dfreq, max_df_frac,
@@ -2268,8 +2275,11 @@ def near_topk(
     time instead of dragging its corpus-scale positional posting slice
     through the aggregate; see :func:`_positional_hot_guard`.
     DEFAULT-ARMED at the warn tier (``max_df_frac=0.5``) when
-    ``stats`` is provided, like :func:`phrase_topk`; fully off — the
-    parity configuration — only when stats are absent.
+    ``stats`` AND ``dfreq`` are both provided, like
+    :func:`phrase_topk` (the check is then broadcast-sized; without
+    dfreq the default stays off rather than auto-running a postings
+    aggregate per construction); fully off — the parity configuration
+    — when stats are absent.
     ``filter_ids``: predicate-constrained search — the
     :func:`phrase_topk` contract (doc-id or (group, id) table, cut on
     the matched postings before the window scan)."""
@@ -2327,8 +2337,9 @@ def near_topk(
     if group_col:
         qp = qp.withColumn("_gk", _gkey(group_col)).drop(group_col)
         postings = postings.withColumn("_gk", _gkey(group_col))
-    if max_df_frac is None and stats is not None:
-        # default-armed warn tier (see docstring)
+    if max_df_frac is None and stats is not None and dfreq is not None:
+        # default-armed warn tier, broadcast-sized check only (see
+        # docstring; r15-close advice)
         max_df_frac, on_hot = 0.5, "warn"
     _positional_hot_guard(
         qp.select(*jk).distinct(), postings, stats, dfreq, max_df_frac,

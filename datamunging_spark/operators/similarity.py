@@ -161,9 +161,48 @@ def _pygkey(v) -> str:
     string cast), so a dict of per-group centers keyed here matches the
     ``_gkey`` column computed in-plan. Parity holds for the group-col
     types a tenant/language key actually is (string, int) — Python
-    ``str()`` and Spark's string cast agree there; exotic group types
-    (float, timestamp) are the caller's parity risk."""
+    ``str()`` and Spark's string cast agree there; every grouped entry
+    point that bridges a driver-side dict to the in-plan key enforces
+    that allowlist via :func:`_check_group_type` (boolean renders
+    "True" vs Spark's "true", doubles go scientific at different
+    thresholds, timestamps format differently — any of which would
+    silently orphan a group)."""
     return "\x00" if v is None else "=" + str(v)
+
+
+#: PQ query batches are collected to the driver to build the ADC LUT
+#: (len(batch) × m × k doubles) — bound the collect so a corpus-scale
+#: query table fails fast with instructions instead of an OOM (the
+#: bm25_topk guard discipline applied to the vector side; r15 verdict
+#: "What's wrong #4"). 10k queries ≈ 40 MB of LUT at m=8, k=64.
+_MAX_QUERY_BATCH = 10_000
+
+
+def _check_group_type(df: DataFrame, group_col: str, op: str) -> None:
+    """Fail fast when a grouped vector face would key driver-side state
+    (``_pygkey``) by a group type whose Python ``str()`` is not
+    guaranteed to byte-match Spark's in-plan string cast (``_gkey``).
+    Allowlist: string + integral — the tenant/language keys grouped
+    corpora actually use. Everything else (boolean, float/double,
+    decimal, date/timestamp) silently drops or misroutes groups
+    (q_by_gk miss → zero rows, or an executor KeyError), so reject it
+    with instructions instead."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[group_col].dataType
+    if not isinstance(
+        dt,
+        (T.StringType, T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        raise ValueError(
+            f"{op}: group_col={group_col!r} has Spark type "
+            f"{dt.simpleString()}; grouped vector faces key per-group "
+            "driver state by the group's string form, which only "
+            "byte-matches Spark's string cast for string/integral "
+            "group columns (boolean renders 'True' vs 'true', "
+            "double/decimal/timestamp renderings diverge) — cast the "
+            "group column to string or int upstream"
+        )
 
 
 class IvfIndex:
@@ -302,6 +341,7 @@ def ivf_build(
     from pyspark.ml.functions import array_to_vector
 
     if group_col is not None:
+        _check_group_type(corpus, group_col, "ivf_build")
         return _ivf_build_grouped(
             corpus, corpus_id, vec_col, n_clusters, seed, max_fit_rows,
             group_col, max_groups,
@@ -529,6 +569,7 @@ def ivf_search(
                 f"{index.group_col!r}) but the query batch has no "
                 "such column — queries must carry their group"
             )
+        _check_group_type(queries, index.group_col, "ivf_search")
         prepped = {
             _pygkey(g): c.astype(np.float64)
             for g, c in centers.items()
@@ -889,6 +930,8 @@ def advance_ivf_index(
         # would delete another's rows
         from datamunging_spark.operators.retrieval import _gkey
 
+        if index.group_col in batch.columns:
+            _check_group_type(batch, index.group_col, "advance_ivf_index")
         assigned = _assign_frozen_grouped(
             index, batch, corpus_id, vec_col, max_drift,
             pin=codebook is not None,
@@ -1004,7 +1047,14 @@ def ivf_index_from_tables(
     not); searching it is a caller error. A centers table carrying a
     column beyond (cell, center, mean_fit_dist) is a GROUPED index's
     — that column is the group column and the rebuilt index is
-    grouped."""
+    grouped. NB (documented contract change of the round-trip): on a
+    grouped table the rebuilt index's ``n_clusters`` is the MAX
+    observed per-group centroid-list size, not the originally
+    REQUESTED k (the request is not persisted; a group smaller than k
+    was fitted with fewer centroids). Grouped search clamps n_probe
+    per group, so this only matters to callers that read
+    ``n_clusters`` back as the requested k — re-pass the request
+    explicitly on a rebuild instead."""
     import numpy as np
 
     extra = [
@@ -1020,6 +1070,7 @@ def ivf_index_from_tables(
         )
     if extra:
         gcol = extra[0]
+        _check_group_type(centers_table, gcol, "ivf_index_from_tables")
         rows = centers_table.select(
             gcol, "cell", "center", "mean_fit_dist"
         ).collect()
@@ -1662,15 +1713,28 @@ def pq_topk(
                     "of the grouped face carries its group "
                     "(pq_encode(group_col=) keeps it on the codes)"
                 )
+            _check_group_type(df_side, group_col, "pq_topk")
     books = codebook.codebooks
     m = codebook.m
-    q_rows = queries.select(
-        F.col(query_id).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        *([F.col(group_col).alias("_g")] if group_col else []),
-    ).collect()
+    q_rows = (
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            *([F.col(group_col).alias("_g")] if group_col else []),
+        )
+        .limit(_MAX_QUERY_BATCH + 1)
+        .collect()
+    )
     if not q_rows:
         raise ValueError("empty query batch")
+    if len(q_rows) > _MAX_QUERY_BATCH:
+        raise ValueError(
+            f"pq_topk: query batch exceeds {_MAX_QUERY_BATCH} rows — "
+            "the batch is collected to the driver to build the ADC "
+            "lookup table (the documented small-batch contract); split "
+            "the batch, or join-score a corpus-scale query table "
+            "upstream"
+        )
     q_ids = np.array([r["query_id"] for r in q_rows])
     if len(set(q_ids.tolist())) != len(q_ids):
         raise ValueError(
@@ -1966,18 +2030,36 @@ def ivf_pq_topk(
                 f"{index.group_col!r} column — encode with "
                 "pq_encode_cells on the grouped index"
             )
-        q_rows = queries.select(
-            F.col(query_id).alias("query_id"),
-            F.col(vec_col).alias("_qv"),
-            F.col(index.group_col).alias("_g"),
-        ).collect()
+        _check_group_type(queries, index.group_col, "ivf_pq_topk")
+        _check_group_type(encoded_cells, index.group_col, "ivf_pq_topk")
+        q_rows = (
+            queries.select(
+                F.col(query_id).alias("query_id"),
+                F.col(vec_col).alias("_qv"),
+                F.col(index.group_col).alias("_g"),
+            )
+            .limit(_MAX_QUERY_BATCH + 1)
+            .collect()
+        )
     else:
-        q_rows = queries.select(
-            F.col(query_id).alias("query_id"),
-            F.col(vec_col).alias("_qv"),
-        ).collect()
+        q_rows = (
+            queries.select(
+                F.col(query_id).alias("query_id"),
+                F.col(vec_col).alias("_qv"),
+            )
+            .limit(_MAX_QUERY_BATCH + 1)
+            .collect()
+        )
     if not q_rows:
         raise ValueError("empty query batch")
+    if len(q_rows) > _MAX_QUERY_BATCH:
+        raise ValueError(
+            f"ivf_pq_topk: query batch exceeds {_MAX_QUERY_BATCH} rows "
+            "— the batch is collected to the driver to build the ADC "
+            "lookup table (the documented small-batch contract); split "
+            "the batch, or join-score a corpus-scale query table "
+            "upstream"
+        )
     q_ids = [r["query_id"] for r in q_rows]
     if len(set(q_ids)) != len(q_ids):
         raise ValueError(

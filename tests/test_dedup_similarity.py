@@ -3006,3 +3006,66 @@ def test_ann_recall_report_hand_math_and_pipeline(spark, tables):
         ivf_search(qs, idx, k=5, n_probe=8), truth
     ).agg(F.min("recall").alias("r")).collect()[0].r
     assert full == 1.0
+
+
+def test_grouped_faces_reject_parity_risky_group_types(spark):
+    """r16 (r15-close advice, medium): grouped vector faces bridge a
+    driver-side dict keyed by Python str() to the in-plan Spark string
+    cast; boolean ('True' vs 'true'), double and timestamp group
+    columns silently orphan groups. Every grouped entry point now
+    fails fast on a non-string/integral group column."""
+    from datamunging_spark.operators.similarity import (
+        ivf_build,
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+
+    vecs = [(i, [float(i), 1.0], i % 2 == 0) for i in range(12)]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, flag boolean"
+    )
+    with pytest.raises(ValueError, match="group_col.*boolean"):
+        ivf_build(emb, n_clusters=2, group_col="flag")
+    cb = pq_fit(emb, m=2, k=4, iters=2)
+    enc = pq_encode(emb, cb, group_col="flag")
+    with pytest.raises(ValueError, match="group_col.*boolean"):
+        pq_topk(
+            emb.limit(2), enc, cb, k=2, group_col="flag"
+        )
+    # string and int group columns stay accepted
+    emb_s = emb.withColumn("flag", F.col("flag").cast("string"))
+    idx = ivf_build(emb_s, n_clusters=2, group_col="flag")
+    assert set(idx.centers) == {"true", "false"}
+
+
+def test_pq_query_batch_collect_is_guarded(spark):
+    """r16 (r15 verdict "what's wrong #4"): pq_topk/ivf_pq_topk collect
+    the query batch to build the ADC LUT — a corpus-scale batch now
+    fails fast with instructions instead of an unbounded driver
+    collect. The probe is limit(cap+1), so the guard itself never
+    collects more than cap+1 rows."""
+    import datamunging_spark.operators.similarity as S
+
+    vecs = [(i, [float(i % 7), 1.0]) for i in range(40)]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>"
+    )
+    cb = S.pq_fit(emb, m=2, k=4, iters=2)
+    enc = S.pq_encode(emb, cb)
+    old = S._MAX_QUERY_BATCH
+    S._MAX_QUERY_BATCH = 10
+    try:
+        with pytest.raises(ValueError, match="query batch exceeds 10"):
+            S.pq_topk(emb, enc, cb, k=2)
+        cells = S.pq_encode_cells(
+            S.ivf_build(emb, n_clusters=2), cb
+        )
+        idx = S.ivf_build(emb, n_clusters=2)
+        with pytest.raises(ValueError, match="query batch exceeds 10"):
+            S.ivf_pq_topk(emb, idx, cb, cells, k=2)
+        # at the cap, the path still works
+        out = S.pq_topk(emb.limit(10), enc, cb, k=2)
+        assert out.count() > 0
+    finally:
+        S._MAX_QUERY_BATCH = old

@@ -2953,10 +2953,12 @@ def test_snippets_grouped_face_cuts_from_own_group(spark):
 
 
 def test_positional_guard_default_armed_with_stats(spark):
-    """Passing stats WITHOUT max_df_frac default-arms the warn tier at
-    0.5 (an operator who wired stats gets hot-term visibility without
-    opting in); results are unchanged; stats=None keeps the guard
-    fully off — the parity configuration."""
+    """Passing stats AND dfreq WITHOUT max_df_frac default-arms the
+    warn tier at 0.5 (an operator who wired the index-build artifacts
+    gets hot-term visibility without opting in, and the check is
+    broadcast-sized); results are unchanged; stats alone (no dfreq)
+    or stats=None keep the guard fully off — no hidden postings scan
+    at construction time (r16)."""
     import warnings
 
     from datamunging_spark.operators.retrieval import (
@@ -2994,6 +2996,17 @@ def test_positional_guard_default_armed_with_stats(spark):
         assert not any(
             "max_df_frac" in str(x.message) for x in w2
         )
+        # stats WITHOUT dfreq: the default stays off (r16 — auto-arming
+        # here would run an eager corpus-grain postings aggregate plus
+        # a driver collect at every query construction; the caller can
+        # still opt in with an explicit max_df_frac)
+        with warnings.catch_warnings(record=True) as w3:
+            warnings.simplefilter("always")
+            stats_only = op(post, hot_q, stats=stats).collect()
+        assert not any(
+            "max_df_frac" in str(x.message) for x in w3
+        )
+        assert stats_only == bare
         # explicit max_df_frac still gets the raise tier by default
         import pytest as _pytest
 
