@@ -15,6 +15,16 @@ Usage:
     python tools/gen_baseline_table.py            # from latest BENCH_r*.json
     python tools/gen_baseline_table.py path.json  # from a specific artifact
                                                   # (BENCH_DETAIL or BENCH_r*)
+    python tools/gen_baseline_table.py path.json prev.json  # explicit
+                                                  # comparison baseline
+
+The normalized-delta baseline (r16, per the r15 verdict's "two competing
+baselines" finding): an explicit second argument wins; otherwise the
+committed ``BENCH_anchor.json`` — the working bands, a verified-quiet
+clean run promoted to an artifact — is used when present; only without
+an anchor does the tool fall back to the previous round's driver
+artifact (which may be a drifted-box run). This makes the Δ column and
+the flag-adjudication bands the same numbers by construction.
 """
 
 from __future__ import annotations
@@ -264,13 +274,23 @@ def main() -> None:
             REPO, "BENCH_DETAIL.json"
         )
     detail = load_detail(src)
-    # previous round artifact for the normalized-delta column: the newest
-    # BENCH_r*.json that is not the source itself
+    # normalized-delta baseline: explicit arg > committed anchor run >
+    # newest BENCH_r*.json that is not the source itself (see module
+    # docstring — the anchor IS the working bands)
     prev, prev_src = None, None
-    for cand in round_artifacts():
-        if os.path.abspath(cand) != os.path.abspath(src):
-            prev, prev_src = load_detail(cand), os.path.basename(cand)
-            break
+    anchor = os.path.join(REPO, "BENCH_anchor.json")
+    if len(sys.argv) > 2:
+        prev, prev_src = (
+            load_detail(sys.argv[2]), os.path.basename(sys.argv[2])
+        )
+    elif os.path.exists(anchor) and \
+            os.path.abspath(anchor) != os.path.abspath(src):
+        prev, prev_src = load_detail(anchor), "BENCH_anchor.json"
+    else:
+        for cand in round_artifacts():
+            if os.path.abspath(cand) != os.path.abspath(src):
+                prev, prev_src = load_detail(cand), os.path.basename(cand)
+                break
     path = os.path.join(REPO, "BASELINE.md")
     with open(path) as fh:
         doc = fh.read()
