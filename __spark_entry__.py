@@ -51,7 +51,7 @@ from datamunging_spark.operators.text import (
     tfidf_scores,
     word_count,
 )
-from datamunging_spark.sources import load_table
+from datamunging_spark.sources import load_table, local_table
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -623,7 +623,8 @@ def q_x2_boolean(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    q = spark.createDataFrame(
+    q = local_table(
+        spark,
         [
             (0, "table row", "scan hash", "merge"),
             (1, None, "spark window", "the"),
@@ -2392,7 +2393,8 @@ def q_x2_ann_suite(spark, sf_dir):
         hits = res.join(truth, ["query_id", "neighbor_id"]).count()
         recall = round(hits / n_truth, 4)
         rows.append((method, res.count(), hits, recall, recall >= 0.6))
-    return spark.createDataFrame(
+    return local_table(
+        spark,
         rows,
         "method string, n_results bigint, n_hits bigint, recall double, "
         "recall_ok boolean",

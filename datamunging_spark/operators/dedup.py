@@ -701,7 +701,11 @@ def _driver_union_find(edges: DataFrame, _rows=None) -> DataFrame:
     schema = T.StructType(
         [T.StructField("v", id_type), T.StructField("component", id_type)]
     )
-    return edges.sparkSession.createDataFrame(rows, schema)
+    # LocalTableScan, not a 32-slice pickled RDD: the label table is
+    # re-read by every downstream consumer/action (r16, sources.local_table)
+    from datamunging_spark.sources.io import local_table
+
+    return local_table(edges.sparkSession, rows, schema)
 
 
 def connected_component_labels(

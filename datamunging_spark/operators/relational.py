@@ -412,8 +412,10 @@ def global_row_number(
     slim, offsets = ranged_prefix_offsets(
         df, order_cols, F.count(F.lit(1))
     )
+    from datamunging_spark.sources.io import local_table
+
     base = F.broadcast(
-        df.sparkSession.createDataFrame(offsets, "_pid int, _base long")
+        local_table(df.sparkSession, offsets, "_pid int, _base long")
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     return (
@@ -945,8 +947,12 @@ def funnel_report(
     # users reaching step k = sum of users whose final stage >= k; the
     # running sum runs over n_steps rows — driver-scale, single partition
     # window is fine and bounded by the step count, not data
-    spine = events.sparkSession.createDataFrame(
-        [(i + 1, s) for i, s in enumerate(steps)], "step int, step_name string"
+    from datamunging_spark.sources.io import local_table
+
+    spine = local_table(
+        events.sparkSession,
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step int, step_name string",
     )
     joined = spine.join(reached, spine.step == reached._stage, "left")
     win = Window.orderBy(F.col("step").desc()).rowsBetween(

@@ -1008,9 +1008,12 @@ def ivf_centers_table(index: IvfIndex) -> DataFrame:
         StructField("center", ArrayType(DoubleType())),
         StructField("mean_fit_dist", DoubleType()),
     ]
+    from datamunging_spark.sources.io import local_table
+
     if index.group_col is None:
         mfd = index.mean_fit_dist
-        return spark.createDataFrame(
+        return local_table(
+            spark,
             [
                 (int(i), [float(x) for x in row], mfd)
                 for i, row in enumerate(index.centers)
@@ -1026,7 +1029,8 @@ def ivf_centers_table(index: IvfIndex) -> DataFrame:
             rows.append(
                 (gval, int(i), [float(x) for x in row], mfd)
             )
-    return spark.createDataFrame(
+    return local_table(
+        spark,
         rows,
         StructType(
             [StructField(index.group_col, index.group_type)]
@@ -1567,8 +1571,11 @@ def pq_codebook_table(codebook: "PqCodebook", spark) -> DataFrame:
     streaming fold's restart story). m × k rows of sub_dim doubles: a
     broadcast-dimension-sized table. Rebuild with
     :func:`pq_codebook_from_table`."""
+    from datamunging_spark.sources.io import local_table
+
     books = codebook.codebooks
-    return spark.createDataFrame(
+    return local_table(
+        spark,
         [
             (int(j), int(c), [float(x) for x in books[j][c]])
             for j in range(codebook.m)
@@ -2072,6 +2079,8 @@ def ivf_pq_topk(
     lut = np.einsum("qjs,jcs->qjc", qx.reshape(len(qx), m, sub), books)
     qpos = {qid: i for i, qid in enumerate(q_ids)}
 
+    from datamunging_spark.sources.io import local_table
+
     spark = queries.sparkSession
     qid_type = queries.schema[query_id].dataType
     if grouped:
@@ -2089,7 +2098,8 @@ def ivf_pq_topk(
             d = ((qv[None, :] - c) ** 2).sum(axis=1)
             for cell in np.argsort(d)[: min(int(n_probe), len(c))]:
                 cell_rows.append((r["query_id"], gk, int(cell)))
-        q_cells = spark.createDataFrame(
+        q_cells = local_table(
+            spark,
             cell_rows,
             StructType(
                 [
@@ -2105,7 +2115,8 @@ def ivf_pq_topk(
         d = ((qx[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
         n_probe_eff = min(n_probe, index.n_clusters)
         probed = np.argsort(d, axis=1)[:, :n_probe_eff]
-        q_cells = spark.createDataFrame(
+        q_cells = local_table(
+            spark,
             [
                 (qid, int(c))
                 for qid, row in zip(q_ids, probed)

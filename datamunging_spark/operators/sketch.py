@@ -776,7 +776,9 @@ def quantile_report(summary: DataFrame, qs: list[float]) -> DataFrame:
         .agg(F.sum("_w").alias("_w"))
         .withColumn("_cum", F.sum("_w").over(w))
     )
-    qdf = spark.createDataFrame([(float(q),) for q in qs], ["q"])
+    from datamunging_spark.sources.io import local_table
+
+    qdf = local_table(spark, [(float(q),) for q in qs], "q double")
     targets = qdf.crossJoin(F.broadcast(meta)).withColumn(
         "rank_target",
         F.greatest(
@@ -1081,7 +1083,9 @@ def grouped_quantile_report(
         .select(*keys, "value", "_cum")
         .alias("d")
     )
-    qdf = spark.createDataFrame([(float(q),) for q in qs], ["q"])
+    from datamunging_spark.sources.io import local_table
+
+    qdf = local_table(spark, [(float(q),) for q in qs], "q double")
     targets = (
         meta.crossJoin(F.broadcast(qdf))
         .withColumn(

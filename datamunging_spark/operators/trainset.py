@@ -828,8 +828,11 @@ def _global_running_sum(
     slim, offsets = ranged_prefix_offsets(
         clamped, order_cols, F.sum(F.col(tokens_col).cast("decimal(38,0)"))
     )
+    from datamunging_spark.sources.io import local_table
+
     base = F.broadcast(
-        df.sparkSession.createDataFrame(
+        local_table(
+            df.sparkSession,
             [(pid, Decimal(acc)) for pid, acc in offsets],
             "_pid int, _base decimal(38,0)",
         )

@@ -9,6 +9,7 @@ predicate pushdown into row-group stats, and vectorized reads for free.
 from datamunging_spark.sources.io import (
     load_table,
     load_tables,
+    local_table,
     materialize_columnar,
     read_csv,
     read_jsonl,
@@ -22,6 +23,7 @@ from datamunging_spark.sources.io import (
 __all__ = [
     "load_table",
     "load_tables",
+    "local_table",
     "materialize_columnar",
     "read_csv",
     "read_jsonl",

@@ -464,3 +464,65 @@ def write_xml(
         .mode(mode)
         .save(path)
     )
+
+
+def local_table(
+    spark: SparkSession,
+    rows,
+    schema,
+    max_local_rows: int = 200_000,
+) -> DataFrame:
+    """Driver-local rows (query batches, parameter tables, driver-computed
+    results) as a DataFrame that plans as a pure-JVM **LocalTableScan**
+    instead of a pickled-Python RDD scan.
+
+    Why it exists (r16 optimization round, measured): a bare
+    ``spark.createDataFrame(rows, schema)`` from a Python list builds a
+    ``parallelize`` RDD with ``defaultParallelism`` slices — a 3-row
+    query table becomes 32 near-empty partitions, EACH needing a Python
+    worker round-trip at every action. A query-construction helper that
+    embeds such a table in several broadcast subtrees (boolean_topk's
+    roles table feeds four) pays 32 Python tasks per subtree per action:
+    x2_boolean measured 119 s of executor CPU across 401 tasks at sf0.1,
+    almost all of it Python-worker churn deserializing the SAME 3 rows.
+    The pandas/Arrow conversion path instead lands the rows in the plan
+    as a LocalTableScan: no RDD, no Python at action time, and Catalyst
+    can broadcast/constant-fold through it. At 100 TB the same property
+    holds — parameter tables ride the PLAN, only corpus tables ride
+    executors.
+
+    Falls back to a SINGLE-slice ``parallelize`` (1 Python task, not 32)
+    when the Arrow conversion cannot represent the rows (exotic nested
+    types) or produces a non-local plan (Arrow disabled on a foreign
+    session). Value fidelity is oracle-checked: every gate query whose
+    parameter tables route through here still hash-matches DuckDB.
+
+    ``max_local_rows`` guards the driver: a LocalTableScan lives in the
+    plan, so corpus-scale "local" data is a caller error — raise with
+    instructions rather than serializing a giant plan.
+    """
+    rows = rows if isinstance(rows, list) else list(rows)
+    if len(rows) > max_local_rows:
+        raise ValueError(
+            f"local_table: {len(rows)} rows exceed max_local_rows="
+            f"{max_local_rows} — local tables ride the query plan; "
+            "corpus-scale data belongs in parquet (write + read back)"
+        )
+    if rows:
+        try:
+            import pandas as pd
+
+            # dtype=object keeps every value verbatim (no numpy
+            # coercion); the Arrow conversion applies the declared
+            # schema types positionally, like the row path
+            pdf = pd.DataFrame(rows, dtype=object)
+            df = spark.createDataFrame(pdf, schema)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            if "LocalTableScan" in plan:
+                return df
+        except Exception:  # noqa: BLE001 — any conversion gap falls back
+            pass
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schema
+        )
+    return spark.createDataFrame([], schema)

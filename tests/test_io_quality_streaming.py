@@ -19,6 +19,7 @@ from datamunging_spark.operators.quality import (
     validation_summary,
 )
 from datamunging_spark.sources import (
+    local_table,
     materialize_columnar,
     read_csv,
     read_lines,
@@ -176,6 +177,49 @@ def test_read_whole_files_tokenized(spark, tmp_path):
     # Double space -> empty token kept (Python str.split(' ') parity).
     assert rows["a.txt"] == ["alpha", "beta", "", "gamma"]
     assert rows["b.txt"] == ["delta"]
+
+
+def test_local_table_plans_as_local_scan(spark):
+    """r16: driver-local parameter tables must ride the plan as a
+    pure-JVM LocalTableScan, not a 32-slice pickled-Python RDD (the
+    root cause of x2_boolean's 119 s of executor CPU moving 3 rows)."""
+    df = local_table(
+        spark,
+        [(0, "table row", None, 1.5), (1, None, "spark", None)],
+        "id int, a string, b string, x double",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan
+    assert "ExistingRDD" not in plan
+    rows = {tuple(r) for r in df.collect()}
+    assert rows == {(0, "table row", None, 1.5), (1, None, "spark", None)}
+
+
+def test_local_table_value_fidelity_vs_row_path(spark):
+    from datetime import date
+    from decimal import Decimal
+
+    rows = [
+        (1, 2**40, 3.25, Decimal("12.34"), date(2020, 1, 2), [1.0, 2.0]),
+        (None, None, None, None, None, None),
+    ]
+    schema = (
+        "i int, l long, d double, m decimal(10,2), dt date, "
+        "arr array<double>"
+    )
+    via_local = local_table(spark, rows, schema).collect()
+    via_rows = spark.createDataFrame(rows, schema).collect()
+    assert sorted(map(tuple, via_local), key=str) == sorted(
+        map(tuple, via_rows), key=str
+    )
+
+
+def test_local_table_empty_and_row_cap(spark):
+    empty = local_table(spark, [], "id int, v string")
+    assert empty.count() == 0 and empty.columns == ["id", "v"]
+    with pytest.raises(ValueError, match="max_local_rows"):
+        local_table(spark, [(i,) for i in range(10)], "id int",
+                    max_local_rows=5)
 
 
 def test_catalog_ddl_roundtrip(spark, tables):
