@@ -2913,9 +2913,13 @@ def q_x8_grouped_sketch(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     k_hh = 512
+    # NOT checkpointed (r16): both consumers (build + recount) re-run a
+    # codegen'd scan+explode — cheaper than materializing the exploded
+    # token stream (27 MB at sf0.1, corpus×tokens at 100 TB; guide §5:
+    # cache only when recompute is dearer than the materialization)
     words = d.select(
         "lang", F.explode(tokenize(F.lower(F.col("text")))).alias("word")
-    ).localCheckpoint()  # feeds build + recount
+    )
     hh = grouped_heavy_hitters(
         words, ["lang"], "word", k=k_hh, min_share=0.002
     ).localCheckpoint()  # report feeds probe + output join
@@ -2962,9 +2966,12 @@ def q_x8_grouped_sketch(spark, sf_dir):
 
     k_q = 256
     qs_list = [0.25, 0.5, 0.75, 0.99]
+    # not checkpointed (r16): two-column projection of the scan — both
+    # consumers re-read the pruned parquet columns for less than the
+    # checkpoint's materialize+job cost
     vals = d.select(
         "source", F.col("n_chars").cast("double").alias("nc")
-    ).localCheckpoint()  # feeds build + rank recount
+    )
     # summ checkpointed: rep AND mass both read it — without this the
     # grouped Arrow build pass runs twice per bench rep (r11 review)
     summ = grouped_quantile_summary(

@@ -22,6 +22,15 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # r16 (guide §2.4): let AQE coalesce the OUTPUT partitioning of cached
+    # plans too. Off, every .persist()'d frame (signature/posting tables)
+    # materializes at the static shuffle.partitions count and each
+    # InMemoryTableScan consumer pays that many tasks regardless of size
+    # (measured: 32-task stages over 2.5 MB in every incremental-dedup
+    # composite; ingest snapshot 33 -> 3 partitions with this on). The
+    # partition count stays AQE-derived — scale-adaptive, not a local
+    # constant.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Hive/Pig parity: invalid cast → NULL, not error (README.md:239-249).
     "spark.sql.ansi.enabled": "false",
     # Vectorized Arrow transfer for the few pandas_udf operators we ship.
