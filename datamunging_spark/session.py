@@ -31,6 +31,20 @@ _DEFAULTS: dict[str, str] = {
     # partition count stays AQE-derived — scale-adaptive, not a local
     # constant.
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # r16 (guide §2.5/§2.2): lower the AQE coalescing FLOOR from 1 MB.
+    # With parallelismFirst (default) the target partition size is
+    # max(bytes/defaultParallelism, minPartitionSize), so the 1 MB floor
+    # — not core count — decides parallelism for shuffles whose rows are
+    # CPU-dense relative to their compressed bytes (exploded n-gram /
+    # posting arrays: x1_ngram_jaccard's gram join is 3.1 MB shuffled
+    # but ~4 CPU s, and the floor coalesced it to 2 tasks → 2 cores
+    # busy, 30 idle; measured 3.82 s -> 1.79 s warm interleaved with
+    # 64k, five other CPU-dense queries unchanged within noise).
+    # Scale-safe: partition count stays capped by defaultParallelism,
+    # and on corpus-scale shuffles bytes/parallelism >> 1 MB so the
+    # floor never binds — this only restores parallelism for
+    # small-bytes/high-CPU exchanges at ANY cluster size.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
     # Hive/Pig parity: invalid cast → NULL, not error (README.md:239-249).
     "spark.sql.ansi.enabled": "false",
     # Vectorized Arrow transfer for the few pandas_udf operators we ship.
