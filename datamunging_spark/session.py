@@ -43,8 +43,13 @@ _DEFAULTS: dict[str, str] = {
     # Scale-safe: partition count stays capped by defaultParallelism,
     # and on corpus-scale shuffles bytes/parallelism >> 1 MB so the
     # floor never binds — this only restores parallelism for
-    # small-bytes/high-CPU exchanges at ANY cluster size.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
+    # small-bytes/high-CPU exchanges at ANY cluster size. 128k chosen
+    # by sweep (1m/256k/128k/64k): x1_ngram_jaccard 4.39/2.82/2.00/
+    # 2.50 s; the one floor-sensitive overhead-bound query
+    # (x1_incremental_span, 46 tiny jobs) pays 5.72/6.34/6.13/7.09 —
+    # 128k is the joint optimum and span's real fix is its job count,
+    # not the floor.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "128k",
     # Hive/Pig parity: invalid cast → NULL, not error (README.md:239-249).
     "spark.sql.ansi.enabled": "false",
     # Vectorized Arrow transfer for the few pandas_udf operators we ship.
