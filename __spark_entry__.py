@@ -66,6 +66,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _co_materialize(*thunks):
+    """Run INDEPENDENT materializations concurrently (optimization guide
+    §2.6: Spark's scheduler happily overlaps jobs submitted from separate
+    driver threads — actions are only sequential because driver code
+    calls them sequentially). Each thunk is exactly the action the query
+    would otherwise run back-to-back, so results are identical by
+    construction; the win is that the second job's tasks back-fill the
+    first job's tail instead of paying the local ~0.1 s/job floor in
+    series. ``inheritable_thread_target`` keeps the submitting thread's
+    job description/group on the pool threads (bench/profiler
+    attribution)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futs = [ex.submit(inheritable_thread_target(t)) for t in thunks]
+        return [f.result() for f in futs]
+
+
 # ---------------------------------------------------------------------------
 # Spark-side queries
 # ---------------------------------------------------------------------------
@@ -1920,10 +1940,14 @@ def q_x1_incremental_dedup(spark, sf_dir):
     # and the history signature snapshot feeds both the band join and the
     # candidate scoring join. (In production these ARE materialized — the
     # snapshot is a parquet table and the batch a checkpointed ingest.)
-    out = incremental_dedup(
-        batch, content_snapshot(hist), seen_distinct=True
-    ).localCheckpoint()
-    hist_sig = minhash_signatures_df(hist).localCheckpoint()
+    # The two materializations are INDEPENDENT (batch exact pass vs
+    # history signing) — overlapped per guide §2.6 (r16).
+    out, hist_sig = _co_materialize(
+        lambda: incremental_dedup(
+            batch, content_snapshot(hist), seen_distinct=True
+        ).localCheckpoint(),
+        lambda: minhash_signatures_df(hist).localCheckpoint(),
+    )
     out = incremental_minhash_dedup(out, hist_sig, threshold=0.5)
     return out.select("doc_id", "source")
 
@@ -1995,9 +2019,13 @@ def q_x1_ingest_cycle(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     hist = d.filter(F.col("doc_id") < 400)
     batch = d.filter(F.col("doc_id") >= 400)
+    # the two snapshot materializations are independent — overlapped
+    # per guide §2.6 (r16)
     snaps = Snapshots(
-        content_snapshot(hist).localCheckpoint(),
-        minhash_signatures_df(hist).localCheckpoint(),
+        *_co_materialize(
+            lambda: content_snapshot(hist).localCheckpoint(),
+            lambda: minhash_signatures_df(hist).localCheckpoint(),
+        )
     )
     _surv, new_snaps = ingest_batch(batch, snaps, threshold=0.5)
     return new_snaps.signatures
@@ -2726,8 +2754,19 @@ def q_x1_incremental_span(spark, sf_dir):
     ).localCheckpoint()
     hist = planted.filter(F.col("doc_id") < 400)
     batch = planted.filter(F.col("doc_id") >= 400)
-    hist_fps = winnow_fingerprints(hist, gram=24)
-    return incremental_span_dedup(batch, hist_fps, hist, gram=24)
+    # The two winnowing passes are independent once `planted` exists:
+    # overlap them (guide §2.6, r16) and materialize the history
+    # fingerprints — in the production shape the snapshot IS a
+    # materialized table (this entry's own docstring), and lazy it
+    # re-runs the history mapInPandas winnow once per consuming branch.
+    hist_fps, batch_fps = _co_materialize(
+        lambda: winnow_fingerprints(hist, gram=24).localCheckpoint(),
+        lambda: winnow_fingerprints(batch, gram=24).localCheckpoint(),
+    )
+    return incremental_span_dedup(
+        batch, hist_fps, hist, gram=24,
+        _precomputed_batch_fps=batch_fps,
+    )
 
 
 def q_x4_doc_quality(spark, sf_dir):

@@ -276,6 +276,19 @@ def test_incremental_span_dedup_history_wins(spark):
     }
     assert no_batch[102] == E and no_batch[101] == D + E
 
+    # _precomputed_batch_fps seam (r16): a caller-supplied winnow table
+    # over exactly the batch (same min_span/gram) must yield the same
+    # output as the internal winnow path — this is what lets the entry
+    # overlap the batch winnow with the history snapshot build
+    pre = winnow_fingerprints(batch).localCheckpoint()
+    out_pre = {
+        r.doc_id: r.text
+        for r in incremental_span_dedup(
+            batch, hist_fps, hist, _precomputed_batch_fps=pre
+        ).collect()
+    }
+    assert out_pre == out
+
 
 def test_incremental_span_dedup_snapshot_rollforward_idempotent(spark):
     """Re-ingesting content already folded into history removes it
