@@ -1377,7 +1377,6 @@ def q_x3_incremental_phash(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     hist = attach_binary_payload(d.filter(F.col("doc_id") < 400))
-    hist_sh = phash_df(hist).localCheckpoint()
     plants = (
         d.filter(F.col("doc_id") < 400)
         .filter(F.col("doc_id") % 10 == 0)
@@ -1387,9 +1386,15 @@ def q_x3_incremental_phash(spark, sf_dir):
     batch = attach_binary_payload(
         d.filter(F.col("doc_id") >= 400).unionByName(plants)
     )
-    return incremental_phash_dedup(batch, hist_sh, max_hamming=3).select(
-        "doc_id", "source"
+    # the history and batch Arrow hash passes are independent —
+    # overlapped per guide §2.6 (r16)
+    hist_sh, batch_sh = _co_materialize(
+        lambda: phash_df(hist).localCheckpoint(),
+        lambda: phash_df(batch).localCheckpoint(),
     )
+    return incremental_phash_dedup(
+        batch, hist_sh, max_hamming=3, _precomputed_hash=batch_sh
+    ).select("doc_id", "source")
 
 
 def q_x1_ngram_jaccard(spark, sf_dir):

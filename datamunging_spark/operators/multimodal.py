@@ -421,6 +421,7 @@ def incremental_phash_dedup(
     gray_decoder=None,
     within_batch: bool = True,
     _return_survivor_hash: bool = False,
+    _precomputed_hash: DataFrame | None = None,
 ):
     """Near-dedup a NEW media batch against a PRIOR corpus represented
     only by its dHash table — the multimodal leg of the continuous-
@@ -457,10 +458,17 @@ def incremental_phash_dedup(
             f"max_hamming={max_hamming} needs bands >= {max_hamming + 1} "
             "for the pigeonhole recall guarantee"
         )
-    new_sh = phash_df(
-        new_df, id_col=id_col, payload_col=payload_col,
-        gray_decoder=gray_decoder,
-    ).localCheckpoint()  # feeds history banding, verify join, intra-batch
+    if _precomputed_hash is not None:
+        # same contract as simhash_pairs' _precomputed_sh: a phash_df
+        # table over EXACTLY new_df (same decoder); caller owns
+        # materialization — lets the caller overlap the batch hash pass
+        # with the history snapshot build (guide §2.6)
+        new_sh = _precomputed_hash
+    else:
+        new_sh = phash_df(
+            new_df, id_col=id_col, payload_col=payload_col,
+            gray_decoder=gray_decoder,
+        ).localCheckpoint()  # feeds history banding, verify join, intra-batch
     nb = _simhash_band_rows(new_sh, id_col, bands).select(
         F.col(id_col).alias("_nid"), "_b", "_k"
     )

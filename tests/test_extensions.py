@@ -253,6 +253,15 @@ def test_incremental_phash_dedup_against_hash_snapshot(spark):
     advanced = hist_sh.unionByName(surv_sh).localCheckpoint()
     again = incremental_phash_dedup(out, advanced, max_hamming=3)
     assert again.count() == 0
+    # _precomputed_hash seam (r16): a caller-supplied phash_df table
+    # over exactly the batch must yield the same output as the internal
+    # hash pass — lets callers overlap the batch hash with the history
+    # snapshot build
+    pre = phash_df(batch).localCheckpoint()
+    out_pre = incremental_phash_dedup(
+        batch, hist_sh, max_hamming=3, _precomputed_hash=pre
+    )
+    assert sorted(r["doc_id"] for r in out_pre.collect()) == [101, 102]
     # guard rails shared with simhash_pairs
     with pytest.raises(ValueError, match="pigeonhole"):
         incremental_phash_dedup(batch, hist_sh, max_hamming=5, bands=4)
