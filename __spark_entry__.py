@@ -67,23 +67,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _co_materialize(*thunks):
-    """Run INDEPENDENT materializations concurrently (optimization guide
-    §2.6: Spark's scheduler happily overlaps jobs submitted from separate
-    driver threads — actions are only sequential because driver code
-    calls them sequentially). Each thunk is exactly the action the query
-    would otherwise run back-to-back, so results are identical by
-    construction; the win is that the second job's tasks back-fill the
-    first job's tail instead of paying the local ~0.1 s/job floor in
-    series. ``inheritable_thread_target`` keeps the submitting thread's
-    job description/group on the pool threads (bench/profiler
-    attribution)."""
-    from concurrent.futures import ThreadPoolExecutor
+    """Run INDEPENDENT materializations concurrently — see
+    :func:`datamunging_spark.parallel.co_materialize` (guide §2.6)."""
+    from datamunging_spark.parallel import co_materialize
 
-    from pyspark import inheritable_thread_target
-
-    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
-        futs = [ex.submit(inheritable_thread_target(t)) for t in thunks]
-        return [f.result() for f in futs]
+    return co_materialize(*thunks)
 
 
 # ---------------------------------------------------------------------------

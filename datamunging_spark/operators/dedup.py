@@ -1311,12 +1311,26 @@ def write_snapshots(snapshots: Snapshots, path: str) -> None:
     (self-overwrite deletes input files mid-scan). Versioned paths make
     each state immutable — which is also what you want for replay and
     audit; retire old versions out-of-band."""
+    from datamunging_spark.parallel import co_materialize
+
+    # the two writes land in independent subdirectories — overlapped
+    # (guide §2.6); callers' crash contract is unchanged because any
+    # commit marker is written by the caller AFTER this returns
+    writes = []
     if snapshots.content is not None:
-        snapshots.content.write.mode("overwrite").parquet(f"{path}/content")
-    if snapshots.signatures is not None:
-        snapshots.signatures.write.mode("overwrite").parquet(
-            f"{path}/signatures"
+        writes.append(
+            lambda: snapshots.content.write.mode("overwrite").parquet(
+                f"{path}/content"
+            )
         )
+    if snapshots.signatures is not None:
+        writes.append(
+            lambda: snapshots.signatures.write.mode("overwrite").parquet(
+                f"{path}/signatures"
+            )
+        )
+    if writes:
+        co_materialize(*writes)
 
 
 def write_snapshots_table(

@@ -530,27 +530,37 @@ def streaming_ingest(
                     state["since_base"] == 0
                     or state["since_base"] + 1 >= cadence
                 )
+                from datamunging_spark.parallel import co_materialize
+
+                # fps/texts land in independent subdirs of the SAME
+                # uncommitted version dir — overlapped (guide §2.6);
+                # the commit marker below still follows BOTH writes, so
+                # the torn-write replay contract is unchanged
                 if make_base:
                     _delete_subdirs(
                         bspark, vpath,
                         ("span_fps_delta", "span_texts_delta"),
                     )
-                    state["span_fps"].write.mode("overwrite").parquet(
-                        f"{vpath}/span_fps"
-                    )
-                    state["span_texts"].write.mode("overwrite").parquet(
-                        f"{vpath}/span_texts"
+                    co_materialize(
+                        lambda: state["span_fps"]
+                        .write.mode("overwrite")
+                        .parquet(f"{vpath}/span_fps"),
+                        lambda: state["span_texts"]
+                        .write.mode("overwrite")
+                        .parquet(f"{vpath}/span_texts"),
                     )
                 else:
                     _delete_subdirs(
                         bspark, vpath, ("span_fps", "span_texts")
                     )
-                    state["span_fps_inc"].write.mode(
-                        "overwrite"
-                    ).parquet(f"{vpath}/span_fps_delta")
-                    state["span_texts_inc"].write.mode(
-                        "overwrite"
-                    ).parquet(f"{vpath}/span_texts_delta")
+                    co_materialize(
+                        lambda: state["span_fps_inc"]
+                        .write.mode("overwrite")
+                        .parquet(f"{vpath}/span_fps_delta"),
+                        lambda: state["span_texts_inc"]
+                        .write.mode("overwrite")
+                        .parquet(f"{vpath}/span_texts_delta"),
+                    )
             _mark_snapshot_committed(bspark, vpath)
             state["snaps"] = read_snapshots(bspark, vpath)
             if span:
@@ -575,13 +585,24 @@ def streaming_ingest(
                     bspark, snapshots_path, keep_last=snapshots_keep_last
                 )
         else:
-            state["snaps"] = Snapshots(
-                snaps.content.localCheckpoint(),
-                snaps.signatures.localCheckpoint(),
-            )
+            from datamunging_spark.parallel import co_materialize
+
+            # the per-batch state pins are independent materializations
+            # — overlapped (guide §2.6) to cut the micro-batch's serial
+            # job chain; pure localCheckpoints, no disk state machine
+            thunks = [
+                snaps.content.localCheckpoint,
+                snaps.signatures.localCheckpoint,
+            ]
             if span:
-                state["span_fps"] = state["span_fps"].localCheckpoint()
-                state["span_texts"] = state["span_texts"].localCheckpoint()
+                thunks += [
+                    state["span_fps"].localCheckpoint,
+                    state["span_texts"].localCheckpoint,
+                ]
+            done = co_materialize(*thunks)
+            state["snaps"] = Snapshots(done[0], done[1])
+            if span:
+                state["span_fps"], state["span_texts"] = done[2], done[3]
 
     writer = docs_stream.writeStream.foreachBatch(_process).trigger(
         availableNow=True
