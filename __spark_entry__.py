@@ -2952,9 +2952,24 @@ def q_x8_grouped_sketch(spark, sf_dir):
     words = d.select(
         "lang", F.explode(tokenize(F.lower(F.col("text")))).alias("word")
     )
-    hh = grouped_heavy_hitters(
-        words, ["lang"], "word", k=k_hh, min_share=0.002
-    ).localCheckpoint()  # report feeds probe + output join
+    # hh's checkpoint and the q face's summary checkpoint (below) are
+    # independent — both derive straight from the documents scan — so
+    # they materialize CONCURRENTLY (guide §2.6, the Phase 6 pattern);
+    # the thunks are exactly the two actions this query ran serially.
+    k_q = 256
+    d_vals = d.select(
+        "source", F.col("n_chars").cast("double").alias("nc")
+    )
+    hh, summ = _co_materialize(
+        lambda: grouped_heavy_hitters(
+            words, ["lang"], "word", k=k_hh, min_share=0.002
+        ).localCheckpoint(),  # report feeds probe + output join
+        # summ checkpointed: rep AND mass both read it — without this
+        # the grouped Arrow build pass runs twice per bench rep (r11)
+        lambda: grouped_quantile_summary(
+            d_vals, ["source"], "nc", k=k_q
+        ).localCheckpoint(),
+    )
     # recounts join NULL-SAFE on the key (NULL keys are real groups in
     # the grouped faces — a plain equi-join would leave their _exact
     # NULL and false-fail bracket_ok; r11 review catch)
@@ -2996,19 +3011,12 @@ def q_x8_grouped_sketch(spark, sf_dir):
         )
     )
 
-    k_q = 256
     qs_list = [0.25, 0.5, 0.75, 0.99]
     # not checkpointed (r16): two-column projection of the scan — both
     # consumers re-read the pruned parquet columns for less than the
-    # checkpoint's materialize+job cost
-    vals = d.select(
-        "source", F.col("n_chars").cast("double").alias("nc")
-    )
-    # summ checkpointed: rep AND mass both read it — without this the
-    # grouped Arrow build pass runs twice per bench rep (r11 review)
-    summ = grouped_quantile_summary(
-        vals, ["source"], "nc", k=k_q
-    ).localCheckpoint()
+    # checkpoint's materialize+job cost (summ was materialized above,
+    # concurrently with hh)
+    vals = d_vals
     rep = grouped_quantile_report(summ, ["source"], qs_list).localCheckpoint()
     exact_q = (
         vals.alias("v")

@@ -303,6 +303,86 @@ def _grouped_assign_udf(centers_by_group: dict):
     return assign
 
 
+def _kmeans_fit_np(x, k: int, seed: int, iters: int = 20):
+    """Driver-side seeded Lloyd's KMeans over an (n, dim) float array —
+    the :func:`pq_fit` fit discipline applied to the coarse quantizer:
+    seeded k-means++ init (D²-weighted seeding, Arthur & Vassilvitskii
+    '07 — the same init family as MLlib's k-means||, so fit quality
+    stays comparable to the distributed fit this replaces), up to
+    ``iters`` refinement steps with early stop on a stable assignment,
+    empty clusters respawned to successive farthest points, distances
+    via the ‖x‖²−2x·cᵀ+‖c‖² matmul identity (O(n·k) memory — the same
+    bound pq_fit documents). Returns
+    ``(centers (k_eff, dim), mean squared distance of the fit rows to
+    their assigned center)`` — the second value is the
+    ``trainingCost / n`` analog the drift valve consumes.
+
+    r16 (guide §1.2): this replaces the distributed MLlib KMeans fit.
+    The fit input is ALREADY capped at ``max_fit_rows`` (a bounded,
+    representative sample — never the corpus), so distributing the
+    Lloyd iterations bought nothing and cost ~30 driver-scheduled jobs
+    per build (k-means|| init passes + one job per iteration +
+    model-summary actions, measured 52 jobs / 73 stages on
+    x1_semantic_dedup, ~4 s of pure scheduling floor at sf0.1);
+    in-process numpy on the collected sample is the same asymptotic
+    story at 100 TB — O(max_fit_rows · k · dim) on one node — minus
+    every per-iteration scheduling round-trip."""
+    import numpy as np
+
+    n = len(x)
+    k_eff = min(k, n)
+    rng = np.random.RandomState(seed)
+    x_sq = (x**2).sum(axis=1)
+    # k-means++ seeding: first center uniform, each next drawn with
+    # probability proportional to squared distance from the chosen set
+    centers = np.empty((k_eff, x.shape[1]), dtype=np.float64)
+    centers[0] = x[rng.randint(n)]
+    closest = np.maximum(
+        x_sq - 2.0 * (x @ centers[0]) + (centers[0] ** 2).sum(), 0.0
+    )
+    for j in range(1, k_eff):
+        total = closest.sum()
+        pick = (
+            rng.choice(n, p=closest / total) if total > 0 else rng.randint(n)
+        )
+        centers[j] = x[pick]
+        closest = np.minimum(
+            closest,
+            np.maximum(
+                x_sq - 2.0 * (x @ centers[j]) + (centers[j] ** 2).sum(), 0.0
+            ),
+        )
+    assign = None
+    for _ in range(iters):
+        d = (
+            x_sq[:, None]
+            - 2.0 * (x @ centers.T)
+            + (centers**2).sum(axis=1)[None, :]
+        )
+        new_assign = d.argmin(axis=1)
+        if assign is not None and (new_assign == assign).all():
+            break
+        assign = new_assign
+        empties = [c for c in range(k_eff) if not (assign == c).any()]
+        # farthest points in descending order, one per empty cluster
+        # (a shared single farthest point would duplicate centroids)
+        if empties:
+            far = np.argsort(-d.min(axis=1))
+        for c in range(k_eff):
+            pts = x[assign == c]
+            if len(pts):
+                centers[c] = pts.mean(axis=0)
+        for rank_i, c in enumerate(empties):
+            centers[c] = x[far[rank_i % n]]
+    d = (
+        x_sq[:, None]
+        - 2.0 * (x @ centers.T)
+        + (centers**2).sum(axis=1)[None, :]
+    )
+    mean_fit = float(np.maximum(d.min(axis=1), 0.0).mean())
+    return centers, mean_fit
+
+
 def ivf_build(
     corpus: DataFrame,
     corpus_id: str = "vec_id",
@@ -318,9 +398,16 @@ def ivf_build(
     The KMeans fit runs on a seeded sample capped at ``max_fit_rows``
     (standard IVF practice: centroids need a representative sample, not the
     corpus — at 100 TB an iterative full-corpus fit would dominate
-    everything). Cell ASSIGNMENT is still a single full pass, so every
-    corpus vector lands in an inverted list. The pre-sample count() is a
-    parquet metadata-weight pass, not a full scan.
+    everything) and, since the sample is bounded, executes DRIVER-side
+    (:func:`_kmeans_fit_np` — the :func:`pq_fit` discipline; the
+    distributed MLlib fit paid ~30 scheduled jobs per build to iterate
+    over a sample that fits in one process). Cell ASSIGNMENT is still a
+    single full pass, so every corpus vector lands in an inverted list —
+    through the same frozen-centroid Arrow kernel
+    :func:`advance_ivf_index` uses (``dedup._frozen_assign_udf``), so
+    build-time and advance-time assignment can never disagree. The
+    pre-sample count() is a parquet metadata-weight pass, not a full
+    scan.
 
     ``group_col``: the GROUPED face — one independent index per group
     value (per-language/per-tenant corpora; NULL is a real group). Each
@@ -331,14 +418,11 @@ def ivf_build(
     per-tenant norm is tens). A group with fewer rows than
     ``n_clusters`` gets ``min`` centroids. Assignment stays ONE full
     corpus pass — the grouped Arrow kernel with the per-group centers
-    dict in closure (the same matmul-identity kernel
-    :func:`advance_ivf_index` uses, so build-time and advance-time
-    assignment can never disagree); it agrees with MLlib's
-    ``transform`` argmin except on exact centroid-distance ties.
+    dict in closure.
     """
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+
+    from datamunging_spark.operators.dedup import _frozen_assign_udf
 
     if group_col is not None:
         _check_group_type(corpus, group_col, "ivf_build")
@@ -348,36 +432,30 @@ def ivf_build(
         )
     corp_v = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    ).withColumn("features", array_to_vector("_cv"))
-    # Cache for the duration of the ITERATIVE fit only (R35 cache-before-fit,
-    # README.md:299): KMeans makes one pass per iteration, so uncached it
-    # re-scans + re-converts the vectors each time. Released right after —
-    # the remaining pipeline reads corp_v exactly once more (assignment),
-    # and pinning corpus-sized blocks across the build would be the wrong
-    # trade at 100 TB.
-    corp_v.persist()
-    try:
-        n_corpus = corp_v.count()
-        fit_df = corp_v
-        n_fit = n_corpus
-        if n_corpus > max_fit_rows:
-            fit_df = corp_v.sample(
-                withReplacement=False,
-                fraction=min(1.0, max_fit_rows / n_corpus),
-                seed=seed,
-            )
-            n_fit = fit_df.count()  # cheap: counts the cached sample
-        km = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(fit_df)
-    finally:
-        corp_v.unpersist()
-    assigned = km.transform(corp_v).select(
-        "neighbor_id", "_cv", F.col("prediction").alias("_cell")
     )
-    centers = np.stack([np.asarray(c) for c in km.clusterCenters()])
-    # the drift-valve baseline: KMeans' trainingCost is the fit sample's
-    # total squared distance to assigned centroids — free from the model
-    mean_fit = (
-        float(km.summary.trainingCost) / n_fit if n_fit else None
+    # No persist: the driver-side fit reads the vectors ONCE (the sample
+    # collect below); the only other pass is the lazy assignment scan.
+    # The old distributed fit cached the corpus across ~30 iteration
+    # jobs — with those gone, pinning corpus-sized blocks would be pure
+    # memory pressure (guide §5).
+    n_corpus = corp_v.count()
+    fit_df = corp_v.select("_cv")
+    if n_corpus > max_fit_rows:
+        fit_df = fit_df.sample(
+            withReplacement=False,
+            fraction=min(1.0, max_fit_rows / n_corpus),
+            seed=seed,
+        )
+    sample = fit_df.collect()  # bounded by ~max_fit_rows (the pq_fit shape)
+    if not sample:
+        raise ValueError("ivf_build: empty corpus — nothing to fit")
+    x = np.stack([np.asarray(r["_cv"]) for r in sample]).astype(np.float64)
+    centers, mean_fit = _kmeans_fit_np(x, n_clusters, seed)
+    ad = _frozen_assign_udf(centers)(F.col("_cv"))
+    assigned = corp_v.select(
+        "neighbor_id",
+        "_cv",
+        F.element_at(ad, 1).cast("int").alias("_cell"),
     )
     return IvfIndex(assigned, centers, n_clusters, mean_fit)
 
@@ -394,11 +472,10 @@ def _ivf_build_grouped(
 ) -> IvfIndex:
     """The grouped :func:`ivf_build` body: per-group sampled KMeans
     fits (driver loop — each one byte-for-byte the per-slice ungrouped
-    fit), then ONE grouped Arrow assignment pass over the whole
-    corpus. See :func:`ivf_build`'s docstring for the contract."""
+    fit: same sample construction, same :func:`_kmeans_fit_np` seed),
+    then ONE grouped Arrow assignment pass over the whole corpus. See
+    :func:`ivf_build`'s docstring for the contract."""
     import numpy as np
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
     from datamunging_spark.operators.retrieval import _gkey
 
@@ -407,6 +484,9 @@ def _ivf_build_grouped(
         F.col(vec_col).alias("_cv"),
         F.col(group_col),
     )
+    # Cache across the per-group sample collects (one filtered pass per
+    # group, G+1 passes total); released before the lazy assignment plan
+    # is returned — the ungrouped contract.
     corp_v.persist()
     try:
         counts = (
@@ -432,25 +512,20 @@ def _ivf_build_grouped(
                 F.col(group_col).isNull()
                 if gval is None
                 else F.col(group_col) == F.lit(gval)
-            ).withColumn("features", array_to_vector("_cv"))
-            fit_df = gslice
-            n_fit = n_g
+            )
+            fit_df = gslice.select("_cv")
             if n_g > max_fit_rows:
-                fit_df = gslice.sample(
+                fit_df = fit_df.sample(
                     withReplacement=False,
                     fraction=min(1.0, max_fit_rows / n_g),
                     seed=seed,
                 )
-                n_fit = fit_df.count()
-            km = KMeans(
-                k=min(n_clusters, n_fit), seed=seed,
-                featuresCol="features",
-            ).fit(fit_df)
-            centers[gval] = np.stack(
-                [np.asarray(c) for c in km.clusterCenters()]
-            )
-            mean_fit[gval] = (
-                float(km.summary.trainingCost) / n_fit if n_fit else None
+            rows = fit_df.collect()  # bounded by ~max_fit_rows per group
+            x = np.stack(
+                [np.asarray(r["_cv"]) for r in rows]
+            ).astype(np.float64)
+            centers[gval], mean_fit[gval] = _kmeans_fit_np(
+                x, n_clusters, seed
             )
         ad = _grouped_assign_udf(centers)(
             F.col("_cv"), _gkey(group_col)
@@ -462,8 +537,8 @@ def _ivf_build_grouped(
             F.col(group_col),
         )
     finally:
-        # cache covered the iterative fits; the returned assignment
-        # plan stays lazy over the corpus scan (the ungrouped
+        # cache covered the per-group sample collects; the returned
+        # assignment plan stays lazy over the corpus scan (the ungrouped
         # contract) — persist/write `assigned` to reuse across jobs
         corp_v.unpersist()
     return IvfIndex(

@@ -2393,9 +2393,16 @@ def test_streaming_ivf_ingest_grouped_store(spark, tmp_path):
         str(src / "f0")
     )
     s1 = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    # max_drift=4: fold 2's group-a batch is ONE in-distribution random
+    # vector whose nearest-centroid distance concentrates at ~E||x||²≈8
+    # while a good 4-cluster fit on 20 such vectors leaves a mean
+    # residual of ~3.7–4.5 — the default 2.0 valve sits exactly on that
+    # noise boundary (it passed by 0.07% under the old distributed fit).
+    # This test pins replace/delete/new-group semantics; the valve's own
+    # trigger behavior is pinned with PLANTED drift elsewhere.
     assert streaming_ivf_ingest(
         s1, table, checkpoint_path=str(tmp_path / "givf_c1"),
-        n_clusters=4, seed=7, group_col="grp",
+        n_clusters=4, seed=7, group_col="grp", max_drift=4.0,
     ) == 1
     cpath = f"{table}_centers"
     assert latest_table_version(spark, cpath) == 1
@@ -2409,7 +2416,7 @@ def test_streaming_ivf_ingest_grouped_store(spark, tmp_path):
     s2 = spark.readStream.schema(schema).parquet(str(src) + "/*")
     assert streaming_ivf_ingest(
         s2, table, checkpoint_path=str(tmp_path / "givf_c1"),
-        n_clusters=4, seed=7, group_col="grp",
+        n_clusters=4, seed=7, group_col="grp", max_drift=4.0,
     ) == 2
     # new group b minted a centers version; a's centroids unchanged
     assert latest_table_version(spark, cpath) == 2
