@@ -502,12 +502,7 @@ def _ivf_build_grouped(
                 "O(groups) cost); raise max_groups if the cardinality "
                 "is intentional, or this is not a grouping column"
             )
-        centers: dict = {}
-        mean_fit: dict = {}
-        for row in sorted(
-            counts, key=lambda r: _pygkey(r[group_col])
-        ):
-            gval, n_g = row[group_col], row["_n"]
+        def _sample_rows(gval, n_g):
             gslice = corp_v.filter(
                 F.col(group_col).isNull()
                 if gval is None
@@ -520,7 +515,31 @@ def _ivf_build_grouped(
                     fraction=min(1.0, max_fit_rows / n_g),
                     seed=seed,
                 )
-            rows = fit_df.collect()  # bounded by ~max_fit_rows per group
+            return fit_df.collect()  # bounded by ~max_fit_rows per group
+
+        # The per-group sample collects are independent Spark jobs
+        # (guide §2.6): overlap them so grouped-build latency stays
+        # ~flat in group count instead of paying one serial job wait
+        # per group; the fits themselves are in-process numpy and run
+        # in deterministic sorted-group order below. Sample
+        # construction per group is byte-identical to the serial loop
+        # (same filter, same fraction/seed), so the grouped ≡ per-slice
+        # fit pins are unaffected.
+        from datamunging_spark.parallel import co_materialize
+
+        sorted_rows = sorted(counts, key=lambda r: _pygkey(r[group_col]))
+        all_rows = co_materialize(
+            *[
+                (lambda gv=row[group_col], ng=row["_n"]:
+                 _sample_rows(gv, ng))
+                for row in sorted_rows
+            ],
+            max_workers=8,
+        )
+        centers: dict = {}
+        mean_fit: dict = {}
+        for row, rows in zip(sorted_rows, all_rows):
+            gval = row[group_col]
             x = np.stack(
                 [np.asarray(r["_cv"]) for r in rows]
             ).astype(np.float64)

@@ -21,15 +21,21 @@ from __future__ import annotations
 from concurrent.futures import ThreadPoolExecutor
 
 
-def co_materialize(*thunks):
+def co_materialize(*thunks, max_workers: int | None = None):
     """Run each zero-arg ``thunk`` concurrently; return their results in
     call order. Raises the first failure (after all threads settle via
     the executor shutdown). Use ONLY for independent actions — thunks
-    must not read each other's results."""
+    must not read each other's results. ``max_workers`` caps the pool
+    for long thunk lists (the guide's 2-3-jobs-in-flight advice —
+    enough to fill task tails, not enough to fight for executors);
+    default = one thread per thunk, right for the 2-4-way overlaps the
+    entry composites use."""
     from pyspark import inheritable_thread_target
 
     if len(thunks) == 1:
         return [thunks[0]()]
-    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+    with ThreadPoolExecutor(
+        max_workers=min(max_workers or len(thunks), len(thunks))
+    ) as ex:
         futs = [ex.submit(inheritable_thread_target(t)) for t in thunks]
         return [f.result() for f in futs]

@@ -1923,6 +1923,39 @@ def _per_slice(df, gval):
     return df.filter(cond)
 
 
+def test_kmeans_fit_np_contracts():
+    """The r16 driver-side coarse-quantizer fit (`_kmeans_fit_np`, the
+    pq_fit discipline replacing the distributed MLlib fit): seeded
+    determinism, planted-cluster recovery, k_eff clamp, exact-zero
+    residual when every point is its own center, and the empty-cluster
+    respawn never yielding NaN/duplicate centers."""
+    import numpy as np
+
+    from datamunging_spark.operators.similarity import _kmeans_fit_np
+
+    rng = np.random.RandomState(3)
+    # three well-separated planted clusters
+    x = np.concatenate(
+        [rng.randn(30, 4) * 0.05 + mu for mu in ([0] * 4, [5] * 4, [-5] * 4)]
+    )
+    c1, m1 = _kmeans_fit_np(x, 3, seed=7)
+    c2, m2 = _kmeans_fit_np(x, 3, seed=7)
+    assert np.array_equal(c1, c2) and m1 == m2  # deterministic in seed
+    # each planted mean recovered by exactly one centroid
+    for mu in (0.0, 5.0, -5.0):
+        d = np.abs(c1 - mu).max(axis=1)
+        assert (d < 0.2).sum() == 1
+    assert m1 < 0.05  # tight planted clusters -> tiny mean residual
+    # k > n clamps to n and the residual is exactly zero
+    ck, mk = _kmeans_fit_np(x[:5], 16, seed=7)
+    assert ck.shape == (5, 4) and mk == 0.0
+    # duplicated points force empty clusters: the respawn path must
+    # still return finite centers
+    xd = np.tile(x[:2], (10, 1))
+    cd, md = _kmeans_fit_np(xd, 4, seed=7)
+    assert np.isfinite(cd).all() and md >= 0.0
+
+
 def test_grouped_ivf_build_matches_per_slice_fits(spark, grouped_vecs):
     """Each group's fit in a grouped ivf_build IS the per-slice
     ungrouped fit (same sampling discipline, same seed): centroids and
