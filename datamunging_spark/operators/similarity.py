@@ -303,6 +303,44 @@ def _grouped_assign_udf(centers_by_group: dict):
     return assign
 
 
+def _lloyd_refine(x, x_sq, centers, iters: int, early_stop: bool):
+    """Shared Lloyd refinement body for :func:`_kmeans_fit_np` and
+    :func:`pq_fit` (one home for the assignment / empty-cluster-respawn
+    logic): up to ``iters`` steps of matmul-identity assignment
+    (‖x‖²−2x·cᵀ+‖c‖², O(n·k) memory), centroid mean updates, and empty
+    clusters respawned to successive farthest points in descending
+    order (a shared single farthest point would duplicate centroids).
+    ``early_stop`` breaks on a stable assignment BEFORE the update
+    (the _kmeans_fit_np contract); pq_fit runs all ``iters``
+    unconditionally. Mutates and returns ``centers``; the arithmetic
+    order is byte-identical to the pre-refactor inlined loops."""
+    import numpy as np
+
+    n = len(x)
+    k_eff = len(centers)
+    assign = None
+    for _ in range(iters):
+        d = (
+            x_sq[:, None]
+            - 2.0 * (x @ centers.T)
+            + (centers**2).sum(axis=1)[None, :]
+        )
+        new_assign = d.argmin(axis=1)
+        if early_stop and assign is not None and (new_assign == assign).all():
+            break
+        assign = new_assign
+        empties = [c for c in range(k_eff) if not (assign == c).any()]
+        if empties:
+            far = np.argsort(-d.min(axis=1))
+        for c in range(k_eff):
+            pts = x[assign == c]
+            if len(pts):
+                centers[c] = pts.mean(axis=0)
+        for rank_i, c in enumerate(empties):
+            centers[c] = x[far[rank_i % n]]
+    return centers
+
+
 def _kmeans_fit_np(x, k: int, seed: int, iters: int = 20):
     """Driver-side seeded Lloyd's KMeans over an (n, dim) float array —
     the :func:`pq_fit` fit discipline applied to the coarse quantizer:
@@ -352,28 +390,7 @@ def _kmeans_fit_np(x, k: int, seed: int, iters: int = 20):
                 x_sq - 2.0 * (x @ centers[j]) + (centers[j] ** 2).sum(), 0.0
             ),
         )
-    assign = None
-    for _ in range(iters):
-        d = (
-            x_sq[:, None]
-            - 2.0 * (x @ centers.T)
-            + (centers**2).sum(axis=1)[None, :]
-        )
-        new_assign = d.argmin(axis=1)
-        if assign is not None and (new_assign == assign).all():
-            break
-        assign = new_assign
-        empties = [c for c in range(k_eff) if not (assign == c).any()]
-        # farthest points in descending order, one per empty cluster
-        # (a shared single farthest point would duplicate centroids)
-        if empties:
-            far = np.argsort(-d.min(axis=1))
-        for c in range(k_eff):
-            pts = x[assign == c]
-            if len(pts):
-                centers[c] = pts.mean(axis=0)
-        for rank_i, c in enumerate(empties):
-            centers[c] = x[far[rank_i % n]]
+    centers = _lloyd_refine(x, x_sq, centers, iters, early_stop=True)
     d = (
         x_sq[:, None]
         - 2.0 * (x @ centers.T)
@@ -408,6 +425,16 @@ def ivf_build(
     build-time and advance-time assignment can never disagree. The
     pre-sample count() is a parquet metadata-weight pass, not a full
     scan.
+
+    .. note:: **r16 baseline shift.** The driver-side fit is a
+       different (equally seeded) local optimum than the MLlib
+       k-means|| fit it replaced, so ``mean_fit_dist`` baselines and
+       centroids differ from indexes built before r16. Pipelines using
+       :func:`advance_ivf_index` / ``streaming_ivf_ingest`` with a
+       ``max_drift`` setting tuned near the drift boundary against a
+       pre-r16 snapshot should rebuild the snapshot (or re-validate
+       ``max_drift``) after upgrading — a batch that previously passed
+       the valve by a hair against the old baseline can flip.
 
     ``group_col``: the GROUPED face — one independent index per group
     value (per-language/per-tenant corpora; NULL is a real group). Each
@@ -540,6 +567,13 @@ def _ivf_build_grouped(
         mean_fit: dict = {}
         for row, rows in zip(sorted_rows, all_rows):
             gval = row[group_col]
+            if not rows:
+                # fraction-sampling can in principle return zero rows
+                # for a group with n_g >> max_fit_rows; fail with the
+                # ungrouped path's explicit message, not np.stack([])
+                raise ValueError(
+                    f"ivf_build: empty fit sample for group {gval!r}"
+                )
             x = np.stack(
                 [np.asarray(r["_cv"]) for r in rows]
             ).astype(np.float64)
@@ -1609,25 +1643,7 @@ def pq_fit(
         xs = x[:, j * sub : (j + 1) * sub]
         centers = xs[rng.choice(n, size=k_eff, replace=False)].copy()
         xs_sq = (xs**2).sum(axis=1)
-        for _ in range(iters):
-            d = (
-                xs_sq[:, None]
-                - 2.0 * (xs @ centers.T)
-                + (centers**2).sum(axis=1)[None, :]
-            )
-            assign = d.argmin(axis=1)
-            empties = [c for c in range(k_eff) if not (assign == c).any()]
-            # farthest points in descending order, one per empty cluster
-            # (a shared single farthest point would duplicate centroids)
-            if empties:
-                far = np.argsort(-d.min(axis=1))
-            for c in range(k_eff):
-                pts = xs[assign == c]
-                if len(pts):
-                    centers[c] = pts.mean(axis=0)
-            for rank_i, c in enumerate(empties):
-                centers[c] = xs[far[rank_i % n]]
-        books[j] = centers
+        books[j] = _lloyd_refine(xs, xs_sq, centers, iters, early_stop=False)
     return PqCodebook(books, m, sub)
 
 
