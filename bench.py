@@ -123,18 +123,39 @@ def main() -> None:
     # Warm the JVM/codegen path once so per-query numbers measure steady state.
     entrymod.q_r13_count(spark, sf_dir).count()
 
+    def _cpu_sample():
+        # r17 (verdict item 7): record hypervisor-steal evidence per
+        # query in the side artifact so machine-phase adjudication of
+        # flagged timings is mechanical (steal vs busy jiffy deltas),
+        # not narrative. Passive read; the timing methodology (median
+        # of reps of fn().count()) is unchanged.
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()
+            v = [int(x) for x in parts[1:9]]
+            # busy = user+nice+system+irq+softirq; steal = field 8
+            return v[0] + v[1] + v[2] + v[5] + v[6], v[7]
+        except OSError:
+            return None
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
+    steal: dict[str, list[int]] = {}
     for name in BENCH_QUERIES:
         # Bench-only queries (retired from the 50-entry gate) resolve to
         # their module-level q_* function.
         fn = qs.get(name) or getattr(entrymod, f"q_{name}")
         samples = []
+        cpu0 = _cpu_sample()
         for _ in range(reps):
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
+        cpu1 = _cpu_sample()
+        if cpu0 and cpu1:
+            # [busy_jiffies, steal_jiffies] across this query's reps
+            steal[name] = [cpu1[0] - cpu0[0], cpu1[1] - cpu0[1]]
         # 2 decimals (10 ms) on the contract line: 68 entries at 4
         # decimals broke the driver's ~2000-char tail capture in r12;
         # full precision lives in BENCH_DETAIL.json's spread
@@ -160,7 +181,10 @@ def main() -> None:
                      "BENCH_DETAIL.json"),
         "w",
     ) as fh:
-        json.dump({**line, "spread": spread}, fh, indent=1)
+        json.dump(
+            {**line, "spread": spread, "cpu_busy_steal": steal}, fh,
+            indent=1,
+        )
     out = json.dumps(line)
     assert len(out) < 1900, f"bench line too long for driver tail capture: {len(out)}"
     print(out)

@@ -639,8 +639,17 @@ def minhash_lsh_pairs(
         )
     # Persist: the banding explode and the two signature re-joins below all
     # reference it; the cached table is tiny (id + 64 longs ≈ 0.5 KB/doc)
-    # even at corpus scale.
+    # even at corpus scale. Fill the cache EAGERLY (one count over the
+    # cached rows): the first action on the pair plan otherwise submits
+    # the band self-join's left and right exchange subtrees concurrently
+    # (AQE materializes independent query stages in parallel) and BOTH
+    # race the cold cache, each computing the full signature window+agg
+    # — the x_curation_full stage profile showed the twin ~4.5 CPU-s
+    # Window stages (r17; at corpus scale that is a duplicated full
+    # signature pass). With the cache warm, both sides read
+    # InMemoryTableScan.
     sig = sig.persist()
+    sig.count()
     # Band rows carry ONLY (id, band, key) — the signature arrays stay out
     # of the self-join shuffle (they re-join onto the tiny distinct pair set
     # afterwards instead of riding every banded row twice).
@@ -1028,6 +1037,12 @@ def incremental_minhash_dedup(
     new_sig = minhash_signatures_df(
         new_df, text_col, id_col, num_hashes, shingle_words, portable
     ).persist()
+    # eager fill: the batch banding exchange and the pair-values
+    # broadcast subtrees materialize concurrently under AQE and would
+    # each compute the cold signature aggregation (the
+    # minhash_lsh_pairs twin-stage race, r17); one count of the
+    # batch-sized cache removes the duplicate pass
+    new_sig.count()
     try:
         new_bands = _band_rows(new_sig, id_col, num_hashes, bands).select(
             F.col(id_col).alias("_nid"), "_b", "_k"
@@ -1558,6 +1573,11 @@ def simhash_dedup(
     nothing else — the loser id set is materialized before release, the
     final anti-join is corpus × small id set."""
     sh = simhash_df(df, text_col, id_col, 64, shingle_words).persist()
+    # eager fill (one count of the cached rows): the band self-join's two
+    # exchange subtrees materialize concurrently under AQE and would both
+    # compute the cold simhash aggregation — the minhash_lsh_pairs twin-
+    # stage race (r17)
+    sh.count()
     try:
         pairs = simhash_pairs(
             df,
