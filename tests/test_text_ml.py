@@ -718,6 +718,44 @@ def test_sentiment_score_zero_shuffle_plan(spark, tables):
     assert "Exchange" not in final  # pure map over the scan
 
 
+def test_softmax_fit_np_contract():
+    """The driver-side multinomial-LR fit (r17 — replaced the MLlib
+    L-BFGS job fan): deterministic (zero init, no RNG), recovers a
+    linearly separable planted problem to 100% training accuracy,
+    honors the convergence contract (stops before max_iter on an easy
+    problem), and regularization shrinks the coefficient norm."""
+    import numpy as np
+
+    from datamunging_spark.operators.text import _softmax_fit_np
+
+    # planted: 3 classes, each class fires a disjoint feature block
+    rng = np.random.RandomState(5)
+    rows, y = [], []
+    for i in range(120):
+        c = i % 3
+        feats = list(rng.randint(c * 10, c * 10 + 10, size=8))
+        feats += list(rng.randint(30, 40, size=2))  # shared noise block
+        rows.append(feats)
+        y.append(c)
+    row_ptr = np.zeros(len(rows) + 1, dtype=np.int64)
+    row_ptr[1:] = np.cumsum([len(r) for r in rows])
+    flat = np.fromiter((f for r in rows for f in r), dtype=np.int32)
+    y = np.array(y)
+
+    W1, b1, it1 = _softmax_fit_np(flat, row_ptr, y, 3, 40, 0.01, 100)
+    W2, b2, it2 = _softmax_fit_np(flat, row_ptr, y, 3, 40, 0.01, 100)
+    assert np.array_equal(W1, W2) and np.array_equal(b1, b2)  # determinism
+    assert it1 == it2 < 100  # converged before the iteration cap
+    # training accuracy on the separable plant
+    logits = np.stack([
+        np.add.reduceat(W1[c, flat], row_ptr[:-1]) + b1[c] for c in range(3)
+    ]).T
+    assert (logits.argmax(axis=1) == y).all()
+    # stronger L2 shrinks the solution
+    W3, _, _ = _softmax_fit_np(flat, row_ptr, y, 3, 40, 1.0, 100)
+    assert np.linalg.norm(W3) < np.linalg.norm(W1)
+
+
 def test_lang_classifier_beats_marker_heuristic(spark):
     """Model-based lang-ID (char-n-gram hashed multinomial LR — the
     fastText-style upgrade tier): on a multilingual fixture where HALF
