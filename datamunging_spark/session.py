@@ -62,6 +62,22 @@ _DEFAULTS: dict[str, str] = {
     # Read parallelism: default 128 MB splits — right for 100 TB parquet;
     # harmless locally.
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # r17 (guide §6, verdict item 8): lower the per-file open-cost charge
+    # from 4 MB. Spark's split size is min(maxPartitionBytes,
+    # max(openCostInBytes, totalBytes/minPartitionNum)), so with the 4 MB
+    # default ANY sub-4 MB file is one split — a single-file fixture scan
+    # is structurally one task no matter how many row groups it has, and
+    # single-task Arrow/codegen passes run on 1 of 32 cores. 64k models
+    # the actual open/seek cost on modern storage. Scale-adaptive by
+    # construction: on corpus-scale inputs bytesPerCore >> 64k decides
+    # (and is itself capped by maxPartitionBytes), so this only restores
+    # scan parallelism for small inputs; small-file PACKING is unchanged
+    # in the regimes we scan (a ~20 KB store file charges 84 KB against a
+    # 64 KB split — still one file per split, same as the 4 MB default).
+    # Pairs with tools/regen_rowgroups.py (multi-row-group sf0.1
+    # fixtures): splits only parallelize a parquet file at row-group
+    # granularity.
+    "spark.sql.files.openCostInBytes": str(64 * 1024),
     "spark.ui.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     # Managed tables (bucketed-join path) land outside the repo tree.

@@ -355,6 +355,7 @@ def test_stale_bloom_probe_catches_lag_by_one_fold(spark):
         incremental_dedup(batch2, snap2, bloom=flt1)
 
 
+@pytest.mark.slow
 def test_incremental_minhash_band_bloom_identical_results(spark):
     """incremental_minhash_dedup(band_bloom=...) must return exactly the
     plain-path survivors, across two loop iterations with bloom_or

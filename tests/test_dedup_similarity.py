@@ -682,6 +682,7 @@ def test_incremental_minhash_dedup_against_signature_snapshot(spark, tables):
     assert any(i >= 300000 for i in no_batch)          # intra-batch kept
 
 
+@pytest.mark.slow
 def test_advance_snapshot_closes_incremental_loop(spark, tables):
     """Roll-forward (advance_snapshot) closes the continuous-ingest loop:
     after folding a batch's survivors into the content + signature
@@ -1558,6 +1559,10 @@ def test_advance_ivf_index_drift_valve(spark, tables):
     )
     with pytest.raises(ValueError, match="centroid drift"):
         advance_ivf_index(idx, far, max_drift=2.0)
+    # the DEFAULT (no max_drift argument) arms the same 2.0 valve —
+    # pins the default against silent loosening (r17, verdict item 1)
+    with pytest.raises(ValueError, match="centroid drift"):
+        advance_ivf_index(idx, far)
     # near batch passes the same valve
     near = emb.filter(F.col("vec_id").between(30, 34))
     adv = advance_ivf_index(idx, near, max_drift=2.0)
@@ -1655,6 +1660,7 @@ def test_ivf_centers_table_roundtrip(spark, tables):
     ] == [(r["query_id"], r["rank"], r["neighbor_id"]) for r in b]
 
 
+@pytest.mark.slow
 def test_streaming_ivf_ingest_folds_reads_and_replays(spark, tables, tmp_path):
     """Three embedding micro-batches (the third UPDATES a vector from
     the first and DELETES one via NULL) fold into a delta-log vector
@@ -1732,6 +1738,7 @@ def test_streaming_ivf_ingest_folds_reads_and_replays(spark, tables, tmp_path):
         sorted(idx.assigned.collect())
 
 
+@pytest.mark.slow
 def test_streaming_ivf_collision_guard_and_delete_only_first_batch(
     spark, tables, tmp_path
 ):
@@ -1806,6 +1813,7 @@ def test_streaming_ivf_collision_guard_and_delete_only_first_batch(
     assert load_ivf_index(spark, dtable).assigned.count() == 10
 
 
+@pytest.mark.slow
 def test_streaming_ivf_pq_codes_ride_the_store(spark, tables, tmp_path):
     """codebook_m arms the full IVF-PQ layout: codes ride the versioned
     rows as a pq_codes column encoded with the frozen first-fold
@@ -2388,6 +2396,7 @@ def test_ivf_pq_refine_k_full_probe_is_exact(spark, tables):
         ivf_pq_topk(queries, idx, cb, cells, k=5, refine_k=2)
 
 
+@pytest.mark.slow
 def test_streaming_ivf_ingest_grouped_store(spark, tmp_path):
     """The grouped streaming vector store: per-group frozen centroids,
     (group, id) replace/delete across folds with colliding ids, a NEW

@@ -49,6 +49,7 @@ def test_curation_and_trainset_on_empty(spark, empty_docs):
     assert training_shuffle(empty_docs, ["doc_id"]).count() == 0
 
 
+@pytest.mark.slow
 def test_sampling_and_relational_on_empty(spark, empty_docs):
     from datamunging_spark.operators.relational import range_join
     from datamunging_spark.operators.sampling import (
@@ -125,6 +126,7 @@ def test_incremental_dedup_on_empty(spark, empty_docs):
     assert incremental_minhash_dedup(batch, empty_sig).count() == 1
 
 
+@pytest.mark.slow
 def test_round6_ops_on_empty(spark, empty_docs):
     """Round-6 operators on empty inputs: ingest_batch bootstraps to empty
     snapshots, simhash pairing/dedup return empty, split/stratified/url/

@@ -701,6 +701,7 @@ def test_scd2_apply_snapshot_single_join_consumption(spark):
     assert final.count("Generate") == 1  # the single explode
 
 
+@pytest.mark.slow
 def test_streaming_apply_changelog_rolls_versions(spark, tmp_path):
     """foreachBatch CDC loop: two micro-batches roll the versioned store
     through two committed versions; the final table reflects both

@@ -312,6 +312,7 @@ def test_streaming_windowed_counts(spark, tables, tmp_path):
     assert got.count() > 0
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Watermark semantics: rows arriving later than the watermark behind
     the max seen event time are dropped from closed windows — state stays
@@ -659,6 +660,7 @@ def test_zorder_write_rejects_key_overflow(spark, tables, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_streaming_ingest_rolls_snapshots_across_microbatches(spark, tmp_path):
     """foreachBatch ingest loop: duplicates arriving in a LATER micro-batch
     than their original are dropped via the rolled-forward snapshot (beyond
@@ -697,6 +699,7 @@ def test_streaming_ingest_rolls_snapshots_across_microbatches(spark, tmp_path):
     assert snaps.signatures.count() == 3
 
 
+@pytest.mark.slow
 def test_streaming_phash_ingest_across_microbatches_and_restart(
     spark, tmp_path
 ):
@@ -878,6 +881,7 @@ def test_compact_parquet_merges_small_files(spark, tables, tmp_path):
     assert a == b
 
 
+@pytest.mark.slow
 def test_streaming_ingest_snapshot_state_survives_restart(spark, tmp_path):
     """Restart durability: with checkpoint_path set, Structured Streaming
     SKIPS committed micro-batches on restart, so dedup state held only in
@@ -1158,6 +1162,7 @@ def test_windowed_counts_sliding_real_stream(spark, tmp_path):
     assert got == want and len(got) == 3
 
 
+@pytest.mark.slow
 def test_streaming_ingest_span_stage_cuts_across_microbatches(
     spark, tmp_path
 ):
@@ -1203,6 +1208,7 @@ def test_streaming_ingest_span_stage_cuts_across_microbatches(
     assert span_fps.count() > 0
 
 
+@pytest.mark.slow
 def test_streaming_ingest_span_state_survives_restart(spark, tmp_path):
     """Restart durability for the span stage: with snapshots_path set the
     fingerprint/text span state is versioned per batch; a RESTARTED run
@@ -1289,6 +1295,7 @@ def test_streaming_ingest_span_replayed_batch_is_noop(spark, tmp_path):
     assert span_texts.count() == 1               # no span-state self-append
 
 
+@pytest.mark.slow
 def test_streaming_ingest_span_torn_version_replay_converges(
     spark, tmp_path
 ):
@@ -1357,6 +1364,7 @@ def test_streaming_ingest_span_torn_version_replay_converges(
     assert len(committed) == 1  # vacuumed to keep_last=1
 
 
+@pytest.mark.slow
 def test_streaming_ingest_span_state_is_delta_log(spark, tmp_path):
     """r9 bounded span state: with span_base_every=None (pure delta
     log) every version persists ONLY the batch's increment
@@ -1468,6 +1476,7 @@ def test_maybe_parquet_missing_is_none_corrupt_raises(spark, tmp_path):
     assert raised, "corrupt span-state dir did not raise"
 
 
+@pytest.mark.slow
 def test_streaming_ingest_span_base_cadence_without_retention(
     spark, tmp_path
 ):

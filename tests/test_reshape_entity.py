@@ -709,6 +709,7 @@ def test_streaming_resolve_rolls_history_across_microbatches(spark, tmp_path):
     assert hist.count() == 4        # seed + three streamed records
 
 
+@pytest.mark.slow
 def test_streaming_resolve_bounded_history_and_durability(spark, tmp_path):
     """Compaction + retention: N micro-batches RE-INGESTING the same
     records keep the history row count flat (bounded by distinct ids,
@@ -780,6 +781,7 @@ def test_blocking_report_sizes_and_valve(spark):
     assert r2.blocks_over_cap == 0 and r2.pairs_dropped_by_cap == 0
 
 
+@pytest.mark.slow
 def test_streaming_rollup_matches_batch_and_survives_restart(spark, tmp_path):
     """foreachBatch continuous aggregate: micro-batch folds equal the
     full-recompute rollup; a second drain with the same checkpoint adds

@@ -295,6 +295,7 @@ def test_stats_from_postings_matches_index_stats_minus_empty(spark):
     assert avgdl == pytest.approx(10 / 3)
 
 
+@pytest.mark.slow
 def test_streaming_index_ingest_folds_and_replaces(spark, tmp_path):
     """Three micro-batches (the third UPDATES a doc from the first) fold
     into a versioned postings table that equals a full rebuild of the
@@ -374,6 +375,7 @@ def test_streaming_index_ingest_folds_and_replaces(spark, tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_streaming_index_delta_log_and_compaction(spark, tmp_path):
     """The index store is a delta log: with base_every=3 (< keep_last,
     so cadence = 3) the first fold writes a full base, the next two
@@ -714,6 +716,7 @@ def test_boolean_topk_matches_python_reference(spark):
     assert got == sorted(want)
 
 
+@pytest.mark.slow
 def test_boolean_topk_valve_and_dfreq_paths(spark):
     """max_df_frac treats hot terms as stopwords in ALL THREE roles
     (the Lucene stop-filter analogy): a hot must term is no longer
@@ -1091,6 +1094,7 @@ def test_retrieval_metrics_duplicate_judgments_max_grade(spark):
     assert r.ndcg_k == pytest.approx(dcg / idcg, abs=1e-6)
 
 
+@pytest.mark.slow
 def test_streaming_index_base_every_none_keeps_retention_bases(spark, tmp_path):
     """base_every=None removes only the LINEAGE bound — the retention
     term still compacts a base every keep_last-th fold, so vacuum can
@@ -1229,6 +1233,7 @@ def test_grouped_index_faces_equal_per_group_runs(spark):
     assert fly == got
 
 
+@pytest.mark.slow
 def test_grouped_boolean_and_phrase_faces(spark):
     """Grouped boolean_topk / phrase_topk == the ungrouped operator on
     each group slice (NULL group included) — the bm25 grouped-face
@@ -1919,6 +1924,7 @@ def test_advance_index_preserves_positional_schema(spark):
     assert [(r.doc_id, r.phrase_freq) for r in hits] == [(2, 1)]
 
 
+@pytest.mark.slow
 def test_positional_hot_term_guard(spark):
     """phrase_topk/near_topk max_df_frac is a GUARD, not a valve:
     semantics forbid dropping a term, so a hot query term raises (or
@@ -2058,6 +2064,7 @@ def test_bm25f_validates_weights_against_fstats(spark):
     assert [r.doc_id for r in out] == [2, 1]
 
 
+@pytest.mark.slow
 def test_boolean_topk_msm_degrades_with_valved_should_terms(spark):
     """min_should_match degrades per query by the number of should
     terms the valve removed (the stop-filter analogy): a query whose
@@ -2246,6 +2253,7 @@ def test_bm25f_matches_duckdb(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_hit_windows_for_ranked_hits_and_snippets(spark):
     """hit_windows gives bm25/boolean/rrf hits a best-window leg: the
     minimal token window covering every query term PRESENT in the doc
@@ -2334,6 +2342,7 @@ def test_hit_windows_for_ranked_hits_and_snippets(spark):
     assert ggot[(None, 2)] == (4, 0)
 
 
+@pytest.mark.slow
 def test_grouped_bm25f_equals_per_group_runs(spark):
     """The grouped fielded face returns exactly what running the
     ungrouped fielded pipeline per group slice would — NULL group
@@ -2445,6 +2454,7 @@ def test_grouped_advance_index_fielded_roll_forward(spark):
     )
 
 
+@pytest.mark.slow
 def test_streaming_index_ingest_positional(spark, tmp_path):
     """positions=True maintains a positional streamed store: the head
     reconstruction equals a full positional rebuild of the final
@@ -2500,6 +2510,7 @@ def test_streaming_index_ingest_positional(spark, tmp_path):
     assert prox == {1: 2, 2: 3, 3: 2, 4: 4}
 
 
+@pytest.mark.slow
 def test_streaming_index_ingest_grouped(spark, tmp_path):
     """A grouped streamed store folds at (group, id) grain: an update
     replaces only its own group's postings (NULL group included), the
@@ -2572,6 +2583,7 @@ def test_streaming_index_ingest_grouped(spark, tmp_path):
     ) == 1
 
 
+@pytest.mark.slow
 def test_prf_expand_planted_recall_gain(spark):
     """PRF pulls vocabulary from the top hits: the expanded query
     retrieves a planted doc that shares NO term with the original
@@ -2693,6 +2705,7 @@ def test_hit_windows_matches_python_reference(spark):
         assert (span, start) == want, (qid, did, present)
 
 
+@pytest.mark.slow
 def test_bm25_term_boosts_and_weighted_prf(spark):
     """term_boosts scales per-(query, term) contributions: an all-1.0
     table is byte-identical to unboosted, a hand-computed boost moves
@@ -2775,6 +2788,7 @@ def test_bm25_term_boosts_and_weighted_prf(spark):
     assert all(wd[d][0] < wd[4][0] for d in (1, 2, 3))
 
 
+@pytest.mark.slow
 def test_streaming_index_grouped_flag_flip_refuses(spark, tmp_path):
     """The grouped face is schema-authoritative: re-folding a grouped
     store without group_col (or an ungrouped store with one) fails
@@ -2823,6 +2837,7 @@ def test_streaming_index_grouped_flag_flip_refuses(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_boolean_msm_valve_matches_python_reference(spark):
     """Randomized cross-check of the valve×msm interplay: hot terms
     (df > frac·N) leave ALL roles, msm degrades per query by the
@@ -2952,6 +2967,7 @@ def test_snippets_grouped_face_cuts_from_own_group(spark):
     assert out.count() == win.count()
 
 
+@pytest.mark.slow
 def test_positional_guard_default_armed_with_stats(spark):
     """Passing stats AND dfreq WITHOUT max_df_frac default-arms the
     warn tier at 0.5 (an operator who wired the index-build artifacts
@@ -3187,6 +3203,7 @@ def test_grouped_bm25_filter_ids_matches_per_slice(spark):
         )
 
 
+@pytest.mark.slow
 def test_filter_ids_on_boolean_phrase_near_bm25f(spark):
     """Every lexical search face honors the same filter_ids contract:
     filtered run == post-filter re-rank of an exhaustive unfiltered
@@ -3278,6 +3295,7 @@ def test_filter_ids_on_boolean_phrase_near_bm25f(spark):
     assert got_f == want_f
 
 
+@pytest.mark.slow
 def test_filter_ids_on_more_like_this_and_prf_expand(spark):
     """more_like_this(filter_ids=) constrains what can be RETRIEVED
     (term selection and df stay corpus-level — post-filter re-rank
@@ -3344,6 +3362,7 @@ def _nsort(rows):
     return sorted(rows, key=lambda t: (t[0], t[1] is not None, t[1] or ""))
 
 
+@pytest.mark.slow
 def test_grouped_mlt_prf_spell_equal_per_slice_runs(spark):
     """The grouped faces of more_like_this / prf_expand /
     spell_suggest == per-slice ungrouped runs — colliding doc ids

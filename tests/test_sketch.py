@@ -363,6 +363,7 @@ def test_merge_distinct_sketches_equals_one_shot(spark):
     assert merge_distinct_sketches(a, None, ["k"]) is a  # first-batch seed
 
 
+@pytest.mark.slow
 def test_streaming_distinct_counts_folds_and_replays(spark, tmp_path):
     """foreachBatch HLL maintenance: two micro-batch folds estimate the
     whole-stream distincts; a lost-checkpoint replay RE-FOLDS (the
@@ -619,6 +620,7 @@ def test_quantile_sketch_nulls_empty_and_validation(spark):
         quantile_report(quantile_summary(df, "x", k=16), [1.5])
 
 
+@pytest.mark.slow
 def test_streaming_quantiles_folds_and_replays(spark, tmp_path):
     """foreachBatch quantile maintenance: two micro-batch folds bracket
     the full-stream truth; a lost checkpoint replay no-ops (batch tags
@@ -791,6 +793,7 @@ def test_grouped_quantile_null_key_group_and_validation(spark):
         grouped_quantile_report(s, ["src"], [])
 
 
+@pytest.mark.slow
 def test_streaming_grouped_quantiles_folds(spark, tmp_path):
     """keys= switches the streaming fold to the per-key profile; two
     folds bracket the per-key stream truth and replays no-op."""
@@ -1020,6 +1023,7 @@ def test_merge_grouped_hh_outer_on_keys_and_combined_bracket(spark):
     assert en.n_total == 380
 
 
+@pytest.mark.slow
 def test_streaming_grouped_heavy_hitters_folds(spark, tmp_path):
     """keys= switches the streaming HH fold to the per-key profile;
     two folds bracket per-key stream truth and replays no-op."""

@@ -236,6 +236,7 @@ def test_shared_span_report_clean_corpus_zero_row(spark):
     assert r[0].n_spans == 0 and r[0].removal_char_frac == 0.0
 
 
+@pytest.mark.slow
 def test_incremental_span_dedup_history_wins(spark):
     from datamunging_spark.operators.spandedup import (
         incremental_shared_spans,
